@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance/similarity primitives over `array<float>` embedding columns.
+  *
+  * Implements the scoring the reference delegates to Chroma's HNSW index
+  * (L2 space — /root/reference/app.py:73-76, app.py:409) as codegen-friendly
+  * Catalyst higher-order functions (`zip_with` + `aggregate`), so scoring
+  * stays inside whole-stage codegen with no UDF/serialization boundary.
+  *
+  * Determinism: every element is cast to double before arithmetic and the
+  * fold is strictly left-to-right, so a DuckDB oracle computing the same
+  * left-to-right fold agrees to the last ulp on the same input. All
+  * functions are dimension-agnostic (the reference uses 384-dim MiniLM
+  * vectors, the fixtures 64-dim — FIXTURES.md).
+  */
+object VectorOps {
+
+  /** Squared Euclidean (L2²) distance — the reference's retrieval metric.
+    * Monotone in true L2, so top-k under L2² == top-k under L2; we skip the
+    * sqrt in the hot path. */
+  def squaredL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
+
+  /** Dot product with a left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** L2 norm of one vector. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. NaN-safe for zero vectors is the
+    * caller's concern (fixture vectors are non-zero). */
+  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine distance = 1 - cosine similarity. */
+  def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.core.VectorOps
+
+/** Exact k-NN retrieval queries — the Spark-native form of the reference's
+  * `vector_db.similarity_search(question, k=13)` (/root/reference/app.py:409,
+  * L2 space per app.py:73-76). Declared queries are exact brute-force with a
+  * deterministic `(dist, vec_id)` tie-break so the DuckDB oracle hash-matches;
+  * ANN variants (IVF / LSH) live in graft.scale and are bench-only.
+  *
+  * Scale notes (100 TB): the single-query form broadcasts the 1-row query
+  * side, so scoring is a map-only stage over the store scan — no shuffle;
+  * top-k plans as TakeOrderedAndProject (per-partition heap + driver merge of
+  * k rows per partition, never a full sort). The batched form broadcasts the
+  * whole query batch and keeps per-query top-k inside one shuffle of
+  * (query × k) candidates.
+  */
+object VectorQueries {
+
+  /** Distances are emitted as `round(d * 1e4)` bigints: the fold itself is
+    * deterministic, but emitting raw doubles would make the driver's hash
+    * compare fragile to engine-specific float formatting; scaled integers
+    * hash identically everywhere (SURVEY.md §7.4 risk 5). */
+  private def distE4(d: org.apache.spark.sql.Column) =
+    round(d * lit(10000d)).cast("long")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Top-13 nearest rows to the vec_id=0 vector by squared L2 — the minimum
+    * slice (SURVEY.md §7.1). */
+  def knnTop13(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.squaredL2(col("embedding"), col("q_emb")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(13)
+      .select(col("vec_id"), distE4(col("d")).as("dist_e4"))
+  }
+
+  /** Batched retrieval: for each of the first 8 vectors, the top-5 nearest
+    * others (excluding self). Broadcast the query batch; per-query top-k via
+    * a row_number window partitioned by query id. */
+  def knnBatchTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.squaredL2(col("embedding"), col("q_emb")).as("d"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), distE4(col("d")).as("dist_e4"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Cosine top-10 for the vec_id=0 query (excluding self) — same shape as
+    * knnTop13 but on cosine distance. */
+  def knnCosineTop10(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosineDist(col("embedding"), col("q_emb")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), distE4(col("d")).as("dist_e4"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB left-to-right fold for squared L2 between two list<float>
+    * columns, elements cast to double first (mirrors VectorOps.squaredL2). */
+  private def sqL2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "knn_top13" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    "knn_batch_top5" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |d AS (SELECT q.q_id, e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, d,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+         |      FROM d)
+         |SELECT q_id, rank, vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "knn_cosine_top10" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id,
+         |             1.0 - ${dotSql("e.embedding", "q.q_emb")} /
+         |                   (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS d
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 10""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_top13" -> (knnTop13 _),
+    "knn_batch_top5" -> (knnBatchTop5 _),
+    "knn_cosine_top10" -> (knnCosineTop10 _)
+  )
+}
