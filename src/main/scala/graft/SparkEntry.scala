@@ -24,7 +24,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (VectorQueries.queries, VectorQueries.oracles),
-      (RelationalQueries.queries, RelationalQueries.oracles)
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (EventQueries.queries, EventQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

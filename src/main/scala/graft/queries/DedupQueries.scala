@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.VectorOps
+
+/** Deduplication operators — the reference's exact SHA-256 file dedup
+  * (T5, /root/reference/helper/multiple_document_upload.py:139-149) plus the
+  * near-duplicate family the north star mandates (SURVEY.md §2.3 X1):
+  * exact hash dedup, anti-join ingest gating, n-gram Jaccard similarity,
+  * and embedding-cosine near-dup with key blocking. MinHash/SimHash
+  * signature variants (engine-hash-dependent, so not DuckDB-expressible)
+  * live in graft.scale.NearDup with ScalaTest pinning.
+  *
+  * Scale notes: exact dedup is one hash-partitioned groupBy on the digest —
+  * the canonical 100 TB dedup shape (shuffle volume = one 32-byte key per
+  * row). The pairwise operators never go quadratic globally: Jaccard joins
+  * on shared shingles, cosine near-dup blocks on `label` (at scale: an LSH
+  * band or IVF centroid id), so each compares only within candidate
+  * buckets.
+  */
+object DedupQueries {
+
+  /** Exact duplicate grouping over content digest. Duplicates are planted
+    * by unioning the corpus with an id-shifted copy of itself (the fixture
+    * corpus is duplicate-free) — every content group must collapse to its
+    * minimum id with copy-count 2. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.unionAll(planted)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), substring(col("h"), 1, 16).as("fp"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Ingest dedup gate as a left-anti join: incoming batch (doc_id ≥ 240)
+    * vs existing store (doc_id < 250) on content hash — the batch form of
+    * the reference's per-file `where={"file_hash": h}` existence check.
+    * Rows 240-249 are already stored and must be rejected. */
+  def dedupAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") < 250)
+      .select(sha2(col("text"), 256).as("file_hash"))
+    val incoming = docs.filter(col("doc_id") >= 240)
+      .select(col("doc_id"), sha2(col("text"), 256).as("file_hash"))
+    incoming
+      .join(store, Seq("file_hash"), "left_anti")
+      .select(col("doc_id"), substring(col("file_hash"), 1, 16).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-3-gram Jaccard near-dup pairs (doc_id < 200, similarity ≥ 0.2 —
+    * the fixture corpus plants 3 near-identical pairs in that range).
+    * Shingle → distinct → join-on-shared-shingle → count; the threshold
+    * compare is pure integer arithmetic (inter·5 ≥ union). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    val sh = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200 && size(ws) >= 3)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.as("na")), col("a_id") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b_id") === col("nb.doc_id"))
+      .withColumn("uni", col("na.n") + col("nb.n") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (at 100 TB the
+    * block key is an LSH band or IVF centroid — the join shape is
+    * identical): same-label pairs with cosine similarity ≥ 0.4. */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val sim = VectorOps.cosineSim(col("a.embedding"), col("b.embedding"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("sim") * 10000).cast("long").as("sim_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup" -> (exactDedup _),
+    "dedup_anti_join" -> (dedupAntiJoin _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "embedding_neardup" -> (embeddingNeardup _)
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "exact_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies,
+        |  substring(sha256(text), 1, 16) AS fp
+        |FROM u GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "dedup_anti_join" ->
+      """SELECT i.doc_id, substring(sha256(i.text), 1, 16) AS fp
+        |FROM documents i
+        |WHERE i.doc_id >= 240 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id < 250 AND sha256(s.text) = sha256(i.text))
+        |ORDER BY i.doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.inter,
+        |  CAST(na.n + nb.n - p.inter AS BIGINT) AS uni,
+        |  CAST(round(CAST(p.inter AS DOUBLE) * 10000 / (na.n + nb.n - p.inter)) AS BIGINT) AS jacc_e4
+        |FROM pairs p
+        |JOIN sizes na ON na.doc_id = p.a_id
+        |JOIN sizes nb ON nb.doc_id = p.b_id
+        |WHERE p.inter * 5 >= na.n + nb.n - p.inter
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${dotSql.format("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql.format("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql.format("b.embedding", "b.embedding")})) AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, CAST(round(sim * 10000) AS BIGINT) AS sim_e4
+         |FROM p WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — the batch shapes of the
+  * reference's only stream-like structure (the append-only chat log,
+  * /root/reference/app.py:436-443), generalized to the windowed/sessionized
+  * analytics a chat-log table needs at scale. The same aggregations run
+  * under Structured Streaming in graft.streaming (watermark + window);
+  * declared here in batch form because the oracle is batch DuckDB.
+  *
+  * Scale notes: hourly rollup is a partial-aggregated groupBy on
+  * (hour, type) — shuffle volume is the distinct-key count, not the event
+  * count; sessionization shuffles once on user_id and every window below
+  * reuses that single partitioning.
+  */
+object EventQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** JSON access: pull a typed value out of the free-form `props` JSON
+    * column (the reference's transient request/response dicts,
+    * SURVEY.md §1.1). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 300)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Tumbling-hour rollup by event type: count, exact sum, min/max. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions per user via lag() —
+    * gaps-and-islands with integer (microsecond) arithmetic so the oracle
+    * compare is exact. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("is_new")).as("n_sessions"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_props" -> (jsonProps _),
+    "events_hourly" -> (eventsHourly _),
+    "sessionize" -> (sessionize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  MAX(gap_us) AS max_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
