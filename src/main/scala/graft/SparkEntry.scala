@@ -27,7 +27,9 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (DedupQueries.queries, DedupQueries.oracles)
+      (DedupQueries.queries, DedupQueries.oracles),
+      (ChunkQueries.queries, ChunkQueries.oracles),
+      (RagQueries.queries, RagQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,175 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Embedder
+
+/** Multi-format ingest dataflow — the Spark-native form of the reference's
+  * `ingest_document` (/root/reference/helper/multiple_document_upload.py:68-176):
+  *
+  *   binary scan → ext validate → parse → chunk(1000/200) → blank filter →
+  *   sha256 → dedup anti-join vs store → metadata stamp → embed → chunk rows
+  *
+  * Every per-file reject branch of the reference survives as a row-level
+  * status (`IngestPipeline.Status`), so one distributed pass classifies an
+  * arbitrarily large upload batch — no per-file driver loop. At 100 TB the
+  * stages are all narrow (per-file) except the dedup anti-join, which
+  * shuffles only (file_hash → path) pairs.
+  */
+object IngestPipeline {
+
+  /** Allowed upload extensions (multiple_document_upload.py:24-30). */
+  val AllowedExts: Set[String] =
+    Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
+
+  /** Text-bearing formats parsed natively; office/pdf binaries go through
+    * the same seam but their decoders are not available in this build (the
+    * reference delegates them to pypdf/unstructured) — they reject with
+    * `parse_error`, and tests inject a fake decoder through `parsers`. */
+  val TextExts: Set[String] = Set("txt", "md", "csv", "html", "htm")
+
+  /** Reject/accept status values, mirroring multiple_document_upload.py:80-149. */
+  object Status {
+    val Ok = "ok"
+    val UnsupportedType = "unsupported_type" // :80-87  "Unsupported file type"
+    val ParseError = "parse_error"           // :100-109 loader exception
+    val NoContent = "no_content"             // :111-118 "No readable content"
+    val NoChunks = "no_chunks"               // :129-136 "No valid text chunks"
+    val Duplicate = "duplicate"              // :139-149 "File already exists"
+  }
+
+  type Parser = Array[Byte] => Either[String, Seq[String]]
+
+  /** Default per-format parsers. CSV mirrors the reference's loader
+    * semantics (one document per row, "header: value" lines); HTML strips
+    * tags. */
+  def defaultParsers: Map[String, Parser] = {
+    val asText: Parser = bytes => Right(Seq(new String(bytes, StandardCharsets.UTF_8)))
+    val asCsv: Parser = bytes => {
+      val lines = new String(bytes, StandardCharsets.UTF_8).split("\r?\n").filter(_.nonEmpty)
+      if (lines.isEmpty) Right(Seq.empty)
+      else {
+        val header = lines.head.split(",", -1)
+        Right(lines.tail.toSeq.map { line =>
+          header.zip(line.split(",", -1)).map { case (h, v) => s"$h: $v" }.mkString("\n")
+        })
+      }
+    }
+    val asHtml: Parser = bytes =>
+      Right(Seq(new String(bytes, StandardCharsets.UTF_8)
+        .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+        .replaceAll("<[^>]+>", " ")
+        .replaceAll("\\s+", " ").trim))
+    val unavailable: Parser = _ => Left("decoder not available in this build")
+    Map(
+      "txt" -> asText, "md" -> asText, "csv" -> asCsv,
+      "html" -> asHtml, "htm" -> asHtml
+    ).withDefaultValue(unavailable)
+  }
+
+
+  /** Run the full ingest dataflow.
+    *
+    * @param files  DataFrame with `path: string, user: string, content: binary`
+    * @param store  existing chunk store (for the file_hash dedup gate); pass
+    *               None on first load (the reference's `vector_db is None`
+    *               branch at :140)
+    * @param chunker chunk splitter (reference config 1000/200)
+    * @return (chunks ready to append, per-file outcome report)
+    */
+  def ingest(
+      spark: SparkSession,
+      files: DataFrame,
+      store: Option[DataFrame],
+      chunker: Chunker = Chunker.reference,
+      parsers: Map[String, Parser] = defaultParsers,
+      embedDim: Int = Embedder.DefaultDim): IngestBatch = {
+    import spark.implicits._
+
+    val ch = chunker
+    val ps = parsers
+    val parseChunk = udf { (ext: String, content: Array[Byte]) =>
+      ps(ext)(content) match {
+        case Left(err) => ParseOut(err, hadContent = false, Seq.empty)
+        case Right(docs) =>
+          val nonEmpty = docs.filter(d => d != null && d.trim.nonEmpty)
+          if (nonEmpty.isEmpty) ParseOut(null, hadContent = false, Seq.empty)
+          else ParseOut(null, hadContent = true,
+            nonEmpty.flatMap(ch.split).filter(_.trim.nonEmpty))
+      }
+    }
+
+    // filename/ext stamping — lower() + last-dot suffix, as the reference
+    // computes them (multiple_document_upload.py:77,153-156)
+    val named = files
+      .withColumn("source", lower(element_at(split(col("path"), "/"), -1)))
+      .withColumn("type", element_at(split(col("source"), "\\."), -1))
+      .withColumn("file_hash", sha2(col("content"), 256))
+
+    val supported = named.withColumn("supported", col("type").isInCollection(AllowedExts))
+
+    // dedup gate: anti-join on content hash against the existing store
+    val dupHashes = store.map(_.select(col("file_hash")).distinct())
+    val withDup = dupHashes match {
+      case Some(d) =>
+        supported.join(broadcast(d.withColumn("is_dup", lit(true))), Seq("file_hash"), "left")
+          .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      case None => supported.withColumn("is_dup", lit(false))
+    }
+
+    val parsed = withDup
+      .withColumn("parsed",
+        when(col("supported") && !col("is_dup"), parseChunk(col("type"), col("content"))))
+      .withColumn("status",
+        when(!col("supported"), Status.UnsupportedType)
+          .when(col("is_dup"), Status.Duplicate)
+          .when(col("parsed.err").isNotNull, Status.ParseError)
+          .when(!col("parsed.hadContent"), Status.NoContent)
+          .when(size(col("parsed.docs")) === 0, Status.NoChunks)
+          .otherwise(Status.Ok))
+      .drop("content")
+      .cache()
+
+    val outcomes = parsed.select(
+      col("path"), col("source"), col("user"), col("type"), col("file_hash"),
+      col("status"), col("parsed.err").as("reason"),
+      coalesce(size(col("parsed.docs")), lit(0)).as("n_chunks"))
+
+    val dim = embedDim
+    val chunkRows = parsed
+      .filter(col("status") === Status.Ok)
+      .select(col("source"), col("user"), col("type"), col("file_hash"),
+        posexplode(col("parsed.docs")).as(Seq("chunk_seq", "text")))
+      .select(
+        // unique, deterministic chunk id: file hash prefix ⊕ position
+        xxhash64(col("file_hash"), col("chunk_seq")).as("chunk_id"),
+        col("source"), col("user"), col("type"), col("file_hash"),
+        col("chunk_seq"), col("text"))
+      .as[ChunkRowNoVec]
+      // partition-level map: the production seam where an ONNX session is
+      // instantiated once per partition and reused (SURVEY.md §2.1 T6)
+      .mapPartitions { it =>
+        it.map(c => ChunkRow(c.chunk_id, c.source, c.user, c.`type`, c.file_hash,
+          c.chunk_seq, c.text, Embedder.embed(c.text, dim)))
+      }
+      .toDF()
+
+    IngestBatch(chunkRows, outcomes)
+  }
+}
+
+/** UDF output of the parse+chunk stage (top-level so Catalyst codegen can
+  * construct/inspect it). */
+case class ParseOut(err: String, hadContent: Boolean, docs: Seq[String])
+
+case class ChunkRowNoVec(chunk_id: Long, source: String, user: String, `type`: String,
+    file_hash: String, chunk_seq: Int, text: String)
+
+case class ChunkRow(chunk_id: Long, source: String, user: String, `type`: String,
+    file_hash: String, chunk_seq: Int, text: String, embedding: Array[Float])
+
+/** Result of one ingest pass: appendable chunk rows + per-file outcomes. */
+case class IngestBatch(chunks: DataFrame, outcomes: DataFrame)

@@ -1,0 +1,67 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent chunk store — the engine's durable table, replacing the
+  * reference's Chroma collection (/root/reference/app.py:70-79). Parquet,
+  * partitioned by (user, source): `user` gives row-level tenancy pruning
+  * for retrieval (fixing the cross-user leakage of app.py:409 — SURVEY.md
+  * X5), and `source` turns delete-by-filename into a partition drop — the
+  * reference's delete fetches the WHOLE collection to the client and
+  * filters in Python (multiple_document_upload.py:182-189); here it never
+  * reads a data file at all.
+  *
+  * 100 TB note: (user, source) partitioning assumes many users × many
+  * files; a pathological single-user/single-file skew would need an added
+  * hash bucket column. Upgrade path to in-place mutation (tombstones,
+  * upserts) is a Delta/Iceberg table format — out of scope per SURVEY.md
+  * §7.4 risk 6.
+  */
+object ChunkStore {
+
+  /** Append chunk rows (schema from ChunkRow) to the store. First write
+    * creates the store — the reference's create-or-append branch at
+    * multiple_document_upload.py:161-168 is `mode("append")` semantics for
+    * free. */
+  def append(chunks: DataFrame, path: String): Unit =
+    chunks.write.mode("append").partitionBy("user", "source").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
+  def isEmpty(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(new Path(path))
+  }
+
+  /** Collection count (reference startup log, app.py:79). */
+  def count(spark: SparkSession, path: String): Long = load(spark, path).count()
+
+  /** Mandatory tenancy filter for retrieval (SURVEY.md X5): partition
+    * pruning makes this a directory-level skip, not a row scan. */
+  def userScoped(store: DataFrame, user: String): DataFrame =
+    store.filter(col("user") === user)
+
+  /** Delete every chunk of `source` (lowercased filename) — the reference's
+    * delete-by-filename (multiple_document_upload.py:178-200) as a
+    * partition drop. Returns the number of deleted rows (0 = the
+    * reference's "No vectors found for the given file name"). */
+  def deleteBySource(spark: SparkSession, path: String, source: String): Long = {
+    if (isEmpty(spark, path)) return 0L
+    val store = load(spark, path)
+    val target = source.toLowerCase
+    val n = store.filter(col("source") === target).count()
+    if (n > 0) {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val userDirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
+      for (u <- userDirs) {
+        val srcDir = new Path(u.getPath, s"source=$target")
+        if (fs.exists(srcDir)) fs.delete(srcDir, true)
+      }
+    }
+    n
+  }
+}

@@ -1,0 +1,44 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.ingest.IngestPipeline
+
+class ChunkStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ingestOne(path: String, user: String, text: String) =
+    IngestPipeline.ingest(
+      spark,
+      Seq((path, user, text.getBytes(StandardCharsets.UTF_8))).toDF("path", "user", "content"),
+      None)
+
+  test("append/load/count round-trip with (user, source) partitioning") {
+    val dir = tmpDir("store").toString + "/chunks"
+    val b1 = ingestOne("/up/one.txt", "a@x.com", (1 to 300).map(i => s"w$i").mkString(" "))
+    val b2 = ingestOne("/up/two.txt", "b@y.com", "short doc")
+    ChunkStore.append(b1.chunks, dir)
+    ChunkStore.append(b2.chunks, dir)
+    val total = b1.chunks.count() + b2.chunks.count()
+    assert(ChunkStore.count(spark, dir) == total)
+    // partition columns survive the round-trip
+    val loaded = ChunkStore.load(spark, dir)
+    assert(loaded.columns.toSet.contains("user") && loaded.columns.toSet.contains("source"))
+    assert(ChunkStore.userScoped(loaded, "a@x.com").count() == b1.chunks.count())
+  }
+
+  test("deleteBySource drops exactly that file's chunks and returns the count") {
+    val dir = tmpDir("store").toString + "/chunks"
+    val b1 = ingestOne("/up/keep.txt", "a@x.com", (1 to 300).map(i => s"k$i").mkString(" "))
+    val b2 = ingestOne("/up/Drop.TXT", "a@x.com", (1 to 300).map(i => s"d$i").mkString(" "))
+    ChunkStore.append(b1.chunks, dir)
+    ChunkStore.append(b2.chunks, dir)
+    val nDrop = b2.chunks.count()
+    // mixed-case input resolves to the stored lowercase source
+    assert(ChunkStore.deleteBySource(spark, dir, "DROP.txt") == nDrop)
+    assert(ChunkStore.count(spark, dir) == b1.chunks.count())
+    // unknown filename: 0 deleted ("No vectors found")
+    assert(ChunkStore.deleteBySource(spark, dir, "missing.txt") == 0L)
+  }
+}
