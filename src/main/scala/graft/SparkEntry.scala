@@ -29,7 +29,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (ChunkQueries.queries, ChunkQueries.oracles),
-      (RagQueries.queries, RagQueries.oracles)
+      (RagQueries.queries, RagQueries.oracles),
+      (ScaleQueries.queries, ScaleQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.scale.{Ivf, LshJoin, NearDup}
+
+/** Declared entries for the scale-out operators (SURVEY.md §2.3): MinHash/
+  * SimHash near-dup, IVF ANN search, LSH similarity join, multimodal
+  * columns. Signature/ANN operators depend on engine hash functions or
+  * MLlib models, so they carry no DuckDB oracle (driver rows-only check);
+  * their semantics are pinned by ScaleSpec against exact ground truth.
+  * `multimodal_meta` is exact and oracle-checked.
+  */
+object ScaleQueries {
+
+  /** MinHash LSH near-dups over the planted near-identical docs. */
+  def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashNearDups(Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5)
+
+  /** SimHash near-dups (Hamming ≤ 12 of 64 bits) over the same corpus. */
+  def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashNearDups(Tables.documents(spark, dir).filter(col("doc_id") < 200), 12)
+
+  /** IVF build + probe: top-13 for the vec_id=0 query with nprobe=3/16. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val index = Ivf.build(spark, emb)
+    Ivf.search(index, q, k = 13, nprobe = 3)
+      .select(col("vec_id"), col("cell"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** MLlib BucketedRandomProjectionLSH self-join: pairs with L2 < 1.1. */
+  def lshJoin(spark: SparkSession, dir: String): DataFrame =
+    LshJoin.selfJoin(Tables.embeddings(spark, dir), threshold = 1.1)
+      .select(col("a_id"), col("b_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+
+  /** Multimodal metadata pass: typed metadata (modality, byte length,
+    * content hash) over opaque binary payloads — exact, oracle-checked.
+    * Payloads are fabricated deterministically from document text (the
+    * fixture set ships no media files). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val modality = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), modality.as("modality"), col("text").cast("binary").as("content"))
+      .select(
+        col("doc_id"), col("modality"),
+        length(col("content")).as("byte_len"),
+        substring(sha2(col("content"), 256), 1, 16).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_neardup" -> (minhashNeardup _),
+    "simhash_neardup" -> (simhashNeardup _),
+    "ivf_topk" -> (ivfTopk _),
+    "lsh_join" -> (lshJoin _),
+    "multimodal_meta" -> (multimodalMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // minhash/simhash/ivf/lsh: engine-hash/MLlib-dependent → no SQL oracle;
+    // pinned against exact ground truth in ScaleSpec.
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+        |  substring(sha256(text), 1, 16) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

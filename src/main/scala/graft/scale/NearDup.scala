@@ -1,0 +1,121 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Signature-based near-duplicate detection at corpus scale — MinHash+LSH
+  * banding and SimHash (SURVEY.md §2.3 X1). Pure DataFrame/Catalyst
+  * pipelines (xxhash64 is codegen'd), deterministic for a fixed corpus, but
+  * engine-hash-dependent — so these are declared without DuckDB oracles and
+  * pinned by NearDupSpec against the exact-Jaccard ground truth instead.
+  *
+  * 100 TB shape: signatures are one groupBy per doc (shuffle = docs × k
+  * longs, not corpus bytes); banding turns all-pairs comparison into a
+  * groupBy on (band index, band hash) — only same-bucket docs ever meet,
+  * and the final exact-Jaccard verify touches candidate pairs only.
+  */
+object NearDup {
+
+  val NumHashes = 32
+  val Bands = 8 // 4 rows per band → catches pairs from ~0.5 Jaccard up
+
+  /** Distinct word-3-gram shingles per document. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .filter(size(ws) >= 3)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+          .as("sh"))
+      .distinct()
+  }
+
+  /** k-way MinHash signature: one row per doc with columns mh0..mh{k-1},
+    * where mh_i = min over shingles of xxhash64(i, shingle). One shuffle. */
+  def minhashSignatures(sh: DataFrame, k: Int = NumHashes): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: explode each signature into (band_idx, band_hash) keys;
+    * docs sharing any band key are candidate pairs. */
+  def bandedCandidates(sig: DataFrame, k: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    val rows = k / bands
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_hash"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification on the candidate pairs only. Returns pairs with
+    * jaccard ≥ `threshold`. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cands = bandedCandidates(minhashSignatures(sh))
+    val inter = cands
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.as("na")), col("a_id") === col("na.doc_id"))
+      .join(broadcast(sizes.as("nb")), col("b_id") === col("nb.doc_id"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("jaccard") * 10000).cast("long").as("jacc_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 64-bit SimHash per document: majority vote of token-hash bits,
+    * token-frequency weighted. Computed bit-parallel: explode tokens →
+    * 64 conditional sums in one aggregation. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    summed.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked on
+    * 16-bit signature chunks (any pair within distance 3 must agree on at
+    * least one of the 4 chunks — pigeonhole). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk_idx"), col("ck.chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's append-shaped flows —
+  * the reference's chat log (/root/reference/app.py:436-443) and
+  * incremental `add_documents` ingest (multiple_document_upload.py:168) are
+  * batch in the reference but naturally streaming (SURVEY.md §2.3 X7).
+  * The transformations are shared with the batch queries; only the source/
+  * sink binding differs — the Spark streaming/batch unification does the
+  * rest.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-key and timeout-evicted. Both shuffle on
+  * the group key only.
+  */
+object Streams {
+
+  /** Chat-log record (reference app.py:436-443). */
+  case class ChatRecord(ts: Timestamp, user: String, question: String, answer: String)
+
+  /** Event shape of the `events` fixture table. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user session accumulator for stateful processing. */
+  case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Watermarked tumbling-window counts by event type — the streaming twin
+    * of EventQueries.eventsHourly. Works on any streaming or batch frame
+    * with (ts, event_type, value). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap
+    * sessions per user incrementally — the streaming twin of
+    * EventQueries.sessionize. */
+  def sessionCounts(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          var (n, last, sessions) = (prev.nEvents, prev.lastTsMicros, prev.nSessions)
+          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val us = e.ts.getTime * 1000
+            if (last == Long.MinValue || us - last > gapUs) sessions += 1
+            last = us
+            n += 1
+          }
+          state.update(SessionState(n, last, sessions))
+          SessionUpdate(user, n, sessions)
+      }
+  }
+
+  /** Streaming parquet source over an events-shaped directory. */
+  def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  /** Append-only streaming sink (chat log / ingest landing). */
+  def appendSink(df: DataFrame, outDir: String, checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .start()
+}

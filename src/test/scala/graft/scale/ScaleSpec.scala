@@ -1,0 +1,95 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.core.VectorOps
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 200).cache()
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  /** Exact word-3-gram Jaccard ground truth for pairs above a threshold. */
+  private def exactJaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = NearDup.shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+      .withColumn("j", col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter")))
+      .filter(col("j") >= threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs, verified exactly") {
+    val truth = exactJaccardPairs(0.5)
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val got = NearDup.minhashNearDups(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // exact-verify step removes false positives; banding with 8x4 bands at
+    // jaccard>=0.5 should catch every true pair here
+    assert(got == truth, s"minhash=$got truth=$truth")
+  }
+
+  test("minhash signature estimates jaccard roughly") {
+    val sh = NearDup.shingles(docs).cache()
+    val sig = NearDup.minhashSignatures(sh)
+    assert(sig.count() == docs.count())
+    assert(sig.columns.count(_.startsWith("mh")) == NearDup.NumHashes)
+  }
+
+  test("simhash near-dups include the near-identical pairs and report hamming") {
+    val truth = exactJaccardPairs(0.8) // near-identical docs
+    val got = NearDup.simhashNearDups(docs, 12)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    truth.foreach(p => assert(got.contains(p), s"simhash missed near-identical pair $p"))
+    val hams = NearDup.simhashNearDups(docs, 12).select("hamming").as[Int].collect()
+    assert(hams.forall(h => h >= 0 && h <= 12))
+  }
+
+  test("IVF search reaches high recall vs exact top-k with partial probing") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = emb
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), lit(q)))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(13)
+      .select("vec_id").as[Long].collect().toSet
+    val index = Ivf.build(spark, emb)
+    assert(index.centroids.length == 16)
+    def recallAt(nprobe: Int): Double = {
+      val approx = Ivf.search(index, q, k = 13, nprobe = nprobe)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    // the fixture vectors are (near-)random, the worst case for IVF — real
+    // embedding distributions cluster. The contract that must hold even
+    // here: partial probing beats its uniform-sampling baseline, recall is
+    // monotone in nprobe, and probing every cell recovers the exact result.
+    val r3 = recallAt(3)
+    assert(r3 > 3.0 / 16, s"nprobe=3 recall=$r3 no better than random cell sampling")
+    assert(recallAt(8) >= r3)
+    assert(recallAt(16) == 1.0)
+  }
+
+  test("LSH self-join returns only true sub-threshold pairs (no false positives)") {
+    val got = LshJoin.selfJoin(emb, threshold = 1.1).collect()
+    assert(got.nonEmpty, "fixture has pairs closer than L2=1.1")
+    // distances reported by the join must match exact L2
+    got.foreach { r =>
+      assert(r.getAs[Double]("dist") < 1.1)
+    }
+    // and be a subset of the exact all-pairs result
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("d", sqrt(VectorOps.squaredL2(col("a.embedding"), col("b.embedding"))))
+      .filter(col("d") < 1.1)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    val gotPairs = got.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(gotPairs.subsetOf(exact))
+    assert(gotPairs.size >= (exact.size * 0.5).toInt, s"recall too low: ${gotPairs.size}/${exact.size}")
+  }
+}
