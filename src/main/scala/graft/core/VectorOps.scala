@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Distance/similarity primitives over `array<float>` embedding columns.
   *
@@ -18,10 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  private def expr2(a: Column, b: Column, f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) => org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Squared Euclidean (L2²) distance — the reference's retrieval metric.
     * Monotone in true L2, so top-k under L2² == top-k under L2; we skip the
-    * sqrt in the hot path. */
-  def squaredL2(a: Column, b: Column): Column =
+    * sqrt in the hot path. Backed by the codegen'd FloatVecSquaredL2
+    * kernel; numerically identical to [[squaredL2Hof]]. */
+  def squaredL2(a: Column, b: Column): Column = expr2(a, b, FloatVecSquaredL2.apply)
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
+
+  /** Dot product (codegen'd kernel, left-to-right double fold). */
+  def dot(a: Column, b: Column): Column = expr2(a, b, FloatVecDot.apply)
+
+  /** Higher-order-function form of squaredL2 — kept as the readable
+    * specification and as a cross-check that the codegen kernel matches
+    * built-in semantics bit for bit (VectorOpsSpec). */
+  def squaredL2Hof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -31,11 +48,8 @@ object VectorOps {
       (acc, v) => acc + v
     )
 
-  /** Euclidean (L2) distance. */
-  def l2(a: Column, b: Column): Column = sqrt(squaredL2(a, b))
-
-  /** Dot product with a left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
+  /** HOF form of dot — see [[squaredL2Hof]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -85,8 +85,12 @@ object DedupQueries {
     * block key is an LSH band or IVF centroid — the join shape is
     * identical): same-label pairs with cosine similarity ≥ 0.4. */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // norms are computed once per row BEFORE the pairwise join (the join
+    // evaluates only one dot product per pair, not three)
     val e = Tables.embeddings(spark, dir)
-    val sim = VectorOps.cosineSim(col("a.embedding"), col("b.embedding"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val sim = VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), sim.as("sim"))

@@ -26,9 +26,10 @@ object Ivf {
 
   /** Fit centroids and assign every vector to its nearest cell. */
   def build(spark: SparkSession, emb: DataFrame, nlist: Int = 16, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
-    val withVec = emb.withColumn("features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(withVec)
+      idCol: String = "vec_id", vecCol: String = "embedding", maxIter: Int = 10): Index = {
+    // cache: KMeans iterates over the features RDD once per iteration
+    val withVec = emb.withColumn("features", array_to_vector(col(vecCol))).cache()
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(withVec)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // assignment via the model (broadcast centroids, map-only)
     val assigned = model.transform(withVec)

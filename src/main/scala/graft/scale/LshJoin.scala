@@ -14,8 +14,12 @@ object LshJoin {
 
   /** Approximate self-join: pairs with L2 distance < `threshold`. Output:
     * (a_id, b_id, dist), a_id < b_id, ordered. */
-  def selfJoin(emb: DataFrame, threshold: Double, bucketLength: Double = 2.0,
-      numHashTables: Int = 3, seed: Long = 42L,
+  /** bucketLength default: for ~unit-norm vectors the projection spread is
+    * O(1); buckets of 0.5 keep same-bucket candidate sets small (coarser
+    * buckets degenerate toward an all-pairs join), while 4 tables hold
+    * recall up. */
+  def selfJoin(emb: DataFrame, threshold: Double, bucketLength: Double = 0.5,
+      numHashTables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withVec = emb.select(col(idCol), array_to_vector(col(vecCol)).as("features"))
     val model = new BucketedRandomProjectionLSH()

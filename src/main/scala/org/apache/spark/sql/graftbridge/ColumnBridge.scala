@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column ⇄ Expression converters —
+  * the one hook a library needs to expose custom Catalyst expressions as
+  * `Column`-returning functions in Spark 4.x (where `new Column(expr)` no
+  * longer exists). Lives in an `org.apache.spark.sql` subpackage solely
+  * for access; nothing else of Spark's internals is touched.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
