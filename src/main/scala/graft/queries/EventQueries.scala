@@ -61,10 +61,19 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Value histogram: fixed-width buckets with integer bounds — the
+    * length/value distribution shape of corpus profiling (X4). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((floor(col("value") / 50) * 50).cast("long").as("bucket_lo"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket_lo"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_props" -> (jsonProps _),
     "events_hourly" -> (eventsHourly _),
-    "sessionize" -> (sessionize _)
+    "sessionize" -> (sessionize _),
+    "value_histogram" -> (valueHistogram _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +93,9 @@ object EventQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  MAX(gap_us) AS max_gap_us
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin
   )
 }

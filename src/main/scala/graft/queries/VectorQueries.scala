@@ -64,6 +64,29 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Batched retrieval via the bounded TopKAggregator (SURVEY.md §7.3) —
+    * same result set as [[knnBatchTop5]] (and the same oracle), but each
+    * partition forwards only k candidates per query instead of shuffling
+    * and sorting all of them. */
+  def knnBatchAgg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.squaredL2(col("embedding"), col("q_emb")).as("d"))
+    val top5 = udaf(new graft.core.TopKAggregator(5))
+    scored
+      .groupBy(col("q_id"))
+      .agg(top5(col("vec_id"), col("d")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("vec_id"), distE4(col("s.d")).as("dist_e4"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Cosine top-10 for the vec_id=0 query (excluding self) — same shape as
     * knnTop13 but on cosine distance. */
   def knnCosineTop10(spark: SparkSession, dir: String): DataFrame = {
@@ -90,6 +113,16 @@ object VectorQueries {
     s"list_sum(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
+  private lazy val batchTop5Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+       |d AS (SELECT q.q_id, e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, d,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+       |      FROM d)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "knn_top13" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -97,15 +130,8 @@ object VectorQueries {
          |      FROM embeddings e CROSS JOIN q)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
-    "knn_batch_top5" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
-         |d AS (SELECT q.q_id, e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
-         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, d,
-         |             row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
-         |      FROM d)
-         |SELECT q_id, rank, vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "knn_batch_top5" -> batchTop5Sql,
+    "knn_batch_agg" -> batchTop5Sql, // same contract, different physical strategy
     "knn_cosine_top10" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id,
@@ -119,6 +145,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),
+    "knn_batch_agg" -> (knnBatchAgg _),
     "knn_cosine_top10" -> (knnCosineTop10 _)
   )
 }
