@@ -30,7 +30,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (ChunkQueries.queries, ChunkQueries.oracles),
       (RagQueries.queries, RagQueries.oracles),
-      (ScaleQueries.queries, ScaleQueries.oracles)
+      (ScaleQueries.queries, ScaleQueries.oracles),
+      (SurfaceQueries.queries, SurfaceQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.GraftFunctions
+import graft.ingest.IngestPipeline
+import graft.scale.Skew
+import graft.streaming.Streams
+
+/** Surface-completeness queries: the SQL entry point (registered kernel
+  * functions + `spark.sql`), the ingest reject gate as a declared query,
+  * the streaming transformation run through the unified batch path, and
+  * skew-resistant salted aggregation. Each is oracle-checked.
+  */
+object SurfaceQueries {
+
+  /** The flagship retrieval expressed purely in SQL against the registered
+    * `vec_squared_l2` function — proves the engine's SQL surface matches
+    * the Column API (same oracle as knn_top13). */
+  def knnSql(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings_v WHERE vec_id = 0),
+        |d AS (SELECT vec_id, vec_squared_l2(embedding, q_emb) AS d
+        |      FROM embeddings_v CROSS JOIN q)
+        |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin)
+  }
+
+  /** Ingest validation gate (reference reject branches A3) as a declared
+    * query: fabricate a deterministic upload batch from the documents
+    * table — every 10th file unsupported (.zip), every 10th+1 undecodable
+    * (.pdf, stub decoder), every 10th+2 blank — and report per-file
+    * statuses from the real pipeline. */
+  def ingestGate(spark: SparkSession, dir: String): DataFrame = {
+    val ext = when(col("doc_id") % 10 === 0, "zip")
+      .when(col("doc_id") % 10 === 1, "pdf")
+      .otherwise("txt")
+    val content = when(col("doc_id") % 10 === 2, lit("   ")).otherwise(col("text"))
+    val files = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(
+        concat(lit("/up/"), col("source"), lit("_"), col("doc_id").cast("string"),
+          lit("."), ext).as("path"),
+        concat(lit("u"), (col("doc_id") % 3).cast("string")).as("user"),
+        content.cast("binary").as("content"))
+    IngestPipeline.ingest(spark, files, None)
+      .outcomes
+      .select(col("path"), col("source"), col("user"), col("type"), col("status"))
+      .orderBy(col("path"))
+  }
+
+  /** The streaming windowed-count transformation executed through the
+    * unified batch path (Streams.windowedCounts is source-agnostic) —
+    * declares the streaming operator's semantics in the oracle gate. */
+  def streamWindowed(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Salted two-phase aggregation — identical result to a plain groupBy,
+    * skew-proof shuffle shape (graft.scale.Skew). */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+      Tables.lineitem(spark, dir),
+      key = col("l_returnflag"),
+      saltSource = col("l_orderkey"),
+      sumExpr = col("l_quantity").cast("decimal(18,6)"))
+      .select(col("key"), col("sum").cast("double").as("sum_qty"), col("n"))
+      .orderBy(col("key"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_sql" -> (knnSql _),
+    "ingest_gate" -> (ingestGate _),
+    "stream_windowed" -> (streamWindowed _),
+    "salted_agg" -> (saltedAgg _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_sql" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |        list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    "ingest_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, text,
+        |    CASE doc_id % 10 WHEN 0 THEN 'zip' WHEN 1 THEN 'pdf' ELSE 'txt' END AS ext
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT
+        |  '/up/' || source || '_' || CAST(doc_id AS VARCHAR) || '.' || ext AS path,
+        |  lower(source || '_' || CAST(doc_id AS VARCHAR) || '.' || ext) AS source,
+        |  'u' || CAST(doc_id % 3 AS VARCHAR) AS user,
+        |  ext AS type,
+        |  CASE WHEN ext = 'zip' THEN 'unsupported_type'
+        |       WHEN ext = 'pdf' THEN 'parse_error'
+        |       WHEN doc_id % 10 = 2 THEN 'no_content'
+        |       ELSE 'ok' END AS status
+        |FROM f ORDER BY path""".stripMargin,
+    "stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "salted_agg" ->
+      """SELECT l_returnflag AS key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -38,8 +38,11 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      // decimal accumulation: deterministic under any parallelism/ordering
+      // (same contract as the batch oracle queries)
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("sv"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("sv").cast("double").as("sum_value"))
 
   /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap
     * sessions per user incrementally — the streaming twin of
