@@ -157,7 +157,7 @@ object IngestPipeline {
       }
       .toDF()
 
-    IngestBatch(chunkRows, outcomes)
+    IngestBatch(chunkRows, outcomes, parsed)
   }
 }
 
@@ -171,5 +171,12 @@ case class ChunkRowNoVec(chunk_id: Long, source: String, user: String, `type`: S
 case class ChunkRow(chunk_id: Long, source: String, user: String, `type`: String,
     file_hash: String, chunk_seq: Int, text: String, embedding: Array[Float])
 
-/** Result of one ingest pass: appendable chunk rows + per-file outcomes. */
-case class IngestBatch(chunks: DataFrame, outcomes: DataFrame)
+/** Result of one ingest pass: appendable chunk rows + per-file outcomes.
+  * The parse stage is cached (both outputs consume it); call [[release]]
+  * once chunks/outcomes have been materialized — repeated ingest passes
+  * (e.g. streaming micro-batches) would otherwise accumulate cached
+  * partitions on the executors. */
+case class IngestBatch(chunks: DataFrame, outcomes: DataFrame,
+    private val parsed: DataFrame) {
+  def release(): Unit = { parsed.unpersist(); () }
+}

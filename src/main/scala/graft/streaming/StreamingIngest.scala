@@ -39,9 +39,10 @@ object StreamingIngest {
           if (ChunkStore.isEmpty(spark, storeDir)) None
           else Some(ChunkStore.load(spark, storeDir))
         val result = IngestPipeline.ingest(spark, batch, store)
-        val accepted = result.chunks
-        if (!accepted.isEmpty) ChunkStore.append(accepted, storeDir)
-        ()
+        try {
+          val accepted = result.chunks
+          if (!accepted.isEmpty) ChunkStore.append(accepted, storeDir)
+        } finally result.release()
       }
       .start()
   }
