@@ -18,19 +18,30 @@ object Bench {
     } catch { case _: Throwable => () }
     // best-of-2 per query: local-mode timings are noisy under host load
     // (observed 2x swings); the minimum is the standard low-variance
-    // estimator for repeatable work
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // estimator for repeatable work. Failures are reported as -1 (not a
+    // small elapsed time that would masquerade as a fast success).
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}"); None }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val t = (once(fn), once(fn)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => -1.0
+      }
+      // queries cache internally (IVF features, shingles, ingest parse);
+      // drop between queries so cached partitions don't accumulate
+      spark.catalog.clearCache()
+      name -> t
     }
+    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.ingest
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Embedder
@@ -111,24 +112,37 @@ object IngestPipeline {
 
     val supported = named.withColumn("supported", col("type").isInCollection(AllowedExts))
 
-    // dedup gate: anti-join on content hash against the existing store
-    val dupHashes = store.map(_.select(col("file_hash")).distinct())
-    val withDup = dupHashes match {
+    // Dedup gate, scoped per tenant: the reference's check is global
+    // (where={"file_hash": h}) because its retrieval is global; with
+    // tenant-scoped retrieval (X5) a global gate would silently swallow a
+    // tenant's upload because ANOTHER tenant stored the same bytes.
+    // Two layers:
+    //  1. intra-batch: the first path per (user, hash) proceeds, the rest
+    //     are duplicates (the reference gets this by processing files
+    //     sequentially);
+    //  2. vs store: left join on (user, hash) — no broadcast hint, AQE
+    //     picks the strategy (the store-side hash set is unbounded at scale).
+    val batchW = Window.partitionBy(col("user"), col("file_hash")).orderBy(col("path"))
+    val withBatchDup = supported.withColumn("batch_dup", row_number().over(batchW) > 1)
+    val withDup = store.map(_.select(col("user"), col("file_hash")).distinct()) match {
       case Some(d) =>
-        supported.join(broadcast(d.withColumn("is_dup", lit(true))), Seq("file_hash"), "left")
-          .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
-      case None => supported.withColumn("is_dup", lit(false))
+        withBatchDup.join(d.withColumn("in_store", lit(true)), Seq("user", "file_hash"), "left")
+          .withColumn("is_dup", col("batch_dup") || coalesce(col("in_store"), lit(false)))
+      case None => withBatchDup.withColumn("is_dup", col("batch_dup"))
     }
 
+    // status precedence mirrors the reference's stage order
+    // (multiple_document_upload.py:80→149): ext → load → content → chunks →
+    // dedup LAST — a blank duplicate is "no content", not "duplicate"
     val parsed = withDup
       .withColumn("parsed",
-        when(col("supported") && !col("is_dup"), parseChunk(col("type"), col("content"))))
+        when(col("supported"), parseChunk(col("type"), col("content"))))
       .withColumn("status",
         when(!col("supported"), Status.UnsupportedType)
-          .when(col("is_dup"), Status.Duplicate)
           .when(col("parsed.err").isNotNull, Status.ParseError)
           .when(!col("parsed.hadContent"), Status.NoContent)
           .when(size(col("parsed.docs")) === 0, Status.NoChunks)
+          .when(col("is_dup"), Status.Duplicate)
           .otherwise(Status.Ok))
       .drop("content")
       .cache()
@@ -144,8 +158,10 @@ object IngestPipeline {
       .select(col("source"), col("user"), col("type"), col("file_hash"),
         posexplode(col("parsed.docs")).as(Seq("chunk_seq", "text")))
       .select(
-        // unique, deterministic chunk id: file hash prefix ⊕ position
-        xxhash64(col("file_hash"), col("chunk_seq")).as("chunk_id"),
+        // unique, deterministic chunk id: (tenant, content hash, position) —
+        // user is part of the key because two tenants may store identical
+        // bytes (tenant-scoped dedup) and their chunks must not collide
+        xxhash64(col("user"), col("file_hash"), col("chunk_seq")).as("chunk_id"),
         col("source"), col("user"), col("type"), col("file_hash"),
         col("chunk_seq"), col("text"))
       .as[ChunkRowNoVec]

@@ -58,23 +58,9 @@ object DedupQueries {
     * Shingle → distinct → join-on-shared-shingle → count; the threshold
     * compare is pure integer arithmetic (inter·5 ≥ union). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val shingles = transform(
-      sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    val sh = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 200 && size(ws) >= 3)
-      .select(col("doc_id"), explode(shingles).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(broadcast(sizes.as("na")), col("a_id") === col("na.doc_id"))
-      .join(broadcast(sizes.as("nb")), col("b_id") === col("nb.doc_id"))
-      .withColumn("uni", col("na.n") + col("nb.n") - col("inter"))
+    val sh = graft.scale.NearDup.shingles(
+      Tables.documents(spark, dir).filter(col("doc_id") < 200))
+    graft.scale.NearDup.exactJaccardPairs(sh)
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))

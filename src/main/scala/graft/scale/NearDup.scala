@@ -58,22 +58,41 @@ object NearDup {
       .distinct()
   }
 
-  /** Full MinHash near-dup pipeline: candidates from banding, then exact
-    * Jaccard verification on the candidate pairs only. Returns pairs with
-    * jaccard ≥ `threshold`. */
-  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).cache()
+  /** (a_id, b_id, inter, uni) for the given candidate pairs against the
+    * shingle sets — the exact-Jaccard verification core, shared by the
+    * MinHash pipeline (candidates from banding) and the oracle-checked
+    * all-sharing-pairs form (DedupQueries.ngramJaccard). */
+  def jaccardOnPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cands = bandedCandidates(minhashSignatures(sh))
-    val inter = cands
+    pairs
       .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(broadcast(sizes.as("na")), col("a_id") === col("na.doc_id"))
       .join(broadcast(sizes.as("nb")), col("b_id") === col("nb.doc_id"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na.n") + col("nb.n") - col("inter")).as("uni"))
+  }
+
+  /** Exact Jaccard for every pair sharing ≥1 shingle (no signatures —
+    * ground truth / oracle form; quadratic only within co-shingle groups). */
+  def exactJaccardPairs(sh: DataFrame): DataFrame = {
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    jaccardOnPairs(sh, pairs)
+  }
+
+  /** Full MinHash near-dup pipeline: candidates from banding, then exact
+    * Jaccard verification on the candidate pairs only. Returns pairs with
+    * jaccard ≥ `threshold`. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val cands = bandedCandidates(minhashSignatures(sh))
+    jaccardOnPairs(sh, cands)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"),
         round(col("jaccard") * 10000).cast("long").as("jacc_e4"))

@@ -37,30 +37,37 @@ object ChunkStore {
     !fs.exists(new Path(path))
   }
 
-  /** Collection count (reference startup log, app.py:79). */
-  def count(spark: SparkSession, path: String): Long = load(spark, path).count()
+  /** Collection count (reference startup log, app.py:79). A store whose
+    * partitions were all deleted has no data files to infer a schema from —
+    * that is simply count 0. */
+  def count(spark: SparkSession, path: String): Long =
+    if (isEmpty(spark, path)) 0L
+    else try load(spark, path).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
   /** Mandatory tenancy filter for retrieval (SURVEY.md X5): partition
     * pruning makes this a directory-level skip, not a row scan. */
   def userScoped(store: DataFrame, user: String): DataFrame =
     store.filter(col("user") === user)
 
-  /** Delete every chunk of `source` (lowercased filename) — the reference's
-    * delete-by-filename (multiple_document_upload.py:178-200) as a
-    * partition drop. Returns the number of deleted rows (0 = the
-    * reference's "No vectors found for the given file name"). */
-  def deleteBySource(spark: SparkSession, path: String, source: String): Long = {
+  /** Delete every chunk of `source` (lowercased filename) owned by `user` —
+    * the reference's delete-by-filename (multiple_document_upload.py:178-200)
+    * as a partition drop, tenant-scoped: the reference's delete is global
+    * only because its whole store is global; with per-user retrieval a
+    * same-named file of another tenant must survive. Partition values are
+    * Hive-escaped exactly as Spark wrote them (a literal `source=<raw>`
+    * path would miss any filename containing %, #, = …). Returns the
+    * number of deleted rows (0 = the reference's "No vectors found"). */
+  def deleteBySource(spark: SparkSession, path: String, user: String, source: String): Long = {
     if (isEmpty(spark, path)) return 0L
     val store = load(spark, path)
     val target = source.toLowerCase
-    val n = store.filter(col("source") === target).count()
+    val n = store.filter(col("user") === user && col("source") === target).count()
     if (n > 0) {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val userDirs = fs.listStatus(new Path(path)).filter(_.isDirectory)
-      for (u <- userDirs) {
-        val srcDir = new Path(u.getPath, s"source=$target")
-        if (fs.exists(srcDir)) fs.delete(srcDir, true)
-      }
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+      val srcDir = new Path(path, s"user=${esc(user)}/source=${esc(target)}")
+      if (fs.exists(srcDir)) fs.delete(srcDir, true)
     }
     n
   }

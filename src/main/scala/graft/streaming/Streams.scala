@@ -50,14 +50,18 @@ object Streams {
   def sessionCounts(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    // true microseconds: Timestamp.getTime is millis-truncated; the batch
+    // twin (EventQueries.sessionize) uses unix_micros, and a sub-ms
+    // difference at the exact gap boundary must classify identically
+    def micros(ts: Timestamp): Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           var (n, last, sessions) = (prev.nEvents, prev.lastTsMicros, prev.nSessions)
-          for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            val us = e.ts.getTime * 1000
+          for (e <- it.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            val us = micros(e.ts)
             if (last == Long.MinValue || us - last > gapUs) sessions += 1
             last = us
             n += 1

@@ -64,6 +64,30 @@ class IngestPipelineSpec extends SparkSpec {
     assert(second.chunks.isEmpty)
   }
 
+  test("dedup is tenant-scoped: another tenant's identical bytes are accepted") {
+    val text = "shared content across tenants"
+    val first = IngestPipeline.ingest(spark, files(("/up/a.txt", "a@x.com", text)), None)
+    val second = IngestPipeline.ingest(
+      spark, files(("/up/b.txt", "b@y.com", text)), Some(first.chunks))
+    // tenant B never stored these bytes — rejecting would lose B's data
+    // under user-scoped retrieval
+    assert(statusOf(second)("/up/b.txt") == "ok")
+  }
+
+  test("intra-batch duplicates: first path wins, the rest are rejected") {
+    val text = "same bytes twice in one batch"
+    val batch = IngestPipeline.ingest(spark, files(
+      ("/up/a.txt", "a@x.com", text),
+      ("/up/z_copy.txt", "a@x.com", text),
+      ("/up/other-tenant.txt", "b@y.com", text)), None)
+    val s = statusOf(batch)
+    assert(s("/up/a.txt") == "ok")
+    assert(s("/up/z_copy.txt") == "duplicate")
+    assert(s("/up/other-tenant.txt") == "ok") // different tenant, not a dup
+    // no colliding chunk_ids reach the store
+    assert(batch.chunks.select("chunk_id").distinct().count() == batch.chunks.count())
+  }
+
   test("csv loads one document per row with header: value lines") {
     val csv = "name,city\nada,london\nalan,cambridge"
     val batch = IngestPipeline.ingest(spark, files(("/up/people.csv", "a@x.com", csv)), None)

@@ -28,17 +28,30 @@ class ChunkStoreSpec extends SparkSpec {
     assert(ChunkStore.userScoped(loaded, "a@x.com").count() == b1.chunks.count())
   }
 
-  test("deleteBySource drops exactly that file's chunks and returns the count") {
+  test("deleteBySource drops exactly that tenant's file and returns the count") {
     val dir = tmpDir("store").toString + "/chunks"
     val b1 = ingestOne("/up/keep.txt", "a@x.com", (1 to 300).map(i => s"k$i").mkString(" "))
     val b2 = ingestOne("/up/Drop.TXT", "a@x.com", (1 to 300).map(i => s"d$i").mkString(" "))
+    // same filename, different tenant, different content — must survive
+    val b3 = ingestOne("/up/drop.txt", "b@y.com", "other tenant same-named file")
     ChunkStore.append(b1.chunks, dir)
     ChunkStore.append(b2.chunks, dir)
+    ChunkStore.append(b3.chunks, dir)
     val nDrop = b2.chunks.count()
     // mixed-case input resolves to the stored lowercase source
-    assert(ChunkStore.deleteBySource(spark, dir, "DROP.txt") == nDrop)
-    assert(ChunkStore.count(spark, dir) == b1.chunks.count())
+    assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "DROP.txt") == nDrop)
+    assert(ChunkStore.count(spark, dir) == b1.chunks.count() + b3.chunks.count())
+    // tenant B's same-named file is untouched
+    assert(ChunkStore.userScoped(ChunkStore.load(spark, dir), "b@y.com").count() == 1)
     // unknown filename: 0 deleted ("No vectors found")
-    assert(ChunkStore.deleteBySource(spark, dir, "missing.txt") == 0L)
+    assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "missing.txt") == 0L)
+  }
+
+  test("deleteBySource handles sources needing Hive partition escaping") {
+    val dir = tmpDir("store").toString + "/chunks"
+    val b = ingestOne("/up/100%done.txt", "a@x.com", "tricky partition name")
+    ChunkStore.append(b.chunks, dir)
+    assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "100%done.txt") == 1L)
+    assert(ChunkStore.count(spark, dir) == 0L)
   }
 }
