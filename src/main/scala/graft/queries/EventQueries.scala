@@ -69,7 +69,32 @@ object EventQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket_lo"), col("event_type"))
 
+  /** Pivot: daily event counts, one column per event type. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** RANGE window frame: per event, how many events the same user produced
+    * in the preceding 5 minutes (frame bounds in integer microseconds —
+    * exact cross-engine). */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-300000000L, -1L)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_prev_5min", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_prev_5min"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_events" -> (pivotEvents _),
+    "range_window" -> (rangeWindow _),
     "json_props" -> (jsonProps _),
     "events_hourly" -> (eventsHourly _),
     "sessionize" -> (sessionize _),
@@ -77,6 +102,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pivot_events" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "range_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS n_prev_5min
+        |FROM events WHERE user_id < 30 ORDER BY event_id""".stripMargin,
     "json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,

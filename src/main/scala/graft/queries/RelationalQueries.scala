@@ -178,7 +178,21 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** HAVING + uncorrelated scalar subquery: frequent customers whose order
+    * count beats the global per-customer average. */
+  def havingSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val perCust = ord.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val avgOrders = perCust.agg((sum(col("n_orders")).cast("double") / count(lit(1))).as("a"))
+    perCust
+      .crossJoin(broadcast(avgOrders))
+      .filter(col("n_orders").cast("double") > col("a"))
+      .select(col("o_custkey"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "having_subquery" -> (havingSubquery _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_multi_join" -> (q5MultiJoin _),
@@ -192,6 +206,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "having_subquery" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT o_custkey, n_orders FROM pc
+        |WHERE CAST(n_orders AS DOUBLE) >
+        |  (SELECT CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) FROM pc)
+        |ORDER BY o_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -71,7 +71,30 @@ object SurfaceQueries {
       .select(col("key"), col("sum").cast("double").as("sum_qty"), col("n"))
       .orderBy(col("key"))
 
+  /** Typed Dataset API: case-class rows, groupByKey + mapGroups with exact
+    * BigDecimal accumulation — demonstrates the Dataset[T] surface with the
+    * same determinism contract as the Column-API queries. */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (flag, rows) =>
+        var n = 0L
+        var s = java.math.BigDecimal.ZERO
+        rows.foreach { r =>
+          n += 1
+          s = s.add(new java.math.BigDecimal(r._2.toString))
+        }
+        (flag, s.doubleValue, n)
+      }
+      .toDF("key", "sum_qty", "n")
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_agg" -> (typedAgg _),
     "knn_sql" -> (knnSql _),
     "ingest_gate" -> (ingestGate _),
     "stream_windowed" -> (streamWindowed _),
@@ -79,6 +102,11 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "typed_agg" ->
+      """SELECT l_returnflag AS key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "knn_sql" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,
