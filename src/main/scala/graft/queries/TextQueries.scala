@@ -75,7 +75,25 @@ object TextQueries {
         substring(sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Sketch-based corpus profiling — the 100 TB form of X4's stats:
+    * approx_count_distinct is a HyperLogLog++ (fixed-size sketch, one pass,
+    * mergeable across partitions) and percentile_approx a KLL-style
+    * quantile sketch. Approximate ⇒ no SQL oracle (driver rows-only);
+    * TextSketchSpec pins them within tolerance of exact answers. */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"), col("n_chars"))
+    toks.groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("tok"), 0.02).as("approx_vocab"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_stats" -> (sketchStats _),
     "token_count" -> (tokenCount _),
     "lang_stats" -> (langStats _),
     "quality_score" -> (qualityScore _),

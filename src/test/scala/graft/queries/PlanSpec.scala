@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the scale properties documented in
+  * SCALE.md are asserted here, so a refactor that silently turns a
+  * broadcast into a shuffle, drops a pushed filter, or loses
+  * TakeOrderedAndProject fails the suite — not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    // other suites may have cached the fixture tables; a cached scan would
+    // hide the parquet-level pushdown these tests assert on
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("knn_top13: filter pushdown, broadcast query side, top-k without global sort") {
+    val p = planOf("knn_top13")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"), p)
+    assert(p.contains("vec_squared_l2"), p) // codegen kernel, not HOFs
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("q1_agg: partial aggregation and scan-level filter/column pruning") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    // column pruning: o_comment-like unused columns never reach the scan
+    assert(p.contains("ReadSchema: struct<l_quantity"), p)
+  }
+
+  test("q3_join_topk: dimension joins broadcast, no cartesian product") {
+    val p = planOf("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi_anti_join plans as LeftSemi/LeftAnti, not materialized joins") {
+    val p = planOf("semi_anti_join")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("knn_batch_agg: bounded top-k aggregates partially before the shuffle") {
+    val p = planOf("knn_batch_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkaggregator") || p.toLowerCase.contains("partial"), p)
+  }
+
+  test("knn_user_scoped: tenancy filter sits at the scan, below the scorer") {
+    val p = planOf("knn_user_scoped")
+    assert(p.contains("EqualTo(source,src1)"), p)
+  }
+}

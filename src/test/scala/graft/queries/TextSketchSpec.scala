@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class TextSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch stats are within tolerance of exact answers") {
+    val got = TextQueries.sketchStats(spark, sfDir)
+      .select("lang", "approx_vocab", "p50_chars", "p95_chars")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"), col("n_chars"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("vocab"),
+        expr("percentile(n_chars, 0.5)").as("p50"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+
+    assert(got.keySet == exact.keySet)
+    for ((lang, (_, approxVocab, p50, p95)) <- got) {
+      val (_, vocab, exactP50) = exact(lang)
+      val relErr = math.abs(approxVocab - vocab).toDouble / vocab
+      assert(relErr < 0.1, s"$lang: approx vocab $approxVocab vs $vocab")
+      // percentile_approx returns an observed value near the true quantile
+      assert(math.abs(p50 - exactP50) <= exactP50 * 0.25, s"$lang: p50 $p50 vs $exactP50")
+      assert(p95 >= p50)
+    }
+  }
+}
