@@ -62,4 +62,29 @@ object Ivf {
       .limit(k)
       .select(col(idCol), col("cell"), col("dist"))
   }
+
+  /** Persist the index: vectors as parquet partitioned by cell (search-time
+    * cell pruning becomes directory-level partition pruning), centroids as
+    * a small side table. */
+  def write(index: Index, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. Centroids (nlist rows) come to the driver;
+    * vectors stay a lazy partitioned scan. */
+  def read(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    Index(centroids, spark.read.option("basePath", s"$path/vectors").parquet(s"$path/vectors"))
+  }
 }

@@ -76,6 +76,25 @@ class ScaleSpec extends SparkSpec {
     assert(recallAt(16) == 1.0)
   }
 
+  test("persisted IVF index reloads, prunes partitions, and searches identically") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val index = Ivf.build(spark, emb)
+    val dir = tmpDir("ivf").toString + "/index"
+    Ivf.write(index, dir)
+    val reloaded = Ivf.read(spark, dir)
+    assert(reloaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    val mem = Ivf.search(index, q, k = 13, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val disk = Ivf.search(reloaded, q, k = 13, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(disk == mem)
+    // the cell filter must reach the partitioned scan as partition pruning
+    val plan = Ivf.search(reloaded, q, k = 13, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
   test("LSH self-join returns only true sub-threshold pairs (no false positives)") {
     val got = LshJoin.selfJoin(emb, threshold = 1.1).collect()
     assert(got.nonEmpty, "fixture has pairs closer than L2=1.1")
