@@ -92,15 +92,92 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Marker words per language for the lang-id heuristic (shared by the
+    * Spark query and, verbatim, the DuckDB oracle). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** Language identification by stopword-marker profile + CJK character
+    * ratio — the classic cheap n-gram/marker heuristic for corpus routing.
+    * Pure integer scoring with a fixed tie-break order, so the DuckDB
+    * oracle reproduces it exactly. (The fixture corpus is English word
+    * salad under every `lang` label, so predictions are 'en'/'zh' there;
+    * LangIdSpec exercises real sentences per language.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => markers.map(m => w === m).reduce(_ || _)))
+    }
+    val cjk = length(col("text")) - length(regexp_replace(col("text"), "[一-鿿]", ""))
+    // argmax with fixed preference order en > de > es > fr; CJK presence wins
+    val predicted = {
+      val Seq(en, de, es, fr) = scores.map(_._2)
+      when(cjk > 0, "zh")
+        .when(de > en && de >= es && de >= fr, "de")
+        .when(es > en && es > de && es >= fr, "es")
+        .when(fr > en && fr > de && fr > es, "fr")
+        .otherwise("en")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        scores(0)._2.as("s_en"), scores(1)._2.as("s_de"),
+        scores(2)._2.as("s_es"), scores(3)._2.as("s_fr"),
+        cjk.as("n_cjk"), predicted.as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Regex (BPE-ish) tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as a token — the pre-tokenizer shape of
+    * byte-pair encoders, vs the whitespace count in [[tokenCount]]. */
+  def tokenRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_stats" -> (sketchStats _),
+    "lang_id" -> (langId _),
+    "token_regex" -> (tokenRegex _),
     "token_count" -> (tokenCount _),
     "lang_stats" -> (langStats _),
     "quality_score" -> (qualityScore _),
     "fingerprint" -> (fingerprint _)
   )
 
+  private def markerSql(markers: Seq[String]): String =
+    s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
+
   val oracles: Map[String, String] = Map(
+    "lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+         |    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS INT) AS n_cjk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_cjk,
+         |    ${markerSql(LangMarkers(0)._2)} AS s_en,
+         |    ${markerSql(LangMarkers(1)._2)} AS s_de,
+         |    ${markerSql(LangMarkers(2)._2)} AS s_es,
+         |    ${markerSql(LangMarkers(3)._2)} AS s_fr
+         |  FROM t)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, n_cjk,
+         |  CASE WHEN n_cjk > 0 THEN 'zh'
+         |       WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+         |       ELSE 'en' END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
