@@ -140,7 +140,22 @@ object TextQueries {
         size(split(col("text"), " ")).as("n_ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) over the
+    * character stream — the order-sensitive cousin of the SHA fingerprint
+    * (content hashing where streaming/incremental computation matters).
+    * Strict left-to-right integer fold, so the oracle matches exactly. */
+  def rollingFp(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("rfp"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_fp" -> (rollingFp _),
     "sketch_stats" -> (sketchStats _),
     "lang_id" -> (langId _),
     "token_regex" -> (tokenRegex _),
@@ -154,6 +169,12 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rfp
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
