@@ -84,6 +84,53 @@ case class FloatVecSquaredL2(left: Expression, right: Expression) extends FloatV
     copy(left = l, right = r)
 }
 
+/** Cosine similarity in one fused pass: dot, |a|² and |b|² accumulate in a
+  * single loop (the composed dot/norm·norm form traverses both arrays three
+  * times). Arithmetic is ordered exactly like the composed form —
+  * Σab / (√Σa² · √Σb²), each Σ a left-to-right double fold — so results
+  * are bit-identical to it and to the DuckDB oracle. */
+case class FloatVecCosineSim(left: Expression, right: Expression) extends FloatVecFold {
+  override def prettyName: String = "vec_cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; aa += xi * xi; bb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val aa = ctx.freshName("aa"); val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+       """.stripMargin
+    })
+
+  // unused by the overridden eval/codegen, required by the base contract
+  override protected def stepCode(acc: String, x: String, y: String): String = ""
+  override protected def step(acc: Double, x: Float, y: Float): Double = acc
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Σ aᵢ·bᵢ — dot product. */
 case class FloatVecDot(left: Expression, right: Expression) extends FloatVecFold {
   override def prettyName: String = "vec_dot"

@@ -59,9 +59,10 @@ object VectorOps {
   /** L2 norm of one vector. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. NaN-safe for zero vectors is the
-    * caller's concern (fixture vectors are non-zero). */
-  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1] — fused single-pass kernel, bit-identical
+    * to dot/(norm·norm). NaN-safe for zero vectors is the caller's concern
+    * (fixture vectors are non-zero). */
+  def cosineSim(a: Column, b: Column): Column = expr2(a, b, FloatVecCosineSim.apply)
 
   /** Cosine distance = 1 - cosine similarity. */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)

@@ -32,6 +32,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("fused cosine kernel is bit-identical to the composed dot/norm form") {
+    val diff = pairs
+      .select(VectorOps.cosineSim(col("x"), col("y")).as("k"),
+        (VectorOps.dot(col("x"), col("y")) /
+          (VectorOps.norm(col("x")) * VectorOps.norm(col("y")))).as("c"))
+      .filter(col("k") =!= col("c"))
+    assert(diff.count() == 0)
+  }
+
   test("distance invariants: d(x,x)=0, symmetry, cosine self-similarity 1") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val selfD = e.select(VectorOps.squaredL2(col("embedding"), col("embedding")).as("d"))

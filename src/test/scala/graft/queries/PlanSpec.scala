@@ -58,4 +58,8 @@ class PlanSpec extends SparkSpec {
     val p = planOf("knn_user_scoped")
     assert(p.contains("EqualTo(source,src1)"), p)
   }
+
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
