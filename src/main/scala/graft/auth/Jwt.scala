@@ -35,13 +35,24 @@ object Jwt {
 
   private def enc(s: String): String = b64e.encodeToString(s.getBytes(StandardCharsets.UTF_8))
 
+  /** JSON string escape for claim values: quote, backslash, and all
+    * control chars — an email may legally contain quotes ("a\"b"@x.com),
+    * and silently stripping them would rebind the token to a different
+    * identity (email is the engine's tenancy key). */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Issue a token for `email` valid until `nowSeconds + ttl`. */
   def issue(email: String, secret: String, nowSeconds: Long,
       ttlSeconds: Long = DefaultTtlSeconds): String = {
     val header = enc("""{"alg":"HS256","typ":"JWT"}""")
     // deterministic, minimal claim set (email, exp) — jwt_request.py reads
     // payload["email"]; expiry is standard `exp`
-    val payload = enc(s"""{"email":"${email.replace("\"", "")}","exp":${nowSeconds + ttlSeconds}}""")
+    val payload = enc(s"""{"email":"${jsonEscape(email)}","exp":${nowSeconds + ttlSeconds}}""")
     val signature = b64e.encodeToString(hmac(secret, s"$header.$payload"))
     s"$header.$payload.$signature"
   }
@@ -72,9 +83,34 @@ object Jwt {
     java.security.MessageDigest.isEqual(
       a.getBytes(StandardCharsets.US_ASCII), b.getBytes(StandardCharsets.US_ASCII))
 
+  /** Minimal JSON string-value extractor for the two flat claims this
+    * token carries: tolerates backslash escapes inside the value (so an
+    * issued token with an escaped-quote email round-trips) and decodes
+    * the escapes jsonEscape produces. */
   private def extract(json: String, key: String): Option[String] =
-    s""""$key"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json).flatMap { m =>
+      val raw = m.group(1)
+      // malformed escapes (e.g. \uZZZZ from a co-signer) → None → Invalid
+      scala.util.Try {
+        val sb = new StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\' && i + 1 < raw.length) {
+            raw.charAt(i + 1) match {
+              case 'u' if i + 5 < raw.length =>
+                sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
+              case e => sb.append(e); i += 2
+            }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }.toOption
+    }
 
   private def extractLong(json: String, key: String): Option[Long] =
-    s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    s""""$key"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+      // an exp beyond Long.MaxValue in a validly-signed token must surface
+      // as Invalid (the Either error channel), not a NumberFormatException
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
 }

@@ -79,6 +79,10 @@ object IngestPipeline {
     *               None on first load (the reference's `vector_db is None`
     *               branch at :140)
     * @param chunker chunk splitter (reference config 1000/200)
+    * @param cacheParsed cache the parse stage (both outputs consume it);
+    *                    pass false when only ONE of chunks/outcomes will be
+    *                    read exactly once — no cache to leak, no release()
+    *                    obligation
     * @return (chunks ready to append, per-file outcome report)
     */
   def ingest(
@@ -87,7 +91,8 @@ object IngestPipeline {
       store: Option[DataFrame],
       chunker: Chunker = Chunker.reference,
       parsers: Map[String, Parser] = defaultParsers,
-      embedDim: Int = Embedder.DefaultDim): IngestBatch = {
+      embedDim: Int = Embedder.DefaultDim,
+      cacheParsed: Boolean = true): IngestBatch = {
     import spark.implicits._
 
     val ch = chunker
@@ -145,15 +150,15 @@ object IngestPipeline {
           .when(col("is_dup"), Status.Duplicate)
           .otherwise(Status.Ok))
       .drop("content")
-      .cache()
+    val parsedMaybeCached = if (cacheParsed) parsed.cache() else parsed
 
-    val outcomes = parsed.select(
+    val outcomes = parsedMaybeCached.select(
       col("path"), col("source"), col("user"), col("type"), col("file_hash"),
       col("status"), col("parsed.err").as("reason"),
       coalesce(size(col("parsed.docs")), lit(0)).as("n_chunks"))
 
     val dim = embedDim
-    val chunkRows = parsed
+    val chunkRows = parsedMaybeCached
       .filter(col("status") === Status.Ok)
       .select(col("source"), col("user"), col("type"), col("file_hash"),
         posexplode(col("parsed.docs")).as(Seq("chunk_seq", "text")))
@@ -173,7 +178,7 @@ object IngestPipeline {
       }
       .toDF()
 
-    IngestBatch(chunkRows, outcomes, parsed)
+    IngestBatch(chunkRows, outcomes, parsedMaybeCached)
   }
 }
 
@@ -188,10 +193,11 @@ case class ChunkRow(chunk_id: Long, source: String, user: String, `type`: String
     file_hash: String, chunk_seq: Int, text: String, embedding: Array[Float])
 
 /** Result of one ingest pass: appendable chunk rows + per-file outcomes.
-  * The parse stage is cached (both outputs consume it); call [[release]]
-  * once chunks/outcomes have been materialized — repeated ingest passes
-  * (e.g. streaming micro-batches) would otherwise accumulate cached
-  * partitions on the executors. */
+  * When the parse stage is cached (`cacheParsed = true`, the default —
+  * both outputs consume it), call [[release]] once chunks/outcomes have
+  * been materialized — repeated ingest passes (e.g. streaming
+  * micro-batches) would otherwise accumulate cached partitions on the
+  * executors. With `cacheParsed = false`, release() is a harmless no-op. */
 case class IngestBatch(chunks: DataFrame, outcomes: DataFrame,
     private val parsed: DataFrame) {
   def release(): Unit = { parsed.unpersist(); () }

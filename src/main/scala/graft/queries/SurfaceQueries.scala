@@ -47,7 +47,9 @@ object SurfaceQueries {
           lit("."), ext).as("path"),
         concat(lit("u"), (col("doc_id") % 3).cast("string")).as("user"),
         content.cast("binary").as("content"))
-    IngestPipeline.ingest(spark, files, None)
+    // cacheParsed=false: only `outcomes` is consumed, exactly once — a
+    // cached parse stage would leak until the harness's clearCache()
+    IngestPipeline.ingest(spark, files, None, cacheParsed = false)
       .outcomes
       .select(col("path"), col("source"), col("user"), col("type"), col("status"))
       .orderBy(col("path"))

@@ -27,12 +27,16 @@ object Ivf {
   /** Fit centroids and assign every vector to its nearest cell. */
   def build(spark: SparkSession, emb: DataFrame, nlist: Int = 16, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding", maxIter: Int = 10): Index = {
-    // cache: KMeans iterates over the features RDD once per iteration
-    val withVec = emb.withColumn("features", array_to_vector(col(vecCol))).cache()
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(withVec)
+    // cache only for the duration of the fit (KMeans iterates over the
+    // features RDD once per iteration), then unpersist — the assignment
+    // pass below recomputes the cheap array→vector map instead of pinning
+    // the features frame on the executors for the index's lifetime
+    val fitInput = emb.withColumn("features", array_to_vector(col(vecCol))).cache()
+    val model = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(fitInput)
+      finally fitInput.unpersist()
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // assignment via the model (broadcast centroids, map-only)
-    val assigned = model.transform(withVec)
+    val assigned = model.transform(emb.withColumn("features", array_to_vector(col(vecCol))))
       .withColumnRenamed("prediction", "cell")
       .drop("features")
       // cluster the layout by cell: at scale this is write.partitionBy(cell)

@@ -42,6 +42,9 @@ object NearDup {
   /** LSH banding: explode each signature into (band_idx, band_hash) keys;
     * docs sharing any band key are candidate pairs. */
   def bandedCandidates(sig: DataFrame, k: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be divisible by bands ($bands): integer-division row " +
+        "width would silently drop the trailing k % bands minhash columns")
     val rows = k / bands
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))

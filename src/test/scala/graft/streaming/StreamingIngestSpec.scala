@@ -43,4 +43,30 @@ class StreamingIngestSpec extends SparkSpec {
     // tenancy survives the streaming path
     assert(ChunkStore.userScoped(loaded, "b@y.com").count() == 1)
   }
+
+  test("a partially-appended file is healed on replay, not dropped as a duplicate") {
+    import graft.ingest.IngestPipeline
+    val landing = tmpDir("heal-landing").toString
+    val store = tmpDir("heal-store").toString + "/chunks"
+    val ck = tmpDir("heal-ck").toString
+    val text = (1 to 600).map(i => s"word$i").mkString(" ") // several chunks
+
+    // simulate a crash mid-append: only chunk_seq=0 of the file made it in
+    val files = Seq(("/up/big.txt", "a@x.com", text.getBytes(StandardCharsets.UTF_8)))
+      .toDF("path", "user", "content")
+    val full = IngestPipeline.ingest(spark, files, None, cacheParsed = false).chunks
+    val total = full.count()
+    assert(total > 1)
+    ChunkStore.append(full.filter($"chunk_seq" === 0), store)
+    assert(ChunkStore.count(spark, store) == 1)
+
+    // the stream now delivers the same upload (replay after the crash)
+    uploadBatch(landing, ("/up/big.txt", "a@x.com", text))
+    StreamingIngest.start(spark, landing, store, ck).awaitTermination()
+
+    // every missing chunk was appended exactly once
+    val loaded = ChunkStore.load(spark, store)
+    assert(loaded.count() == total)
+    assert(loaded.select("chunk_id").distinct().count() == total)
+  }
 }
