@@ -32,7 +32,12 @@ object Ivf {
     // pass below recomputes the cheap array→vector map instead of pinning
     // the features frame on the executors for the index's lifetime
     val fitInput = emb.withColumn("features", array_to_vector(col(vecCol))).cache()
-    val model = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(fitInput)
+    // random init, not k-means||: the parallel init runs ~5 extra passes
+    // over the data to seed centroids, which an IVF coarse quantizer does
+    // not need — Lloyd iterations from a seeded random start converge to an
+    // equally good cell layout (recall is enforced by ScaleSpec either way)
+    val model = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").fit(fitInput)
       finally fitInput.unpersist()
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // assignment via the model (broadcast centroids, map-only)
