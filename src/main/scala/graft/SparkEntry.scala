@@ -31,7 +31,9 @@ object SparkEntry {
       (ChunkQueries.queries, ChunkQueries.oracles),
       (RagQueries.queries, RagQueries.oracles),
       (ScaleQueries.queries, ScaleQueries.oracles),
-      (SurfaceQueries.queries, SurfaceQueries.oracles)
+      (SurfaceQueries.queries, SurfaceQueries.oracles),
+      (JoinQueries.queries, JoinQueries.oracles),
+      (FuncQueries.queries, FuncQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

