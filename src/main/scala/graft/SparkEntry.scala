@@ -33,7 +33,8 @@ object SparkEntry {
       (ScaleQueries.queries, ScaleQueries.oracles),
       (SurfaceQueries.queries, SurfaceQueries.oracles),
       (JoinQueries.queries, JoinQueries.oracles),
-      (FuncQueries.queries, FuncQueries.oracles)
+      (FuncQueries.queries, FuncQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

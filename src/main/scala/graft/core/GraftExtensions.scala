@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the supported way to ship the
+  * graft kernels into ANY session at build time, including sessions the
+  * engine does not construct itself (e.g. a shared cluster session started
+  * with `--conf spark.sql.extensions=graft.core.GraftExtensions`):
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.core.GraftExtensions")
+  *     ...
+  *
+  * The same builders back [[GraftFunctions.register]], which remains for
+  * after-the-fact registration into an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+  /** Fully-qualified name for `spark.sql.extensions`. */
+  val Name: String = classOf[GraftExtensions].getName
+}

@@ -1,20 +1,30 @@
 package graft.core
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL registration of the graft kernels, so the engine's surface is
   * reachable from `spark.sql(...)` as well as the Column API:
   *
   *   SELECT vec_squared_l2(a.embedding, b.embedding) FROM ...
   *
-  * Idempotent; call once per session (QueryModules call it defensively).
+  * Two bindings, one builder table: [[GraftExtensions]] injects these at
+  * session build (`spark.sql.extensions`); `register` adds them to an
+  * already-built session. Idempotent; QueryModules call it defensively.
   */
 object GraftFunctions {
+
+  /** name → expression builder for every SQL-exposed kernel. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_squared_l2" -> (exprs => FloatVecSquaredL2(exprs.head, exprs(1))),
+    "vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
+    "vec_cosine_sim" -> (exprs => FloatVecCosineSim(exprs.head, exprs(1)))
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "vec_squared_l2", exprs => FloatVecSquaredL2(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data-pipeline operators beyond dedup/similarity (north star:
+  * "the operations a large-scale training-data pipeline would need"):
+  * reproducible hash-based dataset splits and TF-IDF term scoring. Both
+  * exact and oracle-checked.
+  */
+object PipelineQueries {
+
+  /** Deterministic train/val/test split: the split of a document is a pure
+    * function of its id (first two hex chars of a salted md5), so any
+    * worker on any cluster at any time assigns identically — the property
+    * a 100 TB pipeline needs to keep splits stable across reruns and
+    * engine versions (no RNG, no sampleBy). Reported stratified by
+    * language: split skew per stratum is what a training pipeline
+    * monitors. ~10% test, ~10% val by hex-range width. */
+  def deterministicSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** TF-IDF top-3 terms per document (bounded to doc_id < 200). The idf is
+    * the rational (N+1)/(df+1) — no transcendental functions, so the
+    * score's IEEE op chain (mul, div, mul) is bit-identical across
+    * engines; ranking uses the e4 fixed-point score with a term
+    * tie-break. Shape at scale: one shuffle for per-(doc, term) counts,
+    * one for document frequencies (term-keyed, partial-aggregated), a
+    * broadcast of the scalar N, and a per-doc window for top-k. */
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_e4",
+        round(col("tf").cast("double") * (col("n_docs") + lit(1)) / (col("df") + lit(1)) * 10000)
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e4").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_e4"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "deterministic_split" -> (deterministicSplit _),
+    "tfidf_topterms" -> (tfidfTopterms _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "deterministic_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(round(CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfreq.df + 1) * 10000) AS BIGINT) AS score_e4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score_e4,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score_e4 FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  )
+}

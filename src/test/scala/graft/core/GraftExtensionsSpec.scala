@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+
+/** The extensions path must make every kernel SQL-callable in a session
+  * built with `spark.sql.extensions=graft.core.GraftExtensions`, with NO
+  * call to GraftFunctions.register. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("a session built with the extensions applied resolves the kernels in SQL") {
+    spark.sparkContext // force the shared context up first
+    // Build a sibling session over the same context with the extensions
+    // class applied. (`spark.sql.extensions` is a STATIC conf read at
+    // SparkContext creation, so the string-config route cannot be
+    // exercised against a shared test context — `withExtensions` drives
+    // the same GraftExtensions.apply the config route would.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extended = try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    try {
+      val row = extended.sql(
+        """SELECT
+          |  vec_squared_l2(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS d,
+          |  vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |          array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dp,
+          |  vec_cosine_sim(array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 5.0)
+      assert(row.getDouble(1) == 4.0)
+      assert(row.getDouble(2) == 1.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("register() binds the same builders into an existing session") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(d == 1.0)
+  }
+}
