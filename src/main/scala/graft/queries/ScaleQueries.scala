@@ -56,12 +56,31 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal frame sampling as a declared query: the real
+    * Multimodal.sampleFrames generator (1 asset → N fixed-stride frames,
+    * the shape of video frame extraction) over deterministic payloads
+    * fabricated from document text. Exact and oracle-checked — the
+    * fixture text is pure ASCII, so byte offsets equal char offsets and
+    * DuckDB reproduces every frame hash with substring + sha256. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("asset_id"), lit("video").as("modality"),
+        col("source").as("name"), col("text").cast("binary").as("content"))
+      .as[Multimodal.Asset]
+    Multimodal.sampleFrames(assets, frameLen = 64, stride = 100)
+      .select(col("asset_id"), col("frame_idx"), col("byte_offset"), col("frame_len"),
+        substring(col("frame_hash"), 1, 16).as("frame_fp"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_neardup" -> (minhashNeardup _),
     "simhash_neardup" -> (simhashNeardup _),
     "ivf_topk" -> (ivfTopk _),
     "lsh_join" -> (lshJoin _),
-    "multimodal_meta" -> (multimodalMeta _)
+    "multimodal_meta" -> (multimodalMeta _),
+    "frame_sample" -> (frameSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +91,17 @@ object ScaleQueries {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, (length(text) - 1) // 100),
+        |    i -> struct_pack(frame_idx := i, byte_offset := i * 100,
+        |                     frame := substring(text, i * 100 + 1, 64)))) AS s
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS asset_id, CAST(s.frame_idx AS INT) AS frame_idx,
+        |  CAST(s.byte_offset AS BIGINT) AS byte_offset,
+        |  CAST(length(s.frame) AS BIGINT) AS frame_len,
+        |  substring(sha256(s.frame), 1, 16) AS frame_fp
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin
   )
 }
