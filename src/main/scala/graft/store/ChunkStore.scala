@@ -50,6 +50,54 @@ object ChunkStore {
   def userScoped(store: DataFrame, user: String): DataFrame =
     store.filter(col("user") === user)
 
+  /** Compact the store's data files: every micro-batch append writes at
+    * least one file per touched (user, source) partition, so a streaming
+    * ingest accumulates small files until scan planning and footer reads
+    * dominate — the classic 100 TB small-file problem. Rewrites the store
+    * into at most `filesPerPartition` files per partition directory via a
+    * staged overwrite (write to `<path>.compacting`, swap directories),
+    * so a crash mid-compact leaves the original store intact. Returns the
+    * row count (unchanged by compaction; callers can assert on it).
+    *
+    * At real scale this runs per-partition (compact only directories whose
+    * file count exceeds a threshold) under a table-format transaction; the
+    * staged-swap here is the single-writer equivalent. */
+  def compact(spark: SparkSession, path: String, filesPerPartition: Int = 1): Long = {
+    if (isEmpty(spark, path)) return 0L
+    val store = load(spark, path)
+    val n = store.count()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".compacting")
+    val backup = new Path(path + ".precompact")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // shuffle on (partition cols, bounded salt): a directory's rows land in
+    // at most `filesPerPartition` distinct shuffle keys → at most that many
+    // tasks → at most that many files per (user, source) directory
+    store
+      .repartition(col("user"), col("source"),
+        pmod(xxhash64(col("chunk_id")), lit(filesPerPartition.toLong)))
+      .write.mode("overwrite").partitionBy("user", "source").parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(new Path(path), backup))
+      throw new java.io.IOException(s"compact: could not stage out $path")
+    if (!fs.rename(staging, new Path(path))) {
+      fs.rename(backup, new Path(path)) // roll back
+      throw new java.io.IOException(s"compact: could not swap in $staging")
+    }
+    fs.delete(backup, true)
+    n
+  }
+
+  /** Number of parquet data files currently backing the store. */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    if (isEmpty(spark, path)) return 0L
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(path), true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
   /** Delete every chunk of `source` (lowercased filename) owned by `user` —
     * the reference's delete-by-filename (multiple_document_upload.py:178-200)
     * as a partition drop, tenant-scoped: the reference's delete is global

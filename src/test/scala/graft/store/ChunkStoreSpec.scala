@@ -47,6 +47,36 @@ class ChunkStoreSpec extends SparkSpec {
     assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "missing.txt") == 0L)
   }
 
+  test("compact rewrites many small appends into one file per partition, same rows") {
+    val dir = tmpDir("store").toString + "/chunks"
+    // simulate a streaming ingest: many tiny appends to the same partitions
+    val batches = (1 to 6).map { i =>
+      ingestOne(s"/up/f$i.txt", if (i % 2 == 0) "a@x.com" else "b@y.com",
+        (1 to 150).map(j => s"w${i}_$j").mkString(" "))
+    }
+    batches.foreach(b => ChunkStore.append(b.chunks, dir))
+    val total = ChunkStore.count(spark, dir)
+    val filesBefore = ChunkStore.dataFileCount(spark, dir)
+    assert(filesBefore >= 6, s"expected one file per append, saw $filesBefore")
+
+    assert(ChunkStore.compact(spark, dir) == total)
+
+    // 6 distinct (user, source) partitions → exactly 6 files at 1/partition
+    assert(ChunkStore.dataFileCount(spark, dir) == 6L)
+    assert(ChunkStore.count(spark, dir) == total)
+    // content identical, not just counts
+    val ids = ChunkStore.load(spark, dir).select("chunk_id").as[Long].collect().sorted.toSeq
+    val want = batches.flatMap(_.chunks.select("chunk_id").as[Long].collect()).sorted
+    assert(ids == want)
+    // store stays functional: tenancy scoping and delete still work
+    assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "f2.txt") > 0)
+  }
+
+  test("compact on an empty/missing store is a no-op") {
+    val dir = tmpDir("store").toString + "/chunks"
+    assert(ChunkStore.compact(spark, dir) == 0L)
+  }
+
   test("deleteBySource handles sources needing Hive partition escaping") {
     val dir = tmpDir("store").toString + "/chunks"
     val b = ingestOne("/up/100%done.txt", "a@x.com", "tricky partition name")

@@ -63,6 +63,29 @@ class StreamsSpec extends SparkSpec {
     assert(got == batchTruth)
   }
 
+  test("watermark drops late events: a row older than the watermark never updates its window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streams.windowedCounts(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("update").format("memory").queryName("late_out").start()
+    try {
+      // batch 1: one event in the 01:00 window, one far ahead at 05:10 —
+      // after this batch the watermark advances to 03:10 (max ts - 2h)
+      input.addData((ts("01:10"), "click", 1.0), (ts("05:10"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late arrival in the already-closed 01:00 window
+      input.addData((ts("01:20"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0100 = spark.table("late_out")
+      .filter(col("window_start") === ts("01:00"))
+      .select("n").as[Long].collect().toSeq
+    // the 01:00 window was updated exactly once, with n=1; the late event
+    // produced no second update (it would appear as n=2)
+    assert(w0100 == Seq(1L), s"late event leaked into closed window: $w0100")
+  }
+
   test("append sink writes streaming records to parquet") {
     val srcDir = tmpDir("chat-src").toString
     val outDir = tmpDir("chat-out").toString + "/data"
