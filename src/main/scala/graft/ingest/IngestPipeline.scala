@@ -26,11 +26,14 @@ object IngestPipeline {
   val AllowedExts: Set[String] =
     Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
 
-  /** Text-bearing formats parsed natively; office/pdf binaries go through
-    * the same seam but their decoders are not available in this build (the
-    * reference delegates them to pypdf/unstructured) — they reject with
-    * `parse_error`, and tests inject a fake decoder through `parsers`. */
+  /** Formats parsed natively in this build: plain text family plus the
+    * OOXML office formats (ZIP+XML, pure-JDK parsers — OfficeParsers).
+    * pdf and the legacy OLE2 binaries (doc/xls/ppt) go through the same
+    * seam but have no decoder here (the reference delegates them to
+    * pypdf/unstructured) — they reject with `parse_error`, and tests
+    * inject a fake decoder through `parsers`. */
   val TextExts: Set[String] = Set("txt", "md", "csv", "html", "htm")
+  val OfficeExts: Set[String] = Set("docx", "xlsx", "pptx")
 
   /** Reject/accept status values, mirroring multiple_document_upload.py:80-149. */
   object Status {
@@ -67,7 +70,9 @@ object IngestPipeline {
     val unavailable: Parser = _ => Left("decoder not available in this build")
     Map(
       "txt" -> asText, "md" -> asText, "csv" -> asCsv,
-      "html" -> asHtml, "htm" -> asHtml
+      "html" -> asHtml, "htm" -> asHtml,
+      "docx" -> OfficeParsers.docx, "xlsx" -> OfficeParsers.xlsx,
+      "pptx" -> OfficeParsers.pptx
     ).withDefaultValue(unavailable)
   }
 

@@ -32,6 +32,23 @@ class IngestPipelineSpec extends SparkSpec {
     assert(batch.chunks.select("chunk_id").distinct().count() == chunks.length)
   }
 
+  test("a real .docx flows end-to-end through the default parsers") {
+    // minimal but structurally faithful OOXML archive
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      "<w:body><w:p><w:r><w:t>quarterly revenue review</w:t></w:r></w:p></w:body></w:document>")
+      .getBytes(StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    val batch = IngestPipeline.ingest(spark,
+      Seq(("/up/Report.DOCX", "a@x.com", bos.toByteArray)).toDF("path", "user", "content"), None)
+    assert(statusOf(batch) == Map("/up/Report.DOCX" -> "ok"))
+    val row = batch.chunks.as[ChunkRow].head()
+    assert(row.`type` == "docx" && row.source == "report.docx")
+    assert(row.text == "quarterly revenue review")
+  }
+
   test("unsupported extension is rejected") {
     val batch = IngestPipeline.ingest(spark, files(("/up/archive.zip", "a@x.com", "data")), None)
     assert(statusOf(batch)("/up/archive.zip") == "unsupported_type")
