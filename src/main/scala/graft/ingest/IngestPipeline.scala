@@ -26,12 +26,12 @@ object IngestPipeline {
   val AllowedExts: Set[String] =
     Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
 
-  /** Formats parsed natively in this build: plain text family plus the
-    * OOXML office formats (ZIP+XML, pure-JDK parsers — OfficeParsers).
-    * pdf and the legacy OLE2 binaries (doc/xls/ppt) go through the same
-    * seam but have no decoder here (the reference delegates them to
-    * pypdf/unstructured) — they reject with `parse_error`, and tests
-    * inject a fake decoder through `parsers`. */
+  /** Formats parsed natively in this build: plain text family, the OOXML
+    * office formats (ZIP+XML, pure-JDK parsers — OfficeParsers), and a
+    * best-effort PDF subset (Flate/plain content streams — PdfParser).
+    * Only the legacy OLE2 binaries (doc/xls/ppt) have no decoder here
+    * (the reference delegates them to unstructured) — they reject with
+    * `parse_error`, and tests inject a fake decoder through `parsers`. */
   val TextExts: Set[String] = Set("txt", "md", "csv", "html", "htm")
   val OfficeExts: Set[String] = Set("docx", "xlsx", "pptx")
 
@@ -72,7 +72,8 @@ object IngestPipeline {
       "txt" -> asText, "md" -> asText, "csv" -> asCsv,
       "html" -> asHtml, "htm" -> asHtml,
       "docx" -> OfficeParsers.docx, "xlsx" -> OfficeParsers.xlsx,
-      "pptx" -> OfficeParsers.pptx
+      "pptx" -> OfficeParsers.pptx,
+      "pdf" -> PdfParser.pdf
     ).withDefaultValue(unavailable)
   }
 
