@@ -1,0 +1,149 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.auth.Jwt
+import graft.core.{FloatVecCosineSim, FloatVecDot, FloatVecSquaredL2}
+import graft.ingest.Chunker
+
+/** Property tests (SURVEY.md §5): chunker invariants, distance-kernel
+  * algebra against a straight-line reference fold, and JWT round-trips.
+  * Kernel properties evaluate the interpreted `eval` path on literal
+  * arrays (the codegen path is pinned separately in VectorOpsSpec/PlanSpec
+  * — both must match the same reference fold). */
+object ChunkerProps extends Properties("Chunker") {
+
+  private val word = Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+  private val sep = Gen.frequency(8 -> " ", 2 -> "\n", 1 -> "\n\n")
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 120)
+    ws <- Gen.listOfN(n, word)
+    ss <- Gen.listOfN(n, sep)
+  } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+
+  private val configGen: Gen[(Int, Int)] = for {
+    size <- Gen.chooseNum(10, 200)
+    overlap <- Gen.chooseNum(0, size - 1)
+  } yield (size, overlap)
+
+  private def isSubsequence(needle: String, hay: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < needle.length && j < hay.length) {
+      if (needle.charAt(i) == hay.charAt(j)) i += 1
+      j += 1
+    }
+    i == needle.length
+  }
+
+  property("chunks respect the size bound") = forAll(textGen, configGen) { (t, cfg) =>
+    val (size, overlap) = cfg
+    new Chunker(size, overlap).split(t).forall(_.length <= size)
+  }
+
+  property("every chunk is a contiguous substring of the source") =
+    forAll(textGen, configGen) { (t, cfg) =>
+      val (size, overlap) = cfg
+      new Chunker(size, overlap).split(t).forall(c => t.contains(c))
+    }
+
+  property("chunks advance monotonically through the source") =
+    forAll(textGen, configGen) { (t, cfg) =>
+      val (size, overlap) = cfg
+      val chunks = new Chunker(size, overlap).split(t)
+      val starts = chunks.foldLeft((List.empty[Int], 0)) { case ((acc, from), c) =>
+        val i = t.indexOf(c, from)
+        if (i < 0) (acc :+ -1, from) else (acc :+ i, i)
+      }._1
+      starts.forall(_ >= 0) && starts == starts.sorted
+    }
+
+  property("no non-whitespace content is lost (subsequence modulo overlap dup)") =
+    forAll(textGen, configGen) { (t, cfg) =>
+      val (size, overlap) = cfg
+      val chunks = new Chunker(size, overlap).split(t)
+      val noWs = t.filterNot(_.isWhitespace)
+      isSubsequence(noWs, chunks.mkString.filterNot(_.isWhitespace))
+    }
+
+  property("no empty or untrimmed chunks") = forAll(textGen, configGen) { (t, cfg) =>
+    val (size, overlap) = cfg
+    new Chunker(size, overlap).split(t).forall(c => c.nonEmpty && c.trim == c)
+  }
+}
+
+object KernelProps extends Properties("VectorKernels") {
+
+  private val vecPair: Gen[(Array[Float], Array[Float])] = for {
+    n <- Gen.chooseNum(1, 96)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+  } yield (a.toArray, b.toArray)
+
+  private def ev(mk: (Expression, Expression) => Expression,
+      a: Array[Float], b: Array[Float]): Double =
+    mk(Literal.create(a, ArrayType(FloatType, containsNull = false)),
+      Literal.create(b, ArrayType(FloatType, containsNull = false)))
+      .eval(null).asInstanceOf[Double]
+
+  // the numeric contract: strict left-to-right double fold
+  private def refL2(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      val d = x.toDouble - y.toDouble; acc + d * d
+    }
+  private def refDot(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+
+  property("squaredL2 equals the reference fold bit-for-bit") = forAll(vecPair) {
+    case (a, b) =>
+      java.lang.Double.doubleToLongBits(ev(FloatVecSquaredL2.apply, a, b)) ==
+        java.lang.Double.doubleToLongBits(refL2(a, b))
+  }
+
+  property("dot equals the reference fold bit-for-bit") = forAll(vecPair) {
+    case (a, b) =>
+      java.lang.Double.doubleToLongBits(ev(FloatVecDot.apply, a, b)) ==
+        java.lang.Double.doubleToLongBits(refDot(a, b))
+  }
+
+  property("d(x,x) = 0 and symmetry is exact") = forAll(vecPair) { case (a, b) =>
+    ev(FloatVecSquaredL2.apply, a, a) == 0.0 &&
+      ev(FloatVecSquaredL2.apply, a, b) == ev(FloatVecSquaredL2.apply, b, a) &&
+      ev(FloatVecDot.apply, a, b) == ev(FloatVecDot.apply, b, a)
+  }
+
+  property("cosineSim(x,x) ~ 1 for non-zero x; range [-1,1] with slack") =
+    forAll(vecPair) { case (a, b) =>
+      val nonZero = a.exists(_ != 0f) && b.exists(_ != 0f)
+      !nonZero || {
+        val self = ev(FloatVecCosineSim.apply, a, a)
+        val cross = ev(FloatVecCosineSim.apply, a, b)
+        math.abs(self - 1.0) < 1e-9 && cross >= -1.0 - 1e-9 && cross <= 1.0 + 1e-9
+      }
+    }
+}
+
+object JwtProps extends Properties("Jwt") {
+
+  private val emailGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 40)
+    s <- Gen.stringOfN(n, Gen.asciiPrintableChar)
+  } yield s
+
+  property("issue/verify round-trips any printable-ASCII identity") =
+    forAll(emailGen, Gen.chooseNum(0L, 4102444800L)) { (email, now) =>
+      Jwt.verify(Jwt.issue(email, "s3cret", now), "s3cret", now + 1) == Right(email)
+    }
+
+  property("any tampered payload byte invalidates the token") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { email =>
+      val t = Jwt.issue(email, "s3cret", 1000L)
+      val parts = t.split('.')
+      val forged = java.util.Base64.getUrlEncoder.withoutPadding().encodeToString(
+        s"""{"email":"${email}x","exp":2000}""".getBytes)
+      Jwt.verify(s"${parts(0)}.$forged.${parts(2)}", "s3cret", 1001L) == Left(Jwt.Invalid)
+    }
+}
