@@ -71,6 +71,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact-dedup — the streaming twin of the ingest file-hash
+    * gate: keeps the first event per key, with state bounded by the
+    * watermark (dropDuplicatesWithinWatermark evicts keys once they age
+    * past it, so state does not grow with the stream; the batch twin is a
+    * plain dropDuplicates). Works on any streaming or batch frame. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (wm.isStreaming) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
   /** Streaming parquet source over an events-shaped directory. */
   def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)

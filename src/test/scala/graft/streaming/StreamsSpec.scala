@@ -86,6 +86,30 @@ class StreamsSpec extends SparkSpec {
     assert(w0100 == Seq(1L), s"late event leaked into closed window: $w0100")
   }
 
+  test("streaming dedup keeps first per key across micro-batches, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id", "event_type"), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((ts("01:00"), 1L, "click"), (ts("01:01"), 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: a replay of id 1 (duplicate) + a new id
+      input.addData((ts("01:02"), 1L, "click"), (ts("01:03"), 3L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // batch path: same transformation, plain dropDuplicates
+    val batchIds = Streams.dedupWithinWatermark(
+      Seq((ts("01:00"), 1L, "a"), (ts("01:05"), 1L, "a"), (ts("01:06"), 2L, "b"))
+        .toDF("ts", "event_id", "event_type"), Seq("event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(batchIds == Seq(1L, 2L))
+  }
+
   test("append sink writes streaming records to parquet") {
     val srcDir = tmpDir("chat-src").toString
     val outDir = tmpDir("chat-out").toString + "/data"
