@@ -26,14 +26,13 @@ object IngestPipeline {
   val AllowedExts: Set[String] =
     Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
 
-  /** Formats parsed natively in this build: plain text family, the OOXML
-    * office formats (ZIP+XML, pure-JDK parsers — OfficeParsers), and a
-    * best-effort PDF subset (Flate/plain content streams — PdfParser).
-    * Only the legacy OLE2 binaries (doc/xls/ppt) have no decoder here
-    * (the reference delegates them to unstructured) — they reject with
-    * `parse_error`, and tests inject a fake decoder through `parsers`. */
-  val TextExts: Set[String] = Set("txt", "md", "csv", "html", "htm")
-  val OfficeExts: Set[String] = Set("docx", "xlsx", "pptx")
+  // Formats parsed natively in this build (the defaultParsers key set is
+  // the authority): plain text family, the OOXML office formats (ZIP+XML,
+  // pure-JDK parsers — OfficeParsers), and a best-effort PDF subset
+  // (Flate/plain content streams — PdfParser). Only the legacy OLE2
+  // binaries (doc/xls/ppt) have no decoder here (the reference delegates
+  // them to unstructured) — they reject with `parse_error`, and tests
+  // inject a fake decoder through `parsers`.
 
   /** Reject/accept status values, mirroring multiple_document_upload.py:80-149. */
   object Status {

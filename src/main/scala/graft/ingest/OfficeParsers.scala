@@ -142,8 +142,11 @@ object OfficeParsers {
       Right(out.toSeq)
     } catch { case ex: Exception => Left(s"xml error: ${ex.getMessage}") }
 
-  /** One line per <row>, cells space-joined; t="s" cells resolve through
-    * the shared-string table. */
+  /** One line per <row>, cells space-joined. Cell value forms: t="s"
+    * resolves <v> through the shared-string table, t="inlineStr" takes
+    * the <is><t>…</t></is> runs directly (writers like openpyxl's
+    * write-only mode emit no shared-string table at all), every other
+    * type passes its <v> text through. */
   private def sheetText(xml: Array[Byte], shared: IndexedSeq[String]): Either[String, String] =
     try {
       val f = javax.xml.stream.XMLInputFactory.newInstance()
@@ -154,17 +157,24 @@ object OfficeParsers {
       val cells = mutable.ArrayBuffer.empty[String]
       val v = new StringBuilder
       var cellIsShared = false
+      var cellIsInline = false
       var inV = false
+      var inInlineT = false
       while (r.hasNext) {
         r.next() match {
           case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "row" => cells.clear()
-              case "c" => cellIsShared = r.getAttributeValue(null, "t") == "s"
+              case "c" =>
+                val t = r.getAttributeValue(null, "t")
+                cellIsShared = t == "s"
+                cellIsInline = t == "inlineStr"
+                v.clear()
               case "v" => inV = true; v.clear()
+              case "t" if cellIsInline => inInlineT = true
               case _ => ()
             }
-          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inInlineT =>
             v.append(r.getText)
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
@@ -174,6 +184,10 @@ object OfficeParsers {
                 cells += (if (cellIsShared)
                   raw.toIntOption.flatMap(shared.lift).getOrElse(raw)
                 else raw)
+              case "t" => inInlineT = false
+              case "c" if cellIsInline =>
+                cells += v.toString
+                cellIsInline = false
               case "row" => if (cells.nonEmpty) rows += cells.mkString(" ")
               case _ => ()
             }

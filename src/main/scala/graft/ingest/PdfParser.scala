@@ -79,13 +79,18 @@ object PdfParser {
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      // loop until the deflate stream's final block is seen: a truncated
+      // stream ends with inflate()==0 and needsInput/needsDictionary while
+      // NOT finished — that must reject the stream, not return the partial
+      // bytes already produced
+      var ok = true
+      while (ok && !inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && !inf.finished()) return None // truncated/dict-needed
-        out.write(buf, 0, n)
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) ok = false // truncated or dict-needed
       }
       inf.end()
-      Some(out.toByteArray)
+      if (ok) Some(out.toByteArray) else None
     } catch { case _: Exception => None }
 
   /** Text shown by Tj / ' / " / TJ operators inside BT..ET blocks, in

@@ -32,9 +32,11 @@ object SurfaceQueries {
 
   /** Ingest validation gate (reference reject branches A3) as a declared
     * query: fabricate a deterministic upload batch from the documents
-    * table — every 10th file unsupported (.zip), every 10th+1 undecodable
-    * (.pdf, stub decoder), every 10th+2 blank — and report per-file
-    * statuses from the real pipeline. */
+    * table — every 10th file unsupported (.zip), every 10th+1 a
+    * parse_error (.pdf whose bytes are plain document text, which fails
+    * PdfParser's %PDF- header check — fixture texts start with words, so
+    * this classification is stable), every 10th+2 blank — and report
+    * per-file statuses from the real pipeline. */
   def ingestGate(spark: SparkSession, dir: String): DataFrame = {
     val ext = when(col("doc_id") % 10 === 0, "zip")
       .when(col("doc_id") % 10 === 1, "pdf")

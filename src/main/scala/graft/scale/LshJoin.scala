@@ -49,7 +49,12 @@ object LshJoin {
   def selfJoin(emb: DataFrame, threshold: Double, bucketLength: Double = 0.25,
       numHashTables: Int = 10, hashesPerTable: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dim = emb.select(size(col(vecCol))).limit(1).collect().headOption match {
+      case Some(row) => row.getInt(0)
+      case None => // empty input: no pairs, same schema as the joined form
+        return emb.limit(0).select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+          lit(0.0).as("dist"))
+    }
     val projs = projections(dim, numHashTables * hashesPerTable, seed)
     // (id, table, bucket) — one row per hash table per vector; all
     // numHashTables × hashesPerTable projections are computed in ONE pass

@@ -29,12 +29,33 @@ object ChunkStore {
   def append(chunks: DataFrame, path: String): Unit =
     chunks.write.mode("append").partitionBy("user", "source").parquet(path)
 
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
     spark.read.option("basePath", path).parquet(path)
+  }
 
   def isEmpty(spark: SparkSession, path: String): Boolean = {
+    recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     !fs.exists(new Path(path))
+  }
+
+  /** Crash recovery for [[compact]]'s two-rename swap: if a crash landed
+    * between staging out the live store and swapping the compacted copy
+    * in, the store directory is missing but `<path>.precompact` holds the
+    * intact original — restore it. Called by every entry point that
+    * inspects the store path, so a half-finished compaction can never
+    * present as an empty store (which would silently fork a new store and
+    * defeat chunk-level dedup). */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val backup = new Path(path + ".precompact")
+    if (!fs.exists(live) && fs.exists(backup)) {
+      if (!fs.rename(backup, live))
+        throw new java.io.IOException(
+          s"store recovery: could not restore $backup to $path")
+    }
   }
 
   /** Collection count (reference startup log, app.py:79). A store whose
@@ -56,8 +77,11 @@ object ChunkStore {
     * dominate — the classic 100 TB small-file problem. Rewrites the store
     * into at most `filesPerPartition` files per partition directory via a
     * staged overwrite (write to `<path>.compacting`, swap directories),
-    * so a crash mid-compact leaves the original store intact. Returns the
-    * row count (unchanged by compaction; callers can assert on it).
+    * so a crash mid-compact never loses data: a crash before the stage-out
+    * leaves the original untouched, and a crash between the two renames
+    * leaves the original in `<path>.precompact`, from which every store
+    * entry point auto-restores (see [[recover]]). Returns the row count
+    * (unchanged by compaction; callers can assert on it).
     *
     * At real scale this runs per-partition (compact only directories whose
     * file count exceeds a threshold) under a table-format transaction; the

@@ -71,17 +71,25 @@ object Streams {
       }
   }
 
-  /** Streaming exact-dedup — the streaming twin of the ingest file-hash
-    * gate: keeps the first event per key, with state bounded by the
-    * watermark (dropDuplicatesWithinWatermark evicts keys once they age
-    * past it, so state does not grow with the stream; the batch twin is a
-    * plain dropDuplicates). Works on any streaming or batch frame. */
+  /** Streaming exact-dedup over any event-time frame with the named
+    * timestamp column: keeps the first ARRIVAL per key on the streaming
+    * path, with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark evicts keys once they age past it, so
+    * state does not grow with the stream). The batch twin keeps the
+    * first row by EVENT TIME per key (row_number over (key, tsCol)) —
+    * deterministic, unlike a bare dropDuplicates, and identical to the
+    * streaming result whenever arrival order follows event time (e.g.
+    * backfilling from an ordered log). */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
-      watermark: String = "2 hours"): DataFrame = {
-    val wm = events.withWatermark("ts", watermark)
-    if (wm.isStreaming) wm.dropDuplicatesWithinWatermark(keyCols)
-    else wm.dropDuplicates(keyCols)
-  }
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+      events.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
 
   /** Streaming parquet source over an events-shaped directory. */
   def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =

@@ -70,6 +70,17 @@ class OfficeParsersSpec extends AnyFunSuite {
       Right(Seq("name score\nalice 41.5", "7")))
   }
 
+  test("xlsx: inline-string cells (no shared-string table) extract their text") {
+    val book = zip(
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>inline</t><t> runs</t></is></c>
+          |<c r="B1"><v>3</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    assert(OfficeParsers.xlsx(book) == Right(Seq("inline runs 3")))
+  }
+
   test("corrupt archives and non-OOXML bytes reject with a reason, not an exception") {
     assert(OfficeParsers.docx("not a zip at all".getBytes).isLeft)
     assert(OfficeParsers.xlsx(Array[Byte](0x50, 0x4b, 0x03, 0x04, 0, 0)).isLeft)

@@ -76,6 +76,15 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfParser.pdf(bad) == Right(Seq()))
   }
 
+  test("a truncated Flate stream is skipped entirely, not partially extracted") {
+    val full = deflate("BT (visible prefix) Tj (lost suffix) Tj ET")
+    // cut the deflate stream mid-way: decodable prefix, missing final block
+    val truncated = full.take(full.length / 2)
+    val doc = pdf("/Filter /FlateDecode" -> truncated)
+    assert(PdfParser.pdf(doc) == Right(Seq()),
+      "partial inflate output must not leak into extracted text")
+  }
+
   test("end-to-end: a real Flate PDF uploads ok through the default pipeline") {
     // exercised via IngestPipeline.defaultParsers dispatch in IngestPipelineSpec
     val doc = pdf("/Filter /FlateDecode" -> deflate("BT (ingestable pdf body) Tj ET"))

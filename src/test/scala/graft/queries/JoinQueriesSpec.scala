@@ -13,10 +13,13 @@ class JoinQueriesSpec extends SparkSpec {
   import spark.implicits._
 
   test("asof_join matches the brute-force per-row maximum prior signup") {
+    // full microsecond precision: getTime is millisecond-truncated and
+    // would corrupt the <= comparison / tie-break for sub-ms neighbors
+    def micros(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"ts", $"event_type")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getString(3)))
     val signups = ev.filter(_._4 == "signup")
     val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
       val prior = signups.filter(s => s._2 == u && s._3 <= t)

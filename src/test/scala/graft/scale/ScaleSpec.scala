@@ -95,6 +95,13 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("LSH self-join on an empty frame returns an empty result, not a crash") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val out = LshJoin.selfJoin(empty, threshold = 1.1)
+    assert(out.columns.toSeq == Seq("a_id", "b_id", "dist"))
+    assert(out.isEmpty)
+  }
+
   test("LSH self-join returns only true sub-threshold pairs (no false positives)") {
     val got = LshJoin.selfJoin(emb, threshold = 1.1).collect()
     assert(got.nonEmpty, "fixture has pairs closer than L2=1.1")

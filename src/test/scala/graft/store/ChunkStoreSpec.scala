@@ -77,6 +77,23 @@ class ChunkStoreSpec extends SparkSpec {
     assert(ChunkStore.compact(spark, dir) == 0L)
   }
 
+  test("a crash between compact's renames auto-recovers on next access") {
+    val dir = tmpDir("store").toString + "/chunks"
+    val b = ingestOne("/up/a.txt", "a@x.com", (1 to 300).map(i => s"w$i").mkString(" "))
+    ChunkStore.append(b.chunks, dir)
+    val total = ChunkStore.count(spark, dir)
+    // simulate the crash window: live dir staged out, compacted copy never
+    // swapped in — the store path is missing, .precompact holds the data
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".precompact")))
+    // every entry point must see the original store, not an empty one
+    assert(!ChunkStore.isEmpty(spark, dir))
+    assert(ChunkStore.count(spark, dir) == total)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".precompact")))
+  }
+
   test("deleteBySource handles sources needing Hive partition escaping") {
     val dir = tmpDir("store").toString + "/chunks"
     val b = ingestOne("/up/100%done.txt", "a@x.com", "tricky partition name")
