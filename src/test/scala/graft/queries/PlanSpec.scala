@@ -62,4 +62,21 @@ class PlanSpec extends SparkSpec {
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("tfidf_topterms: rank<=3 pushes down as WindowGroupLimit, aggs are partial") {
+    val p = planOf("tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), p) // top-k never materializes full rank
+    assert(p.contains("partial_count") || p.toLowerCase.contains("partial"), p)
+  }
+
+  test("date_math/array_funcs: filters reach the parquet scans") {
+    assert(planOf("date_math").contains("LessThan(o_orderkey,300)"), "date_math pushdown")
+    val p = planOf("array_funcs")
+    assert(p.contains("LessThan(doc_id,300)") && p.contains("LessThan(vec_id,300)"), p)
+  }
+
+  test("merge_upsert: full-outer shuffle join on the merge key, no broadcast of the fact side") {
+    val p = planOf("merge_upsert")
+    assert(p.contains("FullOuter"), p)
+  }
 }
