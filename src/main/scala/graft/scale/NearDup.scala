@@ -102,6 +102,28 @@ object NearDup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-cosine near-dup with IVF-cell blocking — the production
+    * block key the label-blocked oracle query (DedupQueries
+    * .embeddingNeardup) stands in for: vectors only compare within their
+    * KMeans cell, so pair count is Σ|cell|² instead of n², and the same
+    * cell-partitioned layout that serves ANN search serves dedup. Recall
+    * loss is exactly the boundary pairs whose members quantize to
+    * different cells (NearDupSpec measures it against the exact join);
+    * production would multi-probe neighbors to recover them. */
+  def cosineNearDupsByCell(assigned: DataFrame, simThreshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = assigned.withColumn("nrm",
+      sqrt(graft.core.VectorOps.dot(col(vecCol), col(vecCol))))
+    val sim = graft.core.VectorOps.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+      (col("a.nrm") * col("b.nrm"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), sim.as("sim"))
+      .filter(col("sim") >= simThreshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** 64-bit SimHash per document: majority vote of token-hash bits,
     * token-frequency weighted. Computed bit-parallel: explode tokens →
     * 64 conditional sums in one aggregation. */

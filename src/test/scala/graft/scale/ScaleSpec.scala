@@ -95,6 +95,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("IVF-cell-blocked cosine near-dup: only true pairs, bounded recall loss at boundaries") {
+    import org.apache.spark.sql.functions.sqrt
+    val exact = emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(VectorOps.dot(col("a.embedding"), col("a.embedding"))) *
+            sqrt(VectorOps.dot(col("b.embedding"), col("b.embedding")))))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should have cosine>=0.4 pairs")
+    val index = Ivf.build(spark, emb)
+    val got = NearDup.cosineNearDupsByCell(index.assigned, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // blocking can only DROP pairs (cell boundaries), never invent them
+    assert(got.subsetOf(exact))
+    // and it must find a solid share of them (boundary loss is bounded)
+    assert(got.size >= (exact.size * 0.3).toInt, s"recall too low: ${got.size}/${exact.size}")
+  }
+
   test("LSH self-join on an empty frame returns an empty result, not a crash") {
     val empty = emb.filter(col("vec_id") < 0)
     val out = LshJoin.selfJoin(empty, threshold = 1.1)
