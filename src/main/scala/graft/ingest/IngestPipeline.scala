@@ -27,12 +27,14 @@ object IngestPipeline {
     Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
 
   // Formats parsed natively in this build (the defaultParsers key set is
-  // the authority): plain text family, the OOXML office formats (ZIP+XML,
-  // pure-JDK parsers — OfficeParsers), and a best-effort PDF subset
-  // (Flate/plain content streams — PdfParser). Only the legacy OLE2
-  // binaries (doc/xls/ppt) have no decoder here (the reference delegates
-  // them to unstructured) — they reject with `parse_error`, and tests
-  // inject a fake decoder through `parsers`.
+  // the authority): plain text family; the OOXML office formats (ZIP+XML,
+  // pure-JDK parsers — OfficeParsers); the legacy OLE2 binaries
+  // (doc/xls/ppt — CFB container + piece-table/SST/TextAtom subsets,
+  // LegacyOfficeParsers); and a best-effort PDF subset (Flate/plain
+  // content streams — PdfParser). Every extension the reference accepts
+  // now has a real decoder; out-of-subset structure degrades to
+  // parse_error/no_content, and tests can still inject decoders through
+  // `parsers`.
 
   /** Reject/accept status values, mirroring multiple_document_upload.py:80-149. */
   object Status {
@@ -72,6 +74,8 @@ object IngestPipeline {
       "html" -> asHtml, "htm" -> asHtml,
       "docx" -> OfficeParsers.docx, "xlsx" -> OfficeParsers.xlsx,
       "pptx" -> OfficeParsers.pptx,
+      "doc" -> LegacyOfficeParsers.doc, "xls" -> LegacyOfficeParsers.xls,
+      "ppt" -> LegacyOfficeParsers.ppt,
       "pdf" -> PdfParser.pdf
     ).withDefaultValue(unavailable)
   }
