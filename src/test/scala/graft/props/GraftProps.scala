@@ -126,6 +126,34 @@ object KernelProps extends Properties("VectorKernels") {
     }
 }
 
+object ParserRobustnessProps extends Properties("Parsers") {
+
+  // arbitrary bytes, plus adversarial prefixes that enter each parser's
+  // happy path before the structure goes bad
+  private val bytesGen: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(0, 4096)
+    body <- Gen.containerOfN[Array, Byte](n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    prefix <- Gen.oneOf(
+      Array.emptyByteArray,
+      "%PDF-1.4\n".getBytes,
+      Array(0x50, 0x4B, 0x03, 0x04).map(_.toByte), // ZIP magic
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)) // CFB magic
+  } yield prefix ++ body
+
+  private val allParsers = graft.ingest.IngestPipeline.defaultParsers
+
+  property("every format parser is total: Either out, never an exception") =
+    forAll(bytesGen) { bytes =>
+      Seq("txt", "md", "csv", "html", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "pdf")
+        .forall { ext =>
+          allParsers(ext)(bytes) match {
+            case Right(docs) => docs != null
+            case Left(reason) => reason != null && reason.nonEmpty
+          }
+        }
+    }
+}
+
 object JwtProps extends Properties("Jwt") {
 
   private val emailGen: Gen[String] = for {
