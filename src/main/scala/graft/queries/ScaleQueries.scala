@@ -74,7 +74,28 @@ object ScaleQueries {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
+  /** Top-13 k-NN over SQ8-quantized embeddings: vectors round-trip
+    * through per-vector int8 codes before scoring, the query stays exact
+    * float — the storage-quantized search path at 100 TB (4× less IO),
+    * exact and oracle-checked because the quantization arithmetic is a
+    * fixed double op chain both engines reproduce bit-for-bit.
+    * QuantizeSpec measures recall vs the unquantized top-k. */
+  def sq8Topk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.scale.Quantize
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+    emb
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Quantize.squaredL2Double(Quantize.sq8Roundtrip(col("embedding")), col("q_emb")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(13)
+      .select(col("vec_id"), round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq8_topk" -> (sq8Topk _),
     "minhash_neardup" -> (minhashNeardup _),
     "simhash_neardup" -> (simhashNeardup _),
     "ivf_topk" -> (ivfTopk _),
@@ -86,6 +107,29 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     // minhash/simhash/ivf/lsh: engine-hash/MLlib-dependent → no SQL oracle;
     // pinned against exact ground truth in ScaleSpec.
+    "sq8_topk" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+        |  FROM embeddings WHERE vec_id = 0),
+        |mm AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |  FROM embeddings),
+        |dec AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vmax = vmin
+        |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |      ELSE list_transform(embedding,
+        |        x -> vmin + round((CAST(x AS DOUBLE) - vmin) * 255.0 / (vmax - vmin)) * (vmax - vmin) / 255.0)
+        |    END AS dv
+        |  FROM mm),
+        |d AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(list_zip(dv, q_emb), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        |  FROM dec CROSS JOIN q)
+        |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -1,0 +1,51 @@
+package graft.scale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-vector 8-bit scalar quantization (SQ8) for embedding storage — the
+  * standard 4× storage/IO cut for vector corpora at 100 TB scale (a
+  * float32 corpus of 25 TB becomes ~6 TB of int8 codes + 2 floats of
+  * scale metadata per vector). Each vector is affinely mapped onto
+  * 0..255 by its own (min, max); search decodes approximate values and
+  * reranks — recall loss is bounded by the per-dimension step
+  * (max-min)/255.
+  *
+  * All arithmetic is double-typed with a fixed op order
+  * (`vmin + round((x - vmin)·255/(vmax - vmin))·(vmax - vmin)/255`), so a
+  * DuckDB oracle reproduces the decode bit-for-bit and quantized queries
+  * stay hash-checkable. HOF (`transform`) based: quantization is a
+  * map-only pass, no shuffle at any scale.
+  */
+object Quantize {
+
+  /** int8 codes (as int array) for an `array<float>` column. */
+  def sq8Codes(vec: Column): Column = {
+    val vmin = array_min(vec).cast("double")
+    val vmax = array_max(vec).cast("double")
+    when(vmax === vmin, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => round((x.cast("double") - vmin) * lit(255.0) / (vmax - vmin)).cast("int")))
+  }
+
+  /** Decoded (approximate, double) values for a vector quantized by its
+    * own min/max — the exact arithmetic the oracle mirrors. Fused
+    * encode+decode of the raw vector: `sq8Decode(v) ≡ decode(sq8Codes(v))`
+    * without materializing codes. */
+  def sq8Roundtrip(vec: Column): Column = {
+    val vmin = array_min(vec).cast("double")
+    val vmax = array_max(vec).cast("double")
+    when(vmax === vmin, transform(vec, x => x.cast("double")))
+      .otherwise(transform(vec,
+        x => vmin + round((x.cast("double") - vmin) * lit(255.0) / (vmax - vmin)) *
+          (vmax - vmin) / lit(255.0)))
+  }
+
+  /** Squared L2 between two `array<double>` columns as a strict
+    * left-to-right fold (HOF form — matches the DuckDB list_sum fold). */
+  def squaredL2Double(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+}
