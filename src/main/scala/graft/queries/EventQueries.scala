@@ -92,13 +92,54 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day, then
+    * distinct active users per (cohort day, days-since-cohort) cell — the
+    * standard product-analytics retention triangle. Two shuffles at any
+    * scale: the per-user cohort aggregation (user-keyed) and the final
+    * cell aggregation; the cohort side joins back broadcast-or-shuffled
+    * by AQE on user_id. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Signup→purchase conversion funnel by signup day: how many of each
+    * day's first-time signups made their first subsequent purchase within
+    * 24 hours. Per-user min aggregations (no pair join), then one small
+    * day-keyed rollup. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(collect_list(unix_micros(col("ts"))).as("purchase_us"))
+    val dayUs = 86400000000L
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .select(
+        to_date(timestamp_micros(col("signup_us"))).as("signup_day"),
+        exists(coalesce(col("purchase_us"), array()),
+          p => p >= col("signup_us") && p <= col("signup_us") + dayUs).cast("int").as("converted"))
+      .groupBy(col("signup_day"))
+      .agg(count(lit(1)).as("n_signups"), sum(col("converted")).cast("long").as("n_converted_24h"))
+      .orderBy(col("signup_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
     "json_props" -> (jsonProps _),
     "events_hourly" -> (eventsHourly _),
     "sessionize" -> (sessionize _),
-    "value_histogram" -> (valueHistogram _)
+    "value_histogram" -> (valueHistogram _),
+    "cohort_retention" -> (cohortRetention _),
+    "funnel_conversion" -> (funnelConversion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +175,27 @@ object EventQueries {
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    "cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "funnel_conversion" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT CAST(make_timestamp(signup_us) AS DATE) AS signup_day,
+        |  COUNT(*) AS n_signups,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+        |      AND epoch_us(p.ts) BETWEEN s.signup_us AND s.signup_us + 86400000000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h
+        |FROM s GROUP BY 1 ORDER BY signup_day""".stripMargin
   )
 }
