@@ -95,7 +95,10 @@ object Cfb {
 
       def readChain(start: Long, size: Long): Either[String, Array[Byte]] =
         chain(start).flatMap { secs =>
-          val out = new java.io.ByteArrayOutputStream(math.min(size, Int.MaxValue / 2).toInt)
+          // size hint bounded by the FILE length: a corrupt directory size
+          // must never drive a giant eager allocation
+          val hint = math.min(math.min(size, bytes.length.toLong), Int.MaxValue.toLong).toInt
+          val out = new java.io.ByteArrayOutputStream(math.max(64, hint))
           for (s <- secs) sectorAt(s) match {
             case None => return Left("stream sector out of range")
             case Some(sec) => out.write(sec)
@@ -117,9 +120,12 @@ object Cfb {
           if (nameLen >= 2 && nameLen <= 64)
             new String(dirBytes, e * 128, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
           else ""
+        // v3 files (512-byte sectors): MS-CFB directs readers to ignore
+        // the upper 32 size bits — real writers leave garbage there
+        val rawSize = eb.getLong(e * 128 + 120)
         Entry(name, dirBytes(e * 128 + 66) & 0xFF,
           eb.getInt(e * 128 + 116).toLong & 0xFFFFFFFFL,
-          eb.getLong(e * 128 + 120))
+          if (sectorSize == 512) rawSize & 0xFFFFFFFFL else rawSize)
       }
 
       val root = entries.find(_.objType == 5).getOrElse(return Left("no root entry"))

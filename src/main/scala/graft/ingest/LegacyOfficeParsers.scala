@@ -150,7 +150,15 @@ object LegacyOfficeParsers {
             var cRun = 0
             var cbExt = 0
             if (fRich) { if (q + 2 > payloadEnd) { ok = false } else { cRun = b.getShort(q) & 0xFFFF; q += 2 } }
-            if (ok && fExt) { if (q + 4 > payloadEnd) { ok = false } else { cbExt = b.getInt(q); q += 4 } }
+            if (ok && fExt) {
+              if (q + 4 > payloadEnd) ok = false
+              else {
+                cbExt = b.getInt(q); q += 4
+                // a crafted negative cbExt would move the cursor backward
+                // (or hold it still), turning cstUnique into a spin count
+                if (cbExt < 0) ok = false
+              }
+            }
             if (ok) {
               val byteLen = if (fHigh) cch * 2 else cch
               if (q + byteLen > payloadEnd) {
@@ -179,10 +187,12 @@ object LegacyOfficeParsers {
       streams.get("powerpoint document") match {
         case None => Left("ppt: no PowerPoint Document stream")
         case Some(pd) =>
-          val texts = mutable.ArrayBuffer.empty[String]
-          walkPptRecords(pd, 0, pd.length, texts, depth = 0)
-          val joined = texts.map(_.trim).filter(_.nonEmpty).mkString("\n")
-          Right(if (joined.isEmpty) Seq.empty else Seq(joined))
+          try {
+            val texts = mutable.ArrayBuffer.empty[String]
+            walkPptRecords(pd, 0, pd.length, texts, depth = 0)
+            val joined = texts.map(_.trim).filter(_.nonEmpty).mkString("\n")
+            Right(if (joined.isEmpty) Seq.empty else Seq(joined))
+          } catch { case ex: Exception => Left(s"ppt error: ${ex.getMessage}") }
       }
     }
 
@@ -198,7 +208,9 @@ object LegacyOfficeParsers {
       val recType = b.getShort(p + 2) & 0xFFFF
       val recLen = b.getInt(p + 4)
       val body = p + 8
-      if (recLen < 0 || body + recLen > to) return
+      // recLen > to - body, not body + recLen > to: the latter overflows
+      // Int for crafted recLen near Int.MaxValue and skips the guard
+      if (recLen < 0 || recLen > to - body) return
       if ((verInst & 0x000F) == 0x000F)
         walkPptRecords(pd, body, body + recLen, out, depth + 1)
       else if (recType == 0x0FA0)

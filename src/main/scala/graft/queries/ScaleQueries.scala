@@ -88,7 +88,7 @@ object ScaleQueries {
     emb
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        Quantize.squaredL2Double(Quantize.sq8Roundtrip(col("embedding")), col("q_emb")).as("d"))
+        graft.core.VectorOps.squaredL2Hof(Quantize.sq8Roundtrip(col("embedding")), col("q_emb")).as("d"))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(13)
       .select(col("vec_id"), round(col("d") * 10000).cast("long").as("dist_e4"))

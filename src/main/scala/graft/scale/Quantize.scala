@@ -40,12 +40,4 @@ object Quantize {
         x => vmin + round((x.cast("double") - vmin) * lit(255.0) / (vmax - vmin)) *
           (vmax - vmin) / lit(255.0)))
   }
-
-  /** Squared L2 between two `array<double>` columns as a strict
-    * left-to-right fold (HOF form — matches the DuckDB list_sum fold). */
-  def squaredL2Double(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
 }

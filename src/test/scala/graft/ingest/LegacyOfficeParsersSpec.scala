@@ -156,6 +156,31 @@ class LegacyOfficeParsersSpec extends AnyFunSuite {
     assert(LegacyOfficeParsers.ppt(file) == Right(Seq("Slide title\nbody text")))
   }
 
+  test("ppt: a crafted recLen near Int.MaxValue cannot overflow the bounds check") {
+    // record header claiming a body of Int.MaxValue - the old body+recLen
+    // check wrapped negative and let the String constructor throw
+    val evil = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    evil.putShort(0.toShort); evil.putShort(0x0FA8.toShort); evil.putInt(Int.MaxValue)
+    evil.put("body".getBytes(cp1252))
+    val file = cfb("PowerPoint Document" -> evil.array())
+    val r = LegacyOfficeParsers.ppt(file)
+    assert(r.isRight || r.isLeft) // total: no exception escapes
+    assert(r == Right(Seq.empty) || r.isLeft)
+  }
+
+  test("xls: a crafted negative cbExt cannot stall the SST cursor (spin/OOM guard)") {
+    val payload = ByteBuffer.allocate(8 + 3 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    payload.putInt(Int.MaxValue); payload.putInt(Int.MaxValue) // cstTotal, cstUnique
+    payload.putShort(0.toShort) // cch = 0
+    payload.put(0x04.toByte) // fExt
+    payload.putInt(-7) // cbExt: would rewind the cursor by exactly the header
+    val wb = ByteBuffer.allocate(4 + payload.capacity()).order(ByteOrder.LITTLE_ENDIAN)
+    wb.putShort(0x00FC.toShort); wb.putShort(payload.capacity().toShort); wb.put(payload.array())
+    val file = cfb("Workbook" -> wb.array())
+    // must return promptly with no strings, not spin for 2^31 iterations
+    assert(LegacyOfficeParsers.xls(file) == Right(Seq.empty))
+  }
+
   test("all three flow end-to-end through the default parser map") {
     assert(IngestPipeline.defaultParsers.contains("doc"))
     assert(IngestPipeline.defaultParsers.contains("xls"))
