@@ -41,4 +41,16 @@ object Sources {
     spark.read.option("header", "true").csv(pattern)
       .withColumn("path", input_file_name())
       .select(col("path"), col(textField).as("text"))
+
+  /** ORC interchange: Spark's second built-in columnar format, with the
+    * same predicate-pushdown/column-pruning behavior as parquet — for
+    * corpora arriving from Hive-era pipelines. Write partitions like the
+    * parquet store; read is a drop-in scan. */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def orcDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -33,6 +33,21 @@ class SourcesSpec extends SparkSpec {
     assert(got.toSeq == Seq(1 -> "doc one", 2 -> "doc two", 3 -> "doc three"))
   }
 
+  test("orc round-trip preserves rows and pushes filters into the scan") {
+    val dir = tmpDir("orc").toString + "/docs"
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    Sources.writeOrc(docs, dir, partitionCols = Seq("lang"))
+    val back = Sources.orcDocuments(spark, dir)
+    assert(back.count() == docs.count())
+    // partition pruning on the partition column, pushdown on data columns
+    val filtered = back.filter($"lang" === "en" && $"doc_id" < 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"), plan)
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    assert(filtered.count() ==
+      docs.filter($"lang" === "en" && $"doc_id" < 100).count())
+  }
+
   test("csv corpus reads with header projection") {
     val dir = tmpDir("csv")
     Files.write(dir.resolve("corpus.csv"),
