@@ -91,6 +91,16 @@ object Streams {
         .filter(col("__rn") === 1).drop("__rn")
     }
 
+  /** Stream–static enrichment join: each micro-batch of events joins the
+    * (slowly-changing) dimension frame on the key — the standard shape
+    * for stamping a stream with reference data. The static side is
+    * re-read per micro-batch by Structured Streaming, so dimension
+    * updates between batches are picked up; broadcast when small (AQE
+    * decides), no streaming state is kept. Works identically on a batch
+    * frame (the join is source-agnostic). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Streaming parquet source over an events-shaped directory. */
   def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)

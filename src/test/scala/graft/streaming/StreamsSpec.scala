@@ -110,6 +110,26 @@ class StreamsSpec extends SparkSpec {
     assert(batchIds == Seq(1L, 2L))
   }
 
+  test("stream-static join enriches each micro-batch with the dimension frame") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.enrichWithDim(
+      input.toDF().toDF("ts", "user_id", "event_type"), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      input.addData((ts("01:00"), 1L, "click"), (ts("01:01"), 3L, "view"))
+      q.processAllAvailable()
+      input.addData((ts("01:02"), 2L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+    // known users stamped; unknown user survives the left join with null
+    assert(got == Set((1L, Some("gold")), (3L, None), (2L, Some("basic"))))
+  }
+
   test("append sink writes streaming records to parquet") {
     val srcDir = tmpDir("chat-src").toString
     val outDir = tmpDir("chat-out").toString + "/data"
