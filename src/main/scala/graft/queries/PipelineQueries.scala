@@ -62,9 +62,36 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** PII scrub — the standard pre-training redaction pass: emails and
+    * long digit runs replaced with typed placeholders, with per-document
+    * redaction counts for monitoring. PII is planted deterministically on
+    * every 7th document (the fixture corpus itself is synthetic and
+    * clean, so the query must demonstrate actual hits). Narrow map-only
+    * pass at any scale; regex evaluation is codegen'd. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+    val digitsRe = "[0-9]{6,}"
+    val planted = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 55512345"), col("doc_id").cast("string")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), planted.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(digitsRe), lit(0))).as("n_digit_runs"),
+        substring(sha2(
+          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), digitsRe, "<NUM>")
+            .cast("binary"), 256), 1, 16).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "deterministic_split" -> (deterministicSplit _),
-    "tfidf_topterms" -> (tfidfTopterms _)
+    "tfidf_topterms" -> (tfidfTopterms _),
+    "redact_pii" -> (redactPii _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +123,21 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, score_e4 FROM ranked
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |           '@example.com or call 55512345' || CAST(doc_id AS VARCHAR)
+        |      ELSE text END AS t
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS INT) AS n_digit_runs,
+        |  substring(sha256(
+        |    regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g')), 1, 16) AS redacted_fp
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }
