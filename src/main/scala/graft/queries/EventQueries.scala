@@ -131,6 +131,20 @@ object EventQueries {
       .orderBy(col("signup_day"))
   }
 
+  /** Sliding event-time windows (2-hour window, 1-hour slide) — the
+    * overlapping-window streaming semantic exercised through the unified
+    * batch path: Spark's `window()` assigns each event to BOTH containing
+    * windows; the oracle reproduces the assignment by exploding each
+    * event to its two window starts. Same decimal accumulation contract
+    * as the tumbling form (stream_windowed). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
@@ -139,7 +153,8 @@ object EventQueries {
     "sessionize" -> (sessionize _),
     "value_histogram" -> (valueHistogram _),
     "cohort_retention" -> (cohortRetention _),
-    "funnel_conversion" -> (funnelConversion _)
+    "funnel_conversion" -> (funnelConversion _),
+    "sliding_window" -> (slidingWindow _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +211,15 @@ object EventQueries {
         |    WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
         |      AND epoch_us(p.ts) BETWEEN s.signup_us AND s.signup_us + 86400000000)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h
-        |FROM s GROUP BY 1 ORDER BY signup_day""".stripMargin
+        |FROM s GROUP BY 1 ORDER BY signup_day""".stripMargin,
+    "sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS window_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

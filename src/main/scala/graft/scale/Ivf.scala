@@ -72,6 +72,46 @@ object Ivf {
       .select(col(idCol), col("cell"), col("dist"))
   }
 
+  /** Incremental maintenance: assign NEW vectors to the existing
+    * centroids and extend the index — no KMeans refit, no touch of the
+    * already-assigned data. This is the operational path for a live
+    * corpus (ingest appends vectors continuously; refitting 100 TB per
+    * batch is not an option): a broadcast-centroid map-only pass, then a
+    * union. Centroids drift from optimal as the distribution shifts —
+    * [[imbalance]] is the rebuild trigger metric. */
+  def append(index: Index, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val centroids = index.centroids
+    val assignUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var j = 0
+        val cen = centroids(c)
+        while (j < cen.length && j < v.length) {
+          val t = cen(j).toDouble - v(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = newVecs
+      .withColumn("cell", assignUdf(col(vecCol)))
+      .select(index.assigned.columns.map(col).toSeq: _*)
+    Index(centroids, index.assigned.unionByName(assigned))
+  }
+
+  /** Cell-size imbalance: max cell size over mean cell size. ~1 means a
+    * balanced layout; growing values mean the centroids no longer fit the
+    * data distribution and probing degrades toward scanning the hot cell
+    * — schedule a rebuild past a threshold (e.g. 3×). */
+  def imbalance(index: Index): Double = {
+    val sizes = index.assigned.groupBy(col("cell")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    if (sizes.isEmpty) 1.0
+    else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+  }
+
   /** Persist the index: vectors as parquet partitioned by cell (search-time
     * cell pruning becomes directory-level partition pruning), centroids as
     * a small side table. */

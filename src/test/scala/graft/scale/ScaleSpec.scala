@@ -95,6 +95,28 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("IVF incremental append: new vectors are searchable without a refit") {
+    // sf0.001 fixture has 500 vectors; hold out 400..449 as late arrivals
+    val base = emb.filter(col("vec_id") < 400 || col("vec_id") >= 450)
+    val late = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    assert(late.count() > 0)
+    val index = Ivf.build(spark, base)
+    val grown = Ivf.append(index, late)
+    assert(grown.assigned.count() == emb.count())
+    // an appended vector must find ITSELF at distance zero (full probe)
+    val q = late.limit(1).select("vec_id", "embedding").head()
+    val qid = q.getLong(0)
+    val top = Ivf.search(grown, q.getSeq[Float](1).toArray, k = 1, nprobe = 16)
+      .select("vec_id").as[Long].head()
+    assert(top == qid)
+    // assignment agrees with the model: every cell id is a valid centroid
+    val cells = grown.assigned.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < grown.centroids.length))
+    // balance metric is sane on the fixture's ~uniform vectors
+    val imb = Ivf.imbalance(grown)
+    assert(imb >= 1.0 && imb < 5.0, s"imbalance $imb")
+  }
+
   test("IVF-cell-blocked cosine near-dup: only true pairs, bounded recall loss at boundaries") {
     import org.apache.spark.sql.functions.sqrt
     val exact = emb.as("a")
