@@ -90,11 +90,34 @@ object FuncQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** NOT IN with nullable subquery values — SQL's tri-state trap, planned
+    * by Spark as a null-aware anti join: against the clean set the anti
+    * join filters normally; one NULL in the set makes NOT IN unknowable
+    * for every row, so the poisoned variant must return a zero count.
+    * Declared through spark.sql (the DataFrame API has no NOT IN). */
+  def notInAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH keys AS (
+        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+        |  FROM customer_v WHERE c_acctbal < 0),
+        |clean AS (
+        |  SELECT 'clean_set' AS variant, COUNT(*) AS n FROM orders_v
+        |  WHERE o_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)),
+        |poisoned AS (
+        |  SELECT 'null_poisoned' AS variant, COUNT(*) AS n FROM orders_v
+        |  WHERE o_custkey NOT IN (SELECT k FROM keys))
+        |SELECT variant, n FROM clean UNION ALL SELECT variant, n FROM poisoned
+        |ORDER BY variant""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "percentiles" -> (percentiles _),
     "date_math" -> (dateMath _),
-    "array_funcs" -> (arrayFuncs _)
+    "array_funcs" -> (arrayFuncs _),
+    "not_in_antijoin" -> (notInAntijoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,6 +158,18 @@ object FuncQueries {
         |  CAST(round(CAST(list_max(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS vmax_e4,
         |  CAST(round(CAST(e.embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS v0_e4
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin
+        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
+    "not_in_antijoin" ->
+      """WITH keys AS (
+        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+        |  FROM customer WHERE c_acctbal < 0),
+        |clean AS (
+        |  SELECT 'clean_set' AS variant, COUNT(*) AS n FROM orders
+        |  WHERE o_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)),
+        |poisoned AS (
+        |  SELECT 'null_poisoned' AS variant, COUNT(*) AS n FROM orders
+        |  WHERE o_custkey NOT IN (SELECT k FROM keys))
+        |SELECT variant, n FROM clean UNION ALL SELECT variant, n FROM poisoned
+        |ORDER BY variant""".stripMargin
   )
 }
