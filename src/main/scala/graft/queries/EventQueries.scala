@@ -133,16 +133,14 @@ object EventQueries {
 
   /** Sliding event-time windows (2-hour window, 1-hour slide) — the
     * overlapping-window streaming semantic exercised through the unified
-    * batch path: Spark's `window()` assigns each event to BOTH containing
-    * windows; the oracle reproduces the assignment by exploding each
-    * event to its two window starts. Same decimal accumulation contract
-    * as the tumbling form (stream_windowed). */
+    * batch path, via the SAME Streams.windowedCounts helper that backs
+    * stream_windowed (so the streaming twin exists for free): Spark's
+    * `window()` assigns each event to BOTH containing windows; the
+    * oracle reproduces the assignment by exploding each event to its two
+    * window starts. */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    graft.streaming.Streams
+      .windowedCounts(Tables.events(spark, dir), "2 hours", slide = Some("1 hour"))
       .orderBy(col("window_start"), col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -94,13 +94,17 @@ object FuncQueries {
     * by Spark as a null-aware anti join: against the clean set the anti
     * join filters normally; one NULL in the set makes NOT IN unknowable
     * for every row, so the poisoned variant must return a zero count.
-    * Declared through spark.sql (the DataFrame API has no NOT IN). */
+    * The NULL is planted on the MINIMUM negative-balance key, so it
+    * exists at every scale factor (a modulo plant was vacuous at
+    * sf0.001). Declared through spark.sql (the DataFrame API has no
+    * NOT IN). */
   def notInAntijoin(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
     spark.sql(
       """WITH keys AS (
-        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+        |  SELECT CASE WHEN c_custkey = (SELECT MIN(c_custkey) FROM customer_v WHERE c_acctbal < 0)
+        |         THEN NULL ELSE c_custkey END AS k
         |  FROM customer_v WHERE c_acctbal < 0),
         |clean AS (
         |  SELECT 'clean_set' AS variant, COUNT(*) AS n FROM orders_v
@@ -161,7 +165,8 @@ object FuncQueries {
         |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
     "not_in_antijoin" ->
       """WITH keys AS (
-        |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+        |  SELECT CASE WHEN c_custkey = (SELECT MIN(c_custkey) FROM customer WHERE c_acctbal < 0)
+        |         THEN NULL ELSE c_custkey END AS k
         |  FROM customer WHERE c_acctbal < 0),
         |clean AS (
         |  SELECT 'clean_set' AS variant, COUNT(*) AS n FROM orders

@@ -49,8 +49,15 @@ object Ivf {
     Index(centroids, assigned)
   }
 
-  /** Exact distances from a query to all centroids, driver-side. */
-  private def nearestCells(centroids: Array[Array[Float]], q: Array[Float], nprobe: Int): Seq[Int] =
+  /** Exact distances from a vector to all centroids — the single shared
+    * assignment/probe routine (search and append must agree). Requires
+    * matching dimensions: silent prefix-truncation would mis-assign a
+    * wrong-dimension batch (e.g. after an embedding-model change). */
+  private[scale] def nearestCells(centroids: Array[Array[Float]], q: Array[Float],
+      nprobe: Int): Seq[Int] = {
+    require(q != null && centroids.forall(_.length == q.length),
+      s"dimension mismatch: index is ${centroids.head.length}-dim, vector is " +
+        s"${if (q == null) "null" else q.length.toString}")
     centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
@@ -58,6 +65,7 @@ object Ivf {
         (d, i)
       }
       .sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toSeq
+  }
 
   /** ANN search: prune to `nprobe` cells, exact-rerank, top-k by
     * (dist, id). */
@@ -78,22 +86,20 @@ object Ivf {
     * corpus (ingest appends vectors continuously; refitting 100 TB per
     * batch is not an option): a broadcast-centroid map-only pass, then a
     * union. Centroids drift from optimal as the distribution shifts —
-    * [[imbalance]] is the rebuild trigger metric. */
+    * [[imbalance]] is the rebuild trigger metric.
+    *
+    * Assignment shares [[nearestCells]] with search (fails fast on null
+    * or wrong-dimension vectors rather than mis-assigning them). Caveat:
+    * build() assigns through the KMeans model's double-precision centers
+    * while this path uses the float-rounded published centroids — a
+    * vector within float epsilon of two cell boundaries can land
+    * differently depending on arrival path; both cells are correct
+    * probes for it at search time. */
   def append(index: Index, newVecs: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+      vecCol: String = "embedding"): Index = {
     val centroids = index.centroids
     val assignUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var j = 0
-        val cen = centroids(c)
-        while (j < cen.length && j < v.length) {
-          val t = cen(j).toDouble - v(j); d += t * t; j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
+      nearestCells(centroids, if (v == null) null else v.toArray, 1).head
     }
     val assigned = newVecs
       .withColumn("cell", assignUdf(col(vecCol)))
@@ -101,15 +107,17 @@ object Ivf {
     Index(centroids, index.assigned.unionByName(assigned))
   }
 
-  /** Cell-size imbalance: max cell size over mean cell size. ~1 means a
-    * balanced layout; growing values mean the centroids no longer fit the
-    * data distribution and probing degrades toward scanning the hot cell
-    * — schedule a rebuild past a threshold (e.g. 3×). */
+  /** Cell-size imbalance: max cell size over the mean size across ALL
+    * nlist cells (empty cells included — averaging only occupied cells
+    * would score the total-collapse layout, everything in one cell, as
+    * perfectly balanced). ~1 means balanced; past a threshold (e.g. 3×)
+    * the centroids no longer fit the data and probing degrades toward
+    * scanning the hot cell — schedule a rebuild. */
   def imbalance(index: Index): Double = {
     val sizes = index.assigned.groupBy(col("cell")).count()
       .select(col("count")).collect().map(_.getLong(0))
-    if (sizes.isEmpty) 1.0
-    else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    if (sizes.isEmpty || index.centroids.isEmpty) 1.0
+    else sizes.max.toDouble / (sizes.sum.toDouble / index.centroids.length)
   }
 
   /** Persist the index: vectors as parquet partitioned by cell (search-time

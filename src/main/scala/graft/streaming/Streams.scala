@@ -30,14 +30,16 @@ object Streams {
   case class SessionState(nEvents: Long, lastTsMicros: Long, nSessions: Long)
   case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
 
-  /** Watermarked tumbling-window counts by event type — the streaming twin
-    * of EventQueries.eventsHourly. Works on any streaming or batch frame
-    * with (ts, event_type, value). */
+  /** Watermarked window counts by event type — the streaming twin of
+    * EventQueries.eventsHourly (tumbling default) and slidingWindow
+    * (`slide` < `window_` makes the windows overlap; each event lands in
+    * window_/slide of them). Works on any streaming or batch frame with
+    * (ts, event_type, value). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), window_, slide.getOrElse(window_)).as("w"), col("event_type"))
       // decimal accumulation: deterministic under any parallelism/ordering
       // (same contract as the batch oracle queries)
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("sv"))
@@ -92,12 +94,15 @@ object Streams {
     }
 
   /** Stream–static enrichment join: each micro-batch of events joins the
-    * (slowly-changing) dimension frame on the key — the standard shape
-    * for stamping a stream with reference data. The static side is
-    * re-read per micro-batch by Structured Streaming, so dimension
-    * updates between batches are picked up; broadcast when small (AQE
-    * decides), no streaming state is kept. Works identically on a batch
-    * frame (the join is source-agnostic). */
+    * dimension frame on the key — the standard shape for stamping a
+    * stream with reference data. No streaming state is kept; the static
+    * side is broadcast when small (AQE decides). Freshness caveat: the
+    * static subplan is re-executed per micro-batch, but its CONTENTS are
+    * pinned at DataFrame definition (a LocalRelation never changes; a
+    * file-backed frame's file listing is fixed at plan time) — to pick up
+    * dimension updates, rebuild the dim frame (or back it with a
+    * catalog table/Delta source that refreshes) and restart the query.
+    * Works identically on a batch frame (the join is source-agnostic). */
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
