@@ -106,6 +106,29 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream–stream interval join: purchases matched to same-user signups
+    * that happened at most `withinHours` earlier. Both sides carry
+    * watermarks and the join condition bounds the time skew, so each
+    * side's buffered state is evicted once it ages past
+    * watermark + interval — the canonical bounded-state two-stream join.
+    * Works on batch frames identically (the condition is source-
+    * agnostic). */
+  def signupPurchaseJoin(signups: DataFrame, purchases: DataFrame,
+      withinHours: Int = 24, watermark: String = "2 hours"): DataFrame = {
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $withinHours HOURS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("signup_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
+  }
+
   /** Streaming parquet source over an events-shaped directory. */
   def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)

@@ -110,6 +110,40 @@ class StreamsSpec extends SparkSpec {
     assert(batchIds == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches purchases to in-window signups only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-0$s:00")
+    val sIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("ts", "user_id", "event_id")
+    val q = Streams.signupPurchaseJoin(
+      named(sIn.toDF()), named(pIn.toDF()), withinHours = 24)
+      .writeStream.outputMode("append").format("memory").queryName("ss_join").start()
+    try {
+      sIn.addData(
+        (ts("1 10:00"), 1L, 100L), // in window for u1's purchase
+        (ts("1 09:00"), 2L, 200L)) // 49h before u2's purchase: out of window
+      pIn.addData(
+        (ts("2 09:00"), 1L, 900L), // 23h after signup: joins
+        (ts("3 10:00"), 2L, 901L)) // no in-window signup
+      q.processAllAvailable()
+      // advance both watermarks far past the data so results flush
+      sIn.addData((ts("9 00:00"), 9L, 999L))
+      pIn.addData((ts("9 00:00"), 9L, 998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_join")
+      .select("user_id", "purchase_id", "signup_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 900L, 100L)), s"in-window pair must join: $got")
+    assert(!got.exists(_._1 == 2L), s"out-of-window signup must not join: $got")
+    // batch path: same semantics on static frames
+    val batch = Streams.signupPurchaseJoin(
+      Seq((ts("1 10:00"), 1L, 100L)).toDF("ts", "user_id", "event_id"),
+      Seq((ts("2 09:00"), 1L, 900L)).toDF("ts", "user_id", "event_id"))
+    assert(batch.select("lag_us").as[Long].head() == 23L * 3600 * 1000000)
+  }
+
   test("stream-static join enriches each micro-batch with the dimension frame") {
     implicit val sqlCtx = spark.sqlContext
     def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
