@@ -29,6 +29,22 @@ object ChunkStore {
   def append(chunks: DataFrame, path: String): Unit =
     chunks.write.mode("append").partitionBy("user", "source").parquet(path)
 
+  /** Append with single-pass telemetry: the metrics a production ingest
+    * would emit (rows, tenants, text bytes) are computed by `observe`
+    * DURING the write — no second scan of the data. Returns
+    * (n_chunks, n_users, text_bytes). */
+  def appendObserved(chunks: DataFrame, path: String): (Long, Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation("chunk-append")
+    append(chunks.observe(obs,
+      // fully qualified: ChunkStore.count(spark, path) shadows functions.count
+      org.apache.spark.sql.functions.count(lit(1)).as("n_chunks"),
+      approx_count_distinct(col("user")).as("n_users"),
+      sum(length(col("text")).cast("long")).as("text_bytes")), path)
+    val m = obs.get
+    (m("n_chunks").asInstanceOf[Long], m("n_users").asInstanceOf[Long],
+      m.get("text_bytes").collect { case b: Long => b }.getOrElse(0L))
+  }
+
   def load(spark: SparkSession, path: String): DataFrame = {
     recover(spark, path)
     spark.read.option("basePath", path).parquet(path)

@@ -72,6 +72,19 @@ class ChunkStoreSpec extends SparkSpec {
     assert(ChunkStore.deleteBySource(spark, dir, "a@x.com", "f2.txt") > 0)
   }
 
+  test("appendObserved reports single-pass write telemetry matching the data") {
+    val dir = tmpDir("store").toString + "/chunks"
+    val b1 = ingestOne("/up/a.txt", "a@x.com", (1 to 300).map(i => s"w$i").mkString(" "))
+    val b2 = ingestOne("/up/b.txt", "b@y.com", "short doc")
+    val all = b1.chunks.unionByName(b2.chunks)
+    val (n, users, bytes) = ChunkStore.appendObserved(all, dir)
+    assert(n == all.count())
+    assert(users == 2L)
+    val wantBytes = all.selectExpr("sum(length(text))").head().getLong(0)
+    assert(bytes == wantBytes)
+    assert(ChunkStore.count(spark, dir) == n)
+  }
+
   test("compact on an empty/missing store is a no-op") {
     val dir = tmpDir("store").toString + "/chunks"
     assert(ChunkStore.compact(spark, dir) == 0L)
