@@ -104,15 +104,31 @@ object NearDup {
 
   /** Embedding-cosine near-dup with IVF-cell blocking — the production
     * block key the label-blocked oracle query (DedupQueries
-    * .embeddingNeardup) stands in for: vectors only compare within their
-    * KMeans cell, so pair count is Σ|cell|² instead of n², and the same
-    * cell-partitioned layout that serves ANN search serves dedup. Recall
-    * loss is exactly the boundary pairs whose members quantize to
-    * different cells (NearDupSpec measures it against the exact join);
-    * production would multi-probe neighbors to recover them. */
+    * .embeddingNeardup) stands in for: vectors only compare within a
+    * shared cell, so pair count is Σ|cell|² instead of n², and the same
+    * cell layout that serves ANN search serves dedup. Recall loss is the
+    * boundary pairs whose members quantize to different cells;
+    * `multiProbe` ≥ 2 assigns each vector to its top-p cells (explode,
+    * p× shuffle volume) so boundary pairs meet in the second-best cell —
+    * the standard multi-probe recall recovery. NearDupSpec measures both
+    * modes against the exact join. */
   def cosineNearDupsByCell(assigned: DataFrame, simThreshold: Double,
+      centroids: Array[Array[Float]] = null, multiProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = assigned.withColumn("nrm",
+    require(multiProbe == 1 || centroids != null,
+      "multiProbe > 1 needs the centroids to rank alternate cells")
+    val base =
+      if (multiProbe <= 1) assigned.select(col(idCol), col(vecCol), col("cell"))
+      else {
+        val cents = centroids
+        val p = multiProbe
+        val cellsUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+          Ivf.nearestCells(cents, v.toArray, p)
+        }
+        assigned.select(col(idCol), col(vecCol),
+          explode(cellsUdf(col(vecCol))).as("cell"))
+      }
+    val e = base.withColumn("nrm",
       sqrt(graft.core.VectorOps.dot(col(vecCol), col(vecCol))))
     val sim = graft.core.VectorOps.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
       (col("a.nrm") * col("b.nrm"))
@@ -120,6 +136,7 @@ object NearDup {
       .join(e.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), sim.as("sim"))
+      .distinct() // a pair can meet in more than one probed cell
       .filter(col("sim") >= simThreshold)
       .orderBy(col("a_id"), col("b_id"))
   }

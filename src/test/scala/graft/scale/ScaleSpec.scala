@@ -135,6 +135,15 @@ class ScaleSpec extends SparkSpec {
     assert(got.subsetOf(exact))
     // and it must find a solid share of them (boundary loss is bounded)
     assert(got.size >= (exact.size * 0.3).toInt, s"recall too low: ${got.size}/${exact.size}")
+    // multi-probe recovers boundary pairs: strictly better-or-equal
+    // recall, still no false positives
+    val probed = NearDup.cosineNearDupsByCell(index.assigned, 0.4,
+      centroids = index.centroids, multiProbe = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(probed.subsetOf(exact))
+    assert(probed.size >= got.size, s"multi-probe lost pairs: ${probed.size} < ${got.size}")
+    assert(probed.size >= (exact.size * 0.5).toInt,
+      s"multi-probe recall too low: ${probed.size}/${exact.size}")
   }
 
   test("LSH self-join on an empty frame returns an empty result, not a crash") {
