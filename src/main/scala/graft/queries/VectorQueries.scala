@@ -101,6 +101,44 @@ object VectorQueries {
       .select(col("vec_id"), distE4(col("d")).as("dist_e4"))
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the standard fusion of
+    * a vector rank list and a keyword rank list (score = Σ 1/(60+rank)):
+    * cosine similarity to the vec_id=0 embedding on one side, word-set
+    * Jaccard against doc_id=0's text on the other, RRF over both ranks.
+    * Entirely rational arithmetic (no transcendentals), so the fused
+    * ranking is oracle-hash-checked end to end. At scale each rank list
+    * comes from its own ANN/inverted-index prefilter and the window runs
+    * over that small candidate set; here the candidate set is the joined
+    * corpus. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"), col("embedding"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val qw = docs.filter(col("doc_id") === 0)
+      .select(array_distinct(split(col("text"), " ")).as("q_words"))
+    val inter = size(array_intersect(col("ws"), col("q_words")))
+    val scored = corpus
+      .filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .crossJoin(broadcast(qw))
+      .select(col("doc_id"),
+        VectorOps.cosineSim(col("embedding"), col("q_emb")).as("vsim"),
+        (inter.cast("double") / (size(col("ws")) + size(col("q_words")) - inter)).as("ksim"))
+    val wv = Window.orderBy(col("vsim").desc, col("doc_id").asc)
+    val wk = Window.orderBy(col("ksim").desc, col("doc_id").asc)
+    val rrf = lit(1.0) / (lit(60) + col("rv")) + lit(1.0) / (lit(60) + col("rk"))
+    scored
+      .withColumn("rv", row_number().over(wv))
+      .withColumn("rk", row_number().over(wk))
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(13)
+      .select(col("doc_id"), col("rv"), col("rk"),
+        round(col("rrf") * 1000000).cast("long").as("rrf_e6"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB left-to-right fold for squared L2 between two list<float>
@@ -139,13 +177,39 @@ object VectorQueries {
          |                   (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS d
          |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
-         |FROM d ORDER BY d, vec_id LIMIT 10""".stripMargin
+         |FROM d ORDER BY d, vec_id LIMIT 10""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |corpus AS (
+         |  SELECT w.doc_id, w.ws, e.embedding
+         |  FROM words w JOIN embeddings e ON w.doc_id = e.vec_id),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |qw AS (SELECT ws AS q_words FROM words WHERE doc_id = 0),
+         |scored AS (
+         |  SELECT c.doc_id,
+         |    ${dotSql("c.embedding", "qv.q_emb")} /
+         |      (sqrt(${dotSql("c.embedding", "c.embedding")}) * sqrt(${dotSql("qv.q_emb", "qv.q_emb")})) AS vsim,
+         |    CAST(len(list_filter(c.ws, x -> list_contains(qw.q_words, x))) AS DOUBLE) /
+         |      (len(c.ws) + len(qw.q_words) -
+         |       len(list_filter(c.ws, x -> list_contains(qw.q_words, x)))) AS ksim
+         |  FROM corpus c CROSS JOIN qv CROSS JOIN qw WHERE c.doc_id <> 0),
+         |ranked AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY vsim DESC, doc_id) AS rv,
+         |    row_number() OVER (ORDER BY ksim DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rv AS INT) AS rv, CAST(rk AS INT) AS rk,
+         |  CAST(round((1.0 / (60 + rv) + 1.0 / (60 + rk)) * 1000000) AS BIGINT) AS rrf_e6
+         |FROM ranked
+         |ORDER BY (1.0 / (60 + rv) + 1.0 / (60 + rk)) DESC, doc_id LIMIT 13""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),
     "knn_batch_agg" -> (knnBatchAgg _),
-    "knn_cosine_top10" -> (knnCosineTop10 _)
+    "knn_cosine_top10" -> (knnCosineTop10 _),
+    "rrf_fusion" -> (rrfFusion _)
   )
 }
