@@ -113,11 +113,13 @@ object VectorQueries {
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // drop empty tokens from runs of spaces: a phantom "" shared by two
+    // texts must not count as an intersecting word
+    val wordSet = array_remove(array_distinct(split(col("text"), " ")), "")
     val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"), col("embedding"))
+      .select(col("doc_id"), wordSet.as("ws"), col("embedding"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val qw = docs.filter(col("doc_id") === 0)
-      .select(array_distinct(split(col("text"), " ")).as("q_words"))
+    val qw = docs.filter(col("doc_id") === 0).select(wordSet.as("q_words"))
     val inter = size(array_intersect(col("ws"), col("q_words")))
     val scored = corpus
       .filter(col("doc_id") =!= 0)
@@ -180,7 +182,9 @@ object VectorQueries {
          |FROM d ORDER BY d, vec_id LIMIT 10""".stripMargin,
     "rrf_fusion" ->
       s"""WITH words AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |  SELECT doc_id,
+         |    list_filter(list_distinct(string_split(text, ' ')), x -> x <> '') AS ws
+         |  FROM documents),
          |corpus AS (
          |  SELECT w.doc_id, w.ws, e.embedding
          |  FROM words w JOIN embeddings e ON w.doc_id = e.vec_id),

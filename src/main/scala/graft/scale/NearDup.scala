@@ -115,7 +115,7 @@ object NearDup {
   def cosineNearDupsByCell(assigned: DataFrame, simThreshold: Double,
       centroids: Array[Array[Float]] = null, multiProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(multiProbe == 1 || centroids != null,
+    require(multiProbe <= 1 || centroids != null,
       "multiProbe > 1 needs the centroids to rank alternate cells")
     val base =
       if (multiProbe <= 1) assigned.select(col(idCol), col(vecCol), col("cell"))
@@ -123,21 +123,30 @@ object NearDup {
         val cents = centroids
         val p = multiProbe
         val cellsUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
-          Ivf.nearestCells(cents, v.toArray, p)
+          // null passes through to nearestCells' clear dimension require
+          Ivf.nearestCells(cents, if (v == null) null else v.toArray, p)
         }
-        assigned.select(col(idCol), col(vecCol),
-          explode(cellsUdf(col(vecCol))).as("cell"))
+        // UNION with the model-assigned cell: the float-rounded published
+        // centroids can rank boundary vectors differently than build()'s
+        // double-precision model assignment, and multi-probe must be a
+        // strict superset of single-probe, not a different partition
+        assigned.select(col(idCol), col(vecCol), col("cell"))
+          .unionByName(assigned.select(col(idCol), col(vecCol),
+            explode(cellsUdf(col(vecCol))).as("cell")))
+          .dropDuplicates(idCol, "cell")
       }
     val e = base.withColumn("nrm",
       sqrt(graft.core.VectorOps.dot(col(vecCol), col(vecCol))))
     val sim = graft.core.VectorOps.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
       (col("a.nrm") * col("b.nrm"))
-    e.as("a")
+    val pairs = e.as("a")
       .join(e.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"), sim.as("sim"))
-      .distinct() // a pair can meet in more than one probed cell
-      .filter(col("sim") >= simThreshold)
+      .filter(col("sim") >= simThreshold) // filter BEFORE any dedup shuffle
+    // only multi-probe can produce a pair twice (same sim both times);
+    // the single-probe hot path must not pay a dedup shuffle for nothing
+    (if (multiProbe > 1) pairs.distinct() else pairs)
       .orderBy(col("a_id"), col("b_id"))
   }
 

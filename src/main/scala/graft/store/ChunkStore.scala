@@ -30,9 +30,11 @@ object ChunkStore {
     chunks.write.mode("append").partitionBy("user", "source").parquet(path)
 
   /** Append with single-pass telemetry: the metrics a production ingest
-    * would emit (rows, tenants, text bytes) are computed by `observe`
-    * DURING the write — no second scan of the data. Returns
-    * (n_chunks, n_users, text_bytes). */
+    * would emit are computed by `observe` DURING the write — no second
+    * scan of the data. Returns (n_chunks, n_users_approx, text_bytes);
+    * the tenant count is HLL-approximate (~2% relative error at high
+    * cardinality — observe() cannot host exact distinct aggregates),
+    * exact at the small per-batch cardinalities typical of ingest. */
   def appendObserved(chunks: DataFrame, path: String): (Long, Long, Long) = {
     val obs = new org.apache.spark.sql.Observation("chunk-append")
     append(chunks.observe(obs,

@@ -17,8 +17,12 @@ class DeterminismSpec extends SparkSpec {
         spark.catalog.clearCache()
         val b = fn(spark, sfDir).collect().map(_.toString).toSeq
         spark.catalog.clearCache()
-        if (a == b) None else Some(s"$name: ${a.size}/${b.size} rows, first diff at " +
-          a.zip(b).indexWhere { case (x, y) => x != y })
+        if (a == b) None
+        else {
+          val i = a.zip(b).indexWhere { case (x, y) => x != y }
+          Some(s"$name: ${a.size}/${b.size} rows, " +
+            (if (i < 0) "prefix equal, differs only in length" else s"first diff at row $i"))
+        }
       } catch { case e: Throwable => Some(s"$name: threw ${e.getMessage}") }
     }
     assert(flaky.isEmpty, s"non-deterministic queries:\n${flaky.mkString("\n")}")
