@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.auth.Jwt
+import graft.ingest.IngestPipeline
+import graft.rag.Rag
+import graft.store.ChunkStore
+
+/** The engine facade — the reference's four HTTP routes
+  * (/root/reference/app.py: /login :284, /upload-pdf :352, /chat :395,
+  * /delete-file :451) as typed methods over the Spark-native pieces, so
+  * "a user of the reference could switch" is one object, not an
+  * assembly manual. HTTP/Flask itself stays out of engine scope; every
+  * method takes the bearer token and binds the verified identity into
+  * the plan exactly where the reference binds `g.email`.
+  *
+  * `now` is injected (epoch seconds) so token issue/expiry and chat-log
+  * timestamps are deterministic under test.
+  */
+final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
+    secret: String, now: () => Long) {
+
+  /** POST /login — email → 1h HS256 token (app.py:284-299). */
+  def login(email: String): String = Jwt.issue(email, secret, now())
+
+  private def authed[A](token: String)(f: String => A): Either[Jwt.AuthError, A] =
+    Jwt.verify(token, secret, now()).map(f)
+
+  /** POST /upload — ingest a batch of (path, content) uploads under the
+    * token's identity; accepted chunks land in the store, and the
+    * per-file outcome report (the reference's indexed/reason JSON,
+    * app.py:378-391) is returned. */
+  def upload(token: String, files: Seq[(String, Array[Byte])]): Either[Jwt.AuthError, DataFrame] =
+    authed(token) { user =>
+      import spark.implicits._
+      val batch = files.toDF("path", "content").withColumn("user", lit(user))
+      val store =
+        if (ChunkStore.isEmpty(spark, storeDir)) None
+        else Some(ChunkStore.load(spark, storeDir))
+      val result = IngestPipeline.ingest(spark, batch, store)
+      try {
+        // Materialize outcomes BEFORE the append: the dedup join re-reads
+        // the store on evaluation, and an evaluation after the append
+        // would see this batch's own freshly-written chunks — marking the
+        // upload a duplicate of itself (read-your-own-write).
+        val rows = result.outcomes.collect()
+        val accepted = result.chunks
+        if (!accepted.isEmpty) ChunkStore.append(accepted, storeDir)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq), result.outcomes.schema)
+      } finally result.release()
+    }
+
+  /** POST /chat — retrieve top-13 for the question WITHIN the caller's
+    * tenant (fixing app.py:409's cross-user leakage), assemble the
+    * grounded prompt, append the chat log. The LLM completion itself is
+    * an external boundary; the prompt is the engine's product. */
+  def chat(token: String, question: String): Either[Jwt.AuthError, String] =
+    authed(token) { user =>
+      val p =
+        if (ChunkStore.isEmpty(spark, storeDir)) Rag.prompt(question, "")
+        else Rag.ask(ChunkStore.load(spark, storeDir), question, user)
+      Rag.logChat(spark, chatLogDir, user, question, p, now() * 1000000L)
+      p
+    }
+
+  /** POST /delete-file — drop every chunk of the caller's `filename`;
+    * returns the deleted count (0 = the reference's "No vectors found"). */
+  def delete(token: String, filename: String): Either[Jwt.AuthError, Long] =
+    authed(token)(user => ChunkStore.deleteBySource(spark, storeDir, user, filename))
+
+  /** Collection count (reference startup log, app.py:79). */
+  def count(): Long = ChunkStore.count(spark, storeDir)
+}
