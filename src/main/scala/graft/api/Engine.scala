@@ -36,9 +36,12 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
     authed(token) { user =>
       import spark.implicits._
       val batch = files.toDF("path", "content").withColumn("user", lit(user))
+      // the dedup key is (user, file_hash) with user fixed to the caller,
+      // so only the caller's partitions can match — scope the store side
+      // to them and the gate prunes to one tenant's directories
       val store =
         if (ChunkStore.isEmpty(spark, storeDir)) None
-        else Some(ChunkStore.load(spark, storeDir))
+        else Some(ChunkStore.userScoped(ChunkStore.load(spark, storeDir), user))
       val result = IngestPipeline.ingest(spark, batch, store)
       try {
         // Materialize outcomes BEFORE the append: the dedup join re-reads
@@ -46,8 +49,10 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
         // would see this batch's own freshly-written chunks — marking the
         // upload a duplicate of itself (read-your-own-write).
         val rows = result.outcomes.collect()
-        val accepted = result.chunks
-        if (!accepted.isEmpty) ChunkStore.append(accepted, storeDir)
+        // any accepted chunks? answered from the collected report — no
+        // extra cluster job just to probe emptiness
+        if (rows.exists(_.getAs[String]("status") == IngestPipeline.Status.Ok))
+          ChunkStore.append(result.chunks, storeDir)
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq), result.outcomes.schema)
       } finally result.release()

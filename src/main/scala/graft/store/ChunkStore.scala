@@ -52,10 +52,20 @@ object ChunkStore {
     spark.read.option("basePath", path).parquet(path)
   }
 
+  /** True when the store has no data: missing directory OR a directory
+    * with no parquet files left — the delete-everything state (only
+    * _SUCCESS markers remain) would otherwise pass the existence check
+    * and then fail schema inference inside load(). Short-circuits on the
+    * first data file found. */
   def isEmpty(spark: SparkSession, path: String): Boolean = {
     recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    !fs.exists(new Path(path))
+    if (!fs.exists(new Path(path))) return true
+    val it = fs.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return false
+    }
+    true
   }
 
   /** Crash recovery for [[compact]]'s two-rename swap: if a crash landed

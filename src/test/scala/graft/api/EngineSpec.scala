@@ -61,4 +61,22 @@ class EngineSpec extends SparkSpec {
     assert(engine.chat(alice, "late").swap.toOption.contains(Jwt.Expired))
     assert(engine.upload("not.a.token", Seq()).swap.toOption.contains(Jwt.Invalid))
   }
+
+  test("deleting the last document leaves a usable engine, not a bricked store") {
+    val storeDir = tmpDir("engine").toString + "/chunks"
+    val chatDir = tmpDir("engine").toString + "/chat"
+    val engine = new Engine(spark, storeDir, chatDir, "s3cret", () => 1700000000L)
+    val t = engine.login("solo@x.com")
+    engine.upload(t, Seq("/up/only.txt" -> bytes("the single document " + ("pad " * 40)))).toOption.get
+    assert(engine.count() > 0)
+    assert(engine.delete(t, "only.txt").toOption.get > 0)
+    assert(engine.count() == 0)
+    // the store dir still exists but holds no data files; every route
+    // must keep working (chat answers from empty context, upload accepts)
+    assert(engine.chat(t, "anything there?").toOption.get.contains("I don't know")
+      || engine.chat(t, "anything there?").isRight)
+    val re = engine.upload(t, Seq("/up/only.txt" -> bytes("fresh content " + ("pad " * 40)))).toOption.get
+    assert(re.select("status").as[String].head() == "ok")
+    assert(engine.count() > 0)
+  }
 }
