@@ -9,14 +9,17 @@ import graft.functions.Embedder
   * payloads as opaque `binary` columns with typed metadata, flowing through
   * the same chunk-store/embedding machinery as text.
   *
-  * The actual media decoders (JPEG decode, audio resample, video frame
-  * extraction) are NOT available in this build — the decode step is a
-  * clearly-marked STUB (`decodeStub`) producing deterministic fake features
-  * from the raw bytes. Everything around the stub is real and tested: the
-  * schema, the partition-level batch shape (one decoder instance per
-  * partition — exactly how an ONNX/ffmpeg handle is amortized on
-  * executors), the per-modality dispatch, and the downstream embedding
-  * column contract (`array<float>`, same as text chunks).
+  * Image and audio decode are REAL pure-JDK codecs ([[MediaCodecs]]:
+  * javax.imageio for png/jpeg/gif/bmp, javax.sound.sampled for WAV PCM) —
+  * features are histograms over actual decoded raster/PCM samples, and the
+  * `media_meta` declared query oracle-checks the encode→decode round-trip.
+  * Only video (no pure-JDK codec exists) falls back to the clearly-marked
+  * deterministic STUB (`decodeStub`), as does any payload the JDK cannot
+  * decode — ingest must be total, not throw on a corrupt blob. The
+  * partition-level batch shape (one decoder instance per partition — how
+  * an ONNX/ffmpeg handle is amortized on executors) and the downstream
+  * embedding column contract (`array<float>`, same as text chunks) apply
+  * to all modalities.
   */
 object Multimodal {
 
@@ -43,12 +46,12 @@ object Multimodal {
         col("content"))
   }
 
-  /** STUB ━ stands in for the real per-modality decoder + feature
-    * extractor (image resize+CNN, audio spectrogram, video frame-sample).
-    * Deterministic: hashes 64-byte windows of the payload into a
-    * unit-norm feature vector, so tests can pin exact outputs. A real
-    * implementation replaces ONLY this function; the partition-level
-    * plumbing in [[extractFeatures]] stays. */
+  /** STUB ━ stands in for a real VIDEO decoder + feature extractor (no
+    * pure-JDK video codec exists), and is the total-ingest fallback for
+    * payloads the JDK image/audio codecs reject. Deterministic: hashes
+    * 64-byte windows of the payload into a unit-norm feature vector, so
+    * tests can pin exact outputs. Image and audio use the REAL decoders
+    * in [[MediaCodecs]]. */
   def decodeStub(modality: String, content: Array[Byte], dim: Int): Array[Float] = {
     val v = new Array[Double](dim)
     var i = 0
@@ -68,15 +71,21 @@ object Multimodal {
 
   /** Decode + featurize every asset. mapPartitions so a real decoder
     * session is created once per partition, processing assets in batch —
-    * the Scala analogue of a pandas-UDF-over-mapInPandas batch shape. */
+    * the Scala analogue of a pandas-UDF-over-mapInPandas batch shape.
+    * Image/audio go through the real [[MediaCodecs]] decoders; video and
+    * undecodable payloads fall back to [[decodeStub]] (ingest is total). */
   def extractFeatures(assets: Dataset[Asset], dim: Int = Embedder.DefaultDim): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // real impl: open decoder/model handle here, close at iterator end
       it.map { a =>
+        val feats = (a.modality match {
+          case "image" => MediaCodecs.imageFeatures(a.content, dim)
+          case "audio" => MediaCodecs.audioFeatures(a.content, dim)
+          case _       => None
+        }).getOrElse(decodeStub(a.modality, a.content, dim))
         AssetFeatures(a.asset_id, a.modality, a.name,
-          a.content.length.toLong, sha256Hex(a.content),
-          decodeStub(a.modality, a.content, dim))
+          a.content.length.toLong, sha256Hex(a.content), feats)
       }
     }
   }

@@ -74,6 +74,48 @@ object ScaleQueries {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
+  final case class MediaMetaRow(doc_id: Long, modality: String, container: String,
+      dim_a: Int, dim_b: Int, bits: Int, units: Long, payload_sum: Long, duration_us: Long)
+
+  /** Real-decoder multimodal metadata: encode genuine PNG (javax.imageio)
+    * and WAV PCM (javax.sound) payloads in-plan from closed-form per-doc
+    * parameters, decode them with [[MediaCodecs]], and emit the DECODED
+    * metadata — dimensions, PCM frame counts, raster/sample sums. The
+    * DuckDB oracle recomputes every value from the same closed forms, so
+    * a broken decoder (wrong dimensions, dropped samples, sign errors in
+    * PCM parsing) hash-mismatches. Gray ramp stays < 256 by construction
+    * (base ≤ 189, x+y ≤ 62) — no modular wraparound to mask a clamp bug.
+    * mapPartitions mirrors the per-partition decoder amortization of
+    * [[Multimodal.extractFeatures]]; the stage is map-only. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        if (id % 2 == 0) {
+          val w = 8 + (id % 25).toInt
+          val h = 8 + ((id * 7) % 25).toInt
+          val base = (id % 190).toInt
+          val png = MediaCodecs.encodeGray(w, h, (x, y) => base + x + y)
+          val m = MediaCodecs.decodeImage(png).fold(e => sys.error(e), identity)
+          MediaMetaRow(id, "image", m.container, m.width, m.height, m.bitsPerSample,
+            m.width.toLong * m.height, m.sampleSum, 0L)
+        } else {
+          val k = 1 + (id % 37).toInt
+          val n = 500 + (id % 1000).toInt
+          val rate = 8000 + (id % 5).toInt * 1000
+          val samples = Array.tabulate(n)(i => ((i * k) % 2000 - 1000).toShort)
+          val wav = MediaCodecs.encodeWavPcm16(rate, samples)
+          val m = MediaCodecs.decodeWav(wav).fold(e => sys.error(e), identity)
+          MediaMetaRow(id, "audio", m.container, m.sampleRate, m.channels, m.bitsPerSample,
+            m.frames, m.sampleSum, m.durationUs)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   /** Top-13 k-NN over SQ8-quantized embeddings: vectors round-trip
     * through per-vector int8 codes before scoring, the query stays exact
     * float — the storage-quantized search path at 100 TB (4× less IO),
@@ -101,6 +143,7 @@ object ScaleQueries {
     "ivf_topk" -> (ivfTopk _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
+    "media_meta" -> (mediaMeta _),
     "frame_sample" -> (frameSample _)
   )
 
@@ -136,6 +179,30 @@ object ScaleQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_meta" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |img AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h, doc_id % 190 AS base
+        |  FROM ids WHERE doc_id % 2 = 0),
+        |aud AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 37 AS k, 500 + doc_id % 1000 AS n,
+        |    8000 + (doc_id % 5) * 1000 AS rate
+        |  FROM ids WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'image' AS modality, 'png' AS container,
+        |  CAST(w AS INT) AS dim_a, CAST(h AS INT) AS dim_b, CAST(8 AS INT) AS bits,
+        |  CAST(w * h AS BIGINT) AS units,
+        |  CAST(w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS payload_sum,
+        |  CAST(0 AS BIGINT) AS duration_us
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, 'audio', 'wav', CAST(rate AS INT), CAST(1 AS INT), CAST(16 AS INT),
+        |  CAST(n AS BIGINT),
+        |  CAST(list_sum(list_transform(generate_series(0, n - 1), i -> (i * k) % 2000 - 1000)) AS BIGINT),
+        |  CAST(n * 1000000 // rate AS BIGINT)
+        |FROM aud
+        |ORDER BY doc_id""".stripMargin,
     "frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(0, (length(text) - 1) // 100),

@@ -101,15 +101,29 @@ object VectorQueries {
       .select(col("vec_id"), distE4(col("d")).as("dist_e4"))
   }
 
+  /** Bounded rank window per ranker for RRF fusion — the standard
+    * `rank_window_size` knob: each ranker contributes only its top-N list
+    * and a doc outside that list gets no contribution from that ranker. */
+  val RrfRankWindow = 100
+
   /** Hybrid retrieval via Reciprocal Rank Fusion — the standard fusion of
     * a vector rank list and a keyword rank list (score = Σ 1/(60+rank)):
     * cosine similarity to the vec_id=0 embedding on one side, word-set
     * Jaccard against doc_id=0's text on the other, RRF over both ranks.
     * Entirely rational arithmetic (no transcendentals), so the fused
-    * ranking is oracle-hash-checked end to end. At scale each rank list
-    * comes from its own ANN/inverted-index prefilter and the window runs
-    * over that small candidate set; here the candidate set is the joined
-    * corpus. */
+    * ranking is oracle-hash-checked end to end.
+    *
+    * Scale shape: each rank list is bounded to [[RrfRankWindow]] BEFORE
+    * any rank window runs — `orderBy(...).limit(N)` plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge of N rows
+    * per partition), so the corpus-wide scoring stage is map-only and the
+    * only unpartitioned `row_number` windows execute over ≤N rows. Ranks
+    * within a top-N list equal global ranks (the list holds exactly the N
+    * globally best under the same total order). Docs missing from one
+    * list carry a NULL rank there and contribute 0 — the same fusion
+    * semantics Elasticsearch/Vespa implement with `rank_window_size`.
+    * PlanSpec pins the no-corpus-wide-unpartitioned-window property for
+    * every declared query. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -128,12 +142,19 @@ object VectorQueries {
       .select(col("doc_id"),
         VectorOps.cosineSim(col("embedding"), col("q_emb")).as("vsim"),
         (inter.cast("double") / (size(col("ws")) + size(col("q_words")) - inter)).as("ksim"))
-    val wv = Window.orderBy(col("vsim").desc, col("doc_id").asc)
-    val wk = Window.orderBy(col("ksim").desc, col("doc_id").asc)
-    val rrf = lit(1.0) / (lit(60) + col("rv")) + lit(1.0) / (lit(60) + col("rk"))
-    scored
-      .withColumn("rv", row_number().over(wv))
-      .withColumn("rk", row_number().over(wk))
+    // bounded top-N per ranker first (TakeOrderedAndProject), THEN the rank
+    // window over the N-row list — never a corpus-wide single-reducer sort
+    val vtop = scored.select(col("doc_id"), col("vsim"))
+      .orderBy(col("vsim").desc, col("doc_id").asc).limit(RrfRankWindow)
+      .withColumn("rv", row_number().over(Window.orderBy(col("vsim").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rv"))
+    val ktop = scored.select(col("doc_id"), col("ksim"))
+      .orderBy(col("ksim").desc, col("doc_id").asc).limit(RrfRankWindow)
+      .withColumn("rk", row_number().over(Window.orderBy(col("ksim").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rk"))
+    val rrf = coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))
+    vtop.join(ktop, Seq("doc_id"), "full_outer")
       .withColumn("rrf", rrf)
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(13)
@@ -198,15 +219,18 @@ object VectorQueries {
          |      (len(c.ws) + len(qw.q_words) -
          |       len(list_filter(c.ws, x -> list_contains(qw.q_words, x)))) AS ksim
          |  FROM corpus c CROSS JOIN qv CROSS JOIN qw WHERE c.doc_id <> 0),
-         |ranked AS (
-         |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY vsim DESC, doc_id) AS rv,
-         |    row_number() OVER (ORDER BY ksim DESC, doc_id) AS rk
-         |  FROM scored)
-         |SELECT doc_id, CAST(rv AS INT) AS rv, CAST(rk AS INT) AS rk,
-         |  CAST(round((1.0 / (60 + rv) + 1.0 / (60 + rk)) * 1000000) AS BIGINT) AS rrf_e6
-         |FROM ranked
-         |ORDER BY (1.0 / (60 + rv) + 1.0 / (60 + rk)) DESC, doc_id LIMIT 13""".stripMargin
+         |vtop AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY vsim DESC, doc_id) AS INT) AS rv
+         |  FROM scored QUALIFY rv <= 100),
+         |ktop AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY ksim DESC, doc_id) AS INT) AS rk
+         |  FROM scored QUALIFY rk <= 100),
+         |fused AS (
+         |  SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id, v.rv, k.rk,
+         |    COALESCE(1.0 / (60 + v.rv), 0) + COALESCE(1.0 / (60 + k.rk), 0) AS rrf
+         |  FROM vtop v FULL OUTER JOIN ktop k ON v.doc_id = k.doc_id)
+         |SELECT doc_id, rv, rk, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_e6
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 13""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def ramp(base: Int)(x: Int, y: Int): Int = base + x + y
+
+  test("gray PNG encode→decode round-trips exact dimensions and sample sum") {
+    val (w, h, base) = (17, 9, 40)
+    val bytes = MediaCodecs.encodeGray(w, h, ramp(base))
+    val m = MediaCodecs.decodeImage(bytes).toOption.get
+    assert(m.container == "png" && m.width == w && m.height == h)
+    assert(m.bands == 1 && m.bitsPerSample == 8)
+    // closed form: sum of (base + x + y) over the raster
+    val want = w.toLong * h * base + h.toLong * (w * (w - 1) / 2) + w.toLong * (h * (h - 1) / 2)
+    assert(m.sampleSum == want)
+  }
+
+  test("BMP and GIF writers round-trip the same gray raster") {
+    for (fmt <- Seq("bmp", "gif")) {
+      val bytes = MediaCodecs.encodeGray(12, 7, ramp(10), fmt)
+      val m = MediaCodecs.decodeImage(bytes).toOption.get
+      assert(m.container == fmt, s"$fmt sniff")
+      assert(m.width == 12 && m.height == 7, fmt)
+      val want = 12L * 7 * 10 + 7L * (12 * 11 / 2) + 12L * (7 * 6 / 2)
+      assert(m.sampleSum == want, s"$fmt sample sum")
+    }
+  }
+
+  test("JPEG decodes with exact dimensions (lossy samples not asserted)") {
+    val img = new java.awt.image.BufferedImage(20, 14, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 14; x <- 0 until 20) img.setRGB(x, y, (x * 12) << 16 | (y * 18) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val m = MediaCodecs.decodeImage(bos.toByteArray).toOption.get
+    assert(m.container == "jpeg" && m.width == 20 && m.height == 14 && m.bands == 3)
+  }
+
+  test("WAV PCM16 encode→decode round-trips rate, frames, duration, and stats") {
+    val samples = Array.tabulate(1000)(i => ((i * 7) % 2000 - 1000).toShort)
+    val bytes = MediaCodecs.encodeWavPcm16(11000, samples)
+    val m = MediaCodecs.decodeWav(bytes).toOption.get
+    assert(m.container == "wav" && m.sampleRate == 11000 && m.channels == 1)
+    assert(m.bitsPerSample == 16 && m.frames == 1000L)
+    assert(m.durationUs == 1000L * 1000000L / 11000)
+    assert(m.sampleSum == samples.map(_.toLong).sum)
+    assert(m.sampleMin == samples.min && m.sampleMax == samples.max)
+  }
+
+  test("stereo WAV reports 2 channels and frame count = samples/2") {
+    val samples = Array.tabulate(600)(i => (i - 300).toShort) // 300 L/R frames
+    val m = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(8000, samples, channels = 2)).toOption.get
+    assert(m.channels == 2 && m.frames == 300L)
+    assert(m.sampleSum == samples.map(_.toLong).sum) // stats cover both channels
+  }
+
+  test("decoders are total: garbage payloads yield Left, never throw") {
+    val garbage = Array.tabulate[Byte](256)(i => (i * 37).toByte)
+    assert(MediaCodecs.decodeImage(garbage).isLeft)
+    assert(MediaCodecs.decodeWav(garbage).isLeft)
+    assert(MediaCodecs.decodeImage(Array.empty[Byte]).isLeft)
+    assert(MediaCodecs.decodeWav(Array.empty[Byte]).isLeft)
+    // truncated WAV header: RIFF magic but nothing else
+    assert(MediaCodecs.decodeWav("RIFF".getBytes("US-ASCII")).isLeft)
+  }
+
+  test("sniff identifies every supported container from magic bytes") {
+    assert(MediaCodecs.sniff(MediaCodecs.encodeGray(4, 4, ramp(0))) == "png")
+    assert(MediaCodecs.sniff(MediaCodecs.encodeGray(4, 4, ramp(0), "bmp")) == "bmp")
+    assert(MediaCodecs.sniff(MediaCodecs.encodeGray(4, 4, ramp(0), "gif")) == "gif")
+    assert(MediaCodecs.sniff(MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))) == "wav")
+    assert(MediaCodecs.sniff(Array[Byte](1, 2, 3)) == "unknown")
+    assert(MediaCodecs.sniff(null) == "unknown")
+  }
+
+  test("image features: histogram over decoded samples, unit norm, real not stub") {
+    val bytes = MediaCodecs.encodeGray(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val f = MediaCodecs.imageFeatures(bytes, 64).get
+    val norm = math.sqrt(f.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // a checkerboard concentrates ALL mass in the first and last histogram bins
+    assert(f(0) > 0.7f && f(63) > 0.7f)
+    assert(f.slice(1, 63).forall(_ == 0.0f))
+  }
+
+  test("audio features: histogram over decoded PCM, unit norm") {
+    // constant-amplitude square wave: mass in exactly two bins
+    val samples = Array.tabulate(2000)(i => (if (i % 2 == 0) 16000 else -16000).toShort)
+    val f = MediaCodecs.audioFeatures(MediaCodecs.encodeWavPcm16(8000, samples), 64).get
+    assert(math.abs(math.sqrt(f.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    assert(f.count(_ > 0.0f) == 2)
+  }
+}

@@ -30,6 +30,20 @@ class MultimodalSpec extends SparkSpec {
     assert(other.embedding.toSeq != feats.head.embedding.toSeq)
   }
 
+  test("extractFeatures routes decodable image/audio through the real codecs") {
+    val png = MediaCodecs.encodeGray(16, 16, (x, y) => (x * 16 + y) % 256)
+    val wav = MediaCodecs.encodeWavPcm16(8000,
+      Array.tabulate(500)(i => ((i * 31) % 2000 - 1000).toShort))
+    val feats = Multimodal.extractFeatures(Seq(
+      asset(1, "image", "a.png", png),
+      asset(2, "audio", "b.wav", wav)).toDS()).collect().sortBy(_.asset_id)
+    // features are the real decoded-sample histograms, not the byte stub
+    assert(feats(0).embedding.toSeq == MediaCodecs.imageFeatures(png, 64).get.toSeq)
+    assert(feats(1).embedding.toSeq == MediaCodecs.audioFeatures(wav, 64).get.toSeq)
+    assert(feats(0).embedding.toSeq != Multimodal.decodeStub("image", png, 64).toSeq)
+    assert(feats(1).embedding.toSeq != Multimodal.decodeStub("audio", wav, 64).toSeq)
+  }
+
   test("frame sampling produces one row per stride window") {
     val bytes = Array.tabulate[Byte](4096)(i => (i % 127).toByte)
     val frames = Multimodal.sampleFrames(

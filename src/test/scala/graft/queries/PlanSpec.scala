@@ -79,4 +79,29 @@ class PlanSpec extends SparkSpec {
     val p = planOf("merge_upsert")
     assert(p.contains("FullOuter"), p)
   }
+
+  test("rrf_fusion: rank lists bounded before fusing — top-N via TakeOrderedAndProject") {
+    val p = planOf("rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no declared query runs an unpartitioned window over unbounded input") {
+    // An empty-partition-spec Window forces every input row through ONE
+    // reducer — fine over a bounded (post-limit / local) relation, a
+    // scale-killer over a corpus scan. Guarded here for the whole declared
+    // surface so a refactor can't reintroduce the round-2 rrf_fusion shape.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalRelation, OneRowRelation, Window => LogicalWindow}
+    spark.catalog.clearCache()
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalRelation => (); case _: OneRowRelation => ()
+            }.isEmpty =>
+          s"$name: unpartitioned window over unbounded input (${w.windowExpressions.map(_.sql).mkString(", ")})"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
