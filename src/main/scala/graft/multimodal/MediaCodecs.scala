@@ -83,7 +83,11 @@ object MediaCodecs {
       if (img == null) None
       else {
         val r = img.getRaster
-        val maxVal = 1 << img.getColorModel.getComponentSize(0)
+        // per-band sample range: a 16-bit-gray + 8-bit-alpha image has
+        // heterogeneous component sizes, so one shared maxVal would mis-bin
+        val sizes = img.getColorModel.getComponentSize
+        val maxVals = Array.tabulate(r.getNumBands)(b =>
+          1L << sizes(math.min(b, sizes.length - 1)))
         val v = new Array[Double](dim)
         var y = 0
         while (y < img.getHeight) {
@@ -92,7 +96,7 @@ object MediaCodecs {
             var b = 0
             while (b < r.getNumBands) {
               val s = r.getSample(x, y, b)
-              v(math.min(s.toLong * dim / maxVal, dim - 1L).toInt) += 1.0
+              v(math.min(s.toLong * dim / maxVals(b), dim - 1L).toInt) += 1.0
               b += 1
             }
             x += 1
@@ -123,17 +127,21 @@ object MediaCodecs {
   // ------------------------------------------------------------------ audio
 
   /** Decode a RIFF/WAVE payload to typed metadata + integer PCM stats.
-    * 16-bit samples are read at the container's declared endianness. */
+    * 16-bit samples are read at the container's declared endianness; 8-bit
+    * WAV PCM is unsigned by spec. Any other depth (24-bit PCM, 32-bit
+    * float — javax.sound accepts both) is rejected rather than silently
+    * mis-read byte-wise. */
   def decodeWav(bytes: Array[Byte]): Either[String, AudioMeta] =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val f = in.getFormat
         val rate = math.round(f.getSampleRate)
+        val bits = f.getSampleSizeInBits
         if (rate <= 0) Left(s"non-positive sample rate $rate")
+        else if (bits != 16 && bits != 8) Left(s"unsupported bit depth $bits (PCM 8/16 only)")
         else {
           val frames = in.getFrameLength
-          val bits = f.getSampleSizeInBits
           val data = in.readAllBytes()
           var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
           def see(s: Int): Unit = { sum += s; if (s < mn) mn = s; if (s > mx) mx = s }
@@ -164,23 +172,27 @@ object MediaCodecs {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val f = in.getFormat
-        val data = in.readAllBytes()
-        val v = new Array[Double](dim)
-        if (f.getSampleSizeInBits == 16) {
-          val n = data.length / 2
-          var i = 0
-          while (i < n) {
-            val lo = data(2 * i) & 0xff
-            val hi = data(2 * i + 1) & 0xff
-            val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
-            v((s + 32768) * dim / 65536) += 1.0
-            i += 1
+        val bits = f.getSampleSizeInBits
+        if (bits != 16 && bits != 8) None // same depth gate as decodeWav
+        else {
+          val data = in.readAllBytes()
+          val v = new Array[Double](dim)
+          if (bits == 16) {
+            val n = data.length / 2
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+              v((s + 32768) * dim / 65536) += 1.0
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < data.length) { v((data(i) & 0xff) * dim / 256) += 1.0; i += 1 }
           }
-        } else {
-          var i = 0
-          while (i < data.length) { v((data(i) & 0xff) * dim / 256) += 1.0; i += 1 }
+          Some(unitNorm(v))
         }
-        Some(unitNorm(v))
       } finally in.close()
     } catch { case _: Exception => None }
 

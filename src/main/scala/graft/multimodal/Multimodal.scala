@@ -27,7 +27,8 @@ object Multimodal {
 
   case class Asset(asset_id: Long, modality: String, name: String, content: Array[Byte])
   case class AssetFeatures(asset_id: Long, modality: String, name: String,
-      byte_len: Long, content_hash: String, embedding: Array[Float])
+      byte_len: Long, content_hash: String, feature_source: String,
+      embedding: Array[Float])
 
   /** Load a landing directory of media files as assets —
     * `spark.read.format("binaryFile")` gives (path, modificationTime,
@@ -79,13 +80,17 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real impl: open decoder/model handle here, close at iterator end
       it.map { a =>
-        val feats = (a.modality match {
+        val decoded = a.modality match {
           case "image" => MediaCodecs.imageFeatures(a.content, dim)
           case "audio" => MediaCodecs.audioFeatures(a.content, dim)
           case _       => None
-        }).getOrElse(decodeStub(a.modality, a.content, dim))
+        }
+        // feature_source makes the stub fallback identifiable downstream —
+        // a corrupt image must not be indistinguishable from a decoded one
         AssetFeatures(a.asset_id, a.modality, a.name,
-          a.content.length.toLong, sha256Hex(a.content), feats)
+          a.content.length.toLong, sha256Hex(a.content),
+          if (decoded.isDefined) "codec" else "stub",
+          decoded.getOrElse(decodeStub(a.modality, a.content, dim)))
       }
     }
   }

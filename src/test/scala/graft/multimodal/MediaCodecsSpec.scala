@@ -65,6 +65,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav("RIFF".getBytes("US-ASCII")).isLeft)
   }
 
+  test("non-8/16-bit WAV depths are rejected, not byte-misread") {
+    // hand-build a 24-bit PCM WAV header (javax.sound accepts the depth;
+    // the old byte-wise fallback would have produced silently wrong stats)
+    val nFrames = 100
+    val dataLen = nFrames * 3
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(8000 * 3)
+      .putShort(3).putShort(24)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until dataLen) bb.put((i % 251).toByte)
+    val res = MediaCodecs.decodeWav(bb.array())
+    assert(res == Left("unsupported bit depth 24 (PCM 8/16 only)"), res)
+    assert(MediaCodecs.audioFeatures(bb.array(), 64).isEmpty)
+  }
+
   test("sniff identifies every supported container from magic bytes") {
     assert(MediaCodecs.sniff(MediaCodecs.encodeGray(4, 4, ramp(0))) == "png")
     assert(MediaCodecs.sniff(MediaCodecs.encodeGray(4, 4, ramp(0), "bmp")) == "bmp")

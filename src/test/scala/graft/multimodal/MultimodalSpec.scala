@@ -17,6 +17,8 @@ class MultimodalSpec extends SparkSpec {
       asset(2, "audio", "b.wav", Array.fill[Byte](300)(9))).toDS()
     val feats = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
     assert(feats.map(_.modality).toSeq == Seq("image", "audio"))
+    // undecodable payloads are marked, not silently stub-featured
+    assert(feats.forall(_.feature_source == "stub"))
     assert(feats.forall(_.embedding.length == 64))
     assert(feats.forall(f => f.byte_len > 0 && f.content_hash.matches("[0-9a-f]{64}")))
     val norm = math.sqrt(feats.head.embedding.map(x => x.toDouble * x).sum)
@@ -38,6 +40,7 @@ class MultimodalSpec extends SparkSpec {
       asset(1, "image", "a.png", png),
       asset(2, "audio", "b.wav", wav)).toDS()).collect().sortBy(_.asset_id)
     // features are the real decoded-sample histograms, not the byte stub
+    assert(feats.forall(_.feature_source == "codec"))
     assert(feats(0).embedding.toSeq == MediaCodecs.imageFeatures(png, 64).get.toSeq)
     assert(feats(1).embedding.toSeq == MediaCodecs.audioFeatures(wav, 64).get.toSeq)
     assert(feats(0).embedding.toSeq != Multimodal.decodeStub("image", png, 64).toSeq)

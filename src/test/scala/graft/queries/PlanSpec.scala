@@ -90,15 +90,17 @@ class PlanSpec extends SparkSpec {
     // reducer — fine over a bounded (post-limit / local) relation, a
     // scale-killer over a corpus scan. Guarded here for the whole declared
     // surface so a refactor can't reintroduce the round-2 rrf_fusion shape.
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalRelation, OneRowRelation, Window => LogicalWindow}
+    // Dominance check: the window's CHILD must have a statically bounded
+    // row count (`maxRows.isDefined` — limits and local relations set it,
+    // and it only propagates through nodes that can't inflate cardinality).
+    // Merely finding a Limit somewhere in the subtree is not enough: a
+    // window over corpusScan.join(small.limit(1)) is still corpus-wide.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     spark.catalog.clearCache()
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan
       plan.collect {
-        case w: LogicalWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst {
-              case _: GlobalLimit => (); case _: LocalRelation => (); case _: OneRowRelation => ()
-            }.isEmpty =>
+        case w: LogicalWindow if w.partitionSpec.isEmpty && w.child.maxRows.isEmpty =>
           s"$name: unpartitioned window over unbounded input (${w.windowExpressions.map(_.sql).mkString(", ")})"
       }
     }
