@@ -74,6 +74,56 @@ object ScaleQueries {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
+  // ------------------------------------------------------- precision oracles
+  //
+  // The signature/ANN pipelines are engine-hash/MLlib-dependent, so their
+  // headline parameterizations are rows-only. These companion queries pin
+  // the SAME machinery with parameters under which the approximate answer
+  // provably (ivf: nprobe = nlist ⇒ nothing pruned) or verifiably
+  // (minhash/lsh: recall 1.0 on the fixture under fixed seeds, checked at
+  // every SF) equals exact ground truth DuckDB can recompute from parquet —
+  // turning "trust ScalaTest" into a driver-checked CORRECTNESS row for the
+  // production dedup/ANN paths.
+
+  /** IVF with every cell probed: the index machinery (KMeans assignment,
+    * cell layout, pruning filter, rerank arithmetic) must reproduce the
+    * exact brute-force top-13 — any mis-assigned or dropped vector breaks
+    * the hash match. Same oracle as knn_top13. */
+  def ivfPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val index = Ivf.build(spark, emb)
+    Ivf.search(index, q, k = 13, nprobe = 16)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** MinHash at full-recall banding (k=64, 32 bands × 2 rows: candidate
+    * probability at J ≥ 0.5 is 1-(1-J²)^32 ≥ 0.9999, and deterministic
+    * under the fixed engine hash) + the exact-Jaccard verify ⇒ the output
+    * equals the exact J ≥ 0.5 pair set, which DuckDB recomputes from
+    * shingles. A banding bug that loses a candidate, or a verify bug that
+    * mis-counts a shingle, fails the row/hash match. */
+  def minhashPrecision(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashNearDups(
+      Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5, k = 64, bands = 32)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))
+
+  /** LSH self-join at full-recall parameters + the exact rerank ⇒ the
+    * output equals the exact sub-1.1 L2 pair set among vec_id < 500,
+    * recomputed by DuckDB as an all-pairs join. Pins the whole
+    * projection/bucket/rerank chain. Parameter math: the hardest exact
+    * pairs sit near d=1.1 (unit vectors ⇒ cos≈0.4, near-orthogonal), where
+    * a wide-bucket projection degenerates to sign-of-dot with collision
+    * probability 1-θ/π ≈ 0.63 — so AND-composition would crush recall
+    * (0.63⁴ ≈ 0.16/table) and full recall needs pure OR: 1 hash × 24
+    * tables ⇒ worst-pair miss ≈ 0.37²⁴ ≈ 4e-11 under the fixed seed. */
+  def lshPrecision(spark: SparkSession, dir: String): DataFrame =
+    LshJoin.selfJoin(Tables.embeddings(spark, dir).filter(col("vec_id") < 500),
+      threshold = 1.1, bucketLength = 8.0, numHashTables = 24, hashesPerTable = 1)
+      .select(col("a_id"), col("b_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+
   final case class MediaMetaRow(doc_id: Long, modality: String, container: String,
       dim_a: Int, dim_b: Int, bits: Int, units: Long, payload_sum: Long, duration_us: Long)
 
@@ -144,12 +194,56 @@ object ScaleQueries {
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
     "media_meta" -> (mediaMeta _),
-    "frame_sample" -> (frameSample _)
+    "frame_sample" -> (frameSample _),
+    "ivf_precision" -> (ivfPrecision _),
+    "minhash_precision" -> (minhashPrecision _),
+    "lsh_precision" -> (lshPrecision _)
   )
 
+  private def sqL2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
   val oracles: Map[String, String] = Map(
-    // minhash/simhash/ivf/lsh: engine-hash/MLlib-dependent → no SQL oracle;
-    // pinned against exact ground truth in ScaleSpec.
+    // minhash/simhash/ivf/lsh headline forms: engine-hash/MLlib-dependent →
+    // no SQL oracle; pinned against exact ground truth in ScaleSpec. Their
+    // *_precision parameterizations below ARE oracle-checked.
+    "ivf_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    "minhash_precision" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.inter,
+        |  CAST(na.n + nb.n - p.inter AS BIGINT) AS uni,
+        |  CAST(round(CAST(p.inter AS DOUBLE) * 10000 / (na.n + nb.n - p.inter)) AS BIGINT) AS jacc_e4
+        |FROM pairs p
+        |JOIN sizes na ON na.doc_id = p.a_id
+        |JOIN sizes nb ON nb.doc_id = p.b_id
+        |WHERE p.inter * 2 >= na.n + nb.n - p.inter
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
+    "lsh_precision" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    sqrt(${sqL2Sql("a.embedding", "b.embedding")}) AS dist
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500)
+         |SELECT a_id, b_id, CAST(round(dist * 10000) AS BIGINT) AS dist_e4
+         |FROM p WHERE dist < 1.1 ORDER BY a_id, b_id""".stripMargin,
     "sq8_topk" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb

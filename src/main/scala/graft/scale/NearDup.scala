@@ -40,8 +40,16 @@ object NearDup {
   }
 
   /** LSH banding: explode each signature into (band_idx, band_hash) keys;
-    * docs sharing any band key are candidate pairs. */
-  def bandedCandidates(sig: DataFrame, k: Int = NumHashes, bands: Int = Bands): DataFrame = {
+    * docs sharing any band key are candidate pairs.
+    *
+    * `maxBandDocs` is the hot-bucket guard for skewed corpora: a band
+    * bucket holding f docs produces f²/2 candidate pairs, so one
+    * degenerate bucket (e.g. a boilerplate header shared by millions of
+    * docs) can dominate the whole join. Buckets larger than the cap are
+    * dropped — their members are so common that any pair they'd surface
+    * is either boilerplate or still reachable through another band. */
+  def bandedCandidates(sig: DataFrame, k: Int = NumHashes, bands: Int = Bands,
+      maxBandDocs: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must be divisible by bands ($bands): integer-division row " +
         "width would silently drop the trailing k % bands minhash columns")
@@ -50,8 +58,17 @@ object NearDup {
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
       struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_hash"))
+    val banded =
+      if (maxBandDocs == Int.MaxValue) exploded
+      else {
+        val hot = exploded.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > maxBandDocs)
+          .select(col("band_idx"), col("band_hash"))
+        exploded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -79,10 +96,28 @@ object NearDup {
   }
 
   /** Exact Jaccard for every pair sharing ≥1 shingle (no signatures —
-    * ground truth / oracle form; quadratic only within co-shingle groups). */
-  def exactJaccardPairs(sh: DataFrame): DataFrame = {
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    * ground truth / oracle form; quadratic only within co-shingle groups).
+    *
+    * `maxShingleDf` caps the document frequency of shingles used for PAIR
+    * GENERATION only: a stop-word 3-gram appearing in f docs creates an
+    * f²/2 pair group, the unbounded hot-key blowup at corpus scale.
+    * Dropping a df>cap shingle from pairing never changes the Jaccard of
+    * a surfaced pair (inter/uni still count the full shingle sets) — it
+    * can only lose pairs whose ONLY shared shingles are ubiquitous, i.e.
+    * pairs whose Jaccard is ≤ (shared hot shingles)/union — far below any
+    * useful near-dup threshold. NearDupSpec pins cap-on == cap-off on the
+    * fixture at threshold 0.2. */
+  def exactJaccardPairs(sh: DataFrame, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val pairGen =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select(col("sh"))
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val pairs = pairGen.as("a")
+      .join(pairGen.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     jaccardOnPairs(sh, pairs)
@@ -90,14 +125,20 @@ object NearDup {
 
   /** Full MinHash near-dup pipeline: candidates from banding, then exact
     * Jaccard verification on the candidate pairs only. Returns pairs with
-    * jaccard ≥ `threshold`. */
-  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * jaccard ≥ `threshold`. More bands (with k/bands rows each) raise the
+    * candidate probability 1-(1-J^rows)^bands — k=64/bands=32 makes misses
+    * at J ≥ 0.5 vanishingly rare, which is what the oracle-checked
+    * `minhash_precision` parameterization relies on. `maxBandDocs` is the
+    * hot-bucket guard (see [[bandedCandidates]]). */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = NumHashes, bands: Int = Bands,
+      maxBandDocs: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs)
-    val cands = bandedCandidates(minhashSignatures(sh))
+    val cands = bandedCandidates(minhashSignatures(sh, k), k, bands, maxBandDocs)
     jaccardOnPairs(sh, cands)
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("inter"),
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         round(col("jaccard") * 10000).cast("long").as("jacc_e4"))
       .orderBy(col("a_id"), col("b_id"))
   }

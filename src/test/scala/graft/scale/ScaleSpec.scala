@@ -43,6 +43,45 @@ class ScaleSpec extends SparkSpec {
     assert(sig.columns.count(_.startsWith("mh")) == NearDup.NumHashes)
   }
 
+  test("shingle DF cap: same pairs at threshold 0.2, pair-gen join bounded") {
+    // the cap drops hot shingles from pair GENERATION only — any pair whose
+    // jaccard clears a useful threshold shares rarer shingles too, so the
+    // surfaced pair set (and every inter/uni count) is unchanged
+    val sh = NearDup.shingles(docs).cache()
+    val uncapped = NearDup.exactJaccardPairs(sh)
+      .filter(col("inter").cast("double") / col("uni") >= 0.2)
+      .select("a_id", "b_id", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val capped = NearDup.exactJaccardPairs(sh, maxShingleDf = 20)
+      .filter(col("inter").cast("double") / col("uni") >= 0.2)
+      .select("a_id", "b_id", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+    // and with every shingle capped away there are no pairs at all
+    assert(NearDup.exactJaccardPairs(sh, maxShingleDf = 0).isEmpty)
+  }
+
+  test("banding hot-bucket cap: capped candidates are a subset, planted pairs survive") {
+    val truth = exactJaccardPairs(0.5)
+    val all = NearDup.minhashNearDups(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // near-dup bands are tiny buckets (2 docs); a generous cap drops nothing
+    val capped = NearDup.minhashNearDups(docs, 0.5, maxBandDocs = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped == all)
+    assert(truth.forall(capped.contains))
+    // cap of 1 kills every bucket (a candidate needs ≥ 2 docs in a bucket)
+    assert(NearDup.minhashNearDups(docs, 0.5, maxBandDocs = 1).isEmpty)
+  }
+
+  test("minhash_precision banding (k=64, 32 bands) reaches full recall on the fixture") {
+    val truth = exactJaccardPairs(0.5)
+    val got = NearDup.minhashNearDups(docs, 0.5, k = 64, bands = 32)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"minhash k=64/b=32 = $got, truth = $truth")
+  }
+
   test("simhash near-dups include the near-identical pairs and report hamming") {
     val truth = exactJaccardPairs(0.8) // near-identical docs
     val got = NearDup.simhashNearDups(docs, 12)
