@@ -5,39 +5,562 @@ import java.util.zip.Inflater
 
 import scala.collection.mutable
 
-/** Best-effort PDF text extraction, pure JDK — covers the common subset:
-  * uncompressed or /FlateDecode content streams with literal-string text
-  * operators (Tj, ', ", TJ arrays) in standard 8-bit encodings.
+/** PDF text extraction, pure JDK.
   *
-  * Explicit non-goals (the reference's pypdf handles some of these):
-  * CID/Type0 composite fonts with ToUnicode CMaps, predictors, encrypted
-  * documents, LZW/DCT streams. Out-of-subset PDFs degrade to no extracted
-  * text → the pipeline's `no_content` reject, never a crash; corrupt
-  * structure degrades to a `parse_error` reason. One document per content
-  * stream that yields text (pages are usually one stream each; exact page
-  * mapping would need the xref/page tree, which the chunker does not
-  * need).
+  * Two tiers, mirroring how real files are laid out:
+  *
+  *  1. **Structured path** (PDF 1.0-1.7, incl. 1.5+ compressed files):
+  *     parse `startxref` → the cross-reference (classic `xref` tables OR
+  *     PDF 1.5 cross-reference *streams* with `/W` field widths, `/Index`
+  *     subsections and PNG predictors), follow `/Prev` chains and hybrid
+  *     `/XRefStm` pointers, expand `/Type /ObjStm` compressed object
+  *     streams, then walk `/Root` → `/Pages` → page tree and extract each
+  *     page's `/Contents` in document order. Because the xref names the
+  *     *live* object generation, incrementally-updated files extract only
+  *     the current text, not superseded revisions.
+  *  2. **Fallback path**: if the file has no usable xref (hand-built or
+  *     damaged files), scan `stream ... endstream` spans linearly — the
+  *     pre-1.5 behavior.
+  *
+  * Text operators covered: Tj, ', ", TJ with literal `(..)` strings
+  * (escapes, octal, nesting) and hex `<..>` strings decoded as single-byte
+  * codes (correct for the standard simple fonts; CID/Type0 composite fonts
+  * with ToUnicode CMaps are out of subset, as are LZW/DCT filters and
+  * encryption — out-of-subset pages degrade to no text, never a crash;
+  * corrupt structure degrades to the fallback scan, then `parse_error`).
+  *
+  * Reference capability matched: pypdf text extraction used by the upload
+  * loader (/root/reference/helper/multiple_document_upload.py:36-44).
   */
 object PdfParser {
+
+  // ---------------------------------------------------------------- model
+
+  private sealed trait Obj
+  private final case class PNum(v: Double) extends Obj { def i: Int = v.toInt; def l: Long = v.toLong }
+  private final case class PStr(v: String) extends Obj
+  private final case class PName(v: String) extends Obj
+  private final case class PBool(v: Boolean) extends Obj
+  private case object PNull extends Obj
+  private final case class PArr(v: Vector[Obj]) extends Obj
+  private final case class PDict(v: Map[String, Obj]) extends Obj {
+    def get(k: String): Option[Obj] = v.get(k)
+  }
+  private final case class PRef(num: Int, gen: Int) extends Obj
+  private final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  /** Where an object body lives: directly at a byte offset, or at slot
+    * `idx` inside the object stream numbered `objStm`. */
+  private sealed trait Loc
+  private final case class AtOffset(off: Long) extends Loc
+  private final case class InObjStm(objStm: Int, idx: Int) extends Loc
+
+  // ---------------------------------------------------------------- entry
 
   val pdf: IngestPipeline.Parser = bytes => {
     if (bytes.length < 8 || !new String(bytes, 0, 5, StandardCharsets.ISO_8859_1).startsWith("%PDF-"))
       Left("not a PDF (missing %PDF- header)")
     else
       try {
-        val docs = streams(bytes).flatMap { case (dict, data) =>
-          val content =
-            if (dict.contains("/FlateDecode")) inflate(data)
-            else Some(data)
-          content.map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
-            .filter(_.nonEmpty)
+        val s = new String(bytes, StandardCharsets.ISO_8859_1)
+        val structured =
+          try pagesViaXref(bytes, s)
+          catch { case _: Exception => None }
+        val docs = structured.getOrElse {
+          streams(bytes).flatMap { case (dict, data) =>
+            decodeFiltered(dict.contains("/FlateDecode"), data)
+              .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
+              .filter(_.nonEmpty)
+          }
         }
         Right(docs)
       } catch { case e: Exception => Left(s"pdf error: ${e.getMessage}") }
   }
 
+  // ------------------------------------------------- structured (xref) path
+
+  /** Per-page extracted text via the cross-reference and page tree, or
+    * None when the file has no usable xref/root (→ fallback scan). */
+  private def pagesViaXref(bytes: Array[Byte], s: String): Option[Seq[String]] = {
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val offStr = s.substring(sx + 9).trim.takeWhile(_.isDigit)
+    if (offStr.isEmpty) return None
+
+    val locs = mutable.Map.empty[Int, Loc] // first (newest) xref section wins
+    var trailer = Map.empty[String, Obj]
+    val seenXref = mutable.Set.empty[Long]
+    var next: Long = offStr.toLong
+    while (next >= 0 && next < bytes.length && seenXref.add(next)) {
+      val (dict, cont) = readXrefSection(bytes, s, next, locs)
+      dict.foreach { d => trailer = d.v ++ trailer } // newer sections override
+      next = cont
+    }
+    if (locs.isEmpty) return None
+
+    val resolver = new Resolver(bytes, s, locs.toMap)
+    val root = trailer.get("Root").map(resolver.deref).collect { case d: PDict => d }
+    root.flatMap { cat =>
+      cat.get("Pages").map(resolver.deref).collect { case pagesRoot: PDict =>
+        val pages = collectPages(pagesRoot, resolver)
+        pages.flatMap { page =>
+          val text = pageText(page, resolver)
+          if (text.nonEmpty) Some(text) else None
+        }
+      }
+    }
+  }
+
+  /** Read one xref section (classic table or xref stream) at `off` into
+    * `locs` (not overwriting entries already present — newest wins), and
+    * return (trailer dict if any, offset of the previous section or -1). */
+  private def readXrefSection(
+      bytes: Array[Byte], s: String, off: Long,
+      locs: mutable.Map[Int, Loc]): (Option[PDict], Long) = {
+    val lx = new Lexer(s, off.toInt)
+    lx.ws()
+    if (s.startsWith("xref", lx.i)) {
+      // classic table: subsections of "start count" then 20-byte entries
+      lx.i += 4; lx.ws()
+      while (lx.i < s.length && s.charAt(lx.i).isDigit) {
+        val start = lx.int(); lx.ws()
+        val count = lx.int(); lx.ws()
+        var k = 0
+        while (k < count) {
+          val entry = s.substring(lx.i, math.min(lx.i + 20, s.length))
+          val parts = entry.trim.split("\\s+")
+          if (parts.length >= 3 && parts(2) == "n")
+            locs.getOrElseUpdate(start + k, AtOffset(parts(0).toLong))
+          lx.i += 20
+          // tolerate writers that emit 19-byte entries (single-char EOL)
+          if (lx.i <= s.length && lx.i >= 1 && s.charAt(lx.i - 1).isDigit) lx.i -= 1
+          k += 1
+        }
+        lx.ws()
+      }
+      // trailer dict follows; may carry /XRefStm (hybrid-reference files)
+      val tIdx = s.indexOf("trailer", lx.i)
+      if (tIdx < 0) (None, -1L)
+      else {
+        val tl = new Lexer(s, tIdx + 7)
+        tl.ws()
+        tl.parse() match {
+          case d: PDict =>
+            d.get("XRefStm").foreach {
+              case n: PNum => readXrefSection(bytes, s, n.l, locs)
+              case _ => ()
+            }
+            val prev = d.get("Prev") match { case Some(n: PNum) => n.l; case _ => -1L }
+            (Some(d), prev)
+          case _ => (None, -1L)
+        }
+      }
+    } else {
+      // PDF 1.5 xref stream: "N G obj << /Type /XRef ... >> stream"
+      parseIndirectAt(bytes, s, off.toInt, None) match {
+        case Some(PStream(dict, raw)) if dict.get("Type").contains(PName("XRef")) =>
+          val data = decodeXrefStream(dict, raw).getOrElse(return (None, -1L))
+          val w = dict.get("W") match {
+            case Some(PArr(ws)) => ws.collect { case n: PNum => n.i }
+            case _ => return (None, -1L)
+          }
+          if (w.length < 3) return (None, -1L)
+          val rowLen = w.sum
+          val size = dict.get("Size") match { case Some(n: PNum) => n.i; case _ => 0 }
+          val index = dict.get("Index") match {
+            case Some(PArr(ix)) => ix.collect { case n: PNum => n.i }.grouped(2).map(p => (p(0), p(1))).toSeq
+            case _ => Seq((0, size))
+          }
+          var pos = 0
+          def field(width: Int): Long = {
+            var v = 0L; var k = 0
+            while (k < width) { v = (v << 8) | (data(pos) & 0xffL); pos += 1; k += 1 }
+            v
+          }
+          index.foreach { case (start, count) =>
+            var k = 0
+            while (k < count && pos + rowLen <= data.length) {
+              val t = if (w(0) == 0) 1L else field(w(0))
+              val f2 = field(w(1))
+              val f3 = field(w(2))
+              t match {
+                case 1 => locs.getOrElseUpdate(start + k, AtOffset(f2))
+                case 2 => locs.getOrElseUpdate(start + k, InObjStm(f2.toInt, f3.toInt))
+                case _ => () // type 0 = free
+              }
+              k += 1
+            }
+          }
+          val prev = dict.get("Prev") match { case Some(n: PNum) => n.l; case _ => -1L }
+          (Some(dict), prev)
+        case _ => (None, -1L)
+      }
+    }
+  }
+
+  /** Inflate an xref stream and undo its PNG predictor if declared. */
+  private def decodeXrefStream(dict: PDict, raw: Array[Byte]): Option[Array[Byte]] = {
+    val flate = dict.get("Filter") match {
+      case Some(PName("FlateDecode")) => true
+      case Some(PArr(fs)) => fs.contains(PName("FlateDecode"))
+      case _ => false
+    }
+    decodeFiltered(flate, raw).map { data =>
+      dict.get("DecodeParms").orElse(dict.get("DP")) match {
+        case Some(p: PDict) =>
+          val pred = p.get("Predictor") match { case Some(n: PNum) => n.i; case _ => 1 }
+          val cols = p.get("Columns") match { case Some(n: PNum) => n.i; case _ => 1 }
+          if (pred >= 10) pngUnfilter(data, cols, 1) else data
+        case _ => data
+      }
+    }
+  }
+
+  /** Undo PNG row filters (predictors 10-15): each row is a filter-type
+    * byte then `cols` bytes; bpp = bytes per complete pixel (1 for xref
+    * streams). Implements None/Sub/Up/Average/Paeth per RFC 2083. */
+  private[ingest] def pngUnfilter(data: Array[Byte], cols: Int, bpp: Int): Array[Byte] = {
+    val rowLen = cols
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val in = r * (rowLen + 1) + 1
+      val o = r * rowLen
+      var c = 0
+      while (c < rowLen) {
+        val x = data(in + c) & 0xff
+        val a = if (c >= bpp) out(o + c - bpp) & 0xff else 0            // left
+        val b = if (r > 0) out(o - rowLen + c) & 0xff else 0            // up
+        val cc = if (r > 0 && c >= bpp) out(o - rowLen + c - bpp) & 0xff else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+          case _ => x
+        }
+        out(o + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Resolves indirect references through the xref map, expanding
+    * `/Type /ObjStm` containers on demand, with memoization and cycle
+    * safety (a ref chain longer than 32 hops bails to PNull). */
+  private final class Resolver(bytes: Array[Byte], s: String, locs: Map[Int, Loc]) {
+    private val cache = mutable.Map.empty[Int, Obj]
+    private val objStmCache = mutable.Map.empty[Int, Map[Int, Obj]]
+
+    def deref(o: Obj): Obj = deref(o, 0)
+
+    @annotation.tailrec
+    private def deref(o: Obj, depth: Int): Obj = o match {
+      case PRef(num, _) if depth < 32 => deref(fetch(num), depth + 1)
+      case PRef(_, _) => PNull
+      case other => other
+    }
+
+    private def fetch(num: Int): Obj =
+      cache.getOrElseUpdate(num, locs.get(num) match {
+        case Some(AtOffset(off)) if off >= 0 && off < bytes.length =>
+          parseIndirectAt(bytes, s, off.toInt, Some(this)).getOrElse(PNull)
+        case Some(InObjStm(stm, idx)) =>
+          objStmObjects(stm).getOrElse(idx, PNull)
+        case _ => PNull
+      })
+
+    /** slot index → object for one expanded `/Type /ObjStm` stream. */
+    private def objStmObjects(stmNum: Int): Map[Int, Obj] =
+      objStmCache.getOrElseUpdate(stmNum, {
+        deref(PRef(stmNum, 0)) match {
+          case PStream(dict, raw) if dict.get("Type").contains(PName("ObjStm")) =>
+            val n = dict.get("N") match { case Some(x: PNum) => x.i; case _ => 0 }
+            val first = dict.get("First") match { case Some(x: PNum) => x.i; case _ => 0 }
+            val flate = dict.get("Filter") match {
+              case Some(PName("FlateDecode")) => true
+              case Some(PArr(fs)) => fs.contains(PName("FlateDecode"))
+              case _ => false
+            }
+            decodeFiltered(flate, raw) match {
+              case Some(data) =>
+                val text = new String(data, StandardCharsets.ISO_8859_1)
+                val hdr = new Lexer(text, 0)
+                val offsets = (0 until n).map { _ =>
+                  hdr.ws(); val num = hdr.int(); hdr.ws(); val off = hdr.int(); (num, off)
+                }
+                offsets.zipWithIndex.map { case ((_, off), idx) =>
+                  val ol = new Lexer(text, first + off)
+                  ol.ws()
+                  idx -> ol.parse()
+                }.toMap
+              case None => Map.empty[Int, Obj]
+            }
+          case _ => Map.empty[Int, Obj]
+        }
+      })
+  }
+
+  /** Depth-first page-tree walk: internal nodes carry /Kids, leaves are
+    * /Page (or kid-less dicts). Bounded visit set guards malformed cyclic
+    * trees. */
+  private def collectPages(root: PDict, r: Resolver): Seq[PDict] = {
+    val out = mutable.ArrayBuffer.empty[PDict]
+    val seen = mutable.Set.empty[Int] // identity guard via ref numbers
+    def walk(node: Obj, depth: Int): Unit = if (depth < 64) {
+      val resolved = node match {
+        case ref @ PRef(num, _) =>
+          if (!seen.add(num)) return
+          r.deref(ref)
+        case o => o
+      }
+      resolved match {
+        case d: PDict =>
+          d.get("Kids") match {
+            case Some(kids) => r.deref(kids) match {
+              case PArr(ks) => ks.foreach(walk(_, depth + 1))
+              case _ => ()
+            }
+            case None => out += d
+          }
+        case _ => ()
+      }
+    }
+    walk(root, 0)
+    out.toSeq
+  }
+
+  /** One page's text: /Contents is one stream or an array of streams whose
+    * decoded bytes concatenate into a single content stream. */
+  private def pageText(page: PDict, r: Resolver): String = {
+    val parts: Seq[Array[Byte]] = page.get("Contents").toSeq.flatMap { c =>
+      r.deref(c) match {
+        case st: PStream => decodeStream(st).toSeq
+        case PArr(cs) => cs.flatMap(x => r.deref(x) match {
+          case st: PStream => decodeStream(st)
+          case _ => None
+        })
+        case _ => Seq.empty
+      }
+    }
+    if (parts.isEmpty) ""
+    else extractText(parts.map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n"))
+  }
+
+  private def decodeStream(st: PStream): Option[Array[Byte]] = {
+    val flate = st.dict.get("Filter") match {
+      case Some(PName("FlateDecode")) => true
+      case Some(PArr(fs)) =>
+        // only a pure-Flate chain is decodable; any other filter → skip
+        if (fs.forall(_ == PName("FlateDecode"))) true else return None
+      case Some(_) => return None // LZW/DCT/etc: out of subset
+      case None => false
+    }
+    decodeFiltered(flate, st.raw)
+  }
+
+  private def decodeFiltered(flate: Boolean, data: Array[Byte]): Option[Array[Byte]] =
+    if (flate) inflate(data) else Some(data)
+
+  // ----------------------------------------------------------- object lexer
+
+  /** Parse the indirect object whose "N G obj" header starts at `off`.
+    * Returns the body (PStream for stream objects). `resolver` is used
+    * only to chase an indirect /Length; None falls back to an endstream
+    * search. */
+  private def parseIndirectAt(
+      bytes: Array[Byte], s: String, off: Int, resolver: Option[Resolver]): Option[Obj] = {
+    val lx = new Lexer(s, off)
+    lx.ws()
+    if (lx.i >= s.length || !s.charAt(lx.i).isDigit) return None
+    lx.int(); lx.ws()
+    if (lx.i >= s.length || !s.charAt(lx.i).isDigit) return None
+    lx.int(); lx.ws()
+    if (!s.startsWith("obj", lx.i)) return None
+    lx.i += 3
+    lx.ws()
+    val body = lx.parse()
+    body match {
+      case d: PDict =>
+        lx.ws()
+        if (s.startsWith("stream", lx.i)) {
+          val dataStart =
+            if (s.startsWith("stream\r\n", lx.i)) lx.i + 8
+            else if (s.startsWith("stream\n", lx.i)) lx.i + 7
+            else lx.i + 6
+          val len: Option[Int] = d.get("Length").flatMap {
+            case n: PNum => Some(n.i)
+            case ref: PRef => resolver.flatMap(_.deref(ref) match {
+              case n: PNum => Some(n.i); case _ => None
+            })
+            case _ => None
+          }
+          val end = len match {
+            case Some(l) if dataStart + l <= bytes.length &&
+              s.indexOf("endstream", dataStart + l) >= 0 &&
+              s.indexOf("endstream", dataStart + l) - (dataStart + l) <= 2 => dataStart + l
+            case _ =>
+              // untrustworthy /Length: search, trimming the pre-endstream EOL
+              val e0 = s.indexOf("endstream", dataStart)
+              if (e0 < 0) return None
+              var e = e0
+              if (e > dataStart && s.charAt(e - 1) == '\n') e -= 1
+              if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
+              e
+          }
+          Some(PStream(d, bytes.slice(dataStart, end)))
+        } else Some(d)
+      case other => Some(other)
+    }
+  }
+
+  /** Minimal recursive-descent PDF object lexer over the latin-1 view. */
+  private final class Lexer(s: String, var i: Int) {
+    private def isDelim(c: Char) =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+    private def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+
+    def ws(): Unit = {
+      var going = true
+      while (going && i < s.length) {
+        val c = s.charAt(i)
+        if (isWs(c)) i += 1
+        else if (c == '%') { // comment to EOL
+          while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+        } else going = false
+      }
+    }
+
+    def int(): Int = {
+      val st = i
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      s.substring(st, i).toInt
+    }
+
+    def parse(): Obj = {
+      ws()
+      if (i >= s.length) return PNull
+      s.charAt(i) match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => dict()
+        case '<' => hexString()
+        case '(' =>
+          val (lit, next) = literal(s, i)
+          i = next
+          PStr(lit)
+        case '[' => array()
+        case '/' => name()
+        case 't' if s.startsWith("true", i) => i += 4; PBool(true)
+        case 'f' if s.startsWith("false", i) => i += 5; PBool(false)
+        case 'n' if s.startsWith("null", i) => i += 4; PNull
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' => numberOrRef()
+        case _ => i += 1; PNull // unknown token: skip a char, stay total
+      }
+    }
+
+    private def dict(): Obj = {
+      i += 2
+      val m = mutable.Map.empty[String, Obj]
+      var going = true
+      while (going) {
+        ws()
+        if (i + 1 < s.length && s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+          i += 2; going = false
+        } else if (i >= s.length) going = false
+        else if (s.charAt(i) == '/') {
+          val PName(k) = name(): @unchecked
+          m(k) = parse()
+        } else i += 1 // malformed key: skip
+      }
+      PDict(m.toMap)
+    }
+
+    private def array(): Obj = {
+      i += 1
+      val out = Vector.newBuilder[Obj]
+      var going = true
+      while (going) {
+        ws()
+        if (i >= s.length) going = false
+        else if (s.charAt(i) == ']') { i += 1; going = false }
+        else out += parse()
+      }
+      PArr(out.result())
+    }
+
+    private def name(): PName = {
+      i += 1
+      val st = i
+      while (i < s.length && !isWs(s.charAt(i)) && !isDelim(s.charAt(i))) i += 1
+      // #xx hex escapes in names
+      val raw = s.substring(st, i)
+      val sb = new StringBuilder
+      var k = 0
+      while (k < raw.length) {
+        if (raw.charAt(k) == '#' && k + 2 < raw.length)
+          try { sb.append(Integer.parseInt(raw.substring(k + 1, k + 3), 16).toChar); k += 3 }
+          catch { case _: NumberFormatException => sb.append(raw.charAt(k)); k += 1 }
+        else { sb.append(raw.charAt(k)); k += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def hexString(): Obj = {
+      i += 1
+      val st = i
+      while (i < s.length && s.charAt(i) != '>') i += 1
+      val hex = s.substring(st, i).filter(c => Character.digit(c, 16) >= 0)
+      if (i < s.length) i += 1
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      PStr(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+    }
+
+    private def numberOrRef(): Obj = {
+      val st = i
+      if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+      var isInt = true
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) {
+        if (s.charAt(i) == '.') isInt = false
+        i += 1
+      }
+      val numText = s.substring(st, i)
+      val v = numText.toDouble
+      if (isInt && v >= 0) {
+        // lookahead for "gen R" making this an indirect reference
+        val save = i
+        ws()
+        if (i < s.length && s.charAt(i).isDigit) {
+          val gst = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          val gen = s.substring(gst, i)
+          ws()
+          if (i < s.length && s.charAt(i) == 'R' &&
+            (i + 1 >= s.length || isWs(s.charAt(i + 1)) || isDelim(s.charAt(i + 1)))) {
+            i += 1
+            return PRef(v.toInt, gen.toInt)
+          }
+        }
+        i = save
+      }
+      PNum(v)
+    }
+  }
+
+  // ------------------------------------------------ fallback + text engine
+
   /** All (stream dictionary, raw stream bytes) pairs, in file order. The
-    * dictionary is kept as raw text — only filter names are needed. */
+    * dictionary is kept as raw text — only filter names are needed.
+    * Fallback for files without a usable cross-reference. */
   private def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = mutable.ArrayBuffer.empty[(String, Array[Byte])]
@@ -95,7 +618,9 @@ object PdfParser {
 
   /** Text shown by Tj / ' / " / TJ operators inside BT..ET blocks, in
     * order; TJ kerning numbers are dropped, strings concatenated. Words
-    * are joined with spaces; ' (next-line show) starts a new line. */
+    * are joined with spaces; ' (next-line show) starts a new line. Hex
+    * strings `<..>` decode as single-byte character codes (simple fonts);
+    * `<<..>>` property dicts (BDC/DP marked content) are skipped. */
   private[ingest] def extractText(content: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -108,6 +633,11 @@ object PdfParser {
         content.charAt(j) == '\n' || content.charAt(j) == '\t')) j += 1
       content.startsWith(op, j)
     }
+    def show(text: String, next: Int): Unit = {
+      if (precededBy("'", next) || precededBy("\"", next)) sb.append('\n')
+      else if (sb.nonEmpty && !sb.last.isWhitespace) sb.append(' ')
+      sb.append(text)
+    }
     while (i < n) {
       if (!inText) {
         val bt = content.indexOf("BT", i)
@@ -118,11 +648,26 @@ object PdfParser {
           inText = false; i += 2
         case '(' =>
           val (lit, next) = literal(content, i)
-          // include the string for any show operator; ' and " imply newline
-          if (precededBy("'", next) || precededBy("\"", next)) sb.append('\n')
-          else if (sb.nonEmpty && !sb.last.isWhitespace) sb.append(' ')
-          sb.append(lit)
+          show(lit, next)
           i = next
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
+          // inline dict (marked-content properties): skip to matching >>
+          var depth = 1; i += 2
+          while (i + 1 < n && depth > 0) {
+            if (content.charAt(i) == '<' && content.charAt(i + 1) == '<') { depth += 1; i += 2 }
+            else if (content.charAt(i) == '>' && content.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+            else i += 1
+          }
+        case '<' =>
+          val close = content.indexOf('>', i + 1)
+          if (close < 0) i = n
+          else {
+            val hex = content.substring(i + 1, close).filter(c => Character.digit(c, 16) >= 0)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            val text = padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+            show(text, close + 1)
+            i = close + 1
+          }
         case _ => i += 1
       }
     }

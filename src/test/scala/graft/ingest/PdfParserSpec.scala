@@ -90,4 +90,182 @@ class PdfParserSpec extends AnyFunSuite {
     val doc = pdf("/Filter /FlateDecode" -> deflate("BT (ingestable pdf body) Tj ET"))
     assert(IngestPipeline.defaultParsers("pdf")(doc) == Right(Seq("ingestable pdf body")))
   }
+
+  // ------------------------------------------------------------------
+  // PDF 1.5+: cross-reference streams, ObjStm, predictors, page tree
+  // ------------------------------------------------------------------
+
+  /** Incremental writer tracking byte offsets of each emitted object. */
+  private final class Builder {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = out.size()
+      raw(s"$num 0 obj\n$body\nendobj\n")
+    }
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      raw(s"$num 0 obj\n<< $dict /Length ${data.length} >>\nstream\n")
+      out.write(data)
+      raw("\nendstream\nendobj\n")
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Rows of (type, field2, field3) packed with widths W = [1 2 1]. */
+  private def xrefRows(rows: Seq[(Int, Int, Int)]): Array[Byte] =
+    rows.flatMap { case (t, f2, f3) =>
+      Seq(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    }.toArray
+
+  /** Apply PNG Up-filter (predictor 12) row encoding: prepend filter-type
+    * byte 2 and store byte-wise deltas vs the previous row. */
+  private def pngUpEncode(data: Array[Byte], cols: Int): Array[Byte] = {
+    val rows = data.length / cols
+    val out = new ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    (0 until rows).foreach { r =>
+      out.write(2)
+      val row = data.slice(r * cols, (r + 1) * cols)
+      (0 until cols).foreach(c => out.write((row(c) - prev(c)) & 0xff))
+      prev = row
+    }
+    out.toByteArray
+  }
+
+  /** A complete PDF 1.5 file: catalog/pages/page live inside an ObjStm,
+    * content is a Flate stream, the xref is a cross-reference stream. */
+  private def pdf15(content: String, predictor: Boolean): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.5\n")
+    // obj 4: page content (regular Flate stream — never inside an ObjStm)
+    val cdata = deflate(content)
+    b.streamObj(4, "/Filter /FlateDecode", cdata)
+    // obj 5: ObjStm holding catalog(1), pages(2), page(3)
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val hdr = s"1 0 2 ${o1.length + 1} 3 ${o1.length + 1 + o2.length + 1} "
+    val payload = s"$o1 $o2 $o3"
+    val stmData = deflate(hdr + payload)
+    b.streamObj(5, s"/Type /ObjStm /N 3 /First ${hdr.length} /Filter /FlateDecode", stmData)
+    // obj 6: cross-reference stream (W = [1 2 1], Size 7)
+    val xrefOff = b.out.size()
+    val rows = xrefRows(Seq(
+      (0, 0, 255),            // 0: free
+      (2, 5, 0), (2, 5, 1), (2, 5, 2), // 1-3 live in ObjStm 5
+      (1, b.offsets(4), 0), (1, b.offsets(5), 0), (1, xrefOff, 0)))
+    val (xdata, parms) =
+      if (predictor) (deflate2(pngUpEncode(rows, 4)), " /DecodeParms << /Predictor 12 /Columns 4 >>")
+      else (deflate2(rows), "")
+    b.streamObj(6,
+      s"/Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R /Filter /FlateDecode$parms", xdata)
+    b.raw(s"startxref\n$xrefOff\n%%EOF\n")
+    b.bytes
+  }
+
+  private def deflate2(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("PDF 1.5: xref stream + ObjStm page tree extracts text") {
+    val doc = pdf15("BT (modern compressed pdf) Tj ET", predictor = false)
+    assert(PdfParser.pdf(doc) == Right(Seq("modern compressed pdf")))
+  }
+
+  test("PDF 1.5: PNG Up predictor (12) on the xref stream decodes") {
+    val doc = pdf15("BT (predicted xref works) Tj ET", predictor = true)
+    assert(PdfParser.pdf(doc) == Right(Seq("predicted xref works")))
+  }
+
+  test("hex strings <..> decode as single-byte text in content streams") {
+    // "Hex 15!" = 48 65 78 20 31 35 21
+    val doc = pdf15("BT <48657820313521> Tj ET", predictor = false)
+    assert(PdfParser.pdf(doc) == Right(Seq("Hex 15!")))
+    // spec: an odd trailing digit pads with 0 → final "2" reads as 0x20
+    val odd = pdf15("BT <4865782031352> Tj ET", predictor = false)
+    assert(PdfParser.pdf(odd) == Right(Seq("Hex 15")))
+  }
+
+  test("marked-content property dicts inside BT/ET are not mistaken for hex") {
+    val doc = pdf15("BT /P <</MCID 0>> BDC (marked body) Tj EMC ET", predictor = false)
+    assert(PdfParser.pdf(doc) == Right(Seq("marked body")))
+  }
+
+  test("classic xref table + trailer also routes through the page tree") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val data = deflate("BT (classic xref body) Tj ET")
+    b.streamObj(4, "/Filter /FlateDecode", data)
+    // decoy stream NOT referenced by any page: the page tree must skip it
+    b.streamObj(9, "", "BT (unreferenced decoy) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("classic xref body")),
+      "page-tree extraction must include only /Contents streams")
+  }
+
+  test("incremental update: xref chain resolves the LIVE object only") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.streamObj(4, "", "BT (superseded revision) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref1 = b.out.size()
+    b.raw("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
+    // incremental update: replace object 4, chain via /Prev
+    b.streamObj(4, "", "BT (current revision) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref2 = b.out.size()
+    b.raw("xref\n0 1\n0000000000 65535 f \n4 1\n")
+    b.raw(f"${b.offsets(4)}%010d 00001 n \n")
+    b.raw(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("current revision")),
+      "a linear scan would also surface the superseded text; xref must not")
+  }
+
+  test("multi-stream /Contents arrays concatenate into one page text") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>")
+    b.streamObj(4, "", "BT (first half".getBytes(StandardCharsets.ISO_8859_1))
+    b.streamObj(5, "", ") Tj (second half) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val Right(Seq(text)) = PdfParser.pdf(b.bytes): @unchecked
+    assert(text.contains("second half"))
+  }
+
+  test("pngUnfilter inverts all five PNG row filters") {
+    val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    // encode rows with Up (2) then verify round trip via the decoder
+    val enc = pngUpEncode(raw, 4)
+    assert(PdfParser.pngUnfilter(enc, 4, 1).toSeq == raw.toSeq)
+    // Sub filter (1): delta vs previous byte in the same row
+    val sub = Array[Byte](1, 10, 10, 10, 10) // decodes to 10,20,30,40
+    assert(PdfParser.pngUnfilter(sub, 4, 1).toSeq == Seq[Byte](10, 20, 30, 40))
+    // Paeth (4) first row degenerates to Sub; Average (3) to half-left
+    val paeth = Array[Byte](4, 5, 5, 5, 5)
+    assert(PdfParser.pngUnfilter(paeth, 4, 1).toSeq == Seq[Byte](5, 10, 15, 20))
+    val avg = Array[Byte](3, 8, 8, 8, 8)
+    assert(PdfParser.pngUnfilter(avg, 4, 1).toSeq == Seq[Byte](8, 12, 14, 15))
+  }
 }
