@@ -34,6 +34,7 @@ object SparkEntry {
       (SurfaceQueries.queries, SurfaceQueries.oracles),
       (JoinQueries.queries, JoinQueries.oracles),
       (FuncQueries.queries, FuncQueries.oracles),
+      (StoreQueries.queries, StoreQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles)
     )
 

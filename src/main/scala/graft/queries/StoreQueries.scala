@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.store.Clustered
+
+/** Declared queries for the clustered store layouts (SURVEY.md §2.3 store
+  * ops): a Z-ordered write of the events table followed by a 2-D box scan.
+  * The layout must not change any answer — the oracle reads the same box
+  * straight from the source table — while ClusteredSpec and SCALE.md carry
+  * the pruning evidence (file min/max envelopes vs the predicate box).
+  */
+object StoreQueries {
+
+  private def scratch(name: String, dir: String): String =
+    new File(new File(sys.props("java.io.tmpdir")),
+      s"graft_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
+
+  /** Round-trip events through a Z-ordered (user_id, event_id) layout and
+    * aggregate a 2-D box. Values are layout-independent (decimal sums, so
+    * accumulation order cannot perturb low bits); what the layout buys is
+    * scan pruning, pinned separately in ClusteredSpec. Box bounds stay
+    * inside every SF's id range so the result is non-vacuous at sf0.001. */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = scratch("zorder", dir)
+    Clustered.writeZOrdered(ev, path, numFiles = 16, col("user_id"), col("event_id"))
+    spark.read.parquet(path)
+      .filter(col("user_id") >= 4 && col("user_id") < 10 &&
+        col("event_id") >= 100 && col("event_id") < 800)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_scan" -> (zorderScan _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id >= 4 AND user_id < 10 AND event_id >= 100 AND event_id < 800
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
