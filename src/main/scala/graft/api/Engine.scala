@@ -7,6 +7,7 @@ import graft.auth.Jwt
 import graft.ingest.IngestPipeline
 import graft.rag.Rag
 import graft.store.ChunkStore
+import graft.streaming.ChatLog
 
 /** The engine facade — the reference's four HTTP routes
   * (/root/reference/app.py: /login :284, /upload-pdf :352, /chat :395,
@@ -58,18 +59,33 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
       } finally result.release()
     }
 
+  /** The chat-log relay (landing → canonical log on Structured
+    * Streaming): started on first chat, resumed from its checkpoint if a
+    * previous engine instance over the same dirs already committed
+    * turns — restart replays nothing (see [[graft.streaming.ChatLog]]). */
+  private lazy val chatRelay = ChatLog.relay(spark, chatLogDir)
+
   /** POST /chat — retrieve top-13 for the question WITHIN the caller's
     * tenant (fixing app.py:409's cross-user leakage), assemble the
-    * grounded prompt, append the chat log. The LLM completion itself is
-    * an external boundary; the prompt is the engine's product. */
+    * grounded prompt, append the chat log through the streaming sink.
+    * The LLM completion itself is an external boundary; the prompt is
+    * the engine's product. */
   def chat(token: String, question: String): Either[Jwt.AuthError, String] =
     authed(token) { user =>
       val p =
         if (ChunkStore.isEmpty(spark, storeDir)) Rag.prompt(question, "")
         else Rag.ask(ChunkStore.load(spark, storeDir), question, user)
-      Rag.logChat(spark, chatLogDir, user, question, p, now() * 1000000L)
+      ChatLog.append(spark, chatLogDir, user, question, p, now() * 1000000L)
+      // flush for read-your-write facade semantics; production leaves the
+      // relay draining asynchronously
+      chatRelay.processAllAvailable()
       p
     }
+
+  /** Stop the chat-log relay (the checkpoint makes a later restart
+    * seamless). */
+  def shutdown(): Unit =
+    spark.streams.active.filter(_.name == ChatLog.relayName(chatLogDir)).foreach(_.stop())
 
   /** POST /delete-file — drop every chunk of the caller's `filename`;
     * returns the deleted count (0 = the reference's "No vectors found"). */

@@ -79,4 +79,31 @@ class EngineSpec extends SparkSpec {
     assert(re.select("status").as[String].head() == "ok")
     assert(engine.count() > 0)
   }
+
+  test("chat log flows through the streaming sink; an engine restart replays nothing") {
+    import graft.streaming.ChatLog
+    val storeDir = tmpDir("engine").toString + "/chunks"
+    val chatDir = tmpDir("engine").toString + "/chat"
+    var clock = 1700000000L
+    val e1 = new Engine(spark, storeDir, chatDir, "s3cret", () => clock)
+    val t1 = e1.login("replay@x.com")
+    e1.chat(t1, "first turn").toOption.get
+    clock += 1
+    e1.chat(t1, "second turn").toOption.get
+    // the canonical log is the relay's OUTPUT, not the landing dir
+    assert(ChatLog.read(spark, chatDir).count() == 2)
+    assert(spark.streams.active.exists(_.name == ChatLog.relayName(chatDir)))
+    e1.shutdown()
+    assert(!spark.streams.active.exists(_.name == ChatLog.relayName(chatDir)))
+
+    // a new engine over the same dirs resumes from the checkpoint: the two
+    // committed landing files are NOT re-relayed, the new turn is
+    val e2 = new Engine(spark, storeDir, chatDir, "s3cret", () => clock + 1)
+    val t2 = e2.login("replay@x.com")
+    e2.chat(t2, "third turn").toOption.get
+    val log = ChatLog.read(spark, chatDir)
+    assert(log.count() == 3, "restart must neither duplicate nor drop turns")
+    assert(log.select("question").distinct().count() == 3)
+    e2.shutdown()
+  }
 }
