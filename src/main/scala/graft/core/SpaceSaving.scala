@@ -1,0 +1,61 @@
+package graft.core
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One surfaced heavy hitter. */
+case class TermCount(term: String, count: Long)
+
+/** Space-Saving heavy hitters (Metwally et al., "Efficient computation of
+  * frequent and top-k elements in data streams", ICDT 2005) as a typed
+  * Spark Aggregator: a bounded m-entry summary that admits partial
+  * aggregation — each partition streams its terms into a local summary,
+  * summaries merge pairwise on the reduce side, so the shuffle carries at
+  * most m (term, count) pairs per partition regardless of input size.
+  * That bounded-state-through-partial-aggregation shape is exactly what a
+  * 100 TB frequent-terms pass needs (an exact groupBy shuffles every
+  * distinct term; vocabulary at web scale is billions).
+  *
+  * Guarantees (the classic ones, pinned in SpaceSavingSpec): every true
+  * count is ≤ its estimate, over-estimation is bounded by n/m, and any
+  * term with true frequency > n/m is guaranteed present in the summary.
+  * With m ≥ the distinct-term count no eviction ever happens anywhere, so
+  * the result is EXACT — the full-recall parameterization the
+  * heavy_hitters query uses to stay DuckDB-oracle-checkable.
+  *
+  * Merge adds counts keyed-wise then trims to the m largest — the
+  * standard practical merge; the error bound degrades to the sum of the
+  * inputs' bounds, which SpaceSavingSpec also pins.
+  */
+class SpaceSaving(m: Int) extends Aggregator[String, Map[String, Long], Seq[TermCount]] {
+  require(m > 0, "summary capacity must be positive")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
+    b.get(term) match {
+      case Some(c) => b.updated(term, c + 1)
+      case None if b.size < m => b.updated(term, 1L)
+      case None =>
+        // evict the minimum (term tie-break for determinism); the new term
+        // inherits the evicted count + 1 — the over-estimate that makes
+        // the summary's counts upper bounds
+        val (mk, mv) = b.minBy { case (k, v) => (v, k) }
+        (b - mk).updated(term, mv + 1)
+    }
+
+  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+    val sum = (b1.keySet ++ b2.keySet).iterator
+      .map(k => k -> (b1.getOrElse(k, 0L) + b2.getOrElse(k, 0L))).toMap
+    if (sum.size <= m) sum
+    else sum.toSeq.sortBy { case (k, v) => (-v, k) }.take(m).toMap
+  }
+
+  override def finish(b: Map[String, Long]): Seq[TermCount] =
+    b.toSeq.map { case (t, c) => TermCount(t, c) }
+      .sortBy(tc => (-tc.count, tc.term))
+
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TermCount]] = ExpressionEncoder()
+}

@@ -88,13 +88,58 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted data mixing — the source-level downsampling every
+    * large-scale training mix needs (web dumps at 10%, curated sources at
+    * 100%). Inclusion is a pure function of the document id (salted-md5
+    * hex range, same mechanism as [[deterministicSplit]]) so the mix is
+    * reproducible across reruns, engines, and cluster layouts — no RNG,
+    * no sampleBy. Source tiers (source number mod 4) map to keep-rates
+    * 100%/~50%/~25%/~10%; emitted per source: totals, kept counts, and a
+    * kept-id checksum so the oracle verifies WHICH rows were kept, not
+    * just how many. Map-only pass — filter and hash are codegen'd, the
+    * only shuffle is the low-cardinality per-source rollup. */
+  def dataMix(spark: SparkSession, dir: String): DataFrame = {
+    val tier = regexp_replace(col("source"), "[^0-9]", "").cast("int") % 4
+    val h2 = substring(md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+    val keep = when(tier === 0, lit(true))
+      .when(tier === 1, h2 < "80")
+      .when(tier === 2, h2 < "40")
+      .otherwise(h2 < "1a")
+    Tables.documents(spark, dir)
+      .withColumn("keep", keep)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "deterministic_split" -> (deterministicSplit _),
     "tfidf_topterms" -> (tfidfTopterms _),
-    "redact_pii" -> (redactPii _)
+    "redact_pii" -> (redactPii _),
+    "data_mix" -> (dataMix _)
   )
 
   val oracles: Map[String, String] = Map(
+    "data_mix" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4 AS tier,
+        |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN tier = 0 THEN TRUE
+        |         WHEN tier = 1 THEN h2 < '80'
+        |         WHEN tier = 2 THEN h2 < '40'
+        |         ELSE h2 < '1a' END AS keep
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "deterministic_split" ->
       """WITH s AS (
         |  SELECT lang, n_chars,

@@ -154,7 +154,75 @@ object TextQueries {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("rfp"))
       .orderBy(col("doc_id"))
 
+  /** BM25 top-10 for a 3-term query — the lexical half of hybrid
+    * retrieval (rrf_fusion's keyword ranker upgraded to the standard
+    * ranking function). Okapi parameters k1=1.2, b=0.75; the idf is the
+    * RATIONAL (N-df+0.5)/(df+0.5)+1 — the ln() of textbook BM25 is
+    * omitted (monotone transform of a positive argument ⇒ identical
+    * per-term ranking) so the score's IEEE op chain is bit-identical
+    * across engines; per-term contributions are e4-rounded BEFORE the
+    * per-doc sum, so the sum is integer arithmetic — order-free under any
+    * partitioning.
+    *
+    * Scale shape: docs NOT containing any query term are dropped by
+    * arrays_overlap before the explode, so the only shuffle (per-doc
+    * term counts) carries query-term rows only; df and the corpus stats
+    * are broadcast; the final top-10 is TakeOrderedAndProject. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "scan", "merge")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .withColumn("len", size(col("toks")))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("len")).cast("long").as("total_len"))
+    val tf = docs
+      .filter(arrays_overlap(col("toks"), lit(terms.toArray)))
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("len").cast("double") /
+              (col("total_len").cast("double") / col("n_docs").cast("double"))))))
+      .withColumn("contrib_e4", round(col("contrib") * 10000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_e4")).as("score_e4"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Heavy hitters via the Space-Saving UDAF ([[graft.core.SpaceSaving]]):
+    * bounded m-entry summaries merged through partial aggregation — at
+    * most m pairs per partition cross the shuffle, vs an exact groupBy
+    * shuffling every distinct term. Declared at m=64 ≥ the fixture
+    * vocabulary (31 distinct terms at every SF), where no eviction can
+    * occur and the summary is provably exact — DuckDB recomputes it as a
+    * plain GROUP BY (the same full-recall-parameterization pattern as
+    * minhash_precision). SpaceSavingSpec pins the small-m approximation
+    * contract the 100 TB configuration relies on. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .as[String]
+    terms.select(new graft.core.SpaceSaving(64).toColumn).toDF("hh")
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.term").as("term"), col("h.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25Topk _),
+    "heavy_hitters" -> (heavyHitters _),
     "rolling_fp" -> (rollingFp _),
     "sketch_stats" -> (sketchStats _),
     "lang_id" -> (langId _),
@@ -169,6 +237,32 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS len
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM d),
+        |tf AS (
+        |  SELECT doc_id, len, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(toks) AS term FROM d) u
+        |  WHERE term IN ('join', 'scan', 'merge') GROUP BY doc_id, len, term),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(len AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * 10000) AS BIGINT) AS contrib_e4
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(SUM(contrib_e4) AS BIGINT) AS score_e4, COUNT(*) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY score_e4 DESC, doc_id LIMIT 10""".stripMargin,
+    "heavy_hitters" ->
+      """SELECT term, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
     "rolling_fp" ->
       """SELECT doc_id,
         |  list_reduce(
