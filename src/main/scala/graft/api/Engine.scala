@@ -62,8 +62,14 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
   /** The chat-log relay (landing → canonical log on Structured
     * Streaming): started on first chat, resumed from its checkpoint if a
     * previous engine instance over the same dirs already committed
-    * turns — restart replays nothing (see [[graft.streaming.ChatLog]]). */
-  private lazy val chatRelay = ChatLog.relay(spark, chatLogDir)
+    * turns — restart replays nothing (see [[graft.streaming.ChatLog]]).
+    * Re-resolved per call rather than cached: after shutdown() a stopped
+    * query's processAllAvailable() returns immediately, which would
+    * silently strand turns in the landing dir. */
+  private def chatRelay: org.apache.spark.sql.streaming.StreamingQuery = this.synchronized {
+    spark.streams.active.find(_.name == ChatLog.relayName(chatLogDir))
+      .getOrElse(ChatLog.relay(spark, chatLogDir))
+  }
 
   /** POST /chat — retrieve top-13 for the question WITHIN the caller's
     * tenant (fixing app.py:409's cross-user leakage), assemble the

@@ -24,9 +24,13 @@ case class TermCount(term: String, count: Long)
   * the result is EXACT — the full-recall parameterization the
   * heavy_hitters query uses to stay DuckDB-oracle-checkable.
   *
-  * Merge adds counts keyed-wise then trims to the m largest — the
-  * standard practical merge; the error bound degrades to the sum of the
-  * inputs' bounds, which SpaceSavingSpec also pins.
+  * Merge follows the mergeable-summaries construction (Agarwal et al.,
+  * PODS 2012): a key absent from one input summary contributes that
+  * summary's minimum count (its eviction error bound — 0 while the
+  * summary has never evicted), then the union is trimmed to the m
+  * largest. Dropping keys and adding per-summary error bounds both
+  * preserve the upper-bound property, and the total over-estimate stays
+  * ≤ n/m across any merge tree — the bound SpaceSavingSpec pins.
   */
 class SpaceSaving(m: Int) extends Aggregator[String, Map[String, Long], Seq[TermCount]] {
   require(m > 0, "summary capacity must be positive")
@@ -40,14 +44,24 @@ class SpaceSaving(m: Int) extends Aggregator[String, Map[String, Long], Seq[Term
       case None =>
         // evict the minimum (term tie-break for determinism); the new term
         // inherits the evicted count + 1 — the over-estimate that makes
-        // the summary's counts upper bounds
+        // the summary's counts upper bounds. The O(m) minBy per eviction
+        // is fine at declared capacities; a web-scale m would swap in the
+        // stream-summary linked-counter structure (O(1) eviction) behind
+        // this same Aggregator interface, as TopKAggregator documents for
+        // its heap.
         val (mk, mv) = b.minBy { case (k, v) => (v, k) }
         (b - mk).updated(term, mv + 1)
     }
 
   override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+    // a summary that has never evicted (size < m) tracks absent keys
+    // exactly (count 0); a full one may have evicted a key after counting
+    // it up to its minimum — that minimum is the absent-key upper bound,
+    // and summing the bounds keeps every estimate an upper bound
+    val e1 = if (b1.size < m) 0L else if (b1.isEmpty) 0L else b1.values.min
+    val e2 = if (b2.size < m) 0L else if (b2.isEmpty) 0L else b2.values.min
     val sum = (b1.keySet ++ b2.keySet).iterator
-      .map(k => k -> (b1.getOrElse(k, 0L) + b2.getOrElse(k, 0L))).toMap
+      .map(k => k -> (b1.getOrElse(k, e1) + b2.getOrElse(k, e2))).toMap
     if (sum.size <= m) sum
     else sum.toSeq.sortBy { case (k, v) => (-v, k) }.take(m).toMap
   }

@@ -65,8 +65,11 @@ object PdfParser {
         val s = new String(bytes, StandardCharsets.ISO_8859_1)
         val structured =
           try pagesViaXref(bytes, s)
-          catch { case _: Exception => None }
-        val docs = structured.getOrElse {
+          // StackOverflowError included: depth caps and cycle guards below
+          // bound well-known shapes, but a parser over hostile bytes must
+          // degrade to the linear scan, never kill the executor task
+          catch { case _: Exception | _: StackOverflowError => None }
+        val docs = structured.filter(_.nonEmpty).getOrElse {
           streams(bytes).flatMap { case (dict, data) =>
             decodeFiltered(dict.contains("/FlateDecode"), data)
               .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
@@ -74,7 +77,10 @@ object PdfParser {
           }
         }
         Right(docs)
-      } catch { case e: Exception => Left(s"pdf error: ${e.getMessage}") }
+      } catch {
+        case e: Exception => Left(s"pdf error: ${e.getMessage}")
+        case _: StackOverflowError => Left("pdf error: nesting too deep")
+      }
   }
 
   // ------------------------------------------------- structured (xref) path
@@ -92,7 +98,7 @@ object PdfParser {
     val seenXref = mutable.Set.empty[Long]
     var next: Long = offStr.toLong
     while (next >= 0 && next < bytes.length && seenXref.add(next)) {
-      val (dict, cont) = readXrefSection(bytes, s, next, locs)
+      val (dict, cont) = readXrefSection(bytes, s, next, locs, seenXref)
       dict.foreach { d => trailer = d.v ++ trailer } // newer sections override
       next = cont
     }
@@ -103,10 +109,24 @@ object PdfParser {
     root.flatMap { cat =>
       cat.get("Pages").map(resolver.deref).collect { case pagesRoot: PDict =>
         val pages = collectPages(pagesRoot, resolver)
-        pages.flatMap { page =>
+        val pageTexts = pages.flatMap { page =>
           val text = pageText(page, resolver)
           if (text.nonEmpty) Some(text) else None
         }
+        // text can also live in /Subtype /Form XObjects the pages draw via
+        // Do (stamped or flattened-form files). Superseded revisions'
+        // content streams are plain /Contents, never /Form, so walking the
+        // LIVE object set for forms adds no resurrected text.
+        val formTexts = locs.keys.toSeq.sorted.flatMap { num =>
+          resolver.deref(PRef(num, 0)) match {
+            case st: PStream if st.dict.get("Subtype").contains(PName("Form")) =>
+              decodeStream(st)
+                .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
+                .filter(_.nonEmpty)
+            case _ => None
+          }
+        }
+        pageTexts ++ formTexts
       }
     }
   }
@@ -116,27 +136,31 @@ object PdfParser {
     * return (trailer dict if any, offset of the previous section or -1). */
   private def readXrefSection(
       bytes: Array[Byte], s: String, off: Long,
-      locs: mutable.Map[Int, Loc]): (Option[PDict], Long) = {
+      locs: mutable.Map[Int, Loc], seen: mutable.Set[Long]): (Option[PDict], Long) = {
     val lx = new Lexer(s, off.toInt)
     lx.ws()
     if (s.startsWith("xref", lx.i)) {
-      // classic table: subsections of "start count" then 20-byte entries
+      // classic table: subsections of "start count" then entries of
+      // "offset gen n|f". Entries are tokenized, not stride-read: the
+      // spec says 20 bytes each, but single-char-EOL writers emit 19 and
+      // a stride would walk off the subsection boundary into `trailer`.
       lx.i += 4; lx.ws()
       while (lx.i < s.length && s.charAt(lx.i).isDigit) {
         val start = lx.int(); lx.ws()
         val count = lx.int(); lx.ws()
         var k = 0
-        while (k < count) {
-          val entry = s.substring(lx.i, math.min(lx.i + 20, s.length))
-          val parts = entry.trim.split("\\s+")
-          if (parts.length >= 3 && parts(2) == "n")
-            locs.getOrElseUpdate(start + k, AtOffset(parts(0).toLong))
-          lx.i += 20
-          // tolerate writers that emit 19-byte entries (single-char EOL)
-          if (lx.i <= s.length && lx.i >= 1 && s.charAt(lx.i - 1).isDigit) lx.i -= 1
+        var ok = true
+        while (k < count && ok) {
+          if (lx.i < s.length && s.charAt(lx.i).isDigit) {
+            val offv = lx.int(); lx.ws()
+            if (lx.i < s.length && s.charAt(lx.i).isDigit) { lx.int(); lx.ws() } // gen
+            val kind = if (lx.i < s.length) s.charAt(lx.i) else ' '
+            if (kind == 'n') locs.getOrElseUpdate(start + k, AtOffset(offv.toLong))
+            if (kind == 'n' || kind == 'f') lx.i += 1
+            lx.ws()
+          } else ok = false // malformed subsection: stop, keep what we have
           k += 1
         }
-        lx.ws()
       }
       // trailer dict follows; may carry /XRefStm (hybrid-reference files)
       val tIdx = s.indexOf("trailer", lx.i)
@@ -147,7 +171,7 @@ object PdfParser {
         tl.parse() match {
           case d: PDict =>
             d.get("XRefStm").foreach {
-              case n: PNum => readXrefSection(bytes, s, n.l, locs)
+              case n: PNum if seen.add(n.l) => readXrefSection(bytes, s, n.l, locs, seen)
               case _ => ()
             }
             val prev = d.get("Prev") match { case Some(n: PNum) => n.l; case _ => -1L }
@@ -198,14 +222,29 @@ object PdfParser {
     }
   }
 
+  /** /Filter classification: Some(true) = one Flate pass, Some(false) =
+    * no filter (absent or the legal empty array), None = out of subset
+    * (LZW/DCT/crypt or multi-filter chains — skip the stream, do not
+    * guess). One helper so every stream consumer agrees. */
+  private def flateOnly(dict: PDict): Option[Boolean] = dict.get("Filter") match {
+    case None => Some(false)
+    case Some(PName("FlateDecode")) => Some(true)
+    case Some(PArr(fs)) if fs.isEmpty => Some(false)
+    case Some(PArr(fs)) if fs == Vector(PName("FlateDecode")) => Some(true)
+    case Some(_) => None
+  }
+
+  /** Decode a hex-string body: ignore non-hex chars, pad an odd trailing
+    * digit with 0 (spec 7.3.4.3), pair-decode as single-byte codes. */
+  private def decodeHex(body: String): String = {
+    val hex = body.filter(c => Character.digit(c, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+  }
+
   /** Inflate an xref stream and undo its PNG predictor if declared. */
   private def decodeXrefStream(dict: PDict, raw: Array[Byte]): Option[Array[Byte]] = {
-    val flate = dict.get("Filter") match {
-      case Some(PName("FlateDecode")) => true
-      case Some(PArr(fs)) => fs.contains(PName("FlateDecode"))
-      case _ => false
-    }
-    decodeFiltered(flate, raw).map { data =>
+    flateOnly(dict).flatMap(decodeFiltered(_, raw)).map { data =>
       dict.get("DecodeParms").orElse(dict.get("DP")) match {
         case Some(p: PDict) =>
           val pred = p.get("Predictor") match { case Some(n: PNum) => n.i; case _ => 1 }
@@ -259,6 +298,7 @@ object PdfParser {
   private final class Resolver(bytes: Array[Byte], s: String, locs: Map[Int, Loc]) {
     private val cache = mutable.Map.empty[Int, Obj]
     private val objStmCache = mutable.Map.empty[Int, Map[Int, Obj]]
+    private val inFlight = mutable.Set.empty[Int] // cycle guard (see fetch)
 
     def deref(o: Obj): Obj = deref(o, 0)
 
@@ -269,14 +309,23 @@ object PdfParser {
       case other => other
     }
 
-    private def fetch(num: Int): Obj =
-      cache.getOrElseUpdate(num, locs.get(num) match {
-        case Some(AtOffset(off)) if off >= 0 && off < bytes.length =>
-          parseIndirectAt(bytes, s, off.toInt, Some(this)).getOrElse(PNull)
-        case Some(InObjStm(stm, idx)) =>
-          objStmObjects(stm).getOrElse(idx, PNull)
-        case _ => PNull
-      })
+    private def fetch(num: Int): Obj = cache.getOrElse(num, {
+      // a crafted xref can make an object depend on itself (e.g. object N
+      // located inside ObjStm N); re-entrant fetches must bottom out, not
+      // recurse — the caches only populate AFTER the computation returns
+      if (!inFlight.add(num)) PNull
+      else try {
+        val v = locs.get(num) match {
+          case Some(AtOffset(off)) if off >= 0 && off < bytes.length =>
+            parseIndirectAt(bytes, s, off.toInt, Some(this)).getOrElse(PNull)
+          case Some(InObjStm(stm, idx)) =>
+            objStmObjects(stm).getOrElse(idx, PNull)
+          case _ => PNull
+        }
+        cache(num) = v
+        v
+      } finally inFlight.remove(num)
+    })
 
     /** slot index → object for one expanded `/Type /ObjStm` stream. */
     private def objStmObjects(stmNum: Int): Map[Int, Obj] =
@@ -285,12 +334,7 @@ object PdfParser {
           case PStream(dict, raw) if dict.get("Type").contains(PName("ObjStm")) =>
             val n = dict.get("N") match { case Some(x: PNum) => x.i; case _ => 0 }
             val first = dict.get("First") match { case Some(x: PNum) => x.i; case _ => 0 }
-            val flate = dict.get("Filter") match {
-              case Some(PName("FlateDecode")) => true
-              case Some(PArr(fs)) => fs.contains(PName("FlateDecode"))
-              case _ => false
-            }
-            decodeFiltered(flate, raw) match {
+            flateOnly(dict).flatMap(decodeFiltered(_, raw)) match {
               case Some(data) =>
                 val text = new String(data, StandardCharsets.ISO_8859_1)
                 val hdr = new Lexer(text, 0)
@@ -355,17 +399,8 @@ object PdfParser {
     else extractText(parts.map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n"))
   }
 
-  private def decodeStream(st: PStream): Option[Array[Byte]] = {
-    val flate = st.dict.get("Filter") match {
-      case Some(PName("FlateDecode")) => true
-      case Some(PArr(fs)) =>
-        // only a pure-Flate chain is decodable; any other filter → skip
-        if (fs.forall(_ == PName("FlateDecode"))) true else return None
-      case Some(_) => return None // LZW/DCT/etc: out of subset
-      case None => false
-    }
-    decodeFiltered(flate, st.raw)
-  }
+  private def decodeStream(st: PStream): Option[Array[Byte]] =
+    flateOnly(st.dict).flatMap(decodeFiltered(_, st.raw))
 
   private def decodeFiltered(flate: Boolean, data: Array[Byte]): Option[Array[Byte]] =
     if (flate) inflate(data) else Some(data)
@@ -448,10 +483,17 @@ object PdfParser {
       s.substring(st, i).toInt
     }
 
+    private var depth = 0
+
     def parse(): Obj = {
       ws()
       if (i >= s.length) return PNull
-      s.charAt(i) match {
+      // bound container nesting: a crafted million-'[' body must not
+      // recurse the JVM stack away — past the cap, consume one char and
+      // yield PNull so enclosing loops still terminate
+      if (depth >= 128) { i += 1; return PNull }
+      depth += 1
+      try s.charAt(i) match {
         case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => dict()
         case '<' => hexString()
         case '(' =>
@@ -465,7 +507,7 @@ object PdfParser {
         case 'n' if s.startsWith("null", i) => i += 4; PNull
         case c if c.isDigit || c == '+' || c == '-' || c == '.' => numberOrRef()
         case _ => i += 1; PNull // unknown token: skip a char, stay total
-      }
+      } finally depth -= 1
     }
 
     private def dict(): Obj = {
@@ -519,10 +561,9 @@ object PdfParser {
       i += 1
       val st = i
       while (i < s.length && s.charAt(i) != '>') i += 1
-      val hex = s.substring(st, i).filter(c => Character.digit(c, 16) >= 0)
+      val body = s.substring(st, i)
       if (i < s.length) i += 1
-      val padded = if (hex.length % 2 == 1) hex + "0" else hex
-      PStr(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      PStr(decodeHex(body))
     }
 
     private def numberOrRef(): Obj = {
@@ -662,10 +703,7 @@ object PdfParser {
           val close = content.indexOf('>', i + 1)
           if (close < 0) i = n
           else {
-            val hex = content.substring(i + 1, close).filter(c => Character.digit(c, 16) >= 0)
-            val padded = if (hex.length % 2 == 1) hex + "0" else hex
-            val text = padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
-            show(text, close + 1)
+            show(decodeHex(content.substring(i + 1, close)), close + 1)
             i = close + 1
           }
         case _ => i += 1

@@ -16,9 +16,14 @@ import graft.store.Clustered
   */
 object StoreQueries {
 
+  /** Per-process scratch dir: stable within a run (DeterminismSpec reruns
+    * overwrite in place) but disjoint across processes, so concurrent
+    * drivers (Verify and Bench over the same sfDir) cannot race one
+    * overwrite against the other's scan. */
   private def scratch(name: String, dir: String): String =
     new File(new File(sys.props("java.io.tmpdir")),
-      s"graft_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
+      s"graft_${name}_p${ProcessHandle.current().pid()}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      .getAbsolutePath
 
   /** Round-trip events through a Z-ordered (user_id, event_id) layout and
     * aggregate a 2-D box. Values are layout-independent (decimal sums, so

@@ -254,6 +254,77 @@ class PdfParserSpec extends AnyFunSuite {
     assert(text.contains("second half"))
   }
 
+  test("an explicit empty /Filter [] means uncompressed, not Flate") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.streamObj(4, "/Filter []", "BT (legal empty filter array) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 5\n0000000000 65535 f \n")
+    (1 to 4).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("legal empty filter array")))
+  }
+
+  test("text inside /Subtype /Form XObjects is extracted (stamped PDFs)") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /XObject << /Fm0 5 0 R >> >> >>")
+    b.streamObj(4, "", "/Fm0 Do".getBytes(StandardCharsets.ISO_8859_1)) // page just draws the form
+    b.streamObj(5, "/Type /XObject /Subtype /Form",
+      "BT (flattened form text) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("flattened form text")))
+  }
+
+  test("classic xref entries with single-char EOLs (19 bytes) still reach the trailer") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.streamObj(4, "", "BT (narrow eol entries) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 5\n0000000000 65535 f\n") // 19-byte entries
+    (1 to 4).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n\n"))
+    b.raw(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("narrow eol entries")))
+  }
+
+  test("hostile structures degrade instead of crashing the task") {
+    // (a) ObjStm that claims to contain itself: xref maps 5 -> InObjStm(5)
+    val b = new Builder
+    b.raw("%PDF-1.5\n")
+    val rows = xrefRows(Seq((0, 0, 255), (2, 5, 0), (1, 0, 0), (1, 0, 0), (1, 0, 0), (2, 5, 1)))
+    b.streamObj(6, "/Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R /Filter /FlateDecode",
+      deflate2(rows))
+    val xo = b.offsets(6)
+    b.raw(s"startxref\n$xo\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes).isRight, "self-referential ObjStm must not recurse")
+
+    // (b) a content body of deeply nested arrays must not blow the stack
+    val deep = "[" * 200000
+    val doc = pdf("" -> s"BT (survives) Tj ET $deep".getBytes(StandardCharsets.ISO_8859_1))
+    assert(PdfParser.pdf(doc) == Right(Seq("survives")))
+
+    // (c) a classic trailer whose /XRefStm points at its own section AND
+    // whose dict carries a deeply nested array (hits the object Lexer)
+    val c = new Builder
+    c.raw("%PDF-1.4\n")
+    c.streamObj(4, "", "BT (cyclic xrefstm) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = c.out.size()
+    c.raw("xref\n0 1\n0000000000 65535 f \n")
+    c.raw(s"trailer\n<< /Size 1 /XRefStm $xref /Junk ${"[" * 100000} >>\nstartxref\n$xref\n%%EOF\n")
+    assert(c.bytes.length > 0 && PdfParser.pdf(c.bytes).isRight)
+  }
+
   test("pngUnfilter inverts all five PNG row filters") {
     val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
     // encode rows with Up (2) then verify round trip via the decoder
