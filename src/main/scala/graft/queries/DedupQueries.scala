@@ -85,11 +85,36 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the union of the n-gram
+    * Jaccard pair edges (ngramJaccard's predicate) and planted exact-copy
+    * edges (doc ↔ doc+100000, as in exactDedup) — so a near-dup pair
+    * (a, b) whose members each have an exact copy collapses into ONE
+    * 4-node component reachable only transitively (a' — a — b — b').
+    * Output: every node with its component id (min doc_id in the
+    * component) and the component size — the collapse key a training
+    * pipeline keeps one representative per. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val near = graft.scale.NearDup
+      .exactJaccardPairs(graft.scale.NearDup.shingles(docs))
+      .filter(col("inter") * 5 >= col("uni"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val planted = docs.select(col("doc_id").as("src"), (col("doc_id") + 100000).as("dst"))
+    val nodes = docs.select(col("doc_id").as("node"))
+      .unionByName(docs.select((col("doc_id") + 100000).as("node")))
+    val cc = graft.scale.ConnectedComponents.components(near.unionByName(planted), nodes)
+    cc.select(col("node").as("doc_id"), col("component"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "exact_dedup" -> (exactDedup _),
     "dedup_anti_join" -> (dedupAntiJoin _),
     "ngram_jaccard" -> (ngramJaccard _),
-    "embedding_neardup" -> (embeddingNeardup _)
+    "embedding_neardup" -> (embeddingNeardup _),
+    "dup_clusters" -> (dupClusters _)
   )
 
   private val dotSql =
@@ -141,6 +166,44 @@ object DedupQueries {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, CAST(round(sim * 10000) AS BIGINT) AS sim_e4
-         |FROM p WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin
+         |FROM p WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // component = min reachable node; the oracle takes the transitive
+    // closure (fine at oracle scale — the engine side is the one that has
+    // to be log-round star contraction)
+    "dup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT p.a_id, p.b_id FROM pr p
+        |  JOIN sizes na ON na.doc_id = p.a_id
+        |  JOIN sizes nb ON nb.doc_id = p.b_id
+        |  WHERE p.inter * 5 >= na.n + nb.n - p.inter),
+        |nodes AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 200),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM near
+        |  UNION SELECT b_id, a_id FROM near
+        |  UNION SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id < 200
+        |  UNION SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 200),
+        |reach(src, dst) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+        |SELECT node AS doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin
   )
 }

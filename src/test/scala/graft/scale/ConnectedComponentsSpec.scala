@@ -1,0 +1,67 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Ground truth by sequential union-find. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // relabel every root to the component MINIMUM (union order above
+    // already guarantees the root is the min, but normalize regardless)
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("node")
+    ConnectedComponents.components(e, n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a long chain collapses to one component labeled by its minimum") {
+    // path graph 0-1-2-...-63: diameter 63, but star contraction must
+    // converge in far fewer than the maxIter=50 rounds (O(log^2 n))
+    val nodes = (0L to 63L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = run(nodes, edges)
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 64)
+  }
+
+  test("isolated nodes are singleton components; self-loops are ignored") {
+    val got = run(Seq(1L, 2L, 3L, 9L), Seq((1L, 2L), (3L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
+  }
+
+  test("matches union-find on seeded random graphs") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0L until 200L)
+      val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      assert(run(nodes, edges) == unionFind(nodes, edges), s"seed $seed")
+    }
+  }
+
+  test("labels are ids, not positions: sparse non-contiguous node ids") {
+    val nodes = Seq(5L, 1000000L, 7L, 42L)
+    val edges = Seq((1000000L, 7L), (7L, 42L))
+    assert(run(nodes, edges) == Map(5L -> 5L, 7L -> 7L, 42L -> 7L, 1000000L -> 7L))
+  }
+
+  test("duplicate and reversed edges do not change the labeling") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    assert(run(Seq(1L, 2L, 3L), edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
