@@ -100,10 +100,28 @@ object JoinQueries {
       .orderBy(col("key"))
   }
 
+  /** Bloom-pruned semi join: orders of high-balance customers. The bloom
+    * probe drops most fact rows at the scan (codegen'd, before any
+    * shuffle); the exact semi join then removes the false positives, so
+    * the result — and the DuckDB oracle — is a plain IN-subquery.
+    * Aggregated per priority so the output stays small and sums stay
+    * decimal-exact. */
+  def bloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+    val pruned = graft.scale.BloomJoin.prunedSemiJoin(
+      Tables.orders(spark, dir), dim, "o_custkey", "c_custkey",
+      expectedItems = 1L << 16)
+    pruned.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
-    "merge_upsert" -> (mergeUpsert _)
+    "merge_upsert" -> (mergeUpsert _),
+    "bloom_semijoin" -> (bloomSemijoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +155,12 @@ object JoinQueries {
         |  CASE WHEN t.c_custkey IS NOT NULL AND u.u_key IS NOT NULL THEN 'update'
         |       WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'keep' END AS action
         |FROM customer t FULL JOIN updates u ON t.c_custkey = u.u_key
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+    "bloom_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
