@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** K-minimum-values (KMV) distinct-count sketch (Bar-Yossef et al. 2002;
+  * the "bottom-k" mergeable summary). The buffer is the k smallest
+  * distinct 64-bit hash values seen; merge is a sorted-set union trimmed
+  * to k — associative, commutative, idempotent on duplicates, so any
+  * partial-aggregation tree over any partitioning yields the same sketch.
+  *
+  * Estimator: with the k-th minimum at unsigned position u of the 2⁶⁴
+  * hash space, distinct ≈ (k-1) · 2⁶⁴ / u. While FEWER than k distinct
+  * hashes exist the sketch is lossless and the count is EXACT — the
+  * full-recall parameterization that keeps the `kmv_distinct` declared
+  * query DuckDB-oracle-checkable (k ≥ true cardinality ⇒ == COUNT
+  * (DISTINCT)); KmvSketchSpec pins the small-k relative-error contract
+  * the 100 TB configuration (k ≪ n, fixed 8·k bytes per group) relies on.
+  *
+  * vs HyperLogLog (`approx_count_distinct`): KMV keeps actual hash
+  * samples, so sketches of different groups ALSO estimate union and
+  * intersection sizes (Jaccard between groups) — the sketch a dedup
+  * pipeline can reuse for cross-partition overlap triage.
+  */
+class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
+  require(k > 1, "k must exceed 1 (the estimator divides by the k-th minimum)")
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix, deterministic
+    * across JVMs/partitionings (no engine hash dependence). */
+  private def h64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = insert(b, h64(a))
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    b2.foldLeft(b1)(insert)
+
+  override def finish(b: Seq[Long]): Long =
+    if (b.size < k) b.size.toLong // lossless regime: exact distinct count
+    else {
+      // k-th minimum as an UNSIGNED fraction of the 2⁶⁴ hash space (only
+      // negative longs wrap by 2⁶⁴ — a global shift would halve the space)
+      val kth = b.last
+      val u = if (kth >= 0) kth.toDouble else kth.toDouble + math.pow(2.0, 64)
+      math.round((k - 1).toDouble * math.pow(2.0, 64) / u)
+    }
+
+  /** Sorted-unsigned insert keeping ≤ k distinct values; O(log k) search
+    * + O(k) copy — the sketch is tiny by construction. */
+  private def insert(b: Seq[Long], h: Long): Seq[Long] = {
+    val v = b.toVector
+    var lo = 0; var hi = v.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Long.compareUnsigned(v(mid), h) < 0) lo = mid + 1 else hi = mid
+    }
+    if (lo < v.length && v(lo) == h) v // already present
+    else if (lo >= k) v // larger than the current k-th minimum
+    else {
+      val grown = (v.take(lo) :+ h) ++ v.drop(lo)
+      if (grown.length > k) grown.take(k) else grown
+    }
+  }
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Long] = ExpressionEncoder()
+}

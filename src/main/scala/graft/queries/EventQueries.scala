@@ -143,6 +143,41 @@ object EventQueries {
       .windowedCounts(Tables.events(spark, dir), "2 hours", slide = Some("1 hour"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** SCD type-2 dimension history from an event stream: per user, each
+    * run of consecutive equal `event_type` collapses to one versioned row
+    * with [valid_from, valid_to) micros and an is_current flag — the
+    * lag-to-find-change-points / lead-to-close-intervals composition.
+    * Scale shape: two windows over the SAME (user_id)×(ts, event_id)
+    * partitioning-ordering, so Catalyst plans one sort + one shuffle; no
+    * self-join against the history. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("prev_attr", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
+  /** Distinct users per event type through the KMV sketch at a lossless
+    * parameterization (k=4096 ≥ the fixture's 150 users ⇒ exact, hence
+    * the COUNT(DISTINCT) oracle). At 100 TB the same plan runs with
+    * k ≪ n: constant 8k bytes per group instead of a distinct-shuffle of
+    * every (type, user) pair — KmvSketchSpec pins that regime's error. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.core.KmvDistinct(4096),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(kmv(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
@@ -152,7 +187,9 @@ object EventQueries {
     "value_histogram" -> (valueHistogram _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
-    "sliding_window" -> (slidingWindow _)
+    "sliding_window" -> (slidingWindow _),
+    "scd2_build" -> (scd2Build _),
+    "kmv_distinct" -> (kmvDistinct _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +255,21 @@ object EventQueries {
         |  FROM events)
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events WHERE user_id < 50),
+        |c AS (
+        |  SELECT user_id, event_type AS attr, ts, event_id FROM e
+        |  WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id, attr, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INT) AS is_current
+        |FROM c ORDER BY user_id, valid_from_us""".stripMargin,
+    "kmv_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

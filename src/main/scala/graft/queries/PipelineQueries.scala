@@ -115,11 +115,30 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Stratified EXACT-k sampling: exactly 20 documents per language,
+    * chosen by md5 rank — the eval-set curation op (rate-based sampling
+    * can't promise per-class counts). Deterministic: any rerun anywhere
+    * picks the same 20. Scale shape: the rank-≤-k filter compiles to
+    * WindowGroupLimit, so each map task pre-trims to its local top-k
+    * before the single per-stratum shuffle — never a global sort. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 20)
+      .select(col("lang"), col("sample_rank"), col("doc_id"),
+        substring(col("h"), 1, 8).as("hash8"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "deterministic_split" -> (deterministicSplit _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "redact_pii" -> (redactPii _),
-    "data_mix" -> (dataMix _)
+    "data_mix" -> (dataMix _),
+    "stratified_sample" -> (stratifiedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +202,18 @@ object PipelineQueries {
         |  substring(sha256(
         |    regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |      '[0-9]{6,}', '<NUM>', 'g')), 1, 16) AS redacted_fp
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sample_rank
+        |  FROM s)
+        |SELECT lang, sample_rank, doc_id,
+        |  substring(h, 1, 8) AS hash8
+        |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{Encoders, functions => F}
+
+import graft.SparkSpec
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k >= cardinality: exact distinct count under any partitioning") {
+    val data = (0L until 5000L).map(_ % 700) // 700 distinct
+    (1 to 3).foreach { parts =>
+      val got = spark.createDataset(data).repartition(parts * 3)
+        .select(new KmvDistinct(1024).toColumn).head()
+      assert(got == 700L, s"parts=${parts * 3}")
+    }
+  }
+
+  test("k << cardinality: estimate within the KMV error envelope") {
+    // 20k distinct values, k=256 → std error ≈ 1/sqrt(k-2) ≈ 6.3%; assert
+    // a generous 4-sigma band so the (deterministic) draw can't flake
+    val data = (0L until 20000L)
+    val est = spark.createDataset(data).repartition(8)
+      .select(new KmvDistinct(256).toColumn).head()
+    assert(math.abs(est - 20000L) < 20000L * 0.25, s"estimate $est")
+  }
+
+  test("merge is order-insensitive and duplicate-idempotent") {
+    val agg = new KmvDistinct(128)
+    val a = (0L until 50L).foldLeft(agg.zero)(agg.reduce)
+    val b = (25L until 80L).foldLeft(agg.zero)(agg.reduce)
+    val ab = agg.merge(a, b)
+    val ba = agg.merge(b, a)
+    assert(ab == ba)
+    assert(agg.finish(ab) == 80L) // union has 80 distinct < k → exact
+    assert(agg.merge(ab, ab) == ab) // idempotent on duplicates
+  }
+
+  test("sketch buffer never exceeds k and stays unsigned-sorted") {
+    val agg = new KmvDistinct(16)
+    val b = (0L until 1000L).foldLeft(agg.zero)(agg.reduce)
+    assert(b.size == 16)
+    assert(b.sliding(2).forall {
+      case Seq(x, y) => java.lang.Long.compareUnsigned(x, y) < 0
+      case _ => true
+    })
+  }
+
+  test("works as a grouped udaf column") {
+    val kmv = F.udaf(new KmvDistinct(512), Encoders.scalaLong)
+    val df = Seq((1, 10L), (1, 11L), (1, 10L), (2, 7L)).toDF("g", "v")
+    val got = df.groupBy($"g").agg(kmv($"v").as("d")).orderBy($"g")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 2L), (2, 1L)))
+  }
+}
