@@ -178,6 +178,16 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Native session_window aggregation (one row per session with its
+    * [start, last_event + gap) bounds) through the SAME
+    * Streams.sessionWindowCounts helper a streaming job would use — the
+    * third sessionization form next to the batch gap-window rollup
+    * (sessionize) and the mapGroupsWithState twin (StreamsSpec). */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams
+      .sessionWindowCounts(Tables.events(spark, dir).filter(col("user_id") < 30))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
@@ -189,7 +199,8 @@ object EventQueries {
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
     "scd2_build" -> (scd2Build _),
-    "kmv_distinct" -> (kmvDistinct _)
+    "kmv_distinct" -> (kmvDistinct _),
+    "session_window_agg" -> (sessionWindowAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,6 +281,24 @@ object EventQueries {
         |FROM c ORDER BY user_id, valid_from_us""".stripMargin,
     "kmv_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // gap EXACTLY equal to 30 min starts a new session (>=): Spark merges
+    // session windows only when they strictly overlap
+    "session_window_agg" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id < 30),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 1800000000 AS session_end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin
   )
 }

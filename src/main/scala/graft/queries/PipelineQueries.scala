@@ -133,12 +133,33 @@ object PipelineQueries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Sequence packing for training batches: per language, documents (in
+    * doc_id order) are packed into ~2048-token batches by bucketing each
+    * doc's EXCLUSIVE token prefix-sum — the streaming-pack rule (a doc
+    * straddling a boundary stays with the batch it started in). One
+    * running-sum window per stratum + a tiny rollup; at 100 TB the
+    * stratum is the shuffle key and the window never goes global. */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("batch_id", floor(col("cum") / 2048).cast("long"))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "deterministic_split" -> (deterministicSplit _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "redact_pii" -> (redactPii _),
     "data_mix" -> (dataMix _),
-    "stratified_sample" -> (stratifiedSample _)
+    "stratified_sample" -> (stratifiedSample _),
+    "token_packing" -> (tokenPacking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +235,19 @@ object PipelineQueries {
         |  FROM s)
         |SELECT lang, sample_rank, doc_id,
         |  substring(h, 1, 8) AS hash8
-        |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin
+        |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    "token_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS batch_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin
   )
 }

@@ -46,6 +46,24 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("sv").cast("double").as("sum_value"))
 
+  /** Native session windows: one row per (user, session), a session being
+    * a maximal run of events with consecutive gaps strictly under `gap`
+    * (Spark merges [a, a+gap) and [b, b+gap) only when they overlap, so a
+    * gap of exactly `gap` STARTS a new session — the oracle mirrors this
+    * with `>=`). Works batch or streaming unchanged; in streaming the
+    * per-session state is closed and evicted once the watermark passes
+    * session end, so state is bounded by active sessions, not history. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap
     * sessions per user incrementally — the streaming twin of
     * EventQueries.sessionize. */

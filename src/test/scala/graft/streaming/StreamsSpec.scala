@@ -32,6 +32,34 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("session windows over a memory stream equal the batch session_window run") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.sessionWindowCounts(input.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sw_out").start()
+    try {
+      // two batches so mid-stream sessions must merge across micro-batches
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sw_out")
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Streams.sessionWindowCounts(
+        Tables.events(spark, sfDir).filter(col("user_id") < 10))
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization over a memory stream matches the batch count") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sfDir)
