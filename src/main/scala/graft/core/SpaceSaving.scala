@@ -58,8 +58,9 @@ class SpaceSaving(m: Int) extends Aggregator[String, Map[String, Long], Seq[Term
     // exactly (count 0); a full one may have evicted a key after counting
     // it up to its minimum — that minimum is the absent-key upper bound,
     // and summing the bounds keeps every estimate an upper bound
-    val e1 = if (b1.size < m) 0L else if (b1.isEmpty) 0L else b1.values.min
-    val e2 = if (b2.size < m) 0L else if (b2.isEmpty) 0L else b2.values.min
+    // size < m covers empty too (m > 0), so `values.min` is safe here
+    val e1 = if (b1.size < m) 0L else b1.values.min
+    val e2 = if (b2.size < m) 0L else b2.values.min
     val sum = (b1.keySet ++ b2.keySet).iterator
       .map(k => k -> (b1.getOrElse(k, e1) + b2.getOrElse(k, e2))).toMap
     if (sum.size <= m) sum

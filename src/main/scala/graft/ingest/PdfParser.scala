@@ -69,7 +69,10 @@ object PdfParser {
           // bound well-known shapes, but a parser over hostile bytes must
           // degrade to the linear scan, never kill the executor task
           catch { case _: Exception | _: StackOverflowError => None }
-        val docs = structured.filter(_.nonEmpty).getOrElse {
+        // a SUCCESSFUL structured parse is authoritative even when empty:
+        // falling back to the raw linear scan would resurrect superseded
+        // revisions' content streams (e.g. redaction-by-replacement)
+        val docs = structured.getOrElse {
           streams(bytes).flatMap { case (dict, data) =>
             decodeFiltered(dict.contains("/FlateDecode"), data)
               .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
@@ -109,24 +112,10 @@ object PdfParser {
     root.flatMap { cat =>
       cat.get("Pages").map(resolver.deref).collect { case pagesRoot: PDict =>
         val pages = collectPages(pagesRoot, resolver)
-        val pageTexts = pages.flatMap { page =>
+        pages.flatMap { page =>
           val text = pageText(page, resolver)
-          if (text.nonEmpty) Some(text) else None
+          (if (text.nonEmpty) Seq(text) else Seq.empty) ++ formTexts(page, resolver)
         }
-        // text can also live in /Subtype /Form XObjects the pages draw via
-        // Do (stamped or flattened-form files). Superseded revisions'
-        // content streams are plain /Contents, never /Form, so walking the
-        // LIVE object set for forms adds no resurrected text.
-        val formTexts = locs.keys.toSeq.sorted.flatMap { num =>
-          resolver.deref(PRef(num, 0)) match {
-            case st: PStream if st.dict.get("Subtype").contains(PName("Form")) =>
-              decodeStream(st)
-                .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
-                .filter(_.nonEmpty)
-            case _ => None
-          }
-        }
-        pageTexts ++ formTexts
       }
     }
   }
@@ -380,6 +369,39 @@ object PdfParser {
     }
     walk(root, 0)
     out.toSeq
+  }
+
+  /** Text in /Subtype /Form XObjects reachable from a page's /Resources —
+    * stamped or flattened-form content the page draws via `Do`. Only
+    * LIVE, page-referenced forms are walked (never the raw object table),
+    * so freed/superseded/orphaned objects cannot resurrect text and a
+    * form-free document dereferences nothing extra. Nested form resources
+    * are followed with a seen-guard and a depth cap; names are visited in
+    * sorted order for deterministic output. */
+  private def formTexts(page: PDict, r: Resolver): Seq[String] = {
+    val seen = mutable.Set.empty[Int]
+    def fromResources(res: Obj, depth: Int): Seq[String] =
+      if (depth >= 8) Seq.empty
+      else r.deref(res) match {
+        case rd: PDict => rd.get("XObject").map(r.deref) match {
+          case Some(xd: PDict) =>
+            xd.v.toSeq.sortBy(_._1).flatMap { case (_, v) =>
+              val fresh = v match { case PRef(num, _) => seen.add(num); case _ => true }
+              if (!fresh) Seq.empty
+              else r.deref(v) match {
+                case st: PStream if st.dict.get("Subtype").contains(PName("Form")) =>
+                  decodeStream(st)
+                    .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
+                    .filter(_.nonEmpty).toSeq ++
+                    st.dict.get("Resources").toSeq.flatMap(fromResources(_, depth + 1))
+                case _ => Seq.empty
+              }
+            }
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+    page.get("Resources").toSeq.flatMap(fromResources(_, 0))
   }
 
   /** One page's text: /Contents is one stream or an array of streams whose

@@ -161,7 +161,12 @@ object EventQueries {
       .select(col("user_id"), col("event_type").as("attr"),
         unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.cast("int").as("is_current"))
-      .orderBy(col("user_id"), col("valid_from_us"))
+      // (attr, valid_to) complete the total order: same-microsecond
+      // flip-flops (a-b-a) make bare (user, valid_from) tie, and the
+      // driver's compare needs a total order. NULLS LAST matches DuckDB's
+      // ASC default.
+      .orderBy(col("user_id"), col("valid_from_us"), col("attr"),
+        col("valid_to_us").asc_nulls_last)
   }
 
   /** Distinct users per event type through the KMV sketch at a lossless
@@ -278,7 +283,7 @@ object EventQueries {
         |SELECT user_id, attr, epoch_us(ts) AS valid_from_us,
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
         |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS INT) AS is_current
-        |FROM c ORDER BY user_id, valid_from_us""".stripMargin,
+        |FROM c ORDER BY user_id, valid_from_us, attr, valid_to_us""".stripMargin,
     "kmv_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -23,10 +23,16 @@ object ScaleQueries {
     * is unaffected: build is seeded, and reruns reuse the identical
     * index. */
   private val indexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Ivf.Index]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Ivf.Index]]()
   private def defaultIndex(spark: SparkSession, dir: String): Ivf.Index =
-    indexMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
-      Ivf.build(spark, Tables.embeddings(spark, dir)))
+    indexMemo.synchronized {
+      // weak session key: a stopped, collected session releases its
+      // cached indexes (whose DataFrames are bound to it) instead of
+      // pinning them — or worse, serving them to an unrelated session
+      val perDir = indexMemo.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty[String, Ivf.Index])
+      perDir.getOrElseUpdate(dir, Ivf.build(spark, Tables.embeddings(spark, dir)))
+    }
 
   /** MinHash LSH near-dups over the planted near-identical docs. */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =

@@ -19,11 +19,28 @@ object StoreQueries {
   /** Per-process scratch dir: stable within a run (DeterminismSpec reruns
     * overwrite in place) but disjoint across processes, so concurrent
     * drivers (Verify and Bench over the same sfDir) cannot race one
-    * overwrite against the other's scan. */
-  private def scratch(name: String, dir: String): String =
-    new File(new File(sys.props("java.io.tmpdir")),
+    * overwrite against the other's scan. Pid-unique names don't overwrite
+    * each other across runs, so each dir is deleted on JVM exit — without
+    * the hook, every run would permanently leak its parquet scratch. */
+  private val created = scala.collection.mutable.Set.empty[String]
+  private def scratch(name: String, dir: String): String = {
+    val p = new File(new File(sys.props("java.io.tmpdir")),
       s"graft_${name}_p${ProcessHandle.current().pid()}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
       .getAbsolutePath
+    created.synchronized {
+      if (created.isEmpty)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          created.synchronized(created.foreach(rmTree))))
+      created += p
+    }
+    p
+  }
+
+  private def rmTree(path: String): Unit = {
+    val f = new File(path)
+    Option(f.listFiles).foreach(_.foreach(c => rmTree(c.getAbsolutePath)))
+    f.delete(): Unit
+  }
 
   /** Round-trip events through a Z-ordered (user_id, event_id) layout and
     * aggregate a 2-D box. Values are layout-independent (decimal sums, so

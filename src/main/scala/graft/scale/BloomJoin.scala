@@ -45,11 +45,20 @@ object BloomJoin {
 
   /** Exact semi join of `fact` to `dim`, bloom-pruned: fact rows failing
     * the probe never reach the join shuffle. Returns fact rows with at
-    * least one dim match — identical to a plain left-semi join. */
+    * least one dim match — identical to a plain left-semi join.
+    *
+    * The probe key is cast to the BUILD key's type before hashing:
+    * XxHash64 hashes an int 5 and a long 5 differently, so a type
+    * mismatch between fact and dim keys would otherwise drop TRUE matches
+    * at the probe — a silent wrong-rows bug the exact join can't repair. */
   def prunedSemiJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, expectedItems: Long = 1L << 20): DataFrame = {
+    val dimType = dim.schema(dimKey).dataType
+    val factK =
+      if (fact.schema(factKey).dataType == dimType) fact(factKey)
+      else fact(factKey).cast(dimType)
     val bloom = buildBloom(dim, dim(dimKey), expectedItems)
-    fact.filter(mightContain(bloom, fact(factKey)))
+    fact.filter(mightContain(bloom, factK))
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
 }

@@ -33,9 +33,13 @@ object ChatLog {
   /** Relay query name, unique per log directory: engines over different
     * logs coexist in one session, while a second relay over the SAME log
     * is still rejected by the streaming manager's name check (two relays
-    * sharing a checkpoint would corrupt it). */
-  def relayName(logDir: String): String =
-    "chat-log-relay-" + java.lang.Integer.toHexString(logDir.hashCode)
+    * sharing a checkpoint would corrupt it). The full path is embedded
+    * VERBATIM, not hashed or sanitized: Engine resolves its running relay
+    * by this name, so the name→dir mapping must be injective — a 32-bit
+    * hash collision (or two paths sanitizing identically) would silently
+    * adopt another directory's relay and strand this log's turns in its
+    * landing dir. */
+  def relayName(logDir: String): String = "chat-log-relay:" + logDir
 
   /** Durably land one chat turn (producer side; no streaming machinery on
     * this path — a turn is visible to the relay as soon as the file

@@ -298,6 +298,27 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfParser.pdf(b.bytes) == Right(Seq("narrow eol entries")))
   }
 
+  test("orphan and unreferenced form objects are NOT extracted; empty structured result is authoritative") {
+    // a live page with an EMPTY content stream, plus an orphan stream full
+    // of text that no page references (the shape a superseded revision or
+    // a freed stamp leaves behind): the structured parse succeeds, so the
+    // orphan text must not be resurrected — neither via the linear-scan
+    // fallback nor via a form walk over the raw object table
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.streamObj(4, "", Array.emptyByteArray)
+    b.streamObj(5, "/Type /XObject /Subtype /Form",
+      "BT (ghost of a deleted stamp) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq.empty))
+  }
+
   test("hostile structures degrade instead of crashing the task") {
     // (a) ObjStm that claims to contain itself: xref maps 5 -> InObjStm(5)
     val b = new Builder

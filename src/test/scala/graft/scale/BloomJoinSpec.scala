@@ -33,6 +33,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(passed < total / 2, s"probe passed $passed of $total rows — not pruning")
   }
 
+  test("mismatched key types still match: probe hashes in the build key's type") {
+    // XxHash64(int 5) != XxHash64(long 5) — without the probe-side cast,
+    // every true match would be dropped at the filter
+    val fact = Seq(5, 6, 7).toDF("k") // int keys
+    val dim = Seq(5L, 7L).toDF("d") // long keys
+    val got = BloomJoin.prunedSemiJoin(fact, dim, "k", "d").as[Int].collect().sorted
+    assert(got.toSeq == Seq(5, 7))
+  }
+
   test("null fact keys never pass the probe (semi-join null semantics)") {
     val fact = Seq[java.lang.Long](1L, 2L, null).toDF("k")
     val dim = Seq(1L).toDF("d")
