@@ -78,6 +78,17 @@ object EventQueries {
       .na.fill(0L)
       .orderBy(col("day"))
 
+  /** Pivot round-trip: melt the pivoted day×type matrix back to long form
+    * with `Dataset.unpivot` (zero-count cells dropped to mirror the
+    * original). unpivot is a map-only generator — rows multiply by the
+    * value-column count with no shuffle, so the plan is the pivot's one
+    * aggregation plus a free reshape. */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
+    pivotEvents(spark, dir)
+      .unpivot(Array(col("day")), "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("day"), col("event_type"))
+
   /** RANGE window frame: per event, how many events the same user produced
     * in the preceding 5 minutes (frame bounds in integer microseconds —
     * exact cross-engine). */
@@ -205,7 +216,8 @@ object EventQueries {
     "sliding_window" -> (slidingWindow _),
     "scd2_build" -> (scd2Build _),
     "kmv_distinct" -> (kmvDistinct _),
-    "session_window_agg" -> (sessionWindowAgg _)
+    "session_window_agg" -> (sessionWindowAgg _),
+    "unpivot_events" -> (unpivotEvents _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,6 +316,13 @@ object EventQueries {
         |  FROM o)
         |SELECT user_id, MIN(us) AS session_start_us,
         |  MAX(us) + 1800000000 AS session_end_us, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin,
+    // melt(pivot(x)) minus zero cells == the plain long-form counts over
+    // the pivoted type set
+    "unpivot_events" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 }

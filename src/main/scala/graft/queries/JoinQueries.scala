@@ -117,11 +117,41 @@ object JoinQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucketized interval-overlap self-join — the large×large rewrite the
+    * range_join Scaladoc promises: when NEITHER interval side fits a
+    * broadcast, explode each interval into the hour buckets it covers and
+    * equi-join on (day, bucket) — overlapping intervals always share the
+    * bucket of any common instant, so the equi-join is a complete
+    * candidate generator and the exact overlap predicate rides along as a
+    * join residual. Pairs counted after a distinct (an interval pair can
+    * meet in several buckets). Shuffle is bucket-keyed — never the
+    * all-pairs product a naive inequality join plans. Here: per day, how
+    * many user pairs had overlapping [first, last]-event activity spans. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val iv = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val b = iv.withColumn("bucket",
+      explode(sequence(floor(col("lo") / hourUs), floor(col("hi") / hourUs))))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.day") === col("b.day") && col("a.bucket") === col("b.bucket") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .select(col("a.day").as("day"),
+        col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
     "merge_upsert" -> (mergeUpsert _),
-    "bloom_semijoin" -> (bloomSemijoin _)
+    "bloom_semijoin" -> (bloomSemijoin _),
+    "interval_join" -> (intervalJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +191,18 @@ object JoinQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the oracle is the NAIVE quadratic overlap join — at oracle scale
+    // that's fine; the engine side is the one that must bucketize
+    "interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events WHERE user_id < 40 GROUP BY 1, 2)
+        |SELECT a.day, COUNT(*) AS n_pairs
+        |FROM iv a JOIN iv b
+        |  ON a.day = b.day AND a.user_id < b.user_id
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY a.day ORDER BY a.day""".stripMargin
   )
 }
