@@ -59,6 +59,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(source,src1)"), p)
   }
 
+  test("stratified_sample: rank filter compiles to WindowGroupLimit, no global sort") {
+    val p = planOf("stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("interval_join: bucket equi-join, never a cartesian/nested-loop pair generator") {
+    val p = planOf("interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bloom_semijoin: the probe filters the fact scan below the semi join") {
+    val p = planOf("bloom_semijoin")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
