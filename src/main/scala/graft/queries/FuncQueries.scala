@@ -31,6 +31,22 @@ object FuncQueries {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the asymmetric set list cube/rollup cannot
+    * express (both single-column margins, no grand total, no pair cell).
+    * Plans as the same single-shuffle Expand as cube: each input row fans
+    * to one row per set, partial-aggregated before the shuffle. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT grouping_id() AS gid, o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Exact (interpolating) percentiles per group — Spark's `percentile`
     * sorts within the group; at scale the approx_percentile sketch is the
     * swap-in for a single-pass mergeable form (sketch_stats covers it).
@@ -118,6 +134,7 @@ object FuncQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
+    "grouping_sets" -> (groupingSets _),
     "percentiles" -> (percentiles _),
     "date_math" -> (dateMath _),
     "array_funcs" -> (arrayFuncs _),
@@ -130,6 +147,12 @@ object FuncQueries {
         |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "percentiles" ->
       """SELECT o_orderstatus,

@@ -175,3 +175,42 @@ object JwtProps extends Properties("Jwt") {
       Jwt.verify(s"${parts(0)}.$forged.${parts(2)}", "s3cret", 1001L) == Left(Jwt.Invalid)
     }
 }
+
+/** KMV sketch algebra — pure Aggregator-level laws (the Spark wiring and
+  * error envelope are pinned in KmvSketchSpec). */
+object KmvProps extends Properties("KmvDistinct") {
+
+  import graft.core.KmvDistinct
+
+  private val k = 32
+  private val agg = new KmvDistinct(k)
+  private val xs = Gen.listOf(Gen.chooseNum(-100000L, 100000L))
+  private def sketch(l: List[Long]) = l.foldLeft(agg.zero)(agg.reduce)
+
+  property("exact below k for any input multiset") = forAll(xs) { l =>
+    val d = l.distinct.size
+    d >= k || agg.finish(sketch(l)) == d.toLong
+  }
+
+  property("merge is commutative") = forAll(xs, xs) { (a, b) =>
+    agg.merge(sketch(a), sketch(b)) == agg.merge(sketch(b), sketch(a))
+  }
+
+  property("merge is associative") = forAll(xs, xs, xs) { (a, b, c) =>
+    agg.merge(agg.merge(sketch(a), sketch(b)), sketch(c)) ==
+      agg.merge(sketch(a), agg.merge(sketch(b), sketch(c)))
+  }
+
+  property("merge equals the sketch of the concatenation") = forAll(xs, xs) { (a, b) =>
+    agg.merge(sketch(a), sketch(b)) == sketch(a ++ b)
+  }
+
+  property("buffer is unsigned-sorted, distinct, capped at k") = forAll(xs) { l =>
+    val b = sketch(l)
+    b.size <= k &&
+      b.sliding(2).forall {
+        case Seq(x, y) => java.lang.Long.compareUnsigned(x, y) < 0
+        case _ => true
+      }
+  }
+}
