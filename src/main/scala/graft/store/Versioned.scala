@@ -1,0 +1,177 @@
+package graft.store
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table with a manifest-based commit protocol — the
+  * Delta/Iceberg upgrade path the ChunkStore Scaladoc points at, built
+  * minimally: a table is a directory of immutable parquet data files plus
+  * `_manifests/v<NNNNNNNN>.list` files, each the COMPLETE file listing of
+  * one table version. Readers resolve a manifest and read exactly its
+  * files; writers publish a new manifest atomically. Data files are never
+  * mutated or implicitly deleted.
+  *
+  * Guarantees (VersionedSpec pins each):
+  *  - **Atomic commit**: a manifest is written to a temp name and
+  *    published with an atomic rename — a crash mid-commit leaves the
+  *    previous version intact and no torn manifest visible.
+  *  - **Optimistic concurrency**: the commit fails (and surfaces, never
+  *    silently drops) if the target version was taken by a concurrent
+  *    writer — first writer wins, loser retries on the new base.
+  *  - **Snapshot isolation**: a reader pinned to version N sees N's exact
+  *    files regardless of later appends/compactions, until `vacuum`
+  *    explicitly reclaims files unreferenced by the retained horizon.
+  *  - **Time travel**: any retained version is readable by number.
+  *
+  * 100 TB shape: the manifest lists files, not rows — listing cost scales
+  * with file count (compaction bounds it), commits are O(1) renames on
+  * the driver, and readers skip directory listing entirely (no eventual-
+  * consistency hazards on object stores; the rename becomes a
+  * put-if-absent there, same protocol). A real multi-driver deployment
+  * swaps the local-FS rename for a log/catalog CAS — the manifest format
+  * and reader are unchanged.
+  */
+object Versioned {
+
+  private def manifestDir(table: String) = new File(table, "_manifests")
+  private def manifestFile(table: String, v: Int) =
+    new File(manifestDir(table), f"v$v%08d.list")
+
+  /** Latest committed version, 0 if the table is empty/uninitialized. */
+  def currentVersion(table: String): Int = {
+    val files = Option(manifestDir(table).list()).getOrElse(Array.empty)
+    files.collect { case n if n.matches("v\\d{8}\\.list") => n.substring(1, 9).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** The data files (absolute paths) of `version` (default: latest).
+    * Version 0 is the empty table. */
+  def files(table: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(table))
+    if (v == 0) Seq.empty
+    else {
+      val mf = manifestFile(table, v)
+      require(mf.exists, s"version $v of $table does not exist (vacuumed or never committed)")
+      Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map(rel => new File(table, rel).getAbsolutePath)
+    }
+  }
+
+  /** Read a version (default latest) as a DataFrame. The empty version
+    * needs a caller-supplied schema-bearing frame to stay total, so it is
+    * simply rejected here — an empty table has nothing to read. */
+  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+    val fs = files(table, version)
+    require(fs.nonEmpty, s"table $table has no committed data at ${version.getOrElse(currentVersion(table))}")
+    spark.read.parquet(fs: _*)
+  }
+
+  /** Publish `newFiles` (relative to the table root) as the next version,
+    * carrying forward `base`'s files minus `removed`. Returns the new
+    * version. Fails if another writer committed the next version first —
+    * the caller re-reads the current version and retries. */
+  def commit(table: String, base: Int, newFiles: Seq[String],
+      removed: Set[String] = Set.empty): Int = {
+    val next = base + 1
+    val kept =
+      if (base == 0) Seq.empty
+      else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq.filter(f => f.nonEmpty && !removed(f))
+    manifestDir(table).mkdirs()
+    val tmp = File.createTempFile(s"v$next-", ".tmp", manifestDir(table))
+    Files.write(tmp.toPath,
+      (kept ++ newFiles).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val target = manifestFile(table, next)
+    // publish via hard link: link(2) fails with EEXIST atomically if the
+    // target exists — a true put-if-absent (rename(2) would silently
+    // REPLACE, losing a concurrent writer's commit). The EEXIST throw IS
+    // the optimistic-concurrency conflict signal: first writer won.
+    try {
+      Files.createLink(target.toPath, tmp.toPath)
+      tmp.delete()
+      next
+    } catch {
+      case e: java.nio.file.FileSystemException =>
+        tmp.delete()
+        throw new IllegalStateException(
+          s"commit conflict on $table v$next: a concurrent writer won; re-read and retry", e)
+    }
+  }
+
+  /** Append a DataFrame as a new version: data lands in an isolated batch
+    * dir first (invisible to readers), then one manifest commit publishes
+    * it. On commit conflict the data files are already safe on disk; the
+    * retry re-commits against the new base without rewriting data. */
+  def append(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
+    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    retryCommit(table, added, Set.empty, maxRetries)
+  }
+
+  /** Rewrite the CURRENT version's files into one compacted batch and
+    * commit (add compacted, remove inputs). Readers pinned to older
+    * versions still resolve the old files — nothing is deleted here. */
+  def compact(spark: SparkSession, table: String, maxRetries: Int = 5): Int = {
+    val base = currentVersion(table)
+    val inputRel = files(table, Some(base)).map(abs =>
+      Paths.get(table).toAbsolutePath.relativize(Paths.get(abs)).toString)
+    val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    read(spark, table, Some(base)).coalesce(1)
+      .write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    retryCommit(table, added, inputRel.toSet, maxRetries)
+  }
+
+  /** Delete data files referenced by NO manifest in the retained horizon
+    * (the newest `keepVersions` manifests; older manifests are dropped
+    * too, ending their time-travel). Returns the deleted file count. */
+  def vacuum(table: String, keepVersions: Int = 2): Int = {
+    val cur = currentVersion(table)
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    (1 until keepFrom).foreach(v => manifestFile(table, v).delete())
+    val live = (keepFrom to cur).flatMap(v => files(table, Some(v))).toSet
+    val batchDirs = Option(new File(table).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != "_manifests")
+    var deleted = 0
+    batchDirs.foreach { d =>
+      val children = Option(d.listFiles()).getOrElse(Array.empty)
+      val (data, sidecars) =
+        children.partition(f => f.isFile && f.getName.endsWith(".parquet"))
+      data.foreach { f =>
+        if (!live(f.getAbsolutePath)) { if (f.delete()) deleted += 1 }
+      }
+      // sidecar files (_SUCCESS, .crc) only go once their batch holds no
+      // live data — they are bookkeeping, not table content, so they
+      // never count toward `deleted`
+      if (!data.exists(f => live(f.getAbsolutePath) && f.exists)) {
+        sidecars.foreach(_.delete())
+        if (Option(d.list()).exists(_.isEmpty)) d.delete(): Unit
+      }
+    }
+    deleted
+  }
+
+  private def retryCommit(table: String, added: Seq[String], removed: Set[String],
+      maxRetries: Int): Int = {
+    var attempt = 0
+    while (true) {
+      try return commit(table, currentVersion(table), added, removed)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def listParquet(dir: File): Seq[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+}

@@ -1,0 +1,84 @@
+package graft.store
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: String, v: Option[Int] = None): Set[(Long, String)] =
+    Versioned.read(spark, t, v).as[(Long, String)].collect().toSet
+
+  test("appends create monotonically numbered versions; reads see the cumulative table") {
+    val t = tmpDir("versioned").toString
+    assert(Versioned.currentVersion(t) == 0)
+    assert(Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) == 1)
+    assert(Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) == 2)
+    assert(Versioned.append(Seq((3L, "c")).toDF("id", "s"), t) == 3)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("time travel: every retained version reads its exact snapshot") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t)
+    assert(rows(t, Some(1)) == Set((1L, "a")))
+    assert(rows(t, Some(2)) == Set((1L, "a"), (2L, "b")))
+    assert(rows(t, Some(3)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("compaction preserves rows, bumps the version, and leaves old snapshots intact") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t)
+    val v = Versioned.compact(spark, t)
+    assert(v == 3)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.files(t, Some(3)).size == 1, "compaction must produce one file")
+    // snapshot isolation: version 2 still resolves its ORIGINAL files
+    assert(rows(t, Some(2)) == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.files(t, Some(2)).toSet != Versioned.files(t, Some(3)).toSet)
+  }
+
+  test("a conflicting manifest makes commit fail loudly; append retries past it") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    // simulate a concurrent winner for v2 (a valid, empty-delta manifest
+    // carrying v1's files forward)
+    val v1 = new File(t, "_manifests/v00000001.list")
+    Files.write(new File(t, "_manifests/v00000002.list").toPath,
+      Files.readAllBytes(v1.toPath))
+    intercept[IllegalStateException] {
+      Versioned.commit(t, base = 1, newFiles = Seq("nope.parquet"))
+    }
+    // append's optimistic retry lands on v3 with all rows visible
+    assert(Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) == 3)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuum deletes only files outside the retained horizon and ends their time travel") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    Versioned.compact(spark, t) // v3 rewrites everything
+    val preCompactFiles = Versioned.files(t, Some(2))
+    val deleted = Versioned.vacuum(t, keepVersions = 1)
+    assert(deleted == preCompactFiles.size, "both pre-compaction files reclaimed")
+    // current version unaffected; old versions are gone
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] { Versioned.files(t, Some(2)) }
+    assert(preCompactFiles.forall(f => !new File(f).exists))
+  }
+
+  test("manifests are plain relative-path lists (no absolute paths leak in)") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val manifest = new String(Files.readAllBytes(
+      new File(t, "_manifests/v00000001.list").toPath), StandardCharsets.UTF_8)
+    assert(manifest.linesIterator.forall(l => !l.startsWith("/")), manifest)
+  }
+}
