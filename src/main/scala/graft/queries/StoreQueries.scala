@@ -61,8 +61,29 @@ object StoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Versioned-table round-trip through the DRIVER's oracle: commit
+    * docs<100 (v1), docs 100-199 (v2), compact (v3), then aggregate each
+    * version — v1/v2 prove time travel reads exact snapshots, v3 proves
+    * compaction preserves rows. Rebuilt from scratch on every call so
+    * reruns in one process (DeterminismSpec) see identical version
+    * numbers. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("timetravel", dir)
+    rmTree(path)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    graft.store.Versioned.append(docs.filter(col("doc_id") < 100), path)
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), path)
+    graft.store.Versioned.compact(spark, path)
+    def at(v: Int) = graft.store.Versioned.read(spark, path, Some(v))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
+    at(1).unionByName(at(2)).unionByName(at(3)).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_scan" -> (zorderScan _)
+    "zorder_scan" -> (zorderScan _),
+    "time_travel" -> (timeTravel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -71,6 +92,17 @@ object StoreQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE user_id >= 4 AND user_id < 10 AND event_id >= 100 AND event_id < 800
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY version""".stripMargin
   )
 }
