@@ -371,29 +371,33 @@ object PdfParser {
     out.toSeq
   }
 
-  /** Text in /Subtype /Form XObjects reachable from a page's /Resources —
-    * stamped or flattened-form content the page draws via `Do`. Only
-    * LIVE, page-referenced forms are walked (never the raw object table),
-    * so freed/superseded/orphaned objects cannot resurrect text and a
-    * form-free document dereferences nothing extra. Nested form resources
-    * are followed with a seen-guard and a depth cap; names are visited in
-    * sorted order for deterministic output. */
+  /** Text in /Subtype /Form XObjects reachable from a page — via its
+    * /Resources (content stamped/drawn with `Do`) and via its /Annots'
+    * appearance streams (/AP — signature stamps, form-field rendering).
+    * Only LIVE, page-referenced forms are walked (never the raw object
+    * table), so freed/superseded/orphaned objects cannot resurrect text
+    * and a form-free document dereferences nothing extra. Nested form
+    * resources are followed with a seen-guard and a depth cap; names are
+    * visited in sorted order for deterministic output. */
   private def formTexts(page: PDict, r: Resolver): Seq[String] = {
     val seen = mutable.Set.empty[Int]
+    def fresh(v: Obj): Boolean =
+      v match { case PRef(num, _) => seen.add(num); case _ => true }
+    def fromForm(st: PStream, depth: Int): Seq[String] =
+      decodeStream(st)
+        .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
+        .filter(_.nonEmpty).toSeq ++
+        st.dict.get("Resources").toSeq.flatMap(fromResources(_, depth + 1))
     def fromResources(res: Obj, depth: Int): Seq[String] =
       if (depth >= 8) Seq.empty
       else r.deref(res) match {
         case rd: PDict => rd.get("XObject").map(r.deref) match {
           case Some(xd: PDict) =>
             xd.v.toSeq.sortBy(_._1).flatMap { case (_, v) =>
-              val fresh = v match { case PRef(num, _) => seen.add(num); case _ => true }
-              if (!fresh) Seq.empty
+              if (!fresh(v)) Seq.empty
               else r.deref(v) match {
                 case st: PStream if st.dict.get("Subtype").contains(PName("Form")) =>
-                  decodeStream(st)
-                    .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
-                    .filter(_.nonEmpty).toSeq ++
-                    st.dict.get("Resources").toSeq.flatMap(fromResources(_, depth + 1))
+                  fromForm(st, depth)
                 case _ => Seq.empty
               }
             }
@@ -401,7 +405,35 @@ object PdfParser {
         }
         case _ => Seq.empty
       }
-    page.get("Resources").toSeq.flatMap(fromResources(_, 0))
+    // /AP values are a Form stream directly or a one-level state map
+    // (e.g. /N << /On 12 0 R /Off 13 0 R >>) whose values are streams
+    def fromAppearance(v: Obj, depth: Int): Seq[String] =
+      if (depth >= 8 || !fresh(v)) Seq.empty
+      else r.deref(v) match {
+        case st: PStream if st.dict.get("Subtype").forall(_ == PName("Form")) =>
+          fromForm(st, depth)
+        case d: PDict =>
+          d.v.toSeq.sortBy(_._1).flatMap { case (_, sv) => fromAppearance(sv, depth + 1) }
+        case _ => Seq.empty
+      }
+    val fromAnnots = page.get("Annots").toSeq.flatMap { a =>
+      r.deref(a) match {
+        case PArr(as) => as.flatMap { an =>
+          (if (fresh(an)) r.deref(an) else PNull) match {
+            case ad: PDict => ad.get("AP").toSeq.flatMap { ap =>
+              r.deref(ap) match {
+                case apd: PDict =>
+                  apd.v.toSeq.sortBy(_._1).flatMap { case (_, v) => fromAppearance(v, 0) }
+                case _ => Seq.empty
+              }
+            }
+            case _ => Seq.empty
+          }
+        }
+        case _ => Seq.empty
+      }
+    }
+    page.get("Resources").toSeq.flatMap(fromResources(_, 0)) ++ fromAnnots
   }
 
   /** One page's text: /Contents is one stream or an array of streams whose

@@ -22,17 +22,18 @@ object ScaleQueries {
     * declared surface doesn't pay (or time) two KMeans fits. Determinism
     * is unaffected: build is seeded, and reruns reuse the identical
     * index. */
+  // keyed by sessionUUID, not the session reference (identityHashCode can
+  // be reused after GC) and not a weak key (the Index's DataFrame strongly
+  // references its session, which would defeat a WeakHashMap). Retention
+  // is therefore bounded by sessions-per-JVM × fixture dirs — a handful of
+  // entries in every real process shape (one session for Verify/Bench/
+  // tests), never served across sessions.
   private val indexMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Ivf.Index]]()
+    scala.collection.concurrent.TrieMap.empty[(String, String), Ivf.Index]
   private def defaultIndex(spark: SparkSession, dir: String): Ivf.Index =
-    indexMemo.synchronized {
-      // weak session key: a stopped, collected session releases its
-      // cached indexes (whose DataFrames are bound to it) instead of
-      // pinning them — or worse, serving them to an unrelated session
-      val perDir = indexMemo.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty[String, Ivf.Index])
-      perDir.getOrElseUpdate(dir, Ivf.build(spark, Tables.embeddings(spark, dir)))
-    }
+    indexMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir),
+      Ivf.build(spark, Tables.embeddings(spark, dir)))
 
   /** MinHash LSH near-dups over the planted near-identical docs. */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =

@@ -56,9 +56,13 @@ object BloomJoin {
     val dimType = dim.schema(dimKey).dataType
     val factK =
       if (fact.schema(factKey).dataType == dimType) fact(factKey)
-      else fact(factKey).cast(dimType)
+      else fact(factKey).try_cast(dimType) // null on failure, even under ANSI
     val bloom = buildBloom(dim, dim(dimKey), expectedItems)
-    fact.filter(mightContain(bloom, factK))
+    // null-safe probe: a null factK (a genuinely-null key, or a cast the
+    // join's own coercion might still match, e.g. string '5.0' vs int)
+    // passes through unpruned — the exact join decides it. Anything else
+    // would drop rows the plain semi join keeps.
+    fact.filter(factK.isNull || mightContain(bloom, factK))
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
 }

@@ -96,7 +96,10 @@ object Versioned {
       tmp.delete()
       next
     } catch {
-      case e: java.nio.file.FileSystemException =>
+      // ONLY EEXIST means a concurrent writer won; any other I/O failure
+      // (permissions, link limits) must surface as itself, not masquerade
+      // as a retryable conflict
+      case e: java.nio.file.FileAlreadyExistsException =>
         tmp.delete()
         throw new IllegalStateException(
           s"commit conflict on $table v$next: a concurrent writer won; re-read and retry", e)
@@ -130,12 +133,28 @@ object Versioned {
 
   /** Delete data files referenced by NO manifest in the retained horizon
     * (the newest `keepVersions` manifests; older manifests are dropped
-    * too, ending their time-travel). Returns the deleted file count. */
-  def vacuum(table: String, keepVersions: Int = 2): Int = {
+    * too, ending their time-travel). Returns the deleted file count.
+    *
+    * `minAgeMs` is the in-flight-writer grace period: a concurrent
+    * append/compact lands its data files BEFORE its manifest commit, so
+    * files younger than the grace window are never reclaimed even though
+    * no manifest references them yet — deleting them would let the
+    * writer's subsequent commit publish dangling references. Pass 0 only
+    * when no writer can be concurrent (tests, single-driver maintenance
+    * windows). */
+  def vacuum(table: String, keepVersions: Int = 2, minAgeMs: Long = 600000L): Int = {
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1 (got $keepVersions) — retaining zero versions " +
+        "would delete the current table state")
     val cur = currentVersion(table)
     val keepFrom = math.max(1, cur - keepVersions + 1)
     (1 until keepFrom).foreach(v => manifestFile(table, v).delete())
-    val live = (keepFrom to cur).flatMap(v => files(table, Some(v))).toSet
+    // tolerate holes: an earlier, stricter vacuum may already have
+    // dropped manifests inside this horizon
+    val live = (keepFrom to cur)
+      .filter(v => manifestFile(table, v).exists)
+      .flatMap(v => files(table, Some(v))).toSet
+    val now = System.currentTimeMillis()
     val batchDirs = Option(new File(table).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_manifests")
     var deleted = 0
@@ -144,12 +163,14 @@ object Versioned {
       val (data, sidecars) =
         children.partition(f => f.isFile && f.getName.endsWith(".parquet"))
       data.foreach { f =>
-        if (!live(f.getAbsolutePath)) { if (f.delete()) deleted += 1 }
+        if (!live(f.getAbsolutePath) && now - f.lastModified >= minAgeMs) {
+          if (f.delete()) deleted += 1
+        }
       }
       // sidecar files (_SUCCESS, .crc) only go once their batch holds no
-      // live data — they are bookkeeping, not table content, so they
+      // data at all — they are bookkeeping, not table content, so they
       // never count toward `deleted`
-      if (!data.exists(f => live(f.getAbsolutePath) && f.exists)) {
+      if (!data.exists(_.exists)) {
         sidecars.foreach(_.delete())
         if (Option(d.list()).exists(_.isEmpty)) d.delete(): Unit
       }

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's stable unique id (`private[sql]` on the classic
+    * implementation) — a collision-free memo key where
+    * `System.identityHashCode` isn't (hash reuse after GC) and a weak
+    * session key can't work (cached DataFrames strongly reference their
+    * session). */
+  def sessionUuid(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

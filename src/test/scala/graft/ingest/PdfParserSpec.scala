@@ -298,6 +298,23 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfParser.pdf(b.bytes) == Right(Seq("narrow eol entries")))
   }
 
+  test("annotation appearance streams are extracted (signature stamps, field rendering)") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Annots [5 0 R] >>")
+    b.streamObj(4, "", "BT (body) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    b.obj(5, "<< /Type /Annot /Subtype /Widget /AP << /N 6 0 R >> >>")
+    b.streamObj(6, "/Type /XObject /Subtype /Form",
+      "BT (signed by example) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val xref = b.out.size()
+    b.raw("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => b.raw(f"${b.offsets(n)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    assert(PdfParser.pdf(b.bytes) == Right(Seq("body", "signed by example")))
+  }
+
   test("orphan and unreferenced form objects are NOT extracted; empty structured result is authoritative") {
     // a live page with an EMPTY content stream, plus an orphan stream full
     // of text that no page references (the shape a superseded revision or

@@ -42,6 +42,19 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(5, 7))
   }
 
+  test("string keys against numeric dim: probe hashes in the build type and keeps matches") {
+    // the probe must try_cast (never throw) and hash '5' as long 5; rows
+    // that don't cast would reach the exact join, which under ANSI throws
+    // for them exactly as the plain semi join does — identical behavior
+    val fact = Seq("5", "6", "7").toDF("k")
+    val dim = Seq(5L, 7L).toDF("d")
+    val want = fact.join(dim, fact("k") === dim("d"), "left_semi")
+      .as[String].collect().sorted
+    val got = BloomJoin.prunedSemiJoin(fact, dim, "k", "d")
+      .as[String].collect().sorted
+    assert(got.sameElements(want) && want.nonEmpty)
+  }
+
   test("null fact keys never pass the probe (semi-join null semantics)") {
     val fact = Seq[java.lang.Long](1L, 2L, null).toDF("k")
     val dim = Seq(1L).toDF("d")

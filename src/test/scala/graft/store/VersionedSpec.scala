@@ -66,12 +66,35 @@ class VersionedSpec extends SparkSpec {
     Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
     Versioned.compact(spark, t) // v3 rewrites everything
     val preCompactFiles = Versioned.files(t, Some(2))
-    val deleted = Versioned.vacuum(t, keepVersions = 1)
+    val deleted = Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0)
     assert(deleted == preCompactFiles.size, "both pre-compaction files reclaimed")
     // current version unaffected; old versions are gone
     assert(rows(t) == Set((1L, "a"), (2L, "b")))
     intercept[IllegalArgumentException] { Versioned.files(t, Some(2)) }
     assert(preCompactFiles.forall(f => !new File(f).exists))
+  }
+
+  test("vacuum refuses keepVersions=0 and spares files inside the grace window") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.compact(spark, t)
+    intercept[IllegalArgumentException] { Versioned.vacuum(t, keepVersions = 0) }
+    // default grace period: the just-written unreferenced files are
+    // younger than 10 minutes, so an in-flight writer's data survives
+    assert(Versioned.vacuum(t, keepVersions = 1) == 0)
+    assert(Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0) > 0)
+  }
+
+  test("vacuum tolerates manifest holes left by an earlier, stricter vacuum") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t) // v3
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0) // drops v1+v2 manifests
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), t) // v4
+    // horizon [2..4] includes the vacuumed v2 — must skip it, not throw
+    assert(Versioned.vacuum(t, keepVersions = 3, minAgeMs = 0) == 0)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
