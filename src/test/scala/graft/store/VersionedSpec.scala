@@ -97,6 +97,25 @@ class VersionedSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("concurrent appends all land: every row visible, versions contiguous") {
+    val t = tmpDir("versioned").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1L to 8L).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            Versioned.append(Seq((i, s"w$i")).toDF("id", "s"), t, maxRetries = 20)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // optimistic concurrency: all 8 commits won SOME version, exactly
+      // versions 1..8, and nothing was overwritten or lost
+      assert(versions.sorted == (1 to 8))
+      assert(Versioned.currentVersion(t) == 8)
+      assert(rows(t) == (1L to 8L).map(i => (i, s"w$i")).toSet)
+    } finally pool.shutdown()
+  }
+
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
