@@ -220,7 +220,43 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** HTML strip round-trip: wrap each document in deterministic markup
+    * (tags + an entity), strip tags, decode entities, normalize
+    * whitespace — the CommonCrawl-shaped cleanup step of a web-text
+    * pipeline, proven by recovering a fingerprint of the original text.
+    * Map-only: regex chains inside whole-stage codegen, no shuffle before
+    * the final ordering. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit("<html><body><p class=\"doc\">"), col("text"),
+      lit("</p> &amp; <br/>tail</body></html>"))
+    val stripped = regexp_replace(html, "<[^>]+>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(regexp_replace(stripped, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    val norm = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(norm).as("n_clean"),
+        substring(md5(norm.cast("binary")), 1, 16).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL parsing + per-host rollup: synthesize a deterministic URL per
+    * document, extract host/path with `parse_url` (codegen'd), aggregate
+    * per host — the domain-level quality/volume triage of a web corpus. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("url", concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), col("doc_id"), lit("?ref=ingest")))
+      .select(expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"), col("doc_id"), col("n_chars"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("path")).as("first_path"))
+      .orderBy(col("host"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_strip" -> (htmlStrip _),
+    "domain_stats" -> (domainStats _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "rolling_fp" -> (rollingFp _),
@@ -237,6 +273,31 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p class="doc">' || text || '</p> &amp; <br/>tail</body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(html, '<[^>]+>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM h)
+        |SELECT doc_id, CAST(len(norm) AS INT) AS n_clean,
+        |  substring(md5(norm), 1, 16) AS fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "domain_stats" ->
+      """WITH u AS (
+        |  SELECT 'www.' || source || '.example.com' AS host,
+        |    '/docs/' || CAST(doc_id AS VARCHAR) AS path, n_chars
+        |  FROM documents)
+        |SELECT host, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(path) AS first_path
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
     "bm25_topk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
