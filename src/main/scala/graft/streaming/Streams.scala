@@ -64,6 +64,46 @@ object Streams {
         unix_micros(col("sw.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Streaming per-key distinct cardinality on the state API v2
+    * (`transformWithState`, Spark 4): each key's state is one mergeable
+    * KMV sketch ([[graft.core.KmvDistinct]]) — constant 8k bytes per key
+    * regardless of stream length, updated incrementally per micro-batch,
+    * emitting the running estimate. The streaming twin of the batch
+    * `kmv_distinct` query: below k the estimate is EXACT, so the final
+    * update equals batch COUNT(DISTINCT) (StreamsSpec pins it).
+    * Requires the RocksDB state store provider (v2 API constraint). */
+  case class DistinctUpdate(key: String, n_distinct: Long)
+
+  class KmvStateProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), DistinctUpdate] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Seq[Long]] = _
+    private val agg = new graft.core.KmvDistinct(k)
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Seq[Long]]("kmv",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DistinctUpdate] = {
+      var b = Option(state.get()).getOrElse(agg.zero)
+      rows.foreach { case (_, v) => b = agg.reduce(b, v) }
+      state.update(b)
+      Iterator.single(DistinctUpdate(key, agg.finish(b)))
+    }
+  }
+
+  /** Running distinct `valueOf(e)` per `keyOf(e)` over a (streaming or
+    * batch) event set — e.g. distinct users per event type. */
+  def distinctByKey(events: Dataset[Event], k: Int = 1024,
+      keyOf: Event => String = _.event_type,
+      valueOf: Event => Long = _.user_id): Dataset[DistinctUpdate] = {
+    import events.sparkSession.implicits._
+    events.map(e => (keyOf(e), valueOf(e)))
+      .groupByKey(_._1)
+      .transformWithState(new KmvStateProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap
     * sessions per user incrementally — the streaming twin of
     * EventQueries.sessionize. */

@@ -32,6 +32,42 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("transformWithState KMV: final per-key update equals batch COUNT(DISTINCT)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the state API v2 requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event].collect().sortBy(_.event_id)
+      val input = MemoryStream[Streams.Event]
+      val q = Streams.distinctByKey(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("kmv_out").start()
+      try {
+        val (first, second) = events.splitAt(events.length / 2)
+        input.addData(first.toSeq); q.processAllAvailable()
+        input.addData(second.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // the LAST update per key is the final running estimate; k=1024 >>
+      // distinct users, so it must be exact
+      val got = spark.table("kmv_out")
+        .groupBy("key").agg(max(col("n_distinct")).as("n"))
+        .as[(String, Long)].collect().toMap
+      val want = Tables.events(spark, sfDir)
+        .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows over a memory stream equal the batch session_window run") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sfDir)
