@@ -71,6 +71,24 @@ object Versioned {
     spark.read.parquet(fs: _*)
   }
 
+  /** Append-only change feed: the rows ADDED between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive, default latest) — exactly
+    * the files in `to`'s manifest but not `from`'s. For append-shaped
+    * tables this is complete CDC; after a compaction it degrades
+    * explicitly (compacted files are "new") rather than silently — an
+    * incremental consumer checkpoints (table, version) and reads only
+    * new data ever since, e.g. re-embedding only newly ingested
+    * documents. Cost scales with the DELTA, never the table. */
+  def changes(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    val to = toVersion.getOrElse(currentVersion(table))
+    require(fromVersion <= to, s"fromVersion $fromVersion is after $to")
+    val before = files(table, Some(fromVersion)).toSet
+    val added = files(table, Some(to)).filterNot(before)
+    if (added.isEmpty) read(spark, table, Some(to)).limit(0) // schema-correct empty delta
+    else spark.read.parquet(added: _*)
+  }
+
   /** Publish `newFiles` (relative to the table root) as the next version,
     * carrying forward `base`'s files minus `removed`. Returns the new
     * version. Fails if another writer committed the next version first —

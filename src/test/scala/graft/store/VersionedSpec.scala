@@ -97,6 +97,24 @@ class VersionedSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("change feed returns exactly the rows added between two versions") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t) // v3
+    def delta(from: Int, to: Int) =
+      Versioned.changes(spark, t, from, Some(to)).as[(Long, String)].collect().toSet
+    assert(delta(1, 3) == Set((2L, "b"), (3L, "c")))
+    assert(delta(2, 3) == Set((3L, "c")))
+    assert(delta(0, 1) == Set((1L, "a"))) // from the empty table: everything
+    assert(delta(3, 3) == Set.empty) // no-op delta is empty, schema intact
+    // after compaction the delta degrades explicitly: the compacted file
+    // is "new" relative to v3, so the consumer sees a full re-read, not
+    // silent row loss
+    Versioned.compact(spark, t) // v4
+    assert(delta(3, 4) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("concurrent appends all land: every row visible, versions contiguous") {
     val t = tmpDir("versioned").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
