@@ -230,14 +230,43 @@ object VectorQueries {
          |    COALESCE(1.0 / (60 + v.rv), 0) + COALESCE(1.0 / (60 + k.rk), 0) AS rrf
          |  FROM vtop v FULL OUTER JOIN ktop k ON v.doc_id = k.doc_id)
          |SELECT doc_id, rv, rk, CAST(round(rrf * 1000000) AS BIGINT) AS rrf_e6
-         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 13""".stripMargin
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 13""".stripMargin,
+    // Spark posexplode is 0-based; generate_series below starts at 1, so
+    // pos = i - 1 aligns the two
+    "label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    unnest(list_transform(generate_series(1, len(embedding)),
+        |      i -> {'pos': i - 1, 'v': embedding[i]})) AS s
+        |  FROM embeddings)
+        |SELECT label, CAST(s.pos AS INT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(round(CAST(s.v AS DOUBLE) * 10000)) AS BIGINT) AS sum_e4
+        |FROM e WHERE s.pos < 8
+        |GROUP BY label, s.pos ORDER BY label, pos""".stripMargin
   )
+
+  /** Per-label centroid accumulation — the class-prototype / IVF-cell
+    * statistics primitive: posexplode to (label, dim), one partial-
+    * aggregated shuffle of labels×dims keys. Per-element e4 fixed-point
+    * BEFORE summation keeps the sums integer-exact and order-free (no
+    * float→decimal rounding hazard); the consumer divides sum_e4/n for
+    * the mean. Emitted sparse (first 8 dims) to keep the declared output
+    * small — the plan is identical at any dim count. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 10000).cast("long")).as("sum_e4"))
+      .orderBy(col("label"), col("pos"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),
     "knn_batch_agg" -> (knnBatchAgg _),
     "knn_cosine_top10" -> (knnCosineTop10 _),
-    "rrf_fusion" -> (rrfFusion _)
+    "rrf_fusion" -> (rrfFusion _),
+    "label_centroids" -> (labelCentroids _)
   )
 }
