@@ -52,6 +52,18 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
       math.round((k - 1).toDouble * math.pow(2.0, 64) / u)
     }
 
+  /** Bulk build: sketch a whole batch in O(n log n) instead of n O(k)
+    * immutable inserts — the hot path for callers that own the buffer
+    * for a batch (e.g. the streaming state processor) rather than going
+    * through Spark's per-row Aggregator contract. Produces exactly the
+    * sketch `values.foldLeft(zero)(reduce)` would. */
+  def sketchOf(values: IterableOnce[Long]): Seq[Long] = {
+    val hashed = values.iterator.map(h64).toArray
+    java.util.Arrays.sort(hashed) // signed sort: flip halves for unsigned order
+    val (neg, pos) = hashed.partition(_ < 0)
+    (pos.iterator ++ neg.iterator).distinct.take(k).toVector
+  }
+
   /** Sorted-unsigned insert keeping ≤ k distinct values; O(log k) search
     * + O(k) copy — the sketch is tiny by construction. */
   private def insert(b: Seq[Long], h: Long): Seq[Long] = {

@@ -223,9 +223,13 @@ object TextQueries {
   /** HTML strip round-trip: wrap each document in deterministic markup
     * (tags + an entity), strip tags, decode entities, normalize
     * whitespace — the CommonCrawl-shaped cleanup step of a web-text
-    * pipeline, proven by recovering a fingerprint of the original text.
-    * Map-only: regex chains inside whole-stage codegen, no shuffle before
-    * the final ordering. */
+    * pipeline. The oracle does NOT re-run the chain: it fingerprints the
+    * closed-form expected output (`text & tail`) straight from the source
+    * column, so a cleanup bug can't cancel out by corrupting both sides
+    * identically. (Valid because the fixture text is markup-free and
+    * single-spaced — driver-verified 0 rows containing <, >, & or double
+    * spaces.) Map-only: regex chains inside whole-stage codegen, no
+    * shuffle before the final ordering. */
   def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
     val html = concat(lit("<html><body><p class=\"doc\">"), col("text"),
       lit("</p> &amp; <br/>tail</body></html>"))
@@ -273,22 +277,13 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // closed-form expectation, NOT a rerun of the strip chain: on the
+    // markup-free single-spaced fixture the cleaned text must be exactly
+    // `text || ' & tail'`
     "html_strip" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><body><p class="doc">' || text || '</p> &amp; <br/>tail</body></html>' AS html
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(
-        |        regexp_replace(html, '<[^>]+>', ' ', 'g'),
-        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |      '\s+', ' ', 'g')) AS norm
-        |  FROM h)
-        |SELECT doc_id, CAST(len(norm) AS INT) AS n_clean,
-        |  substring(md5(norm), 1, 16) AS fp
-        |FROM s ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(len(text || ' & tail') AS INT) AS n_clean,
+        |  substring(md5(text || ' & tail'), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "domain_stats" ->
       """WITH u AS (
         |  SELECT 'www.' || source || '.example.com' AS host,

@@ -253,7 +253,7 @@ object VectorQueries {
     * the mean. Emitted sparse (first 8 dims) to keep the declared output
     * small — the plan is identical at any dim count. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .filter(col("pos") < 8)
       .groupBy(col("label"), col("pos"))

@@ -78,11 +78,22 @@ object Versioned {
     * explicitly (compacted files are "new") rather than silently — an
     * incremental consumer checkpoints (table, version) and reads only
     * new data ever since, e.g. re-embedding only newly ingested
-    * documents. Cost scales with the DELTA, never the table. */
+    * documents. Cost scales with the DELTA, never the table.
+    *
+    * A `fromVersion` outside vacuum's retained horizon fails with a
+    * dedicated "full resync required" error (not a generic failure): the
+    * delta is genuinely unrecoverable, and the consumer restarts from
+    * the current version — size `vacuum(keepVersions = …)` to the
+    * slowest consumer's lag. */
   def changes(spark: SparkSession, table: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     val to = toVersion.getOrElse(currentVersion(table))
     require(fromVersion <= to, s"fromVersion $fromVersion is after $to")
+    if (to == 0) return spark.emptyDataFrame // empty table: no schema exists yet
+    if (fromVersion > 0 && !manifestFile(table, fromVersion).exists)
+      throw new IllegalStateException(
+        s"delta from v$fromVersion of $table is unavailable (manifest vacuumed): " +
+          "full resync required — re-read the current version and checkpoint it")
     val before = files(table, Some(fromVersion)).toSet
     val added = files(table, Some(to)).filterNot(before)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0) // schema-correct empty delta

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming forms of the engine's append-shaped flows —
   * the reference's chat log (/root/reference/app.py:436-443) and
@@ -75,18 +76,19 @@ object Streams {
   case class DistinctUpdate(key: String, n_distinct: Long)
 
   class KmvStateProcessor(k: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), DistinctUpdate] {
-    @transient private var state: org.apache.spark.sql.streaming.ValueState[Seq[Long]] = _
+      extends StatefulProcessor[String, (String, Long), DistinctUpdate] {
+    @transient private var state: ValueState[Seq[Long]] = _
     private val agg = new graft.core.KmvDistinct(k)
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[Seq[Long]]("kmv",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
-        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DistinctUpdate] = {
-      var b = Option(state.get()).getOrElse(agg.zero)
-      rows.foreach { case (_, v) => b = agg.reduce(b, v) }
+        timers: TimerValues): Iterator[DistinctUpdate] = {
+      // bulk-sketch the batch (O(n log n)) and merge once — the per-row
+      // Aggregator insert would pay an O(k) immutable copy per event
+      val batch = agg.sketchOf(rows.map(_._2))
+      val b = agg.merge(Option(state.get()).getOrElse(agg.zero), batch)
       state.update(b)
       Iterator.single(DistinctUpdate(key, agg.finish(b)))
     }
@@ -100,8 +102,7 @@ object Streams {
     import events.sparkSession.implicits._
     events.map(e => (keyOf(e), valueOf(e)))
       .groupByKey(_._1)
-      .transformWithState(new KmvStateProcessor(k),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .transformWithState(new KmvStateProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap

@@ -205,6 +205,10 @@ object KmvProps extends Properties("KmvDistinct") {
     agg.merge(sketch(a), sketch(b)) == sketch(a ++ b)
   }
 
+  property("bulk sketchOf equals the per-row fold") = forAll(xs) { l =>
+    agg.sketchOf(l) == sketch(l)
+  }
+
   property("buffer is unsigned-sorted, distinct, capped at k") = forAll(xs) { l =>
     val b = sketch(l)
     b.size <= k &&
