@@ -89,6 +89,23 @@ object EventQueries {
       .filter(col("n") > 0)
       .orderBy(col("day"), col("event_type"))
 
+  /** Journey analysis: each user's first 8 event types in time order as
+    * one path string, counted per distinct path. Determinism:
+    * collect_list order is partition-dependent, so the list is sorted by
+    * (ts, event_id) AFTER collection (array_sort over structs) — one
+    * user-keyed shuffle, path strings tiny. */
+  def userPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))).as("evs"))
+      .select(array_join(
+        slice(transform(array_sort(col("evs")), e => e("event_type")), 1, 8), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+
   /** RANGE window frame: per event, how many events the same user produced
     * in the preceding 5 minutes (frame bounds in integer microseconds —
     * exact cross-engine). */
@@ -217,7 +234,8 @@ object EventQueries {
     "scd2_build" -> (scd2Build _),
     "kmv_distinct" -> (kmvDistinct _),
     "session_window_agg" -> (sessionWindowAgg _),
-    "unpivot_events" -> (unpivotEvents _)
+    "unpivot_events" -> (unpivotEvents _),
+    "user_paths" -> (userPaths _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +341,14 @@ object EventQueries {
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
         |FROM events
         |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
-        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "user_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin
   )
 }

@@ -47,6 +47,59 @@ object FuncQueries {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** ntile quartiles per segment: equal-frequency bucketing for
+    * curriculum tiers / AB-split strata. Total window order ((bal, key))
+    * so the bucket boundaries are engine-independent; rolled up so the
+    * output is the bucket profile, not a row per customer. */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("total_bal"),
+        min(col("c_custkey")).as("first_key"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** Pearson correlation computed from EXACT decimal component sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) with the float arithmetic confined to one
+    * final closed-form expression — the built-in `corr` accumulates in
+    * doubles whose order varies with partitioning, so its low bits are
+    * not reproducible; this form is, at any parallelism, and it is the
+    * same single partial-aggregated pass. */
+  def spendCorr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+    val joined = Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+    // operand widths chosen so every product fits decimal exactly in BOTH
+    // engines (DuckDB multiplies at p1+p2 and refuses to widen past 38):
+    // x ≤ 9999.99 → (12,6); y ≤ ~1e7 → (18,6); products ≤ (30..36, 12)
+    val x = col("c_acctbal").cast("decimal(12,6)")
+    val y = col("spend").cast("decimal(18,6)")
+    // scale-12 products are the EXACT width of a (·,6)×(·,6) multiply, so
+    // no engine-specific decimal rounding ever fires; the closed form
+    // then runs wholly in double, where every op is correctly-rounded
+    // IEEE and the op order is fixed by the expression
+    val comps = joined.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * y).cast("decimal(38,12)")).as("sxy"),
+      sum((x * x).cast("decimal(38,12)")).as("sxx"),
+      sum((y * y).cast("decimal(38,12)")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val nD = d(col("n"))
+    comps.select(col("n"),
+      round((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        sqrt(nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+        sqrt(nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) * 10000)
+        .cast("long").as("corr_e4"))
+  }
+
   /** Exact (interpolating) percentiles per group — Spark's `percentile`
     * sorts within the group; at scale the approx_percentile sketch is the
     * swap-in for a single-pass mergeable form (sketch_stats covers it).
@@ -135,6 +188,8 @@ object FuncQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_agg" -> (cubeAgg _),
     "grouping_sets" -> (groupingSets _),
+    "ntile_buckets" -> (ntileBuckets _),
+    "spend_corr" -> (spendCorr _),
     "percentiles" -> (percentiles _),
     "date_math" -> (dateMath _),
     "array_funcs" -> (arrayFuncs _),
@@ -154,6 +209,40 @@ object FuncQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "ntile_buckets" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_acctbal, c_custkey,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(quartile AS INT) AS quartile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+        |  MIN(c_custkey) AS first_key
+        |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin,
+    "spend_corr" ->
+      """WITH o AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  -- (19,6): int128-backed so DuckDB's multiply doesn't overflow
+        |  -- int64, and 19+19 = 38 stays inside its width cap; the values
+        |  -- are identical to the engine's (12,6)/(18,6) operands
+        |  SELECT CAST(c_acctbal AS DECIMAL(19,6)) AS x,
+        |    CAST(spend AS DECIMAL(19,6)) AS y
+        |  FROM customer JOIN o ON c_custkey = o_custkey),
+        |c AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM j)
+        |SELECT n,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * 10000) AS BIGINT) AS corr_e4
+        |FROM c""".stripMargin,
     "percentiles" ->
       """SELECT o_orderstatus,
         |  CAST(round(quantile_cont(o_totalprice, 0.25) * 10000) AS BIGINT) AS p25_e4,

@@ -258,9 +258,25 @@ object TextQueries {
         min(col("path")).as("first_path"))
       .orderBy(col("host"))
 
+  /** Top word bigrams over the corpus — the n-gram LM count table's first
+    * rows: zip each token array with its tail, explode, count, top-20 via
+    * TakeOrderedAndProject with a total-order tie-break. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(ws, 1, 100000), slice(ws, 2, 100000),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .filter(col("bigram").contains(" ")) // drop the trailing unpaired token
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "html_strip" -> (htmlStrip _),
     "domain_stats" -> (domainStats _),
+    "top_bigrams" -> (topBigrams _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "rolling_fp" -> (rollingFp _),
@@ -277,6 +293,14 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "top_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     // closed-form expectation, NOT a rerun of the strip chain: on the
     // markup-free single-spaced fixture the cleaned text must be exactly
     // `text || ' & tail'`
