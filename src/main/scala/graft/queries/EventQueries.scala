@@ -90,21 +90,26 @@ object EventQueries {
       .orderBy(col("day"), col("event_type"))
 
   /** Journey analysis: each user's first 8 event types in time order as
-    * one path string, counted per distinct path. Determinism:
-    * collect_list order is partition-dependent, so the list is sorted by
-    * (ts, event_id) AFTER collection (array_sort over structs) — one
-    * user-keyed shuffle, path strings tiny. */
-  def userPaths(spark: SparkSession, dir: String): DataFrame =
+    * one path string, counted per distinct path. A rank-≤-8 window
+    * (WindowGroupLimit — map-side pre-trim) bounds the per-user state to
+    * 8 rows BEFORE any collect, so a skewed key can't materialize its
+    * whole history in one aggregation buffer; the ≤8-element array is
+    * then sorted post-collect because collect_list order is
+    * partition-dependent. */
+  def userPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
       .groupBy(col("user_id"))
       .agg(collect_list(struct(
         unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))).as("evs"))
       .select(array_join(
-        slice(transform(array_sort(col("evs")), e => e("event_type")), 1, 8), ">")
-        .as("path"))
+        transform(array_sort(col("evs")), e => e("event_type")), ">").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
+  }
 
   /** RANGE window frame: per event, how many events the same user produced
     * in the preceding 5 minutes (frame bounds in integer microseconds —

@@ -71,9 +71,8 @@ object FuncQueries {
     * same single partial-aggregated pass. */
   def spendCorr(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey")).agg(
-        count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
     val joined = Tables.customer(spark, dir)
       .join(o, col("c_custkey") === col("o_custkey"))
     // operand widths chosen so every product fits decimal exactly in BOTH
@@ -93,11 +92,15 @@ object FuncQueries {
       sum((y * y).cast("decimal(38,12)")).as("syy"))
     def d(c: Column) = c.cast("double")
     val nD = d(col("n"))
+    val dxx = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dyy = nD * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    // zero-variance input makes r undefined (0/0): emit NULL explicitly —
+    // letting NaN flow differs per engine (Spark casts NaN→0, DuckDB errors)
     comps.select(col("n"),
-      round((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-        sqrt(nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
-        sqrt(nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) * 10000)
-        .cast("long").as("corr_e4"))
+      when(dxx > 0 && dyy > 0,
+        round((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          sqrt(dxx) / sqrt(dyy) * 10000).cast("long"))
+        .as("corr_e4"))
   }
 
   /** Exact (interpolating) percentiles per group — Spark's `percentile`
@@ -221,8 +224,7 @@ object FuncQueries {
         |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile""".stripMargin,
     "spend_corr" ->
       """WITH o AS (
-        |  SELECT o_custkey, COUNT(*) AS n_orders,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
         |  FROM orders GROUP BY o_custkey),
         |j AS (
         |  -- (19,6): int128-backed so DuckDB's multiply doesn't overflow
@@ -236,13 +238,18 @@ object FuncQueries {
         |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
         |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
         |    SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
-        |  FROM j)
+        |  FROM j),
+        |d AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM c)
         |SELECT n,
-        |  CAST(round(
-        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * 10000) AS BIGINT) AS corr_e4
-        |FROM c""".stripMargin,
+        |  CASE WHEN dxx > 0 AND dyy > 0
+        |    THEN CAST(round(dxy / sqrt(dxx) / sqrt(dyy) * 10000) AS BIGINT)
+        |    ELSE NULL END AS corr_e4
+        |FROM d""".stripMargin,
     "percentiles" ->
       """SELECT o_orderstatus,
         |  CAST(round(quantile_cont(o_totalprice, 0.25) * 10000) AS BIGINT) AS p25_e4,

@@ -263,11 +263,13 @@ object TextQueries {
     * TakeOrderedAndProject with a total-order tie-break. */
   def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
+    // equal-length slices (all n-1 leading tokens × all n-1 trailing) —
+    // no magic cap, no null padding, single-token docs yield no bigrams
+    val len = greatest(size(ws) - 1, lit(0))
     Tables.documents(spark, dir)
       .select(explode(zip_with(
-        slice(ws, 1, 100000), slice(ws, 2, 100000),
+        slice(ws, lit(1), len), slice(ws, lit(2), len),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
-      .filter(col("bigram").contains(" ")) // drop the trailing unpaired token
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)

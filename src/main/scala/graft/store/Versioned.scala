@@ -89,7 +89,15 @@ object Versioned {
       toVersion: Option[Int] = None): DataFrame = {
     val to = toVersion.getOrElse(currentVersion(table))
     require(fromVersion <= to, s"fromVersion $fromVersion is after $to")
-    if (to == 0) return spark.emptyDataFrame // empty table: no schema exists yet
+    if (to == 0) {
+      // v0 is the empty table; its delta is empty. The schema can only
+      // come from committed data — a never-committed table has none to
+      // give, and a schemaless frame would break every typed consumer.
+      val cur = currentVersion(table)
+      if (cur == 0) throw new IllegalStateException(
+        s"table $table has no commits yet — poll changes() after the first append")
+      return read(spark, table, Some(cur)).limit(0)
+    }
     if (fromVersion > 0 && !manifestFile(table, fromVersion).exists)
       throw new IllegalStateException(
         s"delta from v$fromVersion of $table is unavailable (manifest vacuumed): " +

@@ -7,6 +7,19 @@ import graft.{SparkSpec, Tables}
 class TextSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("html_strip's closed-form oracle precondition holds on the fixture") {
+    // the oracle fingerprints `text || ' & tail'` WITHOUT running the
+    // strip chain — valid only while the fixture text contains no markup
+    // characters and no whitespace the \s+ normalizer would alter. This
+    // enforces that precondition in-repo so a regenerated fixture that
+    // breaks it fails HERE with a clear message, not as an opaque driver
+    // hash mismatch.
+    val bad = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("[<>&]|  |\\t|\\r|\\n|^ | $"))
+      .count()
+    assert(bad == 0, s"$bad fixture docs violate the html_strip oracle precondition")
+  }
+
   test("sketch stats are within tolerance of exact answers") {
     val got = TextQueries.sketchStats(spark, sfDir)
       .select("lang", "approx_vocab", "p50_chars", "p95_chars")
