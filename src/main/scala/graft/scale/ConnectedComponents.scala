@@ -64,6 +64,30 @@ object ConnectedComponents {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Incremental maintenance: fold NEW edges into an existing labeling
+    * without touching the old graph's edge set. The prior labeling is
+    * itself a star forest (node → component), so re-running contraction
+    * over [labels-as-edges ∪ new edges] starts one contraction step from
+    * done wherever nothing changed — rounds scale with how much the new
+    * edges perturb the structure, not with history. Component ids stay
+    * the component minimum, so ids are stable unless a merge introduces
+    * a smaller member (exactly the semantics a dedup pipeline wants:
+    * growing a cluster keeps its representative).
+    *
+    * @param labels prior (node, component) output of [[components]]
+    * @param newEdges src/dst pairs; may reference brand-new nodes
+    */
+  def addEdges(labels: DataFrame, newEdges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val labelEdges = labels.select(col("node").as("src"), col("component").as("dst"))
+    val nodes = labels.select(col("node"))
+      .unionByName(newEdges.select(col("src").cast("long").as("node")))
+      .unionByName(newEdges.select(col("dst").cast("long").as("node")))
+      .distinct()
+    components(labelEdges.unionByName(
+      newEdges.select(col("src").cast("long"), col("dst").cast("long"))),
+      nodes, maxIter)
+  }
+
   /** canonical undirected form: (u, v) with u > v, no self-loops, distinct. */
   private def canonical(edges: DataFrame): DataFrame =
     edges.select(

@@ -60,6 +60,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(nodes, edges) == Map(5L -> 5L, 7L -> 7L, 42L -> 7L, 1000000L -> 7L))
   }
 
+  test("incremental addEdges equals a full recompute over the union graph") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 17)
+      val oldEdges = Seq.fill(60)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      val newEdges = Seq.fill(40)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      val base = ConnectedComponents.components(
+        oldEdges.toDF("src", "dst"), (0L until 100L).toDF("node"))
+      val got = ConnectedComponents.addEdges(base, newEdges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // addEdges' node universe = prior nodes ∪ new-edge endpoints (a
+      // node it has never seen can't be labeled)
+      val nodes = ((0L until 100L) ++ newEdges.flatMap(e => Seq(e._1, e._2))).distinct
+      val want = unionFind(nodes, oldEdges ++ newEdges)
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("addEdges keeps a cluster's representative when it only grows") {
+    val base = ConnectedComponents.components(
+      Seq((5L, 9L)).toDF("src", "dst"), Seq(5L, 9L).toDF("node"))
+    val got = run2(ConnectedComponents.addEdges(base, Seq((9L, 30L)).toDF("src", "dst")))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 30L -> 5L))
+  }
+
+  private def run2(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("duplicate and reversed edges do not change the labeling") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
     assert(run(Seq(1L, 2L, 3L), edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
