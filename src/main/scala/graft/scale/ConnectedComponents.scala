@@ -40,12 +40,15 @@ object ConnectedComponents {
     *         iteration interleave.
     */
   def components(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
-    var cur = canonical(edges).localCheckpoint()
+    // LAZY checkpoints: the signature probe right below is the first
+    // action and materializes the checkpoint in the SAME job — an eager
+    // checkpoint would pay a second full pass per round just to persist
+    var cur = canonical(edges).localCheckpoint(false)
     var sig = signature(cur)
     var converged = sig._1 == 0L // edgeless graph: all singletons
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nsig = signature(next)
       // star-contraction is monotone: the edge set is a fixpoint iff one
       // more round reproduces it, compared here by (count, hash-sum)
