@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * collect_set), so the 100 TB shape holds: shuffle volume per round is
   * O(|edges|) of 16-byte rows.
   *
-  * Per-round lineage is truncated with an eager `localCheckpoint` —
-  * without it the logical plan doubles per iteration (each round
-  * self-joins the previous round's output) and analysis goes exponential.
-  * On a multi-executor cluster with a long run, swap for reliable
-  * `checkpoint` to a cluster-visible dir; the loop shape is unchanged.
+  * Per-round lineage is truncated with a LAZY `localCheckpoint`,
+  * materialized by the convergence probe's aggregate in the same job —
+  * without the checkpoint the logical plan doubles per iteration (each
+  * round self-joins the previous round's output) and analysis goes
+  * exponential; with an eager one, every round pays a second full pass
+  * just to persist. On a multi-executor cluster with a long run, swap
+  * for reliable `checkpoint` to a cluster-visible dir (mind its own
+  * eagerness default); the loop shape is unchanged.
   */
 object ConnectedComponents {
 

@@ -23,12 +23,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
-  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val e = edges.toDF("src", "dst")
-    val n = nodes.toDF("node")
-    ConnectedComponents.components(e, n)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-  }
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    labelsOf(ConnectedComponents.components(edges.toDF("src", "dst"), nodes.toDF("node")))
 
   test("a long chain collapses to one component labeled by its minimum") {
     // path graph 0-1-2-...-63: diameter 63, but star contraction must
@@ -67,8 +66,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       val newEdges = Seq.fill(40)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       val base = ConnectedComponents.components(
         oldEdges.toDF("src", "dst"), (0L until 100L).toDF("node"))
-      val got = ConnectedComponents.addEdges(base, newEdges.toDF("src", "dst"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = labelsOf(ConnectedComponents.addEdges(base, newEdges.toDF("src", "dst")))
       // addEdges' node universe = prior nodes ∪ new-edge endpoints (a
       // node it has never seen can't be labeled)
       val nodes = ((0L until 100L) ++ newEdges.flatMap(e => Seq(e._1, e._2))).distinct
@@ -80,12 +78,9 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("addEdges keeps a cluster's representative when it only grows") {
     val base = ConnectedComponents.components(
       Seq((5L, 9L)).toDF("src", "dst"), Seq(5L, 9L).toDF("node"))
-    val got = run2(ConnectedComponents.addEdges(base, Seq((9L, 30L)).toDF("src", "dst")))
+    val got = labelsOf(ConnectedComponents.addEdges(base, Seq((9L, 30L)).toDF("src", "dst")))
     assert(got == Map(5L -> 5L, 9L -> 5L, 30L -> 5L))
   }
-
-  private def run2(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("duplicate and reversed edges do not change the labeling") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
