@@ -153,13 +153,37 @@ object PipelineQueries {
       .orderBy(col("lang"), col("batch_id"))
   }
 
+  /** Train/eval contamination check (decontamination): test-split
+    * documents sharing ≥ 5 word-3-gram shingles with any train-split
+    * document — the leakage scan every LLM data pipeline runs before
+    * training. Splits come from the SAME md5 ranges as
+    * deterministicSplit, shingles/join from the NearDup machinery: the
+    * join keys on shared shingles, so cost is candidate pairs, never
+    * |test|×|train|. The fixture's planted near-identical pairs surface
+    * whenever the hash split separates them (doc_id < 1000 keeps the
+    * result non-vacuous at every fixture scale). */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+      .withColumn("split", when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train"))
+    val sh = graft.scale.NearDup.shingles(docs.filter(col("split").isin("test", "train")))
+      .join(docs.select(col("doc_id"), col("split")), "doc_id")
+    sh.filter(col("split") === "test").as("t")
+      .join(sh.filter(col("split") === "train").as("r"), col("t.sh") === col("r.sh"))
+      .groupBy(col("t.doc_id").as("test_doc"), col("r.doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "deterministic_split" -> (deterministicSplit _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "redact_pii" -> (redactPii _),
     "data_mix" -> (dataMix _),
     "stratified_sample" -> (stratifiedSample _),
-    "token_packing" -> (tokenPacking _)
+    "token_packing" -> (tokenPacking _),
+    "split_contamination" -> (splitContamination _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,6 +272,27 @@ object PipelineQueries {
         |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS batch_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS batch_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+    "split_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents WHERE doc_id < 1000),
+        |w AS (
+        |  SELECT doc_id, split, string_split(text, ' ') AS ws FROM d
+        |  WHERE split IN ('test', 'train') AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split, sh FROM (
+        |    SELECT doc_id, split,
+        |      unnest(list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w))
+        |SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, COUNT(*) AS shared
+        |FROM sh t JOIN sh r ON t.sh = r.sh
+        |WHERE t.split = 'test' AND r.split = 'train'
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY test_doc, train_doc""".stripMargin
   )
 }
