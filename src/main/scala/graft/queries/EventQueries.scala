@@ -111,6 +111,37 @@ object EventQueries {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** Trailing-window z-score anomaly flags: each event's value against
+    * the mean/stddev of the SAME user's previous 20 events. The window
+    * sums are exact decimals; mean/variance/threshold run in one
+    * closed-form double expression — the spend_corr determinism recipe
+    * applied per-row, so the flag is reproducible at any parallelism
+    * (built-in stddev over doubles is not). One (user)×(ts,id) sort. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    def d(c: Column) = c.cast("double")
+    val scored = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("xd", col("value").cast("decimal(18,6)"))
+      .withColumn("n", count(col("xd")).over(w))
+      .withColumn("sx", sum(col("xd")).over(w))
+      .withColumn("sxx", sum((col("xd") * col("xd")).cast("decimal(38,12)")).over(w))
+    val nD = d(col("n"))
+    // division guarded by the warmup branch: ANSI mode rejects even a
+    // double divide-by-zero on the n<=1 rows, and CASE evaluates lazily
+    val varS = when(col("n") >= 5,
+      (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (nD * (nD - 1.0)))
+      .otherwise(lit(-1.0))
+    val anomaly = varS > 0.0 &&
+      abs(d(col("xd")) - d(col("sx")) / nD) > sqrt(varS) * 2.0
+    scored
+      .withColumn("is_anomaly", when(anomaly, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_anomaly")).as("n_anomalies"))
+      .orderBy(col("user_id"))
+  }
+
   /** RANGE window frame: per event, how many events the same user produced
     * in the preceding 5 minutes (frame bounds in integer microseconds —
     * exact cross-engine). */
@@ -240,7 +271,8 @@ object EventQueries {
     "kmv_distinct" -> (kmvDistinct _),
     "session_window_agg" -> (sessionWindowAgg _),
     "unpivot_events" -> (unpivotEvents _),
-    "user_paths" -> (userPaths _)
+    "user_paths" -> (userPaths _),
+    "anomaly_zscore" -> (anomalyZscore _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +386,33 @@ object EventQueries {
         |      list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
         |  FROM events GROUP BY user_id)
         |SELECT path, COUNT(*) AS n_users
-        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
+    // (19,6): int128-backed so DuckDB's x*x doesn't overflow int64
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(19,6)) AS xd,
+        |    COUNT(CAST(value AS DECIMAL(19,6))) OVER w AS n,
+        |    SUM(CAST(value AS DECIMAL(19,6))) OVER w AS sx,
+        |    SUM(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)) AS DECIMAL(38,12))) OVER w AS sxx
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT user_id, xd, n, sx,
+        |    CASE WHEN n >= 5 THEN
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    ELSE -1.0 END AS var_s
+        |  FROM s),
+        |z AS (
+        |  SELECT user_id,
+        |    CASE WHEN var_s > 0.0
+        |      AND abs(CAST(xd AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) >
+        |          sqrt(var_s) * 2.0
+        |      THEN 1 ELSE 0 END AS is_anomaly
+        |  FROM v)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
