@@ -36,6 +36,15 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
   def upload(token: String, files: Seq[(String, Array[Byte])]): Either[Jwt.AuthError, DataFrame] =
     authed(token) { user =>
       import spark.implicits._
+      // the outcome report below is collect()ed to the driver — safe only
+      // because it is one row PER UPLOADED FILE, never per chunk/row, and
+      // the route enforces the same bound an HTTP multipart endpoint would
+      // (the reference accepts request-sized batches, app.py:378). Bulk
+      // corpus loads go through IngestPipeline/StreamingIngest directly,
+      // which never collect.
+      require(files.size <= Engine.MaxFilesPerUpload,
+        s"upload batch of ${files.size} files exceeds ${Engine.MaxFilesPerUpload}; " +
+          "use StreamingIngest for bulk loads")
       val batch = files.toDF("path", "content").withColumn("user", lit(user))
       // the dedup key is (user, file_hash) with user fixed to the caller,
       // so only the caller's partitions can match — scope the store side
@@ -100,4 +109,12 @@ final class Engine(spark: SparkSession, storeDir: String, chatLogDir: String,
 
   /** Collection count (reference startup log, app.py:79). */
   def count(): Long = ChunkStore.count(spark, storeDir)
+}
+
+object Engine {
+  /** Upper bound on files per [[Engine.upload]] call — keeps the one-row-
+    * per-file outcome collect() a bounded driver allocation (at ~200 bytes
+    * a row this is <1 MiB). Request-sized, matching the reference's HTTP
+    * multipart route; bulk loads bypass the facade. */
+  val MaxFilesPerUpload = 4096
 }

@@ -128,8 +128,10 @@ object EventQueries {
       .withColumn("sx", sum(col("xd")).over(w))
       .withColumn("sxx", sum((col("xd") * col("xd")).cast("decimal(38,12)")).over(w))
     val nD = d(col("n"))
-    // division guarded by the warmup branch: ANSI mode rejects even a
-    // double divide-by-zero on the n<=1 rows, and CASE evaluates lazily
+    // division guarded by the warmup branch: ANSI mode leaves double
+    // division to IEEE (0/0 → NaN, not an error), and NaN ordering /
+    // propagation differs across engines — the lazy CASE keeps the n<=1
+    // rows on a deterministic sentinel instead
     val varS = when(col("n") >= 5,
       (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (nD * (nD - 1.0)))
       .otherwise(lit(-1.0))

@@ -190,7 +190,7 @@ object PipelineQueries {
     "data_mix" ->
       """WITH s AS (
         |  SELECT source, doc_id,
-        |    CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4 AS tier,
+        |    TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4 AS tier,
         |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
         |  FROM documents),
         |k AS (

@@ -24,8 +24,14 @@ object StoreQueries {
     * the hook, every run would permanently leak its parquet scratch. */
   private val created = scala.collection.mutable.Set.empty[String]
   private def scratch(name: String, dir: String): String = {
+    // the sanitized dir alone is NOT injective (/a/b and /a_b collide);
+    // a digest of the raw string disambiguates, keeping distinct fixture
+    // dirs on distinct scratch paths within one process
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val p = new File(new File(sys.props("java.io.tmpdir")),
-      s"graft_${name}_p${ProcessHandle.current().pid()}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"graft_${name}_p${ProcessHandle.current().pid()}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$digest")
       .getAbsolutePath
     created.synchronized {
       if (created.isEmpty)

@@ -43,20 +43,26 @@ object ConnectedComponents {
     *         iteration interleave.
     */
   def components(edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     // LAZY checkpoints: the signature probe right below is the first
     // action and materializes the checkpoint in the SAME job — an eager
     // checkpoint would pay a second full pass per round just to persist
-    var cur = canonical(edges).localCheckpoint(false)
+    var (cur, curBlocks) = checkpointTracked(sc, canonical(edges))
     var sig = signature(cur)
     var converged = sig._1 == 0L // edgeless graph: all singletons
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val (next, nextBlocks) = checkpointTracked(sc, smallStar(largeStar(cur)))
       val nsig = signature(next)
       // star-contraction is monotone: the edge set is a fixpoint iff one
       // more round reproduces it, compared here by (count, hash-sum)
       converged = nsig == sig
-      cur = next; sig = nsig
+      // the probe above materialized `next`, so the superseded round's
+      // checkpoint blocks can go now — without this, up to maxIter rounds
+      // of edge blocks pile up on executor storage for the whole job. Only
+      // the final round's blocks stay alive (the returned plan reads them).
+      curBlocks.foreach(_.unpersist(blocking = false))
+      cur = next; curBlocks = nextBlocks; sig = nsig
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
@@ -92,6 +98,25 @@ object ConnectedComponents {
     components(labelEdges.unionByName(
       newEdges.select(col("src").cast("long"), col("dst").cast("long"))),
       nodes, maxIter)
+  }
+
+  /** `localCheckpoint` plus a handle to the blocks it persisted, so the
+    * loop can free a superseded round. `Dataset.unpersist` can't do it —
+    * it only uncaches cache-manager entries, and a checkpoint persists at
+    * the RDD layer — so the fresh RDD is identified by diffing
+    * `getPersistentRDDs` around the call (the checkpoint registers its
+    * persistence eagerly even when materialization is lazy). A concurrent
+    * persist from another thread inside this microsecond window would be
+    * collateral; the CC loop is single-threaded per call and worst case is
+    * an early re-computation, never wrong results. */
+  private def checkpointTracked(sc: org.apache.spark.SparkContext,
+      df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(false)
+    val fresh = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before(id) => rdd
+    }.toSeq
+    (out, fresh)
   }
 
   /** canonical undirected form: (u, v) with u > v, no self-loops, distinct. */

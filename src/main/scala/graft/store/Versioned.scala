@@ -212,6 +212,18 @@ object Versioned {
         if (Option(d.list()).exists(_.isEmpty)) d.delete(): Unit
       }
     }
+    // orphaned commit scratch: a writer that crashed between createTempFile
+    // and createLink leaves _manifests/v*.tmp behind forever (success and
+    // conflict paths both clean up; a crash cleans nothing). Safe to sweep
+    // once past the grace window — an in-flight writer's tmp is younger by
+    // the same argument as its data files, and a tmp whose link already
+    // succeeded shares an inode with the published manifest, so deleting
+    // the tmp dir entry never touches the manifest. Bookkeeping, not table
+    // content: doesn't count toward `deleted`.
+    Option(manifestDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+        now - f.lastModified >= minAgeMs)
+      .foreach(_.delete())
     deleted
   }
 
