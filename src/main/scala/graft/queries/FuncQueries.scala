@@ -104,8 +104,9 @@ object FuncQueries {
   }
 
   /** Exact (interpolating) percentiles per group — Spark's `percentile`
-    * sorts within the group; at scale the approx_percentile sketch is the
-    * swap-in for a single-pass mergeable form (sketch_stats covers it).
+    * sorts within the group; the single-pass mergeable swap-in at scale
+    * is [[graft.core.KllQuantile]] (see quantileSketch below, the SAME
+    * numbers from O(k·log n) state per group instead of a group sort).
     * Emitted e4: the linear interpolation arithmetic is not guaranteed
     * bit-identical across engines. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
@@ -120,6 +121,30 @@ object FuncQueries {
         e4(col("mn")).as("min_e4"),
         e4(col("mx")).as("max_e4"))
       .orderBy(col("o_orderstatus"))
+
+  /** Per-nation account-balance quartiles through the mergeable KLL
+    * sketch at a LOSSLESS parameterization (k=4096 ≥ the largest nation's
+    * customer count at every fixture scale ⇒ the buffer never compacts
+    * and finish() is the exact quantile_cont interpolation — hence the
+    * DuckDB oracle). At 100 TB the same plan runs with k ≪ group size:
+    * one partial-aggregated pass with O(k·log n) state per group where
+    * `percentile` needs each group fully sorted on one reducer —
+    * QuantileSketchSpec pins that regime's rank-error envelope. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val kll = udaf(
+      new graft.core.KllQuantile(4096, Seq(0.25, 0.5, 0.75)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(kll(col("c_acctbal").cast("double")).as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("c_nationkey"),
+        e4(element_at(col("ps"), 1)).as("p25_e4"),
+        e4(element_at(col("ps"), 2)).as("p50_e4"),
+        e4(element_at(col("ps"), 3)).as("p75_e4"),
+        col("n"))
+      .orderBy(col("c_nationkey"))
+  }
 
   /** Date/time scalar family in one pass over orders. */
   def dateMath(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +219,7 @@ object FuncQueries {
     "ntile_buckets" -> (ntileBuckets _),
     "spend_corr" -> (spendCorr _),
     "percentiles" -> (percentiles _),
+    "quantile_sketch" -> (quantileSketch _),
     "date_math" -> (dateMath _),
     "array_funcs" -> (arrayFuncs _),
     "not_in_antijoin" -> (notInAntijoin _)
@@ -258,6 +284,13 @@ object FuncQueries {
         |  CAST(round(min(o_totalprice) * 10000) AS BIGINT) AS min_e4,
         |  CAST(round(max(o_totalprice) * 10000) AS BIGINT) AS max_e4
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "quantile_sketch" ->
+      """SELECT c_nationkey,
+        |  CAST(round(quantile_cont(c_acctbal, 0.25) * 10000) AS BIGINT) AS p25_e4,
+        |  CAST(round(quantile_cont(c_acctbal, 0.5) * 10000) AS BIGINT) AS p50_e4,
+        |  CAST(round(quantile_cont(c_acctbal, 0.75) * 10000) AS BIGINT) AS p75_e4,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "date_math" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,
