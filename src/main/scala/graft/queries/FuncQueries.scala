@@ -50,12 +50,29 @@ object FuncQueries {
   /** ntile quartiles per segment: equal-frequency bucketing for
     * curriculum tiers / AB-split strata. Total window order ((bal, key))
     * so the bucket boundaries are engine-independent; rolled up so the
-    * output is the bucket profile, not a row per customer. */
+    * output is the bucket profile, not a row per customer.
+    *
+    * Boundaries-then-assign, NOT `ntile(4) OVER (PARTITION BY segment)`:
+    * c_mktsegment has 5 values, so the window form funnels each
+    * segment's ENTIRE customer population through one reducer's sort —
+    * the per-partition volume grows linearly with the table. Here pass 1
+    * computes per-segment quartile boundary keys with a partial-
+    * aggregated sketch ([[graft.core.NtileBoundaries]]: exact below its
+    * cap, hence the unchanged DuckDB ntile oracle; KLL-bounded state
+    * above it), and pass 2 assigns buckets map-side from the broadcast
+    * 3-key arrays — no per-segment sort anywhere at any scale. The sort
+    * key packs (acctbal, custkey) into one long (two exact decimals ×
+    * 2^20 + key; custkey < 2^20 holds through sf1 and the aggregator
+    * rejects overflow), preserving the window version's total order. */
   def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    val bounds = udaf(new graft.core.NtileBoundaries(4, 8192),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val keyed = Tables.customer(spark, dir).withColumn("okey",
+      round(col("c_acctbal") * 100).cast("long") * lit(1L << 20) + col("c_custkey"))
+    val bs = keyed.groupBy(col("c_mktsegment")).agg(bounds(col("okey")).as("bs"))
+    keyed.join(broadcast(bs), "c_mktsegment")
+      .withColumn("quartile",
+        size(filter(col("bs"), b => b < col("okey"))) + lit(1))
       .groupBy(col("c_mktsegment"), col("quartile"))
       .agg(count(lit(1)).as("n"),
         dsum(col("c_acctbal")).as("total_bal"),

@@ -136,15 +136,36 @@ object PipelineQueries {
   /** Sequence packing for training batches: per language, documents (in
     * doc_id order) are packed into ~2048-token batches by bucketing each
     * doc's EXCLUSIVE token prefix-sum — the streaming-pack rule (a doc
-    * straddling a boundary stays with the batch it started in). One
-    * running-sum window per stratum + a tiny rollup; at 100 TB the
-    * stratum is the shuffle key and the window never goes global. */
+    * straddling a boundary stays with the batch it started in).
+    *
+    * The prefix sum is two-level, NOT one window per language: `lang`
+    * has 5 values, so a per-lang running-sum window would drag the whole
+    * corpus through 5 reducers' sorts. Instead doc_ids are blocked into
+    * fixed 256-id ranges; per-(lang, range) token subtotals (a partial-
+    * aggregated groupBy) feed a tiny per-lang offset window over RANGES
+    * (corpus/256 rows — at true 100 TB scale, widen the block or add a
+    * third level), and the within-range window partitions on
+    * (lang, range), bounding every sort at 256 rows whatever the table
+    * size. cum = range offset + within-range prefix is EXACTLY the
+    * one-window value, so the oracle is unchanged. */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .withColumn("n_toks", size(split(col("text"), " ")))
-      .withColumn("cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("rng", floor(col("doc_id") / 256).cast("long"))
+    val offsetW = Window.partitionBy(col("lang")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("lang"), col("rng"))
+      .agg(sum(col("n_toks")).as("rng_toks"))
+      .withColumn("rng_off", coalesce(sum(col("rng_toks")).over(offsetW), lit(0L)))
+      .select(col("lang"), col("rng"), col("rng_off"))
+    val withinW = Window.partitionBy(col("lang"), col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: offsets is corpus/256 rows — tiny here and AQE
+    // auto-broadcasts it, but at extreme scale it must stay a shuffle
+    // join on the well-distributed (lang, rng) key
+    docs.join(offsets, Seq("lang", "rng"))
+      .withColumn("cum",
+        col("rng_off") + coalesce(sum(col("n_toks")).over(withinW), lit(0L)))
       .withColumn("batch_id", floor(col("cum") / 2048).cast("long"))
       .groupBy(col("lang"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -14,6 +14,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an arbitrary (analyzed) logical plan — the
+    * `private[sql]` `Dataset.ofRows`. Lets plan-level tests re-execute a
+    * SUBTREE of an optimized plan (e.g. measure a window operator's
+    * actual input cardinality) without reconstructing the query. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The session's stable unique id (`private[sql]` on the classic
     * implementation) — a collision-free memo key where
     * `System.identityHashCode` isn't (hash reuse after GC) and a weak

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.{count, countDistinct, lit}
+
 import graft.SparkSpec
 
 /** Physical-plan regression guards: the scale properties documented in
@@ -119,6 +121,42 @@ class PlanSpec extends SparkSpec {
       plan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty && w.child.maxRows.isEmpty =>
           s"$name: unpartitioned window over unbounded input (${w.windowExpressions.map(_.sql).mkString(", ")})"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no declared query windows over an enum-cardinality partition key") {
+    // A PARTITIONed window is only scale-safe if partition count grows
+    // with the data; a key with a handful of schema-constant values
+    // (mktsegment, lang, split) funnels 1/d of the ENTIRE table through
+    // each reducer's sort — linear-in-table per-partition volume that a
+    // small fixture hides. Statically unknowable, so measure it: for
+    // every unbounded-input window, count the partition key's distinct
+    // values and the actual input rows at fixture scale; d ≤ 8 with ≥ 20
+    // rows per partition is an enum key over bulk data. Windows whose
+    // subtree carries a WindowGroupLimit are exempt — the rank filter
+    // pre-trims each map task to its local top-k, so the per-reducer
+    // volume is k·tasks, not table/d (stratified_sample's shape).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow, WindowGroupLimit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.catalog.clearCache()
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LogicalWindow
+            if w.partitionSpec.nonEmpty && w.child.maxRows.isEmpty &&
+              !w.child.exists(_.isInstanceOf[WindowGroupLimit]) =>
+          val child = ColumnBridge.ofRows(spark, w.child)
+          val keys = w.partitionSpec.map(ColumnBridge.column)
+          val row = child.select(
+            countDistinct(keys.head, keys.tail: _*).as("d"),
+            count(lit(1)).as("n")).head()
+          (name, w, row.getLong(0), row.getLong(1))
+      }.collect {
+        case (n, w, d, rows) if d <= 8 && rows >= 20 * d =>
+          s"$n: window partitioned on an enum key ($d partitions over $rows rows: " +
+            s"${w.partitionSpec.map(_.sql).mkString(", ")})"
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
