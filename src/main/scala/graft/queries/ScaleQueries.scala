@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.scale.{Ivf, LshJoin, NearDup}
+import graft.scale.{Ivf, LshJoin, NearDup, Pq}
 
 /** Declared entries for the scale-out operators (SURVEY.md §2.3): MinHash/
   * SimHash near-dup, IVF ANN search, LSH similarity join, multimodal
@@ -35,6 +35,23 @@ object ScaleQueries {
       (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir),
       Ivf.build(spark, Tables.embeddings(spark, dir)))
 
+  /** PQ layers on the shared IVF index, memoized the same way — one
+    * compressed variant (the production shape) and one lossless variant
+    * (ksub ≥ every distinct residual sub-vector at fixture scales, so
+    * encoding is exact — the oracle parameterization). */
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Pq.Index]
+  private def pqIndex(spark: SparkSession, dir: String, variant: String): Pq.Index =
+    pqMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir, variant),
+      variant match {
+        case "compressed" =>
+          Pq.build(defaultIndex(spark, dir), m = 8, ksub = 256, sampleCap = 2048)
+        case "lossless" =>
+          Pq.build(defaultIndex(spark, dir), m = 8, ksub = 4096,
+            sampleCap = Int.MaxValue)
+      })
+
   /** MinHash LSH near-dups over the planted near-identical docs. */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashNearDups(Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5)
@@ -51,6 +68,22 @@ object ScaleQueries {
     val index = defaultIndex(spark, dir)
     Ivf.search(index, q, k = 13, nprobe = 3)
       .select(col("vec_id"), col("cell"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** IVF-PQ at production compression (m=8, 256-entry books: 64-dim
+    * float32 → 8 one-byte codes, 32× smaller than raw, sample-trained
+    * — the standard 8-bit PQ configuration): ADC over
+    * 3 probed cells, shortlist-64 exact rerank, top-13. Rows-only
+    * headline (codebooks are Lloyd outputs no SQL oracle can recompute);
+    * PqSpec pins recall against exact ground truth and pq_precision
+    * pins the identical machinery losslessly. */
+  def ivfpqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    Pq.search(pqIndex(spark, dir, "compressed"), q, k = 13, nprobe = 3, shortlist = 64)
+      .select(col("vec_id"), col("cell"),
+        round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
   /** MLlib BucketedRandomProjectionLSH self-join: pairs with L2 < 1.1. */
@@ -114,6 +147,21 @@ object ScaleQueries {
       .head().getSeq[Float](0).toArray
     val index = defaultIndex(spark, dir)
     Ivf.search(index, q, k = 13, nprobe = 16)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** IVF-PQ with lossless codebooks (every distinct residual sub-vector
+    * is its own code ⇒ ADC distance == exact distance to fp-regrouping),
+    * every cell probed, and shortlist = k — so the 13 survivors are
+    * CHOSEN by the ADC ordering, then reranked exactly: the whole
+    * residual-encode/table-lookup/rerank chain must reproduce
+    * brute-force top-13 or the hash breaks. Same oracle as
+    * ivf_precision. */
+  def pqPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    Pq.search(pqIndex(spark, dir, "lossless"), q, k = 13, nprobe = 16, shortlist = 13)
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
@@ -210,6 +258,8 @@ object ScaleQueries {
     "minhash_neardup" -> (minhashNeardup _),
     "simhash_neardup" -> (simhashNeardup _),
     "ivf_topk" -> (ivfTopk _),
+    "ivfpq_topk" -> (ivfpqTopk _),
+    "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
     "media_meta" -> (mediaMeta _),
@@ -228,6 +278,14 @@ object ScaleQueries {
     // no SQL oracle; pinned against exact ground truth in ScaleSpec. Their
     // *_precision parameterizations below ARE oracle-checked.
     "ivf_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // identical ground truth to ivf_precision: lossless PQ + all cells +
+    // shortlist=k must collapse to brute-force top-13
+    "pq_precision" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
          |      FROM embeddings e CROSS JOIN q)
