@@ -23,11 +23,16 @@ import scala.collection.mutable
   *     pre-1.5 behavior.
   *
   * Text operators covered: Tj, ', ", TJ with literal `(..)` strings
-  * (escapes, octal, nesting) and hex `<..>` strings decoded as single-byte
-  * codes (correct for the standard simple fonts; CID/Type0 composite fonts
-  * with ToUnicode CMaps are out of subset, as are LZW/DCT filters and
-  * encryption — out-of-subset pages degrade to no text, never a crash;
-  * corrupt structure degrades to the fallback scan, then `parse_error`).
+  * (escapes, octal, nesting) and hex `<..>` strings. Shown strings decode
+  * through the font selected by `Tf`: simple fonts read single-byte codes
+  * (through their /ToUnicode CMap when present, Latin-1 otherwise), and
+  * CID/Type0 composite fonts read TWO-byte codes mapped through their
+  * /ToUnicode CMap (`beginbfchar`/`beginbfrange`, incl. array-form
+  * ranges) — the composite-font layout nearly every real-world generator
+  * emits. A Type0 font with no ToUnicode (glyph ids only) yields no text
+  * for its runs, never mojibake; LZW/DCT filters and encryption stay out
+  * of subset — out-of-subset pages degrade to no text, never a crash;
+  * corrupt structure degrades to the fallback scan, then `parse_error`.
   *
   * Reference capability matched: pypdf text extraction used by the upload
   * loader (/root/reference/helper/multiple_document_upload.py:36-44).
@@ -381,11 +386,15 @@ object PdfParser {
     * visited in sorted order for deterministic output. */
   private def formTexts(page: PDict, r: Resolver): Seq[String] = {
     val seen = mutable.Set.empty[Int]
+    val pageFonts = resourceFonts(page.get("Resources"), r, Map.empty)
     def fresh(v: Obj): Boolean =
       v match { case PRef(num, _) => seen.add(num); case _ => true }
+    // a form's own /Resources override the page's font table per name;
+    // names the form doesn't define inherit the page's (spec 7.8.3)
     def fromForm(st: PStream, depth: Int): Seq[String] =
       decodeStream(st)
-        .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
+        .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1),
+          resourceFonts(st.dict.get("Resources"), r, pageFonts)))
         .filter(_.nonEmpty).toSeq ++
         st.dict.get("Resources").toSeq.flatMap(fromResources(_, depth + 1))
     def fromResources(res: Obj, depth: Int): Seq[String] =
@@ -437,7 +446,8 @@ object PdfParser {
   }
 
   /** One page's text: /Contents is one stream or an array of streams whose
-    * decoded bytes concatenate into a single content stream. */
+    * decoded bytes concatenate into a single content stream; shown strings
+    * decode through the page's font table. */
   private def pageText(page: PDict, r: Resolver): String = {
     val parts: Seq[Array[Byte]] = page.get("Contents").toSeq.flatMap { c =>
       r.deref(c) match {
@@ -450,7 +460,120 @@ object PdfParser {
       }
     }
     if (parts.isEmpty) ""
-    else extractText(parts.map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n"))
+    else extractText(parts.map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n"),
+      resourceFonts(page.get("Resources"), r, Map.empty))
+  }
+
+  // ------------------------------------------------------------------ fonts
+
+  /** How shown string bytes become text for one selected font. */
+  private[ingest] sealed trait FontDec
+  /** Simple font, no ToUnicode: Latin-1 passthrough (historic behavior). */
+  private[ingest] case object OneByte extends FontDec
+  /** `byteLen`-byte codes mapped through a ToUnicode CMap. Simple fonts
+    * (byteLen 1) fall back to the raw byte for unmapped codes — the CMap
+    * is usually partial there; composite fonts (byteLen 2) DROP unmapped
+    * codes: without the CMap row a CID is a glyph index, and emitting it
+    * as a char would be mojibake, worse for downstream dedup/embedding
+    * than a gap. */
+  private[ingest] final case class Mapped(byteLen: Int, map: Map[Int, String]) extends FontDec
+
+  /** The /Font table of a resource dict: resource name → decoder.
+    * `inherited` (the page's table, when walking a form) fills names the
+    * form's own resources don't define. */
+  private def resourceFonts(res: Option[Obj], r: Resolver,
+      inherited: Map[String, FontDec]): Map[String, FontDec] = {
+    val own: Map[String, FontDec] = res.map(r.deref) match {
+      case Some(rd: PDict) => rd.get("Font").map(r.deref) match {
+        case Some(fd: PDict) =>
+          fd.v.map { case (name, f) => name -> fontDecoder(r.deref(f), r) }
+        case _ => Map.empty[String, FontDec]
+      }
+      case _ => Map.empty[String, FontDec]
+    }
+    inherited ++ own
+  }
+
+  private def fontDecoder(font: Obj, r: Resolver): FontDec = font match {
+    case d: PDict =>
+      val toUni: Option[Map[Int, String]] = d.get("ToUnicode").map(r.deref)
+        .collect { case st: PStream => st }
+        .flatMap(decodeStream)
+        .map(b => parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
+      if (d.get("Subtype").contains(PName("Type0")))
+        // 2-byte codes: Identity-H/V and the CMaps real generators emit
+        // address CIDs as two bytes; without a ToUnicode row a code drops
+        Mapped(2, toUni.getOrElse(Map.empty))
+      else toUni.map(Mapped(1, _)).getOrElse(OneByte)
+    case _ => OneByte
+  }
+
+  /** Parse a ToUnicode CMap's `beginbfchar`/`beginbfrange` sections into
+    * code → text. Destinations are UTF-16BE hex strings (possibly several
+    * code units — ligatures expand to multi-char text); ranges come as
+    * `<lo> <hi> <dstStart>` (destination increments) or
+    * `<lo> <hi> [<d0> <d1> …]` (one destination per code). Entry count is
+    * capped so a hostile <0000> <FFFF> range pile-up stays bounded. */
+  private[ingest] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val MaxEntries = 1 << 17
+    val out = mutable.Map.empty[Int, String]
+    def utf16(hex: String): String = {
+      val clean = if (hex.length % 2 == 1) hex + "0" else hex
+      val bytes = clean.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    val hexP = "<([0-9A-Fa-f]+)>"
+    val charSection = s"(?s)beginbfchar(.*?)endbfchar".r
+    val charEntry = s"$hexP\\s*$hexP".r
+    charSection.findAllMatchIn(cmap).foreach { sec =>
+      charEntry.findAllMatchIn(sec.group(1)).foreach { m =>
+        if (out.size < MaxEntries)
+          out(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+      }
+    }
+    val rangeSection = s"(?s)beginbfrange(.*?)endbfrange".r
+    val rangeEntry = s"$hexP\\s*$hexP\\s*(?:$hexP|\\[([^\\]]*)\\])".r
+    rangeSection.findAllMatchIn(cmap).foreach { sec =>
+      rangeEntry.findAllMatchIn(sec.group(1)).foreach { m =>
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (m.group(3) != null) {
+          val dst = utf16(m.group(3)).toCharArray
+          var c = lo
+          while (c <= hi && out.size < MaxEntries) {
+            val d = dst.clone()
+            // spec 9.10.3: the LAST code unit increments across the range
+            if (d.nonEmpty) d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
+            out(c) = new String(d)
+            c += 1
+          }
+        } else {
+          val dsts = hexP.r.findAllMatchIn(m.group(4)).map(_.group(1)).toVector
+          var c = lo
+          while (c <= hi && (c - lo) < dsts.length && out.size < MaxEntries) {
+            out(c) = utf16(dsts(c - lo))
+            c += 1
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode one shown string's raw bytes through the current font. */
+  private def decodeShown(raw: String, f: FontDec): String = f match {
+    case OneByte => raw
+    case Mapped(1, map) =>
+      raw.iterator.map(c => map.getOrElse(c.toInt, c.toString)).mkString
+    case Mapped(_, map) =>
+      val sb = new StringBuilder
+      var k = 0
+      while (k + 1 < raw.length) {
+        val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+        map.get(code).foreach(sb.append)
+        k += 2
+      }
+      sb.toString
   }
 
   private def decodeStream(st: PStream): Option[Array[Byte]] =
@@ -713,14 +836,18 @@ object PdfParser {
 
   /** Text shown by Tj / ' / " / TJ operators inside BT..ET blocks, in
     * order; TJ kerning numbers are dropped, strings concatenated. Words
-    * are joined with spaces; ' (next-line show) starts a new line. Hex
-    * strings `<..>` decode as single-byte character codes (simple fonts);
+    * are joined with spaces; ' (next-line show) starts a new line. Shown
+    * strings decode through the font most recently selected by
+    * `/Name size Tf` in `fonts` (Latin-1 single bytes when no table or
+    * the name is unknown — the simple-font/fallback-scan behavior);
     * `<<..>>` property dicts (BDC/DP marked content) are skipped. */
-  private[ingest] def extractText(content: String): String = {
+  private[ingest] def extractText(content: String,
+      fonts: Map[String, FontDec] = Map.empty): String = {
     val sb = new StringBuilder
     var i = 0
     val n = content.length
     var inText = false
+    var cur: FontDec = OneByte
     def precededBy(op: String, at: Int): Boolean = {
       // operator follows optional whitespace after the closing delimiter
       var j = at
@@ -728,10 +855,15 @@ object PdfParser {
         content.charAt(j) == '\n' || content.charAt(j) == '\t')) j += 1
       content.startsWith(op, j)
     }
-    def show(text: String, next: Int): Unit = {
+    def show(raw: String, next: Int): Unit = {
+      val text = decodeShown(raw, cur)
       if (precededBy("'", next) || precededBy("\"", next)) sb.append('\n')
       else if (sb.nonEmpty && !sb.last.isWhitespace) sb.append(' ')
       sb.append(text)
+    }
+    def isWsAt(j: Int): Boolean = {
+      val c = content.charAt(j)
+      c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0
     }
     while (i < n) {
       if (!inText) {
@@ -760,6 +892,24 @@ object PdfParser {
             show(decodeHex(content.substring(i + 1, close)), close + 1)
             i = close + 1
           }
+        case '/' =>
+          // font selection: `/Name <size> Tf` switches the decoder for
+          // every show that follows; any other name token is skipped
+          val st = i + 1
+          var j = st
+          while (j < n && !isWsAt(j) && "()<>[]{}/%".indexOf(content.charAt(j)) < 0) j += 1
+          val name = content.substring(st, j)
+          var k = j
+          while (k < n && isWsAt(k)) k += 1
+          var sawNum = false
+          while (k < n && (content.charAt(k).isDigit || content.charAt(k) == '.' ||
+            content.charAt(k) == '-')) { sawNum = true; k += 1 }
+          var m = k
+          while (m < n && isWsAt(m)) m += 1
+          if (sawNum && content.startsWith("Tf", m)) {
+            cur = fonts.getOrElse(name, OneByte)
+            i = m + 2
+          } else i = j
         case _ => i += 1
       }
     }

@@ -363,6 +363,110 @@ class PdfParserSpec extends AnyFunSuite {
     assert(c.bytes.length > 0 && PdfParser.pdf(c.bytes).isRight)
   }
 
+  // ------------------------------------------------------------------
+  // composite (Type0/CID) fonts and ToUnicode CMaps
+  // ------------------------------------------------------------------
+
+  /** Classic-xref PDF whose single page selects font objects by name;
+    * `fonts` maps resource name → font dict body (object numbers 10+). */
+  private def pdfWithFonts(content: String, fonts: (String, String)*)(
+      extraObjs: Builder => Unit = _ => ()): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    val fontRefs = fonts.zipWithIndex
+      .map { case ((name, _), k) => s"/$name ${10 + k} 0 R" }.mkString(" ")
+    b.obj(3, s"<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      s"/Resources << /Font << $fontRefs >> >> >>")
+    b.streamObj(4, "/Filter /FlateDecode", deflate(content))
+    fonts.zipWithIndex.foreach { case ((_, body), k) => b.obj(10 + k, body) }
+    extraObjs(b)
+    val xref = b.out.size()
+    val top = b.offsets.keys.max
+    b.raw(s"xref\n0 ${top + 1}\n0000000000 65535 f \n")
+    (1 to top).foreach(n =>
+      b.raw(f"${b.offsets.getOrElse(n, 0)}%010d 00000 n \n"))
+    b.raw(s"trailer\n<< /Size ${top + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    b.bytes
+  }
+
+  private val HefgCmap =
+    """/CIDInit /ProcSet findresource begin begincmap
+      |1 begincodespacerange <0000> <FFFF> endcodespacerange
+      |1 beginbfchar
+      |<0001> <0048>
+      |endbfchar
+      |1 beginbfrange
+      |<0002> <0004> <0065>
+      |endbfrange
+      |endcmap end""".stripMargin
+
+  test("Type0 font: 2-byte hex codes map through the ToUnicode CMap") {
+    // <0001>→H (bfchar), <0002..0004>→e,f,g (incrementing bfrange)
+    val doc = pdfWithFonts(
+      "BT /F1 12 Tf <0001000200030004> Tj ET",
+      "F1" -> ("<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /ToUnicode 20 0 R >>")) { b =>
+      b.streamObj(20, "", HefgCmap.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    assert(PdfParser.pdf(doc) == Right(Seq("Hefg")))
+  }
+
+  test("Type0 font: literal strings carry 2-byte codes too (octal escapes)") {
+    val doc = pdfWithFonts(
+      "BT /F1 12 Tf (\u0000\u0001\u0000\u0002) Tj ET",
+      "F1" -> ("<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /ToUnicode 20 0 R >>")) { b =>
+      b.streamObj(20, "", HefgCmap.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    assert(PdfParser.pdf(doc) == Right(Seq("He")))
+  }
+
+  test("Type0 without ToUnicode yields no text, never glyph-id mojibake") {
+    val doc = pdfWithFonts(
+      "BT /F1 12 Tf <00010002> Tj ET",
+      "F1" -> "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>")()
+    assert(PdfParser.pdf(doc) == Right(Seq.empty))
+  }
+
+  test("simple font with a partial ToUnicode remaps mapped codes, passes the rest") {
+    val cmap =
+      """1 beginbfchar
+        |<41> <0058>
+        |endbfchar""".stripMargin // only 'A' remaps (to X)
+    val doc = pdfWithFonts(
+      "BT /F1 9 Tf (cAt) Tj ET",
+      "F1" -> "<< /Type /Font /Subtype /TrueType /ToUnicode 20 0 R >>") { b =>
+      b.streamObj(20, "", cmap.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    assert(PdfParser.pdf(doc) == Right(Seq("cXt")))
+  }
+
+  test("Tf switches decoders mid-page; unknown names fall back to Latin-1") {
+    val doc = pdfWithFonts(
+      "BT /F1 12 Tf <0001> Tj /F9 8 Tf (plain) Tj ET",
+      "F1" -> ("<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /ToUnicode 20 0 R >>")) { b =>
+      b.streamObj(20, "", HefgCmap.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    assert(PdfParser.pdf(doc) == Right(Seq("H plain")))
+  }
+
+  test("parseToUnicode: array-form ranges, multi-unit (ligature) targets") {
+    val m = PdfParser.parseToUnicode(
+      """2 beginbfchar
+        |<0007> <00660066>
+        |<0008> <0041>
+        |endbfchar
+        |1 beginbfrange
+        |<0005> <0006> [<0058> <0059>]
+        |endbfrange""".stripMargin)
+    assert(m(0x0007) == "ff") // two UTF-16 units from one code
+    assert(m(0x0008) == "A")
+    assert(m(0x0005) == "X" && m(0x0006) == "Y")
+  }
+
   test("pngUnfilter inverts all five PNG row filters") {
     val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
     // encode rows with Up (2) then verify round trip via the decoder
