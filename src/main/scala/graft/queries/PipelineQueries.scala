@@ -178,20 +178,67 @@ object PipelineQueries {
     * documents sharing ≥ 5 word-3-gram shingles with any train-split
     * document — the leakage scan every LLM data pipeline runs before
     * training. Splits come from the SAME md5 ranges as
-    * deterministicSplit, shingles/join from the NearDup machinery: the
-    * join keys on shared shingles, so cost is candidate pairs, never
-    * |test|×|train|. The fixture's planted near-identical pairs surface
-    * whenever the hash split separates them (doc_id < 1000 keeps the
-    * result non-vacuous at every fixture scale). */
-  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    * deterministicSplit, shingles/candidates from the NearDup machinery.
+    *
+    * 100 TB shape: the exact shingle equi-join's cost is co-shingle
+    * candidate pairs, which a web-scale corpus has far too many of
+    * (every moderately common 3-gram contributes df²/2 pairs). So the
+    * declared path first narrows to MinHash banded candidates — 1-row
+    * bands (bands = k) so a pair survives if ANY of the k=64 minhashes
+    * agree, miss probability (1-J)^64 — and only then runs the exact
+    * ≥5-shared-shingle verify, jaccardOnPairs-style, on the candidate
+    * pairs. The verify counts FULL shingle sets, so every surfaced pair
+    * is exact; ScaleSpec pins prefiltered == unfiltered on the fixture
+    * (the banded candidates are a superset of the answer), keeping the
+    * oracle row identical to the direct equi-join formulation. The
+    * fixture's planted near-identical pairs surface whenever the hash
+    * split separates them (doc_id < 1000 keeps the result non-vacuous
+    * at every fixture scale). */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame =
+    splitContaminationImpl(spark, dir, banded = true)
+
+  /** The direct shingle equi-join form (no candidate prefilter) — ground
+    * truth for ScaleSpec's superset check; same answer by construction
+    * when banding loses no qualifying pair. */
+  private[graft] def splitContaminationExact(spark: SparkSession, dir: String): DataFrame =
+    splitContaminationImpl(spark, dir, banded = false)
+
+  private def splitContaminationImpl(spark: SparkSession, dir: String,
+      banded: Boolean): DataFrame = {
+    import graft.scale.NearDup
     val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
       .withColumn("split", when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train"))
-    val sh = graft.scale.NearDup.shingles(docs.filter(col("split").isin("test", "train")))
-      .join(docs.select(col("doc_id"), col("split")), "doc_id")
-    sh.filter(col("split") === "test").as("t")
-      .join(sh.filter(col("split") === "train").as("r"), col("t.sh") === col("r.sh"))
-      .groupBy(col("t.doc_id").as("test_doc"), col("r.doc_id").as("train_doc"))
+    val splits = docs.select(col("doc_id"), col("split"))
+    // cached: the banded path reads the shingle frame three times
+    // (signatures, then both sides of the exact verify); the runner's
+    // clearCache between declared queries releases it
+    val sh = NearDup.shingles(docs.filter(col("split").isin("test", "train")))
+      .join(splits, "doc_id")
+      .cache()
+    val pairs =
+      if (!banded) {
+        // all co-shingle cross-split pairs, straight from the equi-join
+        sh.filter(col("split") === "test").as("t")
+          .join(sh.filter(col("split") === "train").as("r"), col("t.sh") === col("r.sh"))
+          .select(col("t.doc_id").as("test_doc"), col("r.doc_id").as("train_doc"))
+          .distinct()
+      } else {
+        // banded candidates first; orient unordered (a,b) pairs into
+        // (test_doc, train_doc) and keep only cross-split ones
+        val sig = NearDup.minhashSignatures(sh.select(col("doc_id"), col("sh")), k = 64)
+        val cands = NearDup.bandedCandidates(sig, k = 64, bands = 64)
+        cands.select(col("a_id").as("x"), col("b_id").as("y"))
+          .unionAll(cands.select(col("b_id").as("x"), col("a_id").as("y")))
+          .join(splits.as("sx"), col("x") === col("sx.doc_id") && col("sx.split") === "test")
+          .join(splits.as("sy"), col("y") === col("sy.doc_id") && col("sy.split") === "train")
+          .select(col("x").as("test_doc"), col("y").as("train_doc"))
+      }
+    // exact verify over full shingle sets, candidate pairs only
+    pairs
+      .join(sh.as("t"), col("test_doc") === col("t.doc_id"))
+      .join(sh.as("r"), col("train_doc") === col("r.doc_id") && col("t.sh") === col("r.sh"))
+      .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 5)
       .orderBy(col("test_doc"), col("train_doc"))

@@ -208,4 +208,16 @@ class ScaleSpec extends SparkSpec {
     assert(gotPairs.subsetOf(exact))
     assert(gotPairs.size >= (exact.size * 0.5).toInt, s"recall too low: ${gotPairs.size}/${exact.size}")
   }
+
+  test("split_contamination banded prefilter loses no qualifying pair (superset at fixture scale)") {
+    // the declared query narrows the exact shingle equi-join to MinHash
+    // banded candidates (1-row bands, k=64); the banding must be a
+    // superset of the answer or the oracle row would silently shrink
+    val banded = graft.queries.PipelineQueries.splitContamination(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = graft.queries.PipelineQueries.splitContaminationExact(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact.nonEmpty, "fixture should contain cross-split contaminated pairs")
+    assert(banded == exact, s"banded=$banded exact=$exact")
+  }
 }
