@@ -87,9 +87,52 @@ object StoreQueries {
     at(1).unionByName(at(2)).unionByName(at(3)).orderBy(col("version"))
   }
 
+  /** Incremental re-embed pipeline (SURVEY §2.3 X38): CDC →
+    * deterministic embedder → IVF append, composed end-to-end. v1
+    * commits docs < 150 and batch-builds the serving index from their
+    * embeddings; v2 appends docs 150–249; the consumer — checkpointed at
+    * v1 — reads ONLY the v1→v2 delta files (`Versioned.changes`), embeds
+    * just those rows, and `Ivf.append` folds them into the existing cell
+    * layout without a refit. Cost scales with the DELTA, never the
+    * corpus — the operational answer to "a new crawl landed; update the
+    * 100 TB vector store tonight". The declared result is derived from
+    * the POST-APPEND index contents (per-source counts + id-checksums of
+    * the delta vectors found in the index, plus the total index size),
+    * so the oracle pins the CDC semantics end-to-end; VersionedSpec pins
+    * the cost side — the delta scan touches only batch-2 files and its
+    * observed row count is exactly the delta. Rebuilt per call so reruns
+    * see identical version numbers. */
+  def incrementalReembed(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("reembed", dir)
+    rmTree(path)
+    val embedUdf = udf((t: String) => graft.functions.Embedder.embed(t))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.store.Versioned.append(docs.filter(col("doc_id") < 150), path) // v1
+    val v1 = graft.store.Versioned.read(spark, path, Some(1))
+    val idx = graft.scale.Ivf.build(spark,
+      v1.select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding")),
+      nlist = 8)
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), path) // v2
+    // the consumer checkpointed (table, v1): its next poll reads the delta
+    val delta = graft.store.Versioned.changes(spark, path, fromVersion = 1)
+    val idx2 = graft.scale.Ivf.append(idx,
+      delta.select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding")))
+    val total = idx2.assigned.agg(count(lit(1)).as("n_index_total"))
+    idx2.assigned
+      .join(delta.select(col("doc_id"), col("source")), col("vec_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_reembedded"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .crossJoin(broadcast(total)) // 1-row scalar, annotates every group
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_scan" -> (zorderScan _),
-    "time_travel" -> (timeTravel _)
+    "time_travel" -> (timeTravel _),
+    "incremental_reembed" -> (incrementalReembed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +152,14 @@ object StoreQueries {
         |UNION ALL
         |SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id < 200
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    "incremental_reembed" ->
+      """SELECT source,
+        |  COUNT(*) AS n_reembedded,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id < 250) AS n_index_total
+        |FROM documents
+        |WHERE doc_id >= 150 AND doc_id < 250
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -168,6 +168,35 @@ object Versioned {
     retryCommit(table, added, inputRel.toSet, maxRetries)
   }
 
+  /** Targeted small-file compaction: rewrite ONLY the current version's
+    * files smaller than `smallBytes` into bin-packed batches of
+    * ~`targetBytes`, leaving every file already at healthy size
+    * referenced as-is in the new manifest. This is the steady-state
+    * maintenance shape at scale — full [[compact]] rewrites the whole
+    * table (O(table) IO per run, unusable at 100 TB), while streaming
+    * ingest and frequent small appends produce exactly the small-file
+    * tail this sweeps; cost is O(small tail). Returns the new version,
+    * or the current one unchanged if fewer than two small files exist
+    * (rewriting one file buys nothing). Snapshot isolation is untouched:
+    * inputs stay on disk for older manifests until vacuum. */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20, maxRetries: Int = 5): Int = {
+    val base = currentVersion(table)
+    val rootPath = Paths.get(table).toAbsolutePath
+    val all = files(table, Some(base))
+    val small = all.filter(f => new File(f).length() < smallBytes)
+    if (small.length < 2) return base
+    // bin count from total small bytes, so output files land near target
+    val totalSmall = small.map(new File(_).length()).sum
+    val bins = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(small: _*).repartition(bins)
+      .write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val removedRel = small.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    retryCommit(table, added, removedRel, maxRetries)
+  }
+
   /** Delete data files referenced by NO manifest in the retained horizon
     * (the newest `keepVersions` manifests; older manifests are dropped
     * too, ending their time-travel). Returns the deleted file count.

@@ -134,6 +134,65 @@ class VersionedSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("compactSmall packs only the small-file tail; large files and old snapshots untouched") {
+    val t = tmpDir("versioned").toString
+    // one healthy file, then a tail of tiny single-row appends
+    Versioned.append((0L until 5000L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1), t)
+    (0 until 4).foreach(i => Versioned.append(Seq((10000L + i, "tiny")).toDF("id", "s"), t))
+    val before = Versioned.files(t).toSet
+    val big = before.filter(f => new File(f).length() >= 5000)
+    assert(big.size == 1, s"expected exactly one healthy-sized file, got ${big.size}")
+    val v = Versioned.compactSmall(spark, t, smallBytes = 5000L, targetBytes = 1L << 20)
+    assert(v == 6)
+    val after = Versioned.files(t).toSet
+    assert(after.contains(big.head), "healthy file must be carried over unrewritten")
+    assert(before.intersect(after) == big, "every small file must leave the manifest")
+    assert(after.size == 2, s"4 tiny files should pack into one batch file: $after")
+    // contents identical, old snapshot intact
+    assert(Versioned.read(spark, t).count() == 5004)
+    assert(rows(t, Some(2)).contains((10000L, "tiny")))
+    assert(Versioned.read(spark, t, Some(2)).count() == 5001)
+    // nothing small left → no-op, same version
+    assert(Versioned.compactSmall(spark, t, smallBytes = 5000L) == 6)
+  }
+
+  test("incremental re-embed consumes only the delta: scan files and observed rows") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, udf}
+    // the cost half of the incremental_reembed contract (StoreQueries):
+    // the CDC read must touch only v2's batch files, and the embed job
+    // must observe exactly the delta row count — never the full corpus
+    val t = tmpDir("versioned").toString
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    Versioned.append(docs.filter("doc_id < 150"), t)
+    val v1Files = Versioned.files(t, Some(1)).toSet
+    Versioned.append(docs.filter("doc_id >= 150 AND doc_id < 250"), t)
+    val delta = Versioned.changes(spark, t, fromVersion = 1)
+    assert(delta.inputFiles.nonEmpty)
+    assert(delta.inputFiles.forall(f =>
+        !v1Files.contains(new File(new java.net.URI(f)).getAbsolutePath)),
+      s"delta scan read a v1 file: ${delta.inputFiles.mkString(",")}")
+    // observe the embed job's actual scan volume
+    val obs = new org.apache.spark.sql.Observation("reembed_delta")
+    val embedUdf = udf((s: String) => graft.functions.Embedder.embed(s))
+    val embedded = delta
+      .observe(obs, count(lit(1)).as("rows_scanned"))
+      .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
+    assert(embedded.count() == 100, "delta should be exactly the 100 appended docs")
+    assert(obs.get("rows_scanned") == 100L,
+      s"embed job scanned ${obs.get("rows_scanned")} rows — must be delta-only")
+    // and the declared end-to-end query agrees with a direct source-side oracle
+    val got = graft.queries.StoreQueries.incrementalReembed(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val want = graft.Tables.documents(spark, sfDir)
+      .filter("doc_id >= 150 AND doc_id < 250")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reembedded"), sum("doc_id").cast("long").as("id_checksum"))
+      .withColumn("n_index_total", lit(250L))
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
