@@ -52,6 +52,79 @@ object ScaleQueries {
             sampleCap = Int.MaxValue)
       })
 
+  /** Sharded NSW graph (Nsw) per (session, fixture dir), cached: both
+    * nsw_topk and nsw_precision beam-search the SAME persisted graph,
+    * as a serving deployment would. */
+  private val nswMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def nswGraph(spark: SparkSession, dir: String): DataFrame =
+    nswMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir),
+      graft.scale.Nsw.build(Tables.embeddings(spark, dir), numShards = 4).cache())
+
+  /** NSW graph beam search: top-13 for the vec_id=0 query at working
+    * beam width (ef=48). Rows-only headline (graph topology depends on
+    * insertion geometry no SQL oracle can replay); NswSpec pins recall
+    * vs exact ground truth and nsw_precision pins the identical
+    * machinery exhaustively. */
+  def nswTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.search(nswGraph(spark, dir), q, k = 13, ef = 48)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** NSW with an exhaustive beam (ef ≥ any shard size): NSW graphs are
+    * connected by construction, so an unbounded beam visits every node
+    * and the per-shard results merge to exact brute-force top-13 — the
+    * whole build/link/prune/beam chain must reproduce it or the hash
+    * breaks. Same oracle as ivf_precision. */
+  def nswPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.search(nswGraph(spark, dir), q, k = 13, ef = Int.MaxValue)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** Cell-keyed NSW graph (the IVF hybrid) per (session, dir), cached —
+    * built over the SAME shared IVF index the ivf_* queries probe. */
+  private val nswIvfMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def nswIvfGraph(spark: SparkSession, dir: String): DataFrame =
+    nswIvfMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir),
+      graft.scale.Nsw.buildByCell(defaultIndex(spark, dir)).cache())
+
+  /** NSW-in-IVF-cells hybrid: probe the 3 nearest cells' shard graphs,
+    * beam inside each — IVF's pruning with NSW's in-cell beam instead of
+    * an exhaustive rerank. Rows-only headline; NswSpec pins recall and
+    * nswivf_precision pins the machinery exhaustively. */
+  def nswIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val index = defaultIndex(spark, dir)
+    graft.scale.Nsw.searchPruned(nswIvfGraph(spark, dir), index.centroids, q,
+      k = 13, nprobe = 3, ef = 48)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** Hybrid with every cell probed and an unbounded beam: cells partition
+    * the corpus and each cell graph is connected, so the search is
+    * exhaustive — must equal brute-force top-13. Same oracle as
+    * ivf_precision. */
+  def nswIvfPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val index = defaultIndex(spark, dir)
+    graft.scale.Nsw.searchPruned(nswIvfGraph(spark, dir), index.centroids, q,
+      k = 13, nprobe = index.centroids.length, ef = Int.MaxValue)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
   /** MinHash LSH near-dups over the planted near-identical docs. */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashNearDups(Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5)
@@ -259,6 +332,10 @@ object ScaleQueries {
     "simhash_neardup" -> (simhashNeardup _),
     "ivf_topk" -> (ivfTopk _),
     "ivfpq_topk" -> (ivfpqTopk _),
+    "nsw_topk" -> (nswTopk _),
+    "nsw_precision" -> (nswPrecision _),
+    "nswivf_topk" -> (nswIvfTopk _),
+    "nswivf_precision" -> (nswIvfPrecision _),
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -286,6 +363,21 @@ object ScaleQueries {
     // identical ground truth to ivf_precision: lossless PQ + all cells +
     // shortlist=k must collapse to brute-force top-13
     "pq_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // identical ground truth again: connected graph + unbounded beam ⇒
+    // the NSW search must collapse to brute-force top-13
+    "nsw_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // and once more for the hybrid: all cells + unbounded beam ⇒ exact
+    "nswivf_precision" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
          |      FROM embeddings e CROSS JOIN q)

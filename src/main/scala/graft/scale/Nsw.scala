@@ -1,0 +1,240 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sharded navigable-small-world (NSW) graph ANN — the graph/beam-search
+  * counterpart of the reference's Chroma HNSW serving index
+  * (/root/reference/app.py:73-76), shaped for Spark batch instead of a
+  * single-process in-memory store: vectors are id-sharded into disjoint
+  * shards, each shard builds an in-partition NSW graph (greedy beam-search
+  * insertion, bidirectional links, degree-capped) in one `mapPartitions`
+  * pass, and the whole index IS a DataFrame of adjacency rows
+  * `(shard, vec_id, embedding, neighbors)` — persistable as plain parquet
+  * partitioned by shard, like the IVF layout.
+  *
+  * Query = map-only fan-out: every shard beam-searches its own graph
+  * independently (no cross-shard edges, so no shuffle until the final
+  * merge), then one global `TakeOrderedAndProject` keeps top-k of the
+  * per-shard candidates. This is the standard disjoint-shard HNSW serving
+  * architecture (each executor owns shards; queries broadcast).
+  *
+  * 100 TB shape: a shard graph must fit one executor's heap — shard count
+  * scales with the corpus (adjacency is M longs/vector, so ~100M vectors
+  * per 32 GB executor at M=8). Build is embarrassingly parallel across
+  * shards and needs no training pass (vs IVF's KMeans); inserts are
+  * incremental by construction. The trade: queries touch every shard
+  * (fan-out cost), where IVF prunes cells — the hybrid (NSW inside IVF
+  * cells) composes both and is what this layout upgrades to by keying
+  * shards on IVF cell ids instead of id mod.
+  *
+  * Determinism (DeterminismSpec double-runs declared queries): shard
+  * assignment is `vec_id % numShards` (not engine hash), insertion order
+  * is ascending vec_id within a shard, every heap/prune ordering
+  * tie-breaks on id, and the search entry point is the shard's minimum
+  * id — no randomness anywhere, unlike textbook HNSW's random level
+  * draws (levels buy log-routing on billion-node MONOLITHIC graphs; with
+  * executor-bounded shards the flat NSW beam reaches the same recall,
+  * NswSpec pins it).
+  */
+object Nsw {
+
+  val DefaultM = 8 // links added per insert; degree cap is 2*M
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+
+  /** Greedy beam search over one in-memory shard graph: expand the
+    * nearest unexpanded candidate until it is farther than the worst of
+    * the `ef` best seen. Returns (id, dist) ordered by (dist, id).
+    * With ef ≥ shard size nothing is ever evicted, so every node
+    * reachable from `entry` is visited — the graph is connected by
+    * construction (each insert links to an existing node,
+    * bidirectionally), making the ef ≥ n parameterization EXACT; that is
+    * what `nsw_precision` stakes its oracle row on. */
+  private[scale] def beamSearch(
+      vecs: java.util.HashMap[Long, Array[Float]],
+      adj: Long => Array[Long],
+      entry: Long, q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] = {
+    val visited = new java.util.HashSet[Long]()
+    val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord.reverse)
+    val kept = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    val d0 = sqDist(vecs.get(entry), q)
+    visited.add(entry)
+    cand.enqueue((d0, entry))
+    kept.enqueue((d0, entry))
+    var done = false
+    while (!done && cand.nonEmpty) {
+      val (d, u) = cand.dequeue()
+      if (kept.size >= ef && ord.gt((d, u), kept.head)) done = true
+      else {
+        val ns = adj(u)
+        var i = 0
+        while (i < ns.length) {
+          val v = ns(i)
+          if (visited.add(v)) {
+            val dv = sqDist(vecs.get(v), q)
+            if (kept.size < ef || ord.lt((dv, v), kept.head)) {
+              cand.enqueue((dv, v))
+              kept.enqueue((dv, v))
+              if (kept.size > ef) kept.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val drained: Seq[(Double, Long)] = kept.dequeueAll
+    drained.reverse.map(t => (t._2, t._1)).toIndexedSeq
+  }
+
+  /** Insert items (ascending id) into an empty graph: each new node links
+    * to its `m` beam-found nearest, links are made bidirectional, and any
+    * node exceeding the 2m degree cap keeps its closest neighbors
+    * (tie-break on id) — EXCEPT guarded parent edges, which pruning never
+    * drops: each inserted node designates its single nearest existing
+    * node as parent, and that parent→child edge is permanent. The
+    * invariant "every non-first node has an in-edge from an
+    * earlier-inserted node" then holds by induction, so every node is
+    * reachable from the entry via out-edges — textbook degree-capped NSW
+    * pruning can silently disconnect nodes (a back-link evicted by the
+    * cap may be a node's only in-edge), which would break
+    * `nsw_precision`'s exactness. The cost is an honest degree contract:
+    * a node's degree is 2m plus its guarded children (one guarded edge
+    * per node graph-wide, so Σ extra = n-1; a hub can exceed 2m, NswSpec
+    * measures the tail). Returns the adjacency in insertion order. */
+  private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
+    val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](items.length * 2)
+    val children = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    val maxDeg = 2 * m
+    def prune(id: Long): Unit = {
+      val ns = adj.get(id)
+      if (ns.length > maxDeg) {
+        val guarded = children.get(id)
+        val (keep, rest) =
+          if (guarded == null) (Seq.empty[Long], ns.toSeq)
+          else ns.toSeq.partition(guarded.contains)
+        if (keep.length < maxDeg) {
+          val base = vecs.get(id)
+          val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
+            .take(maxDeg - keep.length).map(_._2)
+          ns.clear()
+          ns ++= keep
+          ns ++= best
+        }
+      }
+    }
+    var entry = -1L
+    items.foreach { case (id, v) =>
+      if (entry < 0) {
+        vecs.put(id, v)
+        adj.put(id, scala.collection.mutable.ArrayBuffer.empty[Long])
+        entry = id
+      } else {
+        val near = beamSearch(vecs, n => adj.get(n).toArray, entry, v, efConstruction).take(m)
+        vecs.put(id, v)
+        adj.put(id, scala.collection.mutable.ArrayBuffer(near.map(_._1): _*))
+        val parent = near.head._1 // nearest existing node: guarded in-edge
+        children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+        near.foreach { case (nid, _) =>
+          adj.get(nid) += id
+          prune(nid)
+        }
+      }
+    }
+    items.map { case (id, _) => (id, adj.get(id).toArray) }
+  }
+
+  /** Build the sharded NSW index: one adjacency row per vector. The
+    * result is a plain DataFrame — persist with
+    * `write.partitionBy("shard").parquet` for the serving layout. */
+  def build(emb: DataFrame, numShards: Int = 8, m: Int = DefaultM,
+      efConstruction: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    buildKeyed(
+      emb.select(pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding")),
+      numShards, m, efConstruction)
+
+  /** NSW graphs keyed by IVF cell — the hybrid: vectors shard by the
+    * index's cell assignment instead of id-mod, so [[searchPruned]] can
+    * skip whole shard graphs the way IVF search skips cells (directory
+    * pruning once the graph is written `partitionBy("shard")`), and the
+    * beam replaces IVF's exhaustive in-cell rerank. Fan-out drops from
+    * every-shard to nprobe shards; recall follows the probed cells'
+    * coverage exactly as in IVF (plus the in-shard beam's own recall,
+    * which ef controls — NswSpec measures the composition). */
+  def buildByCell(index: Ivf.Index, m: Int = DefaultM, efConstruction: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    buildKeyed(
+      index.assigned.select(col("cell").cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding")),
+      numPartitions = math.max(1, index.centroids.length), m, efConstruction)
+
+  private def buildKeyed(keyed: DataFrame, numPartitions: Int, m: Int,
+      efConstruction: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .repartition(numPartitions, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        // a partition holds whole shards (possibly several — hash
+        // collisions of the shard key), never a fragment of one
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val items = rows.map(r => (r._2, r._3)).sortBy(_._1)
+          val vecOf = items.toMap
+          buildShardGraph(items, m, efConstruction).iterator.map { case (id, ns) =>
+            (shard, id, vecOf(id), ns)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "embedding", "neighbors")
+  }
+
+  /** Beam-search every shard graph for `q`, merge per-shard candidates
+    * into the global top-k by (dist, id). `ef` bounds per-shard work;
+    * ef ≥ shard size makes the search exact (see [[beamSearch]]). */
+  def search(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val beam = math.max(ef, k)
+    graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .repartition(col("shard"))
+      .as[(Int, Long, Array[Float], Array[Long])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+          val adj = new java.util.HashMap[Long, Array[Long]](rows.length * 2)
+          rows.foreach { r => vecs.put(r._2, r._3); adj.put(r._2, r._4) }
+          val entry = rows.iterator.map(_._2).min
+          beamSearch(vecs, adj.get(_), entry, q, beam)
+            .take(k).iterator.map { case (id, d) => (id, d) }
+        }
+      }
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Hybrid search over a [[buildByCell]] graph: probe only the `nprobe`
+    * nearest cells' shard graphs (centroid ranking shared with
+    * `Ivf.search` via [[Ivf.nearestCells]]), beam inside each. With
+    * nprobe = nlist and an unbounded beam this is exhaustive and exact —
+    * the `nswivf_precision` oracle regime. */
+  def searchPruned(graph: DataFrame, centroids: Array[Array[Float]],
+      q: Array[Float], k: Int = 13, nprobe: Int = 3, ef: Int = 32): DataFrame = {
+    val cells = Ivf.nearestCells(centroids, q, nprobe)
+    search(graph.filter(col("shard").isInCollection(cells)), q, k, ef)
+  }
+}
