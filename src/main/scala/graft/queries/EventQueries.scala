@@ -259,7 +259,36 @@ object EventQueries {
       .sessionWindowCounts(Tables.events(spark, dir).filter(col("user_id") < 30))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Recency-decayed user activity score (exponential smoothing): EWMA
+    * of each user's LAST 16 event values at α = 1/2. Half-life weights
+    * are exact powers of two, so every per-row product is an exact
+    * decimal scaling and the aggregation is an exact decimal sum —
+    * order-free at any parallelism — leaving ONE closed-form double
+    * division at the end (the spend_corr determinism recipe). Users
+    * with n < 16 events smooth over their n available weights. The
+    * rn ≤ 16 trim compiles to WindowGroupLimit (map-side per-user
+    * top-k before the single shuffle, no global sort) — the same scale
+    * shape as stratified_sample; this is the streaming-free way to keep
+    * a per-entity freshness/decay feature over an unbounded log. */
+  def expSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .withColumn("wgt", expr("shiftleft(CAST(1 AS BIGINT), 16 - rn)").cast("decimal(6,0)"))
+      .withColumn("contrib", (col("value").cast("decimal(18,6)") * col("wgt")).cast("decimal(38,6)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("s_scaled"),
+        sum(col("wgt")).as("w_sum"))
+      .select(col("user_id"), col("n_events"),
+        round(col("s_scaled").cast("double") / col("w_sum").cast("double") * 1e6)
+          .cast("long").as("ewma_e6"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exp_smooth" -> (expSmooth _),
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
     "json_props" -> (jsonProps _),
@@ -278,6 +307,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "exp_smooth" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(18,6)) * CAST((CAST(1 AS BIGINT) << (16 - rn)) AS DECIMAL(6,0)) AS contrib,
+        |    CAST((CAST(1 AS BIGINT) << (16 - rn)) AS DECIMAL(6,0)) AS wgt
+        |  FROM r WHERE rn <= 16)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(round(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(wgt) AS DOUBLE) * 1e6) AS BIGINT) AS ewma_e6
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "pivot_events" ->
       """SELECT date_trunc('day', ts) AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
