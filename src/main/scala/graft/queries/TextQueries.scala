@@ -275,7 +275,50 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Gopher/MassiveText-style repetition quality signals per document:
+    * duplicate-word fraction (1 - distinct/total), top-word dominance
+    * (most frequent word's share), and duplicate-3-gram fraction —
+    * the standard pre-training filters for boilerplate and degenerate
+    * repetition. Every metric is a ratio of integer counts, so the e4
+    * roundings are engine-identical; the only shuffles are the
+    * (doc, word) count and the per-doc rollup (word-count partials
+    * combine map-side). Total shingles is closed-form (n_words - 2) —
+    * no second explode for the denominator. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val ws = split(col("text"), " ")
+    val words = docs.select(col("doc_id"), explode(ws).as("w"))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val wordAgg = wc.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("n")).cast("long").as("top_word_n"))
+    val sh = docs.filter(size(ws) >= 3)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+          .as("sh"))
+    val shAgg = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count_distinct(col("sh")).as("n_distinct_shingles"))
+    def fracE4(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0, lit(0L))
+        .otherwise(round(num.cast("double") / den.cast("double") * 10000).cast("long"))
+    wordAgg.join(shAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"), col("top_word_n"),
+        fracE4(col("n_words") - col("n_distinct_words"), col("n_words")).as("dup_word_e4"),
+        fracE4(col("top_word_n"), col("n_words")).as("top_word_e4"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        fracE4(coalesce(col("n_shingles"), lit(0L)) - coalesce(col("n_distinct_shingles"), lit(0L)),
+          coalesce(col("n_shingles"), lit(0L))).as("dup_shingle_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
     "domain_stats" -> (domainStats _),
     "top_bigrams" -> (topBigrams _),
@@ -295,6 +338,29 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS n FROM w WHERE w <> '' GROUP BY doc_id, w),
+        |wa AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct_words, CAST(MAX(n) AS BIGINT) AS top_word_n
+        |  FROM wc GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM d WHERE len(ws) >= 3),
+        |sa AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles,
+        |    COUNT(DISTINCT sh) AS n_distinct_shingles
+        |  FROM sh GROUP BY doc_id)
+        |SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
+        |  CASE WHEN n_words = 0 THEN 0 ELSE CAST(round(CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) END AS dup_word_e4,
+        |  CASE WHEN n_words = 0 THEN 0 ELSE CAST(round(CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) END AS top_word_e4,
+        |  COALESCE(n_shingles, 0) AS n_shingles,
+        |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0 ELSE CAST(round(CAST(n_shingles - n_distinct_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE) * 10000) AS BIGINT) END AS dup_shingle_e4
+        |FROM wa LEFT JOIN sa ON wa.doc_id = sa.doc_id
+        |ORDER BY wa.doc_id""".stripMargin,
     "top_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (
