@@ -249,6 +249,33 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Count-Min point-query frequencies: fold ALL events into ONE
+    * depth-4 × width-2048 counter matrix (the shuffle carries one
+    * matrix per partition — 64 KB — regardless of event count), then
+    * answer per-user point queries against the broadcast summary. The
+    * driver-side collect is the sketch itself: 8192 longs by
+    * construction, never data. Width ≥ the user-id domain at every
+    * fixture SF makes row 0 collision-free, so the min-over-rows
+    * estimate is EXACT and the row hash-matches plain GROUP BY counts —
+    * the same lossless-parameterization oracle regime as
+    * kmv_distinct/heavy_hitters/quantile_sketch; CmsSpec pins the
+    * ≥-true upper-bound property and the 2n/w error envelope at small
+    * widths where the sketch actually approximates. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val width = 2048
+    val agg = new graft.core.CountMinAgg(depth, width)
+    val sketch = Tables.events(spark, dir)
+      .select(col("user_id")).as[Long]
+      .select(agg.toColumn).head()
+    val est = udf((u: Long) => graft.core.CountMin.estimate(sketch, depth, width, u))
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("n_events", est(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
   /** Native session_window aggregation (one row per session with its
     * [start, last_event + gap) bounds) through the SAME
     * Streams.sessionWindowCounts helper a streaming job would use — the
@@ -300,6 +327,7 @@ object EventQueries {
     "sliding_window" -> (slidingWindow _),
     "scd2_build" -> (scd2Build _),
     "kmv_distinct" -> (kmvDistinct _),
+    "cms_counts" -> (cmsCounts _),
     "session_window_agg" -> (sessionWindowAgg _),
     "unpivot_events" -> (unpivotEvents _),
     "user_paths" -> (userPaths _),
@@ -307,6 +335,9 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cms_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "exp_smooth" ->
       """WITH r AS (
         |  SELECT user_id, value,
