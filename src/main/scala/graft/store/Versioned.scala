@@ -168,6 +168,29 @@ object Versioned {
     retryCommit(table, added, inputRel.toSet, maxRetries)
   }
 
+  /** Delta-style OPTIMIZE … ZORDER BY: rewrite the CURRENT version
+    * Z-ordered on two integer dimensions (Morton interleave via
+    * [[Clustered.writeZOrdered]]) and publish it as one manifest commit
+    * — add the clustered batch, remove the inputs. Readers pinned to
+    * older versions still resolve the old files; the new version's
+    * parquet footers carry narrow min/max envelopes on BOTH dimensions,
+    * so 2-D box predicates skip files instead of scanning them
+    * (VersionedSpec counts the skippable-file delta). At scale this is
+    * the background job that keeps scan pruning healthy as appends
+    * accumulate in arrival order. */
+  def optimize(spark: SparkSession, table: String, x: String, y: String,
+      numFiles: Int = 16, maxRetries: Int = 5): Int = {
+    val base = currentVersion(table)
+    val inputRel = files(table, Some(base)).map(abs =>
+      Paths.get(table).toAbsolutePath.relativize(Paths.get(abs)).toString)
+    val batch = f"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
+    Clustered.writeZOrdered(read(spark, table, Some(base)),
+      new File(table, batch).getPath, numFiles,
+      org.apache.spark.sql.functions.col(x), org.apache.spark.sql.functions.col(y))
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    retryCommit(table, added, inputRel.toSet, maxRetries)
+  }
+
   /** Targeted small-file compaction: rewrite ONLY the current version's
     * files smaller than `smallBytes` into bin-packed batches of
     * ~`targetBytes`, leaving every file already at healthy size
