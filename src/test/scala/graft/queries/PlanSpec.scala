@@ -104,6 +104,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("exp_smooth: rn<=16 trim compiles to WindowGroupLimit, decimal aggs are partial") {
+    val p = planOf("exp_smooth")
+    assert(p.contains("WindowGroupLimit"), p) // map-side per-user pre-trim
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a
