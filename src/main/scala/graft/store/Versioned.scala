@@ -57,7 +57,9 @@ object Versioned {
       require(mf.exists, s"version $v of $table does not exist (vacuumed or never committed)")
       Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
         .toArray(Array.empty[String]).toSeq
-        .filter(_.nonEmpty)
+        // '#'-lines are metadata markers (e.g. the streaming-batch
+        // ledger), not data files; commit() carries them forward
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(rel => new File(table, rel).getAbsolutePath)
     }
   }
@@ -143,6 +145,61 @@ object Versioned {
     }
   }
 
+  /** Exactly-once streaming append: bind a streaming DataFrame to this
+    * table through `foreachBatch` + [[appendBatchIdempotent]]. Spark's
+    * checkpoint gives at-least-once `foreachBatch` invocations across
+    * restarts; the manifest-ledger dedup turns that into exactly-once
+    * COMMITTED data — the Delta streaming-sink idempotence contract,
+    * built on this table's own atomicity primitive. */
+  def appendStream(events: DataFrame, table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatchIdempotent(batch, table, id): Unit
+      }
+      .start()
+
+  private def streamMarker(id: Long) = s"#stream:$id"
+
+  /** Has streaming batch `id` already been committed? The ledger is the
+    * CURRENT manifest's marker lines — atomic with the data publish (a
+    * crash between data write and commit leaves no marker, so the replay
+    * re-lands the batch under a fresh dir and the orphan is vacuumed),
+    * and carried through compaction/optimize/delete rewrites, which
+    * remove only data-file lines. */
+  def processedBatch(table: String, id: Long): Boolean = {
+    val cur = currentVersion(table)
+    cur > 0 && Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+      .contains(streamMarker(id))
+  }
+
+  /** Append a micro-batch exactly once: no-op (returning the current
+    * version) if the batch's marker is already in the manifest,
+    * otherwise land data + marker in one atomic commit. Single writer
+    * per streaming query (Spark's checkpoint serializes epochs); the
+    * optimistic-conflict retry handles OTHER writers (batch appends,
+    * compactions), never a same-id race. */
+  def appendBatchIdempotent(df: DataFrame, table: String, batchId: Long,
+      maxRetries: Int = 5): Int = {
+    if (processedBatch(table, batchId)) return currentVersion(table)
+    val batch = f"stream-$batchId%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    // trim ledger entries far behind the checkpoint's replay horizon
+    // (foreachBatch only ever redelivers the trailing epochs) so the
+    // manifest doesn't grow one line per batch forever
+    val cur = currentVersion(table)
+    val stale: Set[String] =
+      if (cur == 0) Set.empty
+      else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet
+        .filter(l => l.startsWith("#stream:") &&
+          l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - 1000))
+    retryCommit(table, added :+ streamMarker(batchId), stale, maxRetries)
+  }
+
   /** Append a DataFrame as a new version: data lands in an isolated batch
     * dir first (invisible to readers), then one manifest commit publishes
     * it. On commit conflict the data files are already safe on disk; the
@@ -167,6 +224,42 @@ object Versioned {
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     retryCommit(table, added, inputRel.toSet, maxRetries)
   }
+
+  /** Predicate delete that rewrites ONLY the files containing matching
+    * rows — the GDPR-erasure / retention-sweep shape at 100 TB, where
+    * rewriting the table for a one-user delete is unthinkable. Finding
+    * the affected files is one pruned scan (`cond` pushes into the
+    * parquet footers, so files whose stats exclude it are never opened)
+    * collecting one row PER AFFECTED FILE, bounded by file count;
+    * untouched files carry into the new manifest by reference. Returns
+    * the new version (the current one if nothing matched).
+    *
+    * Erasure caveat, by design of snapshot isolation: older versions
+    * still reference the pre-delete files — physical erasure completes
+    * when `vacuum` retires them from the horizon. VersionedSpec pins
+    * both halves. */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
+    val base = currentVersion(table)
+    val rootPath = Paths.get(table).toAbsolutePath
+    val cur = read(spark, table, Some(base))
+    val affected = cur.filter(cond)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(r => toLocalPath(r.getString(0)))
+    if (affected.isEmpty) return base
+    val keep = spark.read.parquet(affected.toIndexedSeq: _*).filter(!cond)
+    val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
+    keep.write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    retryCommit(table, added, removedRel, maxRetries)
+  }
+
+  /** `input_file_name()` yields a URI on most filesystems and a bare
+    * path on some; normalize either to an absolute local path. */
+  private def toLocalPath(s: String): String =
+    (if (s.startsWith("file:")) new File(java.net.URI.create(s)) else new File(s))
+      .getAbsolutePath
 
   /** Delta-style OPTIMIZE … ZORDER BY: rewrite the CURRENT version
     * Z-ordered on two integer dimensions (Morton interleave via

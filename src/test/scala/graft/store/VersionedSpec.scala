@@ -223,6 +223,70 @@ class VersionedSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("deleteWhere rewrites only files containing matches; erasure completes at vacuum") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("versioned").toString
+    Versioned.append((0L until 100L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(2), t)
+    Versioned.append((100L until 200L).map(i => (i, s"b$i")).toDF("id", "s").coalesce(2), t)
+    val before = Versioned.files(t).toSet
+    val untouched = before.filter { f =>
+      // batch-2 files hold ids >= 100 only — the delete must not rewrite them
+      spark.read.parquet(f).agg(org.apache.spark.sql.functions.min(col("id"))).head().getLong(0) >= 100
+    }
+    assert(untouched.nonEmpty)
+    val v = Versioned.deleteWhere(spark, t, col("id") === 7L)
+    assert(v == 3)
+    val after = Versioned.files(t).toSet
+    assert(untouched.subsetOf(after), "files without matches must carry over by reference")
+    assert(rows(t).size == 199 && !rows(t).exists(_._1 == 7L))
+    // snapshot isolation: the pre-delete version still has the row
+    assert(rows(t, Some(2)).exists(_._1 == 7L))
+    // no-op delete returns the same version
+    assert(Versioned.deleteWhere(spark, t, col("id") === 7L) == 3)
+    // physical erasure: vacuum retires the pre-delete snapshot's files
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0L)
+    val remaining = before -- Versioned.files(t).toSet
+    assert(remaining.forall(f => !new File(f).exists), "vacuum must delete the rewritten files")
+  }
+
+  test("streaming-batch ledger: replayed micro-batches commit exactly once, through compaction") {
+    val t = tmpDir("versioned").toString
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val b1 = Seq((3L, "z")).toDF("id", "s")
+    assert(Versioned.appendBatchIdempotent(b0, t, batchId = 0) == 1)
+    assert(Versioned.appendBatchIdempotent(b1, t, batchId = 1) == 2)
+    // at-least-once delivery: both batches replay — no new versions, no dup rows
+    assert(Versioned.appendBatchIdempotent(b0, t, batchId = 0) == 2)
+    assert(Versioned.appendBatchIdempotent(b1, t, batchId = 1) == 2)
+    assert(rows(t) == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // the ledger survives a compaction rewrite (markers aren't data files)
+    Versioned.compact(spark, t)
+    assert(Versioned.appendBatchIdempotent(b1, t, batchId = 1) == 3)
+    assert(rows(t) == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(Versioned.processedBatch(t, 0) && Versioned.processedBatch(t, 1))
+    assert(!Versioned.processedBatch(t, 2))
+  }
+
+  test("appendStream lands a memory stream exactly once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = tmpDir("versioned").toString
+    val cp = tmpDir("versioned_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Versioned.appendStream(input.toDF().toDF("id", "s"), t, cp)
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // restart from the same checkpoint: nothing re-lands
+    val q2 = Versioned.appendStream(input.toDF().toDF("id", "s"), t, cp)
+    try {
+      input.addData((4L, "d")); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
