@@ -34,6 +34,9 @@ object MediaCodecs {
       bitsPerSample: Int, frames: Long, durationUs: Long,
       sampleSum: Long, sampleMin: Int, sampleMax: Int)
 
+  final case class VideoMeta(container: String, codec: String, width: Int, height: Int,
+      frames: Long, usPerFrame: Long, durationUs: Long, firstFrameSum: Long)
+
   /** Container sniff from magic bytes — deterministic, never reads past
     * the header. */
   def sniff(bytes: Array[Byte]): String = {
@@ -44,6 +47,8 @@ object MediaCodecs {
     else if (at(0) == 'B' && at(1) == 'M') "bmp"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else "unknown"
   }
 
@@ -210,6 +215,189 @@ object MediaCodecs {
     var i = 0
     while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
     bb.array()
+  }
+
+  // ------------------------------------------------------------------ video
+
+  /** Decode an AVI container with Motion-JPEG frames — REAL pure-JDK
+    * video decode: RIFF chunk walking is plain byte parsing and every
+    * MJPEG frame is an ordinary JPEG `javax.imageio` reads, so the one
+    * video format whose codec the JDK actually ships is no longer a
+    * stub. Structural metadata (dimensions, frame count, timing) comes
+    * from the container headers — closed-form, which is what lets the
+    * `video_meta` declared query be DuckDB-oracle-checked; pixel sums
+    * of the DECODED first frame are codec-output (lossy JPEG), pinned
+    * by MediaCodecsSpec against the encoded ramp within a JPEG error
+    * budget instead. Frame count is counted from the actual movi
+    * chunks, cross-checked against the header's dwTotalFrames. Other
+    * containers (mp4/h264 etc.) still reject here and fall to the
+    * provenance-marked stub — the JDK has no codec for them. */
+  def decodeAvi(bytes: Array[Byte]): Either[String, VideoMeta] =
+    try {
+      if (sniff(bytes) != "avi") Left("not a RIFF/AVI payload")
+      else {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var usPerFrame = 0L; var hdrFrames = 0L; var w = 0; var h = 0
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, len)
+        def fourcc(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // walk chunks in [from, until); LISTs recurse into their payload
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val id = fourcc(p)
+            val len = bb.getInt(p + 4)
+            if (len < 0 || p + 8 + len > until) return // torn chunk: stop, keep what parsed
+            if (id == "LIST") walk(p + 12, p + 8 + len)
+            else if (id == "avih" && len >= 40) {
+              usPerFrame = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+              hdrFrames = bb.getInt(p + 8 + 16).toLong & 0xFFFFFFFFL
+              w = bb.getInt(p + 8 + 32)
+              h = bb.getInt(p + 8 + 36)
+            }
+            else if (id.endsWith("dc") || id.endsWith("db"))
+              frames += ((p + 8, len))
+            p += 8 + len + (len & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+        if (w <= 0 || h <= 0) Left("AVI: no avih header")
+        else if (frames.isEmpty) Left("AVI: no frame chunks in movi")
+        else if (hdrFrames != frames.length.toLong)
+          Left(s"AVI: header declares $hdrFrames frames, movi has ${frames.length}")
+        else {
+          val (fo, fl) = frames.head
+          val img = ImageIO.read(new ByteArrayInputStream(bytes, fo, fl))
+          if (img == null) Left("AVI: first frame is not JDK-decodable (not MJPEG?)")
+          else if (img.getWidth != w || img.getHeight != h)
+            Left(s"AVI: frame ${img.getWidth}x${img.getHeight} != container ${w}x$h")
+          else {
+            val r = img.getRaster
+            var sum = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < r.getNumBands) { sum += r.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            Right(VideoMeta("avi", "mjpeg", w, h, frames.length.toLong, usPerFrame,
+              usPerFrame * frames.length, sum))
+          }
+        }
+      }
+    } catch { case e: Exception => Left(s"avi decode: ${e.getMessage}") }
+
+  /** Histogram features over the decoded raster samples of up to the
+    * first 4 frames — the real replacement for the video arm of the
+    * decode stub, for payloads [[decodeAvi]] accepts. */
+  def videoFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAvi(bytes).toOption.flatMap { _ =>
+      try {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val v = new Array[Double](dim)
+        var used = 0
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until && used < 4) {
+            val id = fourcc(p)
+            val len = bb.getInt(p + 4)
+            if (len < 0 || p + 8 + len > until) return
+            if (id == "LIST") walk(p + 12, p + 8 + len)
+            else if (id.endsWith("dc") || id.endsWith("db")) {
+              val img = ImageIO.read(new ByteArrayInputStream(bytes, p + 8, len))
+              if (img != null) {
+                val r = img.getRaster
+                val sizes = img.getColorModel.getComponentSize
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    var b = 0
+                    while (b < r.getNumBands) {
+                      val maxV = 1L << sizes(math.min(b, sizes.length - 1))
+                      v(math.min(r.getSample(x, y, b).toLong * dim / maxV, dim - 1L).toInt) += 1.0
+                      b += 1
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                used += 1
+              }
+            }
+            p += 8 + len + (len & 1)
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+        if (used == 0) None else Some(unitNorm(v))
+      } catch { case _: Exception => None }
+    }
+
+  /** Assemble a minimal AVI-MJPEG container from grayscale frame
+    * functions — fixture/test side of the round-trip. Frames JPEG-encode
+    * through the JDK writer. */
+  def encodeAviMjpeg(width: Int, height: Int, frames: Seq[(Int, Int) => Int],
+      usPerFrame: Long = 40000L): Array[Byte] = {
+    val jpegs = frames.map { f =>
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { r.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val avih = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPerFrame.toInt).putInt(0).putInt(0).putInt(0)
+        .putInt(jpegs.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      bb.array() // trailing reserved dwords stay zero
+    }
+    val strh = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(usPerFrame.toInt).putInt(1000000) // fps = rate/scale
+        .putInt(0).putInt(jpegs.length).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .put("MJPG".getBytes("US-ASCII")).putInt(width * height * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
   }
 
   private def unitNorm(v: Array[Double]): Array[Float] = {

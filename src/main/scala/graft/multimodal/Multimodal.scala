@@ -9,11 +9,13 @@ import graft.functions.Embedder
   * payloads as opaque `binary` columns with typed metadata, flowing through
   * the same chunk-store/embedding machinery as text.
   *
-  * Image and audio decode are REAL pure-JDK codecs ([[MediaCodecs]]:
-  * javax.imageio for png/jpeg/gif/bmp, javax.sound.sampled for WAV PCM) —
-  * features are histograms over actual decoded raster/PCM samples, and the
-  * `media_meta` declared query oracle-checks the encode→decode round-trip.
-  * Only video (no pure-JDK codec exists) falls back to the clearly-marked
+  * Image, audio, AND AVI-MJPEG video decode are REAL pure-JDK codecs
+  * ([[MediaCodecs]]: javax.imageio for png/jpeg/gif/bmp and MJPEG frames,
+  * javax.sound.sampled for WAV PCM, hand-rolled RIFF walking for the AVI
+  * container) — features are histograms over actual decoded raster/PCM
+  * samples, and the `media_meta`/`video_meta` declared queries
+  * oracle-check the encode→decode round-trips. Video containers the JDK
+  * has no codec for (mp4/h264, mkv, webm) fall back to the clearly-marked
   * deterministic STUB (`decodeStub`), as does any payload the JDK cannot
   * decode — ingest must be total, not throw on a corrupt blob. The
   * partition-level batch shape (one decoder instance per partition — how
@@ -47,9 +49,10 @@ object Multimodal {
         col("content"))
   }
 
-  /** STUB ━ stands in for a real VIDEO decoder + feature extractor (no
-    * pure-JDK video codec exists), and is the total-ingest fallback for
-    * payloads the JDK image/audio codecs reject. Deterministic: hashes
+  /** STUB ━ stands in for a real decoder on video containers the JDK has
+    * no codec for (mp4/h264, mkv, webm — AVI-MJPEG decodes for real via
+    * [[MediaCodecs.videoFeatures]]), and is the total-ingest fallback for
+    * payloads the JDK codecs reject. Deterministic: hashes
     * 64-byte windows of the payload into a unit-norm feature vector, so
     * tests can pin exact outputs. Image and audio use the REAL decoders
     * in [[MediaCodecs]]. */
@@ -83,6 +86,7 @@ object Multimodal {
         val decoded = a.modality match {
           case "image" => MediaCodecs.imageFeatures(a.content, dim)
           case "audio" => MediaCodecs.audioFeatures(a.content, dim)
+          case "video" => MediaCodecs.videoFeatures(a.content, dim) // real for AVI-MJPEG
           case _       => None
         }
         // feature_source makes the stub fallback identifiable downstream —

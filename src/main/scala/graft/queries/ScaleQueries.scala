@@ -306,6 +306,39 @@ object ScaleQueries {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
+      width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
+
+  /** Real AVI-MJPEG round-trip: encode a genuine AVI container (JDK
+    * JPEG frames, hand-built RIFF) from closed-form per-doc parameters,
+    * decode it with [[MediaCodecs.decodeAvi]], and emit the DECODED
+    * structural metadata — dimensions from the avih header, frame count
+    * from the actual movi chunks, timing from the header. The oracle
+    * recomputes every value from the same closed forms, so a broken
+    * chunk walker, header offset, or frame counter hash-mismatches.
+    * Pixel sums are lossy-JPEG output and stay in MediaCodecsSpec's
+    * error-budget check instead of the oracle. mapPartitions mirrors
+    * the per-partition decoder amortization; the stage is map-only. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 120)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + ((id * 5) % 17).toInt
+        val base = (id % 150).toInt
+        val n = 2 + (id % 4).toInt
+        val avi = MediaCodecs.encodeAviMjpeg(w, h,
+          Seq.tabulate(n)(f => (x: Int, y: Int) => base + f + x + y), usPerFrame = 40000L)
+        val m = MediaCodecs.decodeAvi(avi).fold(e => sys.error(e), identity)
+        VideoMetaRow(id, m.container, m.codec, m.width, m.height, m.frames,
+          m.usPerFrame, m.durationUs)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   /** Top-13 k-NN over SQ8-quantized embeddings: vectors round-trip
     * through per-vector int8 codes before scoring, the query stays exact
     * float — the storage-quantized search path at 100 TB (4× less IO),
@@ -340,6 +373,7 @@ object ScaleQueries {
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
     "media_meta" -> (mediaMeta _),
+    "video_meta" -> (videoMeta _),
     "frame_sample" -> (frameSample _),
     "ivf_precision" -> (ivfPrecision _),
     "minhash_precision" -> (minhashPrecision _),
@@ -466,6 +500,14 @@ object ScaleQueries {
         |  CAST(n * 1000000 // rate AS BIGINT)
         |FROM aud
         |ORDER BY doc_id""".stripMargin,
+    "video_meta" ->
+      """SELECT doc_id, 'avi' AS container, 'mjpeg' AS codec,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + (doc_id * 5) % 17 AS INT) AS height,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(40000 AS BIGINT) AS us_per_frame,
+        |  CAST((2 + doc_id % 4) * 40000 AS BIGINT) AS duration_us
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
     "frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(0, (length(text) - 1) // 100),

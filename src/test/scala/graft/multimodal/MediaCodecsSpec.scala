@@ -92,6 +92,47 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.sniff(null) == "unknown")
   }
 
+  test("AVI-MJPEG encode→decode round-trips container metadata exactly") {
+    val avi = MediaCodecs.encodeAviMjpeg(20, 14,
+      Seq.tabulate(3)(f => (x: Int, y: Int) => 40 + f + x + y), usPerFrame = 40000L)
+    assert(MediaCodecs.sniff(avi) == "avi")
+    val m = MediaCodecs.decodeAvi(avi).fold(e => fail(e), identity)
+    assert(m.container == "avi" && m.codec == "mjpeg")
+    assert(m.width == 20 && m.height == 14)
+    assert(m.frames == 3)
+    assert(m.usPerFrame == 40000L && m.durationUs == 120000L)
+    // JPEG is lossy but near-exact on a smooth ramp: mean |err| per pixel
+    // of the DECODED first frame stays inside a small budget
+    val ideal = (for (y <- 0 until 14; x <- 0 until 20) yield 40 + x + y).map(_.toLong).sum
+    val mae = math.abs(m.firstFrameSum - ideal).toDouble / (20 * 14)
+    assert(mae < 3.0, s"mean abs error $mae gray levels vs the encoded ramp")
+  }
+
+  test("AVI decode is total and cross-checks header vs movi chunks") {
+    assert(MediaCodecs.decodeAvi("RIFFxxxxAVI ".getBytes("US-ASCII")).isLeft)
+    assert(MediaCodecs.decodeAvi(Array[Byte](1, 2, 3)).isLeft)
+    assert(MediaCodecs.decodeAvi(
+      MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))).isLeft)
+    // header/movi mismatch must be rejected, not silently trusted
+    val avi = MediaCodecs.encodeAviMjpeg(8, 8, Seq((x, y) => x + y))
+    val truncatedHeader = avi.clone()
+    // dwTotalFrames lives at avih body offset 16; avih body starts after
+    // RIFF(12) + LIST hdr(12) + 'avih'+len(8) = 32
+    truncatedHeader(32 + 16) = 9
+    assert(MediaCodecs.decodeAvi(truncatedHeader).isLeft)
+  }
+
+  test("video features: real decoded-frame histograms for AVI, none for undecodable") {
+    val avi = MediaCodecs.encodeAviMjpeg(16, 16,
+      Seq.tabulate(2)(f => (x: Int, y: Int) => if ((x + y) % 2 == 0) 0 else 255))
+    val f = MediaCodecs.videoFeatures(avi, 64).get
+    assert(math.abs(math.sqrt(f.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    // checkerboard mass concentrates at the histogram extremes (JPEG
+    // ringing spreads a little around them)
+    assert(f(0) + f(1) > 0.5f && f(62) + f(63) > 0.5f)
+    assert(MediaCodecs.videoFeatures("not a video".getBytes("US-ASCII"), 64).isEmpty)
+  }
+
   test("image features: histogram over decoded samples, unit norm, real not stub") {
     val bytes = MediaCodecs.encodeGray(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)
     val f = MediaCodecs.imageFeatures(bytes, 64).get

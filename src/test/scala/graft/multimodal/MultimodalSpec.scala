@@ -47,6 +47,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).embedding.toSeq != Multimodal.decodeStub("audio", wav, 64).toSeq)
   }
 
+  test("extractFeatures routes AVI-MJPEG video through the real codec; mp4 stays stub") {
+    val avi = MediaCodecs.encodeAviMjpeg(16, 12,
+      Seq.tabulate(2)(f => (x: Int, y: Int) => 30 + f + x + y))
+    val feats = Multimodal.extractFeatures(Seq(
+      asset(1, "video", "clip.avi", avi),
+      asset(2, "video", "clip.mp4", Array.fill[Byte](400)(5))).toDS())
+      .collect().sortBy(_.asset_id)
+    assert(feats(0).feature_source == "codec", "AVI-MJPEG must decode for real")
+    assert(feats(0).embedding.toSeq == MediaCodecs.videoFeatures(avi, 64).get.toSeq)
+    assert(feats(1).feature_source == "stub", "no JDK codec for mp4 — provenance-marked stub")
+  }
+
   test("frame sampling produces one row per stride window") {
     val bytes = Array.tabulate[Byte](4096)(i => (i % 127).toByte)
     val frames = Multimodal.sampleFrames(
