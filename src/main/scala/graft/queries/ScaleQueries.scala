@@ -306,6 +306,20 @@ object ScaleQueries {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** IVF-cell-blocked batch k-NN join: top-5 neighbors for each of the
+    * first 50 vectors against the whole corpus, neither side broadcast —
+    * the similarity-graph builder at 100 TB (feeds near-dup clustering,
+    * retrieval eval, hard-negative mining). Rows-only headline (cell
+    * layout is KMeans-dependent); ScaleSpec pins recall vs the exact
+    * join. */
+  def knnJoinBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val index = defaultIndex(spark, dir)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+    Ivf.knnJoin(index, queries, k = 5, nprobe = 4)
+      .select(col("q_id"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"), col("rn"))
+  }
+
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
 
@@ -369,6 +383,7 @@ object ScaleQueries {
     "nsw_precision" -> (nswPrecision _),
     "nswivf_topk" -> (nswIvfTopk _),
     "nswivf_precision" -> (nswIvfPrecision _),
+    "knn_join_blocked" -> (knnJoinBlocked _),
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -107,6 +107,39 @@ object Ivf {
     Index(centroids, index.assigned.unionByName(assigned))
   }
 
+  /** Large×large batch k-NN join through the shared cell layout: every
+    * query row multi-probes its `nprobe` nearest cells (explode), the
+    * candidate join is a plain cell equi-join — pair count is
+    * Σ_cell |Q∩cell|·|corpus∩cell| instead of |Q|·|corpus| — and the
+    * per-query top-k is a rank window that compiles to WindowGroupLimit
+    * (map-side trim before the q_id shuffle). This is the batch
+    * similarity-graph builder when NEITHER side fits a broadcast (the
+    * exact broadcast form is VectorQueries.knnBatchTop5); recall follows
+    * probed-cell coverage exactly as in single-query IVF search, and a
+    * corpus vector meets a query at most once per probe set (it lives in
+    * ONE cell), so no dedup shuffle is needed. ScaleSpec measures recall
+    * against the exact join. */
+  def knnJoin(index: Index, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = index.centroids
+    val probe = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      nearestCells(cents, if (v == null) null else v.toArray, nprobe)
+    }
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
+      .withColumn("cell", explode(probe(col("q_emb"))))
+    val corpus = index.assigned
+      .withColumnRenamed(idCol, "n_id").withColumnRenamed(vecCol, "n_emb")
+    val pairs = q.join(corpus, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.squaredL2(col("n_emb"), col("q_emb")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)
+    pairs.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Cell-size imbalance: max cell size over the mean size across ALL
     * nlist cells (empty cells included — averaging only occupied cells
     * would score the total-collapse layout, everything in one cell, as

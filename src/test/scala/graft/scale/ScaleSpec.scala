@@ -209,6 +209,39 @@ class ScaleSpec extends SparkSpec {
     assert(gotPairs.size >= (exact.size * 0.5).toInt, s"recall too low: ${gotPairs.size}/${exact.size}")
   }
 
+  test("IVF-blocked knn join: beats random sampling, monotone in nprobe, exact at full probe") {
+    val index = Ivf.build(spark, emb)
+    val queries = emb.filter(col("vec_id") < 30)
+    def joined(nprobe: Int): Map[Long, Set[Long]] =
+      Ivf.knnJoin(index, queries, k = 5, nprobe = nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(emb)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), col("q_emb")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }
+      rs.sum / rs.size
+    }
+    // same contract as the single-query IVF recall test: the fixture's
+    // (near-)random vectors are IVF's worst case, so pin structure — the
+    // candidate join beats uniform cell sampling, recall grows with the
+    // probe set, and probing every cell recovers the exact join
+    val r2 = recall(joined(2))
+    assert(r2 > 2.0 / 16, s"nprobe=2 recall=$r2 no better than random cell sampling")
+    assert(recall(joined(8)) >= r2)
+    assert(joined(16) == exact, "full probe must equal the exact join")
+  }
+
   test("split_contamination banded prefilter loses no qualifying pair (superset at fixture scale)") {
     // the declared query narrows the exact shingle equi-join to MinHash
     // banded candidates (1-row bands, k=64); the banding must be a
