@@ -109,7 +109,53 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dup screen: a NEW batch (doc_id 150–499, the CDC
+    * delta of a nightly crawl) against the EXISTING corpus (doc_id <
+    * 150) — the sibling of incremental_reembed, and the shape that makes
+    * corpus-scale dedup affordable: old×old pairs were resolved when
+    * those docs arrived, so candidates come from the cross-set banded
+    * join only (`NearDup.bandedCandidatesBetween`, 1-row bands at k=64
+    * ⇒ miss probability (1-J)^64), with the corpus side's signatures
+    * precomputed-and-stored in production. The exact ≥5-shared-shingle
+    * verify runs on candidate pairs over FULL shingle sets, so the
+    * answer is exact and the oracle recomputes it from a direct
+    * co-shingle join; ScaleSpec pins banded == direct at fixture
+    * scale. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupImpl(spark, dir, banded = true)
+
+  /** Direct (no-prefilter) form — ground truth for ScaleSpec. */
+  private[graft] def incrementalDedupExact(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupImpl(spark, dir, banded = false)
+
+  private def incrementalDedupImpl(spark: SparkSession, dir: String,
+      banded: Boolean): DataFrame = {
+    import graft.scale.NearDup
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    val sh = NearDup.shingles(docs).cache()
+    val shOld = sh.filter(col("doc_id") < 150)
+    val shNew = sh.filter(col("doc_id") >= 150)
+    val pairs =
+      if (!banded)
+        shNew.as("n").join(shOld.as("o"), col("n.sh") === col("o.sh"))
+          .select(col("n.doc_id").as("new_doc"), col("o.doc_id").as("dup_of"))
+          .distinct()
+      else
+        NearDup.bandedCandidatesBetween(
+            NearDup.minhashSignatures(shNew, k = 64),
+            NearDup.minhashSignatures(shOld, k = 64), k = 64, bands = 64)
+          .select(col("a_id").as("new_doc"), col("b_id").as("dup_of"))
+    pairs
+      .join(sh.as("n"), col("new_doc") === col("n.doc_id"))
+      .join(sh.as("o"), col("dup_of") === col("o.doc_id") && col("n.sh") === col("o.sh"))
+      .groupBy(col("new_doc"), col("dup_of"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 5)
+      .orderBy(col("new_doc"), col("dup_of"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_dedup" -> (incrementalDedup _),
     "exact_dedup" -> (exactDedup _),
     "dedup_anti_join" -> (dedupAntiJoin _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -121,6 +167,20 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    "incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM d))
+        |SELECT n.doc_id AS new_doc, o.doc_id AS dup_of, COUNT(*) AS shared
+        |FROM sh n JOIN sh o ON n.sh = o.sh AND n.doc_id >= 150 AND o.doc_id < 150
+        |GROUP BY n.doc_id, o.doc_id
+        |HAVING COUNT(*) >= 5
+        |ORDER BY new_doc, dup_of""".stripMargin,
     "exact_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -50,6 +50,37 @@ object NearDup {
     * is either boilerplate or still reachable through another band. */
   def bandedCandidates(sig: DataFrame, k: Int = NumHashes, bands: Int = Bands,
       maxBandDocs: Int = Int.MaxValue): DataFrame = {
+    val banded = bandKeys(sig, k, bands, maxBandDocs)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Cross-set banded candidates: pairs (a from `sigNew`, b from
+    * `sigOld`) sharing a band key — the incremental-dedup shape, where a
+    * nightly batch screens against the existing corpus WITHOUT the
+    * corpus ever comparing against itself (the old×old pairs were
+    * handled when those docs arrived). In production the corpus side's
+    * signatures are precomputed and stored; cost is the band join of
+    * |new| exploded keys against the corpus keys. `maxBandDocs` caps
+    * bucket size on the corpus side (the blow-up side). */
+  def bandedCandidatesBetween(sigNew: DataFrame, sigOld: DataFrame,
+      k: Int = NumHashes, bands: Int = Bands,
+      maxBandDocs: Int = Int.MaxValue): DataFrame =
+    bandKeys(sigNew, k, bands, Int.MaxValue).as("a")
+      .join(bandKeys(sigOld, k, bands, maxBandDocs).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+  /** (band_idx, band_hash) keys per doc, optionally dropping hot buckets
+    * (see [[bandedCandidates]] for the f²/2 rationale). */
+  private def bandKeys(sig: DataFrame, k: Int, bands: Int, maxBandDocs: Int): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must be divisible by bands ($bands): integer-division row " +
         "width would silently drop the trailing k % bands minhash columns")
@@ -60,22 +91,14 @@ object NearDup {
     }
     val exploded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_hash"))
-    val banded =
-      if (maxBandDocs == Int.MaxValue) exploded
-      else {
-        val hot = exploded.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") > maxBandDocs)
-          .select(col("band_idx"), col("band_hash"))
-        exploded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-      }
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    if (maxBandDocs == Int.MaxValue) exploded
+    else {
+      val hot = exploded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > maxBandDocs)
+        .select(col("band_idx"), col("band_hash"))
+      exploded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    }
   }
 
   /** (a_id, b_id, inter, uni) for the given candidate pairs against the

@@ -242,6 +242,15 @@ class ScaleSpec extends SparkSpec {
     assert(joined(16) == exact, "full probe must equal the exact join")
   }
 
+  test("incremental_dedup cross-set banding loses no qualifying pair") {
+    val banded = graft.queries.DedupQueries.incrementalDedup(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = graft.queries.DedupQueries.incrementalDedupExact(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact.nonEmpty, "fixture should contain new-vs-corpus near-dup pairs")
+    assert(banded == exact, s"banded=$banded exact=$exact")
+  }
+
   test("split_contamination banded prefilter loses no qualifying pair (superset at fixture scale)") {
     // the declared query narrows the exact shingle equi-join to MinHash
     // banded candidates (1-row bands, k=64); the banding must be a
