@@ -38,7 +38,10 @@ class NtileBoundaries(buckets: Int, k: Int)
   override def zero: KllBuffer = kll.zero
 
   override def reduce(b: KllBuffer, x: Long): KllBuffer = {
-    require(math.abs(x) < MaxAbsKey,
+    // the Long.MinValue check is load-bearing: math.abs(Long.MinValue)
+    // is NEGATIVE (two's complement has no positive counterpart), so it
+    // would slip under the magnitude guard and convert lossily
+    require(x != Long.MinValue && math.abs(x) < MaxAbsKey,
       s"sort key $x exceeds 2^53 and would lose precision in the buffer")
     kll.reduce(b, x.toDouble)
   }

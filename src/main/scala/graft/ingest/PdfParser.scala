@@ -522,37 +522,51 @@ object PdfParser {
       val bytes = clean.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       new String(bytes, StandardCharsets.UTF_16BE)
     }
+    // source codes in our subset are 1-2 bytes; a corrupt/hostile CMap
+    // can carry arbitrarily wide hex tokens, and Integer.parseInt would
+    // THROW on them — aborting the whole structured parse and dropping
+    // the document to the raw linear scan. Out-of-range codes are
+    // unusable anyway: parse bounded, skip the entry.
+    def code(hex: String): Int =
+      if (hex.isEmpty || hex.length > 8) -1
+      else {
+        val v = java.lang.Long.parseLong(hex, 16)
+        if (v > 0xFFFFL) -1 else v.toInt
+      }
     val hexP = "<([0-9A-Fa-f]+)>"
     val charSection = s"(?s)beginbfchar(.*?)endbfchar".r
     val charEntry = s"$hexP\\s*$hexP".r
     charSection.findAllMatchIn(cmap).foreach { sec =>
       charEntry.findAllMatchIn(sec.group(1)).foreach { m =>
-        if (out.size < MaxEntries)
-          out(Integer.parseInt(m.group(1), 16)) = utf16(m.group(2))
+        val c = code(m.group(1))
+        if (c >= 0 && out.size < MaxEntries)
+          out(c) = utf16(m.group(2))
       }
     }
     val rangeSection = s"(?s)beginbfrange(.*?)endbfrange".r
     val rangeEntry = s"$hexP\\s*$hexP\\s*(?:$hexP|\\[([^\\]]*)\\])".r
     rangeSection.findAllMatchIn(cmap).foreach { sec =>
       rangeEntry.findAllMatchIn(sec.group(1)).foreach { m =>
-        val lo = Integer.parseInt(m.group(1), 16)
-        val hi = Integer.parseInt(m.group(2), 16)
-        if (m.group(3) != null) {
-          val dst = utf16(m.group(3)).toCharArray
-          var c = lo
-          while (c <= hi && out.size < MaxEntries) {
-            val d = dst.clone()
-            // spec 9.10.3: the LAST code unit increments across the range
-            if (d.nonEmpty) d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
-            out(c) = new String(d)
-            c += 1
-          }
-        } else {
-          val dsts = hexP.r.findAllMatchIn(m.group(4)).map(_.group(1)).toVector
-          var c = lo
-          while (c <= hi && (c - lo) < dsts.length && out.size < MaxEntries) {
-            out(c) = utf16(dsts(c - lo))
-            c += 1
+        val lo = code(m.group(1))
+        val hi = code(m.group(2))
+        if (lo >= 0 && hi >= 0) {
+          if (m.group(3) != null) {
+            val dst = utf16(m.group(3)).toCharArray
+            var c = lo
+            while (c <= hi && out.size < MaxEntries) {
+              val d = dst.clone()
+              // spec 9.10.3: the LAST code unit increments across the range
+              if (d.nonEmpty) d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
+              out(c) = new String(d)
+              c += 1
+            }
+          } else {
+            val dsts = hexP.r.findAllMatchIn(m.group(4)).map(_.group(1)).toVector
+            var c = lo
+            while (c <= hi && (c - lo) < dsts.length && out.size < MaxEntries) {
+              out(c) = utf16(dsts(c - lo))
+              c += 1
+            }
           }
         }
       }
@@ -865,11 +879,39 @@ object PdfParser {
       val c = content.charAt(j)
       c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0
     }
+    // `/Name <size> Tf` handling shared by the in-text loop and the
+    // between-blocks scan: Tf is a TEXT-STATE operator but legal at page
+    // description level (outside BT..ET), and text state persists into
+    // the next BT block — skipping straight to "BT" would leave `cur` on
+    // the previous font and mojibake the next block's CID strings.
+    // Returns the index to continue from (past Tf when matched, past the
+    // name token otherwise).
+    def consumeName(at: Int): Int = {
+      val st = at + 1
+      var j = st
+      while (j < n && !isWsAt(j) && "()<>[]{}/%".indexOf(content.charAt(j)) < 0) j += 1
+      var k = j
+      while (k < n && isWsAt(k)) k += 1
+      var sawNum = false
+      while (k < n && (content.charAt(k).isDigit || content.charAt(k) == '.' ||
+        content.charAt(k) == '-')) { sawNum = true; k += 1 }
+      var m = k
+      while (m < n && isWsAt(m)) m += 1
+      if (sawNum && content.startsWith("Tf", m)) {
+        cur = fonts.getOrElse(content.substring(st, j), OneByte)
+        m + 2
+      } else j
+    }
     while (i < n) {
       if (!inText) {
         val bt = content.indexOf("BT", i)
+        val end = if (bt < 0) n else bt
+        var g = i
+        while (g < end) {
+          if (content.charAt(g) == '/') g = consumeName(g) else g += 1
+        }
         if (bt < 0) i = n
-        else { inText = true; i = bt + 2 }
+        else { inText = true; i = math.max(bt + 2, g) }
       } else content.charAt(i) match {
         case 'E' if content.startsWith("ET", i) =>
           inText = false; i += 2
@@ -895,21 +937,7 @@ object PdfParser {
         case '/' =>
           // font selection: `/Name <size> Tf` switches the decoder for
           // every show that follows; any other name token is skipped
-          val st = i + 1
-          var j = st
-          while (j < n && !isWsAt(j) && "()<>[]{}/%".indexOf(content.charAt(j)) < 0) j += 1
-          val name = content.substring(st, j)
-          var k = j
-          while (k < n && isWsAt(k)) k += 1
-          var sawNum = false
-          while (k < n && (content.charAt(k).isDigit || content.charAt(k) == '.' ||
-            content.charAt(k) == '-')) { sawNum = true; k += 1 }
-          var m = k
-          while (m < n && isWsAt(m)) m += 1
-          if (sawNum && content.startsWith("Tf", m)) {
-            cur = fonts.getOrElse(name, OneByte)
-            i = m + 2
-          } else i = j
+          i = consumeName(i)
         case _ => i += 1
       }
     }

@@ -117,10 +117,13 @@ object DedupQueries {
     * join only (`NearDup.bandedCandidatesBetween`, 1-row bands at k=64
     * ⇒ miss probability (1-J)^64), with the corpus side's signatures
     * precomputed-and-stored in production. The exact ≥5-shared-shingle
-    * verify runs on candidate pairs over FULL shingle sets, so the
-    * answer is exact and the oracle recomputes it from a direct
-    * co-shingle join; ScaleSpec pins banded == direct at fixture
-    * scale. */
+    * verify runs on candidate pairs over FULL shingle sets, so every
+    * surfaced pair is exact and the oracle recomputes the answer from a
+    * direct co-shingle join; ScaleSpec pins banded == direct at fixture
+    * scale. Same containment caveat as splitContamination: the absolute
+    * shared-count threshold can qualify tiny-J containment pairs that
+    * Jaccard-driven banding may miss — production adds a bottom-k
+    * containment screen for that regime. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupImpl(spark, dir, banded = true)
 

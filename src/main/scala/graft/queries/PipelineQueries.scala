@@ -188,9 +188,14 @@ object PipelineQueries {
     * agree, miss probability (1-J)^64 — and only then runs the exact
     * ≥5-shared-shingle verify, jaccardOnPairs-style, on the candidate
     * pairs. The verify counts FULL shingle sets, so every surfaced pair
-    * is exact; ScaleSpec pins prefiltered == unfiltered on the fixture
-    * (the banded candidates are a superset of the answer), keeping the
-    * oracle row identical to the direct equi-join formulation. The
+    * is exact. Honest recall limit: banding recalls by JACCARD while the
+    * qualifying threshold is an ABSOLUTE count, so a containment pair —
+    * a small doc embedded in a huge one, ≥5 shared shingles at tiny J —
+    * can slip the bands ((1-J)^64 is only small when J isn't); a
+    * production decontamination adds a containment-oriented screen
+    * (bottom-k sketch of the smaller side) for that regime. The fixture
+    * has no such pair: ScaleSpec pins prefiltered == unfiltered, keeping
+    * the oracle row identical to the direct equi-join formulation. The
     * fixture's planted near-identical pairs surface whenever the hash
     * split separates them (doc_id < 1000 keeps the result non-vacuous
     * at every fixture scale). */

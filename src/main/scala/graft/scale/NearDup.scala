@@ -74,7 +74,10 @@ object NearDup {
     bandKeys(sigNew, k, bands, Int.MaxValue).as("a")
       .join(bandKeys(sigOld, k, bands, maxBandDocs).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash"))
+          col("a.band_hash") === col("b.band_hash") &&
+          // a re-crawled doc present on BOTH sides under the same id
+          // would trivially band-match itself and verify as its own dup
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 

@@ -107,9 +107,11 @@ object Nsw {
     * pruning can silently disconnect nodes (a back-link evicted by the
     * cap may be a node's only in-edge), which would break
     * `nsw_precision`'s exactness. The cost is an honest degree contract:
-    * a node's degree is 2m plus its guarded children (one guarded edge
-    * per node graph-wide, so Σ extra = n-1; a hub can exceed 2m, NswSpec
-    * measures the tail). Returns the adjacency in insertion order. */
+    * a node's degree is bounded by max(2m, its guarded-children count) —
+    * unguarded edges never survive past the cap's remainder (one guarded
+    * edge per node graph-wide, so Σ guarded = n-1; a parent hub can
+    * exceed 2m through guarded edges alone, NswSpec measures the tail).
+    * Returns the adjacency in insertion order. */
   private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
       m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
     val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
@@ -123,14 +125,18 @@ object Nsw {
         val (keep, rest) =
           if (guarded == null) (Seq.empty[Long], ns.toSeq)
           else ns.toSeq.partition(guarded.contains)
-        if (keep.length < maxDeg) {
-          val base = vecs.get(id)
-          val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
-            .take(maxDeg - keep.length).map(_._2)
-          ns.clear()
-          ns ++= keep
-          ns ++= best
-        }
+        // guarded edges always survive; unguarded ones fill the cap's
+        // remainder by distance. When guarded alone reaches the cap,
+        // EVERY unguarded edge goes — leaving them unpruned would let a
+        // hub keep accumulating back-links unbounded (guarded + 2m is
+        // the documented degree contract, not guarded + everything)
+        val room = math.max(0, maxDeg - keep.length)
+        val base = vecs.get(id)
+        val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
+          .take(room).map(_._2)
+        ns.clear()
+        ns ++= keep
+        ns ++= best
       }
     }
     var entry = -1L

@@ -222,7 +222,7 @@ object Versioned {
     read(spark, table, Some(base)).coalesce(1)
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    retryCommit(table, added, inputRel.toSet, maxRetries)
+    commitRewrite(table, base, added, inputRel.toSet)
   }
 
   /** Predicate delete that rewrites ONLY the files containing matching
@@ -247,12 +247,17 @@ object Versioned {
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().collect().map(r => toLocalPath(r.getString(0)))
     if (affected.isEmpty) return base
-    val keep = spark.read.parquet(affected.toIndexedSeq: _*).filter(!cond)
+    // keep rows where cond IS NOT TRUE: three-valued logic makes a plain
+    // !cond evaluate to NULL (→ dropped) for rows where the predicate is
+    // NULL — which would silently delete rows that never matched
+    val keep = spark.read.parquet(affected.toIndexedSeq: _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false)))
     val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
     keep.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-    retryCommit(table, added, removedRel, maxRetries)
+    commitRewrite(table, base, added, removedRel)
   }
 
   /** `input_file_name()` yields a URI on most filesystems and a bare
@@ -281,7 +286,7 @@ object Versioned {
       new File(table, batch).getPath, numFiles,
       org.apache.spark.sql.functions.col(x), org.apache.spark.sql.functions.col(y))
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    retryCommit(table, added, inputRel.toSet, maxRetries)
+    commitRewrite(table, base, added, inputRel.toSet)
   }
 
   /** Targeted small-file compaction: rewrite ONLY the current version's
@@ -310,7 +315,7 @@ object Versioned {
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     val removedRel = small.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-    retryCommit(table, added, removedRel, maxRetries)
+    commitRewrite(table, base, added, removedRel)
   }
 
   /** Delete data files referenced by NO manifest in the retained horizon
@@ -371,6 +376,28 @@ object Versioned {
       .foreach(_.delete())
     deleted
   }
+
+  /** Commit for REWRITE operations (compact/compactSmall/optimize/
+    * deleteWhere): one attempt against the version the rewrite was
+    * derived from, never a blind retry. A retry with stale added/removed
+    * sets would be unsound — if a concurrent writer replaced the input
+    * files (e.g. another compaction), the stale `removed` lines match
+    * nothing while the stale rewrite still lands, duplicating rows (and,
+    * for deleteWhere, resurrecting deleted ones). The conflict surfaces
+    * loudly; the caller re-derives against the new current version. The
+    * rewrite's data batch stays on disk either way (vacuum sweeps
+    * orphans past the grace window). Append-shaped commits (add-only)
+    * keep [[retryCommit]] — re-adding the same files against any newer
+    * base is always correct. */
+  private def commitRewrite(table: String, base: Int, added: Seq[String],
+      removed: Set[String]): Int =
+    try commit(table, base, added, removed)
+    catch {
+      case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"rewrite of $table derived from v$base lost the commit race; " +
+            "re-run the maintenance operation against the current version", e)
+    }
 
   private def retryCommit(table: String, added: Seq[String], removed: Set[String],
       maxRetries: Int): Int = {

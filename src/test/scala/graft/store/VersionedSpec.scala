@@ -249,6 +249,17 @@ class VersionedSpec extends SparkSpec {
     assert(remaining.forall(f => !new File(f).exists), "vacuum must delete the rewritten files")
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (three-valued logic)") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "bob"), (2L, null.asInstanceOf[String]), (3L, "eve"))
+      .toDF("id", "user").coalesce(1), t)
+    Versioned.deleteWhere(spark, t, col("user") === "bob")
+    // the NULL-user row never matched the predicate — a plain !cond
+    // filter would have evaluated NULL and silently dropped it too
+    assert(rows(t).map(_._1) == Set(2L, 3L))
+  }
+
   test("streaming-batch ledger: replayed micro-batches commit exactly once, through compaction") {
     val t = tmpDir("versioned").toString
     val b0 = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
