@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -230,7 +231,33 @@ object FuncQueries {
         |ORDER BY variant""".stripMargin)
   }
 
+  /** Rank-family window breadth: dense_rank / percent_rank / cume_dist /
+    * first / last / nth_value / lead over each customer's orders by
+    * price. percent_rank and cume_dist are rational ranks — identical
+    * integer ratios finished in one double op on both engines, e4
+    * rounded; the (price, orderkey) order is total so every rank and
+    * positional value is deterministic. Value-frame functions run over
+    * the explicit full-partition ROWS frame (engines default that frame
+    * differently). Per-customer partitions grow with the customer count,
+    * not the table — the scale-safe window key. */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).filter(col("o_custkey") < 80)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w) * 10000).cast("long").as("prank_e4"),
+        round(cume_dist().over(w) * 10000).cast("long").as("cdist_e4"),
+        first(col("o_orderkey")).over(full).as("cheapest_order"),
+        last(col("o_orderkey")).over(full).as("priciest_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ranks" -> (windowRanks _),
     "cube_agg" -> (cubeAgg _),
     "grouping_sets" -> (groupingSets _),
     "ntile_buckets" -> (ntileBuckets _),
@@ -243,6 +270,21 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS prank_e4,
+        |  CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cdist_e4,
+        |  first_value(o_orderkey) OVER wf AS cheapest_order,
+        |  last_value(o_orderkey) OVER wf AS priciest_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders WHERE o_custkey < 80
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "cube_agg" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
         |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
