@@ -314,7 +314,45 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user linear trend + one-step forecast by exact least squares
+    * over the last 16 events: with x = recency rank re-indexed so the
+    * newest event is x = n, slope and intercept come from the four
+    * classic sums (Σx, Σy, Σxy, Σx²) — all accumulated as EXACT decimals
+    * (x is a small integer, y scaled to fixed point), so the aggregation
+    * is order-free at any parallelism, and the slope/intercept/forecast
+    * divisions are one closed-form double expression per row. Flat or
+    * single-event histories short-circuit to the mean (the denominator
+    * n·Σx² − (Σx)² is 0 at n = 1). The rn ≤ 16 trim is WindowGroupLimit
+    * map-side, same as exp_smooth — per-entity trend features over an
+    * unbounded log without a streaming job. */
+  def trendForecast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    def d(c: Column) = c.cast("double")
+    val base = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .withColumn("x", (lit(17) - col("rn")).cast("long")) // newest = largest x
+      .withColumn("y", col("value").cast("decimal(18,6)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(18,0)").as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x").cast("decimal(4,0)")).cast("decimal(38,6)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"))
+    val nD = d(col("n"))
+    val den = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = when(col("n") <= 1, lit(0.0))
+      .otherwise((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / den)
+    val intercept = (d(col("sy")) - slope * d(col("sx"))) / nD
+    // forecast at x = 17 (one step past the newest observation)
+    base.select(col("user_id"), col("n").as("n_events"),
+        round(slope * 10000).cast("long").as("slope_e4"),
+        round((intercept + slope * 17) * 10000).cast("long").as("forecast_e4"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trend_forecast" -> (trendForecast _),
     "exp_smooth" -> (expSmooth _),
     "pivot_events" -> (pivotEvents _),
     "range_window" -> (rangeWindow _),
@@ -335,6 +373,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "trend_forecast" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, (17 - rn) AS x, CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM r WHERE rn <= 16),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(y * CAST(x AS DECIMAL(4,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM t GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, n, sx, sy,
+        |    CASE WHEN n <= 1 THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |           / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope
+        |  FROM a)
+        |SELECT user_id, n AS n_events,
+        |  CAST(round(slope * 10000) AS BIGINT) AS slope_e4,
+        |  CAST(round(((sy - slope * sx) / CAST(n AS DOUBLE) + slope * 17) * 10000) AS BIGINT) AS forecast_e4
+        |FROM b ORDER BY user_id""".stripMargin,
     "cms_counts" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -191,7 +191,34 @@ object RelationalQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Per-node triangle counts over the customer co-order-date graph
+    * (edge = two customers under key 40 sharing an order date) — graph
+    * analytics beyond connected components. The triangle join is the
+    * FORWARD algorithm: edges oriented by id (u < v), wedges
+    * u→v→w closed by the u→w edge, so each triangle is enumerated
+    * exactly once. At scale the orientation key becomes (degree, id) —
+    * high-degree nodes then have few OUT-edges, which bounds the wedge
+    * count by Σ out-deg² (the standard skew defense); the join shape is
+    * unchanged. Per-node counts via one explode + count. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 40)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("d")).distinct()
+    val edges = o.as("a")
+      .join(o.as("b"), col("a.d") === col("b.d") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("u"), col("b.c").as("v")).distinct()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u")) // wedge u < v < w
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "triangle_count" -> (triangleCount _),
     "having_subquery" -> (havingSubquery _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
@@ -206,6 +233,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "triangle_count" ->
+      """WITH o AS (
+        |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
+        |  FROM orders WHERE o_custkey < 40),
+        |e AS (
+        |  SELECT DISTINCT a.c AS u, b.c AS v
+        |  FROM o a JOIN o b ON a.d = b.d AND a.c < b.c),
+        |tri AS (
+        |  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT ta AS node FROM tri
+        |  UNION ALL SELECT tb FROM tri
+        |  UNION ALL SELECT tc FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
     "having_subquery" ->
       """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
         |SELECT o_custkey, n_orders FROM pc
