@@ -22,9 +22,12 @@ import graft.functions.Embedder
   */
 object IngestPipeline {
 
-  /** Allowed upload extensions (multiple_document_upload.py:24-30). */
+  /** Allowed upload extensions (multiple_document_upload.py:24-30), plus
+    * `eml` — email archives are a first-class LLM-corpus source the
+    * reference's loader set lacks (MailParser). */
   val AllowedExts: Set[String] =
-    Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm")
+    Set("pdf", "txt", "md", "csv", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "html", "htm",
+      "eml")
 
   // Formats parsed natively in this build (the defaultParsers key set is
   // the authority): plain text family; the OOXML office formats (ZIP+XML,
@@ -76,7 +79,8 @@ object IngestPipeline {
       "pptx" -> OfficeParsers.pptx,
       "doc" -> LegacyOfficeParsers.doc, "xls" -> LegacyOfficeParsers.xls,
       "ppt" -> LegacyOfficeParsers.ppt,
-      "pdf" -> PdfParser.pdf
+      "pdf" -> PdfParser.pdf,
+      "eml" -> MailParser.eml
     ).withDefaultValue(unavailable)
   }
 
