@@ -39,11 +39,24 @@ object MailParser {
     } catch { case e: Exception => Left(s"eml parse: ${e.getMessage}") }
 
   /** Split a message (or message part) into unfolded lowercase-keyed
-    * headers and the raw body. */
+    * headers and the raw body. Without the RFC's blank separator line
+    * (truncated or hand-assembled input), the header block ends at the
+    * first line that is neither `Name: value` nor a folded continuation
+    * — everything from there on is body, so message text is never
+    * silently discarded. */
   private def splitMessage(raw: String): (Map[String, String], String) = {
     val norm = raw.replace("\r\n", "\n")
     val sep = norm.indexOf("\n\n")
-    val (head, body) = if (sep < 0) (norm, "") else (norm.substring(0, sep), norm.substring(sep + 2))
+    val (head, body) = if (sep >= 0) (norm.substring(0, sep), norm.substring(sep + 2))
+    else {
+      val lines = norm.split('\n')
+      val headerLike = "^[!-9;-~]+:.*$".r // RFC 5322 field-name chars, then ':'
+      var i = 0
+      while (i < lines.length &&
+        (headerLike.matches(lines(i)) ||
+          (i > 0 && lines(i).nonEmpty && (lines(i).head == ' ' || lines(i).head == '\t')))) i += 1
+      (lines.take(i).mkString("\n"), lines.drop(i).mkString("\n"))
+    }
     val unfolded = head.replaceAll("\n[ \t]+", " ")
     val headers = unfolded.split('\n').iterator
       .map(_.trim).filter(_.nonEmpty)
@@ -89,13 +102,34 @@ object MailParser {
     m.map(g => Option(g.group(2)).getOrElse(g.group(3))).filter(_.nonEmpty)
   }
 
-  /** The parts between --boundary delimiters (preamble/epilogue dropped). */
+  /** The parts between --boundary delimiter LINES (preamble/epilogue
+    * dropped). RFC 2046 anchors delimiters at line start and allows
+    * trailing transport padding — matching the raw substring instead
+    * would also cut at prefix-colliding nested boundaries ("AB" vs
+    * "AB1") and at boundary text quoted inside a part's body. */
   private[ingest] def splitMultipart(body: String, boundary: String): Seq[String] = {
     val delim = "--" + boundary
-    val segments = body.replace("\r\n", "\n").split(java.util.regex.Pattern.quote(delim), -1)
-    if (segments.length <= 1) Seq.empty
-    else segments.drop(1).takeWhile(s => !s.startsWith("--"))
-      .map(_.stripPrefix("\n")).toSeq
+    val close = delim + "--"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inPart = false
+    var done = false
+    body.replace("\r\n", "\n").split('\n').foreach { line =>
+      val t = line.replaceAll("[ \t]+$", "") // transport padding
+      if (!done && t == close) {
+        if (inPart) parts += cur.toString
+        done = true
+      } else if (!done && t == delim) {
+        if (inPart) parts += cur.toString
+        cur.clear()
+        inPart = true
+      } else if (!done && inPart) {
+        if (cur.nonEmpty) cur.append('\n')
+        cur.append(line)
+      } // preamble (before first delimiter) and epilogue (after close) drop
+    }
+    if (inPart && !done) parts += cur.toString // unterminated: keep what parsed
+    parts.toSeq
   }
 
   /** Decode a transfer encoding, then bytes → text at the declared

@@ -548,7 +548,13 @@ object PdfParser {
     rangeSection.findAllMatchIn(cmap).foreach { sec =>
       rangeEntry.findAllMatchIn(sec.group(1)).foreach { m =>
         val lo = code(m.group(1))
-        val hi = code(m.group(2))
+        // an over-wide hi (generator quirk) clamps to the code-space top
+        // instead of dropping the whole entry — the lo..0xFFFF portion is
+        // still a valid mapping the document's text depends on
+        val hi =
+          if (code(m.group(2)) >= 0) code(m.group(2))
+          else if (lo >= 0 && m.group(2).nonEmpty) 0xFFFF
+          else -1
         if (lo >= 0 && hi >= 0) {
           if (m.group(3) != null) {
             val dst = utf16(m.group(3)).toCharArray
@@ -906,12 +912,30 @@ object PdfParser {
       if (!inText) {
         val bt = content.indexOf("BT", i)
         val end = if (bt < 0) n else bt
+        // scan the gap for page-level Tf — but tokenize like the in-text
+        // loop: literal strings, << >> dicts, and % comments are DATA,
+        // and a '/... Tf'-shaped byte run inside them (e.g. an
+        // /ActualText string) must not clobber the active font
         var g = i
         while (g < end) {
-          if (content.charAt(g) == '/') g = consumeName(g) else g += 1
+          content.charAt(g) match {
+            case '/' => g = consumeName(g)
+            case '(' => g = literal(content, g)._2
+            case '<' if g + 1 < n && content.charAt(g + 1) == '<' =>
+              var depth = 1; g += 2
+              while (g + 1 < n && depth > 0) {
+                if (content.charAt(g) == '<' && content.charAt(g + 1) == '<') { depth += 1; g += 2 }
+                else if (content.charAt(g) == '>' && content.charAt(g + 1) == '>') { depth -= 1; g += 2 }
+                else g += 1
+              }
+            case '%' =>
+              while (g < n && content.charAt(g) != '\n' && content.charAt(g) != '\r') g += 1
+            case _ => g += 1
+          }
         }
         if (bt < 0) i = n
-        else { inText = true; i = math.max(bt + 2, g) }
+        else if (g > bt) i = g // "BT" was inside a string/dict/comment — keep scanning
+        else { inText = true; i = bt + 2 }
       } else content.charAt(i) match {
         case 'E' if content.startsWith("ET", i) =>
           inText = false; i += 2

@@ -222,7 +222,7 @@ object Versioned {
     read(spark, table, Some(base)).coalesce(1)
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    commitRewrite(table, base, added, inputRel.toSet)
+    commitRewrite(table, base, added, inputRel.toSet, maxRetries)
   }
 
   /** Predicate delete that rewrites ONLY the files containing matching
@@ -257,7 +257,7 @@ object Versioned {
     keep.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-    commitRewrite(table, base, added, removedRel)
+    commitRewrite(table, base, added, removedRel, maxRetries)
   }
 
   /** `input_file_name()` yields a URI on most filesystems and a bare
@@ -286,7 +286,7 @@ object Versioned {
       new File(table, batch).getPath, numFiles,
       org.apache.spark.sql.functions.col(x), org.apache.spark.sql.functions.col(y))
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    commitRewrite(table, base, added, inputRel.toSet)
+    commitRewrite(table, base, added, inputRel.toSet, maxRetries)
   }
 
   /** Targeted small-file compaction: rewrite ONLY the current version's
@@ -315,7 +315,7 @@ object Versioned {
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     val removedRel = small.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-    commitRewrite(table, base, added, removedRel)
+    commitRewrite(table, base, added, removedRel, maxRetries)
   }
 
   /** Delete data files referenced by NO manifest in the retained horizon
@@ -378,26 +378,43 @@ object Versioned {
   }
 
   /** Commit for REWRITE operations (compact/compactSmall/optimize/
-    * deleteWhere): one attempt against the version the rewrite was
-    * derived from, never a blind retry. A retry with stale added/removed
-    * sets would be unsound — if a concurrent writer replaced the input
-    * files (e.g. another compaction), the stale `removed` lines match
-    * nothing while the stale rewrite still lands, duplicating rows (and,
-    * for deleteWhere, resurrecting deleted ones). The conflict surfaces
-    * loudly; the caller re-derives against the new current version. The
-    * rewrite's data batch stays on disk either way (vacuum sweeps
-    * orphans past the grace window). Append-shaped commits (add-only)
-    * keep [[retryCommit]] — re-adding the same files against any newer
-    * base is always correct. */
+    * deleteWhere): a GUARDED retry. A blind retry with stale
+    * added/removed sets would be unsound — if a concurrent writer
+    * replaced the rewrite's input files (another compaction, a delete),
+    * the stale `removed` lines match nothing while the stale rewrite
+    * still lands, duplicating rows (and, for deleteWhere, resurrecting
+    * deleted ones). But losing the race to a plain APPEND is harmless:
+    * the inputs are untouched, the appended files carry forward, and
+    * re-committing against the new base is exactly right — aborting
+    * there would let a live streaming sink starve maintenance forever.
+    * So: retry while every `removed` line still exists in the current
+    * manifest (inputs survived ⇒ the loser was racing appends); throw
+    * the moment any input line is gone (a concurrent rewrite took them
+    * ⇒ this rewrite's output is stale — caller re-derives). The data
+    * batch stays on disk either way; vacuum sweeps orphans past the
+    * grace window. */
   private def commitRewrite(table: String, base: Int, added: Seq[String],
-      removed: Set[String]): Int =
-    try commit(table, base, added, removed)
-    catch {
-      case e: IllegalStateException =>
-        throw new IllegalStateException(
-          s"rewrite of $table derived from v$base lost the commit race; " +
-            "re-run the maintenance operation against the current version", e)
+      removed: Set[String], maxRetries: Int): Int = {
+    var b = base
+    var attempt = 0
+    while (true) {
+      try return commit(table, b, added, removed)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val cur = currentVersion(table)
+          val lines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+            .toArray(Array.empty[String]).toSet
+          if (!removed.subsetOf(lines))
+            throw new IllegalStateException(
+              s"rewrite of $table derived from v$base lost its input files to a " +
+                "concurrent rewrite; re-derive against the current version", e)
+          b = cur
+      }
     }
+    -1 // unreachable
+  }
 
   private def retryCommit(table: String, added: Seq[String], removed: Set[String],
       maxRetries: Int): Int = {

@@ -144,7 +144,7 @@ object ParserRobustnessProps extends Properties("Parsers") {
 
   property("every format parser is total: Either out, never an exception") =
     forAll(bytesGen) { bytes =>
-      Seq("txt", "md", "csv", "html", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "pdf")
+      Seq("txt", "md", "csv", "html", "docx", "xlsx", "pptx", "doc", "xls", "ppt", "pdf", "eml")
         .forall { ext =>
           allParsers(ext)(bytes) match {
             case Right(docs) => docs != null
