@@ -220,6 +220,30 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Per-language top-10 frequent terms through the SAME Space-Saving
+    * summary, now as a GROUPED typed UDAF — one bounded m-entry state
+    * per language crosses the shuffle (the per-group sketch shape a
+    * 100 TB vocabulary pass needs; an exact groupBy would shuffle every
+    * distinct (lang, term)). m = 4096 ≥ any fixture language's
+    * vocabulary, so the summary is exact and the row oracle-checks
+    * against plain counts; the top-10 trim is WindowGroupLimit. */
+  def heavyHittersByLang(spark: SparkSession, dir: String): DataFrame = {
+    val ss = org.apache.spark.sql.functions.udaf(
+      new graft.core.SpaceSaving(4096), org.apache.spark.sql.Encoders.STRING)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("lang"))
+      .agg(ss(col("term")).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("h"))
+      .select(col("lang"), col("h.term").as("term"), col("h.count").as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** HTML strip round-trip: wrap each document in deterministic markup
     * (tags + an entity), strip tags, decode entities, normalize
     * whitespace — the CommonCrawl-shaped cleanup step of a web-text
@@ -324,6 +348,7 @@ object TextQueries {
     "top_bigrams" -> (topBigrams _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
+    "heavy_hitters_by_lang" -> (heavyHittersByLang _),
     "rolling_fp" -> (rollingFp _),
     "sketch_stats" -> (sketchStats _),
     "lang_id" -> (langId _),
@@ -411,6 +436,18 @@ object TextQueries {
       """SELECT term, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
         |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
+    "heavy_hitters_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (
+        |  SELECT lang, term, COUNT(*) AS cnt FROM t WHERE term <> ''
+        |  GROUP BY lang, term),
+        |r AS (
+        |  SELECT lang, term, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+        |  FROM c)
+        |SELECT lang, term, cnt, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
     "rolling_fp" ->
       """SELECT doc_id,
         |  list_reduce(
