@@ -220,6 +220,37 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** The corpus quality GATE: per-document keep/reject verdict with the
+    * first failing rule as the reason — the composition step a
+    * pre-training pipeline actually runs over the quality signals
+    * (Gopher-style): minimum length, duplicate-word fraction,
+    * single-word dominance. Every signal is a ratio of integer counts
+    * (engine-identical e4), the verdict a deterministic CASE cascade,
+    * so the whole filter is oracle-checkable; downstream keeps
+    * `verdict = 'ok'` rows. One word-count shuffle + per-doc rollup,
+    * map-only after that — the same scale shape as repetition_stats. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val sig = wc.groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).cast("long").as("top_n"))
+      .withColumn("dup_e4",
+        round((col("n_words") - col("n_distinct")).cast("double") / col("n_words") * 10000)
+          .cast("long"))
+      .withColumn("top_e4",
+        round(col("top_n").cast("double") / col("n_words") * 10000).cast("long"))
+    sig.select(col("doc_id"), col("n_words"), col("dup_e4"), col("top_e4"),
+        when(col("n_words") < 20, "too_short")
+          .when(col("dup_e4") > 4000, "repetitive")
+          .when(col("top_e4") > 2000, "degenerate")
+          .otherwise("ok").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language top-10 frequent terms through the SAME Space-Saving
     * summary, now as a GROUPED typed UDAF — one bounded m-entry state
     * per language crosses the shuffle (the per-group sketch shape a
@@ -349,6 +380,7 @@ object TextQueries {
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
+    "corpus_filter" -> (corpusFilter _),
     "rolling_fp" -> (rollingFp _),
     "sketch_stats" -> (sketchStats _),
     "lang_id" -> (langId _),
@@ -436,6 +468,26 @@ object TextQueries {
       """SELECT term, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
         |WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term""".stripMargin,
+    "corpus_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS n FROM w WHERE w <> '' GROUP BY doc_id, w),
+        |sig AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n
+        |  FROM wc GROUP BY doc_id),
+        |e AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(round(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) AS dup_e4,
+        |    CAST(round(CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) AS top_e4
+        |  FROM sig)
+        |SELECT doc_id, n_words, dup_e4, top_e4,
+        |  CASE WHEN n_words < 20 THEN 'too_short'
+        |       WHEN dup_e4 > 4000 THEN 'repetitive'
+        |       WHEN top_e4 > 2000 THEN 'degenerate'
+        |       ELSE 'ok' END AS verdict
+        |FROM e ORDER BY doc_id""".stripMargin,
     "heavy_hitters_by_lang" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
