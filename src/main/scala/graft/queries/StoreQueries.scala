@@ -129,7 +129,50 @@ object StoreQueries {
       .orderBy(col("source"))
   }
 
+  /** Unique-but-stable catalog table name per (process, fixture dir) —
+    * the managed-table analogue of [[scratch]]. */
+  private def tableName(base: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_${base}_p${ProcessHandle.current().pid()}_$digest"
+  }
+
+  /** Bucketed co-located join: both sides land as catalog tables
+    * bucketed (and sorted) on the join key with the SAME bucket count,
+    * so the join consumes matching bucket files directly — NO shuffle
+    * on either side (BucketedSpec pins the exchange-free plan against a
+    * shuffling unbucketed control). This is the pre-shuffled layout a
+    * recurring 100 TB join amortizes its exchange into: pay one
+    * bucketed write, then every subsequent join/aggregation on the
+    * bucket key is map-side. The merge hint keeps the demonstration on
+    * the bucket-aware sort-merge path (AQE would otherwise broadcast
+    * the small fixture dimension). Values are layout-independent —
+    * the oracle is the plain join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordT = tableName("bkt_ord", dir)
+    val custT = tableName("bkt_cust", dir)
+    Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable(ordT)
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(custT)
+    bucketedJoinFrame(spark, ordT, custT)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The bare bucket-key join (pre-aggregation) — shared with
+    * BucketedSpec's plan assertion. */
+  private[graft] def bucketedJoinFrame(spark: SparkSession,
+      ordT: String, custT: String): DataFrame =
+    spark.table(ordT).hint("merge")
+      .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> (bucketedJoin _),
     "zorder_scan" -> (zorderScan _),
     "time_travel" -> (timeTravel _),
     "incremental_reembed" -> (incrementalReembed _)
@@ -153,6 +196,11 @@ object StoreQueries {
         |SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id < 200
         |ORDER BY version""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "incremental_reembed" ->
       """SELECT source,
         |  COUNT(*) AS n_reembedded,
