@@ -23,22 +23,31 @@ object StoreQueries {
     * each other across runs, so each dir is deleted on JVM exit — without
     * the hook, every run would permanently leak its parquet scratch. */
   private val created = scala.collection.mutable.Set.empty[String]
-  private def scratch(name: String, dir: String): String = {
-    // the sanitized dir alone is NOT injective (/a/b and /a_b collide);
-    // a digest of the raw string disambiguates, keeping distinct fixture
-    // dirs on distinct scratch paths within one process
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
+
+  /** 16-hex-char digest of the raw fixture dir — the injective
+    * disambiguator shared by scratch dirs and catalog table names (the
+    * sanitized dir alone is NOT injective: /a/b and /a_b collide). */
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val p = new File(new File(sys.props("java.io.tmpdir")),
-      s"graft_${name}_p${ProcessHandle.current().pid()}_" +
-        s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$digest")
-      .getAbsolutePath
+
+  /** Register a path for deletion at JVM exit — pid-unique scratch (dirs
+    * AND managed-table directories) would otherwise leak permanently
+    * across runs. */
+  private def cleanupAtExit(path: String): Unit =
     created.synchronized {
       if (created.isEmpty)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           created.synchronized(created.foreach(rmTree))))
-      created += p
+      created += path
     }
+
+  private def scratch(name: String, dir: String): String = {
+    val p = new File(new File(sys.props("java.io.tmpdir")),
+      s"graft_${name}_p${ProcessHandle.current().pid()}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${dirDigest(dir)}")
+      .getAbsolutePath
+    cleanupAtExit(p)
     p
   }
 
@@ -130,11 +139,17 @@ object StoreQueries {
   }
 
   /** Unique-but-stable catalog table name per (process, fixture dir) —
-    * the managed-table analogue of [[scratch]]. */
-  private def tableName(base: String, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"graft_${base}_p${ProcessHandle.current().pid()}_$digest"
+    * the managed-table analogue of [[scratch]], including the cleanup
+    * half: the in-memory catalog dies with the JVM, so a later run (new
+    * pid → new name) could never drop this run's warehouse directory —
+    * it is registered for deletion at exit instead. */
+  private def tableName(spark: SparkSession, base: String, dir: String): String = {
+    val name = s"graft_${base}_p${ProcessHandle.current().pid()}_${dirDigest(dir)}"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whDir =
+      if (wh.startsWith("file:")) new File(java.net.URI.create(wh)) else new File(wh)
+    cleanupAtExit(new File(whDir, name).getAbsolutePath)
+    name
   }
 
   /** Bucketed co-located join: both sides land as catalog tables
@@ -149,8 +164,8 @@ object StoreQueries {
     * the small fixture dimension). Values are layout-independent —
     * the oracle is the plain join. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ordT = tableName("bkt_ord", dir)
-    val custT = tableName("bkt_cust", dir)
+    val ordT = tableName(spark, "bkt_ord", dir)
+    val custT = tableName(spark, "bkt_cust", dir)
     Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
       .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable(ordT)

@@ -238,12 +238,20 @@ object TextQueries {
       .agg(sum(col("n")).cast("long").as("n_words"),
         count(lit(1)).as("n_distinct"),
         max(col("n")).cast("long").as("top_n"))
+    // LEFT join from the corpus: a zero-token document has no wc rows,
+    // and an inner aggregation would silently PASS it through the gate
+    // by omission — the most degenerate doc must still get its verdict
+    docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
       .withColumn("dup_e4",
-        round((col("n_words") - col("n_distinct")).cast("double") / col("n_words") * 10000)
-          .cast("long"))
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(round((col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words") * 10000).cast("long")))
       .withColumn("top_e4",
-        round(col("top_n").cast("double") / col("n_words") * 10000).cast("long"))
-    sig.select(col("doc_id"), col("n_words"), col("dup_e4"), col("top_e4"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(round(col("top_n").cast("double") / col("n_words") * 10000)
+            .cast("long")))
+      .select(col("doc_id"), col("n_words"), col("dup_e4"), col("top_e4"),
         when(col("n_words") < 20, "too_short")
           .when(col("dup_e4") > 4000, "repetitive")
           .when(col("top_e4") > 2000, "degenerate")
@@ -478,10 +486,12 @@ object TextQueries {
         |    COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_n
         |  FROM wc GROUP BY doc_id),
         |e AS (
-        |  SELECT doc_id, n_words,
-        |    CAST(round(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) AS dup_e4,
-        |    CAST(round(CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) AS top_e4
-        |  FROM sig)
+        |  SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |    CASE WHEN COALESCE(n_words, 0) = 0 THEN 0
+        |      ELSE CAST(round(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) END AS dup_e4,
+        |    CASE WHEN COALESCE(n_words, 0) = 0 THEN 0
+        |      ELSE CAST(round(CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) * 10000) AS BIGINT) END AS top_e4
+        |  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)
         |SELECT doc_id, n_words, dup_e4, top_e4,
         |  CASE WHEN n_words < 20 THEN 'too_short'
         |       WHEN dup_e4 > 4000 THEN 'repetitive'

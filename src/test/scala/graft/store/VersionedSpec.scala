@@ -309,16 +309,18 @@ class VersionedSpec extends SparkSpec {
     val q = Versioned.appendStream(input.toDF().toDF("doc_id", "text"), t, cp)
     val embedded = scala.collection.mutable.Map.empty[Long, Int]
     def consume(from: Int): Int = {
-      // the incremental consumer: checkpoint a version, poll the delta,
-      // embed ONLY what arrived since
+      // the incremental consumer: resolve ONE target version, read the
+      // delta pinned to exactly that window, checkpoint that version —
+      // checkpointing a version re-read AFTER the delta would skip any
+      // commit that landed in between, losing data forever
       val cur = Versioned.currentVersion(t)
       if (cur > from) {
-        val delta = Versioned.changes(spark, t, from)
+        val delta = Versioned.changes(spark, t, from, Some(cur))
           .select(col("doc_id"), embedUdf(col("text")).as("embedding"))
           .collect()
         delta.foreach(r => embedded(r.getLong(0)) = embedded.getOrElse(r.getLong(0), 0) + 1)
       }
-      Versioned.currentVersion(t)
+      cur
     }
     val cp1 =
       try {
