@@ -351,7 +351,32 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts of consecutive (from_type → to_type) steps under
+    * the per-user (ts, id) order, plus the per-from transition
+    * probability as an integer-ratio e4 (count/row-total — both engines
+    * compute identical doubles from identical longs). One
+    * user-partitioned lead window (keys scale with users) + a tiny
+    * 25-row aggregate joined back broadcast — no enum-keyed window. The
+    * product-analytics companion to user_paths/funnel: "after a click,
+    * what happens next?". */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("n_from"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from") * 10000).cast("long").as("p_e4"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "trend_forecast" -> (trendForecast _),
     "exp_smooth" -> (expSmooth _),
     "pivot_events" -> (pivotEvents _),
@@ -373,6 +398,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) * 10000) AS BIGINT) AS p_e4
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "trend_forecast" ->
       """WITH r AS (
         |  SELECT user_id, value,
