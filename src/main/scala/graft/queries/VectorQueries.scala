@@ -233,6 +233,24 @@ object VectorQueries {
          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 13""".stripMargin,
     // Spark posexplode is 0-based; generate_series below starts at 1, so
     // pos = i - 1 aligns the two
+    "centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, CASE WHEN vec_id < 250 THEN 'old' ELSE 'new' END AS gen,
+        |    unnest(list_transform(generate_series(1, len(embedding)),
+        |      i -> {'pos': i - 1, 'v': embedding[i]})) AS s
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, gen, s.pos AS pos, COUNT(*) AS n,
+        |    CAST(round(CAST(SUM(round(CAST(s.v AS DOUBLE) * 10000)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_e4
+        |  FROM e WHERE s.pos < 8 GROUP BY label, gen, s.pos),
+        |j AS (
+        |  SELECT o.label, o.pos, o.n AS n_old, w.n AS n_new,
+        |    (w.mean_e4 - o.mean_e4) * (w.mean_e4 - o.mean_e4) AS d2
+        |  FROM sums o JOIN sums w
+        |    ON o.label = w.label AND o.pos = w.pos AND o.gen = 'old' AND w.gen = 'new')
+        |SELECT label, MAX(n_old) AS n_old_vecs, MAX(n_new) AS n_new_vecs,
+        |  CAST(round(sqrt(CAST(SUM(d2) AS DOUBLE))) AS BIGINT) AS drift_e4
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "label_centroids" ->
       """WITH e AS (
         |  SELECT label,
@@ -261,7 +279,40 @@ object VectorQueries {
         sum(round(col("v").cast("double") * 10000).cast("long")).as("sum_e4"))
       .orderBy(col("label"), col("pos"))
 
+  /** Embedding drift monitor: per-label L2 distance between the OLD
+    * corpus generation's centroid (vec_id < 250) and the NEW one's —
+    * the check a pipeline runs after a re-embed or a new crawl lands,
+    * before trusting the index ("did the distribution move?"). The
+    * whole chain is order-free: per-(label, generation, position)
+    * means come from e4-fixed-point integer sums, per-position deltas
+    * are integer subtractions, the squared sum is an exact integer, and
+    * the single sqrt/round at the end is engine-identical. Shuffle keys
+    * are (label, gen, pos) — scale with dims × labels, never rows. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .withColumn("gen", when(col("vec_id") < 250, "old").otherwise("new"))
+      .groupBy(col("label"), col("gen"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 10000).cast("long")).as("s_e4"))
+      .withColumn("mean_e4", round(col("s_e4").cast("double") / col("n")).cast("long"))
+    val old = sums.filter(col("gen") === "old")
+      .select(col("label"), col("pos"), col("mean_e4").as("m_old"), col("n").as("n_old"))
+    val neu = sums.filter(col("gen") === "new")
+      .select(col("label"), col("pos"), col("mean_e4").as("m_new"), col("n").as("n_new"))
+    old.join(neu, Seq("label", "pos"))
+      .withColumn("d2", (col("m_new") - col("m_old")) * (col("m_new") - col("m_old")))
+      .groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old_vecs"), max(col("n_new")).as("n_new_vecs"),
+        sum(col("d2")).as("ss"))
+      .select(col("label"), col("n_old_vecs"), col("n_new_vecs"),
+        round(sqrt(col("ss").cast("double"))).cast("long").as("drift_e4"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_drift" -> (centroidDrift _),
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),
     "knn_batch_agg" -> (knnBatchAgg _),
