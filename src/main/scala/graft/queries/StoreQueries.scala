@@ -145,10 +145,12 @@ object StoreQueries {
     * it is registered for deletion at exit instead. */
   private def tableName(spark: SparkSession, base: String, dir: String): String = {
     val name = s"graft_${base}_p${ProcessHandle.current().pid()}_${dirDigest(dir)}"
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val whDir =
-      if (wh.startsWith("file:")) new File(java.net.URI.create(wh)) else new File(wh)
-    cleanupAtExit(new File(whDir, name).getAbsolutePath)
+    // ask the catalog for the table's real location rather than
+    // hand-parsing spark.sql.warehouse.dir (unencoded special chars,
+    // non-file schemes); only local paths can be swept at exit
+    val loc = org.apache.spark.sql.graftbridge.ColumnBridge.defaultTablePath(spark, name)
+    if (loc.getScheme == null || loc.getScheme == "file")
+      cleanupAtExit(new File(loc.getPath).getAbsolutePath)
     name
   }
 

@@ -235,22 +235,28 @@ object VectorQueries {
     // pos = i - 1 aligns the two
     "centroid_drift" ->
       """WITH e AS (
-        |  SELECT label, CASE WHEN vec_id < 250 THEN 'old' ELSE 'new' END AS gen,
+        |  SELECT label, vec_id,
         |    unnest(list_transform(generate_series(1, len(embedding)),
         |      i -> {'pos': i - 1, 'v': embedding[i]})) AS s
         |  FROM embeddings),
         |sums AS (
-        |  SELECT label, gen, s.pos AS pos, COUNT(*) AS n,
-        |    CAST(round(CAST(SUM(round(CAST(s.v AS DOUBLE) * 10000)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_e4
-        |  FROM e WHERE s.pos < 8 GROUP BY label, gen, s.pos),
-        |j AS (
-        |  SELECT o.label, o.pos, o.n AS n_old, w.n AS n_new,
-        |    (w.mean_e4 - o.mean_e4) * (w.mean_e4 - o.mean_e4) AS d2
-        |  FROM sums o JOIN sums w
-        |    ON o.label = w.label AND o.pos = w.pos AND o.gen = 'old' AND w.gen = 'new')
+        |  SELECT label, s.pos AS pos,
+        |    COUNT(*) FILTER (WHERE vec_id < 250) AS n_old,
+        |    COUNT(*) FILTER (WHERE vec_id >= 250) AS n_new,
+        |    CAST(COALESCE(SUM(round(CAST(s.v AS DOUBLE) * 10000)) FILTER (WHERE vec_id < 250), 0) AS BIGINT) AS s_old,
+        |    CAST(COALESCE(SUM(round(CAST(s.v AS DOUBLE) * 10000)) FILTER (WHERE vec_id >= 250), 0) AS BIGINT) AS s_new
+        |  FROM e GROUP BY label, s.pos),
+        |d AS (
+        |  SELECT label, n_old, n_new,
+        |    CASE WHEN n_old > 0 AND n_new > 0 THEN
+        |      CAST(round(CAST(s_new AS DOUBLE) / n_new) AS BIGINT)
+        |        - CAST(round(CAST(s_old AS DOUBLE) / n_old) AS BIGINT)
+        |    END AS dd
+        |  FROM sums)
         |SELECT label, MAX(n_old) AS n_old_vecs, MAX(n_new) AS n_new_vecs,
-        |  CAST(round(sqrt(CAST(SUM(d2) AS DOUBLE))) AS BIGINT) AS drift_e4
-        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+        |  CASE WHEN SUM(dd * dd) IS NOT NULL
+        |    THEN CAST(round(sqrt(CAST(SUM(dd * dd) AS DOUBLE))) AS BIGINT) END AS drift_e4
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
     "label_centroids" ->
       """WITH e AS (
         |  SELECT label,
@@ -289,25 +295,29 @@ object VectorQueries {
     * the single sqrt/round at the end is engine-identical. Shuffle keys
     * are (label, gen, pos) — scale with dims × labels, never rows. */
   def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val isOld = col("vec_id") < 250
+    // single pass over ALL dimensions: conditional counts/sums per
+    // (label, pos) — no self-join, so a label living entirely in one
+    // generation (the loudest drift signal) still surfaces, with
+    // drift_e4 NULL (no centroid to compare) instead of vanishing
     val sums = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .filter(col("pos") < 8)
-      .withColumn("gen", when(col("vec_id") < 250, "old").otherwise("new"))
-      .groupBy(col("label"), col("gen"), col("pos"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("v").cast("double") * 10000).cast("long")).as("s_e4"))
-      .withColumn("mean_e4", round(col("s_e4").cast("double") / col("n")).cast("long"))
-    val old = sums.filter(col("gen") === "old")
-      .select(col("label"), col("pos"), col("mean_e4").as("m_old"), col("n").as("n_old"))
-    val neu = sums.filter(col("gen") === "new")
-      .select(col("label"), col("pos"), col("mean_e4").as("m_new"), col("n").as("n_new"))
-    old.join(neu, Seq("label", "pos"))
-      .withColumn("d2", (col("m_new") - col("m_old")) * (col("m_new") - col("m_old")))
-      .groupBy(col("label"))
+      .withColumn("v_e4", round(col("v").cast("double") * 10000).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(when(isOld, lit(1))).as("n_old"),
+        count(when(!isOld, lit(1))).as("n_new"),
+        sum(when(isOld, col("v_e4")).otherwise(lit(0L))).as("s_old"),
+        sum(when(!isOld, col("v_e4")).otherwise(lit(0L))).as("s_new"))
+      .withColumn("d",
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round(col("s_new").cast("double") / col("n_new")).cast("long") -
+            round(col("s_old").cast("double") / col("n_old")).cast("long")))
+    sums.groupBy(col("label"))
       .agg(max(col("n_old")).as("n_old_vecs"), max(col("n_new")).as("n_new_vecs"),
-        sum(col("d2")).as("ss"))
+        sum(col("d") * col("d")).as("ss"))
       .select(col("label"), col("n_old_vecs"), col("n_new_vecs"),
-        round(sqrt(col("ss").cast("double"))).cast("long").as("drift_e4"))
+        when(col("ss").isNotNull, round(sqrt(col("ss").cast("double"))).cast("long"))
+          .as("drift_e4"))
       .orderBy(col("label"))
   }
 

@@ -24,6 +24,16 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The catalog's resolved storage location for a (future) managed
+    * table — the authoritative path, replacing hand-parsed
+    * `spark.sql.warehouse.dir` handling (which breaks on unencoded
+    * special characters and non-file schemes). */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+      table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+
   /** The session's stable unique id (`private[sql]` on the classic
     * implementation) — a collision-free memo key where
     * `System.identityHashCode` isn't (hash reuse after GC) and a weak
