@@ -122,8 +122,8 @@ object DedupQueries {
     * direct co-shingle join; ScaleSpec pins banded == direct at fixture
     * scale. Same containment caveat as splitContamination: the absolute
     * shared-count threshold can qualify tiny-J containment pairs that
-    * Jaccard-driven banding may miss — production adds a bottom-k
-    * containment screen for that regime. */
+    * Jaccard-driven banding may miss — [[containmentScreen]] is the
+    * companion operator for that regime. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupImpl(spark, dir, banded = true)
 
@@ -157,7 +157,43 @@ object DedupQueries {
       .orderBy(col("new_doc"), col("dup_of"))
   }
 
+  /** Containment screen — the companion the banded prefilters'
+    * documented caveat points to: MinHash banding recalls by JACCARD,
+    * so a small doc fully embedded in a huge one (high containment,
+    * tiny Jaccard) can slip the bands; THIS operator screens for
+    * exactly that regime. Each doc carries a bottom-k sketch of its
+    * shingle hashes (k = 512 bounds per-doc state at any corpus size);
+    * the screened metric is |S_new ∩ S_old| / |S_new| — the fraction
+    * of the NEW doc contained in the old one. At fixture scale k
+    * exceeds every shingle-set size, so the sketches are the full hash
+    * sets, the intersection is exact, and the DuckDB oracle recomputes
+    * the same counts from the shingle sets directly (injective-hash
+    * regime). At 100 TB only banded/bucketed candidate pairs are
+    * screened, not the cross product the fixture affords. */
+  def containmentScreen(spark: SparkSession, dir: String): DataFrame = {
+    val k = 512
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    val sk = graft.scale.NearDup.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sk"))
+    val nw = sk.filter(col("doc_id") >= 150)
+      .select(col("doc_id").as("new_doc"), col("sk").as("sk_new"))
+    val old = sk.filter(col("doc_id") < 150)
+      .select(col("doc_id").as("old_doc"), col("sk").as("sk_old"))
+    nw.crossJoin(old)
+      .select(col("new_doc"), col("old_doc"),
+        size(array_intersect(col("sk_new"), col("sk_old"))).cast("long").as("inter"),
+        size(col("sk_new")).cast("long").as("n_new"))
+      .filter(col("inter") * 4 >= col("n_new")) // containment >= 25%
+      .select(col("new_doc"), col("old_doc"), col("inter"), col("n_new"),
+        round(col("inter").cast("double") / col("n_new") * 10000)
+          .cast("long").as("contain_e4"))
+      .orderBy(col("new_doc"), col("old_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "containment_screen" -> (containmentScreen _),
     "incremental_dedup" -> (incrementalDedup _),
     "exact_dedup" -> (exactDedup _),
     "dedup_anti_join" -> (dedupAntiJoin _),
@@ -170,6 +206,25 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    "containment_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM d)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT n.doc_id AS new_doc, o.doc_id AS old_doc, COUNT(*) AS inter
+        |  FROM sh n JOIN sh o ON n.sh = o.sh AND n.doc_id >= 150 AND o.doc_id < 150
+        |  GROUP BY n.doc_id, o.doc_id)
+        |SELECT i.new_doc, i.old_doc, i.inter, CAST(s.n AS BIGINT) AS n_new,
+        |  CAST(round(CAST(i.inter AS DOUBLE) / s.n * 10000) AS BIGINT) AS contain_e4
+        |FROM inter i JOIN sizes s ON i.new_doc = s.doc_id
+        |WHERE i.inter * 4 >= s.n
+        |ORDER BY i.new_doc, i.old_doc""".stripMargin,
     "incremental_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

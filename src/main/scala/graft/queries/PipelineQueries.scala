@@ -191,9 +191,9 @@ object PipelineQueries {
     * is exact. Honest recall limit: banding recalls by JACCARD while the
     * qualifying threshold is an ABSOLUTE count, so a containment pair —
     * a small doc embedded in a huge one, ≥5 shared shingles at tiny J —
-    * can slip the bands ((1-J)^64 is only small when J isn't); a
-    * production decontamination adds a containment-oriented screen
-    * (bottom-k sketch of the smaller side) for that regime. The fixture
+    * can slip the bands ((1-J)^64 is only small when J isn't);
+    * DedupQueries.containmentScreen is the companion operator for that
+    * regime (bottom-k sketches, oracle-checked). The fixture
     * has no such pair: ScaleSpec pins prefiltered == unfiltered, keeping
     * the oracle row identical to the direct equi-join formulation. The
     * fixture's planted near-identical pairs surface whenever the hash
