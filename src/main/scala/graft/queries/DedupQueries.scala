@@ -162,30 +162,48 @@ object DedupQueries {
     * so a small doc fully embedded in a huge one (high containment,
     * tiny Jaccard) can slip the bands; THIS operator screens for
     * exactly that regime. Each doc carries a bottom-k sketch of its
-    * shingle hashes (k = 512 bounds per-doc state at any corpus size);
-    * the screened metric is |S_new ∩ S_old| / |S_new| — the fraction
-    * of the NEW doc contained in the old one. At fixture scale k
-    * exceeds every shingle-set size, so the sketches are the full hash
-    * sets, the intersection is exact, and the DuckDB oracle recomputes
-    * the same counts from the shingle sets directly (injective-hash
-    * regime). At 100 TB only banded/bucketed candidate pairs are
-    * screened, not the cross product the fixture affords. */
+    * shingle hashes in KmvSketch's unsigned order (k = 512 bounds
+    * per-doc state at any corpus size); the screened metric estimates
+    * |S_new ∩ S_old| / |S_new| — the fraction of the NEW doc contained
+    * in the old one — KMV-style, with every count restricted to the
+    * bottom-k of the pair's hash UNION (intersecting raw per-doc
+    * sketches would bias to ~0 against a much larger old side). At
+    * fixture scale k exceeds every shingle-set size, so the restricted
+    * counts are the exact set counts and the DuckDB oracle recomputes
+    * them from the shingle sets directly (injective-hash regime). At
+    * 100 TB only banded/bucketed candidate pairs are screened, not the
+    * cross product the fixture affords. */
   def containmentScreen(spark: SparkSession, dir: String): DataFrame = {
     val k = 512
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    // unsigned hash order (signed sort over h ^ Long.MinValue) — the SAME
+    // bottom-k ordering as core.KmvSketch, so these sketches and the
+    // UDAF's are combinable; cached: both crossJoin sides read it
     val sk = graft.scale.NearDup.shingles(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"),
+        xxhash64(col("sh")).bitwiseXOR(lit(Long.MinValue)).as("h"))
       .groupBy(col("doc_id"))
       .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sk"))
+      .cache()
     val nw = sk.filter(col("doc_id") >= 150)
       .select(col("doc_id").as("new_doc"), col("sk").as("sk_new"))
     val old = sk.filter(col("doc_id") < 150)
       .select(col("doc_id").as("old_doc"), col("sk").as("sk_old"))
+    // KMV-correct estimator: all counts restrict to the bottom-k of the
+    // UNION. Intersecting two independently truncated sketches directly
+    // would be biased to ~0 when the old side dwarfs the new (its
+    // bottom-k occupies a far smaller hash-space quantile) — the exact
+    // regime this screen exists for. Within union-bottom-k, membership
+    // of each side IS observable, so inter/|A∩u| estimates containment
+    // at any scale; in the lossless fixture regime (every set ≤ k) u is
+    // the full union and the counts are exact.
+    val u = slice(array_sort(array_union(col("sk_new"), col("sk_old"))), 1, k)
     nw.crossJoin(old)
+      .withColumn("a_u", array_intersect(u, col("sk_new")))
       .select(col("new_doc"), col("old_doc"),
-        size(array_intersect(col("sk_new"), col("sk_old"))).cast("long").as("inter"),
-        size(col("sk_new")).cast("long").as("n_new"))
-      .filter(col("inter") * 4 >= col("n_new")) // containment >= 25%
+        size(array_intersect(col("a_u"), col("sk_old"))).cast("long").as("inter"),
+        size(col("a_u")).cast("long").as("n_new"))
+      .filter(col("inter") * 4 >= col("n_new") && col("n_new") > 0) // containment >= 25%
       .select(col("new_doc"), col("old_doc"), col("inter"), col("n_new"),
         round(col("inter").cast("double") / col("n_new") * 10000)
           .cast("long").as("contain_e4"))
