@@ -58,8 +58,8 @@ object DedupQueries {
     * Shingle → distinct → join-on-shared-shingle → count; the threshold
     * compare is pure integer arithmetic (inter·5 ≥ union). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.scale.NearDup.shingles(
-      Tables.documents(spark, dir).filter(col("doc_id") < 200))
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+      .filter(col("doc_id") < 200)
     graft.scale.NearDup.exactJaccardPairs(sh)
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
@@ -96,7 +96,8 @@ object DedupQueries {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val near = graft.scale.NearDup
-      .exactJaccardPairs(graft.scale.NearDup.shingles(docs))
+      .exactJaccardPairs(
+        graft.scale.ShingleStore.docShingles(spark, dir).filter(col("doc_id") < 200))
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val planted = docs.select(col("doc_id").as("src"), (col("doc_id") + 100000).as("dst"))
@@ -134,8 +135,10 @@ object DedupQueries {
   private def incrementalDedupImpl(spark: SparkSession, dir: String,
       banded: Boolean): DataFrame = {
     import graft.scale.NearDup
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
-    val sh = NearDup.shingles(docs).cache()
+    // stored frame (ShingleStore): computed once per session+dir, read
+    // (with doc_id pushdown) by every dedup-family query
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+      .filter(col("doc_id") < 500)
     val shOld = sh.filter(col("doc_id") < 150)
     val shNew = sh.filter(col("doc_id") >= 150)
     val pairs =
@@ -170,25 +173,52 @@ object DedupQueries {
     * sketches would bias to ~0 against a much larger old side). At
     * fixture scale k exceeds every shingle-set size, so the restricted
     * counts are the exact set counts and the DuckDB oracle recomputes
-    * them from the shingle sets directly (injective-hash regime). At
-    * 100 TB only banded/bucketed candidate pairs are screened, not the
-    * cross product the fixture affords. */
-  def containmentScreen(spark: SparkSession, dir: String): DataFrame = {
-    val k = 512
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 500)
-    // unsigned hash order (signed sort over h ^ Long.MinValue) — the SAME
-    // bottom-k ordering as core.KmvSketch, so these sketches and the
-    // UDAF's are combinable; cached: both crossJoin sides read it
-    val sk = graft.scale.NearDup.shingles(docs)
-      .select(col("doc_id"),
-        xxhash64(col("sh")).bitwiseXOR(lit(Long.MinValue)).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sk"))
-      .cache()
+    * them from the shingle sets directly (injective-hash regime).
+    *
+    * Candidate generation is BLOCKED on shared sketch hashes, never the
+    * cross product: each side's sketch explodes into (doc, h) rows and
+    * candidates are the distinct (new, old) pairs sharing ≥ 1 bottom-k
+    * hash. This loses NOTHING at any scale — the screen's own qualifying
+    * predicate (`inter * 4 ≥ n_new`, `n_new > 0`) forces `inter ≥ 1`,
+    * and `inter ≥ 1` means some hash of the pair's union-bottom-k lies
+    * in BOTH sketches, i.e. every emitted pair shares a sketch hash and
+    * is therefore a candidate. Blocked and exhaustive forms are
+    * output-identical by construction (ScaleSpec pins it at fixture
+    * scale); cost drops from O(new × old) pairs to the co-hash join
+    * Σ_h df_new(h)·df_old(h) with per-doc state bounded by k. */
+  def containmentScreen(spark: SparkSession, dir: String): DataFrame =
+    containmentScreenImpl(spark, dir, blocked = true)
+
+  /** Exhaustive cross-product form — ground truth for ScaleSpec's
+    * blocked == exhaustive pin; never declared. */
+  private[graft] def containmentScreenExhaustive(spark: SparkSession, dir: String): DataFrame =
+    containmentScreenImpl(spark, dir, blocked = false)
+
+  private def containmentScreenImpl(spark: SparkSession, dir: String,
+      blocked: Boolean): DataFrame = {
+    val k = graft.scale.ShingleStore.SketchK
+    // stored bottom-k sketches (ShingleStore.docSketches): unsigned hash
+    // order (signed sort over h ^ Long.MinValue), the SAME ordering as
+    // core.KmvSketch, so these sketches and the UDAF's are combinable —
+    // computed once per session+dir, read per query
+    val sk = graft.scale.ShingleStore.docSketches(spark, dir)
+      .filter(col("doc_id") < 500)
     val nw = sk.filter(col("doc_id") >= 150)
       .select(col("doc_id").as("new_doc"), col("sk").as("sk_new"))
     val old = sk.filter(col("doc_id") < 150)
       .select(col("doc_id").as("old_doc"), col("sk").as("sk_old"))
+    val pairs =
+      if (!blocked) nw.crossJoin(old)
+      else {
+        // block on shared sketch hashes (complete w.r.t. the screen's
+        // inter ≥ 1 predicate — see the operator doc), then re-attach
+        // the sketch arrays to the surviving candidate pairs only
+        val cands = nw.select(col("new_doc"), explode(col("sk_new")).as("h"))
+          .join(old.select(col("old_doc"), explode(col("sk_old")).as("h")), "h")
+          .select(col("new_doc"), col("old_doc"))
+          .distinct()
+        cands.join(nw, "new_doc").join(old, "old_doc")
+      }
     // KMV-correct estimator: all counts restrict to the bottom-k of the
     // UNION. Intersecting two independently truncated sketches directly
     // would be biased to ~0 when the old side dwarfs the new (its
@@ -198,7 +228,7 @@ object DedupQueries {
     // at any scale; in the lossless fixture regime (every set ≤ k) u is
     // the full union and the counts are exact.
     val u = slice(array_sort(array_union(col("sk_new"), col("sk_old"))), 1, k)
-    nw.crossJoin(old)
+    pairs
       .withColumn("a_u", array_intersect(u, col("sk_new")))
       .select(col("new_doc"), col("old_doc"),
         size(array_intersect(col("a_u"), col("sk_old"))).cast("long").as("inter"),

@@ -125,9 +125,11 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
-  /** MinHash LSH near-dups over the planted near-identical docs. */
+  /** MinHash LSH near-dups over the planted near-identical docs, from
+    * the stored shingle frame (ShingleStore). */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.minhashNearDups(Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5)
+    NearDup.minhashNearDupsOnShingles(
+      graft.scale.ShingleStore.docShingles(spark, dir).filter(col("doc_id") < 200), 0.5)
 
   /** SimHash near-dups (Hamming ≤ 12 of 64 bits) over the same corpus. */
   def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
@@ -245,8 +247,9 @@ object ScaleQueries {
     * shingles. A banding bug that loses a candidate, or a verify bug that
     * mis-counts a shingle, fails the row/hash match. */
   def minhashPrecision(spark: SparkSession, dir: String): DataFrame =
-    NearDup.minhashNearDups(
-      Tables.documents(spark, dir).filter(col("doc_id") < 200), 0.5, k = 64, bands = 32)
+    NearDup.minhashNearDupsOnShingles(
+      graft.scale.ShingleStore.docShingles(spark, dir).filter(col("doc_id") < 200),
+      0.5, k = 64, bands = 32)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))
 

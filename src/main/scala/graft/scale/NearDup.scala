@@ -158,8 +158,15 @@ object NearDup {
     * hot-bucket guard (see [[bandedCandidates]]). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       k: Int = NumHashes, bands: Int = Bands,
+      maxBandDocs: Int = Int.MaxValue): DataFrame =
+    minhashNearDupsOnShingles(shingles(docs), threshold, k, bands, maxBandDocs)
+
+  /** Same pipeline over a PREBUILT shingle frame — the production entry
+    * point, where shingles are precomputed-and-stored at ingest
+    * (ShingleStore) rather than rebuilt per screen. */
+  def minhashNearDupsOnShingles(sh: DataFrame, threshold: Double = 0.5,
+      k: Int = NumHashes, bands: Int = Bands,
       maxBandDocs: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(docs)
     val cands = bandedCandidates(minhashSignatures(sh, k), k, bands, maxBandDocs)
     jaccardOnPairs(sh, cands)
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))

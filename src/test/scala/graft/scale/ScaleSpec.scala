@@ -251,6 +251,19 @@ class ScaleSpec extends SparkSpec {
     assert(banded == exact, s"banded=$banded exact=$exact")
   }
 
+  test("containment_screen shared-hash blocking equals the exhaustive cross-product screen") {
+    // the declared form blocks candidate pairs on shared bottom-k sketch
+    // hashes; any pair the screen can emit has inter >= 1, i.e. shares a
+    // sketch hash, so blocked == exhaustive EXACTLY (not just at fixture
+    // scale — but pin it where the exhaustive form is affordable)
+    val blocked = graft.queries.DedupQueries.containmentScreen(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val exhaustive = graft.queries.DedupQueries.containmentScreenExhaustive(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(exhaustive.nonEmpty, "fixture should contain containment pairs")
+    assert(blocked == exhaustive, s"blocked=$blocked exhaustive=$exhaustive")
+  }
+
   test("split_contamination banded prefilter loses no qualifying pair (superset at fixture scale)") {
     // the declared query narrows the exact shingle equi-join to MinHash
     // banded candidates (1-row bands, k=64); the banding must be a
