@@ -88,6 +88,58 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** Sharded HNSW graph (hierarchical layers over the same guarded
+    * construction) per (session, dir), cached: hnsw_topk and
+    * hnsw_precision descend the SAME persisted hierarchy. */
+  private val hnswMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def hnswGraph(spark: SparkSession, dir: String): DataFrame =
+    hnswMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir),
+      graft.scale.Nsw.buildHnsw(Tables.embeddings(spark, dir), numShards = 4).cache())
+
+  /** HNSW beam search: top-13 for the vec_id=0 query at working beam
+    * width (ef=48), entering through the layer hierarchy's top and
+    * descending coarse-to-fine. Rows-only headline (layer topology
+    * depends on insertion geometry no SQL oracle can replay); NswSpec
+    * pins recall vs the flat graph and hnsw_precision pins the identical
+    * machinery exhaustively. */
+  def hnswTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.searchHnsw(hnswGraph(spark, dir), q, k = 13, ef = 48)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** HNSW with an exhaustive layer-0 beam: the hierarchy only picks the
+    * entry point, and layer 0 is connected by the guarded construction,
+    * so an unbounded beam visits every node and the per-shard results
+    * merge to exact brute-force top-13 — descent, layer assignment, and
+    * the base graph must all compose correctly or the hash breaks. Same
+    * oracle as nsw_precision. */
+  def hnswPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.searchHnsw(hnswGraph(spark, dir), q, k = 13, ef = Int.MaxValue)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** Batch k-NN join over the flat NSW shard graphs: 30 query vectors
+    * fan out to every shard, each shard task rebuilds its graph once and
+    * beams all of them, WindowGroupLimit merges the global per-query
+    * top-5 — the offline-eval shape of [[nswTopk]]. Rows-only headline;
+    * NswSpec pins recall against the exact join and equality at an
+    * unbounded beam. */
+  def nswKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.Nsw.knnJoin(nswGraph(spark, dir),
+        emb.filter(col("vec_id") < 30), k = 5, ef = 48)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
   /** Cell-keyed NSW graph (the IVF hybrid) per (session, dir), cached —
     * built over the SAME shared IVF index the ivf_* queries probe. */
   private val nswIvfMemo =
@@ -384,6 +436,9 @@ object ScaleQueries {
     "ivfpq_topk" -> (ivfpqTopk _),
     "nsw_topk" -> (nswTopk _),
     "nsw_precision" -> (nswPrecision _),
+    "hnsw_topk" -> (hnswTopk _),
+    "hnsw_precision" -> (hnswPrecision _),
+    "nsw_knn_join" -> (nswKnnJoin _),
     "nswivf_topk" -> (nswIvfTopk _),
     "nswivf_precision" -> (nswIvfPrecision _),
     "knn_join_blocked" -> (knnJoinBlocked _),
@@ -423,6 +478,14 @@ object ScaleQueries {
     // identical ground truth again: connected graph + unbounded beam ⇒
     // the NSW search must collapse to brute-force top-13
     "nsw_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // the hierarchy only routes to an entry; layer 0 stays connected, so
+    // HNSW with an unbounded layer-0 beam ⇒ exact brute-force top-13
+    "hnsw_precision" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
          |      FROM embeddings e CROSS JOIN q)

@@ -112,8 +112,21 @@ object Nsw {
     * edge per node graph-wide, so Σ guarded = n-1; a parent hub can
     * exceed 2m through guarded edges alone, NswSpec measures the tail).
     * Returns the adjacency in insertion order. */
+  /** Items must carry distinct ids: the builder's maps are keyed by id, so
+    * a duplicate would silently overwrite the earlier vector/adjacency
+    * while `items` retains both rows — emitting duplicate adjacency rows
+    * whose links reference the overwritten vector. Fail loudly instead
+    * (the determinism contract in the object doc assumes unique ids). */
+  private def requireDistinctIds(items: Array[(Long, Array[Float])]): Unit = {
+    val seen = new java.util.HashSet[Long](items.length * 2)
+    items.foreach { case (id, _) =>
+      require(seen.add(id), s"duplicate vec_id $id within a shard")
+    }
+  }
+
   private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
       m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
+    requireDistinctIds(items)
     val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
     val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](items.length * 2)
     val children = new java.util.HashMap[Long, java.util.HashSet[Long]]()
@@ -242,5 +255,227 @@ object Nsw {
       q: Array[Float], k: Int = 13, nprobe: Int = 3, ef: Int = 32): DataFrame = {
     val cells = Ivf.nearestCells(centroids, q, nprobe)
     search(graph.filter(col("shard").isInCollection(cells)), q, k, ef)
+  }
+
+  // ------------------------------------------------------------------ HNSW
+
+  val DefaultMaxLevel = 4
+
+  /** Deterministic geometric layer assignment — the hierarchy of
+    * Malkov & Yashunin's HNSW (the algorithm behind the reference's
+    * Chroma index, /root/reference/app.py:409) without the paper's random
+    * draw, which would break the engine's determinism contract: the level
+    * is the count of trailing zero base-8 digits of a splitmix64-mixed
+    * vec_id, so P(level ≥ l) = 8^{-l} — exactly the paper's geometric
+    * distribution at mL = 1/ln(M) for M = 8 — yet a pure function of the
+    * id (same id ⇒ same level on every run and every executor). */
+  private[scale] def levelOf(id: Long, maxLevel: Int = DefaultMaxLevel): Int = {
+    var z = id + 0x9E3779B97F4A7C15L // splitmix64 finalizer (public domain)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    math.min(maxLevel, java.lang.Long.numberOfTrailingZeros(z) / 3)
+  }
+
+  /** HNSW insert pass over one shard: every node lives in layers 0..level;
+    * an insert greedily descends from the current entry (top layer, ef=1
+    * hill-climb per layer) to its own level, then beam-links (m nearest,
+    * bidirectional, degree-capped) at each of its layers. Layer 0 keeps
+    * the flat builder's GUARDED parent edges, so the base layer stays
+    * connected under pruning and an unbounded layer-0 beam remains EXACT —
+    * `hnsw_precision` stakes its oracle row on that, exactly like
+    * `nsw_precision` does on the flat graph. Upper layers prune purely by
+    * distance (they only route; a disconnected upper layer costs recall
+    * at bounded ef, never correctness at ef = ∞). Entry is the highest-
+    * level node, ties to the earliest inserted — deterministic. */
+  private[scale] def buildShardHnsw(items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int, maxLevel: Int): Array[(Long, Int, Array[Array[Long]])] = {
+    requireDistinctIds(items)
+    val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
+    val adjL = Array.fill(maxLevel + 1)(
+      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]())
+    val children = new java.util.HashMap[Long, java.util.HashSet[Long]]() // layer-0 guards
+    val maxDeg = 2 * m
+    def pruneAt(layer: Int, id: Long): Unit = {
+      val ns = adjL(layer).get(id)
+      if (ns.length > maxDeg) {
+        val guarded = if (layer == 0) children.get(id) else null
+        val (keep, rest) =
+          if (guarded == null) (Seq.empty[Long], ns.toSeq)
+          else ns.toSeq.partition(guarded.contains)
+        val room = math.max(0, maxDeg - keep.length)
+        val base = vecs.get(id)
+        val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
+          .take(room).map(_._2)
+        ns.clear()
+        ns ++= keep
+        ns ++= best
+      }
+    }
+    val levels = new java.util.HashMap[Long, Int](items.length * 2)
+    var entry = -1L
+    var entryLevel = -1
+    items.foreach { case (id, v) =>
+      val lvl = levelOf(id, maxLevel)
+      vecs.put(id, v)
+      levels.put(id, lvl)
+      (0 to lvl).foreach(l =>
+        adjL(l).put(id, scala.collection.mutable.ArrayBuffer.empty[Long]))
+      if (entry < 0) { entry = id; entryLevel = lvl }
+      else {
+        // the new node is unreachable during its own searches: nothing
+        // links to it yet and its adjacency is empty
+        var cur = entry
+        var l = entryLevel
+        while (l > lvl) { // greedy descent above the node's own top layer
+          cur = beamSearch(vecs, n => adjL(l).get(n).toArray, cur, v, 1).head._1
+          l -= 1
+        }
+        while (l >= 0) { // link layers: beam, connect m nearest, prune
+          val near = beamSearch(vecs, n => adjL(l).get(n).toArray, cur, v,
+            efConstruction).take(m)
+          adjL(l).get(id) ++= near.map(_._1)
+          if (l == 0) {
+            val parent = near.head._1 // nearest existing node: guarded in-edge
+            children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+          }
+          near.foreach { case (nid, _) =>
+            adjL(l).get(nid) += id
+            pruneAt(l, nid)
+          }
+          cur = near.head._1
+          l -= 1
+        }
+        if (lvl > entryLevel) { entry = id; entryLevel = lvl }
+      }
+    }
+    items.map { case (id, _) =>
+      val lvl = levels.get(id)
+      (id, lvl, (0 to lvl).map(l => adjL(l).get(id).toArray).toArray)
+    }
+  }
+
+  /** Build the sharded HNSW index: one row per vector with its level and
+    * per-layer adjacency `(shard, vec_id, embedding, level, layers)` —
+    * the same disjoint-shard layout as [[build]], plus the hierarchy.
+    * Persistable as parquet partitioned by shard, like the flat graph. */
+  def buildHnsw(emb: DataFrame, numShards: Int = 8, m: Int = DefaultM,
+      efConstruction: Int = 64, maxLevel: Int = DefaultMaxLevel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val items = rows.map(r => (r._2, r._3)).sortBy(_._1)
+          val vecOf = items.toMap
+          buildShardHnsw(items, m, efConstruction, maxLevel).iterator
+            .map { case (id, lvl, layers) => (shard, id, vecOf(id), lvl, layers) }
+        }
+      }
+      .toDF("shard", "vec_id", "embedding", "level", "layers")
+  }
+
+  /** HNSW search: per shard, greedy-descend from the top-layer entry
+    * (highest level, tie-break min id) through layers L..1, then beam at
+    * layer 0 with `ef`; merge shards into the global top-k. ef ≥ shard
+    * size is exact (layer 0 connected — see [[buildShardHnsw]]). */
+  def searchHnsw(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val beam = math.max(ef, k)
+    graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("level"), col("layers"))
+      .repartition(col("shard"))
+      .as[(Int, Long, Array[Float], Int, Array[Array[Long]])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+          val layers = new java.util.HashMap[Long, Array[Array[Long]]](rows.length * 2)
+          rows.foreach { r => vecs.put(r._2, r._3); layers.put(r._2, r._5) }
+          // entry: highest level, tie-break min id (matches the builder's
+          // "strictly greater replaces" rule under ascending-id insertion)
+          val (entry, entryLevel) = rows.iterator
+            .map(r => (r._2, r._4)).reduce { (a, b) =>
+              if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+            }
+          var cur = entry
+          var l = entryLevel
+          while (l > 0) { // any node present at layer l has level >= l
+            cur = beamSearch(vecs, n => layers.get(n)(l), cur, q, 1).head._1
+            l -= 1
+          }
+          beamSearch(vecs, n => layers.get(n)(0), cur, q, beam)
+            .take(k).iterator.map { case (id, d) => (id, d) }
+        }
+      }
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------------- batch k-NN join
+
+  /** Large-batch k-NN join over the sharded graph — what a 100 TB offline
+    * eval job runs instead of [[search]]'s one-vector form. Queries fan
+    * out to shards (flat graphs: every shard; cell-keyed graphs with
+    * `centroids` given: only each query's `nprobe` nearest cells, the
+    * IVF-pruned hybrid), the fan-out is a distributed join (no driver
+    * collect on either side), each shard partition rebuilds its graph
+    * ONCE per task and beams every assigned query through it, and the
+    * per-query global top-k is a rank window that compiles to
+    * WindowGroupLimit — the same merge shape as [[Ivf.knnJoin]].
+    * Self-matches (a corpus vector querying its own graph) are kept:
+    * dist 0 rows are the join's identity and callers filter as needed. */
+  def knnJoin(graph: DataFrame, queries: DataFrame, k: Int = 5, ef: Int = 32,
+      centroids: Array[Array[Float]] = null, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val beam = math.max(ef, k)
+    val q0 = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_emb"))
+    val fanned =
+      if (centroids == null)
+        // flat graphs have no routing key: every query visits every shard
+        // (the honest fan-out cost the cell-keyed hybrid exists to avoid)
+        q0.crossJoin(broadcast(graph.select(col("shard")).distinct()))
+      else {
+        val cents = centroids
+        val probe = udf { (v: Seq[Float]) =>
+          Ivf.nearestCells(cents, if (v == null) null else v.toArray, nprobe)
+        }
+        q0.withColumn("shard", explode(probe(col("q_emb"))))
+      }
+    val g = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .as[(Int, Long, Array[Float], Array[Long])]
+      .groupByKey(_._1)
+    val qs = fanned
+      .select(col("shard").cast("int"), col("q_id"), col("q_emb"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val perShard = g.cogroup(qs) { (_, graphRows, queryRows) =>
+      val rows = graphRows.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+        val adj = new java.util.HashMap[Long, Array[Long]](rows.length * 2)
+        rows.foreach { r => vecs.put(r._2, r._3); adj.put(r._2, r._4) }
+        val entry = rows.iterator.map(_._2).min
+        queryRows.flatMap { case (_, qid, qv) =>
+          beamSearch(vecs, adj.get(_), entry, qv, beam)
+            .take(k).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.toDF("q_id", "n_id", "d")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)
+    perShard.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
   }
 }

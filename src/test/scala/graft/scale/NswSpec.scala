@@ -107,4 +107,150 @@ class NswSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(got == Seq(0L))
   }
+
+  test("duplicate vec_id within a shard fails loudly instead of corrupting the graph") {
+    val dup = emb.filter(col("vec_id") < 8)
+      .unionAll(emb.filter(col("vec_id") < 8))
+    val e = intercept[org.apache.spark.SparkException] {
+      Nsw.build(dup, numShards = 2).count()
+    }
+    assert(e.getMessage.contains("duplicate vec_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate vec_id")))
+  }
+
+  // ------------------------------------------------------------------ HNSW
+
+  private lazy val hnsw = Nsw.buildHnsw(emb, numShards = 4).cache()
+
+  test("hnsw level assignment is deterministic and geometric (P(level>=l) ~ 8^-l)") {
+    val n = 100000
+    val levels = (0 until n).map(i => Nsw.levelOf(i.toLong))
+    assert(levels == (0 until n).map(i => Nsw.levelOf(i.toLong)), "not deterministic")
+    val atLeast1 = levels.count(_ >= 1).toDouble / n
+    val atLeast2 = levels.count(_ >= 2).toDouble / n
+    assert(math.abs(atLeast1 - 1.0 / 8) < 0.01, s"P(level>=1)=$atLeast1, want ~0.125")
+    assert(math.abs(atLeast2 - 1.0 / 64) < 0.005, s"P(level>=2)=$atLeast2, want ~0.0156")
+  }
+
+  test("hnsw structure: every node spans layers 0..level; layer 0 is connected") {
+    val rows = hnsw.select("shard", "vec_id", "level", "layers")
+      .as[(Int, Long, Int, Array[Array[Long]])].collect()
+    assert(rows.length == emb.count())
+    rows.foreach { case (_, id, lvl, layers) =>
+      assert(lvl == Nsw.levelOf(id), s"node $id level mismatch")
+      assert(layers.length == lvl + 1, s"node $id has ${layers.length} layers for level $lvl")
+    }
+    // guarded parent edges keep layer 0 connected — the hnsw_precision
+    // exactness contract
+    rows.groupBy(_._1).foreach { case (shard, nodes) =>
+      val adj = nodes.map(n => n._2 -> n._4(0)).toMap
+      val entry = nodes.map(_._2).min
+      val seen = scala.collection.mutable.Set(entry)
+      val stack = scala.collection.mutable.Stack(entry)
+      while (stack.nonEmpty)
+        adj(stack.pop()).foreach(v => if (seen.add(v)) stack.push(v))
+      assert(seen.size == nodes.length,
+        s"shard $shard: ${nodes.length - seen.size} nodes unreachable at layer 0")
+    }
+    // upper-layer adjacency only references nodes that exist at that layer
+    val levelOfId = rows.map(r => r._2 -> r._3).toMap
+    rows.foreach { case (_, id, _, layers) =>
+      layers.zipWithIndex.foreach { case (ns, l) =>
+        ns.foreach(v => assert(levelOfId(v) >= l,
+          s"node $id layer $l links to $v whose level is ${levelOfId(v)}"))
+      }
+    }
+  }
+
+  test("hnsw unbounded beam reproduces exact brute-force top-13 (hnsw_precision regime)") {
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val q = queryVec(qid)
+      val got = Nsw.searchHnsw(hnsw, q, k = 13, ef = Int.MaxValue)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == exactTopK(q, 13), s"query $qid diverged from brute force")
+    }
+  }
+
+  test("hnsw build is deterministic: identical layers on rebuild") {
+    val a = hnsw.select("vec_id", "layers")
+      .as[(Long, Array[Array[Long]])].collect()
+      .map(r => r._1 -> r._2.map(_.toSeq).toSeq).toMap
+    val b = Nsw.buildHnsw(emb, numShards = 4).select("vec_id", "layers")
+      .as[(Long, Array[Array[Long]])].collect()
+      .map(r => r._1 -> r._2.map(_.toSeq).toSeq).toMap
+    assert(a == b)
+  }
+
+  test("hnsw recall at working beam is at least the flat graph's at equal ef") {
+    val qids = Seq(0L, 7L, 42L, 123L, 321L)
+    def recall(search: Array[Float] => Set[Long]): Double = {
+      val rs = qids.map { qid =>
+        val q = queryVec(qid)
+        val want = exactTopK(q, 13).toSet
+        search(q).intersect(want).size.toDouble / want.size
+      }
+      rs.sum / rs.length
+    }
+    val flat = recall(q => Nsw.search(graph, q, k = 13, ef = 48)
+      .select("vec_id").as[Long].collect().toSet)
+    val hier = recall(q => Nsw.searchHnsw(hnsw, q, k = 13, ef = 48)
+      .select("vec_id").as[Long].collect().toSet)
+    assert(hier >= flat, s"hnsw recall $hier below flat NSW recall $flat at equal ef")
+    assert(hier >= 0.85, s"hnsw mean recall $hier too low")
+  }
+
+  // -------------------------------------------------------- batch knn join
+
+  test("nsw batch knn join: unbounded beam equals the exact join; working beam keeps recall") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(emb)
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    def joined(ef: Int): Map[Long, Set[Long]] =
+      Nsw.knnJoin(graph, queries, k = 5, ef = ef)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    // connected shards + unbounded beam: the join IS the exact join
+    assert(joined(Int.MaxValue) == exact)
+    // working beam: high mean recall (self-match at d=0 is always found)
+    val got = joined(48)
+    val rs = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = rs.sum / rs.size
+    assert(mean >= 0.85, s"batch join mean recall $mean too low")
+  }
+
+  test("nsw batch knn join routes through cells when centroids are given (pruned fan-out)") {
+    val index = Ivf.build(spark, emb, nlist = 8)
+    val g = Nsw.buildByCell(index).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    // full probe + unbounded beam over the cell-keyed graph = exact join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(emb)
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val full = Nsw.knnJoin(g, queries, k = 5, ef = Int.MaxValue,
+        centroids = index.centroids, nprobe = index.centroids.length)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(full == exact)
+    // pruned probe: a query always finds ITSELF (its own cell is probed)
+    val pruned = Nsw.knnJoin(g, queries, k = 5, ef = 48,
+        centroids = index.centroids, nprobe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    pruned.foreach { case (q, ns) => assert(ns.contains(q), s"query $q lost its self-match") }
+  }
 }
