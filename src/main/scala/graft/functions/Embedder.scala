@@ -1,5 +1,18 @@
 package graft.functions
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The T6 model seam (SURVEY.md §2.1): `load` is called ONCE per partition
+  * — the place a real deployment pays its expensive init (read ONNX
+  * weights from a broadcast/local file, create the inference session) —
+  * and the returned function once per row. Implementations ship to
+  * executors, so they must be Serializable and hold a PATH or broadcast
+  * handle to weights, never the loaded session itself. */
+trait TextModelLoader extends Serializable {
+  def load(dim: Int): String => Array[Float]
+}
+
 /** Deterministic feature-hashing embedder — the offline stand-in for the
   * reference's sentence-transformer (all-MiniLM-L6-v2, bound at
   * /root/reference/app.py:46-48). No model weights are available offline
@@ -43,6 +56,34 @@ object Embedder extends Serializable {
     j = 0
     while (j < dim) { out(j) = (v(j) * scale).toFloat; j += 1 }
     out
+  }
+
+  /** The stand-in behind the seam: "loading" is free, but the call shape
+    * is the one a weight-file loader occupies (EmbedderSpec proves the
+    * seam with a real load-from-fixture linear model). */
+  object StandIn extends TextModelLoader {
+    def load(dim: Int): String => Array[Float] = t => embed(t, dim)
+  }
+
+  /** Partition-mapped embedding of (id, text) rows — the batch form of
+    * the T6 seam, shared by the ingest pipeline and the CDC re-embed
+    * path: ONE model instantiation per partition (never per row — a
+    * per-row UDF would re-create a real model's session thousands of
+    * times), rows streamed through it. Returns (vec_id, embedding). */
+  def embedFrame(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = DefaultDim,
+      loader: TextModelLoader = StandIn): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dim
+    val ld = loader
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val model = ld.load(d) // once per partition: the expensive init
+        it.map { case (id, t) => (id, model(t)) }
+      }
+      .toDF("vec_id", "embedding")
   }
 
   /** FNV-1a over UTF-16 code units of text[from, until). */

@@ -186,8 +186,9 @@ object IngestPipeline {
       // partition-level map: the production seam where an ONNX session is
       // instantiated once per partition and reused (SURVEY.md §2.1 T6)
       .mapPartitions { it =>
+        val model = Embedder.StandIn.load(dim) // one model init per partition
         it.map(c => ChunkRow(c.chunk_id, c.source, c.user, c.`type`, c.file_hash,
-          c.chunk_seq, c.text, Embedder.embed(c.text, dim)))
+          c.chunk_seq, c.text, model(c.text)))
       }
       .toDF()
 

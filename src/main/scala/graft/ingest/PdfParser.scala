@@ -30,9 +30,10 @@ import scala.collection.mutable
   * /ToUnicode CMap (`beginbfchar`/`beginbfrange`, incl. array-form
   * ranges) — the composite-font layout nearly every real-world generator
   * emits. A Type0 font with no ToUnicode (glyph ids only) yields no text
-  * for its runs, never mojibake; LZW/DCT filters and encryption stay out
-  * of subset — out-of-subset pages degrade to no text, never a crash;
-  * corrupt structure degrades to the fallback scan, then `parse_error`.
+  * for its runs, never mojibake; Flate and LZW content filters decode
+  * natively, DCT and encryption stay out of subset — out-of-subset pages
+  * degrade to no text, never a crash; corrupt structure degrades to the
+  * fallback scan, then `parse_error`.
   *
   * Reference capability matched: pypdf text extraction used by the upload
   * loader (/root/reference/helper/multiple_document_upload.py:36-44).
@@ -79,7 +80,11 @@ object PdfParser {
         // revisions' content streams (e.g. redaction-by-replacement)
         val docs = structured.getOrElse {
           streams(bytes).flatMap { case (dict, data) =>
-            decodeFiltered(dict.contains("/FlateDecode"), data)
+            val f =
+              if (dict.contains("/FlateDecode")) FFlate
+              else if (dict.contains("/LZWDecode")) FLzw
+              else FNone
+            decodeFiltered(f, data)
               .map(c => extractText(new String(c, StandardCharsets.ISO_8859_1)))
               .filter(_.nonEmpty)
           }
@@ -216,17 +221,35 @@ object PdfParser {
     }
   }
 
-  /** /Filter classification: Some(true) = one Flate pass, Some(false) =
-    * no filter (absent or the legal empty array), None = out of subset
-    * (LZW/DCT/crypt or multi-filter chains — skip the stream, do not
+  /** Supported single-pass stream filters. */
+  private sealed trait Filt
+  private case object FNone extends Filt
+  private case object FFlate extends Filt
+  private case object FLzw extends Filt
+
+  /** /Filter classification: no filter (absent or the legal empty
+    * array), one Flate pass, or one LZW pass; None = out of subset
+    * (DCT/crypt or multi-filter chains — skip the stream, do not
     * guess). One helper so every stream consumer agrees. */
-  private def flateOnly(dict: PDict): Option[Boolean] = dict.get("Filter") match {
-    case None => Some(false)
-    case Some(PName("FlateDecode")) => Some(true)
-    case Some(PArr(fs)) if fs.isEmpty => Some(false)
-    case Some(PArr(fs)) if fs == Vector(PName("FlateDecode")) => Some(true)
+  private def filterOf(dict: PDict): Option[Filt] = dict.get("Filter") match {
+    case None => Some(FNone)
+    case Some(PName("FlateDecode")) => Some(FFlate)
+    case Some(PName("LZWDecode")) => Some(FLzw)
+    case Some(PArr(fs)) if fs.isEmpty => Some(FNone)
+    case Some(PArr(fs)) if fs == Vector(PName("FlateDecode")) => Some(FFlate)
+    case Some(PArr(fs)) if fs == Vector(PName("LZWDecode")) => Some(FLzw)
     case Some(_) => None
   }
+
+  /** The stream's declared LZW EarlyChange (spec 7.4.4.2, default 1). */
+  private def earlyChangeOf(dict: PDict): Int =
+    dict.get("DecodeParms").orElse(dict.get("DP")) match {
+      case Some(p: PDict) => p.get("EarlyChange") match {
+        case Some(n: PNum) => n.i
+        case _ => 1
+      }
+      case _ => 1
+    }
 
   /** Decode a hex-string body: ignore non-hex chars, pad an odd trailing
     * digit with 0 (spec 7.3.4.3), pair-decode as single-byte codes. */
@@ -238,7 +261,7 @@ object PdfParser {
 
   /** Inflate an xref stream and undo its PNG predictor if declared. */
   private def decodeXrefStream(dict: PDict, raw: Array[Byte]): Option[Array[Byte]] = {
-    flateOnly(dict).flatMap(decodeFiltered(_, raw)).map { data =>
+    filterOf(dict).flatMap(decodeFiltered(_, raw, earlyChangeOf(dict))).map { data =>
       dict.get("DecodeParms").orElse(dict.get("DP")) match {
         case Some(p: PDict) =>
           val pred = p.get("Predictor") match { case Some(n: PNum) => n.i; case _ => 1 }
@@ -328,7 +351,7 @@ object PdfParser {
           case PStream(dict, raw) if dict.get("Type").contains(PName("ObjStm")) =>
             val n = dict.get("N") match { case Some(x: PNum) => x.i; case _ => 0 }
             val first = dict.get("First") match { case Some(x: PNum) => x.i; case _ => 0 }
-            flateOnly(dict).flatMap(decodeFiltered(_, raw)) match {
+            filterOf(dict).flatMap(decodeFiltered(_, raw, earlyChangeOf(dict))) match {
               case Some(data) =>
                 val text = new String(data, StandardCharsets.ISO_8859_1)
                 val hdr = new Lexer(text, 0)
@@ -597,10 +620,59 @@ object PdfParser {
   }
 
   private def decodeStream(st: PStream): Option[Array[Byte]] =
-    flateOnly(st.dict).flatMap(decodeFiltered(_, st.raw))
+    filterOf(st.dict).flatMap(decodeFiltered(_, st.raw, earlyChangeOf(st.dict)))
 
-  private def decodeFiltered(flate: Boolean, data: Array[Byte]): Option[Array[Byte]] =
-    if (flate) inflate(data) else Some(data)
+  private def decodeFiltered(f: Filt, data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] =
+    f match {
+      case FNone => Some(data)
+      case FFlate => inflate(data)
+      case FLzw => lzwDecode(data, earlyChange)
+    }
+
+  /** PDF LZWDecode (spec 7.4.4): MSB-first variable-width codes growing
+    * 9 → 12 bits, 256 = clear-table, 257 = EOD, EarlyChange = 1 default
+    * (the width bumps one table entry early). Pure JVM (~40 lines — the
+    * filter predates zlib and needs no tables beyond the 4096-entry
+    * string dictionary). Returns None on malformed input (a code beyond
+    * the table, no EOD semantics violated) — the same degrade-to-no-text
+    * contract as [[inflate]], never an exception. */
+  private[ingest] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0
+    var nbits = 0
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      acc = ((acc << 8) | (data(i) & 0xff)) & 0xfffff // ≤ 20 live bits
+      nbits += 8
+      i += 1
+      while (!done && nbits >= width) {
+        val code = (acc >>> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if (code == 256) { next = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < next && table(code) != null) table(code)
+            else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+            else return None
+          out.write(entry, 0, entry.length)
+          if (prev != null && next < 4096) {
+            table(next) = prev :+ entry(0)
+            next += 1
+          }
+          prev = entry
+          if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+        }
+      }
+    }
+    Some(out.toByteArray)
+  }
 
   // ----------------------------------------------------------- object lexer
 

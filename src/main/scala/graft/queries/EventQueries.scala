@@ -269,10 +269,17 @@ object EventQueries {
     val sketch = Tables.events(spark, dir)
       .select(col("user_id")).as[Long]
       .select(agg.toColumn).head()
-    val est = udf((u: Long) => graft.core.CountMin.estimate(sketch, depth, width, u))
-    Tables.events(spark, dir)
-      .select(col("user_id")).distinct()
-      .withColumn("n_events", est(col("user_id")))
+    val ids = Tables.events(spark, dir).select(col("user_id")).distinct()
+    // the exact-oracle regime needs row 0 collision-free: ids in
+    // [0, width). A fixture whose id domain outgrows the width must fail
+    // HERE with a clear message, not surface as a silent oracle
+    // hash-mismatch downstream
+    val dom = ids.agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi")).head()
+    require(dom.getLong(0) >= 0 && dom.getLong(1) < width,
+      s"cms_counts exact regime needs user_id in [0, $width); fixture has " +
+        s"[${dom.getLong(0)}, ${dom.getLong(1)}] — widen the sketch or drop the oracle")
+    ids.withColumn("n_events", udf((u: Long) =>
+        graft.core.CountMin.estimate(sketch, depth, width, u)).apply(col("user_id")))
       .orderBy(col("user_id"))
   }
 

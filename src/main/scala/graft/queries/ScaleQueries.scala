@@ -48,8 +48,10 @@ object ScaleQueries {
         case "compressed" =>
           Pq.build(defaultIndex(spark, dir), m = 8, ksub = 256, sampleCap = 2048)
         case "lossless" =>
+          // oracle-regime configuration: the unbounded driver sample is
+          // explicitly acknowledged (Pq.build requires it)
           Pq.build(defaultIndex(spark, dir), m = 8, ksub = 4096,
-            sampleCap = Int.MaxValue)
+            sampleCap = Int.MaxValue, allowUnboundedSample = true)
       })
 
   /** Sharded NSW graph (Nsw) per (session, fixture dir), cached: both

@@ -114,20 +114,21 @@ object StoreQueries {
   def incrementalReembed(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("reembed", dir)
     rmTree(path)
-    val embedUdf = udf((t: String) => graft.functions.Embedder.embed(t))
+    // both the batch build and the CDC delta go through the SAME
+    // mapPartitions model seam as ingest (one model init per partition,
+    // Embedder.embedFrame) — never a per-row UDF, which would re-create
+    // a real model's session for every row
+    def embedded(d: DataFrame) = graft.functions.Embedder.embedFrame(d)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     graft.store.Versioned.append(docs.filter(col("doc_id") < 150), path) // v1
     val v1 = graft.store.Versioned.read(spark, path, Some(1))
-    val idx = graft.scale.Ivf.build(spark,
-      v1.select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding")),
-      nlist = 8)
+    val idx = graft.scale.Ivf.build(spark, embedded(v1), nlist = 8)
     graft.store.Versioned.append(
       docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), path) // v2
     // the consumer checkpointed (table, v1): its next poll reads the delta
     val delta = graft.store.Versioned.changes(spark, path, fromVersion = 1)
-    val idx2 = graft.scale.Ivf.append(idx,
-      delta.select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding")))
+    val idx2 = graft.scale.Ivf.append(idx, embedded(delta))
     val total = idx2.assigned.agg(count(lit(1)).as("n_index_total"))
     idx2.assigned
       .join(delta.select(col("doc_id"), col("source")), col("vec_id") === col("doc_id"))

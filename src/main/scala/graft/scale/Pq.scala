@@ -107,13 +107,25 @@ object Pq {
     best
   }
 
+  /** Codebook training collects `sampleCap` rows to the DRIVER — the one
+    * driver-side step of the PQ pipeline. Fine when bounded; an unbounded
+    * cap at corpus scale is a driver OOM, so it requires the caller to
+    * say `allowUnboundedSample = true` explicitly (the lossless
+    * oracle/test parameterization is the only legitimate user). */
+  val MaxDriverSample = 1 << 20
+
   /** Build over an existing IVF index: sample residuals (vec_id order —
     * deterministic), fit codebooks driver-side, encode every vector's
     * residual map-only. `sampleCap = Int.MaxValue` trains on everything
-    * — the lossless-parameterization path. */
+    * — the lossless-parameterization path, gated by
+    * `allowUnboundedSample` (see [[MaxDriverSample]]). */
   def build(ivf: Ivf.Index, m: Int = 8, ksub: Int = 16,
       sampleCap: Int = 2048, iters: Int = 12,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allowUnboundedSample: Boolean = false): Index = {
+    require(allowUnboundedSample || sampleCap <= MaxDriverSample,
+      s"sampleCap $sampleCap collects to the driver; caps past " +
+        s"$MaxDriverSample need allowUnboundedSample = true (oracle/test only)")
     val centroids = ivf.centroids
     val sampleDf =
       if (sampleCap == Int.MaxValue) ivf.assigned

@@ -15,19 +15,37 @@ import org.apache.spark.sql.functions._
   * reads a data file at all.
   *
   * 100 TB note: (user, source) partitioning assumes many users × many
-  * files; a pathological single-user/single-file skew would need an added
-  * hash bucket column. Upgrade path to in-place mutation (tombstones,
-  * upserts) is a Delta/Iceberg table format — out of scope per SURVEY.md
-  * §7.4 risk 6.
+  * files; for a pathological single-tenant skew (one user or one file
+  * holding a dominant share of the corpus) pass `skewBuckets > 1` to
+  * [[append]] — a deterministic hash-of-chunk_id bucket becomes a third
+  * partition level under source, splitting the hot directory into
+  * independently plannable/compactable slices while user-prefix pruning
+  * and the recursive delete keep working unchanged. Upgrade path to
+  * in-place mutation (tombstones, upserts) is a Delta/Iceberg table
+  * format — out of scope per SURVEY.md §7.4 risk 6.
   */
 object ChunkStore {
 
   /** Append chunk rows (schema from ChunkRow) to the store. First write
     * creates the store — the reference's create-or-append branch at
     * multiple_document_upload.py:161-168 is `mode("append")` semantics for
-    * free. */
-  def append(chunks: DataFrame, path: String): Unit =
-    chunks.write.mode("append").partitionBy("user", "source").parquet(path)
+    * free.
+    *
+    * `skewBuckets > 1` adds a `bucket` partition level under source
+    * (hash of chunk_id, so a chunk lands in the same bucket on every
+    * append — re-ingest dedup semantics survive). Pick per STORE, at
+    * creation: mixing bucketed and unbucketed appends into one store
+    * would fork the directory schema. */
+  def append(chunks: DataFrame, path: String, skewBuckets: Int = 1): Unit = {
+    require(skewBuckets >= 1, s"skewBuckets must be >= 1, got $skewBuckets")
+    if (skewBuckets == 1)
+      chunks.write.mode("append").partitionBy("user", "source").parquet(path)
+    else
+      chunks
+        .withColumn("bucket",
+          pmod(xxhash64(col("chunk_id")), lit(skewBuckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("user", "source", "bucket").parquet(path)
+  }
 
   /** Append with single-pass telemetry: the metrics a production ingest
     * would emit are computed by `observe` DURING the write — no second
@@ -35,13 +53,14 @@ object ChunkStore {
     * the tenant count is HLL-approximate (~2% relative error at high
     * cardinality — observe() cannot host exact distinct aggregates),
     * exact at the small per-batch cardinalities typical of ingest. */
-  def appendObserved(chunks: DataFrame, path: String): (Long, Long, Long) = {
+  def appendObserved(chunks: DataFrame, path: String,
+      skewBuckets: Int = 1): (Long, Long, Long) = {
     val obs = new org.apache.spark.sql.Observation("chunk-append")
     append(chunks.observe(obs,
       // fully qualified: ChunkStore.count(spark, path) shadows functions.count
       org.apache.spark.sql.functions.count(lit(1)).as("n_chunks"),
       approx_count_distinct(col("user")).as("n_users"),
-      sum(length(col("text")).cast("long")).as("text_bytes")), path)
+      sum(length(col("text")).cast("long")).as("text_bytes")), path, skewBuckets)
     val m = obs.get
     (m("n_chunks").asInstanceOf[Long], m("n_users").asInstanceOf[Long],
       m.get("text_bytes").collect { case b: Long => b }.getOrElse(0L))
@@ -122,13 +141,17 @@ object ChunkStore {
     val staging = new Path(path + ".compacting")
     val backup = new Path(path + ".precompact")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // a skew-bucketed store keeps its bucket level through compaction
+    val partCols =
+      if (store.columns.contains("bucket")) Seq("user", "source", "bucket")
+      else Seq("user", "source")
     // shuffle on (partition cols, bounded salt): a directory's rows land in
     // at most `filesPerPartition` distinct shuffle keys → at most that many
-    // tasks → at most that many files per (user, source) directory
+    // tasks → at most that many files per partition directory
     store
-      .repartition(col("user"), col("source"),
-        pmod(xxhash64(col("chunk_id")), lit(filesPerPartition.toLong)))
-      .write.mode("overwrite").partitionBy("user", "source").parquet(staging.toString)
+      .repartition(partCols.map(col) :+
+        pmod(xxhash64(col("chunk_id")), lit(filesPerPartition.toLong)): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.rename(new Path(path), backup))
       throw new java.io.IOException(s"compact: could not stage out $path")

@@ -181,22 +181,29 @@ object Versioned {
     * per streaming query (Spark's checkpoint serializes epochs); the
     * optimistic-conflict retry handles OTHER writers (batch appends,
     * compactions), never a same-id race. */
+  /** `ledgerHorizon` bounds the retained batch-id markers: markers older
+    * than `batchId - ledgerHorizon` are trimmed so the manifest doesn't
+    * grow one line per epoch forever. It must comfortably exceed the
+    * checkpoint's replay window (foreachBatch only redelivers trailing
+    * epochs). CAVEAT a caller must know: REBUILDING the checkpoint
+    * against an existing table restarts batch ids near 0 — those ids'
+    * markers were trimmed long ago, so exactly-once is forfeited for the
+    * replayed window (the batches double-land). Keep the checkpoint, or
+    * start a fresh table with it. */
   def appendBatchIdempotent(df: DataFrame, table: String, batchId: Long,
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5, ledgerHorizon: Long = 1000): Int = {
+    require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
     if (processedBatch(table, batchId)) return currentVersion(table)
     val batch = f"stream-$batchId%06d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    // trim ledger entries far behind the checkpoint's replay horizon
-    // (foreachBatch only ever redelivers the trailing epochs) so the
-    // manifest doesn't grow one line per batch forever
     val cur = currentVersion(table)
     val stale: Set[String] =
       if (cur == 0) Set.empty
       else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
         .toArray(Array.empty[String]).toSet
         .filter(l => l.startsWith("#stream:") &&
-          l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - 1000))
+          l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
     retryCommit(table, added :+ streamMarker(batchId), stale, maxRetries)
   }
 

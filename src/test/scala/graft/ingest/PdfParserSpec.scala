@@ -35,6 +35,82 @@ class PdfParserSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** PDF-style LZW encoder (MSB-first, 9→12-bit codes, clear/EOD) for
+    * fixtures. Emits each code at the width the DECODER will read it at
+    * by tracking the decoder's (next, width) state machine exactly —
+    * the early-change off-by-ones live in that sync, so the round-trip
+    * tests exercise them for real. */
+  private def lzwEncode(bytes: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var dNext = 258; var dWidth = 9; var dPrev = false
+    def emit(code: Int): Unit = {
+      acc = (acc << dWidth) | code; nbits += dWidth
+      while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      if (code == 256) { dNext = 258; dWidth = 9; dPrev = false }
+      else if (code != 257) {
+        if (dPrev && dNext < 4096) dNext += 1
+        dPrev = true
+        if (dWidth < 12 && dNext + earlyChange >= (1 << dWidth)) dWidth += 1
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    (0 until 256).foreach(b => dict(Vector(b.toByte)) = b)
+    var next = 258
+    emit(256)
+    var cur = Vector.empty[Byte]
+    bytes.foreach { b =>
+      val ext = cur :+ b
+      if (dict.contains(ext)) cur = ext
+      else {
+        emit(dict(cur))
+        if (next < 4096) { dict(ext) = next; next += 1 }
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(cur))
+    emit(257)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW decoder reproduces the ISO 32000 7.4.4 worked example") {
+    // spec's sample: decimal 45 45 45 45 45 65 45 45 45 66 ("-----A---B")
+    // encodes (EarlyChange irrelevant at this size) to the byte sequence
+    // below — an implementation-independent ground truth for code
+    // packing, the clear code, and the KwKwK (code == next) case
+    val encoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    val want = "-----A---B".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParser.lzwDecode(encoded).map(_.toSeq).contains(want.toSeq))
+  }
+
+  test("LZW round-trips through width growth (9→12 bits), both EarlyChange values") {
+    val rnd = new java.util.Random(42)
+    val data = new Array[Byte](20000)
+    rnd.nextBytes(data) // near-incompressible: forces the table past 2048
+    for (early <- Seq(0, 1)) {
+      val got = PdfParser.lzwDecode(lzwEncode(data, early), early)
+      assert(got.map(_.toSeq).contains(data.toSeq), s"earlyChange=$early round-trip broke")
+    }
+  }
+
+  test("LZWDecode content stream extracts text") {
+    val content = "BT (lzw compressed text works) Tj ET"
+    val doc = pdf("/Filter /LZWDecode" ->
+      lzwEncode(content.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(PdfParser.pdf(doc) == Right(Seq("lzw compressed text works")))
+  }
+
+  test("a corrupt LZW stream is skipped entirely, never throws") {
+    // clear (256) then code 300 while the table holds only 258 entries —
+    // a code beyond `next` must refuse, not fabricate output
+    val garbage = Array(0x80, 0x4B, 0x00).map(_.toByte)
+    assert(PdfParser.lzwDecode(garbage).isEmpty)
+    val doc = pdf("/Filter /LZWDecode" -> garbage)
+    assert(PdfParser.pdf(doc) == Right(Seq.empty))
+  }
+
   test("uncompressed content stream: Tj and TJ text extracts in order") {
     val content = "BT /F1 12 Tf 72 720 Td (Hello) Tj [(wor) -20 (ld)] TJ ET"
     val doc = pdf("" -> content.getBytes(StandardCharsets.ISO_8859_1))

@@ -24,14 +24,14 @@ class PqSpec extends SparkSpec {
     exactDists.toSeq.sortBy { case (id, d) => (d, id) }.take(13).map(_._1)
 
   test("lossless parameterization reproduces brute-force top-13 through ADC") {
-    val idx = Pq.build(ivf, m = 8, ksub = 4096, sampleCap = Int.MaxValue)
+    val idx = Pq.build(ivf, m = 8, ksub = 4096, sampleCap = Int.MaxValue, allowUnboundedSample = true)
     val got = Pq.search(idx, queryVec, k = 13, nprobe = 16, shortlist = 13)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     assert(got == exactTop13)
   }
 
   test("lossless ADC distances equal exact distances to fp-regrouping") {
-    val idx = Pq.build(ivf, m = 8, ksub = 4096, sampleCap = Int.MaxValue)
+    val idx = Pq.build(ivf, m = 8, ksub = 4096, sampleCap = Int.MaxValue, allowUnboundedSample = true)
     val books = idx.cb.books
     val dsub = idx.cb.dsub
     val rows = idx.encoded
@@ -62,6 +62,13 @@ class PqSpec extends SparkSpec {
     val recall = exactTop13.count(got).toDouble / 13
     info(f"ivf-pq recall@13 (nprobe=all, shortlist=64): $recall%.3f")
     assert(recall >= 10.0 / 13, f"recall $recall%.3f below floor")
+  }
+
+  test("unbounded driver sample requires explicit acknowledgement") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.build(ivf, m = 8, ksub = 16, sampleCap = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("allowUnboundedSample"))
   }
 
   test("codebook fitting is deterministic") {

@@ -107,6 +107,53 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".precompact")))
   }
 
+  test("skew-bucketed store: same rows, pruning intact, delete and compact still work") {
+    val dir = tmpDir("store").toString + "/chunks"
+    // one giant tenant file — the skew shape skewBuckets exists for
+    val big = ingestOne("/up/giant.txt", "whale@x.com",
+      (1 to 3000).map(i => s"w$i").mkString(" "))
+    val small = ingestOne("/up/tiny.txt", "b@y.com", "short doc")
+    ChunkStore.append(big.chunks, dir, skewBuckets = 4)
+    ChunkStore.append(small.chunks, dir, skewBuckets = 4)
+    val total = big.chunks.count() + small.chunks.count()
+    assert(ChunkStore.count(spark, dir) == total)
+
+    // the hot (user, source) directory split across several bucket dirs
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val whaleDir = new org.apache.hadoop.fs.Path(
+      dir, s"user=${esc("whale@x.com")}/source=${esc("giant.txt")}")
+    val buckets = fs.listStatus(whaleDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+    assert(buckets.length >= 2, s"expected multiple buckets, saw ${buckets.toSeq}")
+
+    // retrieval: identical rows, and the tenancy filter still prunes at
+    // the partition level (user= is the path prefix above bucket=)
+    val loaded = ChunkStore.load(spark, dir)
+    val scoped = ChunkStore.userScoped(loaded, "whale@x.com")
+    assert(scoped.count() == big.chunks.count())
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user"), plan)
+
+    // a chunk's bucket is a pure function of chunk_id: the same chunk
+    // re-appended lands in the same bucket (no cross-bucket duplicates)
+    ChunkStore.append(big.chunks, dir, skewBuckets = 4)
+    val perBucket = ChunkStore.load(spark, dir)
+      .filter($"user" === "whale@x.com")
+      .groupBy($"chunk_id").agg(
+        org.apache.spark.sql.functions.countDistinct($"bucket").as("nb"))
+      .filter($"nb" > 1).count()
+    assert(perBucket == 0, "a re-appended chunk changed bucket")
+
+    // compact preserves the bucket level; delete drops the whole tenant file
+    ChunkStore.compact(spark, dir)
+    assert(fs.listStatus(whaleDir).exists(_.getPath.getName.startsWith("bucket=")))
+    assert(ChunkStore.deleteBySource(spark, dir, "whale@x.com", "giant.txt") ==
+      2 * big.chunks.count())
+    assert(ChunkStore.count(spark, dir) == small.chunks.count())
+  }
+
   test("deleteBySource handles sources needing Hive partition escaping") {
     val dir = tmpDir("store").toString + "/chunks"
     val b = ingestOne("/up/100%done.txt", "a@x.com", "tricky partition name")

@@ -201,12 +201,11 @@ class VersionedSpec extends SparkSpec {
     assert(delta.inputFiles.forall(f =>
         !v1Files.contains(new File(new java.net.URI(f)).getAbsolutePath)),
       s"delta scan read a v1 file: ${delta.inputFiles.mkString(",")}")
-    // observe the embed job's actual scan volume
+    // observe the embed job's actual scan volume — through the same
+    // partition-mapped seam the pipeline uses (Embedder.embedFrame)
     val obs = new org.apache.spark.sql.Observation("reembed_delta")
-    val embedUdf = udf((s: String) => graft.functions.Embedder.embed(s))
-    val embedded = delta
-      .observe(obs, count(lit(1)).as("rows_scanned"))
-      .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
+    val embedded = graft.functions.Embedder.embedFrame(
+      delta.observe(obs, count(lit(1)).as("rows_scanned")))
     assert(embedded.count() == 100, "delta should be exactly the 100 appended docs")
     assert(obs.get("rows_scanned") == 100L,
       s"embed job scanned ${obs.get("rows_scanned")} rows — must be delta-only")
@@ -304,7 +303,6 @@ class VersionedSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val t = tmpDir("versioned").toString
     val cp = tmpDir("versioned_cp").toString
-    val embedUdf = udf((s: String) => graft.functions.Embedder.embed(s))
     val input = MemoryStream[(Long, String)]
     val q = Versioned.appendStream(input.toDF().toDF("doc_id", "text"), t, cp)
     val embedded = scala.collection.mutable.Map.empty[Long, Int]
@@ -315,8 +313,8 @@ class VersionedSpec extends SparkSpec {
       // commit that landed in between, losing data forever
       val cur = Versioned.currentVersion(t)
       if (cur > from) {
-        val delta = Versioned.changes(spark, t, from, Some(cur))
-          .select(col("doc_id"), embedUdf(col("text")).as("embedding"))
+        val delta = graft.functions.Embedder.embedFrame(
+            Versioned.changes(spark, t, from, Some(cur)))
           .collect()
         delta.foreach(r => embedded(r.getLong(0)) = embedded.getOrElse(r.getLong(0), 0) + 1)
       }
