@@ -118,6 +118,25 @@ object PdfParser {
     if (locs.isEmpty) return None
 
     val resolver = new Resolver(bytes, s, locs.toMap)
+    trailer.get("Encrypt").foreach { encObj =>
+      val id0 = trailer.get("ID") match {
+        case Some(PArr(ids)) if ids.nonEmpty => resolver.deref(ids(0)) match {
+          case PStr(x) => x.toCharArray.map(_.toByte)
+          case _ => Array.empty[Byte]
+        }
+        case _ => Array.empty[Byte]
+      }
+      resolver.deref(encObj) match {
+        case d: PDict => buildDecryptor(d, id0, resolver) match {
+          case some @ Some(_) => resolver.decryptor = some
+          // unsupported handler or a real (non-empty) password: degrade —
+          // the fallback scan can't inflate ciphertext, so the document
+          // yields no text rather than mojibake
+          case None => return None
+        }
+        case _ => return None
+      }
+    }
     val root = trailer.get("Root").map(resolver.deref).collect { case d: PDict => d }
     root.flatMap { cat =>
       cat.get("Pages").map(resolver.deref).collect { case pagesRoot: PDict =>
@@ -317,6 +336,13 @@ object PdfParser {
     private val objStmCache = mutable.Map.empty[Int, Map[Int, Obj]]
     private val inFlight = mutable.Set.empty[Int] // cycle guard (see fetch)
 
+    /** Set once (before any content fetch) when the trailer carries a
+      * supported /Encrypt dict; streams then decrypt at fetch time.
+      * Objects inside an ObjStm need no second pass — the container
+      * stream was decrypted when fetched. Xref streams are never
+      * encrypted (spec) and never pass through fetch. */
+    var decryptor: Option[Decryptor] = None
+
     def deref(o: Obj): Obj = deref(o, 0)
 
     @annotation.tailrec
@@ -334,7 +360,18 @@ object PdfParser {
       else try {
         val v = locs.get(num) match {
           case Some(AtOffset(off)) if off >= 0 && off < bytes.length =>
-            parseIndirectAt(bytes, s, off.toInt, Some(this)).getOrElse(PNull)
+            parseIndirectWithIds(bytes, s, off.toInt, Some(this)) match {
+              case Some((hNum, hGen, st: PStream)) => decryptor match {
+                case Some(dec) =>
+                  dec.decryptStream(hNum, hGen, st.raw) match {
+                    case Some(plain) => PStream(st.dict, plain)
+                    case None => PNull // undecryptable stream: no text
+                  }
+                case None => st
+              }
+              case Some((_, _, o)) => o
+              case None => PNull
+            }
           case Some(InObjStm(stm, idx)) =>
             objStmObjects(stm).getOrElse(idx, PNull)
           case _ => PNull
@@ -674,6 +711,192 @@ object PdfParser {
     Some(out.toByteArray)
   }
 
+  // ------------------------------------------------------------- encryption
+
+  /** RC4 stream cipher (spec §7.6.2-era; symmetric — the test encryptor
+    * reuses it). ~15 lines of pure JVM, no provider needed. */
+  private[ingest] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val S = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + S(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = S(i); S(i) = S(j); S(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + S(i)) & 0xff
+      val t = S(i); S(i) = S(j); S(j) = t
+      out(k) = (data(k) ^ S((S(i) + S(j)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** The standard handler's 32-byte password pad (ISO 32000-1 §7.6.3.3). */
+  private[ingest] val PwPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Algorithm 2 file key for /R 2-4 with an EMPTY user password: MD5 of
+    * pad ‖ /O ‖ /P (little-endian) ‖ file ID[0] (‖ FFFFFFFF when R ≥ 4
+    * metadata is unencrypted), re-hashed 50× over the key prefix for
+    * R ≥ 3, truncated to `lenBytes`. */
+  private[ingest] def fileKeyR234(o: Array[Byte], p: Int, id0: Array[Byte],
+      lenBytes: Int, r: Int, encryptMetadata: Boolean = true): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(PwPad)
+    md.update(o, 0, math.min(32, o.length))
+    md.update(Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte))
+    md.update(id0)
+    if (r >= 4 && !encryptMetadata)
+      md.update(Array(0xff, 0xff, 0xff, 0xff).map(_.toByte))
+    var key = md.digest()
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        val m2 = java.security.MessageDigest.getInstance("MD5")
+        m2.update(key, 0, lenBytes)
+        key = m2.digest()
+        i += 1
+      }
+    }
+    java.util.Arrays.copyOf(key, lenBytes)
+  }
+
+  /** ISO 32000-2 Algorithm 2.B hash (R6): iterated SHA-256/384/512 with
+    * an AES-128-CBC mixing round, selected by the round output mod 3.
+    * `udata` is empty for the user-password derivations used here. */
+  private[ingest] def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte] = Array.empty): Array[Byte] = {
+    def sha(n: Int, d: Array[Byte]) =
+      java.security.MessageDigest.getInstance(s"SHA-$n").digest(d)
+    var k = sha(256, password ++ salt ++ udata)
+    var e = Array.empty[Byte]
+    var i = 0
+    var done = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var b = 0
+      while (b < 64) { System.arraycopy(block, 0, k1, b * block.length, block.length); b += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      e = c.doFinal(k1)
+      val mod = (0 until 16).map(e(_) & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      i += 1
+      done = i >= 64 && (e(e.length - 1) & 0xff) <= i - 32
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** Stream decryptor bound to a computed file key. V5 (AES-256) uses the
+    * file key directly; earlier revisions derive a per-object key from
+    * MD5(key ‖ obj-num₃ ‖ gen₂ [‖ "sAlT" for AES]). AES payloads are
+    * IV ‖ CBC-ciphertext; padding is stripped tolerantly (an invalid pad
+    * byte keeps the data rather than rejecting the stream). Any failure
+    * → None → the stream degrades to no text. */
+  private final class Decryptor(fileKey: Array[Byte], aes: Boolean, v5: Boolean) {
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = try {
+      val key =
+        if (v5) fileKey
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(fileKey)
+          md.update(Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+            ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+          if (aes) md.update(Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)) // "sAlT"
+          java.util.Arrays.copyOf(md.digest(), math.min(fileKey.length + 5, 16))
+        }
+      if (!aes) Some(rc4(key, data))
+      else if (data.length < 16 || (data.length - 16) % 16 != 0) None
+      else {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+        val plain = c.doFinal(data, 16, data.length - 16)
+        val pad = if (plain.isEmpty) 0 else plain(plain.length - 1) & 0xff
+        if (pad >= 1 && pad <= 16 && pad <= plain.length)
+          Some(java.util.Arrays.copyOf(plain, plain.length - pad))
+        else Some(plain)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Build a decryptor for the standard security handler assuming an
+    * EMPTY user password — the ubiquitous permissions-only encryption.
+    * Supported: /V 1-2 RC4 (R 2-3), /V 4 crypt filters /V2 (RC4) and
+    * /AESV2 (AES-128), /V 5 /R 6 /AESV3 (AES-256, validated against /U
+    * and unwrapped from /UE). Anything else (a real password, public-key
+    * handlers, /StmF Identity oddities) → None → degrade to no text. */
+  private def buildDecryptor(enc: PDict, id0: Array[Byte], r: Resolver): Option[Decryptor] = {
+    if (!enc.get("Filter").contains(PName("Standard"))) return None
+    def intOf(k: String, d: Int) = enc.get(k) match { case Some(n: PNum) => n.i; case _ => d }
+    def strOf(k: String): Option[Array[Byte]] = r.deref(enc.get(k).getOrElse(PNull)) match {
+      case PStr(x) => Some(x.toCharArray.map(_.toByte))
+      case _ => None
+    }
+    val p = intOf("P", -1)
+    val rev = intOf("R", 0)
+    val encMeta = enc.get("EncryptMetadata") match {
+      case Some(PBool(b)) => b
+      case _ => true
+    }
+    intOf("V", 0) match {
+      case 1 | 2 =>
+        strOf("O").map(o =>
+          new Decryptor(fileKeyR234(o, p, id0, intOf("Length", 40) / 8, rev), aes = false, v5 = false))
+      case 4 =>
+        // resolve the stream crypt filter: /StmF names a /CF entry
+        val stmF = enc.get("StmF") match { case Some(PName(n)) => n; case _ => "Identity" }
+        val cf = enc.get("CF") match {
+          case Some(d: PDict) => d.get(stmF) match { case Some(c: PDict) => Some(c); case _ => None }
+          case _ => None
+        }
+        cf.flatMap { c =>
+          val lenBytes = c.get("Length") match {
+            // /CF lengths appear both in bytes (spec) and bits (common
+            // writer bug) — normalize
+            case Some(n: PNum) => if (n.i > 40) n.i / 8 else n.i
+            case _ => intOf("Length", 128) / 8
+          }
+          c.get("CFM") match {
+            case Some(PName("V2")) => strOf("O").map(o =>
+              new Decryptor(fileKeyR234(o, p, id0, lenBytes, rev, encMeta), aes = false, v5 = false))
+            case Some(PName("AESV2")) => strOf("O").map(o =>
+              new Decryptor(fileKeyR234(o, p, id0, lenBytes, rev, encMeta), aes = true, v5 = false))
+            case _ => None
+          }
+        }
+      case 5 if rev == 6 =>
+        for {
+          u <- strOf("U").filter(_.length >= 48)
+          ue <- strOf("UE").filter(_.length >= 32)
+          // validate the empty user password against /U's hash+salts
+          if hash2B(Array.empty, u.slice(32, 40)).sameElements(u.take(32))
+          ik = hash2B(Array.empty, u.slice(40, 48))
+          fileKey <- try {
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+            c.init(javax.crypto.Cipher.DECRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+              new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+            Some(c.doFinal(ue, 0, 32))
+          } catch { case _: Exception => None }
+        } yield new Decryptor(fileKey, aes = true, v5 = true)
+      case _ => None
+    }
+  }
+
   // ----------------------------------------------------------- object lexer
 
   /** Parse the indirect object whose "N G obj" header starts at `off`.
@@ -681,13 +904,19 @@ object PdfParser {
     * only to chase an indirect /Length; None falls back to an endstream
     * search. */
   private def parseIndirectAt(
-      bytes: Array[Byte], s: String, off: Int, resolver: Option[Resolver]): Option[Obj] = {
+      bytes: Array[Byte], s: String, off: Int, resolver: Option[Resolver]): Option[Obj] =
+    parseIndirectWithIds(bytes, s, off, resolver).map(_._3)
+
+  /** [[parseIndirectAt]] plus the header's (object number, generation) —
+    * the per-object encryption key inputs. */
+  private def parseIndirectWithIds(
+      bytes: Array[Byte], s: String, off: Int, resolver: Option[Resolver]): Option[(Int, Int, Obj)] = {
     val lx = new Lexer(s, off)
     lx.ws()
     if (lx.i >= s.length || !s.charAt(lx.i).isDigit) return None
-    lx.int(); lx.ws()
+    val num = lx.int(); lx.ws()
     if (lx.i >= s.length || !s.charAt(lx.i).isDigit) return None
-    lx.int(); lx.ws()
+    val gen = lx.int(); lx.ws()
     if (!s.startsWith("obj", lx.i)) return None
     lx.i += 3
     lx.ws()
@@ -720,9 +949,9 @@ object PdfParser {
               if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
               e
           }
-          Some(PStream(d, bytes.slice(dataStart, end)))
-        } else Some(d)
-      case other => Some(other)
+          Some((num, gen, PStream(d, bytes.slice(dataStart, end))))
+        } else Some((num, gen, d))
+      case other => Some((num, gen, other))
     }
   }
 

@@ -418,6 +418,18 @@ object Nsw {
       .limit(k)
   }
 
+  /** Persist a graph (flat or HNSW — any shard-keyed adjacency frame) as
+    * parquet partitioned by shard: the serving layout, where a pruned
+    * search's shard filter becomes directory-level partition pruning
+    * (the same contract as Ivf.write; NswSpec pins identical results
+    * through the round-trip). */
+  def write(graph: DataFrame, path: String): Unit =
+    graph.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Load a persisted graph as a lazy partitioned scan. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   // ------------------------------------------------------- batch k-NN join
 
   /** Large-batch k-NN join over the sharded graph — what a 100 TB offline

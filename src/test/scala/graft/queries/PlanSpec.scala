@@ -110,6 +110,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
   }
 
+  test("nsw_knn_join: per-query top-k merges through WindowGroupLimit, shard fan-out broadcasts") {
+    val p = planOf("nsw_knn_join")
+    assert(p.contains("WindowGroupLimit"), p) // map-side trim before the q_id shuffle
+    assert(p.contains("BroadcastExchange"), p) // the tiny distinct-shards side
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a

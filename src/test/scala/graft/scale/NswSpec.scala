@@ -199,6 +199,22 @@ class NswSpec extends SparkSpec {
     assert(hier >= 0.85, s"hnsw mean recall $hier too low")
   }
 
+  test("persisted hnsw graph reloads, prunes by shard, and searches identically") {
+    val dir = tmpDir("nsw").toString + "/hnsw"
+    Nsw.write(hnsw, dir)
+    val reloaded = Nsw.read(spark, dir)
+    val q = queryVec(0)
+    val mem = Nsw.searchHnsw(hnsw, q, k = 13, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    val disk = Nsw.searchHnsw(reloaded, q, k = 13, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(disk == mem)
+    // a shard filter on the stored graph prunes at the directory level
+    val plan = reloaded.filter(col("shard") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+  }
+
   // -------------------------------------------------------- batch knn join
 
   test("nsw batch knn join: unbounded beam equals the exact join; working beam keeps recall") {
