@@ -93,7 +93,17 @@ object DedupQueries {
     * Output: every node with its component id (min doc_id in the
     * component) and the component size — the collapse key a training
     * pipeline keeps one representative per. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterComponents(spark, dir)
+      .select(col("node").as("doc_id"), col("component"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))).as("cluster_size"))
+      .orderBy(col("doc_id"))
+
+  /** (node, component) labeling shared by [[dupClusters]] and
+    * [[dedupCollapse]]: near-dup edges + planted exact-copy edges over
+    * docs < 200, components via log-round star contraction. */
+  private def clusterComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val near = graft.scale.NearDup
       .exactJaccardPairs(
@@ -103,11 +113,36 @@ object DedupQueries {
     val planted = docs.select(col("doc_id").as("src"), (col("doc_id") + 100000).as("dst"))
     val nodes = docs.select(col("doc_id").as("node"))
       .unionByName(docs.select((col("doc_id") + 100000).as("node")))
-    val cc = graft.scale.ConnectedComponents.components(near.unionByName(planted), nodes)
-    cc.select(col("node").as("doc_id"), col("component"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("component"))).as("cluster_size"))
-      .orderBy(col("doc_id"))
+    graft.scale.ConnectedComponents.components(near.unionByName(planted), nodes)
+  }
+
+  /** Cluster collapse with representative selection — the step a training
+    * pipeline actually runs after [[dupClusters]]: per component keep ONE
+    * document, chosen by quality (longest text first — the standard
+    * keep-the-most-complete-copy rule — ties to the smallest id, so a
+    * planted copy never beats its original). Emits the kept doc, the
+    * member count it stands for, and its length. Plan shape: the
+    * component labeling's cost dominates (see ConnectedComponents);
+    * selection is one component-partitioned rank window — key
+    * cardinality = number of clusters, never an enum. */
+  def dedupCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").as("base_id"), col("n_chars"))
+    // planted copies (node ≥ 100000) inherit their source's length
+    val withQ = clusterComponents(spark, dir)
+      .withColumn("base_id",
+        when(col("node") >= 100000, col("node") - 100000).otherwise(col("node")))
+      .join(chars, "base_id")
+    val byComponent = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val rank = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("node").asc)
+    withQ
+      .withColumn("n_members", count(lit(1)).over(byComponent))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("node").as("keep_id"),
+        col("n_members"), col("n_chars").cast("long").as("kept_chars"))
+      .orderBy(col("component"))
   }
 
   /** Incremental near-dup screen: a NEW batch (doc_id 150–499, the CDC
@@ -247,7 +282,8 @@ object DedupQueries {
     "dedup_anti_join" -> (dedupAntiJoin _),
     "ngram_jaccard" -> (ngramJaccard _),
     "embedding_neardup" -> (embeddingNeardup _),
-    "dup_clusters" -> (dupClusters _)
+    "dup_clusters" -> (dupClusters _),
+    "dedup_collapse" -> (dedupCollapse _)
   )
 
   private val dotSql =
@@ -333,6 +369,53 @@ object DedupQueries {
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, CAST(round(sim * 10000) AS BIGINT) AS sim_e4
          |FROM p WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // same closure as dup_clusters, then pick the longest (ties: min id)
+    // member per component; planted nodes inherit the source's n_chars
+    "dedup_collapse" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT p.a_id, p.b_id FROM pr p
+        |  JOIN sizes na ON na.doc_id = p.a_id
+        |  JOIN sizes nb ON nb.doc_id = p.b_id
+        |  WHERE p.inter * 5 >= na.n + nb.n - p.inter),
+        |nodes AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 200),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM near
+        |  UNION SELECT b_id, a_id FROM near
+        |  UNION SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id < 200
+        |  UNION SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 200),
+        |reach(src, dst) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT c.node, c.component, d.n_chars
+        |  FROM comp c JOIN documents d
+        |    ON d.doc_id = CASE WHEN c.node >= 100000 THEN c.node - 100000 ELSE c.node END),
+        |ranked AS (
+        |  SELECT component, node, n_chars,
+        |    COUNT(*) OVER (PARTITION BY component) AS n_members,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, node ASC) AS rn
+        |  FROM q)
+        |SELECT component, node AS keep_id, n_members,
+        |  CAST(n_chars AS BIGINT) AS kept_chars
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
     // component = min reachable node; the oracle takes the transitive
     // closure (fine at oracle scale — the engine side is the one that has
     // to be log-round star contraction)

@@ -484,6 +484,60 @@ object Nsw {
         }
       }
     }.toDF("q_id", "n_id", "d")
+    mergeTopK(perShard, k)
+  }
+
+  /** Batch k-NN join over a [[buildHnsw]] graph — [[knnJoin]] with the
+    * layer hierarchy driving per-query entry selection: each shard task
+    * rebuilds its layered graph once, every assigned query descends from
+    * the top-layer entry and beams layer 0. Same distributed fan-out and
+    * WindowGroupLimit merge as the flat form. */
+  def knnJoinHnsw(graph: DataFrame, queries: DataFrame, k: Int = 5, ef: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val beam = math.max(ef, k)
+    val fanned = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_emb"))
+      .crossJoin(broadcast(graph.select(col("shard")).distinct()))
+    val g = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("level"), col("layers"))
+      .as[(Int, Long, Array[Float], Int, Array[Array[Long]])]
+      .groupByKey(_._1)
+    val qs = fanned
+      .select(col("shard").cast("int"), col("q_id"), col("q_emb"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val perShard = g.cogroup(qs) { (_, graphRows, queryRows) =>
+      val rows = graphRows.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+        val layers = new java.util.HashMap[Long, Array[Array[Long]]](rows.length * 2)
+        rows.foreach { r => vecs.put(r._2, r._3); layers.put(r._2, r._5) }
+        val (entry, entryLevel) = rows.iterator
+          .map(r => (r._2, r._4)).reduce { (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+          }
+        queryRows.flatMap { case (_, qid, qv) =>
+          var cur = entry
+          var l = entryLevel
+          while (l > 0) {
+            cur = beamSearch(vecs, n => layers.get(n)(l), cur, qv, 1).head._1
+            l -= 1
+          }
+          beamSearch(vecs, n => layers.get(n)(0), cur, qv, beam)
+            .take(k).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.toDF("q_id", "n_id", "d")
+    mergeTopK(perShard, k)
+  }
+
+  /** Global per-query top-k over per-shard candidates: a rank window
+    * that compiles to WindowGroupLimit (map-side trim before the q_id
+    * shuffle). */
+  private def mergeTopK(perShard: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)
     perShard.withColumn("rn", row_number().over(w))

@@ -243,6 +243,28 @@ class NswSpec extends SparkSpec {
     assert(mean >= 0.85, s"batch join mean recall $mean too low")
   }
 
+  test("hnsw batch knn join: unbounded beam equals the exact join") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exact = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(emb)
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val got = Nsw.knnJoinHnsw(hnsw, queries, k = 5, ef = Int.MaxValue)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(got == exact)
+    // working beam: every query still finds its own vector at d=0
+    val pruned = Nsw.knnJoinHnsw(hnsw, queries, k = 5, ef = 48)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    pruned.foreach { case (q, ns) => assert(ns.contains(q), s"query $q lost its self-match") }
+  }
+
   test("nsw batch knn join routes through cells when centroids are given (pruned fan-out)") {
     val index = Ivf.build(spark, emb, nlist = 8)
     val g = Nsw.buildByCell(index).cache()
