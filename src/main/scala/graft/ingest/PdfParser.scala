@@ -866,8 +866,9 @@ object PdfParser {
         cf.flatMap { c =>
           val lenBytes = c.get("Length") match {
             // /CF lengths appear both in bytes (spec) and bits (common
-            // writer bug) — normalize
-            case Some(n: PNum) => if (n.i > 40) n.i / 8 else n.i
+            // writer bug) — normalize. 40 itself can only mean bits:
+            // 40 bytes = a 320-bit key, which no revision defines
+            case Some(n: PNum) => if (n.i >= 40) n.i / 8 else n.i
             case _ => intOf("Length", 128) / 8
           }
           c.get("CFM") match {

@@ -275,7 +275,7 @@ object EventQueries {
     // HERE with a clear message, not surface as a silent oracle
     // hash-mismatch downstream
     val dom = ids.agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi")).head()
-    require(dom.getLong(0) >= 0 && dom.getLong(1) < width,
+    require(dom.isNullAt(0) || (dom.getLong(0) >= 0 && dom.getLong(1) < width),
       s"cms_counts exact regime needs user_id in [0, $width); fixture has " +
         s"[${dom.getLong(0)}, ${dom.getLong(1)}] — widen the sketch or drop the oracle")
     ids.withColumn("n_events", udf((u: Long) =>

@@ -62,14 +62,31 @@ object Nsw {
   private[scale] def beamSearch(
       vecs: java.util.HashMap[Long, Array[Float]],
       adj: Long => Array[Long],
-      entry: Long, q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] = {
+      entry: Long, q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] =
+    beamSearchFrom(vecs, adj, Seq(entry), q, ef)
+
+  /** [[beamSearch]] seeded with SEVERAL entry points — the layer-0 form
+    * the HNSW searches need for exactness: connectivity is guaranteed
+    * from the shard's min-id root (guarded parent→child edges), but the
+    * hierarchy's descent can land anywhere, and a pruned child→parent
+    * back-edge may be the only path from that region back to the root's
+    * subtree. Seeding with {descent entry, root} keeps the hierarchy's
+    * entry quality AND the root's reachability guarantee. */
+  private[scale] def beamSearchFrom(
+      vecs: java.util.HashMap[Long, Array[Float]],
+      adj: Long => Array[Long],
+      entries: Seq[Long], q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] = {
     val visited = new java.util.HashSet[Long]()
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord.reverse)
     val kept = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-    val d0 = sqDist(vecs.get(entry), q)
-    visited.add(entry)
-    cand.enqueue((d0, entry))
-    kept.enqueue((d0, entry))
+    entries.foreach { entry =>
+      if (visited.add(entry)) {
+        val d0 = sqDist(vecs.get(entry), q)
+        cand.enqueue((d0, entry))
+        kept.enqueue((d0, entry))
+        if (kept.size > ef) kept.dequeue()
+      }
+    }
     var done = false
     while (!done && cand.nonEmpty) {
       val (d, u) = cand.dequeue()
@@ -124,6 +141,29 @@ object Nsw {
     }
   }
 
+  /** Degree-cap one node's adjacency in place: guarded edges always
+    * survive; unguarded ones fill the cap's remainder by distance
+    * (tie-break on id). When guarded alone reaches the cap, EVERY
+    * unguarded edge goes — leaving them unpruned would let a hub keep
+    * accumulating back-links unbounded (guarded + 2m is the documented
+    * degree contract, not guarded + everything). Shared by the flat and
+    * HNSW builders. */
+  private def pruneNeighbors(ns: scala.collection.mutable.ArrayBuffer[Long],
+      guarded: java.util.HashSet[Long],
+      vecs: java.util.HashMap[Long, Array[Float]],
+      base: Array[Float], maxDeg: Int): Unit =
+    if (ns.length > maxDeg) {
+      val (keep, rest) =
+        if (guarded == null) (Seq.empty[Long], ns.toSeq)
+        else ns.toSeq.partition(guarded.contains)
+      val room = math.max(0, maxDeg - keep.length)
+      val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
+        .take(room).map(_._2)
+      ns.clear()
+      ns ++= keep
+      ns ++= best
+    }
+
   private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
       m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
     requireDistinctIds(items)
@@ -131,27 +171,8 @@ object Nsw {
     val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](items.length * 2)
     val children = new java.util.HashMap[Long, java.util.HashSet[Long]]()
     val maxDeg = 2 * m
-    def prune(id: Long): Unit = {
-      val ns = adj.get(id)
-      if (ns.length > maxDeg) {
-        val guarded = children.get(id)
-        val (keep, rest) =
-          if (guarded == null) (Seq.empty[Long], ns.toSeq)
-          else ns.toSeq.partition(guarded.contains)
-        // guarded edges always survive; unguarded ones fill the cap's
-        // remainder by distance. When guarded alone reaches the cap,
-        // EVERY unguarded edge goes — leaving them unpruned would let a
-        // hub keep accumulating back-links unbounded (guarded + 2m is
-        // the documented degree contract, not guarded + everything)
-        val room = math.max(0, maxDeg - keep.length)
-        val base = vecs.get(id)
-        val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
-          .take(room).map(_._2)
-        ns.clear()
-        ns ++= keep
-        ns ++= best
-      }
-    }
+    def prune(id: Long): Unit =
+      pruneNeighbors(adj.get(id), children.get(id), vecs, vecs.get(id), maxDeg)
     var entry = -1L
     items.foreach { case (id, v) =>
       if (entry < 0) {
@@ -296,22 +317,9 @@ object Nsw {
       new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]())
     val children = new java.util.HashMap[Long, java.util.HashSet[Long]]() // layer-0 guards
     val maxDeg = 2 * m
-    def pruneAt(layer: Int, id: Long): Unit = {
-      val ns = adjL(layer).get(id)
-      if (ns.length > maxDeg) {
-        val guarded = if (layer == 0) children.get(id) else null
-        val (keep, rest) =
-          if (guarded == null) (Seq.empty[Long], ns.toSeq)
-          else ns.toSeq.partition(guarded.contains)
-        val room = math.max(0, maxDeg - keep.length)
-        val base = vecs.get(id)
-        val best = rest.map(n => (sqDist(vecs.get(n), base), n)).sorted(ord)
-          .take(room).map(_._2)
-        ns.clear()
-        ns ++= keep
-        ns ++= best
-      }
-    }
+    def pruneAt(layer: Int, id: Long): Unit =
+      pruneNeighbors(adjL(layer).get(id),
+        if (layer == 0) children.get(id) else null, vecs, vecs.get(id), maxDeg)
     val levels = new java.util.HashMap[Long, Int](items.length * 2)
     var entry = -1L
     var entryLevel = -1
@@ -380,10 +388,44 @@ object Nsw {
       .toDF("shard", "vec_id", "embedding", "level", "layers")
   }
 
+  /** One HNSW shard in memory: vectors, per-layer adjacency, the descent
+    * entry (highest level, ties to min id — matching the builder's
+    * "strictly greater replaces" rule under ascending-id insertion) and
+    * the layer-0 ROOT (min id): guarded parent edges prove connectivity
+    * from the root, not from wherever descent lands, so the layer-0 beam
+    * seeds with BOTH — that is what makes ef ≥ shard size exact. */
+  private final class HnswShard(
+      val vecs: java.util.HashMap[Long, Array[Float]],
+      val layers: java.util.HashMap[Long, Array[Array[Long]]],
+      val entry: Long, val entryLevel: Int, val root: Long) {
+    def search(q: Array[Float], k: Int, beam: Int): Iterator[(Long, Double)] = {
+      var cur = entry
+      var l = entryLevel
+      while (l > 0) { // any node present at layer l has level >= l
+        cur = beamSearch(vecs, n => layers.get(n)(l), cur, q, 1).head._1
+        l -= 1
+      }
+      beamSearchFrom(vecs, n => layers.get(n)(0), Seq(cur, root).distinct, q, beam)
+        .take(k).iterator
+    }
+  }
+
+  private def loadHnswShard(
+      rows: Array[(Int, Long, Array[Float], Int, Array[Array[Long]])]): HnswShard = {
+    val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+    val layers = new java.util.HashMap[Long, Array[Array[Long]]](rows.length * 2)
+    rows.foreach { r => vecs.put(r._2, r._3); layers.put(r._2, r._5) }
+    val (entry, entryLevel) = rows.iterator
+      .map(r => (r._2, r._4)).reduce { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+      }
+    new HnswShard(vecs, layers, entry, entryLevel, rows.iterator.map(_._2).min)
+  }
+
   /** HNSW search: per shard, greedy-descend from the top-layer entry
-    * (highest level, tie-break min id) through layers L..1, then beam at
-    * layer 0 with `ef`; merge shards into the global top-k. ef ≥ shard
-    * size is exact (layer 0 connected — see [[buildShardHnsw]]). */
+    * through layers L..1, then beam at layer 0 with `ef` (seeded with
+    * the root as well — see [[HnswShard]]); merge shards into the global
+    * top-k. ef ≥ shard size is exact. */
   def searchHnsw(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
@@ -394,23 +436,7 @@ object Nsw {
       .as[(Int, Long, Array[Float], Int, Array[Array[Long]])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
-          val layers = new java.util.HashMap[Long, Array[Array[Long]]](rows.length * 2)
-          rows.foreach { r => vecs.put(r._2, r._3); layers.put(r._2, r._5) }
-          // entry: highest level, tie-break min id (matches the builder's
-          // "strictly greater replaces" rule under ascending-id insertion)
-          val (entry, entryLevel) = rows.iterator
-            .map(r => (r._2, r._4)).reduce { (a, b) =>
-              if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
-            }
-          var cur = entry
-          var l = entryLevel
-          while (l > 0) { // any node present at layer l has level >= l
-            cur = beamSearch(vecs, n => layers.get(n)(l), cur, q, 1).head._1
-            l -= 1
-          }
-          beamSearch(vecs, n => layers.get(n)(0), cur, q, beam)
-            .take(k).iterator.map { case (id, d) => (id, d) }
+          loadHnswShard(rows).search(q, k, beam)
         }
       }
       .toDF("vec_id", "dist")
@@ -512,22 +538,9 @@ object Nsw {
       val rows = graphRows.toArray
       if (rows.isEmpty) Iterator.empty
       else {
-        val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
-        val layers = new java.util.HashMap[Long, Array[Array[Long]]](rows.length * 2)
-        rows.foreach { r => vecs.put(r._2, r._3); layers.put(r._2, r._5) }
-        val (entry, entryLevel) = rows.iterator
-          .map(r => (r._2, r._4)).reduce { (a, b) =>
-            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
-          }
+        val shard = loadHnswShard(rows)
         queryRows.flatMap { case (_, qid, qv) =>
-          var cur = entry
-          var l = entryLevel
-          while (l > 0) {
-            cur = beamSearch(vecs, n => layers.get(n)(l), cur, qv, 1).head._1
-            l -= 1
-          }
-          beamSearch(vecs, n => layers.get(n)(0), cur, qv, beam)
-            .take(k).iterator.map { case (id, d) => (qid, id, d) }
+          shard.search(qv, k, beam).map { case (id, d) => (qid, id, d) }
         }
       }
     }.toDF("q_id", "n_id", "d")

@@ -42,18 +42,37 @@ object ShingleStore {
   // identityHashCode can be reused after GC; weak keys can't work because
   // the stored path is served through the session). Values are PATHS, not
   // DataFrames, so a concurrent double-compute is harmless — both writes
-  // land in distinct temp dirs with identical content.
+  // land in distinct temp dirs with identical content (and both register
+  // for exit-time deletion, so the losing racer's dir doesn't leak).
   private val shingleMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val sketchMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  // session-scoped scratch dirs are deleted when the JVM exits — without
+  // this every Verify/Bench/test JVM would leave its frames in /tmp
+  private val created = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tempDir(prefix: String): java.nio.file.Path =
+    created.synchronized {
+      if (created.isEmpty)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          created.synchronized(created.foreach(rmTree))))
+      val p = Files.createTempDirectory(prefix)
+      created += p
+      p
+    }
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    Option(f.listFiles).foreach(_.foreach(c => rmTree(c.toPath)))
+    f.delete()
+  }
 
   /** Word-3-gram shingle frame (`doc_id`, `sh`) for documents with
     * doc_id < [[MaxDocId]], stored once per (session, dir). */
   def docShingles(spark: SparkSession, dir: String): DataFrame = {
     val path = shingleMemo.getOrElseUpdate(
       (ColumnBridge.sessionUuid(spark), dir), {
-        val p = Files.createTempDirectory("graft-shingles-").toString
+        val p = tempDir("graft-shingles-").toString
         NearDup.shingles(
             Tables.documents(spark, dir).filter(col("doc_id") < MaxDocId))
           .write.mode("overwrite").parquet(p)
@@ -70,7 +89,7 @@ object ShingleStore {
   def docSketches(spark: SparkSession, dir: String): DataFrame = {
     val path = sketchMemo.getOrElseUpdate(
       (ColumnBridge.sessionUuid(spark), dir), {
-        val p = Files.createTempDirectory("graft-sketches-").toString
+        val p = tempDir("graft-sketches-").toString
         docShingles(spark, dir)
           .select(col("doc_id"),
             xxhash64(col("sh")).bitwiseXOR(lit(Long.MinValue)).as("h"))

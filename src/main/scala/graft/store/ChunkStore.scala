@@ -38,6 +38,7 @@ object ChunkStore {
     * would fork the directory schema. */
   def append(chunks: DataFrame, path: String, skewBuckets: Int = 1): Unit = {
     require(skewBuckets >= 1, s"skewBuckets must be >= 1, got $skewBuckets")
+    requireLayoutMatches(chunks.sparkSession, path, bucketed = skewBuckets > 1)
     if (skewBuckets == 1)
       chunks.write.mode("append").partitionBy("user", "source").parquet(path)
     else
@@ -45,6 +46,30 @@ object ChunkStore {
         .withColumn("bucket",
           pmod(xxhash64(col("chunk_id")), lit(skewBuckets.toLong)).cast("int"))
         .write.mode("append").partitionBy("user", "source", "bucket").parquet(path)
+  }
+
+  /** Fail a mismatched append LOUDLY at write time: mixing bucketed and
+    * unbucketed appends forks the directory schema, and Spark's partition
+    * discovery would only surface it at some later read ("conflicting
+    * directory structures"), far from the faulty write. The probe is one
+    * directory listing per level (user → source → children), never a
+    * recursive walk. */
+  private def requireLayoutMatches(spark: SparkSession, path: String, bucketed: Boolean): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return // new store: the write defines the layout
+    def firstDir(p: Path, prefix: String): Option[Path] =
+      fs.listStatus(p).find(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath)
+    val existing = for {
+      u <- firstDir(new Path(path), "user=")
+      s <- firstDir(u, "source=")
+    } yield firstDir(s, "bucket=").isDefined
+    existing.foreach { isBucketed =>
+      require(isBucketed == bucketed,
+        s"store $path is ${if (isBucketed) "skew-bucketed" else "unbucketed"}; " +
+          s"append with ${if (bucketed) "skewBuckets > 1" else "skewBuckets = 1"} " +
+          "would fork the directory schema (pick the layout per store, at creation)")
+    }
   }
 
   /** Append with single-pass telemetry: the metrics a production ingest

@@ -180,8 +180,9 @@ object Versioned {
     * otherwise land data + marker in one atomic commit. Single writer
     * per streaming query (Spark's checkpoint serializes epochs); the
     * optimistic-conflict retry handles OTHER writers (batch appends,
-    * compactions), never a same-id race. */
-  /** `ledgerHorizon` bounds the retained batch-id markers: markers older
+    * compactions), never a same-id race.
+    *
+    * `ledgerHorizon` bounds the retained batch-id markers: markers older
     * than `batchId - ledgerHorizon` are trimmed so the manifest doesn't
     * grow one line per epoch forever. It must comfortably exceed the
     * checkpoint's replay window (foreachBatch only redelivers trailing

@@ -110,6 +110,19 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(PdfParser.pdf(doc) == Right(Seq("encrypted but readable")))
   }
 
+  test("crypt-filter /Length 40 means 40 BITS (5 bytes), never 40 bytes") {
+    // 40 bytes = a 320-bit key no revision defines; a writer emitting
+    // /CFM /V2 /Length 40 means a 40-bit RC4 key and must decrypt
+    val fileKey = PdfParser.fileKeyR234(oEntry, -3904, id0, 5, 4)
+    val doc = encryptedPdf(
+      s"<< /Filter /Standard /V 4 /R 4 /Length 40 " +
+        s"/CF << /StdCF << /CFM /V2 /Length 40 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/O ${hex(oEntry)} /U ${hex(new Array[Byte](32))} /P -3904 >>",
+      id0,
+      data => PdfParser.rc4(objKey(fileKey, 4, 0, aes = false), data))
+    assert(PdfParser.pdf(doc) == Right(Seq("encrypted but readable")))
+  }
+
   test("AES-128 crypt filter (/V 4 /AESV2) decrypts: IV + CBC + padding") {
     val fileKey = PdfParser.fileKeyR234(oEntry, -3904, id0, 16, 4)
     val doc = encryptedPdf(

@@ -146,6 +146,12 @@ class ChunkStoreSpec extends SparkSpec {
       .filter($"nb" > 1).count()
     assert(perBucket == 0, "a re-appended chunk changed bucket")
 
+    // a mismatched append fails loudly at write time, not at a later read
+    val e = intercept[IllegalArgumentException] {
+      ChunkStore.append(small.chunks, dir) // default skewBuckets = 1
+    }
+    assert(e.getMessage.contains("fork the directory schema"))
+
     // compact preserves the bucket level; delete drops the whole tenant file
     ChunkStore.compact(spark, dir)
     assert(fs.listStatus(whaleDir).exists(_.getPath.getName.startsWith("bucket=")))
