@@ -142,6 +142,17 @@ object ScaleQueries {
         round(col("d") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** The batch join driven by the HNSW hierarchy: same fan-out/merge as
+    * [[nswKnnJoin]], per-query coarse-to-fine descent inside each shard.
+    * Rows-only headline; NswSpec pins unbounded beam == exact join. */
+  def hnswKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.Nsw.knnJoinHnsw(hnswGraph(spark, dir),
+        emb.filter(col("vec_id") < 30), k = 5, ef = 48)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
   /** Cell-keyed NSW graph (the IVF hybrid) per (session, dir), cached —
     * built over the SAME shared IVF index the ivf_* queries probe. */
   private val nswIvfMemo =
@@ -441,6 +452,7 @@ object ScaleQueries {
     "hnsw_topk" -> (hnswTopk _),
     "hnsw_precision" -> (hnswPrecision _),
     "nsw_knn_join" -> (nswKnnJoin _),
+    "hnsw_knn_join" -> (hnswKnnJoin _),
     "nswivf_topk" -> (nswIvfTopk _),
     "nswivf_precision" -> (nswIvfPrecision _),
     "knn_join_blocked" -> (knnJoinBlocked _),

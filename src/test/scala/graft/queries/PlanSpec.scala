@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
   }
 
+  test("containment_screen: candidates come from the shared-hash join, never a cross product") {
+    // the round-5 verdict's one weak component was this query's declared
+    // cross join; the blocked form must never regress to it
+    val p = planOf("containment_screen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("nsw_knn_join: per-query top-k merges through WindowGroupLimit, shard fan-out broadcasts") {
     val p = planOf("nsw_knn_join")
     assert(p.contains("WindowGroupLimit"), p) // map-side trim before the q_id shuffle
