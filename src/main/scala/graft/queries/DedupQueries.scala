@@ -275,7 +275,51 @@ object DedupQueries {
       .orderBy(col("new_doc"), col("old_doc"))
   }
 
+  /** Exact shared-SPAN detection (substring dedup): pairs of documents
+    * sharing a contiguous run of ≥ 12 identical words — the
+    * training-data op behind "dedup at the substring level" (long
+    * boilerplate/quotation overlap that document-level Jaccard dilutes
+    * away and MinHash can't localize). Word-8-gram positions joined on
+    * gram text; a shared span of length L appears as L-7 consecutive
+    * positions on ONE (pair, pa-pb) diagonal, so runs collapse with the
+    * gaps-and-islands trick (pa - row_number per diagonal) — no
+    * quadratic within-pair scan, and the window key (pair, diag) has
+    * pair-count cardinality, never an enum. Emits the longest span and
+    * the number of qualifying spans per pair. At 100 TB the gram join is
+    * the cost (Σ df² per gram text, like every co-occurrence join); a
+    * df cap on ubiquitous grams bounds it at the price of splitting
+    * spans across the dropped gram — the fixture needs no cap. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val minSpan = 12
+    val ws = split(col("text"), " ")
+    val grams = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .filter(size(ws) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
+      .toDF("doc_id", "pos", "g")
+    val pairs = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
+    pairs
+      .withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (n - 1)).as("span_words"))
+      .filter(col("span_words") >= minSpan)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("span_words")).cast("long").as("longest_span"),
+        count(lit(1)).as("n_spans"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "substring_dedup" -> (substringDedup _),
     "containment_screen" -> (containmentScreen _),
     "incremental_dedup" -> (incrementalDedup _),
     "exact_dedup" -> (exactDedup _),
@@ -290,6 +334,34 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    // aligned unnests give (pos, gram); runs on one (pair, diagonal) via
+    // gaps-and-islands; positions are 1-based here vs 0-based in Spark —
+    // diagonals and islands are shift-invariant so the outputs agree
+    "substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(ws) - 7)) AS pos,
+        |    unnest(list_transform(generate_series(1, len(ws) - 7),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+        |    a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT a_id, b_id, diag, pa,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS island
+        |  FROM p),
+        |runs AS (
+        |  SELECT a_id, b_id, diag, island, COUNT(*) + 7 AS span_words
+        |  FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, CAST(MAX(span_words) AS BIGINT) AS longest_span,
+        |  COUNT(*) AS n_spans
+        |FROM runs WHERE span_words >= 12
+        |GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
     "containment_screen" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
