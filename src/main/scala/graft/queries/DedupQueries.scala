@@ -102,8 +102,15 @@ object DedupQueries {
 
   /** (node, component) labeling shared by [[dupClusters]] and
     * [[dedupCollapse]]: near-dup edges + planted exact-copy edges over
-    * docs < 200, components via log-round star contraction. */
-  private def clusterComponents(spark: SparkSession, dir: String): DataFrame = {
+    * docs < 200, components via log-round star contraction. Stored once
+    * per (session, dir) — the log-round contraction is the expensive part
+    * of both consumers, and production would persist the labeling next to
+    * the corpus rather than re-deriving it per downstream pass. */
+  private def clusterComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "cc-labels")(
+      buildClusterComponents(spark, dir))
+
+  private def buildClusterComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
     val near = graft.scale.NearDup
       .exactJaccardPairs(

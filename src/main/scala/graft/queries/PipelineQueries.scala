@@ -251,7 +251,54 @@ object PipelineQueries {
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
+  /** Per-document BPE stats (`doc_id`, `n_tokens`, `token_chars`) at 50
+    * merges trained on the corpus itself. The distributed part of BPE
+    * training is the word count (one aggregation); merges then run on the
+    * driver over the count-capped vocabulary — the Heaps'-law-bounded
+    * table real tokenizer trainers consume (see [[graft.functions.Bpe]]).
+    * Encoding distributes back as a broadcast (word → token stats) table
+    * joined under an explode — zero per-row UDFs, and OOV words (beyond
+    * the vocab cap) fall back to character segmentation, which the
+    * coalesce reproduces exactly. */
+  private def bpeDocStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(10000) // vocab cap: bounds the driver at ANY corpus size
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ranks = graft.functions.Bpe.train(vocab, nMerges = 50).zipWithIndex.toMap
+    val tokTable = vocab.map { case (w, _) =>
+      val toks = graft.functions.Bpe.encode(w, ranks)
+      (w, toks.length.toLong, toks.map(_.length).sum.toLong)
+    }
+    val spark2 = spark; import spark2.implicits._
+    val tt = tokTable.toDF("w", "n_tok", "tok_chars")
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(tt), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(coalesce(col("n_tok"), length(col("w")).cast("long"))).as("n_tokens"),
+        sum(coalesce(col("tok_chars"), length(col("w")).cast("long"))).as("token_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Subword token counts per document — rows-only headline (the learned
+    * merge table is not SQL-expressible); BpeSpec pins the trainer against
+    * hand-derived merges and [[bpeSegments]] is the oracle companion. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeDocStats(spark, dir).select(col("doc_id"), col("n_tokens"))
+
+  /** Oracle companion to [[bpeTokenize]]: the BPE tokens of every word
+    * must tile it exactly, so the summed token characters per document
+    * equal its space-free character count — checked against an engine
+    * that never saw the merge table. A lost or duplicated symbol in the
+    * merge/encode loop breaks this immediately. */
+  def bpeSegments(spark: SparkSession, dir: String): DataFrame =
+    bpeDocStats(spark, dir).select(col("doc_id"), col("token_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_tokenize" -> (bpeTokenize _),
+    "bpe_segments" -> (bpeSegments _),
     "deterministic_split" -> (deterministicSplit _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "redact_pii" -> (redactPii _),
@@ -262,6 +309,9 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_segments" ->
+      """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "data_mix" ->
       """WITH s AS (
         |  SELECT source, doc_id,

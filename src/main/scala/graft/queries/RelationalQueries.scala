@@ -217,7 +217,30 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** PageRank document/page prior over the part↔supplier fulfillment
+    * graph (lineitem is the web-scale edge source: each distinct
+    * (part, supplier) pair is an undirected edge, fed as both directions
+    * so every node has an out-edge). 5 synchronous power iterations at
+    * d=0.85 — the Common-Crawl-style centrality weight a pre-training
+    * pipeline attaches to each page before quality mixing. Plan shape in
+    * [[graft.scale.PageRank]]: the edge list is partitioned by src once;
+    * each iteration moves only the |V|-row rank vector. Ranks are e6-fixed
+    * at the output boundary (doubles agree across engines to ~1e-15; the
+    * e6 grid leaves 9 orders of magnitude of slack). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val fwd = li.select(
+      concat(lit("p"), col("l_partkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.scale.PageRank.run(edges, iterations = 5)
+      .select(col("node"),
+        round(col("rank") * lit(1000000.0)).cast("long").as("rank_e6"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank" -> (pagerank _),
     "triangle_count" -> (triangleCount _),
     "having_subquery" -> (havingSubquery _),
     "q1_agg" -> (q1Agg _),
@@ -232,7 +255,33 @@ object RelationalQueries {
     "distinct_agg" -> (distinctAgg _)
   )
 
+  /** One unrolled PageRank power-iteration step: `cur` from `prev` —
+    * same arithmetic, op for op, as [[graft.scale.PageRank.run]]. */
+  private def prStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
+       |         + 0.85 * COALESCE(m.mass, 0) AS rank
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst, SUM(r.rank / d.outdeg) AS mass
+       |    FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |    GROUP BY e.dst) m ON m.dst = nd.node)""".stripMargin
+
+  private val pagerankSql: String =
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(1 to 5).map(i => prStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_e6
+       |FROM r5 ORDER BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pagerank" -> pagerankSql,
     "triangle_count" ->
       """WITH o AS (
         |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d

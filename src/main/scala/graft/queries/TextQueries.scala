@@ -338,6 +338,41 @@ object TextQueries {
       .limit(20)
   }
 
+  /** CCNet-style n-gram language-model quality score per document: train
+    * a bigram model ON THE CORPUS ITSELF (conditional frequencies
+    * P(w2|w1) = c(w1 w2) / c(w1·), where c(w1·) counts w1 as a bigram
+    * LEFT context so the conditionals sum to 1 per context), then score
+    * each document by the per-bigram conditional probabilities — the
+    * in-domain-fluency filter the CCNet/RedPajama pipelines run with a
+    * KenLM model; here the model is the corpus's own MLE bigram table,
+    * which keeps the whole operator inside the engine and the oracle.
+    * Each conditional is e4-fixed BEFORE the per-doc sum, so the document
+    * aggregate is an integer sum — engine-identical, like the Gopher
+    * signals below. Plan shape: one (w1,w2) count and one (w1) count over
+    * the corpus (vocab-sized results, broadcast back), one explode-join,
+    * one per-doc rollup; the model tables are the only small side, the
+    * corpus is never joined to itself. */
+  def lmDocScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val len = greatest(size(ws) - 1, lit(0))
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(zip_with(
+        slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(broadcast(biCounts), Seq("w1", "w2"))
+      .join(broadcast(ctxCounts), Seq("w1"))
+      .withColumn("p_e4",
+        round(lit(10000.0) * col("c12") / col("c1")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e4")).as("score_sum_e4"))
+      .withColumn("avg_e4",
+        floor(col("score_sum_e4") / col("n_bigrams")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher/MassiveText-style repetition quality signals per document:
     * duplicate-word fraction (1 - distinct/total), top-word dominance
     * (most frequent word's share), and duplicate-3-gram fraction —
@@ -385,6 +420,7 @@ object TextQueries {
     "html_strip" -> (htmlStrip _),
     "domain_stats" -> (domainStats _),
     "top_bigrams" -> (topBigrams _),
+    "lm_doc_score" -> (lmDocScore _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
@@ -434,6 +470,26 @@ object TextQueries {
         |  FROM w WHERE len(ws) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "lm_doc_score" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |bb AS (
+        |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+        |         string_split(bigram, ' ')[2] AS w2
+        |  FROM b),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bb GROUP BY w1, w2),
+        |cc AS (SELECT w1, COUNT(*) AS c1 FROM bb GROUP BY w1),
+        |ds AS (
+        |  SELECT bb.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(ROUND(10000.0 * bc.c12 / cc.c1) AS BIGINT)) AS BIGINT) AS score_sum_e4
+        |  FROM bb JOIN bc USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY bb.doc_id)
+        |SELECT doc_id, n_bigrams, score_sum_e4,
+        |  CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
+        |FROM ds ORDER BY doc_id""".stripMargin,
     // closed-form expectation, NOT a rerun of the strip chain: on the
     // markup-free single-spaced fixture the cleaned text must be exactly
     // `text || ' & tail'`

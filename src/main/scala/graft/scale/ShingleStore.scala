@@ -48,6 +48,25 @@ object ShingleStore {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val sketchMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val frameMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  /** Generic stored derived frame, keyed by (session, fixture dir, name):
+    * computed once, written to a session-scoped parquet path, served by
+    * reading that path (same survives-clearCache rationale as the shingle
+    * frames above). Used for any per-corpus artifact shared by several
+    * declared queries — e.g. the dup-cluster component labeling read by
+    * both `dup_clusters` and `dedup_collapse`. */
+  def stored(spark: SparkSession, dir: String, name: String)
+            (build: => DataFrame): DataFrame = {
+    val path = frameMemo.getOrElseUpdate(
+      (ColumnBridge.sessionUuid(spark), dir, name), {
+        val p = tempDir(s"graft-$name-").toString
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+    spark.read.parquet(path)
+  }
 
   // session-scoped scratch dirs are deleted when the JVM exits — without
   // this every Verify/Bench/test JVM would leave its frames in /tmp
