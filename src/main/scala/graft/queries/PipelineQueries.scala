@@ -296,7 +296,150 @@ object PipelineQueries {
   def bpeSegments(spark: SparkSession, dir: String): DataFrame =
     bpeDocStats(spark, dir).select(col("doc_id"), col("token_chars"))
 
+  /** English-stopword list for the classifier's fluency feature — tiny on
+    * purpose (the feature, not the list, is the point). */
+  private val lrStopwords =
+    Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for")
+
+  /** Per-document feature row for the quality classifier: bias, scaled
+    * word count, lexical diversity (distinct/total), English-stopword
+    * ratio; label y = (lang = 'en'). Every feature is a ratio/scale of
+    * integer counts, so both engines start from bit-identical doubles. */
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stop = array(lrStopwords.map(lit): _*)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      lit(1.0).as("x0"),
+      (size(ws) / lit(100.0)).as("x1"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("x2"),
+      (size(filter(ws, w => array_contains(stop, w))).cast("double") / size(ws)).as("x3"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  /** Trained classifier scores, stored once per (session, corpus): a
+    * logistic-regression quality filter (the GPT-3/CCNet-style "curated
+    * vs raw" classifier) trained INSIDE the engine by 5 full-batch
+    * gradient-descent steps at lr=1. Each step is ONE aggregation over
+    * the feature frame (gradient components partial-aggregate map-side;
+    * only 4 doubles reach the driver), so training cost is 5 scans no
+    * matter the corpus size — the model is tiny, the data never moves.
+    *
+    * Determinism across engines: each gradient component is e9-quantized
+    * (`round(avg·1e9)` → integer) before the weight update, so Spark and
+    * the oracle carry BIT-IDENTICAL weight doubles into every iteration —
+    * float summation-order noise (~1e-15) is crushed against the e9 grid
+    * each step instead of compounding. The final sigmoid is one exp per
+    * row, e6-fixed at the boundary. */
+  private def lrScores(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "lr-scores") {
+      // cached for the 5 training scans; the frame is (doc_id, 4 doubles,
+      // label) — far smaller than the corpus at any scale
+      val feats = lrFeatures(spark, dir).persist()
+      val w = Array(0.0, 0.0, 0.0, 0.0)
+      def z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      for (_ <- 1 to 5) {
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = feats.select(
+          (0 to 3).map(j =>
+            round(avg((col("y") - p) * col(s"x$j")) * lit(1000000000.0))
+              .cast("long").as(s"g$j")): _*).head()
+        for (j <- 0 to 3) w(j) += g.getLong(j) / 1.0e9
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      feats.select(
+        col("doc_id"),
+        col("y").cast("long").as("label"),
+        round(p * lit(1000000.0)).cast("long").as("score_e6"))
+    }
+
+  /** Per-document quality score from the corpus-trained logistic
+    * regression — the filter a pre-training pipeline thresholds on. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    lrScores(spark, dir).orderBy(col("doc_id"))
+
+  /** ROC-AUC of the trained classifier (Mann-Whitney U with the standard
+    * half-credit tie handling). Scale shape: scores aggregate per
+    * `score_e6` FIRST — the e6 grid bounds the distinct domain at ~1e6
+    * values no matter the corpus size — then the cumulative negative
+    * count is a TWO-LEVEL prefix sum so no single reducer ever sees the
+    * whole histogram: a window PARTITIONED by a width-100 score bucket
+    * (≤10 histogram rows each) plus per-bucket prior offsets whose
+    * count is hard-bounded at 10001 by the e6 grid itself — that bound
+    * (not the data) is what licenses the one driver-side prefix scan.
+    * All inputs are integers (and exact .5 halves), so U is exact in
+    * both engines. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byScore = lrScores(spark, dir)
+      .groupBy(col("score_e6"))
+      .agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
+      .withColumn("bucket", expr("score_e6 DIV 100"))
+      .persist()
+    val totals = byScore.groupBy(col("bucket")).agg(sum(col("nn")).as("bnn"))
+      .orderBy(col("bucket")).collect() // ≤ 10001 rows by the e6 grid
+    var acc = 0L
+    val priors = totals.map { r =>
+      val p = acc; acc += r.getLong(1); (r.getLong(0), p)
+    }.toSeq.toDF("bucket", "prior_nn")
+    val within = Window.partitionBy(col("bucket")).orderBy(col("score_e6"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = byScore
+      .join(broadcast(priors), "bucket")
+      .withColumn(
+        "cum_nn",
+        col("prior_nn") + coalesce(sum(col("nn")).over(within), lit(0L)))
+      .select(
+        col("np"), col("nn"),
+        (col("np") * (col("cum_nn") + col("nn") / lit(2.0))).as("u"))
+    contrib.agg(
+      sum(col("np")).cast("long").as("n_pos"),
+      sum(col("nn")).cast("long").as("n_neg"),
+      round(sum(col("u")) / (sum(col("np")) * sum(col("nn"))) * lit(1000000.0))
+        .cast("long").as("auc_e6"))
+  }
+
+  /** Shared WITH-prefix for the classifier oracles: features + the same
+    * 5 e9-quantized gradient steps unrolled as CTE pairs (g_i, w_i) —
+    * arithmetic matches [[lrScores]] op for op. */
+  private def lrStep(prev: String, g: String, cur: String): String = {
+    def dot(w: String) = s"$w.w0*x0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3"
+    val comps = (0 to 3).map(j =>
+      s"CAST(ROUND(AVG((y - 1.0/(1.0 + EXP(-(${dot("w")}))))*x$j)*1000000000.0) AS BIGINT) AS g$j")
+      .mkString(",\n    ")
+    s"""$g AS (
+       |  SELECT $comps
+       |  FROM f, $prev w),
+       |$cur AS (
+       |  SELECT w.w0 + g.g0/1000000000.0 AS w0, w.w1 + g.g1/1000000000.0 AS w1,
+       |         w.w2 + g.g2/1000000000.0 AS w2, w.w3 + g.g3/1000000000.0 AS w3
+       |  FROM $prev w, $g g)""".stripMargin
+  }
+
+  private val lrSqlPrefix: String = {
+    val stopList = lrStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    1.0 AS x0,
+       |    len(string_split(text, ' ')) / 100.0 AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x2,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x3,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to 5).map(i => lrStep(s"w${i - 1}", s"g$i", s"w$i")).mkString(",\n")},
+       |s AS (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |    CAST(ROUND(1.0/(1.0 + EXP(-(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)))*1000000.0) AS BIGINT) AS score_e6
+       |  FROM f, w5 w)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier" -> (qualityClassifier _),
+    "classifier_auc" -> (classifierAuc _),
     "bpe_tokenize" -> (bpeTokenize _),
     "bpe_segments" -> (bpeSegments _),
     "deterministic_split" -> (deterministicSplit _),
@@ -309,6 +452,26 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_classifier" ->
+      s"""$lrSqlPrefix
+         |SELECT doc_id, label, score_e6 FROM s ORDER BY doc_id""".stripMargin,
+    // rank formulation of the same U statistic the engine computes via the
+    // bounded score histogram: avg rank = min rank + (ties-1)/2; both are
+    // exact integer/half arithmetic, so the two forms agree exactly
+    "classifier_auc" ->
+      s"""$lrSqlPrefix,
+         |r AS (
+         |  SELECT label,
+         |    RANK() OVER (ORDER BY score_e6)
+         |      + (COUNT(*) OVER (PARTITION BY score_e6) - 1) / 2.0 AS ar
+         |  FROM s),
+         |a AS (
+         |  SELECT SUM(CASE WHEN label = 1 THEN ar END) AS rsum,
+         |         SUM(label) AS n1, SUM(1 - label) AS n0
+         |  FROM r)
+         |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+         |  CAST(ROUND((rsum - n1*(n1 + 1)/2.0) / (n1*n0) * 1000000.0) AS BIGINT) AS auc_e6
+         |FROM a""".stripMargin,
     "bpe_segments" ->
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
