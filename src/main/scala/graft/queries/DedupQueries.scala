@@ -67,6 +67,32 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C4-style boilerplate screen at corpus frequency: for every document,
+    * the fraction of its distinct word-3-grams that recur in ≥ 3 documents
+    * corpus-wide — the signal behind "discard any span that appeared
+    * elsewhere" cleanup (navigation chrome, license footers, templated
+    * spans). Unlike the pairwise dedup family this is an AGGREGATE screen:
+    * gram → document-frequency is one hash-partitioned groupBy on the gram
+    * (the same stored shingle frame every other dedup operator reads), the
+    * join back is gram-co-partitioned (exchange reused from the groupBy),
+    * and the per-doc roll-up is one more shuffle — no pairs are ever
+    * formed, so cost is linear in total grams at any corpus size. At
+    * 100 TB the gram join key would be a 128-bit hash of the gram rather
+    * than the string (same plan, narrower shuffle). */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("dfreq") >= 3, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_sh"), col("n_common"),
+        round(col("n_common") * lit(10000.0) / col("n_sh")).cast("long")
+          .as("boiler_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (at 100 TB the
     * block key is an LSH band or IVF centroid — the join shape is
     * identical): same-label pairs with cosine similarity ≥ 0.4. */
@@ -332,6 +358,7 @@ object DedupQueries {
     "exact_dedup" -> (exactDedup _),
     "dedup_anti_join" -> (dedupAntiJoin _),
     "ngram_jaccard" -> (ngramJaccard _),
+    "boilerplate_ngrams" -> (boilerplateNgrams _),
     "embedding_neardup" -> (embeddingNeardup _),
     "dup_clusters" -> (dupClusters _),
     "dedup_collapse" -> (dedupCollapse _)
@@ -438,6 +465,24 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = p.b_id
         |WHERE p.inter * 5 >= na.n + nb.n - p.inter
         |ORDER BY p.a_id, p.b_id""".stripMargin,
+    // mirrors the stored shingle frame's bounds: doc_id < 1000, ≥ 3 words,
+    // DISTINCT grams per doc; the ratio is integer/10000 — engine-exact
+    "boilerplate_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |dfreq AS (SELECT sh, COUNT(*) AS dfreq FROM sh GROUP BY sh)
+        |SELECT s.doc_id, COUNT(*) AS n_sh,
+        |  CAST(SUM(CASE WHEN d.dfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(round(SUM(CASE WHEN d.dfreq >= 3 THEN 1 ELSE 0 END) * 10000.0
+        |    / COUNT(*)) AS BIGINT) AS boiler_e4
+        |FROM sh s JOIN dfreq d USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "embedding_neardup" ->
       s"""WITH p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

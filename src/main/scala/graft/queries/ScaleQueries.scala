@@ -388,6 +388,50 @@ object ScaleQueries {
         round(col("d") * 10000).cast("long").as("dist_e4"), col("rn"))
   }
 
+  /** The deterministic split rule of `deterministic_split` applied to a
+    * vector id — same salted-md5 first-two-hex-chars bucketing, so the
+    * eval split of an embedding row is stable across engines and reruns. */
+  private def splitOf(id: org.apache.spark.sql.Column) = {
+    val h2 = substring(
+      md5(concat(lit("split:"), id.cast("string")).cast("binary")), 1, 2)
+    when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train")
+  }
+
+  /** Embedding-level train/test decontamination — the semantic analog of
+    * X36's shingle-overlap screen: a test-split vector whose nearest
+    * TRAIN-split vector lies within squared-L2 1.2 is a near-duplicate of
+    * training data and leaks eval signal (paraphrases and re-encodings
+    * that shingle overlap can't see). Candidates come from the shared IVF
+    * index with the corpus side narrowed to the train split BEFORE the
+    * cell join, so the pair count is cell-blocked — never test × train —
+    * and the per-test nearest hit is one WindowGroupLimit rank. The
+    * threshold compares the e4-ROUNDED distance, keeping the cut engine-
+    * exact. Headline probes 4/16 cells (rows-only, recall follows probe
+    * coverage as in ivf_topk); [[semanticDecontamPrecision]] probes every
+    * cell, which makes the same plan exact and oracle-checkable. */
+  private def semanticDecontam(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val index = defaultIndex(spark, dir)
+    val tests = Tables.embeddings(spark, dir)
+      .filter(splitOf(col("vec_id")) === "test")
+    Ivf.knnJoin(index, tests, k = 1, nprobe = nprobe,
+        corpusFilter = splitOf(col("vec_id")) === "train")
+      .withColumn("dist_e4", round(col("d") * 10000).cast("long"))
+      .filter(col("dist_e4") <= 12000)
+      .select(col("q_id").as("test_id"), col("n_id").as("train_id"),
+        col("dist_e4"))
+      .orderBy(col("test_id"))
+  }
+
+  def semanticDecontamQ(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontam(spark, dir, nprobe = 4)
+
+  /** All-cells parameterization: probing every IVF cell makes the blocked
+    * join exhaustive over the train split, so the output must equal the
+    * brute-force nearest-train-neighbor screen — the DuckDB oracle. */
+  def semanticDecontamPrecision(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontam(spark, dir, nprobe = 16)
+
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
 
@@ -464,7 +508,9 @@ object ScaleQueries {
     "frame_sample" -> (frameSample _),
     "ivf_precision" -> (ivfPrecision _),
     "minhash_precision" -> (minhashPrecision _),
-    "lsh_precision" -> (lshPrecision _)
+    "lsh_precision" -> (lshPrecision _),
+    "semantic_decontam" -> (semanticDecontamQ _),
+    "semantic_decontam_precision" -> (semanticDecontamPrecision _)
   )
 
   private def sqL2Sql(a: String, b: String): String =
@@ -512,6 +558,27 @@ object ScaleQueries {
          |      FROM embeddings e CROSS JOIN q)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // all-cells probe ⇒ the blocked decontamination join is exhaustive
+    // over the train split ⇒ must equal the brute-force nearest-train
+    // screen; threshold applied to the e4-rounded distance in both engines
+    "semantic_decontam_precision" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+         |         WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+         |    ${sqL2Sql("t.embedding", "r.embedding")} AS d
+         |  FROM s t JOIN s r ON t.split = 'test' AND r.split = 'train'),
+         |r AS (
+         |  SELECT test_id, train_id, d,
+         |    row_number() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+         |  FROM d)
+         |SELECT test_id, train_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM r WHERE rn = 1 AND round(d * 10000) <= 12000
+         |ORDER BY test_id""".stripMargin,
     "minhash_precision" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

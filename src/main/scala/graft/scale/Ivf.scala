@@ -2,7 +2,7 @@ package graft.scale
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.VectorOps
@@ -120,14 +120,19 @@ object Ivf {
     * ONE cell), so no dedup shuffle is needed. ScaleSpec measures recall
     * against the exact join. */
   def knnJoin(index: Index, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusFilter: Column = lit(true)): DataFrame = {
     val cents = index.centroids
     val probe = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
       nearestCells(cents, if (v == null) null else v.toArray, nprobe)
     }
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
       .withColumn("cell", explode(probe(col("q_emb"))))
-    val corpus = index.assigned
+    // the filter narrows the CORPUS side before the cell join (and before
+    // the rank window — filtering ranked rows after the fact would change
+    // which neighbors survive), e.g. decontamination joins test queries
+    // against the train-split subset of the shared index
+    val corpus = index.assigned.filter(corpusFilter)
       .withColumnRenamed(idCol, "n_id").withColumnRenamed(vecCol, "n_emb")
     val pairs = q.join(corpus, "cell")
       .filter(col("q_id") =!= col("n_id"))

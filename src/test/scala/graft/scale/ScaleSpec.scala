@@ -264,6 +264,25 @@ class ScaleSpec extends SparkSpec {
     assert(blocked == exhaustive, s"blocked=$blocked exhaustive=$exhaustive")
   }
 
+  test("semantic_decontam headline is sound vs the exact screen; exact at full probe") {
+    // the nprobe=4 headline may MISS contaminated test vectors (probe
+    // coverage), but every hit it emits must be a genuinely contaminated
+    // test id with a distance no better than the true nearest-train hit;
+    // the all-cells parameterization must equal the exact screen
+    val exact = graft.queries.ScaleQueries.semanticDecontamPrecision(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val headline = graft.queries.ScaleQueries.semanticDecontamQ(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact.nonEmpty, "fixture should contain contaminated test vectors")
+    val exactBest = exact.map(r => r._1 -> r._3).toMap
+    headline.foreach { case (testId, _, d) =>
+      assert(exactBest.contains(testId), s"false positive test_id=$testId")
+      assert(d >= exactBest(testId), s"headline beat the exact nearest for $testId")
+    }
+    assert(headline.size * 2 >= exact.size,
+      s"nprobe=4 recall collapsed: ${headline.size}/${exact.size}")
+  }
+
   test("split_contamination banded prefilter loses no qualifying pair (superset at fixture scale)") {
     // the declared query narrows the exact shingle equi-join to MinHash
     // banded candidates (1-row bands, k=64); the banding must be a
