@@ -296,6 +296,56 @@ object PipelineQueries {
   def bpeSegments(spark: SparkSession, dir: String): DataFrame =
     bpeDocStats(spark, dir).select(col("doc_id"), col("token_chars"))
 
+  /** DSIR-style importance weights for domain matching (Xie et al.: data
+    * selection via importance resampling, the RedPajama-v2/DoReMi-era
+    * alternative to a trained classifier): per-document log-importance
+    * log(p_target/p_raw) under unigram bag-of-words models of the target
+    * domain (the English subcorpus — the same curated proxy the quality
+    * classifier trains on) vs the raw corpus, Laplace-smoothed over the
+    * raw vocabulary. The paper hashes n-grams into buckets; with the
+    * fixture's closed vocabulary the exact unigram table IS the bucketed
+    * model (documented, not hidden).
+    *
+    * Determinism: each word's smoothed ratio is an exact rational
+    * evaluated in one fixed double op chain, its log is e6-quantized at
+    * the WORD level, and the document score is then an INTEGER sum of
+    * count×lr_e6 — order-free, so partial aggregation cannot perturb it.
+    * Plan shape: per-(doc,word) counts (one shuffle), two vocab-sized
+    * model tables + a 1-row scalar frame (broadcast), one per-doc integer
+    * rollup — the corpus never self-joins, exactly the lm_doc_score
+    * template. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val perDoc = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val tot = toks.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"),
+      countDistinct(col("w")).as("v"))
+    val model = raw
+      .join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr_e6",
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+            (col("nr") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double") *
+            (col("nt") + col("v")).cast("double"))) * 1000000.0)
+          .cast("long"))
+      .select(col("w"), col("lr_e6"))
+    perDoc.join(broadcast(model), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * col("lr_e6")).cast("long").as("dsir_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** English-stopword list for the classifier's fluency feature — tiny on
     * purpose (the feature, not the list, is the point). */
   private val lrStopwords =
@@ -440,6 +490,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_classifier" -> (qualityClassifier _),
     "classifier_auc" -> (classifierAuc _),
+    "dsir_weights" -> (dsirWeights _),
     "bpe_tokenize" -> (bpeTokenize _),
     "bpe_segments" -> (bpeSegments _),
     "deterministic_split" -> (deterministicSplit _),
@@ -472,6 +523,30 @@ object PipelineQueries {
          |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
          |  CAST(ROUND((rsum - n1*(n1 + 1)/2.0) / (n1*n0) * 1000000.0) AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
+    // ratio evaluated in the same fixed double op chain, ln e6-quantized
+    // per WORD, then an integer count×lr_e6 sum per document
+    "dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE w <> ''),
+        |perdoc AS (SELECT doc_id, w, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+        |raw AS (SELECT w, COUNT(*) AS cr FROM t2 GROUP BY 1),
+        |tgt AS (SELECT w, COUNT(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+        |    COUNT(*) AS nr, COUNT(DISTINCT w) AS v
+        |  FROM t2),
+        |model AS (
+        |  SELECT r.w, CAST(ROUND(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)) /
+        |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) AS lr_e6
+        |  FROM raw r LEFT JOIN tgt USING (w), tot)
+        |SELECT p.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c * lr_e6) AS BIGINT) AS dsir_e6
+        |FROM perdoc p JOIN model m USING (w)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "bpe_segments" ->
       """SELECT doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT) AS token_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -266,7 +266,34 @@ object VectorQueries {
         |SELECT label, CAST(s.pos AS INT) AS pos, COUNT(*) AS n,
         |  CAST(SUM(round(CAST(s.v AS DOUBLE) * 10000)) AS BIGINT) AS sum_e4
         |FROM e WHERE s.pos < 8
-        |GROUP BY label, s.pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, s.pos ORDER BY label, pos""".stripMargin,
+    // same e4-fixed explode as label_centroids; ranks compare the exact
+    // integer d²·n², the double division is display-only after ranking
+    "embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT label, vec_id,
+        |    unnest(list_transform(generate_series(1, len(embedding)),
+        |      i -> {'pos': i - 1, 'v': embedding[i]})) AS s
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, vec_id, s.pos AS pos,
+        |    CAST(round(CAST(s.v AS DOUBLE) * 10000) AS BIGINT) AS v_e4
+        |  FROM e),
+        |cent AS (
+        |  SELECT label, pos, COUNT(*) AS n, SUM(v_e4) AS s_e4
+        |  FROM ex GROUP BY label, pos),
+        |d AS (
+        |  SELECT ex.label, ex.vec_id, MAX(c.n) AS n,
+        |    SUM((ex.v_e4 * c.n - c.s_e4) * (ex.v_e4 * c.n - c.s_e4)) AS d2n2
+        |  FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+        |  GROUP BY ex.label, ex.vec_id),
+        |r AS (
+        |  SELECT label, vec_id, n, d2n2,
+        |    row_number() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS rank
+        |  FROM d)
+        |SELECT label, CAST(rank AS INT) AS rank, vec_id,
+        |  CAST(round(CAST(d2n2 AS DOUBLE) / CAST(n * n AS DOUBLE) / 100.0) AS BIGINT) AS dist2_e6
+        |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin
   )
 
   /** Per-label centroid accumulation — the class-prototype / IVF-cell
@@ -284,6 +311,42 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"),
         sum(round(col("v").cast("double") * 10000).cast("long")).as("sum_e4"))
       .orderBy(col("label"), col("pos"))
+
+  /** Embedding outlier screen — the curation pass that catches mislabeled
+    * or corrupted samples before training: per label, the 3 vectors
+    * farthest (squared L2) from their own label's centroid. The whole
+    * ranking chain is order-free integer arithmetic: values are e4-fixed,
+    * centroid sums are integer, and each vector's distance is compared as
+    * d²·n² = Σ_pos (v_e4·n − Σv_e4)² — an exact integer (n is constant
+    * within a label, so the n² factor never reorders ranks); the one
+    * double division happens after ranking, for display. Plan shape: a
+    * map-side explode into a (label, pos) aggregate (labels × dims rows —
+    * tiny), a broadcast join back, a per-vector integer rollup, and a
+    * per-label rank that compiles to WindowGroupLimit. Integer headroom:
+    * |v_e4·n| ≤ 1e4·n, so the squared sum stays under 2⁶³ through
+    * n ≈ 10⁵ vectors per label × 64 dims; beyond that, rank on the
+    * drift-style fixed-order double chain instead. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v_e4", round(col("v").cast("double") * 10000).cast("long"))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e4")).as("s_e4"))
+    val d2 = ex.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("diff", col("v_e4") * col("n") - col("s_e4"))
+      .groupBy(col("label"), col("vec_id"), col("n"))
+      .agg(sum(col("diff") * col("diff")).as("d2n2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2n2").desc, col("vec_id").asc)
+    d2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("d2n2").cast("double") /
+          (col("n") * col("n")).cast("double") / 100.0).cast("long")
+          .as("dist2_e6"))
+      .orderBy(col("label"), col("rank"))
+  }
 
   /** Embedding drift monitor: per-label L2 distance between the OLD
     * corpus generation's centroid (vec_id < 250) and the NEW one's —
@@ -328,6 +391,7 @@ object VectorQueries {
     "knn_batch_agg" -> (knnBatchAgg _),
     "knn_cosine_top10" -> (knnCosineTop10 _),
     "rrf_fusion" -> (rrfFusion _),
-    "label_centroids" -> (labelCentroids _)
+    "label_centroids" -> (labelCentroids _),
+    "embedding_outliers" -> (embeddingOutliers _)
   )
 }
