@@ -352,7 +352,12 @@ object TextQueries {
     * the corpus (vocab-sized results, broadcast back), one explode-join,
     * one per-doc rollup; the model tables are the only small side, the
     * corpus is never joined to itself. */
-  def lmDocScore(spark: SparkSession, dir: String): DataFrame = {
+  def lmDocScore(spark: SparkSession, dir: String): DataFrame =
+    lmScores(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered per-doc LM fluency frame shared by [[lmDocScore]] and
+    * [[perplexityBuckets]]. */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     val len = greatest(size(ws) - 1, lit(0))
     val bi = Tables.documents(spark, dir)
@@ -370,7 +375,42 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e4")).as("score_sum_e4"))
       .withColumn("avg_e4",
         floor(col("score_sum_e4") / col("n_bigrams")).cast("long"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet head/middle/tail bucketing: per-language terciles of the
+    * bigram-LM fluency score — the split CCNet/RedPajama cut their crawl
+    * into before sampling mostly from the fluent "head". Terciles are
+    * boundaries-then-assign (X38's NtileBoundaries: per-lang boundary
+    * keys from one partial-aggregated sketch pass, broadcast back,
+    * buckets assigned map-side) — NEVER `ntile() OVER (PARTITION BY
+    * lang)`, whose per-language reducer sort grows linearly with the
+    * corpus. Exact ntile semantics below the 8192-docs-per-lang sketch
+    * cap (the oracle regime; KLL envelope beyond). The sort key packs
+    * (avg_e4, doc_id) into one long — avg_e4 ≤ 1e4 and doc_id < 2^36
+    * keep it inside the aggregator's 2^53 exactness bound. Tercile 3
+    * (most fluent) is the head. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScores(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("okey", col("avg_e4") * lit(1L << 36) + col("doc_id"))
+    val bounds = udaf(new graft.core.NtileBoundaries(3, 8192),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bs = scored.groupBy(col("lang")).agg(bounds(col("okey")).as("bs"))
+    scored.join(broadcast(bs), "lang")
+      .withColumn("tercile",
+        size(filter(col("bs"), b => b < col("okey"))) + lit(1))
+      .groupBy(col("lang"), col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).cast("long").as("total_bigrams"),
+        min(col("avg_e4")).as("min_avg_e4"),
+        max(col("avg_e4")).as("max_avg_e4"))
+      .withColumn("bucket",
+        when(col("tercile") === 3, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .select(col("lang"), col("tercile"), col("bucket"), col("n_docs"),
+        col("total_bigrams"), col("min_avg_e4"), col("max_avg_e4"))
+      .orderBy(col("lang"), col("tercile"))
   }
 
   /** Gopher/MassiveText-style repetition quality signals per document:
@@ -421,6 +461,7 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "top_bigrams" -> (topBigrams _),
     "lm_doc_score" -> (lmDocScore _),
+    "perplexity_buckets" -> (perplexityBuckets _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
@@ -490,6 +531,40 @@ object TextQueries {
         |SELECT doc_id, n_bigrams, score_sum_e4,
         |  CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
         |FROM ds ORDER BY doc_id""".stripMargin,
+    // the lm_doc_score frame + window-ntile terciles per language — the
+    // boundaries-then-assign engine plan reproduces exact ntile semantics
+    // below the sketch cap, so the window form is a valid oracle
+    "perplexity_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |bb AS (
+        |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+        |         string_split(bigram, ' ')[2] AS w2
+        |  FROM b),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bb GROUP BY w1, w2),
+        |cc AS (SELECT w1, COUNT(*) AS c1 FROM bb GROUP BY w1),
+        |ds AS (
+        |  SELECT bb.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(ROUND(10000.0 * bc.c12 / cc.c1) AS BIGINT)) AS BIGINT) AS score_sum_e4
+        |  FROM bb JOIN bc USING (w1, w2) JOIN cc USING (w1)
+        |  GROUP BY bb.doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, l.lang, d.n_bigrams,
+        |    CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
+        |  FROM ds d JOIN documents l ON d.doc_id = l.doc_id),
+        |q AS (
+        |  SELECT lang, n_bigrams, avg_e4,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_e4, doc_id) AS tercile
+        |  FROM sc)
+        |SELECT lang, CAST(tercile AS INT) AS tercile,
+        |  CASE WHEN tercile = 3 THEN 'head' WHEN tercile = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+        |  MIN(avg_e4) AS min_avg_e4, MAX(avg_e4) AS max_avg_e4
+        |FROM q GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin,
     // closed-form expectation, NOT a rerun of the strip chain: on the
     // markup-free single-spaced fixture the cleaned text must be exactly
     // `text || ' & tail'`

@@ -125,6 +125,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semantic_decontam: cell-blocked candidates, map-side top-1 trim, no pair blow-up") {
+    val p = planOf("semantic_decontam")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding_outliers: centroid table broadcasts, per-label top-3 trims map-side") {
+    val p = planOf("embedding_outliers")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir_weights and boilerplate_ngrams: model/df sides broadcast, no pair blow-up") {
+    Seq("dsir_weights", "boilerplate_ngrams").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$n: $p")
+    }
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a
