@@ -178,6 +178,28 @@ object DedupQueries {
       .orderBy(col("component"))
   }
 
+  /** SemDeDup-style semantic collapse (Abbas et al.: cluster embeddings,
+    * keep one member per near-duplicate group): connected components over
+    * the embedding-cosine near-dup graph ([[embeddingNeardup]]'s
+    * same-label cos ≥ 0.4 pairs — at 100 TB the block key is the IVF
+    * cell, exactly SemDeDup's k-means cluster), representative = the
+    * minimum vec_id, which the star-contraction labeling yields directly
+    * (component id IS the minimum member). Emits one row per surviving
+    * representative with the member count it stands for — the corpus
+    * after semantic dedup is exactly the keep_id set. Cost: the cosine
+    * pair join is label-blocked (never all-pairs) and the contraction is
+    * the shared O(log² n)-round machinery. */
+  def semanticCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val edges = embeddingNeardup(spark, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node"))
+    graft.scale.ConnectedComponents.components(edges, nodes)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("component").as("keep_id"), col("n_members"))
+      .orderBy(col("keep_id"))
+  }
+
   /** Incremental near-dup screen: a NEW batch (doc_id 150–499, the CDC
     * delta of a nightly crawl) against the EXISTING corpus (doc_id <
     * 150) — the sibling of incremental_reembed, and the shape that makes
@@ -361,7 +383,8 @@ object DedupQueries {
     "boilerplate_ngrams" -> (boilerplateNgrams _),
     "embedding_neardup" -> (embeddingNeardup _),
     "dup_clusters" -> (dupClusters _),
-    "dedup_collapse" -> (dedupCollapse _)
+    "dedup_collapse" -> (dedupCollapse _),
+    "semantic_collapse" -> (semanticCollapse _)
   )
 
   private val dotSql =
@@ -543,6 +566,28 @@ object DedupQueries {
     // component = min reachable node; the oracle takes the transitive
     // closure (fine at oracle scale — the engine side is the one that has
     // to be log-round star contraction)
+    // transitive closure over the same cosine edge set embedding_neardup
+    // declares; component representative = MIN member id in both engines
+    "semantic_collapse" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${dotSql.format("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql.format("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql.format("b.embedding", "b.embedding")})) AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |near AS (SELECT a_id, b_id FROM p WHERE sim >= 0.4),
+         |nodes AS (SELECT vec_id AS node FROM embeddings),
+         |edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM near
+         |  UNION SELECT b_id, a_id FROM near),
+         |reach(src, dst) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+         |SELECT component AS keep_id, COUNT(*) AS n_members
+         |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
     "dup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
