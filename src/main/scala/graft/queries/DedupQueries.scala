@@ -74,11 +74,13 @@ object DedupQueries {
     * spans). Unlike the pairwise dedup family this is an AGGREGATE screen:
     * gram → document-frequency is one hash-partitioned groupBy on the gram
     * (the same stored shingle frame every other dedup operator reads), the
-    * join back is gram-co-partitioned (exchange reused from the groupBy),
-    * and the per-doc roll-up is one more shuffle — no pairs are ever
-    * formed, so cost is linear in total grams at any corpus size. At
-    * 100 TB the gram join key would be a 128-bit hash of the gram rather
-    * than the string (same plan, narrower shuffle). */
+    * df table joins back on the gram, and the per-doc roll-up is one more
+    * shuffle — no pairs are ever formed, so cost is linear in total grams
+    * at any corpus size. At fixture scale the df table broadcasts (the
+    * plan PlanSpec pins); at corpus scale, where it can't, the join
+    * becomes a shuffle join whose df side arrives already partitioned by
+    * the groupBy, and the gram join key would be a 128-bit hash rather
+    * than the string (same shape, narrower shuffle). */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.scale.ShingleStore.docShingles(spark, dir)
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))

@@ -21,10 +21,8 @@ object PipelineQueries {
     * language: split skew per stratum is what a training pipeline
     * monitors. ~10% test, ~10% val by hex-range width. */
   def deterministicSplit(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train"))
+      .withColumn("split", SplitRule.of(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -211,9 +209,8 @@ object PipelineQueries {
   private def splitContaminationImpl(spark: SparkSession, dir: String,
       banded: Boolean): DataFrame = {
     import graft.scale.NearDup
-    val h2 = substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-      .withColumn("split", when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train"))
+      .withColumn("split", SplitRule.of(col("doc_id")))
     val splits = docs.select(col("doc_id"), col("split"))
     // stored frame (ShingleStore): computed once per session+dir and read
     // here with the split filter re-derived from doc_id — the banded path
@@ -310,24 +307,25 @@ object PipelineQueries {
     * evaluated in one fixed double op chain, its log is e6-quantized at
     * the WORD level, and the document score is then an INTEGER sum of
     * count×lr_e6 — order-free, so partial aggregation cannot perturb it.
-    * Plan shape: per-(doc,word) counts (one shuffle), two vocab-sized
-    * model tables + a 1-row scalar frame (broadcast), one per-doc integer
-    * rollup — the corpus never self-joins, exactly the lm_doc_score
-    * template. */
+    * Plan shape: ONE explode pass into per-(doc, word) counts (cached —
+    * raw/target model tables and the corpus totals all re-aggregate that
+    * frame, which is shuffle-partial-combined and orders of magnitude
+    * smaller than the token stream), two vocab-sized model tables + a
+    * 1-row scalar frame (broadcast), one per-doc integer rollup — the
+    * corpus never self-joins, exactly the lm_doc_score template. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val perDoc = toks.groupBy(col("doc_id"), col("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
-    val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
-    val tgt = toks.filter(col("lang") === "en")
-      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-    val tot = toks.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr"),
-      countDistinct(col("w")).as("v"))
+      .persist()
+    val raw = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cr"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(sum(col("c")).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
     val model = raw
       .join(tgt, Seq("w"), "left")
       .crossJoin(broadcast(tot))
@@ -381,11 +379,15 @@ object PipelineQueries {
     * float summation-order noise (~1e-15) is crushed against the e9 grid
     * each step instead of compounding. The final sigmoid is one exp per
     * row, e6-fixed at the boundary. */
-  private def lrScores(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.ShingleStore.stored(spark, dir, "lr-scores") {
+  private def lrScores(spark: SparkSession, dir: String): DataFrame = {
+    // the build block trains eagerly and stored() writes the result to
+    // parquet before returning, so the training cache can (and must) be
+    // released once stored() hands back the parquet-reading frame
+    var feats: DataFrame = null
+    val out = graft.scale.ShingleStore.stored(spark, dir, "lr-scores") {
       // cached for the 5 training scans; the frame is (doc_id, 4 doubles,
       // label) — far smaller than the corpus at any scale
-      val feats = lrFeatures(spark, dir).persist()
+      feats = lrFeatures(spark, dir).persist()
       val w = Array(0.0, 0.0, 0.0, 0.0)
       def z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
         lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
@@ -403,6 +405,9 @@ object PipelineQueries {
         col("y").cast("long").as("label"),
         round(p * lit(1000000.0)).cast("long").as("score_e6"))
     }
+    if (feats != null) feats.unpersist()
+    out
+  }
 
   /** Per-document quality score from the corpus-trained logistic
     * regression — the filter a pre-training pipeline thresholds on. */
@@ -415,18 +420,20 @@ object PipelineQueries {
     * values no matter the corpus size — then the cumulative negative
     * count is a TWO-LEVEL prefix sum so no single reducer ever sees the
     * whole histogram: a window PARTITIONED by a width-100 score bucket
-    * (≤10 histogram rows each) plus per-bucket prior offsets whose
-    * count is hard-bounded at 10001 by the e6 grid itself — that bound
-    * (not the data) is what licenses the one driver-side prefix scan.
-    * All inputs are integers (and exact .5 halves), so U is exact in
-    * both engines. */
+    * (≤100 histogram rows each — the e6 grid holds 100 distinct scores
+    * per bucket) plus per-bucket prior offsets whose count is
+    * hard-bounded at 10001 by the e6 grid itself — that bound (not the
+    * data) is what licenses the one driver-side prefix scan. All inputs
+    * are integers (and exact .5 halves), so U is exact in both engines.
+    * byScore is deliberately NOT cached: both of its readers scan the
+    * stored lr-scores parquet, and an un-unpersisted cache would outlive
+    * the query. */
   def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byScore = lrScores(spark, dir)
       .groupBy(col("score_e6"))
       .agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
       .withColumn("bucket", expr("score_e6 DIV 100"))
-      .persist()
     val totals = byScore.groupBy(col("bucket")).agg(sum(col("nn")).as("bnn"))
       .orderBy(col("bucket")).collect() // ≤ 10001 rows by the e6 grid
     var acc = 0L
@@ -568,11 +575,8 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "deterministic_split" ->
-      """WITH s AS (
-        |  SELECT lang, n_chars,
-        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
-        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
-        |         ELSE 'train' END AS split
+      s"""WITH s AS (
+        |  SELECT lang, n_chars, ${SplitRule.sql("doc_id")} AS split
         |  FROM documents)
         |SELECT lang, split, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -637,11 +641,8 @@ object PipelineQueries {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
     "split_contamination" ->
-      """WITH d AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
-        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
-        |         ELSE 'train' END AS split
+      s"""WITH d AS (
+        |  SELECT doc_id, text, ${SplitRule.sql("doc_id")} AS split
         |  FROM documents WHERE doc_id < 1000),
         |w AS (
         |  SELECT doc_id, split, string_split(text, ' ') AS ws FROM d

@@ -388,14 +388,10 @@ object ScaleQueries {
         round(col("d") * 10000).cast("long").as("dist_e4"), col("rn"))
   }
 
-  /** The deterministic split rule of `deterministic_split` applied to a
-    * vector id — same salted-md5 first-two-hex-chars bucketing, so the
-    * eval split of an embedding row is stable across engines and reruns. */
-  private def splitOf(id: org.apache.spark.sql.Column) = {
-    val h2 = substring(
-      md5(concat(lit("split:"), id.cast("string")).cast("binary")), 1, 2)
-    when(h2 < "1a", "test").when(h2 < "34", "val").otherwise("train")
-  }
+  /** The shared deterministic split rule ([[SplitRule]]) applied to a
+    * vector id, so the eval split of an embedding row is THE SAME
+    * assignment `deterministic_split` reports. */
+  private def splitOf(id: org.apache.spark.sql.Column) = SplitRule.of(id)
 
   /** Embedding-level train/test decontamination — the semantic analog of
     * X36's shingle-overlap screen: a test-split vector whose nearest
@@ -563,10 +559,7 @@ object ScaleQueries {
     // screen; threshold applied to the e4-rounded distance in both engines
     "semantic_decontam_precision" ->
       s"""WITH s AS (
-         |  SELECT vec_id, embedding,
-         |    CASE WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
-         |         WHEN substring(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
-         |         ELSE 'train' END AS split
+         |  SELECT vec_id, embedding, ${SplitRule.sql("vec_id")} AS split
          |  FROM embeddings),
          |d AS (
          |  SELECT t.vec_id AS test_id, r.vec_id AS train_id,

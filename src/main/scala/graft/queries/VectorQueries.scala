@@ -323,9 +323,10 @@ object VectorQueries {
     * map-side explode into a (label, pos) aggregate (labels × dims rows —
     * tiny), a broadcast join back, a per-vector integer rollup, and a
     * per-label rank that compiles to WindowGroupLimit. Integer headroom:
-    * |v_e4·n| ≤ 1e4·n, so the squared sum stays under 2⁶³ through
-    * n ≈ 10⁵ vectors per label × 64 dims; beyond that, rank on the
-    * drift-style fixed-order double chain instead. */
+    * |v_e4·n − Σv_e4| ≤ 2·1e4·n, so the 64-dim squared sum is bounded by
+    * 2.56e10·n² and stays under 2⁶³ through n ≈ 1.9e4 vectors per label;
+    * beyond that, rank on the drift-style fixed-order double chain
+    * instead. */
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"),
