@@ -95,6 +95,30 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental-crawl novelty score: the fraction of each document's
+    * distinct word-3-grams that the document INTRODUCES to the corpus
+    * (no smaller doc_id contains them) — with ingest-ordered ids this is
+    * "how much genuinely new content does each increment add", the
+    * marginal-value signal crawl scheduling ranks sources by. Aggregate
+    * shape like [[boilerplateNgrams]]: gram → min(doc_id) is one
+    * hash-partitioned groupBy over the stored shingle frame, the join
+    * back is the same gram-keyed join, the per-doc roll-up one shuffle —
+    * no pairs at any corpus size. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+    val firstSeen = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("doc_id"), col("n_sh"), col("n_new"),
+        round(col("n_new") * lit(10000.0) / col("n_sh")).cast("long")
+          .as("novel_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (at 100 TB the
     * block key is an LSH band or IVF centroid — the join shape is
     * identical): same-label pairs with cosine similarity ≥ 0.4. */
@@ -383,6 +407,7 @@ object DedupQueries {
     "dedup_anti_join" -> (dedupAntiJoin _),
     "ngram_jaccard" -> (ngramJaccard _),
     "boilerplate_ngrams" -> (boilerplateNgrams _),
+    "novelty_score" -> (noveltyScore _),
     "embedding_neardup" -> (embeddingNeardup _),
     "dup_clusters" -> (dupClusters _),
     "dedup_collapse" -> (dedupCollapse _),
@@ -507,6 +532,24 @@ object DedupQueries {
         |  CAST(round(SUM(CASE WHEN d.dfreq >= 3 THEN 1 ELSE 0 END) * 10000.0
         |    / COUNT(*)) AS BIGINT) AS boiler_e4
         |FROM sh s JOIN dfreq d USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // same stored-frame bounds as boilerplate_ngrams; first-introduction
+    // test is an integer min compare, the ratio integer/10000
+    "novelty_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |fs AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+        |SELECT s.doc_id, COUNT(*) AS n_sh,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(round(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 10000.0
+        |    / COUNT(*)) AS BIGINT) AS novel_e4
+        |FROM sh s JOIN fs f USING (sh)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "embedding_neardup" ->
       s"""WITH p AS (

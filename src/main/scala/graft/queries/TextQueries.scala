@@ -413,6 +413,36 @@ object TextQueries {
       .orderBy(col("lang"), col("tercile"))
   }
 
+  /** Character-level Shannon entropy per document — the gibberish/binary-
+    * junk quality signal (low entropy = degenerate repetition, near-max
+    * entropy for the alphabet = random noise; natural text sits in a
+    * band). Exact across engines without trusting transcendental
+    * aggregation: ln(k) is e6-quantized PER INTEGER COUNT, so
+    * H·N = N·L(N) − Σ c·L(c) is an order-free integer expression and the
+    * single double division happens once at the boundary. Plan: char
+    * explode → (doc, char) count (alphabet-bounded per doc) → per-doc
+    * integer rollup; map-side partials all the way. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnE6(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(k.cast("double")) * 1000000.0).cast("long")
+    val cc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    cc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("distinct_chars"),
+        sum(col("c")).cast("long").as("n_chars_counted"),
+        sum(col("c") * lnE6(col("c"))).cast("long").as("s_cln"))
+      .withColumn("entropy_e6",
+        round((col("n_chars_counted").cast("double") *
+          lnE6(col("n_chars_counted")).cast("double") -
+          col("s_cln").cast("double")) /
+          col("n_chars_counted").cast("double")).cast("long"))
+      .select(col("doc_id"), col("distinct_chars"), col("n_chars_counted"),
+        col("entropy_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher/MassiveText-style repetition quality signals per document:
     * duplicate-word fraction (1 - distinct/total), top-word dominance
     * (most frequent word's share), and duplicate-3-gram fraction —
@@ -462,6 +492,7 @@ object TextQueries {
     "top_bigrams" -> (topBigrams _),
     "lm_doc_score" -> (lmDocScore _),
     "perplexity_buckets" -> (perplexityBuckets _),
+    "char_entropy" -> (charEntropy _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
@@ -531,6 +562,22 @@ object TextQueries {
         |SELECT doc_id, n_bigrams, score_sum_e4,
         |  CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
         |FROM ds ORDER BY doc_id""".stripMargin,
+    // ln(k) e6-quantized per integer count in BOTH engines, so the
+    // entropy numerator is an exact integer; one double division at the end
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, COUNT(*) AS distinct_chars,
+        |    CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * CAST(ROUND(ln(c) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_cln
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, distinct_chars, n AS n_chars_counted,
+        |  CAST(ROUND((CAST(n AS DOUBLE) * CAST(CAST(ROUND(ln(n) * 1000000.0) AS BIGINT) AS DOUBLE)
+        |    - CAST(s_cln AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS entropy_e6
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the lm_doc_score frame + window-ntile terciles per language — the
     // boundaries-then-assign engine plan reproduces exact ntile semantics
     // below the sketch cap, so the window form is a valid oracle
