@@ -154,6 +154,38 @@ object TextQueries {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("rfp"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): per position take the MINIMUM k-gram hash over a window
+    * of w=4 consecutive word-3-gram hashes; the distinct selected hashes
+    * are the document's fingerprint set, guaranteeing any shared run of
+    * ≥ w+2 words yields a shared fingerprint while storing a ~1/w
+    * fraction of the hashes — the local fingerprinting layer under
+    * substring-level dedup. The hash is the md5 hex prefix (lexicographic
+    * min — a total order both engines share bit for bit). Plan: position
+    * explode (map-side), ONE window partitioned by doc_id (partition
+    * count grows with the corpus, never an enum), distinct + rollup. */
+  def winnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = Tables.documents(spark, dir)
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), (size(ws) - 2).cast("long").as("n_grams"),
+        posexplode(transform(
+          sequence(lit(0), size(ws) - 3),
+          i => substring(md5(concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2),
+            element_at(ws, i + 3))), 1, 16))).as(Seq("pos", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .filter(col("pos") <= col("n_grams") - 4) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("wmin")).as("n_fp"),
+        min(col("wmin")).as("first_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 top-10 for a 3-term query — the lexical half of hybrid
     * retrieval (rrf_fusion's keyword ranker upgraded to the standard
     * ranking function). Okapi parameters k1=1.2, b=0.75; the idf is the
@@ -493,6 +525,7 @@ object TextQueries {
     "lm_doc_score" -> (lmDocScore _),
     "perplexity_buckets" -> (perplexityBuckets _),
     "char_entropy" -> (charEntropy _),
+    "winnow_fp" -> (winnowFp _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
@@ -562,6 +595,28 @@ object TextQueries {
         |SELECT doc_id, n_bigrams, score_sum_e4,
         |  CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
         |FROM ds ORDER BY doc_id""".stripMargin,
+    // aligned unnests give (pos, hash); 1-based positions here vs 0-based
+    // in Spark, so full-window filter is pos <= n-3 vs pos <= n-4 — the
+    // same window set; md5-prefix min is a shared total order
+    "winnow_fp" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, len(ws) - 2 AS n_grams,
+        |    unnest(generate_series(1, len(ws) - 2)) AS pos,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16))) AS h
+        |  FROM w),
+        |s AS (
+        |  SELECT doc_id, n_grams, pos,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM g)
+        |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp, MIN(wmin) AS first_fp
+        |FROM s WHERE pos <= n_grams - 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ln(k) e6-quantized per integer count in BOTH engines, so the
     // entropy numerator is an exact integer; one double division at the end
     "char_entropy" ->
