@@ -154,6 +154,45 @@ object TextQueries {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("rfp"))
       .orderBy(col("doc_id"))
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * word distributions — the monitoring signal that flags a crawl
+    * source whose content shifted (spam flood, template change, language
+    * flip) before it pollutes the mix. Determinism follows the DSIR
+    * recipe: each word's probability ratio is an exact rational in one
+    * fixed double op chain, ln is e6-quantized PER (source, word), the
+    * per-source sum is then INTEGER Σ c·lr_e6 with the single division
+    * by the source token count at the boundary. Plan: one explode into
+    * (source, word) counts, word-marginal re-aggregation of that frame,
+    * broadcast of the vocab-sized corpus table, per-source rollup —
+    * never more than one pass over the token stream. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    val corpus = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val totals = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val grand = corpus.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    // Laplace-smoothed p_s(w) = (c+1)/(ns+v), p(w) = (cw+1)/(n+v);
+    // ratio evaluated exactly as in the oracle, ln e6-fixed per term
+    val lr = round(log(
+      ((col("c") + 1).cast("double") * (col("n") + col("v")).cast("double")) /
+        ((col("cw") + 1).cast("double") * (col("ns") + col("v")).cast("double"))) *
+      1000000.0).cast("long")
+    sw.join(broadcast(corpus), "w")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("t", col("c") * lr)
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), sum(col("t")).as("s"))
+      .withColumn("kl_e6",
+        round(col("s").cast("double") / col("n_tokens").cast("double"))
+          .cast("long"))
+      .select(col("source"), col("n_tokens"), col("kl_e6"))
+      .orderBy(col("source"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): per position take the MINIMUM k-gram hash over a window
     * of w=4 consecutive word-3-gram hashes; the distinct selected hashes
@@ -526,6 +565,7 @@ object TextQueries {
     "perplexity_buckets" -> (perplexityBuckets _),
     "char_entropy" -> (charEntropy _),
     "winnow_fp" -> (winnowFp _),
+    "source_kl" -> (sourceKl _),
     "bm25_topk" -> (bm25Topk _),
     "heavy_hitters" -> (heavyHitters _),
     "heavy_hitters_by_lang" -> (heavyHittersByLang _),
@@ -595,6 +635,25 @@ object TextQueries {
         |SELECT doc_id, n_bigrams, score_sum_e4,
         |  CAST(FLOOR(score_sum_e4 / n_bigrams) AS BIGINT) AS avg_e4
         |FROM ds ORDER BY doc_id""".stripMargin,
+    // DSIR-recipe determinism: ratio in one fixed double chain, ln
+    // e6-fixed per (source, word), integer weighted sum, one division
+    "source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, w, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY source, w),
+        |corpus AS (SELECT w, SUM(c) AS cw FROM sw GROUP BY w),
+        |totals AS (SELECT source, SUM(c) AS ns FROM sw GROUP BY source),
+        |grand AS (SELECT SUM(cw) AS n, COUNT(*) AS v FROM corpus),
+        |terms AS (
+        |  SELECT sw.source, sw.c * CAST(ROUND(ln(
+        |      (CAST(sw.c + 1 AS DOUBLE) * CAST(n + v AS DOUBLE)) /
+        |      (CAST(cw + 1 AS DOUBLE) * CAST(ns + v AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT) AS t, ns
+        |  FROM sw JOIN corpus USING (w) JOIN totals USING (source), grand)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  CAST(ROUND(CAST(SUM(t) AS DOUBLE) / CAST(MAX(ns) AS DOUBLE)) AS BIGINT) AS kl_e6
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // aligned unnests give (pos, hash); 1-based positions here vs 0-based
     // in Spark, so full-window filter is pos <= n-3 vs pos <= n-4 — the
     // same window set; md5-prefix min is a shared total order
