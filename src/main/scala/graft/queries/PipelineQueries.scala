@@ -344,6 +344,50 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The filtering-funnel report every pipeline paper publishes: run the
+    * quality battery as ORDERED stages (length → lexical diversity →
+    * stopword fluency → character entropy) and report, per stage, how
+    * many documents entered, survived, and were killed — the table that
+    * tells you which filter is doing the work and which is dead weight.
+    * Signals are the engine's own: integer-e4 ratios from one map pass
+    * plus the X80 entropy frame joined by doc_id; the funnel itself is
+    * one aggregation row stacked into 4 stage rows, so the whole report
+    * costs one corpus pass + the entropy aggregation at any scale. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stop = array(lrStopwords.map(lit): _*)
+    val sig = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        round(size(array_distinct(ws)) * lit(10000.0) / size(ws))
+          .cast("long").as("uniq_e4"),
+        round(size(filter(ws, w => array_contains(stop, w))) * lit(10000.0) /
+          size(ws)).cast("long").as("stop_e4"))
+      .join(TextQueries.charEntropy(spark, dir)
+        .select(col("doc_id"), col("entropy_e6")), "doc_id")
+    val staged = sig
+      .withColumn("p1", col("n_words") >= 25)
+      .withColumn("p2", col("p1") && (col("uniq_e4") >= 3500))
+      .withColumn("p3", col("p2") && (col("stop_e4") >= 200))
+      .withColumn("p4", col("p3") && (col("entropy_e6") >= 2750000L))
+    staged
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("n4"))
+      .selectExpr(
+        """stack(4,
+          |  1, 'length',    n0, n1,
+          |  2, 'diversity', n1, n2,
+          |  3, 'stopwords', n2, n3,
+          |  4, 'entropy',   n3, n4) AS (stage_no, stage, n_in, n_out)""".stripMargin)
+      .withColumn("n_killed", col("n_in") - col("n_out"))
+      .orderBy(col("stage_no"))
+  }
+
   /** English-stopword list for the classifier's fluency feature — tiny on
     * purpose (the feature, not the list, is the point). */
   private val lrStopwords =
@@ -498,6 +542,7 @@ object PipelineQueries {
     "quality_classifier" -> (qualityClassifier _),
     "classifier_auc" -> (classifierAuc _),
     "dsir_weights" -> (dsirWeights _),
+    "filter_funnel" -> (filterFunnel _),
     "bpe_tokenize" -> (bpeTokenize _),
     "bpe_segments" -> (bpeSegments _),
     "deterministic_split" -> (deterministicSplit _),
@@ -530,6 +575,49 @@ object PipelineQueries {
          |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
          |  CAST(ROUND((rsum - n1*(n1 + 1)/2.0) / (n1*n0) * 1000000.0) AS BIGINT) AS auc_e6
          |FROM a""".stripMargin,
+    // signals recomputed from scratch (entropy chain inlined from the
+    // char_entropy oracle); stages are ordered conjunctions; funnel rows
+    // stacked from one aggregate row
+    "filter_funnel" -> {
+      val stopList = lrStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |cc AS (
+         |  SELECT doc_id, ch, COUNT(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         |ent AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND((CAST(SUM(c) AS DOUBLE)
+         |        * CAST(CAST(ROUND(ln(SUM(c)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |      - CAST(SUM(c * CAST(ROUND(ln(c) * 1000000.0) AS BIGINT)) AS DOUBLE))
+         |      / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS entropy_e6
+         |  FROM cc GROUP BY doc_id),
+         |sg AS (
+         |  SELECT d.doc_id, len(ws) AS n_words,
+         |    CAST(round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS BIGINT) AS uniq_e4,
+         |    CAST(round(len(list_filter(ws, w -> w IN ($stopList))) * 10000.0 / len(ws)) AS BIGINT) AS stop_e4,
+         |    e.entropy_e6
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+         |  JOIN ent e USING (doc_id)),
+         |st AS (
+         |  SELECT (n_words >= 25) AS p1,
+         |    (n_words >= 25 AND uniq_e4 >= 3500) AS p2,
+         |    (n_words >= 25 AND uniq_e4 >= 3500 AND stop_e4 >= 200) AS p3,
+         |    (n_words >= 25 AND uniq_e4 >= 3500 AND stop_e4 >= 200
+         |      AND entropy_e6 >= 2750000) AS p4
+         |  FROM sg),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM st)
+         |SELECT CAST(1 AS INT) AS stage_no, 'length' AS stage, n0 AS n_in, n1 AS n_out, n0 - n1 AS n_killed FROM a
+         |UNION ALL SELECT 2, 'diversity', n1, n2, n1 - n2 FROM a
+         |UNION ALL SELECT 3, 'stopwords', n2, n3, n2 - n3 FROM a
+         |UNION ALL SELECT 4, 'entropy', n3, n4, n3 - n4 FROM a
+         |ORDER BY stage_no""".stripMargin
+    },
     // ratio evaluated in the same fixed double op chain, ln e6-quantized
     // per WORD, then an integer count×lr_e6 sum per document
     "dsir_weights" ->
