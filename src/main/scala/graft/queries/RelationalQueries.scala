@@ -217,6 +217,44 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Synchronous label propagation (5 iterations) over the customer
+    * co-order graph (customers < 60 sharing an order date — a clique-rich
+    * graph, unlike the bipartite PageRank one where sync LPA would
+    * oscillate): every node starts as its own community; each step every
+    * node adopts its neighbors' MAJORITY label, ties to the minimum — all
+    * integer counts and id compares, so unlike PageRank's double ranks
+    * the whole fixpoint is EXACTLY deterministic under any partitioning.
+    * Per-iteration cost: one join of the (partition-once) edge list with
+    * the |V|-row label vector, one (node, label) count, one per-node rank
+    * that compiles to WindowGroupLimit; shuffles carry labels, never the
+    * graph. Output: the surviving communities with sizes. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 60)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("d")).distinct()
+    val fwd = o.as("a")
+      .join(o.as("b"), col("a.d") === col("b.d") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("src"), col("b.c").as("dst")).distinct()
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")).persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node"))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to 5) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+    }
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
+      .select(col("lbl").as("community"), col("n_members"), col("first_node"))
+      .orderBy(col("community"))
+  }
+
   /** PageRank document/page prior over the part↔supplier fulfillment
     * graph (lineitem is the web-scale edge source: each distinct
     * (part, supplier) pair is an undirected edge, fed as both directions
@@ -241,6 +279,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> (pagerank _),
+    "label_prop" -> (labelProp _),
     "triangle_count" -> (triangleCount _),
     "having_subquery" -> (havingSubquery _),
     "q1_agg" -> (q1Agg _),
@@ -280,8 +319,35 @@ object RelationalQueries {
        |SELECT node, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_e6
        |FROM r5 ORDER BY node""".stripMargin
 
+  /** One unrolled synchronous LPA step: majority neighbor label, ties to
+    * the minimum — integer counts and id compares only. */
+  private def lpStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT src AS node, lbl FROM (
+       |    SELECT e.src, r.lbl, COUNT(*) AS c,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY COUNT(*) DESC, r.lbl) AS rn
+       |    FROM edges e JOIN $prev r ON r.node = e.dst
+       |    GROUP BY e.src, r.lbl)
+       |  WHERE rn = 1)""".stripMargin
+
+  private val labelPropSql: String =
+    s"""WITH o AS (
+       |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
+       |  FROM orders WHERE o_custkey < 60),
+       |fwd AS (
+       |  SELECT DISTINCT a.c AS src, b.c AS dst
+       |  FROM o a JOIN o b ON a.d = b.d AND a.c < b.c),
+       |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${(1 to 5).map(i => lpStep(s"l${i - 1}", s"l$i")).mkString(",\n")}
+       |SELECT lbl AS community, COUNT(*) AS n_members,
+       |  MIN(node) AS first_node
+       |FROM l5 GROUP BY lbl ORDER BY community""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
+    "label_prop" -> labelPropSql,
     "triangle_count" ->
       """WITH o AS (
         |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
