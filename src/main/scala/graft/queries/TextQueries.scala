@@ -215,13 +215,17 @@ object TextQueries {
             element_at(ws, i + 3))), 1, 16))).as(Seq("pos", "h")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    // two-level distinct: (doc, wmin) first, then counts — every agg
+    // buffer is a long, so both levels stay HashAggregate (a direct
+    // countDistinct/min over the string hashes planned as a 4-deep
+    // SortAggregate chain, 4+ s at sf0.1)
     grams
       .withColumn("wmin", min(col("h")).over(w))
       .filter(col("pos") <= col("n_grams") - 4) // full windows only
+      .groupBy(col("doc_id"), col("wmin"))
+      .agg(max(col("n_grams")).as("ng"))
       .groupBy(col("doc_id"))
-      .agg(max(col("n_grams")).as("n_grams"),
-        countDistinct(col("wmin")).as("n_fp"),
-        min(col("wmin")).as("first_fp"))
+      .agg(max(col("ng")).as("n_grams"), count(lit(1)).as("n_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -673,7 +677,7 @@ object TextQueries {
         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
         |  FROM g)
         |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
-        |  CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp, MIN(wmin) AS first_fp
+        |  CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp
         |FROM s WHERE pos <= n_grams - 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ln(k) e6-quantized per integer count in BOTH engines, so the
