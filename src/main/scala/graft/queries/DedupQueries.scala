@@ -373,13 +373,16 @@ object DedupQueries {
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val n = 8
     val minSpan = 12
-    val ws = split(col("text"), " ")
+    // split materialized once per row — element_at(split(...)) inside the
+    // transform lambda re-tokenizes per gram element, O(n·words²) per doc
     val grams = Tables.documents(spark, dir)
       .filter(col("doc_id") < 200)
-      .filter(size(ws) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
+        posexplode(transform(sequence(lit(0), size(col("__ws")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("__ws"), i + j + 1)): _*))))
       .toDF("doc_id", "pos", "g")
     val pairs = grams.as("a")
       .join(grams.as("b"),

@@ -204,15 +204,20 @@ object TextQueries {
     * explode (map-side), ONE window partitioned by doc_id (partition
     * count grows with the corpus, never an enum), distinct + rollup. */
   def winnowFp(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val grams = Tables.documents(spark, dir)
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"), (size(ws) - 2).cast("long").as("n_grams"),
+    // materialize the split ONCE per row before the gram lambda: an
+    // element_at(split(...)) inside transform() re-tokenizes the document
+    // for every gram element (O(words²) per doc — measured 5.8 s → 0.5 s
+    // at sf0.1 for the gram stage)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val grams = docs
+      .select(col("doc_id"), (size(col("ws")) - 2).cast("long").as("n_grams"),
         posexplode(transform(
-          sequence(lit(0), size(ws) - 3),
+          sequence(lit(0), size(col("ws")) - 3),
           i => substring(md5(concat_ws(" ",
-            element_at(ws, i + 1), element_at(ws, i + 2),
-            element_at(ws, i + 3))), 1, 16))).as(Seq("pos", "h")))
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))), 1, 16))).as(Seq("pos", "h")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
     // two-level distinct: (doc, wmin) first, then counts — every agg
@@ -537,11 +542,16 @@ object TextQueries {
       .agg(sum(col("n")).cast("long").as("n_words"),
         count(lit(1)).as("n_distinct_words"),
         max(col("n")).cast("long").as("top_word_n"))
-    val sh = docs.filter(size(ws) >= 3)
+    // split materialized once per row (see winnowFp: the inlined form
+    // re-tokenizes per gram element)
+    val sh = docs
+      .select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= 3)
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(0), size(ws) - 3),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+          sequence(lit(0), size(col("__ws")) - 3),
+          i => concat_ws(" ", element_at(col("__ws"), i + 1),
+            element_at(col("__ws"), i + 2), element_at(col("__ws"), i + 3))))
           .as("sh"))
     val shAgg = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -19,15 +19,19 @@ object NearDup {
   val NumHashes = 32
   val Bands = 8 // 4 rows per band → catches pairs from ~0.5 Jaccard up
 
-  /** Distinct word-3-gram shingles per document. */
+  /** Distinct word-3-gram shingles per document. The split is
+    * materialized ONCE per row before the gram lambda — an
+    * element_at(split(...)) inside transform() re-tokenizes the document
+    * for every gram element, O(words²) per doc. */
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = split(col(textCol), " ")
     docs
-      .filter(size(ws) >= 3)
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
       .select(col(idCol),
         explode(transform(
-          sequence(lit(0), size(ws) - 3),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+          sequence(lit(0), size(col("__ws")) - 3),
+          i => concat_ws(" ", element_at(col("__ws"), i + 1),
+            element_at(col("__ws"), i + 2), element_at(col("__ws"), i + 3))))
           .as("sh"))
       .distinct()
   }
