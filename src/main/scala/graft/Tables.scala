@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,15 +23,20 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as longs and convert to microsecond
-    * timestamps with integer division (ns epoch values exceed 2^53, so a
-    * double-valued division would corrupt them). */
+  /** `events.ts` arrives in whatever physical type the generator's parquet
+    * writer chose: TIMESTAMP(NANOS) (vectorized reader rejects it — read
+    * nanos as longs and integer-divide; ns epoch values exceed 2^53, so a
+    * double-valued division would corrupt them) or naive TIMESTAMP(MICROS)
+    * (Spark reads TIMESTAMP_NTZ, which the micros/epoch functions reject —
+    * reinterpret in the session zone, pinned to UTC everywhere, matching
+    * DuckDB's UTC epoch view of the same naive values). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

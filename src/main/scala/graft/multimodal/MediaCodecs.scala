@@ -12,8 +12,11 @@ import javax.sound.sampled.AudioSystem
   * (/root/reference/app.py:362-363); the north star asks for first-class
   * image/audio columns. Images decode through `javax.imageio` (png, jpeg,
   * gif, bmp — the formats the JDK ships readers for), audio through
-  * `javax.sound.sampled` (RIFF/WAVE PCM). Only video remains a documented
-  * stub ([[Multimodal.decodeStub]]) — no pure-JDK video codec exists.
+  * `javax.sound.sampled` (RIFF/WAVE PCM). Video: AVI-MJPEG decodes fully
+  * (RIFF walk + JDK JPEG frames, [[decodeAvi]]); MP4 gets a real
+  * STRUCTURAL decode (ISO-BMFF `moov` box walk, [[decodeMp4]] — frame
+  * payloads stay opaque, the JDK has no H.264 codec). Only mkv/webm
+  * remain provenance-marked stubs ([[Multimodal.decodeStub]]).
   *
   * Decoded metadata (dimensions, sample counts, pixel/sample sums) is
   * exactly deterministic, which is what makes the `media_meta` declared
@@ -49,6 +52,7 @@ object MediaCodecs {
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else "unknown"
   }
 
@@ -337,6 +341,136 @@ object MediaCodecs {
         if (used == 0) None else Some(unitNorm(v))
       } catch { case _: Exception => None }
     }
+
+  // ------------------------------------------------------------------- mp4
+
+  /** MP4 (ISO/IEC 14496-12 BMFF) STRUCTURAL metadata walk — no frame
+    * decode (the JDK ships no H.264/AAC codec; sample payloads stay
+    * opaque), but the `moov` box tree is plain big-endian integers, so
+    * dimensions, codec fourcc, frame count, and timing parse exactly:
+    * tkhd carries 16.16-fixed track width/height, mdhd the media
+    * timescale/duration, stsd the sample-entry fourcc, stts the sample
+    * delta, stsz the sample count. The first `vide`-handler track wins.
+    * This shrinks the video-stub surface to mkv/webm (EBML needs a
+    * varint parser AND ships no metadata without frame headers);
+    * `firstFrameSum` is 0 by contract — sample data is never touched. */
+  def decodeMp4(bytes: Array[Byte]): Either[String, VideoMeta] =
+    try {
+      if (sniff(bytes) != "mp4") Left("not an ISO-BMFF payload")
+      else {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        def fourcc(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        def u32(off: Int): Long = bb.getInt(off).toLong & 0xFFFFFFFFL
+        // per-trak parse state; committed on trak close if it is the
+        // first video track
+        final class Trak {
+          var w = 0; var h = 0; var codec = ""
+          var timescale = 0L; var duration = 0L
+          var frames = 0L; var delta = 0L; var video = false
+        }
+        var out: Trak = null
+        var cur: Trak = null
+        val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val sz = u32(p)
+            val id = fourcc(p + 4)
+            // size 1 (64-bit largesize) and 0 (to-EOF) stay unsupported in
+            // the skeleton walk — treat as torn and keep what parsed
+            if (sz < 8 || p + sz > until) return
+            val end = (p + sz).toInt
+            id match {
+              case "trak" =>
+                cur = new Trak
+                walk(p + 8, end)
+                if (out == null && cur != null && cur.video && cur.w > 0) out = cur
+                cur = null
+              case c if containers.contains(c) => walk(p + 8, end)
+              case "tkhd" if cur != null && bytes(p + 8) == 0 && sz >= 8 + 84 =>
+                cur.w = (u32(p + 8 + 76) >> 16).toInt // 16.16 fixed
+                cur.h = (u32(p + 8 + 80) >> 16).toInt
+              case "mdhd" if cur != null && bytes(p + 8) == 0 && sz >= 8 + 20 =>
+                cur.timescale = u32(p + 8 + 12)
+                cur.duration = u32(p + 8 + 16)
+              case "hdlr" if cur != null && sz >= 8 + 12 =>
+                cur.video = fourcc(p + 8 + 8) == "vide"
+              case "stsd" if cur != null && sz >= 8 + 16 =>
+                if (u32(p + 8 + 4) >= 1) cur.codec = fourcc(p + 8 + 12)
+              case "stts" if cur != null && sz >= 8 + 16 =>
+                if (u32(p + 8 + 4) >= 1) cur.delta = u32(p + 8 + 12)
+              case "stsz" if cur != null && sz >= 8 + 12 =>
+                cur.frames = u32(p + 8 + 8)
+              case _ => () // leaf we don't need (ftyp, mdat, stco, ...)
+            }
+            p = end
+          }
+        }
+        walk(0, bytes.length)
+        if (out == null) Left("mp4: no video track with a tkhd size")
+        else if (out.timescale <= 0) Left("mp4: video track has no mdhd timescale")
+        else if (out.frames <= 0) Left("mp4: stsz declares no samples")
+        else Right(VideoMeta("mp4", out.codec, out.w, out.h, out.frames,
+          out.delta * 1000000L / out.timescale,
+          out.duration * 1000000L / out.timescale, 0L))
+      }
+    } catch { case e: Exception => Left(s"mp4 decode: ${e.getMessage}") }
+
+  /** Assemble a minimal but spec-shaped MP4 skeleton (ftyp + moov tree +
+    * placeholder mdat) — fixture/test side of the metadata round-trip.
+    * `timescale` defaults to 1 MHz so per-frame and total timing are
+    * exact integers in both the decoder and the closed-form oracle. */
+  def encodeMp4Skeleton(width: Int, height: Int, nFrames: Int,
+      sampleDeltaUs: Long = 40000L, timescale: Long = 1000000L,
+      codec: String = "avc1"): Array[Byte] = {
+    def box(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + body.length).put(id.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def full(id: String, body: Array[Byte]): Array[Byte] =
+      box(id, Array[Byte](0, 0, 0, 0) ++ body) // version 0, flags 0
+    val duration = nFrames.toLong * sampleDeltaUs
+    def be32(vs: Long*): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.BIG_ENDIAN)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++ "isommp41".getBytes("US-ASCII"))
+    val mvhd = full("mvhd", be32(0, 0, timescale, duration) ++
+      be32(0x00010000, 0x01000000) ++ // rate 1.0, volume 1.0 + reserved
+      be32(0, 0) ++
+      be32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++ // unity matrix
+      be32(0, 0, 0, 0, 0, 0) ++ be32(2)) // predefined, next track id
+    val tkhd = full("tkhd", be32(0, 0, 1, 0, duration) ++
+      be32(0, 0) ++ be32(0, 0) ++ // reserved, layer/group + volume
+      be32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) ++
+      be32(width.toLong << 16, height.toLong << 16))
+    val mdhd = full("mdhd", be32(0, 0, timescale, duration) ++ be32(0x55C40000L))
+    val hdlr = full("hdlr", be32(0) ++ "vide".getBytes("US-ASCII") ++
+      be32(0, 0, 0) ++ Array[Byte](0))
+    val sampleEntry = box(codec, be32(0, 0) ++ // reserved + data ref idx
+      be32(0, 0, 0, 0) ++
+      Array[Byte]((width >> 8).toByte, width.toByte, (height >> 8).toByte, height.toByte) ++
+      be32(0x00480000, 0x00480000, 0, 0x00010000) ++ // dpi, frame count
+      new Array[Byte](32) ++ be32(0x00180000) ++ be32(0xFFFFL << 16)) // depth, -1
+    val stsd = full("stsd", be32(1) ++ sampleEntry)
+    val stts = full("stts", be32(1, nFrames, sampleDeltaUs))
+    val frameSizes = Array.tabulate(nFrames)(i => 64L + i)
+    val stsz = full("stsz", be32(0L, nFrames.toLong) ++ be32(frameSizes.toSeq: _*))
+    val stsc = full("stsc", be32(1, 1, nFrames, 1))
+    val stco = full("stco", be32(1, 0))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat",
+      Array.tabulate(frameSizes.map(_.toInt).sum)(i => (i % 251).toByte))
+    ftyp ++ moov ++ mdat
+  }
 
   /** Assemble a minimal AVI-MJPEG container from grayscale frame
     * functions — fixture/test side of the round-trip. Frames JPEG-encode

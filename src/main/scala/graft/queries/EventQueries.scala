@@ -253,8 +253,9 @@ object EventQueries {
     * depth-4 × width-2048 counter matrix (the shuffle carries one
     * matrix per partition — 64 KB — regardless of event count), then
     * answer per-user point queries against the broadcast summary. The
-    * driver-side collect is the sketch itself: 8192 longs by
-    * construction, never data. Width ≥ the user-id domain at every
+    * driver-side material is the sketch itself (8192 longs) plus the
+    * width-sized estimate vector derived from it — both fixed by the
+    * depth×width parameterization, never by data volume. Width ≥ the user-id domain at every
     * fixture SF makes row 0 collision-free, so the min-over-rows
     * estimate is EXACT and the row hash-matches plain GROUP BY counts —
     * the same lossless-parameterization oracle regime as
@@ -278,8 +279,15 @@ object EventQueries {
     require(dom.isNullAt(0) || (dom.getLong(0) >= 0 && dom.getLong(1) < width),
       s"cms_counts exact regime needs user_id in [0, $width); fixture has " +
         s"[${dom.getLong(0)}, ${dom.getLong(1)}] — widen the sketch or drop the oracle")
-    ids.withColumn("n_events", udf((u: Long) =>
-        graft.core.CountMin.estimate(sketch, depth, width, u)).apply(col("user_id")))
+    // probe via a literal estimate vector, not a per-row Scala UDF: the
+    // exact regime pins user_id ∈ [0, width), so the width-sized vector
+    // est[u] = min-over-rows(u) is bounded by the PARAMETERIZATION (2048
+    // longs), never by the data — element_at on an array literal stays
+    // inside whole-stage codegen
+    val est = Array.tabulate(width)(u =>
+      graft.core.CountMin.estimate(sketch, depth, width, u.toLong))
+    ids.withColumn("n_events",
+        element_at(typedlit(est), col("user_id").cast("int") + 1))
       .orderBy(col("user_id"))
   }
 

@@ -320,7 +320,11 @@ object PipelineQueries {
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+      // localCheckpoint, not persist: same reuse (model tables and the
+      // final rollup all read the materialized frame), but the blocks are
+      // RDD-owned and freed by the ContextCleaner when this plan is
+      // GC'd — a CacheManager persist() would live for the session
+      .localCheckpoint()
     val raw = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cr"))
     val tgt = perDoc.filter(col("lang") === "en")
       .groupBy(col("w")).agg(sum(col("c")).as("ct"))
@@ -364,8 +368,13 @@ object PipelineQueries {
           .cast("long").as("uniq_e4"),
         round(size(filter(ws, w => array_contains(stop, w))) * lit(10000.0) /
           size(ws)).cast("long").as("stop_e4"))
+      // LEFT join + coalesce-to-0: a document with no countable characters
+      // (empty/whitespace-only) has no entropy row but must still ENTER
+      // the funnel — it counts in n0 and dies at the stage its signals
+      // fail, rather than vanishing from the report
       .join(TextQueries.charEntropy(spark, dir)
-        .select(col("doc_id"), col("entropy_e6")), "doc_id")
+        .select(col("doc_id"), col("entropy_e6")), Seq("doc_id"), "left")
+      .withColumn("entropy_e6", coalesce(col("entropy_e6"), lit(0L)))
     val staged = sig
       .withColumn("p1", col("n_words") >= 25)
       .withColumn("p2", col("p1") && (col("uniq_e4") >= 3500))
@@ -595,9 +604,9 @@ object PipelineQueries {
          |  SELECT d.doc_id, len(ws) AS n_words,
          |    CAST(round(len(list_distinct(ws)) * 10000.0 / len(ws)) AS BIGINT) AS uniq_e4,
          |    CAST(round(len(list_filter(ws, w -> w IN ($stopList))) * 10000.0 / len(ws)) AS BIGINT) AS stop_e4,
-         |    e.entropy_e6
+         |    COALESCE(e.entropy_e6, 0) AS entropy_e6
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
-         |  JOIN ent e USING (doc_id)),
+         |  LEFT JOIN ent e USING (doc_id)),
          |st AS (
          |  SELECT (n_words >= 25) AS p1,
          |    (n_words >= 25 AND uniq_e4 >= 3500) AS p2,

@@ -241,14 +241,21 @@ object RelationalQueries {
     var labels = nodes.withColumn("lbl", col("node"))
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("c").desc, col("lbl").asc)
-    for (_ <- 1 to 5) {
+    for (i <- 1 to 5) {
       labels = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(byNode))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("lbl"))
+      // cut lineage every 5 rounds (the ConnectedComponents idiom) so a
+      // deep-iteration run never blows up plan analysis; the |V|-row
+      // checkpoint is GC-managed by the ContextCleaner
+      if (i % 5 == 0) labels = labels.localCheckpoint()
     }
+    // the final vector is materialized by the checkpoint above, so the
+    // partitioned edge cache can be released before the caller's action
+    edges.unpersist()
     labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
       .select(col("lbl").as("community"), col("n_members"), col("first_node"))
@@ -262,9 +269,10 @@ object RelationalQueries {
     * d=0.85 — the Common-Crawl-style centrality weight a pre-training
     * pipeline attaches to each page before quality mixing. Plan shape in
     * [[graft.scale.PageRank]]: the edge list is partitioned by src once;
-    * each iteration moves only the |V|-row rank vector. Ranks are e6-fixed
-    * at the output boundary (doubles agree across engines to ~1e-15; the
-    * e6 grid leaves 9 orders of magnitude of slack). */
+    * each iteration moves only the |V|-row rank vector. The iteration is
+    * INTEGER e12 fixed-point (order-free long sums — no dependence on
+    * IEEE summation order), so the e6 output is a pure integer rounding
+    * of an engine-identical value: zero cross-engine flake risk. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val fwd = li.select(
@@ -273,7 +281,7 @@ object RelationalQueries {
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
     graft.scale.PageRank.run(edges, iterations = 5)
       .select(col("node"),
-        round(col("rank") * lit(1000000.0)).cast("long").as("rank_e6"))
+        expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
       .orderBy(col("node"))
   }
 
@@ -295,13 +303,15 @@ object RelationalQueries {
   )
 
   /** One unrolled PageRank power-iteration step: `cur` from `prev` —
-    * same arithmetic, op for op, as [[graft.scale.PageRank.run]]. */
+    * same INTEGER e12 fixed-point arithmetic, op for op, as
+    * [[graft.scale.PageRank.run]] (`//` is DuckDB floor division; all
+    * operands positive, matching Spark's `div` / Java long division). */
   private def prStep(prev: String, cur: String): String =
     s"""$cur AS (
-       |  SELECT nd.node, (1.0 - 0.85) / (SELECT n FROM nn)
-       |         + 0.85 * COALESCE(m.mass, 0) AS rank
+       |  SELECT nd.node, (SELECT t FROM tp)
+       |         + (85 * COALESCE(m.mass, 0)) // 100 AS rank_e12
        |  FROM nodes nd LEFT JOIN (
-       |    SELECT e.dst, SUM(r.rank / d.outdeg) AS mass
+       |    SELECT e.dst, SUM(r.rank_e12 // d.outdeg) AS mass
        |    FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
        |    GROUP BY e.dst) m ON m.dst = nd.node)""".stripMargin
 
@@ -313,10 +323,11 @@ object RelationalQueries {
        |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |tp AS (SELECT (15 * 1000000000000) // (100 * n) AS t FROM nn),
+       |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12 FROM nodes),
        |${(1 to 5).map(i => prStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
-       |SELECT node, CAST(ROUND(rank * 1000000.0) AS BIGINT) AS rank_e6
+       |SELECT node, (rank_e12 + 500000) // 1000000 AS rank_e6
        |FROM r5 ORDER BY node""".stripMargin
 
   /** One unrolled synchronous LPA step: majority neighbor label, ties to

@@ -190,6 +190,97 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** Incrementally-grown graphs: built on 80% of the corpus, then the
+    * remaining 20% (every 5th id — INTERLEAVED with resident ids, the
+    * hard case for insertion-order-sensitive structures) arrives as a CDC
+    * batch through [[graft.scale.Nsw.insert]]/[[graft.scale.Nsw.insertHnsw]].
+    * Memoized like the batch-built graphs. */
+  private val nswInsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def nswInsertedGraph(spark: SparkSession, dir: String): DataFrame =
+    nswInsMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir), {
+        val emb = Tables.embeddings(spark, dir)
+        graft.scale.Nsw.insert(
+          graft.scale.Nsw.build(emb.filter(col("vec_id") % 5 =!= 0), numShards = 4),
+          emb.filter(col("vec_id") % 5 === 0), numShards = 4).cache()
+      })
+  private val hnswInsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def hnswInsertedGraph(spark: SparkSession, dir: String): DataFrame =
+    hnswInsMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir), {
+        val emb = Tables.embeddings(spark, dir)
+        graft.scale.Nsw.insertHnsw(
+          graft.scale.Nsw.buildHnsw(emb.filter(col("vec_id") % 5 =!= 0), numShards = 4),
+          emb.filter(col("vec_id") % 5 === 0), numShards = 4).cache()
+      })
+
+  /** Exhaustive beam over the incrementally-grown flat graph: the
+    * guarded-parent invariant must survive the insert batch (every
+    * inserted node reachable, every resident node still reachable), or
+    * the unbounded-beam search misses a vector and the brute-force hash
+    * breaks. The query vector (vec_id 0) is itself part of the INSERTED
+    * delta. Same oracle as nsw_precision. */
+  def nswInsertPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.search(nswInsertedGraph(spark, dir), q, k = 13, ef = Int.MaxValue)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** The layered analog over the incrementally-grown HNSW: descent entry
+    * re-selection (a delta node can out-level every resident), layer
+    * rehydration, and layer-0 guard restoration all under the exactness
+    * check. Same oracle as hnsw_precision. */
+  def hnswInsertPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.searchHnsw(hnswInsertedGraph(spark, dir), q, k = 13, ef = Int.MaxValue)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** One deterministic transformer checkpoint per (session, dir) — the
+    * weights FILE a production deployment would broadcast; written once,
+    * served to every query through the partition seam. */
+  private val ttWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def ttWeightsPath(spark: SparkSession, dir: String): String =
+    ttWeightsMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft-tt-")
+          .resolve("minilm-shape.bin")
+        p.getParent.toFile.deleteOnExit()
+        graft.functions.TinyTransformer.writeRandomWeights(p.toString,
+          graft.functions.TinyTransformer.Config(vocab = 2048, dModel = 64,
+            nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64))
+        p.toString
+      })
+
+  /** REAL neural inference through the T6 seam: a complete transformer
+    * encoder (multi-head attention, GELU FFN, mean pooling — the MiniLM
+    * graph the reference binds at app.py:46-48) runs over the corpus from
+    * a weights file, one session per partition, rows streamed through
+    * mapPartitions. Rows-only by necessity (no SQL oracle can run a
+    * transformer — BASELINE.md's neural-seam rule) but bit-deterministic:
+    * fixed-order double accumulation, so reruns hash identically;
+    * TransformerSpec pins a closed-form forward pass and the seam
+    * contract. The bench row for this query IS the embed-throughput
+    * measurement. */
+  def neuralEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    graft.functions.Embedder.embedFrame(docs, dim = 64,
+        loader = new graft.functions.TinyTransformer.Loader(ttWeightsPath(spark, dir)))
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1) * 1000000).cast("long").as("c0_e6"),
+        round(element_at(col("embedding"), 2) * 1000000).cast("long").as("c1_e6"),
+        round(element_at(col("embedding"), 3) * 1000000).cast("long").as("c2_e6"))
+      .orderBy(col("vec_id"))
+  }
+
   /** MinHash LSH near-dups over the planted near-identical docs, from
     * the stored shingle frame (ShingleStore). */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
@@ -388,6 +479,30 @@ object ScaleQueries {
         round(col("d") * 10000).cast("long").as("dist_e4"), col("rn"))
   }
 
+  /** The blocked batch k-NN join with every cell probed: nprobe = nlist
+    * means nothing is pruned, so the cell equi-join + WindowGroupLimit
+    * machinery must reproduce the exact per-query top-5 the oracle
+    * computes by brute force — the ivf_precision recipe applied to the
+    * batch-join path (probe explode, cell routing, rank-window merge all
+    * under the hash check). */
+  def knnJoinBlockedPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val index = defaultIndex(spark, dir)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+    Ivf.knnJoin(index, queries, k = 5, nprobe = 16)
+      .select(col("q_id"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"), col("rn"))
+  }
+
+  /** The oracle-checkable simhash parameterization: portable md5-derived
+    * 60-bit signatures, 6×10-bit chunk banding (pigeonhole-complete for
+    * Hamming ≤ 5), exact bit_count verify. The oracle recomputes the
+    * signatures AND runs the screen as ALL PAIRS, so the banded pipeline
+    * must surface every qualifying pair — completeness is hash-checked,
+    * not just sampled. */
+  def simhashPrecision(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashNearDupsPortable(
+      Tables.documents(spark, dir).filter(col("doc_id") < 200), maxHamming = 5)
+
   /** The shared deterministic split rule ([[SplitRule]]) applied to a
     * vector id, so the eval split of an embedding row is THE SAME
     * assignment `deterministic_split` reports. */
@@ -431,16 +546,19 @@ object ScaleQueries {
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
 
-  /** Real AVI-MJPEG round-trip: encode a genuine AVI container (JDK
-    * JPEG frames, hand-built RIFF) from closed-form per-doc parameters,
-    * decode it with [[MediaCodecs.decodeAvi]], and emit the DECODED
-    * structural metadata — dimensions from the avih header, frame count
-    * from the actual movi chunks, timing from the header. The oracle
-    * recomputes every value from the same closed forms, so a broken
-    * chunk walker, header offset, or frame counter hash-mismatches.
-    * Pixel sums are lossy-JPEG output and stay in MediaCodecsSpec's
-    * error-budget check instead of the oracle. mapPartitions mirrors
-    * the per-partition decoder amortization; the stage is map-only. */
+  /** Real video-container round-trips: even doc_ids encode a genuine AVI
+    * (JDK JPEG frames, hand-built RIFF) decoded with
+    * [[MediaCodecs.decodeAvi]] — dimensions from the avih header, frame
+    * count from the actual movi chunks; odd doc_ids encode an ISO-BMFF
+    * MP4 skeleton decoded with [[MediaCodecs.decodeMp4]]'s `moov` box
+    * walk — dimensions from tkhd's 16.16 fields, frame count from stsz,
+    * timing from mdhd/stts (no frame decode: the JDK has no H.264 codec;
+    * mkv/webm remain the only stubbed containers). The oracle recomputes
+    * every value from the same closed forms, so a broken chunk walker,
+    * box-offset error, or frame counter hash-mismatches. Pixel sums are
+    * lossy-JPEG output and stay in MediaCodecsSpec's error-budget check
+    * instead of the oracle. mapPartitions mirrors the per-partition
+    * decoder amortization; the stage is map-only. */
   def videoMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.MediaCodecs
@@ -452,9 +570,15 @@ object ScaleQueries {
         val h = 16 + ((id * 5) % 17).toInt
         val base = (id % 150).toInt
         val n = 2 + (id % 4).toInt
-        val avi = MediaCodecs.encodeAviMjpeg(w, h,
-          Seq.tabulate(n)(f => (x: Int, y: Int) => base + f + x + y), usPerFrame = 40000L)
-        val m = MediaCodecs.decodeAvi(avi).fold(e => sys.error(e), identity)
+        val m =
+          if (id % 2 == 0) {
+            val avi = MediaCodecs.encodeAviMjpeg(w, h,
+              Seq.tabulate(n)(f => (x: Int, y: Int) => base + f + x + y), usPerFrame = 40000L)
+            MediaCodecs.decodeAvi(avi).fold(e => sys.error(e), identity)
+          } else {
+            val mp4 = MediaCodecs.encodeMp4Skeleton(w, h, n, sampleDeltaUs = 40000L)
+            MediaCodecs.decodeMp4(mp4).fold(e => sys.error(e), identity)
+          }
         VideoMetaRow(id, m.container, m.codec, m.width, m.height, m.frames,
           m.usPerFrame, m.durationUs)
       }
@@ -489,6 +613,8 @@ object ScaleQueries {
     "ivfpq_topk" -> (ivfpqTopk _),
     "nsw_topk" -> (nswTopk _),
     "nsw_precision" -> (nswPrecision _),
+    "nsw_insert_precision" -> (nswInsertPrecision _),
+    "hnsw_insert_precision" -> (hnswInsertPrecision _),
     "hnsw_topk" -> (hnswTopk _),
     "hnsw_precision" -> (hnswPrecision _),
     "nsw_knn_join" -> (nswKnnJoin _),
@@ -496,6 +622,9 @@ object ScaleQueries {
     "nswivf_topk" -> (nswIvfTopk _),
     "nswivf_precision" -> (nswIvfPrecision _),
     "knn_join_blocked" -> (knnJoinBlocked _),
+    "knn_join_blocked_precision" -> (knnJoinBlockedPrecision _),
+    "simhash_precision" -> (simhashPrecision _),
+    "neural_embed" -> (neuralEmbed _),
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -539,6 +668,20 @@ object ScaleQueries {
          |      FROM embeddings e CROSS JOIN q)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // the incrementally-grown graphs must stay exhaustive at ef = ∞: the
+    // guarded invariant survives the insert batch or the hash breaks
+    "nsw_insert_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    "hnsw_insert_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
     // the hierarchy only routes to an entry; layer 0 stays connected, so
     // HNSW with an unbounded layer-0 beam ⇒ exact brute-force top-13
     "hnsw_precision" ->
@@ -572,6 +715,46 @@ object ScaleQueries {
          |SELECT test_id, train_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM r WHERE rn = 1 AND round(d * 10000) <= 12000
          |ORDER BY test_id""".stripMargin,
+    // nprobe = nlist ⇒ the blocked join is exhaustive: brute-force
+    // per-query top-5 (self excluded), rank tie-broken on (d, n_id) as in
+    // Ivf.knnJoin's window
+    "knn_join_blocked_precision" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 50),
+         |d AS (SELECT q.q_id, e.vec_id AS n_id,
+         |        ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, n_id, d,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+         |      FROM d)
+         |SELECT q_id, n_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4,
+         |  CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // the oracle recomputes the portable 60-bit signature (majority vote
+    // of md5-top-60 token-hash bits) and screens ALL pairs at Hamming ≤ 5
+    // — banding completeness (pigeonhole over 6 chunks) is part of the
+    // contract being checked, not assumed
+    "simhash_precision" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks WHERE tok != ''),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+        |ORDER BY a_id, b_id""".stripMargin,
     "minhash_precision" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -656,7 +839,9 @@ object ScaleQueries {
         |FROM aud
         |ORDER BY doc_id""".stripMargin,
     "video_meta" ->
-      """SELECT doc_id, 'avi' AS container, 'mjpeg' AS codec,
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mjpeg' ELSE 'avc1' END AS codec,
         |  CAST(16 + doc_id % 17 AS INT) AS width,
         |  CAST(16 + (doc_id * 5) % 17 AS INT) AS height,
         |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,

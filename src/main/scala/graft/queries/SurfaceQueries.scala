@@ -64,6 +64,52 @@ object SurfaceQueries {
     Streams.windowedCounts(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** An ACTUAL Structured Streaming run under the oracle gate — not the
+    * batch twin: the events parquet is replayed through a file-source
+    * stream, relayed map-only (the X22 chat-relay shape: project +
+    * normalize, no aggregation, so every row flows through append mode)
+    * into a checkpointed parquet sink (the X47 exactly-once sink), with
+    * Trigger.AvailableNow draining the source; the declared result is the
+    * batch rollup OVER THE SINK. The oracle aggregates the source table
+    * directly, so any relay loss, duplication, or replay (checkpoint bug,
+    * sink double-commit) breaks the count/sum hash — streaming delivery
+    * semantics become a driver-checked row, not just a spec assertion.
+    * Fresh sink/checkpoint dirs per call keep reruns independent. */
+  def streamRelayRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-relay-")
+    tmp.toFile.deleteOnExit()
+    val out = s"$tmp/log"
+    // the file-stream source requires a DIRECTORY (its basePath); the
+    // fixture table is a single file, so stage it as the landing dir —
+    // the producer side of the X22 landing/relay design
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val raw = spark.read.parquet(landing.toString)
+    val relay = spark.readStream.schema(raw.schema).parquet(landing.toString)
+      // the map-only relay transform: normalize ts exactly as Tables.events
+      // does and stamp the day — source-agnostic, no state
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    relay.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy(col("user_id"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -102,6 +148,7 @@ object SurfaceQueries {
     "knn_sql" -> (knnSql _),
     "ingest_gate" -> (ingestGate _),
     "stream_windowed" -> (streamWindowed _),
+    "stream_relay_rollup" -> (streamRelayRollup _),
     "salted_agg" -> (saltedAgg _)
   )
 
@@ -138,6 +185,14 @@ object SurfaceQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the oracle aggregates the SOURCE; the query aggregates the relay's
+    // SINK — equality is exactly-once delivery
+    "stream_relay_rollup" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag AS key,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

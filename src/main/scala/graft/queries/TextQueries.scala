@@ -170,7 +170,8 @@ object TextQueries {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      .persist()
+      // localCheckpoint, not persist — GC-managed blocks (see dsirWeights)
+      .localCheckpoint()
     val corpus = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val totals = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val grand = corpus.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
@@ -405,13 +406,19 @@ object TextQueries {
     * rows: zip each token array with its tail, explode, count, top-20 via
     * TakeOrderedAndProject with a total-order tie-break. */
   def topBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    // equal-length slices (all n-1 leading tokens × all n-1 trailing) —
-    // no magic cap, no null padding, single-token docs yield no bigrams
-    val len = greatest(size(ws) - 1, lit(0))
-    Tables.documents(spark, dir)
+    // materialize the split ONCE in a prior projection (the winnowFp
+    // pattern above): `words(text)` referenced from three expressions of
+    // one select re-tokenizes the document per reference when
+    // subexpression elimination doesn't collapse them
+    val docs = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .select(col("ws"),
+        // equal-length slices (all n-1 leading tokens × all n-1 trailing) —
+        // no magic cap, no null padding, single-token docs yield no bigrams
+        greatest(size(col("ws")) - 1, lit(0)).as("len"))
+    docs
       .select(explode(zip_with(
-        slice(ws, lit(1), len), slice(ws, lit(2), len),
+        slice(col("ws"), lit(1), col("len")), slice(col("ws"), lit(2), col("len")),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -429,25 +436,34 @@ object TextQueries {
     * Each conditional is e4-fixed BEFORE the per-doc sum, so the document
     * aggregate is an integer sum — engine-identical, like the Gopher
     * signals below. Plan shape: one (w1,w2) count and one (w1) count over
-    * the corpus (vocab-sized results, broadcast back), one explode-join,
-    * one per-doc rollup; the model tables are the only small side, the
-    * corpus is never joined to itself. */
+    * the corpus, one explode-join, one per-doc rollup; the unigram
+    * context table is vocab-bounded and broadcast, the bigram table is
+    * not (it joins unhinted — broadcast at fixture scale via AQE, a
+    * key-partitioned shuffle join at corpus scale); the corpus is never
+    * joined to itself. */
   def lmDocScore(spark: SparkSession, dir: String): DataFrame =
     lmScores(spark, dir).orderBy(col("doc_id"))
 
   /** Unordered per-doc LM fluency frame shared by [[lmDocScore]] and
     * [[perplexityBuckets]]. */
   private def lmScores(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val len = greatest(size(ws) - 1, lit(0))
+    // split materialized once (topBigrams/winnowFp pattern)
     val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        greatest(size(col("ws")) - 1, lit(0)).as("len"))
       .select(col("doc_id"), explode(zip_with(
-        slice(ws, lit(1), len), slice(ws, lit(2), len),
+        slice(col("ws"), lit(1), col("len")), slice(col("ws"), lit(2), col("len")),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the (w1,w2) table is NOT vocab-bounded (it grows with distinct
+    // bigrams, not Heaps-law vocab), so no broadcast hint: at fixture
+    // scale AQE broadcasts it anyway, at corpus scale it degrades to a
+    // key-partitioned shuffle join instead of an OOM. ctxCounts IS
+    // vocab-bounded and keeps the hint.
     val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val ctxCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bi.join(broadcast(biCounts), Seq("w1", "w2"))
+    bi.join(biCounts, Seq("w1", "w2"))
       .join(broadcast(ctxCounts), Seq("w1"))
       .withColumn("p_e4",
         round(lit(10000.0) * col("c12") / col("c1")).cast("long"))

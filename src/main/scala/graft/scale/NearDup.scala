@@ -228,35 +228,48 @@ object NearDup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash per document: majority vote of token-hash bits,
-    * token-frequency weighted. Computed bit-parallel: explode tokens →
-    * 64 conditional sums in one aggregation. */
-  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Bit-parallel SimHash core: majority vote of token-hash bits,
+    * token-frequency weighted — explode tokens → `bits` conditional sums
+    * in ONE aggregation (the shuffle carries one row of `bits` longs per
+    * doc, never per-token rows past the partial agg). `tokenHash` maps the
+    * token column to a long whose low `bits` bits are the vote source. */
+  private def signaturesWith(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int): DataFrame = {
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
     }
     val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
+    val sim = (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     summed.select(col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked on
-    * 16-bit signature chunks (any pair within distance 3 must agree on at
-    * least one of the 4 chunks — pigeonhole). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+  /** Chunk-banded candidate pairs + exact Hamming verify over a signature
+    * frame: any pair within distance < `chunks` must agree on at least one
+    * of the equal-width chunks (pigeonhole), so banding is COMPLETE for
+    * maxHamming ≤ chunks - 1 — enforced when `requireComplete` (the
+    * oracle-checked parameterization); the headline form runs looser
+    * thresholds where banding is a deliberate recall/cost trade, like
+    * every LSH. Pair count is Σ_bucket f²/2 over chunk-value buckets,
+    * never all-pairs. */
+  private def bandedHamming(sig: DataFrame, bits: Int, chunks: Int,
+      maxHamming: Int, requireComplete: Boolean): DataFrame = {
+    require(bits % chunks == 0, s"chunks ($chunks) must divide bits ($bits)")
+    require(!requireComplete || maxHamming < chunks,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < chunks ($chunks)")
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk_idx"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*)).as("ck"))
+          shiftright(col("simhash"), c * width).bitwiseAND(mask).as("chunk_val"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk_idx"), col("ck.chunk_val"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    keyed.as("a")
+      .join(keyed.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -266,4 +279,36 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** 64-bit SimHash per document (xxhash64 token hash — the fast
+    * engine-native headline form). */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    signaturesWith(docs, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked on
+    * 16-bit signature chunks (any pair within distance 3 must agree on at
+    * least one of the 4 chunks — pigeonhole). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHamming(simhashSignatures(docs), bits = 64, chunks = 4,
+      maxHamming = maxHamming, requireComplete = false)
+
+  /** 60-bit SimHash with an engine-PORTABLE token hash — the top 15 hex
+    * chars of md5 parsed as an integer — so an external SQL engine can
+    * recompute the signature bit for bit. Same bit-parallel plan as the
+    * headline form; only the per-token hash expression differs. */
+  def simhashSignaturesPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    signaturesWith(docs, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  /** The oracle-checkable simhash parameterization: portable 60-bit
+    * signatures, 6 chunks of 10 bits (pigeonhole-complete for Hamming ≤ 5),
+    * exact bit_count verify — every stage (signature majority vote, chunk
+    * banding, XOR distance) is reproducible by an external engine, so the
+    * banded pipeline's output must equal the ALL-PAIRS Hamming screen the
+    * oracle runs: a banding bug that drops a candidate breaks the row
+    * match, not just a recall metric. */
+  def simhashNearDupsPortable(docs: DataFrame, maxHamming: Int = 5): DataFrame =
+    bandedHamming(simhashSignaturesPortable(docs), bits = 60, chunks = 6,
+      maxHamming = maxHamming, requireComplete = true)
 }

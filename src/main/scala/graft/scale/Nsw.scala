@@ -164,34 +164,77 @@ object Nsw {
       ns ++= best
     }
 
-  private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
-      m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
-    requireDistinctIds(items)
-    val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
-    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](items.length * 2)
+  /** Mutable one-shard build state — what an INCREMENTAL insert needs to
+    * resume from: vectors, adjacency, the guarded parent→children sets
+    * (reconstructible from the persisted `parent` column — without them a
+    * post-insert prune could drop a guarded edge and break the
+    * connectivity invariant `nsw_precision` stakes exactness on), and the
+    * beam entry. */
+  private final class ShardState(expected: Int) {
+    val vecs = new java.util.HashMap[Long, Array[Float]](expected * 2)
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](expected * 2)
     val children = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    val parents = new java.util.HashMap[Long, Long]()
+    var entry: Long = -1L
+  }
+
+  /** The insertion loop, shared by the from-scratch build and the
+    * incremental append: items (ascending id within a batch) enter an
+    * existing state one by one — beam to the m nearest, link
+    * bidirectionally, guard the single nearest as the permanent parent
+    * edge, degree-cap the rest. The guarded-reachability induction (“every
+    * non-first node has a permanent in-edge from an earlier node”) holds
+    * across batches because parents are restored from the persisted
+    * column, not recomputed. */
+  private def insertAll(st: ShardState, items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int): Unit = {
     val maxDeg = 2 * m
     def prune(id: Long): Unit =
-      pruneNeighbors(adj.get(id), children.get(id), vecs, vecs.get(id), maxDeg)
-    var entry = -1L
+      pruneNeighbors(st.adj.get(id), st.children.get(id), st.vecs, st.vecs.get(id), maxDeg)
     items.foreach { case (id, v) =>
-      if (entry < 0) {
-        vecs.put(id, v)
-        adj.put(id, scala.collection.mutable.ArrayBuffer.empty[Long])
-        entry = id
+      require(!st.vecs.containsKey(id), s"duplicate vec_id $id within a shard")
+      if (st.entry < 0) {
+        st.vecs.put(id, v)
+        st.adj.put(id, scala.collection.mutable.ArrayBuffer.empty[Long])
+        st.parents.put(id, -1L)
+        st.entry = id
       } else {
-        val near = beamSearch(vecs, n => adj.get(n).toArray, entry, v, efConstruction).take(m)
-        vecs.put(id, v)
-        adj.put(id, scala.collection.mutable.ArrayBuffer(near.map(_._1): _*))
+        val near = beamSearch(st.vecs, n => st.adj.get(n).toArray, st.entry, v, efConstruction).take(m)
+        st.vecs.put(id, v)
+        st.adj.put(id, scala.collection.mutable.ArrayBuffer(near.map(_._1): _*))
         val parent = near.head._1 // nearest existing node: guarded in-edge
-        children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+        st.children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+        st.parents.put(id, parent)
         near.foreach { case (nid, _) =>
-          adj.get(nid) += id
+          st.adj.get(nid) += id
           prune(nid)
         }
       }
     }
-    items.map { case (id, _) => (id, adj.get(id).toArray) }
+  }
+
+  private[scale] def buildShardGraph(items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int): Array[(Long, Array[Long])] = {
+    requireDistinctIds(items)
+    val st = new ShardState(items.length)
+    insertAll(st, items, m, efConstruction)
+    items.map { case (id, _) => (id, st.adj.get(id).toArray) }
+  }
+
+  /** Rehydrate a shard's build state from persisted adjacency rows
+    * (vec_id, embedding, neighbors, parent). */
+  private def loadShardState(
+      rows: Array[(Long, Array[Float], Array[Long], Long)]): ShardState = {
+    val st = new ShardState(rows.length)
+    rows.foreach { case (id, v, ns, p) =>
+      st.vecs.put(id, v)
+      st.adj.put(id, scala.collection.mutable.ArrayBuffer(ns.toSeq: _*))
+      st.parents.put(id, p)
+      if (p >= 0)
+        st.children.computeIfAbsent(p, _ => new java.util.HashSet[Long]()).add(id)
+    }
+    st.entry = rows.iterator.map(_._1).min
+    st
   }
 
   /** Build the sharded NSW index: one adjacency row per vector. The
@@ -232,13 +275,61 @@ object Nsw {
         // collisions of the shard key), never a fragment of one
         it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
           val items = rows.map(r => (r._2, r._3)).sortBy(_._1)
-          val vecOf = items.toMap
-          buildShardGraph(items, m, efConstruction).iterator.map { case (id, ns) =>
-            (shard, id, vecOf(id), ns)
+          requireDistinctIds(items)
+          val st = new ShardState(items.length)
+          insertAll(st, items, m, efConstruction)
+          items.iterator.map { case (id, v) =>
+            (shard, id, v, st.adj.get(id).toArray, st.parents.get(id).longValue)
           }
         }
       }
-      .toDF("shard", "vec_id", "embedding", "neighbors")
+      .toDF("shard", "vec_id", "embedding", "neighbors", "parent")
+  }
+
+  /** Incremental per-shard insert — the live `add_documents` path the
+    * serving index needs (the sibling of [[Ivf.append]]): route the delta
+    * batch to shards by the SAME id-mod key as [[build]], rehydrate each
+    * touched shard's build state from its persisted rows (guarded parent
+    * edges come from the `parent` column), and run the identical insertion
+    * loop over the delta (ascending id). Untouched shards pass through
+    * unchanged — at scale, with the graph stored `partitionBy("shard")`,
+    * only touched shard directories rewrite. The guarded-reachability
+    * invariant survives the append, so ef ≥ shard size stays EXACT over
+    * the grown graph (`nsw_insert_precision` stakes its oracle row on it),
+    * and when delta ids are larger than every resident id the result is
+    * BIT-IDENTICAL to a from-scratch build of the union (NswSpec pins
+    * both). */
+  def insert(graph: DataFrame, newVecs: DataFrame, numShards: Int,
+      m: Int = DefaultM, efConstruction: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val delta = newVecs.select(
+      pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
+      col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    val g = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"), col("parent"))
+      .as[(Int, Long, Array[Float], Array[Long], Long)]
+      .groupByKey(_._1)
+    val d = delta.as[(Int, Long, Array[Float])].groupByKey(_._1)
+    g.cogroup(d) { (shard, graphRows, deltaRows) =>
+      val existing = graphRows.map(r => (r._2, r._3, r._4, r._5)).toArray
+      val items = deltaRows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      if (items.isEmpty)
+        existing.iterator.map { case (id, v, ns, p) => (shard, id, v, ns, p) }
+      else {
+        val st =
+          if (existing.isEmpty) new ShardState(items.length)
+          else loadShardState(existing)
+        insertAll(st, items, m, efConstruction)
+        val vecOf = new java.util.HashMap[Long, Array[Float]]()
+        existing.foreach { case (id, v, _, _) => vecOf.put(id, v) }
+        items.foreach { case (id, v) => vecOf.put(id, v) }
+        (existing.iterator.map(_._1) ++ items.iterator.map(_._1)).map { id =>
+          (shard, id, vecOf.get(id), st.adj.get(id).toArray, st.parents.get(id).longValue)
+        }
+      }
+    }.toDF("shard", "vec_id", "embedding", "neighbors", "parent")
   }
 
   /** Beam-search every shard graph for `q`, merge per-shard candidates
@@ -309,63 +400,111 @@ object Nsw {
     * distance (they only route; a disconnected upper layer costs recall
     * at bounded ef, never correctness at ef = ∞). Entry is the highest-
     * level node, ties to the earliest inserted — deterministic. */
-  private[scale] def buildShardHnsw(items: Array[(Long, Array[Float])],
-      m: Int, efConstruction: Int, maxLevel: Int): Array[(Long, Int, Array[Array[Long]])] = {
-    requireDistinctIds(items)
-    val vecs = new java.util.HashMap[Long, Array[Float]](items.length * 2)
+  /** Mutable one-shard HNSW build state — the layered [[ShardState]],
+    * rehydratable from persisted rows for incremental insert. Only
+    * layer-0 parent edges are guarded (upper layers route; they may
+    * disconnect without costing exactness at ef = ∞). */
+  private final class HnswState(expected: Int, maxLevel: Int) {
+    val vecs = new java.util.HashMap[Long, Array[Float]](expected * 2)
     val adjL = Array.fill(maxLevel + 1)(
       new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]())
     val children = new java.util.HashMap[Long, java.util.HashSet[Long]]() // layer-0 guards
+    val parents = new java.util.HashMap[Long, Long]()
+    val levels = new java.util.HashMap[Long, Int](expected * 2)
+    var entry: Long = -1L
+    var entryLevel: Int = -1
+  }
+
+  /** The layered insertion loop, shared by build and incremental insert
+    * (see [[insertAll]] for the guarded-induction argument — it holds
+    * across batches because layer-0 parents persist in the `parent`
+    * column). */
+  private def insertAllHnsw(st: HnswState, items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int, maxLevel: Int): Unit = {
     val maxDeg = 2 * m
     def pruneAt(layer: Int, id: Long): Unit =
-      pruneNeighbors(adjL(layer).get(id),
-        if (layer == 0) children.get(id) else null, vecs, vecs.get(id), maxDeg)
-    val levels = new java.util.HashMap[Long, Int](items.length * 2)
-    var entry = -1L
-    var entryLevel = -1
+      pruneNeighbors(st.adjL(layer).get(id),
+        if (layer == 0) st.children.get(id) else null, st.vecs, st.vecs.get(id), maxDeg)
     items.foreach { case (id, v) =>
+      require(!st.vecs.containsKey(id), s"duplicate vec_id $id within a shard")
       val lvl = levelOf(id, maxLevel)
-      vecs.put(id, v)
-      levels.put(id, lvl)
+      st.vecs.put(id, v)
+      st.levels.put(id, lvl)
       (0 to lvl).foreach(l =>
-        adjL(l).put(id, scala.collection.mutable.ArrayBuffer.empty[Long]))
-      if (entry < 0) { entry = id; entryLevel = lvl }
+        st.adjL(l).put(id, scala.collection.mutable.ArrayBuffer.empty[Long]))
+      if (st.entry < 0) { st.entry = id; st.entryLevel = lvl; st.parents.put(id, -1L) }
       else {
         // the new node is unreachable during its own searches: nothing
         // links to it yet and its adjacency is empty
-        var cur = entry
-        var l = entryLevel
+        var cur = st.entry
+        var l = st.entryLevel
         while (l > lvl) { // greedy descent above the node's own top layer
-          cur = beamSearch(vecs, n => adjL(l).get(n).toArray, cur, v, 1).head._1
+          cur = beamSearch(st.vecs, n => st.adjL(l).get(n).toArray, cur, v, 1).head._1
           l -= 1
         }
         while (l >= 0) { // link layers: beam, connect m nearest, prune
-          val near = beamSearch(vecs, n => adjL(l).get(n).toArray, cur, v,
+          val near = beamSearch(st.vecs, n => st.adjL(l).get(n).toArray, cur, v,
             efConstruction).take(m)
-          adjL(l).get(id) ++= near.map(_._1)
+          st.adjL(l).get(id) ++= near.map(_._1)
           if (l == 0) {
             val parent = near.head._1 // nearest existing node: guarded in-edge
-            children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+            st.children.computeIfAbsent(parent, _ => new java.util.HashSet[Long]()).add(id)
+            st.parents.put(id, parent)
           }
           near.foreach { case (nid, _) =>
-            adjL(l).get(nid) += id
+            st.adjL(l).get(nid) += id
             pruneAt(l, nid)
           }
           cur = near.head._1
           l -= 1
         }
-        if (lvl > entryLevel) { entry = id; entryLevel = lvl }
+        if (lvl > st.entryLevel) { st.entry = id; st.entryLevel = lvl }
       }
-    }
-    items.map { case (id, _) =>
-      val lvl = levels.get(id)
-      (id, lvl, (0 to lvl).map(l => adjL(l).get(id).toArray).toArray)
     }
   }
 
-  /** Build the sharded HNSW index: one row per vector with its level and
-    * per-layer adjacency `(shard, vec_id, embedding, level, layers)` —
-    * the same disjoint-shard layout as [[build]], plus the hierarchy.
+  private[scale] def buildShardHnsw(items: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int, maxLevel: Int): Array[(Long, Int, Array[Array[Long]])] = {
+    requireDistinctIds(items)
+    val st = new HnswState(items.length, maxLevel)
+    insertAllHnsw(st, items, m, efConstruction, maxLevel)
+    items.map { case (id, _) =>
+      val lvl = st.levels.get(id)
+      (id, lvl, (0 to lvl).map(l => st.adjL(l).get(id).toArray).toArray)
+    }
+  }
+
+  /** Rehydrate a shard's layered build state from persisted rows
+    * (vec_id, embedding, level, layers, parent). Entry: highest level,
+    * ties to min id — the builder's own rule under ascending insertion. */
+  private def loadHnswState(
+      rows: Array[(Long, Array[Float], Int, Array[Array[Long]], Long)],
+      maxLevel: Int): HnswState = {
+    val st = new HnswState(rows.length, maxLevel)
+    rows.foreach { case (id, v, lvl, layers, p) =>
+      st.vecs.put(id, v)
+      st.levels.put(id, lvl)
+      (0 to lvl).foreach { l =>
+        st.adjL(l).put(id,
+          scala.collection.mutable.ArrayBuffer(layers(l).toSeq: _*))
+      }
+      st.parents.put(id, p)
+      if (p >= 0)
+        st.children.computeIfAbsent(p, _ => new java.util.HashSet[Long]()).add(id)
+    }
+    val (entry, entryLevel) = rows.iterator
+      .map(r => (r._1, r._3)).reduce { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+      }
+    st.entry = entry
+    st.entryLevel = entryLevel
+    st
+  }
+
+  /** Build the sharded HNSW index: one row per vector with its level,
+    * per-layer adjacency and guarded layer-0 parent
+    * `(shard, vec_id, embedding, level, layers, parent)` — the same
+    * disjoint-shard layout as [[build]], plus the hierarchy.
     * Persistable as parquet partitioned by shard, like the flat graph. */
   def buildHnsw(emb: DataFrame, numShards: Int = 8, m: Int = DefaultM,
       efConstruction: Int = 64, maxLevel: Int = DefaultMaxLevel,
@@ -380,12 +519,62 @@ object Nsw {
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
           val items = rows.map(r => (r._2, r._3)).sortBy(_._1)
-          val vecOf = items.toMap
-          buildShardHnsw(items, m, efConstruction, maxLevel).iterator
-            .map { case (id, lvl, layers) => (shard, id, vecOf(id), lvl, layers) }
+          requireDistinctIds(items)
+          val st = new HnswState(items.length, maxLevel)
+          insertAllHnsw(st, items, m, efConstruction, maxLevel)
+          items.iterator.map { case (id, v) =>
+            val lvl = st.levels.get(id)
+            (shard, id, v, lvl,
+              (0 to lvl).map(l => st.adjL(l).get(id).toArray).toArray,
+              st.parents.get(id).longValue)
+          }
         }
       }
-      .toDF("shard", "vec_id", "embedding", "level", "layers")
+      .toDF("shard", "vec_id", "embedding", "level", "layers", "parent")
+  }
+
+  /** Incremental per-shard HNSW insert — [[insert]] for the layered
+    * graph: same id-mod routing, rehydrated layered state (guarded
+    * layer-0 parents from the `parent` column), the identical layered
+    * insertion loop over the delta. The analog of a live HNSW
+    * `add_documents` (reference: Chroma inserts into its serving index
+    * incrementally, helper/multiple_document_upload.py:168), as a batch
+    * job over only the touched shards. */
+  def insertHnsw(graph: DataFrame, newVecs: DataFrame, numShards: Int,
+      m: Int = DefaultM, efConstruction: Int = 64, maxLevel: Int = DefaultMaxLevel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val delta = newVecs.select(
+      pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
+      col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    val g = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("level"),
+        col("layers"), col("parent"))
+      .as[(Int, Long, Array[Float], Int, Array[Array[Long]], Long)]
+      .groupByKey(_._1)
+    val d = delta.as[(Int, Long, Array[Float])].groupByKey(_._1)
+    g.cogroup(d) { (shard, graphRows, deltaRows) =>
+      val existing = graphRows.map(r => (r._2, r._3, r._4, r._5, r._6)).toArray
+      val items = deltaRows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      if (items.isEmpty)
+        existing.iterator.map { case (id, v, lvl, ls, p) => (shard, id, v, lvl, ls, p) }
+      else {
+        val st =
+          if (existing.isEmpty) new HnswState(items.length, maxLevel)
+          else loadHnswState(existing, maxLevel)
+        insertAllHnsw(st, items, m, efConstruction, maxLevel)
+        val vecOf = new java.util.HashMap[Long, Array[Float]]()
+        existing.foreach { case (id, v, _, _, _) => vecOf.put(id, v) }
+        items.foreach { case (id, v) => vecOf.put(id, v) }
+        (existing.iterator.map(_._1) ++ items.iterator.map(_._1)).map { id =>
+          val lvl = st.levels.get(id)
+          (shard, id, vecOf.get(id), lvl,
+            (0 to lvl).map(l => st.adjL(l).get(id).toArray).toArray,
+            st.parents.get(id).longValue)
+        }
+      }
+    }.toDF("shard", "vec_id", "embedding", "level", "layers", "parent")
   }
 
   /** One HNSW shard in memory: vectors, per-layer adjacency, the descent

@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TinyTransformer.{Config, Loader, Session}
+
+/** Pins the pure-JVM transformer encoder: a hand-computed closed-form
+  * forward pass (weight-buffer offsets and attention wiring have nowhere
+  * to hide in a 2-dim single-token network), bit-determinism, and the
+  * one-session-per-partition seam contract. */
+object TransformerSpec {
+  val loads = new AtomicInteger(0)
+  class CountingLoader(path: String) extends TextModelLoader {
+    private val inner = new Loader(path)
+    def load(dim: Int): String => Array[Float] = {
+      TransformerSpec.loads.incrementAndGet()
+      inner.load(dim)
+    }
+  }
+}
+
+class TransformerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gelu(x: Double): Double =
+    0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+  test("closed-form forward pass: identity-wired single-token network") {
+    // d=2, 1 head, 1 layer, ff=2. Wq=Wk=0 (softmax over one token is 1
+    // anyway), Wv=Wo=W1=W2=I, all biases 0, all LN gains 1 — every stage
+    // is hand-computable from the LN/GELU definitions.
+    val cfg = Config(vocab = 4, dModel = 2, nHeads = 1, nLayers = 1, dFf = 2, maxLen = 4)
+    val id2 = Array(1f, 0f, 0f, 1f)
+    val zero2x2 = Array.fill(4)(0f)
+    val w = Array.newBuilder[Float]
+    // token embeddings: every vocab row is (1, 3)
+    (0 until cfg.vocab).foreach(_ => w ++= Array(1f, 3f))
+    // positional embeddings: zero
+    (0 until cfg.maxLen).foreach(_ => w ++= Array(0f, 0f))
+    w ++= zero2x2 ++= zero2x2 ++= id2 ++= id2 // Wq Wk Wv Wo
+    w ++= Array.fill(8)(0f) // bq bk bv bo
+    w ++= Array(1f, 1f) ++= Array(0f, 0f) // ln1 gamma beta
+    w ++= id2 ++= Array(0f, 0f) // W1 b1
+    w ++= id2 ++= Array(0f, 0f) // W2 b2
+    w ++= Array(1f, 1f) ++= Array(0f, 0f) // ln2 gamma beta
+    w ++= Array(1f, 1f) ++= Array(0f, 0f) // final ln
+    val flat = w.result()
+    require(flat.length == cfg.totalFloats, s"${flat.length} != ${cfg.totalFloats}")
+    val session = new Session(cfg, flat)
+
+    // hand computation: x = emb = (1,3)
+    // ln1(x): mean 2, var 1 -> (-1, 1); v = ctx = attnOut = (-1, 1)
+    // residual: h = (0, 4)
+    // ln2(h): mean 2, var 4 -> (-1, 1); ff = gelu((-1,1)) through I, I
+    // residual: h = (0 + gelu(-1), 4 + gelu(1))
+    val h0 = 0.0 + gelu(-1.0)
+    val h1 = 4.0 + gelu(1.0)
+    // final ln of (h0, h1): mean m, var va -> normalized pair; n=1 so the
+    // mean pool is the vector itself, then L2 normalize
+    val m = (h0 + h1) / 2
+    val va = ((h0 - m) * (h0 - m) + (h1 - m) * (h1 - m)) / 2
+    val inv = 1.0 / math.sqrt(va + 1e-12)
+    val f0 = (h0 - m) * inv
+    val f1 = (h1 - m) * inv
+    val nrm = math.sqrt(f0 * f0 + f1 * f1)
+    val want = Array((f0 / nrm).toFloat, (f1 / nrm).toFloat)
+
+    val got = session.encode("tok") // single token -> single position
+    assert(got.length == 2)
+    assert(math.abs(got(0) - want(0)) < 1e-6f, s"${got.toSeq} vs ${want.toSeq}")
+    assert(math.abs(got(1) - want(1)) < 1e-6f, s"${got.toSeq} vs ${want.toSeq}")
+  }
+
+  test("weights file round-trips; outputs are bit-deterministic and unit-norm") {
+    val cfg = Config(vocab = 512, dModel = 16, nHeads = 4, nLayers = 2, dFf = 32, maxLen = 32)
+    val path = tmpDir("tt").resolve("w.bin").toString
+    TinyTransformer.writeRandomWeights(path, cfg, seed = 7L)
+    val (cfg2, w) = TinyTransformer.readWeights(path)
+    assert(cfg2 == cfg)
+    val s = new Session(cfg2, w)
+    val texts = Seq("the quick brown fox", "jumps over", "the quick brown fox", "")
+    val a = texts.map(s.encode)
+    val b = texts.map(s.encode)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq, "not deterministic") }
+    // same text -> same vector; different text -> different vector
+    assert(a(0).toSeq == a(2).toSeq)
+    assert(a(0).toSeq != a(1).toSeq)
+    a.take(3).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+    }
+    // long input truncates at maxLen instead of overflowing positions
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    assert(s.encode(long).length == cfg.dModel)
+  }
+
+  test("neural session runs through the seam: one load per partition") {
+    val cfg = Config(vocab = 1024, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
+    val path = tmpDir("tt2").resolve("w.bin").toString
+    TinyTransformer.writeRandomWeights(path, cfg)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .repartition(4)
+    TransformerSpec.loads.set(0)
+    val got = Embedder.embedFrame(docs,
+        loader = new TransformerSpec.CountingLoader(path))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(TransformerSpec.loads.get() == 4,
+      s"expected one session per partition (4), saw ${TransformerSpec.loads.get()}")
+    assert(got.size == 40)
+    // executor outputs match a driver-side session exactly (bit-determinism
+    // across the mapPartitions boundary)
+    val (c2, w2) = TinyTransformer.readWeights(path)
+    val local = new Session(c2, w2)
+    docs.as[(Long, String)].collect().take(5).foreach { case (id, t) =>
+      assert(got(id).toSeq == local.encode(t).toSeq, s"doc $id diverged")
+    }
+  }
+}

@@ -133,6 +133,35 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.videoFeatures("not a video".getBytes("US-ASCII"), 64).isEmpty)
   }
 
+  test("mp4 skeleton encode→moov-walk round-trips structural metadata exactly") {
+    val mp4 = MediaCodecs.encodeMp4Skeleton(640, 360, nFrames = 7,
+      sampleDeltaUs = 33333L)
+    assert(MediaCodecs.sniff(mp4) == "mp4")
+    val m = MediaCodecs.decodeMp4(mp4).fold(e => fail(e), identity)
+    assert(m.container == "mp4" && m.codec == "avc1")
+    assert(m.width == 640 && m.height == 360)
+    assert(m.frames == 7L)
+    assert(m.usPerFrame == 33333L) // 1 MHz timescale ⇒ exact
+    assert(m.durationUs == 7L * 33333L)
+    assert(m.firstFrameSum == 0L) // metadata walk never touches samples
+  }
+
+  test("mp4 walk is total: torn boxes, wrong tracks, garbage all yield Left") {
+    assert(MediaCodecs.decodeMp4("nope".getBytes("US-ASCII")).isLeft)
+    val good = MediaCodecs.encodeMp4Skeleton(64, 48, nFrames = 3)
+    // truncate inside moov: torn box ⇒ no committed video track
+    assert(MediaCodecs.decodeMp4(good.take(64)).isLeft)
+    // flip the handler fourcc to a sound track: no video track to commit
+    val soun = good.clone()
+    val idx = {
+      // locate 'vide' (hdlr handler_type); unique in the skeleton
+      val needle = "vide".getBytes("US-ASCII")
+      (0 until soun.length - 4).find(i => needle.indices.forall(j => soun(i + j) == needle(j))).get
+    }
+    System.arraycopy("soun".getBytes("US-ASCII"), 0, soun, idx, 4)
+    assert(MediaCodecs.decodeMp4(soun).isLeft)
+  }
+
   test("image features: histogram over decoded samples, unit norm, real not stub") {
     val bytes = MediaCodecs.encodeGray(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)
     val f = MediaCodecs.imageFeatures(bytes, 64).get

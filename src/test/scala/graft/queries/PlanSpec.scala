@@ -147,6 +147,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("top_bigrams/lm_doc_score: document tokenized once per row, not per reference") {
+    // `words(text)` referenced from several expressions of one projection
+    // re-splits the document per reference when subexpression elimination
+    // doesn't collapse them (the round-6 bench regression: 0.46 s → 2.82 s);
+    // the fix materializes the split in a prior select, so no single plan
+    // NODE may tokenize more than once. (lm_doc_score legitimately shows
+    // 3 split() sites — the doc frame and two model-table subtrees each
+    // scan the corpus once — but each node splits once per row.)
+    Seq("top_bigrams", "lm_doc_score").foreach { n =>
+      val p = planOf(n)
+      val total = "split\\(".r.findAllIn(p).length
+      assert(total >= 1, s"$n: expected a tokenizing scan\n$p")
+      p.linesIterator.foreach { line =>
+        val perNode = "split\\(".r.findAllIn(line).length
+        assert(perNode <= 1,
+          s"$n: a plan node tokenizes $perNode times per row:\n$line")
+      }
+    }
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a

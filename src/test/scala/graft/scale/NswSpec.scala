@@ -215,6 +215,67 @@ class NswSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
   }
 
+  // --------------------------------------------------- incremental insert
+
+  test("insert of a tail batch is bit-identical to a from-scratch build of the union") {
+    // delta ids all larger than resident ids ⇒ the incremental path
+    // replays exactly the batch builder's ascending insertion order, so
+    // adjacency AND parents must match edge for edge
+    val cut = 400L
+    val init = emb.filter(col("vec_id") < cut)
+    val delta = emb.filter(col("vec_id") >= cut)
+    val grown = Nsw.insert(Nsw.build(init, numShards = 4), delta, numShards = 4)
+      .select("vec_id", "neighbors", "parent")
+      .as[(Long, Array[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    val scratch = Nsw.build(emb, numShards = 4)
+      .select("vec_id", "neighbors", "parent")
+      .as[(Long, Array[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    assert(grown == scratch)
+  }
+
+  test("hnsw insert of a tail batch is bit-identical to a from-scratch build") {
+    val cut = 400L
+    val init = emb.filter(col("vec_id") < cut)
+    val delta = emb.filter(col("vec_id") >= cut)
+    val grown = Nsw.insertHnsw(Nsw.buildHnsw(init, numShards = 4), delta, numShards = 4)
+      .select("vec_id", "level", "layers", "parent")
+      .as[(Long, Int, Array[Array[Long]], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3.map(_.toSeq).toSeq, r._4))).toMap
+    val scratch = Nsw.buildHnsw(emb, numShards = 4)
+      .select("vec_id", "level", "layers", "parent")
+      .as[(Long, Int, Array[Array[Long]], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3.map(_.toSeq).toSeq, r._4))).toMap
+    assert(grown == scratch)
+  }
+
+  test("interleaved-id insert keeps the unbounded beam exact (insert_precision regime)") {
+    // every 5th id arrives as the delta — ids interleave with residents,
+    // so the result is NOT the batch build; what must still hold is the
+    // guarded-reachability invariant ⇒ ef = ∞ equals brute force
+    val init = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val grown = Nsw.insert(Nsw.build(init, numShards = 4), delta, numShards = 4).cache()
+    try {
+      assert(grown.count() == emb.count())
+      for (qid <- Seq(0L, 7L)) {
+        val q = queryVec(qid)
+        val got = Nsw.search(grown, q, k = 13, ef = Int.MaxValue)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(got == exactTopK(q, 13), s"query $qid diverged after interleaved insert")
+      }
+      val hGrown = Nsw.insertHnsw(Nsw.buildHnsw(init, numShards = 4), delta,
+        numShards = 4).cache()
+      try {
+        val q = queryVec(0)
+        val got = Nsw.searchHnsw(hGrown, q, k = 13, ef = Int.MaxValue)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(got == exactTopK(q, 13), "hnsw diverged after interleaved insert")
+      } finally hGrown.unpersist()
+    } finally grown.unpersist()
+  }
+
   // -------------------------------------------------------- batch knn join
 
   test("nsw batch knn join: unbounded beam equals the exact join; working beam keeps recall") {

@@ -14,10 +14,31 @@ class PageRankSpec extends SparkSpec {
   private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  private def ranksE12(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select("node", "rank_e12").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The exact e12 integer recurrence of [[PageRank.run]], executed as
+    * plain driver-side Scala — the independent twin the distributed run
+    * must match BIT FOR BIT (integer arithmetic is order-free, so any
+    * disagreement is a real defect, never summation noise). */
+  private def simulate(adj: Map[String, Seq[String]], iters: Int): Map[String, Long] = {
+    val nodes = adj.keySet
+    val n = nodes.size
+    val tp = 15L * 1000000000000L / (100L * n)
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val mass = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((u, outs) <- adj; v <- outs) mass(v) += r(u) / outs.size
+      r = nodes.map(v => v -> (tp + 85L * mass(v) / 100L)).toMap
+    }
+    r
+  }
+
   test("symmetric cycle converges to the uniform vector at every iteration") {
     // directed 3-cycle: out-degree 1 everywhere, perfectly symmetric —
-    // the uniform vector is the fixed point, so ANY iteration count must
-    // return exactly 1/3 per node
+    // the uniform e12 vector maps to itself exactly (85 * r // 100 undoes
+    // the teleport floor), so ANY iteration count returns 1/3 to e12
     val e = edges("a" -> "b", "b" -> "c", "c" -> "a")
     val r = ranksOf(PageRank.run(e, iterations = 4))
     assert(r.keySet === Set("a", "b", "c"))
@@ -28,12 +49,15 @@ class PageRankSpec extends SparkSpec {
     // hub h ↔ spokes s1..s4, both directions (no danglers)
     val spokes = (1 to 4).map(i => s"s$i")
     val e = edges(spokes.flatMap(s => Seq("h" -> s, s -> "h")): _*)
-    val r = ranksOf(PageRank.run(e, iterations = 10))
-    val hub = r("h")
-    val sp = spokes.map(r)
-    sp.foreach(v => assert(math.abs(v - sp.head) < 1e-12)) // symmetry
-    assert(hub > 2 * sp.head) // hub dominates
-    assert(math.abs(r.values.sum - 1.0) < 1e-9) // no mass leaks
+    val out = PageRank.run(e, iterations = 10)
+    val rI = ranksE12(out)
+    val sp = spokes.map(rI)
+    // integer arithmetic ⇒ spoke symmetry is EXACT, not approximate
+    sp.foreach(v => assert(v === sp.head))
+    assert(rI("h") > 2 * sp.head) // hub dominates
+    // fixed-point floors drift mass by ≤ (|E| + ~100|V|)/1e12 per
+    // iteration: ~5e-10 × 10 iterations here
+    assert(math.abs(rI.values.sum - 1000000000000L).toDouble < 1e5)
   }
 
   test("one hand-computed iteration matches the closed form") {
@@ -42,11 +66,26 @@ class PageRankSpec extends SparkSpec {
     // r1(a) = 0.15/3 + 0.85*(r0(b)/2)            = 0.05 + 0.85/6
     // r1(b) = 0.15/3 + 0.85*(r0(a)/1 + r0(c)/1)  = 0.05 + 0.85*2/3
     // r1(c) = 0.15/3 + 0.85*(r0(b)/2)            = 0.05 + 0.85/6
+    // (e12 quantization keeps each value within 1e-12 of the real line)
     val e = edges("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
     val r = ranksOf(PageRank.run(e, iterations = 1))
     assert(math.abs(r("a") - (0.05 + 0.85 / 6)) < 1e-12)
     assert(math.abs(r("b") - (0.05 + 0.85 * 2 / 3)) < 1e-12)
     assert(math.abs(r("c") - (0.05 + 0.85 / 6)) < 1e-12)
+  }
+
+  test("20 iterations match the driver-side integer recurrence exactly (checkpoint cadence)") {
+    // 20 iterations cross the 5-round localCheckpoint cut three times —
+    // the cuts must not perturb a single e12 unit, and the returned
+    // plan must be a bounded checkpoint scan, not a 20-deep join tower
+    val spokes = (1 to 4).map(i => s"s$i")
+    val pairs = spokes.flatMap(s => Seq("h" -> s, s -> "h")) ++
+      Seq("h" -> "x", "x" -> "h", "x" -> "s1", "s1" -> "x")
+    val adj = pairs.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    val out = PageRank.run(edges(pairs: _*), iterations = 20)
+    assert(ranksE12(out) === simulate(adj, 20))
+    assert(out.queryExecution.optimizedPlan.toString.linesIterator.size < 30,
+      "plan should be a shallow scan of the checkpointed vector")
   }
 
   test("rank mass is conserved on the fixture graph") {
@@ -57,7 +96,8 @@ class PageRankSpec extends SparkSpec {
     val e = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val total = PageRank.run(e, iterations = 3)
       .agg(sum(col("rank"))).collect()(0).getDouble(0)
-    assert(math.abs(total - 1.0) < 1e-9)
+    // quantization drift bound: ≤ (|E| + ~100|V|)/1e12 ≈ 2e-7 per iteration
+    assert(math.abs(total - 1.0) < 1e-5)
   }
 
   test("dangling nodes are rejected") {
