@@ -13,10 +13,12 @@ import javax.sound.sampled.AudioSystem
   * image/audio columns. Images decode through `javax.imageio` (png, jpeg,
   * gif, bmp — the formats the JDK ships readers for), audio through
   * `javax.sound.sampled` (RIFF/WAVE PCM). Video: AVI-MJPEG decodes fully
-  * (RIFF walk + JDK JPEG frames, [[decodeAvi]]); MP4 gets a real
-  * STRUCTURAL decode (ISO-BMFF `moov` box walk, [[decodeMp4]] — frame
-  * payloads stay opaque, the JDK has no H.264 codec). Only mkv/webm
-  * remain provenance-marked stubs ([[Multimodal.decodeStub]]).
+  * (RIFF walk + JDK JPEG frames, [[decodeAvi]]); MP4 and Matroska/WebM
+  * get real STRUCTURAL decodes ([[decodeMp4]]'s ISO-BMFF `moov` box walk,
+  * [[decodeMkv]]'s EBML walk with actual per-block frame counting —
+  * frame payloads stay opaque, the JDK has no H.264/VP9 codec). No
+  * container is stubbed; only frame FEATURES of non-MJPEG video fall to
+  * the provenance-marked stub ([[Multimodal.decodeStub]]).
   *
   * Decoded metadata (dimensions, sample counts, pixel/sample sums) is
   * exactly deterministic, which is what makes the `media_meta` declared
@@ -53,6 +55,7 @@ object MediaCodecs {
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else if (at(0) == 0x1A && at(1) == 0x45 && at(2) == 0xDF && at(3) == 0xA3) "ebml"
     else "unknown"
   }
 
@@ -416,6 +419,150 @@ object MediaCodecs {
           out.duration * 1000000L / out.timescale, 0L))
       }
     } catch { case e: Exception => Left(s"mp4 decode: ${e.getMessage}") }
+
+  // ------------------------------------------------------------- mkv/webm
+
+  /** Matroska/WebM STRUCTURAL metadata walk — the EBML sibling of
+    * [[decodeMp4]], closing the last video-container stub: element IDs and
+    * sizes are length-prefixed varints, so the Segment tree parses
+    * exactly without any codec: Info carries TimestampScale/Duration,
+    * the first video TrackEntry carries CodecID, PixelWidth/PixelHeight
+    * and DefaultDuration (ns per frame), and the frame count is REAL —
+    * SimpleBlocks/BlockGroups whose block header names the video track
+    * number are counted across all Clusters (block payloads stay opaque;
+    * the JDK has no VP9/AV1/H.264 codec). Container is "webm" or "mkv"
+    * by DocType. `firstFrameSum` is 0 by contract. */
+  def decodeMkv(bytes: Array[Byte]): Either[String, VideoMeta] =
+    try {
+      if (sniff(bytes) != "ebml") Left("not an EBML payload")
+      else {
+        // vint reads: (value, bytesConsumed); IDs keep the length-marker
+        // bits (matching the registered constants), sizes strip them
+        def vint(off: Int, keepMarker: Boolean): (Long, Int) = {
+          val b0 = bytes(off) & 0xff
+          val len = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+          require(len >= 1 && len <= 8, s"bad vint at $off")
+          var v = (if (keepMarker) b0 else b0 & (0xff >>> len)).toLong
+          var i = 1
+          while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+          (v, len)
+        }
+        var docType = ""
+        var timestampScaleNs = 1000000L // EBML default
+        var durationTicks = 0.0
+        var width = 0; var height = 0; var codec = ""
+        var videoTrackNum = -1L
+        var defaultDurationNs = 0L
+        var frames = 0L
+        // per-TrackEntry accumulation, committed on the first video entry
+        var teNum = -1L; var teType = -1L; var teCodec = ""
+        var teW = 0; var teH = 0; var teDefDur = 0L
+        def commitTrack(): Unit =
+          if (videoTrackNum < 0 && teType == 1 && teW > 0) {
+            videoTrackNum = teNum; codec = teCodec
+            width = teW; height = teH; defaultDurationNs = teDefDur
+          }
+        val masters = Set(0x18538067L, 0x1549A966L, 0x1654AE6BL, 0xAEL,
+          0xE0L, 0x1F43B675L, 0xA0L, 0x1A45DFA3L)
+        def uintAt(off: Int, len: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+          v
+        }
+        def floatAt(off: Int, len: Int): Double =
+          if (len == 4) java.lang.Float.intBitsToFloat(uintAt(off, 4).toInt).toDouble
+          else java.lang.Double.longBitsToDouble(uintAt(off, 8))
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p < until) {
+            val (id, idLen) = vint(p, keepMarker = true)
+            val (sz, szLen) = vint(p + idLen, keepMarker = false)
+            val body = p + idLen + szLen
+            val end = body + sz.toInt
+            if (sz < 0 || end > until) return // torn element: keep what parsed
+            id match {
+              case 0xAEL => // TrackEntry: fresh accumulator, commit on close
+                teNum = -1; teType = -1; teCodec = ""; teW = 0; teH = 0; teDefDur = 0
+                walk(body, end)
+                commitTrack()
+              case m if masters.contains(m) => walk(body, end)
+              case 0x4282L => docType = new String(bytes, body, sz.toInt, "US-ASCII")
+              case 0x2AD7B1L => timestampScaleNs = uintAt(body, sz.toInt)
+              case 0x4489L => durationTicks = floatAt(body, sz.toInt)
+              case 0xD7L => teNum = uintAt(body, sz.toInt) // TrackNumber
+              case 0x83L => teType = uintAt(body, sz.toInt) // TrackType (1 = video)
+              case 0x86L => teCodec = new String(bytes, body, sz.toInt, "US-ASCII")
+              case 0x23E383L => teDefDur = uintAt(body, sz.toInt) // ns per frame
+              case 0xB0L => teW = uintAt(body, sz.toInt).toInt // PixelWidth
+              case 0xBAL => teH = uintAt(body, sz.toInt).toInt // PixelHeight
+              case 0xA3L | 0xA1L => // SimpleBlock / Block: header names its track
+                val (trk, _) = vint(body, keepMarker = false)
+                if (videoTrackNum >= 0 && trk == videoTrackNum) frames += 1
+              case _ => () // leaf we don't need (SeekHead, Void, CRC, ...)
+            }
+            p = end
+          }
+        }
+        walk(0, bytes.length)
+        if (videoTrackNum < 0) Left("mkv: no video TrackEntry")
+        else if (frames == 0) Left("mkv: no blocks for the video track")
+        else {
+          val container = if (docType == "webm") "webm" else "mkv"
+          val durationUs = (durationTicks * timestampScaleNs / 1000.0).round
+          Right(VideoMeta(container, codec, width, height, frames,
+            defaultDurationNs / 1000L, durationUs, 0L))
+        }
+      }
+    } catch { case e: Exception => Left(s"mkv decode: ${e.getMessage}") }
+
+  /** Assemble a minimal Matroska/WebM skeleton — fixture/test side of the
+    * EBML round-trip. Sizes are written as 2-byte vints (0x40xx) so any
+    * body ≤ 16383 bytes encodes uniformly. */
+  def encodeMkvSkeleton(width: Int, height: Int, nFrames: Int,
+      usPerFrame: Long = 40000L, docType: String = "matroska",
+      codec: String = "V_VP9"): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      Array.tabulate(n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] = {
+      require(body.length <= 16383, "skeleton elements stay under 2-byte vint sizes")
+      idBytes(id) ++ Array((0x40 | (body.length >> 8)).toByte, (body.length & 0xff).toByte) ++ body
+    }
+    def uint(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4286L, uint(1)) ++ // EBMLVersion
+        el(0x42F7L, uint(1)) ++ el(0x42F2L, uint(4)) ++ el(0x42F3L, uint(8)) ++
+        el(0x4282L, docType.getBytes("US-ASCII")) ++
+        el(0x4287L, uint(2)) ++ el(0x4285L, uint(2)))
+    val durationNs = nFrames.toLong * usPerFrame * 1000L
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uint(1000000L)) ++ // TimestampScale: 1 ms ticks
+        el(0x4489L, { // Duration as float64 ticks
+          val bb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+          bb.putDouble(durationNs / 1000000.0)
+          bb.array()
+        }))
+    val video = el(0xE0L, el(0xB0L, uint(width.toLong)) ++ el(0xBAL, uint(height.toLong)))
+    val trackEntry = el(0xAEL,
+      el(0xD7L, uint(1)) ++ el(0x83L, uint(1)) ++ // TrackNumber 1, TrackType video
+        el(0x23E383L, uint(usPerFrame * 1000L)) ++ // DefaultDuration ns
+        el(0x86L, codec.getBytes("US-ASCII")) ++ video)
+    val tracks = el(0x1654AE6BL, trackEntry)
+    val blocks = (0 until nFrames).flatMap { i =>
+      // SimpleBlock: track vint (0x81 = track 1), s16 timestamp, flags,
+      // then an opaque placeholder payload
+      el(0xA3L, Array[Byte](0x81.toByte,
+        ((i * 40) >> 8).toByte, (i * 40).toByte, 0x80.toByte) ++
+        Array.tabulate(16 + i)(j => (j % 97).toByte))
+    }.toArray
+    val cluster = el(0x1F43B675L, el(0xE7L, uint(0)) ++ blocks) // Timestamp 0
+    val segment = el(0x18538067L, info ++ tracks ++ cluster)
+    header ++ segment
+  }
 
   /** Assemble a minimal but spec-shaped MP4 skeleton (ftyp + moov tree +
     * placeholder mdat) — fixture/test side of the metadata round-trip.

@@ -14,10 +14,13 @@ import graft.functions.Embedder
   * javax.sound.sampled for WAV PCM, hand-rolled RIFF walking for the AVI
   * container) — features are histograms over actual decoded raster/PCM
   * samples, and the `media_meta`/`video_meta` declared queries
-  * oracle-check the encode→decode round-trips. Video containers the JDK
-  * has no codec for (mp4/h264, mkv, webm) fall back to the clearly-marked
-  * deterministic STUB (`decodeStub`), as does any payload the JDK cannot
-  * decode — ingest must be total, not throw on a corrupt blob. The
+  * oracle-check the encode→decode round-trips. MP4 and Matroska/WebM get
+  * real STRUCTURAL decodes ([[MediaCodecs.decodeMp4]]'s moov box walk,
+  * [[MediaCodecs.decodeMkv]]'s EBML walk — dims/codec/frame-count/timing
+  * without frame decode; the JDK ships no H.264/VP9 codec, so their
+  * frame FEATURES fall back to the clearly-marked deterministic STUB
+  * (`decodeStub`), as does any payload the JDK cannot decode — ingest
+  * must be total, not throw on a corrupt blob). The
   * partition-level batch shape (one decoder instance per partition — how
   * an ONNX/ffmpeg handle is amortized on executors) and the downstream
   * embedding column contract (`array<float>`, same as text chunks) apply
@@ -49,10 +52,12 @@ object Multimodal {
         col("content"))
   }
 
-  /** STUB ━ stands in for a real decoder on video containers the JDK has
-    * no codec for (mp4/h264, mkv, webm — AVI-MJPEG decodes for real via
-    * [[MediaCodecs.videoFeatures]]), and is the total-ingest fallback for
-    * payloads the JDK codecs reject. Deterministic: hashes
+  /** STUB ━ stands in for a real FRAME decoder on containers whose codecs
+    * the JDK lacks (mp4/h264, mkv/webm VP9 — structural metadata parses
+    * for real via [[MediaCodecs.decodeMp4]]/[[MediaCodecs.decodeMkv]];
+    * AVI-MJPEG frames decode fully via [[MediaCodecs.videoFeatures]]),
+    * and is the total-ingest fallback for payloads the JDK codecs
+    * reject. Deterministic: hashes
     * 64-byte windows of the payload into a unit-norm feature vector, so
     * tests can pin exact outputs. Image and audio use the REAL decoders
     * in [[MediaCodecs]]. */

@@ -320,11 +320,15 @@ object PipelineQueries {
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("c"))
-      // localCheckpoint, not persist: same reuse (model tables and the
-      // final rollup all read the materialized frame), but the blocks are
-      // RDD-owned and freed by the ContextCleaner when this plan is
-      // GC'd — a CacheManager persist() would live for the session
-      .localCheckpoint()
+      // persist, consciously: the frame is read by the model tables AND
+      // the final rollup inside one returned plan, so there is no point
+      // after which this function could unpersist it. An eager
+      // localCheckpoint would bound the lifetime (ContextCleaner) but
+      // executes via toRdd WITHOUT adaptive execution — measured 2× on
+      // the driver bench. The cache lives until the harness's
+      // clearCache() between queries (Verify/Bench both call it) or
+      // session end; it is one (doc, lang, word) count frame.
+      .persist()
     val raw = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cr"))
     val tgt = perDoc.filter(col("lang") === "en")
       .groupBy(col("w")).agg(sum(col("c")).as("ct"))

@@ -248,12 +248,15 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(byNode))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("lbl"))
-      // cut lineage every 5 rounds (the ConnectedComponents idiom) so a
-      // deep-iteration run never blows up plan analysis; the |V|-row
-      // checkpoint is GC-managed by the ContextCleaner
-      if (i % 5 == 0) labels = labels.localCheckpoint()
+      // cut lineage every 5 rounds so a deep-iteration run never blows up
+      // plan analysis; materialize through cache + count (a normal AQE
+      // action — eager localCheckpoint executes via toRdd WITHOUT
+      // adaptive execution and re-sorts the cached edge side per
+      // iteration, the PageRank lesson). The retained cache is one
+      // |V|-row vector backing the returned plan.
+      if (i % 5 == 0) { labels = labels.cache(); labels.count() }
     }
-    // the final vector is materialized by the checkpoint above, so the
+    // the final vector is materialized by the cut above, so the
     // partitioned edge cache can be released before the caller's action
     edges.unpersist()
     labels.groupBy(col("lbl"))
@@ -305,11 +308,13 @@ object RelationalQueries {
   /** One unrolled PageRank power-iteration step: `cur` from `prev` —
     * same INTEGER e12 fixed-point arithmetic, op for op, as
     * [[graft.scale.PageRank.run]] (`//` is DuckDB floor division; all
-    * operands positive, matching Spark's `div` / Java long division). */
+    * operands positive, matching Spark's `div` / Java long division).
+    * The per-step CAST pins the type: DuckDB's SUM(BIGINT) widens to
+    * HUGEINT, which would reach the output as a float. */
   private def prStep(prev: String, cur: String): String =
     s"""$cur AS (
-       |  SELECT nd.node, (SELECT t FROM tp)
-       |         + (85 * COALESCE(m.mass, 0)) // 100 AS rank_e12
+       |  SELECT nd.node, CAST((SELECT t FROM tp)
+       |         + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_e12
        |  FROM nodes nd LEFT JOIN (
        |    SELECT e.dst, SUM(r.rank_e12 // d.outdeg) AS mass
        |    FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
@@ -327,7 +332,7 @@ object RelationalQueries {
        |tp AS (SELECT (15 * 1000000000000) // (100 * n) AS t FROM nn),
        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12 FROM nodes),
        |${(1 to 5).map(i => prStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
-       |SELECT node, (rank_e12 + 500000) // 1000000 AS rank_e6
+       |SELECT node, CAST((rank_e12 + 500000) // 1000000 AS BIGINT) AS rank_e6
        |FROM r5 ORDER BY node""".stripMargin
 
   /** One unrolled synchronous LPA step: majority neighbor label, ties to

@@ -546,19 +546,23 @@ object ScaleQueries {
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
 
-  /** Real video-container round-trips: even doc_ids encode a genuine AVI
-    * (JDK JPEG frames, hand-built RIFF) decoded with
-    * [[MediaCodecs.decodeAvi]] — dimensions from the avih header, frame
-    * count from the actual movi chunks; odd doc_ids encode an ISO-BMFF
-    * MP4 skeleton decoded with [[MediaCodecs.decodeMp4]]'s `moov` box
-    * walk — dimensions from tkhd's 16.16 fields, frame count from stsz,
-    * timing from mdhd/stts (no frame decode: the JDK has no H.264 codec;
-    * mkv/webm remain the only stubbed containers). The oracle recomputes
-    * every value from the same closed forms, so a broken chunk walker,
-    * box-offset error, or frame counter hash-mismatches. Pixel sums are
-    * lossy-JPEG output and stay in MediaCodecsSpec's error-budget check
-    * instead of the oracle. mapPartitions mirrors the per-partition
-    * decoder amortization; the stage is map-only. */
+  /** Real video-container round-trips over all four container families:
+    * doc_id % 3 == 0 encodes a genuine AVI (JDK JPEG frames, hand-built
+    * RIFF) decoded with [[MediaCodecs.decodeAvi]] — dimensions from the
+    * avih header, frame count from the actual movi chunks; % 3 == 1 an
+    * ISO-BMFF MP4 skeleton decoded with [[MediaCodecs.decodeMp4]]'s
+    * `moov` box walk (tkhd 16.16 dims, stsz frame count, mdhd/stts
+    * timing); % 3 == 2 a Matroska/WebM skeleton (webm DocType at
+    * doc_id % 6 == 2) decoded with [[MediaCodecs.decodeMkv]]'s EBML walk
+    * — dims/codec from the TrackEntry, frames counted from the actual
+    * SimpleBlocks. No container is stubbed any more (frame PAYLOADS stay
+    * opaque outside AVI-MJPEG — the JDK ships no H.264/VP9 codec). The
+    * oracle recomputes every value from the same closed forms, so a
+    * broken chunk walker, box-offset error, varint misparse, or frame
+    * counter hash-mismatches. Pixel sums are lossy-JPEG output and stay
+    * in MediaCodecsSpec's error-budget check instead of the oracle.
+    * mapPartitions mirrors the per-partition decoder amortization; the
+    * stage is map-only. */
   def videoMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.MediaCodecs
@@ -570,15 +574,21 @@ object ScaleQueries {
         val h = 16 + ((id * 5) % 17).toInt
         val base = (id % 150).toInt
         val n = 2 + (id % 4).toInt
-        val m =
-          if (id % 2 == 0) {
+        val m = (id % 3) match {
+          case 0 =>
             val avi = MediaCodecs.encodeAviMjpeg(w, h,
               Seq.tabulate(n)(f => (x: Int, y: Int) => base + f + x + y), usPerFrame = 40000L)
             MediaCodecs.decodeAvi(avi).fold(e => sys.error(e), identity)
-          } else {
+          case 1 =>
             val mp4 = MediaCodecs.encodeMp4Skeleton(w, h, n, sampleDeltaUs = 40000L)
             MediaCodecs.decodeMp4(mp4).fold(e => sys.error(e), identity)
-          }
+          case _ =>
+            val docType = if (id % 6 == 2) "webm" else "matroska"
+            val codec = if (id % 6 == 2) "V_VP9" else "V_MPEG4/ISO/AVC"
+            val mkv = MediaCodecs.encodeMkvSkeleton(w, h, n,
+              usPerFrame = 40000L, docType = docType, codec = codec)
+            MediaCodecs.decodeMkv(mkv).fold(e => sys.error(e), identity)
+        }
         VideoMetaRow(id, m.container, m.codec, m.width, m.height, m.frames,
           m.usPerFrame, m.durationUs)
       }
@@ -840,8 +850,10 @@ object ScaleQueries {
         |ORDER BY doc_id""".stripMargin,
     "video_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'mjpeg' ELSE 'avc1' END AS codec,
+        |  CASE doc_id % 3 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
+        |    ELSE CASE WHEN doc_id % 6 = 2 THEN 'webm' ELSE 'mkv' END END AS container,
+        |  CASE doc_id % 3 WHEN 0 THEN 'mjpeg' WHEN 1 THEN 'avc1'
+        |    ELSE CASE WHEN doc_id % 6 = 2 THEN 'V_VP9' ELSE 'V_MPEG4/ISO/AVC' END END AS codec,
         |  CAST(16 + doc_id % 17 AS INT) AS width,
         |  CAST(16 + (doc_id * 5) % 17 AS INT) AS height,
         |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,

@@ -170,8 +170,10 @@ object TextQueries {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      // localCheckpoint, not persist — GC-managed blocks (see dsirWeights)
-      .localCheckpoint()
+      // persist, consciously — shared by three readers inside one
+      // returned plan; released by the harness clearCache() between
+      // queries (see dsirWeights for the localCheckpoint trade-off)
+      .persist()
     val corpus = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val totals = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val grand = corpus.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))

@@ -33,9 +33,15 @@ import org.apache.spark.sql.functions._
   *
   * Lineage: `rank_e12` is re-derived from the previous vector each
   * iteration; without a cut the plan grows linearly and a 20-50-iteration
-  * web-graph run blows up analysis time. `run` localCheckpoints the
-  * vector every 5 iterations (the ConnectedComponents idiom) — a |V|-row
-  * materialization, GC-managed by the ContextCleaner.
+  * web-graph run blows up analysis time. `run` cuts every 5 iterations by
+  * materializing the |V|-row vector through cache + count — a normal AQE
+  * action, NOT `localCheckpoint`, whose eager path executes via `toRdd`
+  * WITHOUT adaptive execution and re-sorts the big cached edge side in
+  * every iteration's join (measured 10× on the driver bench). Each cut
+  * unpersists the previous one, so at most one |V|-row vector is cached
+  * mid-run; the FINAL vector's cache is the one thing `run` retains (it
+  * backs the returned frame — callers or the harness release it), which
+  * is what lets the edge/degree caches drop before the caller's action.
   *
   * Dangling mass: nodes with no out-edges would leak rank. Callers build
   * edge lists where every node has ≥ 1 out-edge (an undirected graph fed
@@ -78,6 +84,14 @@ object PageRank {
     // driver-side long arithmetic, positive operands ⇒ floor division
     val teleportE12 = (100L - dNum) * E12 / (100L * n)
     var ranks = nodes.withColumn("rank_e12", lit(E12 / n))
+    var prevCut: DataFrame = null
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count() // materialize through a normal AQE action (see object doc)
+      if (prevCut != null) prevCut.unpersist()
+      prevCut = c
+      c
+    }
     for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -89,13 +103,12 @@ object PageRank {
           (lit(teleportE12) +
             expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
       if (i % CheckpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint() // cut lineage, keep going
+        ranks = cut(ranks) // |V|-row lineage cut, rolling unpersist
     }
-    // materialize the final vector so the iteration cache can be released
-    // before the caller ever runs an action (the checkpointed blocks are
-    // RDD-owned → freed by the ContextCleaner once unreferenced, unlike
-    // CacheManager entries which live for the session)
-    val out = ranks.localCheckpoint()
+    // materialize the final vector so the edge/degree caches can be
+    // released before the caller ever runs an action; the final vector's
+    // own |V|-row cache backs the returned frame (object doc)
+    val out = cut(ranks)
     e.unpersist()
     deg.unpersist()
     out.select(col("node"),

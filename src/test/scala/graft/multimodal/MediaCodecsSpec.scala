@@ -162,6 +162,41 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMp4(soun).isLeft)
   }
 
+  test("mkv/webm skeleton encode→EBML-walk round-trips structural metadata exactly") {
+    val mkv = MediaCodecs.encodeMkvSkeleton(1280, 720, nFrames = 5,
+      usPerFrame = 20000L, docType = "matroska", codec = "V_MPEG4/ISO/AVC")
+    assert(MediaCodecs.sniff(mkv) == "ebml")
+    val m = MediaCodecs.decodeMkv(mkv).fold(e => fail(e), identity)
+    assert(m.container == "mkv" && m.codec == "V_MPEG4/ISO/AVC")
+    assert(m.width == 1280 && m.height == 720)
+    assert(m.frames == 5L) // counted from actual SimpleBlocks, not headers
+    assert(m.usPerFrame == 20000L && m.durationUs == 100000L)
+    val webm = MediaCodecs.encodeMkvSkeleton(320, 240, nFrames = 2,
+      docType = "webm", codec = "V_VP9")
+    val w = MediaCodecs.decodeMkv(webm).fold(e => fail(e), identity)
+    assert(w.container == "webm" && w.codec == "V_VP9" && w.frames == 2L)
+  }
+
+  test("mkv walk is total and counts only the video track's blocks") {
+    assert(MediaCodecs.decodeMkv("junk".getBytes("US-ASCII")).isLeft)
+    val good = MediaCodecs.encodeMkvSkeleton(64, 48, nFrames = 3)
+    assert(MediaCodecs.decodeMkv(good.take(40)).isLeft) // torn: no track committed
+    // retarget every SimpleBlock to track 2 (video is track 1): frame
+    // count for the video track must drop to zero -> Left
+    val other = good.clone()
+    var i = 0
+    var patched = 0
+    while (i < other.length - 4) {
+      if ((other(i) & 0xff) == 0xA3 && (other(i + 1) & 0xff) == 0x40 &&
+        (other(i + 3) & 0xff) == 0x81) {
+        other(i + 3) = 0x82.toByte; patched += 1
+      }
+      i += 1
+    }
+    assert(patched == 3, s"patched $patched blocks")
+    assert(MediaCodecs.decodeMkv(other).isLeft)
+  }
+
   test("image features: histogram over decoded samples, unit norm, real not stub") {
     val bytes = MediaCodecs.encodeGray(16, 16, (x, y) => if ((x + y) % 2 == 0) 0 else 255)
     val f = MediaCodecs.imageFeatures(bytes, 64).get
