@@ -307,12 +307,20 @@ object Nsw {
     val delta = newVecs.select(
       pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
       col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    // the touched-shard set is bounded by numShards — the one driver
+    // scalar this path needs. Untouched shards BYPASS the cogroup as a
+    // narrow filter + union (with the graph stored partitionBy("shard"),
+    // that is "those directories are not read, let alone rewritten"),
+    // so insert cost scales with the touched shards, not the index
+    val touched = delta.select(col("shard")).distinct()
+      .as[Int].collect().toSet
     val g = graph
       .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"), col("parent"))
+    val gTouched = g.filter(col("shard").isInCollection(touched))
       .as[(Int, Long, Array[Float], Array[Long], Long)]
       .groupByKey(_._1)
     val d = delta.as[(Int, Long, Array[Float])].groupByKey(_._1)
-    g.cogroup(d) { (shard, graphRows, deltaRows) =>
+    val grown = gTouched.cogroup(d) { (shard, graphRows, deltaRows) =>
       val existing = graphRows.map(r => (r._2, r._3, r._4, r._5)).toArray
       val items = deltaRows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
       if (items.isEmpty)
@@ -330,6 +338,7 @@ object Nsw {
         }
       }
     }.toDF("shard", "vec_id", "embedding", "neighbors", "parent")
+    g.filter(!col("shard").isInCollection(touched)).unionByName(grown)
   }
 
   /** Beam-search every shard graph for `q`, merge per-shard candidates
@@ -548,13 +557,17 @@ object Nsw {
     val delta = newVecs.select(
       pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
       col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    // untouched shards bypass the cogroup entirely (see [[insert]])
+    val touched = delta.select(col("shard")).distinct()
+      .as[Int].collect().toSet
     val g = graph
       .select(col("shard"), col("vec_id"), col("embedding"), col("level"),
         col("layers"), col("parent"))
+    val gTouched = g.filter(col("shard").isInCollection(touched))
       .as[(Int, Long, Array[Float], Int, Array[Array[Long]], Long)]
       .groupByKey(_._1)
     val d = delta.as[(Int, Long, Array[Float])].groupByKey(_._1)
-    g.cogroup(d) { (shard, graphRows, deltaRows) =>
+    val grown = gTouched.cogroup(d) { (shard, graphRows, deltaRows) =>
       val existing = graphRows.map(r => (r._2, r._3, r._4, r._5, r._6)).toArray
       val items = deltaRows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
       if (items.isEmpty)
@@ -575,6 +588,7 @@ object Nsw {
         }
       }
     }.toDF("shard", "vec_id", "embedding", "level", "layers", "parent")
+    g.filter(!col("shard").isInCollection(touched)).unionByName(grown)
   }
 
   /** One HNSW shard in memory: vectors, per-layer adjacency, the descent

@@ -250,6 +250,26 @@ class NswSpec extends SparkSpec {
     assert(grown == scratch)
   }
 
+  test("insert touching one shard leaves the other shards' rows bit-identical (bypass path)") {
+    // delta ids all ≡ 1 (mod 4) ⇒ only shard 1 is touched; shards 0/2/3
+    // must flow through the narrow bypass unmodified — at scale (graph
+    // stored partitionBy(shard)) those directories are never read
+    val init = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") % 4 === 1)
+    assert(delta.count() > 0)
+    val base = Nsw.build(init, numShards = 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame, shards: Seq[Int]) =
+      df.filter(col("shard").isin(shards.map(Int.box): _*))
+        .select("shard", "vec_id", "neighbors", "parent")
+        .as[(Int, Long, Array[Long], Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3.toSeq, r._4))).toMap
+    val grown = Nsw.insert(base, delta, numShards = 4)
+    assert(rowsOf(grown, Seq(0, 2, 3)) == rowsOf(base, Seq(0, 2, 3)))
+    // and the touched shard actually grew
+    assert(grown.filter(col("shard") === 1).count() ==
+      base.filter(col("shard") === 1).count() + delta.count())
+  }
+
   test("interleaved-id insert keeps the unbounded beam exact (insert_precision regime)") {
     // every 5th id arrives as the delta — ids interleave with residents,
     // so the result is NOT the batch build; what must still hold is the
