@@ -185,6 +185,25 @@ object VectorQueries {
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the ±1 matrix is re-derived from md5 in SQL; the projection sum is
+    // integer, so SUM's HUGEINT widening casts back losslessly
+    "random_projection" ->
+      """WITH dims AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |s AS (
+        |  SELECT j, i,
+        |    CASE WHEN substr(md5('rp:' || i || ':' || j), 1, 1)
+        |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sgn
+        |  FROM dims CROSS JOIN idx),
+        |x AS (
+        |  SELECT e.vec_id, idx.i,
+        |    CAST(round(CAST(e.embedding[idx.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS xe4
+        |  FROM embeddings e CROSS JOIN idx)
+        |SELECT x.vec_id, CAST(s.j AS INT) AS dim,
+        |  CAST(SUM(x.xe4 * s.sgn) AS BIGINT) AS y_e4
+        |FROM x JOIN s ON s.i = x.i
+        |GROUP BY x.vec_id, s.j
+        |ORDER BY vec_id, dim""".stripMargin,
     "knn_top13" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
@@ -385,7 +404,45 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    * dimensionality-reduction pass a pipeline runs before ANN indexing /
+    * clustering when the embedding dim is wasteful (4× less vector IO at
+    * preserved pairwise geometry, ε ~ sqrt(ln n / k)). The projection
+    * matrix is a ±1 Achlioptas sign matrix derived from md5("rp:i:j") —
+    * a pure function both engines reproduce digit for digit, so unlike a
+    * Gaussian matrix this is fully oracle-checkable. Arithmetic is the
+    * integer recipe: inputs e4-fixed per element, y_j = Σ_i x_e4[i]·s_ij
+    * is an order-free integer sum (no IEEE summation-order dependence).
+    * Plan: the 16×64 sign matrix is a LITERAL (driver cost is the
+    * parameterization, never data), the projection is one codegen'd HOF
+    * chain per row, map-only — no shuffle until the output sort. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val k = 16
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1L else -1L // first hex digit in 8..f
+    }
+    // S[j][i]: row per output dim for a direct M[j][i] lookup in the HOF
+    val s = Seq.tabulate(k, d)((j, i) => sign(i, j))
+    val sLit = typedlit(s)
+    val xe4 = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xe4.as("xe4"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          aggregate(sequence(lit(0), lit(d - 1)), lit(0L),
+            (acc, i) => acc +
+              element_at(col("xe4"), i + 1) *
+              element_at(element_at(sLit, j + 1), i + 1)))))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("y_e4"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "random_projection" -> (randomProjection _),
     "centroid_drift" -> (centroidDrift _),
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),
