@@ -588,7 +588,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary growth curve (Heaps'-law diagnostic): distinct words a
+    * crawl has introduced by each corpus decile — the marginal-vocabulary
+    * signal that says when a source stops teaching the tokenizer new
+    * words (flat tail ⇒ diminishing lexical returns; a late spike ⇒ a
+    * distribution shift worth triaging with X83's KL drift). A word's
+    * introduction point is min(doc_id); deciles cut at fd·10 div N
+    * (N = max id + 1, one broadcast scalar row — same formula in the
+    * oracle). The cumulative stack is the filter_funnel pattern: ten
+    * conditional counts in ONE aggregate row, exploded with prefix sums
+    * as plain column arithmetic — no unpartitioned window anywhere.
+    * Shuffle is the (word → min id) aggregation: vocabulary-sized,
+    * Heaps-bounded at any corpus size. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nRow = docs.agg((max(col("doc_id")) + 1).as("n"))
+    val fw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val b = fw.crossJoin(broadcast(nRow))
+      .select((expr("fd * 10 div n") + 1).cast("int").as("d"))
+    val one = b.agg(
+      count(when(col("d") === 1, lit(1))).as("c1"),
+      (2 to 10).map(d => count(when(col("d") === d, lit(1))).as(s"c$d")): _*)
+    one.select(explode(array((1 to 10).map(d =>
+        struct(lit(d).as("decile"),
+          col(s"c$d").as("new_words"),
+          (1 to d).map(i => col(s"c$i")).reduce(_ + _).as("vocab_size"))): _*)).as("r"))
+      .select(col("r.decile"), col("r.new_words"), col("r.vocab_size"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
     "domain_stats" -> (domainStats _),
@@ -616,6 +649,21 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // COUNT/SUM widen to HUGEINT in DuckDB — cast back to BIGINT
+    "vocab_growth" ->
+      """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |fw AS (
+        |  SELECT w, MIN(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |b AS (SELECT CAST(fd * 10 // (SELECT n FROM n) AS INT) + 1 AS d FROM fw),
+        |c AS (SELECT d, COUNT(*) AS nw FROM b GROUP BY d),
+        |g AS (SELECT unnest(generate_series(1, 10)) AS d)
+        |SELECT CAST(g.d AS INT) AS decile,
+        |  CAST(COALESCE(c.nw, 0) AS BIGINT) AS new_words,
+        |  CAST((SELECT COALESCE(SUM(c2.nw), 0) FROM c c2 WHERE c2.d <= g.d) AS BIGINT) AS vocab_size
+        |FROM g LEFT JOIN c ON c.d = g.d
+        |ORDER BY decile""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300),
         |w AS (SELECT doc_id, unnest(ws) AS w FROM d),

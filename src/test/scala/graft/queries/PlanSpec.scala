@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("random_projection: map-only — the only exchange is the output sort") {
+    // the sign matrix is a literal and the projection a per-row HOF
+    // chain, so nothing may shuffle before the final range sort; a
+    // matrix JOIN sneaking in would show as a second Exchange
+    val p = planOf("random_projection")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most the sort exchange, found $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a
