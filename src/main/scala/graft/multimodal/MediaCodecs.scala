@@ -420,6 +420,65 @@ object MediaCodecs {
       }
     } catch { case e: Exception => Left(s"mp4 decode: ${e.getMessage}") }
 
+  /** 64-bit perceptual average-hash (aHash) over a DECODED raster: the
+    * image is partitioned into an 8×8 grid of box cells (pixel (x,y) →
+    * cell (x·8 div w, y·8 div h)), and bit (cy·8+cx) is set iff the
+    * cell's mean sample strictly exceeds the global mean — compared as
+    * the exact integer cross-product `cellSum · W·H·bands >
+    * totalSum · cellPixels · bands` so there is NO floating division
+    * anywhere: the hash is bit-identical on every JVM and recomputable
+    * by an external engine from closed-form pixel values. Brightness
+    * invariance falls out of the definition (adding a constant to every
+    * pixel shifts both sides of the comparison equally). Multi-band
+    * images sum across bands per pixel. Returned as 4×16-bit chunks
+    * (low chunk first) so downstream banding/Hamming never touches
+    * signed-64-bit edge cases. */
+  def aHash64(bytes: Array[Byte]): Either[String, Array[Int]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("not a JDK-decodable image")
+      else {
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = r.getNumBands
+        if (w < 8 || h < 8) Left(s"aHash needs >= 8x8, got ${w}x$h")
+        else {
+          val cellSum = Array.ofDim[Long](8, 8)
+          val cellN = Array.ofDim[Long](8, 8)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              var s = 0L
+              var b = 0
+              while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+              cellSum(cy)(cx) += s
+              cellN(cy)(cx) += 1
+              total += s
+              x += 1
+            }
+            y += 1
+          }
+          val wh = w.toLong * h
+          val chunks = new Array[Int](4)
+          var bit = 0
+          while (bit < 64) {
+            val cy = bit / 8
+            val cx = bit % 8
+            // exact rational mean comparison (see doc comment)
+            if (cellSum(cy)(cx) * wh > total * cellN(cy)(cx))
+              chunks(bit / 16) |= 1 << (bit % 16)
+            bit += 1
+          }
+          Right(chunks)
+        }
+      }
+    } catch { case e: Exception => Left(s"ahash: ${e.getMessage}") }
+
   // ------------------------------------------------------------- mkv/webm
 
   /** Matroska/WebM STRUCTURAL metadata walk — the EBML sibling of

@@ -543,6 +543,79 @@ object ScaleQueries {
   def semanticDecontamPrecision(spark: SparkSession, dir: String): DataFrame =
     semanticDecontam(spark, dir, nprobe = 16)
 
+  final case class AHashRow(doc_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Perceptual image hashes over DECODED rasters: groups of 4
+    * consecutive ids share an md5-derived 8×8 cell pattern (the
+    * random_projection recipe — a pure function both engines reproduce),
+    * rendered as a genuine gray PNG with 120-gray-level cell contrast
+    * plus an x+y gradient; the id-within-group `step` flips the pattern
+    * of the first `step` cells, planting NEAR-duplicates at Hamming
+    * exactly |Δstep| ∈ 1..3 within a group and ~32 across groups. The
+    * payload decodes through the real JDK reader and hashes with
+    * [[MediaCodecs.aHash64]] (exact integer mean comparisons, no
+    * floating point); PNG gray8 is lossless, so the oracle recomputes
+    * every hash bit from the SAME closed forms — the whole encode →
+    * decode → perceptual-hash chain is under the hash check. Chunked
+    * 4×16-bit (h0..h3) to stay clear of signed-64 edge cases in both
+    * engines. Samples stay < 256 by construction (60 + 120 + x + y ≤
+    * 242) — no clamp to mask a codec bug. */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4
+        val w = 8 + (g % 25).toInt
+        val h = 8 + ((g * 7) % 25).toInt
+        val step = (id % 4).toInt
+        def patBit(cx: Int, cy: Int): Boolean = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"ah:$g:$cx:$cy".getBytes("UTF-8"))
+          (d(0) & 0x80) != 0 // first hex digit in 8..f
+        }
+        val png = MediaCodecs.encodeGray(w, h, (x, y) => {
+          val cx = x * 8 / w
+          val cy = y * 8 / h
+          val flipped = patBit(cx, cy) ^ (cy * 8 + cx < step)
+          60 + (if (flipped) 120 else 0) + x + y
+        })
+        val c = MediaCodecs.aHash64(png).fold(e => sys.error(e), identity)
+        AHashRow(id, c(0), c(1), c(2), c(3))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Multimodal near-dup dedup: banded aHash pairs at Hamming ≤ 3 — the
+    * image-column sibling of the text dedup family (X1/X87), with the
+    * same pigeonhole-complete 4-chunk banding and the oracle running the
+    * ALL-PAIRS screen from closed-form hashes. Brightness-shifted
+    * re-encodes collapse (aHash is mean-relative); the right-half step
+    * keeps within-group pairs NEAR-identical rather than identical, so
+    * the Hamming verify is non-vacuous. */
+  def imageAhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = imageAhash(spark, dir)
+    val keyed = sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"), col(s"h$c").as("chunk_val"))): _*)).as("ck"))
+      .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+        col("ck.chunk_idx"), col("ck.chunk_val"))
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"a.h$c").bitwiseXOR(col(s"b.h$c")))).reduce(_ + _)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
 
@@ -635,6 +708,8 @@ object ScaleQueries {
     "knn_join_blocked_precision" -> (knnJoinBlockedPrecision _),
     "simhash_precision" -> (simhashPrecision _),
     "neural_embed" -> (neuralEmbed _),
+    "image_ahash" -> (imageAhash _),
+    "image_ahash_dedup" -> (imageAhashDedup _),
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -647,6 +722,40 @@ object ScaleQueries {
     "semantic_decontam" -> (semanticDecontamQ _),
     "semantic_decontam_precision" -> (semanticDecontamPrecision _)
   )
+
+  /** Shared CTE chain: closed-form pixel field → 8×8 box cells → exact
+    * rational mean bits → 4×16-bit chunks (`hh`), mirroring
+    * [[graft.multimodal.MediaCodecs.aHash64]] over the generated PNGs. */
+  private val aHashSigSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    8 + (doc_id // 4) % 25 AS w, 8 + ((doc_id // 4) * 7) % 25 AS h,
+      |    doc_id // 4 AS g, doc_id % 4 AS step
+      |  FROM documents WHERE doc_id < 240),
+      |pxx AS (SELECT doc_id, w, h, g, step,
+      |          unnest(generate_series(0, w - 1)) AS x FROM p),
+      |pxy AS (SELECT doc_id, w, h, g, step, x,
+      |          unnest(generate_series(0, h - 1)) AS y FROM pxx),
+      |pxv AS (SELECT doc_id, w, h, x, y,
+      |          60 + 120 * (CASE WHEN
+      |              (substr(md5('ah:' || g || ':' || ((x*8)//w) || ':' || ((y*8)//h)), 1, 1)
+      |                 IN ('8','9','a','b','c','d','e','f'))
+      |              <> (((y*8)//h) * 8 + ((x*8)//w) < step)
+      |            THEN 1 ELSE 0 END) + x + y AS v
+      |        FROM pxy),
+      |cells AS (
+      |  SELECT doc_id, (y * 8) // h AS cy, (x * 8) // w AS cx,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS wh
+      |  FROM pxv GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+      |tot AS (SELECT doc_id, SUM(v) AS tv FROM pxv GROUP BY doc_id),
+      |bits AS (
+      |  SELECT c.doc_id, cy * 8 + cx AS b,
+      |    CASE WHEN c.cs * c.wh > t.tv * c.cn THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (doc_id)),
+      |hh AS (
+      |  SELECT doc_id, b // 16 AS ci,
+      |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
+      |  FROM bits GROUP BY doc_id, b // 16)""".stripMargin
 
   private def sqL2Sql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), " +
@@ -765,6 +874,35 @@ object ScaleQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
         |ORDER BY a_id, b_id""".stripMargin,
+    // the oracle recomputes every hash bit from the closed-form pixel
+    // values (PNG gray8 is lossless, so decoded raster == closed form);
+    // SUMs widen to HUGEINT -> cast at the boundary
+    "image_ahash" -> (aHashSigSql +
+      """
+        |SELECT doc_id,
+        |  MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |  MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |  MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |  MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // all-pairs Hamming screen over the same closed-form hashes: the
+    // banded pipeline must surface every qualifying pair (pigeonhole)
+    "image_ahash_dedup" -> (aHashSigSql +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |    MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |    MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |    MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |  FROM hh GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin),
     "minhash_precision" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -162,6 +162,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeMp4(soun).isLeft)
   }
 
+  test("aHash: hand-computed bits on an 8x8 one-pixel-per-cell image") {
+    // 8x8 image, each cell IS one pixel: bit b set iff pixel > mean.
+    // Pixels: 200 where (x + y) even, 100 otherwise -> mean 150; the
+    // checkerboard's even-parity cells must be exactly the set bits
+    val png = MediaCodecs.encodeGray(8, 8, (x, y) => if ((x + y) % 2 == 0) 200 else 100)
+    val c = MediaCodecs.aHash64(png).fold(e => fail(e), identity)
+    for (bit <- 0 until 64) {
+      val cy = bit / 8; val cx = bit % 8
+      val want = (cx + cy) % 2 == 0
+      val got = ((c(bit / 16) >> (bit % 16)) & 1) == 1
+      assert(got == want, s"bit $bit (cell $cx,$cy): got $got want $want")
+    }
+    // brightness invariance: +40 on every pixel shifts cell and global
+    // means equally -> identical hash
+    val brighter = MediaCodecs.encodeGray(8, 8, (x, y) => (if ((x + y) % 2 == 0) 200 else 100) + 40)
+    assert(MediaCodecs.aHash64(brighter).toOption.get.toSeq == c.toSeq)
+    // flat image: no cell exceeds the mean -> all-zero hash, not noise
+    val flat = MediaCodecs.encodeGray(16, 16, (_, _) => 77)
+    assert(MediaCodecs.aHash64(flat).toOption.get.toSeq == Seq(0, 0, 0, 0))
+    // totality
+    assert(MediaCodecs.aHash64("junk".getBytes("US-ASCII")).isLeft)
+    assert(MediaCodecs.aHash64(MediaCodecs.encodeGray(4, 4, (_, _) => 1)).isLeft) // < 8x8
+  }
+
   test("mkv/webm skeleton encode→EBML-walk round-trips structural metadata exactly") {
     val mkv = MediaCodecs.encodeMkvSkeleton(1280, 720, nFrames = 5,
       usPerFrame = 20000L, docType = "matroska", codec = "V_MPEG4/ISO/AVC")
