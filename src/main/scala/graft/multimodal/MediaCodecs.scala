@@ -208,6 +208,50 @@ object MediaCodecs {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** 64-bit acoustic fingerprint over DECODED 16-bit PCM — the audio
+    * sibling of [[aHash64]]: samples split into `nFrames` fixed-length
+    * frames (trailing remainder dropped), per-frame energy E_f = Σ|s|
+    * (an exact integer — no FFT, no floating point), and bit f is set
+    * iff E_{f+1} > E_f — the energy-delta sign signature (the shape of
+    * Chromaprint/Shazam descriptors reduced to its deterministic
+    * integer core; gain-SCALING flips no bit since both sides of each
+    * comparison scale together). nFrames+1 frames are consumed for
+    * nFrames delta bits; returned as 4×16-bit chunks, low first. */
+  def audioFingerprint(bytes: Array[Byte], frameLen: Int = 32,
+      nBits: Int = 64): Either[String, Array[Int]] =
+    try {
+      require(nBits == 64, "fingerprint is fixed at 64 delta bits")
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) Left("fingerprint needs 16-bit PCM")
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val need = (nBits + 1) * frameLen
+          if (n < need) Left(s"fingerprint needs >= $need samples, got $n")
+          else {
+            val energy = new Array[Long](nBits + 1)
+            var i = 0
+            while (i < need) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+              energy(i / frameLen) += math.abs(s)
+              i += 1
+            }
+            val chunks = new Array[Int](4)
+            var b = 0
+            while (b < nBits) {
+              if (energy(b + 1) > energy(b)) chunks(b / 16) |= 1 << (b % 16)
+              b += 1
+            }
+            Right(chunks)
+          }
+        }
+      } finally in.close()
+    } catch { case e: Exception => Left(s"audio fingerprint: ${e.getMessage}") }
+
   /** Assemble a canonical 44-byte-header PCM WAV — fixture/test side of
     * the round-trip. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short], channels: Int = 1): Array[Byte] = {

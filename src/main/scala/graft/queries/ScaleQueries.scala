@@ -588,15 +588,11 @@ object ScaleQueries {
     }.toDF().orderBy(col("doc_id"))
   }
 
-  /** Multimodal near-dup dedup: banded aHash pairs at Hamming ≤ 3 — the
-    * image-column sibling of the text dedup family (X1/X87), with the
-    * same pigeonhole-complete 4-chunk banding and the oracle running the
-    * ALL-PAIRS screen from closed-form hashes. Brightness-shifted
-    * re-encodes collapse (aHash is mean-relative); the right-half step
-    * keeps within-group pairs NEAR-identical rather than identical, so
-    * the Hamming verify is non-vacuous. */
-  def imageAhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = imageAhash(spark, dir)
+  /** Banded Hamming pairs over a 4×16-bit chunked signature frame
+    * (doc_id, h0..h3): pigeonhole-complete for maxHamming ≤ 3, pair
+    * count Σ_bucket f²/2 — shared by the image and audio perceptual
+    * dedup queries. */
+  private def chunkedHammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val keyed = sig.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"), col(s"h$c").as("chunk_val"))): _*)).as("ck"))
@@ -612,9 +608,56 @@ object ScaleQueries {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         ham.cast("int").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Multimodal near-dup dedup: banded aHash pairs at Hamming ≤ 3 — the
+    * image-column sibling of the text dedup family (X1/X87), with the
+    * same pigeonhole-complete 4-chunk banding and the oracle running the
+    * ALL-PAIRS screen from closed-form hashes. Brightness-shifted
+    * re-encodes collapse (aHash is mean-relative); the planted
+    * step-flips keep within-group pairs NEAR-identical (Hamming 1–3)
+    * rather than identical, so the Hamming verify is non-vacuous. */
+  def imageAhashDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkedHammingPairs(imageAhash(spark, dir), maxHamming = 3)
+
+  /** Acoustic fingerprints over DECODED 16-bit PCM: groups of 4 ids
+    * share a sawtooth waveform (period parameter k from the group id);
+    * the id-within-group `step` silences the first step·40 samples,
+    * perturbing the first 1–2 frame energies — near-duplicate
+    * fingerprints within a group, unrelated across groups. The payload
+    * round-trips through a real WAV encode → javax.sound decode →
+    * [[graft.multimodal.MediaCodecs.audioFingerprint]] (energy-delta
+    * sign bits, exact integer — no FFT, no floating point), and the
+    * oracle recomputes every bit from the closed-form samples (PCM16 is
+    * lossless). Chunked 4×16-bit like the image hash. */
+  def audioFingerprintQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4
+        val k = 3 + 2 * g.toInt // injective per group: no cross-group collisions
+        val step = (id % 4).toInt
+        val samples = Array.tabulate(65 * 32) { t =>
+          if (t < step * 40) 0.toShort
+          else (((t * k) % 2000) - 1000).toShort
+        }
+        val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+        val c = MediaCodecs.audioFingerprint(wav).fold(e => sys.error(e), identity)
+        AHashRow(id, c(0), c(1), c(2), c(3))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** The audio dedup pair screen — same banding/verify machinery as
+    * [[imageAhashDedup]] over the acoustic fingerprints; the oracle runs
+    * all pairs from the closed forms. */
+  def audioFpDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkedHammingPairs(audioFingerprintQ(spark, dir), maxHamming = 3)
 
   final case class VideoMetaRow(doc_id: Long, container: String, codec: String,
       width: Int, height: Int, n_frames: Long, us_per_frame: Long, duration_us: Long)
@@ -710,6 +753,8 @@ object ScaleQueries {
     "neural_embed" -> (neuralEmbed _),
     "image_ahash" -> (imageAhash _),
     "image_ahash_dedup" -> (imageAhashDedup _),
+    "audio_fingerprint" -> (audioFingerprintQ _),
+    "audio_fp_dedup" -> (audioFpDedup _),
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -752,6 +797,31 @@ object ScaleQueries {
       |  SELECT c.doc_id, cy * 8 + cx AS b,
       |    CASE WHEN c.cs * c.wh > t.tv * c.cn THEN 1 ELSE 0 END AS bit
       |  FROM cells c JOIN tot t USING (doc_id)),
+      |hh AS (
+      |  SELECT doc_id, b // 16 AS ci,
+      |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
+      |  FROM bits GROUP BY doc_id, b // 16)""".stripMargin
+
+  /** Shared CTE chain for the acoustic fingerprint: closed-form PCM →
+    * 32-sample frame energies → energy-delta sign bits → 4×16-bit chunks
+    * (`hh`), mirroring [[graft.multimodal.MediaCodecs.audioFingerprint]]
+    * over the generated WAVs. */
+  private val audioFpSigSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 3 + 2 * (doc_id // 4) AS k, doc_id % 4 AS step
+      |  FROM documents WHERE doc_id < 240),
+      |ts AS (SELECT doc_id, k, step,
+      |         unnest(generate_series(0, 65 * 32 - 1)) AS t FROM p),
+      |sv AS (SELECT doc_id, t // 32 AS f,
+      |         CASE WHEN t < step * 40 THEN 0
+      |              ELSE abs(((t * k) % 2000) - 1000) END AS av
+      |       FROM ts),
+      |en AS (SELECT doc_id, f, SUM(av) AS e FROM sv GROUP BY doc_id, f),
+      |bits AS (
+      |  SELECT e0.doc_id, e0.f AS b,
+      |    CASE WHEN e1.e > e0.e THEN 1 ELSE 0 END AS bit
+      |  FROM en e0 JOIN en e1 ON e1.doc_id = e0.doc_id AND e1.f = e0.f + 1
+      |  WHERE e0.f < 64),
       |hh AS (
       |  SELECT doc_id, b // 16 AS ci,
       |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
@@ -888,6 +958,32 @@ object ScaleQueries {
     // all-pairs Hamming screen over the same closed-form hashes: the
     // banded pipeline must surface every qualifying pair (pigeonhole)
     "image_ahash_dedup" -> (aHashSigSql +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |    MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |    MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |    MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |  FROM hh GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin),
+    // every fingerprint bit recomputed from the closed-form PCM (PCM16
+    // round-trips losslessly through the WAV container)
+    "audio_fingerprint" -> (audioFpSigSql +
+      """
+        |SELECT doc_id,
+        |  MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |  MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |  MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |  MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "audio_fp_dedup" -> (audioFpSigSql +
       """,
         |sig AS (
         |  SELECT doc_id,

@@ -186,6 +186,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.aHash64(MediaCodecs.encodeGray(4, 4, (_, _) => 1)).isLeft) // < 8x8
   }
 
+  test("audio fingerprint: hand-computed energy-delta bits; gain-scaling invariance") {
+    // 65 frames of 32 samples: frame f is constant amplitude 100·(f % 2)
+    // -> energies alternate 0, 3200, 0, ... so bit f = (f even): E_{f+1} > E_f
+    val alt = Array.tabulate(65 * 32)(t => (100 * ((t / 32) % 2)).toShort)
+    val c = MediaCodecs.audioFingerprint(MediaCodecs.encodeWavPcm16(8000, alt))
+      .fold(e => fail(e), identity)
+    for (b <- 0 until 64) {
+      val want = b % 2 == 0
+      val got = ((c(b / 16) >> (b % 16)) & 1) == 1
+      assert(got == want, s"bit $b: got $got want $want")
+    }
+    // scaling every sample 3x scales both sides of each comparison: same bits
+    val scaled = alt.map(s => (s * 3).toShort)
+    assert(MediaCodecs.audioFingerprint(MediaCodecs.encodeWavPcm16(8000, scaled))
+      .toOption.get.toSeq == c.toSeq)
+    // totality: too-short and non-PCM16 payloads reject
+    assert(MediaCodecs.audioFingerprint(
+      MediaCodecs.encodeWavPcm16(8000, Array.fill(100)(1.toShort))).isLeft)
+    assert(MediaCodecs.audioFingerprint("junk".getBytes("US-ASCII")).isLeft)
+  }
+
   test("mkv/webm skeleton encode→EBML-walk round-trips structural metadata exactly") {
     val mkv = MediaCodecs.encodeMkvSkeleton(1280, 720, nFrames = 5,
       usPerFrame = 20000L, docType = "matroska", codec = "V_MPEG4/ISO/AVC")
