@@ -177,6 +177,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("perceptual dedup screens: candidates from the chunk-band join, never a cross product") {
+    Seq("image_ahash_dedup", "audio_fp_dedup").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n: $p")
+      // the equi-join key is the (chunk_idx, chunk_val) band
+      assert(p.contains("chunk_idx"), s"$n: $p")
+    }
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a
