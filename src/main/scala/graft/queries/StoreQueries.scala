@@ -96,6 +96,31 @@ object StoreQueries {
     at(1).unionByName(at(2)).unionByName(at(3)).orderBy(col("version"))
   }
 
+  /** MERGE INTO under the oracle gate: commit docs < 200 (v1), then merge
+    * a CDC batch covering docs 100–299 with shifted n_chars — rows
+    * 100–199 must be REPLACED (not duplicated), 200–299 INSERTED, and
+    * docs < 100 carried untouched (their file carries into the v2
+    * manifest by reference — the file-pruned rewrite VersionedSpec pins
+    * structurally). The declared result aggregates the POST-MERGE table,
+    * so a double-landed update row, a lost insert, or a resurrection of
+    * a replaced row breaks the hash. Rebuilt per call for rerun-stable
+    * version numbers. */
+  def versionedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("vmerge", dir)
+    rmTree(path)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.store.Versioned.append(docs.filter(col("doc_id") < 200), path) // v1
+    val updates = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val v = graft.store.Versioned.merge(spark, path, updates, keys = Seq("doc_id"))
+    graft.store.Versioned.read(spark, path, Some(v))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Incremental re-embed pipeline (SURVEY §2.3 X38): CDC →
     * deterministic embedder → IVF append, composed end-to-end. v1
     * commits docs < 150 and batch-builds the serving index from their
@@ -193,6 +218,7 @@ object StoreQueries {
     "bucketed_join" -> (bucketedJoin _),
     "zorder_scan" -> (zorderScan _),
     "time_travel" -> (timeTravel _),
+    "versioned_merge" -> (versionedMerge _),
     "incremental_reembed" -> (incrementalReembed _)
   )
 
@@ -214,6 +240,13 @@ object StoreQueries {
         |SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id < 200
         |ORDER BY version""".stripMargin,
+    // post-merge table = docs < 300 with rows >= 100 carrying the CDC
+    // batch's shifted n_chars — replaced, inserted, or carried exactly
+    "versioned_merge" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id >= 100 THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY source ORDER BY source""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -268,6 +268,53 @@ object Versioned {
     commitRewrite(table, base, added, removedRel, maxRetries)
   }
 
+  /** Delta-style MERGE INTO (upsert by key): table rows whose key matches
+    * an update row are REPLACED by it, update rows with no match are
+    * INSERTED — whenMatched-update-all / whenNotMatched-insert-all, the
+    * CDC-apply shape. File-pruned like [[deleteWhere]]: the files
+    * holding matched keys are found with one semi-join scan collecting
+    * one row PER AFFECTED FILE (bounded by file count, never rows);
+    * only those files rewrite (matched rows dropped via anti join, the
+    * full update set unioned in); untouched files carry into the new
+    * manifest by reference — at 100 TB a small CDC batch rewrites a few
+    * files, not the table. Returns the new version.
+    *
+    * Contracts a caller must know: update keys must be UNIQUE (two
+    * update rows with one key both land — dedup upstream, e.g. SCD-style
+    * latest-wins first); NULL keys never match (SQL join semantics), so
+    * null-key update rows insert and null-key table rows are never
+    * replaced. Snapshot isolation as everywhere: older versions still
+    * resolve the pre-merge files until vacuum. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], maxRetries: Int = 5): Int = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val base = currentVersion(table)
+    val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (base == 0) { // empty table: a merge is a plain insert
+      updates.write.parquet(new File(table, batch).getPath)
+      val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+      return retryCommit(table, added, Set.empty, maxRetries)
+    }
+    val rootPath = Paths.get(table).toAbsolutePath
+    val cur = read(spark, table, Some(base))
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val updKeys = updates.select(keyCols: _*).distinct()
+    val affected = cur
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+      .join(updKeys, keys, "left_semi")
+      .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
+    val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val newData =
+      if (affected.isEmpty) ordered // pure insert: no file rewrites
+      else spark.read.parquet(affected.toIndexedSeq: _*)
+        .join(updKeys, keys, "left_anti") // drop the rows being replaced
+        .unionByName(ordered)
+    newData.write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    commitRewrite(table, base, added, removedRel, maxRetries)
+  }
+
   /** `input_file_name()` yields a URI on most filesystems and a bare
     * path on some; normalize either to an absolute local path. */
   private def toLocalPath(s: String): String =

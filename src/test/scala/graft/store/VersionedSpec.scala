@@ -44,6 +44,49 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.files(t, Some(2)).toSet != Versioned.files(t, Some(3)).toSet)
   }
 
+  test("merge: upserts by key, rewrites only affected files, keeps snapshots") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), t)
+    val preFiles = Versioned.files(t, Some(2)).toSet
+    // update id=3, insert id=9: only the second append's file holds a
+    // matched key, so the first append's file must carry by REFERENCE
+    val v = Versioned.merge(spark, t,
+      Seq((3L, "C!"), (9L, "i")).toDF("id", "s"), keys = Seq("id"))
+    assert(v == 3)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "C!"), (4L, "d"), (9L, "i")))
+    val postFiles = Versioned.files(t, Some(3)).toSet
+    val carried = preFiles.intersect(postFiles)
+    assert(carried.nonEmpty, "the unmatched file should carry by reference")
+    // the batch-1 file (ids 1,2 — untouched keys) is exactly the carry-over
+    val batch1 = Versioned.files(t, Some(1)).toSet
+    assert(batch1.subsetOf(postFiles), "untouched file rewritten")
+    // snapshot isolation: pre-merge version unchanged
+    assert(rows(t, Some(2)) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("merge: no matched keys is a pure insert; empty table accepts a first merge") {
+    val t = tmpDir("versioned").toString
+    // merge into an empty table = insert
+    assert(Versioned.merge(spark, t, Seq((1L, "a")).toDF("id", "s"), Seq("id")) == 1)
+    assert(rows(t) == Set((1L, "a")))
+    val before = Versioned.files(t, Some(1)).toSet
+    // disjoint keys: nothing rewrites, the old file carries forward
+    assert(Versioned.merge(spark, t, Seq((2L, "b")).toDF("id", "s"), Seq("id")) == 2)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    assert(before.subsetOf(Versioned.files(t, Some(2)).toSet))
+  }
+
+  test("merge: null update keys insert rather than match anything") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    val upd = Seq((Option.empty[Long], "n"), (Some(1L), "A"))
+      .toDF("id", "s")
+    Versioned.merge(spark, t, upd, Seq("id"))
+    val got = Versioned.read(spark, t).as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "A"), (None, "n")))
+  }
+
   test("a conflicting manifest makes commit fail loudly; append retries past it") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
