@@ -142,6 +142,30 @@ object ScaleQueries {
         round(col("d") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** The batch graph join at an UNBOUNDED beam: connected shard graphs
+    * make every shard search exhaustive, so the distributed fan-out +
+    * cogroup + WindowGroupLimit merge must reproduce the exact per-query
+    * top-5 (self-matches at d = 0 included — the join's documented
+    * identity) the oracle brute-forces — the driver-visible row for the
+    * exactness NswSpec pins in-engine. */
+  def nswKnnJoinPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.Nsw.knnJoin(nswGraph(spark, dir),
+        emb.filter(col("vec_id") < 30), k = 5, ef = Int.MaxValue)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** The layered twin: hierarchy descent + root-seeded layer-0 beam per
+    * query, exhaustive at ef = ∞ — same oracle. */
+  def hnswKnnJoinPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.scale.Nsw.knnJoinHnsw(hnswGraph(spark, dir),
+        emb.filter(col("vec_id") < 30), k = 5, ef = Int.MaxValue)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
   /** The batch join driven by the HNSW hierarchy: same fan-out/merge as
     * [[nswKnnJoin]], per-query coarse-to-fine descent inside each shard.
     * Rows-only headline; NswSpec pins unbounded beam == exact join. */
@@ -744,7 +768,9 @@ object ScaleQueries {
     "hnsw_topk" -> (hnswTopk _),
     "hnsw_precision" -> (hnswPrecision _),
     "nsw_knn_join" -> (nswKnnJoin _),
+    "nsw_knn_join_precision" -> (nswKnnJoinPrecision _),
     "hnsw_knn_join" -> (hnswKnnJoin _),
+    "hnsw_knn_join_precision" -> (hnswKnnJoinPrecision _),
     "nswivf_topk" -> (nswIvfTopk _),
     "nswivf_precision" -> (nswIvfPrecision _),
     "knn_join_blocked" -> (knnJoinBlocked _),
@@ -904,6 +930,33 @@ object ScaleQueries {
          |SELECT test_id, train_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM r WHERE rn = 1 AND round(d * 10000) <= 12000
          |ORDER BY test_id""".stripMargin,
+    // unbounded beam over connected shard graphs ⇒ the batch graph joins
+    // are exhaustive: brute-force per-query top-5, SELF-matches included
+    // (d = 0 ranks first), tie-broken on (d, n_id) as in mergeTopK
+    "nsw_knn_join_precision" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 30),
+         |d AS (SELECT q.q_id, e.vec_id AS n_id,
+         |        ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM q CROSS JOIN embeddings e),
+         |r AS (SELECT q_id, n_id, d,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+         |      FROM d)
+         |SELECT q_id, CAST(rn AS INT) AS rn, n_id,
+         |  CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "hnsw_knn_join_precision" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 30),
+         |d AS (SELECT q.q_id, e.vec_id AS n_id,
+         |        ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM q CROSS JOIN embeddings e),
+         |r AS (SELECT q_id, n_id, d,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+         |      FROM d)
+         |SELECT q_id, CAST(rn AS INT) AS rn, n_id,
+         |  CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // nprobe = nlist ⇒ the blocked join is exhaustive: brute-force
     // per-query top-5 (self excluded), rank tie-broken on (d, n_id) as in
     // Ivf.knnJoin's window
