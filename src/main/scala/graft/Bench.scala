@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute loadavg of the host (Linux), or -1 where /proc is absent.
+    * Recorded before/after the run and per query so a host-contaminated
+    * measurement is diagnosable from the JSON artifact itself (a quiet run
+    * shows load ≈ the bench's own CPU count; a contaminated one shows the
+    * co-tenant's load stacked on top).
+    */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
+    val wallStart = System.currentTimeMillis()
     // Warm up the JVM/codegen/parquet-footer paths once so the first timed
     // query doesn't absorb session startup cost.
     try {
@@ -26,7 +38,12 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}"); None }
     }
+    // per-query telemetry: wall-clock offset (sec since bench start) at which
+    // the query's first attempt began, plus the loadavg sampled right then —
+    // lets a reader line a slow measurement up against external host load
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val at = (System.currentTimeMillis() - wallStart) / 1e3
+      val load = loadavg()
       val t = (once(fn), once(fn)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None) => a
@@ -36,13 +53,17 @@ object Bench {
       // queries cache internally (IVF features, shingles, ingest parse);
       // drop between queries so cached partitions don't accumulate
       spark.catalog.clearCache()
-      name -> t
+      name -> ((t, at, load))
     }
-    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val telemetry = results.map { case (k, (_, at, load)) =>
+      "\"" + k + "\":[" + f"$at%.1f" + "," + load + "]"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_telemetry":$telemetry}""")
     spark.stop()
   }
 }

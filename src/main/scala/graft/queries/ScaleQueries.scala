@@ -276,7 +276,9 @@ object ScaleQueries {
       (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark), dir), {
         val p = java.nio.file.Files.createTempDirectory("graft-tt-")
           .resolve("minilm-shape.bin")
-        p.getParent.toFile.deleteOnExit()
+        // recursive exit cleanup — deleteOnExit only removes EMPTY dirs,
+        // so the weights file would leak the tree across harness runs
+        StoreQueries.cleanupAtExit(p.getParent.toString)
         graft.functions.TinyTransformer.writeRandomWeights(p.toString,
           graft.functions.TinyTransformer.Config(vocab = 2048, dModel = 64,
             nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64))

@@ -31,10 +31,12 @@ object StoreQueries {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** Register a path for deletion at JVM exit — pid-unique scratch (dirs
-    * AND managed-table directories) would otherwise leak permanently
-    * across runs. */
-  private def cleanupAtExit(path: String): Unit =
+  /** Register a path for RECURSIVE deletion at JVM exit — pid-unique
+    * scratch (dirs AND managed-table directories) would otherwise leak
+    * permanently across runs. Shared with the other query objects'
+    * temp trees (weights files, streaming sink/checkpoint dirs), which
+    * `File.deleteOnExit` cannot clean: it only removes EMPTY dirs. */
+  private[queries] def cleanupAtExit(path: String): Unit =
     created.synchronized {
       if (created.isEmpty)
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -51,7 +53,7 @@ object StoreQueries {
     p
   }
 
-  private def rmTree(path: String): Unit = {
+  private[queries] def rmTree(path: String): Unit = {
     val f = new File(path)
     Option(f.listFiles).foreach(_.foreach(c => rmTree(c.getAbsolutePath)))
     f.delete(): Unit

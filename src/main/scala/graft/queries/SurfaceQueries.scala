@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,7 +78,9 @@ object SurfaceQueries {
   def streamRelayRollup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-relay-")
-    tmp.toFile.deleteOnExit()
+    // recursive exit cleanup — deleteOnExit only removes EMPTY dirs, and
+    // this tree holds the landing copy, sink parquet, and checkpoint
+    StoreQueries.cleanupAtExit(tmp.toString)
     val out = s"$tmp/log"
     // the file-stream source requires a DIRECTORY (its basePath); the
     // fixture table is a single file, so stage it as the landing dir —
@@ -88,10 +90,19 @@ object SurfaceQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       landing.resolve("events.parquet"))
     val raw = spark.read.parquet(landing.toString)
+    // the map-only relay transform: normalize ts exactly as Tables.events
+    // does — branch on the RAW physical type, because the generator has
+    // flipped between TIMESTAMP(NANOS) and TIMESTAMP_NTZ before: when
+    // nanosAsLong (set session-wide by Tables.events) surfaces ts as a
+    // nano LONG, cast("timestamp") would read it as SECONDS — it must go
+    // through timestamp_micros(ts div 1000) instead — then stamp the day
+    val normTs: Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
     val relay = spark.readStream.schema(raw.schema).parquet(landing.toString)
-      // the map-only relay transform: normalize ts exactly as Tables.events
-      // does and stamp the day — source-agnostic, no state
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", normTs)
       .withColumn("day", to_date(col("ts")))
       .writeStream
       .outputMode("append")

@@ -21,11 +21,22 @@ import org.apache.spark.sql.functions._
   * O(|edges|) of 16-byte rows.
   *
   * Per-round lineage is truncated with a LAZY `localCheckpoint`,
-  * materialized by the convergence probe's aggregate in the same job —
-  * without the checkpoint the logical plan doubles per iteration (each
-  * round self-joins the previous round's output) and analysis goes
-  * exponential; with an eager one, every round pays a second full pass
-  * just to persist. On a multi-executor cluster with a long run, swap
+  * materialized by the convergence probe's aggregate in the same job.
+  * Why not the cache+count cut [[PageRank]] uses (the repo's default
+  * after the eager-localCheckpoint incident)? Because caching bounds
+  * RE-EXECUTION, not PLAN SIZE: each round here references the previous
+  * round's frame FOUR times (largeStar's two-way union, then smallStar's
+  * self-join), so without real plan truncation the logical tree grows
+  * ~4× per round and Catalyst analysis goes exponential long before
+  * execution matters — a checkpoint (plan → LogicalRDD) is the only
+  * thing that resets it. The PageRank footgun does not apply at this
+  * site: that regression came from the EAGER variant paying a separate
+  * non-AQE `toRdd` pass per iteration that re-sorted a large cached
+  * join side; here the checkpoint is lazy (no second pass — the probe's
+  * aggregate materializes it), each round's input is a checkpointed
+  * RDD with no cached layout to lose, and the per-round plan is a
+  * fixed-size two-shuffle star step where AQE has nothing to re-plan
+  * at 32 partitions. On a multi-executor cluster with a long run, swap
   * for reliable `checkpoint` to a cluster-visible dir (mind its own
   * eagerness default); the loop shape is unchanged.
   */

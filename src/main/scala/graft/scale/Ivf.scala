@@ -1,7 +1,7 @@
 package graft.scale
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,10 +40,15 @@ object Ivf {
       .setInitMode("random").fit(fitInput)
       finally fitInput.unpersist()
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    // assignment via the model (broadcast centroids, map-only)
-    val assigned = model.transform(emb.withColumn("features", array_to_vector(col(vecCol))))
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
+    // assignment via the published float centroids through the codegen'd
+    // kernel column — NOT model.transform, whose prediction UDF (plus the
+    // array_to_vector UDF) would put two interpreter boundaries in every
+    // downstream query plan. This also makes assignment UNIFORM across
+    // build/append/probe: every path ranks cells by the same
+    // float-centroid left-to-right double fold, so a vector lands in the
+    // same cell no matter which path carried it
+    val assigned = emb
+      .withColumn("cell", element_at(nearestCellsCol(centroids, col(vecCol), 1), 1))
       // cluster the layout by cell: at scale this is write.partitionBy(cell)
       .repartition(col("cell"))
     Index(centroids, assigned)
@@ -67,6 +72,34 @@ object Ivf {
       .sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toSeq
   }
 
+  /** Column twin of [[nearestCells]] — the `nprobe` nearest cell ids as an
+    * `array<int>` computed without a UDF/serialization boundary: one
+    * codegen'd [[graft.core.VectorExpressions FloatVecSquaredL2]] kernel
+    * per centroid against embedded centroid literals (nlist × dim floats —
+    * task-binary freight equivalent to the closure the UDF shipped), then
+    * a lexicographic (dist, cell) struct sort for the exact tie-break
+    * order the driver-side form uses. Distance arithmetic is the same
+    * left-to-right double fold, so assignments are bit-identical to
+    * [[nearestCells]]. Fail-fast contract preserved executor-side:
+    * `assert_true` raises on null or wrong-dimension vectors instead of
+    * silently prefix-truncating. */
+  private[scale] def nearestCellsCol(centroids: Array[Array[Float]], v: Column,
+      nprobe: Int): Column = {
+    val dim = centroids.head.length
+    val dists = centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(VectorOps.squaredL2(v, typedLit(c)).as("d"), lit(i).as("cell"))
+    }
+    val cells = transform(
+      slice(array_sort(array(dists: _*)), 1, math.min(nprobe, centroids.length)),
+      s => s.getField("cell"))
+    // assert_true returns NULL on pass; coalesce keeps it in the plan so
+    // column pruning can't drop the check
+    coalesce(
+      assert_true(v.isNotNull && size(v) === lit(dim),
+        lit(s"dimension mismatch: index is $dim-dim")).cast("array<int>"),
+      cells)
+  }
+
   /** ANN search: prune to `nprobe` cells, exact-rerank, top-k by
     * (dist, id). */
   def search(index: Index, q: Array[Float], k: Int = 13, nprobe: Int = 3,
@@ -88,23 +121,19 @@ object Ivf {
     * union. Centroids drift from optimal as the distribution shifts —
     * [[imbalance]] is the rebuild trigger metric.
     *
-    * Assignment shares [[nearestCells]] with search (fails fast on null
-    * or wrong-dimension vectors rather than mis-assigning them). Caveat:
-    * build() assigns through the KMeans model's double-precision centers
-    * while this path uses the float-rounded published centroids — a
-    * vector within float epsilon of two cell boundaries can land
-    * differently depending on arrival path; both cells are correct
-    * probes for it at search time. */
+    * Assignment shares the [[nearestCellsCol]] kernel order with search's
+    * [[nearestCells]] (fails fast on null or wrong-dimension vectors
+    * rather than mis-assigning them) and stays inside whole-stage codegen
+    * — no UDF on the assignment path, and build/append agree bit-for-bit
+    * on every assignment (both rank the published float centroids with
+    * the same fold). */
   def append(index: Index, newVecs: DataFrame,
       vecCol: String = "embedding"): Index = {
-    val centroids = index.centroids
-    val assignUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
-      nearestCells(centroids, if (v == null) null else v.toArray, 1).head
-    }
     val assigned = newVecs
-      .withColumn("cell", assignUdf(col(vecCol)))
+      .withColumn("cell",
+        element_at(nearestCellsCol(index.centroids, col(vecCol), 1), 1))
       .select(index.assigned.columns.map(col).toSeq: _*)
-    Index(centroids, index.assigned.unionByName(assigned))
+    Index(index.centroids, index.assigned.unionByName(assigned))
   }
 
   /** Large×large batch k-NN join through the shared cell layout: every
@@ -122,12 +151,9 @@ object Ivf {
   def knnJoin(index: Index, queries: DataFrame, k: Int = 5, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusFilter: Column = lit(true)): DataFrame = {
-    val cents = index.centroids
-    val probe = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
-      nearestCells(cents, if (v == null) null else v.toArray, nprobe)
-    }
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
-      .withColumn("cell", explode(probe(col("q_emb"))))
+      .withColumn("cell",
+        explode(nearestCellsCol(index.centroids, col("q_emb"), nprobe)))
     // the filter narrows the CORPUS side before the cell join (and before
     // the rank window — filtering ranked rows after the fact would change
     // which neighbors survive), e.g. decontamination joins test queries

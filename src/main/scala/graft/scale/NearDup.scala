@@ -198,19 +198,15 @@ object NearDup {
     val base =
       if (multiProbe <= 1) assigned.select(col(idCol), col(vecCol), col("cell"))
       else {
-        val cents = centroids
-        val p = multiProbe
-        val cellsUdf = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
-          // null passes through to nearestCells' clear dimension require
-          Ivf.nearestCells(cents, if (v == null) null else v.toArray, p)
-        }
-        // UNION with the model-assigned cell: the float-rounded published
-        // centroids can rank boundary vectors differently than build()'s
-        // double-precision model assignment, and multi-probe must be a
-        // strict superset of single-probe, not a different partition
+        // UNION with the stored cell: Ivf.build now assigns through the
+        // same float-centroid kernel, so for its output the top-1 probe
+        // duplicates the stored cell (dropDuplicates absorbs it) — but
+        // `assigned` is caller-supplied, and multi-probe must stay a
+        // strict superset of whatever single-probe layout came in
         assigned.select(col(idCol), col(vecCol), col("cell"))
           .unionByName(assigned.select(col(idCol), col(vecCol),
-            explode(cellsUdf(col(vecCol))).as("cell")))
+            explode(Ivf.nearestCellsCol(centroids, col(vecCol), multiProbe))
+              .as("cell")))
           .dropDuplicates(idCol, "cell")
       }
     val e = base.withColumn("nrm",
@@ -257,13 +253,14 @@ object NearDup {
     * every LSH. Pair count is Σ_bucket f²/2 over chunk-value buckets,
     * never all-pairs. */
   private def bandedHamming(sig: DataFrame, bits: Int, chunks: Int,
-      maxHamming: Int, requireComplete: Boolean): DataFrame = {
+      maxHamming: Int, requireComplete: Boolean,
+      idCol: String = "doc_id"): DataFrame = {
     require(bits % chunks == 0, s"chunks ($chunks) must divide bits ($bits)")
     require(!requireComplete || maxHamming < chunks,
       s"pigeonhole completeness needs maxHamming ($maxHamming) < chunks ($chunks)")
     val width = bits / chunks
     val mask = (1L << width) - 1
-    val keyed = sig.select(col("doc_id"), col("simhash"),
+    val keyed = sig.select(col(idCol).as("doc_id"), col("simhash"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk_idx"),
           shiftright(col("simhash"), c * width).bitwiseAND(mask).as("chunk_val"))): _*)).as("ck"))
@@ -288,9 +285,10 @@ object NearDup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked on
     * 16-bit signature chunks (any pair within distance 3 must agree on at
     * least one of the 4 chunks — pigeonhole). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHamming(simhashSignatures(docs), bits = 64, chunks = 4,
-      maxHamming = maxHamming, requireComplete = false)
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedHamming(simhashSignatures(docs, idCol, textCol), bits = 64, chunks = 4,
+      maxHamming = maxHamming, requireComplete = false, idCol = idCol)
 
   /** 60-bit SimHash with an engine-PORTABLE token hash — the top 15 hex
     * chars of md5 parsed as an integer — so an external SQL engine can
@@ -308,7 +306,8 @@ object NearDup {
     * banded pipeline's output must equal the ALL-PAIRS Hamming screen the
     * oracle runs: a banding bug that drops a candidate breaks the row
     * match, not just a recall metric. */
-  def simhashNearDupsPortable(docs: DataFrame, maxHamming: Int = 5): DataFrame =
-    bandedHamming(simhashSignaturesPortable(docs), bits = 60, chunks = 6,
-      maxHamming = maxHamming, requireComplete = true)
+  def simhashNearDupsPortable(docs: DataFrame, maxHamming: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedHamming(simhashSignaturesPortable(docs, idCol, textCol), bits = 60, chunks = 6,
+      maxHamming = maxHamming, requireComplete = true, idCol = idCol)
 }

@@ -192,7 +192,11 @@ object Nsw {
     def prune(id: Long): Unit =
       pruneNeighbors(st.adj.get(id), st.children.get(id), st.vecs, st.vecs.get(id), maxDeg)
     items.foreach { case (id, v) =>
-      require(!st.vecs.containsKey(id), s"duplicate vec_id $id within a shard")
+      // intra-batch duplicates are rejected before this loop
+      // (requireDistinctIds), so a hit here means the id is resident in
+      // the rehydrated shard state — an upsert attempt, not a bad batch
+      require(!st.vecs.containsKey(id),
+        s"vec_id $id is already present in the index (insert is insert-only, no upsert; delete then re-insert to update)")
       if (st.entry < 0) {
         st.vecs.put(id, v)
         st.adj.put(id, scala.collection.mutable.ArrayBuffer.empty[Long])
@@ -298,7 +302,14 @@ object Nsw {
     * the grown graph (`nsw_insert_precision` stakes its oracle row on it),
     * and when delta ids are larger than every resident id the result is
     * BIT-IDENTICAL to a from-scratch build of the union (NswSpec pins
-    * both). */
+    * both).
+    *
+    * INSERT-ONLY, not upsert: a delta id already resident in the graph
+    * (the CDC "update of an existing vector" shape) fails loudly rather
+    * than silently rewiring the neighborhood — re-embedding an existing
+    * document must go delete → insert (or a fresh build of the touched
+    * shard), because replacing a vector in place would invalidate every
+    * guarded parent edge chosen against the old position. */
   def insert(graph: DataFrame, newVecs: DataFrame, numShards: Int,
       m: Int = DefaultM, efConstruction: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -326,6 +337,7 @@ object Nsw {
       if (items.isEmpty)
         existing.iterator.map { case (id, v, ns, p) => (shard, id, v, ns, p) }
       else {
+        requireDistinctIds(items) // intra-batch dup ≠ resident-id upsert
         val st =
           if (existing.isEmpty) new ShardState(items.length)
           else loadShardState(existing)
@@ -435,7 +447,9 @@ object Nsw {
       pruneNeighbors(st.adjL(layer).get(id),
         if (layer == 0) st.children.get(id) else null, st.vecs, st.vecs.get(id), maxDeg)
     items.foreach { case (id, v) =>
-      require(!st.vecs.containsKey(id), s"duplicate vec_id $id within a shard")
+      // see insertAll: a hit here is an upsert attempt on a resident id
+      require(!st.vecs.containsKey(id),
+        s"vec_id $id is already present in the index (insert is insert-only, no upsert; delete then re-insert to update)")
       val lvl = levelOf(id, maxLevel)
       st.vecs.put(id, v)
       st.levels.put(id, lvl)
@@ -548,7 +562,8 @@ object Nsw {
     * insertion loop over the delta. The analog of a live HNSW
     * `add_documents` (reference: Chroma inserts into its serving index
     * incrementally, helper/multiple_document_upload.py:168), as a batch
-    * job over only the touched shards. */
+    * job over only the touched shards. INSERT-ONLY like [[insert]]: a
+    * resident delta id fails loudly; update = delete → insert. */
   def insertHnsw(graph: DataFrame, newVecs: DataFrame, numShards: Int,
       m: Int = DefaultM, efConstruction: Int = 64, maxLevel: Int = DefaultMaxLevel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -573,6 +588,7 @@ object Nsw {
       if (items.isEmpty)
         existing.iterator.map { case (id, v, lvl, ls, p) => (shard, id, v, lvl, ls, p) }
       else {
+        requireDistinctIds(items) // intra-batch dup ≠ resident-id upsert
         val st =
           if (existing.isEmpty) new HnswState(items.length, maxLevel)
           else loadHnswState(existing, maxLevel)

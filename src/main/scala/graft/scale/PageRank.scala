@@ -75,10 +75,19 @@ object PageRank {
     // every node must appear as a src, so the degree table's key set IS
     // the node set — no separate distinct over the edge list
     val nodes = deg.select(col("src").as("node"))
-    val n = nodes.count() // one driver scalar: |V|
-    val danglers = edges.select(col("dst").as("src"))
-      .join(deg.select("src"), Seq("src"), "left_anti").limit(1).count()
-    require(danglers == 0,
+    // ONE driver action yields both |V| and the dangler guard: full-outer
+    // join the degree table (the node set) against the distinct dst set —
+    // a dst row with no degree partner is a node with no out-edge. This
+    // replaces the former two fixed-cost jobs (a deg count plus a separate
+    // anti-join pass over the edge list) and is also the action that
+    // materializes the `deg` cache.
+    val stats = deg.select(col("src"), lit(true).as("has_out"))
+      .join(edges.select(col("dst").as("src")).distinct(), Seq("src"), "full_outer")
+      .agg(count(when(col("has_out"), 1)).as("n"),
+        count(when(col("has_out").isNull, 1)).as("danglers"))
+      .head()
+    val n = stats.getLong(0) // |V|
+    require(stats.getLong(1) == 0,
       "every node must have an out-edge (feed undirected graphs as both directions)")
 
     // driver-side long arithmetic, positive operands ⇒ floor division
@@ -102,13 +111,15 @@ object PageRank {
         .select(col("node"),
           (lit(teleportE12) +
             expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
-      if (i % CheckpointEvery == 0 && i < iterations)
+      if (i % CheckpointEvery == 0)
         ranks = cut(ranks) // |V|-row lineage cut, rolling unpersist
     }
     // materialize the final vector so the edge/degree caches can be
     // released before the caller ever runs an action; the final vector's
-    // own |V|-row cache backs the returned frame (object doc)
-    val out = cut(ranks)
+    // own |V|-row cache backs the returned frame (object doc). When the
+    // iteration count lands exactly on a cut cadence the in-loop cut IS
+    // that materialization — no second |V|-row job.
+    val out = if (iterations % CheckpointEvery == 0) ranks else cut(ranks)
     e.unpersist()
     deg.unpersist()
     out.select(col("node"),
