@@ -14,12 +14,20 @@ import java.nio.file.{Files, Paths}
   * per partition through [[TextModelLoader]].
   *
   * What is and isn't real, stated plainly: the ARCHITECTURE and the
-  * load-weights-from-file inference path are real (swap in trained
-  * weights and this serves them — TransformerSpec pins a closed-form
-  * forward pass, determinism across JVMs, and the one-load-per-partition
-  * contract); the shipped WEIGHTS are deterministic pseudo-random
-  * ([[TinyTransformer.writeRandomWeights]]) because no trained tensors
-  * exist offline. Declared queries therefore treat its output as
+  * load-weights-from-file inference path are real (TransformerSpec pins a
+  * closed-form forward pass, determinism across JVMs, and the
+  * one-load-per-partition contract), and the served checkpoint is now
+  * TRAINED on the fixture corpus in-repo ([[trainSkipGram]] — skip-gram
+  * with negative sampling over the same hashing tokenization, a
+  * deterministic pure-JVM loop), so `neural_embed` neighbors reflect
+  * corpus co-occurrence rather than hash-bucket noise; TransformerSpec
+  * asserts the planted paraphrase pairs rank closer than random pairs
+  * through the full serving path. The honest residual limit: skip-gram
+  * has no gradient for attention, so the mixing layers are exact
+  * pass-throughs and the learned signal lives in the embedding matrix
+  * (mean-word2vec semantics); a backprop-trained checkpoint would drop
+  * into the same format. [[writeRandomWeights]] remains for specs that
+  * need a weight-agnostic network. Declared queries treat the output as
   * rows-only (no SQL oracle can run a transformer), exactly as
   * BASELINE.md prescribes for the neural seam.
   *
@@ -80,6 +88,215 @@ object TinyTransformer {
     writeWeights(path, cfg, Array.fill(cfg.totalFloats)(next()))
   }
 
+  /** The hashing tokenizer, shared verbatim by serving
+    * ([[Session.tokenize]]) and training ([[trainSkipGram]]) — whitespace
+    * tokens → FNV-1a buckets in [0, vocab), capped at `maxLen`. Training
+    * on exactly the token stream serving will see is what makes the
+    * learned embedding rows land under the served ids. */
+  private[functions] def hashTokenize(text: String, vocab: Int, maxLen: Int): Array[Int] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (text != null) {
+      var start = 0
+      val n = text.length
+      var i = 0
+      while (i <= n && ids.length < maxLen) {
+        if (i == n || Character.isWhitespace(text.charAt(i))) {
+          if (i > start) {
+            val h = Embedder.fnv1a64(text, start, i)
+            ids += java.lang.Long.remainderUnsigned(h, vocab.toLong).toInt
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    if (ids.isEmpty) ids += 0 // CLS-like fallback: empty text still encodes
+    ids.toArray
+  }
+
+  /** Corpus-TRAINED weights: skip-gram with negative sampling (the
+    * word2vec objective — Mikolov et al. 2013, "Distributed
+    * Representations of Words and Phrases", public) over the
+    * hashing-tokenized corpus, run as a deterministic single-threaded
+    * pure-JVM loop (fixed document order, splitmix64 sampling stream,
+    * fixed-order double arithmetic — same texts + seed ⇒ bit-identical
+    * weights on any JVM).
+    *
+    * What it trains, stated plainly: the TOKEN-EMBEDDING matrix. The
+    * attention/FFN blocks are initialized to the exact pass-through
+    * (zero value/output/FFN projections — the residual stream carries
+    * the embeddings through every layer unchanged; LN gains 1), so the
+    * served encoder computes an L2-normalized mean of layer-normalized
+    * trained word vectors: the classical strong sentence baseline (mean
+    * word2vec). This is what a skip-gram objective CAN train — it has no
+    * gradient for attention; a checkpoint with trained attention drops
+    * into the same file format and the same serving path unchanged.
+    * Unseen-token rows keep their small deterministic init, so
+    * out-of-corpus tokens still encode.
+    *
+    * Scale shape: training is a DRIVER-side loop over a bounded sample
+    * (word2vec saturates on a corpus sample; the caller caps the doc
+    * count), then the weights file broadcasts to executors through the
+    * existing loader seam — the standard train-small/serve-everywhere
+    * split for an embedding model.
+    */
+  def trainSkipGram(texts: IndexedSeq[String], cfg: Config, seed: Long = 42L,
+      epochs: Int = 3, window: Int = 4, negatives: Int = 5,
+      lr0: Double = 0.025): Array[Float] = {
+    val d = cfg.dModel
+    val docs = texts.map(t => hashTokenize(t, cfg.vocab, cfg.maxLen))
+      .filter(_.length > 1)
+    require(docs.nonEmpty, "skip-gram needs at least one multi-token document")
+    // unigram^0.75 cumulative table — the standard negative-sampling
+    // distribution (frequent tokens drawn more, damped)
+    val counts = new Array[Long](cfg.vocab)
+    docs.foreach(_.foreach(id => counts(id) += 1))
+    val cum = new Array[Double](cfg.vocab)
+    var acc = 0.0
+    var i = 0
+    while (i < cfg.vocab) {
+      acc += math.pow(counts(i).toDouble, 0.75); cum(i) = acc; i += 1
+    }
+    var z = seed
+    def nextLong(): Long = {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def nextUniform(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+    def sampleNeg(): Int = { // inverse-CDF binary search over cum
+      val u = nextUniform() * acc
+      var lo = 0; var hi = cfg.vocab - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) < u) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    // input vectors: small deterministic uniform init (word2vec's scale);
+    // output (context) vectors: zero init, per the reference implementation
+    val in = Array.fill(cfg.vocab * d)(((2.0 * nextUniform() - 1.0) * 0.5 / d).toFloat)
+    val out = new Array[Float](cfg.vocab * d)
+    val totalCenters = epochs.toLong * docs.iterator.map(_.length.toLong).sum
+    var step = 0L
+    val gIn = new Array[Double](d)
+    var e = 0
+    while (e < epochs) {
+      docs.foreach { doc =>
+        var p = 0
+        while (p < doc.length) {
+          // linear LR decay over the whole run, floored (word2vec schedule)
+          val lr = math.max(lr0 * 1e-2, lr0 * (1.0 - step.toDouble / totalCenters))
+          val cOff = doc(p) * d
+          var t = math.max(0, p - window)
+          val tEnd = math.min(doc.length - 1, p + window)
+          while (t <= tEnd) {
+            if (t != p) {
+              val ctx = doc(t)
+              java.util.Arrays.fill(gIn, 0.0)
+              sgnsPair(in, cOff, out, ctx * d, label = 1.0, lr, gIn)
+              var neg = 0
+              while (neg < negatives) {
+                val nId = sampleNeg()
+                if (nId != ctx) sgnsPair(in, cOff, out, nId * d, label = 0.0, lr, gIn)
+                neg += 1
+              }
+              var j = 0
+              while (j < d) { in(cOff + j) = (in(cOff + j) + gIn(j)).toFloat; j += 1 }
+            }
+            t += 1
+          }
+          step += 1
+          p += 1
+        }
+      }
+      e += 1
+    }
+    // Common-component removal (Arora et al. 2017, "A Simple but
+    // Tough-to-Beat Baseline for Sentence Embeddings" — the SIF
+    // post-process, public): on a corpus whose co-occurrence is nearly
+    // uniform, SGNS concentrates every frequent token on one shared
+    // frequency direction and the space collapses (measured: mean
+    // random-pair document cosine 0.9998 before removal). Subtracting
+    // the count-weighted mean vector from the SEEN rows restores the
+    // per-token discriminative directions; unseen rows keep their spread
+    // init so out-of-corpus tokens stay mutually distinct.
+    val mu = new Array[Double](d)
+    var tot = 0.0
+    i = 0
+    while (i < cfg.vocab) {
+      if (counts(i) > 0) {
+        val off = i * d
+        var j = 0
+        while (j < d) { mu(j) += counts(i).toDouble * in(off + j); j += 1 }
+        tot += counts(i).toDouble
+      }
+      i += 1
+    }
+    i = 0
+    while (i < cfg.vocab) {
+      if (counts(i) > 0) {
+        val off = i * d
+        var j = 0
+        while (j < d) { in(off + j) = (in(off + j) - mu(j) / tot).toFloat; j += 1 }
+      }
+      i += 1
+    }
+    assemblePassThrough(cfg, in)
+  }
+
+  /** One SGNS update: sigmoid(in·out) toward `label`, out updated in
+    * place, the center-vector gradient accumulated into `gIn` (applied
+    * by the caller after the negatives, per the reference algorithm). */
+  private def sgnsPair(in: Array[Float], cOff: Int, out: Array[Float],
+      oOff: Int, label: Double, lr: Double, gIn: Array[Double]): Unit = {
+    val d = gIn.length
+    var dot = 0.0
+    var j = 0
+    while (j < d) { dot += in(cOff + j).toDouble * out(oOff + j); j += 1 }
+    val g = (label - 1.0 / (1.0 + math.exp(-dot))) * lr
+    j = 0
+    while (j < d) {
+      gIn(j) += g * out(oOff + j)
+      out(oOff + j) = (out(oOff + j) + g * in(cOff + j)).toFloat
+      j += 1
+    }
+  }
+
+  /** Full weight buffer around a trained token-embedding matrix: zero
+    * positional rows, every block an exact pass-through (zero Wq/Wk/Wv/Wo,
+    * zero FFN, LN gains 1 biases 0 — attention output and FFN output are
+    * identically zero, so residuals carry the embeddings unchanged), and
+    * a unit final LN. Offsets mirror [[Session]]'s layout exactly. */
+  private def assemblePassThrough(cfg: Config, tokenEmb: Array[Float]): Array[Float] = {
+    val d = cfg.dModel
+    require(tokenEmb.length == cfg.vocab * d)
+    val w = new Array[Float](cfg.totalFloats)
+    System.arraycopy(tokenEmb, 0, w, 0, cfg.vocab * d)
+    val layerBase = cfg.vocab * d + cfg.maxLen * d
+    var l = 0
+    while (l < cfg.nLayers) {
+      val off = layerBase + l * cfg.layerFloats
+      val ln1g = off + 4 * d * d + 4 * d
+      val ln2g = ln1g + 2 * d + d * cfg.dFf + cfg.dFf + cfg.dFf * d + d
+      var j = 0
+      while (j < d) { w(ln1g + j) = 1f; w(ln2g + j) = 1f; j += 1 }
+      l += 1
+    }
+    val finalLn = layerBase + cfg.nLayers * cfg.layerFloats
+    var j = 0
+    while (j < d) { w(finalLn + j) = 1f; j += 1 }
+    w
+  }
+
+  /** Train on `texts` and write the checkpoint — the in-repo replacement
+    * for [[writeRandomWeights]] on the serving path. */
+  def writeTrainedWeights(path: String, cfg: Config, texts: IndexedSeq[String],
+      seed: Long = 42L): Unit =
+    writeWeights(path, cfg, trainSkipGram(texts, cfg, seed))
+
   def readWeights(path: String): (Config, Array[Float]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -138,26 +355,8 @@ object TinyTransformer {
     }
 
     /** Hashing tokenizer: whitespace tokens → FNV-1a buckets. */
-    private[functions] def tokenize(text: String): Array[Int] = {
-      val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
-      if (text != null) {
-        var start = 0
-        val n = text.length
-        var i = 0
-        while (i <= n && ids.length < cfg.maxLen) {
-          if (i == n || Character.isWhitespace(text.charAt(i))) {
-            if (i > start) {
-              val h = Embedder.fnv1a64(text, start, i)
-              ids += java.lang.Long.remainderUnsigned(h, cfg.vocab.toLong).toInt
-            }
-            start = i + 1
-          }
-          i += 1
-        }
-      }
-      if (ids.isEmpty) ids += 0 // CLS-like fallback: empty text still encodes
-      ids.toArray
-    }
+    private[functions] def tokenize(text: String): Array[Int] =
+      hashTokenize(text, cfg.vocab, cfg.maxLen)
 
     def encode(text: String): Array[Float] = {
       val toks = tokenize(text)

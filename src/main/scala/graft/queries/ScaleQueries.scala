@@ -267,8 +267,14 @@ object ScaleQueries {
   }
 
   /** One deterministic transformer checkpoint per (session, dir) — the
-    * weights FILE a production deployment would broadcast; written once,
-    * served to every query through the partition seam. */
+    * weights FILE a production deployment would broadcast; TRAINED once
+    * on the fixture corpus (skip-gram, TinyTransformer.trainSkipGram),
+    * then served to every query through the partition seam. The training
+    * sample is driver-side and bounded (≤ 2000 docs ordered by doc_id —
+    * word2vec saturates on a sample; at 100 TB you train on a sample and
+    * broadcast the checkpoint, which is exactly this shape). Same corpus
+    * + seed ⇒ bit-identical weights, so reruns and DeterminismSpec hash
+    * identically. */
   private val ttWeightsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def ttWeightsPath(spark: SparkSession, dir: String): String =
@@ -279,9 +285,12 @@ object ScaleQueries {
         // recursive exit cleanup — deleteOnExit only removes EMPTY dirs,
         // so the weights file would leak the tree across harness runs
         StoreQueries.cleanupAtExit(p.getParent.toString)
-        graft.functions.TinyTransformer.writeRandomWeights(p.toString,
+        val corpus = Tables.documents(spark, dir)
+          .filter(col("doc_id") < 2000).orderBy(col("doc_id"))
+          .select(col("text")).collect().map(_.getString(0)).toIndexedSeq
+        graft.functions.TinyTransformer.writeTrainedWeights(p.toString,
           graft.functions.TinyTransformer.Config(vocab = 2048, dModel = 64,
-            nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64))
+            nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64), corpus)
         p.toString
       })
 
@@ -289,12 +298,16 @@ object ScaleQueries {
     * encoder (multi-head attention, GELU FFN, mean pooling — the MiniLM
     * graph the reference binds at app.py:46-48) runs over the corpus from
     * a weights file, one session per partition, rows streamed through
-    * mapPartitions. Rows-only by necessity (no SQL oracle can run a
+    * mapPartitions. The checkpoint is corpus-TRAINED (ttWeightsPath —
+    * skip-gram over the same documents table), so neighbors in this
+    * embedding space track corpus co-occurrence; TransformerSpec asserts
+    * the planted paraphrase pairs rank closer than random pairs through
+    * this exact path. Rows-only by necessity (no SQL oracle can run a
     * transformer — BASELINE.md's neural-seam rule) but bit-deterministic:
-    * fixed-order double accumulation, so reruns hash identically;
-    * TransformerSpec pins a closed-form forward pass and the seam
-    * contract. The bench row for this query IS the embed-throughput
-    * measurement. */
+    * fixed-order double accumulation and deterministic training, so
+    * reruns hash identically; TransformerSpec also pins a closed-form
+    * forward pass and the seam contract. The bench row for this query IS
+    * the embed-throughput measurement. */
   def neuralEmbed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))

@@ -216,15 +216,157 @@ object StoreQueries {
     spark.table(ordT).hint("merge")
       .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
 
+  /** The END-TO-END "nightly crawl" composition — every pipeline stage
+    * the repo ships, chained over ONE store and ONE serving index, with
+    * the final state under the oracle gate (VERDICT r7 ask #7: the
+    * integration row that pins the whole chain the way
+    * incremental_reembed pins its slice).
+    *
+    * Night 1: crawl batch (⅔ of the corpus, plus planted exact-duplicate
+    * mirrors) → quality funnel (token count ≥ 10, distinct-token ratio
+    * as q_e4) → exact dedup (keep min doc_id per normalized-text md5
+    * fingerprint — a window over fp, one shuffle) → Versioned commit v1
+    * → embed through the T6 seam → IVF serving-index build.
+    *
+    * Night 2: fresh docs + planted cross-batch duplicates + RE-CRAWLED
+    * revisions (changed text, same doc_id) → same funnel + within-batch
+    * dedup → cross-batch exact dedup (fp anti-join against the v1
+    * store) → CDC re-embed of the DELTA ONLY → index delete→insert (the
+    * replaced ids anti-joined out of the cell layout, replacements
+    * appended — MERGE INTO for the vector index) → Versioned MERGE v2
+    * (re-crawls replace by key, fresh docs insert, untouched files carry
+    * by reference).
+    *
+    * The declared row aggregates the POST-MERGE store LEFT-JOINED
+    * against the index ids, plus the total index size: a lost insert, a
+    * double-landed update, a stale index entry surviving the re-crawl,
+    * or a missed re-embed each breaks a column. The oracle replays the
+    * whole relational chain in SQL (funnel, dedup windows, fp anti-join,
+    * merge-by-key) and pins `n_indexed`/`n_index_total` to the replayed
+    * row counts — which only match when index ids == store ids exactly.
+    * Every stage is shuffle-bounded (window by fp, cell-pruned index
+    * edit, file-pruned merge) — the 100 TB shapes, composed. */
+  def nightlyCrawl(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("crawl", dir)
+    rmTree(path)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    def funnel(d: DataFrame): DataFrame = d
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") >= 10)
+      .withColumn("q_e4", round(size(array_distinct(col("toks"))).cast("double")
+        / col("n_toks") * 10000).cast("long"))
+      .withColumn("fp",
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16))
+      .drop("toks", "n_toks")
+    def dedupBatch(d: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    // night 1: crawl + planted intra-batch exact dups, funnel, dedup, v1
+    val mirror1 = base.filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 2)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val crawl1 = dedupBatch(funnel(
+      base.filter(col("doc_id") % 3 =!= 2).unionByName(mirror1)))
+    graft.store.Versioned.append(crawl1, path) // v1
+    val store1 = graft.store.Versioned.read(spark, path, Some(1))
+    val idx = graft.scale.Ivf.build(spark,
+      graft.functions.Embedder.embedFrame(store1), nlist = 8)
+
+    // night 2: fresh docs, planted cross-batch dups, re-crawled revisions
+    val fresh = base.filter(col("doc_id") % 3 === 2)
+    val mirror2 = base.filter(col("doc_id") % 7 === 1 && col("doc_id") % 3 =!= 2)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val recrawl = base.filter(col("doc_id") % 21 === 0)
+      .withColumn("text", concat(col("text"), lit(" recrawl refresh")))
+    val delta = dedupBatch(funnel(
+      fresh.unionByName(mirror2).unionByName(recrawl)))
+      .join(store1.select(col("fp")), Seq("fp"), "left_anti")
+    // CDC re-embed of the delta only; index MERGE = anti-join out the
+    // replaced ids, append the replacement vectors (delete → insert —
+    // exactly the contract Nsw.insert documents for CDC updates)
+    val pruned = idx.assigned
+      .join(delta.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    val idx2 = graft.scale.Ivf.append(
+      graft.scale.Ivf.Index(idx.centroids, pruned),
+      graft.functions.Embedder.embedFrame(delta))
+    val v2 = graft.store.Versioned.merge(spark, path, delta, keys = Seq("doc_id"))
+
+    val marked = graft.store.Versioned.read(spark, path, Some(v2))
+      .join(idx2.assigned.select(col("vec_id").as("doc_id"), lit(1L).as("in_idx")),
+        Seq("doc_id"), "left")
+    val total = idx2.assigned.agg(count(lit(1)).as("n_index_total"))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        sum(col("q_e4")).cast("long").as("q_checksum"),
+        sum(col("in_idx")).cast("long").as("n_indexed"))
+      .crossJoin(broadcast(total)) // 1-row scalar, annotates every group
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "zorder_scan" -> (zorderScan _),
     "time_travel" -> (timeTravel _),
     "versioned_merge" -> (versionedMerge _),
-    "incremental_reembed" -> (incrementalReembed _)
+    "incremental_reembed" -> (incrementalReembed _),
+    "nightly_crawl" -> (nightlyCrawl _)
   )
 
   val oracles: Map[String, String] = Map(
+    // full relational replay of the nightly-crawl chain; n_indexed and
+    // n_index_total are the replayed row counts — they only match the
+    // engine when the serving index's id set equals the store's exactly
+    "nightly_crawl" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |b1 AS (
+        |  SELECT doc_id, source, text FROM base WHERE doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 10000, source, text FROM base
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 2),
+        |d0 AS (
+        |  SELECT doc_id, source, text FROM base WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 20000, source, text FROM base
+        |  WHERE doc_id % 7 = 1 AND doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT doc_id, source, text || ' recrawl refresh' FROM base
+        |  WHERE doc_id % 21 = 0),
+        |s1 AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 10000) AS BIGINT) AS q_e4,
+        |    substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+        |  FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM b1)
+        |  WHERE len(toks) >= 10),
+        |v1 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |s2 AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 10000) AS BIGINT) AS q_e4,
+        |    substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+        |  FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM d0)
+        |  WHERE len(toks) >= 10),
+        |dd AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM s2)
+        |  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM v1)),
+        |merged AS (
+        |  SELECT doc_id, source, q_e4 FROM v1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dd)
+        |  UNION ALL
+        |  SELECT doc_id, source, q_e4 FROM dd),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_index_total FROM merged)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(SUM(q_e4) AS BIGINT) AS q_checksum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_indexed,
+        |  (SELECT n_index_total FROM tot) AS n_index_total
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
     "zorder_scan" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -79,7 +79,10 @@ object TextQueries {
     * approx_count_distinct is a HyperLogLog++ (fixed-size sketch, one pass,
     * mergeable across partitions) and percentile_approx a KLL-style
     * quantile sketch. Approximate ⇒ no SQL oracle (driver rows-only);
-    * TextSketchSpec pins them within tolerance of exact answers. */
+    * TextSketchSpec pins them within tolerance of exact answers, and
+    * [[sketchStatsPrecision]] is the hash-checkable companion that runs
+    * the same profile through the repo's own sketches at their lossless
+    * parameterizations. */
   def sketchStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"), col("n_chars"))
@@ -89,6 +92,41 @@ object TextQueries {
         percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
         percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"),
         count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** The exact-regime companion to [[sketchStats]] — the same per-lang
+    * corpus profile re-expressed over the REPO'S OWN mergeable sketches
+    * at their lossless parameterizations, so the row is hash-checkable
+    * instead of tolerance-spec'd: vocabulary through the KMV bottom-k
+    * sketch (k=1024 ≥ every fixture vocabulary ⇒ `finish` returns the
+    * exact distinct count — graft.core.KmvDistinct's below-k regime) over
+    * xxhash64'd tokens, and per-document length quantiles through the
+    * KLL buffer (k=4096 ≥ docs-per-lang at every fixture SF ⇒ the buffer
+    * never compacts and `finish` is the exact quantile_cont
+    * interpolation). A fixture that outgrows either parameterization
+    * surfaces as a driver-gate hash mismatch, not silent drift. At
+    * 100 TB the same one-pass partial-aggregated plan runs with k ≪ n;
+    * KmvSketchSpec/QuantileSketchSpec pin that regime's error
+    * envelopes. */
+  def sketchStatsPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.core.KmvDistinct(1024),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val kll = udaf(new graft.core.KllQuantile(4096, Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"))
+      .agg(kmv(xxhash64(col("tok"))).as("vocab"), count(lit(1)).as("n_tokens"))
+    val lens = docs.groupBy(col("lang"))
+      .agg(kll(col("n_chars").cast("double")).as("ps"), count(lit(1)).as("n_docs"))
+    vocab.join(lens, "lang")
+      .select(col("lang"), col("vocab"),
+        round(element_at(col("ps"), 1) * 10).cast("long").as("p50_chars_e1"),
+        round(element_at(col("ps"), 2) * 10).cast("long").as("p95_chars_e1"),
+        col("n_tokens"), col("n_docs"))
       .orderBy(col("lang"))
   }
 
@@ -637,6 +675,7 @@ object TextQueries {
     "corpus_filter" -> (corpusFilter _),
     "rolling_fp" -> (rollingFp _),
     "sketch_stats" -> (sketchStats _),
+    "sketch_stats_precision" -> (sketchStatsPrecision _),
     "lang_id" -> (langId _),
     "token_regex" -> (tokenRegex _),
     "token_count" -> (tokenCount _),
@@ -664,6 +703,25 @@ object TextQueries {
         |  CAST((SELECT COALESCE(SUM(c2.nw), 0) FROM c c2 WHERE c2.d <= g.d) AS BIGINT) AS vocab_size
         |FROM g LEFT JOIN c ON c.d = g.d
         |ORDER BY decile""".stripMargin,
+    // exact-regime sketch companion: COUNT(DISTINCT) == KMV below-k,
+    // quantile_cont == the KLL lossless interpolation (same formula)
+    "sketch_stats_precision" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (
+        |  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM toks WHERE tok <> '' GROUP BY lang),
+        |l AS (
+        |  SELECT lang,
+        |    CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 10) AS BIGINT) AS p50_chars_e1,
+        |    CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) * 10) AS BIGINT) AS p95_chars_e1,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang)
+        |SELECT t.lang, t.vocab, l.p50_chars_e1, l.p95_chars_e1,
+        |  t.n_tokens, l.n_docs
+        |FROM t JOIN l ON t.lang = l.lang
+        |ORDER BY t.lang""".stripMargin,
     "repetition_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 300),
         |w AS (SELECT doc_id, unnest(ws) AS w FROM d),

@@ -284,35 +284,59 @@ object Versioned {
     * latest-wins first); NULL keys never match (SQL join semantics), so
     * null-key update rows insert and null-key table rows are never
     * replaced. Snapshot isolation as everywhere: older versions still
-    * resolve the pre-merge files until vacuum. */
+    * resolve the pre-merge files until vacuum.
+    *
+    * Concurrency: a merge conflict is NOT blind-retried the way append's
+    * ledger races are. Any commit that lands after `base` was read —
+    * including a plain append, whose new files may carry rows with
+    * matched keys — fails the put-if-absent commit, and the WHOLE merge
+    * re-derives against the new current version (re-scan for affected
+    * files, re-rewrite) before retrying, up to `maxRetries`. A blind
+    * retry would be a lost update: concurrently appended matching rows
+    * would survive next to the merge's replacement rows, leaving
+    * duplicate keys. VersionedSpec races merges against appends and
+    * pins key uniqueness + no-lost-rows over the final state. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], maxRetries: Int = 5): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val base = currentVersion(table)
-    val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
-    if (base == 0) { // empty table: a merge is a plain insert
-      updates.write.parquet(new File(table, batch).getPath)
-      val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-      return retryCommit(table, added, Set.empty, maxRetries)
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(table)
+      val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        if (base == 0) { // empty table: a merge is a plain insert
+          updates.write.parquet(new File(table, batch).getPath)
+          val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+          return commit(table, base, added, Set.empty)
+        }
+        val rootPath = Paths.get(table).toAbsolutePath
+        val cur = read(spark, table, Some(base))
+        val keyCols = keys.map(org.apache.spark.sql.functions.col)
+        val updKeys = updates.select(keyCols: _*).distinct()
+        val affected = cur
+          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+          .join(updKeys, keys, "left_semi")
+          .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
+        val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        val newData =
+          if (affected.isEmpty) ordered // pure insert: no file rewrites
+          else spark.read.parquet(affected.toIndexedSeq: _*)
+            .join(updKeys, keys, "left_anti") // drop the rows being replaced
+            .unionByName(ordered)
+        newData.write.parquet(new File(table, batch).getPath)
+        val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+        val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+        return commit(table, base, added, removedRel)
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+        // loop: re-read currentVersion and re-derive everything; the
+        // failed attempt's batch files sit unreferenced by any manifest
+        // and fall to vacuum like any orphan
+      }
     }
-    val rootPath = Paths.get(table).toAbsolutePath
-    val cur = read(spark, table, Some(base))
-    val keyCols = keys.map(org.apache.spark.sql.functions.col)
-    val updKeys = updates.select(keyCols: _*).distinct()
-    val affected = cur
-      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-      .join(updKeys, keys, "left_semi")
-      .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
-    val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-    val newData =
-      if (affected.isEmpty) ordered // pure insert: no file rewrites
-      else spark.read.parquet(affected.toIndexedSeq: _*)
-        .join(updKeys, keys, "left_anti") // drop the rows being replaced
-        .unionByName(ordered)
-    newData.write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-    commitRewrite(table, base, added, removedRel, maxRetries)
+    -1 // unreachable
   }
 
   /** `input_file_name()` yields a URI on most filesystems and a bare

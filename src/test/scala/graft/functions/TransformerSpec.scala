@@ -98,6 +98,59 @@ class TransformerSpec extends SparkSpec {
     assert(s.encode(long).length == cfg.dModel)
   }
 
+  test("skip-gram training is deterministic and learns the corpus: planted paraphrase pairs rank closest") {
+    val cfg = Config(vocab = 2048, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val corpus = texts.map(_._2).toIndexedSeq
+    // same corpus + seed => bit-identical weights (the DeterminismSpec
+    // contract for every query the checkpoint serves)
+    val w1 = TinyTransformer.trainSkipGram(corpus, cfg)
+    val w2 = TinyTransformer.trainSkipGram(corpus, cfg)
+    assert(w1.toSeq == w2.toSeq, "training is not deterministic")
+
+    val s = new Session(cfg, w1)
+    val vecs = texts.map { case (id, t) => id -> s.encode(t) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d // encoder output is unit-norm
+    }
+    // ground-truth paraphrase pairs: bag-of-words cosine > 0.9 (the
+    // fixture's planted near-identical docs; everything else sits far
+    // below — the corpus's real semantic structure)
+    def bow(t: String): Map[String, Double] = {
+      val c = t.split("\\s+").filter(_.nonEmpty).groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+      val n = math.sqrt(c.values.map(x => x * x).sum)
+      c.map { case (k, v) => k -> v / n }
+    }
+    val bows = texts.map { case (id, t) => id -> bow(t) }
+    val planted = (for {
+      (a, ba) <- bows; (b, bb) <- bows if a < b
+      sim = ba.keySet.intersect(bb.keySet).iterator.map(k => ba(k) * bb(k)).sum
+      if sim > 0.9
+    } yield (a, b)).toSeq
+    assert(planted.nonEmpty, "fixture should contain planted near-identical docs")
+    // every planted pair must beat the random-pair distribution through
+    // the TRAINED encoder: partner is the TOP-1 neighbor of each member,
+    // and the pair cosine clears every non-planted cosine for that member
+    val plantedSet = planted.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    planted.foreach { case (a, b) =>
+      val va = vecs(a)
+      val others = vecs.keys.filter(o => o != a && !plantedSet((a, o))).map(o => cos(va, vecs(o)))
+      val pairCos = cos(va, vecs(b))
+      assert(pairCos > others.max,
+        s"planted pair ($a,$b) cos=$pairCos does not beat max random ${others.max}")
+    }
+    // and the margin is not degenerate: vectors are spread (mean random
+    // cosine bounded away from 1), so the win is not "everything is equal"
+    val rnd = for ((a, _) <- bows.take(40); (b, _) <- bows.take(40)
+      if a < b && !plantedSet((a, b))) yield cos(vecs(a), vecs(b))
+    assert(rnd.sum / rnd.size < 0.95, s"embedding space collapsed: mean random cos ${rnd.sum / rnd.size}")
+  }
+
   test("neural session runs through the seam: one load per partition") {
     val cfg = Config(vocab = 1024, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
     val path = tmpDir("tt2").resolve("w.bin").toString

@@ -177,6 +177,52 @@ class VersionedSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("merge races appends: outcome serializes by commit version, no lost updates") {
+    val t = tmpDir("versioned").toString
+    val seed = (0L until 6L).map(i => (i, "seed"))
+    Versioned.append(seed.toDF("id", "s"), t) // v1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // the classic lost-update shape: every append lands a row whose key
+      // is inside every merge's update set (plus one fresh key), while
+      // the merges replace that whole key range. A blind retry after a
+      // conflicting append would keep the appended row next to the
+      // merge's replacement row; the re-derive contract must instead make
+      // the final state equal a serial replay in commit order.
+      val ops: Seq[(String, Seq[(Long, String)])] =
+        (0 until 4).map(i => ("A", Seq((i.toLong, s"app$i"), (100L + i, s"new$i")))) ++
+          (0 until 4).map(j => ("M", (0L until 6L).map(k => (k, s"merge$j"))))
+      val futures = ops.map { case (kind, rs) =>
+        pool.submit(new java.util.concurrent.Callable[(String, Seq[(Long, String)], Int)] {
+          def call(): (String, Seq[(Long, String)], Int) = {
+            val v = kind match {
+              case "A" => Versioned.append(rs.toDF("id", "s"), t, maxRetries = 50)
+              case "M" => Versioned.merge(spark, t, rs.toDF("id", "s"), Seq("id"), maxRetries = 50)
+            }
+            (kind, rs, v)
+          }
+        })
+      }
+      val done = futures.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      val versions = done.map(_._3)
+      // optimistic concurrency: all 8 writers won SOME version, 2..9
+      assert(versions.sorted == (2 to 9), s"got $versions")
+      // serial replay in commit-version order == the final table, row for
+      // row (sorted Seq compare, so an extra surviving duplicate of any
+      // row — the lost-update symptom — fails even at equal key counts)
+      var state: Seq[(Long, String)] = seed
+      done.sortBy(_._3).foreach {
+        case ("A", rs, _) => state = state ++ rs
+        case ("M", us, _) =>
+          val ks = us.map(_._1).toSet
+          state = state.filterNot(r => ks(r._1)) ++ us
+      }
+      val got = Versioned.read(spark, t).as[(Long, String)].collect().toSeq.sorted
+      assert(got == state.sorted,
+        s"final state diverges from the serial replay:\n got=$got\n want=${state.sorted}")
+    } finally pool.shutdown()
+  }
+
   test("optimize: z-order rewrite preserves rows, narrows file envelopes, keeps snapshots") {
     import org.apache.spark.sql.functions.col
     val t = tmpDir("versioned").toString
