@@ -41,7 +41,15 @@ object Bench {
     // per-query telemetry: wall-clock offset (sec since bench start) at which
     // the query's first attempt began, plus the loadavg sampled right then —
     // lets a reader line a slow measurement up against external host load
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted re-measurement of a
+    // few queries (e.g. SPARK_GRAFT_ONLY=pagerank,user_paths); absent ⇒ all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val at = (System.currentTimeMillis() - wallStart) / 1e3
       val load = loadavg()
       val t = (once(fn), once(fn)) match {
@@ -51,8 +59,12 @@ object Bench {
         case _ => -1.0
       }
       // queries cache internally (IVF features, shingles, ingest parse);
-      // drop between queries so cached partitions don't accumulate
+      // drop between queries so cached partitions don't accumulate, and
+      // collect the freed blocks eagerly — 160 queries in one JVM
+      // otherwise accrue heap pressure that taxes LATER queries with GC
+      // pauses charged to whoever happens to run next
       spark.catalog.clearCache()
+      System.gc()
       name -> ((t, at, load))
     }
     val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }

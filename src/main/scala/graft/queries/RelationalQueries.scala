@@ -278,11 +278,20 @@ object RelationalQueries {
     * of an engine-identical value: zero cross-engine flake risk. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val fwd = li.select(
-      concat(lit("p"), col("l_partkey")).as("src"),
-      concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    graft.scale.PageRank.run(edges, iterations = 5)
+    // ONE distinct over the raw integer pair (cheapest key), then a
+    // map-only explode doubles each pair into both directions — the
+    // union-of-two-projections form would run the 600k-row distinct
+    // twice (one shuffle per branch unless exchange reuse fires) and
+    // shuffle strings instead of ints. doubledUndirected asserts the
+    // shape this builder guarantees, so PageRank.run skips its
+    // membership probe (|V| is the only setup action).
+    val edges = li
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .select(explode(array(
+        struct(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst")),
+        struct(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true)
       .select(col("node"),
         expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
       .orderBy(col("node"))

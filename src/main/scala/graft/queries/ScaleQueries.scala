@@ -435,6 +435,113 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** Filtered vector search at the oracle parameterization — the
+    * metadata-scoped retrieval every serving store exposes (Chroma's
+    * `where=` clause, which the reference itself uses for its dedup
+    * probe, multiple_document_upload.py:141, yet omits from its own
+    * retrieval — §2.1 Q1's cross-user leakage): a label predicate is
+    * pushed BELOW the probe, between cell pruning and the rerank/top-k,
+    * so matching rows can never be crowded out of the k by
+    * filtered-out neighbors (the post-filter formulation would return
+    * < k rows). At nprobe = nlist nothing is pruned, so the whole
+    * probe + filter + rerank chain must equal brute force over the
+    * filtered corpus — which DuckDB recomputes. */
+  def ivfFilteredPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    Ivf.search(defaultIndex(spark, dir), q, k = 13, nprobe = 16,
+      corpusFilter = col("label") % 4 === 1)
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** Offline retrieval-quality evaluation — the recall@k / MRR harness a
+    * vector-store team runs nightly against ground truth before shipping
+    * an index parameterization. The index under test is a sign-LSH
+    * (4 tables × 6 hyperplanes, OR-composed) whose projection matrix is
+    * md5-derived (the X92 recipe) and whose arithmetic is integer
+    * (inputs e4-fixed, dot products and distances are order-free integer
+    * sums) — so unlike the MLlib-seeded LSH family, the ENTIRE eval —
+    * signatures, buckets, candidate join, rerank, exact ground truth,
+    * and both metrics — is reproduced digit-for-digit by DuckDB: the
+    * eval harness itself is oracle-checked, not just the index.
+    *
+    * Plan shape at scale: signatures are one map-only pass (24 codegen'd
+    * HOF dot products per row); candidates are a (table, bucket)
+    * equi-join, never query × corpus; the exact ground-truth side is
+    * bounded to the |Q|-row query SAMPLE (the only place brute force
+    * appears — ground truth for an eval is bounded by construction).
+    * Per-query metrics: n_cand (candidate-set size = retrieval cost),
+    * recall@10 against exact top-10, reciprocal rank of the true
+    * nearest neighbor (0 when missed). */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val nTables = 4; val nBits = 6; val dim = 64; val k = 10; val nQ = 30
+    def sign(t: Int, b: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"re:$t:$b:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1L else -1L // first hex digit in 8..f
+    }
+    val xe4 = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xe4.as("xe4"))
+    // per-table bucket id: 6 hyperplane sign bits packed little-endian;
+    // each bit is one codegen'd integer HOF dot against a literal row
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until nBits).map { b =>
+        val row = typedlit(Seq.tabulate(dim)(i => sign(t, b, i)))
+        val dot = aggregate(
+          zip_with(col("xe4"), row, (x, s) => x * s), lit(0L), (a, v) => a + v)
+        when(dot >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"bkt_$t")
+    }
+    val sigs = base.select((col("vec_id") +: bucketCols): _*)
+      .select(col("vec_id"), explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), col(s"bkt_$t").as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // candidates: bucket-mates in ANY table (OR composition), deduped
+    val cand = sigs.filter(col("vec_id") < nQ).select(col("vec_id").as("q_id"),
+        col("t"), col("bkt"))
+      .join(sigs.select(col("vec_id").as("n_id"), col("t"), col("bkt")),
+        Seq("t", "bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val intDist = aggregate(
+      zip_with(col("q_xe4"), col("n_xe4"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (a, v) => a + v)
+    val qv = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("xe4").as("q_xe4"))
+    val nv = base.select(col("vec_id").as("n_id"), col("xe4").as("n_xe4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)
+    val approx = cand.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"), intDist.as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val exact = qv.crossJoin(nv).filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), intDist.as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val hits = exact.select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
+      .join(approx.select(col("q_id"), col("n_id"), col("rank").as("a_rank")),
+        Seq("q_id", "n_id"), "left")
+    hits.groupBy(col("q_id"))
+      .agg(
+        // K=10 ⇒ recall_e4 = matches * 1000, an exact integer
+        (count(col("a_rank")) * 1000).as("recall_e4"),
+        // reciprocal rank of the TRUE nearest neighbor in the approx
+        // list; 10000/r never lands on .5 for r ≤ 10, so HALF_UP vs
+        // HALF_EVEN can't diverge
+        coalesce(max(when(col("e_rank") === 1,
+            round(lit(10000.0) / col("a_rank")).cast("long"))), lit(0L))
+          .as("rr_e4"))
+      // LEFT join: a query whose buckets hold no neighbor at all still
+      // reports (n_cand=0, recall=0) instead of vanishing from the eval
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("recall_e4"), col("rr_e4"))
+      .orderBy(col("q_id"))
+  }
+
   /** MinHash at full-recall banding (k=64, 32 bands × 2 rows: candidate
     * probability at J ≥ 0.5 is 1-(1-J²)^32 ≥ 0.9999, and deterministic
     * under the fixed engine hash) + the exact-Jaccard verify ⇒ the output
@@ -803,6 +910,8 @@ object ScaleQueries {
     "video_meta" -> (videoMeta _),
     "frame_sample" -> (frameSample _),
     "ivf_precision" -> (ivfPrecision _),
+    "ivf_filtered_precision" -> (ivfFilteredPrecision _),
+    "retrieval_eval" -> (retrievalEval _),
     "minhash_precision" -> (minhashPrecision _),
     "lsh_precision" -> (lshPrecision _),
     "semantic_decontam" -> (semanticDecontamQ _),
@@ -882,6 +991,68 @@ object ScaleQueries {
          |      FROM embeddings e CROSS JOIN q)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // brute force over the FILTERED corpus: nprobe = nlist ⇒ the filter
+    // placement (below the probe, before the top-k) is what's under test
+    "ivf_filtered_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q WHERE e.label % 4 = 1)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // the FULL eval harness re-derived: md5 sign matrix → integer sign-LSH
+    // buckets → OR-composed candidates → integer rerank → exact ground
+    // truth → recall@10 and MRR — any divergence in any stage breaks the
+    // per-query metric hash
+    "retrieval_eval" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |tb AS (SELECT tt.t, bb.b
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS t) tt
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) bb),
+        |s AS (SELECT tb.t, tb.b, idx.i,
+        |        CASE WHEN substr(md5('re:' || tb.t || ':' || tb.b || ':' || idx.i), 1, 1)
+        |               IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sgn
+        |      FROM tb CROSS JOIN idx),
+        |x AS (SELECT vec_id, idx.i,
+        |        CAST(round(CAST(embedding[idx.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS xe4
+        |      FROM embeddings CROSS JOIN idx),
+        |bits AS (SELECT x.vec_id, s.t, s.b,
+        |           CASE WHEN SUM(x.xe4 * s.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |         FROM x JOIN s ON s.i = x.i GROUP BY x.vec_id, s.t, s.b),
+        |bkt AS (SELECT vec_id, t, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bkt
+        |        FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |         FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+        |         WHERE q.vec_id < 30 AND c.vec_id <> q.vec_id),
+        |ints AS (SELECT vec_id,
+        |           list_transform(embedding,
+        |             v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xe4
+        |         FROM embeddings),
+        |ad AS (SELECT c.q_id, c.n_id,
+        |         list_sum(list_transform(list_zip(q.xe4, n.xe4),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        |       FROM cand c
+        |       JOIN ints q ON q.vec_id = c.q_id JOIN ints n ON n.vec_id = c.n_id),
+        |ar AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS a_rank
+        |       FROM ad QUALIFY a_rank <= 10),
+        |ed AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |         list_sum(list_transform(list_zip(q.xe4, n.xe4),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        |       FROM ints q CROSS JOIN ints n
+        |       WHERE q.vec_id < 30 AND n.vec_id <> q.vec_id),
+        |er AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS e_rank
+        |       FROM ed QUALIFY e_rank <= 10),
+        |nc AS (SELECT q_id, COUNT(*) AS n_cand FROM cand GROUP BY q_id),
+        |h AS (SELECT er.q_id, er.e_rank, ar.a_rank
+        |      FROM er LEFT JOIN ar ON ar.q_id = er.q_id AND ar.n_id = er.n_id),
+        |m AS (SELECT q_id, COUNT(a_rank) * 1000 AS recall_e4,
+        |        COALESCE(MAX(CASE WHEN e_rank = 1
+        |          THEN CAST(round(10000.0 / a_rank) AS BIGINT) END), 0) AS rr_e4
+        |      FROM h GROUP BY q_id)
+        |SELECT m.q_id, COALESCE(nc.n_cand, 0) AS n_cand,
+        |  CAST(m.recall_e4 AS BIGINT) AS recall_e4, CAST(m.rr_e4 AS BIGINT) AS rr_e4
+        |FROM m LEFT JOIN nc ON nc.q_id = m.q_id ORDER BY m.q_id""".stripMargin,
     // identical ground truth to ivf_precision: lossless PQ + all cells +
     // shortlist=k must collapse to brute-force top-13
     "pq_precision" ->

@@ -121,6 +121,54 @@ object SurfaceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming stateful deduplication under the oracle gate — the
+    * cross-micro-batch exact-dedup shape of a continuously-crawling
+    * ingest, where a re-crawl re-delivers documents the state store must
+    * recognize from EARLIER batches. The documents table is staged TWICE
+    * in the landing dir and drained one file per trigger
+    * (maxFilesPerTrigger=1), so the second batch is 100% duplicates and
+    * only cross-batch state can kill them — a within-batch distinct
+    * would pass the doubled rows straight through. `dropDuplicates`
+    * keys on (lang, fp = md5(text)): the 16-byte digest is the bounded
+    * per-key state a 100 TB run carries, never the text. The declared
+    * row aggregates the checkpointed SINK; the oracle counts DISTINCT
+    * digests over the single-copy SOURCE — a dedup miss, an over-dedup,
+    * or a replay double-commit each break the count hash. Plain
+    * dropDuplicates holds state forever by design; the production
+    * variant is dropDuplicatesWithinWatermark once rows carry event
+    * time (StreamsSpec pins the watermarked family) — same plan shape. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      landing.resolve("crawl_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      landing.resolve("crawl_b.parquet"))
+    val raw = spark.read.parquet(landing.toString)
+    val out = s"$tmp/uniq"
+    val q = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
+      .dropDuplicates("lang", "fp")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -160,6 +208,7 @@ object SurfaceQueries {
     "ingest_gate" -> (ingestGate _),
     "stream_windowed" -> (streamWindowed _),
     "stream_relay_rollup" -> (streamRelayRollup _),
+    "stream_dedup" -> (streamDedup _),
     "salted_agg" -> (saltedAgg _)
   )
 
@@ -204,6 +253,11 @@ object SurfaceQueries {
         |  COUNT(DISTINCT event_type) AS n_types,
         |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the oracle sees ONE copy of the source; the query's sink saw TWO —
+    // equality is cross-batch dedup + exactly-once delivery
+    "stream_dedup" ->
+      """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag AS key,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

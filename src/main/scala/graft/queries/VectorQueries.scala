@@ -204,6 +204,34 @@ object VectorQueries {
         |FROM x JOIN s ON s.i = x.i
         |GROUP BY x.vec_id, s.j
         |ORDER BY vec_id, dim""".stripMargin,
+    // same md5-matrix re-derivation as random_projection, then floor(y/Q)
+    // in DOUBLE (both engines) and a min/count per occupied grid cell
+    "grid_diversity_sample" ->
+      """WITH dims AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |s AS (
+        |  SELECT j, i,
+        |    CASE WHEN substr(md5('gs:' || i || ':' || j), 1, 1)
+        |           IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sgn
+        |  FROM dims CROSS JOIN idx),
+        |x AS (
+        |  SELECT e.vec_id, idx.i,
+        |    CAST(round(CAST(e.embedding[idx.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS xe4
+        |  FROM embeddings e CROSS JOIN idx),
+        |y AS (
+        |  SELECT x.vec_id, s.j,
+        |    CAST(floor(CAST(SUM(x.xe4 * s.sgn) AS DOUBLE) / 15000.0) AS BIGINT) AS c
+        |  FROM x JOIN s ON s.i = x.i
+        |  GROUP BY x.vec_id, s.j),
+        |g AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN j = 0 THEN c END) AS c0,
+        |    MAX(CASE WHEN j = 1 THEN c END) AS c1,
+        |    MAX(CASE WHEN j = 2 THEN c END) AS c2,
+        |    MAX(CASE WHEN j = 3 THEN c END) AS c3
+        |  FROM y GROUP BY vec_id)
+        |SELECT c0, c1, c2, c3, MIN(vec_id) AS keep_id, COUNT(*) AS n_members
+        |FROM g GROUP BY c0, c1, c2, c3 ORDER BY c0, c1, c2, c3""".stripMargin,
     "knn_top13" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
@@ -441,8 +469,55 @@ object VectorQueries {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** Grid-blocked diversity sampling — the semantic-coverage coreset pass
+    * a training-data pipeline runs AFTER dedup: near-dup removal kills
+    * copies, but a corpus can still be 90% one topic; diversity sampling
+    * keeps representatives spread across embedding space (the practical
+    * stand-in for greedy k-center, which is inherently sequential). The
+    * space is carved by a deterministic JL sign projection (64 → 4 dims,
+    * md5 matrix — X92's recipe, so the whole pass is oracle-checkable)
+    * quantized into grid cells; each occupied cell keeps its min-id
+    * member. Cell width 15000 e4-units ≈ 1.8σ of the projected
+    * coordinate, the resolution where the fixture's 500 vectors spread
+    * over ~110 cells.
+    *
+    * Scale shape: one map-only projection pass (codegen'd integer HOFs —
+    * inputs e4-fixed, each coordinate an order-free integer sum), one
+    * groupBy on the 4-int cell key. No pairwise math anywhere — coverage
+    * sampling at 100 TB is exactly one aggregation. floor(y/Q) is
+    * evaluated in DOUBLE on both engines (integer `div` truncates toward
+    * zero — it would merge the two cells adjacent to 0). */
+  def gridDiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val k = 4
+    val q = 15000.0
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gs:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1L else -1L
+    }
+    val s = Seq.tabulate(k, d)((j, i) => sign(i, j))
+    val sLit = typedlit(s)
+    val xe4 = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val cells = (0 until k).map { j =>
+      val y = aggregate(sequence(lit(0), lit(d - 1)), lit(0L),
+        (acc, i) => acc +
+          element_at(col("xe4"), i + 1) *
+          element_at(element_at(sLit, j + 1), i + 1))
+      floor(y.cast("double") / lit(q)).cast("long").as(s"c$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xe4.as("xe4"))
+      .select((col("vec_id") +: cells): _*)
+      .groupBy(col("c0"), col("c1"), col("c2"), col("c3"))
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_members"))
+      .orderBy(col("c0"), col("c1"), col("c2"), col("c3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "random_projection" -> (randomProjection _),
+    "grid_diversity_sample" -> (gridDiversitySample _),
     "centroid_drift" -> (centroidDrift _),
     "knn_top13" -> (knnTop13 _),
     "knn_batch_top5" -> (knnBatchTop5 _),

@@ -101,12 +101,29 @@ object Ivf {
   }
 
   /** ANN search: prune to `nprobe` cells, exact-rerank, top-k by
-    * (dist, id). */
+    * (dist, id).
+    *
+    * `corpusFilter` is the FILTERED vector search every serving store
+    * needs (Chroma exposes it as the `where=` metadata clause the
+    * reference uses for its dedup probe, multiple_document_upload.py:141;
+    * the reference's own retrieval notably does NOT filter by user —
+    * §2.1 Q1's leakage quirk): the predicate applies AFTER cell pruning
+    * and BEFORE the rerank/top-k, so matching rows can never be crowded
+    * out by filtered-out neighbors (post-filtering the top-k would
+    * return < k rows). On a cell-partitioned store both prunings
+    * compose: directory-level cell pruning × parquet predicate pushdown
+    * of the metadata filter. For highly selective filters production
+    * flips to brute force over the filtered rows (the candidate set is
+    * already small); that switch is a cost decision, not a semantics
+    * one — at nprobe = nlist this path IS the brute force, which is how
+    * `ivf_filtered_precision` oracle-checks it. */
   def search(index: Index, q: Array[Float], k: Int = 13, nprobe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusFilter: Column = lit(true)): DataFrame = {
     val cells = nearestCells(index.centroids, q, nprobe)
     index.assigned
       .filter(col("cell").isInCollection(cells)) // partition pruning at scale
+      .filter(corpusFilter)
       .withColumn("dist", VectorOps.squaredL2(col(vecCol), lit(q)))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)

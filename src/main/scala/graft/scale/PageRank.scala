@@ -67,7 +67,8 @@ object PageRank {
     * (`src`, `dst`) in which every node occurs as a `src`. Output columns:
     * (`node`, `rank` double view, `rank_e12` the exact fixed-point value).
     */
-  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      doubledUndirected: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val dNum = math.round(damping * 100)
     require(math.abs(dNum / 100.0 - damping) < 1e-9,
@@ -83,29 +84,48 @@ object PageRank {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
     // every node must appear as a src, so the src set IS the node set;
-    // distinct over the cached src-partitioned frame adds no exchange
-    val nodes = e.select(col("src").as("node")).distinct()
-    // ONE driver action yields |V|, the dangler guard, AND the in-edge
-    // coverage flag: full-outer join the src set against the distinct dst
-    // set — a dst row with no src partner is a node with no out-edge
-    // (dangler); a src row with no dst partner is a node with no in-edge
-    // (teleport-only — forces the per-iteration left join below).
-    val stats = e.select(col("src"), lit(true).as("has_out")).distinct()
-      .join(e.select(col("dst").as("src"), lit(true).as("has_in")).distinct(),
-        Seq("src"), "full_outer")
-      .agg(count(when(col("has_out"), 1)).as("n"),
-        count(when(col("has_out").isNull, 1)).as("danglers"),
-        count(when(col("has_out") && col("has_in"), 1)).as("covered"))
-      .head()
-    val n = stats.getLong(0) // |V|
-    require(stats.getLong(1) == 0,
-      "every node must have an out-edge (feed undirected graphs as both directions)")
-    // when every node has an in-edge (true by construction for undirected
-    // graphs fed as both directions — the common corpus-graph shape), the
-    // contribution aggregate already covers the full node set and each
-    // iteration can skip the nodes-left-join entirely: one fewer join
-    // stage per iteration, same bits out
-    val fullInCoverage = stats.getLong(2) == n
+    // distinct over the cached src-partitioned frame adds no exchange.
+    // Cached: the |V| probe below and iteration 1's initial vector both
+    // consume it — without the cache the doubled-undirected path would
+    // run the distinct twice (once thrown away by count, once inside the
+    // first iteration job). Released with the edge cache at the end.
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    // `doubledUndirected` is the caller's assertion that every (a,b) edge
+    // has its (b,a) twin — the common corpus-graph shape, where the edge
+    // builder emits both directions from one pair list. Under it the
+    // probe's answers are known by CONSTRUCTION (src set == dst set ⇒ no
+    // danglers, full in-coverage), so |V| is the only driver action the
+    // setup needs — one partial-aggregated count over the cached frame —
+    // and the membership probe below is skipped entirely.
+    val (n, fullInCoverage) =
+      if (doubledUndirected) (nodes.count(), true)
+      else {
+        // ONE driver action yields |V|, the dangler guard, AND the
+        // in-edge coverage flag, via ONE shuffle: every edge contributes
+        // its src as an out-endpoint and its dst as an in-endpoint; a
+        // node with no out row is a dangler, one with no in row is
+        // teleport-only (forces the per-iteration left join below). The
+        // exploded stream partial-aggregates map-side to ≤ 2|V| rows per
+        // partition — cheaper than the two-distincts + full-outer-join
+        // formulation it replaces (three shuffles → one).
+        val stats = e
+          .select(explode(array(
+            struct(col("src").as("node"), lit(1).as("o"), lit(0).as("i")),
+            struct(col("dst").as("node"), lit(0).as("o"), lit(1).as("i")))).as("x"))
+          .groupBy(col("x.node"))
+          .agg(max(col("x.o")).as("has_out"), max(col("x.i")).as("has_in"))
+          .agg(count(when(col("has_out") === 1, 1)).as("n"),
+            count(when(col("has_out") === 0, 1)).as("danglers"),
+            count(when(col("has_out") === 1 && col("has_in") === 1, 1)).as("covered"))
+          .head()
+        require(stats.getLong(1) == 0,
+          "every node must have an out-edge (feed undirected graphs as both directions)")
+        // when every node has an in-edge, the contribution aggregate
+        // already covers the full node set and each iteration can skip
+        // the nodes-left-join entirely: one fewer join stage per
+        // iteration, same bits out
+        (stats.getLong(0), stats.getLong(2) == stats.getLong(0))
+      }
 
     // driver-side long arithmetic, positive operands ⇒ floor division
     val teleportE12 = (100L - dNum) * E12 / (100L * n)
@@ -145,6 +165,7 @@ object PageRank {
     // that materialization — no second |V|-row job.
     val out = if (iterations % CheckpointEvery == 0) ranks else cut(ranks)
     e.unpersist()
+    nodes.unpersist()
     out.select(col("node"),
       (col("rank_e12").cast("double") / lit(1.0e12)).as("rank"),
       col("rank_e12"))

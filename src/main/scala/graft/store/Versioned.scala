@@ -64,13 +64,46 @@ object Versioned {
     }
   }
 
+  private val SchemaPrefix = "#schema:"
+
+  /** The schema recorded in `version`'s manifest (default: latest), if the
+    * table has ever evolved — the Delta/Iceberg design point that schema
+    * lives in the LOG, not in data-file footers: readers apply the
+    * manifest schema without opening any footer (no footer-merge scan, no
+    * first-file-wins ambiguity), and time travel reads each version under
+    * the schema AS OF that version. Tables that never evolved carry no
+    * marker and read exactly as before. */
+  def schemaOf(table: String,
+      version: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) None
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .find(_.startsWith(SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Files of `version` read under that version's recorded schema (when
+    * one exists): parquet fills columns missing from a file with NULL, so
+    * pre-evolution files surface the evolved width — the mergeSchema
+    * semantics without the per-file footer merge. */
+  private def readUnder(spark: SparkSession, table: String, version: Int,
+      paths: Seq[String]): DataFrame =
+    schemaOf(table, Some(version)) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
   /** Read a version (default latest) as a DataFrame. The empty version
     * needs a caller-supplied schema-bearing frame to stay total, so it is
     * simply rejected here — an empty table has nothing to read. */
   def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
-    val fs = files(table, version)
-    require(fs.nonEmpty, s"table $table has no committed data at ${version.getOrElse(currentVersion(table))}")
-    spark.read.parquet(fs: _*)
+    val v = version.getOrElse(currentVersion(table))
+    val fs = files(table, Some(v))
+    require(fs.nonEmpty, s"table $table has no committed data at $v")
+    readUnder(spark, table, v, fs)
   }
 
   /** Append-only change feed: the rows ADDED between `fromVersion`
@@ -107,7 +140,7 @@ object Versioned {
     val before = files(table, Some(fromVersion)).toSet
     val added = files(table, Some(to)).filterNot(before)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0) // schema-correct empty delta
-    else spark.read.parquet(added: _*)
+    else readUnder(spark, table, to, added)
   }
 
   /** Publish `newFiles` (relative to the table root) as the next version,
@@ -208,15 +241,94 @@ object Versioned {
     retryCommit(table, added :+ streamMarker(batchId), stale, maxRetries)
   }
 
+  /** Fields of `s` as (name → type), nullability erased — the identity
+    * under which two batch schemas "match" (parquet nullability is
+    * per-file metadata, not a table contract here: any column can be
+    * NULL in files that predate it). */
+  private def shape(s: org.apache.spark.sql.types.StructType): Map[String, org.apache.spark.sql.types.DataType] =
+    s.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Union of the recorded table schema and an incoming batch schema:
+    * shared names must agree on type (no silent widening — an
+    * incompatible batch is a caller error, surfaced here, not a
+    * schema-on-read surprise later); new fields append AFTER the
+    * existing ones in batch order; everything is nullable (pre-evolution
+    * files have no values for new columns, post-evolution batches may
+    * omit old ones). */
+  private def evolveSchema(recorded: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val rec = shape(recorded)
+    incoming.fields.foreach { f =>
+      rec.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from $t to ${f.dataType} " +
+            "(add a new column instead)")
+      }
+    }
+    val existing = recorded.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      recorded.fields.map(_.copy(nullable = true)) ++
+        incoming.fields.filterNot(f => existing(f.name)).map(_.copy(nullable = true)))
+  }
+
   /** Append a DataFrame as a new version: data lands in an isolated batch
     * dir first (invisible to readers), then one manifest commit publishes
     * it. On commit conflict the data files are already safe on disk; the
-    * retry re-commits against the new base without rewriting data. */
+    * retry re-commits against the new base without rewriting data.
+    *
+    * Schema evolution (add-column): a batch whose columns are NOT a
+    * typed subset of the table's schema evolves it — the commit stamps a
+    * `#schema:` marker with the UNION schema (existing columns first,
+    * new ones appended), and every read of that version onward applies
+    * it, surfacing pre-evolution rows with NULL in the new columns.
+    * Batches that fit the existing schema commit exactly as before (no
+    * marker change — a same-schema append on a never-evolved table
+    * leaves its manifests marker-free). Because the union depends on the
+    * base version's marker, a conflict re-DERIVES the marker against the
+    * new current version before retrying (two racing evolutions must
+    * merge, not overwrite each other); the data files never rewrite.
+    * Streaming appends ([[appendBatchIdempotent]]) are schema-stable by
+    * contract and skip all of this. */
   def append(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    retryCommit(table, added, Set.empty, maxRetries)
+    val spark = df.sparkSession
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      // the table schema this append sees: the recorded marker, else (for
+      // never-evolved tables) the physical schema of the current files
+      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+        schemaOf(table, Some(cur)).orElse(
+          if (cur == 0) None
+          else Some(spark.read.parquet(files(table, Some(cur)): _*).schema))
+      val fits = tableSchema.forall { ts =>
+        val rec = shape(ts)
+        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType))
+      }
+      val (markerAdd, markerRemove): (Seq[String], Set[String]) =
+        if (fits) (Seq.empty, Set.empty)
+        else {
+          val union = evolveSchema(
+            tableSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil)), df.schema)
+          // remove the literal marker line(s) present in the base manifest
+          // (regenerating the line could miss a formatting difference)
+          val stale: Set[String] =
+            if (cur == 0) Set.empty
+            else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+              .toArray(Array.empty[String]).toSet.filter(_.startsWith(SchemaPrefix))
+          (Seq(SchemaPrefix + union.json), stale)
+        }
+      try return commit(table, cur, added ++ markerAdd, markerRemove)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+        // loop: re-read the current version and re-derive the marker
+      }
+    }
+    -1 // unreachable
   }
 
   /** Rewrite the CURRENT version's files into one compacted batch and
@@ -258,7 +370,7 @@ object Versioned {
     // keep rows where cond IS NOT TRUE: three-valued logic makes a plain
     // !cond evaluate to NULL (→ dropped) for rows where the predicate is
     // NULL — which would silently delete rows that never matched
-    val keep = spark.read.parquet(affected.toIndexedSeq: _*)
+    val keep = readUnder(spark, table, base, affected.toIndexedSeq)
       .filter(!org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false)))
     val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -320,7 +432,7 @@ object Versioned {
         val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
         val newData =
           if (affected.isEmpty) ordered // pure insert: no file rewrites
-          else spark.read.parquet(affected.toIndexedSeq: _*)
+          else readUnder(spark, table, base, affected.toIndexedSeq)
             .join(updKeys, keys, "left_anti") // drop the rows being replaced
             .unionByName(ordered)
         newData.write.parquet(new File(table, batch).getPath)
@@ -390,7 +502,7 @@ object Versioned {
     val totalSmall = small.map(new File(_).length()).sum
     val bins = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.read.parquet(small: _*).repartition(bins)
+    readUnder(spark, table, base, small).repartition(bins)
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
     val removedRel = small.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet

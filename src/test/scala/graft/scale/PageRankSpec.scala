@@ -113,4 +113,17 @@ class PageRankSpec extends SparkSpec {
       PageRank.run(edges("a" -> "b"), iterations = 1).collect()
     }
   }
+
+  test("doubledUndirected fast path is bit-identical to the probe path") {
+    // the caller-asserted shape skips the membership probe (|V| becomes
+    // the only setup action); on a graph that genuinely IS doubled the
+    // two paths must agree to the e12 unit — same teleport divisor, same
+    // full-coverage iteration shape
+    val pairs = Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d")
+    val both = pairs.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val probed = ranksE12(PageRank.run(edges(both: _*), iterations = 7))
+    val asserted = ranksE12(PageRank.run(edges(both: _*), iterations = 7,
+      doubledUndirected = true))
+    assert(asserted === probed)
+  }
 }

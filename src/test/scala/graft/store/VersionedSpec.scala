@@ -436,4 +436,58 @@ class VersionedSpec extends SparkSpec {
       new File(t, "_manifests/v00000001.list").toPath), StandardCharsets.UTF_8)
     assert(manifest.linesIterator.forall(l => !l.startsWith("/")), manifest)
   }
+
+  test("schema evolution: add-column batch stamps the union schema; old rows read NULL") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1, no marker
+    assert(Versioned.schemaOf(t).isEmpty, "same-schema tables stay marker-free")
+    Versioned.append(Seq((3L, "c", 30L)).toDF("id", "s", "q"), t) // v2 evolves
+    val recorded = Versioned.schemaOf(t)
+    assert(recorded.map(_.fieldNames.toSeq).contains(Seq("id", "s", "q")),
+      s"marker should record the union schema, got $recorded")
+    // current read: evolved width, pre-evolution rows NULL-filled
+    val cur = Versioned.read(spark, t)
+      .select("id", "s", "q").as[(Long, String, Option[Long])].collect().toSet
+    assert(cur == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // time travel reads v1 under v1's OWN schema — the new column is
+    // invisible before the evolution commit
+    assert(Versioned.read(spark, t, Some(1)).columns.toSeq == Seq("id", "s"))
+  }
+
+  test("schema evolution: marker and NULL-fill survive compaction and merge") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c", 30L)).toDF("id", "s", "q"), t)
+    val v3 = Versioned.compact(spark, t)
+    assert(Versioned.schemaOf(t, Some(v3)).isDefined, "compaction must carry the marker")
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "s", "q"))
+    // merge with full-width updates: the rewrite reads mixed-width files
+    // under the recorded schema, so the replaced row keeps its NULL ↔
+    // value distinction straight
+    Versioned.merge(spark, t,
+      Seq((2L, "B!", 20L), (9L, "i", 90L)).toDF("id", "s", "q"), keys = Seq("id"))
+    val cur = Versioned.read(spark, t)
+      .select("id", "s", "q").as[(Long, String, Option[Long])].collect().toSet
+    assert(cur == Set((1L, "a", None), (2L, "B!", Some(20L)),
+      (3L, "c", Some(30L)), (9L, "i", Some(90L))))
+  }
+
+  test("schema evolution: a batch that fits the evolved schema does not re-stamp; type changes are rejected") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.append(Seq((2L, "b", 20L)).toDF("id", "s", "q"), t)
+    val marker = Versioned.schemaOf(t)
+    // a narrower batch (missing the evolved column) still fits — commits
+    // without touching the marker, reads back NULL in q
+    Versioned.append(Seq((4L, "d")).toDF("id", "s"), t)
+    assert(Versioned.schemaOf(t) == marker)
+    val q4 = Versioned.read(spark, t).where("id = 4")
+      .select("q").as[Option[Long]].collect().toSeq
+    assert(q4 == Seq(None))
+    // changing an existing column's type is a caller error, not evolution
+    val err = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((5L, "e", "not-a-long")).toDF("id", "s", "q"), t)
+    }
+    assert(err.getMessage.contains("schema evolution cannot change column"))
+  }
 }
