@@ -402,7 +402,22 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Exact set-similarity self-join with prefix filtering (AllPairs /
+    * PPJoin — the 100%-recall dedup screen; [[graft.scale.PrefixJoin]]
+    * has the plan + completeness argument). Elements are word-5-grams —
+    * selective enough on this corpus that the survivors are exactly the
+    * planted near-dup pairs; threshold 4/5 compared in integer
+    * arithmetic, output in e4 fixed point. */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val el = graft.scale.PrefixJoin.wordKGrams(Tables.documents(spark, dir), k = 5)
+    graft.scale.PrefixJoin.jaccardSelfJoin(el, tNum = 4, tDen = 5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prefix_filter_join" -> (prefixFilterJoin _),
     "substring_dedup" -> (substringDedup _),
     "containment_screen" -> (containmentScreen _),
     "incremental_dedup" -> (incrementalDedup _),
@@ -421,6 +436,31 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    // brute-force exact ground truth: every pair sharing a 5-gram, full
+    // Jaccard, threshold as the same integer compare (inter*5 >= uni*4)
+    "prefix_filter_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |el AS (
+        |  SELECT DISTINCT doc_id, el FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |        || ' ' || ws[i+4])) AS el
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM el GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM el a JOIN el b ON a.el = b.el AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.inter,
+        |  CAST(na.n + nb.n - p.inter AS BIGINT) AS uni,
+        |  CAST(round(CAST(p.inter AS DOUBLE) * 10000 / (na.n + nb.n - p.inter)) AS BIGINT) AS jacc_e4
+        |FROM pairs p
+        |JOIN sizes na ON na.doc_id = p.a_id
+        |JOIN sizes nb ON nb.doc_id = p.b_id
+        |WHERE p.inter * 5 >= (na.n + nb.n - p.inter) * 4
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
     // aligned unnests give (pos, gram); runs on one (pair, diagonal) via
     // gaps-and-islands; positions are 1-based here vs 0-based in Spark —
     // diagonals and islands are shift-invariant so the outputs agree

@@ -34,6 +34,42 @@ object EventQueries {
         col("event_type"))
       .orderBy(col("event_id"))
 
+  /** Time-series gap fill + forward fill: the sparse daily rollup of
+    * high-value events (value > 250 — ~1/3 of (type, day) cells occupied)
+    * is densified onto the full type × calendar grid; missing days get
+    * count 0 and carry the last observed daily total forward (null until
+    * a type's first observation). The resample/interpolate primitive
+    * behind dashboard continuity and model-feature regularization.
+    *
+    * Shape: the calendar is metadata (min/max day × |types| — tiny,
+    * broadcast), the observation side is one partial-aggregated groupBy,
+    * and the forward fill is a running `last(ignoreNulls)` window
+    * partitioned BY TYPE — at 100 TB the grid partitions by (type,
+    * month) so no window partition outgrows a task, and the carry-in per
+    * partition comes from one prior-month row per type (the standard
+    * chunked-scan ffill decomposition). Sums are DECIMAL(18,6)-exact and
+    * exported at e6 as integers — no float summation order anywhere. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val obs = ev.filter(col("value") > 250)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (last(col("total"), ignoreNulls = true).over(w) * 1000000)
+          .cast("long").as("filled_e6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Tumbling-hour rollup by event type: count, exact sum, min/max. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -391,6 +427,7 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_fill" -> (gapFill _),
     "event_transitions" -> (eventTransitions _),
     "trend_forecast" -> (trendForecast _),
     "exp_smooth" -> (expSmooth _),
@@ -413,6 +450,31 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // calendar grid from events' own min/max day; DECIMAL sums make the
+    // forward-filled total exact; last_value IGNORE NULLS == Spark's
+    // last(ignoreNulls) over the same running frame
+    "gap_fill" ->
+      """WITH obs AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total
+        |  FROM events WHERE value > 250 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+        |         CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, CAST(unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b)
+        |SELECT g.event_type, g.day,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+        |  CAST(last_value(o.total IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+        |    AS BIGINT) AS filled_e6
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.event_type = g.event_type AND o.day = g.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
     "event_transitions" ->
       """WITH s AS (
         |  SELECT event_type AS from_type,

@@ -146,7 +146,43 @@ object JoinQueries {
       .orderBy(col("day"))
   }
 
+  /** Record linkage (entity resolution): a dirty registry — customer
+    * names through an OCR-style corruption (0→O, 1→I, 8→B) — matched
+    * back to the clean registry as BLOCK → SCORE → BEST-MATCH. Blocking
+    * on nation key turns the would-be |dirty|×|clean| cross join into a
+    * per-block equi-join (at 100 TB blocks come from multiple redundant
+    * keys — phonetic code, name prefix, zip — unioned, exactly this
+    * shape per key); the score is Levenshtein (codegen'd built-in, no
+    * UDF), and best-match-per-record is one row_number window with a
+    * deterministic (distance, candidate id) tie-break. `hit` marks
+    * whether the true identity won — the linkage-quality readout (the
+    * corruption hits digits, so a same-nation neighbor with fewer 0/1/8
+    * digits can legitimately out-score the truth; at sf0.01 ~80% are
+    * recovered, which is the realistic point of the exercise). */
+  def entityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val dirty = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("d_id"),
+        translate(col("c_name"), "018", "OIB").as("dirty_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    // compound block key (nation, segment): 5× smaller blocks than nation
+    // alone — the edit-distance kernel is the expensive part, so candidate
+    // count is the knob; the corruption touches neither key
+    val best = dirty
+      .join(cust, col("c_nationkey") === col("nk") &&
+        col("c_mktsegment") === col("seg"))
+      .select(col("d_id"), col("dirty_name"), col("c_custkey").as("m_id"),
+        levenshtein(col("dirty_name"), col("c_name")).as("lev"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d_id")).orderBy(col("lev"), col("m_id"))))
+      .filter(col("rn") === 1)
+    best.select(col("d_id"), col("m_id"), col("lev").cast("long").as("lev"),
+        (col("d_id") === col("m_id")).as("hit"))
+      .orderBy(col("d_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "entity_match" -> (entityMatch _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
     "merge_upsert" -> (mergeUpsert _),
@@ -155,6 +191,22 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's translate/levenshtein match Spark's (plain edit distance,
+    // char-map translate); the tie-break (lev, m_id) is total
+    "entity_match" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_id, translate(c_name, '018', 'OIB') AS dn,
+        |    c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |cand AS (
+        |  SELECT d_id, c_custkey AS m_id, levenshtein(dn, c_name) AS lev
+        |  FROM dirty JOIN customer ON c_nationkey = nk AND c_mktsegment = seg),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY lev, m_id) AS rn
+        |  FROM cand)
+        |SELECT d_id, m_id, CAST(lev AS BIGINT) AS lev, d_id = m_id AS hit
+        |FROM best WHERE rn = 1 ORDER BY d_id""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id,
         |  (SELECT r.event_id FROM events r

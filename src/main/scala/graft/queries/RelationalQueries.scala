@@ -277,27 +277,50 @@ object RelationalQueries {
     * IEEE summation order), so the e6 output is a pure integer rounding
     * of an engine-identical value: zero cross-engine flake risk. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    // ONE distinct over the raw integer pair (cheapest key), then a
-    // map-only explode doubles each pair into both directions — the
-    // union-of-two-projections form would run the 600k-row distinct
-    // twice (one shuffle per branch unless exchange reuse fires) and
-    // shuffle strings instead of ints. doubledUndirected asserts the
-    // shape this builder guarantees, so PageRank.run skips its
-    // membership probe (|V| is the only setup action).
-    val edges = li
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .select(explode(array(
-        struct(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst")),
-        struct(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
+    // shared stored edge frame ([[partSupplierEdges]]); doubledUndirected
+    // asserts the shape that builder guarantees, so PageRank.run skips
+    // its membership probe (|V| is the only setup action).
+    val edges = partSupplierEdges(spark, dir)
     graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true)
       .select(col("node"),
         expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
       .orderBy(col("node"))
   }
 
+  /** Multi-source BFS (min hop) over the part↔supplier bipartite graph —
+    * link-distance from a seed list, the crawl-frontier / contamination-
+    * spread primitive ([[graft.scale.Bfs]] has the frontier-only plan
+    * shape). Seeds p1 and s7, 3 synchronous rounds; hop counts are pure
+    * integers, so the oracle (a recursive CTE aggregated to min hop) is
+    * engine-exact. */
+  /** Doubled part↔supplier edge list (`src`, `dst` strings), built by ONE
+    * distinct over the raw integer pair (cheapest key) + a map-only
+    * explode into both directions, then STORED once per (session, dir)
+    * and shared by every graph query ([[graft.scale.ShingleStore.stored]]
+    * — the production layout: a web graph's edge list is extracted once
+    * and persisted, not re-derived from the fact table per analysis; the
+    * union-of-two-projections alternative would run the 600 k-row
+    * distinct once per branch and shuffle strings instead of ints). */
+  private def partSupplierEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-edges") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+        .select(explode(array(
+          struct(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst")),
+          struct(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+    }
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq("p1", "s7").toDF("node")
+    graft.scale.Bfs.run(partSupplierEdges(spark, dir), seeds, maxHops = 3)
+      .select(col("node"), col("hop").cast("long").as("hop"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bfs_hops" -> (bfsHops _),
     "pagerank" -> (pagerank _),
     "label_prop" -> (labelProp _),
     "triangle_count" -> (triangleCount _),
@@ -371,6 +394,22 @@ object RelationalQueries {
        |FROM l5 GROUP BY lbl ORDER BY community""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // path enumeration bounded by hop < 3, min-hop aggregated after —
+    // identical semantics to the frontier rounds (a revisited node keeps
+    // its smaller hop)
+    "bfs_hops" ->
+      """WITH RECURSIVE fwd AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |bfs(node, hop) AS (
+        |  SELECT * FROM (VALUES ('p1', 0), ('s7', 0)) v(node, hop)
+        |  UNION ALL
+        |  SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.hop < 3)
+        |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "pagerank" -> pagerankSql,
     "label_prop" -> labelPropSql,
     "triangle_count" ->

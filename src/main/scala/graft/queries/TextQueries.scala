@@ -658,7 +658,29 @@ object TextQueries {
       .orderBy(col("decile"))
   }
 
+  /** Inverted-index build: per-term posting lists over the stored
+    * 3-gram shingle frame — term → (document frequency, ascending doc-id
+    * posting list), restricted to the 4 ≤ df ≤ 7 mid-band (high-df terms
+    * go to a stop list, df-1 terms carry no join value; both caps are
+    * how production index builds bound posting length). One
+    * vocabulary-keyed groupBy IS the distributed index build: postings
+    * combine map-side, each term's list is bounded by the df cap, and at
+    * 100 TB the output partitions by term hash — the layout term-at-a-
+    * time retrieval (our bm25_topk) wants. The posting list is exported
+    * as a comma-joined ascending string so the row is hash-exact. */
+  def postingsList(spark: SparkSession, dir: String): DataFrame = {
+    graft.scale.ShingleStore.docShingles(spark, dir)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string"))).as("postings"))
+      .filter(col("df").between(4, 7))
+      .orderBy(col("sh"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "postings_list" -> (postingsList _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
@@ -688,6 +710,21 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // same stored-shingle bounds as the dedup family (doc_id < 1000,
+    // >= 3 words, DISTINCT grams); string_agg ORDER BY = sorted postings
+    "postings_list" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w))
+        |SELECT sh, COUNT(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 4 AND 7
+        |ORDER BY sh""".stripMargin,
     // COUNT/SUM widen to HUGEINT in DuckDB — cast back to BIGINT
     "vocab_growth" ->
       """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),

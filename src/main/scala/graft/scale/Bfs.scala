@@ -1,0 +1,58 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS (minimum hop count) over a directed edge list — the
+  * reachability primitive behind link-graph crawl frontier scheduling
+  * ("how far is each page from the seed list?") and contamination
+  * spread analysis over citation/link graphs.
+  *
+  * Reference scope: no graph op in the reference; SURVEY §2.3 graph
+  * family extension alongside PageRank / label propagation / connected
+  * components / triangles.
+  *
+  * Shape, like [[PageRank]]: the edge list is hash-partitioned on `src`
+  * ONCE and cached; each round moves only the frontier (the nodes first
+  * reached in the previous round — against a web graph the frontier is
+  * a vanishing fraction of |E|). A round is one equi-join frontier⨝edges
+  * plus one `groupBy(node).min(hop)` partial-aggregated shuffle, and the
+  * visited set is folded in with a union+min rather than an anti-join
+  * (same result — a revisited node keeps its smaller hop — but one
+  * shuffle, not two). Rounds are synchronous; `maxHops` bounds them, so
+  * the driver loop is O(maxHops) fixed iterations of declarative plans,
+  * with a cache+count lineage cut per round (the [[PageRank]] idiom —
+  * NOT eager localCheckpoint, which bypasses AQE).
+  */
+object Bfs {
+
+  /** Minimum hops from any seed, up to `maxHops`. `edges`: (`src`,
+    * `dst`) directed; `seeds`: (`node`). Unreachable nodes are absent.
+    * Output: (`node`, `hop`). */
+  def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).cache()
+    var visited = seeds.select(col("node"), lit(0).as("hop")).cache()
+    visited.count()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(hop).as("hop"))
+      val merged = visited.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .cache()
+      merged.count() // materialize: cuts lineage, lets the old cache drop
+      // drop the previous round's cache only AFTER merged materialized
+      // (the union read it); the final round's cache backs the returned
+      // frame and is the caller's to release
+      visited.unpersist()
+      visited = merged
+      frontier = merged.filter(col("hop") === hop)
+    }
+    e.unpersist()
+    visited
+  }
+}

@@ -1,0 +1,71 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Prefix-filter exact set-similarity join: 100% recall vs brute force,
+  * adversarial global-order cases, and edge-case prefix lengths. */
+class PrefixJoinSpec extends SparkSpec {
+
+  private def brute(el: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) =
+    NearDup.exactJaccardPairs(el.select(col("doc_id"), col("el").as("sh")))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select("a_id", "b_id", "inter", "uni")
+
+  private def run(el: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) =
+    PrefixJoin.jaccardSelfJoin(el, tNum, tDen)
+      .select("a_id", "b_id", "inter", "uni")
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+
+  test("matches brute force on the fixture corpus (5-grams, t=0.8 and t=0.5)") {
+    val el = PrefixJoin.wordKGrams(
+      graft.Tables.documents(spark, sfDir), k = 5)
+    for ((tn, td) <- Seq((4, 5), (1, 2))) {
+      val got = sorted(run(el, tn, td))
+      val want = sorted(brute(el, tn, td))
+      assert(got == want, s"mismatch at t=$tn/$td")
+      assert(want.nonEmpty, s"vacuous fixture at t=$tn/$td")
+    }
+  }
+
+  test("adversarial global order: df ties and rare-element-only overlap") {
+    import spark.implicits._
+    // a/b share only their RAREST element; c/d are identical; e overlaps
+    // everything on a stopword-like hot element that never enters prefixes
+    val rows = Seq(
+      1L -> Seq("hot", "x1", "x2", "shared"),
+      2L -> Seq("hot", "y1", "y2", "shared"),
+      3L -> Seq("hot", "z1", "z2", "z3"),
+      4L -> Seq("hot", "z1", "z2", "z3"),
+      5L -> Seq("hot", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    ).flatMap { case (id, els) => els.map(e => (id, e)) }
+    val el = rows.toDF("doc_id", "el")
+    for ((tn, td) <- Seq((1, 4), (1, 2), (4, 5), (1, 1))) {
+      assert(sorted(run(el, tn, td)) == sorted(brute(el, tn, td)),
+        s"mismatch at t=$tn/$td")
+    }
+  }
+
+  test("edge cases: singleton sets and t=1 (set equality)") {
+    import spark.implicits._
+    val el = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (4L, "b"))
+      .toDF("doc_id", "el")
+    // t=1: only pairs with identical sets — (1,2)
+    assert(sorted(run(el, 1, 1)) == Seq(Seq(1L, 2L, 1L, 1L)))
+    // t=1/2: (1,2) J=1; (1,4)/(2,4) J=1/2; (3,4) J=1/2
+    assert(sorted(run(el, 1, 2)) == sorted(brute(el, 1, 2)))
+    assert(sorted(run(el, 1, 2)).size == 4)
+  }
+
+  test("wordKGrams drops too-short docs and dedups repeated grams") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b a b a b a b")).toDF("doc_id", "text")
+    val el = PrefixJoin.wordKGrams(docs, k = 3).collect()
+    assert(el.forall(_.getLong(0) == 2L))
+    // "a b a b a b a b" 3-grams: "a b a","b a b" repeated -> 2 distinct
+    assert(el.length == 2)
+  }
+}
