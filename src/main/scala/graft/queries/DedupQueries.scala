@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -416,7 +417,47 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS/restic storage-dedup
+    * primitive): chunk boundaries fall where a rolling content hash hits
+    * a target pattern — here, after word i when md5(w[i-2]‥w[i]) starts
+    * with hex '0' (expected chunk ≈ 16 words) — so an insertion early in
+    * a document shifts only ONE chunk's boundary, not every fixed-width
+    * chunk downstream (the property fixed-size chunking lacks, and the
+    * reason CDC is how backup/dedup stores beat it). The declared row is
+    * the corpus-level payoff: chunk fingerprints stored MORE than once
+    * (cross-document shared spans → single-instance storage).
+    *
+    * Shape: boundary detection is a per-word projection; chunk ids are a
+    * running sum window PARTITIONED BY DOC (≤ doc length, never corpus-
+    * wide); chunk reassembly one per-doc groupBy; the fingerprint
+    * aggregate one hash-keyed shuffle. All md5 — both engines render
+    * identical hex, so every stage is oracle-exact. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val withB = words
+      .withColumn("b", when(col("pos") >= 2 &&
+        substring(md5(concat_ws(" ",
+          lag(col("w"), 2).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))),
+          lag(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))),
+          col("w"))), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withB.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr("transform(ws, x -> x.w)"))).as("fp"))
+    chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_total") >= 2)
+      .orderBy(col("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_chunks" -> (cdcChunks _),
     "prefix_filter_join" -> (prefixFilterJoin _),
     "substring_dedup" -> (substringDedup _),
     "containment_screen" -> (containmentScreen _),
@@ -436,6 +477,28 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    // 1-based positions here vs 0-based in Spark: boundary test i>=3
+    // over ws[i-2..i] == Spark's pos>=2 over the same three words; the
+    // running boundary sum excludes the current row on both engines
+    "cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pw AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS wd,
+        |    CASE WHEN i >= 3 AND substring(md5(ws[i-2] || ' ' || ws[i-1]
+        |      || ' ' || ws[i]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        |ci AS (
+        |  SELECT doc_id, pos, wd,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM pw),
+        |chunks AS (
+        |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY pos)) AS fp
+        |  FROM ci GROUP BY doc_id, chunk_idx)
+        |SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_total, MIN(doc_id) AS first_doc
+        |FROM chunks GROUP BY fp HAVING COUNT(*) >= 2
+        |ORDER BY fp""".stripMargin,
     // brute-force exact ground truth: every pair sharing a 5-gram, full
     // Jaccard, threshold as the same integer compare (inter*5 >= uni*4)
     "prefix_filter_join" ->

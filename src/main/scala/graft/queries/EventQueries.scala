@@ -43,12 +43,17 @@ object EventQueries {
     *
     * Shape: the calendar is metadata (min/max day × |types| — tiny,
     * broadcast), the observation side is one partial-aggregated groupBy,
-    * and the forward fill is a running `last(ignoreNulls)` window
-    * partitioned BY TYPE — at 100 TB the grid partitions by (type,
-    * month) so no window partition outgrows a task, and the carry-in per
-    * partition comes from one prior-month row per type (the standard
-    * chunked-scan ffill decomposition). Sums are DECIMAL(18,6)-exact and
-    * exported at e6 as integers — no float summation order anywhere. */
+    * and the forward fill is CHUNKED: a window partitioned only by type
+    * funnels 1/|types| of the whole table through one reducer (the
+    * enum-key scale trap PlanSpec guards against), so the running
+    * `last(ignoreNulls)` partitions by (type, week) — partition count
+    * grows with the calendar — and month-boundary continuity comes from
+    * a carry-in computed over the per-chunk SUMMARY frame (one row per
+    * chunk, bounded by chunk count not table size: the standard chunked-
+    * scan ffill decomposition; at 100 TB the chunk is whatever bounds a
+    * task, the summary pass is unchanged). The oracle forward-fills
+    * GLOBALLY — matching proves the decomposition exact. Sums are
+    * DECIMAL(18,6)-exact, exported at e6 as integers. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val obs = ev.filter(col("value") > 250)
@@ -60,14 +65,58 @@ object EventQueries {
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val g = grid.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("chunk", date_trunc("week", col("day")))
+    val wIn = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("event_type", "day"), "left")
+    // per-chunk latest observation (max over (day, total) structs —
+    // days are unique within a chunk, so this is "last non-null by day")
+    val chunkLast = g.groupBy(col("event_type"), col("chunk"))
+      .agg(max(when(col("total").isNotNull,
+        struct(col("day"), col("total")))).as("cl"))
+    // carry-in = latest observation of any EARLIER chunk; the window
+    // runs over the chunk-count-bounded summary frame, not the grid
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkLast
+      .withColumn("carry_in", last(col("cl.total"), ignoreNulls = true).over(wCarry))
+      .select(col("event_type"), col("chunk"), col("carry_in"))
+    g.join(broadcast(carry), Seq("event_type", "chunk"))
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"),
-        (last(col("total"), ignoreNulls = true).over(w) * 1000000)
-          .cast("long").as("filled_e6"))
+        (coalesce(last(col("total"), ignoreNulls = true).over(wIn),
+          col("carry_in")) * 1000000).cast("long").as("filled_e6"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * per-type profile of the first 20 days is aggregated ONCE and
+    * STORED ([[graft.scale.ShingleStore.stored]]); arrival of the tail
+    * days refreshes the view by aggregating ONLY the delta and merging
+    * partials — count/sum/min/max form a commutative monoid, so
+    * merge(agg(base), agg(delta)) == agg(base ∪ delta) exactly, which
+    * is what the oracle (a full recompute) checks. Refresh cost is
+    * O(delta) + O(|groups|), never a base rescan — at 100 TB this is
+    * the difference between a nightly view refresh reading one day and
+    * re-reading the corpus. Sums are DECIMAL-exact, exported e6. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partials(d: DataFrame): DataFrame = d
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val cut = to_date(lit("2024-01-21"))
+    val base = graft.scale.ShingleStore.stored(spark, dir, "evagg-base") {
+      partials(Tables.events(spark, dir).filter(to_date(col("ts")) < cut))
+    }
+    val delta = partials(Tables.events(spark, dir).filter(to_date(col("ts")) >= cut))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        (sum(col("total")) * 1000000).cast("long").as("total_e6"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .orderBy(col("event_type"))
   }
 
   /** Tumbling-hour rollup by event type: count, exact sum, min/max. */
@@ -427,6 +476,7 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg" -> (incrementalAgg _),
     "gap_fill" -> (gapFill _),
     "event_transitions" -> (eventTransitions _),
     "trend_forecast" -> (trendForecast _),
@@ -450,6 +500,13 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle recomputes over the FULL table — matching proves the
+    // partial-merge algebra, not just the delta arithmetic
+    "incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_e6,
+        |  MIN(value) AS vmin, MAX(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // calendar grid from events' own min/max day; DECIMAL sums make the
     // forward-filled total exact; last_value IGNORE NULLS == Spark's
     // last(ignoreNulls) over the same running frame

@@ -181,7 +181,62 @@ object JoinQueries {
       .orderBy(col("d_id"))
   }
 
+  /** Nearest-event temporal join with tolerance: each purchase matched
+    * to its CLOSEST error event of the same user within ±30 min — the
+    * bidirectional sibling of [[asofJoin]] (incident correlation,
+    * sensor alignment). Same scalable composition: union both sides
+    * tagged, ONE shuffle on user_id, then two running windows — last
+    * error at-or-before (ts asc) and first error strictly-after (ts
+    * desc) — and a row-local pick of the nearer candidate. No range
+    * join, no pair blow-up, cost O(n log n) per user partition.
+    *
+    * Tie-breaks are total: at equal |Δt| the smaller event_id wins
+    * (including the prev-vs-next equidistant case); among same-ts
+    * errors each window's secondary sort (event_id desc under last())
+    * surfaces the SMALLEST id, matching the oracle's (|Δt|, event_id)
+    * ordering. Same-ts errors count as "before" (Δt = 0). */
+  def nearestEventJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_left"),
+        lit(null).cast("long").as("e_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_left"),
+        col("event_id").as("e_id"))
+    val all = purchases.unionAll(errors)
+    // prev: iterate ts asc; same-ts errors BEFORE the purchase (is_left
+    // asc), event_id desc so last() == min id among same-ts errors
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_left").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // next: iterate ts desc; same-ts purchases BEFORE errors (is_left
+    // desc) so a same-ts error is NOT seen as "after"
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("is_left").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = 1800L * 1000000L
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+    val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+    all
+      .withColumn("prev_id", last(col("e_id"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_ts", last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_id", last(col("e_id"), ignoreNulls = true).over(wNext))
+      .withColumn("next_ts", last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(wNext))
+      .filter(col("is_left") === 1)
+      .withColumn("prev_ok", col("prev_id").isNotNull && dPrev <= tolUs)
+      .withColumn("next_ok", col("next_id").isNotNull && dNext <= tolUs)
+      .select(col("event_id"), col("user_id"),
+        when(col("prev_ok") && (!col("next_ok") || dPrev < dNext ||
+            (dPrev === dNext && col("prev_id") < col("next_id"))), col("prev_id"))
+          .when(col("next_ok"), col("next_id")).as("near_id"),
+        when(col("prev_ok") && (!col("next_ok") || dPrev < dNext ||
+            (dPrev === dNext && col("prev_id") < col("next_id"))), -dPrev)
+          .when(col("next_ok"), dNext).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nearest_event_join" -> (nearestEventJoin _),
     "entity_match" -> (entityMatch _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
@@ -191,6 +246,22 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // nearest = min over (|Δt|, event_id); same-ts errors give Δt = 0 on
+    // the "before" side, matching the engine's window semantics
+    "nearest_event_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT e.event_id FROM events e
+        |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |     AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 1800000000
+        |   ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)), e.event_id
+        |   LIMIT 1) AS near_id,
+        |  (SELECT epoch_us(e.ts) - epoch_us(p.ts) FROM events e
+        |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+        |     AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 1800000000
+        |   ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)), e.event_id
+        |   LIMIT 1) AS delta_us
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     // DuckDB's translate/levenshtein match Spark's (plain edit distance,
     // char-map translate); the tie-break (lev, m_id) is total
     "entity_match" ->

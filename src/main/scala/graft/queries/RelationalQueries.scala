@@ -287,12 +287,6 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
-  /** Multi-source BFS (min hop) over the part↔supplier bipartite graph —
-    * link-distance from a seed list, the crawl-frontier / contamination-
-    * spread primitive ([[graft.scale.Bfs]] has the frontier-only plan
-    * shape). Seeds p1 and s7, 3 synchronous rounds; hop counts are pure
-    * integers, so the oracle (a recursive CTE aggregated to min hop) is
-    * engine-exact. */
   /** Doubled part↔supplier edge list (`src`, `dst` strings), built by ONE
     * distinct over the raw integer pair (cheapest key) + a map-only
     * explode into both directions, then STORED once per (session, dir)
@@ -311,6 +305,12 @@ object RelationalQueries {
         .select(col("e.src"), col("e.dst"))
     }
 
+  /** Multi-source BFS (min hop) over the part↔supplier bipartite graph —
+    * link-distance from a seed list, the crawl-frontier / contamination-
+    * spread primitive ([[graft.scale.Bfs]] has the frontier-only plan
+    * shape). Seeds p1 and s7, 3 synchronous rounds; hop counts are pure
+    * integers, so the oracle (a recursive CTE aggregated to min hop) is
+    * engine-exact. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seeds = Seq("p1", "s7").toDF("node")
@@ -319,7 +319,79 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** k-core peeling (3 synchronous rounds, k=3) over the customer
+    * co-order-date graph — the degeneracy screen that separates a link
+    * graph's dense core from its sparse fringe (spam-farm detection,
+    * influence seeding). Each round: one partial-aggregated degree
+    * count, then the induced subgraph via two BROADCAST semi-joins of
+    * the (small, shrinking) survivor set against the edge list — the
+    * edge list itself never reshuffles; at 100 TB the survivor set stays
+    * broadcastable precisely because peeling only ever removes nodes.
+    * Fixed rounds (like label_prop's 5) keep the oracle an unrolled CTE
+    * chain; all arithmetic is integer degree counts. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 60)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("d")).distinct()
+    val fwd = o.as("a")
+      .join(o.as("b"), col("a.d") === col("b.d") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("src"), col("b.c").as("dst")).distinct()
+    // every round's edge set is cache()d: `e` feeds BOTH the degree
+    // count and the induced-subgraph join, so an uncached round doubles
+    // the plan per round (2^rounds blow-up — measured 6 s vs 1 s on this
+    // 60-node graph). Registering the cache is enough to keep lineage
+    // flat (the next round's plan sees an InMemoryRelation leaf); no
+    // count() materialization actions are needed for a 3-round peel, and
+    // the tiny per-round frames are left for the session to release.
+    var e = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    for (_ <- 1 to 3) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e
+        .join(broadcast(keep), col("src") === col("node")).drop("node")
+        .join(broadcast(keep), col("dst") === col("node")).drop("node")
+        .cache()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
+  /** ANALYZE TABLE: per-column statistics (exact NDV, null count, value
+    * range) for the optimizer's cost model and for data-quality
+    * monitoring — the metadata pass every warehouse runs after load.
+    * ONE scan computes every column's aggregates side by side (count-
+    * distinct expands but stays partial-aggregated); the wide single row
+    * then unpivots to one row per column with pure column arithmetic.
+    * Numeric ranges export e2-fixed (a single min/max value is bit-
+    * identical cross-engine; only its DECIMAL export needs pinning). At
+    * 100 TB the same one-pass plan swaps exact NDV for the KMV sketch
+    * (graft.core.KmvSketch) — the shape is unchanged. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}__ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        expr(s"CAST(round(min($c) * 100) AS BIGINT)").as(s"${c}__min_e2"),
+        expr(s"CAST(round(max($c) * 100) AS BIGINT)").as(s"${c}__max_e2"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__ndv").as("ndv"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__min_e2").as("min_e2"),
+        col(s"${c}__max_e2").as("max_e2"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.ndv"), col("s.n_null"),
+        col("s.min_e2"), col("s.max_e2"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kcore_peel" -> (kcorePeel _),
+    "table_stats" -> (tableStats _),
     "bfs_hops" -> (bfsHops _),
     "pagerank" -> (pagerank _),
     "label_prop" -> (labelProp _),
@@ -393,7 +465,36 @@ object RelationalQueries {
        |  MIN(node) AS first_node
        |FROM l5 GROUP BY lbl ORDER BY community""".stripMargin
 
+  /** One unrolled k-core peel round: degree count on the current edge
+    * set, survivors with deg ≥ 3, induced subgraph. */
+  private def kcoreStep(prev: String, cur: String): String =
+    s"""k$cur AS (
+       |  SELECT src AS node FROM $prev GROUP BY src HAVING COUNT(*) >= 3),
+       |$cur AS (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN k$cur a ON e.src = a.node JOIN k$cur b ON e.dst = b.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kcore_peel" ->
+      s"""WITH o AS (
+         |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
+         |  FROM orders WHERE o_custkey < 60),
+         |fwd AS (
+         |  SELECT DISTINCT a.c AS src, b.c AS dst
+         |  FROM o a JOIN o b ON a.d = b.d AND a.c < b.c),
+         |e0 AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+         |${(1 to 3).map(i => kcoreStep(s"e${i - 1}", s"e$i")).mkString(",\n")}
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY src ORDER BY node""".stripMargin,
+    "table_stats" ->
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(round(MIN($c) * 100) AS BIGINT) AS min_e2,
+           |  CAST(round(MAX($c) * 100) AS BIGINT) AS max_e2
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
     // path enumeration bounded by hop < 3, min-hop aggregated after —
     // identical semantics to the frontier rounds (a revisited node keeps
     // its smaller hop)

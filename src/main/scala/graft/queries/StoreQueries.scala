@@ -354,7 +354,38 @@ object StoreQueries {
       .orderBy(col("source"))
   }
 
+  /** Table diff (anti-entropy reconciliation): v2 of the documents table
+    * is derived deterministically — doc_id % 17 = 0 deleted, % 13 = 0
+    * rewritten, a % 29 = 0 slice re-keyed as inserts — and the diff is
+    * ONE full-outer join on the key comparing md5 row checksums:
+    * added / removed / changed, with fingerprint prefixes as evidence
+    * columns. The reconciliation every replication/migration pipeline
+    * runs before cutover. At 100 TB the join is preceded by a
+    * bucket-level checksum pass (Merkle level 1: per-bucket count +
+    * aggregated hash; only differing buckets join row-wise) — same
+    * row-level shape inside each surviving bucket. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), md5(col("text")).as("fp")))
+    v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("a.fp").isNull, "added")
+          .when(col("b.fp").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed").as("status"),
+        substring(col("a.fp"), 1, 8).as("old_fp"),
+        substring(col("b.fp"), 1, 8).as("new_fp"))
+      .filter(col("status").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_diff" -> (tableDiff _),
     "bucketed_join" -> (bucketedJoin _),
     "zorder_scan" -> (zorderScan _),
     "time_travel" -> (timeTravel _),
@@ -365,6 +396,23 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same deterministic v2 derivation; FULL OUTER + md5 compare
+    "table_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 29 = 0),
+        |d AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.fp IS NULL THEN 'added'
+        |         WHEN v2.fp IS NULL THEN 'removed'
+        |         WHEN v1.fp <> v2.fp THEN 'changed' END AS status,
+        |    substring(v1.fp, 1, 8) AS old_fp, substring(v2.fp, 1, 8) AS new_fp
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT * FROM d WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
     // replay of the evolved-table read: rows < 300 are legacy (NULL
     // quality), 300-399 evolved; the column counts are the schema facts
     // (3 at v1, 4 current) the store must reproduce

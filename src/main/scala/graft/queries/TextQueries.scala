@@ -679,7 +679,43 @@ object TextQueries {
       .orderBy(col("sh"))
   }
 
+  /** Collocation mining by LIFT: phrase (3-gram) pairs that recur
+    * together across documents more than independence predicts —
+    * lift(a,b) = N·df(a,b)/(df(a)·df(b)), the integer-exact core of PMI
+    * (PMI's log is monotone in lift, so ranking and thresholds agree;
+    * no transcendental crosses the gate). Surviving pairs here are
+    * exactly the co-traveling boilerplate/template spans — the signal
+    * behind phrase-table induction and templated-content detection.
+    *
+    * Shape: the stored shingle frame is pre-filtered to RECURRING grams
+    * (df ≥ 3 — a df-1/2 gram cannot reach df_ab ≥ 3, so the filter is
+    * lossless for the declared output and it is what bounds the doc_id-
+    * blocked self-join: cost Σ m_d² over per-doc RECURRING-gram counts,
+    * not raw text length); pair support df_ab ≥ 3 and lift ≥ 2 are
+    * integer compares, lift exported e4 via bigint floor division
+    * (identical `div`/`//` on positive operands). */
+  def collocationLift(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val mid = sh.join(dfreq.filter(col("df") >= 3), "sh")
+    val n = Tables.documents(spark, dir)
+      .select(countDistinct(col("doc_id")).as("n_docs"))
+    mid.as("a")
+      .join(mid.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.sh") < col("b.sh"))
+      .groupBy(col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .agg(count(lit(1)).as("df_ab"),
+        first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+      .filter(col("df_ab") >= 3)
+      .crossJoin(broadcast(n))
+      .filter(col("df_ab") * col("n_docs") >= col("df_a") * col("df_b") * 2)
+      .select(col("sa"), col("sb"), col("df_ab"),
+        expr("(df_ab * n_docs * 10000) div (df_a * df_b)").as("lift_e4"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "collocation_lift" -> (collocationLift _),
     "postings_list" -> (postingsList _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
@@ -710,6 +746,33 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // lift threshold and export both in integer arithmetic (`//` floor
+    // division on positive operands == Spark's `div`); stored-shingle
+    // bounds mirrored as in the dedup-family oracles
+    "collocation_lift" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+        |mid AS (
+        |  SELECT s.doc_id, s.sh, d.df FROM sh s JOIN dfreq d USING (sh)
+        |  WHERE d.df >= 3),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.sh AS sa, b.sh AS sb, COUNT(*) AS df_ab,
+        |    MIN(a.df) AS df_a, MIN(b.df) AS df_b
+        |  FROM mid a JOIN mid b ON a.doc_id = b.doc_id AND a.sh < b.sh
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.sa, p.sb, p.df_ab,
+        |  (p.df_ab * n.n_docs * 10000) // (p.df_a * p.df_b) AS lift_e4
+        |FROM pairs p CROSS JOIN n
+        |WHERE p.df_ab * n.n_docs >= p.df_a * p.df_b * 2
+        |ORDER BY p.sa, p.sb""".stripMargin,
     // same stored-shingle bounds as the dedup family (doc_id < 1000,
     // >= 3 words, DISTINCT grams); string_agg ORDER BY = sorted postings
     "postings_list" ->

@@ -45,6 +45,37 @@ class JoinQueriesSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("nearest_event_join matches brute force over (|Δt|, event_id)") {
+    def micros(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)), r.getString(3)))
+    val errors = ev.filter(_._4 == "error")
+    val tol = 1800L * 1000000L
+    val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      val cands = errors.filter(e => e._2 == u && math.abs(e._3 - t) <= tol)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy(e => (math.abs(e._3 - t), e._1))).map(e => (e._1, e._3 - t)))
+    }.toMap
+    val got = JoinQueries.nearestEventJoin(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_ =>
+        (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+    // non-vacuous on both branches
+    assert(expected.values.exists(_.isDefined))
+    assert(expected.values.flatten.exists(_._2 < 0) && expected.values.flatten.exists(_._2 > 0))
+  }
+
+  test("nearest_event_join plans windows, not a range join") {
+    val p = JoinQueries.nearestEventJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("range_join buckets every part exactly once (bands partition the domain)") {
     val total = Tables.part(spark, sfDir).count()
     val banded = JoinQueries.rangeJoin(spark, sfDir)

@@ -60,6 +60,24 @@ class PrefixJoinSpec extends SparkSpec {
     assert(sorted(run(el, 1, 2)).size == 4)
   }
 
+  test("randomized corpora: equals brute force at random thresholds (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 12) {
+      val nDocs = 8 + rnd.nextInt(18)
+      val vocab = 6 + rnd.nextInt(20)
+      val rows = (1 to nDocs).flatMap { id =>
+        val n = 1 + rnd.nextInt(12)
+        Seq.fill(n)(s"e${rnd.nextInt(vocab)}").distinct.map(e => (id.toLong, e))
+      }
+      val el = rows.toDF("doc_id", "el")
+      val tDen = 2 + rnd.nextInt(9)
+      val tNum = 1 + rnd.nextInt(tDen)
+      assert(sorted(run(el, tNum, tDen)) == sorted(brute(el, tNum, tDen)),
+        s"trial $trial mismatch at t=$tNum/$tDen docs=$nDocs vocab=$vocab")
+    }
+  }
+
   test("wordKGrams drops too-short docs and dedups repeated grams") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b a b a b a b")).toDF("doc_id", "text")
