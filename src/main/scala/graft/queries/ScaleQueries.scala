@@ -877,7 +877,42 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("d") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** Binary-quantized retrieval: 64 float dims → two sign-packed longs
+    * (16× smaller than float32), Hamming `bit_count(xor)` shortlist of
+    * 50, exact-float rerank to top-10 — the modern vector-store
+    * first-pass design ([[graft.scale.Quantize.signBits]]). The
+    * shortlist is a TakeOrdered (top-C never sorts the corpus); at
+    * 100 TB the packed columns are the only thing the first pass scans.
+    * Every stage is deterministic with total (score, id) tie-breaks,
+    * so the oracle replays the ALGORITHM — pack, Hamming, shortlist,
+    * rerank — term for term; QuantizeSpec measures shortlist recall
+    * against the unquantized top-k. */
+  def bqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.scale.Quantize
+    val emb = Tables.embeddings(spark, dir)
+    val packed = emb.select(col("vec_id"), col("embedding"),
+      Quantize.signBits(col("embedding"), 0).as("h0"),
+      Quantize.signBits(col("embedding"), 32).as("h1"))
+    val q = packed.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q_emb"),
+        col("h0").as("q0"), col("h1").as("q1"))
+    val shortlist = packed.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q_emb"),
+        Quantize.hamming(col("h0"), col("h1"), col("q0"), col("q1")).as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(50)
+    shortlist
+      .select(col("vec_id"), col("ham").cast("long").as("ham"),
+        graft.core.VectorOps.squaredL2Hof(
+          transform(col("embedding"), x => x.cast("double")), col("q_emb")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("ham"),
+        round(col("d") * 10000).cast("long").as("dist_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bq_topk" -> (bqTopk _),
     "sq8_topk" -> (sq8Topk _),
     "minhash_neardup" -> (minhashNeardup _),
     "simhash_neardup" -> (simhashNeardup _),
@@ -981,7 +1016,32 @@ object ScaleQueries {
     s"list_sum(list_transform(list_zip($a, $b), " +
       s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
 
+  /** Sum of literal CASE terms packing 32 sign bits — mirrors
+    * [[graft.scale.Quantize.signBits]] term for term. */
+  private def signBitsSql(off: Int): String =
+    (0 until 32).map(i =>
+      s"(CASE WHEN embedding[${off + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // the oracle replays the full algorithm — sign pack, Hamming
+    // shortlist-50, exact rerank — with the same total tie-breaks
+    "bq_topk" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(${signBitsSql(0)} AS BIGINT) AS h0,
+         |    CAST(${signBitsSql(32)} AS BIGINT) AS h1
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, h0 AS q0, h1 AS q1 FROM p WHERE vec_id = 0),
+         |s AS (
+         |  SELECT vec_id, embedding, q_emb,
+         |    bit_count(xor(h0, q0)) + bit_count(xor(h1, q1)) AS ham
+         |  FROM p CROSS JOIN q
+         |  ORDER BY ham, vec_id LIMIT 50),
+         |d AS (SELECT vec_id, ham, ${sqL2Sql("embedding", "q_emb")} AS d FROM s)
+         |SELECT vec_id, CAST(ham AS BIGINT) AS ham,
+         |  CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 10""".stripMargin,
     // minhash/simhash/ivf/lsh headline forms: engine-hash/MLlib-dependent →
     // no SQL oracle; pinned against exact ground truth in ScaleSpec. Their
     // *_precision parameterizations below ARE oracle-checked.

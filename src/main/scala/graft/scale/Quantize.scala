@@ -28,6 +28,25 @@ object Quantize {
         x => round((x.cast("double") - vmin) * lit(255.0) / (vmax - vmin)).cast("int")))
   }
 
+  /** 1-bit (binary/sign) quantization: 32 sign bits packed into one
+    * BIGINT — dims [offset, offset+32) of an `array<float>` column, bit
+    * i set iff the element is ≥ 0. A 64-dim float32 vector becomes two
+    * longs: a 16× storage cut below even SQ8's 4×, and candidate
+    * scoring collapses to `bit_count(xor)` — the binary-quantization
+    * design modern vector stores ship for the first-pass shortlist
+    * (rerank on exact floats recovers precision). The static literal
+    * sum (no HOF, no shift-by-column) keeps the whole pack inside
+    * whole-stage codegen and is reproduced term-for-term by a SQL
+    * oracle. */
+  def signBits(vec: Column, offset: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(vec, offset + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two (lo, hi) bit-packed vectors. */
+  def hamming(aLo: Column, aHi: Column, bLo: Column, bHi: Column): Column =
+    bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi))
+
   /** Decoded (approximate, double) values for a vector quantized by its
     * own min/max — the exact arithmetic the oracle mirrors. Fused
     * encode+decode of the raw vector: `sq8Decode(v) ≡ decode(sq8Codes(v))`

@@ -45,4 +45,34 @@ class QuantizeSpec extends SparkSpec {
     val overlap = exact.intersect(quantized).size
     assert(overlap >= 11, s"sq8 recall too low: $overlap/13")
   }
+
+  test("sign-bit packing sets exactly the bits of the non-negative dims") {
+    val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val row = Seq(Tuple1(v)).toDF("embedding")
+      .select(Quantize.signBits(col("embedding"), 0).as("h0"),
+        Quantize.signBits(col("embedding"), 32).as("h1"))
+      .head()
+    var e0 = 0L; var e1 = 0L
+    for (i <- 0 until 32) { if (i % 3 == 0) e0 |= 1L << i }
+    for (i <- 32 until 64) { if (i % 3 == 0) e1 |= 1L << (i - 32) }
+    assert(row.getLong(0) == e0 && row.getLong(1) == e1)
+    // zero counts as non-negative (bit set)
+    val z = Seq(Tuple1(Array.fill(64)(0.0f))).toDF("embedding")
+      .select(Quantize.signBits(col("embedding"), 0).as("h")).head().getLong(0)
+    assert(z == -1L >>> 32)
+  }
+
+  test("binary-quantized shortlist-50 recalls most of the exact top-10") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0).toArray
+    val exact = emb
+      .withColumn("d", VectorOps.squaredL2(col("embedding"), lit(q)))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val bq = graft.queries.ScaleQueries.bqTopk(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = exact.intersect(bq).size
+    // 1-bit codes keep only direction octants; with a 5× shortlist the
+    // rerank recovers most of the true neighbors on this corpus
+    assert(overlap >= 6, s"bq recall too low: $overlap/10")
+  }
 }
