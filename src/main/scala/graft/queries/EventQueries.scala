@@ -119,6 +119,35 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sweep-line max concurrency: the peak number of simultaneously
+    * active views per day (each view active for 10 minutes, clipped to
+    * its calendar day) — capacity planning's load-peak query, the
+    * AGGREGATION sibling of `interval_join` (which enumerates pairs).
+    * The sweep is ±1 boundary points with a running sum — O(n log n)
+    * per partition, no pair enumeration ever. Day-clipping makes days
+    * independent, so the window partitions by DAY (a key that grows
+    * with the data, not an enum). Tie semantics are exact: at an equal
+    * instant, ends (-1) sort before starts (+1), so touching intervals
+    * never count as concurrent; permuting equal deltas at one instant
+    * cannot change the running maximum, so the output is total-order-
+    * independent and hash-stable. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir).filter(col("event_type") === "view")
+      .select(col("ts"), date_trunc("day", col("ts")).as("d"))
+    val starts = v.select(col("d"), col("ts").as("pt"), lit(1L).as("delta"))
+    val ends = v.select(col("d"),
+      least(col("ts") + expr("interval 10 minutes"),
+        col("d") + expr("interval 1 day")).as("pt"),
+      lit(-1L).as("delta"))
+    val w = Window.partitionBy(col("d")).orderBy(col("pt").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .withColumn("c", sum(col("delta")).over(w))
+      .groupBy(col("d").cast("date").as("day"))
+      .agg(max(col("c")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Tumbling-hour rollup by event type: count, exact sum, min/max. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -476,6 +505,7 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "max_concurrency" -> (maxConcurrency _),
     "incremental_agg" -> (incrementalAgg _),
     "gap_fill" -> (gapFill _),
     "event_transitions" -> (eventTransitions _),
@@ -500,6 +530,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ±1 sweep; ends-before-starts at equal instants via delta asc
+    "max_concurrency" ->
+      """WITH v AS (
+        |  SELECT ts, date_trunc('day', ts) AS d FROM events
+        |  WHERE event_type = 'view'),
+        |pts AS (
+        |  SELECT d, ts AS pt, 1 AS delta FROM v
+        |  UNION ALL
+        |  SELECT d, least(ts + INTERVAL 10 MINUTE, d + INTERVAL 1 DAY), -1 FROM v),
+        |run AS (
+        |  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY pt, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM pts)
+        |SELECT CAST(d AS DATE) AS day, CAST(MAX(c) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY d ORDER BY day""".stripMargin,
     // the oracle recomputes over the FULL table — matching proves the
     // partial-merge algebra, not just the delta arithmetic
     "incremental_agg" ->
