@@ -84,7 +84,8 @@ object DedupQueries {
     * than the string (same shape, narrower shuffle). */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.scale.ShingleStore.docShingles(spark, dir)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    val dfreq = graft.scale.ShingleStore.gramStats(spark, dir)
+      .select(col("sh"), col("df").as("dfreq"))
     sh.join(dfreq, "sh")
       .groupBy(col("doc_id"))
       .agg(
@@ -107,7 +108,8 @@ object DedupQueries {
     * no pairs at any corpus size. */
   def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.scale.ShingleStore.docShingles(spark, dir)
-    val firstSeen = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val firstSeen = graft.scale.ShingleStore.gramStats(spark, dir)
+      .select(col("sh"), col("first_doc"))
     sh.join(firstSeen, "sh")
       .groupBy(col("doc_id"))
       .agg(
@@ -410,8 +412,7 @@ object DedupQueries {
     * planted near-dup pairs; threshold 4/5 compared in integer
     * arithmetic, output in e4 fixed point. */
   def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val el = graft.scale.PrefixJoin.wordKGrams(Tables.documents(spark, dir), k = 5)
-    graft.scale.PrefixJoin.jaccardSelfJoin(el, tNum = 4, tDen = 5)
+    graft.scale.PrefixJoin.jaccardSelfJoin(el5(spark, dir), tNum = 4, tDen = 5)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         round(col("inter").cast("double") * 10000 / col("uni")).cast("long").as("jacc_e4"))
       .orderBy(col("a_id"), col("b_id"))
@@ -456,7 +457,28 @@ object DedupQueries {
       .orderBy(col("fp"))
   }
 
+  /** Word-5-gram element frame shared by the prefix-filter family,
+    * stored once per (session, dir) like the 3-gram shingle frame. */
+  private def el5(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "el5") {
+      graft.scale.PrefixJoin.wordKGrams(Tables.documents(spark, dir), k = 5)
+    }
+
+  /** Exact containment join (|A∩B|/|A| ≥ 0.9, ordered pairs) — the
+    * quote/subset screen in its contractual exact form
+    * ([[graft.scale.PrefixJoin.containmentSelfJoin]]: probe-prefix vs
+    * full-posting asymmetric filtering); the sketch-based
+    * `containment_screen` is the probabilistic sibling for the tiny-J
+    * regime. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.scale.PrefixJoin.containmentSelfJoin(el5(spark, dir), tNum = 9, tDen = 10)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"),
+        expr("(inter * 10000) div na").as("cont_e4"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "containment_join" -> (containmentJoin _),
     "cdc_chunks" -> (cdcChunks _),
     "prefix_filter_join" -> (prefixFilterJoin _),
     "substring_dedup" -> (substringDedup _),
@@ -477,6 +499,28 @@ object DedupQueries {
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    // ordered pairs sharing a 5-gram, containment vs the PROBE size na;
+    // threshold and e4 export in integer arithmetic
+    "containment_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |el AS (
+        |  SELECT DISTINCT doc_id, el FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |        || ' ' || ws[i+4])) AS el
+        |    FROM w)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM el GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM el a JOIN el b ON a.el = b.el AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.inter, CAST(na.n AS BIGINT) AS na,
+        |  (p.inter * 10000) // na.n AS cont_e4
+        |FROM pairs p JOIN sizes na ON na.doc_id = p.a_id
+        |WHERE p.inter * 10 >= na.n * 9
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
     // 1-based positions here vs 0-based in Spark: boundary test i>=3
     // over ws[i-2..i] == Spark's pos>=2 over the same three words; the
     // running boundary sum excludes the current row on both engines

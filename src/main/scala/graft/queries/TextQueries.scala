@@ -696,7 +696,8 @@ object TextQueries {
     * (identical `div`/`//` on positive operands). */
   def collocationLift(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.scale.ShingleStore.docShingles(spark, dir)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val dfreq = graft.scale.ShingleStore.gramStats(spark, dir)
+      .select(col("sh"), col("df"))
     val mid = sh.join(dfreq.filter(col("df") >= 3), "sh")
     val n = Tables.documents(spark, dir)
       .select(countDistinct(col("doc_id")).as("n_docs"))

@@ -60,6 +60,45 @@ object PrefixJoin {
       .distinct()
   }
 
+  /** All ORDERED pairs (a, b), a ≠ b, with containment
+    * |A∩B|/|A| ≥ tNum/tDen — the exact quote/subset screen (is most of
+    * record a inside record b?), the deterministic sibling of the
+    * bottom-k-sketch containment screen. Asymmetric prefix filtering:
+    * containment bounds the intersection only relative to the PROBE
+    * side (inter ≥ ceil(t·na)), so a emits its rarity-order prefix
+    * while b — whose size the predicate does not constrain — stays a
+    * full posting frame (the classic probe-prefix/index-full
+    * decomposition). Verification and export are integer-exact.
+    * Output: (`a_id`, `b_id`, `inter`, `na`). */
+  def containmentSelfJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1], got $tNum/$tDen")
+    val el = elements.select(col("doc_id"), col("el").as("sh")).cache()
+    val dfreq = el.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val recs = el.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"),
+        count(lit(1)).as("n"))
+      .withColumn("plen",
+        expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("n"), col("sorted.sh").as("els"), col("plen"))
+      .cache()
+    val prefixes = recs.select(col("doc_id"), col("n"),
+      explode(expr("slice(els, 1, cast(plen as int))")).as("sh"))
+    val cand = prefixes.as("a")
+      .join(el.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = recs.select(col("doc_id"), col("els"), col("n"))
+    cand
+      .join(broadcast(sets.as("sa")), col("a_id") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa.els"), col("sb.els"))).cast("long").as("inter"),
+        col("sa.n").as("na"))
+      .filter(col("inter") * tDen >= col("na") * tNum)
+  }
+
   /** All pairs with Jaccard ≥ tNum/tDen over `elements` (`doc_id`, `el`,
     * distinct). Output: (`a_id`, `b_id`, `inter`, `uni`) with a_id < b_id
     * — exact, 100% recall, threshold compared in integer arithmetic. */

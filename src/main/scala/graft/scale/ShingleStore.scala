@@ -100,6 +100,23 @@ object ShingleStore {
     spark.read.parquet(path)
   }
 
+  /** Per-gram corpus statistics (`sh`, `df`, `first_doc`) over the
+    * stored shingle frame — document frequency and first-introduction
+    * doc, the two gram aggregates the text/dedup families keep
+    * re-deriving (`boilerplate_ngrams` reads df, `novelty_score` reads
+    * first_doc, `collocation_lift` filters df ≥ 3). ONE
+    * vocabulary-keyed shuffle computed per (session, dir) and stored —
+    * at 100 TB this frame is maintained next to the shingle store for
+    * the same reason the shingles are: four screens re-aggregating the
+    * gram stream is four corpus-sized shuffles for one reusable
+    * Heaps-bounded table. */
+  def gramStats(spark: SparkSession, dir: String): DataFrame =
+    stored(spark, dir, "gramstats") {
+      docShingles(spark, dir)
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+    }
+
   /** Bottom-[[SketchK]] shingle-hash sketch (`doc_id`, `sk`) per document,
     * doc_id < [[MaxDocId]], in KmvSketch's unsigned hash order (signed
     * sort over h ^ Long.MinValue) — the same ordering as core.KmvSketch,

@@ -78,6 +78,58 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  private def bruteContain(el: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) = {
+    val sh = el.select(col("doc_id"), col("el").as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .filter(col("inter") * tDen >= col("n") * tNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("n").as("na"))
+  }
+
+  test("containment join equals brute force; asymmetry is preserved") {
+    import spark.implicits._
+    // b contains all of a (C(a→b)=1) but a holds only half of b
+    val rows = Seq(
+      1L -> Seq("x1", "x2"),
+      2L -> Seq("x1", "x2", "y1", "y2"),
+      3L -> Seq("z1", "z2")
+    ).flatMap { case (id, els) => els.map(e => (id, e)) }
+    val el = rows.toDF("doc_id", "el")
+    val got = PrefixJoin.containmentSelfJoin(el, 9, 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(1L -> 2L)) // only a⊆b direction, never b→a at t=0.9
+    for ((tn, td) <- Seq((1, 2), (9, 10), (1, 1))) {
+      val g = PrefixJoin.containmentSelfJoin(el, tn, td)
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      val w = bruteContain(el, tn, td)
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      assert(g == w, s"mismatch at t=$tn/$td")
+    }
+  }
+
+  test("containment join equals brute force on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 1 to 8) {
+      val rows = (1 to 6 + rnd.nextInt(14)).flatMap { id =>
+        Seq.fill(1 + rnd.nextInt(10))(s"e${rnd.nextInt(14)}").distinct
+          .map(e => (id.toLong, e))
+      }
+      val el = rows.toDF("doc_id", "el")
+      val tDen = 2 + rnd.nextInt(9)
+      val tNum = 1 + rnd.nextInt(tDen)
+      val g = PrefixJoin.containmentSelfJoin(el, tNum, tDen)
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      val w = bruteContain(el, tNum, tDen)
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      assert(g == w, s"trial $trial mismatch at t=$tNum/$tDen")
+    }
+  }
+
   test("wordKGrams drops too-short docs and dedups repeated grams") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b a b a b a b")).toDF("doc_id", "text")
