@@ -71,7 +71,10 @@ object Bench {
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val telemetry = results.map { case (k, (_, at, load)) =>
-      "\"" + k + "\":[" + f"$at%.1f" + "," + load + "]"
+      // locale-independent formatting: the f interpolator would emit a
+      // comma decimal separator under comma-decimal default locales,
+      // silently corrupting the JSON artifact
+      "\"" + k + "\":[" + (math.round(at * 10) / 10.0) + "," + load + "]"
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val loadEnd = loadavg()

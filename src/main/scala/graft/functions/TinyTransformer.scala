@@ -119,8 +119,10 @@ object TinyTransformer {
     * Representations of Words and Phrases", public) over the
     * hashing-tokenized corpus, run as a deterministic single-threaded
     * pure-JVM loop (fixed document order, splitmix64 sampling stream,
-    * fixed-order double arithmetic — same texts + seed ⇒ bit-identical
-    * weights on any JVM).
+    * fixed-order double arithmetic, and StrictMath for every
+    * transcendental — Math.exp/pow/tanh are only 1-ulp-accurate and may
+    * differ across platform intrinsics, which would break the claim —
+    * so same texts + seed ⇒ bit-identical weights on any JVM).
     *
     * What it trains, stated plainly: the TOKEN-EMBEDDING matrix. The
     * attention/FFN blocks are initialized to the exact pass-through
@@ -155,7 +157,7 @@ object TinyTransformer {
     var acc = 0.0
     var i = 0
     while (i < cfg.vocab) {
-      acc += math.pow(counts(i).toDouble, 0.75); cum(i) = acc; i += 1
+      acc += StrictMath.pow(counts(i).toDouble, 0.75); cum(i) = acc; i += 1
     }
     var z = seed
     def nextLong(): Long = {
@@ -256,7 +258,7 @@ object TinyTransformer {
     var dot = 0.0
     var j = 0
     while (j < d) { dot += in(cOff + j).toDouble * out(oOff + j); j += 1 }
-    val g = (label - 1.0 / (1.0 + math.exp(-dot))) * lr
+    val g = (label - 1.0 / (1.0 + StrictMath.exp(-dot))) * lr
     j = 0
     while (j < d) {
       gIn(j) += g * out(oOff + j)
@@ -323,7 +325,7 @@ object TinyTransformer {
     private val finalLnOff = layerOff + cfg.nLayers * cfg.layerFloats
 
     private def gelu(x: Double): Double = // tanh approximation (BERT's)
-      0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+      0.5 * x * (1.0 + StrictMath.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
 
     private def layerNorm(x: Array[Double], gOff: Int, bOff: Int): Unit = {
       var mean = 0.0; var i = 0
@@ -405,7 +407,7 @@ object TinyTransformer {
             }
             var z = 0.0
             t = 0
-            while (t < n) { sc(t) = math.exp(sc(t) - mx); z += sc(t); t += 1 }
+            while (t < n) { sc(t) = StrictMath.exp(sc(t) - mx); z += sc(t); t += 1 }
             t = 0
             while (t < n) {
               val a = sc(t) / z

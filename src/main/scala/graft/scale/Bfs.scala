@@ -34,23 +34,30 @@ object Bfs {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     var visited = seeds.select(col("node"), lit(0).as("hop")).cache()
-    visited.count()
+    var visitedSize = visited.count()
     var frontier = visited
     var hop = 0
-    while (hop < maxHops) {
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
       hop += 1
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(hop).as("hop"))
       val merged = visited.unionByName(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
         .cache()
-      merged.count() // materialize: cuts lineage, lets the old cache drop
+      val mergedSize = merged.count() // materialize: cuts lineage, lets the old cache drop
       // drop the previous round's cache only AFTER merged materialized
       // (the union read it); the final round's cache backs the returned
       // frame and is the caller's to release
       visited.unpersist()
       visited = merged
       frontier = merged.filter(col("hop") === hop)
+      // fixpoint: a round can only ADD nodes (an already-visited node
+      // keeps its smaller hop), so an unchanged count means an empty
+      // frontier — stop instead of paying a join+shuffle per dead round
+      // when maxHops exceeds the graph's eccentricity
+      exhausted = mergedSize == visitedSize
+      visitedSize = mergedSize
     }
     e.unpersist()
     visited

@@ -60,6 +60,54 @@ object PrefixJoin {
       .distinct()
   }
 
+  /** Shared scaffold for the prefix-filter family: the cached element
+    * frame, the rarity-sorted record frame (`doc_id`, `n`, `els`,
+    * `plen` = n − ceil(t·n) + 1), and the NARROW exploded prefix frame
+    * (`doc_id`, `n`, `sh`).
+    *
+    * The element frame feeds two consumers (df count + record roll-up)
+    * — cache it, or the upstream explode+distinct recomputes per
+    * consumer; in production it is stored next to the corpus
+    * (ShingleStore). sort_array on (df, sh) structs realizes the global
+    * rarity order per record without materializing a dense rank. The
+    * prefix frame stays narrow — carrying the full element arrays
+    * through the candidate shuffle would move ~n× the bytes; arrays
+    * rejoin AFTER pair dedup via [[verified]]. */
+  private def prefixFrames(elements: DataFrame, tNum: Int, tDen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1], got $tNum/$tDen")
+    val el = elements.select(col("doc_id"), col("el").as("sh")).cache()
+    val dfreq = el.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val recs = el.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"),
+        count(lit(1)).as("n"))
+      .withColumn("plen",
+        expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("n"), col("sorted.sh").as("els"), col("plen"))
+      .cache()
+    val prefixes = recs.select(col("doc_id"), col("n"),
+      explode(expr("slice(els, 1, cast(plen as int))")).as("sh"))
+    (el, recs, prefixes)
+  }
+
+  /** PPJoin-style verification: candidate (`a_id`, `b_id`) pairs joined
+    * back to the compact one-row-per-record array frame (broadcast at
+    * this scale; a doc_id-keyed hash join when the corpus outgrows a
+    * broadcast), intersection as a map-side array_intersect — no
+    * posting re-joins (the right trade until sets outgrow task memory,
+    * at which point verification falls back to NearDup.jaccardOnPairs'
+    * pair-keyed join). Returns (`a_id`, `b_id`, `inter`, `na`, `nb`). */
+  private def verified(cand: DataFrame, recs: DataFrame): DataFrame = {
+    val sets = recs.select(col("doc_id"), col("els"), col("n"))
+    cand
+      .join(broadcast(sets.as("sa")), col("a_id") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa.els"), col("sb.els"))).cast("long").as("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
   /** All ORDERED pairs (a, b), a ≠ b, with containment
     * |A∩B|/|A| ≥ tNum/tDen — the exact quote/subset screen (is most of
     * record a inside record b?), the deterministic sibling of the
@@ -71,31 +119,14 @@ object PrefixJoin {
     * decomposition). Verification and export are integer-exact.
     * Output: (`a_id`, `b_id`, `inter`, `na`). */
   def containmentSelfJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1], got $tNum/$tDen")
-    val el = elements.select(col("doc_id"), col("el").as("sh")).cache()
-    val dfreq = el.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val recs = el.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"),
-        count(lit(1)).as("n"))
-      .withColumn("plen",
-        expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("doc_id"), col("n"), col("sorted.sh").as("els"), col("plen"))
-      .cache()
-    val prefixes = recs.select(col("doc_id"), col("n"),
-      explode(expr("slice(els, 1, cast(plen as int))")).as("sh"))
+    val (el, recs, prefixes) = prefixFrames(elements, tNum, tDen)
     val cand = prefixes.as("a")
       .join(el.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sets = recs.select(col("doc_id"), col("els"), col("n"))
-    cand
-      .join(broadcast(sets.as("sa")), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sets.as("sb")), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa.els"), col("sb.els"))).cast("long").as("inter"),
-        col("sa.n").as("na"))
+    verified(cand, recs)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"))
       .filter(col("inter") * tDen >= col("na") * tNum)
   }
 
@@ -103,36 +134,7 @@ object PrefixJoin {
     * distinct). Output: (`a_id`, `b_id`, `inter`, `uni`) with a_id < b_id
     * — exact, 100% recall, threshold compared in integer arithmetic. */
   def jaccardSelfJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1], got $tNum/$tDen")
-    // the element frame feeds two consumers (the df count and the record
-    // roll-up) — cache it, or the upstream explode+distinct recomputes
-    // per consumer; in production this frame is stored next to the
-    // corpus (ShingleStore)
-    val el = elements.select(col("doc_id"), col("el").as("sh")).cache()
-    val dfreq = el.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // prefix length n - ceil(t·n) + 1, computed in integer arithmetic;
-    // sort_array on (df, sh) structs realizes the global rarity order
-    // per record without materializing a dense rank. Each record carries
-    // its FULL sorted element array through the prefix explode — the
-    // PPJoin verification trick: intersection is then a map-side
-    // array_intersect on the candidate pair itself, no posting re-joins
-    // (the right trade until sets outgrow task memory, at which point
-    // verification falls back to jaccardOnPairs' pair-keyed join).
-    val recs = el.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"),
-        count(lit(1)).as("n"))
-      .withColumn("plen",
-        expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("doc_id"), col("n"), col("sorted.sh").as("els"), col("plen"))
-      .cache()
-    // the prefix frame stays NARROW (id, n, element) — carrying the full
-    // element arrays through the candidate shuffle would move ~n× the
-    // bytes; the arrays rejoin AFTER pair dedup, against the compact
-    // one-row-per-record frame (broadcast at this scale; a doc_id-keyed
-    // hash join when the corpus outgrows a broadcast)
-    val prefixes = recs.select(col("doc_id"), col("n"),
-      explode(expr("slice(els, 1, cast(plen as int))")).as("sh"))
+    val (_, recs, prefixes) = prefixFrames(elements, tNum, tDen)
     // size filter folded into the join: J ≥ t forces t·max ≤ min
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -141,15 +143,9 @@ object PrefixJoin {
             lit(tDen) * least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sets = recs.select(col("doc_id"), col("els"), col("n"))
-    cand
-      .join(broadcast(sets.as("sa")), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sets.as("sb")), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa.els"), col("sb.els"))).cast("long").as("inter"),
-        (col("sa.n") + col("sb.n")).as("tot"))
+    verified(cand, recs)
       .select(col("a_id"), col("b_id"), col("inter"),
-        (col("tot") - col("inter")).as("uni"))
+        (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
   }
 }

@@ -38,10 +38,20 @@ object Quantize {
     * sum (no HOF, no shift-by-column) keeps the whole pack inside
     * whole-stage codegen and is reproduced term-for-term by a SQL
     * oracle. */
-  def signBits(vec: Column, offset: Int): Column =
-    (0 until 32).map { i =>
+  def signBits(vec: Column, offset: Int): Column = {
+    val bits = (0 until 32).map { i =>
       when(element_at(vec, offset + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // fail fast on null / too-short vectors (the Ivf kernel's contract):
+    // element_at past the end returns NULL, NULL >= 0 falls to the
+    // otherwise-branch, and the vector would silently pack as 0-bits —
+    // hamming-matching everything instead of raising. assert_true
+    // returns NULL on pass; coalesce keeps it in the plan.
+    coalesce(
+      assert_true(vec.isNotNull && size(vec) >= lit(offset + 32),
+        lit(s"sign-bit pack needs >= ${offset + 32} dims")).cast("long"),
+      bits)
+  }
 
   /** Hamming distance between two (lo, hi) bit-packed vectors. */
   def hamming(aLo: Column, aHi: Column, bLo: Column, bHi: Column): Column =

@@ -276,14 +276,17 @@ object Versioned {
     * it. On commit conflict the data files are already safe on disk; the
     * retry re-commits against the new base without rewriting data.
     *
-    * Schema evolution (add-column): a batch whose columns are NOT a
-    * typed subset of the table's schema evolves it — the commit stamps a
+    * Schema evolution (add-column): a batch whose typed column set is
+    * not EXACTLY the table's evolves it — the commit stamps a
     * `#schema:` marker with the UNION schema (existing columns first,
     * new ones appended), and every read of that version onward applies
-    * it, surfacing pre-evolution rows with NULL in the new columns.
-    * Batches that fit the existing schema commit exactly as before (no
-    * marker change — a same-schema append on a never-evolved table
-    * leaves its manifests marker-free). Because the union depends on the
+    * it, surfacing rows from narrower files with NULL in the columns
+    * they lack. Wider batches add columns; NARROWER batches stamp the
+    * current schema unchanged — either way, the first commit that mixes
+    * file widths records which width reads must apply (a subset batch
+    * without a marker would leave reads dependent on footer listing
+    * order). Same-schema appends commit exactly as before (no marker —
+    * a never-evolved table stays marker-free). Because the union depends on the
     * base version's marker, a conflict re-DERIVES the marker against the
     * new current version before retrying (two racing evolutions must
     * merge, not overwrite each other); the data files never rewrite.
@@ -298,14 +301,23 @@ object Versioned {
     while (true) {
       val cur = currentVersion(table)
       // the table schema this append sees: the recorded marker, else (for
-      // never-evolved tables) the physical schema of the current files
+      // never-evolved tables) the physical schema of the current files.
+      // Marker-free ⇒ every committed file shares one schema (any
+      // set-changing append below stamps a marker), so ONE footer
+      // suffices — no per-append inference over the whole file list.
       val tableSchema: Option[org.apache.spark.sql.types.StructType] =
         schemaOf(table, Some(cur)).orElse(
-          if (cur == 0) None
-          else Some(spark.read.parquet(files(table, Some(cur)): _*).schema))
+          files(table, Some(cur)).headOption.map(f => spark.read.parquet(f).schema))
+      // `fits` requires the EXACT typed column set, not just a subset: a
+      // narrower batch on a marker-free table would otherwise commit
+      // mixed-width files with no recorded schema, leaving reads at the
+      // mercy of which footer Spark lists first — the ambiguity the
+      // marker exists to remove. Narrower batches therefore evolve too
+      // (the union is just the current schema, stamped as a marker).
       val fits = tableSchema.forall { ts =>
         val rec = shape(ts)
-        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType))
+        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType)) &&
+          rec.size == df.schema.fields.length
       }
       val (markerAdd, markerRemove): (Seq[String], Set[String]) =
         if (fits) (Seq.empty, Set.empty)

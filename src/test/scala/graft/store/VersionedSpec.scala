@@ -454,6 +454,22 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(1)).columns.toSeq == Seq("id", "s"))
   }
 
+  test("schema evolution: NARROWER batch on a marker-free table stamps the schema") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a", 10L)).toDF("id", "s", "q"), t) // v1, no marker
+    assert(Versioned.schemaOf(t).isEmpty)
+    // a strict-subset batch would commit mixed-width files; without a
+    // recorded schema, reads would depend on which footer Spark lists
+    // first — the commit must stamp the current schema instead
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2, narrower
+    assert(Versioned.schemaOf(t).map(_.fieldNames.toSeq).contains(Seq("id", "s", "q")),
+      "narrower batch must stamp the (unchanged) schema marker")
+    val cur = Versioned.read(spark, t)
+      .select("id", "s", "q").as[(Long, String, Option[Long])].collect().toSet
+    assert(cur == Set((1L, "a", Some(10L)), (2L, "b", None)),
+      "wide rows must keep their values; narrow rows NULL-fill")
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
