@@ -84,3 +84,21 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder()
 }
+
+/** Same bottom-k state as [[KmvDistinct]] but `finish` returns the
+  * SKETCH itself — the handle for sketch SET ALGEBRA: per-group
+  * sketches computed in one corpus pass answer every pairwise union
+  * (merge) and intersection (inclusion-exclusion over three `finish`
+  * calls) from k-sized summaries, instead of one corpus pass per pair.
+  * Below k the algebra is EXACT (the lossless regime the
+  * `source_overlap` oracle checks); above k it inherits KMV's
+  * estimation envelope (KmvSketchSpec). */
+class KmvSketchBuffer(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val inner = new KmvDistinct(k)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = inner.reduce(b, a)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = inner.merge(b1, b2)
+  override def finish(b: Seq[Long]): Seq[Long] = b
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

@@ -715,7 +715,50 @@ object TextQueries {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Cross-source vocabulary overlap by SKETCH ALGEBRA: one pass builds
+    * a KMV bottom-k sketch per source ([[graft.core.KmvSketchBuffer]]);
+    * every pairwise union then comes from merging two k-sized summaries
+    * and every intersection from inclusion-exclusion — C(s,2) = 190
+    * pair answers from s = 20 one-pass summaries, where the direct form
+    * costs a corpus pass per pair. The content-provenance triage
+    * ("which crawl sources duplicate each other's material?") that
+    * prioritizes the pairwise dedup passes.
+    *
+    * At this parameterization the sketches stay below k (lossless
+    * regime ⇒ the algebra is EXACT and the row hash-checks against
+    * plain COUNT DISTINCT); at corpus scale the same one-pass/merge
+    * shape runs with k ≪ n under KMV's estimation envelope. The
+    * driver-side pairwise merge is bounded by |sources| (20 sketches ×
+    * k longs), never by data size. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4096
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+      .filter(col("doc_id") < 200)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), xxhash64(col("sh")).as("tok"))
+    val sketches = sh.groupBy(col("source"))
+      .agg(udaf(new graft.core.KmvSketchBuffer(k),
+        implicitly[org.apache.spark.sql.Encoder[Long]])(col("tok")).as("sk"))
+      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    val est = new graft.core.KmvDistinct(k)
+    val out = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (sa, ska) = sketches(i)
+      val (sb, skb) = sketches(j)
+      val na = est.finish(ska)
+      val nb = est.finish(skb)
+      val un = est.finish(est.merge(ska, skb))
+      (sa, sb, na, nb, un, na + nb - un)
+    }
+    out.toDF("src_a", "src_b", "n_a", "n_b", "n_union", "n_inter")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> (sourceOverlap _),
     "collocation_lift" -> (collocationLift _),
     "postings_list" -> (postingsList _),
     "vocab_growth" -> (vocabGrowth _),
@@ -747,6 +790,32 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // plain COUNT DISTINCT per source / per pair — matching proves the
+    // sketch algebra exact in the lossless regime (stored-shingle
+    // bounds, doc_id < 200 slice)
+    "source_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |src AS (SELECT DISTINCT source FROM s),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM src a JOIN src b ON a.source < b.source)
+        |SELECT p.src_a, p.src_b,
+        |  (SELECT COUNT(*) FROM s WHERE source = p.src_a) AS n_a,
+        |  (SELECT COUNT(*) FROM s WHERE source = p.src_b) AS n_b,
+        |  (SELECT COUNT(DISTINCT sh) FROM s
+        |   WHERE source IN (p.src_a, p.src_b)) AS n_union,
+        |  (SELECT COUNT(*) FROM s WHERE source = p.src_a)
+        |    + (SELECT COUNT(*) FROM s WHERE source = p.src_b)
+        |    - (SELECT COUNT(DISTINCT sh) FROM s
+        |       WHERE source IN (p.src_a, p.src_b)) AS n_inter
+        |FROM p ORDER BY p.src_a, p.src_b""".stripMargin,
     // lift threshold and export both in integer arithmetic (`//` floor
     // division on positive operands == Spark's `div`); stored-shingle
     // bounds mirrored as in the dedup-family oracles

@@ -46,6 +46,23 @@ class KmvSketchSpec extends SparkSpec {
     })
   }
 
+  test("sketch algebra: exact set ops below k, bounded estimates above") {
+    val agg = new KmvDistinct(256)
+    val buf = new KmvSketchBuffer(256)
+    // lossless regime: union/intersection via inclusion-exclusion exact
+    val a = (0L until 150L).foldLeft(buf.zero)(buf.reduce)
+    val b = (100L until 260L).foldLeft(buf.zero)(buf.reduce)
+    val un = agg.finish(agg.merge(a, b))
+    assert(un == 260L)
+    assert(agg.finish(a) + agg.finish(b) - un == 50L) // |[100,150)| exact
+    // estimation regime: 20k ∪ 20k with 10k shared, k = 256 — union
+    // estimate within the ~3/sqrt(k) KMV envelope (~20%, generous)
+    val bigA = (0L until 20000L).foldLeft(buf.zero)(buf.reduce)
+    val bigB = (10000L until 30000L).foldLeft(buf.zero)(buf.reduce)
+    val unEst = agg.finish(agg.merge(bigA, bigB)).toDouble
+    assert(math.abs(unEst - 30000.0) / 30000.0 < 0.2, s"union est $unEst")
+  }
+
   test("works as a grouped udaf column") {
     val kmv = F.udaf(new KmvDistinct(512), Encoders.scalaLong)
     val df = Seq((1, 10L), (1, 11L), (1, 10L), (2, 7L)).toDF("g", "v")
