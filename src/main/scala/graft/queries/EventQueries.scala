@@ -148,6 +148,43 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Ordered multi-step funnel with per-step deadlines (the
+    * MATCH_RECOGNIZE / CEP pattern query): signup → first view within
+    * 7 days AFTER the signup → first purchase within 3 days after THAT
+    * view, cohorted by signup day. Steps are dependent — each
+    * deadline anchors on the previous step's matched event, which is
+    * what plain per-type aggregates can't express.
+    *
+    * Shape: ONE user-keyed shuffle collects each user's (bounded)
+    * per-type timestamp arrays; the whole pattern then evaluates
+    * map-side as array logic (`array_min(filter(...))` per step) — no
+    * join per step (the oracle's correlated form), no window chains.
+    * At 100 TB per-user event counts are bounded by sessionization
+    * upstream, so the collected arrays are small by construction; the
+    * cohort roll-up is one more partial-aggregated shuffle. Timestamps
+    * compare as exact micros — no float anywhere. */
+  def sequenceFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val day3 = 3L * 86400000000L
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("st"),
+        collect_list(when(col("event_type") === "view", unix_micros(col("ts")))).as("vs"),
+        collect_list(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("ps"))
+      .filter(col("st").isNotNull)
+      .withColumn("vt", array_min(filter(col("vs"),
+        t => t > col("st") && t <= col("st") + lit(day7))))
+      .withColumn("pt", when(col("vt").isNotNull, array_min(filter(col("ps"),
+        t => t > col("vt") && t <= col("vt") + lit(day3)))))
+      .groupBy(to_date(timestamp_micros(col("st"))).as("cohort_day"))
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("vt")).as("n_viewed_7d"),
+        count(col("pt")).as("n_purchased_3d"))
+      .orderBy(col("cohort_day"))
+  }
+
   /** Tumbling-hour rollup by event type: count, exact sum, min/max. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -505,6 +542,7 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sequence_funnel" -> (sequenceFunnel _),
     "max_concurrency" -> (maxConcurrency _),
     "incremental_agg" -> (incrementalAgg _),
     "gap_fill" -> (gapFill _),
@@ -530,6 +568,31 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the correlated form: each step's min anchored on the previous
+    // step's match; boundaries strict-after / inclusive-deadline both
+    // engines; naive timestamps make interval adds exact micros
+    "sequence_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS st FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT s.user_id, s.st, MIN(e.ts) AS vt
+        |  FROM s LEFT JOIN events e
+        |    ON e.user_id = s.user_id AND e.event_type = 'view'
+        |    AND e.ts > s.st AND e.ts <= s.st + INTERVAL 7 DAY
+        |  GROUP BY s.user_id, s.st),
+        |p AS (
+        |  SELECT v.user_id, v.st, v.vt, MIN(e.ts) AS pt
+        |  FROM v LEFT JOIN events e
+        |    ON e.user_id = v.user_id AND e.event_type = 'purchase'
+        |    AND v.vt IS NOT NULL
+        |    AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 3 DAY
+        |  GROUP BY v.user_id, v.st, v.vt)
+        |SELECT CAST(date_trunc('day', st) AS DATE) AS cohort_day,
+        |  COUNT(*) AS n_signup,
+        |  CAST(COUNT(vt) AS BIGINT) AS n_viewed_7d,
+        |  CAST(COUNT(pt) AS BIGINT) AS n_purchased_3d
+        |FROM p GROUP BY 1 ORDER BY cohort_day""".stripMargin,
     // same ±1 sweep; ends-before-starts at equal instants via delta asc
     "max_concurrency" ->
       """WITH v AS (
