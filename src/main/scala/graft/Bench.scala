@@ -68,17 +68,28 @@ object Bench {
       name -> ((t, at, load))
     }
     val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
+    // 3-decimal rounding (locale-independent — the f interpolator would
+    // emit a comma decimal separator under comma-decimal locales,
+    // silently corrupting the JSON artifact)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val telemetry = results.map { case (k, (_, at, load)) =>
-      // locale-independent formatting: the f interpolator would emit a
-      // comma decimal separator under comma-decimal default locales,
-      // silently corrupting the JSON artifact
+    // the driver artifact retains only the TAIL of the bench output
+    // (BENCH_r08 lost its own per-query dict this way), so field order is
+    // importance-REVERSED: telemetry first (capped to the slowest 40 —
+    // it exists to diagnose outliers, not to enumerate sub-100ms rows),
+    // then the full per-query dict, then the slowest-10 digest, failures,
+    // and the total LAST — a 2000-char tail always keeps total +
+    // failures + the queries that matter.
+    val slowest = results.toSeq.sortBy(-_._2._1)
+    val telemetry = slowest.take(40).map { case (k, (_, at, load)) =>
       "\"" + k + "\":[" + (math.round(at * 10) / 10.0) + "," + load + "]"
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val top10 = slowest.take(10).map { case (k, (v, _, _)) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = r3(results.values.map(_._1).filter(_ >= 0).sum)
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_telemetry":$telemetry}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_telemetry":$telemetry,"queries":$qs,"slowest10":$top10,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -33,7 +33,11 @@ object Bfs {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
-    var visited = seeds.select(col("node"), lit(0).as("hop")).cache()
+    // dedup seeds: visitedSize counts ROWS, and the fixpoint test below
+    // compares it against a groupBy-deduped merge — duplicate seed rows
+    // would make round 1 look like a no-op and exit before traversal
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hop")).cache()
     var visitedSize = visited.count()
     var frontier = visited
     var hop = 0

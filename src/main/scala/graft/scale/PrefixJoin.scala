@@ -60,51 +60,58 @@ object PrefixJoin {
       .distinct()
   }
 
-  /** Shared scaffold for the prefix-filter family: the cached element
-    * frame, the rarity-sorted record frame (`doc_id`, `n`, `els`,
-    * `plen` = n − ceil(t·n) + 1), and the NARROW exploded prefix frame
-    * (`doc_id`, `n`, `sh`).
+  /** Shared scaffold for the prefix-filter family: the element frame
+    * (normalized to `doc_id`, `sh`), the rarity-sorted record frame
+    * (`doc_id`, `n`, `els`, `plen` = n − ceil(t·n) + 1), and the NARROW
+    * exploded prefix frame (`doc_id`, `n`, `sh`).
     *
-    * The element frame feeds two consumers (df count + record roll-up)
-    * — cache it, or the upstream explode+distinct recomputes per
-    * consumer; in production it is stored next to the corpus
-    * (ShingleStore). sort_array on (df, sh) structs realizes the global
-    * rarity order per record without materializing a dense rank. The
-    * prefix frame stays narrow — carrying the full element arrays
-    * through the candidate shuffle would move ~n× the bytes; arrays
-    * rejoin AFTER pair dedup via [[verified]]. */
+    * The element frame feeds several consumers (df count, record
+    * roll-up, verify postings, sizes); callers pass a STORED frame
+    * (ShingleStore — both in-repo call sites do), so each consumer is a
+    * parquet re-scan, not an explode+distinct recompute, and nothing is
+    * pinned in session memory across invocations. sort_array on
+    * (df, sh) structs realizes the global rarity order per record
+    * without materializing a dense rank. The prefix frame stays narrow
+    * — carrying the full element arrays through the candidate shuffle
+    * would move ~n× the bytes. */
   private def prefixFrames(elements: DataFrame, tNum: Int, tDen: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1], got $tNum/$tDen")
-    val el = elements.select(col("doc_id"), col("el").as("sh")).cache()
+    val el = elements.select(col("doc_id"), col("el").as("sh"))
     val dfreq = el.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val recs = el.join(dfreq, "sh")
+    val prefixes = el.join(dfreq, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"),
         count(lit(1)).as("n"))
       .withColumn("plen",
         expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("doc_id"), col("n"), col("sorted.sh").as("els"), col("plen"))
-      .cache()
-    val prefixes = recs.select(col("doc_id"), col("n"),
-      explode(expr("slice(els, 1, cast(plen as int))")).as("sh"))
-    (el, recs, prefixes)
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(sorted.sh, 1, cast(plen as int))")).as("sh"))
+    (el, prefixes)
   }
 
-  /** PPJoin-style verification: candidate (`a_id`, `b_id`) pairs joined
-    * back to the compact one-row-per-record array frame (broadcast at
-    * this scale; a doc_id-keyed hash join when the corpus outgrows a
-    * broadcast), intersection as a map-side array_intersect — no
-    * posting re-joins (the right trade until sets outgrow task memory,
-    * at which point verification falls back to NearDup.jaccardOnPairs'
-    * pair-keyed join). Returns (`a_id`, `b_id`, `inter`, `na`, `nb`). */
-  private def verified(cand: DataFrame, recs: DataFrame): DataFrame = {
-    val sets = recs.select(col("doc_id"), col("els"), col("n"))
+  /** PPJoin-style verification, PAIR-KEYED: each candidate (`a_id`,
+    * `b_id`) rejoins the element posting frame on both ids and counts
+    * matching elements — the NearDup.jaccardOnPairs shape. Every join
+    * here is an ordinary doc_id- or (doc_id, sh)-keyed equi-join with NO
+    * broadcast hint: AQE picks a broadcast when the frames are small
+    * (fixture scale) and a shuffle hash join when the corpus outgrows
+    * one — no driver-side build of anything that grows with the corpus.
+    * The intermediate is |cand|·avg-set-size narrow rows, partial-
+    * aggregated map-side before the pair shuffle. Candidates always
+    * share ≥1 element (they came from an equi-join on a common element),
+    * so the inner join loses no pair. Returns (`a_id`, `b_id`, `inter`,
+    * `na`, `nb`). */
+  private def verified(cand: DataFrame, el: DataFrame): DataFrame = {
+    val sizes = el.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
-      .join(broadcast(sets.as("sa")), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sets.as("sb")), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa.els"), col("sb.els"))).cast("long").as("inter"),
+      .join(el.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(el.as("eb"), col("b_id") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
@@ -119,13 +126,13 @@ object PrefixJoin {
     * decomposition). Verification and export are integer-exact.
     * Output: (`a_id`, `b_id`, `inter`, `na`). */
   def containmentSelfJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val (el, recs, prefixes) = prefixFrames(elements, tNum, tDen)
+    val (el, prefixes) = prefixFrames(elements, tNum, tDen)
     val cand = prefixes.as("a")
       .join(el.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verified(cand, recs)
+    verified(cand, el)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"))
       .filter(col("inter") * tDen >= col("na") * tNum)
   }
@@ -134,7 +141,7 @@ object PrefixJoin {
     * distinct). Output: (`a_id`, `b_id`, `inter`, `uni`) with a_id < b_id
     * — exact, 100% recall, threshold compared in integer arithmetic. */
   def jaccardSelfJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val (_, recs, prefixes) = prefixFrames(elements, tNum, tDen)
+    val (el, prefixes) = prefixFrames(elements, tNum, tDen)
     // size filter folded into the join: J ≥ t forces t·max ≤ min
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -143,7 +150,7 @@ object PrefixJoin {
             lit(tDen) * least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verified(cand, recs)
+    verified(cand, el)
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * tDen >= col("uni") * tNum)

@@ -305,20 +305,34 @@ object Versioned {
       // Marker-free ⇒ every committed file shares one schema (any
       // set-changing append below stamps a marker), so ONE footer
       // suffices — no per-append inference over the whole file list.
-      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      def fitsSchema(ts: org.apache.spark.sql.types.StructType): Boolean = {
+        val rec = shape(ts)
+        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType)) &&
+          rec.size == df.schema.fields.length
+      }
+      val oneFooter: Option[org.apache.spark.sql.types.StructType] =
         schemaOf(table, Some(cur)).orElse(
           files(table, Some(cur)).headOption.map(f => spark.read.parquet(f).schema))
+      // Fallback for tables written BEFORE the marker invariant existed
+      // (old code committed mixed-width typed-subset batches with no
+      // marker): if the batch doesn't fit the one-footer schema — the
+      // only case where the footer choice can change the outcome — pay a
+      // one-time footer-merge over all files so the evolved union covers
+      // every committed column, not just whichever footer listed first.
+      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+        oneFooter match {
+          case Some(ts) if !fitsSchema(ts) && schemaOf(table, Some(cur)).isEmpty =>
+            val fs = files(table, Some(cur))
+            Some(spark.read.option("mergeSchema", "true").parquet(fs: _*).schema)
+          case other => other
+        }
       // `fits` requires the EXACT typed column set, not just a subset: a
       // narrower batch on a marker-free table would otherwise commit
       // mixed-width files with no recorded schema, leaving reads at the
       // mercy of which footer Spark lists first — the ambiguity the
       // marker exists to remove. Narrower batches therefore evolve too
       // (the union is just the current schema, stamped as a marker).
-      val fits = tableSchema.forall { ts =>
-        val rec = shape(ts)
-        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType)) &&
-          rec.size == df.schema.fields.length
-      }
+      val fits = tableSchema.forall(fitsSchema)
       val (markerAdd, markerRemove): (Seq[String], Set[String]) =
         if (fits) (Seq.empty, Set.empty)
         else {

@@ -29,6 +29,14 @@ class BfsSpec extends SparkSpec {
       Map("a" -> 0, "z" -> 0, "b" -> 1, "c" -> 1))
   }
 
+  test("duplicate seed rows don't fake a fixpoint (round-8 advice case)") {
+    // with seeds [a,a] on a->b->c, an un-deduped visited frame counts 2
+    // rows, round 1's deduped merge also counts 2 (a,b), and the
+    // unchanged-count fixpoint would exit before reaching c
+    val g = Seq("a" -> "b", "b" -> "c")
+    assert(run(g, Seq("a", "a"), 3) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
   test("seed re-reached via a cycle keeps hop 0") {
     val g = Seq("a" -> "b", "b" -> "a")
     assert(run(g, Seq("a"), 4) == Map("a" -> 0, "b" -> 1))

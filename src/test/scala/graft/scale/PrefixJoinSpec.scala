@@ -130,6 +130,40 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("non-broadcast path: results identical with auto-broadcast disabled") {
+    // the verify stage carries no broadcast() hint — at scale AQE picks a
+    // shuffle join; forcing the threshold to -1 exercises exactly that
+    // plan and must not change a single pair
+    val el = PrefixJoin.wordKGrams(
+      graft.Tables.documents(spark, sfDir), k = 5)
+    val want = sorted(run(el, 4, 5))
+    val wantC = PrefixJoin.containmentSelfJoin(el, 9, 10)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(sorted(run(el, 4, 5)) == want)
+      assert(PrefixJoin.containmentSelfJoin(el, 9, 10)
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq == wantC)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("no forced broadcast anywhere in the prefix-join plans") {
+    // the round-8 scale defect: verified() hinted broadcast() on a frame
+    // that grows with the corpus. Pin its absence at the analyzed-plan
+    // level (hints appear as ResolvedHint before the planner consumes
+    // them; AQE choosing a broadcast for a genuinely small side is fine)
+    val el = PrefixJoin.wordKGrams(
+      graft.Tables.documents(spark, sfDir), k = 5)
+    for (df <- Seq(PrefixJoin.jaccardSelfJoin(el, 4, 5),
+                   PrefixJoin.containmentSelfJoin(el, 9, 10))) {
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"forced hint in plan: $hints")
+    }
+  }
+
   test("wordKGrams drops too-short docs and dedups repeated grams") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b a b a b a b")).toDF("doc_id", "text")

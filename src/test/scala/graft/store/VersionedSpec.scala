@@ -470,6 +470,30 @@ class VersionedSpec extends SparkSpec {
       "wide rows must keep their values; narrow rows NULL-fill")
   }
 
+  test("schema evolution: legacy marker-free table with MIXED footers evolves to the true union") {
+    // simulate a table written by pre-marker-invariant code: two batches
+    // with different widths committed directly, no schema marker. The
+    // one-footer fast path may see either footer; an append must still
+    // derive the union over ALL committed columns, not whichever footer
+    // lists first
+    val t = tmpDir("versioned").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(new File(t, "legacy-narrow").getPath)
+    Seq((2L, "b", 20L)).toDF("id", "s", "q").write.parquet(new File(t, "legacy-wide").getPath)
+    def parquets(b: String) = new File(t, b).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(f => s"$b/${f.getName}")
+    Versioned.commit(t, 0, parquets("legacy-narrow").toSeq ++ parquets("legacy-wide").toSeq)
+    assert(Versioned.schemaOf(t).isEmpty, "legacy table starts marker-free")
+    // append a batch matching NEITHER footer exactly: forces the fallback
+    Versioned.append(Seq((3L, "c", 30L, true)).toDF("id", "s", "q", "ok"), t)
+    assert(Versioned.schemaOf(t).map(_.fieldNames.toSet).contains(Set("id", "s", "q", "ok")),
+      s"union must cover every legacy column, got ${Versioned.schemaOf(t)}")
+    val cur = Versioned.read(spark, t)
+      .select("id", "s", "q", "ok")
+      .as[(Long, String, Option[Long], Option[Boolean])].collect().toSet
+    assert(cur == Set((1L, "a", None, None), (2L, "b", Some(20L), None),
+      (3L, "c", Some(30L), Some(true))))
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
