@@ -155,34 +155,60 @@ object EventQueries {
     * deadline anchors on the previous step's matched event, which is
     * what plain per-type aggregates can't express.
     *
-    * Shape: ONE user-keyed shuffle collects each user's (bounded)
-    * per-type timestamp arrays; the whole pattern then evaluates
-    * map-side as array logic (`array_min(filter(...))` per step) — no
-    * join per step (the oracle's correlated form), no window chains.
-    * At 100 TB per-user event counts are bounded by sessionization
-    * upstream, so the collected arrays are small by construction; the
-    * cohort roll-up is one more partial-aggregated shuffle. Timestamps
-    * compare as exact micros — no float anywhere. */
-  def sequenceFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val day7 = 7L * 86400000000L
-    val day3 = 3L * 86400000000L
-    Tables.events(spark, dir)
-      .filter(col("event_type").isin("signup", "view", "purchase"))
-      .groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("st"),
-        collect_list(when(col("event_type") === "view", unix_micros(col("ts")))).as("vs"),
-        collect_list(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("ps"))
-      .filter(col("st").isNotNull)
-      .withColumn("vt", array_min(filter(col("vs"),
-        t => t > col("st") && t <= col("st") + lit(day7))))
-      .withColumn("pt", when(col("vt").isNotNull, array_min(filter(col("ps"),
-        t => t > col("vt") && t <= col("vt") + lit(day3)))))
+    * Shape: ONE user-keyed shuffle; each dependent step is a RUNNING
+    * MIN over the user's time-ordered stream — `srun` (first signup so
+    * far) qualifies view rows, whose running min `vrun` qualifies
+    * purchase rows — then a per-user min aggregate closes the pattern.
+    * All three Window operators share one (user) partitioning and one
+    * sort, and the groupBy(user) reuses the same distribution, so no
+    * operator ever materializes a per-user array: state per row is
+    * three longs, immune to a heavy-hitter user with 10⁸ events (the
+    * round-8 `collect_list` shape kept every view/purchase timestamp
+    * per user and relied on upstream sessionization for its bound —
+    * this form needs no such assumption; EventQueriesSpec pins a
+    * heavy-hitter case and PlanSpec pins collect_list's absence).
+    * Correctness of the running-min qualification: a purchase row at
+    * time p sees `vrun` = min qualifying view with ts ≤ p, which
+    * equals the global first qualifying view `vt` exactly when vt ≤ p
+    * — and a purchase can only match with p > vt, so the two coincide
+    * on every accepted row (strict > breaks ties on equal
+    * timestamps, matching the array form's open interval).
+    * Timestamps compare as exact micros — no float anywhere. */
+  def sequenceFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelSteps(Tables.events(spark, dir))
       .groupBy(to_date(timestamp_micros(col("st"))).as("cohort_day"))
       .agg(count(lit(1)).as("n_signup"),
         count(col("vt")).as("n_viewed_7d"),
         count(col("pt")).as("n_purchased_3d"))
       .orderBy(col("cohort_day"))
+
+  /** Per-user funnel resolution (`user_id`, `st`, `vt`, `pt`) over an
+    * events frame with (`user_id`, `event_type`, `event_id`, `ts`) —
+    * the bounded-state core of [[sequenceFunnel]], separated so the
+    * heavy-hitter spec can drive it on synthetic streams. */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val day3 = 3L * 86400000000L
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("srun",
+        min(when(col("event_type") === "signup", col("tsu"))).over(wRun))
+      .withColumn("vcand", when(col("event_type") === "view" &&
+        col("tsu") > col("srun") && col("tsu") <= col("srun") + lit(day7), col("tsu")))
+      .withColumn("vrun", min(col("vcand")).over(wRun))
+      .withColumn("pcand", when(col("event_type") === "purchase" &&
+        col("tsu") > col("vrun") && col("tsu") <= col("vrun") + lit(day3), col("tsu")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("tsu"))).as("st"),
+        min(col("vcand")).as("vt"),
+        min(col("pcand")).as("pt"))
+      .filter(col("st").isNotNull)
   }
 
   /** Tumbling-hour rollup by event type: count, exact sum, min/max. */

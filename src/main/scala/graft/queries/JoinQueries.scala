@@ -147,36 +147,48 @@ object JoinQueries {
   }
 
   /** Record linkage (entity resolution): a dirty registry — customer
-    * names through an OCR-style corruption (0→O, 1→I, 8→B) — matched
-    * back to the clean registry as BLOCK → SCORE → BEST-MATCH. Blocking
-    * on nation key turns the would-be |dirty|×|clean| cross join into a
-    * per-block equi-join (at 100 TB blocks come from multiple redundant
-    * keys — phonetic code, name prefix, zip — unioned, exactly this
-    * shape per key); the score is Levenshtein (codegen'd built-in, no
-    * UDF), and best-match-per-record is one row_number window with a
-    * deterministic (distance, candidate id) tie-break. `hit` marks
-    * whether the true identity won — the linkage-quality readout (the
-    * corruption hits digits, so a same-nation neighbor with fewer 0/1/8
-    * digits can legitimately out-score the truth; at sf0.01 ~80% are
-    * recovered, which is the realistic point of the exercise). */
+    * names through an OCR-style corruption (confusables 0→O, 1→I, 8→B
+    * plus a non-invertible smudge 9→g) — matched back to the clean
+    * registry as MULTI-KEY BLOCK → SCORE → BEST-MATCH, the production
+    * linkage shape. Two redundant blocking keys, each a per-block
+    * equi-join, unioned then deduped: K1 = (nation, segment) attribute
+    * key, K2 = confusable-folded name suffix (last 4 chars) — a record
+    * missed by one key family is usually caught by the other, which is
+    * why real pipelines (Fellegi-Sunter practice) never block on a
+    * single key. Scoring is OCR-aware: primary = Levenshtein on
+    * confusable-FOLDED names (O/I/B fold back to 0/1/8 on both sides —
+    * only the unfoldable smudges cost an edit), tie-broken by raw
+    * Levenshtein then candidate id, all codegen'd built-ins, no UDF.
+    * Best-match-per-record is one row_number window. `hit` marks
+    * whether the true identity won — the 9→g smudge keeps it
+    * non-vacuous (a same-block neighbor can still out-score a truth
+    * whose name is 9-heavy): 146/150 at sf0.01 vs 136/150 for the
+    * round-8 single-key unfolded form. */
   def entityMatch(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val dirty = cust.filter(col("c_custkey") % 10 === 3)
       .select(col("c_custkey").as("d_id"),
-        translate(col("c_name"), "018", "OIB").as("dirty_name"),
+        translate(col("c_name"), "0189", "OIBg").as("dirty_name"),
         col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    // compound block key (nation, segment): 5× smaller blocks than nation
-    // alone — the edit-distance kernel is the expensive part, so candidate
-    // count is the knob; the corruption touches neither key
-    val best = dirty
+    val k1 = dirty
       .join(cust, col("c_nationkey") === col("nk") &&
         col("c_mktsegment") === col("seg"))
-      .select(col("d_id"), col("dirty_name"), col("c_custkey").as("m_id"),
+      .select(col("d_id"), col("c_custkey").as("m_id"))
+    val k2 = dirty
+      .join(cust, substring(translate(col("dirty_name"), "OIB", "018"), -4, 4)
+        === substring(col("c_name"), -4, 4))
+      .select(col("d_id"), col("c_custkey").as("m_id"))
+    val best = k1.unionByName(k2).distinct()
+      .join(dirty.select(col("d_id"), col("dirty_name")), "d_id")
+      .join(cust.select(col("c_custkey").as("m_id"), col("c_name")), "m_id")
+      .select(col("d_id"), col("m_id"),
+        levenshtein(translate(col("dirty_name"), "OIB", "018"), col("c_name")).as("flev"),
         levenshtein(col("dirty_name"), col("c_name")).as("lev"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("d_id")).orderBy(col("lev"), col("m_id"))))
+        Window.partitionBy(col("d_id")).orderBy(col("flev"), col("lev"), col("m_id"))))
       .filter(col("rn") === 1)
-    best.select(col("d_id"), col("m_id"), col("lev").cast("long").as("lev"),
+    best.select(col("d_id"), col("m_id"), col("flev").cast("long").as("flev"),
+        col("lev").cast("long").as("lev"),
         (col("d_id") === col("m_id")).as("hit"))
       .orderBy(col("d_id"))
   }
@@ -266,17 +278,30 @@ object JoinQueries {
     // char-map translate); the tie-break (lev, m_id) is total
     "entity_match" ->
       """WITH dirty AS (
-        |  SELECT c_custkey AS d_id, translate(c_name, '018', 'OIB') AS dn,
+        |  SELECT c_custkey AS d_id, translate(c_name, '0189', 'OIBg') AS dn,
         |    c_nationkey AS nk,
         |    c_mktsegment AS seg
         |  FROM customer WHERE c_custkey % 10 = 3),
-        |cand AS (
-        |  SELECT d_id, c_custkey AS m_id, levenshtein(dn, c_name) AS lev
+        |k1 AS (
+        |  SELECT d_id, c_custkey AS m_id
         |  FROM dirty JOIN customer ON c_nationkey = nk AND c_mktsegment = seg),
+        |k2 AS (
+        |  SELECT d_id, c_custkey AS m_id
+        |  FROM dirty JOIN customer
+        |    ON substring(translate(dn, 'OIB', '018'), -4) = substring(c_name, -4)),
+        |cand AS (SELECT DISTINCT * FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)),
+        |scored AS (
+        |  SELECT c.d_id, c.m_id,
+        |    levenshtein(translate(d.dn, 'OIB', '018'), cu.c_name) AS flev,
+        |    levenshtein(d.dn, cu.c_name) AS lev
+        |  FROM cand c
+        |  JOIN dirty d ON d.d_id = c.d_id
+        |  JOIN customer cu ON cu.c_custkey = c.m_id),
         |best AS (
-        |  SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY lev, m_id) AS rn
-        |  FROM cand)
-        |SELECT d_id, m_id, CAST(lev AS BIGINT) AS lev, d_id = m_id AS hit
+        |  SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY flev, lev, m_id) AS rn
+        |  FROM scored)
+        |SELECT d_id, m_id, CAST(flev AS BIGINT) AS flev, CAST(lev AS BIGINT) AS lev,
+        |  d_id = m_id AS hit
         |FROM best WHERE rn = 1 ORDER BY d_id""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id,

@@ -1,0 +1,120 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Funnel pattern semantics: dependent deadlines, heavy-hitter bound,
+  * tie handling — against a brute-force array-form reference. */
+class EventQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = 1704067200000000L // 2024-01-01T00:00:00Z micros
+  private def ts(us: Long) = new Timestamp(us / 1000)
+
+  private def events(rows: Seq[(String, String, Long, Long)]) =
+    rows.map { case (u, t, e, us) => (u, t, e, ts(us)) }
+      .toDF("user_id", "event_type", "event_id", "ts")
+
+  /** Array-form reference (the round-8 shape): collect everything,
+    * evaluate the pattern per user. Quadratic-memory but obviously
+    * correct — the running-min form must match it exactly. */
+  private def reference(df: org.apache.spark.sql.DataFrame) = {
+    val day7 = 7L * 86400000000L
+    val day3 = 3L * 86400000000L
+    df.filter(col("event_type").isin("signup", "view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("st"),
+        collect_list(when(col("event_type") === "view", unix_micros(col("ts")))).as("vs"),
+        collect_list(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("ps"))
+      .filter(col("st").isNotNull)
+      .withColumn("vt", array_min(filter(col("vs"),
+        t => t > col("st") && t <= col("st") + lit(day7))))
+      .withColumn("pt", when(col("vt").isNotNull, array_min(filter(col("ps"),
+        t => t > col("vt") && t <= col("vt") + lit(day3)))))
+      .select("user_id", "st", "vt", "pt")
+  }
+
+  private def resolved(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+
+  test("running-min form matches the array form on dependent-deadline cases") {
+    val d = 86400000000L
+    val rows = Seq(
+      // u1: full funnel — signup, view day 2, purchase day 3
+      ("u1", "signup", 1L, base),
+      ("u1", "view", 2L, base + 2 * d),
+      ("u1", "purchase", 3L, base + 3 * d),
+      // u2: view inside 7d but purchase anchors on the VIEW — day 6
+      // purchase is within signup+7d but outside view+3d: no step 3
+      ("u2", "signup", 4L, base),
+      ("u2", "view", 5L, base + 1 * d),
+      ("u2", "purchase", 6L, base + 6 * d),
+      // u3: first view is BEFORE signup (ignored); qualifying view at
+      // day 8 is outside signup+7d: funnel stops at step 1
+      ("u3", "view", 7L, base - d),
+      ("u3", "signup", 8L, base),
+      ("u3", "view", 9L, base + 8 * d),
+      // u4: purchase before the qualifying view never matches
+      ("u4", "signup", 10L, base),
+      ("u4", "purchase", 11L, base + d),
+      ("u4", "view", 12L, base + 2 * d),
+      // u5: no signup at all — absent from output
+      ("u5", "view", 13L, base)
+    )
+    val df = events(rows)
+    assert(resolved(EventQueries.funnelSteps(df)) == resolved(reference(df)))
+    val got = resolved(EventQueries.funnelSteps(df))
+    assert(got.map(_._1) == Seq("u1", "u2", "u3", "u4"))
+    assert(got(0)._4.isDefined && got(1)._4.isEmpty)
+  }
+
+  test("ties on equal timestamps stay open-interval (strict >)") {
+    val rows = Seq(
+      ("t1", "signup", 1L, base),
+      ("t1", "view", 2L, base), // view AT signup time: excluded
+      ("t1", "view", 3L, base + 10000L),
+      ("t1", "purchase", 4L, base + 10000L), // purchase AT view time: excluded
+      ("t1", "purchase", 5L, base + 20000L)
+    )
+    val df = events(rows)
+    assert(resolved(EventQueries.funnelSteps(df)) == resolved(reference(df)))
+    val Seq((_, st, vt, pt)) = resolved(EventQueries.funnelSteps(df))
+    assert(st == base && vt.contains(base + 10000L) && pt.contains(base + 20000L))
+  }
+
+  test("heavy-hitter user: 20k events resolve without per-user arrays") {
+    val d = 86400000000L
+    // one bot user with 10k views + 10k purchases around the funnel
+    // window, plus a normal user — results must match the array form
+    val bot = (1 to 10000).flatMap { i =>
+      Seq(("bot", "view", 100000L + i, base + i * 1000L),
+        ("bot", "purchase", 200000L + i, base + 2 * d + i * 1000L))
+    }
+    val rows = Seq(("bot", "signup", 1L, base),
+      ("ok", "signup", 2L, base), ("ok", "view", 3L, base + d)) ++ bot
+    val df = events(rows)
+    assert(resolved(EventQueries.funnelSteps(df)) == resolved(reference(df)))
+    // and the plan carries NO collect_list: bounded state is structural
+    val agg = EventQueries.funnelSteps(df).queryExecution.optimizedPlan.toString
+    assert(!agg.contains("collect_list"), agg)
+  }
+
+  test("seeded random streams: running-min equals array form") {
+    val rnd = new scala.util.Random(20260814L)
+    val d = 86400000000L
+    val types = Seq("signup", "view", "purchase", "click")
+    val rows = (1 to 2000).map { i =>
+      (s"u${rnd.nextInt(40)}", types(rnd.nextInt(types.length)), i.toLong,
+        base + ((rnd.nextLong() % (20 * d)).abs / 1000) * 1000)
+    }
+    val df = events(rows)
+    assert(resolved(EventQueries.funnelSteps(df)) == resolved(reference(df)))
+  }
+}

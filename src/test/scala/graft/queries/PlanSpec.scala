@@ -187,6 +187,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("entity_match: multi-key blocking stays equi-join, never a cross product") {
+    val p = planOf("entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sequence_funnel: bounded state — no per-user collect_list anywhere") {
+    // the dependent-deadline pattern must resolve via running-min
+    // windows; a collect_list reintroduces the unbounded heavy-hitter
+    // arrays the round-8 verdict flagged
+    val p = planOf("sequence_funnel")
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("no declared query runs an unpartitioned window over unbounded input") {
     // An empty-partition-spec Window forces every input row through ONE
     // reducer — fine over a bounded (post-limit / local) relation, a
