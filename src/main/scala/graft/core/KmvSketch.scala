@@ -37,19 +37,48 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
 
   override def zero: Seq[Long] = Vector.empty
 
-  override def reduce(b: Seq[Long], a: Long): Seq[Long] = insert(b, h64(a))
+  /** Amortized append-and-compact: the working buffer is (canonical
+    * bottom-k prefix) ++ (unsorted append tail), compacted back to
+    * canonical form whenever the tail reaches k. A per-row sorted
+    * INSERT (the previous form) copies O(k) on every new minimum —
+    * O(NDV·k) element copies to build a lossless sketch, which is
+    * exactly the regime the `table_stats_sketch` row runs in (k ≥
+    * NDV ⇒ every distinct value inserts). Appending is O(1) and each
+    * compaction is one O(k log k) sort per k appends, so the build is
+    * O(n log k) regardless of how many rows insert. The sketch VALUE
+    * is unchanged: bottom-k-distinct is a pure set function of the
+    * inputs, so any append/compact schedule yields the same canonical
+    * sketch (KmvSketchSpec pins reduce-vs-sketchOf equality). */
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+    val appended = b :+ h64(a)
+    if (appended.length >= 2 * k) compact(appended) else appended
+  }
 
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
-    b2.foldLeft(b1)(insert)
+    compact(b1 ++ b2)
 
-  override def finish(b: Seq[Long]): Long =
-    if (b.size < k) b.size.toLong // lossless regime: exact distinct count
+  override def finish(b: Seq[Long]): Long = {
+    val c = compact(b)
+    if (c.size < k) c.size.toLong // lossless regime: exact distinct count
     else {
       // k-th minimum as an UNSIGNED fraction of the 2⁶⁴ hash space (only
       // negative longs wrap by 2⁶⁴ — a global shift would halve the space)
-      val kth = b.last
+      val kth = c.last
       val u = if (kth >= 0) kth.toDouble else kth.toDouble + math.pow(2.0, 64)
       math.round((k - 1).toDouble * math.pow(2.0, 64) / u)
+    }
+  }
+
+  /** Canonical form: distinct hashes in unsigned ascending order,
+    * trimmed to the k smallest. Idempotent; `sketchOf` produces it
+    * directly and `merge`/`finish` restore it after appends. */
+  private[core] def compact(b: Seq[Long]): Seq[Long] =
+    if (b.isEmpty) b
+    else {
+      val arr = b.toArray
+      java.util.Arrays.sort(arr) // signed: negatives (unsigned top half) first
+      val (neg, pos) = arr.partition(_ < 0)
+      (pos.iterator ++ neg.iterator).distinct.take(k).toVector
     }
 
   /** Bulk build: sketch a whole batch in O(n log n) instead of n O(k)
@@ -62,23 +91,6 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Seq[Long], Long] {
     java.util.Arrays.sort(hashed) // signed sort: flip halves for unsigned order
     val (neg, pos) = hashed.partition(_ < 0)
     (pos.iterator ++ neg.iterator).distinct.take(k).toVector
-  }
-
-  /** Sorted-unsigned insert keeping ≤ k distinct values; O(log k) search
-    * + O(k) copy — the sketch is tiny by construction. */
-  private def insert(b: Seq[Long], h: Long): Seq[Long] = {
-    val v = b.toVector
-    var lo = 0; var hi = v.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (java.lang.Long.compareUnsigned(v(mid), h) < 0) lo = mid + 1 else hi = mid
-    }
-    if (lo < v.length && v(lo) == h) v // already present
-    else if (lo >= k) v // larger than the current k-th minimum
-    else {
-      val grown = (v.take(lo) :+ h) ++ v.drop(lo)
-      if (grown.length > k) grown.take(k) else grown
-    }
   }
 
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
@@ -98,7 +110,9 @@ class KmvSketchBuffer(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def zero: Seq[Long] = inner.zero
   override def reduce(b: Seq[Long], a: Long): Seq[Long] = inner.reduce(b, a)
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = inner.merge(b1, b2)
-  override def finish(b: Seq[Long]): Seq[Long] = b
+  // compact: the working buffer may carry an unsorted append tail;
+  // consumers of the RETURNED sketch rely on canonical bottom-k form
+  override def finish(b: Seq[Long]): Seq[Long] = inner.compact(b)
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }

@@ -389,9 +389,37 @@ object RelationalQueries {
       .orderBy(col("col_name"))
   }
 
+  /** [[tableStats]]'s promised 100 TB regime, pinned: the same one-pass
+    * unpivot plan with every exact `countDistinct` swapped for the
+    * mergeable KMV sketch ([[graft.core.KmvSketch]]), run at LOSSLESS
+    * parameterization (k = 2²⁰ ≥ every column's true NDV at every
+    * fixture SF) so the row hash-checks against plain COUNT(DISTINCT).
+    * Values enter the sketch e2-fixed (CAST(round(c·100) AS BIGINT)) —
+    * injective on these 2-decimal columns, so NDV is preserved and no
+    * double ever reaches the hash. Partial buffers stay bounded by
+    * per-partition row counts (append-tail form), merge sorts once —
+    * at k ≪ n the identical plan degrades gracefully to KMV's
+    * estimation envelope instead of a size-of-data distinct shuffle. */
+  def tableStatsSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax")
+    val kmv = udaf(new graft.core.KmvDistinct(1 << 20),
+      implicitly[org.apache.spark.sql.Encoder[Long]])
+    val li = Tables.lineitem(spark, dir)
+    val aggs = cols.map(c =>
+      kmv(expr(s"CAST(round($c * 100) AS BIGINT)")).as(s"${c}__ndv"))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(s"${c}__ndv").as("ndv"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.ndv"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kcore_peel" -> (kcorePeel _),
     "table_stats" -> (tableStats _),
+    "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
     "pagerank" -> (pagerank _),
     "label_prop" -> (labelProp _),
@@ -494,6 +522,13 @@ object RelationalQueries {
            |  CAST(round(MIN($c) * 100) AS BIGINT) AS min_e2,
            |  CAST(round(MAX($c) * 100) AS BIGINT) AS max_e2
            |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
+    // the sketch runs lossless (k >= true NDV), so its estimate IS the
+    // exact distinct count — same oracle semantics as table_stats' ndv
+    "table_stats_sketch" ->
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax").map { c =>
+        s"SELECT '$c' AS col_name, CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem"
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"),
     // path enumeration bounded by hop < 3, min-hop aggregated after —
     // identical semantics to the frontier rounds (a revisited node keeps

@@ -90,6 +90,35 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
   }
 
+  /** FILTERED graph search at the exact regime: the metadata predicate
+    * (label % 4 = 1, the `ivf_filtered_precision` predicate — Chroma's
+    * `where=` applies to its HNSW serving path too, app.py:409) rides
+    * INSIDE the beam via the admitted-id flag, so matching rows can't
+    * be crowded out of a bounded beam by closer non-matching ones; at
+    * unbounded ef the result must equal brute force over the filtered
+    * corpus — graph traversal THROUGH filtered-out nodes included, or
+    * matching regions behind them go missing and the hash breaks. */
+  def nswFilteredPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.search(nswGraph(spark, dir), q, k = 13, ef = Int.MaxValue,
+        admitted = emb.filter(col("label") % 4 === 1).select(col("vec_id")))
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
+  /** [[nswFilteredPrecision]] through the HNSW hierarchy: descent stays
+    * unfiltered navigation, the layer-0 beam admits only matching rows
+    * — exhaustive beam ⇒ equality with filtered brute force. */
+  def hnswFilteredPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    graft.scale.Nsw.searchHnsw(hnswGraph(spark, dir), q, k = 13, ef = Int.MaxValue,
+        admitted = emb.filter(col("label") % 4 === 1).select(col("vec_id")))
+      .select(col("vec_id"), round(col("dist") * 10000).cast("long").as("dist_e4"))
+  }
+
   /** Sharded HNSW graph (hierarchical layers over the same guarded
     * construction) per (session, dir), cached: hnsw_topk and
     * hnsw_precision descend the SAME persisted hierarchy. */
@@ -920,6 +949,8 @@ object ScaleQueries {
     "ivfpq_topk" -> (ivfpqTopk _),
     "nsw_topk" -> (nswTopk _),
     "nsw_precision" -> (nswPrecision _),
+    "nsw_filtered_precision" -> (nswFilteredPrecision _),
+    "hnsw_filtered_precision" -> (hnswFilteredPrecision _),
     "nsw_insert_precision" -> (nswInsertPrecision _),
     "hnsw_insert_precision" -> (hnswInsertPrecision _),
     "hnsw_topk" -> (hnswTopk _),
@@ -1127,6 +1158,20 @@ object ScaleQueries {
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
          |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // brute force over the FILTERED corpus — the admitted-flag beam with
+    // ef = ∞ must reproduce it through (not around) filtered-out nodes
+    "nsw_filtered_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q WHERE e.label % 4 = 1)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    "hnsw_filtered_precision" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${sqL2Sql("e.embedding", "q.q_emb")} AS d
+         |      FROM embeddings e CROSS JOIN q WHERE e.label % 4 = 1)
          |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
          |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
     // the incrementally-grown graphs must stay exhaustive at ef = ∞: the

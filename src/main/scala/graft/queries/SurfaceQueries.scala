@@ -169,6 +169,83 @@ object SurfaceQueries {
       .orderBy(col("lang"))
   }
 
+  /** WATERMARKED streaming dedup under the oracle gate — the
+    * production form of [[streamDedup]], where
+    * `dropDuplicatesWithinWatermark` bounds state instead of holding
+    * every key forever: a re-crawl that redelivers a document WITHIN
+    * the 5-day horizon is dropped by live state, and one that
+    * redelivers BEYOND it (at a fresh crawl time) is re-admitted
+    * because the key's state aged out — both behaviors observed in one
+    * deterministic replay. Three files drain one per trigger
+    * (mtime-ordered):
+    *   A = events with ts < Jan 21 (the stream head; after it the
+    *       watermark stands at maxA − 5d ≈ Jan 16);
+    *   B = days 16–20 redelivered at ts+1d — above the watermark,
+    *       state alive (expiry ≥ Jan 21) → all dropped; B's only
+    *       effect is advancing the watermark to maxA + 1d − 5d and
+    *       aging day-1–3 state fully out (eviction runs at batch END,
+    *       which is why the expired-key redelivery needs its own later
+    *       batch — probed behavior, pinned here);
+    *   C = days 1–3 redelivered at ts+17d (≥ Jan 18 > watermark,
+    *       state evicted → RE-EMITTED) plus days 18–20 at ts+2d
+    *       (state alive → dropped).
+    * The declared row is a per-day rollup of the checkpointed sink;
+    * the oracle reconstructs it exactly: A ∪ (days 1–3 shifted +17d).
+    * Every decision sits ≥ 1 day from a watermark boundary at all
+    * SFs, so the replay is SF-stable. State per key is 16 bytes and,
+    * unlike [[streamDedup]]'s unbounded form, is FREED at
+    * watermark+delay — the property that lets a continuous crawl run
+    * for months. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swm-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    def tsLit(d: String) = lit(d).cast("timestamp")
+    def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = landing.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      // the file source drains oldest-mtime first: explicit mtimes pin
+      // the A -> B -> C batch order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage("crawl_a.parquet", ev.filter(col("ts") < tsLit("2024-01-21")), 300)
+    stage("crawl_b.parquet",
+      ev.filter(col("ts") >= tsLit("2024-01-16") && col("ts") < tsLit("2024-01-21"))
+        .withColumn("ts", col("ts") + expr("interval 1 day")), 200)
+    stage("crawl_c.parquet",
+      ev.filter(col("ts") < tsLit("2024-01-04"))
+        .withColumn("ts", col("ts") + expr("interval 17 days"))
+        .unionByName(
+          ev.filter(col("ts") >= tsLit("2024-01-18") && col("ts") < tsLit("2024-01-21"))
+            .withColumn("ts", col("ts") + expr("interval 2 days"))), 100)
+    val out = s"$tmp/uniq"
+    val q = spark.readStream.schema(spark.read.parquet(landing.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withWatermark("ts", "5 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -209,6 +286,7 @@ object SurfaceQueries {
     "stream_windowed" -> (streamWindowed _),
     "stream_relay_rollup" -> (streamRelayRollup _),
     "stream_dedup" -> (streamDedup _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
     "salted_agg" -> (saltedAgg _)
   )
 
@@ -258,6 +336,18 @@ object SurfaceQueries {
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // sink contents the watermark semantics predict exactly: all of
+    // crawl A, none of B (within-horizon dups), and only C's
+    // beyond-horizon redeliveries (days 1-3 at +17d)
+    "stream_dedup_watermark" ->
+      """WITH a AS (
+        |  SELECT event_id, ts FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+        |c AS (
+        |  SELECT event_id, ts + INTERVAL 17 DAY AS ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-04')
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM c)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag AS key,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

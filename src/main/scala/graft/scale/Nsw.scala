@@ -62,8 +62,9 @@ object Nsw {
   private[scale] def beamSearch(
       vecs: java.util.HashMap[Long, Array[Float]],
       adj: Long => Array[Long],
-      entry: Long, q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] =
-    beamSearchFrom(vecs, adj, Seq(entry), q, ef)
+      entry: Long, q: Array[Float], ef: Int,
+      admit: Long => Boolean = _ => true): IndexedSeq[(Long, Double)] =
+    beamSearchFrom(vecs, adj, Seq(entry), q, ef, admit)
 
   /** [[beamSearch]] seeded with SEVERAL entry points — the layer-0 form
     * the HNSW searches need for exactness: connectivity is guaranteed
@@ -72,10 +73,22 @@ object Nsw {
     * back-edge may be the only path from that region back to the root's
     * subtree. Seeding with {descent entry, root} keeps the hierarchy's
     * entry quality AND the root's reachability guarantee. */
+  /** `admit` is the FILTERED-search hook (the Chroma `where=` analog,
+    * hnswlib's filter-functor shape): navigation traverses the WHOLE
+    * graph — frontier and visited-set ignore the predicate, because
+    * non-matching nodes may be the only path between matching regions —
+    * but only admitted nodes enter the RESULT heap, and the beam's
+    * termination bound reads that heap, so the search keeps expanding
+    * until it holds ef admitted candidates (it cannot be crowded out by
+    * closer non-matching rows, which a post-filter would be). With an
+    * unbounded ef this visits every reachable node and returns every
+    * admitted one — exact search over the filtered corpus, the
+    * `nsw_filtered_precision` contract. */
   private[scale] def beamSearchFrom(
       vecs: java.util.HashMap[Long, Array[Float]],
       adj: Long => Array[Long],
-      entries: Seq[Long], q: Array[Float], ef: Int): IndexedSeq[(Long, Double)] = {
+      entries: Seq[Long], q: Array[Float], ef: Int,
+      admit: Long => Boolean = _ => true): IndexedSeq[(Long, Double)] = {
     val visited = new java.util.HashSet[Long]()
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord.reverse)
     val kept = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
@@ -83,8 +96,10 @@ object Nsw {
       if (visited.add(entry)) {
         val d0 = sqDist(vecs.get(entry), q)
         cand.enqueue((d0, entry))
-        kept.enqueue((d0, entry))
-        if (kept.size > ef) kept.dequeue()
+        if (admit(entry)) {
+          kept.enqueue((d0, entry))
+          if (kept.size > ef) kept.dequeue()
+        }
       }
     }
     var done = false
@@ -100,8 +115,10 @@ object Nsw {
             val dv = sqDist(vecs.get(v), q)
             if (kept.size < ef || ord.lt((dv, v), kept.head)) {
               cand.enqueue((dv, v))
-              kept.enqueue((dv, v))
-              if (kept.size > ef) kept.dequeue()
+              if (admit(v)) {
+                kept.enqueue((dv, v))
+                if (kept.size > ef) kept.dequeue()
+              }
             }
           }
           i += 1
@@ -355,22 +372,37 @@ object Nsw {
 
   /** Beam-search every shard graph for `q`, merge per-shard candidates
     * into the global top-k by (dist, id). `ef` bounds per-shard work;
-    * ef ≥ shard size makes the search exact (see [[beamSearch]]). */
-  def search(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32): DataFrame = {
+    * ef ≥ shard size makes the search exact (see [[beamSearch]]).
+    *
+    * `admitted` (optional) is the metadata predicate of a FILTERED
+    * search, resolved to a one-column `vec_id` frame (e.g.
+    * `embeddings.filter(label % 4 === 1).select("vec_id")`): it
+    * equi-joins onto the graph rows as a flag — distributed, never a
+    * driver collect — and the flag gates the beam's RESULT heap while
+    * navigation still crosses non-matching nodes (see
+    * [[beamSearchFrom]]). Unbounded ef ⇒ exact top-k over the filtered
+    * corpus; a post-filter would instead return fewer than k rows
+    * whenever the unfiltered top-ef crowds matches out. */
+  def search(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32,
+      admitted: DataFrame = null): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     val beam = math.max(ef, k)
-    graph
-      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+    flagged(graph.select(col("shard"), col("vec_id"), col("embedding"),
+        col("neighbors")), admitted)
       .repartition(col("shard"))
-      .as[(Int, Long, Array[Float], Array[Long])]
+      .as[(Int, Long, Array[Float], Array[Long], Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
           val vecs = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
           val adj = new java.util.HashMap[Long, Array[Long]](rows.length * 2)
-          rows.foreach { r => vecs.put(r._2, r._3); adj.put(r._2, r._4) }
+          val adm = new java.util.HashSet[Long](rows.length * 2)
+          rows.foreach { r =>
+            vecs.put(r._2, r._3); adj.put(r._2, r._4)
+            if (r._5) adm.add(r._2)
+          }
           val entry = rows.iterator.map(_._2).min
-          beamSearch(vecs, adj.get(_), entry, q, beam)
+          beamSearch(vecs, adj.get(_), entry, q, beam, adm.contains(_))
             .take(k).iterator.map { case (id, d) => (id, d) }
         }
       }
@@ -379,15 +411,27 @@ object Nsw {
       .limit(k)
   }
 
+  /** Left-join the admitted-id frame onto graph rows as a boolean
+    * flag; a null `admitted` admits everything without a join. */
+  private def flagged(g: DataFrame, admitted: DataFrame): DataFrame =
+    if (admitted == null) g.withColumn("__adm", org.apache.spark.sql.functions.lit(true))
+    else g.join(
+      admitted.select(col("vec_id").cast("long").as("vec_id"))
+        .distinct().withColumn("__adm", org.apache.spark.sql.functions.lit(true)),
+      Seq("vec_id"), "left")
+      .withColumn("__adm", coalesce(col("__adm"), org.apache.spark.sql.functions.lit(false)))
+      .select(g.columns.map(col) :+ col("__adm"): _*)
+
   /** Hybrid search over a [[buildByCell]] graph: probe only the `nprobe`
     * nearest cells' shard graphs (centroid ranking shared with
     * `Ivf.search` via [[Ivf.nearestCells]]), beam inside each. With
     * nprobe = nlist and an unbounded beam this is exhaustive and exact —
-    * the `nswivf_precision` oracle regime. */
+    * the `nswivf_precision` oracle regime. `admitted` as in [[search]]. */
   def searchPruned(graph: DataFrame, centroids: Array[Array[Float]],
-      q: Array[Float], k: Int = 13, nprobe: Int = 3, ef: Int = 32): DataFrame = {
+      q: Array[Float], k: Int = 13, nprobe: Int = 3, ef: Int = 32,
+      admitted: DataFrame = null): DataFrame = {
     val cells = Ivf.nearestCells(centroids, q, nprobe)
-    search(graph.filter(col("shard").isInCollection(cells)), q, k, ef)
+    search(graph.filter(col("shard").isInCollection(cells)), q, k, ef, admitted)
   }
 
   // ------------------------------------------------------------------ HNSW
@@ -617,14 +661,19 @@ object Nsw {
       val vecs: java.util.HashMap[Long, Array[Float]],
       val layers: java.util.HashMap[Long, Array[Array[Long]]],
       val entry: Long, val entryLevel: Int, val root: Long) {
-    def search(q: Array[Float], k: Int, beam: Int): Iterator[(Long, Double)] = {
+    /** `admit` gates only the layer-0 RESULT heap: the upper-layer
+      * descent is pure navigation (its output is an entry point, not a
+      * result), so it ignores the predicate — filtering it could strand
+      * the descent in an all-filtered region with an empty beam. */
+    def search(q: Array[Float], k: Int, beam: Int,
+        admit: Long => Boolean = _ => true): Iterator[(Long, Double)] = {
       var cur = entry
       var l = entryLevel
       while (l > 0) { // any node present at layer l has level >= l
         cur = beamSearch(vecs, n => layers.get(n)(l), cur, q, 1).head._1
         l -= 1
       }
-      beamSearchFrom(vecs, n => layers.get(n)(0), Seq(cur, root).distinct, q, beam)
+      beamSearchFrom(vecs, n => layers.get(n)(0), Seq(cur, root).distinct, q, beam, admit)
         .take(k).iterator
     }
   }
@@ -644,18 +693,24 @@ object Nsw {
   /** HNSW search: per shard, greedy-descend from the top-layer entry
     * through layers L..1, then beam at layer 0 with `ef` (seeded with
     * the root as well — see [[HnswShard]]); merge shards into the global
-    * top-k. ef ≥ shard size is exact. */
-  def searchHnsw(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32): DataFrame = {
+    * top-k. ef ≥ shard size is exact. `admitted` is the filtered-search
+    * predicate frame as in [[search]] — applied inside the layer-0
+    * beam, never to the descent. */
+  def searchHnsw(graph: DataFrame, q: Array[Float], k: Int = 13, ef: Int = 32,
+      admitted: DataFrame = null): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
     val beam = math.max(ef, k)
-    graph
-      .select(col("shard"), col("vec_id"), col("embedding"), col("level"), col("layers"))
+    flagged(graph.select(col("shard"), col("vec_id"), col("embedding"),
+        col("level"), col("layers")), admitted)
       .repartition(col("shard"))
-      .as[(Int, Long, Array[Float], Int, Array[Array[Long]])]
+      .as[(Int, Long, Array[Float], Int, Array[Array[Long]], Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          loadHnswShard(rows).search(q, k, beam)
+          val adm = new java.util.HashSet[Long](rows.length * 2)
+          rows.foreach { r => if (r._6) adm.add(r._2) }
+          loadHnswShard(rows.map(r => (r._1, r._2, r._3, r._4, r._5)))
+            .search(q, k, beam, adm.contains(_))
         }
       }
       .toDF("vec_id", "dist")

@@ -36,14 +36,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(agg.merge(ab, ab) == ab) // idempotent on duplicates
   }
 
-  test("sketch buffer never exceeds k and stays unsigned-sorted") {
+  test("working buffer stays under 2k; compact/finish restore canonical bottom-k") {
     val agg = new KmvDistinct(16)
     val b = (0L until 1000L).foldLeft(agg.zero)(agg.reduce)
-    assert(b.size == 16)
-    assert(b.sliding(2).forall {
+    // append-tail form: the working buffer may carry up to k-1 pending
+    // appends, but never reaches the 2k compaction threshold
+    assert(b.size < 32, s"uncompacted tail exceeded bound: ${b.size}")
+    val c = agg.merge(b, agg.zero) // merge compacts to canonical form
+    assert(c.size == 16)
+    assert(c.sliding(2).forall {
       case Seq(x, y) => java.lang.Long.compareUnsigned(x, y) < 0
       case _ => true
     })
+    // canonical form is a pure set function: any reduce/merge schedule
+    // equals the bulk build
+    assert(c == agg.sketchOf(0L until 1000L))
+    val split = agg.merge(
+      (0L until 500L).foldLeft(agg.zero)(agg.reduce),
+      (500L until 1000L).foldLeft(agg.zero)(agg.reduce))
+    assert(split == c)
   }
 
   test("sketch algebra: exact set ops below k, bounded estimates above") {

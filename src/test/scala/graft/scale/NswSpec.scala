@@ -54,6 +54,37 @@ class NswSpec extends SparkSpec {
     }
   }
 
+  test("filtered search: exact over the filtered corpus; in-beam filter beats post-filter") {
+    // sparse predicate (1 in 16 ids): exact filtered brute force at
+    // unbounded beam, for flat AND hnsw paths
+    val admitted = emb.filter(col("vec_id") % 16 === 3).select(col("vec_id"))
+    val admIds = admitted.as[Long].collect().toSet
+    val q = queryVec(0L)
+    def exactFiltered(k: Int): Seq[Long] =
+      emb.filter(col("vec_id") % 16 === 3)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().toSeq
+        .map { case (id, v) => (id, v.zip(q).map { case (a, b) => (a - b).toDouble * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    val gotFlat = Nsw.search(graph, q, k = 13, ef = Int.MaxValue, admitted = admitted)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotFlat == exactFiltered(13), "flat filtered search diverged from brute force")
+    val hg = Nsw.buildHnsw(emb, numShards = 4)
+    val gotH = Nsw.searchHnsw(hg, q, k = 13, ef = Int.MaxValue, admitted = admitted)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotH == exactFiltered(13), "hnsw filtered search diverged from brute force")
+    // bounded beam: the in-beam filter returns k admitted rows; a
+    // POST-filter of the same-ef unfiltered search is crowded out
+    val inBeam = Nsw.search(graph, q, k = 13, ef = 24, admitted = admitted)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(inBeam.size == 13, s"in-beam filter returned ${inBeam.size} rows")
+    assert(inBeam.forall(admIds), "in-beam filter leaked a non-matching row")
+    val postFiltered = Nsw.search(graph, q, k = 13, ef = 24)
+      .select("vec_id").as[Long].collect().toSeq.filter(admIds)
+    assert(postFiltered.size < 13,
+      s"post-filter unexpectedly kept ${postFiltered.size} rows — predicate not sparse enough to pin the contrast")
+  }
+
   test("working-beam search reaches high recall vs exact top-13") {
     val qids = Seq(0L, 7L, 42L, 123L, 321L)
     val recalls = qids.map { qid =>

@@ -174,6 +174,36 @@ class StreamsSpec extends SparkSpec {
     assert(batchIds == Seq(1L, 2L))
   }
 
+  test("watermark EVICTS dedup state: beyond-horizon redelivery re-admits, within-horizon drops") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "event_id", "event_type"), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("wm_evict").start()
+    try {
+      // b1: keys 1 (expiry 03:00) and 2 (expiry 04:30)
+      input.addData((ts("01:00"), 1L, "a"), (ts("02:30"), 2L, "a"))
+      q.processAllAvailable()
+      // b2: advance event time; watermark after this batch = 03:30
+      input.addData((ts("05:30"), 3L, "a"))
+      q.processAllAvailable()
+      // b3: runs AT watermark 03:30 — its end-of-batch cleanup evicts
+      // key 1 (expiry 03:00 < 03:30) and keeps key 2 (04:30); eviction
+      // happens at batch END, which is why the redelivery below needs
+      // its own later batch (the file-replay query pins the same)
+      input.addData((ts("06:00"), 4L, "a"))
+      q.processAllAvailable()
+      // b4: key 1 redelivered beyond its horizon -> re-admitted;
+      // key 2 redelivered with state alive -> dropped
+      input.addData((ts("05:00"), 1L, "a"), (ts("05:00"), 2L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("wm_evict").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 1L, 2L, 3L, 4L),
+      s"expected key 1 re-admitted after eviction, key 2 still deduped: $ids")
+  }
+
   test("stream-stream interval join matches purchases to in-window signups only") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-0$s:00")
