@@ -151,6 +151,114 @@ class TransformerSpec extends SparkSpec {
     assert(rnd.sum / rnd.size < 0.95, s"embedding space collapsed: mean random cos ${rnd.sum / rnd.size}")
   }
 
+  test("trainer backward matches finite-difference gradients (the chain rule has no typos)") {
+    val cfg = Config(vocab = 16, dModel = 8, nHeads = 2, nLayers = 2, dFf = 12, maxLen = 8)
+    val w = new Array[Double](cfg.totalFloats)
+    var z = 7L
+    def nxt(): Double = {
+      z += 0x9E3779B97F4A7C15L; var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      (((x ^ (x >>> 31)) >>> 11).toDouble / (1L << 53) - 0.5) * 0.6
+    }
+    for (i <- w.indices) w(i) = nxt()
+    val docs = Array(Array(1, 5, 3, 2), Array(7, 2, 9), Array(4, 4, 11, 6, 1))
+    def lossOf(wt: Array[Double]): Double = {
+      val tr = new TinyTransformer.Trainer(cfg, wt)
+      tr.infoNceBackward(docs.map(tr.forward), docs.reverse.map(tr.forward), 0.2)
+    }
+    val tr = new TinyTransformer.Trainer(cfg, w)
+    tr.infoNceBackward(docs.map(tr.forward), docs.reverse.map(tr.forward), 0.2)
+    val g = tr.grad.clone()
+    val rnd = new scala.util.Random(11)
+    var checked = 0
+    for (_ <- 1 to 60) {
+      val i = rnd.nextInt(cfg.totalFloats)
+      val h = 1e-5
+      val wp = w.clone(); wp(i) += h
+      val wm = w.clone(); wm(i) -= h
+      val num = (lossOf(wp) - lossOf(wm)) / (2 * h)
+      val ana = g(i)
+      if (math.abs(num) > 1e-9 || math.abs(ana) > 1e-9) {
+        checked += 1
+        val rel = math.abs(num - ana) / math.max(1e-6, math.max(math.abs(num), math.abs(ana)))
+        assert(rel < 1e-3, s"gradient mismatch at weight $i: analytic=$ana numeric=$num rel=$rel")
+      }
+    }
+    assert(checked > 20, s"only $checked informative gradient samples — probe too sparse")
+  }
+
+  test("batch-hard triplet fine-tune: attention blocks alone beat the mean-word2vec margin") {
+    val cfg = Config(vocab = 2048, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val corpus = texts.map(_._2).toIndexedSeq
+    // positives from the engine's own symbolic miner signal: word-5-gram
+    // Jaccard >= 0.5 (PrefixJoin.wordKGrams semantics in plain Scala)
+    def grams5(t: String): Set[String] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val gsets = corpus.map(grams5)
+    val mined = (for {
+      a <- corpus.indices; b <- (a + 1) until corpus.length
+      ia = gsets(a); ib = gsets(b)
+      if ia.nonEmpty && ib.nonEmpty
+      inter = ia.intersect(ib).size
+      if inter * 2 >= (ia.size + ib.size - inter)
+    } yield (a, b)).toIndexedSeq
+    assert(mined.nonEmpty, "fixture should contain 5-gram near-dup pairs")
+    val minedSet = mined.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+
+    val sg = TinyTransformer.trainSkipGram(corpus, cfg)
+    val tw = TinyTransformer.trainTripletHard(corpus, cfg, mined) // ~5 min: the
+    // full 600-epoch (early-stopped) batch-hard schedule — shorter schedules
+    // demonstrably do NOT converge past the baseline, so the cost is the test
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def margins(wts: Array[Float]): (Double, Double) = {
+      val s = new Session(cfg, wts)
+      val vecs = corpus.indices.map(i => i -> s.encode(corpus(i))).toMap
+      var minMargin = Double.MaxValue
+      mined.foreach { case (a, b) =>
+        val va = vecs(a)
+        val others = corpus.indices.filter(o => o != a && !minedSet((a, o))).map(o => cos(va, vecs(o)))
+        val m = cos(va, vecs(b)) - others.max
+        if (m < minMargin) minMargin = m
+      }
+      val rnd = for (a <- 0 until 40; b <- 0 until 40 if a < b && !minedSet((a, b)))
+        yield cos(vecs(a), vecs(b))
+      (minMargin, rnd.sum / rnd.size)
+    }
+    val (mSg, _) = margins(sg)
+    val (mTw, randTw) = margins(tw)
+    // the attribution proof: embeddings are BIT-IDENTICAL (frozen), so the
+    // margin win is carried entirely by the trained attention/FFN blocks
+    val embLen = cfg.vocab * cfg.dModel + cfg.maxLen * cfg.dModel
+    assert(tw.slice(0, embLen).toSeq == sg.slice(0, embLen).toSeq,
+      "frozen embeddings must stay bit-identical to the skip-gram checkpoint")
+    assert(tw.drop(embLen).toSeq != sg.drop(embLen).toSeq,
+      "the mixing layers must actually have trained")
+    assert(mTw > mSg,
+      s"attention-trained margin $mTw must beat mean-word2vec margin $mSg")
+    assert(mTw > 0, "every mined pair must stay top-1")
+    assert(randTw < 0.5, s"space must stay spread, mean random cos $randTw")
+  }
+
+  test("triplet fine-tune is deterministic on a tiny run") {
+    val cfg = Config(vocab = 64, dModel = 16, nHeads = 2, nLayers = 1, dFf = 24, maxLen = 16)
+    val corpus = IndexedSeq("alpha beta gamma delta", "alpha beta gamma epsilon",
+      "zeta eta theta iota", "zeta eta theta kappa", "mu nu xi omicron pi rho")
+    val pairs = IndexedSeq((0, 1), (2, 3))
+    val a = TinyTransformer.trainTripletHard(corpus, cfg, pairs, epochs = 30)
+    val b = TinyTransformer.trainTripletHard(corpus, cfg, pairs, epochs = 30)
+    assert(a.toSeq == b.toSeq, "same texts + seed must give a bit-identical checkpoint")
+  }
+
   test("neural session runs through the seam: one load per partition") {
     val cfg = Config(vocab = 1024, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
     val path = tmpDir("tt2").resolve("w.bin").toString
