@@ -426,6 +426,122 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Trailing-7-day distinct users per day by KMV SKETCH ALGEBRA over
+    * time — the dashboard query ("rolling weekly actives") that naive
+    * SQL answers with a 7× self-join or a 7-day re-scan per day:
+    * instead, ONE corpus pass builds a per-day sketch
+    * ([[graft.core.KmvSketchBuffer]], the `source_overlap` machinery
+    * pointed at the time axis), and each window's distinct count is a
+    * driver-side merge of ≤ 7 day-sketches — bounded by the calendar
+    * (30 summaries × k longs), never by event volume. Incremental by
+    * construction: a new day appends one sketch, the previous 29 never
+    * recompute. Lossless here (k = 4096 ≥ 150 users ⇒ the COUNT
+    * (DISTINCT) oracle matches exactly); k ≪ n at scale inherits KMV's
+    * envelope. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4096
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(udaf(new graft.core.KmvSketchBuffer(k),
+        org.apache.spark.sql.Encoders.scalaLong)(col("user_id")).as("sk"))
+      .as[(java.sql.Date, Seq[Long])].collect().sortBy(_._1.getTime)
+    val est = new graft.core.KmvDistinct(k)
+    val out = daily.indices.map { i =>
+      val (day, _) = daily(i)
+      val lo = day.getTime - 6L * 86400000L
+      val window = daily.filter { case (d, _) =>
+        d.getTime >= lo && d.getTime <= day.getTime }
+      val merged = window.map(_._2).reduce(est.merge)
+      (day, window.length, est.finish(merged))
+    }
+    out.toDF("day", "n_days", "n_users_7d").orderBy(col("day"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov drift statistic between the
+    * click and purchase value distributions — the distribution-shift
+    * alarm a training pipeline runs between corpus snapshots, here in
+    * its exact integer form: with counts on the e2 (cent) grid, the KS
+    * numerator max_c |F₁(c)·N₂ − F₂(c)·N₁| is pure long arithmetic and
+    * the statistic exports as `ks_num / (N₁·N₂)` e6-fixed — no float
+    * CDF anywhere, so the oracle replays it digit-for-digit (the KL
+    * sibling `source_kl` measures density drift; KS measures the CDF
+    * sup-gap and needs no binning choice).
+    *
+    * Shape: one partial-aggregated groupBy on the cent grid (≤ 49k
+    * rows — the VALUE DOMAIN, not the event count), then the running
+    * CDFs via the chunked-cumulative decomposition (windows partition
+    * by `c div 2500` — ~20 chunks growing with the domain; carry-ins
+    * come from the chunk-summary frame, collected driver-side bounded
+    * by the same domain parameterization). The final max+argmax is one
+    * struct-max aggregate. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("ib"))
+      .groupBy(col("c"))
+      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      .withColumn("chunk", expr("c div 2500"))
+    // chunk totals: ≤ 20 rows (value domain / 2500) — driver-bounded
+    val totals = g.groupBy(col("chunk"))
+      .agg(sum(col("na")).as("cna"), sum(col("nb")).as("cnb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n1 = totals.map(_._2).sum
+    val n2 = totals.map(_._3).sum
+    val carryA = totals.scanLeft(0L)(_ + _._2).init
+    val carryB = totals.scanLeft(0L)(_ + _._3).init
+    val carry = totals.indices
+      .map(i => (totals(i)._1, carryA(i), carryB(i)))
+      .toDF("chunk", "carry_a", "carry_b")
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(broadcast(carry), Seq("chunk"))
+      .withColumn("fa", col("carry_a") + sum(col("na")).over(wIn))
+      .withColumn("fb", col("carry_b") + sum(col("nb")).over(wIn))
+      .withColumn("diff", abs(col("fa") * lit(n2) - col("fb") * lit(n1)))
+      .agg(max(struct(col("diff"), (-col("c")).as("negc"))).as("m"))
+      .select(lit(n1).as("n_click"), lit(n2).as("n_purchase"),
+        col("m.diff").as("ks_num"),
+        expr(s"(m.diff * 1000000) div (${n1}L * ${n2}L)").as("ks_e6"),
+        (-col("m.negc")).as("at_cent"))
+  }
+
+  /** Bitmap-index membership algebra ([[graft.core.BitsetAgg]] — the
+    * warehouse bitmap-index / Roaring dense-container primitive): ONE
+    * pass folds "users with a high-value event of this type" into a
+    * per-type bit array (OR-monoid, partial-aggregated map-side like
+    * any sketch), then every pairwise AND/OR cardinality — the
+    * "segment overlap" audience questions — is a word-wise popcount
+    * over five 8 KB summaries, never a fact-table re-join. EXACT,
+    * unlike the KMV family, because the user domain is enumerable; at
+    * a larger id domain the same algebra runs on Roaring containers.
+    * Oracle: pairwise COUNT DISTINCT joins over the same membership. */
+  def bitmapOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBits = 1 << 16 // covers user_id < 65536 at every fixture SF
+    val bitmaps = Tables.events(spark, dir)
+      .filter(col("value") > 200)
+      .groupBy(col("event_type"))
+      .agg(udaf(new graft.core.BitsetAgg(nBits),
+        org.apache.spark.sql.Encoders.scalaLong)(col("user_id")).as("bm"))
+      .as[(String, Array[Long])].collect().sortBy(_._1)
+    val out = for {
+      i <- bitmaps.indices
+      j <- (i + 1) until bitmaps.length
+    } yield {
+      val (ta, ba) = bitmaps(i)
+      val (tb, bb) = bitmaps(j)
+      (ta, tb, graft.core.Bitset.popcount(ba), graft.core.Bitset.popcount(bb),
+        graft.core.Bitset.andCount(ba, bb), graft.core.Bitset.orCount(ba, bb))
+    }
+    out.toDF("type_a", "type_b", "n_a", "n_b", "n_and", "n_or")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Count-Min point-query frequencies: fold ALL events into ONE
     * depth-4 × width-2048 counter matrix (the shuffle carries one
     * matrix per partition — 64 KB — regardless of event count), then
@@ -567,8 +683,50 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch marketing attribution: each purchase credits the user's
+    * most recent click strictly before it and within a 7-day lookback —
+    * the ad-spend accounting query every growth team runs, and the
+    * dependent-join shape ([[graft.queries.JoinQueries.asofJoin]]'s
+    * sibling) done without a join: ONE user-keyed shuffle unions tagged
+    * clicks and purchases, a running `max` window carries the last
+    * click's micros (purchases sort BEFORE clicks at equal timestamps,
+    * so "strictly before" is structural, like [[nearestEventJoin]]'s
+    * tie rule), and the lookback test plus the day rollup are map-side.
+    * Revenue exports e2-fixed (value has 2 decimals — integer sums,
+    * order-free). At 100 TB: no per-pair join, no per-user arrays,
+    * state per row is one long. */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"),
+        col("value"), lit(0).as("tag"), lit(null).cast("long").as("ctsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsu"),
+        lit(null).cast("double").as("value"), lit(1).as("tag"),
+        unix_micros(col("ts")).as("ctsu"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("last_click", max(col("ctsu")).over(w))
+      .filter(col("tag") === 0)
+      .withColumn("attr",
+        col("last_click").isNotNull && col("last_click") >= col("tsu") - lit(day7))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attr"),
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("attr_rev_e2"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_funnel" -> (sequenceFunnel _),
+    "touch_attribution" -> (touchAttribution _),
+    "sliding_distinct" -> (slidingDistinct _),
+    "ks_drift" -> (ksDrift _),
+    "bitmap_ops" -> (bitmapOps _),
     "max_concurrency" -> (maxConcurrency _),
     "incremental_agg" -> (incrementalAgg _),
     "gap_fill" -> (gapFill _),
@@ -594,6 +752,68 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // trailing-7-day exact distinct; the sketch runs lossless so the
+    // algebra must reproduce COUNT(DISTINCT) digit-for-digit
+    "sliding_distinct" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT d.day,
+        |  CAST((SELECT COUNT(DISTINCT CAST(e.ts AS DATE)) FROM events e
+        |        WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS INT) AS n_days,
+        |  (SELECT COUNT(DISTINCT e.user_id) FROM events e
+        |   WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS n_users_7d
+        |FROM d ORDER BY d.day""".stripMargin,
+    // pairwise exact membership algebra over the same value>200 predicate
+    "bitmap_ops" ->
+      """WITH m AS (
+        |  SELECT DISTINCT event_type, user_id FROM events WHERE value > 200),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS n_and
+        |  FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  COALESCE(i.n_and, 0) AS n_and,
+        |  ca.n + cb.n - COALESCE(i.n_and, 0) AS n_or
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    // same integer KS arithmetic: cent-grid counts, cumulative longs,
+    // max |F1*N2 - F2*N1|, e6 floor-div export, min-cent argmax tie
+    "ks_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT c, SUM(ia) AS na, SUM(ib) AS nb FROM a GROUP BY c),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2 FROM g),
+        |cum AS (
+        |  SELECT c,
+        |    CAST(SUM(na) OVER (ORDER BY c) AS BIGINT) AS fa,
+        |    CAST(SUM(nb) OVER (ORDER BY c) AS BIGINT) AS fb
+        |  FROM g),
+        |d AS (SELECT c, abs(fa * (SELECT n2 FROM t) - fb * (SELECT n1 FROM t)) AS diff FROM cum)
+        |SELECT (SELECT n1 FROM t) AS n_click, (SELECT n2 FROM t) AS n_purchase,
+        |  CAST((SELECT max(diff) FROM d) AS BIGINT) AS ks_num,
+        |  CAST(((SELECT max(diff) FROM d) * 1000000)
+        |    // ((SELECT n1 FROM t) * (SELECT n2 FROM t)) AS BIGINT) AS ks_e6,
+        |  (SELECT min(c) FROM d WHERE diff = (SELECT max(diff) FROM d)) AS at_cent""".stripMargin,
+    // correlated lookup of the last strictly-preceding click within 7d;
+    // e2-fixed revenue keeps the sum integer on both engines
+    "touch_attribution" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.ts, p.value,
+        |    (SELECT max(c.ts) FROM events c
+        |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |       AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 7 DAY) AS ct
+        |  FROM p)
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases,
+        |  CAST(COUNT(ct) AS BIGINT) AS n_attributed,
+        |  CAST(COALESCE(SUM(CASE WHEN ct IS NOT NULL
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS attr_rev_e2
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // the correlated form: each step's min anchored on the previous
     // step's match; boundaries strict-after / inclusive-deadline both
     // engines; naive timestamps make interval adds exact micros

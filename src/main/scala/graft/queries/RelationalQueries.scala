@@ -287,6 +287,43 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** EXACT per-group quantiles (q25 / median / q75 of l_quantity by
+    * return flag) — the exact-regime sibling of the KLL sketch rows
+    * (`kll_quantiles`): Spark's `percentile` aggregate keeps a
+    * value→count map per group, so it is viable at any data size
+    * whenever per-group DISTINCT values are bounded (l_quantity has 50
+    * — tiny state, partial-aggregated; an unbounded-domain column is
+    * what KLL is for). Interpolation indexes (n−1)·q at dyadic q over
+    * small-integer values are exact in double on both engines, so the
+    * e2 export hash-matches DuckDB's quantile_cont digit-for-digit. */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(percentile(l_quantity, 0.25) * 100) AS BIGINT)").as("q25_e2"),
+        expr("CAST(round(percentile(l_quantity, 0.5) * 100) AS BIGINT)").as("med_e2"),
+        expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
+      .orderBy(col("l_returnflag"))
+
+  /** Personalized PageRank from a 3-seed set over the shared stored
+    * part↔supplier graph ([[graft.scale.PageRank.runPersonalized]]):
+    * random walk with restart to {p1, p2, s3} — "parts and suppliers
+    * closest to these" — with the same integer e12 fixed-point contract
+    * as [[pagerank]], so the oracle unrolls the five steps exactly.
+    * Non-zero rows only (a node untouched by 5 rounds of walk mass is
+    * noise, and at sf0.1 the zero tail is most of the graph). */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val edges = partSupplierEdges(spark, dir)
+    graft.scale.PageRank.runPersonalized(edges, PprSeeds, iterations = 5,
+        doubledUndirected = true)
+      .filter(col("rank_e12") > 0)
+      .select(col("node"),
+        expr("(rank_e12 + 500000) div 1000000").as("ppr_e6"))
+      .orderBy(col("node"))
+  }
+
+  private val PprSeeds = Seq("p1", "p2", "s3")
+
   /** Doubled part↔supplier edge list (`src`, `dst` strings), built by ONE
     * distinct over the raw integer pair (cheapest key) + a map-only
     * explode into both directions, then STORED once per (session, dir)
@@ -422,6 +459,8 @@ object RelationalQueries {
     "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
     "pagerank" -> (pagerank _),
+    "ppr_seeded" -> (pprSeeded _),
+    "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
     "triangle_count" -> (triangleCount _),
     "having_subquery" -> (havingSubquery _),
@@ -466,6 +505,38 @@ object RelationalQueries {
        |${(1 to 5).map(i => prStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
        |SELECT node, CAST((rank_e12 + 500000) // 1000000 AS BIGINT) AS rank_e6
        |FROM r5 ORDER BY node""".stripMargin
+
+  /** One unrolled PERSONALIZED step: seed-conditional teleport, same
+    * integer arithmetic as [[prStep]]. */
+  private def pprStep(prev: String, cur: String): String = {
+    val seedList = PprSeeds.map(s => s"'$s'").mkString(", ")
+    s"""$cur AS (
+       |  SELECT nd.node, CAST((CASE WHEN nd.node IN ($seedList)
+       |           THEN (SELECT t FROM tp) ELSE 0 END)
+       |         + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_e12
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst, SUM(r.rank_e12 // d.outdeg) AS mass
+       |    FROM edges e JOIN $prev r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |    GROUP BY e.dst) m ON m.dst = nd.node)""".stripMargin
+  }
+
+  private val pprSql: String = {
+    val seedList = PprSeeds.map(s => s"'$s'").mkString(", ")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |tp AS (SELECT (15 * 1000000000000) // (100 * ${PprSeeds.length}) AS t),
+       |r0 AS (SELECT node, CASE WHEN node IN ($seedList)
+       |         THEN 1000000000000 // ${PprSeeds.length} ELSE 0 END AS rank_e12
+       |       FROM nodes),
+       |${(1 to 5).map(i => pprStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node, CAST((rank_e12 + 500000) // 1000000 AS BIGINT) AS ppr_e6
+       |FROM r5 WHERE rank_e12 > 0 ORDER BY node""".stripMargin
+  }
 
   /** One unrolled synchronous LPA step: majority neighbor label, ties to
     * the minimum — integer counts and id compares only. */
@@ -547,6 +618,15 @@ object RelationalQueries {
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "pagerank" -> pagerankSql,
+    "ppr_seeded" -> pprSql,
+    // quantile_cont == Spark percentile: same (n-1)*q linear
+    // interpolation, exact in double at dyadic q over small ints
+    "group_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS q25_e2,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS med_e2,
+        |  CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q75_e2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "label_prop" -> labelPropSql,
     "triangle_count" ->
       """WITH o AS (

@@ -170,4 +170,77 @@ object PageRank {
       (col("rank_e12").cast("double") / lit(1.0e12)).as("rank"),
       col("rank_e12"))
   }
+
+  /** PERSONALIZED PageRank (random walk with restart to a seed set —
+    * Haveliwala 2002, public): identical iteration shape and integer
+    * e12 arithmetic as [[run]], but the teleport term concentrates on
+    * `seeds` — r(v) = 1{v∈S}·(1−d)/|S| + d·Σ r(u)/deg⁺(u) from the
+    * seed-uniform start. The similarity-to-seeds weight a crawl
+    * pipeline uses to expand from a trusted page set ("find pages close
+    * to these") and the graph-proximity feature behind related-item
+    * retrieval. `seeds` is a caller-bounded literal list (the whole
+    * point of personalization), so the membership test is an `isin` on
+    * a handful of values — no extra join, no broadcast frame. Seeds
+    * must exist in the graph (asserted in one |V|-scan action).
+    * Distance from the unbounded-iteration fixpoint is the same
+    * floor-division envelope as [[run]]; every per-iteration sum stays
+    * order-free long arithmetic, so the DuckDB oracle replays it
+    * digit-for-digit. */
+  def runPersonalized(edges: DataFrame, seeds: Seq[String], iterations: Int,
+      damping: Double = 0.85, doubledUndirected: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    require(seeds.distinct.length == seeds.length, "seed list must be distinct")
+    val dNum = math.round(damping * 100)
+    require(math.abs(dNum / 100.0 - damping) < 1e-9,
+      s"damping must be a multiple of 0.01, got $damping")
+    val e = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    if (!doubledUndirected) {
+      val danglers = e.select(col("dst")).distinct()
+        .join(nodes, col("dst") === col("node"), "left_anti").count()
+      require(danglers == 0,
+        "every node must have an out-edge (feed undirected graphs as both directions)")
+    }
+    val seedsPresent =
+      nodes.filter(col("node").isInCollection(seeds)).count()
+    require(seedsPresent == seeds.length,
+      s"only $seedsPresent of ${seeds.length} seeds exist in the graph")
+    val tpE12 = (100L - dNum) * E12 / (100L * seeds.length)
+    val isSeed = col("node").isInCollection(seeds)
+    var ranks = nodes.withColumn("rank_e12",
+      when(isSeed, lit(E12 / seeds.length)).otherwise(lit(0L)))
+    var prevCut: DataFrame = null
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.cache()
+      c.count()
+      if (prevCut != null) prevCut.unpersist()
+      prevCut = c
+      c
+    }
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_e12 div outdeg")).as("mass"))
+      // non-seed, no-in-edge nodes legitimately hold rank 0, but their
+      // ROWS must survive for the next iteration's join and the output —
+      // always restore the full node set
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(tpE12)).otherwise(lit(0L)) +
+            expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
+      if (i % CheckpointEvery == 0) ranks = cut(ranks)
+    }
+    val out = if (iterations % CheckpointEvery == 0) ranks else cut(ranks)
+    e.unpersist()
+    nodes.unpersist()
+    out.select(col("node"),
+      (col("rank_e12").cast("double") / lit(1.0e12)).as("rank"),
+      col("rank_e12"))
+  }
 }

@@ -201,17 +201,23 @@ object KmvProps extends Properties("KmvDistinct") {
       agg.merge(sketch(a), agg.merge(sketch(b), sketch(c)))
   }
 
+  // the working buffer may carry an unsorted append tail (amortized
+  // append-and-compact form); merge/finish restore canonical bottom-k,
+  // so the algebra laws quantify over CANONICAL forms
+  private def canon(b: Seq[Long]) = agg.merge(b, agg.zero)
+
   property("merge equals the sketch of the concatenation") = forAll(xs, xs) { (a, b) =>
-    agg.merge(sketch(a), sketch(b)) == sketch(a ++ b)
+    agg.merge(sketch(a), sketch(b)) == canon(sketch(a ++ b))
   }
 
-  property("bulk sketchOf equals the per-row fold") = forAll(xs) { l =>
-    agg.sketchOf(l) == sketch(l)
+  property("bulk sketchOf equals the per-row fold, canonicalized") = forAll(xs) { l =>
+    agg.sketchOf(l) == canon(sketch(l))
   }
 
-  property("buffer is unsigned-sorted, distinct, capped at k") = forAll(xs) { l =>
-    val b = sketch(l)
-    b.size <= k &&
+  property("canonical form is unsigned-sorted, distinct, capped; raw tail bounded") = forAll(xs) { l =>
+    val raw = sketch(l)
+    val b = canon(raw)
+    raw.size < 2 * k && b.size <= k &&
       b.sliding(2).forall {
         case Seq(x, y) => java.lang.Long.compareUnsigned(x, y) < 0
         case _ => true

@@ -114,6 +114,35 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("personalized: mass concentrates near the seed and decays with distance") {
+    // path graph a-b-c-d-e (doubled); walks restart at {a}, so rank must
+    // be strictly decreasing with hop distance from the seed
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val both = pairs.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val r = ranksOf(PageRank.runPersonalized(edges(both: _*), Seq("a"),
+      iterations = 10, doubledUndirected = true))
+    assert(r("a") > r("b") && r("b") > r("c") && r("c") > r("d") && r("d") > r("e"),
+      s"rank must decay with distance from the seed: $r")
+    // uniform PageRank on the same graph is symmetric (b == d, a == e):
+    // personalization is what breaks the symmetry
+    val u = ranksOf(PageRank.run(edges(both: _*), iterations = 10,
+      doubledUndirected = true))
+    assert(math.abs(u("a") - u("e")) < 1e-9 && math.abs(u("b") - u("d")) < 1e-9)
+  }
+
+  test("personalized: seed set must exist in the graph; seeds split teleport evenly") {
+    val both = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(edges(both: _*), Seq("zz"), iterations = 2,
+        doubledUndirected = true).collect()
+    }
+    // symmetric two-seed personalization on a symmetric graph: the two
+    // seeds end with identical e12 ranks
+    val r = ranksE12(PageRank.runPersonalized(edges(both: _*), Seq("a", "c"),
+      iterations = 8, doubledUndirected = true))
+    assert(r("a") == r("c"), s"symmetric seeds must tie exactly: $r")
+  }
+
   test("doubledUndirected fast path is bit-identical to the probe path") {
     // the caller-asserted shape skips the membership probe (|V| becomes
     // the only setup action); on a graph that genuinely IS doubled the
