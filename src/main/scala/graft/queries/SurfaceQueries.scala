@@ -246,6 +246,78 @@ object SurfaceQueries {
       .orderBy(col("day"))
   }
 
+  /** Stream–stream LEFT OUTER interval join under the oracle gate — the
+    * "purchases with their in-window signup, or proven-unmatched" query
+    * a conversion pipeline runs continuously. The INNER portion of
+    * [[graft.streaming.Streams.signupPurchaseJoin]] emits as matches
+    * arrive; the OUTER rows (purchase with no same-user signup in the
+    * 24 h lookback) can only emit once the GLOBAL watermark — the MIN
+    * across both streams, probed and pinned here — passes the join
+    * window's close, which is why each side stages a later advancer
+    * batch (one fixture-derived row at +20 d under a sentinel user that
+    * can never match) and AvailableNow's final flush batch drains the
+    * evicted state. Every head purchase closes ≥ 18 days before the
+    * final watermark at every SF, so the emission set is deterministic:
+    * exactly the batch LEFT JOIN the oracle computes. Rollup counts
+    * join rows / matches / unmatched per purchase day. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soj-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val sigDir = java.nio.file.Files.createDirectory(tmp.resolve("sig"))
+    val purDir = java.nio.file.Files.createDirectory(tmp.resolve("pur"))
+    val ev = Tables.events(spark, dir)
+    def head(t: String) = ev
+      .filter(col("event_type") === t && col("ts") < lit("2024-01-21").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def advancer(t: String, sentinel: Long) = head(t)
+      .agg(max(col("ts")).as("ts"))
+      .select(lit(sentinel).as("user_id"),
+        (col("ts") + expr("interval 20 days")).as("ts"),
+        lit(sentinel).as("event_id"))
+    def stage(dirP: java.nio.file.Path, name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"${dirP.getFileName}-$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dirP.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(sigDir, "head.parquet", head("signup"), 300)
+    stage(sigDir, "adv.parquet", advancer("signup", -1L), 200)
+    stage(purDir, "head.parquet", head("purchase"), 300)
+    stage(purDir, "adv.parquet", advancer("purchase", -2L), 200)
+    val schema = spark.read.parquet(sigDir.toString).schema
+    val s = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sigDir.toString)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    val p = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(purDir.toString)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val out = s"$tmp/joined"
+    val q = p.join(s,
+        col("p_user") === col("s_user") && col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left_outer")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .filter(col("p_user") >= 0) // drop the sentinel advancer if it surfaced
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("signup_id")).as("n_matched"),
+        sum(when(col("signup_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("day"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -287,6 +359,7 @@ object SurfaceQueries {
     "stream_relay_rollup" -> (streamRelayRollup _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "salted_agg" -> (saltedAgg _)
   )
 
@@ -336,6 +409,24 @@ object SurfaceQueries {
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the sink must equal the batch LEFT JOIN: matches as they arrive,
+    // unmatched flushed by the final watermark
+    "stream_join_outer" ->
+      """WITH sig AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-21'),
+        |pur AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-21'),
+        |j AS (
+        |  SELECT p.ts AS p_ts, s.event_id AS signup_id
+        |  FROM pur p LEFT JOIN sig s
+        |    ON p.user_id = s.user_id AND s.ts <= p.ts
+        |   AND s.ts >= p.ts - INTERVAL 24 HOUR)
+        |SELECT CAST(p_ts AS DATE) AS day, COUNT(*) AS n_rows,
+        |  CAST(COUNT(signup_id) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) FILTER (signup_id IS NULL) AS BIGINT) AS n_unmatched
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // sink contents the watermark semantics predict exactly: all of
     // crawl A, none of B (within-horizon dups), and only C's
     // beyond-horizon redeliveries (days 1-3 at +17d)
