@@ -18,7 +18,8 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_squared_l2" -> (exprs => FloatVecSquaredL2(exprs.head, exprs(1))),
     "vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
-    "vec_cosine_sim" -> (exprs => FloatVecCosineSim(exprs.head, exprs(1)))
+    "vec_cosine_sim" -> (exprs => FloatVecCosineSim(exprs.head, exprs(1))),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head))
   )
 
   def register(spark: SparkSession): Unit = {

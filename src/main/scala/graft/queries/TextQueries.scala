@@ -75,6 +75,34 @@ object TextQueries {
         substring(sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Unicode canonicalization before fingerprinting
+    * ([[graft.core.NfcNormalize]], the codegen'd NFC expression): a
+    * corpus carrying composed (U+00E9) and decomposed (U+0065 U+0301)
+    * spellings of the same text holds byte-distinct duplicates every
+    * digest-based dedup pass misses — the fixture is ASCII, so the
+    * confusable pair is planted deterministically (every doc_id%7==3
+    * document gains one composed and one decomposed variant row) and
+    * the row counts the fold: per language, distinct raw digests vs
+    * distinct NFC digests — the NFC column must merge exactly the
+    * planted pairs or the hash breaks. Map-side expression work inside
+    * whole-stage codegen; both distinct-counts partial-aggregate. */
+  def unicodeFold(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("lang"), col("text").as("t"))
+    val planted = docs.filter(col("doc_id") % 7 === 3)
+    val dec = planted.select(col("lang"),
+      concat(lit("e\u0301 "), col("text")).as("t")) // decomposed: e + combining acute
+    val comp = planted.select(col("lang"),
+      concat(lit("\u00e9 "), col("text")).as("t")) // composed e-acute
+    base.unionByName(dec).unionByName(comp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(md5(col("t").cast("binary"))).as("n_raw"),
+        countDistinct(md5(expr("CAST(nfc_normalize(t) AS BINARY)"))).as("n_nfc"))
+      .orderBy(col("lang"))
+  }
+
   /** Sketch-based corpus profiling — the 100 TB form of X4's stats:
     * approx_count_distinct is a HyperLogLog++ (fixed-size sketch, one pass,
     * mergeable across partitions) and percentile_approx a KLL-style
@@ -783,6 +811,7 @@ object TextQueries {
     "token_count" -> (tokenCount _),
     "lang_stats" -> (langStats _),
     "quality_score" -> (qualityScore _),
+    "unicode_fold" -> (unicodeFold _),
     "fingerprint" -> (fingerprint _)
   )
 
@@ -1162,6 +1191,15 @@ object TextQueries {
         |  CAST(round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) * 10000 / len(ws)) AS BIGINT) AS avg_tok_len_e4,
         |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
         |FROM t ORDER BY doc_id""".stripMargin,
+    "unicode_fold" ->
+      """WITH base AS (SELECT lang, text AS t FROM documents),
+        |v1 AS (SELECT lang, 'e' || chr(769) || ' ' || text AS t FROM documents WHERE doc_id % 7 = 3),
+        |v2 AS (SELECT lang, chr(233) || ' ' || text AS t FROM documents WHERE doc_id % 7 = 3),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT lang, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT md5(t)) AS n_raw,
+        |  COUNT(DISTINCT md5(nfc_normalize(t))) AS n_nfc
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id,
         |  substring(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp

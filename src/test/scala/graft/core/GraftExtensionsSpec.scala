@@ -53,4 +53,31 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d == 1.0)
   }
+
+  test("nfc_normalize: codegen == interpreted, folds confusables, idempotent, null-safe") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val decomposed = "caf" + "e\u0301"
+    val composed = "caf\u00e9"
+    assert(decomposed != composed)
+    val rows = Seq(Some(decomposed), Some(composed), Some("plain"), None)
+      .toDF("t")
+    // codegen path (whole-stage over a projection)
+    val got = rows.selectExpr("nfc_normalize(t) AS n").as[Option[String]].collect().toSeq
+    assert(got == Seq(Some(composed), Some(composed), Some("plain"), None))
+    // interpreted path must agree bit for bit
+    val interp = NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+      .eval(null).toString
+    assert(interp == composed)
+    // idempotent: NFC(NFC(x)) == NFC(x)
+    val twice = rows.selectExpr("nfc_normalize(nfc_normalize(t)) AS n")
+      .as[Option[String]].collect().toSeq
+    assert(twice == got)
+    // non-string input fails analysis instead of silently casting
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize(1)").collect()
+    }
+  }
 }
