@@ -318,6 +318,49 @@ object SurfaceQueries {
       .orderBy(col("day"))
   }
 
+  /** Streaming CDC-apply upsert under the oracle gate
+    * ([[graft.streaming.Streams.upsertStream]]): the events stream lands
+    * in a [[graft.store.Versioned]] table as "latest state per user",
+    * micro-batch by micro-batch, through the exactly-once MERGE ledger.
+    * The replay is staged so event order and ARRIVAL order disagree
+    * (files split by event-id parity, each spanning the whole month),
+    * which exercises the read-compare conflict path: batch 2 carries
+    * rows older than batch 1's residents for most users, and none may
+    * regress. The declared row reads the final table — it must equal
+    * the batch "row_number() = 1 by (ts, event_id) desc" oracle exactly,
+    * independent of batching. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sups-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = landing.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage("even.parquet", ev.filter(col("event_id") % 2 === 0), 300)
+    stage("odd.parquet", ev.filter(col("event_id") % 2 === 1), 200)
+    val table = java.nio.file.Files.createDirectory(tmp.resolve("state")).toString
+    val q = Streams.upsertStream(
+      spark.readStream.schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+      table, s"$tmp/ckpt", keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+    q.awaitTermination()
+    graft.store.Versioned.read(spark, table)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("last_value_e2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -360,6 +403,7 @@ object SurfaceQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_upsert" -> (streamUpsert _),
     "salted_agg" -> (saltedAgg _)
   )
 
@@ -409,6 +453,17 @@ object SurfaceQueries {
     "stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // final state == latest row per user by event order, independent of
+    // how the replay was batched
+    "stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  CAST(round(value * 100) AS BIGINT) AS last_value_e2
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the sink must equal the batch LEFT JOIN: matches as they arrive,
     // unmatched flushed by the final watermark
     "stream_join_outer" ->

@@ -435,36 +435,51 @@ object Versioned {
     * duplicate keys. VersionedSpec races merges against appends and
     * pins key uniqueness + no-lost-rows over the final state. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keys: Seq[String], maxRetries: Int = 5): Int = {
+      keys: Seq[String], maxRetries: Int = 5): Int =
+    mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
+      extraAdd = Seq.empty, extraRemove = _ => Set.empty)
+
+  /** One MERGE attempt's files against `base`: writes the batch dir and
+    * returns (added relative paths, removed relative paths). Shared by
+    * [[merge]] and [[mergeBatchIdempotent]], whose commits differ only
+    * in manifest marker lines. */
+  private def mergeAttemptFiles(spark: SparkSession, table: String,
+      updates: DataFrame, keys: Seq[String], base: Int): (Seq[String], Set[String]) = {
+    val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (base == 0) { // empty table: a merge is a plain insert
+      updates.write.parquet(new File(table, batch).getPath)
+      return (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"), Set.empty)
+    }
+    val rootPath = Paths.get(table).toAbsolutePath
+    val cur = read(spark, table, Some(base))
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val updKeys = updates.select(keyCols: _*).distinct()
+    val affected = cur
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+      .join(updKeys, keys, "left_semi")
+      .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
+    val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val newData =
+      if (affected.isEmpty) ordered // pure insert: no file rewrites
+      else readUnder(spark, table, base, affected.toIndexedSeq)
+        .join(updKeys, keys, "left_anti") // drop the rows being replaced
+        .unionByName(ordered)
+    newData.write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    (added, removedRel)
+  }
+
+  private def mergeWithManifestExtras(spark: SparkSession, table: String,
+      updates: DataFrame, keys: Seq[String], maxRetries: Int,
+      extraAdd: Seq[String], extraRemove: Int => Set[String]): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
     var attempt = 0
     while (true) {
       val base = currentVersion(table)
-      val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
       try {
-        if (base == 0) { // empty table: a merge is a plain insert
-          updates.write.parquet(new File(table, batch).getPath)
-          val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-          return commit(table, base, added, Set.empty)
-        }
-        val rootPath = Paths.get(table).toAbsolutePath
-        val cur = read(spark, table, Some(base))
-        val keyCols = keys.map(org.apache.spark.sql.functions.col)
-        val updKeys = updates.select(keyCols: _*).distinct()
-        val affected = cur
-          .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
-          .join(updKeys, keys, "left_semi")
-          .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
-        val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-        val newData =
-          if (affected.isEmpty) ordered // pure insert: no file rewrites
-          else readUnder(spark, table, base, affected.toIndexedSeq)
-            .join(updKeys, keys, "left_anti") // drop the rows being replaced
-            .unionByName(ordered)
-        newData.write.parquet(new File(table, batch).getPath)
-        val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-        val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
-        return commit(table, base, added, removedRel)
+        val (added, removedRel) = mergeAttemptFiles(spark, table, updates, keys, base)
+        return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
       } catch {
         case e: IllegalStateException =>
           attempt += 1
@@ -475,6 +490,30 @@ object Versioned {
       }
     }
     -1 // unreachable
+  }
+
+  /** MERGE a streaming micro-batch exactly once — [[merge]] with
+    * [[appendBatchIdempotent]]'s ledger: a replayed `batchId` whose
+    * marker is already in the current manifest is a no-op, otherwise the
+    * upsert's data files, the `#stream:` marker, and the retirement of
+    * markers past the ledger horizon land in ONE atomic commit. This is
+    * the foreachBatch upsert sink's contract ([[graft.streaming.Streams
+    * .upsertStream]]): restart-replayed micro-batches cannot double-
+    * apply, because the marker is atomic with the data publish. Same
+    * single-writer-per-batchId assumption as the append form. */
+  def mergeBatchIdempotent(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], batchId: Long, maxRetries: Int = 5,
+      ledgerHorizon: Long = 1000): Int = {
+    require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
+    if (processedBatch(table, batchId)) return currentVersion(table)
+    def stale(base: Int): Set[String] =
+      if (base == 0) Set.empty
+      else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet
+        .filter(l => l.startsWith("#stream:") &&
+          l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
+    mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
+      extraAdd = Seq(streamMarker(batchId)), extraRemove = stale)
   }
 
   /** `input_file_name()` yields a URI on most filesystems and a bare

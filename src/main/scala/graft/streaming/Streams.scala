@@ -188,6 +188,58 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
   }
 
+  /** Streaming UPSERT sink (CDC apply): each micro-batch collapses to
+    * its newest row per key — max over a (orderCol…, payload) struct,
+    * associative, so the within-batch winner is batching-independent —
+    * then resolves against the RESIDENT row (read-compare) so an
+    * out-of-order batch can never regress a key to older state, and
+    * lands through [[graft.store.Versioned.mergeBatchIdempotent]]:
+    * upsert data + batch marker in one atomic commit, replay-safe. The
+    * final table therefore equals "latest row per key by event order"
+    * no matter how arrival order interleaves — the contract the
+    * `stream_upsert` oracle checks. Works on a batch frame too (one
+    * batchId). */
+  def upsertStream(events: DataFrame, table: String, checkpoint: String,
+      keys: Seq[String], orderCols: Seq[String]):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsertBatch(batch, table, keys, orderCols, batchId)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One micro-batch of the upsert sink — separated so specs can drive
+    * replay/out-of-order cases directly. */
+  def applyUpsertBatch(batch: DataFrame, table: String, keys: Seq[String],
+      orderCols: Seq[String], batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val payload = batch.columns.filterNot(keys.contains)
+    val ordStruct = struct((orderCols ++ payload.filterNot(orderCols.contains))
+      .map(col): _*)
+    val latest = batch.groupBy(keys.map(col): _*)
+      .agg(max(ordStruct).as("__w"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__w.$p").as(p)): _*)
+    val resolved =
+      if (graft.store.Versioned.currentVersion(table) == 0) latest
+      else {
+        val cur = graft.store.Versioned.read(spark, table)
+        val resident = cur.groupBy(keys.map(col): _*)
+          .agg(max(struct((orderCols ++ payload.filterNot(orderCols.contains))
+            .map(col): _*)).as("__r"))
+        latest.join(resident, keys, "left")
+          .filter(col("__r").isNull ||
+            struct((orderCols ++ payload.filterNot(orderCols.contains))
+              .map(col): _*) > col("__r"))
+          .drop("__r")
+      }
+    graft.store.Versioned.mergeBatchIdempotent(
+      spark, table, resolved, keys, batchId)
+  }
+
   /** Streaming parquet source over an events-shaped directory. */
   def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)

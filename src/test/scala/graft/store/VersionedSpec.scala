@@ -429,6 +429,36 @@ class VersionedSpec extends SparkSpec {
       s"per-doc embed counts: $embedded")
   }
 
+  test("mergeBatchIdempotent: replayed micro-batches upsert exactly once; out-of-order can't regress") {
+    val t = tmpDir("versioned").toString
+    val b0 = Seq((1L, "v1"), (2L, "v1")).toDF("id", "s")
+    Versioned.mergeBatchIdempotent(spark, t, b0, Seq("id"), batchId = 0)
+    val v1 = Versioned.currentVersion(t)
+    // replay of batch 0 is a no-op: same version, no duplicate rows
+    assert(Versioned.mergeBatchIdempotent(spark, t, b0, Seq("id"), batchId = 0) == v1)
+    assert(rows(t) == Set((1L, "v1"), (2L, "v1")))
+    // batch 1 upserts id 1 and inserts id 3
+    Versioned.mergeBatchIdempotent(spark, t,
+      Seq((1L, "v2"), (3L, "v1")).toDF("id", "s"), Seq("id"), batchId = 1)
+    assert(rows(t) == Set((1L, "v2"), (2L, "v1"), (3L, "v1")))
+    // replaying batch 0 AFTER batch 1 must not resurrect id 1's old value
+    assert(Versioned.mergeBatchIdempotent(spark, t, b0, Seq("id"), batchId = 0)
+      == Versioned.currentVersion(t))
+    assert(rows(t) == Set((1L, "v2"), (2L, "v1"), (3L, "v1")))
+    // the upsert-sink conflict layer: an out-of-order batch resolved
+    // through applyUpsertBatch keeps the newer resident row
+    val t2 = tmpDir("versioned").toString
+    def evs(rs: (Long, Long, String)*) =
+      rs.toSeq.toDF("user_id", "seq", "val")
+    graft.streaming.Streams.applyUpsertBatch(
+      evs((1L, 10L, "new"), (2L, 5L, "mid")), t2, Seq("user_id"), Seq("seq"), 0)
+    graft.streaming.Streams.applyUpsertBatch(
+      evs((1L, 3L, "old"), (2L, 9L, "newer")), t2, Seq("user_id"), Seq("seq"), 1)
+    val got = Versioned.read(spark, t2).as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 10L, "new"), (2L, 9L, "newer")),
+      s"out-of-order batch regressed state: $got")
+  }
+
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
