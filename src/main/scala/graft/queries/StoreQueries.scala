@@ -251,6 +251,48 @@ object StoreQueries {
       .orderBy(col("lang"))
   }
 
+  /** CHECK-constraint enforcement as a declared row
+    * ([[graft.store.Versioned.addConstraint]]): a quality gate the
+    * store itself enforces — `ALTER TABLE ADD CONSTRAINT` recorded in
+    * the manifest LOG, validated against existing rows at add time and
+    * against every subsequent append/merge batch atomically (a
+    * violating batch bumps no version and lands no file). The replay:
+    * commit a clean slice, add two constraints, append a second clean
+    * slice, attempt a CORRUPTED batch (negated n_chars — must be
+    * rejected), then MERGE a clean revision batch. The declared rollup
+    * reads the final table: if the corrupt batch had landed (or the
+    * rejection had half-landed), counts and sums break against the
+    * oracle's reconstruction from the clean slices alone. */
+  def constraintGate(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("ckgate", dir)
+    rmTree(path)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.store.Versioned.append(docs.filter(col("doc_id") < 200), path)
+    graft.store.Versioned.addConstraint(spark, path, "chars_pos", "n_chars > 0")
+    graft.store.Versioned.addConstraint(spark, path, "lang_known",
+      "lang IN ('de', 'en', 'es', 'fr', 'zh')")
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), path)
+    val rejected =
+      try {
+        graft.store.Versioned.append(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+            .withColumn("n_chars", -col("n_chars")), path)
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    // clean MERGE passes the same gate: revise doc 0-49 n_chars by +1
+    graft.store.Versioned.merge(spark, path,
+      docs.filter(col("doc_id") < 50).withColumn("n_chars", col("n_chars") + 1),
+      Seq("doc_id"))
+    graft.store.Versioned.read(spark, path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .withColumn("n_rejected_batches", lit(rejected))
+      .orderBy(col("lang"))
+  }
+
   /** The END-TO-END "nightly crawl" composition — every pipeline stage
     * the repo ships, chained over ONE store and ONE serving index, with
     * the final state under the oracle gate (VERDICT r7 ask #7: the
@@ -392,6 +434,7 @@ object StoreQueries {
     "versioned_merge" -> (versionedMerge _),
     "incremental_reembed" -> (incrementalReembed _),
     "schema_evolution" -> (schemaEvolution _),
+    "constraint_gate" -> (constraintGate _),
     "nightly_crawl" -> (nightlyCrawl _)
   )
 
@@ -416,6 +459,14 @@ object StoreQueries {
     // replay of the evolved-table read: rows < 300 are legacy (NULL
     // quality), 300-399 evolved; the column counts are the schema facts
     // (3 at v1, 4 current) the store must reproduce
+    // final state = the two clean slices with docs<50 revised (+1);
+    // the corrupt batch contributes nothing but the rejection count
+    "constraint_gate" ->
+      """SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id < 50 THEN n_chars + 1 ELSE n_chars END) AS BIGINT) AS chars_sum,
+        |  CAST(1 AS BIGINT) AS n_rejected_batches
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "schema_evolution" ->
       """SELECT lang, COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN doc_id >= 300 THEN 1 END) AS n_evolved,

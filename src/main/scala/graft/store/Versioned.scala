@@ -65,6 +65,86 @@ object Versioned {
   }
 
   private val SchemaPrefix = "#schema:"
+  private val CheckPrefix = "#check:"
+
+  /** CHECK constraints recorded in `version`'s manifest — like the
+    * schema marker, constraints live in the LOG (the Delta design
+    * point: `ALTER TABLE ADD CONSTRAINT` writes a transaction-log
+    * action, not data), so every writer sees them atomically with the
+    * version it bases on, and rewrite commits (compaction/optimize/
+    * delete) carry them untouched. Returns (name, sql expression). */
+  def constraintsOf(table: String, version: Option[Int] = None): Seq[(String, String)] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) Seq.empty
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith(CheckPrefix))
+      .map { l =>
+        val rest = l.stripPrefix(CheckPrefix)
+        val i = rest.indexOf(':')
+        (rest.take(i), rest.drop(i + 1))
+      }
+  }
+
+  /** Record a CHECK constraint, validating EXISTING rows first (a
+    * constraint the current data violates is rejected, like Delta's) —
+    * SQL CHECK semantics: a row fails only when the expression is
+    * FALSE; NULL passes. The marker commit is atomic against the
+    * validated version, so data committed concurrently is re-validated
+    * by the retry. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String, maxRetries: Int = 5): Int = {
+    require(!name.contains(":") && !name.contains("\n") && name.nonEmpty,
+      s"constraint name must be non-empty without ':' or newline, got '$name'")
+    require(!sqlExpr.contains("\n"), "constraint expression must be single-line")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      if (cur > 0) {
+        val bad = read(spark, table, Some(cur))
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(sqlExpr),
+            org.apache.spark.sql.functions.lit(true)))
+          .count()
+        require(bad == 0,
+          s"constraint '$name' ($sqlExpr) is violated by $bad existing row(s)")
+      }
+      // re-adding a name REPLACES its previous expression (one line per name)
+      val stale = constraintsOf(table, Some(cur))
+        .filter(_._1 == name)
+        .map { case (n, e) => s"$CheckPrefix$n:$e" }.toSet
+      try return commit(table, cur, Seq(s"$CheckPrefix$name:$sqlExpr"), stale)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Remove a constraint by name (a no-op if absent). */
+  def dropConstraint(table: String, name: String, maxRetries: Int = 5): Int = {
+    val cur = currentVersion(table)
+    val stale = constraintsOf(table, Some(cur))
+      .filter(_._1 == name)
+      .map { case (n, e) => s"$CheckPrefix$n:$e" }.toSet
+    if (stale.isEmpty) cur
+    else retryCommit(table, Seq.empty, stale, maxRetries)
+  }
+
+  /** Fail (caller error, not a commit conflict) if `df` violates any
+    * constraint recorded at `base`. */
+  private def requireConstraints(table: String, base: Int, df: DataFrame): Unit =
+    constraintsOf(table, Some(base)).foreach { case (name, sqlExpr) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(sqlExpr),
+          org.apache.spark.sql.functions.lit(true)))
+        .count()
+      require(bad == 0,
+        s"constraint '$name' ($sqlExpr) is violated by $bad incoming row(s)")
+    }
 
   /** The schema recorded in `version`'s manifest (default: latest), if the
     * table has ever evolved — the Delta/Iceberg design point that schema
@@ -228,6 +308,7 @@ object Versioned {
       maxRetries: Int = 5, ledgerHorizon: Long = 1000): Int = {
     require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
     if (processedBatch(table, batchId)) return currentVersion(table)
+    requireConstraints(table, currentVersion(table), df)
     val batch = f"stream-$batchId%06d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
@@ -293,6 +374,7 @@ object Versioned {
     * Streaming appends ([[appendBatchIdempotent]]) are schema-stable by
     * contract and skip all of this. */
   def append(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
+    requireConstraints(table, currentVersion(table), df)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
@@ -478,6 +560,7 @@ object Versioned {
     while (true) {
       val base = currentVersion(table)
       try {
+        requireConstraints(table, base, updates)
         val (added, removedRel) = mergeAttemptFiles(spark, table, updates, keys, base)
         return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
       } catch {

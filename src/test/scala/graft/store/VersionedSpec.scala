@@ -459,6 +459,42 @@ class VersionedSpec extends SparkSpec {
       s"out-of-order batch regressed state: $got")
   }
 
+  test("CHECK constraints: log-recorded, enforced on append/merge, NULL passes, survive compaction") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, Some(10.0)), (2L, None)).toDF("id", "v"), t)
+    // NULL rows pass SQL CHECK semantics, so adding v > 0 succeeds
+    Versioned.addConstraint(spark, t, "v_pos", "v > 0")
+    assert(Versioned.constraintsOf(t) == Seq(("v_pos", "v > 0")))
+    // a violated add is rejected (existing data validated first)
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, t, "v_big", "v > 100")
+    }
+    // violating append rejected atomically: version unchanged, no rows landed
+    val vBefore = Versioned.currentVersion(t)
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3L, Some(-1.0))).toDF("id", "v"), t)
+    }
+    assert(Versioned.currentVersion(t) == vBefore)
+    // violating merge rejected too; clean writes pass
+    intercept[IllegalArgumentException] {
+      Versioned.merge(spark, t, Seq((1L, Some(-5.0))).toDF("id", "v"), Seq("id"))
+    }
+    Versioned.append(Seq((3L, Some(3.0))).toDF("id", "v"), t)
+    Versioned.merge(spark, t, Seq((1L, Some(11.0))).toDF("id", "v"), Seq("id"))
+    // constraints ride through compaction (rewrites drop only data lines)
+    Versioned.compact(spark, t)
+    assert(Versioned.constraintsOf(t) == Seq(("v_pos", "v > 0")))
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((4L, Some(-2.0))).toDF("id", "v"), t)
+    }
+    // re-add replaces; drop removes enforcement
+    Versioned.addConstraint(spark, t, "v_pos", "v > -100")
+    assert(Versioned.constraintsOf(t) == Seq(("v_pos", "v > -100")))
+    Versioned.dropConstraint(t, "v_pos")
+    Versioned.append(Seq((5L, Some(-2.0))).toDF("id", "v"), t) // now allowed
+    assert(Versioned.read(spark, t).count() == 4) // ids 1,2,3,5 (id 4 was rejected)
+  }
+
   test("manifests are plain relative-path lists (no absolute paths leak in)") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
