@@ -16,6 +16,21 @@ import graft.streaming.Streams
   */
 object SurfaceQueries {
 
+  /** Run `f` with the shuffle-partition count temporarily lowered —
+    * streaming STATE shards are fixed at query start from this setting,
+    * and a stateful micro-batch pays per-shard state-store file I/O per
+    * batch: 32 shards × 4 batches of a two-stream join is 256 store
+    * commits for a few thousand rows. Production sizes state shards to
+    * key cardinality/throughput, not to the batch shuffle default; the
+    * fixture replays here carry tiny per-batch state, so a handful of
+    * shards is the honest configuration (and the restore puts the batch
+    * default back before the rollup runs). */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The flagship retrieval expressed purely in SQL against the registered
     * `vec_squared_l2` function — proves the engine's SQL surface matches
     * the Column API (same oracle as knn_top13). */
@@ -150,19 +165,21 @@ object SurfaceQueries {
       landing.resolve("crawl_b.parquet"))
     val raw = spark.read.parquet(landing.toString)
     val out = s"$tmp/uniq"
-    val q = spark.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landing.toString)
-      .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
-      .dropDuplicates("lang", "fp")
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
+        .dropDuplicates("lang", "fp")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_unique"))
@@ -227,19 +244,21 @@ object SurfaceQueries {
           ev.filter(col("ts") >= tsLit("2024-01-18") && col("ts") < tsLit("2024-01-21"))
             .withColumn("ts", col("ts") + expr("interval 2 days"))), 100)
     val out = s"$tmp/uniq"
-    val q = spark.readStream.schema(spark.read.parquet(landing.toString).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landing.toString)
-      .withWatermark("ts", "5 days")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream.schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .withWatermark("ts", "5 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -302,13 +321,15 @@ object SurfaceQueries {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
     val out = s"$tmp/joined"
-    val q = p.join(s,
-        col("p_user") === col("s_user") && col("s_ts") <= col("p_ts") &&
-          col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left_outer")
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 4) {
+      val q = p.join(s,
+          col("p_user") === col("s_user") && col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "left_outer")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .filter(col("p_user") >= 0) // drop the sentinel advancer if it surfaced
       .groupBy(to_date(col("p_ts")).as("day"))
@@ -349,11 +370,13 @@ object SurfaceQueries {
     stage("even.parquet", ev.filter(col("event_id") % 2 === 0), 300)
     stage("odd.parquet", ev.filter(col("event_id") % 2 === 1), 200)
     val table = java.nio.file.Files.createDirectory(tmp.resolve("state")).toString
-    val q = Streams.upsertStream(
-      spark.readStream.schema(spark.read.parquet(landing.toString).schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
-      table, s"$tmp/ckpt", keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
-    q.awaitTermination()
+    withShufflePartitions(spark, 4) {
+      val q = Streams.upsertStream(
+        spark.readStream.schema(spark.read.parquet(landing.toString).schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+        table, s"$tmp/ckpt", keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      q.awaitTermination()
+    }
     graft.store.Versioned.read(spark, table)
       .select(col("user_id"), col("event_id").as("last_event"),
         col("event_type").as("last_type"),
