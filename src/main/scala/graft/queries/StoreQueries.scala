@@ -293,6 +293,57 @@ object StoreQueries {
       .orderBy(col("lang"))
   }
 
+  /** RETRACTABLE aggregate maintenance — the DELETE-side completion of
+    * `incremental_agg` (which only handles inserts): a stored per-group
+    * profile (count/sum/min/max) must follow a GDPR-style
+    * [[graft.store.Versioned.deleteWhere]] without a base rescan.
+    * count and sum form GROUPS (invertible monoids), so the deleted
+    * rows' partials SUBTRACT exactly; min/max are only monoids — they
+    * retract by recomputing, but ONLY for groups whose deleted partial
+    * TOUCHES the stored extreme (deleted-min == stored-min or
+    * deleted-max == stored-max; anywhere else the extreme provably
+    * survives). The declared row carries the patched profile AND the
+    * per-group recompute flag, so both the arithmetic and the
+    * recompute-set derivation sit under the oracle; cost is O(deleted)
+    * + O(touched groups), never a full rescan. All values e2-fixed. */
+  def retractableAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("retract", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.store.Versioned.append(ev, path) // v1
+    val base = graft.store.Versioned.read(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val cond = col("user_id") % 7 === 3
+    val deleted = graft.store.Versioned.read(spark, path).filter(cond)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dn"), sum(col("v")).as("dsv"),
+        min(col("v")).as("dmn"), max(col("v")).as("dmx"))
+    graft.store.Versioned.deleteWhere(spark, path, cond) // v2
+    val patched = base.join(deleted, Seq("event_type"), "left")
+      .withColumn("recompute",
+        col("dmn").isNotNull && (col("dmn") === col("mn") || col("dmx") === col("mx")))
+    // recompute extremes ONLY for touched groups, from the post-delete
+    // table (a semi-joined slice, not a full rescan at scale: the group
+    // key prunes)
+    val touched = patched.filter(col("recompute")).select(col("event_type"))
+    val fresh = graft.store.Versioned.read(spark, path)
+      .join(touched, Seq("event_type"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(min(col("v")).as("fmn"), max(col("v")).as("fmx"))
+    patched.join(fresh, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("n") - coalesce(col("dn"), lit(0L))).as("n"),
+        (col("sv") - coalesce(col("dsv"), lit(0L))).as("sum_e2"),
+        when(col("recompute"), col("fmn")).otherwise(col("mn")).as("min_e2"),
+        when(col("recompute"), col("fmx")).otherwise(col("mx")).as("max_e2"),
+        col("recompute"))
+      .orderBy(col("event_type"))
+  }
+
   /** The END-TO-END "nightly crawl" composition — every pipeline stage
     * the repo ships, chained over ONE store and ONE serving index, with
     * the final state under the oracle gate (VERDICT r7 ask #7: the
@@ -435,6 +486,7 @@ object StoreQueries {
     "incremental_reembed" -> (incrementalReembed _),
     "schema_evolution" -> (schemaEvolution _),
     "constraint_gate" -> (constraintGate _),
+    "retractable_agg" -> (retractableAgg _),
     "nightly_crawl" -> (nightlyCrawl _)
   )
 
@@ -459,6 +511,32 @@ object StoreQueries {
     // replay of the evolved-table read: rows < 300 are legacy (NULL
     // quality), 300-399 evolved; the column counts are the schema facts
     // (3 at v1, 4 current) the store must reproduce
+    // the patched profile AND the recompute-set derivation replayed:
+    // a group recomputes iff the deleted slice touches its extreme
+    "retractable_agg" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM ev GROUP BY 1),
+        |del AS (
+        |  SELECT event_type, COUNT(*) AS dn, SUM(v) AS dsv, MIN(v) AS dmn, MAX(v) AS dmx
+        |  FROM ev WHERE user_id % 7 = 3 GROUP BY 1),
+        |kept AS (
+        |  SELECT event_type, MIN(v) AS fmn, MAX(v) AS fmx
+        |  FROM ev WHERE user_id % 7 <> 3 GROUP BY 1)
+        |SELECT b.event_type,
+        |  CAST(b.n - COALESCE(d.dn, 0) AS BIGINT) AS n,
+        |  CAST(b.sv - COALESCE(d.dsv, 0) AS BIGINT) AS sum_e2,
+        |  CASE WHEN d.dmn IS NOT NULL AND (d.dmn = b.mn OR d.dmx = b.mx)
+        |       THEN k.fmn ELSE b.mn END AS min_e2,
+        |  CASE WHEN d.dmn IS NOT NULL AND (d.dmn = b.mn OR d.dmx = b.mx)
+        |       THEN k.fmx ELSE b.mx END AS max_e2,
+        |  d.dmn IS NOT NULL AND (d.dmn = b.mn OR d.dmx = b.mx) AS recompute
+        |FROM base b LEFT JOIN del d ON d.event_type = b.event_type
+        |LEFT JOIN kept k ON k.event_type = b.event_type
+        |ORDER BY b.event_type""".stripMargin,
     // final state = the two clean slices with docs<50 revised (+1);
     // the corrupt batch contributes nothing but the rejection count
     "constraint_gate" ->
