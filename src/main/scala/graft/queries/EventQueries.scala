@@ -412,6 +412,43 @@ object EventQueries {
         col("valid_to_us").asc_nulls_last)
   }
 
+  /** TEMPORAL (point-in-time) join against the SCD2 dimension — the
+    * warehouse "dimension lookup at event time": each purchase joins
+    * the [[scd2Build]] history version whose [valid_from, valid_to)
+    * interval contains the purchase timestamp, answering "what state
+    * was the user in when they bought". Scale shape: equi-join on
+    * user_id with the interval test as a cheap residual — SCD2 versions
+    * per key are few by construction (runs of change points), so this
+    * never degrades toward a range join's pair blow-up; versions
+    * partition time per user (zero-width same-microsecond flip-flop
+    * intervals match nothing), so each fact matches EXACTLY one
+    * version, which the oracle's replay pins. Revenue e2-fixed. */
+  def scd2TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the dimension tracks the user's ACTIVITY state (non-purchase
+    // events); built from the fact stream itself the join would be
+    // vacuous — every purchase would start (and land in) its own
+    // 'purchase' run
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .filter(col("user_id") < 50 && col("event_type") =!= "purchase")
+      .withColumn("prev_attr", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("user_id") < 50 && col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ets"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("ets") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("ets") < col("valid_to_us")))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev_e2"))
+      .orderBy(col("attr"))
+  }
+
   /** Distinct users per event type through the KMV sketch at a lossless
     * parameterization (k=4096 ≥ the fixture's 150 users ⇒ exact, hence
     * the COUNT(DISTINCT) oracle). At 100 TB the same plan runs with
@@ -743,6 +780,7 @@ object EventQueries {
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
     "scd2_build" -> (scd2Build _),
+    "scd2_temporal_join" -> (scd2TemporalJoin _),
     "kmv_distinct" -> (kmvDistinct _),
     "cms_counts" -> (cmsCounts _),
     "session_window_agg" -> (sessionWindowAgg _),
@@ -1002,6 +1040,27 @@ object EventQueries {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // each purchase hits exactly one history version; revenue e2
+    "scd2_temporal_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events WHERE user_id < 50 AND event_type <> 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_type AS attr, ts, event_id FROM e
+        |  WHERE prev_attr IS NULL OR prev_attr <> event_type),
+        |dim AS (
+        |  SELECT user_id, attr, epoch_us(ts) AS f,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM c),
+        |facts AS (
+        |  SELECT user_id, epoch_us(ts) AS ets, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 50 AND event_type = 'purchase')
+        |SELECT d.attr, COUNT(*) AS n_purchases, CAST(SUM(fc.v) AS BIGINT) AS rev_e2
+        |FROM facts fc JOIN dim d
+        |  ON d.user_id = fc.user_id AND fc.ets >= d.f
+        | AND (d.t IS NULL OR fc.ets < d.t)
+        |GROUP BY d.attr ORDER BY d.attr""".stripMargin,
     "scd2_build" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts, event_id,
