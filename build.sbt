@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The full 600-epoch triplet fine-tune test runs ~5 min of driver-side
+// training; keep the default test loop fast and opt in explicitly with
+// GRAFT_RUN_SLOW=1 sbt test (the fast suite still verifies the SERVED
+// fine-tuned checkpoint's margins every run).
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_RUN_SLOW")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")))
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

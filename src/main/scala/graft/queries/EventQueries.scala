@@ -353,24 +353,51 @@ object EventQueries {
   }
 
   /** Signup→purchase conversion funnel by signup day: how many of each
-    * day's first-time signups made their first subsequent purchase within
-    * 24 hours. Per-user min aggregations (no pair join), then one small
-    * day-keyed rollup. */
-  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val signups = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("signup_us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(collect_list(unix_micros(col("ts"))).as("purchase_us"))
+    * day's first-time signups made a purchase within 24 hours of that
+    * first signup.
+    *
+    * Shape: the [[funnelSteps]] running-window recipe — `srun` (running
+    * min signup so far in the user's time-ordered stream) qualifies each
+    * purchase row in-plan, so per-row state is one long and a user with
+    * 10⁸ purchase events costs nothing extra (the previous form kept a
+    * per-user `collect_list` of every purchase timestamp — exactly the
+    * unbounded heavy-hitter state `sequence_funnel` abandoned in round
+    * 9; PlanSpec's collect_list guard now covers this query too). The
+    * window, the per-user aggregate, and nothing else share ONE
+    * user-keyed shuffle; the day rollup is tiny. Tie-break: purchases
+    * count from the signup INSTANT (`>=`), so on an equal timestamp the
+    * signup must sort first — `kind` 0/1 orders it before the purchase
+    * and the running min already covers it. A purchase at p sees
+    * `srun` = min signup with ts ≤ p = the user's first signup whenever
+    * that signup is ≤ p, which is the only case the interval
+    * [signup, signup+24h] admits — same argument as [[funnelSteps]]. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversionCore(Tables.events(spark, dir))
+
+  /** The bounded-state core of [[funnelConversion]] over any events frame
+    * with (`user_id`, `event_type`, `event_id`, `ts`) — separated so the
+    * heavy-hitter spec can drive it on synthetic streams. */
+  def funnelConversionCore(events: DataFrame): DataFrame = {
     val dayUs = 86400000000L
-    signups
-      .join(purchases, Seq("user_id"), "left")
-      .select(
-        to_date(timestamp_micros(col("signup_us"))).as("signup_day"),
-        exists(coalesce(col("purchase_us"), array()),
-          p => p >= col("signup_us") && p <= col("signup_us") + dayUs).cast("int").as("converted"))
-      .groupBy(col("signup_day"))
-      .agg(count(lit(1)).as("n_signups"), sum(col("converted")).cast("long").as("n_converted_24h"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+      .withColumn("srun",
+        min(when(col("event_type") === "signup", col("tsu"))).over(wRun))
+      .withColumn("pcand", when(col("event_type") === "purchase" &&
+        col("tsu") >= col("srun") && col("tsu") <= col("srun") + lit(dayUs), lit(1)))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("tsu"))).as("signup_us"),
+        max(coalesce(col("pcand"), lit(0))).as("converted"))
+      .filter(col("signup_us").isNotNull)
+      .groupBy(to_date(timestamp_micros(col("signup_us"))).as("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(col("converted")).cast("long").as("n_converted_24h"))
       .orderBy(col("signup_day"))
   }
 
@@ -529,6 +556,10 @@ object EventQueries {
       .sortBy(_._1)
     val n1 = totals.map(_._2).sum
     val n2 = totals.map(_._3).sum
+    // an empty class makes the sup-gap undefined (and the e6 export
+    // would divide by zero) — fail with the class named, not a NULL row
+    require(n1 > 0, "ks_drift: no 'click' events in the input — CDF undefined")
+    require(n2 > 0, "ks_drift: no 'purchase' events in the input — CDF undefined")
     val carryA = totals.scanLeft(0L)(_ + _._2).init
     val carryB = totals.scanLeft(0L)(_ + _._3).init
     val carry = totals.indices

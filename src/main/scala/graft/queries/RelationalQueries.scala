@@ -72,16 +72,33 @@ object RelationalQueries {
     * filter over the two broadcast nation names. Yearly rollup with
     * DECIMAL-exact revenue. */
   def q7Volume(spark: SparkSession, dir: String): DataFrame = {
-    val n1 = Tables.nation(spark, dir)
+    // prune BOTH fact sides before the fact⋈fact shuffle: the
+    // disjunction ((s,c) ∈ {(1,2),(2,1)}) implies s ∈ {1,2} and
+    // c ∈ {1,2} independently, so the nation-filtered supplier dim cuts
+    // lineitem (and the nation-filtered customer dim cuts orders) to
+    // ~2/25 of their rows through cheap broadcast joins FIRST — the
+    // round-9 plan ran the full lineitem⋈orders exchange and only then
+    // pruned through the dims, shuffling 12× the bytes it needed to.
+    // The pair residual (the OR) stays a post-join filter; only the
+    // per-side IN members are hoisted, which is exactly the partial
+    // predicate Catalyst can't always extract from a disjunction on its
+    // own across a join chain.
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(spark, dir)
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
       .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
       .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -90,22 +107,35 @@ object RelationalQueries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
-  /** TPC-H Q5-style: 6-table join, all dims broadcast, revenue by nation. */
+  /** TPC-H Q5-style: 6-table join, all dims broadcast, revenue by nation.
+    * Both fact sides prune BEFORE the lineitem⋈orders exchange (same
+    * round-10 reordering as [[q7Volume]]): the region filter restricts
+    * nations to ASIA, the ASIA-nation supplier dim cuts lineitem, and —
+    * because the c_nationkey = s_nationkey residual forces the customer
+    * nation into ASIA too — the ASIA-nation customer dim cuts the
+    * date-filtered orders, so the shuffle carries ~region-share of each
+    * fact instead of all of it. The cross-side nation equality stays a
+    * residual on the post-shuffle join. */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    val nation = Tables.nation(spark, dir)
-    val cust = Tables.customer(spark, dir)
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     val supp = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations.select(col("n_nationkey").as("cnk"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("c_nationkey"))
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val li = Tables.lineitem(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)

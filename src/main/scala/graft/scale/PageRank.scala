@@ -199,18 +199,35 @@ object PageRank {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist()
     val nodes = e.select(col("src").as("node")).distinct().persist()
-    if (!doubledUndirected) {
-      val danglers = e.select(col("dst")).distinct()
-        .join(nodes, col("dst") === col("node"), "left_anti").count()
-      require(danglers == 0,
-        "every node must have an out-edge (feed undirected graphs as both directions)")
-    }
-    val seedsPresent =
-      nodes.filter(col("node").isInCollection(seeds)).count()
+    val isSeed = col("node").isInCollection(seeds)
+    // ONE driver action covers the dangler guard, the in-coverage flag,
+    // and the seed-presence probe — the same combined-stats shape as
+    // [[run]]'s (round 9 paid a separate dangler anti-join count AND a
+    // separate seedsPresent count, and never learned in-coverage at
+    // all). Under `doubledUndirected` the guard and coverage answers are
+    // known by construction, so only seed presence needs the one action.
+    val (fullInCoverage, seedsPresent) =
+      if (doubledUndirected)
+        (true, nodes.filter(isSeed).count())
+      else {
+        val stats = e
+          .select(explode(array(
+            struct(col("src").as("node"), lit(1).as("o"), lit(0).as("i")),
+            struct(col("dst").as("node"), lit(0).as("o"), lit(1).as("i")))).as("x"))
+          .groupBy(col("x.node"))
+          .agg(max(col("x.o")).as("has_out"), max(col("x.i")).as("has_in"))
+          .agg(count(when(col("has_out") === 1, 1)).as("n"),
+            count(when(col("has_out") === 0, 1)).as("danglers"),
+            count(when(col("has_out") === 1 && col("has_in") === 1, 1)).as("covered"),
+            count(when(col("has_out") === 1 && isSeed, 1)).as("seeds"))
+          .head()
+        require(stats.getLong(1) == 0,
+          "every node must have an out-edge (feed undirected graphs as both directions)")
+        (stats.getLong(2) == stats.getLong(0), stats.getLong(3))
+      }
     require(seedsPresent == seeds.length,
       s"only $seedsPresent of ${seeds.length} seeds exist in the graph")
     val tpE12 = (100L - dNum) * E12 / (100L * seeds.length)
-    val isSeed = col("node").isInCollection(seeds)
     var ranks = nodes.withColumn("rank_e12",
       when(isSeed, lit(E12 / seeds.length)).otherwise(lit(0L)))
     var prevCut: DataFrame = null
@@ -226,14 +243,22 @@ object PageRank {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_e12 div outdeg")).as("mass"))
-      // non-seed, no-in-edge nodes legitimately hold rank 0, but their
-      // ROWS must survive for the next iteration's join and the output —
-      // always restore the full node set
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(isSeed, lit(tpE12)).otherwise(lit(0L)) +
-            expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
+      // full in-coverage ⇒ contrib already carries one row per node and
+      // the teleport `when(isSeed, …)` applies to it directly — the five
+      // extra nodes-left-join stages [[run]] drops are dropped here too.
+      // Without coverage, non-seed no-in-edge nodes legitimately hold
+      // rank 0 but their ROWS must survive for the next iteration's join
+      // and the output, so the node set is restored by left join.
+      ranks =
+        if (fullInCoverage)
+          contrib.select(col("node"),
+            (when(isSeed, lit(tpE12)).otherwise(lit(0L)) +
+              expr(s"($dNum * mass) div 100")).as("rank_e12"))
+        else nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (when(isSeed, lit(tpE12)).otherwise(lit(0L)) +
+              expr(s"($dNum * coalesce(mass, 0L)) div 100")).as("rank_e12"))
       if (i % CheckpointEvery == 0) ranks = cut(ranks)
     }
     val out = if (iterations % CheckpointEvery == 0) ranks else cut(ranks)

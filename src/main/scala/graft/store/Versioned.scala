@@ -134,17 +134,28 @@ object Versioned {
     else retryCommit(table, Seq.empty, stale, maxRetries)
   }
 
-  /** Fail (caller error, not a commit conflict) if `df` violates any
-    * constraint recorded at `base`. */
-  private def requireConstraints(table: String, base: Int, df: DataFrame): Unit =
-    constraintsOf(table, Some(base)).foreach { case (name, sqlExpr) =>
-      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.expr(sqlExpr),
-          org.apache.spark.sql.functions.lit(true)))
-        .count()
+  /** Fail (caller error, not a commit conflict) if `df` violates any of
+    * `cons`. ONE aggregate action regardless of constraint count: every
+    * CHECK contributes a violation-counter column to a single pass over
+    * the batch (a row fails only when its expression is FALSE — NULL
+    * passes, SQL CHECK semantics), so a table carrying dozens of
+    * constraints validates an incoming batch with one scan, not one
+    * scan per constraint. */
+  private[store] def requireConstraints(cons: Seq[(String, String)], df: DataFrame): Unit = {
+    if (cons.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    def violations(sqlExpr: String) =
+      sum(when(!coalesce(expr(sqlExpr), lit(true)), 1L).otherwise(0L))
+    val row = df.agg(
+      violations(cons.head._2).as("c0"),
+      cons.tail.zipWithIndex.map { case ((_, e), i) =>
+        violations(e).as(s"c${i + 1}") }: _*).head()
+    cons.zipWithIndex.foreach { case ((name, sqlExpr), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // null ⇐ empty batch
       require(bad == 0,
         s"constraint '$name' ($sqlExpr) is violated by $bad incoming row(s)")
     }
+  }
 
   /** The schema recorded in `version`'s manifest (default: latest), if the
     * table has ever evolved — the Delta/Iceberg design point that schema
@@ -308,18 +319,36 @@ object Versioned {
       maxRetries: Int = 5, ledgerHorizon: Long = 1000): Int = {
     require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
     if (processedBatch(table, batchId)) return currentVersion(table)
-    requireConstraints(table, currentVersion(table), df)
+    // same re-validate-on-rebase discipline as [[append]]: the commit
+    // loop below re-checks constraints whenever a retry's base carries a
+    // constraint set the batch hasn't been validated against
+    var validatedCons = constraintsOf(table, Some(currentVersion(table)))
+    requireConstraints(validatedCons, df)
     val batch = f"stream-$batchId%06d-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val cur = currentVersion(table)
-    val stale: Set[String] =
-      if (cur == 0) Set.empty
-      else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet
-        .filter(l => l.startsWith("#stream:") &&
-          l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
-    retryCommit(table, added :+ streamMarker(batchId), stale, maxRetries)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val consNow = constraintsOf(table, Some(cur))
+      if (consNow != validatedCons) {
+        requireConstraints(consNow, df)
+        validatedCons = consNow
+      }
+      val stale: Set[String] =
+        if (cur == 0) Set.empty
+        else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+          .toArray(Array.empty[String]).toSet
+          .filter(l => l.startsWith("#stream:") &&
+            l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
+      try return commit(table, cur, added :+ streamMarker(batchId), stale)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** Fields of `s` as (name → type), nullability erased — the identity
@@ -366,15 +395,25 @@ object Versioned {
     * current schema unchanged — either way, the first commit that mixes
     * file widths records which width reads must apply (a subset batch
     * without a marker would leave reads dependent on footer listing
-    * order). Same-schema appends commit exactly as before (no marker —
-    * a never-evolved table stays marker-free). Because the union depends on the
+    * order). The FIRST append to a table is marker-free (nothing to
+    * unify yet); any later append to a still-marker-free table stamps
+    * the footer-merge union once, after which no append or read opens a
+    * footer again. Because the union depends on the
     * base version's marker, a conflict re-DERIVES the marker against the
     * new current version before retrying (two racing evolutions must
     * merge, not overwrite each other); the data files never rewrite.
     * Streaming appends ([[appendBatchIdempotent]]) are schema-stable by
     * contract and skip all of this. */
   def append(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
-    requireConstraints(table, currentVersion(table), df)
+    // validate against the ENTRY version before any data lands (a
+    // violating batch writes no files); the retry loop re-validates
+    // whenever its base carries a DIFFERENT constraint set — an
+    // addConstraint that commits between this validation and a retried
+    // commit must gate the append (ADVICE round 9: the blind retry let
+    // such appends land rows violating the new constraint; merge always
+    // re-validated, append did not)
+    var validatedCons = constraintsOf(table, Some(currentVersion(table)))
+    requireConstraints(validatedCons, df)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
@@ -382,41 +421,45 @@ object Versioned {
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
+      val consNow = constraintsOf(table, Some(cur))
+      if (consNow != validatedCons) {
+        requireConstraints(consNow, df)
+        validatedCons = consNow
+      }
       // the table schema this append sees: the recorded marker, else (for
-      // never-evolved tables) the physical schema of the current files.
-      // Marker-free ⇒ every committed file shares one schema (any
-      // set-changing append below stamps a marker), so ONE footer
-      // suffices — no per-append inference over the whole file list.
+      // marker-free tables) a ONE-TIME footer-merge union over the
+      // current files, stamped below so the pass never repeats. A
+      // marker-free nonempty table is either brand-new (one batch — the
+      // union pass is a handful of footers) or LEGACY, written before
+      // the marker invariant existed, whose files may mix widths (old
+      // code committed typed-subset batches marker-free); sampling one
+      // footer there left the read ambiguity the marker exists to
+      // remove whenever the batch happened to fit the sampled footer
+      // (ADVICE round 9). Merging all footers is the only sound
+      // recovery of the true union, and stamping it converts the table:
+      // from the next version on, appends and reads resolve the schema
+      // from the log without opening ANY footer — cheaper at steady
+      // state than the old one-footer sample per append.
       def fitsSchema(ts: org.apache.spark.sql.types.StructType): Boolean = {
         val rec = shape(ts)
         df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType)) &&
           rec.size == df.schema.fields.length
       }
-      val oneFooter: Option[org.apache.spark.sql.types.StructType] =
-        schemaOf(table, Some(cur)).orElse(
-          files(table, Some(cur)).headOption.map(f => spark.read.parquet(f).schema))
-      // Fallback for tables written BEFORE the marker invariant existed
-      // (old code committed mixed-width typed-subset batches with no
-      // marker): if the batch doesn't fit the one-footer schema — the
-      // only case where the footer choice can change the outcome — pay a
-      // one-time footer-merge over all files so the evolved union covers
-      // every committed column, not just whichever footer listed first.
+      val recorded = schemaOf(table, Some(cur))
       val tableSchema: Option[org.apache.spark.sql.types.StructType] =
-        oneFooter match {
-          case Some(ts) if !fitsSchema(ts) && schemaOf(table, Some(cur)).isEmpty =>
-            val fs = files(table, Some(cur))
-            Some(spark.read.option("mergeSchema", "true").parquet(fs: _*).schema)
-          case other => other
+        recorded.orElse {
+          val fs = files(table, Some(cur))
+          if (fs.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true").parquet(fs: _*).schema)
         }
       // `fits` requires the EXACT typed column set, not just a subset: a
-      // narrower batch on a marker-free table would otherwise commit
-      // mixed-width files with no recorded schema, leaving reads at the
-      // mercy of which footer Spark lists first — the ambiguity the
-      // marker exists to remove. Narrower batches therefore evolve too
-      // (the union is just the current schema, stamped as a marker).
+      // narrower batch would otherwise commit mixed-width files whose
+      // recorded schema no longer names every width in play. Narrower
+      // batches therefore evolve too (the union is just the current
+      // schema, re-stamped unchanged).
       val fits = tableSchema.forall(fitsSchema)
       val (markerAdd, markerRemove): (Seq[String], Set[String]) =
-        if (fits) (Seq.empty, Set.empty)
+        if (fits && (recorded.nonEmpty || tableSchema.isEmpty)) (Seq.empty, Set.empty)
         else {
           val union = evolveSchema(
             tableSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil)), df.schema)
@@ -560,7 +603,7 @@ object Versioned {
     while (true) {
       val base = currentVersion(table)
       try {
-        requireConstraints(table, base, updates)
+        requireConstraints(constraintsOf(table, Some(base)), updates)
         val (added, removedRel) = mergeAttemptFiles(spark, table, updates, keys, base)
         return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
       } catch {

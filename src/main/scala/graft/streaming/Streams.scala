@@ -225,19 +225,35 @@ object Streams {
       .select(keys.map(col) ++ payload.map(p => col(s"__w.$p").as(p)): _*)
     val resolved =
       if (graft.store.Versioned.currentVersion(table) == 0) latest
-      else {
-        val cur = graft.store.Versioned.read(spark, table)
-        val resident = cur.groupBy(keys.map(col): _*)
-          .agg(max(struct((orderCols ++ payload.filterNot(orderCols.contains))
-            .map(col): _*)).as("__r"))
-        latest.join(resident, keys, "left")
-          .filter(col("__r").isNull ||
-            struct((orderCols ++ payload.filterNot(orderCols.contains))
-              .map(col): _*) > col("__r"))
-          .drop("__r")
-      }
+      else resolveAgainstResident(
+        graft.store.Versioned.read(spark, table), latest, keys,
+        orderCols ++ payload.filterNot(orderCols.contains))
     graft.store.Versioned.mergeBatchIdempotent(
       spark, table, resolved, keys, batchId)
+  }
+
+  /** Keep only the `latest` rows strictly newer than the resident row
+    * for their key (or with no resident row at all). The resident read is
+    * O(batch), never O(table): `cur` is semi-joined on the batch's keys
+    * BEFORE the per-key max aggregate, so a small CDC batch against a
+    * 100 TB table aggregates only the rows sharing the batch's keys —
+    * the batch-key side is tiny and broadcasts, and the aggregate's
+    * input is bounded by (batch keys × rows per key), not table size.
+    * Without the prune, a stream triggering every minute re-aggregates
+    * the entire store per micro-batch — O(table · batches), the classic
+    * incremental-pipeline scale-killer (same recipe as
+    * [[graft.store.Versioned.merge]]'s affected-file semi-join, one
+    * layer up). StreamsSpec pins the semi-join BELOW the aggregate. */
+  private[graft] def resolveAgainstResident(cur: DataFrame, latest: DataFrame,
+      keys: Seq[String], ordCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val resident = cur
+      .join(latest.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(ordCols.map(col): _*)).as("__r"))
+    latest.join(resident, keys, "left")
+      .filter(col("__r").isNull || struct(ordCols.map(col): _*) > col("__r"))
+      .drop("__r")
   }
 
   /** Streaming parquet source over an events-shaped directory. */

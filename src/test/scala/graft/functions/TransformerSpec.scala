@@ -188,7 +188,8 @@ class TransformerSpec extends SparkSpec {
     assert(checked > 20, s"only $checked informative gradient samples — probe too sparse")
   }
 
-  test("batch-hard triplet fine-tune: attention blocks alone beat the mean-word2vec margin") {
+  test("batch-hard triplet fine-tune: attention blocks alone beat the mean-word2vec margin",
+      graft.SlowTest) {
     val cfg = Config(vocab = 2048, dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
     val texts = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 200).orderBy(col("doc_id"))

@@ -117,4 +117,55 @@ class EventQueriesSpec extends SparkSpec {
     val df = events(rows)
     assert(resolved(EventQueries.funnelSteps(df)) == resolved(reference(df)))
   }
+
+  /** Array-form reference for the CONVERSION funnel (the pre-round-10
+    * collect_list shape): obviously correct, unbounded per-user state —
+    * the running-min form must match it row for row. */
+  private def convReference(df: org.apache.spark.sql.DataFrame) = {
+    val dayUs = 86400000000L
+    val signups = df.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val purchases = df.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(collect_list(unix_micros(col("ts"))).as("purchase_us"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .select(to_date(timestamp_micros(col("signup_us"))).as("signup_day"),
+        exists(coalesce(col("purchase_us"), array()),
+          p => p >= col("signup_us") && p <= col("signup_us") + dayUs)
+          .cast("int").as("converted"))
+      .groupBy(col("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(col("converted")).cast("long").as("n_converted_24h"))
+  }
+
+  private def convRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("signup_day").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSeq
+
+  test("conversion funnel: boundary instants — signup-instant and +24h convert, outside does not") {
+    val dayUs = 86400000000L
+    val rows = Seq(
+      ("c1", "signup", 1L, base), ("c1", "purchase", 2L, base), // AT signup: counts (>=)
+      ("c2", "signup", 3L, base), ("c2", "purchase", 4L, base + dayUs), // AT +24h: counts
+      ("c3", "signup", 5L, base), ("c3", "purchase", 6L, base + dayUs + 1000L), // past: no
+      ("c4", "purchase", 7L, base - 1000L), ("c4", "signup", 8L, base), // before signup: no
+      ("c5", "signup", 9L, base) // no purchase at all
+    )
+    val df = events(rows)
+    val got = convRows(EventQueries.funnelConversionCore(df))
+    assert(got == convRows(convReference(df)))
+    assert(got == Seq(("2024-01-01", 5L, 2L)), got.toString)
+  }
+
+  test("conversion funnel heavy hitter: 20k-purchase bot resolves without per-user arrays") {
+    val bot = (1 to 20000).map { i =>
+      ("bot", "purchase", 100000L + i, base + i * 1000L)
+    }
+    val rows = Seq(("bot", "signup", 1L, base + 5000L), // purchases both sides of it
+      ("ok", "signup", 2L, base), ("ok", "purchase", 3L, base + 100L)) ++ bot
+    val df = events(rows)
+    val core = EventQueries.funnelConversionCore(df)
+    assert(convRows(core) == convRows(convReference(df)))
+    assert(!core.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
 }

@@ -192,12 +192,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("sequence_funnel: bounded state — no per-user collect_list anywhere") {
-    // the dependent-deadline pattern must resolve via running-min
-    // windows; a collect_list reintroduces the unbounded heavy-hitter
-    // arrays the round-8 verdict flagged
-    val p = planOf("sequence_funnel")
-    assert(!p.contains("collect_list"), p)
+  test("funnels: bounded state — no per-user collect_list anywhere") {
+    // funnel patterns must resolve via running-min windows; a
+    // collect_list reintroduces the unbounded heavy-hitter arrays the
+    // round-8 (sequence_funnel) and round-9 (funnel_conversion) verdicts
+    // flagged
+    Seq("sequence_funnel", "funnel_conversion").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("collect_list"), s"$n: $p")
+    }
   }
 
   test("no declared query runs an unpartitioned window over unbounded input") {

@@ -560,6 +560,93 @@ class VersionedSpec extends SparkSpec {
       (3L, "c", Some(30L), Some(true))))
   }
 
+  test("legacy mixed-footer table: a batch that FITS the narrow footer still stamps the union") {
+    // ADVICE round 9: the old fallback only fired when the batch did NOT
+    // fit the one sampled footer, so a narrow-fitting batch left the
+    // footer-order read ambiguity in place. Any append to a marker-free
+    // nonempty table now pays the one-time footer-merge and stamps the
+    // union — after which no append or read opens a footer again.
+    val t = tmpDir("versioned").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(new File(t, "legacy-narrow").getPath)
+    Seq((2L, "b", 20L)).toDF("id", "s", "q").write.parquet(new File(t, "legacy-wide").getPath)
+    def parquets(b: String) = new File(t, b).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(f => s"$b/${f.getName}")
+    Versioned.commit(t, 0, parquets("legacy-narrow").toSeq ++ parquets("legacy-wide").toSeq)
+    assert(Versioned.schemaOf(t).isEmpty, "legacy table starts marker-free")
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t) // fits the NARROW footer
+    assert(Versioned.schemaOf(t).map(_.fieldNames.toSet).contains(Set("id", "s", "q")),
+      s"fitting batch must still stamp the true union, got ${Versioned.schemaOf(t)}")
+    val cur = Versioned.read(spark, t)
+      .select("id", "s", "q").as[(Long, String, Option[Long])].collect().toSet
+    assert(cur == Set((1L, "a", None), (2L, "b", Some(20L)), (3L, "c", None)))
+  }
+
+  test("append re-validates against constraints committed after its entry validation") {
+    // the ADVICE round-9 race: addConstraint lands between an append's
+    // entry validation and its commit — the rebased commit must re-gate
+    // the batch, not land rows violating the new constraint. The sneak
+    // UDF fires during the append's own data write (after entry
+    // validation, before the commit loop), making the interleaving
+    // deterministic.
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, 20L)).toDF("id", "x"), t) // v1
+    ConstraintRace.table = t
+    ConstraintRace.armed.set(true)
+    val sneak = org.apache.spark.sql.functions.udf { x: Long => ConstraintRace.fire(); x }
+    val df = Seq((2L, 5L)).toDF("id", "x")
+      .withColumn("x", sneak(org.apache.spark.sql.functions.col("x")))
+    val err = intercept[IllegalArgumentException] { Versioned.append(df, t) }
+    assert(err.getMessage.contains("x_big"), err.getMessage)
+    assert(Versioned.read(spark, t).select("id").as[Long].collect().toSeq == Seq(1L),
+      "the violating batch must not be part of the table")
+  }
+
+  test("multi-constraint validation is a single aggregate action; first violation reported") {
+    val df = Seq((1L, 5L), (2L, -1L), (3L, 1000L)).toDF("id", "x").cache()
+    df.count() // warm the cache so the validation pass is the only scan
+    val cons = Seq("a" -> "x < 100", "b" -> "id > 0", "c" -> "x != 7")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    // the listener bus is async: poll until the count is stable
+    def settle(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      var waited = 0
+      while (cur != last && waited < 10000) {
+        last = cur; Thread.sleep(100); waited += 100; cur = jobs.get()
+      }
+      cur
+    }
+    settle()
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Versioned.requireConstraints(cons, df)
+      }
+      assert(err.getMessage.contains("'a'"), err.getMessage)
+      // job count must NOT grow with constraint count (AQE may split one
+      // action into a fixed number of jobs — compare against a
+      // 1-constraint baseline instead of pinning an absolute count)
+      jobs.set(0)
+      Versioned.requireConstraints(Seq("a" -> "x < 10000"), df)
+      val oneCons = settle()
+      jobs.set(0)
+      // 4 passing constraints (incl. NULL ⇒ pass) — same job count
+      Versioned.requireConstraints(
+        Seq("a" -> "x < 10000", "b" -> "id > -10", "c" -> "x != 7",
+          "n" -> "CAST(NULL AS BOOLEAN)"), df)
+      val fourCons = settle()
+      assert(fourCons == oneCons,
+        s"validation cost must be constraint-count independent: 1 constraint ran " +
+          s"$oneCons job(s), 4 constraints ran $fourCons")
+    } finally spark.sparkContext.removeSparkListener(l)
+    df.unpersist(): Unit
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
@@ -596,4 +683,19 @@ class VersionedSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("schema evolution cannot change column"))
   }
+}
+
+/** Deterministic interleaving hook for the constraint-race test: fires
+  * exactly once, from inside a task of the append's data-write job —
+  * i.e. after the append's entry validation, before its commit loop —
+  * committing a CHECK marker directly (no Spark action, so no nested-job
+  * hazard from an executor thread). */
+object ConstraintRace {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var table: String = _
+  def fire(): Unit =
+    if (armed.compareAndSet(true, false)) {
+      Versioned.commit(table, Versioned.currentVersion(table),
+        Seq("#check:x_big:x > 10")): Unit
+    }
 }

