@@ -610,6 +610,36 @@ object EventQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** The SAME membership algebra through the large-domain container
+    * ([[graft.core.RoaringAgg]] — array/bitmap dual containers per 2¹⁶
+    * block, the Roaring design the [[bitmapOps]] doc names for ids past
+    * enumerable domains): per-group memory sizes with the member SET,
+    * not the id domain, so the identical query runs against a 10⁹-id
+    * space where [[graft.core.BitsetAgg]] would allocate 125 MB per
+    * group. Same oracle as bitmap_ops — the two containers must agree
+    * bit for bit (BitsetSpec additionally pins equality and the memory
+    * bound on a synthetic sparse domain). */
+  def bitmapOpsSparse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bitmaps = Tables.events(spark, dir)
+      .filter(col("value") > 200)
+      .groupBy(col("event_type"))
+      .agg(udaf(new graft.core.RoaringAgg,
+        org.apache.spark.sql.Encoders.scalaLong)(col("user_id")).as("bm"))
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    val out = for {
+      i <- bitmaps.indices
+      j <- (i + 1) until bitmaps.length
+    } yield {
+      val (ta, ba) = bitmaps(i)
+      val (tb, bb) = bitmaps(j)
+      (ta, tb, graft.core.Roaring.popcount(ba), graft.core.Roaring.popcount(bb),
+        graft.core.Roaring.andCount(ba, bb), graft.core.Roaring.orCount(ba, bb))
+    }
+    out.toDF("type_a", "type_b", "n_a", "n_b", "n_and", "n_or")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Count-Min point-query frequencies: fold ALL events into ONE
     * depth-4 × width-2048 counter matrix (the shuffle carries one
     * matrix per partition — 64 KB — regardless of event count), then
@@ -795,6 +825,7 @@ object EventQueries {
     "sliding_distinct" -> (slidingDistinct _),
     "ks_drift" -> (ksDrift _),
     "bitmap_ops" -> (bitmapOps _),
+    "bitmap_ops_sparse" -> (bitmapOpsSparse _),
     "max_concurrency" -> (maxConcurrency _),
     "incremental_agg" -> (incrementalAgg _),
     "gap_fill" -> (gapFill _),
@@ -831,7 +862,24 @@ object EventQueries {
         |  (SELECT COUNT(DISTINCT e.user_id) FROM events e
         |   WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS n_users_7d
         |FROM d ORDER BY d.day""".stripMargin,
-    // pairwise exact membership algebra over the same value>200 predicate
+    // pairwise exact membership algebra over the same value>200 predicate;
+    // the dense (bitmap_ops) and roaring (bitmap_ops_sparse) containers
+    // share it — both must reproduce the COUNT DISTINCT joins exactly
+    "bitmap_ops_sparse" ->
+      """WITH m AS (
+        |  SELECT DISTINCT event_type, user_id FROM events WHERE value > 200),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS n_and
+        |  FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS n_a, cb.n AS n_b,
+        |  COALESCE(i.n_and, 0) AS n_and,
+        |  ca.n + cb.n - COALESCE(i.n_and, 0) AS n_or
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "bitmap_ops" ->
       """WITH m AS (
         |  SELECT DISTINCT event_type, user_id FROM events WHERE value > 200),

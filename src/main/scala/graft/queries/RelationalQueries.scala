@@ -389,6 +389,17 @@ object RelationalQueries {
     * and persisted, not re-derived from the fact table per analysis; the
     * union-of-two-projections alternative would run the 600 k-row
     * distinct once per branch and shuffle strings instead of ints). */
+  /** Build the shared stored frames whose first-touch cost would
+    * otherwise be charged to whichever query happens to run first (the
+    * round-9 bench artifact graded `ppr_seeded` 4× its real cost because
+    * it paid the ps-edges build that `pagerank`/`bfs_hops` then reused).
+    * The bench calls this once, timed as its own telemetry row. */
+  def prewarmShared(spark: SparkSession, dir: String): Unit = {
+    partSupplierEdges(spark, dir).count()
+    graft.scale.ShingleStore.docShingles(spark, dir).count()
+    graft.scale.ShingleStore.docSketches(spark, dir).count(): Unit
+  }
+
   private def partSupplierEdges(spark: SparkSession, dir: String): DataFrame =
     graft.scale.ShingleStore.stored(spark, dir, "ps-edges") {
       Tables.lineitem(spark, dir)
