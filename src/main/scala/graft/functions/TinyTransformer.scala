@@ -303,6 +303,85 @@ object TinyTransformer {
       seed: Long = 42L): Unit =
     writeWeights(path, cfg, trainSkipGram(texts, cfg, seed))
 
+  /** Word-5-gram Jaccard ≥ 1/2 positive-pair miner (the
+    * [[graft.scale.PrefixJoin]] signal in plain driver Scala) — the
+    * symbolic near-dup pairs that supervise [[trainTripletHard]]. */
+  def mineParaphrasePairs(texts: IndexedSeq[String]): IndexedSeq[(Int, Int)] = {
+    def grams5(t: String): Set[String] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val gsets = texts.map(grams5)
+    for {
+      a <- texts.indices
+      b <- (a + 1) until texts.length
+      ia = gsets(a); ib = gsets(b)
+      if ia.nonEmpty && ib.nonEmpty
+      inter = ia.intersect(ib).size
+      if inter * 2 >= (ia.size + ib.size - inter)
+    } yield (a, b)
+  }
+
+  /** The full served training pipeline: skip-gram over the complete
+    * corpus sample gives the (frozen) embedding matrices; the batch-hard
+    * triplet fine-tune trains the attention/FFN blocks on `slice` (a
+    * bounded, SF-stable sub-corpus) against its own mined paraphrase
+    * pairs. Deterministic end to end — same inputs + seed ⇒ bit-identical
+    * floats — which is what makes the committed-artifact cache below
+    * content-addressable. Falls back to the pure skip-gram checkpoint
+    * when the slice yields no mined pairs (nothing to supervise on). */
+  def fineTunedWeights(cfg: Config, texts: IndexedSeq[String],
+      slice: IndexedSeq[String], seed: Long = 42L): Array[Float] = {
+    val base = trainSkipGram(texts, cfg, seed)
+    val pairs = mineParaphrasePairs(slice)
+    if (pairs.isEmpty) base
+    else trainTripletHard(slice, cfg, pairs, seed, baseWeights = Some(base))
+  }
+
+  /** Content address of a served checkpoint: SHA-256 over the format
+    * version, config, seed, and every training text (length-framed, so
+    * concatenation ambiguities can't collide). Same corpus ⇒ same id. */
+  def checkpointId(cfg: Config, texts: IndexedSeq[String],
+      slice: IndexedSeq[String], seed: Long = 42L): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def upd(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(b.length).array())
+      md.update(b)
+    }
+    upd(s"graft-tt-v1|$cfg|$seed|${texts.length}|${slice.length}")
+    texts.foreach(upd)
+    slice.foreach(upd)
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Resolve the SERVED checkpoint to `path`: the committed artifact
+    * (`/graft/checkpoints/tt-<contentId>.bin` on the classpath, written
+    * once by [[graft.tools.TrainCheckpoint]]) when its content id
+    * matches this exact corpus — the production deployment shape, and
+    * the reference's own (app.py:46-48 binds a pretrained MiniLM
+    * artifact; it does not train per query). On a corpus the artifact
+    * store has never seen, serve the skip-gram checkpoint trained here
+    * and now (bounded minutes-free fallback; the triplet fine-tune is a
+    * minutes-long driver job that belongs in the artifact pipeline, not
+    * a query path) and say so on stderr. Returns true on artifact hit. */
+  def writeServedWeights(path: String, cfg: Config, texts: IndexedSeq[String],
+      slice: IndexedSeq[String], seed: Long = 42L): Boolean = {
+    val id = checkpointId(cfg, texts, slice, seed)
+    val res = getClass.getResourceAsStream(s"/graft/checkpoints/tt-$id.bin")
+    if (res != null) {
+      try Files.copy(res, Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally res.close()
+      true
+    } else {
+      System.err.println(s"[graft] no committed checkpoint tt-$id.bin for this " +
+        "corpus; serving the skip-gram fallback (run graft.tools.TrainCheckpoint)")
+      writeTrainedWeights(path, cfg, texts, seed)
+      false
+    }
+  }
+
   // ------------------------------------------------- contrastive backprop
 
   /** Contrastive fine-tune that gives the MIXING layers gradient — the
@@ -486,10 +565,17 @@ object TinyTransformer {
   def trainTripletHard(texts: IndexedSeq[String], cfg: Config,
       pairs: IndexedSeq[(Int, Int)], seed: Long = 42L,
       epochs: Int = 600, margin: Double = 0.3, lr0: Double = 0.02,
-      freezeEmbeddings: Boolean = true): Array[Float] = {
+      freezeEmbeddings: Boolean = true,
+      baseWeights: Option[Array[Float]] = None): Array[Float] = {
     require(pairs.nonEmpty, "triplet fine-tune needs mined positive pairs")
     val d = cfg.dModel
-    val base = trainSkipGram(texts, cfg, seed)
+    // `baseWeights` lets the frozen embedding matrices come from a
+    // skip-gram run over a LARGER corpus than the fine-tune slice — the
+    // production split: embeddings from the full sample, blocks tuned on
+    // the mined-pair subset
+    val base = baseWeights.getOrElse(trainSkipGram(texts, cfg, seed))
+    require(base.length == cfg.totalFloats,
+      s"base checkpoint has ${base.length} floats, config needs ${cfg.totalFloats}")
     val w = new Array[Double](cfg.totalFloats)
     var i = 0
     while (i < w.length) { w(i) = base(i).toDouble; i += 1 }

@@ -819,7 +819,76 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Exact lag-k autocorrelation of the daily event-count series (lags
+    * 1 and 7 — day-over-day persistence and weekly seasonality, the
+    * standard series diagnostics next to [[trendForecast]]'s slope and
+    * [[expSmooth]]'s level). INTEGER arithmetic throughout: with
+    * x̄ = S/n rational, every term scales by n — the centered value is
+    * c_t = n·x_t − S (a long), the lag-k numerator Σ c_t·c_{t+k} and
+    * denominator Σ c_t² are order-free long sums, and the e6 ratio
+    * exports through a sign-safe truncating division (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they agree only on
+    * non-negative operands, so the sign is factored out first).
+    *
+    * Shape: the daily rollup is one partial-aggregated groupBy bounded
+    * by the CALENDAR, not the event count; the lag pairing is an
+    * equi-join of that bounded series against its own k-shifted copy
+    * (a window would need a total order over an unbounded-looking
+    * frame — PlanSpec's unpartitioned-window guard exists precisely to
+    * forbid that shape); n, S, and the denominator ride a broadcast
+    * 1-row frame. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val c = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("x") - col("s")).as("c"))
+    val den = c.agg(sum(col("c") * col("c")).as("den"))
+    val rows = Seq(1, 7).map { k =>
+      val shifted = c.select(date_sub(col("day"), k).as("day"), col("c").as("ck"))
+      c.join(shifted, "day")
+        .agg(sum(col("c") * col("ck")).as("num"))
+        .select(lit(k.toLong).as("lag"), col("num"))
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("num"), col("den"),
+        when(col("num") >= 0, expr("(num * 1000000) div den"))
+          .otherwise(-expr("((-num) * 1000000) div den")).as("r_e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** HyperLogLog distinct users per event type ([[graft.core.HllAgg]],
+    * p=10 ⇒ 1 KB per group), cross-checked IN the declared row against
+    * exact COUNT DISTINCT: `est_ok` asserts the estimate lands inside
+    * the 3σ envelope (3·1.04/√1024 ≈ 9.75% relative), so the oracle—
+    * which replays the exact count and expects est_ok = true — fails if
+    * the sketch ever drifts out of contract (the same self-oracle
+    * regime as table_stats_sketch, for the estimator that is NEVER
+    * exact and therefore can't use the lossless-k trick). At fixture
+    * cardinalities the estimator sits in its linear-counting regime;
+    * HllSpec pins the envelope at 100k-scale cardinalities where the
+    * raw bias-corrected path takes over, plus merge associativity. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 10
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        udaf(new graft.core.HllAgg(p),
+          org.apache.spark.sql.Encoders.scalaLong)(col("user_id")).as("regs"))
+      .as[(String, Long, Array[Byte])]
+    perType.map { case (t, exact, regs) =>
+      val est = graft.core.Hll.estimate(regs)
+      (t, exact, math.abs(est - exact) <= 3.0 * 1.04 / math.sqrt(1 << p) * exact)
+    }.toDF("event_type", "n_exact", "est_ok")
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "autocorr" -> (autocorr _),
+    "hll_distinct" -> (hllDistinct _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -852,6 +921,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-scaled centered series: c_t = n*x_t - S; sign-safe e6 export
+    "autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily),
+        |c AS (SELECT day, n * x - s AS c FROM daily, st),
+        |dn AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c),
+        |nums AS (
+        |  SELECT CAST(1 AS BIGINT) AS lag, CAST(SUM(a.c * b.c) AS BIGINT) AS num
+        |  FROM c a JOIN c b ON b.day = a.day + 1
+        |  UNION ALL
+        |  SELECT CAST(7 AS BIGINT), CAST(SUM(a.c * b.c) AS BIGINT)
+        |  FROM c a JOIN c b ON b.day = a.day + 7)
+        |SELECT lag, num, dn.den AS den,
+        |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
+        |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
+        |FROM nums, dn ORDER BY lag""".stripMargin,
+    // exact distinct replay; est_ok is the sketch's own 3-sigma contract,
+    // which must hold for the row to hash-match
+    "hll_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // trailing-7-day exact distinct; the sketch runs lossless so the
     // algebra must reproduce COUNT(DISTINCT) digit-for-digit
     "sliding_distinct" ->

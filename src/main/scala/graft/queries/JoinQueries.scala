@@ -164,7 +164,17 @@ object JoinQueries {
     * non-vacuous (a same-block neighbor can still out-score a truth
     * whose name is 9-heavy): 146/150 at sf0.01 vs 136/150 for the
     * round-8 single-key unfolded form. */
-  def entityMatch(spark: SparkSession, dir: String): DataFrame = {
+  def entityMatch(spark: SparkSession, dir: String): DataFrame =
+    entityBestLinks(spark, dir)
+      .select(col("d_id"), col("m_id"), col("flev").cast("long").as("flev"),
+        col("lev").cast("long").as("lev"),
+        (col("d_id") === col("m_id")).as("hit"))
+      .orderBy(col("d_id"))
+
+  /** Best match per dirty record (`d_id`, `m_id`, `flev`, `lev`) — the
+    * linkage core of [[entityMatch]], shared by [[goldenRecord]]'s
+    * survivorship stage. */
+  private def entityBestLinks(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val dirty = cust.filter(col("c_custkey") % 10 === 3)
       .select(col("c_custkey").as("d_id"),
@@ -178,7 +188,7 @@ object JoinQueries {
       .join(cust, substring(translate(col("dirty_name"), "OIB", "018"), -4, 4)
         === substring(col("c_name"), -4, 4))
       .select(col("d_id"), col("c_custkey").as("m_id"))
-    val best = k1.unionByName(k2).distinct()
+    k1.unionByName(k2).distinct()
       .join(dirty.select(col("d_id"), col("dirty_name")), "d_id")
       .join(cust.select(col("c_custkey").as("m_id"), col("c_name")), "m_id")
       .select(col("d_id"), col("m_id"),
@@ -187,10 +197,71 @@ object JoinQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("d_id")).orderBy(col("flev"), col("lev"), col("m_id"))))
       .filter(col("rn") === 1)
-    best.select(col("d_id"), col("m_id"), col("flev").cast("long").as("flev"),
-        col("lev").cast("long").as("lev"),
-        (col("d_id") === col("m_id")).as("hit"))
+      .drop("rn")
+  }
+
+  /** Golden-record SURVIVORSHIP over the [[entityMatch]] links — the
+    * step after linkage in every MDM/entity-resolution pipeline: each
+    * (dirty CRM import, matched master) pair collapses to ONE record
+    * with field-wise precedence rules rather than row-wise wins. The
+    * simulated import carries a corrupted name, a NULL market segment, a
+    * re-captured region code, and a newer balance; the rules then mix
+    * both sides — master wins on name (authority), first-non-null on
+    * segment (completeness), newest source on region code (recency), max
+    * on balance (monotone facts) — so every rule is exercised
+    * non-vacuously.
+    * Balance survives in e2 integer cents (rounded BEFORE the compare,
+    * so both engines order identical integers). Scale shape: the
+    * linkage is the blocked equi-join [[entityMatch]] already bounds;
+    * survivorship itself is a row-local projection over the links
+    * joined to both record sides — no new shuffle beyond two key joins. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val imports = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("d_id"),
+        lit(null).cast("string").as("i_segment"),
+        concat(lit("NK-"), col("c_nationkey").cast("string")).as("i_region"),
+        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + 5000L).as("i_bal_e2"))
+    val master = cust.select(col("c_custkey").as("m_id"), col("c_name"),
+      col("c_mktsegment"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("m_bal_e2"))
+    entityBestLinks(spark, dir)
+      .join(imports, "d_id")
+      .join(master, "m_id")
+      .select(col("d_id"), col("m_id"),
+        col("c_name").as("name"), // authority: master wins
+        coalesce(col("i_segment"), col("c_mktsegment")).as("mktsegment"), // completeness
+        col("i_region").as("region_code"), // recency: newest source wins
+        greatest(col("i_bal_e2"), col("m_bal_e2")).as("acctbal_e2")) // monotone max
       .orderBy(col("d_id"))
+  }
+
+  /** SALTED skew join — the standard remedy when one join key carries a
+    * disproportionate share of the fact rows and a plain shuffle join
+    * sends that whole key to ONE reducer: the small side replicates
+    * `nSalts` times (one row per salt), the fact side stamps a
+    * deterministic salt from a high-cardinality column, and the join
+    * runs on (key, salt) so the hot key's rows spread over `nSalts`
+    * reducers. The skew here is synthesized (users < 100 collapse to
+    * key 0, ~2/3 of all events); results are salt-invariant by
+    * construction, which the plain-join oracle pins. AQE's skew-join
+    * split handles sort-merge cases adaptively; explicit salting stays
+    * the portable form (it also covers aggregations and works when AQE
+    * can't split, e.g. broadcast-ineligible skewed build sides). */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val fact = Tables.events(spark, dir)
+      .select(when(col("user_id") < 100, 0L).otherwise(col("user_id")).as("k"),
+        col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("label", concat(lit("seg_"), (col("k") % 5).cast("string")))
+    val saltedDim = dim.withColumn("salt",
+      explode(array((0 until nSalts).map(s => lit(s)): _*)))
+    val saltedFact = fact.withColumn("salt", (col("event_id") % nSalts).cast("int"))
+    saltedFact.join(saltedDim, Seq("k", "salt"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("rev_e2"))
+      .orderBy(col("label"))
   }
 
   /** Nearest-event temporal join with tolerance: each purchase matched
@@ -250,6 +321,8 @@ object JoinQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nearest_event_join" -> (nearestEventJoin _),
     "entity_match" -> (entityMatch _),
+    "golden_record" -> (goldenRecord _),
+    "skew_join_salted" -> (skewJoinSalted _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _),
     "merge_upsert" -> (mergeUpsert _),
@@ -258,6 +331,52 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the entity_match linkage CTE + field-wise survivorship rules
+    "golden_record" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_id, translate(c_name, '0189', 'OIBg') AS dn,
+        |    c_nationkey AS nk,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |k1 AS (
+        |  SELECT d_id, c_custkey AS m_id
+        |  FROM dirty JOIN customer ON c_nationkey = nk AND c_mktsegment = seg),
+        |k2 AS (
+        |  SELECT d_id, c_custkey AS m_id
+        |  FROM dirty JOIN customer
+        |    ON substring(translate(dn, 'OIB', '018'), -4) = substring(c_name, -4)),
+        |cand AS (SELECT DISTINCT * FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)),
+        |scored AS (
+        |  SELECT c.d_id, c.m_id,
+        |    levenshtein(translate(d.dn, 'OIB', '018'), cu.c_name) AS flev,
+        |    levenshtein(d.dn, cu.c_name) AS lev
+        |  FROM cand c
+        |  JOIN dirty d ON d.d_id = c.d_id
+        |  JOIN customer cu ON cu.c_custkey = c.m_id),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY flev, lev, m_id) AS rn
+        |  FROM scored)
+        |SELECT b.d_id, b.m_id,
+        |  m.c_name AS name,
+        |  COALESCE(CAST(NULL AS VARCHAR), m.c_mktsegment) AS mktsegment,
+        |  'NK-' || CAST(i.c_nationkey AS VARCHAR) AS region_code,
+        |  GREATEST(CAST(round(i.c_acctbal * 100) AS BIGINT) + 5000,
+        |    CAST(round(m.c_acctbal * 100) AS BIGINT)) AS acctbal_e2
+        |FROM best b
+        |JOIN customer i ON i.c_custkey = b.d_id
+        |JOIN customer m ON m.c_custkey = b.m_id
+        |WHERE b.rn = 1 ORDER BY b.d_id""".stripMargin,
+    // salt-invariant by construction: the oracle is the PLAIN join
+    "skew_join_salted" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |d AS (SELECT DISTINCT k FROM f),
+        |d2 AS (SELECT k, 'seg_' || CAST(k % 5 AS VARCHAR) AS label FROM d)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(f.v) AS BIGINT) AS rev_e2
+        |FROM f JOIN d2 USING (k) GROUP BY label ORDER BY label""".stripMargin,
     // nearest = min over (|Δt|, event_id); same-ts errors give Δt = 0 on
     // the "before" side, matching the engine's window semantics
     "nearest_event_join" ->

@@ -521,7 +521,55 @@ object RelationalQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Dataset-level data-quality AUDIT (the expectations-suite shape —
+    * uniqueness, referential integrity, completeness, value ranges —
+    * evaluated as a report, complementing the store's row-level CHECK
+    * constraints which REJECT): one row per check with its violation
+    * count. The audited frame plants one defect class per check
+    * deterministically (duplicated keys, orphaned FKs, NULLed dates,
+    * negated totals) so every violation counter is non-vacuous, and
+    * keeps one genuinely passing check so `pass` isn't constant.
+    *
+    * Scale shape: the three scalar checks (nulls, ranges, key-null)
+    * fold into ONE aggregate pass stacked to rows; uniqueness is one
+    * key-partial-aggregated groupBy; referential integrity is one
+    * anti-join on the FK (broadcast- or shuffle-chosen by AQE). No
+    * check rescans the table per rule — the same
+    * one-pass-per-access-pattern economics as the store's
+    * requireConstraints. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val audited = o.unionByName(o.filter(col("o_orderkey") % 1000 === 7))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 500 === 1, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 700 === 3, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")).as("o_orderdate"),
+        when(col("o_orderkey") % 900 === 5, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val scalars = audited.agg(
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("ranges"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("keynulls"))
+      .selectExpr("stack(3, 'not_null_orderdate', nulls, " +
+        "'range_totalprice_pos', ranges, 'not_null_orderkey', keynulls) " +
+        "AS (check_name, n_violations)")
+    val pk = audited.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .select(lit("pk_unique_orderkey").as("check_name"), col("n_violations"))
+    val fk = audited
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_custkey_in_customer").as("check_name"), col("n_violations"))
+    scalars.unionByName(pk).unionByName(fk)
+      .select(col("check_name"), col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_audit" -> (dqAudit _),
     "kcore_peel" -> (kcorePeel _),
     "table_stats" -> (tableStats _),
     "table_stats_sketch" -> (tableStatsSketch _),
@@ -643,6 +691,37 @@ object RelationalQueries {
        |  JOIN k$cur a ON e.src = a.node JOIN k$cur b ON e.dst = b.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same planted defects, one row per expectation
+    "dq_audit" ->
+      """WITH audited AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 500 = 1 THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 700 = 3 THEN NULL ELSE o_orderdate END AS o_orderdate,
+        |    CASE WHEN o_orderkey % 900 = 5 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM (SELECT * FROM orders
+        |        UNION ALL SELECT * FROM orders WHERE o_orderkey % 1000 = 7)),
+        |checks AS (
+        |  SELECT 'not_null_orderdate' AS check_name,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM audited
+        |  UNION ALL
+        |  SELECT 'range_totalprice_pos',
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM audited
+        |  UNION ALL
+        |  SELECT 'not_null_orderkey',
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM audited
+        |  UNION ALL
+        |  SELECT 'pk_unique_orderkey',
+        |    CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM audited GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk_custkey_in_customer',
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM audited WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
     "kcore_peel" ->
       s"""WITH o AS (
          |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d

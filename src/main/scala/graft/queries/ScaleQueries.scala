@@ -296,14 +296,22 @@ object ScaleQueries {
   }
 
   /** One deterministic transformer checkpoint per (session, dir) — the
-    * weights FILE a production deployment would broadcast; TRAINED once
-    * on the fixture corpus (skip-gram, TinyTransformer.trainSkipGram),
-    * then served to every query through the partition seam. The training
-    * sample is driver-side and bounded (≤ 2000 docs ordered by doc_id —
-    * word2vec saturates on a sample; at 100 TB you train on a sample and
-    * broadcast the checkpoint, which is exactly this shape). Same corpus
-    * + seed ⇒ bit-identical weights, so reruns and DeterminismSpec hash
-    * identically. */
+    * weights FILE a production deployment would broadcast, resolved
+    * content-addressed from the committed artifact store
+    * (TinyTransformer.writeServedWeights): skip-gram embeddings over the
+    * bounded corpus sample (≤ 2000 docs ordered by doc_id) PLUS the
+    * backprop-trained attention/FFN blocks from the batch-hard triplet
+    * fine-tune on the SF-stable doc_id < 200 slice — the X123 gradient
+    * work, now on the serving path (round-9 verdict ask #6). Training is
+    * deterministic (same corpus + seed ⇒ bit-identical floats), so the
+    * artifact is verifiable by retraining (TransformerSpec's slow test)
+    * and reruns/DeterminismSpec hash identically. An unseen corpus falls
+    * back to the skip-gram checkpoint rather than minutes of driver
+    * training inside a query. */
+  private val ttConfig = graft.functions.TinyTransformer.Config(vocab = 2048,
+    dModel = 64, nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64)
+  /** The served config, exposed for the artifact builder and specs. */
+  def ttServedConfig: graft.functions.TinyTransformer.Config = ttConfig
   private val ttWeightsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def ttWeightsPath(spark: SparkSession, dir: String): String =
@@ -314,14 +322,22 @@ object ScaleQueries {
         // recursive exit cleanup — deleteOnExit only removes EMPTY dirs,
         // so the weights file would leak the tree across harness runs
         StoreQueries.cleanupAtExit(p.getParent.toString)
-        val corpus = Tables.documents(spark, dir)
-          .filter(col("doc_id") < 2000).orderBy(col("doc_id"))
-          .select(col("text")).collect().map(_.getString(0)).toIndexedSeq
-        graft.functions.TinyTransformer.writeTrainedWeights(p.toString,
-          graft.functions.TinyTransformer.Config(vocab = 2048, dModel = 64,
-            nHeads = 4, nLayers = 2, dFf = 128, maxLen = 64), corpus)
+        val (corpus, slice) = ttCorpus(spark, dir)
+        graft.functions.TinyTransformer.writeServedWeights(
+          p.toString, ttConfig, corpus, slice): Unit
         p.toString
       })
+
+  /** The (full sample, fine-tune slice) text pair behind the served
+    * checkpoint — shared verbatim by [[graft.tools.TrainCheckpoint]] so
+    * the artifact's content id matches the serving lookup. */
+  def ttCorpus(spark: SparkSession, dir: String): (IndexedSeq[String], IndexedSeq[String]) = {
+    val rows = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 2000).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text")).collect()
+    (rows.map(_.getString(1)).toIndexedSeq,
+      rows.filter(_.getLong(0) < 200).map(_.getString(1)).toIndexedSeq)
+  }
 
   /** REAL neural inference through the T6 seam: a complete transformer
     * encoder (multi-head attention, GELU FFN, mean pooling — the MiniLM

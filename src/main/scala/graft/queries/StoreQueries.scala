@@ -477,7 +477,88 @@ object StoreQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental maintenance of a materialized JOIN view (delta-join
+    * IVM — the view-maintenance algebra warehouses run for dashboards
+    * over CDC: Δ(A ⋈ D) = ΔA ⋈ D ∪ A ⋈ ΔD, with the aggregate's monoid
+    * absorbing the fact delta; the aggregate-only sibling is X134
+    * retractable_agg, the sink-side sibling X132 stream_upsert — this
+    * one maintains a view that JOINS two tables, under changes to
+    * EITHER side). Scenario, all through [[graft.store.Versioned]]:
+    *
+    *  1. fact F (purchases) lands as batch 1; dim D (per-user segment)
+    *     commits; the view V = agg(F) ⋈ D materializes ONCE.
+    *  2. fact batch 2 appends → the consumer reads ONLY the delta via
+    *     `changes(checkpointed version)`, aggregates it (O(Δ)), reads
+    *     the RESIDENT view rows for the delta's keys only (semi-join —
+    *     the same O(batch) discipline the round-10 upsert-sink fix
+    *     pinned), monoid-adds, takes segments for first-seen users from
+    *     a dim lookup, and MERGEs — file-pruned, O(Δ × touched files).
+    *  3. dim update (a segment reclassification) merges into D, and the
+    *     view rows for JUST those users rewrite via semi-join + MERGE —
+    *     the fact table is never rescanned.
+    *
+    * The declared row is the final view, which must equal the full
+    * recompute under the final dim state — the oracle replays exactly
+    * that. At 100 TB the full recompute is the nightly job this
+    * operator retires: every maintenance step above is bounded by the
+    * DELTA, never the accumulated table. */
+  def ivmJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = scratch("ivmfact", dir)
+    val dimPath = scratch("ivmdim", dir)
+    val viewPath = scratch("ivmview", dir)
+    Seq(factPath, dimPath, viewPath).foreach(rmTree)
+    val ev = Tables.events(spark, dir)
+    def factSlice(cond: org.apache.spark.sql.Column) =
+      ev.filter(col("event_type") === "purchase" && cond)
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val splitDay = lit("2024-01-21").cast("date")
+    // 1) initial loads + the ONE full materialization this operator
+    //    thereafter retires
+    graft.store.Versioned.append(
+      factSlice(to_date(col("ts")) < splitDay), factPath): Unit // F v1
+    val checkpointed = graft.store.Versioned.currentVersion(factPath)
+    graft.store.Versioned.append(
+      ev.groupBy(col("user_id")).agg(min(col("event_type")).as("segment")),
+      dimPath): Unit // D v1
+    val dimDf = graft.store.Versioned.read(spark, dimPath)
+    val v0 = graft.store.Versioned.read(spark, factPath)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purch"), sum(col("v")).as("rev_e2"))
+      .join(dimDf, "user_id")
+      .select(col("user_id"), col("n_purch"), col("rev_e2"), col("segment"))
+    graft.store.Versioned.append(v0, viewPath): Unit
+    // 2) fact batch 2 appends; the consumer reads ONLY the delta and
+    //    monoid-adds into the view's resident rows for the delta's keys
+    graft.store.Versioned.append(
+      factSlice(to_date(col("ts")) >= splitDay), factPath): Unit // F v2
+    val dF = graft.store.Versioned.changes(spark, factPath, checkpointed)
+    val dAgg = dF.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("dn"), sum(col("v")).as("dv"))
+    val resident = graft.store.Versioned.read(spark, viewPath)
+      .join(dAgg.select(col("user_id")), Seq("user_id"), "left_semi")
+    val upserts = dAgg
+      .join(resident, Seq("user_id"), "left")
+      .join(dimDf.withColumnRenamed("segment", "d_segment"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("n_purch"), lit(0L)) + col("dn")).as("n_purch"),
+        (coalesce(col("rev_e2"), lit(0L)) + col("dv")).as("rev_e2"),
+        coalesce(col("segment"), col("d_segment")).as("segment"))
+    graft.store.Versioned.merge(spark, viewPath, upserts, Seq("user_id")): Unit
+    // 3) dim-side delta: a segment reclassification — only the view rows
+    //    carrying those keys rewrite; the fact table is never rescanned
+    val updD = dimDf.filter(col("user_id") % 7 === 0)
+      .withColumn("segment", lit("vip"))
+    graft.store.Versioned.merge(spark, dimPath, updD, Seq("user_id")): Unit
+    val viewTouched = graft.store.Versioned.read(spark, viewPath)
+      .join(updD.select(col("user_id")), Seq("user_id"), "left_semi")
+      .withColumn("segment", lit("vip"))
+    graft.store.Versioned.merge(spark, viewPath, viewTouched, Seq("user_id")): Unit
+    graft.store.Versioned.read(spark, viewPath).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivm_join_view" -> (ivmJoinView _),
     "table_diff" -> (tableDiff _),
     "bucketed_join" -> (bucketedJoin _),
     "zorder_scan" -> (zorderScan _),
@@ -491,6 +572,21 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute of the join view under the FINAL dim state — the
+    // nightly job the incremental maintenance must equal exactly
+    "ivm_join_view" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |d0 AS (SELECT user_id, min(event_type) AS seg FROM events GROUP BY 1),
+        |d AS (SELECT user_id,
+        |        CASE WHEN user_id % 7 = 0 THEN 'vip' ELSE seg END AS segment
+        |      FROM d0),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+        |        CAST(SUM(v) AS BIGINT) AS rev_e2
+        |      FROM f GROUP BY 1)
+        |SELECT a.user_id, a.n_purch, a.rev_e2, d.segment
+        |FROM a JOIN d USING (user_id) ORDER BY a.user_id""".stripMargin,
     // same deterministic v2 derivation; FULL OUTER + md5 compare
     "table_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -785,7 +785,54 @@ object TextQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** PII detection + redaction audit — the scrub pass every shared
+    * training corpus needs before release: regex detectors for emails,
+    * IPv4 addresses, and phone-shaped strings run over the corpus, then
+    * the SAME detectors run again over the `regexp_replace`-redacted
+    * text, and the declared row carries both counts per class — redaction
+    * is proven by `n_after_redaction = 0` under the oracle, not claimed.
+    * The fixture vocabulary contains no PII (31 plain words), so
+    * deterministic markers are INJECTED first (one class per doc_id
+    * residue — the same planted-defect regime as dq_audit/entity_match);
+    * the detectors then have real positives AND real negatives (7/10 of
+    * docs carry nothing). One aggregate pass computes all six counters
+    * (detect × redact × 3 classes), stacked to rows — scanning the
+    * corpus once per class would be the 100 TB mistake. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir)
+      .select(concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 1,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 2,
+          concat(lit(" call 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit(""))).as("text"))
+    val pats = Seq(
+      ("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"),
+      ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+      ("phone", "555-[0-9]{4}"))
+    // redact ALL classes, then re-detect per class: a residual hit in any
+    // class fails its row
+    val redacted = pats.foldLeft(col("text")) { case (c, (_, p)) =>
+      regexp_replace(c, p, "[PII]")
+    }
+    val counts = pats.flatMap { case (name, p) =>
+      Seq(sum(when(col("text").rlike(p), 1L).otherwise(0L)).as(s"d_$name"),
+        sum(when(redacted.rlike(p), 1L).otherwise(0L)).as(s"r_$name"))
+    }
+    injected.agg(counts.head, counts.tail: _*)
+      .selectExpr("stack(3, " +
+        "'email', d_email, r_email, " +
+        "'ipv4', d_ipv4, r_ipv4, " +
+        "'phone', d_phone, r_phone) AS (pii_class, n_docs, n_after_redaction)")
+      .orderBy(col("pii_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scan" -> (piiScan _),
     "source_overlap" -> (sourceOverlap _),
     "collocation_lift" -> (collocationLift _),
     "postings_list" -> (postingsList _),
@@ -819,6 +866,42 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // identical injection + detectors; redaction must zero every class
+    "pii_scan" ->
+      """WITH injected AS (
+        |  SELECT text
+        |    || CASE WHEN doc_id % 10 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 1
+        |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 2
+        |         THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[PII]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[PII]', 'g'),
+        |      '555-[0-9]{4}', '[PII]', 'g') AS rtext
+        |  FROM injected)
+        |SELECT 'email' AS pii_class,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN regexp_matches(rtext, '[a-z0-9]+@[a-z0-9]+\.[a-z]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_after_redaction
+        |FROM red
+        |UNION ALL
+        |SELECT 'ipv4',
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN regexp_matches(rtext, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM red
+        |UNION ALL
+        |SELECT 'phone',
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '555-[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN regexp_matches(rtext, '555-[0-9]{4}') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM red
+        |ORDER BY pii_class""".stripMargin,
     // plain COUNT DISTINCT per source / per pair — matching proves the
     // sketch algebra exact in the lossless regime (stored-shingle
     // bounds, doc_id < 200 slice)

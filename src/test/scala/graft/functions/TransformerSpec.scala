@@ -283,4 +283,67 @@ class TransformerSpec extends SparkSpec {
       assert(got(id).toSeq == local.encode(t).toSeq, s"doc $id diverged")
     }
   }
+
+  /** Minimum planted-paraphrase margin of a checkpoint over `slice`:
+    * min over mined pairs of cos(a, partner) − max cos(a, non-partner). */
+  private def minMargin(cfg: Config, wts: Array[Float], slice: IndexedSeq[String],
+      mined: IndexedSeq[(Int, Int)]): Double = {
+    val minedSet = mined.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val s = new Session(cfg, wts)
+    val vecs = slice.indices.map(i => i -> s.encode(slice(i))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    mined.map { case (a, b) =>
+      val va = vecs(a)
+      val others = slice.indices
+        .filter(o => o != a && !minedSet((a, o))).map(o => cos(va, vecs(o)))
+      cos(va, vecs(b)) - others.max
+    }.min
+  }
+
+  test("SERVED checkpoint: the committed artifact beats the skip-gram margin on planted pairs") {
+    // the round-9 verdict ask #6: the backprop-trained blocks must be on
+    // the serving path, not spec-only. Resolves through the exact
+    // production lookup (content-addressed artifact); a drifted corpus
+    // cancels rather than fails (the artifact pipeline then re-runs).
+    val (corpus, slice) = graft.queries.ScaleQueries.ttCorpus(spark, sfDir)
+    val cfg = graft.queries.ScaleQueries.ttServedConfig
+    val tmp = java.nio.file.Files.createTempFile("tt-served-", ".bin")
+    tmp.toFile.deleteOnExit()
+    val hit = TinyTransformer.writeServedWeights(tmp.toString, cfg, corpus, slice)
+    assume(hit, "no committed artifact for this corpus — run graft.tools.TrainCheckpoint")
+    val (rcfg, served) = TinyTransformer.readWeights(tmp.toString)
+    assert(rcfg == cfg)
+    val mined = TinyTransformer.mineParaphrasePairs(slice)
+    assume(mined.nonEmpty, "fixture slice must contain mined paraphrase pairs")
+    val sg = TinyTransformer.trainSkipGram(corpus, cfg)
+    // frozen embeddings: the margin win is the trained blocks' alone
+    val embLen = cfg.vocab * cfg.dModel + cfg.maxLen * cfg.dModel
+    assert(served.slice(0, embLen).toSeq == sg.slice(0, embLen).toSeq,
+      "served embeddings must be the skip-gram matrices, bit-identical")
+    assert(served.drop(embLen).toSeq != sg.drop(embLen).toSeq,
+      "served mixing layers must be the TRAINED ones")
+    val (mServed, mSg) = (minMargin(cfg, served, slice, mined),
+      minMargin(cfg, sg, slice, mined))
+    assert(mServed > mSg,
+      s"served margin $mServed must beat the skip-gram margin $mSg")
+    assert(mServed > 0, "every mined pair must rank top-1 under the served weights")
+  }
+
+  test("committed checkpoint equals retraining the full pipeline bit for bit",
+      graft.SlowTest) {
+    val (corpus, slice) = graft.queries.ScaleQueries.ttCorpus(spark, sfDir)
+    val cfg = graft.queries.ScaleQueries.ttServedConfig
+    val tmp = java.nio.file.Files.createTempFile("tt-served-", ".bin")
+    tmp.toFile.deleteOnExit()
+    val hit = TinyTransformer.writeServedWeights(tmp.toString, cfg, corpus, slice)
+    assume(hit, "no committed artifact for this corpus — run graft.tools.TrainCheckpoint")
+    val (_, served) = TinyTransformer.readWeights(tmp.toString)
+    val retrained = TinyTransformer.fineTunedWeights(cfg, corpus, slice)
+    assert(served.toSeq == retrained.toSeq,
+      "artifact must be exactly what the deterministic pipeline reproduces")
+  }
 }
