@@ -17,13 +17,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * after-the-fact registration into an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(builder.getClass.getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // whole-operator planning: top-k-per-group heap exec (fires only on
+    // its exact logical pattern AND when its conf flag is set — see
+    // graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(session => graft.plans.TopKPerGroup.Strategy(session))
+  }
 }
 
 object GraftExtensions {

@@ -568,7 +568,46 @@ object RelationalQueries {
       .orderBy(col("check_name"))
   }
 
+  /** Top-k-per-group through the WHOLE-OPERATOR physical rewrite
+    * ([[graft.plans.TopKPerGroup]] — the (c)-tier Catalyst extension:
+    * logical pattern → SparkStrategy → custom SparkPlan): the query is
+    * written as the ordinary row_number window + `rn <= 3` filter, the
+    * strategy (registered here via `experimental.extraStrategies`, or
+    * session-wide via GraftExtensions) plans it as one bounded heap per
+    * group — O(n log k) and no sort spill instead of WindowExec's full
+    * per-group sort. The query REQUIRES the custom exec in its own
+    * physical plan and executes through it before returning, so the
+    * oracle row genuinely exercises the operator (a strategy that
+    * mis-ranks, drops a group, or mis-handles the exchange breaks the
+    * hash match against the plain window replay). */
+  def topkHeapExec(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[graft.plans.TopKPerGroup.Strategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroup.Strategy(spark)
+    spark.conf.set(graft.plans.TopKPerGroup.EnabledKey, "true")
+    try {
+      val df = Tables.orders(spark, dir)
+        .filter(col("o_custkey") < 500)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_e2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("price_e2").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("price_e2"),
+          col("rn").cast("long").as("rn"))
+      require(df.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"),
+        "the heap strategy must plan this query")
+      val rows = df.collect() // executes THROUGH the custom operator
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, df.schema)
+        .orderBy(col("o_custkey"), col("rn"))
+    } finally spark.conf.set(graft.plans.TopKPerGroup.EnabledKey, "false")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_heap_exec" -> (topkHeapExec _),
     "dq_audit" -> (dqAudit _),
     "kcore_peel" -> (kcorePeel _),
     "table_stats" -> (tableStats _),
@@ -691,6 +730,16 @@ object RelationalQueries {
        |  JOIN k$cur a ON e.src = a.node JOIN k$cur b ON e.dst = b.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the plain window replay the heap operator must equal exactly
+    "topk_heap_exec" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 500)
+        |SELECT o_custkey, o_orderkey, price_e2, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // same planted defects, one row per expectation
     "dq_audit" ->
       """WITH audited AS (

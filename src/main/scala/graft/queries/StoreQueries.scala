@@ -557,7 +557,47 @@ object StoreQueries {
     graft.store.Versioned.read(spark, viewPath).orderBy(col("user_id"))
   }
 
+  /** SHALLOW CLONE + RESTORE over one store ([[graft.store.Versioned
+    * .shallowClone]]/[[graft.store.Versioned.restore]] — the Delta
+    * zero-copy test-sandbox and rollback pair): purchases land (v1), a
+    * predicate delete rewrites (v2), a metadata-only clone pins v2's
+    * files BY REFERENCE and then diverges with its own append — after
+    * which the SOURCE rolls back to v1 with one manifest commit and no
+    * data IO. The declared row profiles all three ends: the diverged
+    * clone (kept purchases + its own signup batch), the restored source
+    * (the full purchase set again), and the source's v2 history (still
+    * time-travelable after the restore — rollback adds a version, it
+    * rewrites nothing). A lost clone isolation, a restore that
+    * resurrects the deleted rows in history, or a clone that misses the
+    * divergence batch each breaks a row. At 100 TB both operations are
+    * O(manifest): the clone never copies data, the restore never
+    * rewrites it. */
+  def shallowCloneRestore(spark: SparkSession, dir: String): DataFrame = {
+    val src = scratch("clonesrc", dir)
+    val tgt = scratch("clonetgt", dir)
+    Seq(src, tgt).foreach(rmTree)
+    def slice(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.store.Versioned.append(slice("purchase"), src): Unit // v1
+    graft.store.Versioned.deleteWhere(spark, src,
+      col("user_id") % 5 === 0): Unit // v2
+    graft.store.Versioned.shallowClone(src, tgt): Unit // zero-copy
+    graft.store.Versioned.append(slice("signup"), tgt): Unit // clone diverges
+    graft.store.Versioned.restore(src, 1): Unit // source rolls back, O(manifest)
+    def profile(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_e2"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("sum_e2"))
+    profile("clone_after_divergence", graft.store.Versioned.read(spark, tgt))
+      .unionByName(profile("source_restored", graft.store.Versioned.read(spark, src)))
+      .unionByName(profile("source_v2_history",
+        graft.store.Versioned.read(spark, src, Some(2))))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shallow_clone_restore" -> (shallowCloneRestore _),
     "ivm_join_view" -> (ivmJoinView _),
     "table_diff" -> (tableDiff _),
     "bucketed_join" -> (bucketedJoin _),
@@ -572,6 +612,26 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replayed clone/restore endpoints from the fixture slices
+    "shallow_clone_restore" ->
+      """WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+        |      FROM events WHERE event_type = 'signup'),
+        |kept AS (SELECT * FROM p WHERE user_id % 5 <> 0),
+        |stages AS (
+        |  SELECT 'clone_after_divergence' AS stage,
+        |    CAST((SELECT COUNT(*) FROM kept) + (SELECT COUNT(*) FROM s) AS BIGINT) AS n_rows,
+        |    CAST((SELECT SUM(v) FROM kept) + (SELECT SUM(v) FROM s) AS BIGINT) AS sum_e2
+        |  UNION ALL
+        |  SELECT 'source_restored',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p),
+        |    (SELECT CAST(SUM(v) AS BIGINT) FROM p)
+        |  UNION ALL
+        |  SELECT 'source_v2_history',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept),
+        |    (SELECT CAST(SUM(v) AS BIGINT) FROM kept))
+        |SELECT stage, n_rows, sum_e2 FROM stages ORDER BY stage""".stripMargin,
     // full recompute of the join view under the FINAL dim state — the
     // nightly job the incremental maintenance must equal exactly
     "ivm_join_view" ->

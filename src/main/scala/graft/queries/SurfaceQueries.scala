@@ -417,7 +417,76 @@ object SurfaceQueries {
       .orderBy(col("key"))
   }
 
+  /** EVENT-TIME TIMER inactivity alerts under the oracle gate
+    * ([[graft.streaming.Streams.inactivityAlerts]] — the state-API-v2
+    * `registerTimer`/`handleExpiredTimer` surface, which none of the
+    * other streaming rows exercise: here rows are emitted WITHOUT any
+    * input for the key, silence itself being the signal). Staged
+    * replay: two event-time halves then one sentinel advancer row 6 d 1 h
+    * past the corpus (beyond every deadline's gap + delay), so the final
+    * watermark fires every armed timer exactly once while the sentinel's
+    * own timer never fires (its deadline sits gap past the last
+    * watermark). Each user's single alert carries the state at expiry —
+    * last-seen micros and event count — and since no user has events
+    * after its own timer fires, the emission set is
+    * batch-composition-independent: exactly one row per fixture user
+    * with their overall (max ts, count), which is the oracle. A broken
+    * timer path (never firing, firing early with stale state, firing
+    * the sentinel, or double-firing) breaks the row set. Timer
+    * semantics (inputs re-arm before expiry evaluation; batch-end
+    * watermark drives firing) are probed and pinned in StreamsSpec. */
+  def streamInactivity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sin-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = landing.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    val split = lit("2024-01-16").cast("timestamp")
+    stage("half_a.parquet", ev.filter(col("ts") < split), 300)
+    stage("half_b.parquet", ev.filter(col("ts") >= split), 200)
+    stage("advancer.parquet", ev.agg(max(col("ts")).as("m"))
+      .select(lit(-1L).as("user_id"),
+        (col("m") + expr("interval 6 days 1 hour")).as("ts")), 100)
+    val out = s"$tmp/alerts"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withShufflePartitions(spark, 4) {
+      val q = graft.streaming.Streams.inactivityAlerts(
+          spark.readStream.schema(spark.read.parquet(landing.toString).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing.toString),
+          gapMs = 5L * 86400 * 1000, watermark = "2 hours")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"), col("last_seen_us"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_inactivity" -> (streamInactivity _),
     "typed_agg" -> (typedAgg _),
     "knn_sql" -> (knnSql _),
     "ingest_gate" -> (ingestGate _),
@@ -431,6 +500,13 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one timer-driven alert per user with the state at expiry; the
+    // sentinel advancer row is synthesized in staging, never in the
+    // fixture, so it cannot appear here
+    "stream_inactivity" ->
+      """SELECT user_id, max(epoch_us(ts)) AS last_seen_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "typed_agg" ->
       """SELECT l_returnflag AS key,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

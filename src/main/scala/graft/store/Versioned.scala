@@ -48,7 +48,10 @@ object Versioned {
   }
 
   /** The data files (absolute paths) of `version` (default: latest).
-    * Version 0 is the empty table. */
+    * Version 0 is the empty table. Lines are normally RELATIVE to the
+    * table root; an absolute line is an external reference (a
+    * [[shallowClone]] pointing at the source table's files) and
+    * resolves as itself. */
   def files(table: String, version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(table))
     if (v == 0) Seq.empty
@@ -60,8 +63,71 @@ object Versioned {
         // '#'-lines are metadata markers (e.g. the streaming-batch
         // ledger), not data files; commit() carries them forward
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(rel => new File(table, rel).getAbsolutePath)
+        .map(rel =>
+          if (new File(rel).isAbsolute) rel
+          else new File(table, rel).getAbsolutePath)
     }
+  }
+
+  /** Delta-style RESTORE (rollback): re-publish `toVersion`'s COMPLETE
+    * manifest — data references, schema marker, constraints, stream
+    * ledger — as the NEXT version. Nothing rewrites: the restored
+    * version still references `toVersion`'s files (which exist as long
+    * as `toVersion` itself is inside vacuum's retained horizon — the
+    * same precondition the `require` checks), history after
+    * `toVersion` stays time-travelable until vacuumed, and the rollback
+    * is itself one atomic put-if-absent commit that loses cleanly to
+    * concurrent writers (re-deriving is just re-reading the old
+    * manifest). Caveat the ledger restore implies: a streaming sink
+    * whose recent batch markers are rolled back will re-land those
+    * batches on replay — restart streaming checkpoints alongside a
+    * restore, exactly as Delta documents. */
+  def restore(table: String, toVersion: Int, maxRetries: Int = 5): Int = {
+    val mf = manifestFile(table, toVersion)
+    require(toVersion > 0 && mf.exists,
+      s"version $toVersion of $table is unavailable (vacuumed or never committed)")
+    val restored = Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val curLines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet
+      try return commit(table, cur, restored, curLines)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Delta-style SHALLOW CLONE: materialize `target` as a new table
+    * whose first version references the SOURCE's current data files by
+    * absolute path — a metadata-only copy (O(manifest), zero data IO)
+    * carrying the source's schema marker and CHECK constraints, but NOT
+    * its stream ledger (the clone is a different sink; replaying a
+    * source checkpoint into it would be a caller error the ledger
+    * should not mask). From then on the tables diverge freely: writes
+    * to the clone land in the clone's own directory; rewrites
+    * (compact/delete/merge) drop external references naturally; and the
+    * clone's `vacuum` only ever deletes files under the CLONE's root,
+    * so the source's files are structurally out of its reach — the
+    * source controls their lifetime (dropping source versions the clone
+    * still references breaks the clone, exactly Delta's documented
+    * shallow-clone contract). Returns the clone's version (1). */
+  def shallowClone(table: String, target: String): Int = {
+    require(currentVersion(target) == 0, s"clone target $target already exists")
+    val cur = currentVersion(table)
+    require(cur > 0, s"cannot clone empty table $table")
+    val lines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    val (markers, data) = lines.partition(_.startsWith("#"))
+    val carried = markers.filterNot(_.startsWith("#stream:"))
+    val external = data.map(rel =>
+      if (new File(rel).isAbsolute) rel else new File(table, rel).getAbsolutePath)
+    commit(target, 0, external ++ carried)
   }
 
   private val SchemaPrefix = "#schema:"
@@ -487,8 +553,7 @@ object Versioned {
     * versions still resolve the old files — nothing is deleted here. */
   def compact(spark: SparkSession, table: String, maxRetries: Int = 5): Int = {
     val base = currentVersion(table)
-    val inputRel = files(table, Some(base)).map(abs =>
-      Paths.get(table).toAbsolutePath.relativize(Paths.get(abs)).toString)
+    val inputRel = files(table, Some(base)).map(abs => manifestLineOf(table, abs))
     val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     read(spark, table, Some(base)).coalesce(1)
       .write.parquet(new File(table, batch).getPath)
@@ -512,7 +577,6 @@ object Versioned {
   def deleteWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
     val base = currentVersion(table)
-    val rootPath = Paths.get(table).toAbsolutePath
     val cur = read(spark, table, Some(base))
     val affected = cur.filter(cond)
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
@@ -527,7 +591,7 @@ object Versioned {
     val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
     keep.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
     commitRewrite(table, base, added, removedRel, maxRetries)
   }
 
@@ -575,7 +639,6 @@ object Versioned {
       updates.write.parquet(new File(table, batch).getPath)
       return (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"), Set.empty)
     }
-    val rootPath = Paths.get(table).toAbsolutePath
     val cur = read(spark, table, Some(base))
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
     val updKeys = updates.select(keyCols: _*).distinct()
@@ -591,7 +654,7 @@ object Versioned {
         .unionByName(ordered)
     newData.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val removedRel = affected.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
     (added, removedRel)
   }
 
@@ -648,6 +711,16 @@ object Versioned {
     (if (s.startsWith("file:")) new File(java.net.URI.create(s)) else new File(s))
       .getAbsolutePath
 
+  /** The manifest line an absolute data path appears under: relative for
+    * files inside the table root, the absolute path itself for external
+    * references (shallow-clone sources). Rewrite commits must remove the
+    * LINE as written — relativizing an external path would miss it. */
+  private def manifestLineOf(table: String, abs: String): String = {
+    val root = Paths.get(table).toAbsolutePath
+    val p = Paths.get(abs)
+    if (p.startsWith(root)) root.relativize(p).toString else abs
+  }
+
   /** Delta-style OPTIMIZE … ZORDER BY: rewrite the CURRENT version
     * Z-ordered on two integer dimensions (Morton interleave via
     * [[Clustered.writeZOrdered]]) and publish it as one manifest commit
@@ -661,8 +734,7 @@ object Versioned {
   def optimize(spark: SparkSession, table: String, x: String, y: String,
       numFiles: Int = 16, maxRetries: Int = 5): Int = {
     val base = currentVersion(table)
-    val inputRel = files(table, Some(base)).map(abs =>
-      Paths.get(table).toAbsolutePath.relativize(Paths.get(abs)).toString)
+    val inputRel = files(table, Some(base)).map(abs => manifestLineOf(table, abs))
     val batch = f"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
     Clustered.writeZOrdered(read(spark, table, Some(base)),
       new File(table, batch).getPath, numFiles,
@@ -685,7 +757,6 @@ object Versioned {
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20, maxRetries: Int = 5): Int = {
     val base = currentVersion(table)
-    val rootPath = Paths.get(table).toAbsolutePath
     val all = files(table, Some(base))
     val small = all.filter(f => new File(f).length() < smallBytes)
     if (small.length < 2) return base
@@ -696,7 +767,7 @@ object Versioned {
     readUnder(spark, table, base, small).repartition(bins)
       .write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val removedRel = small.map(abs => rootPath.relativize(Paths.get(abs)).toString).toSet
+    val removedRel = small.map(abs => manifestLineOf(table, abs)).toSet
     commitRewrite(table, base, added, removedRel, maxRetries)
   }
 

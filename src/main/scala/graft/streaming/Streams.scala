@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming forms of the engine's append-shaped flows —
   * the reference's chat log (/root/reference/app.py:436-443) and
@@ -103,6 +104,64 @@ object Streams {
     events.map(e => (keyOf(e), valueOf(e)))
       .groupByKey(_._1)
       .transformWithState(new KmvStateProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Inactivity alert emitted when a key's event-time TIMER fires. */
+  case class InactivityAlert(user_id: Long, last_seen_us: Long, n_events: Long)
+
+  /** Per-key inactivity watchdog on the state API v2's EVENT-TIME TIMERS
+    * (`transformWithState` + `registerTimer`, Spark 4): every input
+    * batch re-arms the key's single timer to (last seen + gap); when the
+    * WATERMARK passes that deadline with no newer event having re-armed
+    * it, [[handleExpiredTimer]] fires once with the state at expiry —
+    * the abandoned-cart / dead-sensor / stalled-crawl alert, emitted
+    * WITHOUT any input row for the key (the capability that separates
+    * timers from plain stateful aggregation: silence itself is the
+    * signal). A key that re-appears after alerting re-arms and can alert
+    * again — one alert per observed inactivity period. Timer semantics
+    * probed and pinned in StreamsSpec: input rows process BEFORE expiry
+    * evaluation within a batch (an active key re-arms, no spurious
+    * alert), and a timer fires in the first batch whose watermark is
+    * ≥ its deadline. State per key is two longs + one timer — bounded
+    * by live keys, not history. */
+  class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), InactivityAlert] {
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("last",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[InactivityAlert] = {
+      var (last, n) = Option(state.get()).getOrElse((Long.MinValue, 0L))
+      rows.foreach { case (_, us) => if (us > last) last = us; n += 1 }
+      state.update((last, n))
+      // exactly one live timer per key: re-arm to the newest deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000 + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[InactivityAlert] = {
+      val (last, n) = state.get() // a fired timer implies state exists
+      Iterator.single(InactivityAlert(key, last, n))
+    }
+  }
+
+  /** Inactivity alerts over a watermarked (streaming or batch-staged)
+    * events frame: emits one [[InactivityAlert]] per key per observed
+    * gap ≥ `gapMs` of event-time silence. Requires the RocksDB state
+    * store provider (v2 API constraint, like [[distinctByKey]]). */
+  def inactivityAlerts(events: DataFrame, gapMs: Long,
+      watermark: String = "2 hours"): Dataset[InactivityAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stateful sessionization with mapGroupsWithState: counts 30-minute-gap

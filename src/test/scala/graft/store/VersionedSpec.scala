@@ -647,6 +647,56 @@ class VersionedSpec extends SparkSpec {
     df.unpersist(): Unit
   }
 
+  test("restore rolls back by manifest re-publish: content equals the target version, history survives") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t) // v2
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t) // v3
+    val v4 = Versioned.restore(t, 2)
+    assert(v4 == 4, "restore must add a version, not rewrite one")
+    assert(rows(t) == Set((1L, "a"), (2L, "b")), "current state == v2")
+    assert(rows(t, Some(3)) == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "the rolled-back version stays time-travelable")
+    // restoring a vacuumed version is a clear error
+    Versioned.vacuum(t, keepVersions = 2, minAgeMs = 0)
+    val err = intercept[IllegalArgumentException] { Versioned.restore(t, 1) }
+    assert(err.getMessage.contains("unavailable"))
+  }
+
+  test("shallow clone: zero-copy reference, both directions isolated, source files out of clone vacuum's reach") {
+    val src = tmpDir("versioned").toString
+    val tgt = tmpDir("versioned").toString + "-clone"
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    Versioned.addConstraint(spark, src, "id_pos", "id > 0")
+    Versioned.shallowClone(src, tgt)
+    assert(rows(tgt) == rows(src), "clone sees the source's current content")
+    // metadata-only: the clone directory holds no parquet of its own
+    def parquetsUnder(d: String): Seq[File] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new File(d))
+    }
+    assert(parquetsUnder(tgt).isEmpty, "shallow clone must copy no data")
+    // constraints carry; the clone enforces them on its own writes
+    val bad = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((-5L, "x")).toDF("id", "s"), tgt)
+    }
+    assert(bad.getMessage.contains("id_pos"))
+    // divergence is isolated both ways
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), tgt)
+    Versioned.deleteWhere(spark, src,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(rows(src) == Set((2L, "b")))
+    assert(rows(tgt) == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "clone still reads the pre-delete files it references")
+    // the clone's vacuum can only touch files under the CLONE's root
+    Versioned.vacuum(tgt, keepVersions = 1, minAgeMs = 0)
+    assert(rows(src, Some(1)) == Set((1L, "a"), (2L, "b")),
+      "source files must survive any clone vacuum")
+    assert(rows(tgt) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)

@@ -272,6 +272,54 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("event-time timers: input re-arms before expiry, boundary fire, re-alert after return") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+      def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val alerts = Streams.inactivityAlerts(
+        input.toDF().toDF("user_id", "ts"), gapMs = 60000L, watermark = "0 seconds")
+      val q = alerts.writeStream.outputMode("append")
+        .format("memory").queryName("inact_out").start()
+      def sec(s: Long) = ts(t0 + s * 1000000L)
+      try {
+        // batch 1: u1 and u2 arm timers at t0+60s
+        input.addData((1L, sec(0)), (2L, sec(0))); q.processAllAvailable()
+        // batch 2: u1 re-arms (input processes BEFORE expiry eval — no
+        // spurious u1 alert); u3's row puts the watermark EXACTLY on
+        // u2's deadline — boundary probe
+        input.addData((1L, sec(70)), (3L, sec(60))); q.processAllAvailable()
+        // batch 3: watermark far past every armed deadline
+        input.addData((99L, sec(300))); q.processAllAvailable()
+        // batch 4: u1 returns after alerting — re-arms and alerts AGAIN
+        input.addData((1L, sec(310))); q.processAllAvailable()
+        input.addData((98L, sec(1000))); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("inact_out")
+        .as[Streams.InactivityAlert].collect()
+        .map(a => (a.user_id, (a.last_seen_us - t0) / 1000000L, a.n_events)).toSet
+      // u2 fires at the boundary batch (wm == deadline ⇒ fires) with its
+      // state at expiry; u1 fires in batch 3 (deadline t0+130 < wm 300),
+      // returns in batch 4, fires AGAIN in batch 5; u3 (deadline 120)
+      // and u99 (deadline 360) fire once each along the way; u98 never
+      // (no watermark ever passes t0+1060)
+      assert(got == Set(
+        (2L, 0L, 1L), // boundary fire, batch 2
+        (1L, 70L, 2L), (1L, 310L, 3L), // alert, return, re-alert
+        (3L, 60L, 1L),
+        (99L, 300L, 1L)), got.toString)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsert read-compare is O(batch): resident scan semi-joins on batch keys below the aggregate") {
     // the resident-table read must prune to the micro-batch's keys
     // BEFORE its per-key max aggregate — aggregating the whole table per
