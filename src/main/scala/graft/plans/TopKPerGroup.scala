@@ -19,14 +19,19 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *
   *   row_number() OVER (PARTITION BY g ORDER BY o) AS rn … WHERE rn <= k
   *
-  * idiom plans, by default, as a FULL SORT of every group (WindowExec
-  * sorts each partition on (g, o), pays O(n log n) comparisons and sort
-  * spill for rows the filter then throws away). When only the top k
-  * survive, a bounded per-group HEAP does the same job in O(n log k)
-  * with memory k·|groups| — the classic "top-N per key" physical
-  * operator warehouses special-case, here recognized from the logical
-  * pattern so USER QUERIES DON'T CHANGE: the rewrite is a planning
-  * concern, exactly where Catalyst wants it.
+  * idiom plans, by default, as Sort + WindowExec. Spark's own
+  * InferWindowGroupLimit (3.5+) already prunes rows early — it inserts
+  * partial/final WindowGroupLimit nodes that drop beyond-rank rows —
+  * but the FINISHING step stays a full per-partition Sort feeding
+  * WindowExec. This operator replaces that finishing step: a bounded
+  * per-group HEAP ranks the survivors in O(n log k) heap comparisons
+  * with NO sort operator and no window machinery, composing ON TOP of
+  * the built-in pushdown (whose partial mode still trims rows before
+  * the exchange — the two are complementary, which the physical plan
+  * shows: WindowGroupLimit Partial → Exchange → this). The classic
+  * "top-N per key" physical operator warehouses special-case,
+  * recognized from the logical pattern so USER QUERIES DON'T CHANGE:
+  * the rewrite is a planning concern, exactly where Catalyst wants it.
   *
   * Scope and honesty: the strategy fires only on the exact pattern —
   * a single row_number window expression with the default running row
@@ -56,6 +61,10 @@ object TopKPerGroup {
       copy(child = newChildren.head)
 
     override def output: Seq[Attribute] = child.output :+ rnAttr
+
+    // rn is born here, not read from the child
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr)
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partitionSpec.isEmpty) AllTuples :: Nil

@@ -597,7 +597,7 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("price_e2"),
           col("rn").cast("long").as("rn"))
-      require(df.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"),
+      require(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
         "the heap strategy must plan this query")
       val rows = df.collect() // executes THROUGH the custom operator
       import scala.jdk.CollectionConverters._

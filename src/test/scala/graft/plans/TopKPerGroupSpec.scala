@@ -40,7 +40,7 @@ class TopKPerGroupSpec extends SparkSpec {
     Seq(1, 3, 10, 1000).foreach { k =>
       val (heap, window) = (withStrategy {
         val q = ranked(df, k)
-        assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"),
+        assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
           s"strategy must fire for k=$k")
         collected(q)
       }, collected(ranked(df, k)))
@@ -56,12 +56,12 @@ class TopKPerGroupSpec extends SparkSpec {
       val eq1 = df.withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)))
         .filter(col("rn") === 1)
-      assert(eq1.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+      assert(eq1.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
       assert(collected(eq1) == Set((1L, 1L, 5, 1), (2L, 4L, 7, 1)))
       val lt3 = df.withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)))
         .filter(col("rn") < 3)
-      assert(lt3.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+      assert(lt3.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
       assert(collected(lt3) ==
         Set((1L, 1L, 5, 1), (1L, 2L, 5, 2), (2L, 4L, 7, 1)))
     }
@@ -71,13 +71,13 @@ class TopKPerGroupSpec extends SparkSpec {
     val df = data(200, 5)
     // conf off
     val off = ranked(df, 3)
-    assert(!off.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+    assert(!off.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
     withStrategy {
       // rank() is not row_number: ties share ranks, the heap would lie
       val rk = df.withColumn("rn", rank().over(
           Window.partitionBy(col("g")).orderBy(col("v").desc)))
         .filter(col("rn") <= 3)
-      assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerGroupExec"))
+      assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
       // correctness either way
       assert(rk.count() >= 3)
     }
