@@ -886,9 +886,77 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable EXACT moment summary per event type — the power sums
+    * (n, Σv, Σv², Σv³, Σv⁴) every two-pass statistic (variance, skew,
+    * kurtosis, covariance-free drift checks) derives from, kept as
+    * integers so re-aggregation across partitions/backfills is
+    * bit-exact and order-free (the property streaming/incremental
+    * variance recipes like Welford trade away). Per-row powers stay in
+    * LONG (v ≤ 49000 e2-cents ⇒ v⁴ ≤ 5.8·10¹⁸ < 2⁶³); the Σv³/Σv⁴
+    * accumulators and the variance numerator n·Σv² − (Σv)² exceed 64
+    * bits at scale, so they accumulate in DECIMAL(38,0) and export as
+    * STRINGS (the one cross-engine-stable carrier for >64-bit exact
+    * integers — DuckDB sums to HUGEINT). One partial-aggregated pass. */
+  def valueMoments(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("v2", col("v") * col("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v2")).as("s2"),
+        sum((col("v2") * col("v")).cast(d38)).as("s3d"),
+        sum((col("v2") * col("v2")).cast(d38)).as("s4d"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"),
+        col("s3d").cast(d38).cast("string").as("s3"),
+        col("s4d").cast(d38).cast("string").as("s4"),
+        (col("n").cast(d38) * col("s2").cast(d38) -
+          col("s1").cast(d38) * col("s1").cast(d38))
+          .cast(d38).cast("string").as("var_num"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-numbers screen (Benford 1938; Nigrini's audit use,
+    * public): naturally-occurring multi-scale amounts put digit d first
+    * with probability log10(1+1/d); uniform-ish synthetic values (the
+    * fixture's) do NOT, and the per-digit deviation surfaces exactly
+    * that. The expected shares ride as e6 integer LITERALS (601 = the
+    * rounded log10 table) — computing log10 at query time would hang
+    * cross-engine hashing on last-bit libm agreement. Output per digit:
+    * observed count, expected count e6 (n·share), and the absolute
+    * deviation e6 — all integer arithmetic. One aggregate pass; the
+    * digit extraction is a string head over a positive integer cast. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    // round(log10(1+1/d) * 1e6) for d = 1..9 — fixed public constants
+    val shareE6 = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    // explicit floor: a bare double→int cast TRUNCATES in Spark but
+    // ROUNDS in DuckDB — floor is the one both engines agree on
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1) // totals are positive; guard anyway
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = digits.count()
+    val expected = shareE6.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+    import spark.implicits._
+    counts.join(broadcast(expected.toDF("digit", "share_e6")), Seq("digit"), "right")
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        (lit(n) * col("share_e6")).as("expected_e6"),
+        abs(coalesce(col("n_obs"), lit(0L)) * lit(1000000L) -
+          lit(n) * col("share_e6")).as("abs_dev_e6"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
     "hll_distinct" -> (hllDistinct _),
+    "value_moments" -> (valueMoments _),
+    "benford_audit" -> (benfordAudit _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -939,6 +1007,35 @@ object EventQueries {
         |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
         |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
         |FROM nums, dn ORDER BY lag""".stripMargin,
+    // power sums replayed in HUGEINT; >64-bit values compare as strings
+    "value_moments" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS s1,
+        |  CAST(SUM(v * v) AS BIGINT) AS s2,
+        |  CAST(CAST(SUM(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS VARCHAR) AS s3,
+        |  CAST(CAST(SUM(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS VARCHAR) AS s4,
+        |  CAST(COUNT(*) * SUM(CAST(v AS HUGEINT) * v)
+        |    - SUM(CAST(v AS HUGEINT)) * SUM(v) AS VARCHAR) AS var_num
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same e6 literal share table; pure integer deviation
+    "benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |dd AS (SELECT digit FROM d WHERE digit >= 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dd),
+        |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dd GROUP BY digit),
+        |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS t(digit, share_e6))
+        |SELECT CAST(exp.digit AS BIGINT) AS digit,
+        |  COALESCE(obs.n_obs, 0) AS n_obs,
+        |  CAST(n.n * exp.share_e6 AS BIGINT) AS expected_e6,
+        |  CAST(abs(COALESCE(obs.n_obs, 0) * 1000000 - n.n * exp.share_e6) AS BIGINT) AS abs_dev_e6
+        |FROM exp LEFT JOIN obs ON obs.digit = exp.digit, n
+        |ORDER BY digit""".stripMargin,
     // exact distinct replay; est_ok is the sketch's own 3-sigma contract,
     // which must hold for the row to hash-match
     "hll_distinct" ->
