@@ -192,6 +192,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7_volume / q5_multi_join: both fact sides prune through broadcast dims BEFORE the fact-fact exchange") {
+    // the round-9 plans ran the full lineitem⋈orders shuffle first and
+    // pruned after; the round-10 rework must keep the nation-pruned
+    // broadcast joins BELOW the shuffle join on both subtrees
+    Seq("q7_volume", "q5_multi_join").foreach { n =>
+      spark.catalog.clearCache()
+      // sparkPlan, not executedPlan: the AQE wrapper's `children` is Nil,
+      // so collect() can't see inside it — the pre-adaptive tree can be
+      // walked and carries the same join structure
+      val plan = graft.SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.sparkPlan
+      val smj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(smj.isDefined, s"$n: expected a shuffled fact⋈fact join\n$plan")
+      smj.get.children.zipWithIndex.foreach { case (side, i) =>
+        val bhj = side.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }
+        assert(bhj.nonEmpty,
+          s"$n: fact side $i must be dim-pruned below the exchange\n$plan")
+      }
+    }
+  }
+
   test("funnels: bounded state — no per-user collect_list anywhere") {
     // funnel patterns must resolve via running-min windows; a
     // collect_list reintroduces the unbounded heavy-hitter arrays the
