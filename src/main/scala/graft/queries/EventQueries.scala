@@ -952,11 +952,46 @@ object EventQueries {
       .orderBy(col("digit"))
   }
 
+  /** Window NAVIGATION family (lag/lead, first/nth/last value, and the
+    * distribution ranks) in one partitioned pass — the remaining window
+    * functions the `window_funcs`/`window_ranks`/`range_window` trio
+    * doesn't cover. The full-extent functions (nth/last) use an explicit
+    * unbounded-both-ways frame (their DEFAULT running frame would make
+    * last_value ≡ current row — the classic window gotcha, pinned here
+    * cross-engine); percent_rank/cume_dist export as e6 INTEGERS derived
+    * from row_number and the partition count — under this query's total
+    * order they equal the built-ins, and integer division is the only
+    * formulation two engines hash-agree on. One user-keyed
+    * sort+shuffle serves every column (same spec ⇒ one Window node). */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("next_v", lead(col("v"), 1).over(w))
+      .withColumn("first_v", first(col("v")).over(w))
+      .withColumn("second_v", nth_value(col("v"), 2).over(wAll))
+      .withColumn("last_v", last(col("v")).over(wAll))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("user_id"), col("event_id"), col("v"),
+        col("prev_v"), col("next_v"), col("first_v"), col("second_v"), col("last_v"),
+        when(col("n") > 1, expr("((rn - 1) * 1000000) div (n - 1)"))
+          .otherwise(lit(0L)).as("pct_rank_e6"),
+        expr("(rn * 1000000) div n").as("cume_dist_e6"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
     "hll_distinct" -> (hllDistinct _),
     "value_moments" -> (valueMoments _),
     "benford_audit" -> (benfordAudit _),
+    "window_navigation" -> (windowNavigation _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -1007,6 +1042,30 @@ object EventQueries {
         |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
         |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
         |FROM nums, dn ORDER BY lag""".stripMargin,
+    // identical navigation + integer rank derivation; nth/last under the
+    // explicit unbounded frame
+    "window_navigation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 30),
+        |win AS (
+        |  SELECT user_id, event_id, v,
+        |    lag(v, 1) OVER w AS prev_v,
+        |    lead(v, 1) OVER w AS next_v,
+        |    first_value(v) OVER w AS first_v,
+        |    nth_value(v, 2) OVER wall AS second_v,
+        |    last_value(v) OVER wall AS last_v,
+        |    row_number() OVER w AS rn,
+        |    CAST(COUNT(*) OVER wall AS BIGINT) AS n
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id),
+        |    wall AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, v, prev_v, next_v, first_v, second_v, last_v,
+        |  CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_rank_e6,
+        |  (rn * 1000000) // n AS cume_dist_e6
+        |FROM win ORDER BY user_id, event_id""".stripMargin,
     // power sums replayed in HUGEINT; >64-bit values compare as strings
     "value_moments" ->
       """WITH e AS (

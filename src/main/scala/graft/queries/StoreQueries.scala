@@ -596,7 +596,64 @@ object StoreQueries {
       .orderBy(col("stage"))
   }
 
+  /** Malformed-record HANDLING audit for the CSV reader — the ingest
+    * hygiene every pipeline fed by third-party exports needs, exercised
+    * against a corpus with PLANTED malformations (short rows missing a
+    * column, type-corrupt numerics — the planted-defect regime of
+    * dq_audit/pii_scan). Two PROBED Spark CSV behaviors this row pins
+    * cross-engine, both the kind that silently skew production counts:
+    *
+    *  - SHORT rows are NOT malformed: PERMISSIVE null-fills the missing
+    *    trailing columns and leaves `_corrupt` NULL — only rows whose
+    *    READ columns fail to parse (the type-corrupt class) are flagged.
+    *    The audit therefore counts null-filled rows as their own class.
+    *  - Malformation detection follows COLUMN PRUNING: a bare `count()`
+    *    under DROPMALFORMED parses ZERO columns and drops NOTHING — the
+    *    drop-parity leg aggregates over the value column explicitly so
+    *    the parse actually runs (the classic monitoring bug where the
+    *    row count changes with the columns selected).
+    *
+    * Declared row: totals, corrupt count, null-filled count, the
+    * DROPMALFORMED survivor count (= n_total − n_corrupt), and the
+    * good-row checksum — all replayed by the oracle from the planted
+    * construction. */
+  def csvMalformedAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-")
+    cleanupAtExit(tmp.toString)
+    val csvDir = tmp.resolve("landing").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .select(concat_ws(",",
+        col("event_id"), col("user_id"),
+        when(col("event_id") % 10 === 7, lit(null)) // short row: 2 fields
+          .when(col("event_id") % 10 === 3, lit("notanumber")) // type corrupt
+          .otherwise(col("v").cast("string"))).as("line"))
+      .write.mode("overwrite").text(csvDir)
+    val parsed = spark.read
+      .schema("event_id LONG, user_id LONG, v LONG, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(csvDir)
+    // the aggregate reads v, so the per-row parse (and the drop) happens
+    val survivors = spark.read
+      .schema("event_id LONG, user_id LONG, v LONG")
+      .option("mode", "DROPMALFORMED")
+      .csv(csvDir)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .head().getLong(0)
+    parsed.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull && col("v").isNull, 1L).otherwise(0L))
+        .as("n_nullfilled"),
+      sum(when(col("_corrupt").isNull, col("v")).otherwise(0L)).as("sum_v_good"))
+      .select(col("n_total"), col("n_corrupt"), col("n_nullfilled"),
+        lit(survivors).as("n_survivors"), col("sum_v_good"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_malformed_audit" -> (csvMalformedAudit _),
     "shallow_clone_restore" -> (shallowCloneRestore _),
     "ivm_join_view" -> (ivmJoinView _),
     "table_diff" -> (tableDiff _),
@@ -612,6 +669,20 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the planted-malformation arithmetic the CSV reader must reproduce
+    "csv_malformed_audit" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END AS corrupt,
+        |    CASE WHEN event_id % 10 = 7 THEN 1 ELSE 0 END AS shortrow,
+        |    CASE WHEN event_id % 10 IN (3, 7) THEN 0
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(shortrow) AS BIGINT) AS n_nullfilled,
+        |  CAST(COUNT(*) - SUM(corrupt) AS BIGINT) AS n_survivors,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v_good
+        |FROM cls""".stripMargin,
     // replayed clone/restore endpoints from the fixture slices
     "shallow_clone_restore" ->
       """WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
