@@ -986,12 +986,44 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** INTERVAL UNION length per user — total covered time when each
+    * event opens a 30-minute activity window and overlaps must not
+    * double-count (billing/uptime/SLA coverage; the measure-theoretic
+    * sibling of [[maxConcurrency]]'s counting sweep). Gaps-and-islands
+    * with a RUNNING MAX END: an interval starts a new island exactly
+    * when its start exceeds the max end of every earlier interval
+    * (touching intervals merge); island id = running sum of starts;
+    * union length = Σ (island max end − island min start) — all exact
+    * integer micros. One user-keyed sort serves both windows and the
+    * island rollup reuses the same distribution; per-row state is one
+    * long, heavy-hitter-immune like every windowed operator here. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val lenUs = 1800000000L // each event covers [ts, ts + 30 min)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("end_us", col("tsu") + lenUs)
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("prev_max_end").isNull ||
+        col("tsu") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("tsu")).as("s"), max(col("end_us")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("e") - col("s")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
     "hll_distinct" -> (hllDistinct _),
     "value_moments" -> (valueMoments _),
     "benford_audit" -> (benfordAudit _),
     "window_navigation" -> (windowNavigation _),
+    "interval_coverage" -> (intervalCoverage _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -1042,6 +1074,26 @@ object EventQueries {
         |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
         |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
         |FROM nums, dn ORDER BY lag""".stripMargin,
+    // same running-max-end islands in integer micros
+    "interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    epoch_us(ts) + 1800000000 AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN pme IS NULL OR tsu > pme THEN 1 ELSE 0 END AS ni FROM m),
+        |g AS (
+        |  SELECT *, SUM(ni) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(tsu) AS s, max(end_us) AS e
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical navigation + integer rank derivation; nth/last under the
     // explicit unbounded frame
     "window_navigation" ->
