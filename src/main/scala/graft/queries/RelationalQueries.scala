@@ -379,6 +379,61 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** WEIGHTED PageRank over the part↔supplier graph — link STRENGTH
+    * (lineitem multiplicity per pair) steers the walk instead of the
+    * uniform split: an edge carried by 40 lineitems pulls 40× the rank
+    * mass of a one-off ([[graft.scale.PageRank.run]] with `weightCol`;
+    * contribution = rank·w div Σw, still pure long arithmetic, so the
+    * oracle unrolls all 5 steps digit-exactly like [[pagerank]]'s). The
+    * co-occurrence-weighted centrality a corpus pipeline uses when raw
+    * link counts are the signal (citation/quotation frequency, crawl
+    * multiplicity). Weights are COUNT(*)-shaped — bounded well inside
+    * the long-overflow envelope the run doc states. */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val edges = fwd.select(explode(array(
+        struct(concat(lit("p"), col("p")).as("src"),
+          concat(lit("s"), col("s")).as("dst"), col("w")),
+        struct(concat(lit("s"), col("s")).as("src"),
+          concat(lit("p"), col("p")).as("dst"), col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+    graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true,
+        weightCol = Some("w"))
+      .select(col("node"), expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
+      .orderBy(col("node"))
+  }
+
+  /** One unrolled weighted power-iteration step (integer: mass is
+    * Σ rank·w div Σw per destination). */
+  private def wprStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node, CAST((SELECT t FROM tp)
+       |         + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_e12
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst, SUM((r.rank_e12 * e.w) // s.sw) AS mass
+       |    FROM edges e JOIN $prev r ON r.node = e.src JOIN sw s ON s.src = e.src
+       |    GROUP BY e.dst) m ON m.dst = nd.node)""".stripMargin
+
+  private val pagerankWeightedSql: String =
+    s"""WITH fwd AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+       |         CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+       |edges AS (SELECT src, dst, w FROM fwd
+       |          UNION ALL SELECT dst, src, w FROM fwd),
+       |sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |tp AS (SELECT (15 * 1000000000000) // (100 * n) AS t FROM nn),
+       |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12
+       |       FROM nodes),
+       |${(1 to 5).map(i => wprStep(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node, CAST((rank_e12 + 500000) // 1000000 AS BIGINT) AS rank_e6
+       |FROM r5 ORDER BY node""".stripMargin
+
   private val PprSeeds = Seq("p1", "p2", "s3")
 
   /** Doubled part↔supplier edge list (`src`, `dst` strings), built by ONE
@@ -615,6 +670,7 @@ object RelationalQueries {
     "bfs_hops" -> (bfsHops _),
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
+    "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
     "triangle_count" -> (triangleCount _),
@@ -816,6 +872,7 @@ object RelationalQueries {
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "pagerank" -> pagerankSql,
     "ppr_seeded" -> pprSql,
+    "pagerank_weighted" -> pagerankWeightedSql,
     // quantile_cont == Spark percentile: same (n-1)*q linear
     // interpolation, exact in double at dyadic q over small ints
     "group_quantiles" ->

@@ -68,7 +68,8 @@ object PageRank {
     * (`node`, `rank` double view, `rank_e12` the exact fixed-point value).
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      doubledUndirected: Boolean = false): DataFrame = {
+      doubledUndirected: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val dNum = math.round(damping * 100)
     require(math.abs(dNum / 100.0 - damping) < 1e-9,
@@ -79,10 +80,26 @@ object PageRank {
     // former groupBy + join + repartition chain — the caller's edge
     // derivation (often a distinct over a fact table) is consumed exactly
     // once instead of being recomputed by every fixed-cost job.
-    val e = edges.select(col("src"), col("dst"))
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .persist()
+    //
+    // WEIGHTED form (`weightCol`): each edge carries a positive integer
+    // weight and contributes `rank_e12 * w div Σw(src)` instead of the
+    // uniform `rank_e12 div outdeg` — the multiplicity/strength-aware
+    // walk (co-occurrence counts, link frequencies). Still pure long
+    // arithmetic; callers keep w small enough that rank_e12 · w < 2⁶³
+    // (w < ~9·10⁶), which the floor on rank mass guarantees for any
+    // count-shaped weight.
+    val e = (weightCol match {
+      case None =>
+        edges.select(col("src"), col("dst"))
+          .withColumn("outdeg", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      case Some(wc) =>
+        edges.select(col("src"), col("dst"), col(wc).cast("long").as("w"))
+          .withColumn("sw", sum(col("w")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    }).persist()
+    val contribExpr =
+      if (weightCol.isEmpty) "rank_e12 div outdeg" else "(rank_e12 * w) div sw"
     // every node must appear as a src, so the src set IS the node set;
     // distinct over the cached src-partitioned frame adds no exchange.
     // Cached: the |V| probe below and iteration 1's initial vector both
@@ -142,7 +159,7 @@ object PageRank {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank_e12 div outdeg")).as("mass"))
+        .agg(sum(expr(contribExpr)).as("mass"))
       // full in-coverage ⇒ contrib already has one row per node; the
       // left join against the node set exists only for teleport-only
       // nodes, which the stats probe proved absent
