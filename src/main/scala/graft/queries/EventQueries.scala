@@ -1017,6 +1017,48 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** LINEAR (multi-touch) attribution — the credit-splitting sibling of
+    * [[touchAttribution]]'s last-touch: each purchase's e2 revenue
+    * splits EQUALLY across its qualifying clicks (same user, click
+    * strictly before the purchase, within 7 days), in EXACT integer
+    * arithmetic: every qualifying click gets rev div k and the division
+    * remainder goes to the EARLIEST click (deterministic, and the
+    * per-purchase credits always sum back to the full revenue — the
+    * invariant float splits silently violate). Rolled up to attributed
+    * revenue per click day.
+    *
+    * Shape: a user-keyed equi-join with the 7-day interval residual
+    * (clicks per purchase are bounded by the window — the scd2/interval
+    * join argument, never a blow-up toward cross product), one
+    * per-purchase count+min window over the matched pairs sharing the
+    * join's distribution, then a small day rollup. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ptsu"),
+        col("event_id").as("p_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("rev_e2"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ctsu"),
+        col("event_id").as("c_id"))
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .filter(col("ctsu") < col("ptsu") && col("ctsu") >= col("ptsu") - day7)
+    val wP = Window.partitionBy(col("user_id"), col("p_id"))
+    val credited = pairs
+      .withColumn("k", count(lit(1)).over(wP))
+      .withColumn("rn", row_number().over(
+        wP.orderBy(col("ctsu").asc, col("c_id").asc)))
+      .withColumn("credit_e2",
+        expr("rev_e2 div k") +
+          when(col("rn") === 1, expr("rev_e2 % k")).otherwise(lit(0L)))
+    credited
+      .groupBy(expr("ctsu div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_e2")).as("attr_rev_e2"))
+      .orderBy(col("day_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
     "hll_distinct" -> (hllDistinct _),
@@ -1024,6 +1066,7 @@ object EventQueries {
     "benford_audit" -> (benfordAudit _),
     "window_navigation" -> (windowNavigation _),
     "interval_coverage" -> (intervalCoverage _),
+    "linear_attribution" -> (linearAttribution _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -1074,6 +1117,31 @@ object EventQueries {
         |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
         |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
         |FROM nums, dn ORDER BY lag""".stripMargin,
+    // same integer split: rev div k per click, remainder to the earliest
+    "linear_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ptsu, event_id AS p_id,
+        |    CAST(round(value * 100) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ctsu, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.user_id, p.p_id, p.ptsu, p.rev, c.ctsu, c.c_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ctsu < p.ptsu AND c.ctsu >= p.ptsu - 604800000000),
+        |ranked AS (
+        |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS k,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY ctsu, c_id) AS rn
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT ctsu,
+        |    (rev // k) + CASE WHEN rn = 1 THEN rev % k ELSE 0 END AS credit
+        |  FROM ranked)
+        |SELECT CAST(ctsu // 86400000000 AS BIGINT) AS day_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS attr_rev_e2
+        |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
     // same running-max-end islands in integer micros
     "interval_coverage" ->
       """WITH e AS (
