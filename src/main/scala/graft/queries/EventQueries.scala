@@ -1059,6 +1059,38 @@ object EventQueries {
       .orderBy(col("day_idx"))
   }
 
+  /** Exact χ² independence audit over the (event type × high-value)
+    * contingency table — "does conversion value depend on event type",
+    * the categorical-drift / A-B sanity screen next to [[ksDrift]]'s
+    * continuous one. All INTEGER arithmetic on the classic identity:
+    * the per-cell contribution (O − E)²/E with E = R·C/n scales by n to
+    * (n·O − R·C)² / (n·R·C), whose numerator can reach ~10²² — so the
+    * squaring runs in DECIMAL(38,0) and only the bounded e6 quotient
+    * exports (same >64-bit discipline as value_moments). Shape: ONE
+    * partial-aggregated pass builds the cells; rows/cols/total are
+    * broadcast 1-to-a-few-row frames derived from the cells, never a
+    * re-scan. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), (col("value") > 250).cast("int").as("hi"))
+      .groupBy(col("event_type"), col("hi"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("hi")).agg(sum(col("o")).as("c"))
+    val total = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "hi")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("hi").cast("long").as("hi"), col("o"),
+        expr("(r * c) div n").as("expected"),
+        expr(s"CAST((CAST(n AS $d38) * o - CAST(r AS $d38) * c) *" +
+          s" (CAST(n AS $d38) * o - CAST(r AS $d38) * c) * 1000000" +
+          s" div (CAST(n AS $d38) * r * c) AS BIGINT)").as("chi2_contrib_e6"))
+      .orderBy(col("event_type"), col("hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
     "hll_distinct" -> (hllDistinct _),
@@ -1067,6 +1099,7 @@ object EventQueries {
     "window_navigation" -> (windowNavigation _),
     "interval_coverage" -> (intervalCoverage _),
     "linear_attribution" -> (linearAttribution _),
+    "chi2_independence" -> (chi2Independence _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
     "sliding_distinct" -> (slidingDistinct _),
@@ -1117,6 +1150,25 @@ object EventQueries {
         |  CASE WHEN num >= 0 THEN CAST((num * 1000000) // dn.den AS BIGINT)
         |       ELSE -CAST(((-num) * 1000000) // dn.den AS BIGINT) END AS r_e6
         |FROM nums, dn ORDER BY lag""".stripMargin,
+    // same scaled identity in HUGEINT; non-negative operands make // and
+    // div agree
+    "chi2_independence" ->
+      """WITH base AS (
+        |  SELECT event_type, CASE WHEN value > 250 THEN 1 ELSE 0 END AS hi
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, hi, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2),
+        |rr AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cc AS (SELECT hi, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT cells.event_type, CAST(cells.hi AS BIGINT) AS hi, cells.o,
+        |  CAST((rr.r * cc.c) // nn.n AS BIGINT) AS expected,
+        |  CAST(((CAST(nn.n AS HUGEINT) * o - CAST(rr.r AS HUGEINT) * cc.c)
+        |     * (CAST(nn.n AS HUGEINT) * o - CAST(rr.r AS HUGEINT) * cc.c) * 1000000)
+        |    // (CAST(nn.n AS HUGEINT) * rr.r * cc.c) AS BIGINT) AS chi2_contrib_e6
+        |FROM cells JOIN rr USING (event_type) JOIN cc USING (hi), nn
+        |ORDER BY event_type, hi""".stripMargin,
     // same integer split: rev div k per click, remainder to the earliest
     "linear_attribution" ->
       """WITH p AS (
