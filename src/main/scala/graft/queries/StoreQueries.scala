@@ -652,7 +652,42 @@ object StoreQueries {
         lit(survivors).as("n_survivors"), col("sum_v_good"))
   }
 
+  /** Write-path TELEMETRY through the Observation API (`df.observe` —
+    * named accumulator-backed aggregates evaluated DURING the action,
+    * Spark's production pattern for row-count/checksum reconciliation
+    * on every batch load): the metrics ride the write itself, costing
+    * one pass of accumulator updates instead of the separate
+    * re-aggregation job a "write then count" pipeline pays (which at
+    * 100 TB doubles the scan, and can silently diverge from what was
+    * actually written under concurrent appends). The declared row is
+    * the OBSERVED metrics of a real parquet write — count, exact e2
+    * sum, min/max — which the oracle recomputes relationally: a metric
+    * pipeline that drops rows, double-counts retried tasks, or
+    * aggregates the wrong column breaks the hash match. (Observation
+    * constraints, pinned by use: aggregates only, no distinct — the
+    * accumulator merge must be idempotent-safe under task retry.) */
+  def observedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("ingest_stats")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-obs-")
+    cleanupAtExit(tmp.toString)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_v_e2"),
+        min(col("v")).as("min_v_e2"),
+        max(col("v")).as("max_v_e2"))
+      .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_v_e2").asInstanceOf[Long],
+      m("min_v_e2").asInstanceOf[Long], m("max_v_e2").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_v_e2", "min_v_e2", "max_v_e2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observed_write" -> (observedWrite _),
     "csv_malformed_audit" -> (csvMalformedAudit _),
     "shallow_clone_restore" -> (shallowCloneRestore _),
     "ivm_join_view" -> (ivmJoinView _),
@@ -669,6 +704,13 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // what the in-flight observed metrics must equal
+    "observed_write" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_e2,
+        |  CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_v_e2,
+        |  CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_v_e2
+        |FROM events""".stripMargin,
     // the planted-malformation arithmetic the CSV reader must reproduce
     "csv_malformed_audit" ->
       """WITH cls AS (
