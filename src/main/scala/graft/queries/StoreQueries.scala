@@ -686,7 +686,43 @@ object StoreQueries {
       .toDF("n_rows", "sum_v_e2", "min_v_e2", "max_v_e2")
   }
 
+  /** LOG-level data skipping ([[graft.store.Versioned.analyzeStats]] /
+    * `readPruned` — the Delta per-file-stats design): ANALYZE records
+    * each file's [min, max] of the key column as manifest marker lines,
+    * after which a range read selects files from the MANIFEST ALONE —
+    * zero footer opens, zero directory listing (the log-level
+    * complement of zorder_scan's footer-envelope skipping; at 100 TB
+    * with 10⁵ files that is the difference between one small-file read
+    * and 10⁵ object-store requests at planning). The store lands as
+    * four user-range batches (one file each), so the [20, 59] window
+    * must read EXACTLY 2 of 4 files — the declared row carries both
+    * file counts and the pruned slice's aggregate, all under the
+    * oracle; stats markers retire with their file on rewrites
+    * (VersionedSpec). Files without stats are conservatively read —
+    * correctness never depends on ANALYZE coverage. */
+  def statsPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("statsprune", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    (0 until 4).foreach { b =>
+      graft.store.Versioned.append(
+        ev.filter(col("user_id") >= b * 40 && col("user_id") < (b + 1) * 40)
+          .coalesce(1), path): Unit
+    }
+    graft.store.Versioned.analyzeStats(spark, path, "user_id"): Unit
+    val total = graft.store.Versioned.files(path).size
+    val read = graft.store.Versioned.prunedFiles(path, "user_id", 20, 59).size
+    graft.store.Versioned.readPruned(spark, path, "user_id", 20, 59)
+      .filter(col("user_id") >= 20 && col("user_id") <= 59)
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
+      .select(lit(total.toLong).as("n_files_total"),
+        lit(read.toLong).as("n_files_read"), col("n_rows"), col("rev_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_pruned_scan" -> (statsPrunedScan _),
     "observed_write" -> (observedWrite _),
     "csv_malformed_audit" -> (csvMalformedAudit _),
     "shallow_clone_restore" -> (shallowCloneRestore _),
@@ -704,6 +740,13 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // 4 one-file range batches; [20,59] overlaps exactly 2; slice agg
+    "stats_pruned_scan" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE user_id BETWEEN 20 AND 59""".stripMargin,
     // what the in-flight observed metrics must equal
     "observed_write" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -132,6 +132,101 @@ object Versioned {
 
   private val SchemaPrefix = "#schema:"
   private val CheckPrefix = "#check:"
+  private val StatsPrefix = "#stats:"
+
+  /** Per-file min/max stats recorded in `version`'s manifest, keyed by
+    * (column, manifest file line). Like the schema and CHECK markers,
+    * stats live in the LOG — the Delta data-skipping design point: a
+    * pruned read selects files from the manifest alone, opening ZERO
+    * footers (contrast OPTIMIZE ZORDER + footer envelopes, which still
+    * cost one footer read per file at planning). */
+  def statsOf(table: String,
+      version: Option[Int] = None): Map[(String, String), (Long, Long)] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) Map.empty
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith(StatsPrefix))
+      .map { l =>
+        val rest = l.stripPrefix(StatsPrefix)
+        val ci = rest.indexOf(':')
+        val colName = rest.take(ci)
+        val tail = rest.drop(ci + 1)
+        // parse min/max from the RIGHT so file lines may contain ':'
+        val j2 = tail.lastIndexOf(':')
+        val j1 = tail.lastIndexOf(':', j2 - 1)
+        ((colName, tail.take(j1)), (tail.substring(j1 + 1, j2).toLong,
+          tail.substring(j2 + 1).toLong))
+      }.toMap
+  }
+
+  /** ANALYZE-style stats collection: compute per-file min/max of
+    * `column` (cast to long — the integer-key case data skipping
+    * serves) for every current file LACKING a stats marker, and commit
+    * the markers as one metadata-only version. One pruned job over just
+    * the unanalyzed files, collecting one row per file; incremental by
+    * construction (re-running analyzes only new files). */
+  def analyzeStats(spark: SparkSession, table: String, column: String,
+      maxRetries: Int = 5): Int = {
+    val cur = currentVersion(table)
+    val have = statsOf(table, Some(cur)).keySet
+    val missing = files(table, Some(cur))
+      .filter(f => !have((column, manifestLineOf(table, f))))
+    if (missing.isEmpty) return cur
+    val c = org.apache.spark.sql.functions.col(column).cast("long")
+    val rows = readUnder(spark, table, cur, missing)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), c.as("x"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("x").as("mn"),
+        org.apache.spark.sql.functions.max("x").as("mx"))
+      .collect()
+    // an empty file produces no group row, an all-NULL column a NULL
+    // min/max — either way no marker lands and reads keep the file
+    // conservatively
+    val markers = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).map { r =>
+      val line = manifestLineOf(table, toLocalPath(r.getString(0)))
+      s"$StatsPrefix$column:$line:${r.getLong(1)}:${r.getLong(2)}"
+    }.toSeq
+    if (markers.isEmpty) cur
+    else retryCommit(table, markers, Set.empty, maxRetries)
+  }
+
+  /** Data-skipping read: resolve the current files, DROP every file
+    * whose recorded [min, max] for `column` misses [lo, hi] entirely,
+    * and read the survivors — file selection costs one manifest read,
+    * no footer opens, no directory listing. Files without a stats
+    * marker are conservatively kept (correctness never depends on
+    * ANALYZE coverage). The caller applies the row-level predicate on
+    * top, exactly as with any coarse index. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val cur = currentVersion(table)
+    val stats = statsOf(table, Some(cur))
+    val fs = files(table, Some(cur))
+    require(fs.nonEmpty, s"table $table has no committed data at $cur")
+    val keep = fs.filter { abs =>
+      stats.get((column, manifestLineOf(table, abs))) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (keep.isEmpty) readUnder(spark, table, cur, fs).limit(0)
+    else readUnder(spark, table, cur, keep)
+  }
+
+  /** Files [[readPruned]] would open for [lo, hi] — exposed so specs
+    * and queries can pin the skip count. */
+  def prunedFiles(table: String, column: String, lo: Long, hi: Long): Seq[String] = {
+    val cur = currentVersion(table)
+    val stats = statsOf(table, Some(cur))
+    files(table, Some(cur)).filter { abs =>
+      stats.get((column, manifestLineOf(table, abs))) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
 
   /** CHECK constraints recorded in `version`'s manifest — like the
     * schema marker, constraints live in the LOG (the Delta design
@@ -307,10 +402,18 @@ object Versioned {
   def commit(table: String, base: Int, newFiles: Seq[String],
       removed: Set[String] = Set.empty): Int = {
     val next = base + 1
+    // a stats marker rides with its data line: removing the file retires
+    // its stats too (a rewrite otherwise accumulates dangling markers)
+    def statsFileOf(l: String): String = {
+      val tail = l.stripPrefix(StatsPrefix).dropWhile(_ != ':').drop(1)
+      val j2 = tail.lastIndexOf(':')
+      tail.take(tail.lastIndexOf(':', j2 - 1))
+    }
     val kept =
       if (base == 0) Seq.empty
       else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSeq.filter(f => f.nonEmpty && !removed(f))
+        .toArray(Array.empty[String]).toSeq.filter(f => f.nonEmpty && !removed(f) &&
+          !(f.startsWith(StatsPrefix) && removed(statsFileOf(f))))
     manifestDir(table).mkdirs()
     val tmp = File.createTempFile(s"v$next-", ".tmp", manifestDir(table))
     Files.write(tmp.toPath,

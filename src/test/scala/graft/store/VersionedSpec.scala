@@ -697,6 +697,33 @@ class VersionedSpec extends SparkSpec {
     assert(rows(tgt) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("manifest stats: analyze, prune from the log alone, markers retire with rewrites") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), t)   // file [1,5]
+    Versioned.append(Seq((10L, "c"), (20L, "d")).toDF("id", "s").coalesce(1), t) // file [10,20]
+    Versioned.append(Seq((50L, "e")).toDF("id", "s").coalesce(1), t)             // file [50,50]
+    Versioned.analyzeStats(spark, t, "id")
+    assert(Versioned.statsOf(t).size == 3)
+    // pruning selects files from stats alone
+    assert(Versioned.prunedFiles(t, "id", 8, 30).size == 1)
+    assert(Versioned.readPruned(spark, t, "id", 8, 30)
+      .as[(Long, String)].collect().toSet == Set((10L, "c"), (20L, "d")))
+    assert(Versioned.prunedFiles(t, "id", 100, 200).isEmpty)
+    assert(Versioned.readPruned(spark, t, "id", 100, 200).count() == 0)
+    // incremental: a new (unanalyzed) file is conservatively read...
+    Versioned.append(Seq((200L, "f")).toDF("id", "s").coalesce(1), t)
+    assert(Versioned.prunedFiles(t, "id", 8, 30).size == 2)
+    // ...until the next analyze covers it (one marker added, 3 kept)
+    Versioned.analyzeStats(spark, t, "id")
+    assert(Versioned.statsOf(t).size == 4)
+    assert(Versioned.prunedFiles(t, "id", 8, 30).size == 1)
+    // a rewrite retires the removed files' markers with them
+    Versioned.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 10L)
+    val after = Versioned.statsOf(t)
+    assert(after.size == 3, s"deleted file's marker must retire, got $after")
+    assert(Versioned.read(spark, t).count() == 5)
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
