@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // its exact logical pattern AND when its conf flag is set — see
     // graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(session => graft.plans.TopKPerGroup.Strategy(session))
+    // automatic manifest-stats file skipping over Versioned.table reads
+    // (fires only on relations tagged with the graft.table reader option)
+    ext.injectOptimizerRule(session => graft.plans.StatsSkip.SkipRule(session))
   }
 }
 

@@ -721,7 +721,45 @@ object StoreQueries {
         lit(read.toLong).as("n_files_read"), col("n_rows"), col("rev_e2"))
   }
 
+  /** AUTOMATIC data skipping ([[graft.plans.StatsSkip]] — the optimizer-
+    * rule completion of `stats_pruned_scan`): the same 4-file range-landed
+    * store, but the query is a PLAIN `.filter` over
+    * [[graft.store.Versioned.table]] — no readPruned call. The registered
+    * `Rule[LogicalPlan]` extracts the [20, 59] bounds from the filter's
+    * conjuncts, consults the manifest stats, and rebuilds the scan's file
+    * index with only the 2 overlapping files; the declared row reports the
+    * file count FROM THE OPTIMIZED PLAN plus the slice aggregate, both
+    * under the oracle. This is where skipping belongs at 100 TB: in the
+    * optimizer, so every ad-hoc query gets it without calling a special
+    * read API. */
+  def statsSkipAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.StatsSkip.attach(spark)
+    val path = scratch("statsskipauto", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    (0 until 4).foreach { b =>
+      graft.store.Versioned.append(
+        ev.filter(col("user_id") >= b * 40 && col("user_id") < (b + 1) * 40)
+          .coalesce(1), path): Unit
+    }
+    graft.store.Versioned.analyzeStats(spark, path, "user_id"): Unit
+    val df = graft.store.Versioned.table(spark, path)
+      .filter(col("user_id") >= 20 && col("user_id") <= 59)
+    val read = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation].location.inputFiles.length
+    }.sum
+    val total = graft.store.Versioned.files(path).size
+    df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
+      .select(lit(total.toLong).as("n_files_total"),
+        lit(read.toLong).as("n_files_read"), col("n_rows"), col("rev_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_skip_auto" -> (statsSkipAuto _),
     "stats_pruned_scan" -> (statsPrunedScan _),
     "observed_write" -> (observedWrite _),
     "csv_malformed_audit" -> (csvMalformedAudit _),
@@ -740,6 +778,14 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the optimizer rule must land on the same 2-of-4 file selection and
+    // the same slice aggregate as the manual readPruned path
+    "stats_skip_auto" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE user_id BETWEEN 20 AND 59""".stripMargin,
     // 4 one-file range batches; [20,59] overlaps exactly 2; slice agg
     "stats_pruned_scan" ->
       """SELECT CAST(4 AS BIGINT) AS n_files_total,

@@ -358,6 +358,46 @@ object Versioned {
     readUnder(spark, table, v, fs)
   }
 
+  /** Read a version (default latest) as a SKIPPING-ELIGIBLE DataFrame:
+    * same rows as [[read]], but the relation carries `graft.table` /
+    * `graft.version` reader options so the registered
+    * [[graft.plans.StatsSkip]] optimizer rule can recognize it and drop
+    * files whose manifest [min, max] stats miss a range predicate —
+    * automatic data skipping with NO change to the user's query text
+    * (the `readPruned` call sites become plain `.filter`s). Untagged
+    * [[read]] frames are never touched by the rule. */
+  def table(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(table))
+    val fs = files(table, Some(v))
+    require(fs.nonEmpty, s"table $table has no committed data at $v")
+    val r = spark.read
+      .option("graft.table", Paths.get(table).toAbsolutePath.toString)
+      .option("graft.version", v.toString)
+    schemaOf(table, Some(v)) match {
+      case Some(st) => r.schema(st).parquet(fs: _*)
+      case None => r.parquet(fs: _*)
+    }
+  }
+
+  /** Drop every file of `absFiles` whose recorded [min, max] stats (at
+    * `version`) provably miss one of `bounds`' per-column [lo, hi]
+    * windows; files lacking a marker for a bounded column are
+    * conservatively kept. Driver-side metadata work for the
+    * [[graft.plans.StatsSkip]] rule — one manifest read, no file I/O. */
+  private[graft] def pruneByStats(table: String, version: Int,
+      absFiles: Seq[String], bounds: Map[String, (Long, Long)]): Seq[String] = {
+    val stats = statsOf(table, Some(version))
+    absFiles.filter { raw =>
+      val line = manifestLineOf(table, toLocalPath(raw))
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get((c, line)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+  }
+
   /** Append-only change feed: the rows ADDED between `fromVersion`
     * (exclusive) and `toVersion` (inclusive, default latest) — exactly
     * the files in `to`'s manifest but not `from`'s. For append-shaped
