@@ -59,8 +59,17 @@ object StatsSkip {
               val table = rel.options("graft.table")
               val version = rel.options("graft.version").toInt
               val all = rel.location.inputFiles.toSeq
-              val keep =
+              val byStats =
                 graft.store.Versioned.pruneByStats(table, version, all, bounds)
+              // an equality bound additionally consults the per-file Bloom
+              // filters — the skip min/max can never make on keys landed in
+              // arrival order rather than range-clustered
+              val keep = bounds.foldLeft(byStats) {
+                case (fs, (c, (lo, hi))) if lo == hi =>
+                  graft.store.Versioned.pruneByBloom(table, version, fs, c,
+                    lo.toString)
+                case (fs, _) => fs
+              }
               if (keep.size == all.size) f
               else {
                 val newIndex = new InMemoryFileIndex(spark,

@@ -758,7 +758,50 @@ object StoreQueries {
         lit(read.toLong).as("n_files_read"), col("n_rows"), col("rev_e2"))
   }
 
+  /** Bloom-filter file skipping ([[graft.store.Versioned.analyzeBloom]]
+    * + the same [[graft.plans.StatsSkip]] rule): the store lands
+    * INTERLEAVED — each of the 4 files holds one `user_id % 4` residue
+    * class, so every file's [min, max] covers the whole domain and
+    * min/max stats can prune NOTHING (the plan-counted stats-only
+    * baseline in the declared row pins exactly that). Per-file Bloom
+    * filters in the manifest close the gap: the point lookup
+    * `user_id = 7` consults 4 filters driver-side and reads only the
+    * residue-3 file — the skip that matters when keys arrive in landing
+    * order rather than range-clustered (hash IDs, content digests).
+    * False-positive rate at fixture scale: ~40 distinct keys in a
+    * 16 Kbit/6-hash filter ≈ 0 — and the filter is deterministic, so
+    * the plan-counted 1-of-4 is stable. */
+  def bloomSkipScan(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.StatsSkip.attach(spark)
+    val path = scratch("bloomskip", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    (0 until 4).foreach { b =>
+      graft.store.Versioned.append(
+        ev.filter(col("user_id") % 4 === b).coalesce(1), path): Unit
+    }
+    graft.store.Versioned.analyzeStats(spark, path, "user_id"): Unit
+    graft.store.Versioned.analyzeBloom(spark, path, "user_id"): Unit
+    def scanned(df: DataFrame): Long = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation].location.inputFiles.length
+    }.sum.toLong
+    // stats alone cannot prune an interleaved landing: a (non-point) range
+    // probe intersects every file's [residue, max] envelope — reads all 4
+    val statsOnly = scanned(graft.store.Versioned.table(spark, path)
+      .filter(col("user_id") >= 6 && col("user_id") <= 8))
+    val df = graft.store.Versioned.table(spark, path).filter(col("user_id") === 7)
+    df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
+      .select(lit(graft.store.Versioned.files(path).size.toLong).as("n_files_total"),
+        lit(statsOnly).as("n_files_stats_only"),
+        lit(scanned(df)).as("n_files_bloom"), col("n_rows"), col("rev_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_skip_scan" -> (bloomSkipScan _),
     "stats_skip_auto" -> (statsSkipAuto _),
     "stats_pruned_scan" -> (statsPrunedScan _),
     "observed_write" -> (observedWrite _),
@@ -778,6 +821,15 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // interleaved landing: stats keep all 4 files, blooms prune to the one
+    // residue-3 file; the slice aggregate rides the pruned scan
+    "bloom_skip_scan" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(4 AS BIGINT) AS n_files_stats_only,
+        |  CAST(1 AS BIGINT) AS n_files_bloom,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE user_id = 7""".stripMargin,
     // the optimizer rule must land on the same 2-of-4 file selection and
     // the same slice aggregate as the manual readPruned path
     "stats_skip_auto" ->

@@ -228,6 +228,108 @@ object Versioned {
     }
   }
 
+  private val BloomPrefix = "#bloom:"
+
+  /** The k bit positions of `v` in an m-bit Bloom filter — double
+    * hashing over two murmur3 seeds (Kirsch–Mitzenmacher: position_i =
+    * h1 + i·h2 mod m, same FPR as k independent hashes). Values hash by
+    * their STRING form so one layout serves long and string keys; the
+    * probe side must cast identically. */
+  private[graft] def bloomPositions(v: String, m: Int, k: Int): Array[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x5bd1e995) | 1
+    Array.tabulate(k) { i =>
+      val h = (h1.toLong + i.toLong * h2.toLong) % m
+      (if (h < 0) h + m else h).toInt
+    }
+  }
+
+  private[graft] def bloomMightContain(bits: Array[Byte], m: Int, k: Int,
+      v: String): Boolean =
+    bloomPositions(v, m, k).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+
+  /** Per-file Bloom filters recorded in `version`'s manifest, keyed by
+    * (column, manifest file line) → (m bits, k hashes, bitset). The
+    * EQUALITY complement of the [[statsOf]] min/max markers: point
+    * lookups on keys that are NOT range-clustered (hashes, IDs landed in
+    * arrival order) skip files min/max can never rule out. */
+  def bloomOf(table: String, version: Option[Int] = None)
+      : Map[(String, String), (Int, Int, Array[Byte])] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) Map.empty
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith(BloomPrefix))
+      .map { l =>
+        val rest = l.stripPrefix(BloomPrefix)
+        val ci = rest.indexOf(':')
+        val colName = rest.take(ci)
+        val tail = rest.drop(ci + 1)
+        val j3 = tail.lastIndexOf(':')
+        val j2 = tail.lastIndexOf(':', j3 - 1)
+        val j1 = tail.lastIndexOf(':', j2 - 1)
+        ((colName, tail.take(j1)),
+          (tail.substring(j1 + 1, j2).toInt, tail.substring(j2 + 1, j3).toInt,
+            java.util.Base64.getDecoder.decode(tail.substring(j3 + 1))))
+      }.toMap
+  }
+
+  /** ANALYZE-style Bloom collection: build an m-bit/k-hash Bloom filter
+    * of `column`'s values (string form, NULLs skipped) for every current
+    * file LACKING one, and commit the filters as one metadata-only
+    * version. 16 Kbit (2 KB base64 ≈ 2.7 KB of manifest) holds ~1150
+    * values at 1% FPR — size `bits` to the table's rows-per-file. Like
+    * [[analyzeStats]]: one job over just the unanalyzed files,
+    * incremental by construction. */
+  def analyzeBloom(spark: SparkSession, table: String, column: String,
+      bits: Int = 16384, k: Int = 6, maxRetries: Int = 5): Int = {
+    require(bits % 8 == 0 && bits > 0 && k > 0, s"bad bloom shape ($bits, $k)")
+    val cur = currentVersion(table)
+    val have = bloomOf(table, Some(cur)).keySet
+    val missing = files(table, Some(cur))
+      .filter(f => !have((column, manifestLineOf(table, f))))
+    if (missing.isEmpty) return cur
+    import spark.implicits._
+    val m = bits
+    val kk = k
+    val perFile = readUnder(spark, table, cur, missing)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        org.apache.spark.sql.functions.col(column).cast("string").as("x"))
+      .where(org.apache.spark.sql.functions.col("x").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bs = new Array[Byte](m / 8)
+        it.foreach { case (_, v) =>
+          bloomPositions(v, m, kk).foreach(p => bs(p >> 3) =
+            (bs(p >> 3) | (1 << (p & 7))).toByte)
+        }
+        (f, java.util.Base64.getEncoder.encodeToString(bs))
+      }
+      .collect()
+    val markers = perFile.map { case (f, b64) =>
+      val line = manifestLineOf(table, toLocalPath(f))
+      s"$BloomPrefix$column:$line:$m:$k:$b64"
+    }.toSeq
+    if (markers.isEmpty) cur
+    else retryCommit(table, markers, Set.empty, maxRetries)
+  }
+
+  /** Drop every file of `absFiles` whose Bloom filter (at `version`)
+    * proves `column != value` for all rows; files lacking a filter are
+    * conservatively kept. Driver-side metadata work, no file I/O. */
+  private[graft] def pruneByBloom(table: String, version: Int,
+      absFiles: Seq[String], column: String, value: String): Seq[String] = {
+    val blooms = bloomOf(table, Some(version))
+    absFiles.filter { raw =>
+      blooms.get((column, manifestLineOf(table, toLocalPath(raw)))) match {
+        case Some((m, k, bs)) => bloomMightContain(bs, m, k, value)
+        case None => true
+      }
+    }
+  }
+
   /** CHECK constraints recorded in `version`'s manifest — like the
     * schema marker, constraints live in the LOG (the Delta design
     * point: `ALTER TABLE ADD CONSTRAINT` writes a transaction-log
@@ -442,18 +544,25 @@ object Versioned {
   def commit(table: String, base: Int, newFiles: Seq[String],
       removed: Set[String] = Set.empty): Int = {
     val next = base + 1
-    // a stats marker rides with its data line: removing the file retires
-    // its stats too (a rewrite otherwise accumulates dangling markers)
-    def statsFileOf(l: String): String = {
-      val tail = l.stripPrefix(StatsPrefix).dropWhile(_ != ':').drop(1)
-      val j2 = tail.lastIndexOf(':')
-      tail.take(tail.lastIndexOf(':', j2 - 1))
+    // a stats/bloom marker rides with its data line: removing the file
+    // retires its markers too (a rewrite otherwise accumulates dangling
+    // markers). Both layouts put the file line between the column name
+    // and N trailing ':'-separated numeric/base64 fields, so parse from
+    // the right (file lines may contain ':').
+    def markerFileOf(l: String, prefix: String, trailing: Int): String = {
+      val tail = l.stripPrefix(prefix).dropWhile(_ != ':').drop(1)
+      var cut = tail.length
+      (0 until trailing).foreach { _ => cut = tail.lastIndexOf(':', cut - 1) }
+      tail.take(cut)
     }
+    def retired(l: String): Boolean =
+      (l.startsWith(StatsPrefix) && removed(markerFileOf(l, StatsPrefix, 2))) ||
+        (l.startsWith(BloomPrefix) && removed(markerFileOf(l, BloomPrefix, 3)))
     val kept =
       if (base == 0) Seq.empty
       else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSeq.filter(f => f.nonEmpty && !removed(f) &&
-          !(f.startsWith(StatsPrefix) && removed(statsFileOf(f))))
+        .toArray(Array.empty[String]).toSeq
+        .filter(f => f.nonEmpty && !removed(f) && !retired(f))
     manifestDir(table).mkdirs()
     val tmp = File.createTempFile(s"v$next-", ".tmp", manifestDir(table))
     Files.write(tmp.toPath,

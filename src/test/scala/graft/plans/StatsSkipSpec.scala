@@ -63,6 +63,21 @@ class StatsSkipSpec extends SparkSpec {
     assert(untagged.count() == 2)
   }
 
+  test("equality over interleaved files: stats keep all, blooms prune to one") {
+    val t = tmpDir("statsskip").toString
+    Versioned.append(Seq((1L, "a"), (50L, "b"), (100L, "c")).toDF("id", "s").coalesce(1), t)
+    Versioned.append(Seq((2L, "d"), (51L, "e"), (99L, "f")).toDF("id", "s").coalesce(1), t)
+    Versioned.analyzeStats(spark, t, "id")
+    Versioned.analyzeBloom(spark, t, "id")
+    // a range cannot prune interleaved min/max envelopes
+    assert(filesScanned(Versioned.table(spark, t)
+      .filter(col("id") >= 50L && col("id") <= 51L)) == 2)
+    // the point lookup consults the blooms through the same rule
+    val df = Versioned.table(spark, t).filter(col("id") === 51L)
+    assert(filesScanned(df) == 1)
+    assert(df.as[(Long, String)].collect().toSet == Set((51L, "e")))
+  }
+
   test("unanalyzed files are conservatively scanned") {
     val t = store()
     Versioned.append(Seq((200L, "f")).toDF("id", "s").coalesce(1), t)

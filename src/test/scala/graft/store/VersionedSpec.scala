@@ -724,6 +724,37 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 5)
   }
 
+  test("manifest blooms: point-lookup pruning where min/max cannot, markers retire") {
+    val t = tmpDir("versioned").toString
+    // interleaved landing: both files span [1, 100] by min/max
+    Versioned.append(Seq((1L, "a"), (50L, "b"), (100L, "c")).toDF("id", "s").coalesce(1), t)
+    Versioned.append(Seq((2L, "d"), (51L, "e"), (99L, "f")).toDF("id", "s").coalesce(1), t)
+    Versioned.analyzeStats(spark, t, "id")
+    Versioned.analyzeBloom(spark, t, "id")
+    assert(Versioned.bloomOf(t).size == 2)
+    val all = Versioned.files(t)
+    val v = Versioned.currentVersion(t)
+    // min/max keeps both files for any in-range point; bloom prunes to 1
+    assert(Versioned.pruneByStats(t, v, all, Map("id" -> (51L, 51L))).size == 2)
+    assert(Versioned.pruneByBloom(t, v, all, "id", "51").size == 1)
+    assert(Versioned.pruneByBloom(t, v, all, "id", "100").size == 1)
+    // an absent value may FP but never misses; at 6 keys FPR ~ 0
+    assert(Versioned.pruneByBloom(t, v, all, "id", "77").isEmpty)
+    // incremental: a new file lacks a filter and is conservatively kept
+    Versioned.append(Seq((200L, "g")).toDF("id", "s").coalesce(1), t)
+    val v2 = Versioned.currentVersion(t)
+    assert(Versioned.pruneByBloom(t, v2, Versioned.files(t), "id", "77").size == 1)
+    Versioned.analyzeBloom(spark, t, "id")
+    assert(Versioned.bloomOf(t).size == 3)
+    assert(Versioned.pruneByBloom(t, Versioned.currentVersion(t),
+      Versioned.files(t), "id", "77").isEmpty)
+    // a rewrite retires the removed files' bloom markers with them
+    Versioned.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 2L)
+    assert(Versioned.bloomOf(t).size == 2,
+      s"rewritten file's bloom must retire, got ${Versioned.bloomOf(t).keySet}")
+    assert(Versioned.read(spark, t).count() == 6)
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
