@@ -479,6 +479,31 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Weighted single-source shortest path ([[graft.scale.Sssp]] —
+    * frontier Bellman-Ford) over the part↔supplier graph with integer
+    * edge weights (min lineitem quantity per pair — deterministic, and
+    * TPC-H quantities are integral so the cross-engine cast is exact):
+    * 3 relaxation rounds from seed p1, so the oracle is a recursive CTE
+    * enumerating ≤3-edge walks aggregated to min total weight —
+    * identical semantics (after r rounds a node holds the exact
+    * shortest distance using ≤ r edges). The weighted answer DIFFERS
+    * from hop-BFS: a cheap 2-hop detour beats a heavy direct edge,
+    * which SsspSpec pins structurally. */
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(concat(lit("p"), col("l_partkey")).as("p"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    val edges = pairs.select(explode(array(
+        struct(col("p").as("src"), col("s").as("dst"), col("w")),
+        struct(col("s").as("src"), col("p").as("dst"), col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+    graft.scale.Sssp.run(edges, Seq("p1").toDF("node"), rounds = 3)
+      .select(col("node"), col("dist").cast("long").as("dist"))
+      .orderBy(col("node"))
+  }
+
   /** k-core peeling (3 synchronous rounds, k=3) over the customer
     * co-order-date graph — the degeneracy screen that separates a link
     * graph's dense core from its sparse fringe (spam-farm detection,
@@ -668,6 +693,7 @@ object RelationalQueries {
     "table_stats" -> (tableStats _),
     "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
+    "sssp_weighted" -> (ssspWeighted _),
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
     "pagerank_weighted" -> (pagerankWeighted _),
@@ -870,6 +896,25 @@ object RelationalQueries {
         |  WHERE bfs.hop < 3)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // ≤3-edge weighted walks from p1, min total weight per node — the
+    // recursive unroll of 3 Bellman-Ford rounds (quantities are integral
+    // in TPC-H, so MIN(CAST(l_quantity AS BIGINT)) is engine-exact)
+    "sssp_weighted" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |         MIN(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM pairs
+        |      UNION ALL SELECT dst, src, w FROM pairs),
+        |walk(node, d, hop) AS (
+        |  SELECT 'p1', CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, walk.d + e.w, walk.hop + 1
+        |  FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.hop < 3)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "pagerank" -> pagerankSql,
     "ppr_seeded" -> pprSql,
     "pagerank_weighted" -> pagerankWeightedSql,
