@@ -246,6 +246,30 @@ object EventQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket_lo"), col("event_type"))
 
+  /** OHLC time-bar downsample: per (day, event_type) bar, the value at
+    * the earliest event (open), max (high), min (low), value at the
+    * latest event (close), and the bar count — the market-data
+    * resampling shape, and the general "first/last reading per bucket"
+    * telemetry rollup. AGGREGATE-ONLY: open/close come from
+    * `min_by`/`max_by` ordered by the (ts, event_id) STRUCT — ties on
+    * ts (possible at other SFs) break deterministically on event_id, so
+    * the cross-engine hash is stable — with map-side partial merge, so
+    * there is no window, no per-bucket sort, and ONE shuffle whose keys
+    * (day × type) grow with the data. Values export as e2 fixed point
+    * (house cross-engine discipline). */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        col("ts"), col("event_id"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(expr("min_by(v, struct(ts, event_id))").as("open_e2"),
+        max(col("v")).as("high_e2"),
+        min(col("v")).as("low_e2"),
+        expr("max_by(v, struct(ts, event_id))").as("close_e2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1118,6 +1142,7 @@ object EventQueries {
     "events_hourly" -> (eventsHourly _),
     "sessionize" -> (sessionize _),
     "value_histogram" -> (valueHistogram _),
+    "ohlc_bars" -> (ohlcBars _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1510,6 +1535,23 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // open/close via rank-1 rows ordered by (ts, event_id) both ways —
+    // the deterministic-tie-break twin of Spark's min_by/max_by struct
+    "ohlc_bars" ->
+      """WITH v AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT day, event_type,
+        |  MAX(CASE WHEN ra = 1 THEN v END) AS open_e2,
+        |  MAX(v) AS high_e2, MIN(v) AS low_e2,
+        |  MAX(CASE WHEN rd = 1 THEN v END) AS close_e2,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     "cohort_retention" ->
       """WITH c AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day

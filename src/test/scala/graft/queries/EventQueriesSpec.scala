@@ -168,4 +168,28 @@ class EventQueriesSpec extends SparkSpec {
     assert(convRows(core) == convRows(convReference(df)))
     assert(!core.queryExecution.optimizedPlan.toString.contains("collect_list"))
   }
+
+  test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
+    // all four rows share one day; rows 1 and 2 share the SAME ts —
+    // open must take the lower event_id, close the higher, regardless
+    // of input order
+    val rows = Seq(
+      ("click", 9L, base + 1000L, 30L),
+      ("click", 2L, base + 1000L, 10L), // same ts as event 9, lower id
+      ("click", 5L, base + 2000L, 99L),
+      ("click", 7L, base + 3000L, 7L))
+    val df = rows.map { case (t, e, us, v) => (t, e, ts(us), v) }
+      .toDF("event_type", "event_id", "ts", "v")
+    val bar = df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(expr("min_by(v, struct(ts, event_id))").as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        expr("max_by(v, struct(ts, event_id))").as("close"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(bar.length == 1)
+    val r = bar.head
+    assert(r.getAs[Long]("open") == 10L, "open = same-ts lower event_id row")
+    assert(r.getAs[Long]("high") == 99L && r.getAs[Long]("low") == 7L)
+    assert(r.getAs[Long]("close") == 7L && r.getAs[Long]("n") == 4L)
+  }
 }
