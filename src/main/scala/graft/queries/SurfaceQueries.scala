@@ -384,6 +384,54 @@ object SurfaceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STATIC enrichment join — the dimension-lookup half of
+    * Structured Streaming (vs the stream-stream interval join of
+    * [[streamJoinOuter]]): a 2-micro-batch event stream inner-joins a
+    * BROADCAST static customer dimension per batch. The join is
+    * STATELESS — the static side re-resolves per micro-batch, no state
+    * store rows, no watermark (StreamsSpec pins `stateOperators` empty)
+    * — which is exactly why it scales: enrichment cost is
+    * O(batch × broadcast lookup) forever, state never grows with stream
+    * length. Enriched rows land append-only; the declared row is the
+    * per-segment batch rollup of the sink, equal to the all-at-once
+    * batch join by construction — which the oracle checks. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sstatic-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing.toString)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = s"$tmp/enriched"
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("v"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("rev_e2"))
+      .orderBy(col("segment"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -493,6 +541,7 @@ object SurfaceQueries {
     "stream_windowed" -> (streamWindowed _),
     "stream_relay_rollup" -> (streamRelayRollup _),
     "stream_dedup" -> (streamDedup _),
+    "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_upsert" -> (streamUpsert _),
@@ -500,6 +549,12 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stateless per-batch enrichment must equal the all-at-once join
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // one timer-driven alert per user with the state at expiry; the
     // sentinel advancer row is synthesized in staging, never in the
     // fixture, so it cannot appear here

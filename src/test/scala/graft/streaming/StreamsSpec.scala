@@ -256,6 +256,12 @@ class StreamsSpec extends SparkSpec {
       .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
     // known users stamped; unknown user survives the left join with null
     assert(got == Set((1L, Some("gold")), (3L, None), (2L, Some("basic"))))
+    // the stream-static join is STATELESS: the static side re-resolves
+    // per micro-batch, no state store rows ever accumulate (contrast the
+    // stream-stream interval join) — the property that makes enrichment
+    // cost O(batch) forever
+    assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+      s"stream-static join must keep no state: ${q.lastProgress}")
   }
 
   test("append sink writes streaming records to parquet") {
