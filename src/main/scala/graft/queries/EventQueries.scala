@@ -270,6 +270,54 @@ object EventQueries {
         count(lit(1)).as("n"))
       .orderBy(col("day"), col("event_type"))
 
+  /** CUSUM change-point detection: per event type, the split day k that
+    * maximizes |n·S_k − k·S_n| over the daily revenue series — the
+    * scaled-CUSUM statistic whose argmax is the maximum-likelihood
+    * single change point under a mean-shift model (Page's test, exact
+    * form). ALL integer: daily sums are e2 longs, the statistic's
+    * products run in DECIMAL(38,0) (the chi2/value_moments >64-bit
+    * discipline — at 10⁴ days × e2 sums the n·S products pass 10¹⁹),
+    * and only the bounded e6-normalized statistic plus integer-div
+    * segment means export. Plan shape: ONE daily aggregation (keys grow
+    * with the calendar), a CALENDAR-BOUNDED self-join for the running
+    * sums (the autocorr pattern — no enum-partitioned window; the
+    * joined frame is days², not events²), then a deterministic
+    * `max_by(payload, (stat, −k))` argmax — aggregate-only, earliest
+    * day wins ties, same tie rule the oracle ranks by. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame =
+    changepointCore(Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s")))
+
+  /** [[changepointCusum]]'s argmax over a caller-supplied daily series
+    * (`event_type`, `day`, `s`) — split out so specs can plant a known
+    * mean shift. */
+  private[queries] def changepointCore(daily: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val b = daily.select(col("event_type").as("bt"), col("day").as("bday"),
+      col("s").as("bs"))
+    val cum = daily.join(b,
+        col("event_type") === col("bt") && col("bday") <= col("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("k"), sum(col("bs")).as("sk"))
+    val tot = daily.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("s")).as("sn"), count(lit(1)).as("n"))
+    cum.join(broadcast(tot), col("event_type") === col("tt"))
+      .where(col("k") < col("n"))
+      .withColumn("stat",
+        expr(s"abs(CAST(n AS $d38) * sk - CAST(k AS $d38) * sn)"))
+      .groupBy(col("event_type"))
+      .agg(expr("max_by(struct(day, k, sk, sn, n, stat), struct(stat, -k))")
+        .as("m"))
+      .select(col("event_type"), col("m.day").as("change_day"),
+        col("m.k").as("split_k"),
+        expr(s"CAST((m.stat * 1000000) div (CAST(m.n AS $d38) * m.sn) AS BIGINT)")
+          .as("stat_e6"),
+        expr("m.sk div m.k").as("left_mean_e2"),
+        expr("(m.sn - m.sk) div (m.n - m.k)").as("right_mean_e2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1143,6 +1191,7 @@ object EventQueries {
     "sessionize" -> (sessionize _),
     "value_histogram" -> (valueHistogram _),
     "ohlc_bars" -> (ohlcBars _),
+    "changepoint_cusum" -> (changepointCusum _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1535,6 +1584,31 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // rank on the EXACT statistic (ties → earliest k, both engines),
+    // export only the e6-normalized statistic and integer-div means
+    "changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    SUM(s) OVER (PARTITION BY event_type ORDER BY day) AS sk,
+        |    SUM(s) OVER (PARTITION BY event_type) AS sn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, day, k, n, sk, sn, abs(n * sk - k * sn) AS stat
+        |  FROM cum WHERE k < n)
+        |SELECT event_type, day AS change_day, CAST(k AS BIGINT) AS split_k,
+        |  CAST((stat * 1000000) // (n * sn) AS BIGINT) AS stat_e6,
+        |  CAST(sk // k AS BIGINT) AS left_mean_e2,
+        |  CAST((sn - sk) // (n - k) AS BIGINT) AS right_mean_e2
+        |FROM st
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY stat DESC, k ASC) = 1
+        |ORDER BY event_type""".stripMargin,
     // open/close via rank-1 rows ordered by (ts, event_id) both ways —
     // the deterministic-tie-break twin of Spark's min_by/max_by struct
     "ohlc_bars" ->

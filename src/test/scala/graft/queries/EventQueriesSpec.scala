@@ -169,6 +169,23 @@ class EventQueriesSpec extends SparkSpec {
     assert(!core.queryExecution.optimizedPlan.toString.contains("collect_list"))
   }
 
+  test("cusum argmax lands on a planted mean shift; ties take the earliest day") {
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-02-${i}%02d")
+    // 10 days at 100, then 10 days at 300: the max of |n*Sk - k*Sn|
+    // is exactly the boundary (day 10)
+    val shifted = (1 to 20).map(i => ("a", day(i), if (i <= 10) 100L else 300L))
+    // constant series: every split ties at stat 0 -> earliest day wins
+    val flat = (1 to 5).map(i => ("b", day(i), 50L))
+    val res = EventQueries.changepointCore(
+        (shifted ++ flat).toDF("event_type", "day", "s"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(res == List(
+      // n*Sk - k*Sn at k=10: |20*1000 - 10*4000| = 20000; e6 over n*Sn=80000
+      ("a", day(10), 10L, 250000L, 100L, 300L),
+      ("b", day(1), 1L, 0L, 50L, 50L)))
+  }
+
   test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
     // all four rows share one day; rows 1 and 2 share the SAME ts —
     // open must take the lower event_id, close the higher, regardless
