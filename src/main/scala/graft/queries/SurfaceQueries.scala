@@ -432,6 +432,74 @@ object SurfaceQueries {
       .orderBy(col("segment"))
   }
 
+  /** MID-STREAM dimension refresh — the slowly-changing-dimension
+    * pattern plain stream-static joins CANNOT express (a parquet static
+    * side freezes its file list when the query plans): the enrichment
+    * join runs inside `foreachBatch`, re-resolving the dimension from
+    * the [[graft.store.Versioned]] store ON EVERY micro-batch, so a
+    * MERGE committed between batches is visible to the next batch.
+    * Here batch 0 (even event_ids, mtime-staged first) enriches against
+    * the original customer dimension, then the sink itself commits a
+    * MERGE moving customer 7 to segment MOVED; batch 1 (odd event_ids)
+    * must see it. The oracle encodes exactly that batch-boundary
+    * semantics as a CASE over event_id parity — wrong batch ordering,
+    * a stale dim read, or a leaky merge all hash-mismatch. Cost shape:
+    * the per-batch dim read is O(dim) + one manifest resolve, the join
+    * stays broadcast, and the stream holds NO state. */
+  def streamDimRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdim-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = landing.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage("even.parquet", ev.filter(col("event_id") % 2 === 0), 300)
+    stage("odd.parquet", ev.filter(col("event_id") % 2 === 1), 200)
+    val dimTable = tmp.resolve("dim").toString
+    graft.store.Versioned.append(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")), dimTable): Unit
+    val out = s"$tmp/enriched"
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val dim = graft.store.Versioned.read(spark, dimTable) // fresh resolve
+          batch.join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .select(col("c_mktsegment").as("segment"), col("v"))
+            .write.mode("append").parquet(out)
+          if (id == 0) {
+            import spark.implicits._
+            graft.store.Versioned.merge(spark,
+              dimTable, Seq((7L, "MOVED")).toDF("c_custkey", "c_mktsegment"),
+              keys = Seq("c_custkey")): Unit
+          }
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("rev_e2"))
+      .orderBy(col("segment"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -542,6 +610,7 @@ object SurfaceQueries {
     "stream_relay_rollup" -> (streamRelayRollup _),
     "stream_dedup" -> (streamDedup _),
     "stream_static_enrich" -> (streamStaticEnrich _),
+    "stream_dim_refresh" -> (streamDimRefresh _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_upsert" -> (streamUpsert _),
@@ -549,6 +618,16 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch 0 = even event_ids against the ORIGINAL dim; batch 1 = odd
+    // event_ids against the dim AFTER the mid-stream merge moved
+    // customer 7 — the CASE encodes the batch-boundary visibility
+    "stream_dim_refresh" ->
+      """SELECT CASE WHEN event_id % 2 = 1 AND user_id = 7
+        |    THEN 'MOVED' ELSE c_mktsegment END AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stateless per-batch enrichment must equal the all-at-once join
     "stream_static_enrich" ->
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,

@@ -264,6 +264,32 @@ class StreamsSpec extends SparkSpec {
       s"stream-static join must keep no state: ${q.lastProgress}")
   }
 
+  test("foreachBatch re-resolves a Versioned dim per batch: mid-stream merge is visible") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimTable = tmpDir("sdim").toString
+    graft.store.Versioned.append(
+      Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier"), dimTable)
+    val input = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = input.toDF().toDF("user_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val dim = graft.store.Versioned.read(spark, dimTable)
+        got ++= batch.join(dim, "user_id")
+          .select(col("user_id"), col("tier"))
+          .collect().map(r => (id, r.getLong(0), r.getString(1)))
+        if (id == 0) graft.store.Versioned.merge(spark, dimTable,
+          Seq((1L, "moved")).toDF("user_id", "tier"), keys = Seq("user_id")): Unit
+      }
+      .option("checkpointLocation", tmpDir("sdim-ckpt").toString)
+      .start()
+    try {
+      input.addData(1L, 2L); q.processAllAvailable()
+      input.addData(1L); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0 sees the original tier; batch 1 sees the merged one
+    assert(got.toSet == Set((0L, 1L, "gold"), (0L, 2L, "basic"), (1L, 1L, "moved")))
+  }
+
   test("append sink writes streaming records to parquet") {
     val srcDir = tmpDir("chat-src").toString
     val outDir = tmpDir("chat-out").toString + "/data"
