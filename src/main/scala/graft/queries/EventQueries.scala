@@ -318,6 +318,46 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Exact per-group OLS trend: slope and r² of daily revenue vs time,
+    * per event type, from the closed-form sums identity
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — ONE aggregate pass
+    * collecting the five sums (x = epoch day, no rank needed — pure
+    * column arithmetic), then driver-free integer post-arithmetic in
+    * DECIMAL(38,0) (num² reaches ~10²⁵; ×10⁶ ~10³¹ — the chi2
+    * discipline). Exports are SIGN + NONNEGATIVE e6 quotients
+    * (slope_abs_e6, r2_e6) because signed integer division is the one
+    * op the engines disagree on (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — the round-10 landmine list) — sign and
+    * magnitude separately are exact in both. */
+  def trendRegression(spark: SparkSession, dir: String): DataFrame =
+    trendCore(Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y")))
+
+  /** [[trendRegression]]'s sums identity over a caller-supplied daily
+    * series (`event_type`, `day`, `y`) — split out so specs can plant
+    * exact lines. A zero-variance (flat) series yields r² = NULL rather
+    * than a division error (ANSI mode). */
+  private[queries] def trendCore(dailyIn: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = dailyIn
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= 2)
+      .withColumn("num", expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy"))
+      .withColumn("den", expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))
+      .withColumn("syyd", expr(s"CAST(n AS $d38) * syy - CAST(sy AS $d38) * sy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CAST(signum(num) AS BIGINT)").as("slope_sign"),
+        expr("CAST((1000000 * abs(num)) div den AS BIGINT)").as("slope_abs_e6"),
+        expr("CASE WHEN syyd = 0 THEN NULL ELSE " +
+          "CAST((1000000 * num * num) div (den * syyd) AS BIGINT) END").as("r2_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1192,6 +1232,7 @@ object EventQueries {
     "value_histogram" -> (valueHistogram _),
     "ohlc_bars" -> (ohlcBars _),
     "changepoint_cusum" -> (changepointCusum _),
+    "trend_regression" -> (trendRegression _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1584,6 +1625,30 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // five-sums OLS identity; sign exported separately from the
+    // nonnegative e6 magnitudes (signed int-div semantics differ)
+    "trend_regression" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(day - DATE '1970-01-01') AS sx, SUM(y) AS sy,
+        |    SUM((day - DATE '1970-01-01') * y) AS sxy,
+        |    SUM(CAST(day - DATE '1970-01-01' AS BIGINT)
+        |      * (day - DATE '1970-01-01')) AS sxx,
+        |    SUM(y * y) AS syy
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den, n * syy - sy * sy AS syyd
+        |  FROM s WHERE n >= 2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(sign(num) AS BIGINT) AS slope_sign,
+        |  CAST((1000000 * abs(num)) // den AS BIGINT) AS slope_abs_e6,
+        |  CAST((1000000 * num * num) // (den * syyd) AS BIGINT) AS r2_e6
+        |FROM f ORDER BY event_type""".stripMargin,
     // rank on the EXACT statistic (ties → earliest k, both engines),
     // export only the e6-normalized statistic and integer-div means
     "changepoint_cusum" ->

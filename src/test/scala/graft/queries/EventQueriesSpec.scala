@@ -186,6 +186,21 @@ class EventQueriesSpec extends SparkSpec {
       ("b", day(1), 1L, 0L, 50L, 50L)))
   }
 
+  test("OLS sums identity: planted lines give exact slope sign/magnitude and r2") {
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-03-${i}%02d")
+    val rows =
+      (1 to 10).map(i => ("up", day(i), 100L + 7L * i)) ++   // slope +7, r2 = 1
+      (1 to 10).map(i => ("down", day(i), 500L - 3L * i)) ++ // slope -3, r2 = 1
+      (1 to 10).map(i => ("flat", day(i), 42L))              // slope 0, r2 NULL
+    val res = EventQueries.trendCore(rows.toDF("event_type", "day", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toList
+    assert(res == List(
+      ("down", 10L, -1L, 3000000L, 1000000L),
+      ("flat", 10L, 0L, 0L, -1L),
+      ("up", 10L, 1L, 7000000L, 1000000L)))
+  }
+
   test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
     // all four rows share one day; rows 1 and 2 share the SAME ts —
     // open must take the lower event_id, close the higher, regardless
