@@ -800,7 +800,37 @@ object StoreQueries {
         lit(scanned(df)).as("n_files_bloom"), col("n_rows"), col("rev_e2"))
   }
 
+  /** ZERO-REWRITE column rename ([[graft.store.Versioned.renameColumn]]
+    * — the Iceberg ALTER TABLE RENAME design point): two batches land
+    * under the OLD column name, the rename commits pure metadata (the
+    * declared row pins the file set unchanged), a third batch lands
+    * under the NEW name, and one read serves ALL rows under the
+    * canonical name — legacy files resolve through the manifest's
+    * rename marker (`coalesce(new, old)` under the union scan), so no
+    * data file is rewritten at ANY table size. The aggregate over the
+    * canonical column must equal the full events recompute. */
+  def renameZeroRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("renamezr", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.store.Versioned.append(ev.filter(col("event_id") % 3 === 0), path): Unit
+    graft.store.Versioned.append(ev.filter(col("event_id") % 3 === 1), path): Unit
+    val before = graft.store.Versioned.files(path).toSet
+    graft.store.Versioned.renameColumn(spark, path, "v", "rev_e2"): Unit
+    val untouched = graft.store.Versioned.files(path).toSet == before
+    graft.store.Versioned.append(
+      ev.filter(col("event_id") % 3 === 2).withColumnRenamed("v", "rev_e2"),
+      path): Unit
+    graft.store.Versioned.read(spark, path)
+      .agg(count(lit(1)).as("n_rows"), sum(col("rev_e2")).as("rev_e2_total"))
+      .select(lit(if (untouched) 1L else 0L).as("files_untouched"),
+        col("n_rows"), col("rev_e2_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rename_zero_rewrite" -> (renameZeroRewrite _),
     "bloom_skip_scan" -> (bloomSkipScan _),
     "stats_skip_auto" -> (statsSkipAuto _),
     "stats_pruned_scan" -> (statsPrunedScan _),
@@ -821,6 +851,13 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the rename touches zero files; the canonical-name read must still
+    // serve every row from both eras
+    "rename_zero_rewrite" ->
+      """SELECT CAST(1 AS BIGINT) AS files_untouched,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2_total
+        |FROM events""".stripMargin,
     // interleaved landing: stats keep all 4 files, blooms prune to the one
     // residue-3 file; the slice aggregate rides the pruned scan
     "bloom_skip_scan" ->

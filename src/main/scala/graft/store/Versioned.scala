@@ -330,6 +330,131 @@ object Versioned {
     }
   }
 
+  private val RenamePrefix = "#rename:"
+
+  /** Column renames recorded in `version`'s manifest, oldest first
+    * (manifest order — commits append, so chained renames replay in
+    * commit order). */
+  def renamesOf(table: String, version: Option[Int] = None): Seq[(String, String)] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) Seq.empty
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith(RenamePrefix))
+      .map { l =>
+        val rest = l.stripPrefix(RenamePrefix)
+        val i = rest.indexOf(':')
+        (rest.take(i), rest.drop(i + 1))
+      }
+  }
+
+  /** ZERO-REWRITE column rename (the Iceberg `ALTER TABLE RENAME COLUMN`
+    * design point, minus field IDs): one metadata-only commit carrying a
+    * `#rename:old:new` marker plus the updated schema marker — no data
+    * file is touched at ANY table size. [[read]]/[[table]] resolve it by
+    * scanning under the union of canonical and legacy names and folding
+    * `coalesce(new, legacy old)` per marker, so pre-rename files serve
+    * their values under the new name and post-rename files (written with
+    * canonical names) are untouched. File-REWRITING ops (deleteWhere,
+    * merge, compact, zorder) are REJECTED while rename markers are
+    * outstanding — a rewrite reading under the canonical schema would
+    * NULL-fill a legacy file's renamed column and destroy its values;
+    * run [[normalize]] (one explicit full rewrite) first. Column names
+    * must not contain ':'. */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String, maxRetries: Int = 5): Int = {
+    require(!oldName.contains(":") && !newName.contains(":") &&
+      oldName.nonEmpty && newName.nonEmpty, s"bad names $oldName -> $newName")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"cannot rename on empty table $table")
+      val schema = readSchemaOf(spark, table, cur)
+      require(schema.fieldNames.contains(oldName),
+        s"rename: no column $oldName in ${schema.fieldNames.mkString(",")}")
+      require(!schema.fieldNames.contains(newName),
+        s"rename: column $newName already exists")
+      val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val stale = Files.readAllLines(manifestFile(table, cur).toPath,
+          StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet.filter(_.startsWith(SchemaPrefix))
+      try {
+        return commit(table, cur,
+          Seq(s"$RenamePrefix$oldName:$newName", SchemaPrefix + renamed.json),
+          stale)
+      } catch {
+        case e: IllegalStateException if attempt < maxRetries => attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** The CANONICAL read schema of `version`: the recorded marker if one
+    * exists, else the first file's footer. */
+  private def readSchemaOf(spark: SparkSession, table: String,
+      version: Int): org.apache.spark.sql.types.StructType =
+    schemaOf(table, Some(version)).getOrElse(
+      spark.read.parquet(files(table, Some(version)).head).schema)
+
+  /** Apply outstanding renames to a raw union-schema scan: each marker
+    * folds `new := coalesce(new, old)` (a legacy file NULL-fills the
+    * canonical name and serves its value under the old one; a canonical
+    * file does the reverse), then legacy names drop and the canonical
+    * column order restores. */
+  private def applyRenames(spark: SparkSession, table: String, version: Int,
+      paths: Seq[String], renames: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val canonical = readSchemaOf(spark, table, version)
+    val byName = canonical.fields.map(f => f.name -> f).toMap
+    // resolve each rename chain's FINAL canonical name for typing the
+    // legacy columns (a -> b -> c: both a and b read as c's type)
+    def finalName(n: String): String =
+      renames.foldLeft(n) { case (cur, (o, nw)) => if (cur == o) nw else cur }
+    val legacy = renames.map(_._1).distinct
+      .filter(o => !byName.contains(o))
+      .map(o => StructField(o, byName(finalName(o)).dataType, nullable = true))
+    val extended = StructType(canonical.fields ++ legacy)
+    val folded = renames.foldLeft(spark.read.schema(extended).parquet(paths: _*)) {
+      case (df, (o, n)) => df.withColumn(n,
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col(n),
+          org.apache.spark.sql.functions.col(o)))
+    }
+    folded.select(canonical.fieldNames.map(
+      org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** Reject file-rewriting ops while renames are outstanding — rewriting
+    * a legacy file under the canonical schema would NULL-fill its
+    * renamed columns. */
+  private def requireNoRenames(table: String, op: String): Unit = {
+    val rs = renamesOf(table)
+    require(rs.isEmpty, s"$op on $table with outstanding column renames " +
+      s"${rs.map { case (o, n) => s"$o->$n" }.mkString(", ")}: " +
+      "run Versioned.normalize first (one explicit rewrite)")
+  }
+
+  /** One explicit full rewrite under the canonical schema: rewrites every
+    * file with renames applied, commits the new files, and retires the
+    * rename markers — after this, file-rewriting ops work again. The
+    * one-time cost rename itself avoids; run it when convenient. */
+  def normalize(spark: SparkSession, table: String, maxRetries: Int = 5): Int = {
+    val cur = currentVersion(table)
+    val renames = renamesOf(table, Some(cur))
+    if (renames.isEmpty) return cur
+    val fs = files(table, Some(cur))
+    val batch = f"normalize-${java.util.UUID.randomUUID().toString.take(8)}"
+    applyRenames(spark, table, cur, fs, renames)
+      .write.parquet(new File(table, batch).getPath)
+    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val removedLines = fs.map(manifestLineOf(table, _)).toSet ++
+      Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet.filter(_.startsWith(RenamePrefix))
+    retryCommit(table, added, removedLines, maxRetries)
+  }
+
   /** CHECK constraints recorded in `version`'s manifest — like the
     * schema marker, constraints live in the LOG (the Delta design
     * point: `ALTER TABLE ADD CONSTRAINT` writes a transaction-log
@@ -457,7 +582,9 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val fs = files(table, Some(v))
     require(fs.nonEmpty, s"table $table has no committed data at $v")
-    readUnder(spark, table, v, fs)
+    val renames = renamesOf(table, Some(v))
+    if (renames.isEmpty) readUnder(spark, table, v, fs)
+    else applyRenames(spark, table, v, fs, renames)
   }
 
   /** Read a version (default latest) as a SKIPPING-ELIGIBLE DataFrame:
@@ -472,6 +599,12 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val fs = files(table, Some(v))
     require(fs.nonEmpty, s"table $table has no committed data at $v")
+    val renames = renamesOf(table, Some(v))
+    if (renames.nonEmpty)
+      // renamed tables read resolved (the coalesce projection sits
+      // between any filter and the scan, so the skipping rule cannot
+      // fire; stats keyed on legacy names would be stale anyway)
+      return applyRenames(spark, table, v, fs, renames)
     val r = spark.read
       .option("graft.table", Paths.get(table).toAbsolutePath.toString)
       .option("graft.version", v.toString)
@@ -534,7 +667,13 @@ object Versioned {
     val before = files(table, Some(fromVersion)).toSet
     val added = files(table, Some(to)).filterNot(before)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0) // schema-correct empty delta
-    else readUnder(spark, table, to, added)
+    else {
+      // the delta serves CANONICAL names: a consumer keyed on the
+      // post-rename schema must see legacy files' values under it
+      val renames = renamesOf(table, Some(to))
+      if (renames.isEmpty) readUnder(spark, table, to, added)
+      else applyRenames(spark, table, to, added, renames)
+    }
   }
 
   /** Publish `newFiles` (relative to the table root) as the next version,
@@ -828,6 +967,7 @@ object Versioned {
     * both halves. */
   def deleteWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
+    requireNoRenames(table, "deleteWhere")
     val base = currentVersion(table)
     val cur = read(spark, table, Some(base))
     val affected = cur.filter(cond)
@@ -914,6 +1054,7 @@ object Versioned {
       updates: DataFrame, keys: Seq[String], maxRetries: Int,
       extraAdd: Seq[String], extraRemove: Int => Set[String]): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    requireNoRenames(table, "merge")
     var attempt = 0
     while (true) {
       val base = currentVersion(table)
@@ -985,6 +1126,7 @@ object Versioned {
     * accumulate in arrival order. */
   def optimize(spark: SparkSession, table: String, x: String, y: String,
       numFiles: Int = 16, maxRetries: Int = 5): Int = {
+    requireNoRenames(table, "optimize")
     val base = currentVersion(table)
     val inputRel = files(table, Some(base)).map(abs => manifestLineOf(table, abs))
     val batch = f"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1008,6 +1150,7 @@ object Versioned {
     * inputs stay on disk for older manifests until vacuum. */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20, maxRetries: Int = 5): Int = {
+    requireNoRenames(table, "compactSmall")
     val base = currentVersion(table)
     val all = files(table, Some(base))
     val small = all.filter(f => new File(f).length() < smallBytes)

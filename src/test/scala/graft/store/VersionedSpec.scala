@@ -755,6 +755,40 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 6)
   }
 
+  test("zero-rewrite column rename: legacy files serve canonical names; rewrites gated until normalize") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val legacyFiles = Versioned.files(t).toSet
+    Versioned.renameColumn(spark, t, "s", "label")
+    // no data file was touched, but reads serve the new name
+    assert(Versioned.files(t).toSet == legacyFiles)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "label"))
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // post-rename appends write canonical names; the union still resolves
+    Versioned.append(Seq((3L, "c")).toDF("id", "label"), t)
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // CDC deltas serve canonical names for legacy-era files too
+    assert(Versioned.changes(spark, t, 0).columns.toSeq == Seq("id", "label"))
+    // chained rename: a -> b -> c resolves through both markers
+    Versioned.renameColumn(spark, t, "label", "tag")
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // file-rewriting ops are rejected while renames are outstanding
+    val e = intercept[IllegalArgumentException] {
+      Versioned.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e.getMessage.contains("normalize"))
+    // normalize: one explicit rewrite retires the markers and unblocks
+    Versioned.normalize(spark, t)
+    assert(Versioned.renamesOf(t).isEmpty)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "tag"))
+    Versioned.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
