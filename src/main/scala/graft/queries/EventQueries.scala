@@ -358,6 +358,37 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Inter-arrival gap quantiles: per event type, the exact median and
+    * p90 of the within-(user, type) consecutive-arrival gaps — the
+    * arrival-process profile behind rate limiting, bot screening, and
+    * capacity planning. Gaps come from one `lag` window partitioned by
+    * (user_id, event_type) — keys that GROW with the data (the PlanSpec
+    * guard's requirement), ordered by (ts, event_id) so same-timestamp
+    * ties are deterministic — and the quantiles are Spark `percentile`
+    * (exact (n−1)·q interpolation, digit-equal to DuckDB quantile_cont
+    * — the group_quantiles precedent) over integer micros, rounded to
+    * BIGINT for the export. */
+  def interarrivalQuantiles(spark: SparkSession, dir: String): DataFrame =
+    interarrivalCore(Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id")))
+
+  /** [[interarrivalQuantiles]] over a caller-supplied (`event_type`,
+    * `user_id`, `us`, `event_id`) frame — split out so specs can plant
+    * exact gap sequences. */
+  private[queries] def interarrivalCore(evIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    evIn
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("CAST(round(percentile(gap, 0.5)) AS BIGINT)").as("med_gap_us"),
+        expr("CAST(round(percentile(gap, 0.9)) AS BIGINT)").as("p90_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1233,6 +1264,7 @@ object EventQueries {
     "ohlc_bars" -> (ohlcBars _),
     "changepoint_cusum" -> (changepointCusum _),
     "trend_regression" -> (trendRegression _),
+    "interarrival_quantiles" -> (interarrivalQuantiles _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1625,6 +1657,18 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // same lag partition/order, same (n-1)*q interpolation
+    "interarrival_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(round(quantile_cont(gap, 0.5)) AS BIGINT) AS med_gap_us,
+        |  CAST(round(quantile_cont(gap, 0.9)) AS BIGINT) AS p90_gap_us
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     // five-sums OLS identity; sign exported separately from the
     // nonnegative e6 magnitudes (signed int-div semantics differ)
     "trend_regression" ->

@@ -201,6 +201,19 @@ class EventQueriesSpec extends SparkSpec {
       ("up", 10L, 1L, 7000000L, 1000000L)))
   }
 
+  test("inter-arrival quantiles: planted gaps give exact interpolated percentiles") {
+    // one user, one type, arrivals at 0,10,30,70,150 -> gaps 10,20,40,80
+    // median = 20 + 0.5*(40-20) = 30; p90 at (4-1)*0.9 = 2.7 ->
+    // 40 + 0.7*(80-40) = 68
+    val rows = Seq(0L, 10L, 30L, 70L, 150L).zipWithIndex
+      .map { case (us, i) => ("click", 1L, us, i.toLong) }
+    val res = EventQueries.interarrivalCore(
+        rows.toDF("event_type", "user_id", "us", "event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(res == List(("click", 4L, 30L, 68L)))
+  }
+
   test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
     // all four rows share one day; rows 1 and 2 share the SAME ts —
     // open must take the lower event_id, close the higher, regardless
