@@ -829,7 +829,39 @@ object StoreQueries {
         col("n_rows"), col("rev_e2_total"))
   }
 
+  /** Stats-driven retention DELETE
+    * ([[graft.store.Versioned.retentionDelete]] — the TTL sweep):
+    * 4 range-landed files, cutoff 70 — the [0,39] file is ENTIRELY
+    * expired and drops as pure metadata (never read, never rewritten),
+    * [40,79] straddles and pays the only row-level rewrite, [80,119]
+    * and [120,∞) are untouched. The declared row pins the 1/1/2
+    * classification AND the post-delete aggregate under the oracle. At
+    * 100 TB this classification is what makes retention affordable:
+    * almost every file is entirely expired or entirely live, so the
+    * sweep reads only the boundary. */
+  def retentionDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("retention", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    (0 until 4).foreach { b =>
+      graft.store.Versioned.append(
+        ev.filter(col("user_id") >= b * 40 && col("user_id") < (b + 1) * 40)
+          .coalesce(1), path): Unit
+    }
+    graft.store.Versioned.analyzeStats(spark, path, "user_id"): Unit
+    val out = graft.store.Versioned.retentionDelete(spark, path, "user_id", 70L)
+    graft.store.Versioned.read(spark, path)
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
+      .select(lit(out.droppedMeta.toLong).as("n_dropped_meta"),
+        lit(out.rewritten.toLong).as("n_rewritten"),
+        lit(out.untouched.toLong).as("n_untouched"),
+        col("n_rows"), col("rev_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_delete" -> (retentionDeleteQuery _),
     "rename_zero_rewrite" -> (renameZeroRewrite _),
     "bloom_skip_scan" -> (bloomSkipScan _),
     "stats_skip_auto" -> (statsSkipAuto _),
@@ -851,6 +883,15 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // [0,39] drops metadata-only, [40,79] is the one rewrite, two live
+    // files untouched; the survivors are exactly user_id >= 70
+    "retention_delete" ->
+      """SELECT CAST(1 AS BIGINT) AS n_dropped_meta,
+        |  CAST(1 AS BIGINT) AS n_rewritten,
+        |  CAST(2 AS BIGINT) AS n_untouched,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE user_id >= 70""".stripMargin,
     // the rename touches zero files; the canonical-name read must still
     // serve every row from both eras
     "rename_zero_rewrite" ->

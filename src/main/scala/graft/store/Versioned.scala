@@ -1114,6 +1114,58 @@ object Versioned {
     if (p.startsWith(root)) root.relativize(p).toString else abs
   }
 
+  /** Outcome of a [[retentionDelete]]: files dropped from the manifest
+    * WITHOUT being read, files rewritten row-level, files untouched. */
+  case class RetentionOutcome(version: Int, droppedMeta: Int,
+      rewritten: Int, untouched: Int)
+
+  /** Stats-driven retention DELETE (`column < cutoff` — the TTL job):
+    * the manifest [min, max] markers (X157) classify every file WITHOUT
+    * opening it — max < cutoff → the whole file drops as pure METADATA
+    * (no read, no rewrite: the way a retention sweep must work at
+    * 100 TB, where most files are entirely expired or entirely live);
+    * min ≥ cutoff → untouched; only STRADDLERS (and statless files,
+    * conservatively) pay a row-level rewrite. Dropped/rewritten files'
+    * stats and bloom markers retire with them (commit()); snapshot
+    * isolation as everywhere — older versions still resolve the expired
+    * files until vacuum. */
+  def retentionDelete(spark: SparkSession, table: String, column: String,
+      cutoff: Long, maxRetries: Int = 5): RetentionOutcome = {
+    requireNoRenames(table, "retentionDelete")
+    val base = currentVersion(table)
+    val stats = statsOf(table, Some(base))
+    val fs = files(table, Some(base))
+    val classified = fs.map { abs =>
+      stats.get((column, manifestLineOf(table, abs))) match {
+        case Some((_, mx)) if mx < cutoff => (abs, "drop")
+        case Some((mn, _)) if mn >= cutoff => (abs, "keep")
+        case _ => (abs, "rewrite") // straddler, or no stats: read it
+      }
+    }
+    val drop = classified.collect { case (f, "drop") => f }
+    val rewrite = classified.collect { case (f, "rewrite") => f }
+    if (drop.isEmpty && rewrite.isEmpty)
+      return RetentionOutcome(base, 0, 0, fs.size)
+    val (added, reallyRewritten) =
+      if (rewrite.isEmpty) (Seq.empty[String], 0)
+      else {
+        // NULL column values never match `< cutoff` (three-valued
+        // logic, same rule as deleteWhere) — keep them
+        val keep = readUnder(spark, table, base, rewrite)
+          .filter(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col(column) >= cutoff,
+            org.apache.spark.sql.functions.lit(true)))
+        val batch = f"retention-${java.util.UUID.randomUUID().toString.take(8)}"
+        keep.write.parquet(new File(table, batch).getPath)
+        (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"),
+          rewrite.size)
+      }
+    val removedRel = (drop ++ rewrite).map(abs => manifestLineOf(table, abs)).toSet
+    val v = commitRewrite(table, base, added, removedRel, maxRetries)
+    RetentionOutcome(v, drop.size, reallyRewritten,
+      fs.size - drop.size - rewrite.size)
+  }
+
   /** Delta-style OPTIMIZE … ZORDER BY: rewrite the CURRENT version
     * Z-ordered on two integer dimensions (Morton interleave via
     * [[Clustered.writeZOrdered]]) and publish it as one manifest commit

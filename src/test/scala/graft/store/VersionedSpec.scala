@@ -789,6 +789,31 @@ class VersionedSpec extends SparkSpec {
       Set((2L, "b"), (3L, "c")))
   }
 
+  test("retention delete: expired files drop as metadata, only straddlers rewrite") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), t)   // [1,5] expired
+    Versioned.append(Seq((8L, "c"), (12L, "d")).toDF("id", "s").coalesce(1), t)  // [8,12] straddles 10
+    Versioned.append(Seq((20L, "e")).toDF("id", "s").coalesce(1), t)             // [20,20] live
+    Versioned.analyzeStats(spark, t, "id")
+    val live = Versioned.files(t).last // the [20,20] file's path
+    val out = Versioned.retentionDelete(spark, t, "id", cutoff = 10L)
+    assert(out.droppedMeta == 1 && out.rewritten == 1 && out.untouched == 1, out.toString)
+    assert(rows(t) == Set((12L, "d"), (20L, "e")))
+    // the live file carried by reference, and the retired files' stats
+    // markers went with them (only the untouched file's marker survives)
+    assert(Versioned.files(t).contains(live))
+    assert(Versioned.statsOf(t).size == 1)
+    // a statless table still deletes correctly (conservative rewrite)
+    val t2 = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (20L, "b")).toDF("id", "s").coalesce(1), t2)
+    val out2 = Versioned.retentionDelete(spark, t2, "id", cutoff = 10L)
+    assert(out2.droppedMeta == 0 && out2.rewritten == 1)
+    assert(rows(t2) == Set((20L, "b")))
+    // snapshot isolation: the pre-delete version still serves expired rows
+    assert(rows(t, Some(4)) ==
+      Set((1L, "a"), (5L, "b"), (8L, "c"), (12L, "d"), (20L, "e")))
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
