@@ -389,6 +389,40 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Robust outlier screen by MEDIAN ABSOLUTE DEVIATION — the
+    * anomaly_zscore sibling that a heavy tail cannot poison (mean and
+    * stddev both move with the outliers they are supposed to flag; the
+    * median and MAD do not). Exact integers throughout via doubling:
+    * m2 = 2·median(v) and m4 = 2·median(|2v − m2|) are integers even
+    * when the (n−1)·q interpolation lands on .5, so the k=5 rule
+    * |v − med| > 5·MAD becomes the pure-integer 2·|2v − m2| > 5·m4 and
+    * the exports are the exact e4 rescalings (med_e4 = 50·m2,
+    * mad_e4 = 25·m4). Two aggregation passes + two broadcast joins of
+    * few-row per-type frames; the exact percentile is the
+    * oracle-checkable twin of the KLL sketch path (X-family), which is
+    * what runs at 100 TB. */
+  def robustMad(spark: SparkSession, dir: String): DataFrame =
+    madCore(Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v")))
+
+  /** [[robustMad]] over a caller-supplied (`event_type`, `v`) frame. */
+  private[queries] def madCore(x: DataFrame): DataFrame = {
+    val m = x.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(v, 0.5)) AS BIGINT)").as("m2"))
+    val d = x.join(broadcast(m), "event_type")
+      .withColumn("dev2", abs(lit(2L) * col("v") - col("m2")))
+    val md = d.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(dev2, 0.5)) AS BIGINT)").as("m4"))
+    d.join(broadcast(md), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("m2")) * 50L).as("med_e4"),
+        (max(col("m4")) * 25L).as("mad_e4"),
+        sum(when(lit(2L) * col("dev2") > lit(5L) * col("m4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1265,6 +1299,7 @@ object EventQueries {
     "changepoint_cusum" -> (changepointCusum _),
     "trend_regression" -> (trendRegression _),
     "interarrival_quantiles" -> (interarrivalQuantiles _),
+    "robust_mad" -> (robustMad _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1657,6 +1692,25 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // doubled-median integers: m2/m4 are exact even at .5 interpolation
+    "robust_mad" ->
+      """WITH x AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(round(2 * quantile_cont(v, 0.5)) AS BIGINT) AS m2
+        |  FROM x GROUP BY 1),
+        |d AS (
+        |  SELECT x.event_type, v, abs(2 * v - m2) AS dev2, m2
+        |  FROM x JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS m4
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(m2) * 50 AS BIGINT) AS med_e4,
+        |  CAST(MAX(m4) * 25 AS BIGINT) AS mad_e4,
+        |  CAST(SUM(CASE WHEN 2 * dev2 > 5 * m4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
     // same lag partition/order, same (n-1)*q interpolation
     "interarrival_quantiles" ->
       """WITH g AS (

@@ -214,6 +214,22 @@ class EventQueriesSpec extends SparkSpec {
     assert(res == List(("click", 4L, 30L, 68L)))
   }
 
+  test("MAD screen: planted outlier flagged, doubling keeps .5 medians exact") {
+    // a (odd n): med 3 -> m2=6, med_e4=300; dev2={4,2,0,2,194}, median 2
+    // -> m4=4, mad_e4=100; rule dev2 > 10 flags only the 100
+    val odd = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _))
+    // b (even n): {1,2,4,5}: med 3 -> m2=6; dev2={4,2,2,4}, median 3
+    // (the .5-interp case doubling keeps exact) -> m4=6, mad_e4=150;
+    // rule dev2 > 15 flags nothing
+    val even = Seq(1L, 2L, 4L, 5L).map(("b", _))
+    val res = EventQueries.madCore((odd ++ even).toDF("event_type", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(res == List(
+      ("a", 5L, 300L, 100L, 1L),
+      ("b", 4L, 300L, 150L, 0L)))
+  }
+
   test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
     // all four rows share one day; rows 1 and 2 share the SAME ts —
     // open must take the lower event_id, close the higher, regardless
