@@ -19,7 +19,8 @@ object GraftFunctions {
     "vec_squared_l2" -> (exprs => FloatVecSquaredL2(exprs.head, exprs(1))),
     "vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
     "vec_cosine_sim" -> (exprs => FloatVecCosineSim(exprs.head, exprs(1))),
-    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head))
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1)))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -504,6 +504,50 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Jaro–Winkler name-pair screen over the part catalog — drives the
+    * [[graft.core.JaroWinkler]] codegen expression (the record-linkage
+    * metric Spark lacks; semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`, which IS the oracle — an independent
+    * implementation, so any formula drift hash-mismatches): bounded
+    * key-ordered self-join, e6-rounded scores, ≥ 0.8 kept (the fixture
+    * has no pair within 1e-3 of the threshold, so the rounding boundary
+    * is safe). The production form blocks candidates first (the
+    * entity_match recipe); the bounded join here isolates the KERNEL
+    * under the oracle. */
+  def jwNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.GraftFunctions.register(spark)
+    val p = Tables.part(spark, dir).filter(col("p_partkey") < 40)
+      .select(col("p_partkey"), col("p_name"))
+    p.select(col("p_partkey").as("ka"), col("p_name").as("na"))
+      .join(p.select(col("p_partkey").as("kb"), col("p_name").as("nb")),
+        col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        expr("CAST(round(1000000 * jaro_winkler(na, nb)) AS BIGINT)").as("jw_e6"))
+      .where(col("jw_e6") >= 800000L)
+      .orderBy(col("ka"), col("kb"))
+  }
+
+  /** Correlated scalar subquery (the TPC-H Q17/Q20 predicate shape):
+    * orders exceeding 40% of their customer's lifetime total, written
+    * AS the correlated subquery — and left to Catalyst's
+    * RewriteCorrelatedScalarSubquery to DECORRELATE into one aggregate
+    * plus one equi-join (PlanSpec pins no subquery survives in the
+    * optimized plan). That rewrite is the point at 100 TB: the naive
+    * evaluation re-aggregates the inner table once per outer row;
+    * the decorrelated plan aggregates ONCE and joins. Prices compare in
+    * e2 integers cross-multiplied (10·price > 4·total — no division). */
+  def corrScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_csq")
+    spark.sql(
+      """SELECT o1.o_custkey AS cust, o1.o_orderkey AS okey,
+        |  CAST(round(o1.o_totalprice * 100) AS BIGINT) AS price_e2
+        |FROM orders_csq o1
+        |WHERE CAST(round(o1.o_totalprice * 100) AS BIGINT) * 10 >
+        |  4 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |       FROM orders_csq o2 WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY cust, okey""".stripMargin)
+  }
+
   /** k-core peeling (3 synchronous rounds, k=3) over the customer
     * co-order-date graph — the degeneracy screen that separates a link
     * graph's dense core from its sparse fringe (spam-farm detection,
@@ -694,6 +738,8 @@ object RelationalQueries {
     "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
     "sssp_weighted" -> (ssspWeighted _),
+    "jw_name_pairs" -> (jwNamePairs _),
+    "corr_scalar_subquery" -> (corrScalarSubquery _),
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
     "pagerank_weighted" -> (pagerankWeighted _),
@@ -896,6 +942,26 @@ object RelationalQueries {
         |  WHERE bfs.hop < 3)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // same correlated form; DuckDB decorrelates it too
+    "corr_scalar_subquery" ->
+      """SELECT o1.o_custkey AS cust, o1.o_orderkey AS okey,
+        |  CAST(round(o1.o_totalprice * 100) AS BIGINT) AS price_e2
+        |FROM orders o1
+        |WHERE CAST(round(o1.o_totalprice * 100) AS BIGINT) * 10 >
+        |  4 * (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |       FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY cust, okey""".stripMargin,
+    // DuckDB's native jaro_winkler_similarity is the independent oracle
+    // for the codegen kernel
+    "jw_name_pairs" ->
+      """SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+        |  CAST(round(1000000 * jaro_winkler_similarity(a.p_name, b.p_name))
+        |    AS BIGINT) AS jw_e6
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 40 AND b.p_partkey < 40
+        |  AND round(1000000 * jaro_winkler_similarity(a.p_name, b.p_name))
+        |    >= 800000
+        |ORDER BY ka, kb""".stripMargin,
     // ≤3-edge weighted walks from p1, min total weight per node — the
     // recursive unroll of 3 Bellman-Ford rounds (quantities are integral
     // in TPC-H, so MIN(CAST(l_quantity AS BIGINT)) is engine-exact)

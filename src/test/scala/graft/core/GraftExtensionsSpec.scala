@@ -80,4 +80,38 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT nfc_normalize(1)").collect()
     }
   }
+
+  test("jaro_winkler: codegen == interpreted, literature values, edge conventions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def lit(s: String) = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // Winkler's canonical pairs (values to 1e-6)
+    val cases = Seq(
+      ("martha", "marhta", 961111L), ("dwayne", "duane", 840000L),
+      ("dixon", "dicksonx", 813333L), ("abc", "abc", 1000000L),
+      ("abc", "xyz", 0L),
+      // DuckDB edge convention: any empty side is 0, even both
+      ("", "", 0L), ("a", "", 0L))
+    for ((a, b, want) <- cases) {
+      // codegen path (whole-stage projection over a real frame)
+      val got = Seq((a, b)).toDF("a", "b")
+        .selectExpr("CAST(round(1000000 * jaro_winkler(a, b)) AS BIGINT) AS s")
+        .as[Long].head()
+      assert(got == want, s"codegen $a/$b")
+      // interpreted path agrees
+      val interp = math.round(1e6 *
+        JaroWinkler(lit(a), lit(b)).eval(null).asInstanceOf[Double])
+      assert(interp == want, s"interp $a/$b")
+    }
+    // symmetry and null safety
+    assert(JaroWinkler(lit("duane"), lit("dwayne")).eval(null) ==
+      JaroWinkler(lit("dwayne"), lit("duane")).eval(null))
+    val nulls = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS s").collect()
+    assert(nulls.head.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler(1, 'a')").collect()
+    }
+  }
 }

@@ -218,6 +218,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corr_scalar_subquery decorrelates: one aggregate + join, no per-row subquery") {
+    spark.catalog.clearCache()
+    val qe = graft.SparkEntry.queries("corr_scalar_subquery")(spark, sfDir)
+      .queryExecution
+    // RewriteCorrelatedScalarSubquery must have eliminated the subquery
+    // expression entirely — the naive form re-aggregates the inner table
+    // once per outer row
+    val optimized = qe.optimizedPlan
+    val residual = optimized.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s
+    }) ++ optimized.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])) => p
+    }
+    assert(residual.isEmpty, s"subquery survived optimization:\n$optimized")
+    assert(optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, s"expected the decorrelated join:\n$optimized")
+    assert(optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, s"expected the hoisted per-customer aggregate:\n$optimized")
+  }
+
   test("funnels: bounded state — no per-user collect_list anywhere") {
     // funnel patterns must resolve via running-min windows; a
     // collect_list reintroduces the unbounded heavy-hitter arrays the
