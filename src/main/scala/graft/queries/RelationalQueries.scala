@@ -548,6 +548,41 @@ object RelationalQueries {
         |ORDER BY cust, okey""".stripMargin)
   }
 
+  /** Shuffle-key skew diagnosis — the report a 100 TB operator reads
+    * BEFORE choosing partition keys (the input to the salted_agg /
+    * AQE-skew decisions the engine already ships): per candidate key,
+    * cardinality and the exact share of the heaviest 1 and 10 keys as
+    * e6 fractions. Plan shape: one partial-aggregated count per key
+    * column, then `orderBy(count desc, key).limit(k)` — the limit bounds
+    * the frame (TakeOrderedAndProject — no unbounded window, ties break
+    * on the key in BOTH engines), and the shares are integer div. A
+    * top1 share near 1e6 (event_type: ~1/5 of the table per key) is the
+    * signature of an enum key that must never be a shuffle partition
+    * alone; user_id's flat profile is what a safe key looks like. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReportCore(Tables.events(spark, dir), "user_id", "events.user_id")
+      .unionByName(skewReportCore(Tables.events(spark, dir), "event_type",
+        "events.event_type"))
+      .unionByName(skewReportCore(Tables.lineitem(spark, dir), "l_partkey",
+        "lineitem.l_partkey"))
+      .orderBy(col("key_col"))
+
+  /** One [[skewReport]] block — split out so specs can plant boundary
+    * ties. */
+  private[queries] def skewReportCore(df: DataFrame, keyCol: String,
+      label: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
+    val t1 = counts.orderBy(col("c").desc, col("k").asc).limit(1)
+      .agg(sum(col("c")).as("t1"))
+    val t10 = counts.orderBy(col("c").desc, col("k").asc).limit(10)
+      .agg(sum(col("c")).as("t10"))
+    tot.crossJoin(t1).crossJoin(t10)
+      .select(lit(label).as("key_col"), col("n"), col("ndv"),
+        expr("CAST((t1 * 1000000) div n AS BIGINT)").as("top1_share_e6"),
+        expr("CAST((t10 * 1000000) div n AS BIGINT)").as("top10_share_e6"))
+  }
+
   /** k-core peeling (3 synchronous rounds, k=3) over the customer
     * co-order-date graph — the degeneracy screen that separates a link
     * graph's dense core from its sparse fringe (spam-farm detection,
@@ -740,6 +775,7 @@ object RelationalQueries {
     "sssp_weighted" -> (ssspWeighted _),
     "jw_name_pairs" -> (jwNamePairs _),
     "corr_scalar_subquery" -> (corrScalarSubquery _),
+    "skew_report" -> (skewReport _),
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
     "pagerank_weighted" -> (pagerankWeighted _),
@@ -942,6 +978,30 @@ object RelationalQueries {
         |  WHERE bfs.hop < 3)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // per-block top-k by (count desc, key) with native key ordering —
+    // identical tie rule in both engines; shares are integer div
+    "skew_report" ->
+      """WITH cu AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |ct AS (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |cp AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |SELECT 'events.user_id' AS key_col,
+        |  CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS ndv,
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM cu ORDER BY c DESC, k LIMIT 1)) * 1000000) // SUM(c) AS BIGINT) AS top1_share_e6,
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM cu ORDER BY c DESC, k LIMIT 10)) * 1000000) // SUM(c) AS BIGINT) AS top10_share_e6
+        |FROM cu
+        |UNION ALL
+        |SELECT 'events.event_type',
+        |  CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM ct ORDER BY c DESC, k LIMIT 1)) * 1000000) // SUM(c) AS BIGINT),
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM ct ORDER BY c DESC, k LIMIT 10)) * 1000000) // SUM(c) AS BIGINT)
+        |FROM ct
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey',
+        |  CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM cp ORDER BY c DESC, k LIMIT 1)) * 1000000) // SUM(c) AS BIGINT),
+        |  CAST(((SELECT SUM(c) FROM (SELECT c FROM cp ORDER BY c DESC, k LIMIT 10)) * 1000000) // SUM(c) AS BIGINT)
+        |FROM cp) ORDER BY key_col""".stripMargin,
     // same correlated form; DuckDB decorrelates it too
     "corr_scalar_subquery" ->
       """SELECT o1.o_custkey AS cust, o1.o_orderkey AS okey,

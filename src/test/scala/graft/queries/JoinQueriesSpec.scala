@@ -109,4 +109,19 @@ class JoinQueriesSpec extends SparkSpec {
       assert(out.filter($"action" === "insert").select(min($"key")).as[Long].head() >= 1000000L)
     } finally { out.unpersist(); () }
   }
+
+  test("skew report: boundary ties break on the key, shares exact") {
+    // 11 keys: k00 has 40 rows (top1), k01..k08 have 3 each (ranks
+    // 2-9), and the 10th slot is contested — k09 and k10 both have 2.
+    // The key tie-break must take k09 (asc) into the top-10 and leave
+    // k10 out: top10 = 40 + 24 + 2 = 66 of n = 68
+    val rows =
+      Seq.fill(40)("k00") ++ (1 to 8).flatMap(i => Seq.fill(3)(f"k$i%02d")) ++
+        Seq.fill(2)("k09") ++ Seq.fill(2)("k10")
+    val df = rows.toDF("key")
+    val r = RelationalQueries.skewReportCore(df, "key", "t").collect().head
+    assert(r.getLong(1) == 68L && r.getLong(2) == 11L)
+    assert(r.getLong(3) == 40L * 1000000L / 68L)
+    assert(r.getLong(4) == 66L * 1000000L / 68L)
+  }
 }
