@@ -500,6 +500,77 @@ object SurfaceQueries {
       .orderBy(col("segment"))
   }
 
+  /** Watermark LATE-DATA semantics under the oracle gate: a windowed
+    * streaming aggregation replayed in three staged micro-batches —
+    * batch 0 carries days ≥ 5 (except day 25) and advances the
+    * watermark to max(ts) − 10d ≈ Jan 20; batch 1 delivers day 25
+    * (within horizon → admitted, its window assembled entirely in that
+    * batch); batch 2 redelivers days 1–4 (ALL beyond the horizon →
+    * input-dropped, the "too late to count" contract — staged two
+    * batches after the advancer because the aggregation's late filter
+    * engages one batch later than the wm commit). Update-mode
+    * emissions land via `foreachBatch` MERGE into a Versioned table
+    * keyed by window day (the production latest-wins pattern for
+    * non-final windows), so the declared result is the merged window
+    * table — equal to the batch aggregate WHERE day ≥ 5 exactly when
+    * the late-drop boundary, the state eviction timing, and the
+    * cross-batch window merge all behave. Probed pins (memory): wm for
+    * batch N = max event time through batch N−1; windows whose end ≤ wm
+    * evict at batch end. */
+  def streamLateAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slate-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("value"))
+    def stage(name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = landing.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    // PROBED pin (this round): the aggregation's late-filter watermark
+    // lags ONE MORE batch than the dedup eviction pin — the wm advanced
+    // by batch N filters input from batch N+2 on (batch N+1 still runs
+    // under the previous value). So the late redelivery is staged TWO
+    // batches after the advancer; the mid batch pins the
+    // within-horizon admission on the same wm
+    val day = to_date(col("ts"))
+    stage("head.parquet",
+      ev.filter(day >= lit("2024-01-05") && day =!= lit("2024-01-25")), 300)
+    stage("mid.parquet", ev.filter(day === lit("2024-01-25")), 200)
+    stage("tail.parquet", ev.filter(day < lit("2024-01-05")), 100)
+    val table = tmp.resolve("windows").toString
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .withWatermark("ts", "10 days")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev_e2"))
+        .select(to_date(col("w.start")).as("day"), col("n"), col("rev_e2"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            graft.store.Versioned.merge(spark, table, b, keys = Seq("day")): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.store.Versioned.read(spark, table).orderBy(col("day"))
+  }
+
   /** Salted two-phase aggregation — identical result to a plain groupBy,
     * skew-proof shuffle shape (graft.scale.Skew). */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame =
@@ -611,6 +682,7 @@ object SurfaceQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_dim_refresh" -> (streamDimRefresh _),
+    "stream_late_audit" -> (streamLateAudit _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_upsert" -> (streamUpsert _),
@@ -618,6 +690,13 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch-1's days 1-4 are beyond the watermark horizon set by batch 0
+    // and must be input-dropped; day 25 is within it and must assemble
+    "stream_late_audit" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch 0 = even event_ids against the ORIGINAL dim; batch 1 = odd
     // event_ids against the dim AFTER the mid-stream merge moved
     // customer 7 — the CASE encodes the batch-boundary visibility
