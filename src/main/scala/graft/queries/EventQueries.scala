@@ -423,6 +423,59 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** New-vs-returning daily actives + cumulative reach — the growth
+    * dashboard's first row: per day, distinct actives, the split into
+    * first-ever-seen vs returning users, and the running total of users
+    * ever seen. All aggregate-only: per-user first day is one groupBy
+    * min; the day rollups join actives to news on the day; the
+    * cumulative reach folds over the CALENDAR-BOUNDED daily news frame
+    * (self-join on day ≤ day — days², the autocorr pattern, never an
+    * unpartitioned window over an unbounded child). */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    val daily = ev.distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("fday") === col("day"), 1L).otherwise(0L)).as("n_new"))
+    val news = daily.select(col("day").as("nday"), col("n_new").as("nn"))
+    daily.join(news, col("nday") <= col("day"))
+      .groupBy(col("day"))
+      .agg(max(col("n_active")).as("n_active"), max(col("n_new")).as("n_new"),
+        sum(col("nn")).as("cum_users"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Top event paths: each user's first 3 events (by ts, event_id)
+    * concatenated into a path string, counted across users — the
+    * Sankey/onboarding-flow feed. The per-user prefix is rank-bounded
+    * BEFORE any aggregation (row_number ≤ 3 over the user_id-partitioned
+    * window — keys grow with data, and the rank filter is exactly the
+    * WindowGroupLimit pushdown shape), so the path assembly aggregates
+    * at most 3 rows per user regardless of user history length — no
+    * unbounded collect. */
+  def eventPathsTop(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", array_sort(collect_list(struct(col("rn"), col("event_type"))))
+        .getField("event_type")).as("path"),
+        count(lit(1)).as("plen"))
+      .where(col("plen") === 3)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(15)
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1300,6 +1353,8 @@ object EventQueries {
     "trend_regression" -> (trendRegression _),
     "interarrival_quantiles" -> (interarrivalQuantiles _),
     "robust_mad" -> (robustMad _),
+    "new_vs_returning" -> (newVsReturning _),
+    "event_paths_top" -> (eventPathsTop _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1692,6 +1747,33 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // actives/new from the first-day join; cumulative via correlated sum
+    // over the bounded daily frame
+    "new_vs_returning" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS fday FROM ev GROUP BY 1),
+        |d AS (SELECT day, COUNT(DISTINCT ev.user_id) AS n_active,
+        |    SUM(CASE WHEN fday = day THEN 1 ELSE 0 END) AS n_new
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |  CAST((SELECT SUM(d2.n_new) FROM d d2 WHERE d2.day <= d.day)
+        |    AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    // same (rn <= 3) prefix, same '>'-joined path, same tie rule
+    "event_paths_top" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |    COUNT(*) AS plen
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p WHERE plen = 3
+        |GROUP BY 1 ORDER BY n_users DESC, path ASC LIMIT 15""".stripMargin,
     // doubled-median integers: m2/m4 are exact even at .5 interpolation
     "robust_mad" ->
       """WITH x AS (

@@ -230,6 +230,20 @@ class EventQueriesSpec extends SparkSpec {
       ("b", 4L, 300L, 150L, 0L)))
   }
 
+  test("path assembly: array_sort on (rn, type) structs is collect-order-proof") {
+    // collect_list order is partition-dependent; the (rn, type) struct
+    // sort must restore rank order no matter how rows arrive
+    val df = Seq((1L, 3, "purchase"), (1L, 1, "view"), (1L, 2, "click"))
+      .toDF("user_id", "rn", "event_type")
+      .repartition(3) // scatter the rows so collect_list sees them shuffled
+    val got = df.groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        array_sort(collect_list(struct(col("rn"), col("event_type"))))
+          .getField("event_type")).as("path"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "view>click>purchase")))
+  }
+
   test("ohlc min_by/max_by struct order breaks ts ties on event_id") {
     // all four rows share one day; rows 1 and 2 share the SAME ts —
     // open must take the lower event_id, close the higher, regardless
