@@ -451,6 +451,7 @@ object RelationalQueries {
     * The bench calls this once, timed as its own telemetry row. */
   def prewarmShared(spark: SparkSession, dir: String): Unit = {
     partSupplierEdges(spark, dir).count()
+    weightedEdges(spark, dir).count()
     graft.scale.ShingleStore.docShingles(spark, dir).count()
     graft.scale.ShingleStore.docSketches(spark, dir).count(): Unit
   }
@@ -491,18 +492,26 @@ object RelationalQueries {
     * which SsspSpec pins structurally. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir)
-      .groupBy(concat(lit("p"), col("l_partkey")).as("p"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
-      .agg(min(col("l_quantity").cast("long")).as("w"))
-    val edges = pairs.select(explode(array(
-        struct(col("p").as("src"), col("s").as("dst"), col("w")),
-        struct(col("s").as("src"), col("p").as("dst"), col("w")))).as("e"))
-      .select(col("e.src"), col("e.dst"), col("e.w"))
-    graft.scale.Sssp.run(edges, Seq("p1").toDF("node"), rounds = 3)
+    graft.scale.Sssp.run(weightedEdges(spark, dir), Seq("p1").toDF("node"),
+        rounds = 3)
       .select(col("node"), col("dist").cast("long").as("dist"))
       .orderBy(col("node"))
   }
+
+  /** The WEIGHTED part↔supplier edge list, stored once per (session,
+    * dir) like `ps-edges` — the same extract-once production layout; the
+    * bench prewarm pays the first touch as its own telemetry row. */
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-wedges") {
+      val pairs = Tables.lineitem(spark, dir)
+        .groupBy(concat(lit("p"), col("l_partkey")).as("p"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      pairs.select(explode(array(
+          struct(col("p").as("src"), col("s").as("dst"), col("w")),
+          struct(col("s").as("src"), col("p").as("dst"), col("w")))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+    }
 
   /** Jaro–Winkler name-pair screen over the part catalog — drives the
     * [[graft.core.JaroWinkler]] codegen expression (the record-linkage
