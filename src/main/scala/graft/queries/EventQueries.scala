@@ -438,7 +438,9 @@ object EventQueries {
     val daily = ev.distinct()
       .join(firstDay, "user_id")
       .groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("n_active"),
+      // the input is already distinct (user, day) pairs, so a plain
+      // count IS the distinct-actives count — no countDistinct expand
+      .agg(count(lit(1)).as("n_active"),
         sum(when(col("fday") === col("day"), 1L).otherwise(0L)).as("n_new"))
     val news = daily.select(col("day").as("nday"), col("n_new").as("nn"))
     daily.join(news, col("nday") <= col("day"))
