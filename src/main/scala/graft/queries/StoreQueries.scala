@@ -860,7 +860,33 @@ object StoreQueries {
         col("n_rows"), col("rev_e2"))
   }
 
+  /** TIMESTAMP AS OF time travel ([[graft.store.Versioned.readAsOf]] —
+    * the Delta resolution rule: commit time = manifest publish time):
+    * three user-slice batches land with staged publish times, and a
+    * read AS OF a moment between the 2nd and 3rd commits must serve
+    * exactly the first two slices — the "what did the table say when
+    * the model trained" audit query, answered from the log alone. */
+  def timeTravelAsof(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("asof", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50), path): Unit
+    graft.store.Versioned.append(
+      ev.filter(col("user_id") >= 50 && col("user_id") < 100), path): Unit
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100), path): Unit
+    val now = System.currentTimeMillis()
+    Seq((1, 300L), (2, 200L), (3, 100L)).foreach { case (ver, age) =>
+      val f = new java.io.File(path, f"_manifests/v$ver%08d.list")
+      require(f.setLastModified(now - age * 1000), s"stamp $ver")
+    }
+    graft.store.Versioned.readAsOf(spark, path, now - 150 * 1000)
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_travel_asof" -> (timeTravelAsof _),
     "retention_delete" -> (retentionDeleteQuery _),
     "rename_zero_rewrite" -> (renameZeroRewrite _),
     "bloom_skip_scan" -> (bloomSkipScan _),
@@ -883,6 +909,11 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // AS OF between the 2nd and 3rd publishes = the first two slices
+    "time_travel_asof" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+        |FROM events WHERE user_id < 100""".stripMargin,
     // [0,39] drops metadata-only, [40,79] is the one rewrite, two live
     // files untouched; the survivors are exactly user_id >= 70
     "retention_delete" ->

@@ -587,6 +587,31 @@ object Versioned {
     else applyRenames(spark, table, v, fs, renames)
   }
 
+  /** The newest version whose manifest was PUBLISHED at or before
+    * `tsMillis` (the Delta `TIMESTAMP AS OF` resolution rule: commit
+    * time is the manifest file's publish time — the atomic link stamps
+    * it). Vacuumed holes are skipped; asking for a time before the
+    * earliest retained commit is an error (same contract as reading a
+    * vacuumed version), and a future time resolves to the current
+    * version. Caveat shared with every mtime-based log: commit times
+    * come from the writer's clock, so cross-writer skew can reorder
+    * sub-second neighbors — version numbers remain the precise axis. */
+  def versionAsOf(table: String, tsMillis: Long): Int = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no commits")
+    val cands = (1 to cur)
+      .filter(v => manifestFile(table, v).exists)
+      .filter(v => manifestFile(table, v).lastModified <= tsMillis)
+    require(cands.nonEmpty,
+      s"no retained version of $table existed at $tsMillis " +
+        "(before the earliest retained commit, or all earlier versions vacuumed)")
+    cands.max
+  }
+
+  /** [[read]] pinned to [[versionAsOf]]`(tsMillis)`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, tsMillis)))
+
   /** Read a version (default latest) as a SKIPPING-ELIGIBLE DataFrame:
     * same rows as [[read]], but the relation carries `graft.table` /
     * `graft.version` reader options so the registered

@@ -814,6 +814,37 @@ class VersionedSpec extends SparkSpec {
       Set((1L, "a"), (5L, "b"), (8L, "c"), (12L, "d"), (20L, "e")))
   }
 
+  test("timestamp time travel: publish-time resolution, holes, edges") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), t)
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t)
+    val now = System.currentTimeMillis()
+    def stamp(v: Int, ageSec: Long): Unit = {
+      val f = new File(t, f"_manifests/v$v%08d.list")
+      assert(f.setLastModified(now - ageSec * 1000))
+    }
+    stamp(1, 300); stamp(2, 200); stamp(3, 100)
+    assert(Versioned.versionAsOf(t, now - 150 * 1000) == 2)
+    assert(rows(t, Some(Versioned.versionAsOf(t, now - 150 * 1000))) ==
+      Set((1L, "a"), (2L, "b")))
+    assert(Versioned.readAsOf(spark, t, now - 250 * 1000)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // a future timestamp resolves to the current version
+    assert(Versioned.versionAsOf(t, now + 1000000) == 3)
+    // before the earliest commit: loud error, not silent empty
+    intercept[IllegalArgumentException] {
+      Versioned.versionAsOf(t, now - 400 * 1000)
+    }
+    // a vacuumed hole is skipped; a time inside it resolves to the
+    // newest RETAINED version at or before it... or errors when none is
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0)
+    intercept[IllegalArgumentException] {
+      Versioned.versionAsOf(t, now - 150 * 1000)
+    }
+    assert(Versioned.versionAsOf(t, now) == 3)
+  }
+
   test("schema evolution: marker and NULL-fill survive compaction and merge") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
