@@ -184,6 +184,28 @@ object RelationalQueries {
     u.unionAll(i).unionAll(e).orderBy(col("op"), col("nk"))
   }
 
+  /** BAG-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL` —
+    * Spark's ExceptAll/IntersectAll logical operators, distinct plans
+    * from the distinct-set [[setOps]]): per event type, the multiset
+    * difference and intersection of even-user vs odd-user event rows.
+    * Multiplicities matter — EXCEPT ALL keeps max(0, ca−cb) copies and
+    * INTERSECT ALL min(ca, cb), which the distinct forms collapse —
+    * so the declared row aggregates the surviving copies per type. Both
+    * operators plan as aggregate+join under the hood (no row-by-row
+    * anti semantics), shuffling on the compared columns once. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.where(col("user_id") % 2 === 0).select(col("event_type"))
+    val b = ev.where(col("user_id") % 2 === 1).select(col("event_type"))
+    val e = a.exceptAll(b).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).select(col("event_type"), col("n"),
+        lit("except_all").as("op"))
+    val i = a.intersectAll(b).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).select(col("event_type"), col("n"),
+        lit("intersect_all").as("op"))
+    e.unionByName(i).orderBy(col("op"), col("event_type"))
+  }
+
   /** Global sort + limit: top-20 orders by price — TakeOrderedAndProject,
     * never a full global sort. */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
@@ -799,6 +821,7 @@ object RelationalQueries {
     "semi_anti_join" -> (semiAntiJoin _),
     "window_funcs" -> (windowFuncs _),
     "set_ops" -> (setOps _),
+    "set_ops_all" -> (setOpsAll _),
     "topk_orders" -> (topkOrders _),
     "scalar_funcs" -> (scalarFuncs _),
     "rollup_agg" -> (rollupAgg _),
@@ -987,6 +1010,19 @@ object RelationalQueries {
         |  WHERE bfs.hop < 3)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // bag semantics: EXCEPT ALL keeps max(0, ca-cb) copies per value,
+    // INTERSECT ALL min(ca, cb) — aggregated per type for the compare
+    "set_ops_all" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT event_type FROM events WHERE user_id % 2 = 1),
+        |e AS (SELECT event_type, COUNT(*) AS n
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+        |i AS (SELECT event_type, COUNT(*) AS n
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, 'except_all' AS op FROM e
+        |UNION ALL
+        |SELECT event_type, CAST(n AS BIGINT) AS n, 'intersect_all' AS op FROM i
+        |ORDER BY op, event_type""".stripMargin,
     // per-block top-k by (count desc, key) with native key ordering —
     // identical tie rule in both engines; shares are integer div
     "skew_report" ->
