@@ -78,6 +78,14 @@ class StatsSkipSpec extends SparkSpec {
     assert(df.as[(Long, String)].collect().toSet == Set((51L, "e")))
   }
 
+  test("the rule fires through the SQL surface: a temp view keeps the tagged relation") {
+    val t = store()
+    Versioned.table(spark, t).createOrReplaceTempView("skip_sql_t")
+    val df = spark.sql("SELECT id, s FROM skip_sql_t WHERE id >= 8 AND id <= 30")
+    assert(filesScanned(df) == 1, df.queryExecution.optimizedPlan.toString)
+    assert(df.as[(Long, String)].collect().toSet == Set((10L, "c"), (20L, "d")))
+  }
+
   test("unanalyzed files are conservatively scanned") {
     val t = store()
     Versioned.append(Seq((200L, "f")).toDF("id", "s").coalesce(1), t)
