@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * equal to `jaro_winkler_similarity` at e6 rounding over 750+ probe
   * pairs: match window ⌊max(|a|,|b|)/2⌋−1, transpositions = half the
   * out-of-order matches, boost threshold 0.7, prefix scale 0.1 over at
-  * most 4 leading characters. */
+  * most 4 leading characters. Comparison is per UTF-16 char — for
+  * supplementary-plane text (surrogate pairs) the unit differs from a
+  * codepoint-based engine; the entity-matching domain this serves
+  * (names, titles, catalog strings) is BMP text. */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -490,9 +490,11 @@ object EventQueries {
     * across all pairs — the synthetic independence it should find. */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
+    // the incidence frame feeds three consumers (total, marginals, the
+    // self-join's both sides) — cache it so the distinct runs once
     val s = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-      .distinct()
+      .distinct().cache()
     val n = s.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("ns"))
     val t = s.groupBy(col("event_type")).agg(count(lit(1)).as("c"))

@@ -166,7 +166,12 @@ object Versioned {
     * serves) for every current file LACKING a stats marker, and commit
     * the markers as one metadata-only version. One pruned job over just
     * the unanalyzed files, collecting one row per file; incremental by
-    * construction (re-running analyzes only new files). */
+    * construction (re-running analyzes only new files). Concurrency
+    * note (applies to [[analyzeBloom]] too): the marker commit rebases
+    * on conflict, so a rewrite that raced it can leave a marker whose
+    * file line no longer exists — harmless (lookups key by live file
+    * lines; the dangler is dead manifest weight until the next rewrite
+    * of that area) but worth knowing when reading manifests by hand. */
   def analyzeStats(spark: SparkSession, table: String, column: String,
       maxRetries: Int = 5): Int = {
     val cur = currentVersion(table)
