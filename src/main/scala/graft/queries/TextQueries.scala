@@ -707,6 +707,58 @@ object TextQueries {
       .orderBy(col("sh"))
   }
 
+  /** The fixed phrase workload for [[phraseSearch]] — all 3-word phrases
+    * (df 6–7 at sf0.01, probed), so one HAVING bound covers the set. */
+  private val PhrasePatterns = Seq(
+    "big data merge", "column merge fast", "part filter scan",
+    "row column sort", "stream table hash")
+
+  /** Positional phrase search over a positional inverted index — the
+    * retrieval primitive the doc-level postings ([[postingsList]]) cannot
+    * answer: WHICH documents contain an exact multi-word phrase, where,
+    * and how often (Chroma-style `where_document={"$contains": ...}`
+    * lifted to token-exact phrase semantics). Classic term-at-a-time
+    * positional intersection (Manning/IR ch. 2) as ONE declarative plan:
+    * the index is `posexplode` over the token array (map-side, no
+    * shuffle), the phrase table `(phrase, k, term)` broadcasts, and an
+    * occurrence at start position `s` exists iff all `len` phrase terms
+    * match at `s + k` — i.e. the candidate groupBy (phrase, doc, start)
+    * counts matched offsets; `(doc,pos)` rows are unique so COUNT(*)
+    * equals the distinct-offset count with no DISTINCT expand.
+    *
+    * Scale shape: candidate fanout is Σ_w tf(w) over PHRASE terms only
+    * (the broadcast join prunes every other token before the shuffle);
+    * the two aggregations partial-combine on (phrase, doc_id[, start]).
+    * Overlap-safe by construction (counts start positions, not
+    * non-overlapping string replaces — TextSketchSpec pins an adjacent
+    * self-repeat). At 100 TB this is the standard phrase-query plan over
+    * a term-hash-partitioned index; intersection order by ascending tf —
+    * the classic optimization — falls out of AQE's smallest-side-first
+    * join reordering rather than hand scheduling. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseOccurrences(spark, Tables.documents(spark, dir), PhrasePatterns)
+
+  /** The reusable core of [[phraseSearch]] over any `(doc_id, text)`
+    * frame — all phrases must share one word count (`len`). */
+  def phraseOccurrences(spark: SparkSession, docs: DataFrame,
+      phrases: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val lens = phrases.map(_.split(" ").length).distinct
+    require(lens.size == 1, s"phrases must share one length, got $lens")
+    val idx = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "term")))
+    val ph = phrases.toDF("phrase")
+      .select(col("phrase"), posexplode(split(col("phrase"), " ")).as(Seq("k", "term")))
+    idx.join(broadcast(ph), "term")
+      .select(col("phrase"), col("doc_id"), (col("pos") - col("k")).as("st"))
+      .groupBy(col("phrase"), col("doc_id"), col("st"))
+      .agg(count(lit(1)).as("nk"))
+      .filter(col("nk") === lens.head)
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("st")).cast("long").as("first_pos"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
   /** Collocation mining by LIFT: phrase (3-gram) pairs that recur
     * together across documents more than independence predicts —
     * lift(a,b) = N·df(a,b)/(df(a)·df(b)), the integer-exact core of PMI
@@ -836,6 +888,7 @@ object TextQueries {
     "source_overlap" -> (sourceOverlap _),
     "collocation_lift" -> (collocationLift _),
     "postings_list" -> (postingsList _),
+    "phrase_search" -> (phraseSearch _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
@@ -970,6 +1023,26 @@ object TextQueries {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 4 AND 7
         |ORDER BY sh""".stripMargin,
+    // independent mechanics: DuckDB scans each row's token list per
+    // phrase offset (array side) vs Spark's index-join side; both count
+    // start positions, so overlap/adjacency semantics agree by math,
+    // not by shared code
+    "phrase_search" ->
+      """WITH ph(phrase) AS (VALUES ('big data merge'), ('column merge fast'),
+        |  ('part filter scan'), ('row column sort'), ('stream table hash')),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, u.i - 1 AS pos, w[u.i] AS term
+        |        FROM tok, unnest(generate_series(1, len(w))) u(i)),
+        |pw AS (SELECT phrase, k.i - 1 AS k, string_split(phrase, ' ')[k.i] AS term
+        |       FROM ph, unnest(generate_series(1, 3)) k(i)),
+        |occ AS (
+        |  SELECT pw.phrase, idx.doc_id, idx.pos - pw.k AS st
+        |  FROM idx JOIN pw ON idx.term = pw.term
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) = 3)
+        |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MIN(st) AS BIGINT) AS first_pos
+        |FROM occ GROUP BY phrase, doc_id
+        |ORDER BY phrase, doc_id""".stripMargin,
     // COUNT/SUM widen to HUGEINT in DuckDB — cast back to BIGINT
     "vocab_growth" ->
       """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),

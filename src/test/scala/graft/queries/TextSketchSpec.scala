@@ -20,6 +20,40 @@ class TextSketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad fixture docs violate the html_strip oracle precondition")
   }
 
+  test("phrase search matches an independent sliding-token scan") {
+    // index-join side (the declared plan) vs a plain local scan that
+    // slides a 3-token window over each doc — different mechanics, same
+    // start-position counting semantics
+    val got = TextQueries.phraseSearch(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "fixture should contain at least one phrase hit")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val phrases = got.map(_._1).distinct
+    val expect = (for {
+      ph <- phrases
+      pw = ph.split(" ")
+      (id, text) <- docs
+      toks = text.split(" ")
+      starts = toks.indices.dropRight(pw.length - 1)
+        .filter(s => pw.indices.forall(k => toks(s + k) == pw(k)))
+      if starts.nonEmpty
+    } yield (ph, id) -> (starts.length.toLong, starts.min.toLong)).toMap
+    assert(got.length == expect.size)
+    for ((ph, id, n, first) <- got)
+      assert(expect((ph, id)) == ((n, first)), s"$ph in doc $id")
+  }
+
+  test("phrase search counts overlapping/adjacent occurrences by start position") {
+    // "a b a b a" holds "a b a" at starts 0 AND 2 (overlapping) — a
+    // replace()-based counter would find only one; adjacency "x y z x y z"
+    // similarly shares no separator to consume
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z x y z"), (3L, "a b c")).toDF("doc_id", "text")
+    val r = TextQueries.phraseOccurrences(spark, docs, Seq("a b a", "x y z"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("a b a", 1L, 2L, 0L), ("x y z", 2L, 2L, 0L)))
+  }
+
   test("sketch stats are within tolerance of exact answers") {
     val got = TextQueries.sketchStats(spark, sfDir)
       .select("lang", "approx_vocab", "p50_chars", "p95_chars")
