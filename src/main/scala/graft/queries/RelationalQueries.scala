@@ -502,6 +502,69 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Link prediction by portfolio overlap — common-neighbor count and
+    * exact Jaccard over supplier part-sets (who supplies like whom: the
+    * recommendation/substitution signal, and the common-neighbors score
+    * of the link-prediction literature, Liben-Nowell & Kleinberg 2003).
+    * Pairs are generated through the SHARED-NEIGHBOR join (distinct
+    * (part, s1)⋈(part, s2), s1 < s2) — cost Σ_p deg(p)², the bounded
+    * co-occurrence shape every dedup family here uses, never the
+    * supplier×supplier cross; at 100 TB hub neighbors get df-capped into
+    * a stop list exactly like [[graft.queries.TextQueries.postingsList]]
+    * caps high-df terms. Degrees ride a broadcast 100-row frame;
+    * jac = |∩| / (d1 + d2 − |∩|) exports as the exact e6 integer
+    * quotient (both engines floor on positive operands). Deterministic
+    * top-25: the (jac desc, s1, s2) sort key is unique per pair. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
+      .select(col("s1"), col("s2"), col("common"),
+        expr("(common * 1000000) div (d1 + d2 - common)").as("jac_e6"))
+      .orderBy(col("jac_e6").desc, col("s1"), col("s2"))
+      .limit(25)
+  }
+
+  /** Degree assortativity of the part↔supplier graph — Pearson r of
+    * (deg(src), deg(dst)) over the doubled edge list (Newman 2002's
+    * undirected form): does the graph wire hubs to hubs (+) or hubs to
+    * leaves (−)? The fixture reads ≈ −0.997 — the bipartite signature
+    * (every edge joins a ~517-degree supplier to a ~26-degree part), the
+    * structure that tells a sampler/partitioner the graph has two
+    * radically different degree regimes. Degrees and all five component
+    * sums are pure longs (one groupBy + two broadcast joins + one
+    * partial-aggregated pass); only the final closed form runs in
+    * double, the spend_corr determinism recipe. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = partSupplierEdges(spark, dir)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(broadcast(deg.select(col("node").as("src"), col("d").as("x"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("y"))), "dst")
+    val c = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val nD = d(col("n"))
+    val dxx = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dyy = nD * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    c.select(col("n"),
+      when(dxx > 0 && dyy > 0,
+        round((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          sqrt(dxx) / sqrt(dyy) * 10000).cast("long"))
+        .as("r_e4"))
+  }
+
   /** Weighted single-source shortest path ([[graft.scale.Sssp]] —
     * frontier Bellman-Ford) over the part↔supplier graph with integer
     * edge weights (min lineitem quantity per pair — deterministic, and
@@ -809,6 +872,8 @@ object RelationalQueries {
     "skew_report" -> (skewReport _),
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
+    "link_predict" -> (linkPredict _),
+    "degree_assortativity" -> (degreeAssortativity _),
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
@@ -1088,6 +1153,41 @@ object RelationalQueries {
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "pagerank" -> pagerankSql,
     "ppr_seeded" -> pprSql,
+    // `//` floors in DuckDB, `div` truncates in Spark — equal on the
+    // non-negative operands here
+    "link_predict" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+        |pr AS (
+        |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+        |  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+        |SELECT s1, s2, CAST(common AS BIGINT) AS common,
+        |  CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT) AS jac_e6
+        |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
+        |ORDER BY jac_e6 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // integer component sums; the closed form mirrors the engine
+    // expression op for op (the spend_corr determinism recipe)
+    "degree_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |ed AS (SELECT 's' || s AS src, 'p' || p AS dst FROM e0
+        |       UNION ALL SELECT 'p' || p, 's' || s FROM e0),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+        |xy AS (SELECT CAST(ds.d AS BIGINT) AS x, CAST(dd.d AS BIGINT) AS y
+        |       FROM ed JOIN deg ds ON ed.src = ds.node
+        |               JOIN deg dd ON ed.dst = dd.node),
+        |c AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |      FROM xy),
+        |d AS (SELECT n,
+        |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |      FROM c)
+        |SELECT n, CASE WHEN dxx > 0 AND dyy > 0
+        |  THEN CAST(round(dxy / sqrt(dxx) / sqrt(dyy) * 10000) AS BIGINT)
+        |  ELSE NULL END AS r_e4
+        |FROM d""".stripMargin,
     "pagerank_weighted" -> pagerankWeightedSql,
     // quantile_cont == Spark percentile: same (n-1)*q linear
     // interpolation, exact in double at dyadic q over small ints

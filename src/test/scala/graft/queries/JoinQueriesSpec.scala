@@ -12,6 +12,44 @@ import graft.Tables
 class JoinQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("link_predict matches brute-force portfolio Jaccard over all pairs") {
+    val byS = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ss = byS.keys.toSeq.sorted
+    val brute = (for {
+      i <- ss; j <- ss if i < j
+      inter = (byS(i) & byS(j)).size if inter > 0
+    } yield (i, j, inter.toLong,
+      inter.toLong * 1000000L / (byS(i).size + byS(j).size - inter)))
+      .sortBy(t => (-t._4, t._1, t._2)).take(25)
+    val got = RelationalQueries.linkPredict(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("degree_assortativity matches the locally computed Pearson r") {
+    val e = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val edges = e.flatMap { case (s, p) => Seq((s"s$s", s"p$p"), (s"p$p", s"s$s")) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = edges.map { case (a, b) => (deg(a), deg(b)) }
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum.toDouble; val sy = xy.map(_._2).sum.toDouble
+    val sxy = xy.map(t => t._1 * t._2).sum.toDouble
+    val sxx = xy.map(t => t._1 * t._1).sum.toDouble
+    val syy = xy.map(t => t._2 * t._2).sum.toDouble
+    val r = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy)
+    val Array((gotN, gotR)) = RelationalQueries.degreeAssortativity(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(gotN == xy.size)
+    assert(math.abs(gotR - math.round(r * 10000)) <= 1, s"got $gotR vs ${r * 10000}")
+    // bipartite hub-to-leaf wiring must read strongly disassortative
+    assert(gotR < -9000)
+  }
+
   test("asof_join matches the brute-force per-row maximum prior signup") {
     // full microsecond precision: getTime is millisecond-truncated and
     // would corrupt the <= comparison / tie-break for sub-ms neighbors
