@@ -1125,6 +1125,79 @@ object EventQueries {
       .orderBy(col("lag"))
   }
 
+  /** Day-of-week seasonality index of event revenue — the multiplicative
+    * seasonal profile (index 1.0 = an average day) every forecast/
+    * anomaly pipeline factors out before trend fitting. Weekday is the
+    * portable `epoch-day mod 7` (Spark's `dayofweek` counts Sunday=1,
+    * DuckDB's Sunday=0 — a cross-engine label trap this formula
+    * sidesteps entirely). index = (rev_dow · total_days) / (total_rev ·
+    * days_dow) as the exact e6 integer quotient; products run in
+    * DECIMAL(38,0) (rev·days·10⁶ passes 64 bits at warehouse scale).
+    * Plan: one partial-aggregated groupBy over (dow) for the profile,
+    * one 1-row broadcast for the totals — calendar-bounded output (≤ 7
+    * rows) at any data size. */
+  def seasonalityIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val dowed = Tables.events(spark, dir)
+      .select(pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+          lit(7)).as("dow"),
+        to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    val byDow = dowed.groupBy(col("dow"))
+      .agg(countDistinct(col("day")).as("nd"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_e2")).as("rev_e2"))
+    val tot = byDow.agg(sum(col("nd")).as("td"), sum(col("rev_e2")).as("tr"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"), col("nd"), col("n_events"),
+        col("rev_e2"),
+        expr(s"CAST((CAST(rev_e2 AS $d38) * td * 1000000) div " +
+          s"(CAST(tr AS $d38) * nd) AS BIGINT)").as("idx_e6"))
+      .orderBy(col("dow"))
+  }
+
+  /** Rolling 7-day Pearson correlation between two daily series (purchase
+    * revenue vs click revenue) — the co-movement diagnostic behind
+    * metric-pair drift alerts ("did these decouple this week?"), the
+    * windowed sibling of the global spend_corr. The daily rollup is one
+    * partial-aggregated groupBy bounded by the CALENDAR; the trailing
+    * window is an explicit date-range self-join of that bounded frame
+    * (the autocorr pattern — a window function would need a total order
+    * over an unbounded-looking input, and the range join on a ≤
+    * days-sized frame broadcasts). Component sums are exact longs
+    * (values e2-fixed at source); only the final closed form runs in
+    * double (the spend_corr determinism recipe). Windows shorter than 7
+    * days (the leading edge) are dropped, so n is the literal 7 on both
+    * engines. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "click",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("b"))
+    val w = daily.select(col("day").as("d2"), col("a").as("x"), col("b").as("y"))
+    val comps = daily.select(col("day")).join(broadcast(w),
+        col("d2") >= date_sub(col("day"), 6) && col("d2") <= col("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") === 7)
+    def d(c: Column) = c.cast("double")
+    val dxx = d(lit(7)) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dyy = d(lit(7)) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    comps.select(col("day"),
+      when(dxx > 0 && dyy > 0,
+        round((d(lit(7)) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          sqrt(dxx) / sqrt(dyy) * 10000).cast("long"))
+        .as("r_e4"))
+      .orderBy(col("day"))
+  }
+
   /** HyperLogLog distinct users per event type ([[graft.core.HllAgg]],
     * p=10 ⇒ 1 KB per group), cross-checked IN the declared row against
     * exact COUNT DISTINCT: `est_ok` asserts the estimate lands inside
@@ -1360,6 +1433,8 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "autocorr" -> (autocorr _),
+    "seasonality_index" -> (seasonalityIndex _),
+    "rolling_corr" -> (rollingCorr _),
     "hll_distinct" -> (hllDistinct _),
     "value_moments" -> (valueMoments _),
     "benford_audit" -> (benfordAudit _),
@@ -1408,6 +1483,50 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     // integer-scaled centered series: c_t = n*x_t - S; sign-safe e6 export
+    // epoch-day mod 7 sidesteps the engines' different Sunday labels
+    "seasonality_index" ->
+      """WITH d AS (
+        |  SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) % 7) AS dow,
+        |    CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS v_e2
+        |  FROM events),
+        |bd AS (
+        |  SELECT dow, COUNT(DISTINCT day) AS nd, COUNT(*) AS n_events,
+        |    CAST(SUM(v_e2) AS BIGINT) AS rev_e2
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nd) AS BIGINT) AS td, CAST(SUM(rev_e2) AS BIGINT) AS tr FROM bd)
+        |SELECT CAST(dow AS BIGINT) AS dow, nd, n_events, rev_e2,
+        |  -- HUGEINT keeps `//` a true integer floor (DECIMAL // rounds)
+        |  CAST(CAST(rev_e2 AS HUGEINT) * td * 1000000 //
+        |    (CAST(tr AS HUGEINT) * nd) AS BIGINT) AS idx_e6
+        |FROM bd, t ORDER BY dow""".stripMargin,
+    // closed form mirrors the engine expression op for op; windows
+    // shorter than 7 days are dropped so n is literally 7 both sides
+    "rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT d1.day, COUNT(*) AS n,
+        |    CAST(SUM(d2.a) AS BIGINT) AS sx, CAST(SUM(d2.b) AS BIGINT) AS sy,
+        |    CAST(SUM(d2.a * d2.b) AS BIGINT) AS sxy,
+        |    CAST(SUM(d2.a * d2.a) AS BIGINT) AS sxx,
+        |    CAST(SUM(d2.b * d2.b) AS BIGINT) AS syy
+        |  FROM daily d1 JOIN daily d2 ON d2.day BETWEEN d1.day - 6 AND d1.day
+        |  GROUP BY 1 HAVING COUNT(*) = 7),
+        |f AS (
+        |  SELECT day,
+        |    CAST(7 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(7 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(7 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM win)
+        |SELECT day, CASE WHEN dxx > 0 AND dyy > 0
+        |  THEN CAST(round(dxy / sqrt(dxx) / sqrt(dyy) * 10000) AS BIGINT)
+        |  ELSE NULL END AS r_e4
+        |FROM f ORDER BY day""".stripMargin,
     "autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x

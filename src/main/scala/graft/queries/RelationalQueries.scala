@@ -384,6 +384,43 @@ object RelationalQueries {
         expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
       .orderBy(col("l_returnflag"))
 
+  /** Robust location estimates per group — raw mean, quartile-WINSORIZED
+    * mean (values clamped into [q25, q75]), and the interquartile
+    * TRIMMED mean (values outside dropped): the outlier-resistant
+    * aggregates a metrics pipeline swaps in when heavy tails poison the
+    * plain mean. Clamp bounds are the quartiles because dyadic q over
+    * small-integer values interpolates exactly in double on both engines
+    * (the group_quantiles pin) — a p05/p95 winsorization would put a
+    * non-dyadic (n−1)·q rounding on the gate. Two-pass plan: per-group
+    * quartiles (partial-aggregated `percentile`, bounded state — 50
+    * distinct values), broadcast back (3 rows), clamp/filter map-side,
+    * one partial-aggregated sum. Clamped values are .25-granular so the
+    * e2 fixed-point is exact; means export as floor((sum·10⁴)/n) —
+    * positive operands, so Spark `div` and DuckDB `//` agree. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qs = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25D)").as("q25"),
+        expr("percentile(l_quantity, 0.75D)").as("q75"))
+    li.join(broadcast(qs), "l_returnflag")
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr("CAST(round(greatest(least(l_quantity, q75), q25) * 100) AS BIGINT)")
+          .as("w_e2"),
+        col("l_quantity").between(col("q25"), col("q75")).as("kept"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sq"),
+        sum(col("w_e2")).as("sw"),
+        sum(when(col("kept"), col("l_quantity").cast("long")).otherwise(0L)).as("st"),
+        count(when(col("kept"), lit(1))).as("nt"))
+      .select(col("l_returnflag"), col("n"),
+        expr("(sq * 10000) div n").as("mean_e4"),
+        expr("(sw * 100) div n").as("wins_mean_e4"),
+        expr("(st * 10000) div nt").as("trim_mean_e4"),
+        col("nt").as("n_kept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Personalized PageRank from a 3-seed set over the shared stored
     * part↔supplier graph ([[graft.scale.PageRank.runPersonalized]]):
     * random walk with restart to {p1, p2, s3} — "parts and suppliers
@@ -874,6 +911,7 @@ object RelationalQueries {
     "ppr_seeded" -> (pprSeeded _),
     "link_predict" -> (linkPredict _),
     "degree_assortativity" -> (degreeAssortativity _),
+    "winsorized_mean" -> (winsorizedMean _),
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
@@ -1165,6 +1203,31 @@ object RelationalQueries {
         |  CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT) AS jac_e6
         |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
         |ORDER BY jac_e6 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // quantile_cont == Spark percentile at dyadic q over small ints
+    // (the group_quantiles pin); `//` floors == `div` on positives
+    "winsorized_mean" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+        |    quantile_cont(l_quantity, 0.75) AS q75
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT l.l_returnflag, l.l_quantity,
+        |    CAST(round(greatest(least(l.l_quantity, q.q75), q.q25) * 100) AS BIGINT) AS w_e2,
+        |    l.l_quantity BETWEEN q.q25 AND q.q75 AS kept
+        |  FROM lineitem l JOIN q USING (l_returnflag)),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(SUM(w_e2) AS BIGINT) AS sw,
+        |    CAST(SUM(CASE WHEN kept THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS st,
+        |    CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS nt
+        |  FROM j GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sq * 10000 // n AS BIGINT) AS mean_e4,
+        |  CAST(sw * 100 // n AS BIGINT) AS wins_mean_e4,
+        |  CAST(st * 10000 // nt AS BIGINT) AS trim_mean_e4,
+        |  nt AS n_kept
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     // integer component sums; the closed form mirrors the engine
     // expression op for op (the spend_corr determinism recipe)
     "degree_assortativity" ->

@@ -11,6 +11,49 @@ import graft.SparkSpec
 class EventQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("seasonality_index matches a local brute force and averages to 1") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), expr("CAST(round(value*100) AS BIGINT)").as("v"))
+      .as[(java.sql.Date, Long)].collect()
+    val dow = ev.groupBy(e => math.floorMod(e._1.toLocalDate.toEpochDay, 7L))
+    val nd = dow.view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val rev = dow.view.mapValues(_.map(_._2).sum).toMap
+    val td = nd.values.sum; val tr = rev.values.sum
+    val got = EventQueries.seasonalityIndex(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    for ((d, n, _, r, idx) <- got) {
+      assert(n == nd(d) && r == rev(d))
+      assert(idx == (BigInt(r) * td * 1000000 / (BigInt(tr) * n)).toLong)
+    }
+    // day-weighted mean of the multiplicative profile is 1 by identity
+    val wmean = got.map(g => BigInt(g._5) * g._2).sum / td
+    assert((wmean - 1000000).abs <= got.length, s"weighted mean $wmean")
+  }
+
+  test("rolling_corr matches a local windowed Pearson") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(when($"event_type" === "purchase", expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("a"),
+        sum(when($"event_type" === "click", expr("CAST(round(value*100) AS BIGINT)")).otherwise(0L)).as("b"))
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val got = EventQueries.rollingCorr(spark, sfDir)
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(got.size == daily.length - 6)
+    for (i <- 6 until daily.length) {
+      val w = daily.slice(i - 6, i + 1)
+      val xs = w.map(_._2.toDouble); val ys = w.map(_._3.toDouble)
+      val n = 7.0
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val r = (n * sxy - sx * sy) /
+        math.sqrt(n * xs.map(x => x * x).sum - sx * sx) /
+        math.sqrt(n * ys.map(y => y * y).sum - sy * sy)
+      assert(math.abs(got(daily(i)._1) - math.round(r * 10000)) <= 1,
+        s"day ${daily(i)._1}: ${got(daily(i)._1)} vs ${r * 10000}")
+    }
+  }
+
   private val base = 1704067200000000L // 2024-01-01T00:00:00Z micros
   private def ts(us: Long) = new Timestamp(us / 1000)
 

@@ -50,6 +50,31 @@ class JoinQueriesSpec extends SparkSpec {
     assert(gotR < -9000)
   }
 
+  test("winsorized_mean matches a local clamp/trim over exact quartiles") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def quantile(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * q
+      val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - f) + s(lo + 1) * f else s(lo)
+    }
+    val got = RelationalQueries.winsorizedMean(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == rows.keySet)
+    for ((flag, n, mean, wins, trim, nKept) <- got) {
+      val xs = rows(flag)
+      val (q25, q75) = (quantile(xs, 0.25), quantile(xs, 0.75))
+      val kept = xs.filter(x => x >= q25 && x <= q75)
+      assert(n == xs.length && nKept == kept.length)
+      assert(mean == xs.map(_.toLong).sum * 10000 / n)
+      assert(wins == xs.map(x => math.round(math.max(q25, math.min(q75, x)) * 100)).sum * 100 / n)
+      assert(trim == kept.map(_.toLong).sum * 10000 / nKept)
+      // clamping pulls the estimate toward the median band but keeps n
+      assert(wins >= 0 && trim >= 0)
+    }
+  }
+
   test("asof_join matches the brute-force per-row maximum prior signup") {
     // full microsecond precision: getTime is millisecond-truncated and
     // would corrupt the <= comparison / tie-break for sub-ms neighbors
