@@ -384,6 +384,56 @@ object RelationalQueries {
         expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
       .orderBy(col("l_returnflag"))
 
+  /** Column-level lineage of [[q3JoinTopk]] extracted from its ANALYZED
+    * Catalyst plan ([[graft.plans.Lineage]]) — zero data IO: the rows
+    * are plan metadata (OpenLineage's direct `data` / indirect `filter`
+    * split). The oracle is the documented provenance contract as a
+    * VALUES table — any change to the walk's semantics (a dropped
+    * generator mapping, a missed join key) hash-mismatches. */
+  def columnLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.Lineage.of(q3JoinTopk(spark, dir))
+      .toDF("out_column", "kind", "src_table", "src_column")
+      .orderBy(col("out_column"), col("kind"), col("src_table"), col("src_column"))
+  }
+
+  /** Referential-integrity audit across the schema's FK graph — the
+    * orphan screen a warehouse runs before trusting joins (an orphan fact
+    * row silently vanishes from every inner join downstream). One row
+    * per relation: child rows, orphan rows, distinct orphan keys, min
+    * orphan key (−1 when intact). The intact fixture relations audit to
+    * zero — the pass state — and one relation is checked against a
+    * deliberately damaged dim snapshot (customer with every 10th key
+    * dropped — the stale-replica scenario) so both outcomes are
+    * exercised. Plan: each relation is a LEFT ANTI join on the key
+    * (dims broadcast; the fact-sized parent shuffles on the key — at
+    * 100 TB the bloom_semijoin recipe pre-screens it), aggregated to one
+    * row map-side; rows union to a ≤ relations-sized frame. */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(rel: String, child: DataFrame, fk: String, parent: DataFrame,
+        pk: String): DataFrame =
+      child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("k")).as("n_orphan_keys"),
+          coalesce(min(col("k")), lit(-1L)).as("min_orphan_key"))
+        .crossJoin(child.agg(count(lit(1)).as("n_child")))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"),
+          col("n_orphan_keys"), col("min_orphan_key"))
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val n = Tables.nation(spark, dir)
+    val staleDim = c.filter(col("c_custkey") % 10 =!= 7)
+    Seq(
+      one("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      one("lineitem.l_partkey->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      one("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      one("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      one("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      one("nation.n_regionkey->region", n, "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
+      one("orders.o_custkey->customer[stale]", o, "o_custkey", staleDim, "c_custkey")
+    ).reduce(_.unionByName(_)).orderBy(col("relation"))
+  }
+
   /** Robust location estimates per group — raw mean, quartile-WINSORIZED
     * mean (values clamped into [q25, q75]), and the interquartile
     * TRIMMED mean (values outside dropped): the outlier-resistant
@@ -912,6 +962,8 @@ object RelationalQueries {
     "link_predict" -> (linkPredict _),
     "degree_assortativity" -> (degreeAssortativity _),
     "winsorized_mean" -> (winsorizedMean _),
+    "ri_audit" -> (riAudit _),
+    "column_lineage" -> (columnLineage _),
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
@@ -1203,6 +1255,64 @@ object RelationalQueries {
         |  CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT) AS jac_e6
         |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
         |ORDER BY jac_e6 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // the documented provenance contract of q3_join_topk: 5 data edges,
+    // and every output column carries the 7 row-deciding filter/join
+    // sources (row provenance is plan-global through inner joins)
+    "column_lineage" ->
+      """WITH outs(out_column) AS (VALUES ('l_orderkey'), ('o_orderdate'),
+        |  ('o_orderpriority'), ('revenue')),
+        |fsrc(src_table, src_column) AS (VALUES
+        |  ('customer', 'c_custkey'), ('customer', 'c_mktsegment'),
+        |  ('lineitem', 'l_orderkey'), ('lineitem', 'l_shipdate'),
+        |  ('orders', 'o_custkey'), ('orders', 'o_orderdate'),
+        |  ('orders', 'o_orderkey')),
+        |d(out_column, src_table, src_column) AS (VALUES
+        |  ('l_orderkey', 'lineitem', 'l_orderkey'),
+        |  ('o_orderdate', 'orders', 'o_orderdate'),
+        |  ('o_orderpriority', 'orders', 'o_orderpriority'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'))
+        |SELECT out_column, 'data' AS kind, src_table, src_column FROM d
+        |UNION ALL
+        |SELECT out_column, 'filter' AS kind, src_table, src_column FROM outs, fsrc
+        |ORDER BY out_column, kind, src_table, src_column""".stripMargin,
+    "ri_audit" ->
+      """WITH a AS (
+        |  SELECT 'customer.c_nationkey->nation' AS relation,
+        |    (SELECT COUNT(*) FROM customer) AS n_child,
+        |    COUNT(*) AS n_orphans, COUNT(DISTINCT c_nationkey) AS n_orphan_keys,
+        |    COALESCE(MIN(c_nationkey), -1) AS min_orphan_key
+        |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', (SELECT COUNT(*) FROM lineitem),
+        |    COUNT(*), COUNT(DISTINCT l_orderkey), COALESCE(MIN(l_orderkey), -1)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', (SELECT COUNT(*) FROM lineitem),
+        |    COUNT(*), COUNT(DISTINCT l_partkey), COALESCE(MIN(l_partkey), -1)
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', (SELECT COUNT(*) FROM lineitem),
+        |    COUNT(*), COUNT(DISTINCT l_suppkey), COALESCE(MIN(l_suppkey), -1)
+        |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', (SELECT COUNT(*) FROM nation),
+        |    COUNT(*), COUNT(DISTINCT n_regionkey), COALESCE(MIN(n_regionkey), -1)
+        |  FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', (SELECT COUNT(*) FROM orders),
+        |    COUNT(*), COUNT(DISTINCT o_custkey), COALESCE(MIN(o_custkey), -1)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer[stale]', (SELECT COUNT(*) FROM orders),
+        |    COUNT(*), COUNT(DISTINCT o_custkey), COALESCE(MIN(o_custkey), -1)
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 7))
+        |SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+        |  CAST(min_orphan_key AS BIGINT) AS min_orphan_key
+        |FROM a ORDER BY relation""".stripMargin,
     // quantile_cont == Spark percentile at dyadic q over small ints
     // (the group_quantiles pin); `//` floors == `div` on positives
     "winsorized_mean" ->
