@@ -885,7 +885,35 @@ object StoreQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("rev_e2"))
   }
 
+  /** The events table served through the from-scratch DataSource V2
+    * connector ([[graft.sources.VersionedV2]]) — `format("graft-
+    * versioned")` — with both V2 pushdowns live: the user-id slice
+    * filter prunes the 3-file store to 1 file at PLANNING time through
+    * the manifest stats (the scan's partition count is the proof,
+    * VersionedV2Spec pins it), and column pruning drops event_id before
+    * any decode. The aggregate must equal DuckDB reading the raw
+    * fixture — connector decode, file pruning, and projection all sit
+    * on the hash path. */
+  def v2SourceRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("v2src", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50).coalesce(1), path)
+    graft.store.Versioned.append(
+      ev.filter(col("user_id").between(50, 99)).coalesce(1), path)
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100).coalesce(1), path)
+    graft.store.Versioned.analyzeStats(spark, path, "user_id")
+    spark.read.format("graft-versioned").option("path", path).load()
+      .filter(col("user_id").between(60, 79))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv_e2"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_source_read" -> (v2SourceRead _),
     "time_travel_asof" -> (timeTravelAsof _),
     "retention_delete" -> (retentionDeleteQuery _),
     "rename_zero_rewrite" -> (renameZeroRewrite _),
@@ -909,6 +937,12 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the V2 connector must reproduce the raw-fixture aggregate exactly
+    "v2_source_read" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events WHERE user_id BETWEEN 60 AND 79
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // AS OF between the 2nd and 3rd publishes = the first two slices
     "time_travel_asof" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.Versioned
+
+/** DataSource V2 connector over the [[graft.store.Versioned]] manifest
+  * store — `spark.read.format("graft-versioned").option("path", t)` — the
+  * connector surface (TableProvider → Table → ScanBuilder → Batch →
+  * PartitionReader) built from scratch on the PUBLIC connector API, with
+  * the two pushdowns that matter at 100 TB wired to the manifest's own
+  * metadata:
+  *
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): comparison/equality
+  *    filters on integral columns prune FILES at planning time through the
+  *    manifest's `#stats` min/max markers, and `EqualTo` additionally
+  *    through `#bloom` filters — zero footer opens, zero data IO before the
+  *    first surviving byte. Skipping is file-granular (best effort), so
+  *    every filter is also returned as a residual for Spark to re-evaluate
+  *    row-level — the same contract parquet row-group stats have.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the requested
+  *    projection becomes the parquet read schema, so dropped columns are
+  *    never decoded (an empty projection — COUNT(*) — reads the narrowest
+  *    column and emits zero-field rows).
+  *
+  * One InputPartition per surviving file: partition count IS the skip
+  * telemetry (`scan.description` prints kept/total), and a 1000-executor
+  * cluster schedules files independently. `versionAsOf` time-travels the
+  * file list through the manifest log (stats/bloom pruning applies on the
+  * CURRENT version only — historical reads scan their full manifest).
+  *
+  * Scoped contract (spec-pinned): primitive columns only (long/int/double/
+  * float/boolean/string), uniform footers, no outstanding renames — the
+  * fixture store tables. The row decode path is the parquet-hadoop example
+  * Group API: correctness-first simple; swapping in a vectorized reader
+  * changes [[VersionedPartitionReader]] alone. */
+class VersionedV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, version) = VersionedV2.pathAndVersion(options)
+    VersionedV2.sparkSchema(VersionedV2.footerSchema(path, version))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, version) = VersionedV2.pathAndVersion(opts)
+    new VersionedTable(path, version, VersionedV2.footerSchema(path, version))
+  }
+}
+
+object VersionedV2 {
+
+  private[sources] def pathAndVersion(
+      options: CaseInsensitiveStringMap): (String, Option[Int]) = {
+    val path = Option(options.get("path")).getOrElse(
+      sys.error("graft-versioned requires .option(\"path\", <table dir>)"))
+    (path, Option(options.get("versionAsOf")).map(_.trim.toInt))
+  }
+
+  /** The table's parquet schema, from the first data file's footer.
+    * Uniform footers are the scoped contract; outstanding renames would
+    * make footer names lie, so they are rejected loudly. */
+  private[sources] def footerSchema(path: String,
+      version: Option[Int]): MessageType = {
+    require(Versioned.renamesOf(path).isEmpty,
+      s"graft-versioned: $path has outstanding #rename markers — run " +
+        "Versioned.normalize first (the V2 reader serves footer names)")
+    val fs = Versioned.files(path, version)
+    require(fs.nonEmpty, s"graft-versioned: $path has no committed data")
+    val in = HadoopInputFile.fromPath(new Path(fs.head), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private[sources] def sparkSchema(msg: MessageType): StructType =
+    StructType(msg.getFields.asScala.toSeq.map { f =>
+      require(f.isPrimitive,
+        s"graft-versioned supports primitive columns only, got $f")
+      val p = f.asPrimitiveType()
+      val isString = p.getLogicalTypeAnnotation != null &&
+        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      val dt = p.getPrimitiveTypeName match {
+        case INT64 if p.getLogicalTypeAnnotation == null => LongType
+        case INT32 if p.getLogicalTypeAnnotation == null => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY if isString => StringType
+        case other => sys.error(
+          s"graft-versioned: unsupported parquet type $other for ${f.getName} " +
+            s"(annotation ${p.getLogicalTypeAnnotation}) — scoped to primitives")
+      }
+      StructField(f.getName, dt, nullable = true)
+    })
+
+  /** `msg` restricted to `names`, preserving file field order. */
+  private[sources] def project(msg: MessageType, names: Seq[String]): MessageType = {
+    val keep = names.toSet
+    new MessageType(msg.getName,
+      msg.getFields.asScala.filter(f => keep(f.getName)).toList.asJava)
+  }
+}
+
+private[sources] class VersionedTable(path: String, version: Option[Int],
+    msg: MessageType) extends Table with SupportsRead {
+  private val schemaV = VersionedV2.sparkSchema(msg)
+  override def name(): String = s"graft_versioned(`$path`)"
+  override def schema(): StructType = schemaV
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VersionedScanBuilder(path, version, msg, schemaV)
+}
+
+private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
+    msg: MessageType, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  private def longBound(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Filters the manifest metadata can act on (file-level). */
+  private def skippable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => longBound(v).isDefined || v.isInstanceOf[String]
+    case GreaterThan(_, v) => longBound(v).isDefined
+    case GreaterThanOrEqual(_, v) => longBound(v).isDefined
+    case LessThan(_, v) => longBound(v).isDefined
+    case LessThanOrEqual(_, v) => longBound(v).isDefined
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(skippable)
+    filters // file-granular skipping: Spark re-applies every row filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val all = Versioned.files(path, version)
+    // stats/bloom markers describe the CURRENT version's manifest lines;
+    // historical reads keep their full file list
+    val survivors =
+      if (version.exists(_ != Versioned.currentVersion(path))) all
+      else pushed.foldLeft(all) { (fs, f) =>
+        f match {
+          case EqualTo(c, v) =>
+            val byStats = longBound(v) match {
+              case Some(l) => fs.toSet.intersect(
+                Versioned.prunedFiles(path, c, l, l).toSet)
+              case None => fs.toSet
+            }
+            Versioned.pruneByBloom(path, Versioned.currentVersion(path),
+              fs.filter(byStats), c, String.valueOf(v))
+          case GreaterThan(c, v) =>
+            val l = longBound(v).get
+            fs.toSet.intersect(
+              Versioned.prunedFiles(path, c, l + 1, Long.MaxValue).toSet).toSeq
+          case GreaterThanOrEqual(c, v) =>
+            fs.toSet.intersect(Versioned.prunedFiles(path, c,
+              longBound(v).get, Long.MaxValue).toSet).toSeq
+          case LessThan(c, v) =>
+            fs.toSet.intersect(Versioned.prunedFiles(path, c,
+              Long.MinValue, longBound(v).get - 1).toSet).toSeq
+          case LessThanOrEqual(c, v) =>
+            fs.toSet.intersect(Versioned.prunedFiles(path, c,
+              Long.MinValue, longBound(v).get).toSet).toSeq
+          case _ => fs
+        }
+      }
+    // COUNT(*) prunes to zero columns; read the narrowest field so row
+    // multiplicity survives while decoding as little as possible
+    val readCols =
+      if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
+      else Seq(full.fields.minBy(f => f.dataType.defaultSize).name)
+    new VersionedScan(all.size, survivors, required,
+      VersionedV2.project(msg, readCols).toString,
+      required.fields.isEmpty)
+  }
+}
+
+private[sources] class VersionedScan(total: Int, files: Seq[String],
+    required: StructType, projectedMsg: String, emitEmptyRows: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-versioned files=${files.size}/$total cols=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => VersionedFilePartition(f, projectedMsg, required,
+      emitEmptyRows): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedReaderFactory
+}
+
+private[sources] case class VersionedFilePartition(file: String,
+    projectedMsg: String, required: StructType, emitEmptyRows: Boolean)
+    extends InputPartition
+
+private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VersionedPartitionReader(partition.asInstanceOf[VersionedFilePartition])
+}
+
+/** Row-at-a-time parquet decode through the example Group API — one open
+  * per file, projection applied via the read schema. */
+private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA, p.projectedMsg)
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf).build()
+  private val projected = MessageTypeParser.parseMessageType(p.projectedMsg)
+  // required-schema order may differ from file order; map by name
+  private val fieldIdx: Array[Int] =
+    p.required.fields.map(f => projected.getFieldIndex(f.name))
+  private val types: Array[DataType] = p.required.fields.map(_.dataType)
+  private var cur: Group = _
+
+  override def next(): Boolean = { cur = reader.read(); cur != null }
+
+  override def get(): InternalRow =
+    if (p.emitEmptyRows) new GenericInternalRow(0)
+    else {
+      val vals = new Array[Any](fieldIdx.length)
+      var i = 0
+      while (i < fieldIdx.length) {
+        val fi = fieldIdx(i)
+        vals(i) =
+          if (cur.getFieldRepetitionCount(fi) == 0) null
+          else types(i) match {
+            case LongType => cur.getLong(fi, 0)
+            case IntegerType => cur.getInteger(fi, 0)
+            case DoubleType => cur.getDouble(fi, 0)
+            case FloatType => cur.getFloat(fi, 0)
+            case BooleanType => cur.getBoolean(fi, 0)
+            case StringType => UTF8String.fromBytes(cur.getBinary(fi, 0).getBytes)
+            case other => sys.error(s"unsupported type $other")
+          }
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+
+  override def close(): Unit = reader.close()
+}

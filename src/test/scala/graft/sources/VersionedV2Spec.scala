@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.store.Versioned
+
+/** Contract pins for the DataSource V2 connector: decode equality with
+  * the native read, planning-time file pruning (stats + bloom), column
+  * pruning / COUNT(*), versionAsOf, and null round-trips. */
+class VersionedV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-v2-$name-")
+      .toFile.getAbsolutePath
+    new java.io.File(p).delete()
+    p
+  }
+
+  private def threeSliceTable(): String = {
+    val path = freshTable("slices")
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    // sf0.001 has users 0..14 — slice inside that range so every file
+    // is non-empty (empty files get no stats marker by design)
+    Versioned.append(ev.filter(col("user_id") < 5).coalesce(1), path)
+    Versioned.append(ev.filter(col("user_id").between(5, 9)).coalesce(1), path)
+    Versioned.append(ev.filter(col("user_id") >= 10).coalesce(1), path)
+    path
+  }
+
+  private def v2(path: String) =
+    spark.read.format("graft-versioned").option("path", path).load()
+
+  test("connector read equals the native Versioned read") {
+    val path = threeSliceTable()
+    val native = Versioned.read(spark, path)
+      .select("event_id", "user_id", "event_type", "v_e2")
+      .as[(Long, Long, String, Long)].collect().sorted
+    val viaV2 = v2(path).select("event_id", "user_id", "event_type", "v_e2")
+      .as[(Long, Long, String, Long)].collect().sorted
+    assert(viaV2.length > 0 && viaV2.toSeq == native.toSeq)
+  }
+
+  test("stats pushdown prunes files at planning time") {
+    val path = threeSliceTable()
+    Versioned.analyzeStats(spark, path, "user_id")
+    val unpruned = v2(path)
+    assert(unpruned.rdd.getNumPartitions == 3, "one partition per file")
+    val pruned = v2(path).filter(col("user_id").between(6, 8))
+    assert(pruned.rdd.getNumPartitions == 1,
+      "the [6,8] slice lives in exactly one file")
+    // and the residual row filter still applies inside the kept file
+    val want = Tables.events(spark, sfDir)
+      .filter(col("user_id").between(6, 8)).count()
+    assert(pruned.count() == want)
+  }
+
+  test("bloom pushdown prunes equality probes stats cannot") {
+    val path = freshTable("bloom")
+    // interleave a hash-like key so min/max envelopes all overlap
+    val rows = (0L until 3000L).map(i => (i * 2654435761L % 4096, i))
+    Versioned.append(rows.filter(_._2 % 3 == 0).toDF("k", "ord").coalesce(1), path)
+    Versioned.append(rows.filter(_._2 % 3 == 1).toDF("k", "ord").coalesce(1), path)
+    Versioned.append(rows.filter(_._2 % 3 == 2).toDF("k", "ord").coalesce(1), path)
+    Versioned.analyzeStats(spark, path, "k")
+    Versioned.analyzeBloom(spark, path, "k", bits = 65536)
+    // a key living ONLY in the middle slice — its absence from the other
+    // two files is what the blooms must prove
+    val probe = rows.groupBy(_._1).collectFirst {
+      case (k, vs) if vs.forall(_._2 % 3 == 1) => k
+    }.get
+    val statsOnly = Versioned.prunedFiles(path, "k", probe, probe)
+    assert(statsOnly.size == 3, "overlapping envelopes: stats keep all files")
+    val df = v2(path).filter(col("k") === probe)
+    assert(df.rdd.getNumPartitions < 3, "bloom must beat stats here")
+    assert(df.count() == rows.count(_._1 == probe))
+  }
+
+  test("column pruning and COUNT(*) survive an empty projection") {
+    val path = threeSliceTable()
+    val onlyType = v2(path).select("event_type")
+    assert(onlyType.schema.fieldNames.toSeq == Seq("event_type"))
+    assert(onlyType.distinct().count() == 5)
+    assert(v2(path).count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("versionAsOf serves the historical file list") {
+    val path = threeSliceTable()
+    val v1 = spark.read.format("graft-versioned").option("path", path)
+      .option("versionAsOf", "1").load()
+    val want = Tables.events(spark, sfDir).filter(col("user_id") < 5).count()
+    assert(v1.count() == want)
+  }
+
+  test("nulls round-trip; renamed tables are rejected until normalize") {
+    val path = freshTable("nulls")
+    Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(path + "_raw")
+    Versioned.append(spark.read.parquet(path + "_raw"), path)
+    val got = v2(path).as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
+
+    Versioned.renameColumn(spark, path, "s", "label")
+    val e = intercept[IllegalArgumentException](v2(path).collect())
+    assert(e.getMessage.contains("rename"))
+  }
+}
