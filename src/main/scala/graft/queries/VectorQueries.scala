@@ -162,7 +162,95 @@ object VectorQueries {
         round(col("rrf") * 1000000).cast("long").as("rrf_e6"))
   }
 
+  /** INTEGER-EXACT k-means (Lloyd's, k = 8, 3 fixed iterations) — the
+    * unsupervised clustering operator the supervised centroid rows
+    * (label_centroids) and the MLlib-backed IVF build don't cover under
+    * the oracle gate: every quantity is a long, so DuckDB can replay ALL
+    * THREE Lloyd iterations digit-exactly (the pagerank unrolled-oracle
+    * regime, for clustering). Embeddings quantize to e6 longs up front
+    * (±4.6e5 per dim ⇒ Σ diff² ≤ 5.4e13 per pair — far inside long);
+    * assignment is argmin over broadcast centroids with the
+    * (dist, cluster) struct-min tie-break; the update is a FLOOR per-dim
+    * mean (Math.floorDiv == DuckDB BIGINT `//`); a cluster that empties
+    * drops (both engines re-derive centroids from non-empty groups
+    * only). Init = the first k vectors.
+    *
+    * Plan shape at 100 TB: per iteration one map-side broadcast-join
+    * scan (k·dim longs) + one (k × dim)-bounded partial aggregation —
+    * centroids cross the driver as k·dim longs, never data; iterations
+    * are jobs, not lineage (the quantized frame persists once). Output
+    * is the final assignment's per-cluster roll-up plus centroid
+    * fingerprints (first dim + L1 norm). */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8; val iters = 3; val dims = 64
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        // widen to double BEFORE the scale-up: a float-precision product
+        // rounds at 7 digits and flips occasional half-way cases
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+      .persist() // read by iters+1 jobs; released by the harness clearCache
+    var cents: Seq[(Long, Seq[Long])] = emb.filter(col("vec_id") < k)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    var lastAssign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cl", "c")
+      lastAssign = emb.crossJoin(broadcast(cdf))
+        .withColumn("dist",
+          expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"))
+        .groupBy(col("vec_id"), col("q"))
+        .agg(min(struct(col("dist"), col("cl"))).as("m"))
+        .select(col("vec_id"), col("q"), col("m.cl").as("cl"))
+      val sums = lastAssign
+        .select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("cl"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cl, rows) =>
+        val byDim = rows.sortBy(_._2)
+        require(byDim.map(_._2).toSeq == (0 until dims),
+          s"cluster $cl missing dims")
+        (cl, byDim.map(r => Math.floorDiv(r._3, r._4)).toSeq)
+      }
+    }
+    val fp = cents.map { case (cl, c) => (cl, c.head, c.map(math.abs).sum) }
+      .toDF("cl", "c0_e6", "c_l1_e6")
+    lastAssign.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"),
+        sum(col("vec_id")).as("sum_members"))
+      .join(broadcast(fp), "cl")
+      .select(col("cl").as("cluster"), col("n_members"), col("min_member"),
+        col("sum_members"), col("c0_e6"), col("c_l1_e6"))
+      .orderBy(col("cluster"))
+  }
+
   // ---------------------------------------------------------------- oracles
+
+  /** One unrolled Lloyd iteration: assignment by (dist, cl) rank-1 over
+    * the previous centroid set, then floor-mean centroid update with
+    * empty clusters dropping out. DuckDB `//` TRUNCATES on integers
+    * (probed: -7 // 2 = -3), so the floor is made explicit by
+    * subtracting the positive residue first — Math.floorDiv on the
+    * engine side. */
+  private def kmRoundSql(prev: String, an: String, cn: String): String =
+    s"""$an AS (
+       |  SELECT vec_id, q, cl FROM (
+       |    SELECT e.vec_id, e.q, c.cl,
+       |      CAST(list_sum(list_transform(list_zip(e.q, c.c),
+       |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY CAST(list_sum(list_transform(list_zip(e.q, c.c),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT), c.cl) AS rk
+       |    FROM e CROSS JOIN $prev c) WHERE rk = 1),
+       |$cn AS (
+       |  SELECT cl, list(s ORDER BY d) AS c FROM (
+       |    SELECT a.cl, u.i AS d,
+       |      (CAST(SUM(a.q[u.i]) AS BIGINT)
+       |        - ((CAST(SUM(a.q[u.i]) AS BIGINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
+       |        // COUNT(*) AS s
+       |    FROM $an a, unnest(generate_series(1, 64)) u(i)
+       |    GROUP BY a.cl, u.i)
+       |  GROUP BY cl)"""
 
   /** DuckDB left-to-right fold for squared L2 between two list<float>
     * columns, elements cast to double first (mirrors VectorOps.squaredL2). */
@@ -184,7 +272,25 @@ object VectorQueries {
        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private lazy val kmeansSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cl, q AS c FROM e WHERE vec_id < 8),
+       |${kmRoundSql("c0", "a1", "c1")},
+       |${kmRoundSql("c1", "a2", "c2")},
+       |${kmRoundSql("c2", "a3", "c3")}
+       |SELECT a.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(MIN(a.vec_id) AS BIGINT) AS min_member,
+       |  CAST(SUM(a.vec_id) AS BIGINT) AS sum_members,
+       |  CAST(MIN(c.c[1]) AS BIGINT) AS c0_e6,
+       |  CAST(MIN(list_sum(list_transform(c.c, x -> abs(x)))) AS BIGINT) AS c_l1_e6
+       |FROM a3 a JOIN c3 c USING (cl)
+       |GROUP BY a.cl ORDER BY a.cl""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kmeans_clusters" -> kmeansSql,
     // the ±1 matrix is re-derived from md5 in SQL; the projection sum is
     // integer, so SUM's HUGEINT widening casts back losslessly
     "random_projection" ->
@@ -520,6 +626,7 @@ object VectorQueries {
     "grid_diversity_sample" -> (gridDiversitySample _),
     "centroid_drift" -> (centroidDrift _),
     "knn_top13" -> (knnTop13 _),
+    "kmeans_clusters" -> (kmeansClusters _),
     "knn_batch_top5" -> (knnBatchTop5 _),
     "knn_batch_agg" -> (knnBatchAgg _),
     "knn_cosine_top10" -> (knnCosineTop10 _),
