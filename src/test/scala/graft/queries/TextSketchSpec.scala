@@ -20,6 +20,27 @@ class TextSketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad fixture docs violate the html_strip oracle precondition")
   }
 
+  test("freq_spectrum slope matches a local log-log OLS and reads as decay") {
+    val spec = graft.scale.ShingleStore.docShingles(spark, sfDir)
+      .groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("nf"))
+      .as[(Long, Long)].collect()
+    val pts = spec.map { case (f, nf) =>
+      (math.round(math.log(f.toDouble) * 1e6), math.round(math.log(nf.toDouble) * 1e6))
+    }
+    val n = BigInt(pts.length)
+    val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val slope = if (num >= 0) (num * 1000000 / den).toLong
+      else -((-num) * 1000000 / den).toLong
+    val Array((gotN, gotSlope)) = TextQueries.freqSpectrum(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(gotN == pts.length && gotSlope == slope)
+    assert(gotSlope < -1000000, "a recurring-gram spectrum must decay")
+  }
+
   test("phrase search matches an independent sliding-token scan") {
     // index-join side (the declared plan) vs a plain local scan that
     // slides a 3-token window over each doc — different mechanics, same
