@@ -912,8 +912,33 @@ object StoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Round-trip through the V2 WRITE path: the events slice lands via
+    * `df.write.format("graft-versioned")` (executor-side Group-API
+    * parquet encode, staged batch dir, one atomic manifest commit —
+    * [[graft.sources.VersionedV2]]'s exactly-once contract), in TWO
+    * appends so the manifest log carries two versions; the read-back
+    * aggregate must equal DuckDB over the raw fixture — encode, commit,
+    * and decode all sit on the hash path. */
+  def v2SourceWrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("v2w", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .filter(col("user_id") < 40)
+    ev.filter(col("user_id") < 20).write.format("graft-versioned")
+      .option("path", path).mode("append").save()
+    ev.filter(col("user_id") >= 20).write.format("graft-versioned")
+      .option("path", path).mode("append").save()
+    spark.read.format("graft-versioned").option("path", path).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv_e2"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v2_source_read" -> (v2SourceRead _),
+    "v2_source_write" -> (v2SourceWrite _),
     "time_travel_asof" -> (timeTravelAsof _),
     "retention_delete" -> (retentionDeleteQuery _),
     "rename_zero_rewrite" -> (renameZeroRewrite _),
@@ -937,6 +962,12 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two V2-written versions re-read and aggregated == raw fixture
+    "v2_source_write" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events WHERE user_id < 40
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the V2 connector must reproduce the raw-fixture aggregate exactly
     "v2_source_read" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -10,15 +10,20 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.Types
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,7 +65,9 @@ class VersionedV2 extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes to a brand-new (empty) table have no footer to infer from —
+  // the DataFrame schema arrives through getTable instead
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, version) = VersionedV2.pathAndVersion(options)
@@ -71,7 +78,11 @@ class VersionedV2 extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (path, version) = VersionedV2.pathAndVersion(opts)
-    new VersionedTable(path, version, VersionedV2.footerSchema(path, version))
+    val msg =
+      if (Versioned.files(path, version).nonEmpty)
+        VersionedV2.footerSchema(path, version)
+      else VersionedV2.messageType(schema) // empty table: caller's schema
+    new VersionedTable(path, version, msg)
   }
 }
 
@@ -120,6 +131,28 @@ object VersionedV2 {
       StructField(f.getName, dt, nullable = true)
     })
 
+  /** StructType → parquet MessageType (inverse of [[sparkSchema]]; same
+    * scoped primitive set, all fields optional). */
+  private[sources] def messageType(schema: StructType): org.apache.parquet.schema.MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case other => sys.error(
+          s"graft-versioned write: unsupported type $other for ${f.name} — " +
+            "scoped to long/int/double/float/boolean/string")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("graft")
+  }
+
   /** `msg` restricted to `names`, preserving file field order. */
   private[sources] def project(msg: MessageType, names: Seq[String]): MessageType = {
     val keep = names.toSet
@@ -129,14 +162,124 @@ object VersionedV2 {
 }
 
 private[sources] class VersionedTable(path: String, version: Option[Int],
-    msg: MessageType) extends Table with SupportsRead {
+    msg: MessageType) extends Table with SupportsRead with SupportsWrite {
   private val schemaV = VersionedV2.sparkSchema(msg)
   override def name(): String = s"graft_versioned(`$path`)"
   override def schema(): StructType = schemaV
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, version, msg, schemaV)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      "graft-versioned: cannot write AS OF a historical version")
+    new WriteBuilder {
+      override def build(): Write = new VersionedWriteImpl(path, info.schema())
+    }
+  }
+}
+
+/** Exactly-once batch append through the manifest commit protocol: every
+  * task attempt writes UNIQUE file names into one staged batch dir
+  * (invisible — referenced by no manifest); only files named in
+  * successful commit messages are published, in ONE atomic manifest
+  * commit with constraint validation and schema evolution
+  * ([[graft.store.Versioned.commitExternalFiles]]). Failed/speculative
+  * attempts leave unreferenced files that `abort` sweeps (and a crashed
+  * driver leaves for vacuum) — the Delta/Iceberg write contract. */
+private[sources] class VersionedWriteImpl(table: String, schema: StructType)
+    extends Write with BatchWrite {
+  private val batchDir =
+    s"v2-batch-${java.util.UUID.randomUUID().toString.take(8)}"
+  private val msgString = VersionedV2.messageType(schema).toString
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    VersionedWriterFactory(new java.io.File(table).getAbsolutePath,
+      batchDir, schema, msgString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap {
+      case VersionedCommitMessage(fs) => fs
+      case other => sys.error(s"unexpected commit message $other")
+    }
+    if (rel.nonEmpty)
+      Versioned.commitExternalFiles(SparkSession.active, table, rel.toSeq): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case VersionedCommitMessage(fs) =>
+        fs.foreach(r => new java.io.File(table, r).delete(): Unit)
+      case _ => ()
+    }
+}
+
+private[sources] case class VersionedCommitMessage(relFiles: Seq[String])
+    extends WriterCommitMessage
+
+private[sources] case class VersionedWriterFactory(tableAbs: String,
+    batchDir: String, schema: StructType, msgString: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(tableAbs, batchDir, partitionId, taskId,
+      schema, msgString)
+}
+
+/** Writes one parquet file per non-empty task via the example Group API;
+  * empty tasks commit nothing (no zero-row files in the manifest). */
+private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
+    partitionId: Int, taskId: Long, schema: StructType, msgString: String)
+    extends DataWriter[InternalRow] {
+
+  private val rel = s"$batchDir/part-$partitionId-$taskId.parquet"
+  private val msgType = MessageTypeParser.parseMessageType(msgString)
+  private val factory = new SimpleGroupFactory(msgType)
+  private var rows = 0L
+  private lazy val writer = {
+    new java.io.File(tableAbs, batchDir).mkdirs()
+    val conf = new Configuration()
+    // no _SUCCESS/.crc litter inside the staged batch dir
+    conf.set("fs.file.impl.disable.cache", "true")
+    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
+        new Path(new java.io.File(tableAbs, rel).getPath), conf))
+      .withType(msgType).withConf(conf).build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema.fields(i).name
+        schema.fields(i).dataType match {
+          case LongType => g.add(name, row.getLong(i))
+          case IntegerType => g.add(name, row.getInt(i))
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case StringType => g.add(name, row.getUTF8String(i).toString)
+          case other => sys.error(s"unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (rows == 0) VersionedCommitMessage(Seq.empty)
+    else { writer.close(); VersionedCommitMessage(Seq(rel)) }
+
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    new java.io.File(tableAbs, rel).delete(): Unit
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class VersionedScanBuilder(path: String, version: Option[Int],

@@ -904,7 +904,34 @@ object Versioned {
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(table, batch).getPath)
     val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
-    val spark = df.sparkSession
+    publishStaged(df.sparkSession, df, table, added, validatedCons, maxRetries)
+  }
+
+  /** Commit parquet files STAGED UNDER the table dir by an external
+    * writer (the DataSource V2 write path,
+    * [[graft.sources.VersionedV2]]): same contract as [[append]] — CHECK
+    * constraints validated against the staged rows before publication,
+    * schema evolution/marker stamping, conflict retries without data
+    * rewrite — with the data producer decoupled from Spark's write
+    * pipeline. `relFiles` are manifest-line-relative paths. */
+  def commitExternalFiles(spark: SparkSession, table: String,
+      relFiles: Seq[String], maxRetries: Int = 5): Int = {
+    require(relFiles.nonEmpty, "commitExternalFiles: no staged files")
+    val staged = spark.read.parquet(
+      relFiles.map(r => new File(table, r).getPath): _*)
+    val cons = constraintsOf(table, Some(currentVersion(table)))
+    requireConstraints(cons, staged)
+    publishStaged(spark, staged, table, relFiles, cons, maxRetries)
+  }
+
+  /** The publish loop shared by [[append]] and [[commitExternalFiles]]:
+    * staged data files are already on disk (invisible — not yet in any
+    * manifest); this resolves constraints/schema against the current
+    * base and commits, retrying on conflict without touching data. */
+  private def publishStaged(spark: SparkSession, df: DataFrame, table: String,
+      added: Seq[String], preValidated: Seq[(String, String)],
+      maxRetries: Int): Int = {
+    var validatedCons = preValidated
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)

@@ -95,6 +95,52 @@ class VersionedV2Spec extends SparkSpec {
     assert(v1.count() == want)
   }
 
+  test("V2 write appends through the manifest protocol, exactly once") {
+    val path = freshTable("w")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "s", "x")
+    df.write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    assert(Versioned.currentVersion(path) == 1)
+    val got = Versioned.read(spark, path).as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+
+    // second append = second version; V2 read serves both
+    Seq((4L, "d", 4.5)).toDF("id", "s", "x")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    assert(Versioned.currentVersion(path) == 2)
+    assert(v2(path).count() == 4)
+
+    // empty partitions publish no zero-row files: 8 tasks, 1 row
+    val beforeFiles = Versioned.files(path).size
+    Seq((5L, "e", 5.5)).toDF("id", "s", "x").repartition(8)
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    assert(Versioned.files(path).size == beforeFiles + 1,
+      "exactly one non-empty task publishes")
+    assert(v2(path).count() == 5)
+  }
+
+  test("V2 write validates CHECK constraints before publishing") {
+    val path = freshTable("wc")
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    Versioned.addConstraint(spark, path, "v_pos", "v > 0")
+    val before = Versioned.currentVersion(path)
+    val beforeFiles = Versioned.files(path).toSet
+    intercept[Exception] {
+      Seq((2L, -5L)).toDF("id", "v")
+        .write.format("graft-versioned").option("path", path)
+        .mode("append").save()
+    }
+    assert(Versioned.currentVersion(path) == before, "no version published")
+    assert(Versioned.files(path).toSet == beforeFiles, "no files referenced")
+    assert(Versioned.read(spark, path).count() == 1)
+  }
+
   test("nulls round-trip; renamed tables are rejected until normalize") {
     val path = freshTable("nulls")
     Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
