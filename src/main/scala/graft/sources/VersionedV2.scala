@@ -362,10 +362,22 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
 
 private[sources] class VersionedScan(total: Int, files: Seq[String],
     required: StructType, projectedMsg: String, emitEmptyRows: Boolean)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-versioned files=${files.size}/$total cols=${required.fieldNames.mkString(",")}"
+  /** Surviving-file byte size from the local FS — without this a V2
+    * relation defaults to "unknown/huge" and the planner never
+    * broadcasts it; with it, a pruned small table joins as the
+    * broadcast side exactly like a native parquet scan would
+    * (VersionedV2Spec pins the BroadcastHashJoin). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(f => new java.io.File(f).length()).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => VersionedFilePartition(f, projectedMsg, required,

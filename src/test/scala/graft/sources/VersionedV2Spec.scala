@@ -95,6 +95,15 @@ class VersionedV2Spec extends SparkSpec {
     assert(v1.count() == want)
   }
 
+  test("scan statistics let the planner broadcast a small V2 table") {
+    val path = threeSliceTable()
+    val dim = v2(path).select(col("user_id")).distinct()
+    val fact = Tables.events(spark, sfDir)
+    val plan = fact.join(dim, "user_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-sized V2 table must broadcast, got:\n$plan")
+  }
+
   test("V2 write appends through the manifest protocol, exactly once") {
     val path = freshTable("w")
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
