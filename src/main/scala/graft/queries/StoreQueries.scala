@@ -936,9 +936,50 @@ object StoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** REAL Structured Streaming through the V2 STREAMING sink
+    * (`writeStream.format("graft-versioned")`): the events slice lands
+    * in two micro-batches (file source, maxFilesPerTrigger=1,
+    * AvailableNow), each epoch publishing one ledger-keyed manifest
+    * version ([[graft.store.Versioned.commitExternalFilesIdempotent]] —
+    * the exactly-once half the engine owns; VersionedV2Spec pins the
+    * replayed-epoch no-op). The read-back aggregate must equal DuckDB
+    * over the raw fixture. */
+  def v2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v2s-")
+    cleanupAtExit(tmp.toString)
+    val landing = java.nio.file.Files.createDirectory(tmp.resolve("landing"))
+    val store = tmp.resolve("store").toString
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .filter(col("user_id") < 60)
+    def stage(name: String, df: DataFrame): Unit = {
+      val st = tmp.resolve(s"$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, landing.resolve(name)): Unit
+    }
+    stage("b0.parquet", ev.filter(col("user_id") < 30))
+    stage("b1.parquet", ev.filter(col("user_id") >= 30))
+    val schema = spark.read.parquet(landing.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .writeStream.format("graft-versioned").option("path", store)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.store.Versioned.read(spark, store)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv_e2"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v2_source_read" -> (v2SourceRead _),
     "v2_source_write" -> (v2SourceWrite _),
+    "v2_stream_sink" -> (v2StreamSink _),
     "time_travel_asof" -> (timeTravelAsof _),
     "retention_delete" -> (retentionDeleteQuery _),
     "rename_zero_rewrite" -> (renameZeroRewrite _),
@@ -962,6 +1003,12 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two streamed epochs through the V2 sink == raw fixture
+    "v2_stream_sink" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events WHERE user_id < 60
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // two V2-written versions re-read and aggregated == raw fixture
     "v2_source_write" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

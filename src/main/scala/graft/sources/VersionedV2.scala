@@ -24,6 +24,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -167,7 +168,8 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
   override def name(): String = s"graft_versioned(`$path`)"
   override def schema(): StructType = schemaV
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, version, msg, schemaV)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -188,12 +190,18 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
   * attempts leave unreferenced files that `abort` sweeps (and a crashed
   * driver leaves for vacuum) — the Delta/Iceberg write contract. */
 private[sources] class VersionedWriteImpl(table: String, schema: StructType)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite with StreamingWrite {
   private val batchDir =
     s"v2-batch-${java.util.UUID.randomUUID().toString.take(8)}"
   private val msgString = VersionedV2.messageType(schema).toString
 
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // both parent traits default this; the diamond needs one explicit pick.
+  // true = Spark's commit coordinator guarantees a single winning task
+  // attempt per partition — with uniquely-named staged files either
+  // value is safe, but coordination avoids orphan files under speculation
+  override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -210,6 +218,32 @@ private[sources] class VersionedWriteImpl(table: String, schema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
+    sweep(messages)
+
+  // ------------------------------------------------- streaming (epoch) side
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    VersionedStreamingWriterFactory(new java.io.File(table).getAbsolutePath,
+      batchDir, schema, msgString)
+
+  /** Exactly-once per epoch: publication is ledger-keyed by the epoch id
+    * ([[Versioned.commitExternalFilesIdempotent]]) — a replayed epoch
+    * (checkpoint recovery, AvailableNow rerun) deletes its re-staged
+    * files and commits nothing. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap {
+      case VersionedCommitMessage(fs) => fs
+      case other => sys.error(s"unexpected commit message $other")
+    }
+    Versioned.commitExternalFilesIdempotent(SparkSession.active, table,
+      rel.toSeq, epochId): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    sweep(messages)
+
+  private def sweep(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case VersionedCommitMessage(fs) =>
         fs.foreach(r => new java.io.File(table, r).delete(): Unit)
@@ -226,6 +260,17 @@ private[sources] case class VersionedWriterFactory(tableAbs: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new VersionedDataWriter(tableAbs, batchDir, partitionId, taskId,
       schema, msgString)
+}
+
+private[sources] case class VersionedStreamingWriterFactory(tableAbs: String,
+    batchDir: String, schema: StructType, msgString: String)
+    extends StreamingDataWriterFactory {
+  // epoch in the file name: one factory serves every micro-batch, and
+  // (partition, task, epoch) names must never collide across replays
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(tableAbs, s"$batchDir/e$epochId", partitionId,
+      taskId, schema, msgString)
 }
 
 /** Writes one parquet file per non-empty task via the example Group API;

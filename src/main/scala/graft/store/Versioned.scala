@@ -838,6 +838,53 @@ object Versioned {
     -1 // unreachable
   }
 
+  /** Idempotent variant of [[commitExternalFiles]] for the V2 STREAMING
+    * sink ([[graft.sources.VersionedV2]]): publication is keyed by the
+    * epoch id through the same `#stream:` ledger as
+    * [[appendBatchIdempotent]] (one stream per table, ledger-horizon
+    * trimming, checkpoint-rebuild caveat identical). A replayed epoch
+    * deletes its re-staged files and returns without committing — the
+    * exactly-once half the engine owns; schema is stream-stable by the
+    * same contract (no evolution here). An all-empty epoch commits just
+    * its ledger marker so replays of it are recognized too. */
+  def commitExternalFilesIdempotent(spark: SparkSession, table: String,
+      relFiles: Seq[String], batchId: Long, maxRetries: Int = 5,
+      ledgerHorizon: Long = 1000): Int = {
+    require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
+    if (processedBatch(table, batchId)) {
+      relFiles.foreach(r => new File(table, r).delete(): Unit)
+      return currentVersion(table)
+    }
+    var validatedCons = constraintsOf(table, Some(currentVersion(table)))
+    if (relFiles.nonEmpty)
+      requireConstraints(validatedCons,
+        spark.read.parquet(relFiles.map(r => new File(table, r).getPath): _*))
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val consNow = constraintsOf(table, Some(cur))
+      if (consNow != validatedCons) {
+        if (relFiles.nonEmpty)
+          requireConstraints(consNow,
+            spark.read.parquet(relFiles.map(r => new File(table, r).getPath): _*))
+        validatedCons = consNow
+      }
+      val stale: Set[String] =
+        if (cur == 0) Set.empty
+        else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
+          .toArray(Array.empty[String]).toSet
+          .filter(l => l.startsWith("#stream:") &&
+            l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
+      try return commit(table, cur, relFiles :+ streamMarker(batchId), stale)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Fields of `s` as (name → type), nullability erased — the identity
     * under which two batch schemas "match" (parquet nullability is
     * per-file metadata, not a table contract here: any column can be

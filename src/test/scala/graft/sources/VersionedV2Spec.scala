@@ -150,6 +150,28 @@ class VersionedV2Spec extends SparkSpec {
     assert(Versioned.read(spark, path).count() == 1)
   }
 
+  test("V2 streaming sink lands epochs exactly once through the ledger") {
+    val path = freshTable("ws")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-v2-ckpt-").toString
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "s").writeStream
+      .format("graft-versioned").option("path", path)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val got = Versioned.read(spark, path).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Versioned.currentVersion(path) >= 2, "one version per epoch")
+
+    // replayed epoch: the ledger recognizes the id and re-staged files sweep
+    val before = Versioned.currentVersion(path)
+    val v = Versioned.commitExternalFilesIdempotent(spark, path, Seq.empty, 0L)
+    assert(v == before, "epoch 0 already in the ledger — no new version")
+  }
+
   test("nulls round-trip; renamed tables are rejected until normalize") {
     val path = freshTable("nulls")
     Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
