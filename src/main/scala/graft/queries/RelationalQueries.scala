@@ -384,6 +384,42 @@ object RelationalQueries {
         expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
       .orderBy(col("l_returnflag"))
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`) computing a genuinely
+    * sequential quantity: an exponential-decay revenue accumulator
+    * b_t = floor(9·b_{t−1}/10) + rev_t over the daily series. The
+    * per-step FLOOR makes the recurrence nonlinear — no window-function
+    * or closed-form rewrite exists (exp_smooth's closed form works only
+    * because its recurrence is linear), so this is the SQL surface the
+    * engine's iterative operators (BFS/PageRank fixpoints) cover
+    * procedurally, now exercised declaratively. Integer arithmetic
+    * throughout (positive balances ⇒ Spark `div` == DuckDB `//`); the
+    * day index comes from datediff against a scalar-subquery MIN — not
+    * a ranking window (PlanSpec's unpartitioned-window guard applies to
+    * recursive plans too). Recursion depth = calendar days: bounded by
+    * time, not data, at any scale. Contiguous series assumed (a gap
+    * would end the chain — gap_fill is the upstream fix). */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events_rec")
+    spark.sql(
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT to_date(ts) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM graft_events_rec GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT day, rev,
+        |    datediff(day, (SELECT d0 FROM d0)) + 1 AS t
+        |  FROM daily),
+        |acc AS (
+        |  SELECT t, day, rev, rev AS bal FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.rev, (a.bal * 9) div 10 + i.rev AS bal
+        |  FROM acc a JOIN idx i ON i.t = a.t + 1)
+        |SELECT day, rev AS rev_e2, bal AS decay_e2
+        |FROM acc ORDER BY day""".stripMargin)
+  }
+
   /** Column-level lineage of [[q3JoinTopk]] extracted from its ANALYZED
     * Catalyst plan ([[graft.plans.Lineage]]) — zero data IO: the rows
     * are plan metadata (OpenLineage's direct `data` / indirect `filter`
@@ -964,6 +1000,7 @@ object RelationalQueries {
     "winsorized_mean" -> (winsorizedMean _),
     "ri_audit" -> (riAudit _),
     "column_lineage" -> (columnLineage _),
+    "recursive_cte" -> (recursiveCte _),
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
@@ -1276,6 +1313,24 @@ object RelationalQueries {
         |UNION ALL
         |SELECT out_column, 'filter' AS kind, src_table, src_column FROM outs, fsrc
         |ORDER BY out_column, kind, src_table, src_column""".stripMargin,
+    // the same recursion in DuckDB's WITH RECURSIVE; positive balances
+    // keep Spark `div` == DuckDB `//`
+    "recursive_cte" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT day, rev, (day - (SELECT d0 FROM d0)) + 1 AS t FROM daily),
+        |acc AS (
+        |  SELECT t, day, rev, rev AS bal FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.rev, (a.bal * 9) // 10 + i.rev AS bal
+        |  FROM acc a JOIN idx i ON i.t = a.t + 1)
+        |SELECT day, CAST(rev AS BIGINT) AS rev_e2, CAST(bal AS BIGINT) AS decay_e2
+        |FROM acc ORDER BY day""".stripMargin,
     "ri_audit" ->
       """WITH a AS (
         |  SELECT 'customer.c_nationkey->nation' AS relation,

@@ -50,6 +50,23 @@ class JoinQueriesSpec extends SparkSpec {
     assert(gotR < -9000)
   }
 
+  test("recursive_cte equals a local fold of the decay recurrence") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val expect = daily.drop(1).scanLeft((daily.head._1, daily.head._2, daily.head._2)) {
+      case ((_, _, bal), (day, rev)) => (day, rev, bal * 9 / 10 + rev)
+    }
+    val got = RelationalQueries.recursiveCte(spark, sfDir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got == expect.toSeq)
+    // the per-step floor must actually bite (discard a remainder) —
+    // otherwise the recurrence would be linear and window-rewritable
+    assert(expect.exists { case (_, _, bal) => bal * 9 % 10 != 0 },
+      "decay recurrence never exercised its floor")
+  }
+
   test("winsorized_mean matches a local clamp/trim over exact quartiles") {
     val rows = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag", $"l_quantity".cast("double"))
