@@ -1125,6 +1125,62 @@ object EventQueries {
       .orderBy(col("lag"))
   }
 
+  /** EXACT additive series decomposition — daily revenue split into
+    * OLS trend + day-of-week effect + residual, with 2σ residual
+    * anomaly flags: the STL-shaped diagnostic that tells "is this day
+    * odd, or just a Monday on a growing series?". Everything before
+    * the fixed-point exports is INTEGER: with den = n·Σt²−(Σt)², the
+    * den-scaled detrended value D_t = y_t·den − num_a − num_b·t is a
+    * long; the dow effect is S_d/(den·c_d) with S_d a per-dow sum of
+    * D_t; the (den·c_d)-scaled residual N_t = D_t·c_d − S_d is exact.
+    * The anomaly contract is defined ON the exported e4 residuals
+    * (resid² · n > 4·Σresid² — σ over the published numbers), which
+    * sidesteps every mixed-denominator comparison; squares run in
+    * DECIMAL(38,0)/HUGEINT (a residual e4 square brushes past 2⁶³ at
+    * sf0.1 already). Plan: one calendar-bounded daily rollup, then
+    * broadcast 1-row/7-row frames — no shuffle grows with data. */
+  def seriesDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // sign-factored ×100 integral division as a SQL fragment — `div` on
+    // positive longs == DuckDB `//`; doubles would lose exactness past
+    // 2^53, which resid·100 crosses at sf0.1
+    def sfdiv100(num: String, den: String): String =
+      s"CASE WHEN ($num) >= 0 THEN (($num) * 100) div ($den) " +
+        s"ELSE -(((-($num)) * 100) div ($den)) END"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val withT = daily
+      .crossJoin(broadcast(daily.agg(min(col("day")).as("dmin"))))
+      .select(col("day"), col("y"),
+        datediff(col("day"), col("dmin")).cast("long").as("t"),
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)).as("dow"))
+    val ols = withT.agg(count(lit(1)).as("n"),
+      sum(col("t")).as("st"), sum(col("y")).as("sy"),
+      sum(col("t") * col("y")).as("sty"), sum(col("t") * col("t")).as("stt"))
+    val detr = withT.crossJoin(broadcast(ols))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .withColumn("numb", col("n") * col("sty") - col("st") * col("sy"))
+      .withColumn("numa", col("sy") * col("stt") - col("st") * col("sty"))
+      .withColumn("dd", col("y") * col("den") - col("numa") - col("numb") * col("t"))
+    val byDow = detr.groupBy(col("dow"))
+      .agg(sum(col("dd")).as("sd"), count(lit(1)).as("cd"))
+    val rows = detr.join(broadcast(byDow), "dow")
+      .withColumn("nt", col("dd") * col("cd") - col("sd"))
+      .withColumn("trend_e4", expr(sfdiv100("numa + numb * t", "den")))
+      .withColumn("dow_eff_e4", expr(sfdiv100("sd", "den * cd")))
+      .withColumn("resid_e4", expr(sfdiv100("nt", "den * cd")))
+    val tot = rows.agg(
+      sum(expr(s"CAST(resid_e4 AS $d38) * resid_e4")).as("ss"),
+      count(lit(1)).as("n2"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("day"), col("y").as("rev_e2"), col("trend_e4"),
+        col("dow_eff_e4"), col("resid_e4"),
+        (expr(s"CAST(resid_e4 AS $d38) * resid_e4 * n2") >
+          expr(s"CAST(ss AS $d38) * 4")).as("anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week seasonality index of event revenue — the multiplicative
     * seasonal profile (index 1.0 = an average day) every forecast/
     * anomaly pipeline factors out before trend fitting. Weekday is the
@@ -1435,6 +1491,7 @@ object EventQueries {
     "autocorr" -> (autocorr _),
     "seasonality_index" -> (seasonalityIndex _),
     "rolling_corr" -> (rollingCorr _),
+    "series_decompose" -> (seriesDecompose _),
     "hll_distinct" -> (hllDistinct _),
     "value_moments" -> (valueMoments _),
     "benford_audit" -> (benfordAudit _),
@@ -1483,6 +1540,45 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     // integer-scaled centered series: c_t = n*x_t - S; sign-safe e6 export
+    // den-scaled integers end-to-end; anomaly σ is defined over the
+    // EXPORTED e4 residuals so no mixed-denominator compare exists;
+    // HUGEINT squares (resid_e4² passes 2⁶³ at sf0.1)
+    "series_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |dmin AS (SELECT MIN(day) AS dmin FROM daily),
+        |wt AS (SELECT day, y, CAST(day - (SELECT dmin FROM dmin) AS BIGINT) AS t,
+        |         (CAST(day - DATE '1970-01-01' AS INT) % 7) AS dow
+        |       FROM daily),
+        |ols AS (SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+        |          CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t*y) AS BIGINT) AS sty,
+        |          CAST(SUM(t*t) AS BIGINT) AS stt FROM wt),
+        |detr AS (SELECT day, y, t, dow,
+        |    n*stt - st*st AS den, n*sty - st*sy AS numb, sy*stt - st*sty AS numa,
+        |    y*(n*stt - st*st) - (sy*stt - st*sty) - (n*sty - st*sy)*t AS dd
+        |  FROM wt, ols),
+        |bydow AS (SELECT dow, CAST(SUM(dd) AS BIGINT) AS sd, COUNT(*) AS cd
+        |          FROM detr GROUP BY 1),
+        |r AS (SELECT d.day, d.y, d.t, d.den, d.numa, d.numb, b.sd, b.cd,
+        |        d.dd * b.cd - b.sd AS nt
+        |      FROM detr d JOIN bydow b USING (dow)),
+        |e AS (SELECT day, y,
+        |    CASE WHEN (numa + numb*t) >= 0 THEN ((numa + numb*t) * 100) // den
+        |         ELSE -(((-(numa + numb*t)) * 100) // den) END AS trend_e4,
+        |    CASE WHEN sd >= 0 THEN (sd * 100) // (den * cd)
+        |         ELSE -(((-sd) * 100) // (den * cd)) END AS dow_eff_e4,
+        |    CASE WHEN nt >= 0 THEN (nt * 100) // (den * cd)
+        |         ELSE -(((-nt) * 100) // (den * cd)) END AS resid_e4
+        |  FROM r),
+        |tot AS (SELECT CAST(SUM(CAST(resid_e4 AS HUGEINT) * resid_e4) AS HUGEINT) AS ss,
+        |          COUNT(*) AS n2 FROM e)
+        |SELECT day, y AS rev_e2, CAST(trend_e4 AS BIGINT) AS trend_e4,
+        |  CAST(dow_eff_e4 AS BIGINT) AS dow_eff_e4,
+        |  CAST(resid_e4 AS BIGINT) AS resid_e4,
+        |  (CAST(resid_e4 AS HUGEINT) * resid_e4 * n2) > (ss * 4) AS anomaly
+        |FROM e, tot ORDER BY day""".stripMargin,
     // epoch-day mod 7 sidesteps the engines' different Sunday labels
     "seasonality_index" ->
       """WITH d AS (

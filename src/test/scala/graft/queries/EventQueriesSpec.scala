@@ -31,6 +31,42 @@ class EventQueriesSpec extends SparkSpec {
     assert((wmean - 1000000).abs <= got.length, s"weighted mean $wmean")
   }
 
+  test("series_decompose: exact local replay, additivity, anomaly contract") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val t0 = daily.head._1.toLocalDate.toEpochDay
+    val pts = daily.map { case (d, y) =>
+      (d, BigInt(y), BigInt(d.toLocalDate.toEpochDay - t0),
+        math.floorMod(d.toLocalDate.toEpochDay, 7L)) }
+    val n = BigInt(pts.length)
+    val st = pts.map(_._3).sum; val sy = pts.map(_._2).sum
+    val sty = pts.map(p => p._3 * p._2).sum; val stt = pts.map(p => p._3 * p._3).sum
+    val den = n * stt - st * st
+    val numb = n * sty - st * sy; val numa = sy * stt - st * sty
+    val dd = pts.map(p => (p._1, p._2, p._3, p._4, p._2 * den - numa - numb * p._3))
+    val byDow = dd.groupBy(_._4).view
+      .mapValues(g => (g.map(_._5).sum, BigInt(g.size))).toMap
+    def sf100(num: BigInt, d: BigInt): Long =
+      (if (num >= 0) num * 100 / d else -((-num) * 100 / d)).toLong
+    val expect = dd.map { case (day, y, t, dow, dv) =>
+      val (sd, cd) = byDow(dow)
+      (day, y.toLong, sf100(numa + numb * t, den), sf100(sd, den * cd),
+        sf100(dv * cd - sd, den * cd))
+    }
+    val got = EventQueries.seriesDecompose(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == expect.toSeq)
+    // additivity up to the three independent e4 floors
+    for ((_, y, tr, dw, rs, _) <- got)
+      assert(math.abs(y * 100 - (tr + dw + rs)) <= 3, s"additivity broke at $y")
+    // anomaly contract over the exported residuals
+    val ss = got.map(r => BigInt(r._5) * r._5).sum
+    for (r <- got)
+      assert(r._6 == (BigInt(r._5) * r._5 * got.length > ss * 4))
+  }
+
   test("rolling_corr matches a local windowed Pearson") {
     val daily = graft.Tables.events(spark, sfDir)
       .groupBy(to_date($"ts").as("day"))
