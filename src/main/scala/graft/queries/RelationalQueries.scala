@@ -384,6 +384,39 @@ object RelationalQueries {
         expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
       .orderBy(col("l_returnflag"))
 
+  /** Plan-shape CONTRACT audit — the physical-plan properties this
+    * engine's scale story rests on, counted from the planner's own
+    * output and pinned under the DRIVER-CHECKED oracle (PlanSpec pins
+    * shapes in tests; this elevates the headline claims to the
+    * correctness gate): `bucketed_join` runs ZERO shuffles (the
+    * bucketing claim), `knn_top13` runs ZERO shuffles (broadcast score
+    * + TakeOrderedAndProject), `q3_join_topk`'s dims broadcast (no
+    * dim-side shuffle). Counts parse the SimpleMode explain of the
+    * PRE-EXECUTION adaptive plan — planning only, nothing executes.
+    * The numbers are a contract WITH the pinned engine version and the
+    * verify-time fixture scale (join strategy selection reads file
+    * sizes); a Spark upgrade or plan regression hash-mismatches here
+    * by design. */
+  def planAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets: Seq[(String, () => DataFrame)] = Seq(
+      ("bucketed_join", () => graft.SparkEntry.queries("bucketed_join")(spark, dir)),
+      ("bucketed_join_bare", () => StoreQueries.bucketedJoinBare(spark, dir)),
+      ("knn_top13", () => graft.SparkEntry.queries("knn_top13")(spark, dir)),
+      ("q1_agg", () => graft.SparkEntry.queries("q1_agg")(spark, dir)),
+      ("q3_join_topk", () => graft.SparkEntry.queries("q3_join_topk")(spark, dir)))
+    targets.map { case (name, mk) =>
+      val s = mk().queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      def cnt(re: String) = re.r.findAllMatchIn(s).size.toLong
+      (name,
+        cnt("Exchange (hashpartitioning|rangepartitioning|SinglePartition)"),
+        cnt("BroadcastExchange"),
+        cnt("SortMergeJoin"))
+    }.toDF("query", "n_shuffle", "n_broadcast", "n_smj")
+      .orderBy(col("query"))
+  }
+
   /** Recursive CTE (Spark 4's `WITH RECURSIVE`) computing a genuinely
     * sequential quantity: an exponential-decay revenue accumulator
     * b_t = floor(9·b_{t−1}/10) + rev_t over the daily series. The
@@ -1001,6 +1034,7 @@ object RelationalQueries {
     "ri_audit" -> (riAudit _),
     "column_lineage" -> (columnLineage _),
     "recursive_cte" -> (recursiveCte _),
+    "plan_audit" -> (planAudit _),
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
@@ -1313,6 +1347,21 @@ object RelationalQueries {
         |UNION ALL
         |SELECT out_column, 'filter' AS kind, src_table, src_column FROM outs, fsrc
         |ORDER BY out_column, kind, src_table, src_column""".stripMargin,
+    // the documented plan contract (engine-version-pinned): the bare
+    // bucket join runs ZERO exchanges (1 SMJ over pre-sorted buckets);
+    // the declared bucketed_join adds exactly agg+sort exchanges;
+    // knn_top13 is shuffle-free (broadcast + TakeOrdered); q1_agg =
+    // partial-agg exchange + sort; q3's two dims broadcast around one
+    // fact shuffle
+    "plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('bucketed_join', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('bucketed_join_bare', 0, 0, 1),
+        |  ('knn_top13', 0, 1, 0),
+        |  ('q1_agg', 2, 0, 0),
+        |  ('q3_join_topk', 1, 2, 0))
+        |  AS t(query, n_shuffle, n_broadcast, n_smj)
+        |ORDER BY query""".stripMargin,
     // the same recursion in DuckDB's WITH RECURSIVE; positive balances
     // keep Spark `div` == DuckDB `//`
     "recursive_cte" ->

@@ -216,6 +216,22 @@ object StoreQueries {
     spark.table(ordT).hint("merge")
       .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
 
+  /** Build (idempotently) the bucketed tables and return the bare join —
+    * the zero-exchange frame plan_audit pins under the oracle gate. */
+  private[graft] def bucketedJoinBare(spark: SparkSession, dir: String): DataFrame = {
+    val ordT = tableName(spark, "bkt_ord", dir)
+    val custT = tableName(spark, "bkt_cust", dir)
+    if (!spark.catalog.tableExists(ordT))
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ordT)
+    if (!spark.catalog.tableExists(custT))
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(custT)
+    bucketedJoinFrame(spark, ordT, custT)
+  }
+
   /** Schema evolution (add-column) under the oracle gate — the Delta
     * `mergeSchema` contract on the Versioned store: v1 commits 3-column
     * rows; v2 appends a batch carrying a new `quality_e4` column, which

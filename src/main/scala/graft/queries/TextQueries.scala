@@ -707,6 +707,47 @@ object TextQueries {
       .orderBy(col("sh"))
   }
 
+  /** Encoding-hygiene audit — the screen that runs BEFORE tokenization
+    * on any web-scale corpus: (1) mojibake (UTF-8 bytes re-decoded as
+    * Latin-1 — the `Ã©` signature class), (2) U+FFFD replacement chars
+    * (lossy transcoding already happened), (3) C0 control chars
+    * (binary bleed). Defects are INJECTED on disjoint deterministic
+    * doc slices (the piiScan planted-defect regime — the fixture text
+    * is clean ASCII, so real positives AND negatives need planting);
+    * each class reports docs flagged and the residual after the repair
+    * chain (mojibake back-mapped to its UTF-8 original, U+FFFD and
+    * controls stripped) — a nonzero residual means the repair missed
+    * its own detector's pattern. ONE aggregate pass computes all six
+    * counters (a scan per class is the 100 TB mistake). */
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir)
+      .select(concat(col("text"),
+        when(col("doc_id") % 11 === 3, lit(" cafÃ© rÃ©sumÃ©"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5, lit(" data�loss")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 7, lit(" bell\u0007ring\u001B")).otherwise(lit("")))
+        .as("text"))
+    val pats = Seq(
+      ("mojibake", "Ã[\\x{A0}-\\x{BF}]"),
+      ("replacement", "�"),
+      ("control", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    val repaired = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "Ã©", "é"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+      "�", "")
+    val counts = pats.flatMap { case (name, p) =>
+      Seq(sum(when(col("text").rlike(p), 1L).otherwise(0L)).as(s"d_$name"),
+        sum(when(repaired.rlike(p), 1L).otherwise(0L)).as(s"r_$name"))
+    }
+    injected.agg(counts.head, counts.tail: _*)
+      .selectExpr("stack(3, " +
+        "'control', d_control, r_control, " +
+        "'mojibake', d_mojibake, r_mojibake, " +
+        "'replacement', d_replacement, r_replacement) " +
+        "AS (issue_class, n_docs, n_after_repair)")
+      .orderBy(col("issue_class"))
+  }
+
   /** Frequency-spectrum (Zipf-regime) slope — the lexical-statistics
     * audit of a corpus: the number of grams occurring in exactly f
     * documents follows a power law on natural text (nf ∝ f^s, s ≈ −2
@@ -924,6 +965,7 @@ object TextQueries {
     "postings_list" -> (postingsList _),
     "phrase_search" -> (phraseSearch _),
     "freq_spectrum" -> (freqSpectrum _),
+    "encoding_audit" -> (encodingAudit _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
     "html_strip" -> (htmlStrip _),
@@ -1058,6 +1100,34 @@ object TextQueries {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM sh GROUP BY sh HAVING COUNT(*) BETWEEN 4 AND 7
         |ORDER BY sh""".stripMargin,
+    // chr() builds the control bytes so the oracle JSON stays clean
+    // ASCII; RE2 reads the same \x{..} classes as Java regex
+    "encoding_audit" ->
+      """WITH inj AS (
+        |  SELECT text ||
+        |    CASE WHEN doc_id % 11 = 3 THEN ' cafÃ© rÃ©sumÃ©' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 5 THEN ' data' || chr(65533) || 'loss' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 7 THEN ' bell' || chr(7) || 'ring' || chr(27) ELSE '' END AS t
+        |  FROM documents),
+        |rep AS (
+        |  SELECT t, regexp_replace(regexp_replace(regexp_replace(t,
+        |    'Ã©', 'é', 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+        |    chr(65533), '', 'g') AS r
+        |  FROM inj),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN regexp_matches(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) AS BIGINT) AS d_control,
+        |    CAST(SUM(CASE WHEN regexp_matches(r, '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END) AS BIGINT) AS r_control,
+        |    CAST(SUM(CASE WHEN regexp_matches(t, 'Ã[\x{A0}-\x{BF}]') THEN 1 ELSE 0 END) AS BIGINT) AS d_moji,
+        |    CAST(SUM(CASE WHEN regexp_matches(r, 'Ã[\x{A0}-\x{BF}]') THEN 1 ELSE 0 END) AS BIGINT) AS r_moji,
+        |    CAST(SUM(CASE WHEN regexp_matches(t, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT) AS d_repl,
+        |    CAST(SUM(CASE WHEN regexp_matches(r, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT) AS r_repl
+        |  FROM rep)
+        |SELECT 'control' AS issue_class, d_control AS n_docs, r_control AS n_after_repair FROM c
+        |UNION ALL SELECT 'mojibake', d_moji, r_moji FROM c
+        |UNION ALL SELECT 'replacement', d_repl, r_repl FROM c
+        |ORDER BY issue_class""".stripMargin,
     // same stored-shingle bounds as postings_list; per-point e6 ln then
     // integer five-sums (HUGEINT keeps `//` a true integer quotient)
     "freq_spectrum" ->
