@@ -35,7 +35,8 @@ object SparkEntry {
       (JoinQueries.queries, JoinQueries.oracles),
       (FuncQueries.queries, FuncQueries.oracles),
       (StoreQueries.queries, StoreQueries.oracles),
-      (PipelineQueries.queries, PipelineQueries.oracles)
+      (PipelineQueries.queries, PipelineQueries.oracles),
+      (StatQueries.queries, StatQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

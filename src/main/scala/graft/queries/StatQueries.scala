@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-inference operators over the event stream — the experiment
+  * readout, churn/survival, and model-split primitives a training-data
+  * pipeline runs AFTER the descriptive analytics (EventQueries) say the
+  * data is sane. The reference has no statistics surface at all (its only
+  * aggregate is a collection count, /root/reference/app.py:475); these are
+  * the absence-list ops a production replacement needs.
+  *
+  * House exactness rules throughout: counts stay integer to the end;
+  * closed-form double chains (z-statistic) mirror the oracle op-for-op so
+  * both engines produce bit-identical IEEE doubles before one terminal
+  * rounding (the trend_forecast precedent); sequential recurrences
+  * (Kaplan-Meier's product) run as integer-floored recursions under
+  * `WITH RECURSIVE` on BOTH engines (the recursive_cte precedent), so no
+  * cross-engine product-order question exists.
+  */
+object StatQueries {
+
+  /** A/B experiment readout — the two-proportion z-test over a
+    * DETERMINISTIC unit assignment (user_id parity stands in for the
+    * salted-hash bucketing an experiment platform uses; parity is the
+    * fixture-stable form). Unit = user; conversion = the user fired at
+    * least one high-value purchase (value > 250 — ~8% of users at sf0.01,
+    * non-degenerate at every SF, see FIXTURES.md).
+    *
+    * Plan: ONE user-keyed partial-aggregated shuffle collapses events to
+    * per-user conversion flags (shuffle volume = |users|, not |events|),
+    * then ONE single-row aggregate with conditional sums (the
+    * filter_funnel pattern) yields all four cell counts — no second
+    * shuffle, no expand for multi-distinct. The z chain
+    * (p̂ pooled, Wald SE, z = (p0−p1)/se) is a fixed-order double
+    * expression evaluated on those four BIGINTs; sqrt and division are
+    * correctly-rounded IEEE ops on both engines, so round(z·10⁶) is
+    * hash-stable. Conversion rates export as exact integer ratios
+    * (c·10⁶ div n — positive, so Spark `div` == DuckDB `//`).
+    * `significant` compares |z_e6| against the two-sided 5% critical
+    * value as an integer literal (1959964 = ⌊z₀.₉₇₅·10⁶⌋) — no quantile
+    * function on the gate. Degenerate pools (all or none converted)
+    * yield NULL z by the same CASE on both sides. */
+  def abExperiment(spark: SparkSession, dir: String): DataFrame =
+    abExperimentOf(Tables.events(spark, dir))
+
+  def abExperimentOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 250, 1L)
+        .otherwise(0L)).as("conv"))
+      .select((col("user_id") % 2).cast("long").as("arm"), col("conv"))
+    perUser
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .select(
+        col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("(c0 * 1000000) div n0").as("rate0_e6"),
+        expr("(c1 * 1000000) div n1").as("rate1_e6"),
+        expr(
+          """CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+            |  CAST(round(
+            |    (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            |     - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |    / sqrt(
+            |        (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+            |    * 1000000) AS BIGINT)
+            |ELSE NULL END""".stripMargin).as("z_e6"))
+      .withColumn("significant",
+        when(col("z_e6").isNull, lit(0L))
+          .otherwise((abs(col("z_e6")) >= 1959964L).cast("long")))
+  }
+
+  /** Kaplan-Meier survival / discrete-hazard table with REAL right
+    * censoring — time-to-first-high-value-purchase from first signup.
+    * Subjects are users with a signup; the event is the first purchase
+    * with value > 250 on/after that signup; a user with no such purchase
+    * is censored at the corpus horizon (max event date), so observation
+    * windows are heterogeneous (signup days spread over the first ~10
+    * days — FIXTURES.md) and the fixture carries both outcomes at every
+    * SF (12 events / 138 censored at sf0.01). One row per distinct event
+    * tenure t: n_t (at risk: observed tenure ≥ t — deaths-before-censoring
+    * at equal t, the standard KM convention), d_t (events at t),
+    * hazard_e6 = ⌊10⁶·d/n⌋, and the KM survival S_t = Π(1 − d_i/n_i)
+    * carried as an integer e6 recursion S_t = ⌊S_{t−1}·(n−d)/n⌋ under
+    * `WITH RECURSIVE` — per-step floors make both engines exact-identical
+    * (the recursive_cte precedent); all operands positive, so Spark `div`
+    * == DuckDB `//`.
+    *
+    * Scale shape: two partial-aggregated user-keyed passes (signup-min,
+    * then conversion-min gated on it) joined on user_id; everything
+    * downstream — tenure counts, the ≥-tenure risk sums, the ranking
+    * join, the recursion — operates on a CALENDAR-BOUNDED frame (≤ one
+    * row per day of corpus span), so the quadratic-looking self-joins
+    * are constant-size regardless of corpus rows, and no ranking window
+    * touches unbounded input (the PlanSpec guard). */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame =
+    survivalKmOf(Tables.events(spark, dir))
+
+  def survivalKmOf(events: DataFrame): DataFrame = {
+    events.createOrReplaceTempView("graft_events_surv")
+    events.sparkSession.sql(
+      """WITH RECURSIVE
+        |subj AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN to_date(ts) END) AS s0
+        |  FROM graft_events_surv GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(to_date(e.ts)) AS p0
+        |  FROM graft_events_surv e JOIN subj s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value > 250
+        |    AND to_date(e.ts) >= s.s0
+        |  GROUP BY e.user_id),
+        |hz AS (SELECT MAX(to_date(ts)) AS hmax FROM graft_events_surv),
+        |life AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN c.p0 IS NOT NULL THEN datediff(c.p0, s.s0)
+        |         ELSE datediff((SELECT hmax FROM hz), s.s0) END AS t_obs,
+        |    CASE WHEN c.p0 IS NOT NULL THEN 1L ELSE 0L END AS ev
+        |  FROM subj s LEFT JOIN conv c ON s.user_id = c.user_id
+        |  WHERE s.s0 IS NOT NULL),
+        |tc AS (
+        |  SELECT t_obs, COUNT(*) AS ending, SUM(ev) AS d
+        |  FROM life GROUP BY t_obs),
+        |risk AS (
+        |  SELECT e.t_obs AS t, MAX(e.d) AS d, SUM(c.ending) AS n
+        |  FROM (SELECT t_obs, d FROM tc WHERE d > 0) e
+        |  JOIN tc c ON c.t_obs >= e.t_obs
+        |  GROUP BY e.t_obs),
+        |idx AS (
+        |  SELECT r.t, MAX(r.d) AS d, MAX(r.n) AS n, COUNT(*) AS i
+        |  FROM risk r JOIN risk r2 ON r2.t <= r.t
+        |  GROUP BY r.t),
+        |km AS (
+        |  SELECT i, t, d, n, (1000000 * (n - d)) div n AS s
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.t, x.d, x.n, (k.s * (x.n - x.d)) div x.n
+        |  FROM km k JOIN idx x ON x.i = k.i + 1)
+        |SELECT t AS tenure_days, n AS n_risk, d AS d_events,
+        |  (1000000 * d) div n AS hazard_e6, s AS survival_e6
+        |FROM km ORDER BY tenure_days""".stripMargin)
+  }
+
+  /** Decision-stump split finding over a histogram — the distributed
+    * core of GBDT/random-forest training (XGBoost's approximate split
+    * algorithm): ONE partial-aggregated pass buckets the feature
+    * (⌊value/10⌋·10 — 50 cells over the [0, 490] fixture range) into
+    * (count, positives) per cell, and every downstream step — candidate
+    * prefix sums, scoring, argmax — runs on that ≤50-row histogram, so
+    * split search costs one scan at ANY corpus size. Label: the event is
+    * a purchase.
+    *
+    * Exactness: minimizing weighted Gini n_L·g_L + n_R·g_R is equivalent
+    * to maximizing Q = (p_L²+q_L²)/n_L + (p_R²+q_R²)/n_R; each candidate
+    * carries Q's EXACT rational as score_num/score_den BIGINTs
+    * (num = (p_L²+q_L²)·n_R + (p_R²+q_R²)·n_L ≤ ~10¹⁵ at sf0.1 — beyond
+    * ~10⁶ rows these widen to DECIMAL(38,0)/HUGEINT with string export,
+    * the value_moments pattern). The argmax never divides: `is_best`
+    * marks the candidate no rival beats under the cross-multiplied
+    * integer compare num_o·den_c > num_c·den_o (products ~10²⁵, carried
+    * in DECIMAL(38,0)/HUGEINT only inside the comparison), ties broken
+    * to the smaller threshold — a broadcast anti-join over the ≤50-row
+    * candidate frame. Thresholds with an empty side never materialize
+    * (the prefix join is strict `<`). */
+  def giniSplit(spark: SparkSession, dir: String): DataFrame =
+    giniSplitOf(Tables.events(spark, dir))
+
+  def giniSplitOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val hist = events
+      .select((floor(col("value") / 10) * 10).cast("long").as("bucket"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val total = hist.agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    // the ≤50-row candidate frame feeds the rival list and both argmax
+    // branches — cache it so the events scan runs once (basket_lift's
+    // incidence-frame precedent)
+    val cand = hist.select(col("bucket").as("thr"))
+      .join(hist, col("bucket") < col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("n")).as("n_left"), sum(col("p")).as("pos_left"))
+      .crossJoin(broadcast(total))
+      .select(col("thr"), col("n_left"), col("pos_left"),
+        (col("nt") - col("n_left")).as("n_right"),
+        (col("pt") - col("pos_left")).as("pos_right"))
+      .select(col("thr"), col("n_left"), col("pos_left"), col("n_right"),
+        col("pos_right"),
+        expr("""(pos_left * pos_left
+            |   + (n_left - pos_left) * (n_left - pos_left)) * n_right
+            |+ (pos_right * pos_right
+            |   + (n_right - pos_right) * (n_right - pos_right)) * n_left
+            |""".stripMargin).as("score_num"),
+        expr("n_left * n_right").as("score_den"))
+      .cache()
+    val rivals = cand.select(col("thr").as("o_thr"),
+      col("score_num").as("o_num"), col("score_den").as("o_den"))
+    cand
+      .join(broadcast(rivals),
+        expr(s"""CAST(o_num AS $d38) * CAST(score_den AS $d38)
+             |  > CAST(score_num AS $d38) * CAST(o_den AS $d38)
+             |OR (CAST(o_num AS $d38) * CAST(score_den AS $d38)
+             |    = CAST(score_num AS $d38) * CAST(o_den AS $d38)
+             |    AND o_thr < thr)""".stripMargin),
+        "left_anti")
+      .withColumn("is_best", lit(1L))
+      .unionByName(
+        cand.join(broadcast(rivals),
+          expr(s"""CAST(o_num AS $d38) * CAST(score_den AS $d38)
+               |  > CAST(score_num AS $d38) * CAST(o_den AS $d38)
+               |OR (CAST(o_num AS $d38) * CAST(score_den AS $d38)
+               |    = CAST(score_num AS $d38) * CAST(o_den AS $d38)
+               |    AND o_thr < thr)""".stripMargin),
+          "left_semi")
+          .withColumn("is_best", lit(0L)))
+      .orderBy(col("thr"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_experiment" -> (abExperiment _),
+    "survival_km" -> (survivalKm _),
+    "gini_split" -> (giniSplit _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // four integer cells from one per-user rollup; z is the mirrored
+    // fixed-order double chain; 1959964 = floor(1e6 * z_{0.975})
+    "ab_experiment" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 250
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u)
+        |SELECT n0, c0, n1, c1,
+        |  (c0 * 1000000) // n0 AS rate0_e6,
+        |  (c1 * 1000000) // n1 AS rate1_e6,
+        |  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+        |    CAST(round(
+        |      (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |       - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / sqrt(
+        |          (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
+        |  ELSE NULL END AS z_e6,
+        |  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+        |    CAST(abs(CAST(round(
+        |      (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |       - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / sqrt(
+        |          (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |      * 1000000) AS BIGINT)) >= 1959964 AS BIGINT)
+        |  ELSE 0 END AS significant
+        |FROM cells""".stripMargin,
+    // the same calendar-bounded risk table + e6-floored KM recursion;
+    // integer // on positives == Spark div
+    "survival_km" ->
+      """WITH RECURSIVE
+        |subj AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS s0
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS DATE)) AS p0
+        |  FROM events e JOIN subj s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value > 250
+        |    AND CAST(e.ts AS DATE) >= s.s0
+        |  GROUP BY e.user_id),
+        |hz AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+        |life AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN c.p0 IS NOT NULL THEN date_diff('day', s.s0, c.p0)
+        |         ELSE date_diff('day', s.s0, (SELECT hmax FROM hz)) END AS t_obs,
+        |    CASE WHEN c.p0 IS NOT NULL THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ev
+        |  FROM subj s LEFT JOIN conv c ON s.user_id = c.user_id
+        |  WHERE s.s0 IS NOT NULL),
+        |tc AS (
+        |  SELECT t_obs, COUNT(*) AS ending, SUM(ev) AS d
+        |  FROM life GROUP BY t_obs),
+        |risk AS (
+        |  SELECT e.t_obs AS t, MAX(e.d) AS d, SUM(c.ending) AS n
+        |  FROM (SELECT t_obs, d FROM tc WHERE d > 0) e
+        |  JOIN tc c ON c.t_obs >= e.t_obs
+        |  GROUP BY e.t_obs),
+        |idx AS (
+        |  SELECT r.t, MAX(r.d) AS d, MAX(r.n) AS n, COUNT(*) AS i
+        |  FROM risk r JOIN risk r2 ON r2.t <= r.t
+        |  GROUP BY r.t),
+        |km AS (
+        |  SELECT i, t, d, n, (1000000 * (n - d)) // n AS s
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.t, x.d, x.n, (k.s * (x.n - x.d)) // x.n
+        |  FROM km k JOIN idx x ON x.i = k.i + 1)
+        |SELECT CAST(t AS BIGINT) AS tenure_days, CAST(n AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
+        |  CAST(s AS BIGINT) AS survival_e6
+        |FROM km ORDER BY tenure_days""".stripMargin,
+    // exact rational scores; argmax via HUGEINT cross-multiplication
+    "gini_split" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(value / 10) * 10 AS BIGINT) AS bucket,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM h),
+        |cand AS (
+        |  SELECT t.thr,
+        |    CAST(SUM(h.n) AS BIGINT) AS n_left,
+        |    CAST(SUM(h.p) AS BIGINT) AS pos_left,
+        |    CAST((SELECT nt FROM tot) - SUM(h.n) AS BIGINT) AS n_right,
+        |    CAST((SELECT pt FROM tot) - SUM(h.p) AS BIGINT) AS pos_right
+        |  FROM (SELECT bucket AS thr FROM h) t
+        |  JOIN h ON h.bucket < t.thr
+        |  GROUP BY t.thr),
+        |scored AS (
+        |  SELECT thr, n_left, pos_left, n_right, pos_right,
+        |    CAST((pos_left * pos_left
+        |          + (n_left - pos_left) * (n_left - pos_left)) * n_right
+        |       + (pos_right * pos_right
+        |          + (n_right - pos_right) * (n_right - pos_right)) * n_left
+        |      AS BIGINT) AS score_num,
+        |    CAST(n_left * n_right AS BIGINT) AS score_den
+        |  FROM cand)
+        |SELECT c.thr, c.n_left, c.pos_left, c.n_right, c.pos_right,
+        |  c.score_num, c.score_den,
+        |  CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM scored o
+        |    WHERE CAST(o.score_num AS HUGEINT) * CAST(c.score_den AS HUGEINT)
+        |        > CAST(c.score_num AS HUGEINT) * CAST(o.score_den AS HUGEINT)
+        |      OR (CAST(o.score_num AS HUGEINT) * CAST(c.score_den AS HUGEINT)
+        |          = CAST(c.score_num AS HUGEINT) * CAST(o.score_den AS HUGEINT)
+        |          AND o.thr < c.thr))
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_best
+        |FROM scored c ORDER BY c.thr""".stripMargin
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Statistical-inference operators: exact local replays of the z-test and
+  * Kaplan-Meier tables against BigInt brute force, planted-signal and
+  * degenerate-branch cases, and the argmax-never-divides contract of the
+  * Gini split finder. */
+class StatQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .withColumn("props", lit("{}"))
+      .drop("ts_s")
+
+  // ---------------------------------------------------------------- ab test
+
+  test("ab_experiment: exact fixture replay of cells, rates, z, decision") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    val conv = ev.groupBy(_._1).view
+      .mapValues(_.exists(e => e._2 == "purchase" && e._3 > 250)).toMap
+    val (a0, a1) = conv.keys.toSeq.partition(_ % 2 == 0)
+    val (n0, c0) = (a0.size.toLong, a0.count(conv).toLong)
+    val (n1, c1) = (a1.size.toLong, a1.count(conv).toLong)
+
+    val row = StatQueries.abExperiment(spark, sfDir).collect().head
+    assert(row.getLong(0) == n0 && row.getLong(1) == c0)
+    assert(row.getLong(2) == n1 && row.getLong(3) == c1)
+    assert(row.getLong(4) == c0 * 1000000L / n0)
+    assert(row.getLong(5) == c1 * 1000000L / n1)
+    if (c0 + c1 > 0 && c0 + c1 < n0 + n1) {
+      val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+      val pp = (c0 + c1).toDouble / (n0 + n1)
+      val z = (p0 - p1) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+      assert(row.getLong(6) == math.round(z * 1e6))
+      assert(row.getLong(7) == (if (math.abs(math.round(z * 1e6)) >= 1959964L) 1L else 0L))
+    } else assert(row.isNullAt(6) && row.getLong(7) == 0L)
+  }
+
+  test("ab_experiment: planted lift is significant; degenerate pool yields NULL z") {
+    // arm 0 (even users): 40/50 convert; arm 1 (odd): 10/50 — z ≈ 6
+    val planted = (0L until 100L).map { u =>
+      val hit = if (u % 2 == 0) u / 2 < 40 else u / 2 < 10
+      (u, u, if (hit) "purchase" else "view", 300.0, "2024-01-05 00:00:00")
+    }
+    val r = StatQueries.abExperimentOf(mkEvents(planted.map(p => (p._1, p._2, p._3, p._4, p._5)))).collect().head
+    assert(r.getLong(0) == 50 && r.getLong(1) == 40 && r.getLong(3) == 10)
+    assert(r.getLong(6) > 1959964L && r.getLong(7) == 1L)
+
+    // everyone converts: pooled p = 1 — the CASE must emit NULL, not a 0/0
+    val allConv = (0L until 10L).map(u => (u, u, "purchase", 300.0, "2024-01-05 00:00:00"))
+    val d = StatQueries.abExperimentOf(mkEvents(allConv)).collect().head
+    assert(d.isNullAt(6) && d.getLong(7) == 0L)
+  }
+
+  // ------------------------------------------------------------ survival KM
+
+  test("survival_km: exact BigInt replay of the risk table and KM recursion") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"value", to_date($"ts").as("d"))
+      .as[(Long, String, Double, java.sql.Date)].collect()
+    val s0 = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._4.toLocalDate.toEpochDay).min).toMap
+    val hmax = ev.map(_._4.toLocalDate.toEpochDay).max
+    val life = s0.toSeq.map { case (u, s) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 > 250 &&
+        e._4.toLocalDate.toEpochDay >= s).map(_._4.toLocalDate.toEpochDay)
+      if (p.nonEmpty) (p.min - s, 1L) else (hmax - s, 0L)
+    }
+    val evTimes = life.filter(_._2 == 1L).map(_._1).distinct.sorted
+    var surv = BigInt(1000000)
+    val expect = evTimes.map { t =>
+      val n = life.count(_._1 >= t).toLong
+      val d = life.count(l => l._1 == t && l._2 == 1L).toLong
+      surv = surv * (n - d) / n // BigInt division floors on positives
+      (t, n, d, 1000000L * d / n, surv.toLong)
+    }
+    val got = StatQueries.survivalKm(spark, sfDir)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expect)
+    // the fixture carries real censoring and real events at every SF
+    assert(life.count(_._2 == 0L) > 0 && evTimes.nonEmpty)
+    // KM contracts: at-risk strictly decreasing in t, survival non-increasing
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted.reverse)
+  }
+
+  test("survival_km: planted censoring — late subjects at risk only early") {
+    // u0 signs up day 0, converts day 2; u1 signs up day 0, never converts
+    // (censored at horizon day 4); u2 signs up day 3, converts day 3 (t=0);
+    // u3 has no signup (excluded). Horizon = max event date = day 4.
+    val rows = Seq(
+      (1L, 0L, "signup", 10.0, "2024-01-01 08:00:00"),
+      (2L, 0L, "purchase", 300.0, "2024-01-03 08:00:00"),
+      (3L, 1L, "signup", 10.0, "2024-01-01 09:00:00"),
+      (4L, 1L, "view", 10.0, "2024-01-05 09:00:00"),
+      (5L, 2L, "signup", 10.0, "2024-01-04 07:00:00"),
+      (6L, 2L, "purchase", 260.0, "2024-01-04 09:00:00"),
+      (7L, 3L, "purchase", 400.0, "2024-01-02 12:00:00"))
+    val got = StatQueries.survivalKmOf(mkEvents(rows))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // t=0: at risk u0 (t_obs 2), u1 (t_obs 4), u2 (t_obs 0, event) → n=3 d=1
+    // t=2: at risk u0 (event), u1 → n=2 d=1
+    assert(got.toSeq == Seq(
+      (0, 3L, 1L, 333333L, 666666L),
+      (2, 2L, 1L, 500000L, 333333L)))
+  }
+
+  // ------------------------------------------------------------- gini split
+
+  test("gini_split: planted signal splits at the boundary; argmax unique") {
+    // below 250 → 90% purchase, at/above 250 → 10%: best threshold = 250
+    val rows = (0L until 400L).map { i =>
+      val lo = i < 200
+      val v = if (lo) (i % 25) * 10.0 + 1.0 else 250.0 + (i % 24) * 10.0 + 1.0
+      val pos = if (lo) i % 10 != 0 else i % 10 == 0
+      (i, i, if (pos) "purchase" else "view", v, "2024-01-05 00:00:00")
+    }
+    val got = StatQueries.giniSplitOf(mkEvents(rows)).collect()
+    val best = got.filter(_.getLong(7) == 1L)
+    assert(best.length == 1, "argmax must be unique")
+    assert(best.head.getLong(0) == 250L)
+    // every candidate has both sides populated
+    assert(got.forall(r => r.getLong(1) > 0 && r.getLong(3) > 0))
+  }
+
+  test("gini_split: scores are the exact rationals; best beats all rivals") {
+    val got = StatQueries.giniSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    for ((thr, nl, pl, nr, pr, num, den, _) <- got) {
+      val ql = nl - pl; val qr = nr - pr
+      assert(BigInt(num) == (BigInt(pl) * pl + BigInt(ql) * ql) * nr
+        + (BigInt(pr) * pr + BigInt(qr) * qr) * nl, s"num at $thr")
+      assert(den == nl * nr)
+    }
+    val best = got.filter(_._8 == 1L)
+    assert(best.length == 1)
+    val b = best.head
+    for (o <- got if o._1 != b._1)
+      assert(BigInt(b._6) * o._7 > BigInt(o._6) * b._7
+        || (BigInt(b._6) * o._7 == BigInt(o._6) * b._7 && b._1 < o._1))
+  }
+}
