@@ -658,6 +658,61 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** K-core peel schedule ([[graft.scale.KCore]]) over the REPEAT-BUSINESS
+    * part↔supplier graph — edges are (part, supplier) pairs with ≥ 3
+    * lineitems (the raw bipartite fixture graph is too dense to peel:
+    * min degree 13 ≥ any interesting k; thresholding to repeat pairs
+    * yields a genuine 9-round cascade at sf0.01). k = 2, so the core is
+    * where every node keeps ≥ 2 repeat partners — the "established
+    * trading ring" screen. Output is the full onion: every node with its
+    * 1-based removal round, 0 + in_core for survivors — non-vacuous at
+    * every SF (sf0.1 collapses entirely, sf0.001 peels nobody, sf0.01
+    * mixes). Pure integer degree compares ⇒ engine-exact; the oracle
+    * unrolls [[KCORE_ROUNDS]] peel rounds as CTEs (the label_prop
+    * precedent — membership is monotone, so extra rounds are no-ops once
+    * converged; KCoreSpec pins convergence well inside the unroll). */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.scale.ShingleStore.stored(spark, dir, "ps-edges-min3") {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+        .select(explode(array(
+          struct(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst")),
+          struct(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+    }
+    graft.scale.KCore.peel(edges, k = 2).orderBy(col("node"))
+  }
+
+  /** Oracle unroll depth for [[kCore]] — must exceed the deepest fixture
+    * cascade (9 rounds at sf0.01; sf0.001/0.1 converge in ≤ 2). */
+  val KCORE_ROUNDS = 14
+
+  private def kCoreSql: String = {
+    val rounds = (1 to KCORE_ROUNDS).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT d.src AS node FROM dd d
+         |  JOIN a${t - 1} x ON d.src = x.node
+         |  JOIN a${t - 1} y ON d.dst = y.node
+         |  GROUP BY d.src HAVING COUNT(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    val mem = (0 to KCORE_ROUNDS)
+      .map(t => s"SELECT node, $t AS t FROM a$t").mkString("\n  UNION ALL ")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+       |  FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |dd AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM dd),
+       |$rounds,
+       |mem AS (
+       |  $mem),
+       |last AS (SELECT node, MAX(t) AS lt FROM mem GROUP BY node)
+       |SELECT node,
+       |  CAST(CASE WHEN lt = $KCORE_ROUNDS THEN 0 ELSE lt + 1 END AS BIGINT) AS peel_round,
+       |  CAST(CASE WHEN lt = $KCORE_ROUNDS THEN 1 ELSE 0 END AS BIGINT) AS in_core
+       |FROM last ORDER BY node""".stripMargin
+  }
+
   /** Link prediction by portfolio overlap — common-neighbor count and
     * exact Jaccard over supplier part-sets (who supplies like whom: the
     * recommendation/substitution signal, and the common-neighbors score
@@ -1022,6 +1077,7 @@ object RelationalQueries {
     "table_stats" -> (tableStats _),
     "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
+    "k_core" -> (kCore _),
     "sssp_weighted" -> (ssspWeighted _),
     "jw_name_pairs" -> (jwNamePairs _),
     "corr_scalar_subquery" -> (corrScalarSubquery _),
@@ -1475,6 +1531,7 @@ object RelationalQueries {
         |  CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q75_e2
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "label_prop" -> labelPropSql,
+    "k_core" -> kCoreSql,
     "triangle_count" ->
       """WITH o AS (
         |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d

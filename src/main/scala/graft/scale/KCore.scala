@@ -1,0 +1,72 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-core peeling (onion decomposition) over an undirected (doubled) edge
+  * list — the degeneracy primitive behind bot-ring/spam detection and
+  * graph-sampling cores: repeatedly remove every node whose degree among
+  * the still-alive nodes is below k until none qualifies. Output is the
+  * full peel SCHEDULE — every node with the round it was removed in
+  * (1-based) or its core membership — not just the survivors, so the
+  * result is non-vacuous whether the graph collapses entirely or holds a
+  * core.
+  *
+  * Reference scope: no graph op in the reference; SURVEY §2.3 graph
+  * family alongside BFS / PageRank / label propagation / components.
+  *
+  * Shape, like [[Bfs]]: the edge list is hash-partitioned on `src` ONCE
+  * and cached; a round is two semi-join-shaped equi-joins (both endpoints
+  * alive) plus one partial-aggregated `groupBy(src).count` — shuffle
+  * volume is the ALIVE subgraph, which shrinks monotonically, and nodes
+  * isolated by earlier peels fall out for free (absent from the degree
+  * frame ⇒ degree 0 ⇒ peeled by the anti-join). Each round truncates
+  * lineage with `localCheckpoint` (the star-contraction idiom, NOT the
+  * Bfs cache+count cut: a peel round references the alive set TWICE, so
+  * the logical plan doubles per round — at the fixture's 9-round cascade
+  * cache-only lineage is a 2⁹-subtree plan whose explain string alone
+  * OOMs the driver); synchronous rounds terminate in at most |V| rounds,
+  * `maxRounds` guards runaway inputs. */
+object KCore {
+
+  /** Peel to the k-core. `edges`: (`src`, `dst`) DOUBLED undirected.
+    * Output: (`node`, `peel_round`, `in_core`) — `peel_round` is the
+    * 1-based removal round, 0 for core members (`in_core` 1). */
+  def peel(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    var alive = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var aliveSize = alive.count()
+    var peels = List.empty[DataFrame]
+    var round = 0
+    var done = aliveSize == 0L
+    while (!done) {
+      round += 1
+      require(round <= maxRounds, s"k-core did not converge in $maxRounds rounds")
+      val deg = e
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val surv = deg.filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      val survSize = surv.count()
+      if (survSize == aliveSize) {
+        // fixpoint — nobody peeled this round; the alive set IS the core
+        done = true
+        round -= 1
+      } else {
+        peels ::= alive.join(surv, Seq("node"), "left_anti")
+          .select(col("node"), lit(round.toLong).as("peel_round"),
+            lit(0L).as("in_core"))
+          .localCheckpoint()
+        alive = surv
+        aliveSize = survSize
+        done = aliveSize == 0L
+      }
+    }
+    e.unpersist()
+    val core = alive
+      .select(col("node"), lit(0L).as("peel_round"), lit(1L).as("in_core"))
+    peels.foldLeft(core)(_ unionByName _)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.scale
+
+import graft.SparkSpec
+
+/** K-core peel schedule: brute-force equality on planted graphs, the
+  * ends-inward path cascade, fixture convergence inside the oracle
+  * unroll. */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doubled(es: Seq[(String, String)]) =
+    (es ++ es.map(_.swap)).toDF("src", "dst")
+
+  private def brute(es: Seq[(String, String)], k: Int): Map[String, (Long, Long)] = {
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var alive = adj.keySet
+    var out = Map.empty[String, (Long, Long)]
+    var round = 0L
+    var done = false
+    while (!done) {
+      round += 1
+      val dead = alive.filter(n => (adj(n) & alive).size < k)
+      if (dead.isEmpty) done = true
+      else { out ++= dead.map(_ -> (round, 0L)); alive --= dead }
+    }
+    out ++ alive.map(_ -> (0L, 1L))
+  }
+
+  private def got(es: Seq[(String, String)], k: Int): Map[String, (Long, Long)] =
+    KCore.peel(doubled(es), k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("path graph peels ends-inward, one layer per round") {
+    // P6: a-b-c-d-e-f, k=2 — endpoints fall each round, 3 rounds, no core
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+    val r = got(es, 2)
+    assert(r == Map(
+      "a" -> (1L, 0L), "f" -> (1L, 0L),
+      "b" -> (2L, 0L), "e" -> (2L, 0L),
+      "c" -> (3L, 0L), "d" -> (3L, 0L)))
+  }
+
+  test("cycle plus pendant: core survives, pendant chain peels") {
+    // triangle x-y-z (2-core) with chain z-p-q hanging off
+    val es = Seq("x" -> "y", "y" -> "z", "z" -> "x", "z" -> "p", "p" -> "q")
+    val r = got(es, 2)
+    assert(r("x") == ((0L, 1L)) && r("y") == ((0L, 1L)) && r("z") == ((0L, 1L)))
+    assert(r("q") == ((1L, 0L)) && r("p") == ((2L, 0L)))
+  }
+
+  test("random graph matches brute force at several k") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(120)((s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(e => e._1 != e._2).distinct
+    for (k <- Seq(1, 2, 3, 4)) assert(got(es, k) == brute(es, k), s"k=$k")
+  }
+
+  test("fixture cascade converges well inside the oracle unroll") {
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey", $"l_suppkey").count().filter($"count" >= 3)
+      .select(concat(lit("p"), $"l_partkey"), concat(lit("s"), $"l_suppkey"))
+      .as[(String, String)].collect()
+    val exp = brute(rows, 2)
+    val maxRound = exp.values.map(_._1).max
+    assert(maxRound <= graft.queries.RelationalQueries.KCORE_ROUNDS - 2,
+      s"fixture peels in $maxRound rounds; oracle unrolls ${graft.queries.RelationalQueries.KCORE_ROUNDS}")
+    val r = graft.queries.RelationalQueries.kCore(spark, sfDir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == exp)
+  }
+
+  private def concat(c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.concat(c1, c2)
+  private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
+}
