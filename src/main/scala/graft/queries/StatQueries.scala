@@ -78,6 +78,91 @@ object StatQueries {
           .otherwise((abs(col("z_e6")) >= 1959964L).cast("long")))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013, WSDM —
+    * "Improving the sensitivity of online controlled experiments") — the
+    * standard experimentation-platform companion to [[abExperiment]]:
+    * the post-period revenue metric Y is adjusted by the PRE-period
+    * covariate X (Yadj = Y − θ(X − X̄), θ = cov(X,Y)/var(X)), which
+    * shrinks metric variance by ρ² without biasing the treatment
+    * difference. Unit = user; pre = Jan days ≤ 15, post = days > 15;
+    * revenue in exact e2 integers; arms by user parity.
+    *
+    * Exactness: per-user (x, y) from ONE user-keyed partial-aggregated
+    * shuffle; ALL second moments (Σx, Σy, Σxy, Σx², Σy², per-arm sums)
+    * accumulate as DECIMAL(38,0)/HUGEINT in ONE single-row aggregate
+    * (n·Σxy − ΣxΣy ≈ 2.4·10¹⁹ at sf0.1 — past BIGINT, the value_moments
+    * pattern); θ, the adjusted difference, and the variance-reduction
+    * ratio 1 − ρ² are fixed-order double chains over those exact
+    * integers (a DECIMAL(38,0)→DOUBLE cast rounds-to-nearest identically
+    * on both engines), rounded once at e6. The fixture's iid generator
+    * gives a near-zero reduction (ρ² ≈ 0.03) — the CONTRACT is what's
+    * pinned; StatQueriesSpec plants a correlated population where CUPED
+    * cuts the variance ~4× and leaves the true lift untouched. */
+  def cupedExperiment(spark: SparkSession, dir: String): DataFrame =
+    cupedExperimentOf(Tables.events(spark, dir))
+
+  def cupedExperimentOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && dayofmonth(col("ts")) <= 15,
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && dayofmonth(col("ts")) > 15,
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).cast("long").as("arm"), col("x"), col("y"))
+    perUser
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L).cast(d38)).as("sx0"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L).cast(d38)).as("sx1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L).cast(d38)).as("sy0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L).cast(d38)).as("sy1"))
+      .select(col("n"), col("n0"), col("n1"),
+        expr(
+          """CAST(round(
+            |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("theta_e6"),
+        expr(
+          """CAST(round(
+            |  (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            |   - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 10000) AS BIGINT)
+            |""".stripMargin).as("diff_e4"),
+        expr(
+          """CAST(round(
+            |  ((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            |    - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            |     * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            |        - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))) * 10000)
+            |  AS BIGINT)""".stripMargin).as("adj_diff_e4"),
+        expr(
+          """CAST(round(
+            |  (1.0
+            |   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+            |     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("var_red_e6"))
+  }
+
   /** Kaplan-Meier survival / discrete-hazard table with REAL right
     * censoring — time-to-first-high-value-purchase from first signup.
     * Subjects are users with a signup; the event is the first purchase
@@ -226,6 +311,7 @@ object StatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_experiment" -> (abExperiment _),
+    "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
     "gini_split" -> (giniSplit _)
   )
@@ -270,6 +356,64 @@ object StatQueries {
         |      * 1000000) AS BIGINT)) >= 1959964 AS BIGINT)
         |  ELSE 0 END AS significant
         |FROM cells""".stripMargin,
+    // exact HUGEINT moments from one per-user rollup; θ / adjusted diff /
+    // 1−ρ² are the mirrored double chains (HUGEINT→DOUBLE rounds to
+    // nearest on both engines)
+    "cuped_experiment" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1
+        |  FROM u)
+        |SELECT n, n0, n1,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS theta_e6,
+        |  CAST(round(
+        |    (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |     - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 10000) AS BIGINT)
+        |    AS diff_e4,
+        |  CAST(round(
+        |    ((CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |       * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))) * 10000)
+        |    AS BIGINT) AS adj_diff_e4,
+        |  CAST(round(
+        |    (1.0
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1000000) AS BIGINT) AS var_red_e6
+        |FROM m""".stripMargin,
     // the same calendar-bounded risk table + e6-floored KM recursion;
     // integer // on positives == Spark div
     "survival_km" ->

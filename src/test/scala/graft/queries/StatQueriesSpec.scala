@@ -61,6 +61,58 @@ class StatQueriesSpec extends SparkSpec {
     assert(d.isNullAt(6) && d.getLong(7) == 0L)
   }
 
+  // ----------------------------------------------------------------- CUPED
+
+  test("cuped_experiment: exact BigInt moment replay on the fixture") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", dayofmonth($"ts").as("dom"),
+        expr("CAST(round(value*100) AS BIGINT)").as("v"))
+      .as[(Long, String, Int, Long)].collect()
+    val perUser = ev.groupBy(_._1).view.mapValues { rows =>
+      val p = rows.filter(_._2 == "purchase")
+      (p.filter(_._3 <= 15).map(_._4).sum, p.filter(_._3 > 15).map(_._4).sum)
+    }.toMap
+    val n = BigInt(perUser.size)
+    val xs = perUser.values.map(v => BigInt(v._1)); val ys = perUser.values.map(v => BigInt(v._2))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = perUser.values.map(v => BigInt(v._1) * v._2).sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val theta = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val r = StatQueries.cupedExperiment(spark, sfDir).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(3) == math.round(theta * 1e6))
+    val rho2 = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) *
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      ((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(r.getLong(6) == math.round((1.0 - rho2) * 1e6))
+  }
+
+  test("cuped_experiment: planted covariate cuts variance, keeps the lift") {
+    // y = x + arm-lift + small idiosyncratic term: X explains most of the
+    // variance in Y, so CUPED's 1-rho^2 must be small and the adjusted
+    // diff must stay near the planted lift (theta ~ 1 makes the pre-period
+    // imbalance correction visible too).
+    val lift = 50000L
+    val rows = (0L until 200L).flatMap { u =>
+      val x = 100000L + (u % 37) * 7000L // shared activity level
+      val noise = (u % 5) * 1000L
+      val y = x + noise + (if (u % 2 == 0) lift else 0L)
+      Seq((u * 2, u, "purchase", x / 100.0, "2024-01-05 00:00:00"),
+        (u * 2 + 1, u, "purchase", y / 100.0, "2024-01-25 00:00:00"))
+    }
+    val r = StatQueries.cupedExperimentOf(mkEvents(rows)).collect().head
+    val (theta, diff, adj, varRed) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // theta ~ 1 (y tracks x with unit slope)
+    assert(math.abs(theta - 1000000L) < 50000L, s"theta_e6=$theta")
+    // adjusted diff stays on the planted lift (metric is e2; diff is e4 of it)
+    assert(math.abs(adj - lift * 10000L) < 3000000L, s"adj=$adj diff=$diff")
+    // the covariate explains most variance: big reduction
+    assert(varRed < 300000L, s"var_red_e6=$varRed")
+  }
+
   // ------------------------------------------------------------ survival KM
 
   test("survival_km: exact BigInt replay of the risk table and KM recursion") {
