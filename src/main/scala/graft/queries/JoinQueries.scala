@@ -200,6 +200,164 @@ object JoinQueries {
       .drop("rn")
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969,
+    * JASA) over the [[entityMatch]] candidate pairs — the SCORING MODEL
+    * production linkage runs where entity_match's Levenshtein rank is the
+    * heuristic: each pair gets a comparison vector over four fields
+    * (folded-name exact, nation, segment, 10-currency balance band), per
+    * field m = P(agree|match) and u = P(agree|non-match) are estimated
+    * from the candidates themselves (ground truth is known by
+    * construction: the dirty registry is derived from the master, so
+    * d_id = m_id labels the true pairs — in production this is the
+    * clerical-review sample), Laplace-smoothed so no log sees 0, and the
+    * pair weight is Σ log(m/u) over agreeing fields + Σ log((1−m)/(1−u))
+    * over disagreeing ones. Output: the weight-band histogram
+    * (band = ⌊w⌋, pair/true/false counts) with the link / possible /
+    * non-link decision per band — the reviewable artifact an ER pipeline
+    * thresholds.
+    *
+    * Exactness: agreements and m/u numerators/denominators are pure
+    * integer counts; each of the 8 log-odds is ln of one fixed double
+    * ratio chain, e6-quantized ONCE in the 1-row model frame (the DSIR
+    * per-word-ln precedent — ≤ 8 distinct libm calls on the whole gate,
+    * not one per row), so every pair weight is an integer SUM of
+    * broadcast longs; the band floors an exact small double. Scale
+    * shape: candidate generation is the same dual-blocked equi-join
+    * entity_match bounds; the model is ONE single-row aggregate over it
+    * (in production, over a sample); application is map-side against the
+    * broadcast 1-row model. */
+  def fsLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val dirty = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("d_id"),
+        translate(col("c_name"), "0189", "OIBg").as("dn"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("dbal"))
+    val master = cust.select(col("c_custkey").as("m_id"), col("c_name"),
+      col("c_nationkey").as("mnk"), col("c_mktsegment").as("mseg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("mbal"))
+    val k1 = dirty.join(master,
+        col("mnk") === col("nk") && col("mseg") === col("seg"))
+      .select(col("d_id"), col("m_id"))
+    val k2 = dirty.join(master,
+        substring(translate(col("dn"), "OIB", "018"), -4, 4)
+          === substring(col("c_name"), -4, 4))
+      .select(col("d_id"), col("m_id"))
+    // comparison vectors; reused by the model aggregate AND the apply
+    // pass — cache so the blocked join runs once
+    val pairs = k1.unionByName(k2).distinct()
+      .join(dirty, "d_id").join(master, "m_id")
+      .select(col("d_id"), col("m_id"),
+        (levenshtein(translate(col("dn"), "OIB", "018"), col("c_name")) === 0)
+          .cast("long").as("a_name"),
+        (col("nk") === col("mnk")).cast("long").as("a_nation"),
+        (col("seg") === col("mseg")).cast("long").as("a_seg"),
+        (expr("(dbal + 100000) div 1000") === expr("(mbal + 100000) div 1000"))
+          .cast("long").as("a_band"),
+        (col("d_id") === col("m_id")).cast("long").as("is_true"))
+      .cache()
+    val fields = Seq("name", "nation", "seg", "band")
+    val modelCols =
+      sum(col("is_true")).as("nt") +:
+      (count(lit(1)) - sum(col("is_true"))).as("nf") +:
+      fields.flatMap(f => Seq(
+        sum(when(col("is_true") === 1, col(s"a_$f")).otherwise(0L)).as(s"t_$f"),
+        sum(when(col("is_true") === 0, col(s"a_$f")).otherwise(0L)).as(s"f_$f")))
+    val model = pairs.agg(modelCols.head, modelCols.tail: _*)
+    // 8 e6-quantized log-odds, one ln per (field, agree/disagree) level
+    val weights = model.select(
+      fields.flatMap(f => Seq(
+        expr(
+          s"""CAST(round(ln(
+             |  (CAST(t_$f + 1 AS DOUBLE) / CAST(nt + 2 AS DOUBLE))
+             |  / (CAST(f_$f + 1 AS DOUBLE) / CAST(nf + 2 AS DOUBLE)))
+             |  * 1000000) AS BIGINT)""".stripMargin).as(s"wa_$f"),
+        expr(
+          s"""CAST(round(ln(
+             |  (CAST(nt + 1 - t_$f AS DOUBLE) / CAST(nt + 2 AS DOUBLE))
+             |  / (CAST(nf + 1 - f_$f AS DOUBLE) / CAST(nf + 2 AS DOUBLE)))
+             |  * 1000000) AS BIGINT)""".stripMargin).as(s"wd_$f"))): _*)
+    pairs.crossJoin(broadcast(weights))
+      .select(col("is_true"),
+        fields.map(f => col(s"a_$f") * col(s"wa_$f")
+          + (lit(1L) - col(s"a_$f")) * col(s"wd_$f"))
+          .reduce(_ + _).as("w_e6"))
+      .select(col("is_true"),
+        floor(col("w_e6").cast("double") / 1e6).cast("long").as("w_band"))
+      .groupBy(col("w_band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+      .select(col("w_band"), col("n_pairs"), col("n_true"),
+        (col("n_pairs") - col("n_true")).as("n_false"),
+        when(col("w_band") >= 2L, "link")
+          .when(col("w_band") >= 0L, "possible")
+          .otherwise("nonlink").as("decision"))
+      .orderBy(col("w_band"))
+  }
+
+  /** DuckDB mirror of [[fsLinkage]] — same blocking, counts, smoothed
+    * log-odds (ln at e6, the DSIR precedent), band floor. */
+  private def fsLinkageSql: String = {
+    val fields = Seq("name", "nation", "seg", "band")
+    val tf = fields.map(f =>
+      s"""CAST(SUM(CASE WHEN is_true = 1 THEN a_$f ELSE 0 END) AS BIGINT) AS t_$f,
+         |    CAST(SUM(CASE WHEN is_true = 0 THEN a_$f ELSE 0 END) AS BIGINT) AS f_$f""".stripMargin)
+      .mkString(",\n    ")
+    val ws = fields.map(f =>
+      s"""CAST(round(ln(
+         |      (CAST(t_$f + 1 AS DOUBLE) / CAST(nt + 2 AS DOUBLE))
+         |      / (CAST(f_$f + 1 AS DOUBLE) / CAST(nf + 2 AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS wa_$f,
+         |    CAST(round(ln(
+         |      (CAST(nt + 1 - t_$f AS DOUBLE) / CAST(nt + 2 AS DOUBLE))
+         |      / (CAST(nf + 1 - f_$f AS DOUBLE) / CAST(nf + 2 AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS wd_$f""".stripMargin)
+      .mkString(",\n    ")
+    val wsum = fields.map(f => s"p.a_$f * w.wa_$f + (1 - p.a_$f) * w.wd_$f")
+      .mkString(" + ")
+    s"""WITH dirty AS (
+       |  SELECT c_custkey AS d_id, translate(c_name, '0189', 'OIBg') AS dn,
+       |    c_nationkey AS nk, c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS dbal
+       |  FROM customer WHERE c_custkey % 10 = 3),
+       |master AS (
+       |  SELECT c_custkey AS m_id, c_name, c_nationkey AS mnk,
+       |    c_mktsegment AS mseg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS mbal
+       |  FROM customer),
+       |k1 AS (SELECT d_id, m_id FROM dirty JOIN master ON mnk = nk AND mseg = seg),
+       |k2 AS (SELECT d_id, m_id FROM dirty JOIN master
+       |  ON substring(translate(dn, 'OIB', '018'), -4) = substring(c_name, -4)),
+       |cand AS (SELECT DISTINCT * FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.d_id, c.m_id,
+       |    CASE WHEN levenshtein(translate(d.dn, 'OIB', '018'), m.c_name) = 0
+       |      THEN 1 ELSE 0 END AS a_name,
+       |    CASE WHEN d.nk = m.mnk THEN 1 ELSE 0 END AS a_nation,
+       |    CASE WHEN d.seg = m.mseg THEN 1 ELSE 0 END AS a_seg,
+       |    CASE WHEN (d.dbal + 100000) // 1000 = (m.mbal + 100000) // 1000
+       |      THEN 1 ELSE 0 END AS a_band,
+       |    CASE WHEN c.d_id = c.m_id THEN 1 ELSE 0 END AS is_true
+       |  FROM cand c JOIN dirty d USING (d_id) JOIN master m USING (m_id)),
+       |model AS (
+       |  SELECT CAST(SUM(is_true) AS BIGINT) AS nt,
+       |    CAST(COUNT(*) - SUM(is_true) AS BIGINT) AS nf,
+       |    $tf
+       |  FROM pairs),
+       |w AS (
+       |  SELECT $ws
+       |  FROM model),
+       |banded AS (
+       |  SELECT p.is_true,
+       |    CAST(floor(CAST($wsum AS DOUBLE) / 1e6) AS BIGINT) AS w_band
+       |  FROM pairs p CROSS JOIN w)
+       |SELECT w_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(is_true) AS BIGINT) AS n_true,
+       |  CAST(COUNT(*) - SUM(is_true) AS BIGINT) AS n_false,
+       |  CASE WHEN w_band >= 2 THEN 'link'
+       |    WHEN w_band >= 0 THEN 'possible' ELSE 'nonlink' END AS decision
+       |FROM banded GROUP BY w_band ORDER BY w_band""".stripMargin
+  }
+
   /** Golden-record SURVIVORSHIP over the [[entityMatch]] links — the
     * step after linkage in every MDM/entity-resolution pipeline: each
     * (dirty CRM import, matched master) pair collapses to ONE record
@@ -321,6 +479,7 @@ object JoinQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nearest_event_join" -> (nearestEventJoin _),
     "entity_match" -> (entityMatch _),
+    "fs_linkage" -> (fsLinkage _),
     "golden_record" -> (goldenRecord _),
     "skew_join_salted" -> (skewJoinSalted _),
     "asof_join" -> (asofJoin _),
@@ -331,6 +490,7 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fs_linkage" -> fsLinkageSql,
     // the entity_match linkage CTE + field-wise survivorship rules
     "golden_record" ->
       """WITH dirty AS (

@@ -204,4 +204,26 @@ class JoinQueriesSpec extends SparkSpec {
     assert(r.getLong(3) == 40L * 1000000L / 68L)
     assert(r.getLong(4) == 66L * 1000000L / 68L)
   }
+
+  test("fs_linkage: weight bands separate true from false pairs; counts conserve") {
+    val out = JoinQueries.fsLinkage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // bands ascending, counts conserve
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    assert(out.forall(b => b._2 == b._3 + b._4))
+    // the dirty registry is a 1:1 derivation: every dirty record has its
+    // true pair in the candidates (the attribute block guarantees it),
+    // so n_true across bands == |dirty|
+    val nDirty = graft.Tables.customer(spark, sfDir)
+      .filter($"c_custkey" % 10 === 3).count()
+    assert(out.map(_._3).sum == nDirty)
+    // Fellegi-Sunter separation: every all-false band sits strictly below
+    // every band holding true pairs, and negative bands are never 'link'
+    val maxFalseOnly = out.filter(_._3 == 0).map(_._1)
+    val minWithTrue = out.filter(_._3 > 0).map(_._1)
+    assert(maxFalseOnly.nonEmpty && minWithTrue.nonEmpty)
+    assert(maxFalseOnly.max < minWithTrue.min)
+    assert(out.forall(b => if (b._1 >= 2) b._5 == "link"
+      else if (b._1 >= 0) b._5 == "possible" else b._5 == "nonlink"))
+  }
 }
