@@ -178,6 +178,47 @@ object DedupQueries {
     graft.scale.ConnectedComponents.components(near.unionByName(planted), nodes)
   }
 
+  /** Leakage-safe train/val/test split — the assignment protocol a
+    * training pipeline MUST use once near-dup clusters exist: hashing
+    * each document independently ("naive") puts two near-copies of the
+    * same text on opposite sides of the split, so the eval set leaks
+    * into training (the contamination split_contamination measures after
+    * the fact); hashing the CLUSTER LABEL instead sends whole components
+    * to one side by construction. Both protocols run side by side over
+    * the shared [[clusterComponents]] labeling and the output is the
+    * audit: per (protocol, split) — docs, clusters touched, and
+    * STRADDLING clusters (components also present in another split).
+    * The cluster protocol's straddle column is identically 0; the naive
+    * protocol's is not (every fixture component has ≥ 2 members — the
+    * planted copy — hashed independently). Assignment is the md5 idiom
+    * (X25): v = hex value of the digest's last nibble, v < 12 train /
+    * < 14 val / else test — deterministic on both engines, and at 100 TB
+    * the same map-side expression over the persisted labeling. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterComponents(spark, dir)
+    def assigned(protocol: String, key: String) =
+      labels.select(lit(protocol).as("protocol"), col("node"), col("component"),
+        expr(s"instr('0123456789abcdef', substring(md5(concat('split:', " +
+          s"CAST($key AS STRING))), 32, 1)) - 1").as("v"))
+        .select(col("protocol"), col("node"), col("component"),
+          when(col("v") < 12, "train").when(col("v") < 14, "val")
+            .otherwise("test").as("split"))
+    val sp = assigned("cluster", "component")
+      .unionByName(assigned("naive", "node"))
+    val ck = sp.groupBy(col("protocol"), col("component"))
+      .agg(countDistinct(col("split")).as("k"))
+    val straddle = sp.select(col("protocol"), col("split"), col("component"))
+      .distinct()
+      .join(ck, Seq("protocol", "component"))
+      .groupBy(col("protocol"), col("split"))
+      .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_straddling"))
+    sp.groupBy(col("protocol"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"))
+      .join(straddle, Seq("protocol", "split"))
+      .orderBy(col("protocol"), col("split"))
+  }
+
   /** Cluster collapse with representative selection — the step a training
     * pipeline actually runs after [[dupClusters]]: per component keep ONE
     * document, chosen by quality (longest text first — the standard
@@ -491,6 +532,7 @@ object DedupQueries {
     "novelty_score" -> (noveltyScore _),
     "embedding_neardup" -> (embeddingNeardup _),
     "dup_clusters" -> (dupClusters _),
+    "leakage_split" -> (leakageSplit _),
     "dedup_collapse" -> (dedupCollapse _),
     "semantic_collapse" -> (semanticCollapse _)
   )
@@ -498,7 +540,79 @@ object DedupQueries {
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
+  /** Shared DuckDB closure for the near-dup + planted-copy components
+    * (mirrors [[buildClusterComponents]]) — the CTE prefix of the
+    * dup_clusters, dedup_collapse, and leakage_split oracles. Ends at
+    * `comp(node, component)`. */
+  private val componentClosureSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |    FROM w)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT p.a_id, p.b_id FROM pr p
+      |  JOIN sizes na ON na.doc_id = p.a_id
+      |  JOIN sizes nb ON nb.doc_id = p.b_id
+      |  WHERE p.inter * 5 >= na.n + nb.n - p.inter),
+      |nodes AS (
+      |  SELECT doc_id AS node FROM documents WHERE doc_id < 200
+      |  UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 200),
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM near
+      |  UNION SELECT b_id, a_id FROM near
+      |  UNION SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id < 200
+      |  UNION SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 200),
+      |reach(src, dst) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
+  private def leakageSplitSql: String =
+    s"""$componentClosureSql,
+       |lab AS (
+       |  SELECT 'cluster' AS protocol, node, component,
+       |    instr('0123456789abcdef', substring(
+       |      md5('split:' || CAST(component AS STRING)), 32, 1)) - 1 AS v
+       |  FROM comp
+       |  UNION ALL
+       |  SELECT 'naive', node, component,
+       |    instr('0123456789abcdef', substring(
+       |      md5('split:' || CAST(node AS STRING)), 32, 1)) - 1
+       |  FROM comp),
+       |sp AS (
+       |  SELECT protocol, node, component,
+       |    CASE WHEN v < 12 THEN 'train' WHEN v < 14 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM lab),
+       |ck AS (
+       |  SELECT protocol, component, COUNT(DISTINCT split) AS k
+       |  FROM sp GROUP BY 1, 2),
+       |st AS (
+       |  SELECT s.protocol, s.split,
+       |    CAST(SUM(CASE WHEN c.k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+       |  FROM (SELECT DISTINCT protocol, split, component FROM sp) s
+       |  JOIN ck c ON c.protocol = s.protocol AND c.component = s.component
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT protocol, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+       |  FROM sp GROUP BY 1, 2)
+       |SELECT g.protocol, g.split, g.n_docs, g.n_clusters, st.n_straddling
+       |FROM g JOIN st ON st.protocol = g.protocol AND st.split = g.split
+       |ORDER BY g.protocol, g.split""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "leakage_split" -> leakageSplitSql,
     // ordered pairs sharing a 5-gram, containment vs the PROBE size na;
     // threshold and e4 export in integer arithmetic
     "containment_join" ->

@@ -294,4 +294,30 @@ class ScaleSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain cross-split contaminated pairs")
     assert(banded == exact, s"banded=$banded exact=$exact")
   }
+
+  test("leakage_split: cluster protocol never straddles, naive does; md5 replay") {
+    val out = graft.queries.DedupQueries.leakageSplit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (cl, nv) = out.partition(_._1 == "cluster")
+    assert(cl.nonEmpty && nv.nonEmpty)
+    // the whole point: cluster-keyed assignment cannot straddle
+    assert(cl.forall(_._5 == 0L), s"cluster straddles: ${cl.toSeq}")
+    // naive assignment leaks (every component has >= 2 members here)
+    assert(nv.map(_._5).sum > 0L, s"naive straddles: ${nv.toSeq}")
+    // both protocols assign every node exactly once
+    assert(cl.map(_._3).sum == nv.map(_._3).sum)
+    // exact md5 replay of the naive assignment for every node
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(key: Long): String = {
+      val hex = md.digest(s"split:$key".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val v = "0123456789abcdef".indexOf(hex.last)
+      if (v < 12) "train" else if (v < 14) "val" else "test"
+    }
+    val nodes = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" < 200).select($"doc_id").as[Long].collect()
+    val expected = (nodes ++ nodes.map(_ + 100000L)).groupBy(splitOf).view
+      .mapValues(_.length.toLong).toMap
+    assert(nv.map(r => r._2 -> r._3).toMap == expected)
+  }
 }
