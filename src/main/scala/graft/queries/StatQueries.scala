@@ -234,6 +234,47 @@ object StatQueries {
         |FROM km ORDER BY tenure_days""".stripMargin)
   }
 
+  /** Holt linear (double-exponential) smoothing of the daily revenue
+    * series at α = β = ½ — the level+trend forecaster one step up from
+    * exp_smooth's EWMA (which cannot track a drifting slope). The
+    * recurrence is a COUPLED two-variable system
+    * (l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋,
+    * b_t = ⌊(b_{t−1} + (l_t − l_{t−1}))/2⌋) with per-step floors — like
+    * recursive_cte, nonlinear and window-irreducible, run declaratively
+    * under `WITH RECURSIVE` on BOTH engines so every step is
+    * engine-exact integer math (trend goes NEGATIVE on down-drifts:
+    * Spark `div` and DuckDB `//` both truncate toward zero — the probed
+    * pin). Forecast = l + b. Day index via datediff against a
+    * scalar-subquery MIN (no ranking window); depth bounded by CALENDAR;
+    * contiguous series assumed (gap_fill is the upstream fix). */
+  def holtLinear(spark: SparkSession, dir: String): DataFrame =
+    holtLinearOf(Tables.events(spark, dir))
+
+  def holtLinearOf(events: DataFrame): DataFrame = {
+    events.createOrReplaceTempView("graft_events_holt")
+    events.sparkSession.sql(
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT to_date(ts) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM graft_events_holt GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT day, rev, datediff(day, (SELECT d0 FROM d0)) + 1 AS t
+        |  FROM daily),
+        |holt AS (
+        |  SELECT t, day, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.rev,
+        |    (i.rev + h.lvl + h.trd) div 2,
+        |    (h.trd + ((i.rev + h.lvl + h.trd) div 2 - h.lvl)) div 2
+        |  FROM holt h JOIN idx i ON i.t = h.t + 1)
+        |SELECT day, rev AS rev_e2, lvl AS level_e2, trd AS trend_e2,
+        |  lvl + trd AS forecast_e2
+        |FROM holt ORDER BY day""".stripMargin)
+  }
+
   /** Decision-stump split finding over a histogram — the distributed
     * core of GBDT/random-forest training (XGBoost's approximate split
     * algorithm): ONE partial-aggregated pass buckets the feature
@@ -313,6 +354,7 @@ object StatQueries {
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
+    "holt_linear" -> (holtLinear _),
     "gini_split" -> (giniSplit _)
   )
 
@@ -460,6 +502,31 @@ object StatQueries {
         |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
         |  CAST(s AS BIGINT) AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin,
+    // the same coupled floor recursion; integer // truncation matches
+    // Spark div on the negative trend values too (probed)
+    "holt_linear" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (
+        |  SELECT day, rev,
+        |    date_diff('day', (SELECT d0 FROM d0), day) + 1 AS t
+        |  FROM daily),
+        |holt AS (
+        |  SELECT t, day, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.rev,
+        |    (i.rev + h.lvl + h.trd) // 2,
+        |    (h.trd + ((i.rev + h.lvl + h.trd) // 2 - h.lvl)) // 2
+        |  FROM holt h JOIN idx i ON i.t = h.t + 1)
+        |SELECT day, CAST(rev AS BIGINT) AS rev_e2,
+        |  CAST(lvl AS BIGINT) AS level_e2, CAST(trd AS BIGINT) AS trend_e2,
+        |  CAST(lvl + trd AS BIGINT) AS forecast_e2
+        |FROM holt ORDER BY day""".stripMargin,
     // exact rational scores; argmax via HUGEINT cross-multiplication
     "gini_split" ->
       """WITH h AS (

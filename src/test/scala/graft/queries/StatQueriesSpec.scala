@@ -166,6 +166,36 @@ class StatQueriesSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 333333L)))
   }
 
+  // ------------------------------------------------------------ Holt linear
+
+  test("holt_linear: exact local fold; trend tracks a planted drift") {
+    // fixture replay: fold the coupled recurrence locally
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    var (l, b) = (daily.head._2, 0L)
+    // Scala Long / truncates toward zero — the same convention as Spark
+    // div and DuckDB // on the (possibly negative) trend
+    val expect = (daily.head._1 -> ((l, b, l + b))) +: daily.tail.map { case (d, y) =>
+      val l2 = (y + l + b) / 2
+      val b2 = (b + (l2 - l)) / 2
+      l = l2; b = b2; d -> (l, b, l + b)
+    }
+    val got = StatQueries.holtLinear(spark, sfDir).collect()
+      .map(r => r.getDate(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expect.toSeq)
+
+    // planted linear drift: one event per day, value 100 + 10t
+    val simple = (0 until 30).map(t =>
+      (t.toLong, 1L, "view", 100.0 + t * 10.0, f"2024-03-${t + 1}%02d 05:00:00"))
+    val out = StatQueries.holtLinearOf(mkEvents(simple)).collect()
+    val lastTrend = out.last.getLong(3)
+    // slope is 1000 e2/day; the coupled filter at alpha=beta=1/2 settles
+    // near it (within floor noise)
+    assert(math.abs(lastTrend - 1000L) <= 3L, s"trend=$lastTrend")
+  }
+
   // ------------------------------------------------------------- gini split
 
   test("gini_split: planted signal splits at the boundary; argmax unique") {
