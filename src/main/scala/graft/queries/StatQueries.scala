@@ -234,6 +234,56 @@ object StatQueries {
         |FROM km ORDER BY tenure_days""".stripMargin)
   }
 
+  /** Offline policy evaluation by inverse-propensity scoring (Horvitz &
+    * Thompson 1952; Li et al. 2011's offline bandit replay) — "what would
+    * this TARGET policy have earned on the logged traffic?", the
+    * counterfactual readout a recommendation/ranking platform runs
+    * before any online test. Logged data: events as (context = user
+    * segment user_id % 3, action = event_type, reward = high-value flag
+    * value > 250). Logging propensities p(a|x) are the empirical action
+    * frequencies per segment (integer ratios from the log itself — the
+    * stand-in for recorded propensities); the target policy is the
+    * deterministic map segment → action (0 → purchase, 1 → view,
+    * 2 → click). IPS: V = (1/n) Σ r·1[π(x)=a]/p(a|x); with a
+    * deterministic target the per-segment term collapses to
+    * sum_r·n_x / (c_x·n) — an EXACT integer rational, floored once at
+    * e6 (all operands positive ⇒ Spark `div` == DuckDB `//`; binary
+    * reward keeps 10⁶·sum_r·n_x inside BIGINT through sf1 — beyond,
+    * widen to DECIMAL(38,0)/HUGEINT, the value_moments pattern).
+    * Output per segment: n_x, matched count c_x, propensity_e6, the
+    * direct (on-action mean) estimate and the IPS contribution — the
+    * per-stratum audit an OPE report shows.
+    *
+    * Plan: ONE partial-aggregated (segment, action) rollup is the whole
+    * scan; propensities, matching, and both estimators are column
+    * arithmetic on that ≤ |segments|·|actions| frame. */
+  def ipsPolicyEval(spark: SparkSession, dir: String): DataFrame =
+    ipsPolicyEvalOf(Tables.events(spark, dir))
+
+  def ipsPolicyEvalOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select((col("user_id") % 3).cast("long").as("segment"),
+        col("event_type").as("action"),
+        (col("value") > 250).cast("long").as("r"))
+      .groupBy(col("segment"), col("action"))
+      .agg(count(lit(1)).as("c"), sum(col("r")).as("sum_r"))
+    val segTotals = cells.groupBy(col("segment")).agg(sum(col("c")).as("n_x"))
+    val total = cells.agg(sum(col("c")).as("n"))
+    cells
+      .withColumn("target_action",
+        when(col("segment") === 0, "purchase")
+          .when(col("segment") === 1, "view").otherwise("click"))
+      .filter(col("action") === col("target_action"))
+      .join(broadcast(segTotals), "segment")
+      .crossJoin(broadcast(total))
+      .select(col("segment"), col("target_action"), col("n_x"),
+        col("c").as("matched"),
+        expr("(c * 1000000) div n_x").as("propensity_e6"),
+        expr("(sum_r * 1000000) div c").as("direct_mean_e6"),
+        expr("(sum_r * n_x * 1000000) div (c * n)").as("ips_contrib_e6"))
+      .orderBy(col("segment"))
+  }
+
   /** Holt linear (double-exponential) smoothing of the daily revenue
     * series at α = β = ½ — the level+trend forecaster one step up from
     * exp_smooth's EWMA (which cannot track a drifting slope). The
@@ -355,6 +405,7 @@ object StatQueries {
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
     "holt_linear" -> (holtLinear _),
+    "ips_policy_eval" -> (ipsPolicyEval _),
     "gini_split" -> (giniSplit _)
   )
 
@@ -502,6 +553,27 @@ object StatQueries {
         |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
         |  CAST(s AS BIGINT) AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin,
+    // one (segment, action) rollup; both estimators exact integer
+    // rationals floored at e6 on positive operands
+    "ips_policy_eval" ->
+      """WITH cells AS (
+        |  SELECT user_id % 3 AS segment, event_type AS action,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS sum_r
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (SELECT segment, CAST(SUM(c) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |m AS (
+        |  SELECT c.segment,
+        |    CASE WHEN c.segment = 0 THEN 'purchase'
+        |      WHEN c.segment = 1 THEN 'view' ELSE 'click' END AS target_action,
+        |    c.action, c.c, c.sum_r, s.n_x
+        |  FROM cells c JOIN seg s ON s.segment = c.segment)
+        |SELECT segment, target_action, n_x, c AS matched,
+        |  (c * 1000000) // n_x AS propensity_e6,
+        |  (sum_r * 1000000) // c AS direct_mean_e6,
+        |  (sum_r * n_x * 1000000) // (c * (SELECT n FROM tot)) AS ips_contrib_e6
+        |FROM m WHERE action = target_action ORDER BY segment""".stripMargin,
     // the same coupled floor recursion; integer // truncation matches
     // Spark div on the negative trend values too (probed)
     "holt_linear" ->

@@ -166,6 +166,33 @@ class StatQueriesSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 333333L)))
   }
 
+  // -------------------------------------------------------------- IPS / OPE
+
+  test("ips_policy_eval: exact replay; IPS equals propensity-weighted direct") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(($"user_id" % 3).as("x"), $"event_type", ($"value" > 250).cast("long").as("r"))
+      .as[(Long, String, Long)].collect()
+    val target = Map(0L -> "purchase", 1L -> "view", 2L -> "click")
+    val n = ev.length.toLong
+    val got = StatQueries.ipsPolicyEval(spark, sfDir).collect()
+    assert(got.length == 3)
+    for (row <- got) {
+      val x = row.getLong(0)
+      val seg = ev.filter(_._1 == x)
+      val matched = seg.filter(_._2 == target(x))
+      val (nx, c, sr) = (seg.length.toLong, matched.length.toLong, matched.map(_._3).sum)
+      assert(row.getString(1) == target(x))
+      assert(row.getLong(2) == nx && row.getLong(3) == c)
+      assert(row.getLong(4) == c * 1000000L / nx)
+      assert(row.getLong(5) == sr * 1000000L / c)
+      assert(row.getLong(6) == BigInt(sr) * nx * 1000000 / (BigInt(c) * n))
+      // Horvitz-Thompson identity for a deterministic target policy:
+      // contribution == direct mean weighted by the segment share
+      val ident = BigInt(sr) * 1000000 / c * nx / n
+      assert((BigInt(row.getLong(6)) - ident).abs <= 1)
+    }
+  }
+
   // ------------------------------------------------------------ Holt linear
 
   test("holt_linear: exact local fold; trend tracks a planted drift") {
