@@ -992,7 +992,51 @@ object StoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Dynamic partition pruning — the runtime-pruning headline Spark
+    * feature the static layouts above can't show: the fact side is a
+    * DAY-partitioned copy of events (Hive layout, one dir per day) and
+    * the probe side is a frame of hot days (daily revenue > 1.05× the
+    * average — an aggregate-derived list NO static pushdown can see).
+    * Joining fact ⋈ broadcast(hot days) on the partition column makes
+    * Spark insert a `dynamicpruning` subquery into the scan's
+    * PartitionFilters: the broadcast result prunes fact DIRECTORIES at
+    * runtime — 7 of 30 read at sf0.01 (13/30 at sf0.001, 1/30 at sf0.1).
+    * At 100 TB this is the difference between scanning a month and
+    * scanning the hot days, with zero changes to the query. The
+    * selection predicate is the exact integer cross-multiplication
+    * rev·n_days·100 > total·105 (no division). PlanSpec pins the
+    * `dynamicpruning` expression + the pruned InputPartitions count;
+    * the oracle recomputes the same join from the RAW table — the
+    * partitioned layout must change nothing. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = graft.scale.ShingleStore.storedPartitioned(
+      spark, dir, "events-by-day", "day") {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"),
+          to_date(col("ts")).as("day"))
+    }
+    // the hot-day gate must reach the planner as a FILTER on the probe
+    // side (scalar subqueries for the corpus totals) — phrased as a
+    // cross-join condition it becomes a BNLJ join predicate, which
+    // PartitionPruning's hasSelectivePredicate does not accept and DPP
+    // silently never fires (measured; PlanSpec now pins the firing)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      .createOrReplaceTempView("graft_dpp_daily")
+    val hot = spark.sql(
+      """SELECT day FROM graft_dpp_daily
+        |WHERE rev * (SELECT COUNT(*) FROM graft_dpp_daily) * 100
+        |      > (SELECT SUM(rev) FROM graft_dpp_daily) * 105""".stripMargin)
+    fact.join(broadcast(hot), "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_e2")).as("rev_e2"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpp_join" -> (dppJoin _),
     "v2_source_read" -> (v2SourceRead _),
     "v2_source_write" -> (v2SourceWrite _),
     "v2_stream_sink" -> (v2StreamSink _),
@@ -1019,6 +1063,24 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same join recomputed from the raw table — the partitioned layout
+    // must change nothing; hot-day gate is the exact cross-multiplication
+    "dpp_join" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tr,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+        |hot AS (
+        |  SELECT day FROM daily
+        |  WHERE rev * (SELECT nd FROM t) * 100 > (SELECT tr FROM t) * 105)
+        |SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e.v) AS BIGINT) AS rev_e2
+        |FROM (SELECT CAST(ts AS DATE) AS day,
+        |        CAST(round(value * 100) AS BIGINT) AS v FROM events) e
+        |JOIN hot ON hot.day = e.day
+        |GROUP BY e.day ORDER BY e.day""".stripMargin,
     // two streamed epochs through the V2 sink == raw fixture
     "v2_stream_sink" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

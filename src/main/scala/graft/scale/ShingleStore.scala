@@ -68,6 +68,20 @@ object ShingleStore {
     spark.read.parquet(path)
   }
 
+  /** [[stored]] with a Hive-style PARTITIONED layout — for queries that
+    * demonstrate partition-wise pruning (dynamic partition pruning needs
+    * a genuinely partitioned scan to prune). Same memo/lifecycle. */
+  def storedPartitioned(spark: SparkSession, dir: String, name: String,
+      partCol: String)(build: => DataFrame): DataFrame = {
+    val path = frameMemo.getOrElseUpdate(
+      (ColumnBridge.sessionUuid(spark), dir, name), {
+        val p = tempDir(s"graft-$name-").toString
+        build.write.mode("overwrite").partitionBy(partCol).parquet(p)
+        p
+      })
+    spark.read.parquet(path)
+  }
+
   // session-scoped scratch dirs are deleted when the JVM exits — without
   // this every Verify/Bench/test JVM would leave its frames in /tmp
   private val created = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]

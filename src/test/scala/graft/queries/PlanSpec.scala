@@ -309,4 +309,34 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("dpp_join: dynamic partition pruning fires on the day-partitioned fact") {
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("dpp_join")(spark, sfDir)
+    val rows = df.collect() // DPP is visible in the EXECUTED plan
+    assert(rows.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(4000))
+    // the runtime filter reached the scan's partition filters
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p.take(4000))
+    // and the fact scan actually read only the hot-day directories:
+    // selected days (13 of 30 at sf0.001) < calendar days
+    val hotDays = rows.length
+    // descend through AQE stage wrappers — plain collect stops at them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScans = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("events-by-day")))
+    assert(factScans.nonEmpty, p.take(4000))
+    val partsRead = factScans.head.metrics("numPartitions").value
+    assert(partsRead == hotDays.toLong && hotDays < 30,
+      s"partitions read $partsRead, hot days $hotDays")
+  }
 }
