@@ -400,12 +400,134 @@ object StatQueries {
       .orderBy(col("thr"))
   }
 
+  /** Two rounds of exact AdaBoost over decision stumps (Freund &
+    * Schapire 1997) — distributed BOOSTING, not just the single split
+    * [[giniSplit]] finds: round 1 picks the min-error stump under
+    * uniform weights; re-weighting then gives every row one of exactly
+    * TWO rational weights (correct → 1/(2(n−e)), wrong → 1/(2e) — each
+    * class sums to ½, the classic identity), so round 2's weighted error
+    * for any candidate is the EXACT rational
+    * (a·e + b·(n−e)) / (2e(n−e)) with a = wrong-now∧right-before,
+    * b = wrong-now∧wrong-before — and since the denominator is the SAME
+    * for every candidate, the round-2 argmin is a pure integer argmin of
+    * a·e + b·(n−e). No row-level float weight ever exists. The ensemble
+    * vote sign(α₁h₁ + α₂h₂) is also exact: h₁, h₂ agree or the larger α
+    * wins, and α₁ > α₂ ⇔ ε₁ < ε₂ ⇔ e·den₂ < num₂·n — an integer
+    * cross-multiplication (α is strictly decreasing in ε). The two α
+    * values are ½ln((1−ε)/ε), e6-quantized ONCE each (the fs_linkage
+    * budget: 2 libm calls total). Output: one row per round — stump
+    * (threshold, polarity), exact error rational, α_e6, and the
+    * cumulative training-correct count.
+    *
+    * Everything after ONE partial-aggregated (bucket, label) histogram
+    * (≤ 100 cells) is bounded-frame SQL: the SAME text runs on Spark and
+    * DuckDB (only the histogram source differs), so the oracle is the
+    * mirror by construction. Assumes 0 < ε < ½ each round (the fixture's
+    * ~20% purchase rate guarantees it; StatQueriesSpec pins it).
+    *
+    * Honest two-voter limit: with two stumps the ensemble vote IS the
+    * larger-α stump (agreement is trivial, disagreement goes to the
+    * bigger α), so `n_correct` cannot exceed the better stump until a
+    * third round — which keeps the same integer form (the four
+    * (ok₁, ok₂) classes carry weights (ok₁ ? e : n−e)·(ok₂ ? num :
+    * den−num) over a shared denominator, so round-3 selection is again
+    * an integer argmin, in DECIMAL(38,0) past sf0.1). The spec pins the
+    * re-weighting identity that makes all of this work: h₁'s OWN
+    * round-2 weighted error is exactly ½. */
+  def adaboostStumps(spark: SparkSession, dir: String): DataFrame =
+    adaboostStumpsOf(Tables.events(spark, dir))
+
+  def adaboostStumpsOf(events: DataFrame): DataFrame = {
+    events
+      .select((floor(col("value").cast("double") / 10) * 10).cast("long").as("bucket"),
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("yy"))
+      .groupBy(col("bucket"), col("yy")).agg(count(lit(1)).as("c"))
+      .createOrReplaceTempView("graft_ada_h")
+    events.sparkSession.sql(adaboostSql("SELECT bucket, yy, c FROM graft_ada_h"))
+  }
+
+  /** The engine-shared AdaBoost body — `hSource` supplies the
+    * (bucket, yy, c) histogram (temp view on Spark, inline rollup on
+    * DuckDB); everything else is dialect-free SQL. */
+  def adaboostSql(hSource: String): String =
+    s"""WITH h AS ($hSource),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN yy = 1 THEN c ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN yy = -1 THEN c ELSE 0 END) AS BIGINT) AS nn,
+       |    CAST(SUM(c) AS BIGINT) AS n
+       |  FROM h),
+       |thr AS (
+       |  SELECT bucket AS t FROM h GROUP BY bucket
+       |  HAVING bucket > (SELECT MIN(bucket) FROM h)),
+       |pre AS (
+       |  SELECT thr.t,
+       |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = 1 THEN h.c ELSE 0 END) AS BIGINT) AS lpos,
+       |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = -1 THEN h.c ELSE 0 END) AS BIGINT) AS lneg
+       |  FROM thr CROSS JOIN h GROUP BY thr.t),
+       |cand1 AS (
+       |  SELECT t, CAST(1 AS BIGINT) AS pol, lneg + (SELECT np FROM tot) - lpos AS wrong
+       |  FROM pre
+       |  UNION ALL
+       |  SELECT t, CAST(-1 AS BIGINT), lpos + (SELECT nn FROM tot) - lneg
+       |  FROM pre),
+       |h1 AS (SELECT t, pol, wrong AS e FROM cand1 ORDER BY wrong, t, pol DESC LIMIT 1),
+       |cls AS (
+       |  SELECT h.bucket, h.yy, CAST(h.c AS BIGINT) AS c,
+       |    CASE WHEN (CASE WHEN h.bucket < (SELECT t FROM h1)
+       |        THEN (SELECT pol FROM h1) ELSE -(SELECT pol FROM h1) END) = h.yy
+       |      THEN 1 ELSE 0 END AS ok1
+       |  FROM h),
+       |cand2 AS (
+       |  SELECT thr.t, p.pol,
+       |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
+       |      AND cls.ok1 = 1 THEN cls.c ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
+       |      AND cls.ok1 = 0 THEN cls.c ELSE 0 END) AS BIGINT) AS b
+       |  FROM thr CROSS JOIN (SELECT CAST(1 AS BIGINT) AS pol
+       |    UNION ALL SELECT CAST(-1 AS BIGINT)) p CROSS JOIN cls
+       |  GROUP BY thr.t, p.pol),
+       |h2 AS (
+       |  SELECT t, pol,
+       |    a * (SELECT e FROM h1) + b * ((SELECT n FROM tot) - (SELECT e FROM h1)) AS num,
+       |    2 * (SELECT e FROM h1) * ((SELECT n FROM tot) - (SELECT e FROM h1)) AS den
+       |  FROM cand2
+       |  ORDER BY a * (SELECT e FROM h1) + b * ((SELECT n FROM tot) - (SELECT e FROM h1)), t, pol DESC
+       |  LIMIT 1),
+       |vote AS (
+       |  SELECT cls.yy, cls.c,
+       |    CASE WHEN cls.bucket < (SELECT t FROM h1)
+       |      THEN (SELECT pol FROM h1) ELSE -(SELECT pol FROM h1) END AS p1,
+       |    CASE WHEN cls.bucket < (SELECT t FROM h2)
+       |      THEN (SELECT pol FROM h2) ELSE -(SELECT pol FROM h2) END AS p2
+       |  FROM cls),
+       |corr2 AS (
+       |  SELECT CAST(SUM(CASE WHEN (CASE WHEN p1 = p2 THEN p1
+       |      WHEN (SELECT e FROM h1) * (SELECT den FROM h2)
+       |        < (SELECT num FROM h2) * (SELECT n FROM tot) THEN p1
+       |      ELSE p2 END) = yy THEN c ELSE 0 END) AS BIGINT) AS nc
+       |  FROM vote)
+       |SELECT CAST(1 AS BIGINT) AS round, t AS thr, pol AS polarity,
+       |  e AS err_num, (SELECT n FROM tot) AS err_den,
+       |  CAST(round(500000 * ln(
+       |    CAST((SELECT n FROM tot) - e AS DOUBLE) / CAST(e AS DOUBLE)))
+       |    AS BIGINT) AS alpha_e6,
+       |  (SELECT n FROM tot) - e AS n_correct
+       |FROM h1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), t, pol, num, den,
+       |  CAST(round(500000 * ln(
+       |    CAST(den - num AS DOUBLE) / CAST(num AS DOUBLE))) AS BIGINT),
+       |  (SELECT nc FROM corr2)
+       |FROM h2
+       |ORDER BY round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
     "holt_linear" -> (holtLinear _),
     "ips_policy_eval" -> (ipsPolicyEval _),
+    "adaboost_stumps" -> (adaboostStumps _),
     "gini_split" -> (giniSplit _)
   )
 
@@ -553,6 +675,14 @@ object StatQueries {
         |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
         |  CAST(s AS BIGINT) AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin,
+    // SAME body as the Spark side (adaboostSql) — only the histogram
+    // source differs; ln quantized once per alpha
+    "adaboost_stumps" -> adaboostSql(
+      """SELECT CAST(floor(CAST(value AS DOUBLE) / 10) * 10 AS BIGINT) AS bucket,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS yy,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2""".stripMargin),
     // one (segment, action) rollup; both estimators exact integer
     // rationals floored at e6 on positive operands
     "ips_policy_eval" ->

@@ -166,6 +166,93 @@ class StatQueriesSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 333333L)))
   }
 
+  // --------------------------------------------------------------- AdaBoost
+
+  /** Local exact AdaBoost on a (bucket -> (pos, neg)) histogram, the
+    * brute-force mirror of [[StatQueries.adaboostSql]]. */
+  private def adaBrute(hist: Map[Long, (Long, Long)])
+      : (Seq[(Long, Long, Long, Long, Long, Long, Long)], BigInt) = {
+    val buckets = hist.keys.toSeq.sorted
+    val thrs = buckets.tail
+    val n = hist.values.map(v => v._1 + v._2).sum
+    val np = hist.values.map(_._1).sum; val nn = n - np
+    def left(t: Long) = buckets.filter(_ < t)
+    def wrong1(t: Long, pol: Long): Long = {
+      val lp = left(t).map(hist(_)._1).sum; val ln = left(t).map(hist(_)._2).sum
+      if (pol == 1) ln + (np - lp) else lp + (nn - ln)
+    }
+    val (e, t1, p1) = (for (t <- thrs; p <- Seq(1L, -1L)) yield (wrong1(t, p), t, p))
+      .minBy(c => (c._1, c._2, -c._3))
+    def pred(t: Long, pol: Long, b: Long) = if (b < t) pol else -pol
+    def score2(t: Long, pol: Long): Long = {
+      var a = 0L; var b2 = 0L
+      for ((b, (pos, neg)) <- hist; (yy, c) <- Seq((1L, pos), (-1L, neg))) {
+        val ok1 = pred(t1, p1, b) == yy
+        if (pred(t, pol, b) != yy) { if (ok1) a += c else b2 += c }
+      }
+      a * e + b2 * (n - e)
+    }
+    val (num, t2, p2) = (for (t <- thrs; p <- Seq(1L, -1L)) yield (score2(t, p), t, p))
+      .minBy(c => (c._1, c._2, -c._3))
+    val den = 2 * e * (n - e)
+    var nc = 0L
+    for ((b, (pos, neg)) <- hist; (yy, c) <- Seq((1L, pos), (-1L, neg))) {
+      val (q1, q2) = (pred(t1, p1, b), pred(t2, p2, b))
+      val pr = if (q1 == q2) q1
+        else if (BigInt(e) * den < BigInt(num) * n) q1 else q2
+      if (pr == yy) nc += c
+    }
+    def alpha(numer: Long, denom: Long): Long =
+      math.round(500000.0 * math.log((denom - numer).toDouble / numer.toDouble))
+    // re-weighting identity: h1's own round-2 weighted error is exactly 1/2
+    val selfScore = BigInt(score2(t1, p1))
+    (Seq(
+      (1L, t1, p1, e, n, alpha(e, n), n - e),
+      (2L, t2, p2, num, den, alpha(num, den), nc)), selfScore)
+  }
+
+  private def histOf(rows: Seq[(Long, Long, String, Double, String)]) =
+    rows.groupBy(r => (math.floor(r._4 / 10) * 10).toLong).view.mapValues { g =>
+      (g.count(_._3 == "purchase").toLong, g.count(_._3 != "purchase").toLong)
+    }.toMap
+
+  test("adaboost_stumps: exact local replay on the fixture; reweight identity") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val hist = ev.groupBy(e => (math.floor(e._2 / 10) * 10).toLong).view.mapValues { g =>
+      (g.count(_._1 == "purchase").toLong, g.count(_._1 != "purchase").toLong)
+    }.toMap
+    val (expect, selfScore) = adaBrute(hist)
+    val got = StatQueries.adaboostStumps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expect)
+    // weak-learnability held both rounds
+    val Seq(r1, r2) = expect
+    assert(r1._4 * 2 < r1._5 && r2._4 * 2 < r2._5, s"eps >= 1/2: $expect")
+    // the identity the whole construction rests on: under the round-2
+    // weights, h1's own weighted error is exactly 1/2 (num/den == 1/2)
+    val den = BigInt(2) * r1._4 * (r1._5 - r1._4)
+    assert(selfScore * 2 == den, s"self $selfScore den $den")
+  }
+
+  test("adaboost_stumps: planted histogram — h2 complements h1 under reweighting") {
+    // region <100: mostly positive; 100..200: all negative; >=200: mixed.
+    val rows =
+      (0 until 160).map(i => (i.toLong, 0L, "purchase", (i % 10) * 10.0, "2024-01-05 00:00:00")) ++
+      (0 until 40).map(i => (200L + i, 0L, "view", (i % 10) * 10.0, "2024-01-05 00:00:00")) ++
+      (0 until 100).map(i => (300L + i, 0L, "view", 100.0 + (i % 10) * 10.0, "2024-01-05 00:00:00")) ++
+      (0 until 110).map(i => (500L + i, 0L, "purchase", 200.0 + (i % 10) * 10.0, "2024-01-05 00:00:00")) ++
+      (0 until 90).map(i => (700L + i, 0L, "view", 200.0 + (i % 10) * 10.0, "2024-01-05 00:00:00"))
+    val (expect, _) = adaBrute(histOf(rows.map(r => (r._1, r._2, r._3, r._4, r._5))))
+    val got = StatQueries.adaboostStumpsOf(mkEvents(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expect)
+    // the two rounds picked different stumps (reweighting moved the argmin)
+    assert((got(0)._2, got(0)._3) != (got(1)._2, got(1)._3))
+  }
+
   // -------------------------------------------------------------- IPS / OPE
 
   test("ips_policy_eval: exact replay; IPS equals propensity-weighted direct") {
