@@ -234,6 +234,126 @@ object StatQueries {
         |FROM km ORDER BY tenure_days""".stripMargin)
   }
 
+  /** Mutual information between two columns (event type × coarse value
+    * bucket) — the model-free dependence screen feature selection runs
+    * (mRMR-style): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), plus both
+    * marginal entropies and the normalized MI. The fixture's iid
+    * generator puts MI ≈ 0 — exactly what the screen should report for
+    * an uninformative feature; the spec plants a dependent pair and
+    * watches MI rise.
+    *
+    * Exactness (the char_entropy X80 recipe, widened to two variables):
+    * every log argument is an exact integer ratio (products ≤ 10¹⁰ are
+    * exact doubles), quantized PER CELL at e6 — ≤ |X|·|Y| + |X| + |Y| + 1
+    * libm calls total — so n·MI and n·H are order-free integer sums;
+    * one integer division at the export boundary (both engines truncate
+    * identically, even on the ±rounding-noise negatives an MI ≈ 0 sum
+    * can produce). ONE (x, y) partial-aggregated rollup is the scan;
+    * marginals fold from the ≤50-cell frame. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfoOf(Tables.events(spark, dir))
+
+  def mutualInfoOf(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_type").as("x"),
+        (floor(col("value").cast("double") / 50) * 50).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .createOrReplaceTempView("graft_mi_cells")
+    events.sparkSession.sql(miSql("SELECT x, y, c FROM graft_mi_cells", "div"))
+  }
+
+  /** Engine-shared MI body (`cellSource` supplies (x, y, c); `idiv` is
+    * the integer-division token — Spark `div`, DuckDB `//`). */
+  def miSql(cellSource: String, idiv: String): String =
+    s"""WITH cells AS ($cellSource),
+       |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x),
+       |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |mi AS (
+       |  SELECT CAST(SUM(cells.c * CAST(round(1000000 * ln(
+       |      (CAST(cells.c AS DOUBLE) * CAST((SELECT n FROM t) AS DOUBLE))
+       |      / (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))))
+       |    AS BIGINT)) AS BIGINT) AS mi_num
+       |  FROM cells JOIN mx ON mx.x = cells.x JOIN my ON my.y = cells.y),
+       |hx AS (
+       |  SELECT CAST((SELECT n FROM t)
+       |      * CAST(round(1000000 * ln(CAST((SELECT n FROM t) AS DOUBLE))) AS BIGINT)
+       |    - SUM(cx * CAST(round(1000000 * ln(CAST(cx AS DOUBLE))) AS BIGINT))
+       |    AS BIGINT) AS hx_num
+       |  FROM mx),
+       |hy AS (
+       |  SELECT CAST((SELECT n FROM t)
+       |      * CAST(round(1000000 * ln(CAST((SELECT n FROM t) AS DOUBLE))) AS BIGINT)
+       |    - SUM(cy * CAST(round(1000000 * ln(CAST(cy AS DOUBLE))) AS BIGINT))
+       |    AS BIGINT) AS hy_num
+       |  FROM my)
+       |SELECT (SELECT n FROM t) AS n,
+       |  (SELECT hx_num FROM hx) $idiv (SELECT n FROM t) AS h_x_e6,
+       |  (SELECT hy_num FROM hy) $idiv (SELECT n FROM t) AS h_y_e6,
+       |  (SELECT mi_num FROM mi) $idiv (SELECT n FROM t) AS mi_e6,
+       |  ((SELECT mi_num FROM mi) * 1000000)
+       |    $idiv (CASE WHEN (SELECT hx_num FROM hx) < (SELECT hy_num FROM hy)
+       |      THEN (SELECT hx_num FROM hx) ELSE (SELECT hy_num FROM hy) END)
+       |    AS nmi_e6""".stripMargin
+
+  /** Population stability index (PSI) — the industry-standard binned
+    * drift monitor (Siddiqi, credit-scorecard practice; the ML-ops
+    * complement of ks_drift's exact two-sample statistic): reference =
+    * first two weeks' value distribution, current = the rest, 50-wide
+    * buckets, PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) with +1 Laplace smoothing so
+    * empty cells never reach ln. Per-bucket contributions are the
+    * reviewable artifact (which band drifted), conventional flags at
+    * 0.1 / 0.25.
+    *
+    * Exactness: shares rationalized to the common denominator
+    * D = (n_ref+B)(n_cur+B); each bucket's ln is one exact-double
+    * integer ratio quantized at e6 (≤ B libm calls); contribution
+    * numerators ((aᵢ+1)(n_cur+B) − (bᵢ+1)(n_ref+B))·Lᵢ stay in BIGINT
+    * (≤ ~10¹⁷ at sf0.1); one div at the export. ONE conditional-count
+    * rollup per bucket is the whole scan. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOf(Tables.events(spark, dir))
+
+  def psiDriftOf(events: DataFrame): DataFrame = {
+    events
+      .select((floor(col("value").cast("double") / 50) * 50).cast("long").as("bucket"),
+        (dayofmonth(col("ts")) <= 14).cast("long").as("is_ref"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_ref")).as("a"),
+        sum(lit(1L) - col("is_ref")).as("b"))
+      .createOrReplaceTempView("graft_psi_cells")
+    events.sparkSession.sql(psiSql("SELECT bucket, a, b FROM graft_psi_cells", "div"))
+  }
+
+  /** Engine-shared PSI body (`cellSource` supplies (bucket, a, b);
+    * `idiv` as in [[miSql]]). */
+  def psiSql(cellSource: String, idiv: String): String =
+    s"""WITH cells AS ($cellSource),
+       |t AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+       |    CAST(COUNT(*) AS BIGINT) AS nbuckets
+       |  FROM cells),
+       |d AS (
+       |  SELECT cells.bucket, CAST(cells.a AS BIGINT) AS n_ref,
+       |    CAST(cells.b AS BIGINT) AS n_cur,
+       |    (cells.a + 1) * (t.nb + t.nbuckets)
+       |      - (cells.b + 1) * (t.na + t.nbuckets) AS diff_num,
+       |    CAST(round(1000000 * ln(
+       |      (CAST(cells.a + 1 AS DOUBLE) * CAST(t.nb + t.nbuckets AS DOUBLE))
+       |      / (CAST(cells.b + 1 AS DOUBLE) * CAST(t.na + t.nbuckets AS DOUBLE))))
+       |      AS BIGINT) AS l_e6,
+       |    (t.na + t.nbuckets) * (t.nb + t.nbuckets) AS den
+       |  FROM cells CROSS JOIN t)
+       |SELECT bucket, n_ref, n_cur,
+       |  ((n_ref + 1) * 1000000) $idiv ((SELECT na + nbuckets FROM t)) AS ref_share_e6,
+       |  ((n_cur + 1) * 1000000) $idiv ((SELECT nb + nbuckets FROM t)) AS cur_share_e6,
+       |  (diff_num * l_e6) $idiv den AS contrib_e6,
+       |  CASE WHEN (SELECT SUM((d2.diff_num * d2.l_e6) $idiv d2.den) FROM d d2) >= 250000
+       |      THEN 'major'
+       |    WHEN (SELECT SUM((d2.diff_num * d2.l_e6) $idiv d2.den) FROM d d2) >= 100000
+       |      THEN 'moderate' ELSE 'stable' END AS psi_verdict
+       |FROM d ORDER BY bucket""".stripMargin
+
   /** Offline policy evaluation by inverse-propensity scoring (Horvitz &
     * Thompson 1952; Li et al. 2011's offline bandit replay) — "what would
     * this TARGET policy have earned on the logged traffic?", the
@@ -528,6 +648,8 @@ object StatQueries {
     "holt_linear" -> (holtLinear _),
     "ips_policy_eval" -> (ipsPolicyEval _),
     "adaboost_stumps" -> (adaboostStumps _),
+    "mutual_info" -> (mutualInfo _),
+    "psi_drift" -> (psiDrift _),
     "gini_split" -> (giniSplit _)
   )
 
@@ -675,6 +797,16 @@ object StatQueries {
         |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
         |  CAST(s AS BIGINT) AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin,
+    "mutual_info" -> miSql(
+      """SELECT event_type AS x,
+        |    CAST(floor(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2""".stripMargin, "//"),
+    "psi_drift" -> psiSql(
+      """SELECT CAST(floor(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS bucket,
+        |    CAST(SUM(CASE WHEN day(ts) <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN day(ts) > 14 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1""".stripMargin, "//"),
     // SAME body as the Spark side (adaboostSql) — only the histogram
     // source differs; ln quantized once per alpha
     "adaboost_stumps" -> adaboostSql(

@@ -166,6 +166,71 @@ class StatQueriesSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 333333L)))
   }
 
+  // ------------------------------------------------------------ MI and PSI
+
+  test("mutual_info: exact replay; planted dependence raises MI, bounded by H") {
+    def q(x: Double): Long = math.round(1e6 * math.log(x))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"event_type", (floor($"value".cast("double") / 50) * 50).cast("long"))
+      .as[(String, Long)].collect()
+    val n = ev.length.toLong
+    val cxy = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val miNum = cxy.map { case ((x, y), c) =>
+      c * q(c.toDouble * n / (cx(x).toDouble * cy(y)))
+    }.sum
+    def hNum(m: Map[_, Long]) = n * q(n.toDouble) - m.values.map(c => c * q(c.toDouble)).sum
+    val r = StatQueries.mutualInfo(spark, sfDir).collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == hNum(cx) / n && r.getLong(2) == hNum(cy) / n)
+    assert(r.getLong(3) == miNum / n)
+    // iid fixture: MI is tiny next to the marginals
+    assert(math.abs(r.getLong(3)) < r.getLong(1) / 10)
+
+    // planted dependence: purchases live ONLY in low buckets
+    val dep = (0 until 400).map { i =>
+      val pos = i % 5 == 0
+      val v = if (pos) (i % 10) * 10.0 else 250.0 + (i % 10) * 10.0
+      (i.toLong, i.toLong, if (pos) "purchase" else "view", v, "2024-01-05 00:00:00")
+    }
+    val d = StatQueries.mutualInfoOf(mkEvents(dep)).collect().head
+    // X determines Y exactly here: MI == H(X) (up to per-cell rounding)
+    assert(math.abs(d.getLong(3) - d.getLong(1)) <= 5, s"mi=${d.getLong(3)} hx=${d.getLong(1)}")
+    assert(d.getLong(4) >= 999000L, s"nmi=${d.getLong(4)}")
+  }
+
+  test("psi_drift: stable fixture vs planted shift verdicts; contribs replay") {
+    val out = StatQueries.psiDrift(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getString(6) == out.head.getString(6)))
+    // replay one bucket's contribution exactly
+    val ev = graft.Tables.events(spark, sfDir)
+      .select((floor($"value".cast("double") / 50) * 50).cast("long").as("b"),
+        dayofmonth($"ts").as("dom"))
+      .as[(Long, Int)].collect()
+    val nb = out.length.toLong
+    val na = ev.count(_._2 <= 14).toLong; val ncur = ev.length - na
+    for (row <- out) {
+      val b = row.getLong(0)
+      val a = ev.count(e => e._1 == b && e._2 <= 14).toLong
+      val c = ev.count(e => e._1 == b && e._2 > 14).toLong
+      assert(row.getLong(1) == a && row.getLong(2) == c)
+      val l = math.round(1e6 * math.log(
+        (a + 1).toDouble * (ncur + nb) / ((c + 1).toDouble * (na + nb))))
+      val num = (a + 1) * (ncur + nb) - (c + 1) * (na + nb)
+      assert(row.getLong(5) == num * l / ((na + nb) * (ncur + nb)))
+    }
+
+    // planted shift: reference mass low, current mass high -> major drift
+    val shift = (0 until 300).map { i =>
+      val ref = i < 150
+      val v = if (ref) (i % 4) * 50.0 + 1 else 250.0 + (i % 4) * 50.0 + 1
+      (i.toLong, i.toLong, "view", v, if (ref) "2024-01-05 00:00:00" else "2024-01-20 00:00:00")
+    }
+    val s = StatQueries.psiDriftOf(mkEvents(shift)).collect()
+    assert(s.forall(_.getString(6) == "major"), s.map(_.getString(6)).toSeq.toString)
+  }
+
   // --------------------------------------------------------------- AdaBoost
 
   /** Local exact AdaBoost on a (bucket -> (pos, neg)) histogram, the
