@@ -354,6 +354,70 @@ object StatQueries {
        |      THEN 'moderate' ELSE 'stable' END AS psi_verdict
        |FROM d ORDER BY bucket""".stripMargin
 
+  /** Split-conformal prediction interval (Vovk's conformal prediction;
+    * Lei et al. 2018 split form) — distribution-free uncertainty for the
+    * daily-revenue forecaster: the 7-day-mean forecast's absolute errors
+    * on a CALIBRATION window (days 8-21) yield the conformal quantile
+    * q = k-th smallest error with k = ⌈(n+1)(1−α)⌉ (α = 1/5 held as the
+    * exact integer ceiling — no float quantile), and the interval
+    * forecast ± q is then scored on the HELD-OUT days 22-30. Marginal
+    * coverage ≥ 1−α is the exchangeability guarantee; the output is the
+    * audit row (n_cal, n_test, k, q, covered, coverage).
+    *
+    * Exactness: everything is integer — e2 revenues, div-7 forecast,
+    * absolute errors, the order statistic via a ≤14×14 rank self-join
+    * ((err, day) lexicographic, so the k-th row is unique), the coverage
+    * ratio's one terminal div. No window function anywhere (the
+    * PlanSpec unpartitioned-window guard binds even on calendar-bounded
+    * frames); the daily rollup is the only corpus-sized work. Engine-
+    * shared SQL body (prefix + idiv parameterized). */
+  def conformalForecast(spark: SparkSession, dir: String): DataFrame =
+    conformalForecastOf(Tables.events(spark, dir))
+
+  def conformalForecastOf(events: DataFrame): DataFrame = {
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      .createOrReplaceTempView("graft_conf_daily")
+    events.sparkSession.sql(conformalSql(
+      """idx AS (
+        |  SELECT datediff(day, (SELECT MIN(day) FROM graft_conf_daily)) + 1 AS i,
+        |    rev
+        |  FROM graft_conf_daily)""".stripMargin, "div"))
+  }
+
+  /** Engine-shared conformal body — `prefix` must define `idx(i, rev)`
+    * (1-based contiguous day index, e2 revenue); `idiv` as in [[miSql]]. */
+  def conformalSql(prefix: String, idiv: String): String =
+    s"""WITH $prefix,
+       |f AS (
+       |  SELECT a.i, a.rev, CAST(SUM(b.rev) AS BIGINT) $idiv 7 AS fc
+       |  FROM idx a JOIN idx b ON b.i >= a.i - 7 AND b.i <= a.i - 1
+       |  WHERE a.i >= 8
+       |  GROUP BY a.i, a.rev),
+       |e AS (
+       |  SELECT i, CASE WHEN rev >= fc THEN rev - fc ELSE fc - rev END AS err
+       |  FROM f),
+       |cal AS (SELECT i, err FROM e WHERE i <= 21),
+       |tst AS (SELECT i, err FROM e WHERE i >= 22),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+       |kk AS (SELECT ((n_cal + 1) * 4 + 4) $idiv 5 AS k FROM nc),
+       |ranked AS (
+       |  SELECT c.i, c.err, CAST(COUNT(*) AS BIGINT) AS r
+       |  FROM cal c JOIN cal c2
+       |    ON c2.err < c.err OR (c2.err = c.err AND c2.i <= c.i)
+       |  GROUP BY c.i, c.err),
+       |q AS (SELECT err AS q_e2 FROM ranked WHERE r = (SELECT k FROM kk))
+       |SELECT (SELECT n_cal FROM nc) AS n_cal,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tst) AS n_test,
+       |  (SELECT k FROM kk) AS k,
+       |  (SELECT q_e2 FROM q) AS q_e2,
+       |  (SELECT CAST(SUM(CASE WHEN err <= (SELECT q_e2 FROM q)
+       |     THEN 1 ELSE 0 END) AS BIGINT) FROM tst) AS covered,
+       |  ((SELECT CAST(SUM(CASE WHEN err <= (SELECT q_e2 FROM q)
+       |     THEN 1 ELSE 0 END) AS BIGINT) FROM tst) * 1000000)
+       |    $idiv (SELECT CAST(COUNT(*) AS BIGINT) FROM tst) AS coverage_e6""".stripMargin
+
   /** Offline policy evaluation by inverse-propensity scoring (Horvitz &
     * Thompson 1952; Li et al. 2011's offline bandit replay) — "what would
     * this TARGET policy have earned on the logged traffic?", the
@@ -650,6 +714,7 @@ object StatQueries {
     "adaboost_stumps" -> (adaboostStumps _),
     "mutual_info" -> (mutualInfo _),
     "psi_drift" -> (psiDrift _),
+    "conformal_forecast" -> (conformalForecast _),
     "gini_split" -> (giniSplit _)
   )
 
@@ -797,6 +862,15 @@ object StatQueries {
         |  CAST((1000000 * d) // n AS BIGINT) AS hazard_e6,
         |  CAST(s AS BIGINT) AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin,
+    "conformal_forecast" -> conformalSql(
+      """daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT date_diff('day', (SELECT MIN(day) FROM daily), day) + 1 AS i,
+        |    rev
+        |  FROM daily)""".stripMargin, "//"),
     "mutual_info" -> miSql(
       """SELECT event_type AS x,
         |    CAST(floor(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS y,

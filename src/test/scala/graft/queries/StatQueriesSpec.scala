@@ -166,6 +166,46 @@ class StatQueriesSpec extends SparkSpec {
       (2, 2L, 1L, 500000L, 333333L)))
   }
 
+  // ---------------------------------------------------------- conformal
+
+  test("conformal_forecast: exact local replay of the whole pipeline") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("rev"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val i0 = daily.head._1.toLocalDate.toEpochDay
+    val idx = daily.map(d => (d._1.toLocalDate.toEpochDay - i0 + 1, d._2)).toMap
+    val errs = (8L to idx.keys.max).map { i =>
+      val fc = (i - 7 to i - 1).map(idx).sum / 7
+      i -> math.abs(idx(i) - fc)
+    }.toMap
+    val cal = errs.filter(_._1 <= 21).toSeq.sortBy(e => (e._2, e._1))
+    val k = ((cal.size + 1) * 4 + 4) / 5
+    val q = cal(k - 1)._2
+    val tst = errs.filter(_._1 >= 22)
+    val covered = tst.values.count(_ <= q).toLong
+    val r = StatQueries.conformalForecast(spark, sfDir).collect().head
+    assert(r.getLong(0) == cal.size && r.getLong(1) == tst.size)
+    assert(r.getLong(2) == k && r.getLong(3) == q)
+    assert(r.getLong(4) == covered)
+    assert(r.getLong(5) == covered * 1000000L / tst.size)
+  }
+
+  test("conformal_forecast: planted spike in test stays outside the interval") {
+    // flat series (err 0 everywhere) except day 25 jumps: q = 0, the
+    // spike day is the only uncovered test point -> coverage 8/9
+    val rows = (1 to 30).map { d =>
+      val v = if (d == 25) 400.0 else 100.0
+      (d.toLong, 1L, "view", v, f"2024-01-$d%02d 05:00:00")
+    }
+    val r = StatQueries.conformalForecastOf(mkEvents(rows)).collect().head
+    assert(r.getLong(3) == 0L, s"q=${r.getLong(3)}")
+    // day 25 misses; days 26-32 don't exist past 30 — 9 test days are
+    // 22..30, day 25 spikes and days 26..30 carry the spike into their
+    // trailing mean (fc off by 30000/7 e2) so they miss too
+    assert(r.getLong(4) < r.getLong(1), s"covered=${r.getLong(4)}/${r.getLong(1)}")
+  }
+
   // ------------------------------------------------------------ MI and PSI
 
   test("mutual_info: exact replay; planted dependence raises MI, bounded by H") {
