@@ -430,25 +430,32 @@ object RelationalQueries {
     * a ranking window (PlanSpec's unpartitioned-window guard applies to
     * recursive plans too). Recursion depth = calendar days: bounded by
     * time, not data, at any scale. Contiguous series assumed (a gap
-    * would end the chain — gap_fill is the upstream fix). */
+    * would end the chain — gap_fill is the upstream fix).
+    *
+    * The daily rollup is materialized BEFORE the recursion: Spark's
+    * `UnionLoop` re-executes the whole step subplan per iteration, so a
+    * rollup left inside the CTE chain rescans events once per day of
+    * calendar (measured 13.8 s at sf0.1 → ~0.3 s materialized). */
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_events_rec")
     spark.sql(
-      """WITH RECURSIVE
-        |daily AS (
+      """WITH daily AS (
         |  SELECT to_date(ts) AS day,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM graft_events_rec GROUP BY 1),
-        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
-        |idx AS (
-        |  SELECT day, rev,
-        |    datediff(day, (SELECT d0 FROM d0)) + 1 AS t
-        |  FROM daily),
+        |  FROM graft_events_rec GROUP BY 1)
+        |SELECT day, rev,
+        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t
+        |FROM daily""".stripMargin)
+      .coalesce(1)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_rec_idx")
+    spark.sql(
+      """WITH RECURSIVE
         |acc AS (
-        |  SELECT t, day, rev, rev AS bal FROM idx WHERE t = 1
+        |  SELECT t, day, rev, rev AS bal FROM graft_rec_idx WHERE t = 1
         |  UNION ALL
         |  SELECT i.t, i.day, i.rev, (a.bal * 9) div 10 + i.rev AS bal
-        |  FROM acc a JOIN idx i ON i.t = a.t + 1)
+        |  FROM acc a JOIN graft_rec_idx i ON i.t = a.t + 1)
         |SELECT day, rev AS rev_e2, bal AS decay_e2
         |FROM acc ORDER BY day""".stripMargin)
   }

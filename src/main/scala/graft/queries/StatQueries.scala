@@ -191,9 +191,14 @@ object StatQueries {
 
   def survivalKmOf(events: DataFrame): DataFrame = {
     events.createOrReplaceTempView("graft_events_surv")
-    events.sparkSession.sql(
-      """WITH RECURSIVE
-        |subj AS (
+    val spark = events.sparkSession
+    // stage 1 — corpus-sized work, run ONCE: Spark's recursive CTE
+    // re-executes the step subplan per iteration, so a risk table left
+    // as a CTE would rescan events every round (measured: 38 s at
+    // sf0.1); the recursion below runs over this materialized ≤31-row
+    // frame instead
+    spark.sql(
+      """WITH subj AS (
         |  SELECT user_id,
         |    MIN(CASE WHEN event_type = 'signup' THEN to_date(ts) END) AS s0
         |  FROM graft_events_surv GROUP BY user_id),
@@ -218,17 +223,22 @@ object StatQueries {
         |  SELECT e.t_obs AS t, MAX(e.d) AS d, SUM(c.ending) AS n
         |  FROM (SELECT t_obs, d FROM tc WHERE d > 0) e
         |  JOIN tc c ON c.t_obs >= e.t_obs
-        |  GROUP BY e.t_obs),
-        |idx AS (
-        |  SELECT r.t, MAX(r.d) AS d, MAX(r.n) AS n, COUNT(*) AS i
-        |  FROM risk r JOIN risk r2 ON r2.t <= r.t
-        |  GROUP BY r.t),
+        |  GROUP BY e.t_obs)
+        |SELECT r.t, MAX(r.d) AS d, MAX(r.n) AS n, COUNT(*) AS i
+        |FROM risk r JOIN risk r2 ON r2.t <= r.t
+        |GROUP BY r.t""".stripMargin)
+      .coalesce(1) // one tiny partition — each iteration pays per-task overhead
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_surv_idx")
+    // stage 2 — the KM recursion over the bounded frame
+    spark.sql(
+      """WITH RECURSIVE
         |km AS (
         |  SELECT i, t, d, n, (1000000 * (n - d)) div n AS s
-        |  FROM idx WHERE i = 1
+        |  FROM graft_surv_idx WHERE i = 1
         |  UNION ALL
         |  SELECT x.i, x.t, x.d, x.n, (k.s * (x.n - x.d)) div x.n
-        |  FROM km k JOIN idx x ON x.i = k.i + 1)
+        |  FROM km k JOIN graft_surv_idx x ON x.i = k.i + 1)
         |SELECT t AS tenure_days, n AS n_risk, d AS d_events,
         |  (1000000 * d) div n AS hazard_e6, s AS survival_e6
         |FROM km ORDER BY tenure_days""".stripMargin)
@@ -258,6 +268,10 @@ object StatQueries {
       .select(col("event_type").as("x"),
         (floor(col("value").cast("double") / 50) * 50).cast("long").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      // materialize the bounded frame ONCE: a temp view is a plan, and
+      // every scalar-subquery reference in the body would otherwise
+      // re-run the corpus rollup (measured 4-38 s/query at sf0.1)
+      .localCheckpoint()
       .createOrReplaceTempView("graft_mi_cells")
     events.sparkSession.sql(miSql("SELECT x, y, c FROM graft_mi_cells", "div"))
   }
@@ -321,6 +335,7 @@ object StatQueries {
       .groupBy(col("bucket"))
       .agg(sum(col("is_ref")).as("a"),
         sum(lit(1L) - col("is_ref")).as("b"))
+      .localCheckpoint() // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_psi_cells")
     events.sparkSession.sql(psiSql("SELECT bucket, a, b FROM graft_psi_cells", "div"))
   }
@@ -378,6 +393,7 @@ object StatQueries {
     events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      .localCheckpoint() // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_conf_daily")
     events.sparkSession.sql(conformalSql(
       """idx AS (
@@ -486,24 +502,31 @@ object StatQueries {
 
   def holtLinearOf(events: DataFrame): DataFrame = {
     events.createOrReplaceTempView("graft_events_holt")
-    events.sparkSession.sql(
-      """WITH RECURSIVE
-        |daily AS (
+    val spark = events.sparkSession
+    // daily rollup materialized ONCE — the recursion's step subplan
+    // re-executes per iteration (the survivalKm lesson: 30 iterations
+    // would mean 30 corpus scans)
+    spark.sql(
+      """WITH daily AS (
         |  SELECT to_date(ts) AS day,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM graft_events_holt GROUP BY 1),
-        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
-        |idx AS (
-        |  SELECT day, rev, datediff(day, (SELECT d0 FROM d0)) + 1 AS t
-        |  FROM daily),
+        |  FROM graft_events_holt GROUP BY 1)
+        |SELECT day, rev,
+        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t
+        |FROM daily""".stripMargin)
+      .coalesce(1)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_holt_idx")
+    spark.sql(
+      """WITH RECURSIVE
         |holt AS (
         |  SELECT t, day, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd
-        |  FROM idx WHERE t = 1
+        |  FROM graft_holt_idx WHERE t = 1
         |  UNION ALL
         |  SELECT i.t, i.day, i.rev,
         |    (i.rev + h.lvl + h.trd) div 2,
         |    (h.trd + ((i.rev + h.lvl + h.trd) div 2 - h.lvl)) div 2
-        |  FROM holt h JOIN idx i ON i.t = h.t + 1)
+        |  FROM holt h JOIN graft_holt_idx i ON i.t = h.t + 1)
         |SELECT day, rev AS rev_e2, lvl AS level_e2, trd AS trend_e2,
         |  lvl + trd AS forecast_e2
         |FROM holt ORDER BY day""".stripMargin)
@@ -626,6 +649,7 @@ object StatQueries {
       .select((floor(col("value").cast("double") / 10) * 10).cast("long").as("bucket"),
         when(col("event_type") === "purchase", 1L).otherwise(-1L).as("yy"))
       .groupBy(col("bucket"), col("yy")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_ada_h")
     events.sparkSession.sql(adaboostSql("SELECT bucket, yy, c FROM graft_ada_h"))
   }
