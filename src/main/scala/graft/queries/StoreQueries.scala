@@ -1035,7 +1035,34 @@ object StoreQueries {
       .orderBy(col("day"))
   }
 
+  /** Aggregate pushdown through the V2 connector — COUNT(*)/MIN/MAX
+    * answered from parquet FOOTER metadata (one footer open per manifest
+    * file, zero data pages; [[graft.sources.VersionedV2]]'s
+    * `SupportsPushDownAggregates`). The store is written in three appends
+    * so the fold crosses file boundaries; the oracle recomputes the same
+    * aggregates from the raw fixture — metadata and data must agree
+    * exactly (parquet int stats are exact; that's why the pushdown is
+    * scoped to integral columns). VersionedV2Spec pins the plan
+    * (AGG-PUSHDOWN scan, no row-reading scan) and the all-null column
+    * contract. */
+  def v2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("v2agg", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50).coalesce(1), path)
+    graft.store.Versioned.append(
+      ev.filter(col("user_id").between(50, 99)).coalesce(1), path)
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100).coalesce(1), path)
+    spark.read.format("graft-versioned").option("path", path).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v_e2")).as("min_v_e2"), max(col("v_e2")).as("max_v_e2"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_agg_pushdown" -> (v2AggPushdown _),
     "dpp_join" -> (dppJoin _),
     "v2_source_read" -> (v2SourceRead _),
     "v2_source_write" -> (v2SourceWrite _),
@@ -1063,6 +1090,14 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // footer metadata must agree exactly with the data it describes
+    "v2_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_v_e2,
+        |  CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_v_e2,
+        |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+        |  CAST(MAX(user_id) AS BIGINT) AS max_user
+        |FROM events""".stripMargin,
     // same join recomputed from the raw table — the partitioned layout
     // must change nothing; hot-day gate is the exact cross-multiplication
     "dpp_join" ->

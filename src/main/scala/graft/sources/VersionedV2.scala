@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -330,10 +331,57 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
 private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
     msg: MessageType, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[VersionedAggSpec], StructType)] = None
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — COUNT(*)/MIN/MAX
+    * answered from parquet FOOTER metadata alone: one footer open per
+    * file, zero data pages. At 100 TB this turns a table-wide
+    * count/min/max into k metadata reads — the same trick Spark's own
+    * parquet aggregate pushdown plays, here wired through the
+    * connector's manifest file list (so versionAsOf time travel
+    * composes). Partial pushdown: each file partition emits ONE
+    * pre-aggregated row and Spark folds them (so multi-file stores and
+    * empty files need no special casing). Scope: group-by-free plans
+    * with no filters (our filters are file-granular residuals, so Spark
+    * never offers aggregates alongside them), MIN/MAX on integral
+    * columns only — footer int stats are exact where string stats may
+    * truncate. All-null blocks contribute NULL (Spark's fold ignores
+    * it). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def integral(c: String): Boolean =
+      full.fields.find(_.name == c).map(_.dataType).exists {
+        case LongType | IntegerType => true
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(VersionedCountStar)
+      case m: AggMin => colOf(m.column).filter(integral).map(VersionedMinOf)
+      case m: AggMax => colOf(m.column).filter(integral).map(VersionedMaxOf)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty) || specs.isEmpty) return false
+    val flat = specs.flatten
+    val schema = StructType(flat.map {
+      case VersionedCountStar => StructField("count(*)", LongType, nullable = false)
+      case VersionedMinOf(c) => StructField(s"min($c)",
+        full.fields.find(_.name == c).get.dataType)
+      case VersionedMaxOf(c) => StructField(s"max($c)",
+        full.fields.find(_.name == c).get.dataType)
+    })
+    pushedAgg = Some((flat, schema))
+    true
+  }
 
   private def longBound(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -363,6 +411,11 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
     required = requiredSchema
 
   override def build(): Scan = {
+    pushedAgg match {
+      case Some((specs, schema)) =>
+        return new VersionedAggScan(Versioned.files(path, version), specs, schema)
+      case None =>
+    }
     val all = Versioned.files(path, version)
     // stats/bloom markers describe the CURRENT version's manifest lines;
     // historical reads keep their full file list
@@ -403,6 +456,74 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       VersionedV2.project(msg, readCols).toString,
       required.fields.isEmpty)
   }
+}
+
+private[sources] sealed trait VersionedAggSpec extends Serializable
+private[sources] case object VersionedCountStar extends VersionedAggSpec
+private[sources] case class VersionedMinOf(col: String) extends VersionedAggSpec
+private[sources] case class VersionedMaxOf(col: String) extends VersionedAggSpec
+
+/** Footer-metadata aggregate scan — one partition per file, each emitting
+  * ONE pre-aggregated row (rowCount + per-column min/max from parquet
+  * block statistics); no data page is ever opened. */
+private[sources] class VersionedAggScan(files: Seq[String],
+    specs: Seq[VersionedAggSpec], schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-versioned AGG-PUSHDOWN files=${files.size} " +
+      s"aggs=${schema.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => VersionedAggPartition(f, specs, schema): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new VersionedAggReader(p.asInstanceOf[VersionedAggPartition])
+    }
+}
+
+private[sources] case class VersionedAggPartition(file: String,
+    specs: Seq[VersionedAggSpec], schema: StructType) extends InputPartition
+
+private[sources] class VersionedAggReader(p: VersionedAggPartition)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    done = true
+    val footer = ParquetFileReader.readFooter(new Configuration(),
+      new Path(p.file),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val blocks = footer.getBlocks.asScala.toSeq
+    def colStats(c: String) = blocks.flatMap(_.getColumns.asScala
+      .find(_.getPath.toDotString == c)
+      .filter(m => m.getStatistics != null && m.getStatistics.hasNonNullValue)
+      .map(_.getStatistics))
+    def asLong(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => sys.error(s"unsupported stats type ${other.getClass}")
+    }
+    def emit(c: String, l: Long): Any =
+      p.schema.fields.find(_.name.contains(s"($c)")).map(_.dataType) match {
+        case Some(IntegerType) => l.toInt
+        case _ => l
+      }
+    val vals: Array[Any] = p.specs.map {
+      case VersionedCountStar => blocks.map(_.getRowCount).sum
+      case VersionedMinOf(c) =>
+        val ss = colStats(c)
+        if (ss.isEmpty) null else emit(c, ss.map(s => asLong(s.genericGetMin)).min)
+      case VersionedMaxOf(c) =>
+        val ss = colStats(c)
+        if (ss.isEmpty) null else emit(c, ss.map(s => asLong(s.genericGetMax)).max)
+    }.toArray
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class VersionedScan(total: Int, files: Seq[String],

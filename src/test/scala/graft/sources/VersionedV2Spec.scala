@@ -184,4 +184,39 @@ class VersionedV2Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException](v2(path).collect())
     assert(e.getMessage.contains("rename"))
   }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from footers alone") {
+    val path = threeSliceTable()
+    val v2 = spark.read.format("graft-versioned").option("path", path).load()
+    val agg = v2.agg(count(lit(1)).as("n"),
+      min($"v_e2").as("mn"), max($"v_e2").as("mx"),
+      min($"user_id").as("mu"), max($"user_id").as("xu"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHDOWN"), plan.take(3000))
+    val got = agg.collect().head
+    val raw = Tables.events(spark, sfDir).agg(count(lit(1)),
+      min(expr("CAST(round(value*100) AS BIGINT)")),
+      max(expr("CAST(round(value*100) AS BIGINT)")),
+      min($"user_id"), max($"user_id")).collect().head
+    assert((0 until 5).forall(i => got.get(i) == raw.get(i)), s"$got vs $raw")
+
+    // group-by, filtered, or non-integral aggregates do NOT push down
+    val grouped = v2.groupBy($"event_type").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val filtered = v2.filter($"user_id" > 5).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val str = v2.agg(min($"event_type"))
+    assert(!str.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+
+    // all-null column: footer has no non-null stats -> NULL min/max
+    val nulls = freshTable("aggnull")
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(nulls + "-tmp")
+    Versioned.append(spark.read.parquet(nulls + "-tmp"), nulls)
+    val nv = spark.read.format("graft-versioned").option("path", nulls).load()
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+    assert(nv.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    val nr = nv.collect().head
+    assert(nr.getLong(0) == 2L && nr.isNullAt(1) && nr.isNullAt(2))
+  }
 }
