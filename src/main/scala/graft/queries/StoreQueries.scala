@@ -1035,6 +1035,42 @@ object StoreQueries {
       .orderBy(col("day"))
   }
 
+  /** Streaming SOURCE over the versioned store — the read side of the
+    * connector's streaming story ([[graft.sources.VersionedV2]]'s
+    * `MicroBatchStream`): three manifest versions replay as three REAL
+    * micro-batches (admission control paces one VERSION per batch;
+    * `Trigger.AvailableNow` drains to the version current at start), the
+    * streamed rows land in a parquet sink, and the read-back aggregate
+    * must equal DuckDB over the raw fixture — version diffing, batch
+    * planning, decode, and the sink all sit on the hash path.
+    * VersionedV2Spec additionally pins the batch count, checkpointed
+    * RESUME (a fourth version appended after the first drain streams
+    * alone), and the append-only rejection on rewrites. */
+  def v2StreamSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v2src-")
+    cleanupAtExit(tmp.toString)
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("out").toString
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50).coalesce(1), store)
+    graft.store.Versioned.append(
+      ev.filter(col("user_id").between(50, 99)).coalesce(1), store)
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100).coalesce(1), store)
+    val q = spark.readStream.format("graft-versioned").option("path", store)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv_e2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Aggregate pushdown through the V2 connector — COUNT(*)/MIN/MAX
     * answered from parquet FOOTER metadata (one footer open per manifest
     * file, zero data pages; [[graft.sources.VersionedV2]]'s
@@ -1063,6 +1099,7 @@ object StoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v2_agg_pushdown" -> (v2AggPushdown _),
+    "v2_stream_source" -> (v2StreamSource _),
     "dpp_join" -> (dppJoin _),
     "v2_source_read" -> (v2SourceRead _),
     "v2_source_write" -> (v2SourceWrite _),
@@ -1090,6 +1127,11 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streamed union of the three versions IS the raw table
+    "v2_stream_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // footer metadata must agree exactly with the data it describes
     "v2_agg_pushdown" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -170,7 +170,7 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
   override def schema(): StructType = schemaV
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(path, version, msg, schemaV)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -454,7 +454,7 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       else Seq(full.fields.minBy(f => f.dataType.defaultSize).name)
     new VersionedScan(all.size, survivors, required,
       VersionedV2.project(msg, readCols).toString,
-      required.fields.isEmpty)
+      required.fields.isEmpty, path)
   }
 }
 
@@ -527,8 +527,16 @@ private[sources] class VersionedAggReader(p: VersionedAggPartition)
 }
 
 private[sources] class VersionedScan(total: Int, files: Seq[String],
-    required: StructType, projectedMsg: String, emitEmptyRows: Boolean)
+    required: StructType, projectedMsg: String, emitEmptyRows: Boolean,
+    tablePath: String)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** Streaming SOURCE over the manifest log ([[VersionedMicroBatchStream]])
+    * — `spark.readStream.format("graft-versioned")`. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VersionedMicroBatchStream(tablePath, projectedMsg, required,
+      emitEmptyRows)
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-versioned files=${files.size}/$total cols=${required.fieldNames.mkString(",")}"
@@ -555,6 +563,75 @@ private[sources] class VersionedScan(total: Int, files: Seq[String],
 private[sources] case class VersionedFilePartition(file: String,
     projectedMsg: String, required: StructType, emitEmptyRows: Boolean)
     extends InputPartition
+
+private[sources] case class VersionedStreamOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
+}
+
+/** Micro-batch streaming SOURCE over the manifest log — the Delta-style
+  * "stream from the table" read side completing the connector's streaming
+  * story (the exactly-once sink is [[VersionedWriteImpl]]): offsets are
+  * MANIFEST VERSIONS, each micro-batch reads exactly the files the
+  * versions in (start, end] added, and admission control paces ONE
+  * version per batch (so a catch-up replay shows the commit history,
+  * batch for batch — `Trigger.AvailableNow` drains to the version
+  * current at query start via `SupportsTriggerAvailableNow`).
+  *
+  * Scope: APPEND-ONLY tables (the Delta streaming-source default): a
+  * version that REMOVES files (rewrite/delete/compaction) fails the
+  * stream with a clear message rather than silently replaying rewritten
+  * rows — the CDC path for mutating tables is `Versioned.changes`.
+  * Offsets serialize as the bare version number, so checkpoints survive
+  * restarts; commit() is a no-op because the manifest log itself is the
+  * durable history. */
+private[sources] class VersionedMicroBatchStream(path: String,
+    projectedMsg: String, required: StructType, emitEmptyRows: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def initialOffset(): SOffset = VersionedStreamOffset(0)
+  override def deserializeOffset(json: String): SOffset =
+    VersionedStreamOffset(json.trim.toInt)
+  override def latestOffset(): SOffset =
+    VersionedStreamOffset(availableNowCap.getOrElse(Versioned.currentVersion(path)))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Versioned.currentVersion(path))
+  // admission control: ONE version per micro-batch — a catch-up replay
+  // walks the commit history batch for batch
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[VersionedStreamOffset].v
+    val target = availableNowCap.getOrElse(Versioned.currentVersion(path))
+    VersionedStreamOffset(math.min(s + 1, target).max(s))
+  }
+  override def reportLatestOffset(): SOffset =
+    VersionedStreamOffset(Versioned.currentVersion(path))
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionedStreamOffset].v
+    val e = end.asInstanceOf[VersionedStreamOffset].v
+    if (e <= s) return Array.empty
+    val before = if (s == 0) Set.empty[String]
+      else Versioned.files(path, Some(s)).toSet
+    val after = Versioned.files(path, Some(e))
+    val removed = before -- after.toSet
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"graft-versioned streaming source: versions ($s, $e] of $path remove " +
+        s"${removed.size} file(s) (rewrite/delete/compaction) — the source " +
+        "is append-only; use Versioned.changes for CDC over mutating tables")
+    after.filterNot(before)
+      .map(f => VersionedFilePartition(f, projectedMsg, required,
+        emitEmptyRows): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedReaderFactory
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

@@ -219,4 +219,54 @@ class VersionedV2Spec extends SparkSpec {
     val nr = nv.collect().head
     assert(nr.getLong(0) == 2L && nr.isNullAt(1) && nr.isNullAt(2))
   }
+
+  test("streaming source replays versions as batches, resumes, rejects rewrites") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v2-stream-src-")
+    val store = tmp.resolve("store").toString
+    val out = tmp.resolve("out").toString
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    Versioned.append(ev.filter($"user_id" < 5).coalesce(1), store)
+    Versioned.append(ev.filter($"user_id".between(5, 9)).coalesce(1), store)
+    Versioned.append(ev.filter($"user_id" >= 10).coalesce(1), store)
+
+    def drain() = {
+      val q = spark.readStream.format("graft-versioned").option("path", store)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = drain()
+    // one micro-batch per manifest version (admission control)
+    assert(q1.recentProgress.count(_.numInputRows > 0) == 3,
+      q1.recentProgress.map(_.numInputRows).mkString(","))
+    val n0 = ev.count()
+    assert(spark.read.parquet(out).count() == n0)
+
+    // checkpointed resume: a fourth version streams ALONE
+    Versioned.append(ev.filter($"user_id" < 2)
+      .withColumn("event_id", $"event_id" + 1000000L).coalesce(1), store)
+    val q2 = drain()
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 1)
+    assert(spark.read.parquet(out).count() == n0 + ev.filter($"user_id" < 2).count())
+
+    // a file-REMOVING version (compaction) fails the append-only source
+    Versioned.compactSmall(spark, store, targetBytes = 1L << 30)
+    Versioned.append(ev.filter($"user_id" === 3)
+      .withColumn("event_id", $"event_id" + 2000000L).coalesce(1), store)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-versioned").option("path", store)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("append-only")
+      || Option(ex.getCause).exists(_.getMessage.contains("append-only")), ex.getMessage)
+  }
 }
