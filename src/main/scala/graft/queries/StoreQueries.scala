@@ -1071,6 +1071,44 @@ object StoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Medallion pipeline — STREAM FROM THE STORE INTO THE STORE: bronze
+    * (raw events, three manifest versions) streams through a transform
+    * (high-value purchases only, revenue-band column) into silver, with
+    * the V2 connector on BOTH ends — the version-offset source (X211)
+    * feeding the epoch-ledger exactly-once sink (X191). Each bronze
+    * version replays as its own micro-batch and lands as its own silver
+    * version, so the silver manifest log mirrors the bronze commit
+    * history — the bronze→silver→gold architecture every lakehouse
+    * pitch draws, here end-to-end under the oracle gate (the silver
+    * read-back must equal DuckDB's transform of the raw fixture). */
+  def v2Medallion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v2med-")
+    cleanupAtExit(tmp.toString)
+    val bronze = tmp.resolve("bronze").toString
+    val silver = tmp.resolve("silver").toString
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50).coalesce(1), bronze)
+    graft.store.Versioned.append(
+      ev.filter(col("user_id").between(50, 99)).coalesce(1), bronze)
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100).coalesce(1), bronze)
+    val q = spark.readStream.format("graft-versioned").option("path", bronze)
+      .load()
+      .filter(col("event_type") === "purchase" && col("v_e2") > 20000L)
+      .withColumn("band", expr("v_e2 div 10000"))
+      .writeStream.format("graft-versioned").option("path", silver)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.store.Versioned.read(spark, silver)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv_e2"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("band"))
+  }
+
   /** Aggregate pushdown through the V2 connector — COUNT(*)/MIN/MAX
     * answered from parquet FOOTER metadata (one footer open per manifest
     * file, zero data pages; [[graft.sources.VersionedV2]]'s
@@ -1100,6 +1138,7 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v2_agg_pushdown" -> (v2AggPushdown _),
     "v2_stream_source" -> (v2StreamSource _),
+    "v2_medallion" -> (v2Medallion _),
     "dpp_join" -> (dppJoin _),
     "v2_source_read" -> (v2SourceRead _),
     "v2_source_write" -> (v2SourceWrite _),
@@ -1127,6 +1166,16 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the silver table IS the transform of the raw fixture
+    "v2_medallion" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_e2
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND CAST(round(value * 100) AS BIGINT) > 20000)
+        |SELECT v_e2 // 10000 AS band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1 ORDER BY band""".stripMargin,
     // the streamed union of the three versions IS the raw table
     "v2_stream_source" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

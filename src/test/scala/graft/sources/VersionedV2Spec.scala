@@ -269,4 +269,34 @@ class VersionedV2Spec extends SparkSpec {
     assert(ex.getMessage.contains("append-only")
       || Option(ex.getCause).exists(_.getMessage.contains("append-only")), ex.getMessage)
   }
+
+  test("medallion: silver versions mirror bronze commits; replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v2-med-")
+    val bronze = tmp.resolve("bronze").toString
+    val silver = tmp.resolve("silver").toString
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    Versioned.append(ev.filter($"user_id" < 5).coalesce(1), bronze)
+    Versioned.append(ev.filter($"user_id" >= 5).coalesce(1), bronze)
+    def run() = {
+      val q = spark.readStream.format("graft-versioned").option("path", bronze)
+        .load().filter($"event_type" === "purchase")
+        .writeStream.format("graft-versioned").option("path", silver)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    // one silver version per bronze version (1 version = 1 micro-batch = 1 epoch)
+    val vAfter = Versioned.currentVersion(silver)
+    assert(vAfter == 2, s"silver at v$vAfter")
+    val expect = ev.filter($"event_type" === "purchase").count()
+    assert(Versioned.read(spark, silver).count() == expect)
+    // re-running with the same checkpoint moves nothing
+    run()
+    assert(Versioned.currentVersion(silver) == vAfter)
+    assert(Versioned.read(spark, silver).count() == expect)
+  }
 }
