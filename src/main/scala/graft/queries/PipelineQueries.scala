@@ -131,6 +131,44 @@ object PipelineQueries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Weighted sampling without replacement — Duffield-Lund-Thorup
+    * priority sampling (JACM 2007): every doc draws priority
+    * q = u/w (u uniform from a salted md5, w = n_chars), the k SMALLEST
+    * priorities are the sample — inclusion probability rises with
+    * weight, no replacement by construction, and (with the threshold
+    * τ = (k+1)-th priority) the scheme yields unbiased Horvitz-Thompson
+    * subset-sum estimates. The length-weighted curation pick ("sample
+    * long documents preferentially") stratified_sample's uniform ranks
+    * cannot express.
+    *
+    * Cross-engine exactness without a single libm call (the A-ES
+    * exponential-key form needs ln(u), whose e12 quantization would
+    * flip ~0.7% of rows between fdlibm and glibc): u stays the RAW
+    * 52-bit integer h folded from 13 md5 nibbles (the instr polynomial,
+    * generated identically for both dialects), and the sort key is the
+    * plain division CAST(h)/CAST(w) — one exactly-rounded IEEE op on
+    * identical integers ⇒ bit-identical doubles ⇒ identical order;
+    * doc_id tie-break covers rational collisions. Top-k via
+    * orderBy+limit (TakeOrderedAndProject — map-side partial top-k, no
+    * window, no global sort); output columns all integer. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val hExpr = PipelineQueries.hexFoldSql("md5(concat('wsamp:', CAST(doc_id AS STRING)))")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+        expr(hExpr).as("h"))
+      .orderBy(col("h").cast("double") / col("w").cast("double"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** 13-nibble hex→integer fold as an instr polynomial — the same text
+    * parses on Spark and DuckDB (conv() exists only on one, unhex-to-int
+    * on neither). */
+  def hexFoldSql(md5Expr: String): String =
+    (1 to 13).map { i =>
+      val p = (1 to (13 - i)).map(_ => "16").foldLeft("CAST(1 AS BIGINT)")(_ + " * " + _)
+      s"(instr('0123456789abcdef', substring($md5Expr, $i, 1)) - 1) * $p"
+    }.mkString("(", "\n + ", ")")
+
   /** Sequence packing for training batches: per language, documents (in
     * doc_id order) are packed into ~2048-token batches by bucketing each
     * doc's EXCLUSIVE token prefix-sum — the streaming-pack rule (a doc
@@ -563,11 +601,19 @@ object PipelineQueries {
     "redact_pii" -> (redactPii _),
     "data_mix" -> (dataMix _),
     "stratified_sample" -> (stratifiedSample _),
+    "priority_sample" -> (prioritySample _),
     "token_packing" -> (tokenPacking _),
     "split_contamination" -> (splitContamination _)
   )
 
   val oracles: Map[String, String] = Map(
+    "priority_sample" -> (
+      "WITH s AS (\n" +
+      "  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,\n  " +
+      hexFoldSql("md5('wsamp:' || CAST(doc_id AS STRING))") + " AS h\n" +
+      "  FROM documents)\n" +
+      "SELECT doc_id, w, h FROM s\n" +
+      "ORDER BY CAST(h AS DOUBLE) / CAST(w AS DOUBLE), doc_id LIMIT 20"),
     "quality_classifier" ->
       s"""$lrSqlPrefix
          |SELECT doc_id, label, score_e6 FROM s ORDER BY doc_id""".stripMargin,

@@ -320,4 +320,24 @@ class ScaleSpec extends SparkSpec {
       .mapValues(_.length.toLong).toMap
     assert(nv.map(r => r._2 -> r._3).toMap == expected)
   }
+
+  test("priority_sample: exact JVM replay; weight bias toward long docs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"wsamp:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      hex.take(13).foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect()
+    val expect = docs.map { case (id, w) => (id, w, h(id)) }
+      .sortBy(r => (r._3.toDouble / r._2, r._1)).take(20).toSeq
+    val got = graft.queries.PipelineQueries.prioritySample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // weighted inclusion: the sample leans long (pinned fixture fact —
+    // 371 vs 306 corpus mean at sf0.001)
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+  }
 }
