@@ -729,7 +729,42 @@ object StatQueries {
        |FROM h2
        |ORDER BY round""".stripMargin
 
+  /** K-anonymity audit (Sweeney 1998/2002) — the release gate before a
+    * dataset with quasi-identifiers leaves the fence: group the table by
+    * the QI tuple, k = the SMALLEST group (an attacker who knows a
+    * target's QI values narrows them to k candidates), and report the
+    * violating mass under the conventional k ≥ 5 bar. Audited at two
+    * generalization levels side by side: FINE (nation, segment,
+    * 100-currency balance band) re-identifies essentially everyone
+    * (k = 1, all 1500 rows at risk at sf0.01); COARSE (segment,
+    * 1000-currency band) clears the bar (k = 18) — the
+    * generalize-until-k-safe loop privacy engineering actually runs,
+    * shown as data. Pure integer counting; balance bands use the
+    * shifted-positive div so Spark and DuckDB floor identically on
+    * negative balances. ONE partial-aggregated rollup per level; the
+    * audit frame is QI-cardinality-bounded at any table size. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.customer(spark, dir))
+
+  def kAnonymityOf(customer: DataFrame): DataFrame = {
+    def audit(level: String, keys: Seq[org.apache.spark.sql.Column]) =
+      customer.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_k"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_groups_below5"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(lit(level).as("level"), col("n_groups"), col("min_k"),
+          col("n_groups_below5"), col("n_rows_at_risk"))
+    def band(width: Long) = expr(
+      s"(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div $width")
+    audit("fine", Seq(col("c_nationkey"), col("c_mktsegment"),
+        band(10000L).as("band")))
+      .unionByName(audit("coarse", Seq(col("c_mktsegment"),
+        band(100000L).as("band"))))
+      .orderBy(col("level"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity" -> (kAnonymity _),
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
@@ -905,6 +940,30 @@ object StatQueries {
         |    CAST(SUM(CASE WHEN day(ts) <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS a,
         |    CAST(SUM(CASE WHEN day(ts) > 14 THEN 1 ELSE 0 END) AS BIGINT) AS b
         |  FROM events GROUP BY 1""".stripMargin, "//"),
+    // shifted-positive div floors identically on negative balances
+    "k_anonymity" ->
+      """WITH fine AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS band,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |coarse AS (
+        |  SELECT c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (
+        |  SELECT 'fine' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(MIN(n) AS BIGINT) AS min_k,
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below5,
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM fine
+        |  UNION ALL
+        |  SELECT 'coarse', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |  FROM coarse)
+        |SELECT * FROM a ORDER BY level""".stripMargin,
     // SAME body as the Spark side (adaboostSql) — only the histogram
     // source differs; ln quantized once per alpha
     "adaboost_stumps" -> adaboostSql(

@@ -450,4 +450,33 @@ class StatQueriesSpec extends SparkSpec {
       assert(BigInt(b._6) * o._7 > BigInt(o._6) * b._7
         || (BigInt(b._6) * o._7 == BigInt(o._6) * b._7 && b._1 < o._1))
   }
+
+  test("k_anonymity: exact replay; coarsening raises k; planted unique row") {
+    // fixture replay of both levels
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select($"c_nationkey", $"c_mktsegment",
+        expr("CAST(round(c_acctbal*100) AS BIGINT)").as("b"))
+      .as[(Long, String, Long)].collect()
+    def audit(groups: Map[_, Int]) = (groups.size.toLong,
+      groups.values.min.toLong,
+      groups.values.count(_ < 5).toLong,
+      groups.values.filter(_ < 5).map(_.toLong).sum)
+    val fine = audit(rows.groupBy(r => (r._1, r._2, (r._3 + 100000) / 10000)).view.mapValues(_.length).toMap)
+    val coarse = audit(rows.groupBy(r => (r._2, (r._3 + 100000) / 100000)).view.mapValues(_.length).toMap)
+    val got = StatQueries.kAnonymity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("fine") == fine && got("coarse") == coarse)
+    // coarsening cannot lower k
+    assert(got("coarse")._2 >= got("fine")._2)
+
+    // planted table: 50 clones + one unique outlier row — fine min_k = 1
+    // (the outlier), coarse absorbs it only if its band merges; keep the
+    // outlier extreme so it stays alone at BOTH levels: min_k = 1 twice
+    val planted = (0 until 50).map(i => (i.toLong, "SEG_A", 100.0)) :+ (99L, "SEG_Z", 9999.0)
+    val df = planted.toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_nationkey", lit(1L))
+    val p = StatQueries.kAnonymityOf(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p("fine") == 1L && p("coarse") == 1L)
+  }
 }
