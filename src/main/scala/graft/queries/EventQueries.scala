@@ -1428,6 +1428,40 @@ object EventQueries {
     * join argument, never a blow-up toward cross product), one
     * per-purchase count+min window over the matched pairs sharing the
     * join's distribution, then a small day rollup. */
+  /** Data-driven (Markov removal-effect) attribution — Anderl et al.
+    * 2016, the model the touch heuristics (linear_attribution /
+    * touch_attribution) approximate: user journeys (event types strictly
+    * before the first purchase, start-anchored, conv/null-terminated)
+    * become a first-order transition matrix; a channel's credit is its
+    * REMOVAL EFFECT — how much absorption probability into `conv` is
+    * lost when every transition into that channel is redirected to
+    * `null` — normalized into shares.
+    *
+    * Exactness: the absorption fixpoint p_s = (Σ c_sd·p_d +
+    * c_s,conv·10⁹) div out_s runs as an INTEGER recursion under
+    * `WITH RECURSIVE` on both engines — the transition matrix rides the
+    * recursion as 30 wide columns (matrix-vector product = column
+    * arithmetic; a join or GROUP BY inside the recursive step is
+    * disallowed/slow on both engines), values are monotone
+    * non-decreasing bounded integers, so the fixpoint is EXACT and the
+    * recursion self-terminates when a step changes nothing (no iteration
+    * constant to tune; ~25-35 steps at the fixture's ~3-hop journeys).
+    * All five scenarios (base + 4 removals) iterate side by side as
+    * rows of one recursion. Spark runs the journey/matrix stage once
+    * into a materialized view (the survivalKm lesson), the recursion
+    * over it, then the share arithmetic over the materialized fixpoint;
+    * DuckDB runs the identical generated text inline. */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_mka_events")
+    val m = spark.sql(MarkovAttr.matrixSql("graft_mka_events"))
+      .coalesce(1).localCheckpoint()
+    m.createOrReplaceTempView("graft_mka_m")
+    val fin = spark.sql(MarkovAttr.fixpointSql("graft_mka_m", "div"))
+      .coalesce(1).localCheckpoint()
+    fin.createOrReplaceTempView("graft_mka_fin")
+    spark.sql(MarkovAttr.shareSql("graft_mka_fin", "div"))
+  }
+
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     val day7 = 7L * 86400000000L
     val ev = Tables.events(spark, dir)
@@ -1498,6 +1532,7 @@ object EventQueries {
     "window_navigation" -> (windowNavigation _),
     "interval_coverage" -> (intervalCoverage _),
     "linear_attribution" -> (linearAttribution _),
+    "markov_attribution" -> (markovAttribution _),
     "chi2_independence" -> (chi2Independence _),
     "sequence_funnel" -> (sequenceFunnel _),
     "touch_attribution" -> (touchAttribution _),
@@ -1539,6 +1574,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // generated from the same three stage texts the Spark side runs
+    "markov_attribution" -> MarkovAttr.oracleSql("events"),
     // integer-scaled centered series: c_t = n*x_t - S; sign-safe e6 export
     // den-scaled integers end-to-end; anomaly σ is defined over the
     // EXPORTED e4 residuals so no mixed-denominator compare exists;

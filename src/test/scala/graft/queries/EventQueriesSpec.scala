@@ -346,4 +346,76 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("high") == 99L && r.getAs[Long]("low") == 7L)
     assert(r.getAs[Long]("close") == 7L && r.getAs[Long]("n") == 4L)
   }
+
+  test("markov_attribution: exact local fixpoint replay; planted gateway channel") {
+    // --- local mirror of the whole pipeline on the fixture
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        unix_micros($"ts").as("us"), $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val types = Seq("click", "error", "signup", "view")
+    def journeys(rows: Seq[(Long, String, Long, Long)]): Map[(String, String), Long] = {
+      val tr = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((_, g) <- rows.groupBy(_._1)) {
+        val sorted = g.sortBy(r => (r._3, r._4))
+        val pts = sorted.find(_._2 == "purchase").map(_._3)
+        val pre = sorted.filter(r => r._2 != "purchase" && pts.forall(r._3 < _))
+        val path = "start" +: pre.map(_._2)
+        for (Seq(a, b) <- path.sliding(2) if path.length > 1) tr((a, b)) += 1
+        val last = path.last
+        tr((last, if (pts.isDefined) "conv" else "null")) += 1
+      }
+      tr.toMap
+    }
+    def fixpoint(cnt: Map[(String, String), Long], removed: Option[String]): Long = {
+      def c(s: String, d: String): Long =
+        if (removed.contains(d)) 0L else cnt.getOrElse((s, d), 0L)
+      val out = ("start" +: types).map(s =>
+        s -> cnt.collect { case ((`s`, _), n) => n }.sum).toMap
+      var p = types.map(_ -> 0L).toMap
+      var changed = true
+      while (changed) {
+        val np = types.map { s =>
+          s -> (if (out(s) == 0) 0L
+            else (types.map(d => c(s, d) * p(d)).sum + c(s, "conv") * 1000000000L) / out(s))
+        }.toMap
+        changed = np != p; p = np
+      }
+      if (out("start") == 0) 0L
+      else (types.map(d => c("start", d) * p(d)).sum + c("start", "conv") * 1000000000L) / out("start")
+    }
+    val cnt = journeys(ev.toSeq)
+    val base = fixpoint(cnt, None)
+    val expect = types.map { ch => (ch, base, fixpoint(cnt, Some(ch))) }
+    val te = expect.map(e => e._2 - e._3).sum
+    val got = EventQueries.markovAttribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == expect)
+    for (g <- got) {
+      assert(g._4 == g._2 - g._3)
+      assert(g._5 == (if (te > 0) (g._2 - g._3) * 1000000L / te else 0L))
+    }
+
+    // --- planted: every conversion passes through 'signup' (the gateway);
+    // 'error' appears only on journeys too (so its row exists) but since
+    // journeys are start->error->signup->conv, removing error ALSO kills
+    // conversion here; give 'click' a parallel non-converting branch
+    val planted =
+      (0L until 20L).flatMap { u => Seq(
+        (u * 10 + 1, u, "error", 1.0, 1000L + u),
+        (u * 10 + 2, u, "signup", 1.0, 2000L + u),
+        (u * 10 + 3, u, "purchase", 1.0, 3000L + u))
+      } ++ (100L until 110L).flatMap { u => Seq(
+        (u * 10 + 1, u, "click", 1.0, 1000L + u))
+      }
+    val pev = planted.map { case (id, u, t, v, us) =>
+      (u, t, us, id)
+    }
+    val pcnt = journeys(pev)
+    val pbase = fixpoint(pcnt, None)
+    // signup is on EVERY converting path: removing it zeroes conversion
+    assert(fixpoint(pcnt, Some("signup")) == 0L)
+    // click is never on a converting path: zero removal effect
+    assert(fixpoint(pcnt, Some("click")) == pbase)
+  }
 }
