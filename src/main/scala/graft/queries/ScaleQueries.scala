@@ -587,6 +587,55 @@ object ScaleQueries {
       .orderBy(col("q_id"))
   }
 
+  /** Matryoshka (prefix-dimension) retrieval eval — Kusupati et al. 2022
+    * MRL / the truncated-embedding serving trade every vector platform
+    * now offers: how much top-10 retrieval quality survives when only the
+    * FIRST p dimensions are kept (8/16/32 of 64 here — shorter vectors =
+    * smaller index, faster scan)? Ground truth = exact full-dim top-10;
+    * each prefix re-ranks the same queries on the sliced vectors;
+    * recall@10 per (prefix, query), with p = 64 carried as the built-in
+    * sanity row (must read 1000 e4 exactly).
+    *
+    * Exactness is retrieval_eval's recipe: e4-fixed integer vectors ⇒
+    * squared-L2 distances are order-free BIGINT sums (no norm, no sqrt —
+    * L2 on the raw prefixes, so no cross-engine rational ranking);
+    * rank windows partition on (prefix, query) — 120 keys, growing with
+    * the query sample. The fixture's hash embeddings have NO Matryoshka
+    * training, so prefix recall is the honest diffuse-information
+    * baseline (~0.3-0.5) — the eval HARNESS is the operator; a trained
+    * MRL checkpoint slots into the same query unchanged. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10; val nQ = 30
+    val xe4 = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), xe4.as("xe4"))
+    val qv = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("xe4").as("q_xe4"))
+    val pairs = qv.crossJoin(base.select(col("vec_id").as("n_id"),
+        col("xe4").as("n_xe4")))
+      .filter(col("n_id") =!= col("q_id"))
+    import spark.implicits._
+    val pref = Seq(8, 16, 32, 64).toDF("p")
+    val dist = aggregate(
+      zip_with(slice(col("q_xe4"), lit(1), col("p")),
+        slice(col("n_xe4"), lit(1), col("p")),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p"), col("q_id")).orderBy(col("d").asc, col("n_id").asc)
+    val ranked = pairs.crossJoin(broadcast(pref))
+      .select(col("p"), col("q_id"), col("n_id"), dist.as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .cache()
+    val truth = ranked.filter(col("p") === 64)
+      .select(col("q_id"), col("n_id"))
+    ranked
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("p").as("prefix_dim"), col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) * 1000).as("recall_e4"))
+      .orderBy(col("prefix_dim"), col("q_id"))
+  }
+
   /** MinHash at full-recall banding (k=64, 32 bands × 2 rows: candidate
     * probability at J ≥ 0.5 is 1-(1-J²)^32 ≥ 0.9999, and deterministic
     * under the fixed engine hash) + the exact-Jaccard verify ⇒ the output
@@ -994,6 +1043,7 @@ object ScaleQueries {
     "ivf_precision" -> (ivfPrecision _),
     "ivf_filtered_precision" -> (ivfFilteredPrecision _),
     "retrieval_eval" -> (retrievalEval _),
+    "mrl_recall" -> (mrlRecall _),
     "minhash_precision" -> (minhashPrecision _),
     "lsh_precision" -> (lshPrecision _),
     "semantic_decontam" -> (semanticDecontamQ _),
@@ -1110,6 +1160,30 @@ object ScaleQueries {
     // buckets → OR-composed candidates → integer rerank → exact ground
     // truth → recall@10 and MRR — any divergence in any stage breaks the
     // per-query metric hash
+    // same integer machinery sliced to each prefix; p=64 is the
+    // built-in sanity row (recall exactly 1000)
+    "mrl_recall" ->
+      """WITH ints AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xe4
+        |  FROM embeddings),
+        |pf AS (SELECT unnest([8, 16, 32, 64]) AS p),
+        |d AS (
+        |  SELECT pf.p, q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(q.xe4[1:pf.p], n.xe4[1:pf.p]),
+        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+        |  FROM ints q CROSS JOIN ints n CROSS JOIN pf
+        |  WHERE q.vec_id < 30 AND n.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT p, q_id, n_id,
+        |    row_number() OVER (PARTITION BY p, q_id ORDER BY d, n_id) AS rank
+        |  FROM d QUALIFY rank <= 10),
+        |truth AS (SELECT q_id, n_id FROM r WHERE p = 64)
+        |SELECT r.p AS prefix_dim, r.q_id AS q_id,
+        |  CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000 AS BIGINT)
+        |    AS recall_e4
+        |FROM r LEFT JOIN truth t ON t.q_id = r.q_id AND t.n_id = r.n_id
+        |GROUP BY r.p, r.q_id ORDER BY prefix_dim, r.q_id""".stripMargin,
     "retrieval_eval" ->
       """WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
         |tb AS (SELECT tt.t, bb.b
