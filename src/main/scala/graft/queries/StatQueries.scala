@@ -532,6 +532,70 @@ object StatQueries {
         |FROM holt ORDER BY day""".stripMargin)
   }
 
+  /** Holt-Winters ADDITIVE SEASONAL smoothing (α = β = γ = ½, weekly
+    * season) — the third rung of the forecasting ladder (EWMA →
+    * holt_linear → this): level, trend, AND a 7-slot day-of-week
+    * component update jointly, so a recurring weekly bump stops leaking
+    * into the trend. The seasonal vector rides the recursion as SEVEN
+    * WIDE COLUMNS (the markov_attribution trick — state that would be
+    * rows anywhere else becomes columns, because the recursive step
+    * allows only column arithmetic); every update is a floor recursion
+    * (l_t = ⌊(y − s_dow + l + b)/2⌋, b as in Holt,
+    * s_dow' = ⌊(y − l_t + s_dow)/2⌋), integer-exact on both engines
+    * including negative seasonal/trend values (div and // both truncate
+    * toward zero — the probed pin). Forecast = l + b + s(next dow).
+    * Daily rollup materialized before the recursion (the survivalKm
+    * lesson); depth = calendar days. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(Tables.events(spark, dir))
+
+  def holtWintersOf(events: DataFrame): DataFrame = {
+    events.createOrReplaceTempView("graft_events_hw")
+    val spark = events.sparkSession
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT to_date(ts) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM graft_events_hw GROUP BY 1)
+        |SELECT day, rev,
+        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t,
+        |  CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT) AS dow
+        |FROM daily""".stripMargin)
+      .coalesce(1)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_hw_idx")
+    spark.sql(holtWintersSql("graft_hw_idx", "div"))
+  }
+
+  /** Engine-shared Holt-Winters recursion body over `idx(day, rev, t,
+    * dow)`; `idiv` as in [[miSql]]. */
+  def holtWintersSql(idxView: String, idiv: String): String = {
+    val sInit = (0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+    val sPick = (0 to 6).map(k => s"WHEN i.dow = $k THEN h.s$k").mkString(" ")
+    val sNext = (0 to 6).map(k => s"WHEN (x.dow + 1) % 7 = $k THEN x.s$k")
+      .mkString(" ")
+    val sStep = (0 to 6).map(k =>
+      s"""CASE WHEN i.dow = $k THEN
+         |  (i.rev - ((i.rev - (CASE $sPick END) + h.lvl + h.trd) $idiv 2)
+         |   + h.s$k) $idiv 2
+         |ELSE h.s$k END""".stripMargin.replace("\n", " ")).mkString(",\n    ")
+    s"""WITH RECURSIVE
+       |hw AS (
+       |  SELECT t, day, dow, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd, $sInit
+       |  FROM $idxView WHERE t = 1
+       |  UNION ALL
+       |  SELECT i.t, i.day, i.dow, i.rev,
+       |    (i.rev - (CASE $sPick END) + h.lvl + h.trd) $idiv 2,
+       |    (h.trd + ((i.rev - (CASE $sPick END) + h.lvl + h.trd) $idiv 2 - h.lvl)) $idiv 2,
+       |    $sStep
+       |  FROM hw h JOIN $idxView i ON i.t = h.t + 1)
+       |SELECT x.day, x.rev AS rev_e2, x.lvl AS level_e2, x.trd AS trend_e2,
+       |  (CASE ${(0 to 6).map(k => s"WHEN x.dow = $k THEN x.s$k").mkString(" ")}
+       |   END) AS seasonal_e2,
+       |  x.lvl + x.trd + (CASE $sNext END) AS forecast_next_e2
+       |FROM hw x ORDER BY x.day""".stripMargin
+  }
+
   /** Decision-stump split finding over a histogram — the distributed
     * core of GBDT/random-forest training (XGBoost's approximate split
     * algorithm): ONE partial-aggregated pass buckets the feature
@@ -769,6 +833,7 @@ object StatQueries {
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
     "holt_linear" -> (holtLinear _),
+    "holt_winters" -> (holtWinters _),
     "ips_policy_eval" -> (ipsPolicyEval _),
     "adaboost_stumps" -> (adaboostStumps _),
     "mutual_info" -> (mutualInfo _),
@@ -993,6 +1058,18 @@ object StatQueries {
         |  (sum_r * 1000000) // c AS direct_mean_e6,
         |  (sum_r * n_x * 1000000) // (c * (SELECT n FROM tot)) AS ips_contrib_e6
         |FROM m WHERE action = target_action ORDER BY segment""".stripMargin,
+    // the same seven-wide-column recursion text, DuckDB dialect prefix
+    "holt_winters" -> (
+      "WITH RECURSIVE daily AS (\n" +
+      "  SELECT CAST(ts AS DATE) AS day,\n" +
+      "    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev\n" +
+      "  FROM events GROUP BY 1),\n" +
+      "idx AS (\n" +
+      "  SELECT day, rev,\n" +
+      "    date_diff('day', (SELECT MIN(day) FROM daily), day) + 1 AS t,\n" +
+      "    CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow\n" +
+      "  FROM daily)\n" +
+      holtWintersSql("idx", "//").replaceFirst("^WITH RECURSIVE", ",")),
     // the same coupled floor recursion; integer // truncation matches
     // Spark div on the negative trend values too (probed)
     "holt_linear" ->

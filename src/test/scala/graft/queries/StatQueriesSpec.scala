@@ -479,4 +479,43 @@ class StatQueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(p("fine") == 1L && p("coarse") == 1L)
   }
+
+  test("holt_winters: exact local fold; planted weekly bump lands in seasonal") {
+    // fixture replay of the seven-column recursion
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("y"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    var (l, b) = (daily.head._2, 0L)
+    val s = Array.fill(7)(0L)
+    def dow(d: java.sql.Date) = math.floorMod(d.toLocalDate.toEpochDay, 7L).toInt
+    val expect = (daily.head._1, l, b, 0L) +: daily.tail.map { case (d, y) =>
+      val k = dow(d)
+      val l2 = (y - s(k) + l + b) / 2
+      val b2 = (b + (l2 - l)) / 2
+      s(k) = (y - l2 + s(k)) / 2
+      l = l2; b = b2
+      (d, l, b, s(k))
+    }
+    val got = StatQueries.holtWinters(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expect.toSeq)
+
+    // planted: flat 1000 with +300 every Wednesday-slot -> the bump is
+    // absorbed by its seasonal slot, trend stays near zero at the end
+    val rows = (1 to 28).map { d =>
+      val date = f"2024-03-$d%02d"
+      val epochDow = java.time.LocalDate.parse(date).toEpochDay % 7
+      val v = if (epochDow == 3) 13.0 else 10.0
+      (d.toLong, 1L, "view", v, s"$date 05:00:00")
+    }
+    val out = StatQueries.holtWintersOf(mkEvents(rows)).collect()
+    val last = out.last
+    assert(math.abs(last.getLong(3)) <= 20L, s"trend=${last.getLong(3)}")
+    // the bump slot's seasonal component approaches +300 e2-units scaled:
+    // values are e2 (13.00 - 10.00 = 300); slot seasonal > half the bump
+    val bumpRows = out.filter(r => math.floorMod(
+      r.getDate(0).toLocalDate.toEpochDay, 7L) == 3L)
+    assert(bumpRows.last.getLong(4) > 150L, s"seasonal=${bumpRows.last.getLong(4)}")
+  }
 }
