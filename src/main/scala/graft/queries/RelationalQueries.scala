@@ -720,6 +720,12 @@ object RelationalQueries {
        |FROM last ORDER BY node""".stripMargin
   }
 
+  /** Hub stop-list bound for [[linkPredict]]'s shared-neighbor pair
+    * generator. Fixture part degrees top out at 52 (sf0.1, probed), so
+    * the cap never bites the oracle row; at 100 TB it is the knob that
+    * keeps the deg² pair cost bounded per part. */
+  val LINK_HUB_CAP = 256
+
   /** Link prediction by portfolio overlap — common-neighbor count and
     * exact Jaccard over supplier part-sets (who supplies like whom: the
     * recommendation/substitution signal, and the common-neighbors score
@@ -727,17 +733,31 @@ object RelationalQueries {
     * Pairs are generated through the SHARED-NEIGHBOR join (distinct
     * (part, s1)⋈(part, s2), s1 < s2) — cost Σ_p deg(p)², the bounded
     * co-occurrence shape every dedup family here uses, never the
-    * supplier×supplier cross; at 100 TB hub neighbors get df-capped into
-    * a stop list exactly like [[graft.queries.TextQueries.postingsList]]
-    * caps high-df terms. Degrees ride a broadcast 100-row frame;
+    * supplier×supplier cross — and hub parts with degree >
+    * [[LINK_HUB_CAP]] are stop-listed BEFORE the self-join (broadcast
+    * anti-join on the tiny hub list), exactly like
+    * [[graft.queries.TextQueries.postingsList]] caps high-df terms: one
+    * 10⁵-degree hub would otherwise emit 10¹⁰ pairs from a single key.
+    * Supplier degrees are computed over the capped edge set so the
+    * Jaccard stays self-consistent (|∩|/|∪| of the stop-listed
+    * portfolios). Degrees ride a broadcast 100-row frame;
     * jac = |∩| / (d1 + d2 − |∩|) exports as the exact e6 integer
     * quotient (both engines floor on positive operands). Deterministic
     * top-25: the (jac desc, s1, s2) sort key is unique per pair. */
-  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
-    val pairs = e.as("a").join(e.as("b"),
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictCore(
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct(),
+      LINK_HUB_CAP)
+
+  /** [[linkPredict]] over an explicit (s, p) edge frame — the seam the
+    * synthetic-hub spec drives to prove the cap bounds pair counts. */
+  def linkPredictCore(e: DataFrame, hubCap: Int): DataFrame = {
+    val hubs = e.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+      .filter(col("pd") > hubCap).select(col("p"))
+    val kept = e.join(broadcast(hubs), Seq("p"), "left_anti")
+    val deg = kept.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
       .groupBy(col("s1"), col("s2"))

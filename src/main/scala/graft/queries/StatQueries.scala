@@ -174,29 +174,27 @@ object StatQueries {
     * tenure t: n_t (at risk: observed tenure ≥ t — deaths-before-censoring
     * at equal t, the standard KM convention), d_t (events at t),
     * hazard_e6 = ⌊10⁶·d/n⌋, and the KM survival S_t = Π(1 − d_i/n_i)
-    * carried as an integer e6 recursion S_t = ⌊S_{t−1}·(n−d)/n⌋ under
-    * `WITH RECURSIVE` — per-step floors make both engines exact-identical
-    * (the recursive_cte precedent); all operands positive, so Spark `div`
-    * == DuckDB `//`.
+    * carried as an integer e6 recursion S_t = ⌊S_{t−1}·(n−d)/n⌋ — on the
+    * DuckDB oracle under `WITH RECURSIVE`, on the Spark side as ONE
+    * `aggregate()` HOF fold over the t-sorted risk table (state = one
+    * BIGINT; the fold starts at S = 10⁶ so the first step reproduces the
+    * recursion's anchor exactly); per-step floors make both engines
+    * exact-identical (the recursive_cte precedent); all operands
+    * positive, so Spark `div` == DuckDB `//`.
     *
     * Scale shape: two partial-aggregated user-keyed passes (signup-min,
     * then conversion-min gated on it) joined on user_id; everything
-    * downstream — tenure counts, the ≥-tenure risk sums, the ranking
-    * join, the recursion — operates on a CALENDAR-BOUNDED frame (≤ one
-    * row per day of corpus span), so the quadratic-looking self-joins
-    * are constant-size regardless of corpus rows, and no ranking window
-    * touches unbounded input (the PlanSpec guard). */
+    * downstream — tenure counts, the ≥-tenure risk sums, the fold —
+    * operates on a CALENDAR-BOUNDED frame (≤ one row per day of corpus
+    * span), so the quadratic-looking self-join is constant-size
+    * regardless of corpus rows, and the whole query is one job (the
+    * round-10 version spent ~3 s on per-iteration scheduler latency). */
   def survivalKm(spark: SparkSession, dir: String): DataFrame =
     survivalKmOf(Tables.events(spark, dir))
 
   def survivalKmOf(events: DataFrame): DataFrame = {
     events.createOrReplaceTempView("graft_events_surv")
     val spark = events.sparkSession
-    // stage 1 — corpus-sized work, run ONCE: Spark's recursive CTE
-    // re-executes the step subplan per iteration, so a risk table left
-    // as a CTE would rescan events every round (measured: 38 s at
-    // sf0.1); the recursion below runs over this materialized ≤31-row
-    // frame instead
     spark.sql(
       """WITH subj AS (
         |  SELECT user_id,
@@ -224,24 +222,22 @@ object StatQueries {
         |  FROM (SELECT t_obs, d FROM tc WHERE d > 0) e
         |  JOIN tc c ON c.t_obs >= e.t_obs
         |  GROUP BY e.t_obs)
-        |SELECT r.t, MAX(r.d) AS d, MAX(r.n) AS n, COUNT(*) AS i
-        |FROM risk r JOIN risk r2 ON r2.t <= r.t
-        |GROUP BY r.t""".stripMargin)
-      .coalesce(1) // one tiny partition — each iteration pays per-task overhead
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_surv_idx")
-    // stage 2 — the KM recursion over the bounded frame
-    spark.sql(
-      """WITH RECURSIVE
-        |km AS (
-        |  SELECT i, t, d, n, (1000000 * (n - d)) div n AS s
-        |  FROM graft_surv_idx WHERE i = 1
-        |  UNION ALL
-        |  SELECT x.i, x.t, x.d, x.n, (k.s * (x.n - x.d)) div x.n
-        |  FROM km k JOIN graft_surv_idx x ON x.i = k.i + 1)
-        |SELECT t AS tenure_days, n AS n_risk, d AS d_events,
-        |  (1000000 * d) div n AS hazard_e6, s AS survival_e6
-        |FROM km ORDER BY tenure_days""".stripMargin)
+        |SELECT sort_array(collect_list(struct(t, d, n))) AS xs FROM risk"""
+        .stripMargin)
+      .select(explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS
+          |    ARRAY<STRUCT<t: INT, d: BIGINT, n: BIGINT, s: BIGINT>>),
+          |  (a, x) -> array_append(a, named_struct(
+          |    't', x.t, 'd', x.d, 'n', x.n,
+          |    's', ((CASE WHEN size(a) = 0 THEN CAST(1000000 AS BIGINT)
+          |           ELSE element_at(a, -1).s END) * (x.n - x.d)) div x.n)))"""
+          .stripMargin)).as("r"))
+      .select(col("r.t").as("tenure_days"), col("r.n").as("n_risk"),
+        col("r.d").as("d_events"),
+        expr("(1000000 * r.d) div r.n").as("hazard_e6"),
+        col("r.s").as("survival_e6"))
+      .orderBy(col("tenure_days"))
   }
 
   /** Mutual information between two columns (event type × coarse value
@@ -490,85 +486,103 @@ object StatQueries {
     * recurrence is a COUPLED two-variable system
     * (l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋,
     * b_t = ⌊(b_{t−1} + (l_t − l_{t−1}))/2⌋) with per-step floors — like
-    * recursive_cte, nonlinear and window-irreducible, run declaratively
-    * under `WITH RECURSIVE` on BOTH engines so every step is
-    * engine-exact integer math (trend goes NEGATIVE on down-drifts:
-    * Spark `div` and DuckDB `//` both truncate toward zero — the probed
-    * pin). Forecast = l + b. Day index via datediff against a
-    * scalar-subquery MIN (no ranking window); depth bounded by CALENDAR;
-    * contiguous series assumed (gap_fill is the upstream fix). */
+    * recursive_cte, nonlinear and window-irreducible. The corpus work is
+    * ONE daily rollup; the recursion itself runs as a single
+    * `aggregate()` HOF fold over `sort_array(collect_list(...))` of the
+    * CALENDAR-BOUNDED series (≤ one element per corpus day, state = two
+    * BIGINTs) — one job instead of a 30-iteration `WITH RECURSIVE`
+    * paying ~130 ms of scheduler latency per step (the round-10 bench
+    * finding; the DuckDB oracle keeps the recursive form, and `div` /
+    * `//` both truncate toward zero on the negative trend values — the
+    * probed pin). Forecast = l + b. Steps advance by DAY RANK, not
+    * calendar offset, so a missing day can't truncate the series (the
+    * round-10 advisor finding); the oracle ranks identically. */
   def holtLinear(spark: SparkSession, dir: String): DataFrame =
     holtLinearOf(Tables.events(spark, dir))
 
   def holtLinearOf(events: DataFrame): DataFrame = {
-    events.createOrReplaceTempView("graft_events_holt")
-    val spark = events.sparkSession
-    // daily rollup materialized ONCE — the recursion's step subplan
-    // re-executes per iteration (the survivalKm lesson: 30 iterations
-    // would mean 30 corpus scans)
-    spark.sql(
-      """WITH daily AS (
-        |  SELECT to_date(ts) AS day,
-        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM graft_events_holt GROUP BY 1)
-        |SELECT day, rev,
-        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t
-        |FROM daily""".stripMargin)
-      .coalesce(1)
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_holt_idx")
-    spark.sql(
-      """WITH RECURSIVE
-        |holt AS (
-        |  SELECT t, day, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd
-        |  FROM graft_holt_idx WHERE t = 1
-        |  UNION ALL
-        |  SELECT i.t, i.day, i.rev,
-        |    (i.rev + h.lvl + h.trd) div 2,
-        |    (h.trd + ((i.rev + h.lvl + h.trd) div 2 - h.lvl)) div 2
-        |  FROM holt h JOIN graft_holt_idx i ON i.t = h.t + 1)
-        |SELECT day, rev AS rev_e2, lvl AS level_e2, trd AS trend_e2,
-        |  lvl + trd AS forecast_e2
-        |FROM holt ORDER BY day""".stripMargin)
+    val prev = "element_at(a, -1)"
+    val lvl = s"(x.rev + $prev.lvl + $prev.trd) div 2"
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev")))).as("xs"))
+      .select(explode(expr(
+        s"""aggregate(xs,
+           |  CAST(array() AS
+           |    ARRAY<STRUCT<day: DATE, rev: BIGINT, lvl: BIGINT, trd: BIGINT>>),
+           |  (a, x) -> array_append(a, CASE WHEN size(a) = 0
+           |    THEN named_struct('day', x.day, 'rev', x.rev,
+           |      'lvl', x.rev, 'trd', CAST(0 AS BIGINT))
+           |    ELSE named_struct('day', x.day, 'rev', x.rev,
+           |      'lvl', $lvl,
+           |      'trd', ($prev.trd + ($lvl - $prev.lvl)) div 2)
+           |    END))""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.rev").as("rev_e2"),
+        col("r.lvl").as("level_e2"), col("r.trd").as("trend_e2"),
+        (col("r.lvl") + col("r.trd")).as("forecast_e2"))
+      .orderBy(col("day"))
   }
 
   /** Holt-Winters ADDITIVE SEASONAL smoothing (α = β = γ = ½, weekly
     * season) — the third rung of the forecasting ladder (EWMA →
     * holt_linear → this): level, trend, AND a 7-slot day-of-week
     * component update jointly, so a recurring weekly bump stops leaking
-    * into the trend. The seasonal vector rides the recursion as SEVEN
-    * WIDE COLUMNS (the markov_attribution trick — state that would be
-    * rows anywhere else becomes columns, because the recursive step
-    * allows only column arithmetic); every update is a floor recursion
-    * (l_t = ⌊(y − s_dow + l + b)/2⌋, b as in Holt,
+    * into the trend. On the Spark side the whole recursion is ONE
+    * `aggregate()` HOF fold over the sorted calendar-bounded series —
+    * the seasonal vector rides the fold state as a 7-slot BIGINT array
+    * updated with `transform` (state = 9 integers total); the DuckDB
+    * oracle keeps the `WITH RECURSIVE` form with the vector as SEVEN
+    * WIDE COLUMNS (the markov_attribution trick). Every update is a
+    * floor recursion (l_t = ⌊(y − s_dow + l + b)/2⌋, b as in Holt,
     * s_dow' = ⌊(y − l_t + s_dow)/2⌋), integer-exact on both engines
     * including negative seasonal/trend values (div and // both truncate
     * toward zero — the probed pin). Forecast = l + b + s(next dow).
-    * Daily rollup materialized before the recursion (the survivalKm
-    * lesson); depth = calendar days. */
+    * Steps advance by DAY RANK (gap-proof, the advisor finding); dow
+    * stays the true calendar day-of-week. */
   def holtWinters(spark: SparkSession, dir: String): DataFrame =
     holtWintersOf(Tables.events(spark, dir))
 
   def holtWintersOf(events: DataFrame): DataFrame = {
-    events.createOrReplaceTempView("graft_events_hw")
-    val spark = events.sparkSession
-    spark.sql(
-      """WITH daily AS (
-        |  SELECT to_date(ts) AS day,
-        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM graft_events_hw GROUP BY 1)
-        |SELECT day, rev,
-        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t,
-        |  CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT) AS dow
-        |FROM daily""".stripMargin)
-      .coalesce(1)
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_hw_idx")
-    spark.sql(holtWintersSql("graft_hw_idx", "div"))
+    val prev = "element_at(a, -1)"
+    val sd = s"element_at($prev.s, CAST(x.dow + 1 AS INT))"
+    val lvl = s"(x.rev - $sd + $prev.lvl + $prev.trd) div 2"
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+      .withColumn("dow",
+        expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev"),
+        col("dow")))).as("xs"))
+      .select(explode(expr(
+        s"""aggregate(xs,
+           |  CAST(array() AS ARRAY<STRUCT<day: DATE, rev: BIGINT,
+           |    dow: BIGINT, lvl: BIGINT, trd: BIGINT, s: ARRAY<BIGINT>>>),
+           |  (a, x) -> array_append(a, CASE WHEN size(a) = 0
+           |    THEN named_struct('day', x.day, 'rev', x.rev, 'dow', x.dow,
+           |      'lvl', x.rev, 'trd', CAST(0 AS BIGINT),
+           |      's', array_repeat(CAST(0 AS BIGINT), 7))
+           |    ELSE named_struct('day', x.day, 'rev', x.rev, 'dow', x.dow,
+           |      'lvl', $lvl,
+           |      'trd', ($prev.trd + ($lvl - $prev.lvl)) div 2,
+           |      's', transform($prev.s, (v, j) ->
+           |        CASE WHEN j = x.dow THEN (x.rev - ($lvl) + v) div 2
+           |             ELSE v END))
+           |    END))""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.rev").as("rev_e2"),
+        col("r.lvl").as("level_e2"), col("r.trd").as("trend_e2"),
+        expr("element_at(r.s, CAST(r.dow + 1 AS INT))").as("seasonal_e2"),
+        expr("r.lvl + r.trd + element_at(r.s, CAST((r.dow + 1) % 7 + 1 AS INT))")
+          .as("forecast_next_e2"))
+      .orderBy(col("day"))
   }
 
-  /** Engine-shared Holt-Winters recursion body over `idx(day, rev, t,
-    * dow)`; `idiv` as in [[miSql]]. */
+  /** The `WITH RECURSIVE` Holt-Winters body over `idx(day, rev, t,
+    * dow)` — the DuckDB oracle's form (the Spark side folds instead);
+    * `idiv` as in [[miSql]], and the spec cross-checks this text on
+    * Spark against the fold. */
   def holtWintersSql(idxView: String, idiv: String): String = {
     val sInit = (0 to 6).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
     val sPick = (0 to 6).map(k => s"WHEN i.dow = $k THEN h.s$k").mkString(" ")
@@ -1065,8 +1079,7 @@ object StatQueries {
       "    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev\n" +
       "  FROM events GROUP BY 1),\n" +
       "idx AS (\n" +
-      "  SELECT day, rev,\n" +
-      "    date_diff('day', (SELECT MIN(day) FROM daily), day) + 1 AS t,\n" +
+      "  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t,\n" +
       "    CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow\n" +
       "  FROM daily)\n" +
       holtWintersSql("idx", "//").replaceFirst("^WITH RECURSIVE", ",")),
@@ -1078,10 +1091,8 @@ object StatQueries {
         |  SELECT CAST(ts AS DATE) AS day,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
         |  FROM events GROUP BY 1),
-        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
         |idx AS (
-        |  SELECT day, rev,
-        |    date_diff('day', (SELECT d0 FROM d0), day) + 1 AS t
+        |  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t
         |  FROM daily),
         |holt AS (
         |  SELECT t, day, rev, rev AS lvl, CAST(0 AS BIGINT) AS trd

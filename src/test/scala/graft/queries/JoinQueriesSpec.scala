@@ -29,6 +29,27 @@ class JoinQueriesSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("link_predict stop-lists hub parts before the self-join (bounded pairs)") {
+    // one 100-degree hub part p0 + one 3-supplier part p1: with cap 8 the
+    // hub contributes ZERO pairs and degrees are computed over the capped
+    // edge set, so each survivor's portfolio is exactly {p1} — Jaccard 1
+    val hub = (1L to 100L).map(s => (s, 0L))
+    val tail = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    val e = (hub ++ tail).toDF("s", "p")
+    val got = RelationalQueries.linkPredictCore(e, hubCap = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 1000000L), (1L, 3L, 1L, 1000000L),
+      (2L, 3L, 1L, 1000000L)))
+    // uncapped, the hub alone emits C(100,2) = 4950 pairs (top-25 fills)
+    assert(RelationalQueries.linkPredictCore(e, hubCap = 1000).count() == 25)
+    // fixture degrees sit far below LINK_HUB_CAP: the declared query's
+    // stop list is empty and the oracle row is byte-identical
+    val fixtureMaxDeg = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_partkey").distinct()
+      .groupBy($"l_partkey").count().agg(max($"count")).as[Long].head()
+    assert(fixtureMaxDeg <= RelationalQueries.LINK_HUB_CAP)
+  }
+
   test("degree_assortativity matches the locally computed Pearson r") {
     val e = Tables.lineitem(spark, sfDir)
       .select($"l_suppkey", $"l_partkey").distinct()

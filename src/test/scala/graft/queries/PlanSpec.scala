@@ -310,6 +310,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no recursive CTE's step subplan scans a corpus table") {
+    // Spark's UnionLoop RE-EXECUTES the recursion subplan every
+    // iteration: a corpus rollup left inside the recursive step rescans
+    // the table once per round (the round-10 survival_km failure mode —
+    // 38.6 s at sf0.1, fixed by materializing the bounded frame first).
+    // Guarded structurally for the whole declared surface: the recursion
+    // branch of every UnionLoop must read only bounded inputs
+    // (UnionLoopRef / LocalRelation / checkpointed RDDs), never a file
+    // scan.
+    import org.apache.spark.sql.catalyst.plans.logical.UnionLoop
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    spark.catalog.clearCache()
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect { case u: UnionLoop => u }.flatMap { u =>
+        u.recursion.collect {
+          case r: LogicalRelation =>
+            s"$name: recursion step scans ${r.relation.toString.take(120)}"
+          case r: DataSourceV2Relation =>
+            s"$name: recursion step scans V2 ${r.name}"
+        }
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("dpp_join: dynamic partition pruning fires on the day-partitioned fact") {
     spark.catalog.clearCache()
     val df = graft.SparkEntry.queries("dpp_join")(spark, sfDir)
