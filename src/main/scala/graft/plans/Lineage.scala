@@ -60,9 +60,23 @@ object Lineage {
     case _ =>
       val kids = p.children.map(walk)
       val cm = kids.map(_._1).foldLeft(Map.empty[ExprId, Set[Src]])(_ ++ _)
-      val ind0 = kids.map(_._2).foldLeft(Set.empty[Src])(_ ++ _)
+      // subquery expressions (ScalarSubquery / Exists / InSubquery) carry
+      // whole plans: their OUTPUT columns' sources flow as values wherever
+      // the expression sits (data in a Project, row-deciding in a Filter),
+      // and their INTERNAL filter/join sources are always row-deciding —
+      // without this, a column referenced only through a subquery is
+      // invisible to takedown tracing (ADVICE r10)
+      def subPlans(e: Expression): Seq[LogicalPlan] = e.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s.plan
+      }
+      val subInd = p.expressions.flatMap(subPlans).flatMap(sp => walk(sp)._2).toSet
+      val ind0 = kids.map(_._2).foldLeft(Set.empty[Src])(_ ++ _) ++ subInd
       def deps(e: Expression): Set[Src] =
-        e.references.toSeq.flatMap(a => cm.getOrElse(a.exprId, Set.empty[Src])).toSet
+        e.references.toSeq.flatMap(a => cm.getOrElse(a.exprId, Set.empty[Src])).toSet ++
+          subPlans(e).flatMap { sp =>
+            val (m, _) = walk(sp)
+            sp.output.flatMap(a => m.getOrElse(a.exprId, Set.empty[Src]))
+          }.toSet
       p match {
         case pr: Project =>
           (cm ++ pr.projectList.map(ne => ne.toAttribute.exprId -> deps(ne)), ind0)

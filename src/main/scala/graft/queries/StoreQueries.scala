@@ -1135,7 +1135,110 @@ object StoreQueries {
         min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
   }
 
+  /** The whole store journey as PURE SQL through the
+    * [[graft.sources.GraftCatalog]] `TableCatalog` plugin (X218) — the
+    * open-a-collection-BY-NAME UX of the reference's Chroma layer
+    * (`app.py:73-76`) with zero library calls: CREATE TABLE publishes a
+    * schema-only version 1, two INSERT INTOs land as manifest versions
+    * 2 and 3 through the V2 exactly-once write path, the readout joins
+    * the current version's rollup with a `VERSION AS OF 2` scalar
+    * subquery (SQL time travel — only the first slice existed then).
+    * The catalog name carries the fixture digest so concurrent suites
+    * at different SFs resolve disjoint roots. */
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catroot", dir)
+    rmTree(root)
+    val cat = s"graft_cat_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_cat_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_cat_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_cat_src WHERE user_id >= 60")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2,
+         |  (SELECT COUNT(*) FROM $cat.ev VERSION AS OF 2) AS n_v2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Row-level SQL over the connector (X219): `DELETE FROM <catalog
+    * table> WHERE ...` routed through `SupportsDeleteV2` onto the
+    * store's FILE-PRUNED rewrite ([[graft.store.Versioned.deleteWhere]])
+    * — the reference's delete route (`app.py:451-462`) as pure SQL. The
+    * two inserts land user-sliced files; the delete predicate touches
+    * only the first slice, so exactly one file rewrites (VersionedV2Spec
+    * pins the pruning); the read-back aggregate must equal DuckDB's
+    * complement filter over the raw fixture. */
+  def v2DeleteSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catdel", dir)
+    rmTree(root)
+    val cat = s"graft_del_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_del_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_del_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_del_src WHERE user_id >= 60")
+    spark.sql(s"DELETE FROM $cat.ev " +
+      "WHERE user_id < 30 AND (event_type = 'error' OR v_e2 < 5000)")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Runtime file pruning INTO the V2 scan (X220 —
+    * `SupportsRuntimeV2Filtering` composing with the manifest stats of
+    * X157): the fact store lands four user-residue files with `band`
+    * stats markers, the probe side is the aggregate-derived hot-band
+    * list (revenue strictly above the mean — 3/2/1 of 4 bands at
+    * sf0.001/0.01/0.1, probed), and the broadcast join's runtime IN
+    * filter prunes the fact FILE LIST at execution — where `dpp_join`
+    * (X205) proves the same mechanic over a Hive-layout directory copy,
+    * this is the store's own scan being runtime-pruned.
+    * VersionedV2Spec pins the kept-file telemetry; the oracle recomputes
+    * the join from the raw fixture. */
+  def v2Dpp(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("v2dpp", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"),
+        (col("user_id") % 4).as("band"))
+    (0 until 4).foreach { b =>
+      graft.store.Versioned.append(
+        ev.filter(col("band") === b).coalesce(1), path): Unit
+    }
+    graft.store.Versioned.analyzeStats(spark, path, "band"): Unit
+    // the hot-band gate must reach the planner as a FILTER (the dpp_join
+    // lesson: a cross-join phrasing becomes a BNLJ predicate and runtime
+    // pruning never fires)
+    ev.groupBy(col("band")).agg(sum(col("v_e2")).as("rev"))
+      .createOrReplaceTempView("graft_v2dpp_bands")
+    val hot = spark.sql(
+      """SELECT band FROM graft_v2dpp_bands
+        |WHERE rev * (SELECT COUNT(*) FROM graft_v2dpp_bands)
+        |      > (SELECT SUM(rev) FROM graft_v2dpp_bands)""".stripMargin)
+    spark.read.format("graft-versioned").option("path", path).load()
+      .join(broadcast(hot), "band")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_e2")).as("rev_e2"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_sql" -> (catalogSql _),
+    "v2_delete_sql" -> (v2DeleteSql _),
+    "v2_dpp" -> (v2Dpp _),
     "v2_agg_pushdown" -> (v2AggPushdown _),
     "v2_stream_source" -> (v2StreamSource _),
     "v2_medallion" -> (v2Medallion _),
@@ -1166,6 +1269,37 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the catalog journey == the raw table; VERSION AS OF 2 == slice 1
+    "catalog_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 60)
+        |    AS n_v2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // post-DELETE state == the complement filter over the raw fixture
+    "v2_delete_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events
+        |WHERE NOT (user_id < 30 AND (event_type = 'error'
+        |  OR CAST(round(value * 100) AS BIGINT) < 5000))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same join recomputed from the raw table — runtime pruning must
+    // change nothing; hot gate = revenue strictly above the band mean
+    "v2_dpp" ->
+      """WITH b AS (
+        |  SELECT user_id % 4 AS band,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |hot AS (
+        |  SELECT band FROM b
+        |  WHERE rev * (SELECT COUNT(*) FROM b) > (SELECT SUM(rev) FROM b))
+        |SELECT e.band, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e.v) AS BIGINT) AS rev_e2
+        |FROM (SELECT user_id % 4 AS band,
+        |        CAST(round(value * 100) AS BIGINT) AS v FROM events) e
+        |JOIN hot ON hot.band = e.band
+        |GROUP BY e.band ORDER BY e.band""".stripMargin,
     // the silver table IS the transform of the raw fixture
     "v2_medallion" ->
       """WITH f AS (

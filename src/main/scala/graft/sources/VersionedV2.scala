@@ -97,16 +97,24 @@ object VersionedV2 {
     (path, Option(options.get("versionAsOf")).map(_.trim.toInt))
   }
 
-  /** The table's parquet schema, from the first data file's footer.
-    * Uniform footers are the scoped contract; outstanding renames would
-    * make footer names lie, so they are rejected loudly. */
+  /** The table's parquet schema, from the first data file's footer — or,
+    * for a DATA-FREE table (created via [[graft.store.Versioned.initTable]]
+    * or an empty-write commit), from the manifest's recorded schema
+    * marker, so empty tables stay readable. Uniform footers are the
+    * scoped contract; outstanding renames would make footer names lie,
+    * so they are rejected loudly. */
   private[sources] def footerSchema(path: String,
       version: Option[Int]): MessageType = {
     require(Versioned.renamesOf(path).isEmpty,
       s"graft-versioned: $path has outstanding #rename markers — run " +
         "Versioned.normalize first (the V2 reader serves footer names)")
     val fs = Versioned.files(path, version)
-    require(fs.nonEmpty, s"graft-versioned: $path has no committed data")
+    if (fs.isEmpty) {
+      val recorded = Versioned.schemaOf(path, version)
+      require(recorded.nonEmpty,
+        s"graft-versioned: $path has no committed data and no recorded schema")
+      return messageType(recorded.get)
+    }
     val in = HadoopInputFile.fromPath(new Path(fs.head), new Configuration())
     val r = ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
@@ -161,10 +169,66 @@ object VersionedV2 {
     new MessageType(msg.getName,
       msg.getFields.asScala.filter(f => keep(f.getName)).toList.asJava)
   }
+
+  /** V2 `Predicate` → `Column` over the connector's scoped type set —
+    * the translation layer `DELETE FROM` rides ([[VersionedTable]]'s
+    * SupportsDeleteV2). None = untranslatable, which fails
+    * `canDeleteWhere` loudly rather than mis-deleting. */
+  private[sources] def predicateToColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def litOf(l: V2Literal[_]): Column = l.value match {
+      case u: UTF8String => lit(u.toString)
+      case v => lit(v)
+    }
+    def bin(p: Predicate)(f: (Column, Column) => Column): Option[Column] =
+      for {
+        a <- predicateToColumn(p.children()(0))
+        b <- predicateToColumn(p.children()(1))
+      } yield f(a, b)
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(col(nr.fieldNames.head))
+      case l: V2Literal[_] => Some(litOf(l))
+      case p: Predicate => p.name() match {
+        case "ALWAYS_TRUE" => Some(lit(true))
+        case "ALWAYS_FALSE" => Some(lit(false))
+        case "=" => bin(p)(_ === _)
+        case "<=>" => bin(p)(_ <=> _)
+        case "<>" => bin(p)(_ =!= _)
+        case "<" => bin(p)(_ < _)
+        case "<=" => bin(p)(_ <= _)
+        case ">" => bin(p)(_ > _)
+        case ">=" => bin(p)(_ >= _)
+        case "AND" => bin(p)(_ && _)
+        case "OR" => bin(p)(_ || _)
+        case "NOT" => predicateToColumn(p.children()(0)).map(!_)
+        case "IS_NULL" => predicateToColumn(p.children()(0)).map(_.isNull)
+        case "IS_NOT_NULL" => predicateToColumn(p.children()(0)).map(_.isNotNull)
+        case "IN" =>
+          val vals = p.children().tail.toSeq.map {
+            case l: V2Literal[_] => Some(litOf(l))
+            case _ => None
+          }
+          for {
+            c <- predicateToColumn(p.children().head)
+            vs <- Option.when(vals.forall(_.isDefined))(vals.flatten)
+            if vs.nonEmpty
+          } yield c.isin(vs: _*)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
 private[sources] class VersionedTable(path: String, version: Option[Int],
-    msg: MessageType) extends Table with SupportsRead with SupportsWrite {
+    msg: MessageType) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   private val schemaV = VersionedV2.sparkSchema(msg)
   override def name(): String = s"graft_versioned(`$path`)"
   override def schema(): StructType = schemaV
@@ -179,6 +243,28 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
     new WriteBuilder {
       override def build(): Write = new VersionedWriteImpl(path, info.schema())
     }
+  }
+
+  // ------------------------------------------- row-level SQL: DELETE FROM
+
+  /** `DELETE FROM` delegates to the store's file-pruned rewrite
+    * ([[Versioned.deleteWhere]] — only files holding matching rows are
+    * rewritten; the predicate pushes into their footers). Predicates the
+    * translator can't express reject via [[canDeleteWhere]], so Spark
+    * raises a clear analysis error instead of a silent full-table op. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    version.isEmpty && predicates.forall(p => VersionedV2.predicateToColumn(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    require(version.isEmpty, "graft-versioned: cannot DELETE AS OF a version")
+    val cond = predicates.flatMap(p => VersionedV2.predicateToColumn(p))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Versioned.deleteWhere(SparkSession.active, path, cond): Unit
   }
 }
 
@@ -216,6 +302,11 @@ private[sources] class VersionedWriteImpl(table: String, schema: StructType)
     }
     if (rel.nonEmpty)
       Versioned.commitExternalFiles(SparkSession.active, table, rel.toSeq): Unit
+    else
+      // all tasks empty: commit an observable marker-only version (Delta
+      // records an empty commit too) — otherwise save() to a fresh table
+      // leaves it nonexistent and later reads fail "no committed data"
+      Versioned.commitEmpty(table, schema): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -432,15 +523,20 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
             Versioned.pruneByBloom(path, Versioned.currentVersion(path),
               fs.filter(byStats), c, String.valueOf(v))
           case GreaterThan(c, v) =>
+            // x > Long.MaxValue is unsatisfiable — prune everything;
+            // l + 1 would wrap and silently disable skipping (ADVICE r10)
             val l = longBound(v).get
-            fs.toSet.intersect(
+            if (l == Long.MaxValue) Seq.empty
+            else fs.toSet.intersect(
               Versioned.prunedFiles(path, c, l + 1, Long.MaxValue).toSet).toSeq
           case GreaterThanOrEqual(c, v) =>
             fs.toSet.intersect(Versioned.prunedFiles(path, c,
               longBound(v).get, Long.MaxValue).toSet).toSeq
           case LessThan(c, v) =>
-            fs.toSet.intersect(Versioned.prunedFiles(path, c,
-              Long.MinValue, longBound(v).get - 1).toSet).toSeq
+            val l = longBound(v).get
+            if (l == Long.MinValue) Seq.empty
+            else fs.toSet.intersect(Versioned.prunedFiles(path, c,
+              Long.MinValue, l - 1).toSet).toSeq
           case LessThanOrEqual(c, v) =>
             fs.toSet.intersect(Versioned.prunedFiles(path, c,
               Long.MinValue, longBound(v).get).toSet).toSeq
@@ -452,9 +548,15 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
     val readCols =
       if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
       else Seq(full.fields.minBy(f => f.dataType.defaultSize).name)
+    // runtime (DPP/semi-join) filters can prune files on any column the
+    // CURRENT manifest carries stats or bloom markers for
+    val runtimeCols =
+      if (version.exists(_ != Versioned.currentVersion(path))) Seq.empty[String]
+      else (Versioned.statsOf(path).keysIterator.map(_._1) ++
+        Versioned.bloomOf(path).keysIterator.map(_._1)).toSeq.distinct
     new VersionedScan(all.size, survivors, required,
       VersionedV2.project(msg, readCols).toString,
-      required.fields.isEmpty, path)
+      required.fields.isEmpty, path, runtimeCols)
   }
 }
 
@@ -526,10 +628,73 @@ private[sources] class VersionedAggReader(p: VersionedAggPartition)
   override def close(): Unit = ()
 }
 
-private[sources] class VersionedScan(total: Int, files: Seq[String],
+private[sources] class VersionedScan(total: Int, files0: Seq[String],
     required: StructType, projectedMsg: String, emitEmptyRows: Boolean,
-    tablePath: String)
-    extends Scan with Batch with SupportsReportStatistics {
+    tablePath: String, runtimeCols: Seq[String] = Seq.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  // runtime filtering mutates the surviving file list BEFORE
+  // planInputPartitions — Spark's contract for SupportsRuntimeV2Filtering
+  @volatile private var files: Seq[String] = files0
+
+  /** Files this scan will actually open (spec telemetry). */
+  private[sources] def keptFiles: Int = files.size
+
+  /** Runtime filters are accepted on every column the current manifest
+    * carries stats/bloom markers for — the join-key pruning surface. */
+  override def filterAttributes(): Array[NamedReference] =
+    runtimeCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  /** Runtime (dynamic-partition-pruning / semi-join) file pruning: an
+    * `IN (v1..vk)` or `= v` predicate delivered at execution keeps only
+    * files whose manifest [min, max] stats admit SOME value, then probes
+    * each survivor's bloom marker — composing the X157/X159 skipping with
+    * Spark's runtime filters, so a `graft-versioned` fact joined against
+    * a small aggregate-derived dim reads the hot files only. Unknown
+    * predicate shapes or non-scalar values are ignored (keep all —
+    * pruning is best-effort, Spark re-applies the join itself). */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def survivorsFor(c: String, raw: Seq[Any]): Option[Set[String]] = {
+      if (!runtimeCols.contains(c)) return None
+      val cur = Versioned.currentVersion(tablePath)
+      val sets = raw.map { v =>
+        val byStats = longOf(v) match {
+          case Some(l) => Versioned.prunedFiles(tablePath, c, l, l)
+          case None => files // strings: stats are integral-only
+        }
+        Versioned.pruneByBloom(tablePath, cur, byStats, c,
+          v match { case u: UTF8String => u.toString; case other => String.valueOf(other) })
+      }
+      Some(sets.flatten.toSet)
+    }
+    predicates.foreach { p =>
+      (p.name(), p.children().toSeq) match {
+        case ("IN", (nr: NamedReference) +: vals)
+            if nr.fieldNames.length == 1 &&
+              vals.forall(_.isInstanceOf[V2Literal[_]]) =>
+          survivorsFor(nr.fieldNames.head,
+            vals.map(_.asInstanceOf[V2Literal[_]].value))
+            .foreach(keep => files = files.filter(keep))
+        case ("=", Seq(nr: NamedReference, l: V2Literal[_]))
+            if nr.fieldNames.length == 1 =>
+          survivorsFor(nr.fieldNames.head, Seq(l.value))
+            .foreach(keep => files = files.filter(keep))
+        case _ => ()
+      }
+    }
+  }
 
   /** Streaming SOURCE over the manifest log ([[VersionedMicroBatchStream]])
     * — `spark.readStream.format("graft-versioned")`. */

@@ -124,9 +124,27 @@ object Versioned {
     val lines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
       .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
     val (markers, data) = lines.partition(_.startsWith("#"))
-    val carried = markers.filterNot(_.startsWith("#stream:"))
-    val external = data.map(rel =>
-      if (new File(rel).isAbsolute) rel else new File(table, rel).getAbsolutePath)
+    // stats/bloom markers key on the manifest's FILE LINES — the clone's
+    // data lines are the absolute external forms, so carried markers must
+    // rewrite their embedded file line identically or they can never
+    // match again (skipping would be silently disabled on clones)
+    def absolutize(rel: String): String =
+      if (new File(rel).isAbsolute) rel else new File(table, rel).getAbsolutePath
+    def rewriteMarker(l: String, prefix: String, trailing: Int): String = {
+      val rest = l.stripPrefix(prefix)
+      val colName = rest.takeWhile(_ != ':')
+      val tail = rest.drop(colName.length + 1)
+      // parse the file line from the RIGHT — file lines may contain ':'
+      var cut = tail.length
+      (0 until trailing).foreach { _ => cut = tail.lastIndexOf(':', cut - 1) }
+      prefix + colName + ":" + absolutize(tail.take(cut)) + tail.drop(cut)
+    }
+    val carried = markers.filterNot(_.startsWith("#stream:")).map { l =>
+      if (l.startsWith(StatsPrefix)) rewriteMarker(l, StatsPrefix, 2)
+      else if (l.startsWith(BloomPrefix)) rewriteMarker(l, BloomPrefix, 3)
+      else l
+    }
+    val external = data.map(absolutize)
     commit(target, 0, external ++ carried)
   }
 
@@ -567,6 +585,40 @@ object Versioned {
       .find(_.startsWith(SchemaPrefix))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Commit a data-free version that records `schema` (when no schema
+    * marker exists yet) — the observable-empty-write contract Delta has:
+    * saving an empty DataFrame to a fresh table must still create the
+    * table (schema readable, version count advanced), not leave it
+    * nonexistent. On a table that already carries a schema marker this
+    * publishes an empty commit (no new files), which is still observable
+    * as a version bump. */
+  def commitEmpty(table: String, schema: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val markerAdd =
+        if (schemaOf(table, Some(cur)).isEmpty) Seq(SchemaPrefix + schema.json)
+        else Seq.empty
+      try return commit(table, cur, markerAdd)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** CREATE TABLE: publish version 1 of a brand-new table holding only
+    * the schema marker — the catalog entry point
+    * ([[graft.sources.GraftCatalog]]). Fails if the table exists. */
+  def initTable(table: String,
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    require(currentVersion(table) == 0, s"table $table already exists")
+    commit(table, 0, Seq(SchemaPrefix + schema.json))
   }
 
   /** Files of `version` read under that version's recorded schema (when

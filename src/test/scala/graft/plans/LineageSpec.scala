@@ -62,6 +62,29 @@ class LineageSpec extends SparkSpec {
     assert(Lineage.of(c).contains(("event_type", "data", "events", "event_type")))
   }
 
+  test("subquery expressions contribute sources (scalar value + exists gate)") {
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("lin_ev")
+    docs.createOrReplaceTempView("lin_docs")
+    // scalar subquery in a PROJECTION: the subquery's aggregated column
+    // is a DATA source of the output column
+    val scalar = spark.sql(
+      "SELECT doc_id, (SELECT MAX(value) FROM lin_ev) AS mv FROM lin_docs")
+    val ls = Lineage.of(scalar)
+    assert(ls.contains(("mv", "data", "events", "value")), ls.mkString("\n"))
+    // EXISTS in a FILTER: both the subquery's correlation column and its
+    // internal filter column decide rows — filter provenance on every
+    // output column (round-10 ADVICE: subqueries were invisible)
+    val exists = spark.sql(
+      """SELECT text FROM lin_docs d
+        |WHERE EXISTS (SELECT 1 FROM lin_ev e
+        |              WHERE e.user_id = d.doc_id AND e.value > 400)""".stripMargin)
+    val le = Lineage.of(exists)
+    assert(le.contains(("text", "filter", "events", "value")), le.mkString("\n"))
+    assert(le.contains(("text", "filter", "events", "user_id")), le.mkString("\n"))
+    assert(le.contains(("text", "data", "documents", "text")))
+  }
+
   test("lineage runs on plan metadata only — no Spark job") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Lineage.of(docs.filter(col("lang") === "en").select(col("text")))

@@ -270,6 +270,126 @@ class VersionedV2Spec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("append-only")), ex.getMessage)
   }
 
+  test("empty batch write commits an observable marker-only version") {
+    // saving an empty frame to a FRESH table must still create it —
+    // schema readable, version advanced (the Delta empty-commit
+    // contract; round-10 ADVICE: reads previously failed 'no committed
+    // data')
+    val path = freshTable("empty")
+    Seq.empty[(Long, String)].toDF("id", "s")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    assert(Versioned.currentVersion(path) == 1)
+    val df = v2(path)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(df.count() == 0)
+    // and a later real write evolves normally
+    Seq((1L, "a")).toDF("id", "s").write.format("graft-versioned")
+      .option("path", path).mode("append").save()
+    assert(v2(path).count() == 1)
+  }
+
+  test("open range bounds at Long extremes prune exactly, never wrap") {
+    val path = freshTable("extremes")
+    Versioned.append(Seq((Long.MaxValue, 1L), (0L, 2L)).toDF("k", "ord")
+      .coalesce(1), path)
+    Versioned.analyzeStats(spark, path, "k")
+    // x > Long.MaxValue is unsatisfiable: the planner may keep zero files
+    assert(v2(path).filter($"k" > Long.MaxValue).count() == 0)
+    assert(v2(path).filter($"k" > Long.MaxValue).rdd.getNumPartitions == 0,
+      "unsatisfiable bound must prune every file (the +1 wrap kept them all)")
+    assert(v2(path).filter($"k" < Long.MinValue).rdd.getNumPartitions == 0)
+    // satisfiable extremes still read
+    assert(v2(path).filter($"k" >= Long.MaxValue).count() == 1)
+  }
+
+  private def catalogFor(name: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$name-")
+      .toFile.getAbsolutePath
+    val cat = s"gcat_$name"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("catalog: name->path resolution drives the full SQL journey") {
+    val (cat, root) = catalogFor("journey")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, s STRING)")
+    // CREATE publishes a schema-only v1: the empty table is readable
+    assert(Versioned.currentVersion(s"$root/t") == 1)
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 0)
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.t (id BIGINT)"))
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() == 3)
+    // SQL time travel resolves through loadTable(ident, version)
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").count() == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").count() == 0)
+    // TIMESTAMP AS OF rides the manifest publish times (epoch micros)
+    val now = System.currentTimeMillis()
+    Seq((1, 300L), (2, 200L), (3, 100L)).foreach { case (v, age) =>
+      val f = new java.io.File(s"$root/t", f"_manifests/v$v%08d.list")
+      assert(f.setLastModified(now - age * 1000))
+    }
+    val asOf = new java.sql.Timestamp(now - 150 * 1000)
+    assert(spark.sql(s"SELECT * FROM $cat.t TIMESTAMP AS OF '$asOf'").count() == 2)
+    // SHOW TABLES / rename / drop
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql(s"ALTER TABLE $cat.t RENAME TO t2")
+    assert(spark.sql(s"SELECT * FROM $cat.t2").count() == 3)
+    assert(!new java.io.File(root, "t").exists())
+    spark.sql(s"DROP TABLE $cat.t2")
+    assert(spark.sql(s"SHOW TABLES IN $cat").isEmpty)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.t2").collect())
+  }
+
+  test("DELETE FROM rewrites only the files holding matching rows") {
+    val (cat, root) = catalogFor("del")
+    spark.sql(s"CREATE TABLE $cat.d (id BIGINT, grp BIGINT)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id, 0 FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $cat.d SELECT id, 1 FROM range(100, 200, 1, 1)")
+    val before = Versioned.files(s"$root/d").toSet
+    assert(before.size == 2)
+    spark.sql(s"DELETE FROM $cat.d WHERE id < 10 AND grp = 0")
+    val after = Versioned.files(s"$root/d").toSet
+    // the grp=1 file is untouched (still referenced verbatim); the grp=0
+    // file was rewritten
+    assert(after.intersect(before).size == 1, s"$before -> $after")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.d").head.getLong(0) == 190)
+    assert(spark.sql(s"SELECT MIN(id) FROM $cat.d WHERE grp = 0")
+      .head.getLong(0) == 10)
+    // nothing matching: version must not advance (deleteWhere no-ops)
+    val v = Versioned.currentVersion(s"$root/d")
+    spark.sql(s"DELETE FROM $cat.d WHERE id > 100000")
+    assert(Versioned.currentVersion(s"$root/d") == v)
+    // TRUNCATE-equivalent: delete-all still round-trips
+    spark.sql(s"DELETE FROM $cat.d WHERE TRUE")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.d").head.getLong(0) == 0)
+  }
+
+  test("runtime V2 filtering prunes the fact file list at execution") {
+    val df = graft.queries.StoreQueries.queries("v2_dpp")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("RuntimeFilters: [dynamicpruning"),
+      plan.toString.take(3000))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case o => o.children.flatMap(scans)
+    }
+    val vs = scans(plan).map(_.scan).collectFirst { case v: VersionedScan => v }
+    assert(vs.isDefined, plan.toString.take(3000))
+    val hot = df.count()
+    assert(vs.get.keptFiles == hot && hot < 4,
+      s"kept ${vs.get.keptFiles} files for $hot hot bands")
+  }
+
   test("medallion: silver versions mirror bronze commits; replay is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft-v2-med-")

@@ -697,6 +697,29 @@ class VersionedSpec extends SparkSpec {
     assert(rows(tgt) == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("shallow clone carries LIVE stats/bloom markers: skipping works on the clone") {
+    // the clone's data lines are ABSOLUTE external paths, so carried
+    // markers must rewrite their embedded file line to the same form —
+    // source-relative marker lines could never match and skipping would
+    // be silently disabled (round-10 ADVICE)
+    val src = tmpDir("versioned").toString
+    val tgt = tmpDir("versioned").toString + "-mclone"
+    Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), src)
+    Versioned.append(Seq((50L, "c")).toDF("id", "s").coalesce(1), src)
+    Versioned.analyzeStats(spark, src, "id")
+    Versioned.analyzeBloom(spark, src, "id", bits = 4096)
+    Versioned.shallowClone(src, tgt)
+    // stats keyed on the clone's manifest lines resolve: [40,60] keeps
+    // only the second file, same as on the source
+    assert(Versioned.prunedFiles(src, "id", 40, 60).size == 1)
+    assert(Versioned.prunedFiles(tgt, "id", 40, 60).size == 1,
+      "clone stats markers must key on the clone's absolute file lines")
+    assert(Versioned.statsOf(tgt).size == Versioned.statsOf(src).size)
+    assert(Versioned.bloomOf(tgt).size == Versioned.bloomOf(src).size)
+    assert(Versioned.readPruned(spark, tgt, "id", 40, 60)
+      .as[(Long, String)].collect().toSet == Set((50L, "c")))
+  }
+
   test("manifest stats: analyze, prune from the log alone, markers retire with rewrites") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), t)   // file [1,5]
