@@ -1196,6 +1196,80 @@ object StoreQueries {
          |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** `UPDATE` as pure SQL over the connector (X221 —
+    * `SupportsRowLevelOperations`, group-based copy-on-write): Spark
+    * reads the affected GROUPS through the operation's scan (static
+    * stats pushdown + runtime group filtering both prune), applies the
+    * assignment to matching rows, and the write REPLACES exactly the
+    * scanned files in one atomic manifest commit
+    * ([[graft.store.Versioned.commitExternalRewrite]] — conflicting
+    * concurrent rewrites surface as clear errors, never lost updates).
+    * The `_graft_file` metadata column is load-bearing here: Spark 4.1
+    * applies the ReplaceData row projection only for operations that
+    * request metadata attributes. The read-back rollup must equal
+    * DuckDB's CASE-adjusted rollup over the raw fixture. */
+  def v2UpdateSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catupd", dir)
+    rmTree(root)
+    val cat = s"graft_upd_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_upd_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_upd_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_upd_src WHERE user_id >= 60")
+    spark.sql(s"UPDATE $cat.ev SET v_e2 = v_e2 + 100 " +
+      "WHERE event_type = 'error' AND user_id < 30")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** `MERGE INTO` as pure SQL over the connector (X222 — the same
+    * group-based ReplaceData machinery as [[v2UpdateSql]] with a source
+    * JOIN): matched target rows take the source value, unmatched source
+    * rows INSERT as a synthetic 'merged' event class. Affected-group
+    * discovery joins through the scan (stats + runtime group filter);
+    * inserted rows simply become new files in the same atomic rewrite
+    * commit. Oracle: the CASE-adjusted rollup UNION the inserted class
+    * recomputed from the raw fixture. */
+  def v2MergeSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catmrg", dir)
+    rmTree(root)
+    val cat = s"graft_mrg_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_mrg_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_mrg_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_mrg_src WHERE user_id >= 60")
+    spark.sql(
+      s"""MERGE INTO $cat.ev t
+         |USING (
+         |  SELECT event_id, v_e2 * 2 AS nv FROM graft_mrg_src WHERE user_id < 10
+         |  UNION ALL
+         |  SELECT event_id + 10000000, CAST(777 AS BIGINT)
+         |  FROM graft_mrg_src WHERE user_id < 3) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET v_e2 = s.nv
+         |WHEN NOT MATCHED THEN
+         |  INSERT (event_id, user_id, event_type, v_e2)
+         |  VALUES (s.event_id, 0, 'merged', s.nv)""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Runtime file pruning INTO the V2 scan (X220 —
     * `SupportsRuntimeV2Filtering` composing with the manifest stats of
     * X157): the fact store lands four user-residue files with `band`
@@ -1238,6 +1312,8 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_sql" -> (catalogSql _),
     "v2_delete_sql" -> (v2DeleteSql _),
+    "v2_update_sql" -> (v2UpdateSql _),
+    "v2_merge_sql" -> (v2MergeSql _),
     "v2_dpp" -> (v2Dpp _),
     "v2_agg_pushdown" -> (v2AggPushdown _),
     "v2_stream_source" -> (v2StreamSource _),
@@ -1276,6 +1352,26 @@ object StoreQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 60)
         |    AS n_v2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // post-UPDATE state == the CASE-adjusted rollup over the raw fixture
+    "v2_update_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_type = 'error' AND user_id < 30
+        |    THEN CAST(round(value * 100) AS BIGINT) + 100
+        |    ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sv_e2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // post-MERGE state == doubled-value matches + the inserted class
+    "v2_merge_sql" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id < 10
+        |      THEN CAST(round(value * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'merged', CAST(777 AS BIGINT) FROM events WHERE user_id < 3)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sv_e2
+        |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin,
     // post-DELETE state == the complement filter over the raw fixture
     "v2_delete_sql" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -90,6 +90,10 @@ class VersionedV2 extends TableProvider with DataSourceRegister {
 
 object VersionedV2 {
 
+  /** Name of the file-provenance metadata column (see
+    * [[VersionedTable.metadataColumns]]). */
+  private[sources] val FileMetaCol = "_graft_file"
+
   private[sources] def pathAndVersion(
       options: CaseInsensitiveStringMap): (String, Option[Int]) = {
     val path = Option(options.get("path")).getOrElse(
@@ -228,8 +232,26 @@ object VersionedV2 {
 
 private[sources] class VersionedTable(path: String, version: Option[Int],
     msg: MessageType) extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private val schemaV = VersionedV2.sparkSchema(msg)
+
+  /** `_graft_file` — the serving file's path as a metadata column (the
+    * `input_file_name()` analog for this connector; Iceberg's `_file`).
+    * Doubles as the GROUP IDENTITY the row-level operations rewrite by:
+    * Spark 4.1's ReplaceData tags rows `WRITE_WITH_METADATA_OPERATION`
+    * and applies its data projection only when the operation asks for
+    * metadata attributes, so exposing the file column is load-bearing
+    * for UPDATE/MERGE correctness, not just provenance sugar. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = VersionedV2.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "absolute path of the serving data file"
+    })
   override def name(): String = s"graft_versioned(`$path`)"
   override def schema(): StructType = schemaV
   override def capabilities(): util.Set[TableCapability] =
@@ -265,6 +287,82 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Versioned.deleteWhere(SparkSession.active, path, cond): Unit
+  }
+
+  // --------------------------------- row-level SQL: UPDATE / MERGE INTO
+
+  /** GROUP-BASED (copy-on-write) row-level operations — `UPDATE` and
+    * `MERGE INTO` as pure SQL: Spark reads the affected GROUPS (files)
+    * through the operation's own scan, recomputes their full content
+    * with the updates/merge actions applied, and this write REPLACES
+    * exactly the scanned files in one atomic manifest commit
+    * ([[Versioned.commitExternalRewrite]]). Which files count as
+    * affected is the engine's own skipping story: the command's
+    * condition pushes into the scan statically (manifest stats/bloom)
+    * and Spark's runtime group filtering composes through
+    * `SupportsRuntimeV2Filtering` — untouched files carry into the new
+    * version by reference, the 100 TB contract `deleteWhere` already
+    * has. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      "graft-versioned: cannot UPDATE/MERGE AS OF a historical version")
+    () => new VersionedRowLevelOperation(path, msg, schemaV, info.command())
+  }
+}
+
+/** One UPDATE/MERGE statement's scan↔write pair: the scan records which
+  * files it served (post static + runtime group pruning); the write's
+  * commit swaps exactly those for the staged replacements. */
+private[sources] class VersionedRowLevelOperation(path: String,
+    msg: MessageType, full: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var groupScan: Option[VersionedScan] = None
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-versioned $cmd (copy-on-write)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VersionedScanBuilder(path, None, msg, full,
+      onScan = s => groupScan = Some(s))
+
+  /** Spark's ReplaceData applies its data projection only when the
+    * operation requests metadata attributes (the rows otherwise reach
+    * the writer raw, with the `__row_operation` tag still in front) —
+    * so the file column is required for correctness here. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      VersionedV2.FileMetaCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new VersionedReplaceDataWrite(path, info.schema(),
+          () => groupScan.fold(sys.error(
+            "row-level write committed before its scan planned"): Seq[String])(
+            _.currentFileList))
+    }
+}
+
+/** The replace-groups write: stages files exactly like the append write
+  * (unique names, invisible until commit), but publishes them as a
+  * REWRITE of the files its operation's scan read. */
+private[sources] class VersionedReplaceDataWrite(table: String,
+    schema: StructType, scanned: () => Seq[String])
+    extends VersionedWriteImpl(table, schema) {
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap {
+      case VersionedCommitMessage(fs) => fs
+      case other => sys.error(s"unexpected commit message $other")
+    }
+    Versioned.commitExternalRewrite(SparkSession.active, table, rel.toSeq,
+      scanned()): Unit
   }
 }
 
@@ -385,6 +483,12 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
       .withType(msgType).withConf(conf).build()
   }
 
+  /** Row-level (ReplaceData) writes arrive as (metadata, data) pairs —
+    * the metadata row carries the serving-file column the operation
+    * requested for projection purposes; the data row is the content. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
@@ -420,7 +524,8 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
 }
 
 private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
-    msg: MessageType, full: StructType)
+    msg: MessageType, full: StructType,
+    onScan: VersionedScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -544,9 +649,12 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
         }
       }
     // COUNT(*) prunes to zero columns; read the narrowest field so row
-    // multiplicity survives while decoding as little as possible
+    // multiplicity survives while decoding as little as possible. The
+    // `_graft_file` metadata column is served from the partition itself,
+    // never decoded from parquet
+    val dataFields = required.fields.filterNot(_.name == VersionedV2.FileMetaCol)
     val readCols =
-      if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
+      if (dataFields.nonEmpty) dataFields.map(_.name).toSeq
       else Seq(full.fields.minBy(f => f.dataType.defaultSize).name)
     // runtime (DPP/semi-join) filters can prune files on any column the
     // CURRENT manifest carries stats or bloom markers for
@@ -554,9 +662,11 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       if (version.exists(_ != Versioned.currentVersion(path))) Seq.empty[String]
       else (Versioned.statsOf(path).keysIterator.map(_._1) ++
         Versioned.bloomOf(path).keysIterator.map(_._1)).toSeq.distinct
-    new VersionedScan(all.size, survivors, required,
+    val scan = new VersionedScan(all.size, survivors, required,
       VersionedV2.project(msg, readCols).toString,
       required.fields.isEmpty, path, runtimeCols)
+    onScan(scan)
+    scan
   }
 }
 
@@ -640,6 +750,10 @@ private[sources] class VersionedScan(total: Int, files0: Seq[String],
 
   /** Files this scan will actually open (spec telemetry). */
   private[sources] def keptFiles: Int = files.size
+
+  /** The surviving file list itself — the row-level-operation write
+    * replaces exactly these groups. */
+  private[sources] def currentFileList: Seq[String] = files
 
   /** Runtime filters are accepted on every column the current manifest
     * carries stats/bloom markers for — the join-key pruning surface. */
@@ -814,10 +928,15 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
     ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf).build()
   private val projected = MessageTypeParser.parseMessageType(p.projectedMsg)
-  // required-schema order may differ from file order; map by name
+  // required-schema order may differ from file order; map by name. The
+  // `_graft_file` metadata column maps to -1 and serves the partition's
+  // own file path
   private val fieldIdx: Array[Int] =
-    p.required.fields.map(f => projected.getFieldIndex(f.name))
+    p.required.fields.map(f =>
+      if (f.name == VersionedV2.FileMetaCol) -1
+      else projected.getFieldIndex(f.name))
   private val types: Array[DataType] = p.required.fields.map(_.dataType)
+  private val fileValue = UTF8String.fromString(p.file)
   private var cur: Group = _
 
   override def next(): Boolean = { cur = reader.read(); cur != null }
@@ -830,7 +949,8 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
       while (i < fieldIdx.length) {
         val fi = fieldIdx(i)
         vals(i) =
-          if (cur.getFieldRepetitionCount(fi) == 0) null
+          if (fi == -1) fileValue
+          else if (cur.getFieldRepetitionCount(fi) == 0) null
           else types(i) match {
             case LongType => cur.getLong(fi, 0)
             case IntegerType => cur.getInteger(fi, 0)

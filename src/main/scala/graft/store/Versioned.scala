@@ -1023,6 +1023,44 @@ object Versioned {
     publishStaged(spark, staged, table, relFiles, cons, maxRetries)
   }
 
+  /** Publish a GROUP REWRITE staged by an external writer (the SQL
+    * UPDATE/MERGE INTO path, [[graft.sources.VersionedV2]]'s
+    * row-level-operation write): `addedRel` replace `removedAbs` in one
+    * atomic commit, with CHECK constraints validated against the staged
+    * rows first. Unlike append's blind conflict retry, a retry here
+    * re-verifies that every removed file still exists in the new base —
+    * a concurrent rewrite of an overlapping group is a LOST UPDATE, so
+    * it surfaces as a clear conflict error (Delta's write-conflict
+    * contract) rather than silently re-removing vanished lines. */
+  def commitExternalRewrite(spark: SparkSession, table: String,
+      addedRel: Seq[String], removedAbs: Seq[String],
+      maxRetries: Int = 5): Int = {
+    if (addedRel.nonEmpty) {
+      val staged = spark.read.parquet(
+        addedRel.map(r => new File(table, r).getPath): _*)
+      requireConstraints(constraintsOf(table, Some(currentVersion(table))), staged)
+    }
+    val removedRel = removedAbs.map(abs => manifestLineOf(table, abs)).toSet
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      val lines = Files.readAllLines(manifestFile(table, cur).toPath,
+        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+      val gone = removedRel.filterNot(lines)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"row-level rewrite conflict on $table: ${gone.size} scanned file(s) " +
+          "were rewritten concurrently — re-run the statement against the " +
+          "current version")
+      try return commit(table, cur, addedRel, removedRel)
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** The publish loop shared by [[append]] and [[commitExternalFiles]]:
     * staged data files are already on disk (invisible — not yet in any
     * manifest); this resolves constraints/schema against the current

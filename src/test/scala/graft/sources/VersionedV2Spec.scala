@@ -368,6 +368,42 @@ class VersionedV2Spec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.d").head.getLong(0) == 0)
   }
 
+  test("UPDATE rewrites only the affected groups; MERGE INTO upserts") {
+    val (cat, root) = catalogFor("rlo")
+    spark.sql(s"CREATE TABLE $cat.u (id BIGINT, grp BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.u SELECT id, 0, id * 10 FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $cat.u SELECT id, 1, id * 10 FROM range(100, 200, 1, 1)")
+    Versioned.analyzeStats(spark, s"$root/u", "id")
+    val before = Versioned.files(s"$root/u").toSet
+    assert(before.size == 2)
+
+    // UPDATE touching only the first group (stats prune the second)
+    spark.sql(s"UPDATE $cat.u SET v = v + 1 WHERE id < 10")
+    val after = Versioned.files(s"$root/u").toSet
+    assert(after.intersect(before).size == 1,
+      s"the id>=100 file must carry by reference: $before -> $after")
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.u").head.getLong(0) ==
+      (0L until 200L).map(_ * 10).sum + 10)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.u").head.getLong(0) == 200)
+
+    // MERGE INTO: update two existing keys, insert one new
+    Seq((5L, 777L), (150L, 888L), (500L, 999L)).toDF("id", "nv")
+      .createOrReplaceTempView("rlo_src")
+    spark.sql(
+      s"""MERGE INTO $cat.u t USING rlo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, 9, s.nv)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.u").head.getLong(0) == 201)
+    val got = spark.sql(
+      s"SELECT id, v FROM $cat.u WHERE id IN (5, 150, 500) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((5L, 777L), (150L, 888L), (500L, 999L)))
+    // pre-rewrite history stays time-travelable
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.u VERSION AS OF 3")
+      .head.getLong(0) == 200)
+  }
+
   test("runtime V2 filtering prunes the fact file list at execution") {
     val df = graft.queries.StoreQueries.queries("v2_dpp")(spark, sfDir)
     df.collect()
