@@ -1496,10 +1496,14 @@ object EventQueries {
     * the per-cell contribution (O − E)²/E with E = R·C/n scales by n to
     * (n·O − R·C)² / (n·R·C), whose numerator can reach ~10²² — so the
     * squaring runs in DECIMAL(38,0) and only the bounded e6 quotient
-    * exports (same >64-bit discipline as value_moments). Shape: ONE
-    * partial-aggregated pass builds the cells; rows/cols/total are
-    * broadcast 1-to-a-few-row frames derived from the cells, never a
-    * re-scan. */
+    * exports (same >64-bit discipline as value_moments). The grid is
+    * DENSIFIED before scoring (rows × cols left-joined to the observed
+    * cells): a structurally-zero cell still contributes (0−E)²/E = RC/n,
+    * and omitting those understates χ² exactly when the association is
+    * strong (round-11 fix — sf0.001 genuinely lacks some hi cells).
+    * Shape: ONE partial-aggregated pass builds the cells; rows/cols/
+    * total are broadcast 1-to-a-few-row frames derived from the cells,
+    * never a re-scan. */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val cells = Tables.events(spark, dir)
@@ -1509,9 +1513,12 @@ object EventQueries {
     val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
     val cols = cells.groupBy(col("hi")).agg(sum(col("o")).as("c"))
     val total = cells.agg(sum(col("o")).as("n"))
-    cells
-      .join(broadcast(rows), "event_type")
-      .join(broadcast(cols), "hi")
+    // densify: a structurally-zero cell still contributes (0−E)²/E =
+    // RC/n — omitting it understates χ² exactly when association is
+    // strong (at sf0.001 some hi cells are genuinely unobserved)
+    rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("event_type", "hi"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(total))
       .select(col("event_type"), col("hi").cast("long").as("hi"), col("o"),
         expr("(r * c) div n").as("expected"),
@@ -1688,13 +1695,19 @@ object EventQueries {
         |  FROM base GROUP BY 1, 2),
         |rr AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
         |cc AS (SELECT hi, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
-        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
-        |SELECT cells.event_type, CAST(cells.hi AS BIGINT) AS hi, cells.o,
-        |  CAST((rr.r * cc.c) // nn.n AS BIGINT) AS expected,
-        |  CAST(((CAST(nn.n AS HUGEINT) * o - CAST(rr.r AS HUGEINT) * cc.c)
-        |     * (CAST(nn.n AS HUGEINT) * o - CAST(rr.r AS HUGEINT) * cc.c) * 1000000)
-        |    // (CAST(nn.n AS HUGEINT) * rr.r * cc.c) AS BIGINT) AS chi2_contrib_e6
-        |FROM cells JOIN rr USING (event_type) JOIN cc USING (hi), nn
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |dense AS (
+        |  SELECT rr.event_type, rr.r, cc.hi, cc.c, COALESCE(cells.o, 0) AS o
+        |  FROM rr CROSS JOIN cc
+        |  LEFT JOIN cells ON cells.event_type = rr.event_type
+        |    AND cells.hi = cc.hi)
+        |SELECT dense.event_type, CAST(dense.hi AS BIGINT) AS hi,
+        |  CAST(dense.o AS BIGINT) AS o,
+        |  CAST((dense.r * dense.c) // nn.n AS BIGINT) AS expected,
+        |  CAST(((CAST(nn.n AS HUGEINT) * o - CAST(dense.r AS HUGEINT) * dense.c)
+        |     * (CAST(nn.n AS HUGEINT) * o - CAST(dense.r AS HUGEINT) * dense.c) * 1000000)
+        |    // (CAST(nn.n AS HUGEINT) * dense.r * dense.c) AS BIGINT) AS chi2_contrib_e6
+        |FROM dense, nn
         |ORDER BY event_type, hi""".stripMargin,
     // same integer split: rev div k per click, remainder to the earliest
     "linear_attribution" ->

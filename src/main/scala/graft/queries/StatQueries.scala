@@ -192,7 +192,27 @@ object StatQueries {
   def survivalKm(spark: SparkSession, dir: String): DataFrame =
     survivalKmOf(Tables.events(spark, dir))
 
-  def survivalKmOf(events: DataFrame): DataFrame = {
+  def survivalKmOf(events: DataFrame): DataFrame =
+    survivalRiskXs(events)
+      .select(explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS
+          |    ARRAY<STRUCT<t: INT, d: BIGINT, n: BIGINT, s: BIGINT>>),
+          |  (a, x) -> array_append(a, named_struct(
+          |    't', x.t, 'd', x.d, 'n', x.n,
+          |    's', ((CASE WHEN size(a) = 0 THEN CAST(1000000 AS BIGINT)
+          |           ELSE element_at(a, -1).s END) * (x.n - x.d)) div x.n)))"""
+          .stripMargin)).as("r"))
+      .select(col("r.t").as("tenure_days"), col("r.n").as("n_risk"),
+        col("r.d").as("d_events"),
+        expr("(1000000 * r.d) div r.n").as("hazard_e6"),
+        col("r.s").as("survival_e6"))
+      .orderBy(col("tenure_days"))
+
+  /** The t-sorted survival risk table collected to one array — shared by
+    * the Kaplan-Meier product ([[survivalKmOf]]) and the Nelson-Aalen
+    * cumulative hazard ([[nelsonAalenOf]]). */
+  private def survivalRiskXs(events: DataFrame): DataFrame = {
     events.createOrReplaceTempView("graft_events_surv")
     val spark = events.sparkSession
     spark.sql(
@@ -224,20 +244,193 @@ object StatQueries {
         |  GROUP BY e.t_obs)
         |SELECT sort_array(collect_list(struct(t, d, n))) AS xs FROM risk"""
         .stripMargin)
+  }
+
+  /** Nelson-Aalen cumulative hazard (X229) — the estimator reported
+    * NEXT TO Kaplan-Meier in every survival readout: where KM multiplies
+    * survival down, NA sums hazard up (H_t = Σ d_i/n_i), which is the
+    * quantity variance estimates and hazard-ratio eyeballing want. Same
+    * risk table, same single-job fold; the cumulative sum adds per-step
+    * e6 FLOORS ((10⁶·d) div n — all positive), so both engines agree
+    * term for term and the DuckDB oracle can use a plain windowed sum
+    * over the identical floored terms. */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenOf(Tables.events(spark, dir))
+
+  def nelsonAalenOf(events: DataFrame): DataFrame =
+    survivalRiskXs(events)
       .select(explode(expr(
         """aggregate(xs,
           |  CAST(array() AS
-          |    ARRAY<STRUCT<t: INT, d: BIGINT, n: BIGINT, s: BIGINT>>),
+          |    ARRAY<STRUCT<t: INT, d: BIGINT, n: BIGINT, h: BIGINT>>),
           |  (a, x) -> array_append(a, named_struct(
           |    't', x.t, 'd', x.d, 'n', x.n,
-          |    's', ((CASE WHEN size(a) = 0 THEN CAST(1000000 AS BIGINT)
-          |           ELSE element_at(a, -1).s END) * (x.n - x.d)) div x.n)))"""
+          |    'h', (CASE WHEN size(a) = 0 THEN CAST(0 AS BIGINT)
+          |          ELSE element_at(a, -1).h END) + (1000000 * x.d) div x.n)))"""
           .stripMargin)).as("r"))
       .select(col("r.t").as("tenure_days"), col("r.n").as("n_risk"),
-        col("r.d").as("d_events"),
-        expr("(1000000 * r.d) div r.n").as("hazard_e6"),
-        col("r.s").as("survival_e6"))
+        col("r.d").as("d_events"), col("r.h").as("cumhaz_e6"))
       .orderBy(col("tenure_days"))
+
+  /** Seasonal-naive forecast evaluation (X230) — the backtest every
+    * forecasting ladder (exp_smooth → holt → holt_winters) should be
+    * judged against: over the evaluation days (t ≥ 8), compare the
+    * lag-7 seasonal-naive forecast's absolute-error sum to the lag-1
+    * naive's. rmae_e6 < 10⁶ means weekly seasonality carries real
+    * signal (relative MAE, Davydenko & Fildes 2013 — same eval window
+    * for both, so no in-sample/out-of-sample split convention to
+    * disagree on). Pure integer sums over the calendar-bounded series;
+    * one fold, one job. */
+  def seasonalNaiveEval(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaiveEvalOf(Tables.events(spark, dir))
+
+  def seasonalNaiveEvalOf(events: DataFrame): DataFrame =
+    dailySeries(events)
+      .select((size(col("xs")) - 7).cast("long").as("n_eval"),
+        expr(
+          """aggregate(sequence(8, size(xs)),
+            |  named_struct('s7', CAST(0 AS BIGINT), 's1', CAST(0 AS BIGINT)),
+            |  (a, t) -> named_struct(
+            |    's7', a.s7 + abs(element_at(xs, t).rev
+            |                     - element_at(xs, t - 7).rev),
+            |    's1', a.s1 + abs(element_at(xs, t).rev
+            |                     - element_at(xs, t - 1).rev)))""".stripMargin)
+          .as("r"))
+      .select(col("n_eval"), col("r.s7").as("sae_seasonal_e2"),
+        col("r.s1").as("sae_naive_e2"),
+        expr("(r.s7 * 1000000) div r.s1").as("rmae_e6"))
+
+  /** Contingency effect sizes (X232) — the "is it LARGE" companion to
+    * chi2_independence's "is it significant": φ², Cramér's V, and
+    * Tschuprow's T over the (event type × high-value) table. χ² itself
+    * is the exact integer sum of the per-cell e6-floored contributions
+    * (chi2_independence's DECIMAL(38) recipe) over the DENSIFIED
+    * row×col grid — structural zeros contribute (0−E)²/E = RC/n, and a
+    * perfectly dependent table is made OF structural zeros (skipping
+    * them caps V at 1/√(min dim), the planted-spec bite); the three effect
+    * sizes are fixed-order double chains over that one integer + the
+    * table dimensions, so the only rounding is the terminal e6. One
+    * partial-aggregated pass builds the cells; everything else is
+    * broadcast math. */
+  def contingencyEffects(spark: SparkSession, dir: String): DataFrame =
+    contingencyEffectsOf(Tables.events(spark, dir))
+
+  def contingencyEffectsOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = events
+      .select(col("event_type"), (col("value") > 250).cast("int").as("hi"))
+      .groupBy(col("event_type"), col("hi"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("hi")).agg(sum(col("o")).as("c"))
+    val total = cells.agg(sum(col("o")).as("n"))
+    // DENSIFY the grid before scoring: a structurally-zero cell (never
+    // observed) still contributes (0−E)²/E = RC/n — exactly the cells a
+    // strongly dependent table has, so skipping them caps V at 1/√2 on
+    // a perfect 2×2 association (the planted-spec bite)
+    rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("event_type", "hi"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .agg(
+        max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("n_rows"),
+        countDistinct(col("hi")).as("n_cols"),
+        sum(expr(s"CAST((CAST(n AS $d38) * o - CAST(r AS $d38) * c) *" +
+          s" (CAST(n AS $d38) * o - CAST(r AS $d38) * c) * 1000000" +
+          s" div (CAST(n AS $d38) * r * c) AS BIGINT)")).as("chi2_e6"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_e6"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        expr(effectSql("sqrt(phi2)")).as("phi_e6"),
+        expr(effectSql(
+          "sqrt(phi2 / CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))"))
+          .as("cramers_v_e6"),
+        expr(effectSql(
+          "sqrt(phi2 / sqrt(CAST((n_rows - 1) * (n_cols - 1) AS DOUBLE)))"))
+          .as("tschuprow_e6"))
+  }
+
+  /** Shared effect-size chain: `phi2` = (χ²_e6 / 10⁶) / n as one
+    * fixed-order double expression — identical text on both engines. */
+  private def effectSql(body: String): String = {
+    val phi2 = "(CAST(chi2_e6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))"
+    s"CAST(round(${body.replace("phi2", phi2)} * 1000000) AS BIGINT)"
+  }
+
+  /** Deterministic Poisson-bootstrap CI for the mean event value (X223)
+    * — bootstrap WITHOUT resampling passes: each row contributes a
+    * Poisson(1) weight to each of B = 32 replicates (Chamandy et al.
+    * 2012, "Estimating Uncertainty for Massive Data Streams" — the
+    * Google large-scale bootstrap), so the whole thing is ONE
+    * partial-aggregated scan with 64 conditional sums, at any corpus
+    * size. Weights are DETERMINISTIC: replicate b's weight for a row is
+    * the inverse-CDF bucket of a 52-bit integer folded from
+    * md5('boot:b:' ++ event_id) — the engine-stable priority_sample
+    * hash recipe, compared against ⌊CDF·2⁵²⌋ integer thresholds, so both
+    * engines draw THE SAME bootstrap and the oracle is exact, not
+    * statistical. Replicate means floor at e6; the CI is the 2nd/31st
+    * order statistic of the 32 sorted means (the percentile-bootstrap
+    * ⌈α(B+1)⌉ rule at α ≈ 6%). The SQL body is engine-shared
+    * ([[bootSql]]), parameterized on the source and the idiv token. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame =
+    poissonBootstrapOf(Tables.events(spark, dir))
+
+  def poissonBootstrapOf(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .createOrReplaceTempView("graft_boot_src")
+    events.sparkSession.sql(bootSql(
+      "SELECT event_id, v FROM graft_boot_src", "div"))
+  }
+
+  /** ⌊P(Pois(1) ≤ k)·2⁵²⌋ for k = 0..5 (weight 6 beyond — P < 10⁻⁴). */
+  private val PoisThresholds = Seq(1656781714176974L, 3313563428353948L,
+    4141954285442435L, 4418084571138597L, 4487117142562638L,
+    4500923656847446L)
+
+  private val BootReplicates = 32
+
+  /** The engine-shared Poisson-bootstrap body over `source(event_id, v)`
+    * — generated once for Spark (`div`) and DuckDB (`//`). */
+  def bootSql(source: String, idiv: String): String = {
+    val hCols = (0 until BootReplicates).map { b =>
+      PipelineQueries.hexFoldSql(
+        s"md5(concat('boot:$b:', CAST(event_id AS STRING)))") + s" AS h$b"
+    }.mkString(",\n    ")
+    val wCase = PoisThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN h%d < $t THEN $k" }.mkString(" ")
+    val wCols = (0 until BootReplicates).map { b =>
+      s"CAST(CASE ${wCase.replace("%d", b.toString)} ELSE 6 END AS BIGINT) AS w$b"
+    }.mkString(",\n    ")
+    val sums = (0 until BootReplicates).map { b =>
+      s"CAST(SUM(w$b) AS BIGINT) AS c$b, CAST(SUM(w$b * v) AS BIGINT) AS s$b"
+    }.mkString(",\n    ")
+    val reps = (0 until BootReplicates).map { b =>
+      s"SELECT (s$b * 10000) $idiv c$b AS mv FROM m"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH src AS ($source),
+       |h AS (
+       |  SELECT v,
+       |    $hCols
+       |  FROM src),
+       |w AS (
+       |  SELECT v,
+       |    $wCols
+       |  FROM h),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+       |    $sums
+       |  FROM w),
+       |reps AS (
+       |  $reps),
+       |o AS (SELECT mv, ROW_NUMBER() OVER (ORDER BY mv) AS rk FROM reps)
+       |SELECT (SELECT n FROM m) AS n,
+       |  (SELECT (sv * 10000) $idiv n FROM m) AS mean_e6,
+       |  CAST(MAX(CASE WHEN rk = 2 THEN mv END) AS BIGINT) AS boot_lo_e6,
+       |  CAST(MAX(CASE WHEN rk = 31 THEN mv END) AS BIGINT) AS boot_hi_e6,
+       |  CAST($BootReplicates AS BIGINT) AS n_replicates
+       |FROM o""".stripMargin
   }
 
   /** Mutual information between two columns (event type × coarse value
@@ -841,7 +1034,201 @@ object StatQueries {
       .orderBy(col("level"))
   }
 
+  /** The t-ranked daily revenue series collected to ONE sorted array —
+    * the shared bounded frame the pairwise estimators (Theil-Sen,
+    * Kendall) fold over: at any corpus size the array is ≤ one element
+    * per calendar day, so the O(days²) pair math is constant work after
+    * the single partial-aggregated rollup. */
+  private def dailySeries(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev")))).as("xs"))
+
+  /** Theil-Sen robust trend (X227) — the median of all pairwise slopes
+    * of the daily revenue series: the slope estimator that shrugs off
+    * the outlier days OLS (`trend_regression`) chases (breakdown point
+    * 29%, Sen 1968). Slopes quantize to e6 BY RANK STEP ((Δrev·10⁶) div
+    * Δt — both engines truncate toward zero on the negative slopes, the
+    * probed pin; rank steps are gap-proof like the Holt recursions),
+    * and the median is the exact pair of middle order statistics of the
+    * ≤ C(days,2) slope array — reported as lo/hi so even-count medians
+    * need no cross-engine averaging convention. Everything after the
+    * one daily rollup is array math on a calendar-bounded frame. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(spark, dir))
+
+  def theilSenOf(events: DataFrame): DataFrame =
+    dailySeries(events)
+      .select(expr(
+        """sort_array(flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), (y, k) ->
+          |    ((y.rev - x.rev) * 1000000) div CAST(k + 1 AS BIGINT)))))"""
+          .stripMargin).as("ss"))
+      .select(
+        size(col("ss")).cast("long").as("n_pairs"),
+        expr("element_at(ss, CAST((size(ss) + 1) DIV 2 AS INT))")
+          .as("slope_lo_e6"),
+        expr("element_at(ss, CAST(size(ss) DIV 2 + 1 AS INT))")
+          .as("slope_hi_e6"))
+
+  /** Kendall rank correlation (X228) of daily revenue against time —
+    * the nonparametric monotone-trend readout (tau-a over the same
+    * pair frame as [[theilSen]]; day ranks are strictly increasing so
+    * x-ties don't exist and tau-a is the natural form; y-ties are
+    * counted and reported). C/D/T are exact integer pair counts; tau_e6
+    * is one integer division (truncation toward zero matches on the
+    * negative taus). The Mann-Kendall trend test is C − D with a known
+    * null variance — reported as the exact integer `s_stat`. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTauOf(Tables.events(spark, dir))
+
+  def kendallTauOf(events: DataFrame): DataFrame =
+    dailySeries(events)
+      .select(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs)), y ->
+          |    CAST(sign(y.rev - x.rev) AS BIGINT))))""".stripMargin).as("sg"))
+      .select(
+        size(col("sg")).cast("long").as("n_pairs"),
+        expr("size(filter(sg, v -> v > 0))").cast("long").as("concordant"),
+        expr("size(filter(sg, v -> v < 0))").cast("long").as("discordant"),
+        expr("size(filter(sg, v -> v = 0))").cast("long").as("y_ties"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("y_ties"),
+        (col("concordant") - col("discordant")).as("s_stat"),
+        expr("((concordant - discordant) * 1000000) div n_pairs")
+          .as("tau_a_e6"))
+
+  /** Mann-Whitney U / Wilcoxon rank-sum (X224) between the two
+    * experiment cohorts (user parity) over INTEGER VALUE BANDS
+    * (⌊value⌋ — 491 possible bands, so the rank table is bounded by the
+    * value DOMAIN, never by rows): are treatment values stochastically
+    * larger? Midranks come from one fold over the sorted band
+    * histogram; everything is carried ×2 so midranks stay integral
+    * (u2_* = 2U). The identity u2_a + u2_b = 2·n_a·n_b is a built-in
+    * audit; z uses the tie-corrected normal approximation as a mirrored
+    * fixed-order double chain over exact integers (ties are heavy by
+    * construction — the correction is load-bearing, not cosmetic).
+    * Scale shape: one partial-aggregated groupBy on the bounded band
+    * domain, then array math. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, dir))
+
+  def mannWhitneyOf(events: DataFrame): DataFrame =
+    events
+      .select(expr("CAST(floor(value) AS BIGINT)").as("band"),
+        (col("user_id") % 2).as("g"))
+      .groupBy(col("band"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"))
+      .agg(sort_array(collect_list(struct(col("band"), col("na"),
+        col("nb")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('cum', CAST(0 AS BIGINT), 'r2a', CAST(0 AS BIGINT),
+          |    'r2b', CAST(0 AS BIGINT), 'na', CAST(0 AS BIGINT),
+          |    'nb', CAST(0 AS BIGINT), 'tc', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    'cum', a.cum + x.na + x.nb,
+          |    'r2a', a.r2a + x.na * (2 * a.cum + x.na + x.nb + 1),
+          |    'r2b', a.r2b + x.nb * (2 * a.cum + x.na + x.nb + 1),
+          |    'na', a.na + x.na, 'nb', a.nb + x.nb,
+          |    'tc', a.tc + (x.na + x.nb) * (x.na + x.nb) * (x.na + x.nb)
+          |          - (x.na + x.nb)),
+          |  a -> array(a))""".stripMargin)).as("r"))
+      .select(col("r.na").as("n_a"), col("r.nb").as("n_b"),
+        (col("r.r2a") - col("r.na") * (col("r.na") + 1)).as("u2_a"),
+        (col("r.r2b") - col("r.nb") * (col("r.nb") + 1)).as("u2_b"),
+        col("r.tc").as("tie_cubes"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+        col("tie_cubes"),
+        expr(mwZSql).as("z_e6"))
+
+  /** The tie-corrected z chain shared verbatim with the oracle:
+    * U = u2_a/2, E[U] = n_a·n_b/2,
+    * Var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))). Fixed-order IEEE
+    * ops over exact integers ⇒ bit-identical doubles on both engines. */
+  private val mwZSql: String =
+    """CAST(round(
+      |  (CAST(u2_a AS DOUBLE) / 2.0
+      |   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+      |  / sqrt(
+      |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+      |         - CAST(tie_cubes AS DOUBLE)
+      |           / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))
+      |  * 1000000) AS BIGINT)""".stripMargin
+
+  /** Sample-ratio-mismatch audit (X225) — the first guardrail any
+    * experiment platform runs: do the UNIT counts match the intended
+    * 50/50 split? For two cells the χ² GOF statistic collapses to
+    * (n0−n1)²/n — one exact integer rational, floored at e6; the gate
+    * compares against ⌊χ²₁,₀.₀₅·10⁶⌋ = 3841459 as an integer literal.
+    * An SRM flag means the assignment channel is broken and every
+    * downstream readout (ab_experiment, cuped, DiD) is void — which is
+    * why it's its own declared query, not a column on them. One
+    * user-keyed partial-aggregated pass. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmCheckOf(Tables.events(spark, dir))
+
+  def srmCheckOf(events: DataFrame): DataFrame =
+    events
+      .select((col("user_id") % 2).as("g"), col("user_id"))
+      .groupBy(col("user_id")).agg(max(col("g")).as("g"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0"), col("n1"),
+        expr("((n0 - n1) * (n0 - n1) * 1000000) div (n0 + n1)")
+          .as("chi2_e6"))
+      .select(col("n0"), col("n1"), col("chi2_e6"),
+        (col("chi2_e6") >= 3841459L).cast("long").as("srm_flag"))
+
+  /** Difference-in-differences (X226) — the quasi-experimental
+    * estimator when assignment isn't randomized: treatment = user
+    * parity, pre/post = first/second half of the month, outcome =
+    * per-event value. The 2×2 cell means floor at e6 (revenue is e2 →
+    * ×10⁴, all positive) and the DiD estimate is pure integer
+    * arithmetic on them — the parallel-trends counterfactual
+    * (treat_post − treat_pre) − (ctrl_post − ctrl_pre). One
+    * partial-aggregated rollup is the only corpus-sized work. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame =
+    diffInDiffOf(Tables.events(spark, dir))
+
+  def diffInDiffOf(events: DataFrame): DataFrame =
+    events
+      .select((col("user_id") % 2).as("g"),
+        (dayofmonth(col("ts")) > 15).cast("long").as("p"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(
+        sum(when(col("g") === 0 && col("p") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("g") === 0 && col("p") === 0, col("v")).otherwise(0L)).as("s00"),
+        sum(when(col("g") === 0 && col("p") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("g") === 0 && col("p") === 1, col("v")).otherwise(0L)).as("s01"),
+        sum(when(col("g") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("g") === 1 && col("p") === 0, col("v")).otherwise(0L)).as("s10"),
+        sum(when(col("g") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("g") === 1 && col("p") === 1, col("v")).otherwise(0L)).as("s11"))
+      .select(
+        expr("(s00 * 10000) div n00").as("ctrl_pre_e6"),
+        expr("(s01 * 10000) div n01").as("ctrl_post_e6"),
+        expr("(s10 * 10000) div n10").as("treat_pre_e6"),
+        expr("(s11 * 10000) div n11").as("treat_post_e6"),
+        expr("""((s11 * 10000) div n11 - (s10 * 10000) div n10)
+          |- ((s01 * 10000) div n01 - (s00 * 10000) div n00)"""
+          .stripMargin.replace("\n", " ")).as("did_e6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "poisson_bootstrap" -> (poissonBootstrap _),
+    "nelson_aalen" -> (nelsonAalen _),
+    "seasonal_naive_eval" -> (seasonalNaiveEval _),
+    "contingency_effects" -> (contingencyEffects _),
+    "theil_sen" -> (theilSen _),
+    "kendall_tau" -> (kendallTau _),
+    "mann_whitney" -> (mannWhitney _),
+    "srm_check" -> (srmCheck _),
+    "diff_in_diff" -> (diffInDiff _),
     "k_anonymity" -> (kAnonymity _),
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
@@ -857,6 +1244,218 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the SAME generated body — identical hashes, thresholds, floors
+    "poisson_bootstrap" -> bootSql(
+      """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events""".stripMargin, "//"),
+    // cumulative sum of the identical per-step e6 floors, windowed
+    "nelson_aalen" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS s0
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS DATE)) AS p0
+        |  FROM events e JOIN subj s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value > 250
+        |    AND CAST(e.ts AS DATE) >= s.s0
+        |  GROUP BY e.user_id),
+        |hz AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+        |life AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN c.p0 IS NOT NULL THEN date_diff('day', s.s0, c.p0)
+        |         ELSE date_diff('day', s.s0, (SELECT hmax FROM hz)) END AS t_obs,
+        |    CASE WHEN c.p0 IS NOT NULL THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS ev
+        |  FROM subj s LEFT JOIN conv c ON s.user_id = c.user_id
+        |  WHERE s.s0 IS NOT NULL),
+        |tc AS (
+        |  SELECT t_obs, COUNT(*) AS ending, SUM(ev) AS d
+        |  FROM life GROUP BY t_obs),
+        |risk AS (
+        |  SELECT e.t_obs AS t, MAX(e.d) AS d, SUM(c.ending) AS n
+        |  FROM (SELECT t_obs, d FROM tc WHERE d > 0) e
+        |  JOIN tc c ON c.t_obs >= e.t_obs
+        |  GROUP BY e.t_obs)
+        |SELECT CAST(t AS BIGINT) AS tenure_days, CAST(n AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(SUM((1000000 * d) // n)
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_e6
+        |FROM risk ORDER BY tenure_days""".stripMargin,
+    // lag-7 vs lag-1 absolute-error sums over the same eval window
+    "seasonal_naive_eval" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(ABS(c.rev - s.rev)) AS BIGINT) AS sae_seasonal_e2,
+        |  CAST(SUM(ABS(c.rev - p.rev)) AS BIGINT) AS sae_naive_e2,
+        |  CAST((SUM(ABS(c.rev - s.rev)) * 1000000) // SUM(ABS(c.rev - p.rev))
+        |    AS BIGINT) AS rmae_e6
+        |FROM idx c
+        |JOIN idx s ON s.t = c.t - 7
+        |JOIN idx p ON p.t = c.t - 1
+        |WHERE c.t >= 8""".stripMargin,
+    // chi2 = exact integer sum of the e6-floored cell contributions;
+    // effect sizes are the identical double chains over it
+    "contingency_effects" ->
+      """WITH base AS (
+        |  SELECT event_type, CASE WHEN value > 250 THEN 1 ELSE 0 END AS hi
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, hi, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2),
+        |rr AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cc AS (SELECT hi, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |dense AS (
+        |  SELECT rr.event_type, rr.r, cc.hi, cc.c, COALESCE(cells.o, 0) AS o
+        |  FROM rr CROSS JOIN cc
+        |  LEFT JOIN cells ON cells.event_type = rr.event_type
+        |    AND cells.hi = cc.hi),
+        |m AS (
+        |  SELECT MAX(nn.n) AS n,
+        |    CAST(COUNT(DISTINCT dense.event_type) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT dense.hi) AS BIGINT) AS n_cols,
+        |    CAST(SUM(((CAST(nn.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |       * (CAST(nn.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |       * 1000000)
+        |      // (CAST(nn.n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_e6
+        |  FROM dense, nn)
+        |SELECT n, n_rows, n_cols, chi2_e6,
+        |  (n_rows - 1) * (n_cols - 1) AS dof,
+        |  CAST(round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0
+        |      / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS phi_e6,
+        |  CAST(round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0
+        |      / CAST(n AS DOUBLE))
+        |    / CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS cramers_v_e6,
+        |  CAST(round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0
+        |      / CAST(n AS DOUBLE))
+        |    / sqrt(CAST((n_rows - 1) * (n_cols - 1) AS DOUBLE))) * 1000000)
+        |    AS BIGINT) AS tschuprow_e6
+        |FROM m""".stripMargin,
+    // pairwise slopes by rank step, exact middle order statistics;
+    // integer // truncates toward zero like Spark div on negatives
+    "theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+        |p AS (
+        |  SELECT ((b.rev - a.rev) * 1000000) // (b.t - a.t) AS s
+        |  FROM idx a JOIN idx b ON b.t > a.t),
+        |o AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r,
+        |  COUNT(*) OVER () AS n FROM p)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(CASE WHEN r = (n + 1) // 2 THEN s END) AS BIGINT)
+        |    AS slope_lo_e6,
+        |  CAST(MAX(CASE WHEN r = n // 2 + 1 THEN s END) AS BIGINT)
+        |    AS slope_hi_e6
+        |FROM o""".stripMargin,
+    // exact pair counts; tau-a = (C-D)/n_pairs floored toward zero
+    "kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+        |p AS (
+        |  SELECT CAST(sign(b.rev - a.rev) AS BIGINT) AS sg
+        |  FROM idx a JOIN idx b ON b.t > a.t),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS y_ties
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, y_ties,
+        |  concordant - discordant AS s_stat,
+        |  CAST(((concordant - discordant) * 1000000) // n_pairs AS BIGINT)
+        |    AS tau_a_e6
+        |FROM c""".stripMargin,
+    // banded midranks carried x2 (integral); tie-corrected z mirrors the
+    // Spark chain op-for-op over the same exact integers
+    "mann_whitney" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS band,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT band, na, nb,
+        |    COALESCE(SUM(na + nb) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h),
+        |m AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(na * (2 * cum + na + nb + 1)) AS BIGINT) AS r2a,
+        |    CAST(SUM(nb * (2 * cum + na + nb + 1)) AS BIGINT) AS r2b,
+        |    CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS BIGINT)
+        |      AS tie_cubes
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  r2a - n_a * (n_a + 1) AS u2_a,
+        |  r2b - n_b * (n_b + 1) AS u2_b,
+        |  tie_cubes,
+        |  CAST(round(
+        |    (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(
+        |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |        * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |           - CAST(tie_cubes AS DOUBLE)
+        |             / (CAST(n_a + n_b AS DOUBLE)
+        |                * CAST(n_a + n_b - 1 AS DOUBLE))))
+        |    * 1000000) AS BIGINT) AS z_e6
+        |FROM m""".stripMargin,
+    // two-cell GOF collapses to (n0-n1)^2/n; 3841459 = floor(1e6*chi2_1,0.05)
+    "srm_check" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS g FROM events GROUP BY user_id, user_id % 2),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM u)
+        |SELECT n0, n1,
+        |  CAST(((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS BIGINT)
+        |    AS chi2_e6,
+        |  CAST(CASE WHEN ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1)
+        |    >= 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM c""".stripMargin,
+    // 2x2 cell means at e6 (positive, floor); DiD is integer arithmetic
+    "diff_in_diff" ->
+      """WITH c AS (
+        |  SELECT user_id % 2 AS g,
+        |    CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS p,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s00,
+        |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s01,
+        |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s10,
+        |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s11
+        |  FROM c)
+        |SELECT
+        |  (s00 * 10000) // n00 AS ctrl_pre_e6,
+        |  (s01 * 10000) // n01 AS ctrl_post_e6,
+        |  (s10 * 10000) // n10 AS treat_pre_e6,
+        |  (s11 * 10000) // n11 AS treat_post_e6,
+        |  ((s11 * 10000) // n11 - (s10 * 10000) // n10)
+        |    - ((s01 * 10000) // n01 - (s00 * 10000) // n00) AS did_e6
+        |FROM m""".stripMargin,
     // four integer cells from one per-user rollup; z is the mirrored
     // fixed-order double chain; 1959964 = floor(1e6 * z_{0.975})
     "ab_experiment" ->

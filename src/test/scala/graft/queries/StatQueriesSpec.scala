@@ -19,6 +19,218 @@ class StatQueriesSpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .drop("ts_s")
 
+  // ------------------------------------------- bootstrap / survival / eval
+
+  test("poisson_bootstrap: exact local replay of the deterministic weights") {
+    def hexFold(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      hex.foldLeft(0L)((acc, c) =>
+        acc * 16 + java.lang.Long.parseLong(c.toString, 16))
+    }
+    val ts = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138597L, 4487117142562638L, 4500923656847446L)
+    def weight(b: Int, id: Long): Long = {
+      val h = hexFold(s"boot:$b:$id")
+      ts.indexWhere(h < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"event_id", expr("CAST(round(value*100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val means = (0 until 32).map { b =>
+      val (sw, swx) = ev.foldLeft((0L, 0L)) { case ((c, s), (id, v)) =>
+        val w = weight(b, id); (c + w, s + w * v)
+      }
+      swx * 10000L / sw
+    }.sorted
+    val r = StatQueries.poissonBootstrap(spark, sfDir).collect().head
+    assert(r.getLong(0) == ev.length)
+    assert(r.getLong(1) == ev.map(_._2).sum * 10000L / ev.length)
+    assert(r.getLong(2) == means(1), "2nd order statistic")
+    assert(r.getLong(3) == means(30), "31st order statistic")
+    // the interval brackets the point estimate and is non-degenerate
+    assert(r.getLong(2) < r.getLong(1) && r.getLong(1) < r.getLong(3))
+  }
+
+  test("nelson_aalen: cumulative floored hazard; H >= -ln(S) ordering holds") {
+    val km = StatQueries.survivalKm(spark, sfDir).collect()
+    val na = StatQueries.nelsonAalen(spark, sfDir).collect()
+    assert(na.map(_.getInt(0)).toSeq == km.map(_.getInt(0)).toSeq,
+      "same event-time axis as Kaplan-Meier")
+    var h = 0L
+    km.zip(na).foreach { case (k, n) =>
+      assert(n.getLong(1) == k.getLong(1) && n.getLong(2) == k.getLong(2))
+      h += 1000000L * k.getLong(2) / k.getLong(1)
+      assert(n.getLong(3) == h, "cumhaz = running sum of floored d/n")
+    }
+    // NA-Breslow dominates KM: exp(-H) >= S  <=>  H <= -ln(S) fails only
+    // on rounding; assert the directional integer form 1 - S_step <= h_step
+    // per step via the final values
+    val sFinal = km.last.getLong(4).toDouble / 1e6
+    val hFinal = na.last.getLong(3).toDouble / 1e6
+    assert(math.exp(-hFinal) >= sFinal - 1e-6)
+  }
+
+  test("seasonal_naive_eval: planted pure weekly cycle zeroes the lag-7 error") {
+    val rows = (1 to 28).map { d =>
+      val date = java.time.LocalDate.parse(f"2024-03-$d%02d")
+      val v = 10.0 + (date.toEpochDay % 7) * 5.0
+      (d.toLong, 1L, "view", v, f"2024-03-$d%02d 05:00:00")
+    }
+    val p = StatQueries.seasonalNaiveEvalOf(mkEvents(rows)).collect().head
+    assert(p.getLong(0) == 21L)
+    assert(p.getLong(1) == 0L, "lag-7 on a weekly cycle is exact")
+    assert(p.getLong(2) > 0L && p.getLong(3) == 0L)
+
+    // fixture replay
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("rev"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+      .map(_._2)
+    val s7 = (7 until daily.length).map(t => math.abs(daily(t) - daily(t - 7))).sum
+    val s1 = (7 until daily.length).map(t => math.abs(daily(t) - daily(t - 1))).sum
+    val r = StatQueries.seasonalNaiveEval(spark, sfDir).collect().head
+    assert(r.getLong(1) == s7 && r.getLong(2) == s1)
+    assert(r.getLong(3) == s7 * 1000000L / s1)
+  }
+
+  test("contingency_effects: chi2 equals the summed contributions; V responds to planted dependence") {
+    val contribs = EventQueries.chi2Independence(spark, sfDir).collect()
+      .map(_.getLong(4)).sum
+    val r = StatQueries.contingencyEffects(spark, sfDir).collect().head
+    assert(r.getLong(3) == contribs)
+    // hi is binary -> min(r-1, c-1) = 1 -> V == phi
+    assert(r.getLong(6) == r.getLong(5))
+    assert(r.getLong(4) == (r.getLong(1) - 1) * (r.getLong(2) - 1))
+
+    // planted: event_type fully determines hi -> V near 1
+    val rows = (0 until 200).map { i =>
+      val t = if (i % 2 == 0) "purchase" else "view"
+      val v = if (i % 2 == 0) 400.0 else 10.0
+      (i.toLong, i.toLong, t, v, "2024-01-05 00:00:00")
+    }
+    val p = StatQueries.contingencyEffectsOf(mkEvents(rows)).collect().head
+    assert(p.getLong(6) > 990000L, s"V=${p.getLong(6)}")
+  }
+
+  // ------------------------------------------------- rank/pairwise family
+
+  test("theil_sen: exact local pairwise-median replay; outlier robustness") {
+    // fixture replay
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("rev"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val slopes = (for {
+      i <- daily.indices; j <- daily.indices if j > i
+    } yield {
+      val num = (daily(j)._2 - daily(i)._2) * 1000000L
+      num / (j - i) // Scala / truncates toward zero, same as div and //
+    }).sorted
+    val r = StatQueries.theilSen(spark, sfDir).collect().head
+    assert(r.getLong(0) == slopes.length)
+    assert(r.getLong(1) == slopes((slopes.length + 1) / 2 - 1))
+    assert(r.getLong(2) == slopes(slopes.length / 2))
+
+    // planted: flat series with one wild outlier day — the pairwise
+    // median stays ~0 while OLS would chase the spike
+    val rows = (1 to 21).map { d =>
+      val v = if (d == 11) 400.0 else 10.0
+      (d.toLong, 1L, "view", v, f"2024-03-$d%02d 05:00:00")
+    }
+    val p = StatQueries.theilSenOf(mkEvents(rows)).collect().head
+    assert(p.getLong(1) == 0L && p.getLong(2) == 0L,
+      s"robust slope must ignore the outlier: ${p.mkString(",")}")
+  }
+
+  test("kendall_tau: exact pair counts; planted monotone series hits tau=1") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("rev"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toLocalDate.toEpochDay)
+    val sg = for { i <- daily.indices; j <- daily.indices if j > i }
+      yield java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+    val r = StatQueries.kendallTau(spark, sfDir).collect().head
+    assert(r.getLong(0) == sg.length)
+    assert(r.getLong(1) == sg.count(_ > 0))
+    assert(r.getLong(2) == sg.count(_ < 0))
+    assert(r.getLong(3) == sg.count(_ == 0))
+    assert(r.getLong(4) == sg.count(_ > 0) - sg.count(_ < 0))
+
+    val inc = (1 to 10).map(d =>
+      (d.toLong, 1L, "view", d * 10.0, f"2024-03-$d%02d 05:00:00"))
+    val p = StatQueries.kendallTauOf(mkEvents(inc)).collect().head
+    assert(p.getLong(5) == 1000000L, "strictly increasing series: tau = 1")
+  }
+
+  test("mann_whitney: midrank identity, exact replay, planted shift detected") {
+    val r = StatQueries.mannWhitney(spark, sfDir).collect().head
+    val (na, nb, u2a, u2b) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(u2a + u2b == 2 * na * nb, "U_a + U_b must equal n_a*n_b")
+    // local replay over banded values
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"value").as[(Long, Double)].collect()
+      .map(e => (math.floor(e._2).toLong, e._1 % 2))
+    val bands = ev.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L; var r2a = BigInt(0)
+    for ((_, xs) <- bands) {
+      val cnt = xs.length.toLong
+      r2a += BigInt(xs.count(_._2 == 0)) * (2 * cum + cnt + 1)
+      cum += cnt
+    }
+    assert(BigInt(u2a) == r2a - BigInt(na) * (na + 1))
+
+    // planted: cohort 1 values strictly above cohort 0 -> U2_b maximal,
+    // z strongly negative (cohort 0 stochastically smaller)
+    val rows = (0 until 40).map { i =>
+      val u = i.toLong
+      val v = if (u % 2 == 0) 10.0 + (i % 5) else 200.0 + (i % 5)
+      (i.toLong, u, "view", v, "2024-01-05 00:00:00")
+    }
+    val p = StatQueries.mannWhitneyOf(mkEvents(rows)).collect().head
+    assert(p.getLong(2) == 0L, "complete separation: U_a = 0")
+    assert(p.getLong(5) < -5000000L, s"z=${p.getLong(5)}")
+  }
+
+  test("srm_check: balanced fixture passes; planted imbalance flags") {
+    val users = graft.Tables.events(spark, sfDir)
+      .select($"user_id").distinct().as[Long].collect()
+    val r = StatQueries.srmCheck(spark, sfDir).collect().head
+    assert(r.getLong(0) == users.count(_ % 2 == 0))
+    assert(r.getLong(1) == users.count(_ % 2 == 1))
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    assert(r.getLong(2) == (n0 - n1) * (n0 - n1) * 1000000L / (n0 + n1))
+    assert(r.getLong(3) == 0L, "near-50/50 parity split must not flag")
+
+    // planted: 90/10 split over 100 users is a textbook SRM
+    val rows = (0 until 100).map { i =>
+      val u = if (i < 90) i * 2L else i * 2L + 1L // 90 even, 10 odd
+      (i.toLong, u, "view", 10.0, "2024-01-05 00:00:00")
+    }
+    val p = StatQueries.srmCheckOf(mkEvents(rows)).collect().head
+    assert(p.getLong(3) == 1L, s"chi2_e6=${p.getLong(2)} must flag")
+  }
+
+  test("diff_in_diff: planted lift lands in did_e6, parallel trends cancel") {
+    // ctrl: 100 pre, 110 post (trend +10); treat: 100 pre, 135 post
+    // (trend +10 plus lift +25) -> DiD = +25.00 = 25_000_000 e6
+    val rows =
+      (0 until 50).flatMap { i =>
+        val day = if (i % 2 == 0) "2024-01-05" else "2024-01-25"
+        val pre = i % 2 == 0
+        Seq(
+          (i.toLong * 4, 2L, "view", if (pre) 100.0 else 110.0, s"$day 05:00:00"),
+          (i.toLong * 4 + 1, 3L, "view",
+            if (pre) 100.0 else 135.0, s"$day 06:00:00"))
+      }
+    val p = StatQueries.diffInDiffOf(mkEvents(rows)).collect().head
+    assert(p.getLong(0) == 100000000L && p.getLong(1) == 110000000L)
+    assert(p.getLong(2) == 100000000L && p.getLong(3) == 135000000L)
+    assert(p.getLong(4) == 25000000L)
+  }
+
   // ---------------------------------------------------------------- ab test
 
   test("ab_experiment: exact fixture replay of cells, rates, z, decision") {
