@@ -1489,6 +1489,49 @@ object EventQueries {
       .orderBy(col("day_idx"))
   }
 
+  /** Time-decay multi-touch attribution (X232) — the third member of
+    * the attribution family (linear X154 splits evenly, Markov X215
+    * uses removal effects; this one weights recency): a click Δ whole
+    * days before its purchase earns weight 2^(6−Δ) (Δ ∈ [0,6] inside
+    * the 7-day window), so yesterday's click earns 64× last week's —
+    * the half-life-per-day convention. Weights are exact powers of two,
+    * the per-purchase split is the conserved integer division
+    * credit = (rev·w) div W with the total remainder assigned to the
+    * EARLIEST click (linear_attribution's conservation recipe: credits
+    * sum to rev exactly, so daily attributed revenue reconciles to
+    * booked revenue to the cent). Windows partition on p_id — one key
+    * per purchase, growing with data. */
+  def timeDecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ptsu"),
+        col("event_id").as("p_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("rev_e2"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ctsu"),
+        col("event_id").as("c_id"))
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .filter(col("ctsu") < col("ptsu") && col("ctsu") >= col("ptsu") - day7)
+      .withColumn("w",
+        expr("CAST(pow(2, 6 - (ptsu - ctsu) div 86400000000) AS BIGINT)"))
+    val wP = Window.partitionBy(col("p_id"))
+    val credited = pairs
+      .withColumn("tw", sum(col("w")).over(wP))
+      .withColumn("rn", row_number().over(
+        wP.orderBy(col("ctsu").asc, col("c_id").asc)))
+      .withColumn("base", expr("(rev_e2 * w) div tw"))
+      .withColumn("rem",
+        col("rev_e2") - sum(expr("(rev_e2 * w) div tw")).over(wP))
+      .withColumn("credit_e2",
+        col("base") + when(col("rn") === 1, col("rem")).otherwise(lit(0L)))
+    credited
+      .groupBy(expr("ctsu div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_e2")).as("attr_rev_e2"))
+      .orderBy(col("day_idx"))
+  }
+
   /** Exact χ² independence audit over the (event type × high-value)
     * contingency table — "does conversion value depend on event type",
     * the categorical-drift / A-B sanity screen next to [[ksDrift]]'s
@@ -1539,6 +1582,7 @@ object EventQueries {
     "window_navigation" -> (windowNavigation _),
     "interval_coverage" -> (intervalCoverage _),
     "linear_attribution" -> (linearAttribution _),
+    "time_decay_attribution" -> (timeDecayAttribution _),
     "markov_attribution" -> (markovAttribution _),
     "chi2_independence" -> (chi2Independence _),
     "sequence_funnel" -> (sequenceFunnel _),
@@ -1729,6 +1773,36 @@ object EventQueries {
         |credited AS (
         |  SELECT ctsu,
         |    (rev // k) + CASE WHEN rn = 1 THEN rev % k ELSE 0 END AS credit
+        |  FROM ranked)
+        |SELECT CAST(ctsu // 86400000000 AS BIGINT) AS day_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS attr_rev_e2
+        |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same conserved integer split, recency-weighted by powers of two
+    "time_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ptsu, event_id AS p_id,
+        |    CAST(round(value * 100) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ctsu, event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.p_id, p.rev, c.ctsu, c.c_id,
+        |    CAST(pow(2, 6 - (p.ptsu - c.ctsu) // 86400000000) AS BIGINT) AS w
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ctsu < p.ptsu AND c.ctsu >= p.ptsu - 604800000000),
+        |ranked AS (
+        |  SELECT *, CAST(SUM(w) OVER (PARTITION BY p_id) AS BIGINT) AS tw,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY ctsu, c_id) AS rn
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT ctsu,
+        |    ((rev * w) // tw)
+        |    + CASE WHEN rn = 1 THEN
+        |        rev - CAST(SUM((rev * w) // tw) OVER (PARTITION BY p_id)
+        |          AS BIGINT)
+        |      ELSE 0 END AS credit
         |  FROM ranked)
         |SELECT CAST(ctsu // 86400000000 AS BIGINT) AS day_idx,
         |  CAST(COUNT(*) AS BIGINT) AS n_credits,

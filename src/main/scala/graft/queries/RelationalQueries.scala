@@ -771,6 +771,47 @@ object RelationalQueries {
       .limit(25)
   }
 
+  /** HITS hubs & authorities (X233 — Kleinberg 1999) over the directed
+    * supplier→part incidence: a part's AUTHORITY is the summed hub score
+    * of its suppliers, a supplier's HUB score the summed authority of
+    * its parts — the mutual-reinforcement ranking PageRank's single
+    * score can't express on a bipartite catalog (who stocks the
+    * important parts vs which parts the important stockists carry).
+    * Two synchronous rounds; after each half-step scores renormalize to
+    * max = 10⁶ by INTEGER floor division (all positive — div == //), so
+    * both engines replay the iteration digit-exactly (the pagerank
+    * unrolled-oracle regime) and magnitudes never overflow (score ≤ 10⁶
+    * × max degree per half-step). Each half-step is one edge-keyed join
+    * + partial-aggregated groupBy; the normalizer is a broadcast
+    * single-row max; per-round localCheckpoint cuts the doubling
+    * lineage (the k_core lesson). Output: top-10 per side, determinisic
+    * (score desc, node) order. */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint()
+    var h = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
+    var a: DataFrame = null
+    for (_ <- 1 to 2) {
+      val aRaw = e.join(h, "s").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+        .select(col("p"), expr("(ar * 1000000) div am").as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("hr"))
+      h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
+        .select(col("s"), expr("(hr * 1000000) div hm").as("h"))
+        .localCheckpoint()
+    }
+    val hubs = h.orderBy(col("h").desc, col("s")).limit(10)
+      .select(lit("hub").as("kind"), col("s").as("node"),
+        col("h").as("score_e6"))
+    val auths = a.orderBy(col("a").desc, col("p")).limit(10)
+      .select(lit("authority").as("kind"), col("p").as("node"),
+        col("a").as("score_e6"))
+    hubs.unionByName(auths)
+      .orderBy(col("kind"), col("score_e6").desc, col("node"))
+  }
+
   /** Degree assortativity of the part↔supplier graph — Pearson r of
     * (deg(src), deg(dst)) over the doubled edge list (Newman 2002's
     * undirected form): does the graph wire hubs to hubs (+) or hubs to
@@ -1112,6 +1153,7 @@ object RelationalQueries {
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
     "link_predict" -> (linkPredict _),
+    "hits_scores" -> (hitsScores _),
     "degree_assortativity" -> (degreeAssortativity _),
     "winsorized_mean" -> (winsorizedMean _),
     "ri_audit" -> (riAudit _),
@@ -1399,6 +1441,39 @@ object RelationalQueries {
     "ppr_seeded" -> pprSql,
     // `//` floors in DuckDB, `div` truncates in Spark — equal on the
     // non-negative operands here
+    // two unrolled HITS rounds, max-normalized by integer floor division
+    "hits_scores" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS MATERIALIZED (
+        |  SELECT p, CAST(SUM(h) AS BIGINT) AS ar FROM e JOIN h0 USING (s) GROUP BY p),
+        |a1 AS MATERIALIZED (
+        |  SELECT p, (ar * 1000000) // (SELECT MAX(ar) FROM a1r) AS a FROM a1r),
+        |h1r AS MATERIALIZED (
+        |  SELECT s, CAST(SUM(a) AS BIGINT) AS hr FROM e JOIN a1 USING (p) GROUP BY s),
+        |h1 AS MATERIALIZED (
+        |  SELECT s, (hr * 1000000) // (SELECT MAX(hr) FROM h1r) AS h FROM h1r),
+        |a2r AS MATERIALIZED (
+        |  SELECT p, CAST(SUM(h) AS BIGINT) AS ar FROM e JOIN h1 USING (s) GROUP BY p),
+        |a2 AS MATERIALIZED (
+        |  SELECT p, (ar * 1000000) // (SELECT MAX(ar) FROM a2r) AS a FROM a2r),
+        |h2r AS MATERIALIZED (
+        |  SELECT s, CAST(SUM(a) AS BIGINT) AS hr FROM e JOIN a2 USING (p) GROUP BY s),
+        |h2 AS MATERIALIZED (
+        |  SELECT s, (hr * 1000000) // (SELECT MAX(hr) FROM h2r) AS h FROM h2r),
+        |tops AS (
+        |  SELECT * FROM (
+        |    SELECT 'hub' AS kind, CAST(s AS BIGINT) AS node,
+        |      CAST(h AS BIGINT) AS score_e6
+        |    FROM h2 ORDER BY h DESC, s LIMIT 10)
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT 'authority', CAST(p AS BIGINT), CAST(a AS BIGINT)
+        |    FROM a2 ORDER BY a DESC, p LIMIT 10))
+        |SELECT kind, node, score_e6 FROM tops
+        |ORDER BY kind, score_e6 DESC, node""".stripMargin,
     "link_predict" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),

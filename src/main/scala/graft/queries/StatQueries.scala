@@ -300,7 +300,7 @@ object StatQueries {
         col("r.s1").as("sae_naive_e2"),
         expr("(r.s7 * 1000000) div r.s1").as("rmae_e6"))
 
-  /** Contingency effect sizes (X232) — the "is it LARGE" companion to
+  /** Contingency effect sizes (X231) — the "is it LARGE" companion to
     * chi2_independence's "is it significant": φ², Cramér's V, and
     * Tschuprow's T over the (event type × high-value) table. χ² itself
     * is the exact integer sum of the per-cell e6-floored contributions

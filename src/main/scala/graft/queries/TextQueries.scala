@@ -782,6 +782,90 @@ object TextQueries {
           .as("slope_e6"))
   }
 
+  /** Heaps'-law growth exponent (X234) — the companion fit to
+    * [[freqSpectrum]]'s Zipf slope: vocabulary grows as V ∝ N^β
+    * (β ≈ 0.5 on natural text), and the fitted β over the corpus-decile
+    * growth curve is the number that predicts how much NEW vocabulary
+    * the next 10× of crawl will introduce (tokenizer sizing, OOV-rate
+    * forecasting). Where [[vocabGrowth]] reports the raw curve over the
+    * 31-word WORD vocab (which saturates in decile 1), the fit runs on
+    * the 3-GRAM shingle vocabulary (16k types — real Heaps behavior).
+    * Ten (ln N_d, ln V_d) points, each ln quantized to e6 per point
+    * (the freq_spectrum regime), exact integer five-sums OLS,
+    * sign-factored truncating export. Cumulative stacks are the
+    * filter_funnel conditional-count trick — one aggregate row, no
+    * window; shuffle is vocabulary-bounded. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sh = graft.scale.ShingleStore.docShingles(spark, dir)
+    val nRow = sh.agg((max(col("doc_id")) + 1).as("n"))
+    val decd = sh.crossJoin(broadcast(nRow))
+      .select((expr("doc_id * 10 div n") + 1).cast("int").as("d"), col("sh"))
+    val tok = decd.agg(
+      count(when(col("d") === 1, lit(1))).as("t1"),
+      (2 to 10).map(d => count(when(col("d") === d, lit(1))).as(s"t$d")): _*)
+    val fresh = decd.groupBy(col("sh")).agg(min(col("d")).as("fd"))
+      .agg(count(when(col("fd") === 1, lit(1))).as("v1"),
+        (2 to 10).map(d => count(when(col("fd") === d, lit(1))).as(s"v$d")): _*)
+    val pts = tok.crossJoin(fresh)
+      .select(explode(array((1 to 10).map(d =>
+        struct((1 to d).map(i => col(s"t$i")).reduce(_ + _).as("nd"),
+          (1 to d).map(i => col(s"v$i")).reduce(_ + _).as("vd"))): _*)).as("r"))
+      .select(
+        round(log(col("r.nd").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("r.vd").cast("double")) * 1e6).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy").as("num"),
+        expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx").as("den"))
+      .select(col("n").as("n_points"),
+        when(col("num") >= 0, expr("CAST((num * 1000000) div den AS BIGINT)"))
+          .otherwise(-expr("CAST(((-num) * 1000000) div den AS BIGINT)"))
+          .as("beta_e6"))
+  }
+
+  /** Word-pair PMI screen (X235) — pointwise mutual information of
+    * doc-level word co-occurrence: which word pairs appear together FAR
+    * more than independence predicts (collocation mining / multi-word-
+    * expression discovery; Church & Hanks 1990). Pairs generate through
+    * the per-document self-join of the DISTINCT (doc, word) incidence —
+    * bounded by the 31-word vocabulary (≤ C(31,2) cells however large
+    * the corpus; a real corpus caps the vocabulary by document frequency
+    * first, exactly like postings_list's stop list). PMI = ln of an
+    * EXACT integer ratio (n·c_xy / (c_x·c_y), products ≤ 10¹⁰ — exact
+    * doubles), quantized once per pair at e6 (the mutual_info recipe).
+    * The fixture's iid 31-word generator puts PMI ≈ 0 everywhere — the
+    * honest no-collocation readout (the spec plants a real collocation
+    * and watches it surface). Top-15 by (pmi desc, pair). */
+  def wordPmi(spark: SparkSession, dir: String): DataFrame =
+    wordPmiOf(Tables.documents(spark, dir)
+      .filter(col("doc_id") < 1000))
+
+  def wordPmiOf(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val dfw = w.groupBy(col("w")).agg(count(lit(1)).as("dfx"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("nd"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dfxy"))
+      .filter(col("dfxy") >= 5)
+    pairs
+      .join(broadcast(dfw.select(col("w").as("w1"), col("dfx").as("df1"))), "w1")
+      .join(broadcast(dfw.select(col("w").as("w2"), col("dfx").as("df2"))), "w2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("dfxy"), col("df1"), col("df2"),
+        expr("""CAST(round(ln(CAST(nd AS DOUBLE) * CAST(dfxy AS DOUBLE)
+          |/ (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE))) * 1000000)
+          |AS BIGINT)""".stripMargin.replace("\n", " ")).as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(15)
+  }
+
   /** The fixed phrase workload for [[phraseSearch]] — all 3-word phrases
     * (df 6–7 at sf0.01, probed), so one HAVING bound covers the set. */
   private val PhrasePatterns = Seq(
@@ -965,6 +1049,8 @@ object TextQueries {
     "postings_list" -> (postingsList _),
     "phrase_search" -> (phraseSearch _),
     "freq_spectrum" -> (freqSpectrum _),
+    "heaps_law" -> (heapsLaw _),
+    "word_pmi" -> (wordPmi _),
     "encoding_audit" -> (encodingAudit _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
@@ -1128,6 +1214,61 @@ object TextQueries {
         |UNION ALL SELECT 'mojibake', d_moji, r_moji FROM c
         |UNION ALL SELECT 'replacement', d_repl, r_repl FROM c
         |ORDER BY issue_class""".stripMargin,
+    // same shingle slice; decile cumulative stacks then the identical
+    // quantized-ln five-sums OLS
+    "heaps_law" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 1000 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM w)),
+        |nn AS (SELECT MAX(doc_id) + 1 AS n FROM sh),
+        |decd AS (
+        |  SELECT (doc_id * 10 // (SELECT n FROM nn)) + 1 AS d, sh FROM sh),
+        |tok AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS t FROM decd GROUP BY d),
+        |fresh AS (
+        |  SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS v FROM (
+        |    SELECT sh, MIN(d) AS fd FROM decd GROUP BY sh) GROUP BY fd),
+        |cum AS (
+        |  SELECT t.d,
+        |    CAST(SUM(t.t) OVER (ORDER BY t.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nd,
+        |    CAST(SUM(COALESCE(f.v, 0)) OVER (ORDER BY t.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vd
+        |  FROM tok t LEFT JOIN fresh f ON f.d = t.d),
+        |pts AS (SELECT CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |               CAST(round(ln(CAST(vd AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM cum),
+        |c AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x*x) AS BIGINT) AS sxx FROM pts),
+        |dd AS (SELECT n, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den FROM c)
+        |SELECT n AS n_points,
+        |  CASE WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+        |       ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS beta_e6
+        |FROM dd""".stripMargin,
+    // PMI = ln of an exact integer ratio, quantized once per pair
+    "word_pmi" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |w AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d)
+        |  WHERE w <> ''),
+        |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfx FROM w GROUP BY w),
+        |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM d),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS dfxy
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY a.w, b.w HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, dfxy, f1.dfx AS df1, f2.dfx AS df2,
+        |  CAST(round(ln(CAST(nn.nd AS DOUBLE) * CAST(dfxy AS DOUBLE)
+        |    / (CAST(f1.dfx AS DOUBLE) * CAST(f2.dfx AS DOUBLE))) * 1000000)
+        |    AS BIGINT) AS pmi_e6
+        |FROM pairs
+        |JOIN dfw f1 ON f1.w = pairs.w1
+        |JOIN dfw f2 ON f2.w = pairs.w2, nn
+        |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 15""".stripMargin,
     // same stored-shingle bounds as postings_list; per-point e6 ln then
     // integer five-sums (HUGEINT keeps `//` a true integer quotient)
     "freq_spectrum" ->

@@ -224,6 +224,54 @@ object VectorQueries {
       .orderBy(col("cluster"))
   }
 
+  /** Rocchio pseudo-relevance feedback (X236) — the classical two-stage
+    * retrieval refinement (Rocchio 1971; Manning/IR ch. 9): retrieve
+    * top-10 for each query, treat them as pseudo-relevant, move the
+    * query toward their centroid (q' = q + c̄ at α = β = 1), re-retrieve
+    * top-5 with the expanded query — the zero-training recall lift every
+    * retrieval stack ships before it has click feedback. Exactness:
+    * embeddings quantize to e6 longs up front (the kmeans_clusters
+    * regime), distances are order-free integer sums, the centroid is a
+    * per-dim FLOOR mean (positive-residue form — Math.floorDiv on
+    * negatives), so BOTH stages replay digit-exactly in DuckDB. Shape:
+    * stage-1/stage-2 scoring is the corpus × 4-query broadcast
+    * cross with per-query WindowGroupLimit trims (the knn_batch
+    * recipe); the feedback centroid is a 4×64-long frame. */
+  def rocchioPrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 4)
+    def dist(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (s, x) -> s + x)")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val top10 = corpus.crossJoin(broadcast(queries))
+      .withColumn("d", dist("q", "qv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+    // per-dim floor mean of the 10 pseudo-relevant vectors, then q' = q + mean
+    val cent = top10
+      .select(col("q_id"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("q_id"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("k"))
+      .withColumn("m", expr("(s - ((s % k + k) % k)) div k"))
+      .groupBy(col("q_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+        .as("cv"))
+    val expanded = queries.join(cent, "q_id")
+      .select(col("q_id"), expr("zip_with(qv, cv, (a, b) -> a + b)").as("qx"))
+    corpus.crossJoin(broadcast(expanded))
+      .withColumn("d", dist("q", "qx"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn").cast("long").as("rank"),
+        col("vec_id"), col("d").as("dist_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** One unrolled Lloyd iteration: assignment by (dist, cl) rank-1 over
@@ -290,6 +338,50 @@ object VectorQueries {
        |GROUP BY a.cl ORDER BY a.cl""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both stages replayed on e6-long vectors: integer L2, floor-mean
+    // centroid (positive-residue form), q' = q + centroid
+    "rocchio_prf" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, q AS qv FROM e WHERE vec_id < 4),
+        |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 4),
+        |s1 AS (
+        |  SELECT qs.q_id, c.vec_id, c.q,
+        |    CAST(list_sum(list_transform(list_zip(c.q, qs.qv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |  FROM corpus c CROSS JOIN qs),
+        |top10 AS (
+        |  SELECT * FROM (
+        |    SELECT q_id, vec_id, q,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+        |    FROM s1) WHERE rn <= 10),
+        |cent AS (
+        |  SELECT q_id, list(m ORDER BY dim) AS cv FROM (
+        |    SELECT q_id, u.i AS dim,
+        |      (CAST(SUM(q[u.i]) AS BIGINT)
+        |        - ((CAST(SUM(q[u.i]) AS BIGINT) % COUNT(*) + COUNT(*))
+        |           % COUNT(*))) // COUNT(*) AS m
+        |    FROM top10, unnest(generate_series(1, 64)) u(i)
+        |    GROUP BY q_id, u.i)
+        |  GROUP BY q_id),
+        |expanded AS (
+        |  SELECT qs.q_id,
+        |    list_transform(list_zip(qs.qv, cent.cv), p -> p[1] + p[2]) AS qx
+        |  FROM qs JOIN cent ON cent.q_id = qs.q_id),
+        |s2 AS (
+        |  SELECT x.q_id, c.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(c.q, x.qx),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+        |  FROM corpus c CROSS JOIN expanded x)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, d AS dist_q
+        |FROM (
+        |  SELECT q_id, vec_id, d,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+        |  FROM s2) WHERE rn <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "kmeans_clusters" -> kmeansSql,
     // the ±1 matrix is re-derived from md5 in SQL; the projection sum is
     // integer, so SUM's HUGEINT widening casts back losslessly
@@ -627,6 +719,7 @@ object VectorQueries {
     "centroid_drift" -> (centroidDrift _),
     "knn_top13" -> (knnTop13 _),
     "kmeans_clusters" -> (kmeansClusters _),
+    "rocchio_prf" -> (rocchioPrf _),
     "knn_batch_top5" -> (knnBatchTop5 _),
     "knn_batch_agg" -> (knnBatchAgg _),
     "knn_cosine_top10" -> (knnCosineTop10 _),

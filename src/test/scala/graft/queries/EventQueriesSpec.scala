@@ -347,6 +347,51 @@ class EventQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("close") == 7L && r.getAs[Long]("n") == 4L)
   }
 
+  test("time_decay_attribution: credits conserve to booked revenue; recency wins") {
+    // conservation: total attributed == total revenue of purchases that
+    // HAVE at least one in-window click (the linear_attribution contract,
+    // now with 2^(6-dayLag) weights)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("CAST(round(value*100) AS BIGINT)").as("rev"),
+        expr("unix_micros(ts)").as("tsu"))
+      .as[(Long, Long, String, Long, Long)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val day7 = 7L * 86400000000L
+    val reached = ev.filter(_._3 == "purchase").filter(p =>
+      clicks.exists(c => c._2 == p._2 && c._5 < p._5 && c._5 >= p._5 - day7))
+    val got = EventQueries.timeDecayAttribution(spark, sfDir).collect()
+    assert(got.map(_.getLong(2)).sum == reached.map(_._4).sum,
+      "attributed revenue must reconcile to booked revenue exactly")
+
+    // planted: one purchase of 1.00 (100 e2) with clicks 1 day and 6 days
+    // before -> weights 32 and 1 -> credits 96 + remainder 1 = 97 and 3
+    val rows = Seq(
+      (1L, 9L, "click", 0.0, "2024-01-01 12:00:00"),
+      (2L, 9L, "click", 0.0, "2024-01-06 12:00:00"),
+      (3L, 9L, "purchase", 1.0, "2024-01-07 12:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    rows.createOrReplaceTempView("graft_tda_probe")
+    // drive through the same code path on the probe frame
+    val day7u = 7L * 86400000000L
+    val p = rows.filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts)").as("ptsu"),
+        $"event_id".as("p_id"),
+        expr("CAST(round(value*100) AS BIGINT)").as("rev_e2"))
+    val c = rows.filter($"event_type" === "click")
+      .select($"user_id", expr("unix_micros(ts)").as("ctsu"),
+        $"event_id".as("c_id"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter($"ctsu" < $"ptsu" && $"ctsu" >= $"ptsu" - day7u)
+      .select($"c_id", expr("(ptsu - ctsu) div 86400000000").as("lag"))
+      .as[(Long, Long)].collect().toMap
+    assert(pairs == Map(1L -> 6L, 2L -> 1L))
+    // weights: 2^(6-6)=1 (old click), 2^(6-1)=32 (recent); W=33
+    // base credits: 100*1/33=3, 100*32/33=96; remainder 1 -> earliest (old)
+    // so old click gets 4, recent gets 96 — recency dominates, books to 100
+  }
+
   test("markov_attribution: exact local fixpoint replay; planted gateway channel") {
     // --- local mirror of the whole pipeline on the fixture
     val ev = graft.Tables.events(spark, sfDir)

@@ -71,6 +71,35 @@ class JoinQueriesSpec extends SparkSpec {
     assert(gotR < -9000)
   }
 
+  test("hits_scores: exact local replay of both normalized rounds") {
+    val e = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val byS = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val byP = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var h = byS.keys.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val aRaw = byP.map { case (p, ss) => p -> ss.map(h).sum }
+      val am = aRaw.values.max
+      a = aRaw.view.mapValues(v => v * 1000000L / am).toMap
+      val hRaw = byS.map { case (s, ps) => s -> ps.map(a).sum }
+      val hm = hRaw.values.max
+      h = hRaw.view.mapValues(v => v * 1000000L / hm).toMap
+    }
+    val expHubs = h.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val expAuth = a.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = RelationalQueries.hitsScores(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(got.filter(_._1 == "hub").map(t => (t._2, t._3)).toSeq ==
+      expHubs.sortBy(t => (-t._2, t._1)))
+    assert(got.filter(_._1 == "authority").map(t => (t._2, t._3)).toSeq ==
+      expAuth.sortBy(t => (-t._2, t._1)))
+    // normalization contract: every score in (0, 1e6], max attained
+    assert(got.forall(t => t._3 > 0 && t._3 <= 1000000L))
+    assert(got.count(_._3 == 1000000L) >= 2, "both sides carry their max")
+  }
+
   test("recursive_cte equals a local fold of the decay recurrence") {
     val daily = graft.Tables.events(spark, sfDir)
       .groupBy(to_date($"ts").as("day"))

@@ -20,6 +20,65 @@ class TextSketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad fixture docs violate the html_strip oracle precondition")
   }
 
+  test("heaps_law: exact local decile replay; exponent in the sublinear band") {
+    val sh = graft.scale.ShingleStore.docShingles(spark, sfDir)
+      .as[(Long, String)].collect()
+    val n = sh.map(_._1).max + 1
+    def dec(doc: Long) = (doc * 10 / n + 1).toInt
+    val tok = sh.groupBy(p => dec(p._1)).view.mapValues(_.length.toLong).toMap
+    val fresh = sh.groupBy(_._2).values.map(v => dec(v.map(_._1).min))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pts = (1 to 10).map { d =>
+      val nd = (1 to d).map(i => tok.getOrElse(i, 0L)).sum
+      val vd = (1 to d).map(i => fresh.getOrElse(i, 0L)).sum
+      (math.round(math.log(nd.toDouble) * 1e6), math.round(math.log(vd.toDouble) * 1e6))
+    }
+    val np = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val num = BigInt(np) * sxy - BigInt(sx) * sy
+    val den = BigInt(np) * sxx - BigInt(sx) * sx
+    val beta = if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)
+    val r = TextQueries.heapsLaw(spark, sfDir).collect().head
+    assert(r.getLong(0) == np && r.getLong(1) == beta.toLong)
+    // sublinear vocabulary growth: 0 < beta < 1 on shingle vocab
+    assert(r.getLong(1) > 0L && r.getLong(1) < 1000000L, s"beta=${r.getLong(1)}")
+  }
+
+  test("word_pmi: returned rows satisfy the PMI identity; planted collocation tops") {
+    val got = TextQueries.wordPmi(spark, sfDir).collect()
+    assert(got.length == 15)
+    // identity per returned row against locally recomputed doc frequencies
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val byDoc = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    val nd = docs.length.toLong
+    for (r <- got) {
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val dfxy = byDoc.values.count(s => s(w1) && s(w2)).toLong
+      val df1 = byDoc.values.count(_(w1)).toLong
+      val df2 = byDoc.values.count(_(w2)).toLong
+      assert(r.getLong(2) == dfxy && r.getLong(3) == df1 && r.getLong(4) == df2)
+      assert(r.getLong(5) ==
+        math.round(math.log(nd.toDouble * dfxy / (df1.toDouble * df2)) * 1e6))
+    }
+    // planted: 'alpha beta' co-occur in every doc of a synthetic corpus
+    // where each also appears alone sometimes -> top pair by PMI
+    val planted = (0L until 40L).map { i =>
+      val t = if (i < 20) "alpha beta filler" + i
+              else if (i < 30) "alpha lone" + i else "beta solo" + i
+      (i, t)
+    }.toDF("doc_id", "text")
+    val p = TextQueries.wordPmiOf(planted).collect()
+    assert(p.head.getString(0) == "alpha" && p.head.getString(1) == "beta")
+    // PMI(alpha,beta) = ln(40*20/(30*30)) > 0
+    assert(p.head.getLong(5) ==
+      math.round(math.log(40.0 * 20 / (30.0 * 30)) * 1e6))
+  }
+
   test("freq_spectrum slope matches a local log-log OLS and reads as decay") {
     val spec = graft.scale.ShingleStore.docShingles(spark, sfDir)
       .groupBy(col("sh")).agg(count(lit(1)).as("f"))
