@@ -812,6 +812,44 @@ object RelationalQueries {
       .orderBy(col("kind"), col("score_e6").desc, col("node"))
   }
 
+  /** Bipartiteness / odd-cycle audit (X237) — the graph-quality gate a
+    * two-mode dataset needs before any bipartite-only algorithm (X233's
+    * HITS, co-occurrence projections) runs on it: 2-color by BFS parity
+    * from root p1 ([[graft.scale.Bfs]], 4 synchronous rounds — the
+    * fixture graph is one component of diameter ≤ 4), then count edges
+    * whose endpoints share a color. An odd cycle forces a same-color
+    * edge under ANY 2-coloring, and parity-of-shortest-path finds one
+    * iff it exists (per component). The part↔supplier graph is
+    * bipartite BY CONSTRUCTION, so the declared audit reads 0 conflicts
+    * with full coverage — the value is the audit running at all (a
+    * mislabeled edge file, e.g. part-part substitution rows mixed in,
+    * flips it; the spec plants exactly that). Doubled edges count each
+    * conflict twice — divided back out. */
+  def bipartiteCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bipartiteCheckCore(spark, partSupplierEdges(spark, dir),
+      Seq("p1").toDF("node"), rounds = 4)
+  }
+
+  /** [[bipartiteCheck]] over an explicit doubled edge frame — the seam
+    * the planted-odd-cycle spec drives. */
+  def bipartiteCheckCore(spark: SparkSession, edges: DataFrame,
+      roots: DataFrame, rounds: Int): DataFrame = {
+    val colors = graft.scale.Bfs.run(edges, roots, rounds)
+      .select(col("node"), (col("hop") % 2).as("c"))
+    val conflicts = edges
+      .join(colors.select(col("node").as("src"), col("c").as("ca")), "src")
+      .join(colors.select(col("node").as("dst"), col("c").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+    edges.select(col("src").as("node")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(colors.agg(count(lit(1)).as("n_reached"))))
+      .crossJoin(broadcast(conflicts.agg(
+        (count(lit(1)) / 2).cast("long").as("n_conflict_edges"))))
+      .select(col("n_nodes"), col("n_reached"), col("n_conflict_edges"),
+        (col("n_conflict_edges") === 0).cast("long").as("is_bipartite"))
+  }
+
   /** Degree assortativity of the part↔supplier graph — Pearson r of
     * (deg(src), deg(dst)) over the doubled edge list (Newman 2002's
     * undirected form): does the graph wire hubs to hubs (+) or hubs to
@@ -1154,6 +1192,7 @@ object RelationalQueries {
     "ppr_seeded" -> (pprSeeded _),
     "link_predict" -> (linkPredict _),
     "hits_scores" -> (hitsScores _),
+    "bipartite_check" -> (bipartiteCheck _),
     "degree_assortativity" -> (degreeAssortativity _),
     "winsorized_mean" -> (winsorizedMean _),
     "ri_audit" -> (riAudit _),
@@ -1441,6 +1480,35 @@ object RelationalQueries {
     "ppr_seeded" -> pprSql,
     // `//` floors in DuckDB, `div` truncates in Spark — equal on the
     // non-negative operands here
+    // level sets unrolled MATERIALIZED (no path enumeration); parity
+    // conflicts counted on the doubled edges then halved
+    "bipartite_check" ->
+      """WITH fwd AS MATERIALIZED (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |n1 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e WHERE src = 'p1'),
+        |n2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN n1 ON e.src = n1.node),
+        |n3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN n2 ON e.src = n2.node),
+        |n4 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e JOIN n3 ON e.src = n3.node),
+        |lvl AS (
+        |  SELECT 'p1' AS node, 0 AS lv
+        |  UNION ALL SELECT node, 1 FROM n1
+        |  UNION ALL SELECT node, 2 FROM n2
+        |  UNION ALL SELECT node, 3 FROM n3
+        |  UNION ALL SELECT node, 4 FROM n4),
+        |dist AS (SELECT node, MIN(lv) AS d FROM lvl GROUP BY node),
+        |conf AS (
+        |  SELECT CAST(COUNT(*) // 2 AS BIGINT) AS nc
+        |  FROM e JOIN dist a ON a.node = e.src JOIN dist b ON b.node = e.dst
+        |  WHERE a.d % 2 = b.d % 2)
+        |SELECT
+        |  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dist) AS n_reached,
+        |  (SELECT nc FROM conf) AS n_conflict_edges,
+        |  CAST(CASE WHEN (SELECT nc FROM conf) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_bipartite""".stripMargin,
     // two unrolled HITS rounds, max-normalized by integer floor division
     "hits_scores" ->
       """WITH e AS MATERIALIZED (

@@ -1219,7 +1219,180 @@ object StatQueries {
           |- ((s01 * 10000) div n01 - (s00 * 10000) div n00)"""
           .stripMargin.replace("\n", " ")).as("did_e6"))
 
+  /** Croston's method for intermittent demand (X238 — Croston 1972):
+    * the forecaster for series that are MOSTLY ZERO, where EWMA/Holt
+    * bias toward zero after every empty period (spare parts, rare-SKU
+    * demand; here the SF-stable sparse slice of high-value error events
+    * from the doc-sliced user cohort — 2/3/5 demand days at
+    * sf0.001/0.01/0.1, probed). Two coupled EWMAs at α = ½ with integer
+    * floors update ONLY on demand occurrences: size ẑ' = ⌊(z+ẑ)/2⌋ and
+    * inter-arrival interval q̂' = ⌊(Δdays+q̂)/2⌋ (init ẑ = z₁, q̂ = 1 —
+    * the documented first-demand convention); the demand-rate forecast
+    * is the exact integer rational ẑ/q̂ at e6. One filtered rollup then
+    * a single fold over the sparse array — the same one-job envelope as
+    * the Holt family. */
+  def crostonDemand(spark: SparkSession, dir: String): DataFrame =
+    crostonOf(Tables.events(spark, dir))
+
+  def crostonOf(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "error" && col("value") > 200 &&
+        col("user_id") < 15)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("z"))
+      .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('n', CAST(0 AS BIGINT), 'zh', CAST(0 AS BIGINT),
+          |    'qh', CAST(0 AS BIGINT), 'lt', CAST(NULL AS DATE)),
+          |  (a, x) -> IF(a.n = 0,
+          |    named_struct('n', CAST(1 AS BIGINT), 'zh', x.z,
+          |      'qh', CAST(1 AS BIGINT), 'lt', x.day),
+          |    named_struct('n', a.n + 1, 'zh', (x.z + a.zh) div 2,
+          |      'qh', (CAST(datediff(x.day, a.lt) AS BIGINT) + a.qh) div 2,
+          |      'lt', x.day)),
+          |  a -> array(a))""".stripMargin)).as("r"))
+      .select(col("r.n").as("n_demand_days"), col("r.zh").as("z_hat_e2"),
+        col("r.qh").as("q_hat_days"),
+        expr("(r.zh * 1000000) div r.qh").as("croston_rate_e6"))
+
+  /** Spearman rank correlation (X239) between daily revenue and daily
+    * event count — the monotone-association readout robust to the value
+    * distribution (are busy days rich days?). Midranks carried ×2 stay
+    * integral (computed by exact pair counting inside the bounded daily
+    * array — 2·less + ties + 1, the mann_whitney convention), so the
+    * five sums are exact integers and ρ is one mirrored Pearson double
+    * chain over them (tie-safe: Pearson-on-midranks IS the tie-corrected
+    * Spearman). One rollup, one job. */
+  def spearmanDaily(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables.events(spark, dir))
+
+  def spearmanOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"), count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev"),
+        col("cnt")))).as("xs"))
+      .select(expr(
+        """aggregate(
+          |  transform(xs, x -> named_struct(
+          |    'rx', CAST(2 * size(filter(xs, y -> y.rev < x.rev))
+          |          + size(filter(xs, y -> y.rev = x.rev)) AS BIGINT),
+          |    'ry', CAST(2 * size(filter(xs, y -> y.cnt < x.cnt))
+          |          + size(filter(xs, y -> y.cnt = x.cnt)) AS BIGINT))),
+          |  named_struct('n', CAST(0 AS BIGINT), 'sx', CAST(0 AS BIGINT),
+          |    'sy', CAST(0 AS BIGINT), 'sxy', CAST(0 AS BIGINT),
+          |    'sxx', CAST(0 AS BIGINT), 'syy', CAST(0 AS BIGINT)),
+          |  (a, r) -> named_struct('n', a.n + 1, 'sx', a.sx + r.rx,
+          |    'sy', a.sy + r.ry, 'sxy', a.sxy + r.rx * r.ry,
+          |    'sxx', a.sxx + r.rx * r.rx, 'syy', a.syy + r.ry * r.ry))"""
+          .stripMargin).as("s"))
+      .select(col("s.n").as("n_days"),
+        expr(
+          """CAST(round(
+            |  (CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+            |   - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+            |  / sqrt(
+            |      (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+            |       - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+            |      * (CAST(s.n AS DOUBLE) * CAST(s.syy AS DOUBLE)
+            |         - CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("rho_e6"))
+
+  /** O'Brien-Fleming group-sequential monitor (X240) — the peeking
+    * discipline a weekly-checked experiment needs: four interim looks
+    * (days ≤7/≤14/≤21/≤30) at the cumulative conversion z, each gated
+    * against the OBF boundary z·√(K/k) with z_K = 2.024 (Jennison &
+    * Turnbull's K = 4, α = .05 two-sided design) — early looks demand
+    * ~4σ, the final look spends the full α. One per-user rollup (min
+    * conversion day), ONE aggregate row of conditional sums, four
+    * exploded look rows; z chains and boundaries are mirrored
+    * fixed-order double expressions over exact integers; degenerate
+    * looks (no conversions yet) carry NULL z and never reject. */
+  def obfSequential(spark: SparkSession, dir: String): DataFrame =
+    obfOf(Tables.events(spark, dir))
+
+  def obfOf(events: DataFrame): DataFrame = {
+    val u = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" && col("value") > 250,
+        dayofmonth(col("ts")))).as("cd"))
+      .select((col("user_id") % 2).as("g"), col("cd"))
+    val cells = u.agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+      (1 to 4).flatMap(k => Seq(
+        sum(when(col("g") === 0 && col("cd") <= k * 7, 1L).otherwise(0L))
+          .as(s"c0_$k"),
+        sum(when(col("g") === 1 && col("cd") <= k * 7, 1L).otherwise(0L))
+          .as(s"c1_$k"))) :+
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"): _*)
+    val z = (k: Int) =>
+      s"""CASE WHEN c0_$k + c1_$k > 0 AND c0_$k + c1_$k < n0 + n1 THEN
+         |  CAST(round(
+         |    (CAST(c0_$k AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |     - CAST(c1_$k AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |    / sqrt(
+         |        (CAST(c0_$k + c1_$k AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |        * (1.0 - CAST(c0_$k + c1_$k AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         |    * 1000000) AS BIGINT)
+         |ELSE NULL END""".stripMargin.replace("\n", " ")
+    val bound = (k: Int) =>
+      s"CAST(round(2.024 * sqrt(4.0 / $k.0) * 1000000) AS BIGINT)"
+    cells.select(explode(array((1 to 4).map(k => struct(
+        lit(k.toLong).as("look"), lit(k * 7L).as("day_cut"),
+        col("n0"), col(s"c0_$k").as("c0"),
+        col("n1"), col(s"c1_$k").as("c1"),
+        expr(z(k)).as("z_e6"), expr(bound(k)).as("bound_e6"))): _*)).as("r"))
+      .select(col("r.look"), col("r.day_cut"), col("r.n0"), col("r.c0"),
+        col("r.n1"), col("r.c1"), col("r.z_e6"), col("r.bound_e6"),
+        coalesce(abs(col("r.z_e6")) >= col("r.bound_e6"), lit(false))
+          .cast("long").as("reject"))
+      .orderBy(col("look"))
+  }
+
+  /** RFM segmentation (X241) — the classical customer triage (recency /
+    * frequency / monetary terciles): per-user (R = days since last
+    * event, F = event count, M = revenue), tercile edges by EXACT
+    * percentile over the per-user rollup (winsorized_mean's
+    * quantile_cont == percentile cross-engine pin; at open-domain scale
+    * swap in KllQuantile, same two-pass shape), scores 0–2 per axis
+    * with R inverted (recent = high). Output: the ≤27 segment cells
+    * with user counts and revenue. One user-keyed partial-aggregated
+    * pass + one broadcast edge row. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.events(spark, dir))
+
+  def rfmOf(events: DataFrame): DataFrame = {
+    val hz = events.agg(max(to_date(col("ts"))).as("h"))
+    val u = events.crossJoin(broadcast(hz))
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(datediff(MAX(h), MAX(to_date(ts))) AS BIGINT)").as("r"),
+        count(lit(1)).as("f"),
+        expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("m"))
+    val edges = u.agg(
+      expr("percentile(r, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").as("re"),
+      expr("percentile(f, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").as("fe"),
+      expr("percentile(m, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))").as("me"))
+    def tercile(v: String, e: String) =
+      s"CASE WHEN CAST($v AS DOUBLE) <= $e[0] THEN 0 " +
+        s"WHEN CAST($v AS DOUBLE) <= $e[1] THEN 1 ELSE 2 END"
+    u.crossJoin(broadcast(edges))
+      .select(col("user_id"), col("m"),
+        expr(s"CAST(2 - (${tercile("r", "re")}) AS BIGINT)").as("r_score"),
+        expr(s"CAST(${tercile("f", "fe")} AS BIGINT)").as("f_score"),
+        expr(s"CAST(${tercile("m", "me")} AS BIGINT)").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("rev_e2"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "croston_demand" -> (crostonDemand _),
+    "spearman_daily" -> (spearmanDaily _),
+    "obf_sequential" -> (obfSequential _),
+    "rfm_segments" -> (rfmSegments _),
     "poisson_bootstrap" -> (poissonBootstrap _),
     "nelson_aalen" -> (nelsonAalen _),
     "seasonal_naive_eval" -> (seasonalNaiveEval _),
@@ -1244,6 +1417,129 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same coupled floor EWMAs under WITH RECURSIVE; // == div
+    "croston_demand" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS z
+        |  FROM events
+        |  WHERE event_type = 'error' AND value > 200 AND user_id < 15
+        |  GROUP BY 1),
+        |idx AS (SELECT day, z, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+        |c AS (
+        |  SELECT i, day, z AS zh, CAST(1 AS BIGINT) AS qh
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.day, (x.z + c.zh) // 2,
+        |    (date_diff('day', c.day, x.day) + c.qh) // 2
+        |  FROM c JOIN idx x ON x.i = c.i + 1)
+        |SELECT CAST(i AS BIGINT) AS n_demand_days, zh AS z_hat_e2,
+        |  qh AS q_hat_days,
+        |  CAST((zh * 1000000) // qh AS BIGINT) AS croston_rate_e6
+        |FROM c ORDER BY i DESC LIMIT 1""".stripMargin,
+    // identical pair-count midranks (x2, constant-shift immaterial to
+    // Pearson-on-ranks) and the identical double chain
+    "spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT
+        |    2 * (SELECT COUNT(*) FROM daily b WHERE b.rev < a.rev)
+        |      + (SELECT COUNT(*) FROM daily b WHERE b.rev = a.rev) AS rx,
+        |    2 * (SELECT COUNT(*) FROM daily b WHERE b.cnt < a.cnt)
+        |      + (SELECT COUNT(*) FROM daily b WHERE b.cnt = a.cnt) AS ry
+        |  FROM daily a),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rx) AS BIGINT) AS sx,
+        |    CAST(SUM(ry) AS BIGINT) AS sy, CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |  FROM r)
+        |SELECT n AS n_days,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS rho_e6
+        |FROM s""".stripMargin,
+    // four looks from one rollup; z chains + OBF boundaries mirrored
+    "obf_sequential" -> {
+      val z = (k: Int) =>
+        s"""CASE WHEN c0_$k + c1_$k > 0 AND c0_$k + c1_$k < n0 + n1 THEN
+           |  CAST(round(
+           |    (CAST(c0_$k AS DOUBLE) / CAST(n0 AS DOUBLE)
+           |     - CAST(c1_$k AS DOUBLE) / CAST(n1 AS DOUBLE))
+           |    / sqrt(
+           |        (CAST(c0_$k + c1_$k AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           |        * (1.0 - CAST(c0_$k + c1_$k AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           |    * 1000000) AS BIGINT)
+           |ELSE NULL END""".stripMargin.replace("\n", " ")
+      val bound = (k: Int) =>
+        s"CAST(round(2.024 * sqrt(4.0 / $k.0) * 1000000) AS BIGINT)"
+      val looks = (1 to 4).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS look, CAST(${k * 7} AS BIGINT) AS day_cut,
+           |  n0, c0_$k AS c0, n1, c1_$k AS c1,
+           |  ${z(k)} AS z_e6, ${bound(k)} AS bound_e6,
+           |  CAST(COALESCE(ABS(${z(k)}) >= ${bound(k)}, FALSE) AS BIGINT)
+           |    AS reject
+           |FROM cells""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  SELECT user_id % 2 AS g,
+         |    MIN(CASE WHEN event_type = 'purchase' AND value > 250
+         |        THEN day(ts) END) AS cd
+         |  FROM events GROUP BY user_id),
+         |cells AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |${(1 to 4).map(k =>
+          s"    CAST(SUM(CASE WHEN g = 0 AND cd <= ${k * 7} THEN 1 ELSE 0 END) AS BIGINT) AS c0_$k,\n" +
+          s"    CAST(SUM(CASE WHEN g = 1 AND cd <= ${k * 7} THEN 1 ELSE 0 END) AS BIGINT) AS c1_$k")
+          .mkString(",\n")}
+         |  FROM u)
+         |SELECT * FROM (
+         |  $looks) ORDER BY look""".stripMargin
+    },
+    // exact-percentile edges (quantile_cont == percentile, the
+    // winsorized_mean pin); same tercile CASEs and R inversion
+    "rfm_segments" ->
+      """WITH hz AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MAX(CAST(ts AS DATE)), (SELECT h FROM hz))
+        |      AS BIGINT) AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |e AS (
+        |  SELECT quantile_cont(r, [1.0/3, 2.0/3]) AS re,
+        |    quantile_cont(f, [1.0/3, 2.0/3]) AS fe,
+        |    quantile_cont(m, [1.0/3, 2.0/3]) AS me
+        |  FROM u),
+        |scored AS (
+        |  SELECT m,
+        |    CAST(2 - (CASE WHEN CAST(r AS DOUBLE) <= e.re[1] THEN 0
+        |      WHEN CAST(r AS DOUBLE) <= e.re[2] THEN 1 ELSE 2 END) AS BIGINT)
+        |      AS r_score,
+        |    CAST(CASE WHEN CAST(f AS DOUBLE) <= e.fe[1] THEN 0
+        |      WHEN CAST(f AS DOUBLE) <= e.fe[2] THEN 1 ELSE 2 END AS BIGINT)
+        |      AS f_score,
+        |    CAST(CASE WHEN CAST(m AS DOUBLE) <= e.me[1] THEN 0
+        |      WHEN CAST(m AS DOUBLE) <= e.me[2] THEN 1 ELSE 2 END AS BIGINT)
+        |      AS m_score
+        |  FROM u, e)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(m) AS BIGINT) AS rev_e2
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the SAME generated body — identical hashes, thresholds, floors
     "poisson_bootstrap" -> bootSql(
       """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v

@@ -71,6 +71,22 @@ class JoinQueriesSpec extends SparkSpec {
     assert(gotR < -9000)
   }
 
+  test("bipartite_check: fixture graph passes with full coverage; planted odd cycle flags") {
+    val Array(r) = RelationalQueries.bipartiteCheck(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r._1 == r._2, "BFS must reach every node (one component, diam <= 4)")
+    assert(r._3 == 0L && r._4 == 1L, s"part-supplier graph is bipartite: $r")
+
+    // planted: a triangle (odd cycle) must flag — doubled edge list
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val doubled = tri.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .toDF("src", "dst")
+    val Array(p) = RelationalQueries
+      .bipartiteCheckCore(spark, doubled, Seq("a").toDF("node"), rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(p._3 > 0L && p._4 == 0L, s"triangle must break 2-coloring: $p")
+  }
+
   test("hits_scores: exact local replay of both normalized rounds") {
     val e = Tables.lineitem(spark, sfDir)
       .select($"l_partkey", $"l_suppkey").distinct()

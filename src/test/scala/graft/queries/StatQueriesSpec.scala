@@ -19,6 +19,94 @@ class StatQueriesSpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .drop("ts_s")
 
+  // -------------------------------------- croston / spearman / obf / rfm
+
+  test("croston_demand: planted intermittent series folds exactly") {
+    // demand days 1, 5, 11 (gaps 4, 6) with e2 sizes 21000, 22000, 24000:
+    // init zh=21000 qh=1; 2nd: zh=(22000+21000)/2=21500, qh=(4+1)/2=2;
+    // 3rd: zh=(24000+21500)/2=22750, qh=(6+2)/2=4
+    val shaped = Seq(
+      (1L, 3L, "error", 210.0, "2024-01-01 10:00:00"),
+      (2L, 4L, "error", 220.0, "2024-01-05 10:00:00"),
+      (3L, 5L, "error", 240.0, "2024-01-11 10:00:00"))
+    val p = StatQueries.crostonOf(mkEvents(shaped)).collect().head
+    assert(p.getLong(0) == 3L && p.getLong(1) == 22750L && p.getLong(2) == 4L)
+    assert(p.getLong(3) == 22750L * 1000000L / 4L)
+  }
+
+  test("spearman_daily: fixture replay; planted monotone pair reads rho=1") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    def rank2(vs: Seq[Long], v: Long) =
+      2L * vs.count(_ < v) + vs.count(_ == v)
+    val revs = daily.map(_._2).toSeq; val cnts = daily.map(_._3).toSeq
+    val pts = daily.map(d => (rank2(revs, d._2), rank2(cnts, d._3)))
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val r = StatQueries.spearmanDaily(spark, sfDir).collect().head
+    assert(r.getLong(0) == daily.length)
+    assert(math.abs(r.getLong(1) - math.round(rho * 1e6)) <= 1)
+
+    // planted: count and revenue strictly co-monotone -> rho = 1
+    val rows = (1 to 10).flatMap { d =>
+      (0 until d).map(i =>
+        (d.toLong * 100 + i, i.toLong, "view", 10.0, f"2024-03-$d%02d 05:00:00"))
+    }
+    val p = StatQueries.spearmanOf(mkEvents(rows)).collect().head
+    assert(p.getLong(1) == 1000000L, s"rho=${p.getLong(1)}")
+  }
+
+  test("obf_sequential: boundaries descend to 2.024; early looks never cheaper") {
+    val got = StatQueries.obfSequential(spark, sfDir).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val bounds = got.map(_.getLong(7))
+    assert(bounds.toSeq == bounds.sorted.reverse.toSeq, "OBF bounds must descend")
+    assert(bounds.last == math.round(2.024 * math.sqrt(1.0) * 1e6))
+    assert(bounds.head == math.round(2.024 * math.sqrt(4.0) * 1e6))
+    // cumulative conversions are monotone across looks
+    val c0 = got.map(_.getLong(3)); val c1 = got.map(_.getLong(5))
+    assert(c0.toSeq == c0.sorted.toSeq && c1.toSeq == c1.sorted.toSeq)
+    // reject consistency with the reported z and bound
+    got.foreach { r =>
+      val expected = !r.isNullAt(6) && math.abs(r.getLong(6)) >= r.getLong(7)
+      assert(r.getLong(8) == (if (expected) 1L else 0L))
+    }
+  }
+
+  test("rfm_segments: users conserve; planted three-tier cohort separates") {
+    val users = graft.Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    val got = StatQueries.rfmSegments(spark, sfDir).collect()
+    assert(got.map(_.getLong(3)).sum == users)
+    assert(got.forall(r => (0 to 2).contains(r.getLong(0).toInt) &&
+      (0 to 2).contains(r.getLong(1).toInt) && (0 to 2).contains(r.getLong(2).toInt)))
+
+    // planted: 9 users in three clean tiers of recency/frequency/monetary
+    val rows = (0 until 9).flatMap { u =>
+      val tier = u / 3
+      val nEv = (tier + 1) * 4           // F tiers: 4, 8, 12
+      val day = 1 + tier * 10            // R tiers: day 1, 11, 21 (horizon 21)
+      val v = (tier + 1) * 50.0          // M tiers
+      (0 until nEv).map(i =>
+        ((u * 100 + i).toLong, u.toLong, "view", v, f"2024-01-$day%02d 05:00:00"))
+    }
+    val p = StatQueries.rfmOf(mkEvents(rows)).collect()
+    // three segments only: tier0 = (0,0,0) low everything & stale;
+    // tier2 = (2,2,2) recent, frequent, rich
+    assert(p.length == 3)
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet == Set((0L, 0L, 0L, 3L), (1L, 1L, 1L, 3L), (2L, 2L, 2L, 3L)))
+  }
+
   // ------------------------------------------- bootstrap / survival / eval
 
   test("poisson_bootstrap: exact local replay of the deterministic weights") {
