@@ -341,6 +341,55 @@ object MediaCodecs {
       }
     } catch { case e: Exception => Left(s"avi decode: ${e.getMessage}") }
 
+  /** Mean luma (0–255, integer floor over all raster samples) of EVERY
+    * frame of an AVI-MJPEG payload — the per-frame signal behind
+    * scene-change detection (where [[decodeAvi]] stops at container
+    * metadata + first-frame fingerprint, this decodes the full frame
+    * sequence). Same chunk walk; each frame JDK-JPEG-decodes
+    * independently, so a torn tail yields the frames that parsed. */
+  def aviFrameMeanLumas(bytes: Array[Byte]): Either[String, Seq[Long]] =
+    try {
+      if (sniff(bytes) != "avi") Left("not a RIFF/AVI payload")
+      else {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        def fourcc(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (p + 8 <= until) {
+            val id = fourcc(p)
+            val len = bb.getInt(p + 4)
+            if (len < 0 || p + 8 + len > until) return
+            if (id == "LIST") walk(p + 12, p + 8 + len)
+            else if (id.endsWith("dc") || id.endsWith("db"))
+              frames += ((p + 8, len))
+            p += 8 + len + (len & 1)
+          }
+        }
+        walk(12, math.min(bytes.length, 8 + bb.getInt(4)))
+        if (frames.isEmpty) Left("AVI: no frame chunks in movi")
+        else Right(frames.toSeq.map { case (fo, fl) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes, fo, fl))
+          require(img != null, "AVI frame is not JDK-decodable (not MJPEG?)")
+          val r = img.getRaster
+          var sum = 0L; var cnt = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < r.getNumBands) {
+                sum += r.getSample(x, y, b); cnt += 1; b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          sum / cnt
+        })
+      }
+    } catch { case e: Exception => Left(s"avi luma decode: ${e.getMessage}") }
+
   /** Histogram features over the decoded raster samples of up to the
     * first 4 frames — the real replacement for the video arm of the
     * decode stub, for payloads [[decodeAvi]] accepts. */

@@ -410,6 +410,52 @@ object ScaleQueries {
     * content hash) over opaque binary payloads — exact, oracle-checked.
     * Payloads are fabricated deterministically from document text (the
     * fixture set ships no media files). */
+  /** Scene-change detection through the REAL video decode path (X243):
+    * a 30-frame AVI-MJPEG clip is synthesized whose per-frame brightness
+    * encodes the daily revenue regime (above/below the interpolated
+    * median → flat luma 200/56), then the ENGINE side goes the long way
+    * — RIFF walk, per-frame JDK JPEG decode
+    * ([[graft.multimodal.MediaCodecs.aviFrameMeanLumas]]), mean-luma
+    * thresholding, cut = brightness class change — while the oracle
+    * derives the same cuts from the daily series directly. The 72-level
+    * luma margin dwarfs JPEG's flat-frame round-trip error (±2), so the
+    * decisions are deterministic and the decoder sits ON the oracle
+    * hash path (multimodal decode graduates from spec-only to
+    * driver-checked). The calendar-bounded series is collected to build
+    * the clip (≤31 rows — the kmeans-centroid pattern); the decode runs
+    * in an executor task. At scale: one such task per ASSET — the
+    * per-asset decode parallelism of any video pipeline. */
+  def sceneChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+      .orderBy(col("day")).as[(java.sql.Date, Long)].collect()
+    val sorted = daily.map(_._2).sorted
+    val n = sorted.length
+    // interpolated median, mirroring quantile_cont(0.5)
+    val med: Double =
+      if (n % 2 == 1) sorted(n / 2).toDouble
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    val frames = daily.map { case (_, r) => if (r > med) 200 else 56 }
+    val avi = graft.multimodal.MediaCodecs.encodeAviMjpeg(
+      32, 32, frames.toIndexedSeq.map(v => (_: Int, _: Int) => v))
+    Seq(("v1", avi)).toDF("asset_id", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        val lumas = graft.multimodal.MediaCodecs.aviFrameMeanLumas(bytes)
+          .fold(e => sys.error(e), identity)
+        lumas.zipWithIndex.map { case (l, i) =>
+          val bright = l > 128
+          val cut = i > 0 && (lumas(i - 1) > 128) != bright
+          (i.toLong, if (bright) 1L else 0L, if (cut) 1L else 0L)
+        }
+      }
+      .toDF("frame_idx", "is_bright", "is_cut")
+      .orderBy(col("frame_idx"))
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val modality = when(col("doc_id") % 3 === 0, "image")
       .when(col("doc_id") % 3 === 1, "audio")
@@ -1037,6 +1083,7 @@ object ScaleQueries {
     "pq_precision" -> (pqPrecision _),
     "lsh_join" -> (lshJoin _),
     "multimodal_meta" -> (multimodalMeta _),
+    "scene_change" -> (sceneChange _),
     "media_meta" -> (mediaMeta _),
     "video_meta" -> (videoMeta _),
     "frame_sample" -> (frameSample _),
@@ -1486,6 +1533,24 @@ object ScaleQueries {
         |  FROM dec CROSS JOIN q)
         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // the cuts derived from the daily series directly — the engine side
+    // must reach the same decisions through the real AVI/JPEG decode
+    "scene_change" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(rev, 0.5) AS md FROM daily),
+        |idx AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily),
+        |b AS (
+        |  SELECT i,
+        |    CASE WHEN CAST(rev AS DOUBLE) > (SELECT md FROM m)
+        |      THEN 1 ELSE 0 END AS br
+        |  FROM idx)
+        |SELECT CAST(i AS BIGINT) AS frame_idx, CAST(br AS BIGINT) AS is_bright,
+        |  CAST(CASE WHEN i > 0 AND br <> LAG(br) OVER (ORDER BY i)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM b ORDER BY frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

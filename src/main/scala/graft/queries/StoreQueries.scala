@@ -1270,6 +1270,38 @@ object StoreQueries {
          |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** SQL schema evolution (X242 — `ALTER TABLE ... ADD COLUMN` through
+    * the catalog): CREATE a narrow table, land a slice, ALTER in a
+    * `band` column (metadata-only — [[graft.store.Versioned
+    * .replaceSchemaMarker]], zero files touched), land a second slice
+    * WITH the column, and read both eras together — pre-evolution rows
+    * serve NULL through the V2 reader's per-file read-schema clip. The
+    * readout aggregates both eras (COUNT, COUNT(band), banded revenue),
+    * recomputed by DuckDB from the raw fixture with the same era split. */
+  def catalogEvolveSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catevo", dir)
+    rmTree(root)
+    val cat = s"graft_evo_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_evo_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_evo_src WHERE user_id < 60")
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN band BIGINT")
+    spark.sql(s"INSERT INTO $cat.ev " +
+      "SELECT event_id, user_id, event_type, v_e2, v_e2 div 10000 " +
+      "FROM graft_evo_src WHERE user_id >= 60")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(band) AS n_banded,
+         |  SUM(v_e2) AS sv_e2, SUM(coalesce(band, -1)) AS band_sum
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Runtime file pruning INTO the V2 scan (X220 —
     * `SupportsRuntimeV2Filtering` composing with the manifest stats of
     * X157): the fact store lands four user-residue files with `band`
@@ -1313,6 +1345,7 @@ object StoreQueries {
     "catalog_sql" -> (catalogSql _),
     "v2_delete_sql" -> (v2DeleteSql _),
     "v2_update_sql" -> (v2UpdateSql _),
+    "catalog_evolve_sql" -> (catalogEvolveSql _),
     "v2_merge_sql" -> (v2MergeSql _),
     "v2_dpp" -> (v2Dpp _),
     "v2_agg_pushdown" -> (v2AggPushdown _),
@@ -1352,6 +1385,20 @@ object StoreQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 60)
         |    AS n_v2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // both eras from the raw fixture: era 1 rows carry NULL band (-1 in
+    // the sum), era 2 rows carry v_e2 div 10000
+    "catalog_evolve_sql" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_e2,
+        |    CASE WHEN user_id >= 60
+        |      THEN CAST(round(value * 100) AS BIGINT) // 10000 END AS band
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(band) AS BIGINT) AS n_banded,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2,
+        |  CAST(SUM(COALESCE(band, -1)) AS BIGINT) AS band_sum
+        |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin,
     // post-UPDATE state == the CASE-adjusted rollup over the raw fixture
     "v2_update_sql" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -110,10 +110,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is out of scope — use " +
-        "Versioned.renameColumn/addConstraint directly")
+  /** `ALTER TABLE ... ADD COLUMN` — a metadata-only schema-marker
+    * replacement ([[Versioned.replaceSchemaMarker]]); existing files
+    * serve NULL for the new column under the recorded-schema read (the
+    * append-time evolution contract, now reachable from SQL). Other
+    * ALTER shapes stay out of scope (renameColumn/addConstraint are the
+    * library routes). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!existsAt(path)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        val cur = Versioned.schemaOf(path).getOrElse(
+          VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
+        val name = add.fieldNames().head
+        require(!cur.fieldNames.contains(name),
+          s"column $name already exists in ${ident.name}")
+        Versioned.replaceSchemaMarker(path,
+          cur.add(org.apache.spark.sql.types.StructField(
+            name, add.dataType(), nullable = true))): Unit
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "top-level ADD COLUMN is supported (rename/constraints go " +
+          "through Versioned.renameColumn/addConstraint)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)

@@ -101,24 +101,24 @@ object VersionedV2 {
     (path, Option(options.get("versionAsOf")).map(_.trim.toInt))
   }
 
-  /** The table's parquet schema, from the first data file's footer — or,
-    * for a DATA-FREE table (created via [[graft.store.Versioned.initTable]]
-    * or an empty-write commit), from the manifest's recorded schema
-    * marker, so empty tables stay readable. Uniform footers are the
-    * scoped contract; outstanding renames would make footer names lie,
-    * so they are rejected loudly. */
+  /** The table's schema: the manifest's RECORDED schema marker when one
+    * exists (authoritative — it is what ADD COLUMN / append-time
+    * evolution maintain, and pre-evolution files serve NULL for columns
+    * they lack via the per-file read-schema clip in
+    * [[VersionedPartitionReader]]); otherwise the first data file's
+    * footer (marker-free legacy tables with uniform footers — the
+    * original scoped contract). Outstanding renames would make names
+    * lie, so they are rejected loudly. */
   private[sources] def footerSchema(path: String,
       version: Option[Int]): MessageType = {
     require(Versioned.renamesOf(path).isEmpty,
       s"graft-versioned: $path has outstanding #rename markers — run " +
         "Versioned.normalize first (the V2 reader serves footer names)")
+    val recorded = Versioned.schemaOf(path, version)
+    if (recorded.nonEmpty) return messageType(recorded.get)
     val fs = Versioned.files(path, version)
-    if (fs.isEmpty) {
-      val recorded = Versioned.schemaOf(path, version)
-      require(recorded.nonEmpty,
-        s"graft-versioned: $path has no committed data and no recorded schema")
-      return messageType(recorded.get)
-    }
+    require(fs.nonEmpty,
+      s"graft-versioned: $path has no committed data and no recorded schema")
     val in = HadoopInputFile.fromPath(new Path(fs.head), new Configuration())
     val r = ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
@@ -922,19 +922,47 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
 private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
     extends PartitionReader[InternalRow] {
 
+  private val projected = MessageTypeParser.parseMessageType(p.projectedMsg)
+  // CLIP the requested read schema to the fields THIS file actually has:
+  // after ADD COLUMN / append-time evolution, pre-evolution files lack
+  // the new columns and must serve NULL (GroupReadSupport rejects a
+  // requested field absent from the file schema outright). One footer
+  // open per file — the file is being opened anyway.
+  private val fileMsg: MessageType = {
+    val in = HadoopInputFile.fromPath(new Path(p.file), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val fileFields: Set[String] =
+    fileMsg.getFields.asScala.map(_.getName).toSet
+  private val readMsg = {
+    val keep = projected.getFields.asScala.map(_.getName).toSeq
+      .filter(fileFields)
+    // every requested column postdating this file: read the file's first
+    // field so row multiplicity survives, emit all-NULL data columns
+    val names =
+      if (keep.nonEmpty) keep
+      else Seq(fileMsg.getFields.asScala.head.getName)
+    // field DEFINITIONS come from the FILE (GroupReadSupport requires the
+    // requested repetition to match — a marker-derived `optional` request
+    // against a `required` file field is rejected outright)
+    new MessageType(projected.getName,
+      names.map(n => fileMsg.getType(fileMsg.getFieldIndex(n))).asJava)
+  }
   private val conf = new Configuration()
-  conf.set(ReadSupport.PARQUET_READ_SCHEMA, p.projectedMsg)
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA, readMsg.toString)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
       .withConf(conf).build()
-  private val projected = MessageTypeParser.parseMessageType(p.projectedMsg)
   // required-schema order may differ from file order; map by name. The
   // `_graft_file` metadata column maps to -1 and serves the partition's
-  // own file path
+  // own file path; a column this file PREDATES maps to -2 and serves
+  // NULL
   private val fieldIdx: Array[Int] =
     p.required.fields.map(f =>
       if (f.name == VersionedV2.FileMetaCol) -1
-      else projected.getFieldIndex(f.name))
+      else if (!fileFields(f.name)) -2
+      else readMsg.getFieldIndex(f.name))
   private val types: Array[DataType] = p.required.fields.map(_.dataType)
   private val fileValue = UTF8String.fromString(p.file)
   private var cur: Group = _
@@ -950,6 +978,7 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
         val fi = fieldIdx(i)
         vals(i) =
           if (fi == -1) fileValue
+          else if (fi == -2) null // column added after this file was written
           else if (cur.getFieldRepetitionCount(fi) == 0) null
           else types(i) match {
             case LongType => cur.getLong(fi, 0)

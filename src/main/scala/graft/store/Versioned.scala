@@ -621,6 +621,32 @@ object Versioned {
     commit(table, 0, Seq(SchemaPrefix + schema.json))
   }
 
+  /** ALTER TABLE-style schema replacement: publish a metadata-only
+    * version whose schema marker is `schema` (the old marker lines
+    * retire in the same atomic commit) — zero data files touched; files
+    * lacking a newly added column serve NULL under the recorded-schema
+    * read, exactly like append-time evolution. The caller (the catalog's
+    * ADD COLUMN) is responsible for only WIDENING the schema. */
+  def replaceSchemaMarker(table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"table $table does not exist")
+      val stale = Files.readAllLines(manifestFile(table, cur).toPath,
+          StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+        .filter(_.startsWith(SchemaPrefix))
+      try return commit(table, cur, Seq(SchemaPrefix + schema.json), stale)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Files of `version` read under that version's recorded schema (when
     * one exists): parquet fills columns missing from a file with NULL, so
     * pre-evolution files surface the evolved width — the mergeSchema

@@ -259,4 +259,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(math.sqrt(f.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
     assert(f.count(_ > 0.0f) == 2)
   }
+
+  test("aviFrameMeanLumas: per-frame decode; flat-frame JPEG error bounded") {
+    // the scene_change contract: flat gray frames round-trip within a
+    // few luma levels — far inside the 72-level decision margin around
+    // the 128 threshold
+    val values = Seq(56, 200, 56, 56, 200, 200, 56)
+    val avi = MediaCodecs.encodeAviMjpeg(32, 32,
+      values.map(v => (_: Int, _: Int) => v))
+    val lumas = MediaCodecs.aviFrameMeanLumas(avi)
+      .fold(e => fail(e), identity)
+    assert(lumas.length == values.length)
+    lumas.zip(values).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 4, s"flat $want decoded as $got")
+    }
+    // classification is exact under the margin
+    assert(lumas.map(_ > 128) == values.map(_ > 128))
+    // non-AVI input reports, never throws
+    assert(MediaCodecs.aviFrameMeanLumas("nope".getBytes).isLeft)
+  }
 }

@@ -368,6 +368,30 @@ class VersionedV2Spec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.d").head.getLong(0) == 0)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only; old files serve NULL") {
+    val (cat, root) = catalogFor("evolve")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(0, 5, 1, 1)")
+    val filesBefore = Versioned.files(s"$root/t").toSet
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING")
+    // metadata-only: no data files touched, one new version
+    assert(Versioned.files(s"$root/t").toSet == filesBefore)
+    // schema serves the new column; pre-evolution rows read NULL
+    val r1 = spark.sql(s"SELECT id, v, tag FROM $cat.t ORDER BY id").collect()
+    assert(r1.length == 5 && r1.forall(_.isNullAt(2)))
+    // selecting ONLY the new column over old files keeps multiplicity
+    assert(spark.sql(s"SELECT tag FROM $cat.t").count() == 5)
+    assert(spark.sql(s"SELECT COUNT(tag) FROM $cat.t").head.getLong(0) == 0)
+    // a post-evolution insert carries values; both eras read together
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 1000, 'new')")
+    val r2 = spark.sql(
+      s"SELECT COUNT(*), COUNT(tag) FROM $cat.t").head
+    assert(r2.getLong(0) == 6 && r2.getLong(1) == 1)
+    // duplicate column rejected; other ALTER shapes rejected loudly
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t DROP COLUMN v"))
+  }
+
   test("UPDATE rewrites only the affected groups; MERGE INTO upserts") {
     val (cat, root) = catalogFor("rlo")
     spark.sql(s"CREATE TABLE $cat.u (id BIGINT, grp BIGINT, v BIGINT)")
