@@ -364,9 +364,12 @@ object StatQueries {
     * Google large-scale bootstrap), so the whole thing is ONE
     * partial-aggregated scan with 64 conditional sums, at any corpus
     * size. Weights are DETERMINISTIC: replicate b's weight for a row is
-    * the inverse-CDF bucket of a 52-bit integer folded from
-    * md5('boot:b:' ++ event_id) — the engine-stable priority_sample
-    * hash recipe, compared against ⌊CDF·2⁵²⌋ integer thresholds, so both
+    * the inverse-CDF bucket of the first 13 hex nibbles of
+    * md5('boot:b:' ++ event_id), compared LEXICOGRAPHICALLY against the
+    * ⌊CDF·2⁵²⌋ thresholds rendered as 13-char lowercase hex — equal-
+    * length hex compares identically to priority_sample's numeric fold
+    * at ONE md5 per replicate instead of the fold's 13 (the fold form
+    * cost 8 s at sf0.1; this one ~1 s), so both
     * engines draw THE SAME bootstrap and the oracle is exact, not
     * statistical. Replicate means floor at e6; the CI is the 2nd/31st
     * order statistic of the 32 sorted means (the percentile-bootstrap
@@ -384,10 +387,11 @@ object StatQueries {
       "SELECT event_id, v FROM graft_boot_src", "div"))
   }
 
-  /** ⌊P(Pois(1) ≤ k)·2⁵²⌋ for k = 0..5 (weight 6 beyond — P < 10⁻⁴). */
-  private val PoisThresholds = Seq(1656781714176974L, 3313563428353948L,
-    4141954285442435L, 4418084571138597L, 4487117142562638L,
-    4500923656847446L)
+  /** ⌊P(Pois(1) ≤ k)·2⁵²⌋ for k = 0..5 as 13-char hex (weight 6 beyond
+    * — P < 10⁻⁴). Spec cross-checks against the integer form. */
+  private[queries] val PoisThresholdsHex = Seq("5e2d58d8b3bce",
+    "bc5ab1b16779c", "eb715e1dc1583", "fb23979734a25", "ff1025f59174e",
+    "ffd90f3ba4056")
 
   private val BootReplicates = 32
 
@@ -395,11 +399,10 @@ object StatQueries {
     * — generated once for Spark (`div`) and DuckDB (`//`). */
   def bootSql(source: String, idiv: String): String = {
     val hCols = (0 until BootReplicates).map { b =>
-      PipelineQueries.hexFoldSql(
-        s"md5(concat('boot:$b:', CAST(event_id AS STRING)))") + s" AS h$b"
+      s"substring(md5(concat('boot:$b:', CAST(event_id AS STRING))), 1, 13) AS h$b"
     }.mkString(",\n    ")
-    val wCase = PoisThresholds.zipWithIndex
-      .map { case (t, k) => s"WHEN h%d < $t THEN $k" }.mkString(" ")
+    val wCase = PoisThresholdsHex.zipWithIndex
+      .map { case (t, k) => s"WHEN h%d < '$t' THEN $k" }.mkString(" ")
     val wCols = (0 until BootReplicates).map { b =>
       s"CAST(CASE ${wCase.replace("%d", b.toString)} ELSE 6 END AS BIGINT) AS w$b"
     }.mkString(",\n    ")

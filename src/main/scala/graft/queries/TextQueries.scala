@@ -866,6 +866,48 @@ object TextQueries {
       .limit(15)
   }
 
+  /** TextRank keyword extraction (X244 — Mihalcea & Tarau 2004): ranked
+    * keywords as the stationary importance of the word CO-OCCURRENCE
+    * graph — the unsupervised keyword extractor that beats raw frequency
+    * because a word matters when IMPORTANT words co-occur with it (the
+    * PageRank insight applied to text; composes [[wordPmi]]'s pair frame
+    * with [[graft.queries.RelationalQueries.hitsScores]]'s unrolled
+    * integer power iteration). Edges: doc-level co-occurrence counts
+    * over the vocabulary-bounded pair grid (df-capped at web scale, the
+    * postings stop-list pattern); two damped iterations with d = 17/20
+    * as INTEGER floor arithmetic — contribution_j = (w_ji·r_j) div W_j
+    * per edge, r'_i = 150000 + (17·ΣS) div 20 — both engines replay
+    * digit-exactly (the pagerank unrolled-oracle regime). The ≤31-node
+    * word graph is built from ONE corpus scan and localCheckpointed;
+    * iterations are metadata-cheap joins. Top-10 by (rank desc, word). */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+    val w = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("wt"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("wt"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"),
+        col("wt")))
+      .localCheckpoint()
+    val strength = edges.groupBy(col("src")).agg(sum(col("wt")).as("ws"))
+    var r = strength.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 2) {
+      val contrib = edges
+        .join(strength, "src")
+        .join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("(wt * r) div ws").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = contrib.select(col("node"),
+        expr("150000 + (17 * s) div 20").as("r")).localCheckpoint()
+    }
+    r.orderBy(col("r").desc, col("node")).limit(10)
+      .select(col("node").as("keyword"), col("r").as("rank_e6"))
+  }
+
   /** The fixed phrase workload for [[phraseSearch]] — all 3-word phrases
     * (df 6–7 at sf0.01, probed), so one HAVING bound covers the set. */
   private val PhrasePatterns = Seq(
@@ -1051,6 +1093,7 @@ object TextQueries {
     "freq_spectrum" -> (freqSpectrum _),
     "heaps_law" -> (heapsLaw _),
     "word_pmi" -> (wordPmi _),
+    "textrank_keywords" -> (textrankKeywords _),
     "encoding_audit" -> (encodingAudit _),
     "vocab_growth" -> (vocabGrowth _),
     "repetition_stats" -> (repetitionStats _),
@@ -1248,6 +1291,38 @@ object TextQueries {
         |  CASE WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
         |       ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS beta_e6
         |FROM dd""".stripMargin,
+    // two unrolled damped iterations in integer floor arithmetic over
+    // the materialized co-occurrence graph
+    "textrank_keywords" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |w AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d)
+        |  WHERE w <> ''),
+        |p AS MATERIALIZED (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS wt
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY a.w, b.w),
+        |e AS MATERIALIZED (
+        |  SELECT w1 AS src, w2 AS dst, wt FROM p
+        |  UNION ALL SELECT w2, w1, wt FROM p),
+        |st AS MATERIALIZED (
+        |  SELECT src, CAST(SUM(wt) AS BIGINT) AS ws FROM e GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM st),
+        |r1 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    150000 + (17 * SUM((e.wt * r0.r) // st.ws)) // 20 AS r
+        |  FROM e JOIN st ON st.src = e.src JOIN r0 ON r0.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS MATERIALIZED (
+        |  SELECT e.dst AS node,
+        |    150000 + (17 * SUM((e.wt * r1.r) // st.ws)) // 20 AS r
+        |  FROM e JOIN st ON st.src = e.src JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst)
+        |SELECT node AS keyword, CAST(r AS BIGINT) AS rank_e6
+        |FROM r2 ORDER BY r DESC, node LIMIT 10""".stripMargin,
     // PMI = ln of an exact integer ratio, quantized once per pair
     "word_pmi" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),

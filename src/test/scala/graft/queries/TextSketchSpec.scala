@@ -79,6 +79,36 @@ class TextSketchSpec extends SparkSpec {
       math.round(math.log(40.0 * 20 / (30.0 * 30)) * 1e6))
   }
 
+  test("textrank_keywords: exact local replay of both damped integer rounds") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val sets = docs.map(_._2.split(" ").filter(_.nonEmpty).toSet)
+    val vocab = sets.flatten.distinct.sorted
+    val wt = (for {
+      a <- vocab; b <- vocab if a < b
+      c = sets.count(s => s(a) && s(b)) if c > 0
+    } yield ((a, b), c.toLong)).toMap
+    def neighbors(x: String) = wt.collect {
+      case ((a, b), c) if a == x => (b, c)
+      case ((a, b), c) if b == x => (a, c)
+    }
+    val ws = vocab.map(v => v -> neighbors(v).map(_._2).sum).toMap
+    var r = vocab.filter(ws(_) > 0).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      r = r.keys.map { i =>
+        val s = neighbors(i).collect {
+          case (j, c) if r.contains(j) => c * r(j) / ws(j)
+        }.sum
+        i -> (150000L + 17L * s / 20L)
+      }.toMap
+    }
+    val expect = r.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = TextQueries.textrankKeywords(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("freq_spectrum slope matches a local log-log OLS and reads as decay") {
     val spec = graft.scale.ShingleStore.docShingles(spark, sfDir)
       .groupBy(col("sh")).agg(count(lit(1)).as("f"))
