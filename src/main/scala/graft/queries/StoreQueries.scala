@@ -1270,6 +1270,41 @@ object StoreQueries {
          |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Table history (X245 — the `DESCRIBE HISTORY` observability Delta
+    * users lean on): per-version file-churn telemetry derived from the
+    * manifest LOG ALONE (added/removed = set differences of adjacent
+    * manifests — O(log) driver arithmetic, zero data IO) joined with
+    * each version's time-travel row count. The scenario drives every
+    * commit class: three appends then a file-pruned DELETE whose
+    * version REMOVES one file and ADDS its rewrite — so the history
+    * shows growth AND churn; the oracle recomputes row counts from the
+    * raw fixture slices and pins the file churn as literals (one
+    * coalesced file per append, one rewritten by the delete). */
+  def tableHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("hist", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    graft.store.Versioned.append(ev.filter(col("user_id") < 50).coalesce(1), path)
+    graft.store.Versioned.append(
+      ev.filter(col("user_id").between(50, 99)).coalesce(1), path)
+    graft.store.Versioned.append(ev.filter(col("user_id") >= 100).coalesce(1), path)
+    graft.store.Versioned.deleteWhere(spark, path, col("user_id") < 10)
+    val cur = graft.store.Versioned.currentVersion(path)
+    val rows = (1 to cur).map { v =>
+      val fs = graft.store.Versioned.files(path, Some(v)).toSet
+      val prev = if (v == 1) Set.empty[String]
+        else graft.store.Versioned.files(path, Some(v - 1)).toSet
+      (v.toLong, fs.size.toLong, (fs -- prev).size.toLong,
+        (prev -- fs).size.toLong,
+        graft.store.Versioned.read(spark, path, Some(v)).count())
+    }
+    rows.toDF("version", "n_files", "n_added", "n_removed", "n_rows")
+      .orderBy(col("version"))
+  }
+
   /** SQL schema evolution (X242 — `ALTER TABLE ... ADD COLUMN` through
     * the catalog): CREATE a narrow table, land a slice, ALTER in a
     * `band` column (metadata-only — [[graft.store.Versioned
@@ -1346,6 +1381,7 @@ object StoreQueries {
     "v2_delete_sql" -> (v2DeleteSql _),
     "v2_update_sql" -> (v2UpdateSql _),
     "catalog_evolve_sql" -> (catalogEvolveSql _),
+    "table_history" -> (tableHistory _),
     "v2_merge_sql" -> (v2MergeSql _),
     "v2_dpp" -> (v2Dpp _),
     "v2_agg_pushdown" -> (v2AggPushdown _),
@@ -1385,6 +1421,23 @@ object StoreQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 60)
         |    AS n_v2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // file churn as literals (one coalesced file per append, one
+    // rewritten by the delete); row counts from the raw slices
+    "table_history" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+        |    CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 50)
+        |      AS n_rows
+        |  UNION ALL
+        |  SELECT 2, 2, 1, 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id < 100)
+        |  UNION ALL
+        |  SELECT 3, 3, 1, 0, (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        |  UNION ALL
+        |  SELECT 4, 3, 1, 1,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id >= 10))
+        |ORDER BY version""".stripMargin,
     // both eras from the raw fixture: era 1 rows carry NULL band (-1 in
     // the sum), era 2 rows carry v_e2 div 10000
     "catalog_evolve_sql" ->

@@ -720,6 +720,22 @@ class VersionedSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((50L, "c")))
   }
 
+  test("table_history: file counts telescope; churn matches the commit classes") {
+    val rows = graft.queries.StoreQueries.queries("table_history")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // n_files(v) = n_files(v-1) + added - removed, from zero
+    rows.foldLeft(0L) { case (prev, (_, nf, add, rem, _)) =>
+      assert(nf == prev + add - rem); nf
+    }
+    // appends only add; the delete version both adds (rewrite) and removes
+    assert(rows.take(3).forall(_._4 == 0L))
+    assert(rows.last._3 == 1L && rows.last._4 == 1L)
+    // row counts are monotone through the appends, then the delete shrinks
+    assert(rows(0)._5 <= rows(1)._5 && rows(1)._5 <= rows(2)._5)
+    assert(rows(3)._5 < rows(2)._5)
+  }
+
   test("manifest stats: analyze, prune from the log alone, markers retire with rewrites") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (5L, "b")).toDF("id", "s").coalesce(1), t)   // file [1,5]
