@@ -812,6 +812,33 @@ object RelationalQueries {
       .orderBy(col("kind"), col("score_e6").desc, col("node"))
   }
 
+  /** Skyline / Pareto front (X246 — Börzsönyi et al. 2001's SKYLINE OF
+    * operator): the suppliers no other supplier dominates on BOTH
+    * revenue and breadth (≥ on both, > on one) — the multi-objective
+    * shortlist (“best tradeoffs, no weighting needed”) a single ORDER BY
+    * cannot express. Metrics are exact integers (e2 revenue, distinct
+    * parts); dominance is a LEFT ANTI self-join on the SUPPLIER ROLLUP —
+    * dimension-bounded (one row per supplier whatever the fact volume),
+    * so the quadratic dominance test runs on |dims|², never on rows; a
+    * fact-sized skyline would first block by a monotone score band
+    * (sort-filter-skyline), same anti-join per band. Output ordered
+    * (rev desc, supplier): the front is unique, so no tie ambiguity. */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val su = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s"))
+      .agg(expr("CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev_e2"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    su.as("a").join(su.as("b"),
+        col("b.rev_e2") >= col("a.rev_e2") &&
+          col("b.n_parts") >= col("a.n_parts") &&
+          (col("b.rev_e2") > col("a.rev_e2") ||
+            col("b.n_parts") > col("a.n_parts")),
+        "left_anti")
+      .select(col("s"), col("rev_e2"), col("n_parts"))
+      .orderBy(col("rev_e2").desc, col("s"))
+  }
+
   /** Bipartiteness / odd-cycle audit (X237) — the graph-quality gate a
     * two-mode dataset needs before any bipartite-only algorithm (X233's
     * HITS, co-occurrence projections) runs on it: 2-color by BFS parity
@@ -1193,6 +1220,7 @@ object RelationalQueries {
     "link_predict" -> (linkPredict _),
     "hits_scores" -> (hitsScores _),
     "bipartite_check" -> (bipartiteCheck _),
+    "pareto_front" -> (paretoFront _),
     "degree_assortativity" -> (degreeAssortativity _),
     "winsorized_mean" -> (winsorizedMean _),
     "ri_audit" -> (riAudit _),
@@ -1480,6 +1508,20 @@ object RelationalQueries {
     "ppr_seeded" -> pprSql,
     // `//` floors in DuckDB, `div` truncates in Spark — equal on the
     // non-negative operands here
+    // NOT EXISTS dominance over the supplier rollup
+    "pareto_front" ->
+      """WITH su AS (
+        |  SELECT l_suppkey AS s,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_e2,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s, rev_e2, n_parts FROM su a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM su b
+        |  WHERE b.rev_e2 >= a.rev_e2 AND b.n_parts >= a.n_parts
+        |    AND (b.rev_e2 > a.rev_e2 OR b.n_parts > a.n_parts))
+        |ORDER BY rev_e2 DESC, s""".stripMargin,
     // level sets unrolled MATERIALIZED (no path enumeration); parity
     // conflicts counted on the doubled edges then halved
     "bipartite_check" ->

@@ -71,6 +71,26 @@ class JoinQueriesSpec extends SparkSpec {
     assert(gotR < -9000)
   }
 
+  test("pareto_front: exact brute-force skyline; dominance contracts hold") {
+    val su = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)")).as("rev"),
+        countDistinct($"l_partkey").as("p"))
+      .as[(Long, Long, Long)].collect()
+    def dominated(a: (Long, Long, Long)) = su.exists(b =>
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
+    val expect = su.filterNot(dominated).sortBy(t => (-t._2, t._1))
+    val got = RelationalQueries.paretoFront(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == expect.toSeq)
+    assert(got.nonEmpty && got.length < su.length,
+      "the front must be a strict, non-empty subset")
+    // along the front, breadth must rise as revenue falls (staircase)
+    val parts = got.map(_._3)
+    assert(parts.toSeq == parts.sorted.toSeq,
+      "front sorted by rev desc must have non-decreasing n_parts")
+  }
+
   test("bipartite_check: fixture graph passes with full coverage; planted odd cycle flags") {
     val Array(r) = RelationalQueries.bipartiteCheck(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()
