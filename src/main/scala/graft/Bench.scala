@@ -97,7 +97,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.values.map(_._1).filter(_ >= 0).sum)
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shared_prewarm_sec":${r3(prewarmSec)},"query_telemetry":$telemetry,"queries":$qs,"slowest10":$top10,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"value":$total}""")
+    // contamination telemetry goes among the LAST fields: the driver keeps
+    // only the ~2000-char TAIL of stdout, and round-11's artifact hid the
+    // very loadavg evidence that would have explained its 10% inflation.
+    // A run started on a busy host (1-min load > 2) self-labels LOUDLY —
+    // numbers from it misgrade ~10% of the suite (round-11 verdict).
+    val contaminated = loadStart > 2.0
+    if (contaminated) System.err.println(
+      s"[bench] CONTAMINATED: 1-min loadavg $loadStart > 2 at start — " +
+        "timings unreliable; rerun on a quiet host for an official artifact")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","query_telemetry":$telemetry,"queries":$qs,"slowest10":$top10,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated,"value":$total}""")
     spark.stop()
   }
 }

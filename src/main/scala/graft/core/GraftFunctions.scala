@@ -20,7 +20,9 @@ object GraftFunctions {
     "vec_dot" -> (exprs => FloatVecDot(exprs.head, exprs(1))),
     "vec_cosine_sim" -> (exprs => FloatVecCosineSim(exprs.head, exprs(1))),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
-    "jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1)))
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1))),
+    "holt_linear_fold" -> (exprs => HoltLinearTrajectory(exprs.head)),
+    "holt_winters_fold" -> (exprs => HoltWintersTrajectory(exprs.head))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -1512,7 +1512,11 @@ object EventQueries {
       .select(col("user_id"), unix_micros(col("ts")).as("ctsu"),
         col("event_id").as("c_id"))
     val pairs = purchases.join(clicks, Seq("user_id"))
-      .filter(col("ctsu") < col("ptsu") && col("ctsu") >= col("ptsu") - day7)
+      // STRICT lower bound: a click at exactly 7 days would floor to
+      // Δ = 7 and earn weight 2^-1 → 0, which zeroes tw when it is a
+      // purchase's only click (NULL credit here, div-by-zero in the
+      // oracle — ADVICE r11); strict keeps Δ ∈ [0,6], weights ≥ 1
+      .filter(col("ctsu") < col("ptsu") && col("ctsu") > col("ptsu") - day7)
       .withColumn("w",
         expr("CAST(pow(2, 6 - (ptsu - ctsu) div 86400000000) AS BIGINT)"))
     val wP = Window.partitionBy(col("p_id"))
@@ -1791,7 +1795,7 @@ object EventQueries {
         |  SELECT p.p_id, p.rev, c.ctsu, c.c_id,
         |    CAST(pow(2, 6 - (p.ptsu - c.ctsu) // 86400000000) AS BIGINT) AS w
         |  FROM p JOIN c ON c.user_id = p.user_id
-        |    AND c.ctsu < p.ptsu AND c.ctsu >= p.ptsu - 604800000000),
+        |    AND c.ctsu < p.ptsu AND c.ctsu > p.ptsu - 604800000000),
         |ranked AS (
         |  SELECT *, CAST(SUM(w) OVER (PARTITION BY p_id) AS BIGINT) AS tw,
         |    row_number() OVER (PARTITION BY p_id ORDER BY ctsu, c_id) AS rn

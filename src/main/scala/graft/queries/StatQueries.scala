@@ -683,38 +683,32 @@ object StatQueries {
     * (l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋,
     * b_t = ⌊(b_{t−1} + (l_t − l_{t−1}))/2⌋) with per-step floors — like
     * recursive_cte, nonlinear and window-irreducible. The corpus work is
-    * ONE daily rollup; the recursion itself runs as a single
-    * `aggregate()` HOF fold over `sort_array(collect_list(...))` of the
-    * CALENDAR-BOUNDED series (≤ one element per corpus day, state = two
-    * BIGINTs) — one job instead of a 30-iteration `WITH RECURSIVE`
-    * paying ~130 ms of scheduler latency per step (the round-10 bench
+    * ONE daily rollup; the recursion itself is a single LINEAR-state
+    * pass over `sort_array(collect_list(...))` of the series
+    * ([[graft.core.HoltLinearTrajectory]], state = two BIGINTs, O(days))
+    * — one job instead of a 30-iteration `WITH RECURSIVE` paying
+    * ~130 ms of scheduler latency per step (the round-10 bench
     * finding; the DuckDB oracle keeps the recursive form, and `div` /
-    * `//` both truncate toward zero on the negative trend values — the
-    * probed pin). Forecast = l + b. Steps advance by DAY RANK, not
+    * `//` / Scala `Long./` all truncate toward zero on the negative
+    * trend values — the probed pin). Forecast = l + b. Steps advance by
+    * DAY RANK, not
     * calendar offset, so a missing day can't truncate the series (the
     * round-10 advisor finding); the oracle ranks identically. */
   def holtLinear(spark: SparkSession, dir: String): DataFrame =
     holtLinearOf(Tables.events(spark, dir))
 
   def holtLinearOf(events: DataFrame): DataFrame = {
-    val prev = "element_at(a, -1)"
-    val lvl = s"(x.rev + $prev.lvl + $prev.trd) div 2"
+    // LINEAR-state fold ([[graft.core.HoltLinearTrajectory]]): the HOF
+    // `array_append` form copied the full accumulated trajectory per step
+    // (O(days²) element copies — round-11 verdict #2); the expression
+    // walks the sorted series once with O(1) state, any grain
+    graft.core.GraftFunctions.register(events.sparkSession)
     events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
         .as("rev"))
       .agg(sort_array(collect_list(struct(col("day"), col("rev")))).as("xs"))
-      .select(explode(expr(
-        s"""aggregate(xs,
-           |  CAST(array() AS
-           |    ARRAY<STRUCT<day: DATE, rev: BIGINT, lvl: BIGINT, trd: BIGINT>>),
-           |  (a, x) -> array_append(a, CASE WHEN size(a) = 0
-           |    THEN named_struct('day', x.day, 'rev', x.rev,
-           |      'lvl', x.rev, 'trd', CAST(0 AS BIGINT))
-           |    ELSE named_struct('day', x.day, 'rev', x.rev,
-           |      'lvl', $lvl,
-           |      'trd', ($prev.trd + ($lvl - $prev.lvl)) div 2)
-           |    END))""".stripMargin)).as("r"))
+      .select(explode(expr("holt_linear_fold(xs)")).as("r"))
       .select(col("r.day").as("day"), col("r.rev").as("rev_e2"),
         col("r.lvl").as("level_e2"), col("r.trd").as("trend_e2"),
         (col("r.lvl") + col("r.trd")).as("forecast_e2"))
@@ -726,9 +720,9 @@ object StatQueries {
     * holt_linear → this): level, trend, AND a 7-slot day-of-week
     * component update jointly, so a recurring weekly bump stops leaking
     * into the trend. On the Spark side the whole recursion is ONE
-    * `aggregate()` HOF fold over the sorted calendar-bounded series —
-    * the seasonal vector rides the fold state as a 7-slot BIGINT array
-    * updated with `transform` (state = 9 integers total); the DuckDB
+    * LINEAR-state pass over the sorted series
+    * ([[graft.core.HoltWintersTrajectory]] — the seasonal vector rides
+    * the O(1) fold state as a 7-slot array, 9 integers total); the DuckDB
     * oracle keeps the `WITH RECURSIVE` form with the vector as SEVEN
     * WIDE COLUMNS (the markov_attribution trick). Every update is a
     * floor recursion (l_t = ⌊(y − s_dow + l + b)/2⌋, b as in Holt,
@@ -741,9 +735,10 @@ object StatQueries {
     holtWintersOf(Tables.events(spark, dir))
 
   def holtWintersOf(events: DataFrame): DataFrame = {
-    val prev = "element_at(a, -1)"
-    val sd = s"element_at($prev.s, CAST(x.dow + 1 AS INT))"
-    val lvl = s"(x.rev - $sd + $prev.lvl + $prev.trd) div 2"
+    // LINEAR-state fold ([[graft.core.HoltWintersTrajectory]]) — state is
+    // (lvl, trd, 7-slot seasonal vector), one pass over the sorted series
+    // (the HOF array_append form was O(days²); round-11 verdict #2)
+    graft.core.GraftFunctions.register(events.sparkSession)
     events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
@@ -752,21 +747,7 @@ object StatQueries {
         expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)"))
       .agg(sort_array(collect_list(struct(col("day"), col("rev"),
         col("dow")))).as("xs"))
-      .select(explode(expr(
-        s"""aggregate(xs,
-           |  CAST(array() AS ARRAY<STRUCT<day: DATE, rev: BIGINT,
-           |    dow: BIGINT, lvl: BIGINT, trd: BIGINT, s: ARRAY<BIGINT>>>),
-           |  (a, x) -> array_append(a, CASE WHEN size(a) = 0
-           |    THEN named_struct('day', x.day, 'rev', x.rev, 'dow', x.dow,
-           |      'lvl', x.rev, 'trd', CAST(0 AS BIGINT),
-           |      's', array_repeat(CAST(0 AS BIGINT), 7))
-           |    ELSE named_struct('day', x.day, 'rev', x.rev, 'dow', x.dow,
-           |      'lvl', $lvl,
-           |      'trd', ($prev.trd + ($lvl - $prev.lvl)) div 2,
-           |      's', transform($prev.s, (v, j) ->
-           |        CASE WHEN j = x.dow THEN (x.rev - ($lvl) + v) div 2
-           |             ELSE v END))
-           |    END))""".stripMargin)).as("r"))
+      .select(explode(expr("holt_winters_fold(xs)")).as("r"))
       .select(col("r.day").as("day"), col("r.rev").as("rev_e2"),
         col("r.lvl").as("level_e2"), col("r.trd").as("trend_e2"),
         expr("element_at(r.s, CAST(r.dow + 1 AS INT))").as("seasonal_e2"),

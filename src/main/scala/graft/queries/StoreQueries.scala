@@ -1376,7 +1376,124 @@ object StoreQueries {
       .orderBy(col("band"))
   }
 
+  /** The reference's CORE retrieval (k-NN over the vector store,
+    * `app.py:409`) as PURE SQL on a fresh session (X247 —
+    * `FunctionCatalog` on [[graft.sources.GraftCatalog]]): nothing is
+    * pre-registered; the catalog itself serves both the TABLE (`emb`,
+    * with a real `array<float>` embedding column round-tripping through
+    * the V2 writer's repeated-FLOAT shape) and the FUNCTION
+    * (`<cat>.vec_squared_l2`, bound to the codegen-friendly magic-invoke
+    * ScalarFunction). The top-13 with (dist, vec_id) tie-break must
+    * hash-match the library-route `knn_sql` oracle digit-for-digit —
+    * same strict left-to-right double fold. Plan shape: one scan +
+    * broadcast of the 1-row query vector + TakeOrderedAndProject
+    * (GraftCatalogSpec pins it). */
+  def catalogKnnSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catknn", dir)
+    rmTree(root)
+    val cat = s"graft_knn_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView("graft_knn_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.emb")
+    spark.sql(s"CREATE TABLE $cat.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql(s"INSERT INTO $cat.emb SELECT vec_id, embedding FROM graft_knn_src")
+    spark.sql(
+      s"""WITH q AS (SELECT embedding AS q_emb FROM $cat.emb WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, $cat.vec_squared_l2(e.embedding, q.q_emb) AS d
+         |      FROM $cat.emb e CROSS JOIN q)
+         |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+         |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin)
+  }
+
+  /** Atomic `CREATE TABLE AS SELECT` (X248 — `StagedTableCatalog`):
+    * schema and data publish as ONE version-1 manifest commit
+    * ([[graft.store.Versioned.initTableWithFiles]]) — the
+    * first-write-creates semantics of the reference's
+    * `Chroma(documents=…)` (multiple_document_upload.py:161-166), with
+    * no observable empty-table intermediate (create-then-insert strands
+    * one on insert failure). `n_versions` exports the post-CTAS version
+    * count: 1 proves single-commit publish; the abort-leaves-nothing
+    * half is GraftCatalogSpec's. */
+  def catalogCtas(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catctas", dir)
+    rmTree(root)
+    val cat = s"graft_ctas_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_ctas_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev_hi")
+    spark.sql(s"CREATE TABLE $cat.ev_hi AS " +
+      "SELECT * FROM graft_ctas_src WHERE user_id % 3 = 1")
+    val nVersions = graft.store.Versioned.currentVersion(
+      new File(root, "ev_hi").getAbsolutePath)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev_hi GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("n_versions", lit(nVersions.toLong))
+  }
+
+  /** SQL maintenance verbs (X249 — `ProcedureCatalog`): the background
+    * jobs that keep a 100 TB table healthy, each one `CALL` away —
+    * OPTIMIZE ZORDER rewrite, ANALYZE stats/bloom marker collection,
+    * VACUUM reclaim — completing Delta-parity DML+maintenance over the
+    * manifest store with zero Scala. Version arithmetic is deterministic
+    * (CREATE=1, three INSERTs, optimize=5, stats=6, bloom=7);
+    * `reclaimed_all` pins that vacuum swept EXACTLY the pre-optimize
+    * input files, `skipped_some` that the post-ZORDER stats markers
+    * actually prune a box probe. Data must survive every verb bit-exact
+    * (the readout aggregate). */
+  def catalogMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catmnt", dir)
+    rmTree(root)
+    val cat = s"graft_mnt_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val path = new File(root, "ev").getAbsolutePath
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_mnt_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    (0 until 3).foreach { r =>
+      spark.sql(s"INSERT INTO $cat.ev " +
+        s"SELECT * FROM graft_mnt_src WHERE user_id % 3 = $r"): Unit
+    }
+    val inputFiles = graft.store.Versioned.files(path).size
+    val vOpt = spark.sql(
+      s"CALL $cat.system.optimize('ev', 'user_id', 'v_e2')").head.getLong(0)
+    // probe the morton-DOMINANT dimension: v_e2 carries ~19 significant
+    // bits vs user_id's handful, so the interleave sorts primarily by
+    // v_e2 and per-file v_e2 envelopes are narrow (user_id envelopes only
+    // tighten once user cardinality approaches v_e2's — the 2-D payoff
+    // needs comparable bit widths; at fixture scale v_e2 is the skipper)
+    val vStats = spark.sql(
+      s"CALL $cat.system.analyze_stats('ev', 'v_e2')").head.getLong(0)
+    val vBloom = spark.sql(
+      s"CALL $cat.system.analyze_bloom('ev', 'event_id')").head.getLong(0)
+    val kept = graft.store.Versioned.prunedFiles(path, "v_e2", 0L, 1000L).size
+    val total = graft.store.Versioned.files(path).size
+    val deleted = spark.sql(
+      s"CALL $cat.system.vacuum('ev', 1, 0)").head.getLong(0)
+    spark.sql(s"SELECT COUNT(*) AS n, SUM(v_e2) AS sv_e2 FROM $cat.ev")
+      .select(lit(vOpt).as("v_optimize"), lit(vStats).as("v_stats"),
+        lit(vBloom).as("v_bloom"),
+        lit(deleted == inputFiles).as("reclaimed_all"),
+        lit(kept < total).as("skipped_some"),
+        col("n"), col("sv_e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_knn_sql" -> (catalogKnnSql _),
+    "catalog_ctas" -> (catalogCtas _),
+    "catalog_maintenance" -> (catalogMaintenance _),
     "catalog_sql" -> (catalogSql _),
     "v2_delete_sql" -> (v2DeleteSql _),
     "v2_update_sql" -> (v2UpdateSql _),
@@ -1414,6 +1531,32 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical to knn_sql's oracle: the catalog route must reproduce the
+    // library route digit-for-digit
+    "catalog_knn_sql" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |        list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |FROM d ORDER BY d, vec_id LIMIT 13""".stripMargin,
+    // n_versions = 1: CTAS published schema AND data as ONE commit
+    "catalog_ctas" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2,
+        |  CAST(1 AS BIGINT) AS n_versions
+        |FROM events WHERE user_id % 3 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // version arithmetic: CREATE=1, INSERTs=2..4, optimize=5, stats=6,
+    // bloom=7; vacuum reclaims exactly the pre-optimize inputs; the
+    // readout aggregate proves the data survived every maintenance verb
+    "catalog_maintenance" ->
+      """SELECT CAST(5 AS BIGINT) AS v_optimize, CAST(6 AS BIGINT) AS v_stats,
+        |  CAST(7 AS BIGINT) AS v_bloom, TRUE AS reclaimed_all,
+        |  TRUE AS skipped_some, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events""".stripMargin,
     // the catalog journey == the raw table; VERSION AS OF 2 == slice 1
     "catalog_sql" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -809,8 +809,13 @@ object TextQueries {
         (2 to 10).map(d => count(when(col("fd") === d, lit(1))).as(s"v$d")): _*)
     val pts = tok.crossJoin(fresh)
       .select(explode(array((1 to 10).map(d =>
-        struct((1 to d).map(i => col(s"t$i")).reduce(_ + _).as("nd"),
+        struct(col(s"t$d").as("td"),
+          (1 to d).map(i => col(s"t$i")).reduce(_ + _).as("nd"),
           (1 to d).map(i => col(s"v$i")).reduce(_ + _).as("vd"))): _*)).as("r"))
+      // a decile with ZERO shingles (doc_id gap / block of <3-word docs)
+      // would duplicate the previous cumulative point; the oracle's cum
+      // CTE has no row for it, so drop it here too (ADVICE r11)
+      .filter(col("r.td") > 0)
       .select(
         round(log(col("r.nd").cast("double")) * 1e6).cast("long").as("x"),
         round(log(col("r.vd").cast("double")) * 1e6).cast("long").as("y"))

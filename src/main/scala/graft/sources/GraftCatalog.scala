@@ -3,8 +3,10 @@ package graft.sources
 import java.io.File
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +39,8 @@ import graft.store.Versioned
   * manifest-mtime rule of [[Versioned.versionAsOf]]. Namespaces are flat
   * (the store has no schema levels) — the empty namespace is the only
   * one, mirroring a Chroma server's flat collection list. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: File = _
@@ -121,14 +124,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!existsAt(path)) throw new NoSuchTableException(ident)
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        val cur = Versioned.schemaOf(path).getOrElse(
-          VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
         val name = add.fieldNames().head
-        require(!cur.fieldNames.contains(name),
-          s"column $name already exists in ${ident.name}")
-        Versioned.replaceSchemaMarker(path,
+        // the widen function re-runs inside the retry loop against each
+        // attempt's CURRENT marker, so a concurrently added column is
+        // carried into the new marker instead of silently dropped
+        Versioned.replaceSchemaMarker(path, markerOpt => {
+          val cur = markerOpt.getOrElse(
+            VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
+          require(!cur.fieldNames.contains(name),
+            s"column $name already exists in ${ident.name}")
           cur.add(org.apache.spark.sql.types.StructField(
-            name, add.dataType(), nullable = true))): Unit
+            name, add.dataType(), nullable = true))
+        }): Unit
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
           "top-level ADD COLUMN is supported (rename/constraints go " +
@@ -137,6 +144,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** CLONE CONTRACT (the Delta shallow-clone rule): a shallow clone
+    * references this table's data files by ABSOLUTE path, so dropping a
+    * clone SOURCE breaks every clone of it — exactly as Delta documents
+    * (`VACUUM`/`DROP` on the source invalidates shallow clones). Drop is
+    * still allowed (the clones were free; re-clone or
+    * [[Versioned.restore]] from a deep copy), but see [[renameTable]]
+    * for the rename-side guard. */
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)
     if (!existsAt(path)) return false
@@ -148,13 +162,81 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
+  /** Renames the table DIRECTORY (zero data movement). CLONE CONTRACT:
+    * a shallow clone references the source's files by absolute path, so
+    * renaming a clone SOURCE would silently break every clone — unlike
+    * drop (above, Delta's documented contract), a rename looks harmless,
+    * so this one is GUARDED: sibling tables under the same root are
+    * scanned for manifest lines referencing the old absolute prefix and
+    * the rename fails loudly if any clone would dangle. (Clones
+    * elsewhere on the filesystem are undetectable — documented gap, same
+    * as Delta's.) */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = pathOf(oldIdent)
     val to = pathOf(newIdent)
     if (!existsAt(from)) throw new NoSuchTableException(oldIdent)
     if (existsAt(to)) throw new TableAlreadyExistsException(newIdent)
+    val dependents = listTables(Array.empty)
+      .map(i => pathOf(i)).filter(_ != from)
+      .filter(p => Versioned.referencesPrefix(p, from))
+    require(dependents.isEmpty,
+      s"rename ${oldIdent.name} -> ${newIdent.name}: ${dependents.size} " +
+        s"sibling table(s) shallow-clone it by absolute path " +
+        s"(${dependents.map(new File(_).getName).mkString(", ")}) — " +
+        "renaming would dangle their references; drop or re-clone them first")
     require(new File(from).renameTo(new File(to)),
       s"rename $from -> $to failed")
+  }
+
+  // -------------------------------------- FunctionCatalog: SQL retrieval
+
+  /** Vector-distance functions by catalog name ([[CatalogVecFunctions]]) — a
+    * fresh SQL session can phrase the reference's k-NN retrieval
+    * (`collection.query`, app.py:409) with zero pre-registered Scala:
+    * `ORDER BY <cat>.vec_squared_l2(embedding, <query>) LIMIT k`. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    requireFlat(namespace)
+    CatalogVecFunctions.names.map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    requireFlat(ident.namespace())
+    CatalogVecFunctions.load(ident.name).getOrElse(
+      throw new NoSuchFunctionException(ident))
+  }
+
+  // --------------------------------- StagingTableCatalog: atomic CTAS
+
+  /** Atomic `CREATE TABLE AS SELECT`: data stages invisibly and
+    * publishes WITH the schema as one version-1 manifest commit
+    * ([[GraftStagedTable]]); an aborted CTAS leaves nothing behind. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val path = pathOf(ident)
+    if (existsAt(path)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft catalog: partition transforms are not supported — the store " +
+        "skips by manifest stats/bloom markers, not directory layout")
+    new GraftStagedTable(ident, path, schema)
+  }
+
+  // ---------------------------------- ProcedureCatalog: maintenance SQL
+
+  /** `CALL <cat>.system.<proc>(...)` — optimize / compact_small /
+    * analyze_stats / analyze_bloom / vacuum ([[GraftProcedures]]). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    def notFound() = new RuntimeException(
+      s"graft catalog: no procedure $ident — available: " +
+        GraftProcedures.names.map(n => s"system.$n").mkString(", "))
+    if (!(ident.namespace().isEmpty ||
+        ident.namespace().toSeq == Seq("system"))) throw notFound()
+    GraftProcedures.load(ident.name,
+        name => pathOf(Identifier.of(Array.empty, name)))
+      .getOrElse(throw notFound())
   }
 
   // ------------------------------------------------ flat namespace surface

@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, SupportsWrite, TableCapability}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.Versioned
+
+/** SQL-reachable vector-distance functions served by the
+  * [[GraftCatalog]]'s `FunctionCatalog` surface — the retrieval call the
+  * reference makes by library name (`collection.query`, app.py:409)
+  * phrasable as PURE SQL on a fresh session with nothing pre-registered:
+  *
+  * {{{
+  * SELECT id FROM graft.chunks
+  * ORDER BY graft.vec_squared_l2(embedding, array(...)), id LIMIT 13
+  * }}}
+  *
+  * Each binds to a `ScalarFunction` carrying the MAGIC `invoke` method
+  * (Spark compiles the call to a direct `Invoke` — no InternalRow boxing,
+  * stays inside whole-stage codegen). Numerics are the house contract
+  * (graft.core.FloatVecFold): every element widened to double, strict
+  * left-to-right accumulation, length mismatch folds the shorter prefix —
+  * bit-identical to the Catalyst expressions and the DuckDB oracle. */
+private[sources] object CatalogVecFunctions {
+
+  val names: Seq[String] = Seq("vec_squared_l2", "vec_cosine_sim", "vec_dot")
+
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "vec_squared_l2" => Some(new VecUnbound(name, new VecSquaredL2Fn))
+    case "vec_cosine_sim" => Some(new VecUnbound(name, new VecCosineSimFn))
+    case "vec_dot" => Some(new VecUnbound(name, new VecDotFn))
+    case _ => None
+  }
+
+  class VecUnbound(fname: String, bound: BoundFunction)
+      extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(array<float>, array<float>) -> double"
+    override def bind(inputType: StructType): BoundFunction = {
+      def vec(t: DataType) = t match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      require(inputType.fields.length == 2 &&
+        inputType.fields.forall(f => vec(f.dataType)),
+        s"$fname expects (array<float>, array<float>), got " +
+          inputType.fields.map(_.dataType.catalogString).mkString(", "))
+      bound
+    }
+  }
+
+  // classes are PUBLIC: whole-stage codegen calls the magic invoke from a
+  // generated class in another package — a private nested class would
+  // fail Janino accessibility and silently fall back to interpreted eval
+  abstract class VecFn(fname: String)
+      extends ScalarFunction[java.lang.Double] {
+    override def name(): String = fname
+    override def canonicalName(): String = s"graft.$fname"
+    override def inputTypes(): Array[DataType] =
+      Array(ArrayType(FloatType), ArrayType(FloatType))
+    override def resultType(): DataType = DoubleType
+    override def isResultNullable: Boolean = false
+    // the magic method Spark's resolver compiles to a direct Invoke
+    def invoke(a: ArrayData, b: ArrayData): Double
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(input.getArray(0), input.getArray(1))
+  }
+
+  class VecSquaredL2Fn extends VecFn("vec_squared_l2") {
+    override def invoke(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  class VecCosineSimFn extends VecFn("vec_cosine_sim") {
+    override def invoke(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; aa += x * x; bb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(aa) * math.sqrt(bb))
+    }
+  }
+
+  class VecDotFn extends VecFn("vec_dot") {
+    override def invoke(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+}
+
+/** Atomic `CREATE TABLE AS SELECT` (`StagingTableCatalog`): tasks stage
+  * uniquely-named parquet files under the would-be table dir (referenced
+  * by NO manifest — invisible), and `commitStagedChanges` publishes
+  * schema marker AND data lines as ONE version-1 manifest commit
+  * ([[Versioned.initTableWithFiles]]). A failed/aborted CTAS deletes the
+  * staged files and leaves NO table behind — unlike create-then-insert,
+  * which strands an observable empty table on insert failure. The
+  * first-write-creates semantics of the reference's
+  * `Chroma(documents=…)` (multiple_document_upload.py:161-166). */
+private[sources] class GraftStagedTable(ident: Identifier, path: String,
+    tableSchema: StructType) extends StagedTable with SupportsWrite {
+
+  @volatile private var stagedRel: Seq[String] = Seq.empty
+
+  override def name(): String = s"graft.${ident.name}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new StagedCreateWrite(path, info.schema(), rel => stagedRel = rel)
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (stagedRel.isEmpty) Versioned.initTable(path, tableSchema)
+    else Versioned.initTableWithFiles(path, tableSchema, stagedRel)
+  }: Unit
+
+  /** Abort = the table was NEVER published (no manifest commit ever ran:
+    * stageCreate verified the name was free, and commitStagedChanges is
+    * the only publisher), so the whole directory is this CTAS's private
+    * staging area — remove it recursively. Deleting only the job-abort
+    * message list is NOT enough: tasks that finished before the failing
+    * one leave committed staged files the job-level abort may never see
+    * (plus .crc sidecars). */
+  override def abortStagedChanges(): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new File(path))
+  }
+}
+
+/** The staged-CTAS write: the normal task-level staging machinery
+  * ([[VersionedWriterFactory]] — unique file per non-empty task), but
+  * job commit only RECORDS the staged file list; publication is deferred
+  * to the catalog's `commitStagedChanges` so schema and data land in one
+  * atomic manifest commit. */
+private[sources] class StagedCreateWrite(table: String, schema: StructType,
+    onCommit: Seq[String] => Unit) extends Write with BatchWrite {
+
+  private val batchDir =
+    s"ctas-${java.util.UUID.randomUUID().toString.take(8)}"
+  private val msgString = VersionedV2.messageType(schema).toString
+
+  override def toBatch: BatchWrite = this
+  override def useCommitCoordinator(): Boolean = true
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    VersionedWriterFactory(new File(table).getAbsolutePath, batchDir,
+      schema, msgString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    onCommit(messages.flatMap {
+      case VersionedCommitMessage(fs) => fs
+      case other => sys.error(s"unexpected commit message $other")
+    }.toSeq)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case VersionedCommitMessage(fs) =>
+        fs.foreach(r => new File(table, r).delete(): Unit)
+      case _ => ()
+    }
+}
+
+/** SQL maintenance verbs (`ProcedureCatalog`) — the background jobs that
+  * keep a 100 TB table healthy, each one `CALL` away with no Scala:
+  *
+  * {{{
+  * CALL graft.system.optimize('ev', 'user_id', 'v_e2')   -- ZORDER rewrite
+  * CALL graft.system.compact_small('ev')                 -- small-file sweep
+  * CALL graft.system.analyze_stats('ev', 'user_id')      -- min/max markers
+  * CALL graft.system.analyze_bloom('ev', 'event_id')     -- bloom markers
+  * CALL graft.system.vacuum('ev', 2, 0)                  -- reclaim files
+  * }}}
+  *
+  * Each delegates to the existing engine ([[Versioned.optimize]] /
+  * [[Versioned.compactSmall]] / [[Versioned.analyzeStats]] /
+  * [[Versioned.analyzeBloom]] / [[Versioned.vacuum]]) and returns a
+  * one-row result scan so the caller sees the landed version / reclaim
+  * count. This is the Delta `OPTIMIZE`/`VACUUM`/`ANALYZE` surface over
+  * the manifest store. */
+private[sources] object GraftProcedures {
+
+  val names: Seq[String] =
+    Seq("optimize", "compact_small", "analyze_stats", "analyze_bloom", "vacuum")
+
+  def load(name: String, resolve: String => String): Option[UnboundProcedure] =
+    name match {
+      case "optimize" => Some(proc(name,
+        Seq(p("table", StringType), p("x", StringType), p("y", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.optimize(spark, resolve(str(in, 0)),
+          str(in, 1), str(in, 2)).toLong)))
+      case "compact_small" => Some(proc(name,
+        Seq(p("table", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.compactSmall(spark,
+          resolve(str(in, 0))).toLong)))
+      case "analyze_stats" => Some(proc(name,
+        Seq(p("table", StringType), p("column", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.analyzeStats(spark, resolve(str(in, 0)),
+          str(in, 1)).toLong)))
+      case "analyze_bloom" => Some(proc(name,
+        Seq(p("table", StringType), p("column", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.analyzeBloom(spark, resolve(str(in, 0)),
+          str(in, 1)).toLong)))
+      case "vacuum" => Some(proc(name,
+        Seq(p("table", StringType), p("keep_versions", IntegerType),
+          p("min_age_ms", LongType)),
+        out = Seq("deleted_files" -> LongType),
+        (spark, in) => Seq(Versioned.vacuum(resolve(str(in, 0)),
+          in.getInt(1), in.getLong(2)).toLong)))
+      case _ => None
+    }
+
+  private def p(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: Seq[(String, DataType)],
+      run: (SparkSession, InternalRow) => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft maintenance: $procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val vals = run(SparkSession.active, input).map {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }.toArray
+            val resultSchema = StructType(out.map { case (n, t) =>
+              StructField(n, t, nullable = false) })
+            util.Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(new GenericInternalRow(vals))
+              override def readSchema(): StructType = resultSchema
+            }: Scan).iterator()
+          }
+        }
+    }
+}

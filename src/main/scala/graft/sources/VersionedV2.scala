@@ -129,9 +129,18 @@ object VersionedV2 {
       require(f.isPrimitive,
         s"graft-versioned supports primitive columns only, got $f")
       val p = f.asPrimitiveType()
+      // REPEATED FLOAT = array<float> (the parquet-avro 2-level compat
+      // shape — Spark's native reader resolves it as a non-null-element
+      // list too): the embedding-vector column the chunk store carries
+      val repeated =
+        p.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED)
+      if (repeated) require(p.getPrimitiveTypeName == FLOAT,
+        s"graft-versioned: repeated fields are scoped to FLOAT " +
+          s"(embedding vectors), got $p")
       val isString = p.getLogicalTypeAnnotation != null &&
         p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-      val dt = p.getPrimitiveTypeName match {
+      val dt = if (repeated) ArrayType(FloatType, containsNull = false)
+      else p.getPrimitiveTypeName match {
         case INT64 if p.getLogicalTypeAnnotation == null => LongType
         case INT32 if p.getLogicalTypeAnnotation == null => IntegerType
         case DOUBLE => DoubleType
@@ -158,9 +167,13 @@ object VersionedV2 {
         case BooleanType => Types.optional(BOOLEAN)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        // embedding vectors: REPEATED FLOAT (2-level compat list — see
+        // sparkSchema); absent-vs-empty is not distinguishable in this
+        // shape, so null arrays round-trip as empty
+        case ArrayType(FloatType, _) => Types.repeated(FLOAT)
         case other => sys.error(
           s"graft-versioned write: unsupported type $other for ${f.name} — " +
-            "scoped to long/int/double/float/boolean/string")
+            "scoped to long/int/double/float/boolean/string/array<float>")
       }
       b.addField(prim.named(f.name))
     }
@@ -502,6 +515,10 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
           case FloatType => g.add(name, row.getFloat(i))
           case BooleanType => g.add(name, row.getBoolean(i))
           case StringType => g.add(name, row.getUTF8String(i).toString)
+          case ArrayType(FloatType, _) =>
+            val arr = row.getArray(i)
+            var j = 0
+            while (j < arr.numElements()) { g.add(name, arr.getFloat(j)); j += 1 }
           case other => sys.error(s"unsupported type $other")
         }
       }
@@ -613,41 +630,46 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       case None =>
     }
     val all = Versioned.files(path, version)
-    // stats/bloom markers describe the CURRENT version's manifest lines;
-    // historical reads keep their full file list
-    val survivors =
-      if (version.exists(_ != Versioned.currentVersion(path))) all
-      else pushed.foldLeft(all) { (fs, f) =>
+    // stats/bloom markers describe a SINGLE manifest version; pin the
+    // snapshot ONCE here so planning-time and runtime (DPP) pruning both
+    // consult the version this scan was built against — a concurrent
+    // rewrite committing between planning and execution must not drop a
+    // planned file's rows (ADVICE r11). Historical reads keep their full
+    // file list (markers describe the current lines only).
+    val snapVer = Versioned.currentVersion(path)
+    val snap =
+      if (version.forall(_ == snapVer)) Some(Versioned.skipSnapshot(path, snapVer))
+      else None
+    val survivors = snap match {
+      case None => all
+      case Some(s) => pushed.foldLeft(all) { (fs, f) =>
         f match {
           case EqualTo(c, v) =>
             val byStats = longBound(v) match {
-              case Some(l) => fs.toSet.intersect(
-                Versioned.prunedFiles(path, c, l, l).toSet)
-              case None => fs.toSet
+              case Some(l) => Versioned.pruneStatsSnap(path, s, fs, c, l, l)
+              case None => fs
             }
-            Versioned.pruneByBloom(path, Versioned.currentVersion(path),
-              fs.filter(byStats), c, String.valueOf(v))
+            Versioned.pruneBloomSnap(path, s, byStats, c, String.valueOf(v))
           case GreaterThan(c, v) =>
             // x > Long.MaxValue is unsatisfiable — prune everything;
             // l + 1 would wrap and silently disable skipping (ADVICE r10)
             val l = longBound(v).get
             if (l == Long.MaxValue) Seq.empty
-            else fs.toSet.intersect(
-              Versioned.prunedFiles(path, c, l + 1, Long.MaxValue).toSet).toSeq
+            else Versioned.pruneStatsSnap(path, s, fs, c, l + 1, Long.MaxValue)
           case GreaterThanOrEqual(c, v) =>
-            fs.toSet.intersect(Versioned.prunedFiles(path, c,
-              longBound(v).get, Long.MaxValue).toSet).toSeq
+            Versioned.pruneStatsSnap(path, s, fs, c, longBound(v).get,
+              Long.MaxValue)
           case LessThan(c, v) =>
             val l = longBound(v).get
             if (l == Long.MinValue) Seq.empty
-            else fs.toSet.intersect(Versioned.prunedFiles(path, c,
-              Long.MinValue, l - 1).toSet).toSeq
+            else Versioned.pruneStatsSnap(path, s, fs, c, Long.MinValue, l - 1)
           case LessThanOrEqual(c, v) =>
-            fs.toSet.intersect(Versioned.prunedFiles(path, c,
-              Long.MinValue, longBound(v).get).toSet).toSeq
+            Versioned.pruneStatsSnap(path, s, fs, c, Long.MinValue,
+              longBound(v).get)
           case _ => fs
         }
       }
+    }
     // COUNT(*) prunes to zero columns; read the narrowest field so row
     // multiplicity survives while decoding as little as possible. The
     // `_graft_file` metadata column is served from the partition itself,
@@ -657,14 +679,15 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       if (dataFields.nonEmpty) dataFields.map(_.name).toSeq
       else Seq(full.fields.minBy(f => f.dataType.defaultSize).name)
     // runtime (DPP/semi-join) filters can prune files on any column the
-    // CURRENT manifest carries stats or bloom markers for
-    val runtimeCols =
-      if (version.exists(_ != Versioned.currentVersion(path))) Seq.empty[String]
-      else (Versioned.statsOf(path).keysIterator.map(_._1) ++
-        Versioned.bloomOf(path).keysIterator.map(_._1)).toSeq.distinct
+    // PINNED snapshot carries stats or bloom markers for
+    val runtimeCols = snap match {
+      case None => Seq.empty[String]
+      case Some(s) => (s.stats.keysIterator.map(_._1) ++
+        s.blooms.keysIterator.map(_._1)).toSeq.distinct
+    }
     val scan = new VersionedScan(all.size, survivors, required,
       VersionedV2.project(msg, readCols).toString,
-      required.fields.isEmpty, path, runtimeCols)
+      required.fields.isEmpty, path, runtimeCols, snap)
     onScan(scan)
     scan
   }
@@ -740,7 +763,8 @@ private[sources] class VersionedAggReader(p: VersionedAggPartition)
 
 private[sources] class VersionedScan(total: Int, files0: Seq[String],
     required: StructType, projectedMsg: String, emitEmptyRows: Boolean,
-    tablePath: String, runtimeCols: Seq[String] = Seq.empty)
+    tablePath: String, runtimeCols: Seq[String] = Seq.empty,
+    snap: Option[Versioned.SkipSnapshot] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -780,15 +804,19 @@ private[sources] class VersionedScan(total: Int, files0: Seq[String],
       case b: Byte => Some(b.toLong)
       case _ => None
     }
+    // prune against the manifest snapshot PINNED at build() — resolving
+    // currentVersion here would race a concurrent rewrite (ADVICE r11):
+    // its commit removes a planned file's marker lines and a fresh-version
+    // keep-set would silently drop that file's rows
     def survivorsFor(c: String, raw: Seq[Any]): Option[Set[String]] = {
       if (!runtimeCols.contains(c)) return None
-      val cur = Versioned.currentVersion(tablePath)
+      val s = snap.getOrElse(return None)
       val sets = raw.map { v =>
         val byStats = longOf(v) match {
-          case Some(l) => Versioned.prunedFiles(tablePath, c, l, l)
+          case Some(l) => Versioned.pruneStatsSnap(tablePath, s, files, c, l, l)
           case None => files // strings: stats are integral-only
         }
-        Versioned.pruneByBloom(tablePath, cur, byStats, c,
+        Versioned.pruneBloomSnap(tablePath, s, byStats, c,
           v match { case u: UTF8String => u.toString; case other => String.valueOf(other) })
       }
       Some(sets.flatten.toSet)
@@ -913,8 +941,219 @@ private[sources] class VersionedMicroBatchStream(path: String,
 }
 
 private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VersionedPartitionReader(partition.asInstanceOf[VersionedFilePartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VersionedFilePartition]
+    // empty projection (COUNT(*) after column pruning, no residual filter
+    // possible without columns): row multiplicity comes from footer
+    // metadata alone — ZERO data pages opened at any table size
+    if (p.emitEmptyRows) new VersionedCountReader(p.file)
+    else new VersionedPartitionReader(p)
+  }
+
+  /** Columnar decode for flat-primitive projections — the 100 TB scan
+    * path ([[VersionedColumnarReader]]): column readers fill Spark
+    * `OnHeapColumnVector`s directly, no per-row Group materialization,
+    * and downstream operators consume the batch inside whole-stage
+    * codegen. Array columns and empty projections keep the row/count
+    * readers (per-partition decision is schema-only, so every partition
+    * of a scan agrees — Spark requires uniformity). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[VersionedFilePartition]
+    !p.emitEmptyRows && p.required.fields.forall(f =>
+      f.name == VersionedV2.FileMetaCol || (f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+             BooleanType | StringType => true
+        case _ => false
+      }))
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new VersionedColumnarReader(partition.asInstanceOf[VersionedFilePartition])
+}
+
+/** Zero-IO COUNT(*) partition: emits exactly the footer's rowCount empty
+  * rows. Exact because the store has no row-level deletes inside files
+  * (rewrites replace whole files) and an empty projection admits no
+  * residual row filter (filters force their columns into the read
+  * schema). */
+private[sources] class VersionedCountReader(file: String)
+    extends PartitionReader[InternalRow] {
+  private var remaining: Long = {
+    val footer = ParquetFileReader.readFooter(new Configuration(),
+      new Path(file),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footer.getBlocks.asScala.map(_.getRowCount).sum
+  }
+  private val row = new GenericInternalRow(0)
+  override def next(): Boolean =
+    if (remaining > 0) { remaining -= 1; true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Vectorized parquet decode — the scan path a 100 TB table rides.
+  *
+  * The row reader ([[VersionedPartitionReader]], kept for array columns)
+  * materializes one example-API `Group` PER ROW: an object graph, a
+  * field-by-name lookup and a boxed value per cell — allocation-bound at
+  * scan rates. This reader walks each row group's column pages directly
+  * (`ColumnReadStoreImpl`, the same page machinery under parquet-mr's
+  * own readers) and fills `OnHeapColumnVector`s in tight per-column
+  * loops; Spark consumes the resulting `ColumnarBatch` without any
+  * row-at-a-time shim. Per-file schema handling is IDENTICAL to the row
+  * reader (the evolution contract): requested columns this file lacks
+  * serve a constant-null vector, `_graft_file` a constant-string vector,
+  * present columns decode under the FILE's own column descriptors.
+  * Vectors are reused across batches (reset, not realloc). */
+private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.parquet.column.ColumnReader
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val Cap = 4096
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.file),
+      new Configuration()))
+  private val fileMsg = reader.getFooter.getFileMetaData.getSchema
+  private val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
+  private val fileFields: Set[String] =
+    fileMsg.getFields.asScala.map(_.getName).toSet
+
+  private val projected = MessageTypeParser.parseMessageType(p.projectedMsg)
+  // the columns to DECODE: requested ∩ present, under file definitions
+  private val readMsg = new MessageType(projected.getName,
+    projected.getFields.asScala.map(_.getName)
+      .filter(fileFields)
+      .map(n => fileMsg.getType(fileMsg.getFieldIndex(n))).asJava)
+  reader.setRequestedSchema(readMsg)
+
+  // required-schema position → decode plan
+  private val metaValue = UTF8String.fromString(p.file)
+  private val vectors: Array[ColumnVector] = p.required.fields.map { f =>
+    if (f.name == VersionedV2.FileMetaCol) {
+      val v = new ConstantColumnVector(Cap, StringType)
+      v.setUtf8String(metaValue)
+      v: ColumnVector
+    } else if (!fileFields(f.name)) {
+      val v = new ConstantColumnVector(Cap, f.dataType)
+      v.setNull()
+      v: ColumnVector
+    } else new OnHeapColumnVector(Cap, f.dataType): ColumnVector
+  }
+  // decoded columns in required order: (vector index, column descriptor)
+  private val decoded: Array[(Int, org.apache.parquet.column.ColumnDescriptor)] =
+    p.required.fields.zipWithIndex.collect {
+      case (f, i) if f.name != VersionedV2.FileMetaCol && fileFields(f.name) =>
+        (i, readMsg.getColumns.asScala
+          .find(_.getPath()(0) == f.name)
+          .getOrElse(sys.error(s"no descriptor for ${f.name}")))
+    }
+  private val batch = new ColumnarBatch(vectors)
+
+  // ColumnReadStoreImpl wants a record converter; we pull values via the
+  // typed getters, so a no-op primitive tree suffices (dictionary
+  // support stays off — pages decode eagerly)
+  private object Noop extends GroupConverter {
+    override def getConverter(i: Int): Converter = new PrimitiveConverter {}
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  // every requested column postdates this file: nothing to decode — rows
+  // are constant-vector-only, multiplicity from footer metadata (no pages)
+  private val constOnly = decoded.isEmpty
+  private var constOnlyRemaining: Long =
+    if (constOnly) reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    else 0L
+
+  private var groupRemaining = 0L
+  private var colReaders: Array[ColumnReader] = _
+
+  private def advanceRowGroup(): Boolean = {
+    if (constOnly) {
+      groupRemaining = constOnlyRemaining
+      constOnlyRemaining = 0L
+      return groupRemaining > 0L
+    }
+    val pages = reader.readNextRowGroup()
+    if (pages == null) return false
+    groupRemaining = pages.getRowCount
+    val crs = new ColumnReadStoreImpl(pages, Noop, readMsg, createdBy)
+    colReaders = decoded.map { case (_, d) => crs.getColumnReader(d) }
+    true
+  }
+
+  override def next(): Boolean = {
+    while (groupRemaining == 0L) if (!advanceRowGroup()) return false
+    val n = math.min(Cap.toLong, groupRemaining).toInt
+    groupRemaining -= n
+    var k = 0
+    while (k < decoded.length) {
+      val (vi, desc) = decoded(k)
+      val vec = vectors(vi).asInstanceOf[OnHeapColumnVector]
+      vec.reset()
+      val cr = colReaders(k)
+      val maxDef = desc.getMaxDefinitionLevel
+      val dt = p.required.fields(vi).dataType
+      var r = 0
+      dt match {
+        case LongType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong)
+            else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case IntegerType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(r, cr.getInteger)
+            else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case DoubleType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) vec.putDouble(r, cr.getDouble)
+            else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case FloatType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) vec.putFloat(r, cr.getFloat)
+            else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case BooleanType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) vec.putBoolean(r, cr.getBoolean)
+            else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case StringType =>
+          while (r < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) {
+              val b = cr.getBinary.getBytes
+              vec.putByteArray(r, b, 0, b.length): Unit
+            } else vec.putNull(r)
+            cr.consume(); r += 1
+          }
+        case other => sys.error(s"columnar: unsupported type $other")
+      }
+      k += 1
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    batch.close()
+    reader.close()
+  }
 }
 
 /** Row-at-a-time parquet decode through the example Group API — one open
@@ -979,8 +1218,16 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
         vals(i) =
           if (fi == -1) fileValue
           else if (fi == -2) null // column added after this file was written
-          else if (cur.getFieldRepetitionCount(fi) == 0) null
           else types(i) match {
+            // repeated field: ALL occurrences are the vector (count 0 =
+            // empty array, never null — 2-level lists can't tell apart)
+            case ArrayType(FloatType, _) =>
+              val n = cur.getFieldRepetitionCount(fi)
+              val a = new Array[Float](n)
+              var j = 0
+              while (j < n) { a(j) = cur.getFloat(fi, j); j += 1 }
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            case _ if cur.getFieldRepetitionCount(fi) == 0 => null
             case LongType => cur.getLong(fi, 0)
             case IntegerType => cur.getInteger(fi, 0)
             case DoubleType => cur.getDouble(fi, 0)

@@ -148,6 +148,22 @@ object Versioned {
     commit(target, 0, external ++ carried)
   }
 
+  /** Does ANY retained manifest of `table` reference a data file under
+    * `prefix` by absolute path? True exactly when `table` is a shallow
+    * clone (or restore) of the table at `prefix` — the guard
+    * [[graft.sources.GraftCatalog.renameTable]] uses to refuse renaming
+    * a clone source out from under its clones. Metadata-only scan. */
+  private[graft] def referencesPrefix(table: String, prefix: String): Boolean = {
+    val root = Paths.get(prefix).toAbsolutePath
+    (1 to currentVersion(table)).exists { v =>
+      val mf = manifestFile(table, v)
+      mf.exists && Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .exists(l => !l.startsWith("#") && l.nonEmpty &&
+          new File(l).isAbsolute && Paths.get(l).startsWith(root))
+    }
+  }
+
   private val SchemaPrefix = "#schema:"
   private val CheckPrefix = "#check:"
   private val StatsPrefix = "#stats:"
@@ -352,6 +368,45 @@ object Versioned {
       }
     }
   }
+
+  /** Version-pinned skipping metadata captured at scan-BUILD time. A scan
+    * that prunes at EXECUTION time (runtime V2 filtering) must consult the
+    * manifest version it was planned against, not whatever
+    * [[currentVersion]] resolves to when the filter arrives — a concurrent
+    * DELETE/UPDATE rewrite landing between planning and execution would
+    * otherwise drop a planned file's marker lines and the prune would
+    * silently discard that file's rows. Files absent from the snapshot's
+    * maps are conservatively kept. */
+  case class SkipSnapshot(version: Int,
+      stats: Map[(String, String), (Long, Long)],
+      blooms: Map[(String, String), (Int, Int, Array[Byte])])
+
+  /** Capture `version`'s stats + bloom markers as one immutable snapshot. */
+  private[graft] def skipSnapshot(table: String, version: Int): SkipSnapshot =
+    SkipSnapshot(version, statsOf(table, Some(version)),
+      bloomOf(table, Some(version)))
+
+  /** [lo, hi]-range file pruning against a pinned [[SkipSnapshot]] —
+    * the snapshot-consistent form of [[prunedFiles]]. */
+  private[graft] def pruneStatsSnap(table: String, snap: SkipSnapshot,
+      absFiles: Seq[String], column: String, lo: Long, hi: Long): Seq[String] =
+    absFiles.filter { raw =>
+      snap.stats.get((column, manifestLineOf(table, toLocalPath(raw)))) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+
+  /** Equality bloom pruning against a pinned [[SkipSnapshot]] —
+    * the snapshot-consistent form of [[pruneByBloom]]. */
+  private[graft] def pruneBloomSnap(table: String, snap: SkipSnapshot,
+      absFiles: Seq[String], column: String, value: String): Seq[String] =
+    absFiles.filter { raw =>
+      snap.blooms.get((column, manifestLineOf(table, toLocalPath(raw)))) match {
+        case Some((m, k, bs)) => bloomMightContain(bs, m, k, value)
+        case None => true
+      }
+    }
 
   private val RenamePrefix = "#rename:"
 
@@ -604,7 +659,11 @@ object Versioned {
         else Seq.empty
       try return commit(table, cur, markerAdd)
       catch {
-        case e: IllegalStateException =>
+        // retry ONLY the optimistic-concurrency signal; a genuine
+        // invariant failure inside commit must surface immediately
+        // (ADVICE r11), not after 5 pointless retries
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
           attempt += 1
           if (attempt > maxRetries) throw e
       }
@@ -621,25 +680,48 @@ object Versioned {
     commit(table, 0, Seq(SchemaPrefix + schema.json))
   }
 
-  /** ALTER TABLE-style schema replacement: publish a metadata-only
-    * version whose schema marker is `schema` (the old marker lines
-    * retire in the same atomic commit) — zero data files touched; files
-    * lacking a newly added column serve NULL under the recorded-schema
-    * read, exactly like append-time evolution. The caller (the catalog's
-    * ADD COLUMN) is responsible for only WIDENING the schema. */
-  def replaceSchemaMarker(table: String,
+  /** Atomic CTAS publication: version 1 of a BRAND-NEW table carrying the
+    * schema marker AND the staged data-file lines in ONE commit — the
+    * `StagedTableCatalog` contract (Delta/Iceberg atomic `CREATE TABLE AS
+    * SELECT`): either the table appears fully populated or (on abort) not
+    * at all; no observable empty-table intermediate state. The staged
+    * files must already sit under `table` at their relative lines. */
+  private[graft] def initTableWithFiles(table: String,
       schema: org.apache.spark.sql.types.StructType,
+      relFiles: Seq[String]): Int = {
+    require(currentVersion(table) == 0, s"table $table already exists")
+    commit(table, 0, (SchemaPrefix + schema.json) +: relFiles)
+  }
+
+  /** ALTER TABLE-style schema replacement: publish a metadata-only
+    * version whose schema marker is `widen(currentMarker)` (the old
+    * marker lines retire in the same atomic commit) — zero data files
+    * touched; files lacking a newly added column serve NULL under the
+    * recorded-schema read, exactly like append-time evolution. `widen`
+    * receives the marker of the version each ATTEMPT rebases on (None
+    * when the table never evolved) and must return the full new schema;
+    * it is responsible for only WIDENING. */
+  def replaceSchemaMarker(table: String,
+      widen: Option[org.apache.spark.sql.types.StructType] =>
+        org.apache.spark.sql.types.StructType,
       maxRetries: Int = 5): Int = {
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
       require(cur > 0, s"table $table does not exist")
+      // recompute the widened schema from THIS attempt's marker — a
+      // column added concurrently between the caller's read and our
+      // commit must survive into the new marker (lost-update, ADVICE
+      // r11), which a pre-computed schema would silently drop
+      val base = schemaOf(table, Some(cur))
+      val schema = widen(base)
       val stale = Files.readAllLines(manifestFile(table, cur).toPath,
           StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
         .filter(_.startsWith(SchemaPrefix))
       try return commit(table, cur, Seq(SchemaPrefix + schema.json), stale)
       catch {
-        case e: IllegalStateException =>
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
           attempt += 1
           if (attempt > maxRetries) throw e
       }

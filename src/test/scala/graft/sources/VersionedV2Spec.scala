@@ -479,4 +479,242 @@ class VersionedV2Spec extends SparkSpec {
     assert(Versioned.currentVersion(silver) == vAfter)
     assert(Versioned.read(spark, silver).count() == expect)
   }
+
+  test("runtime pruning consults the build-time snapshot, not the live manifest") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def lit6 = Expressions.literal(6L)
+    val path = threeSliceTable()
+    Versioned.analyzeStats(spark, path, "user_id")
+    // the file whose [min,max] admits user 6 — the middle slice
+    val admits6 = Versioned.prunedFiles(path, "user_id", 6, 6)
+    assert(admits6.size == 1)
+    // plan the scan NOW (snapshot pins here)
+    val msg = VersionedV2.footerSchema(path, None)
+    val full = VersionedV2.sparkSchema(msg)
+    val scan = new VersionedScanBuilder(path, None, msg, full)
+      .build().asInstanceOf[VersionedScan]
+    val planned = scan.currentFileList
+    assert(planned.size == 3)
+    // a concurrent rewrite lands BETWEEN planning and execution: it
+    // retires the middle slice's file (and its stats marker line) from
+    // the live manifest
+    Versioned.deleteWhere(spark, path, col("user_id") === 7L)
+    assert(!Versioned.files(path).contains(admits6.head),
+      "rewrite must have retired the planned middle file")
+    // the runtime IN-filter arrives at execution; pruning must act on
+    // the PINNED snapshot — keeping the planned file that holds user 6,
+    // not silently dropping it because the live manifest forgot it
+    scan.filter(Array(new Predicate("IN",
+      Array(Expressions.column("user_id"), lit6))))
+    val kept = scan.currentFileList
+    assert(kept.contains(admits6.head),
+      s"planned file ${admits6.head} was dropped by stale-manifest pruning")
+    assert(kept.size == 1, "snapshot stats must still prune the other slices")
+  }
+
+  test("array<float> round-trips the connector and the native reader") {
+    val (cat, root) = catalogFor("vec")
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
+    Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(-3.5f, 0.25f)), (2L, Seq.empty[Float]))
+      .toDF("id", "emb").createOrReplaceTempView("vec_src")
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM vec_src")
+    val viaV2 = spark.sql(s"SELECT id, emb FROM $cat.e ORDER BY id")
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(viaV2 == Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(-3.5f, 0.25f)),
+      (2L, Seq.empty[Float])))
+    // Spark's NATIVE parquet reader resolves the repeated-FLOAT shape too
+    // (the parquet-avro 2-level compat rule) — deleteWhere etc. ride it
+    val native = Versioned.read(spark, s"$root/e")
+      .selectExpr("id", "emb").orderBy($"id")
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(native == viaV2)
+  }
+
+  test("FunctionCatalog: k-NN is pure SQL and stays in codegen") {
+    val (cat, _) = catalogFor("knn")
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
+    (0L until 50L).map(i =>
+        (i, Seq(math.sin(i.toDouble).toFloat, math.cos(i.toDouble).toFloat)))
+      .toDF("id", "emb").createOrReplaceTempView("knn_src")
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM knn_src")
+    val df = spark.sql(
+      s"""WITH q AS (SELECT emb AS qe FROM $cat.e WHERE id = 7)
+         |SELECT e.id, $cat.vec_squared_l2(e.emb, q.qe) AS d
+         |FROM $cat.e e CROSS JOIN q ORDER BY d, e.id LIMIT 5""".stripMargin)
+    // library-route twin (the Catalyst expression) must agree bit-exactly
+    graft.core.GraftFunctions.register(spark)
+    val lib = spark.sql(
+      s"""WITH q AS (SELECT emb AS qe FROM $cat.e WHERE id = 7)
+         |SELECT e.id, vec_squared_l2(e.emb, q.qe) AS d
+         |FROM $cat.e e CROSS JOIN q ORDER BY d, e.id LIMIT 5""".stripMargin)
+    assert(df.as[(Long, Double)].collect().toSeq ==
+      lib.as[(Long, Double)].collect().toSeq)
+    assert(df.head().getLong(0) == 7L) // self-distance 0 wins
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the magic invoke resolved (Invoke/StaticInvoke), not the
+    // row-boxing ApplyFunctionExpression fallback
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("ApplyFunctionExpression"), analyzed)
+    // the other two functions evaluate with house numerics
+    val r = spark.sql(
+      s"SELECT $cat.vec_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d, " +
+        s"$cat.vec_cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head()
+    assert(r.getDouble(0) == 7.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("atomic CTAS: one commit publishes schema+data; abort leaves nothing") {
+    val (cat, root) = catalogFor("ctas")
+    spark.sql(s"CREATE TABLE $cat.src AS SELECT id, id * 2 AS v " +
+      "FROM range(0, 100, 1, 4)")
+    // ONE version: schema marker and data lines landed in a single commit
+    assert(Versioned.currentVersion(s"$root/src") == 1)
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.src").head.getLong(0) == 9900)
+    // a failing CTAS must leave NO table behind — not even an empty one
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.boom AS " +
+        "SELECT CASE WHEN id = 50 THEN CAST(raise_error('mid-write') AS BIGINT) " +
+        "ELSE id END AS id FROM range(0, 100, 1, 4)")
+    }
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("boom"))
+    assert(!new java.io.File(root, "boom").exists(),
+      "aborted CTAS must sweep the staged dir entirely")
+    // CTAS into an existing name fails without touching the table
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.src AS SELECT 1L AS id"))
+    assert(Versioned.currentVersion(s"$root/src") == 1)
+  }
+
+  test("procedures: optimize/analyze/vacuum are one CALL away") {
+    val (cat, root) = catalogFor("proc")
+    spark.sql(s"CREATE TABLE $cat.m (id BIGINT, v BIGINT)")
+    (0 until 3).foreach { s =>
+      spark.sql(s"INSERT INTO $cat.m SELECT id, (id * 37) % 1000 AS v " +
+        s"FROM range(${s * 1000}, ${(s + 1) * 1000}, 1, 1)"): Unit
+    }
+    val path = s"$root/m"
+    assert(Versioned.files(path).size == 3)
+    assert(spark.sql(s"CALL $cat.system.optimize('m', 'id', 'v')")
+      .head.getLong(0) == 5)
+    assert(spark.sql(s"CALL $cat.system.analyze_stats('m', 'v')")
+      .head.getLong(0) == 6)
+    assert(spark.sql(s"CALL $cat.system.analyze_bloom('m', 'id')")
+      .head.getLong(0) == 7)
+    // the skippable-file delta: a narrow v-box admits a strict subset
+    val total = Versioned.files(path).size
+    val kept = Versioned.prunedFiles(path, "v", 0L, 50L).size
+    assert(kept < total, s"zorder+stats must skip: kept $kept of $total")
+    // vacuum(keep 1) reclaims exactly the three pre-optimize inputs
+    assert(spark.sql(s"CALL $cat.system.vacuum('m', 1, 0)")
+      .head.getLong(0) == 3)
+    // data intact after the full maintenance pass
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.m").head.getLong(0) == 3000)
+    // compact_small exists and no-ops below two small files... with 16
+    // fresh zordered files it rewrites them into fewer
+    val v = spark.sql(s"CALL $cat.system.compact_small('m')").head.getLong(0)
+    assert(v >= 7 && spark.sql(s"SELECT COUNT(*) FROM $cat.m")
+      .head.getLong(0) == 3000)
+    intercept[Exception](spark.sql(s"CALL $cat.system.nope('m')"))
+  }
+
+  test("rename guard: a shallow-clone SOURCE refuses to rename") {
+    val (cat, root) = catalogFor("ren")
+    spark.sql(s"CREATE TABLE $cat.src AS SELECT id FROM range(0, 10, 1, 1)")
+    Versioned.shallowClone(s"$root/src", s"$root/cl")
+    // the clone references src's files absolutely: renaming src would
+    // dangle them — must fail LOUDLY, with src untouched
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.src RENAME TO moved"))
+    assert(e.getMessage.contains("shallow-clone"), e.getMessage)
+    assert(new java.io.File(root, "src").exists())
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.cl").head.getLong(0) == 10)
+    // renaming the CLONE (or any non-source) stays allowed
+    spark.sql(s"ALTER TABLE $cat.cl RENAME TO cl2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.cl2").head.getLong(0) == 10)
+  }
+
+  test("columnar scan: flat projections vectorize and equal the native read") {
+    val path = threeSliceTable()
+    val df = v2(path).select("event_id", "user_id", "event_type", "v_e2")
+    // the plan reports a columnar scan (Spark inserts ColumnarToRow)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    val native = Versioned.read(spark, path)
+      .select("event_id", "user_id", "event_type", "v_e2")
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    val viaV2 = df.as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(viaV2.nonEmpty && viaV2 == native)
+    // row-filter + pruning still compose on the columnar path
+    assert(v2(path).filter($"user_id" === 7 && $"event_type" === "purchase")
+      .count() == native.count(r => r._2 == 7 && r._3 == "purchase"))
+  }
+
+  test("columnar scan: nulls, evolution-null columns and _graft_file") {
+    val path = freshTable("colnull")
+    Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "s").coalesce(1).write.parquet(s"$path/b1")
+    Versioned.append(spark.read.parquet(s"$path/b1"), path)
+    // evolve: second slice carries an extra column; slice-1 rows must
+    // serve constant-null vectors for it
+    Versioned.append(Seq((4L, "d", 40L), (5L, "e", 50L))
+      .toDF("id", "s", "extra").coalesce(1), path)
+    val got = v2(path).select("id", "s", "extra").orderBy($"id")
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some("a"), None), (2L, None, None),
+      (3L, Some("c"), None), (4L, Some("d"), Some(40L)),
+      (5L, Some("e"), Some(50L))))
+    // metadata column rides a constant vector alongside decoded ones
+    val withFile = v2(path).select(col("id"), col("_graft_file"))
+      .as[(Long, String)].collect()
+    assert(withFile.length == 5 && withFile.forall(_._2.nonEmpty))
+    assert(withFile.map(_._2).distinct.length == 2, "two serving files")
+  }
+
+  test("columnar scan: array projections keep the row path; counts go zero-IO") {
+    val (cat, root) = catalogFor("colarr")
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
+    spark.sql(s"INSERT INTO $cat.e VALUES (1, array(CAST(1 AS FLOAT))), " +
+      "(2, array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
+    val arr = spark.sql(s"SELECT id, emb FROM $cat.e ORDER BY id")
+    assert(!arr.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "array projection must fall back to the row reader")
+    assert(arr.as[(Long, Seq[Float])].collect().toSeq ==
+      Seq((1L, Seq(1f)), (2L, Seq(2f, 3f))))
+    // scalar-only projection over the SAME table vectorizes
+    val flat = spark.sql(s"SELECT id FROM $cat.e")
+    assert(flat.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(flat.count() == 2)
+    // COUNT(*) with a filter pruned to zero columns: footer-count reader
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.e").head.getLong(0) == 2)
+    val big = freshTable("colcnt")
+    Versioned.append(Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id").coalesce(1), big)
+    assert(v2(big).count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("ALTER ADD COLUMN keeps a column added concurrently mid-retry") {
+    val path = freshTable("widen")
+    Versioned.append(Seq((1L, "a")).toDF("id", "s").coalesce(1), path)
+    // simulate the lost-update interleaving: widen(base) consults each
+    // attempt's CURRENT marker, so a marker committed after the caller's
+    // initial read must appear in the final schema
+    Versioned.replaceSchemaMarker(path, base => {
+      val cur = base.getOrElse(
+        VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
+      cur.add(org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    })
+    Versioned.replaceSchemaMarker(path, base => {
+      val cur = base.getOrElse(
+        VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
+      cur.add(org.apache.spark.sql.types.StructField("c2",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    })
+    val names = Versioned.schemaOf(path).get.fieldNames.toSeq
+    assert(names == Seq("id", "s", "c1", "c2"), names.mkString(","))
+  }
 }
