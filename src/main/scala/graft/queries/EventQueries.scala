@@ -1575,7 +1575,71 @@ object EventQueries {
       .orderBy(col("event_type"), col("hi"))
   }
 
+  /** Exact SHAPLEY multi-touch attribution (X251) — the fourth member of
+    * the attribution family (linear X154 splits evenly, time-decay X232
+    * weights recency, Markov X215 uses removal effects; Shapley is the
+    * axiomatically-fair split from cooperative game theory — Shapley
+    * 1953, the standard the ad-measurement literature benchmarks
+    * against). Channels are the three non-purchase touch types (click /
+    * view / signup) inside the 7-day pre-purchase window; each converted
+    * purchase contributes its observed channel-SET (a 3-bit mask), and
+    * the coalition value v(S) counts conversions whose touch set ⊆ S
+    * (the containment convention of Zhao et al. 2018). With 3 channels
+    * the Shapley weights are exact sixths, so φᵢ·6 =
+    * 2·v({i}) + Σ_j [v({i,j})−v({j})] + 2·[v(N)−v(N∖i)] is an exact
+    * INTEGER — conserved: Σφᵢ = v(N) (every attributed conversion splits
+    * fully). Shape: ONE windowed join builds per-purchase masks
+    * (purchase-keyed partial agg), then ALL coalition math runs on the
+    * ≤8-row mask histogram — broadcast-trivial at any fact volume. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyAttributionOf(Tables.events(spark, dir))
+
+  def shapleyAttributionOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val day7 = 7L * 86400000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ptsu"),
+        col("event_id").as("p_id"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ctsu"),
+        col("event_type").as("ch"))
+    val masks = purchases.join(touches, Seq("user_id"))
+      .filter(col("ctsu") < col("ptsu") && col("ctsu") > col("ptsu") - day7)
+      .groupBy(col("p_id"))
+      .agg(expr("""max(CASE WHEN ch = 'click' THEN 1 ELSE 0 END)
+        |+ 2 * max(CASE WHEN ch = 'view' THEN 1 ELSE 0 END)
+        |+ 4 * max(CASE WHEN ch = 'signup' THEN 1 ELSE 0 END)"""
+        .stripMargin.replace("\n", " ")).as("mask"))
+    val hist = masks.groupBy(col("mask"))
+      .agg(count(lit(1)).as("c")).localCheckpoint() // ≤ 7 rows
+    val coalitions = spark.range(0, 8).toDF("s")
+      .join(broadcast(hist), expr("(mask & s) = mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+    val channels = spark.range(0, 3).toDF("b")
+      .select(expr("CAST(pow(2, b) AS BIGINT)").as("bit"),
+        expr("element_at(array('click','view','signup'), CAST(b + 1 AS INT))")
+          .as("channel"))
+    channels
+      .join(broadcast(coalitions.select(col("s"), col("v"))),
+        expr("(s & bit) = 0"))
+      .join(broadcast(coalitions.select(col("s").as("s2"), col("v").as("v2"))),
+        expr("s2 = (s | bit)"))
+      .groupBy(col("channel"))
+      .agg(sum(expr("""CASE WHEN s = 0 THEN 2 WHEN s = 7 - bit THEN 2
+        |ELSE 1 END * (v2 - v)""".stripMargin.replace("\n", " ")))
+        .as("phi_x6"))
+      .crossJoin(broadcast(coalitions.filter(col("s") === 7)
+        .select(col("v").as("v_all"))))
+      .select(col("channel"), col("phi_x6"),
+        // zero attributed conversions (no windowed touch at all) → every
+        // share is 0, not a divide-by-zero
+        expr("CASE WHEN v_all = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (phi_x6 * 1000000) div (6 * v_all) END").as("share_e6"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shapley_attribution" -> (shapleyAttribution _),
     "autocorr" -> (autocorr _),
     "seasonality_index" -> (seasonalityIndex _),
     "rolling_corr" -> (rollingCorr _),
@@ -1812,6 +1876,43 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_credits,
         |  CAST(SUM(credit) AS BIGINT) AS attr_rev_e2
         |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact sixths: with 3 channels every Shapley weight is k/6
+    "shapley_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ptsu, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, epoch_us(ts) AS ctsu, event_type AS ch
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |m AS (
+        |  SELECT p.p_id,
+        |    MAX(CASE WHEN ch = 'click' THEN 1 ELSE 0 END)
+        |    + 2 * MAX(CASE WHEN ch = 'view' THEN 1 ELSE 0 END)
+        |    + 4 * MAX(CASE WHEN ch = 'signup' THEN 1 ELSE 0 END) AS mask
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.ctsu < p.ptsu AND t.ctsu > p.ptsu - 604800000000
+        |  GROUP BY p.p_id),
+        |h AS (SELECT mask, COUNT(*) AS c FROM m GROUP BY mask),
+        |co AS (
+        |  SELECT g.s, COALESCE(SUM(h.c), 0) AS v
+        |  FROM generate_series(0, 7) g(s)
+        |  LEFT JOIN h ON (h.mask & g.s) = h.mask
+        |  GROUP BY g.s),
+        |ch AS (SELECT 1 AS bit, 'click' AS channel
+        |  UNION ALL SELECT 2, 'view' UNION ALL SELECT 4, 'signup'),
+        |phi AS (
+        |  SELECT ch.channel,
+        |    CAST(SUM((CASE WHEN a.s = 0 THEN 2 WHEN a.s = 7 - ch.bit THEN 2
+        |      ELSE 1 END) * (b.v - a.v)) AS BIGINT) AS phi_x6
+        |  FROM ch JOIN co a ON (a.s & ch.bit) = 0
+        |  JOIN co b ON b.s = (a.s | ch.bit)
+        |  GROUP BY ch.channel)
+        |SELECT channel, phi_x6,
+        |  CASE WHEN (SELECT v FROM co WHERE s = 7) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((phi_x6 * 1000000)
+        |      // (6 * (SELECT v FROM co WHERE s = 7)) AS BIGINT)
+        |  END AS share_e6
+        |FROM phi ORDER BY channel""".stripMargin,
     // same running-max-end islands in integer micros
     "interval_coverage" ->
       """WITH e AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1372,11 +1373,167 @@ object StatQueries {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Gini concentration of per-user purchase revenue (X252) — the
+    * inequality readout (Gini 1912; the "do 10% of users drive 90% of
+    * revenue" audit every marketplace runs). EXACT integer identity
+    * G·n·Σx = 2·Σᵢ i·xᵢ − (n+1)·Σx over ascending ranks; ties are
+    * rank-order-invariant (equal x contribute the same Σ regardless of
+    * permutation), so the readout is deterministic. SCALE SHAPE: the
+    * global rank is NEVER a global sort — users band by a fixed revenue
+    * width, local ranks come from a window PARTITIONED on the band, and
+    * band offsets join back from the broadcast band histogram (the
+    * two-level order-statistics recipe; an unpartitioned window over the
+    * user rollup would serialize on one reducer — PlanSpec's guard).
+    * Also exports the top-decile revenue share. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame =
+    giniConcentrationOf(Tables.events(spark, dir))
+
+  def giniConcentrationOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val u = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("x"))
+      .withColumn("band", expr("x div 10000"))
+    val bandHist = u.groupBy(col("band")).agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val offsets = bandHist.as("a")
+      .join(bandHist.as("b"), col("b.band") < col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(coalesce(sum(col("b.m")), lit(0L)).as("off"))
+    val ranked = u
+      .withColumn("lr", row_number().over(Window.partitionBy(col("band"))
+        .orderBy(col("x").asc, col("user_id").asc)))
+      .join(broadcast(offsets), "band")
+      .select(col("x"), (col("off") + col("lr")).as("i"))
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .agg(max(col("n")).as("n"), sum(col("x")).as("t"),
+        expr(s"SUM(CAST(i AS $d38) * x)").as("r"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(lit(0L))).as("top"))
+      .select(col("n").as("n_users"), col("t").as("total_rev_e2"),
+        expr(s"CAST((2 * r - (CAST(n AS $d38) + 1) * t) * 1000000" +
+          s" div (CAST(n AS $d38) * t) AS BIGINT)").as("gini_e6"),
+        expr("(top * 1000000) div t").as("top_decile_share_e6"))
+  }
+
+  /** Jensen-Shannon divergence (X253) between the event-type mix of the
+    * first and second half-month — the SYMMETRIC, bounded [0, ln 2]
+    * companion to the KL/PSI drift family (Lin 1991): robust to zeros
+    * and the standard "did the traffic mix shift" scorecard number.
+    * Per-type contributions export individually (ordered — no
+    * cross-engine sum-order ambiguity): ½·[p·ln(p/m) + q·ln(q/m)] with
+    * p/m = 2aB/(aB+bA) an EXACT integer ratio before the one ln, the
+    * mutual_info quantization recipe. One partial-aggregated scan. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergenceOf(Tables.events(spark, dir))
+
+  def jsDivergenceOf(events: DataFrame): DataFrame = {
+    val half = events
+      .select(col("event_type"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).cast("int").as("h1"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("h1")).as("a"), sum(lit(1) - col("h1")).as("b"))
+    half
+      .crossJoin(broadcast(half.agg(sum(col("a")).as("ta"),
+        sum(col("b")).as("tb"))))
+      .select(col("event_type"), col("a"), col("b"),
+        // 0·ln(0/m) = 0 by the JS convention — a type absent from one
+        // half must contribute its other half's term, not NaN
+        expr("""CAST(round((
+          |  CASE WHEN a = 0 THEN 0.0 ELSE CAST(a AS DOUBLE) / ta
+          |    * ln(2.0 * a * tb / (CAST(a AS DOUBLE) * tb + CAST(b AS DOUBLE) * ta)) END
+          |  + CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE) / tb
+          |    * ln(2.0 * b * ta / (CAST(a AS DOUBLE) * tb + CAST(b AS DOUBLE) * ta)) END
+          |) * 500000) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("jsd_contrib_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A/B-test power planning (X254) from OBSERVED variance — the
+    * pre-experiment sizing every launch review asks for: required
+    * per-arm n for 80% power at two-sided α = 5% to detect a 5% lift in
+    * mean purchase value, and the minimum detectable effect at a fixed
+    * n = 1000/arm (Cohen's classic normal-approximation sizing;
+    * n = (z_{α/2}+z_β)²·2σ²/δ²). Moments are exact integer sums (the
+    * value_moments discipline); the single double chain mirrors the
+    * oracle term-for-term. */
+  def abPower(spark: SparkSession, dir: String): DataFrame =
+    abPowerOf(Tables.events(spark, dir))
+
+  def abPowerOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    events
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("s"),
+        expr(s"SUM(CAST(CAST(round(value * 100) AS BIGINT) AS $d38)" +
+          " * CAST(round(value * 100) AS BIGINT))").as("q"))
+      .select(col("n").as("n_obs"),
+        expr("""CAST(ceil(
+          |  pow(1.959964 + 0.841621, 2) * 2.0
+          |  * (CAST(q AS DOUBLE) / n - pow(CAST(s AS DOUBLE) / n, 2))
+          |  / pow(0.05 * CAST(s AS DOUBLE) / n, 2)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("n_required_per_arm"),
+        expr("""CAST(round(
+          |  (1.959964 + 0.841621)
+          |  * sqrt(2.0 * (CAST(q AS DOUBLE) / n
+          |                - pow(CAST(s AS DOUBLE) / n, 2)) / 1000.0)
+          |  / (CAST(s AS DOUBLE) / n) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("mde_rel_e6_at_1000"))
+  }
+
+  /** Isotonic calibration via the MINIMAX identity (X255) — the
+    * monotone purchase-rate-vs-value curve (PAVA's closed form:
+    * ĝ(d) = max_{i≤d} min_{j≥d} mean(y over bins i..j); Barlow et al.
+    * 1972) — the calibration step every score-to-probability pipeline
+    * runs, here EXACT: bins are the 10 fixed-width value bands, segment
+    * means are exact integer fractions compared through a 10^12-scaled
+    * integer key (granularity ≥ 1/(N_a·N_b) ≫ 10^-12, so the integer
+    * order IS the rational order), and the export floor-composes
+    * (key div 10^6 = ⌊P/N·10^6⌋ exactly). Everything after the one
+    * corpus rollup runs on the ≤10-row bin frame (all pair/triple
+    * enumeration is 10³-bounded). Output is monotone by construction —
+    * the spec's pin. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicCalibrationOf(Tables.events(spark, dir))
+
+  def isotonicCalibrationOf(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(expr("least(CAST(floor(value / 50) AS INT), 9)").as("bin"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+      .localCheckpoint() // ≤ 10 rows
+    // segment sums P_ij / N_ij for every i ≤ j (≤ 55 rows)
+    val seg = bins.as("l").crossJoin(bins.as("m")).crossJoin(bins.as("r"))
+      .filter(col("l.bin") <= col("m.bin") && col("m.bin") <= col("r.bin"))
+      .groupBy(col("l.bin").as("i"), col("r.bin").as("j"))
+      .agg(sum(col("m.pb")).as("p"), sum(col("m.nb")).as("nn"))
+      .withColumn("key", expr("(p * 1000000000000) div nn"))
+    // g_d = max over i ≤ d of (min over j ≥ d of key(i, j))
+    val inner = bins.select(col("bin").as("d"))
+      .join(broadcast(seg), col("i") <= col("d") && col("j") >= col("d"))
+      .groupBy(col("d"), col("i")).agg(min(col("key")).as("mn"))
+    val iso = inner.groupBy(col("d")).agg(max(col("mn")).as("g"))
+    bins.join(iso, col("bin") === col("d"))
+      .select(col("bin"), col("nb").as("n"), col("pb").as("purchases"),
+        expr("(pb * 1000000) div nb").as("rate_e6"),
+        expr("g div 1000000").as("iso_rate_e6"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "croston_demand" -> (crostonDemand _),
     "spearman_daily" -> (spearmanDaily _),
     "obf_sequential" -> (obfSequential _),
     "rfm_segments" -> (rfmSegments _),
+    "gini_concentration" -> (giniConcentration _),
+    "js_divergence" -> (jsDivergence _),
+    "ab_power" -> (abPower _),
+    "isotonic_calibration" -> (isotonicCalibration _),
     "poisson_bootstrap" -> (poissonBootstrap _),
     "nelson_aalen" -> (nelsonAalen _),
     "seasonal_naive_eval" -> (seasonalNaiveEval _),
@@ -1401,6 +1558,85 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // a plain global rank is fine ORACLE-side; the engine banded it
+    "gini_concentration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t,
+        |  SUM(CAST(i AS HUGEINT) * x) AS rr FROM r),
+        |tp AS (SELECT CAST(SUM(CASE WHEN r.i > s.n - s.n // 10
+        |    THEN r.x ELSE 0 END) AS BIGINT) AS top FROM r, s)
+        |SELECT s.n AS n_users, s.t AS total_rev_e2,
+        |  CAST((2 * s.rr - (CAST(s.n AS HUGEINT) + 1) * s.t) * 1000000
+        |    // (CAST(s.n AS HUGEINT) * s.t) AS BIGINT) AS gini_e6,
+        |  CAST((tp.top * 1000000) // s.t AS BIGINT) AS top_decile_share_e6
+        |FROM s, tp""".stripMargin,
+    // per-type contributions: exact integer ratios before the one ln
+    "js_divergence" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS b
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+        |  CAST(SUM(b) AS BIGINT) AS tb FROM h)
+        |SELECT h.event_type, h.a, h.b,
+        |  CAST(round((
+        |    CASE WHEN a = 0 THEN 0.0 ELSE CAST(a AS DOUBLE) / ta
+        |      * ln(2.0 * a * tb / (CAST(a AS DOUBLE) * tb + CAST(b AS DOUBLE) * ta)) END
+        |    + CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE) / tb
+        |      * ln(2.0 * b * ta / (CAST(a AS DOUBLE) * tb + CAST(b AS DOUBLE) * ta)) END
+        |  ) * 500000) AS BIGINT) AS jsd_contrib_e6
+        |FROM h, t ORDER BY event_type""".stripMargin,
+    // mirrored double chain over exact integer moments
+    "ab_power" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |    SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS q
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(n AS BIGINT) AS n_obs,
+        |  CAST(ceil(
+        |    pow(1.959964 + 0.841621, 2) * 2.0
+        |    * (CAST(q AS DOUBLE) / n - pow(CAST(s AS DOUBLE) / n, 2))
+        |    / pow(0.05 * CAST(s AS DOUBLE) / n, 2)) AS BIGINT)
+        |    AS n_required_per_arm,
+        |  CAST(round(
+        |    (1.959964 + 0.841621)
+        |    * sqrt(2.0 * (CAST(q AS DOUBLE) / n
+        |                  - pow(CAST(s AS DOUBLE) / n, 2)) / 1000.0)
+        |    / (CAST(s AS DOUBLE) / n) * 1000000) AS BIGINT)
+        |    AS mde_rel_e6_at_1000
+        |FROM m""".stripMargin,
+    // minimax identity on the 10-bin frame; 10^12 integer fraction keys
+    "isotonic_calibration" ->
+      """WITH bins AS (
+        |  SELECT least(CAST(floor(value / 50) AS INT), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pb
+        |  FROM events GROUP BY 1),
+        |seg AS (
+        |  SELECT l.bin AS i, r.bin AS j, CAST(SUM(m.pb) AS BIGINT) AS p,
+        |    CAST(SUM(m.nb) AS BIGINT) AS nn
+        |  FROM bins l, bins m, bins r
+        |  WHERE l.bin <= m.bin AND m.bin <= r.bin GROUP BY 1, 2),
+        |keyed AS (SELECT i, j, (p * 1000000000000) // nn AS key FROM seg),
+        |im AS (
+        |  SELECT b.bin AS d, k.i, MIN(k.key) AS mn
+        |  FROM bins b JOIN keyed k ON k.i <= b.bin AND k.j >= b.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT d, CAST(MAX(mn) AS BIGINT) AS g FROM im GROUP BY d)
+        |SELECT b.bin, b.nb AS n, b.pb AS purchases,
+        |  CAST((b.pb * 1000000) // b.nb AS BIGINT) AS rate_e6,
+        |  CAST(iso.g // 1000000 AS BIGINT) AS iso_rate_e6
+        |FROM bins b JOIN iso ON iso.d = b.bin ORDER BY b.bin""".stripMargin,
     // the same coupled floor EWMAs under WITH RECURSIVE; // == div
     "croston_demand" ->
       """WITH RECURSIVE d AS (

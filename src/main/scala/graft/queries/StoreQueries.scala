@@ -1490,7 +1490,40 @@ object StoreQueries {
         col("n"), col("sv_e2"))
   }
 
+  /** SQL `TRUNCATE TABLE` (X256 — `TruncatableTable`): ONE metadata-only
+    * commit drops every data line (no file read/rewritten at any size;
+    * rows stay on disk for time travel until vacuum — the Delta
+    * contract). The journey re-inserts one slice after the truncate, so
+    * the readout proves truncate removed exactly everything and the
+    * table stayed live; `n_versions` pins the commit arithmetic
+    * (CREATE, 2 INSERTs, TRUNCATE, INSERT = 5). */
+  def v2TruncateSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cattrunc", dir)
+    rmTree(root)
+    val cat = s"graft_tr_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_tr_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_tr_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_tr_src WHERE user_id >= 60")
+    spark.sql(s"TRUNCATE TABLE $cat.ev")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_tr_src WHERE user_id < 25")
+    val nVersions = graft.store.Versioned.currentVersion(
+      new File(root, "ev").getAbsolutePath)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("n_versions", lit(nVersions.toLong))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_truncate_sql" -> (v2TruncateSql _),
     "catalog_knn_sql" -> (catalogKnnSql _),
     "catalog_ctas" -> (catalogCtas _),
     "catalog_maintenance" -> (catalogMaintenance _),
@@ -1531,6 +1564,13 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // post-truncate content == the re-inserted slice alone; 5 commits
+    "v2_truncate_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM events WHERE user_id < 25
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical to knn_sql's oracle: the catalog route must reproduce the
     // library route digit-for-digit
     "catalog_knn_sql" ->

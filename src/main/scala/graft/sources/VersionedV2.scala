@@ -247,7 +247,15 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
     msg: MessageType) extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` — one metadata-only commit dropping every data
+    * line ([[Versioned.truncate]]); no file IO at any size. */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty, "graft-versioned: cannot TRUNCATE AS OF a version")
+    Versioned.truncate(path) > 0
+  }
   private val schemaV = VersionedV2.sparkSchema(msg)
 
   /** `_graft_file` — the serving file's path as a metadata column (the

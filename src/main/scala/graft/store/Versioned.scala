@@ -148,6 +148,34 @@ object Versioned {
     commit(target, 0, external ++ carried)
   }
 
+  /** SQL `TRUNCATE TABLE` (X256): publish a version with EVERY data line
+    * removed — pure metadata, no file read or rewritten at any table
+    * size (rows stay on disk for older versions until vacuum — the
+    * snapshot-isolation contract, identical to Delta's TRUNCATE). The
+    * schema and CHECK markers survive (the empty table stays readable
+    * and constrained); stats/bloom markers retire with the lines they
+    * key. */
+  def truncate(table: String, maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"cannot truncate nonexistent table $table")
+      val lines = Files.readAllLines(manifestFile(table, cur).toPath,
+        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+      val dead = lines.filter(l => !l.startsWith("#") ||
+        l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix))
+      try return commit(table, cur, Seq.empty, dead.toSet)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Does ANY retained manifest of `table` reference a data file under
     * `prefix` by absolute path? True exactly when `table` is a shallow
     * clone (or restore) of the table at `prefix` — the guard

@@ -463,4 +463,44 @@ class EventQueriesSpec extends SparkSpec {
     // click is never on a converting path: zero removal effect
     assert(fixpoint(pcnt, Some("click")) == pbase)
   }
+
+  test("shapley_attribution: conservation, symmetry and a local replay") {
+    val hour = 3600000000L
+    def mk(rows: Seq[(Long, String, Long, Long)]) =
+      rows.map { case (u, t, e, us) => (u, t, e, ts(us), 10.0) }
+        .toDF("user_id", "event_type", "event_id", "ts", "value")
+    // u1: click+view before purchase; u2: click only; u3: all three
+    val rows = Seq(
+      (1L, "click", 1L, 1L * hour), (1L, "view", 2L, 2L * hour),
+      (1L, "purchase", 3L, 3L * hour),
+      (2L, "click", 4L, 1L * hour), (2L, "purchase", 5L, 2L * hour),
+      (3L, "click", 6L, 1L * hour), (3L, "view", 7L, 2L * hour),
+      (3L, "signup", 8L, 3L * hour), (3L, "purchase", 9L, 4L * hour))
+    val got = EventQueries.shapleyAttributionOf(mk(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // conservation: Σφ·6 = 6·v(N) = 6·3 converted purchases
+    assert(got.values.sum == 18L)
+    // local replay — masks: u1 → {c,v}, u2 → {c}, u3 → {c,v,s}
+    // v: {c}=1, {c,v}=2, {c,s}=1, {v,s}=0, N=3, singles v/s = 0
+    // φ_c·6 = 2·1 + [v(cv)−v(v)] + [v(cs)−v(s)] + 2·[3−v(vs)]
+    //       = 2 + 2 + 1 + 6 = 11
+    // φ_v·6 = 0 + [2−1] + [0−0] + 2·[3−1] = 5
+    // φ_s·6 = 0 + [1−1] + [0−0] + 2·[3−2] = 2
+    assert(got == Map("click" -> 11L, "view" -> 5L, "signup" -> 2L), got)
+    // symmetry axiom: two channels that always co-occur split equally
+    val sym = Seq(
+      (1L, "click", 1L, 1L * hour), (1L, "view", 2L, 2L * hour),
+      (1L, "purchase", 3L, 3L * hour),
+      (2L, "click", 4L, 1L * hour), (2L, "view", 5L, 2L * hour),
+      (2L, "purchase", 6L, 3L * hour))
+    val s = EventQueries.shapleyAttributionOf(mk(sym)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s("click") == s("view") && s("click") + s("view") == 12L)
+    // a touch outside the 7-day window attributes nothing
+    val stale = Seq(
+      (1L, "click", 1L, 1L * hour),
+      (1L, "purchase", 2L, 9L * 24 * hour))
+    assert(EventQueries.shapleyAttributionOf(mk(stale)).collect()
+      .forall(_.getLong(1) == 0L))
+  }
 }

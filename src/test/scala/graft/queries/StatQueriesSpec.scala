@@ -19,6 +19,92 @@ class StatQueriesSpec extends SparkSpec {
       .withColumn("props", lit("{}"))
       .drop("ts_s")
 
+  test("gini_concentration: equal shares → 0; winner-takes-all → (n−1)/n") {
+    def mk(revs: Seq[Long]) = mkEvents(revs.zipWithIndex.map { case (r, u) =>
+      (u.toLong, u.toLong, "purchase", r / 100.0, "2024-01-05 00:00:00") })
+    val eq = StatQueries.giniConcentrationOf(mk(Seq.fill(10)(5000L))).head()
+    assert(eq.getLong(2) == 0L, s"equal shares gini=${eq.getLong(2)}")
+    // one user holds everything (others hold 1 cent so they exist):
+    // G → (Σi·x term) — exact local replay is the pin
+    val revs = Seq.fill(9)(1L) :+ 100000L
+    val got = StatQueries.giniConcentrationOf(mk(revs)).head()
+    val xs = revs.sorted
+    val n = BigInt(xs.length); val t = BigInt(xs.sum)
+    val r = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    assert(got.getLong(2) == ((BigInt(2) * r - (n + 1) * t) * 1000000 / (n * t)).toLong)
+    // fixture replay: banded ranks must equal the plain global rank
+    val fix = graft.Tables.events(spark, sfDir).filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("x"))
+      .as[(Long, Long)].collect().map(_._2).sorted
+    val fn = BigInt(fix.length); val ft = fix.map(BigInt(_)).sum
+    val fr = fix.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gotFix = StatQueries.giniConcentration(spark, sfDir).head()
+    assert(gotFix.getLong(2) ==
+      ((BigInt(2) * fr - (fn + 1) * ft) * 1000000 / (fn * ft)).toLong)
+  }
+
+  test("js_divergence: identical halves → 0; disjoint mixes → ln 2") {
+    // same mix both halves: every contribution is exactly 0
+    val same = (0 until 200).map { i =>
+      val day = if (i % 2 == 0) "2024-01-05" else "2024-01-25"
+      (i.toLong, i.toLong, if (i % 4 < 2) "click" else "view", 10.0,
+        s"$day 00:00:00")
+    }
+    assert(StatQueries.jsDivergenceOf(mkEvents(same)).collect()
+      .forall(_.getLong(3) == 0L))
+    // disjoint supports: each type's contribution is ½·p·ln2 per side →
+    // summed over types both sides = ln 2 (scaled 1e6 = 693147)
+    val disj = (0 until 200).map { i =>
+      val h1 = i % 2 == 0
+      (i.toLong, i.toLong, if (h1) "click" else "view", 10.0,
+        (if (h1) "2024-01-05" else "2024-01-25") + " 00:00:00")
+    }
+    val contribs = StatQueries.jsDivergenceOf(mkEvents(disj)).collect()
+      .map(_.getLong(3))
+    assert(math.abs(contribs.sum - 693147L) <= 2, contribs.mkString(","))
+  }
+
+  test("ab_power: local formula replay; MDE shrinks with variance") {
+    val vals = graft.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select(expr("CAST(round(value*100) AS BIGINT)")).as[Long].collect()
+    val n = vals.length.toDouble
+    val s = vals.sum.toDouble
+    val q = vals.map(v => BigInt(v) * v).sum.toDouble
+    val varE4 = q / n - math.pow(s / n, 2)
+    val z = 1.959964 + 0.841621
+    val nReq = math.ceil(z * z * 2.0 * varE4 / math.pow(0.05 * s / n, 2)).toLong
+    val got = StatQueries.abPower(spark, sfDir).head()
+    assert(got.getLong(0) == vals.length.toLong)
+    assert(got.getLong(1) == nReq, s"${got.getLong(1)} vs $nReq")
+    assert(got.getLong(2) > 0)
+  }
+
+  test("isotonic_calibration: output is monotone; PAVA pooling is exact") {
+    // planted non-monotone rates: bins 0..2 with rates 0.5, 0.1, 0.3 —
+    // PAVA pools the whole run: adding .1 violates (.5 > .1) → pool to
+    // (50+10)/200 = .3; bin 2's .3 neither raises nor splits it → the
+    // non-decreasing fit is (.3, .3, .3) (minimax replay agrees)
+    val rows = (0 until 300).map { i =>
+      val bin = i / 100 // 100 rows per bin, values 25 / 75 / 125
+      val purchase = (bin, i % 100) match {
+        case (0, r) => r < 50
+        case (1, r) => r < 10
+        case (2, r) => r < 30
+      }
+      (i.toLong, i.toLong, if (purchase) "purchase" else "view",
+        bin * 50.0 + 25.0, "2024-01-05 00:00:00")
+    }
+    val got = StatQueries.isotonicCalibrationOf(mkEvents(rows)).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0, 500000L, 300000L), (1, 100000L, 300000L),
+      (2, 300000L, 300000L)))
+    // fixture: the fitted curve is non-decreasing by construction
+    val fix = StatQueries.isotonicCalibration(spark, sfDir).collect()
+      .map(_.getLong(4))
+    assert(fix.zip(fix.tail).forall { case (a, b) => a <= b }, fix.mkString(","))
+  }
+
   // -------------------------------------- croston / spearman / obf / rfm
 
   test("croston_demand: planted intermittent series folds exactly") {

@@ -621,6 +621,22 @@ class VersionedV2Spec extends SparkSpec {
     intercept[Exception](spark.sql(s"CALL $cat.system.nope('m')"))
   }
 
+  test("TRUNCATE TABLE: metadata-only, time travel intact, table stays live") {
+    val (cat, root) = catalogFor("trunc")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 100, 1, 1)")
+    val files = Versioned.files(s"$root/t")
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head.getLong(0) == 0)
+    // metadata-only: the data files still exist on disk for time travel
+    assert(files.forall(f => new java.io.File(f).exists()))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 2")
+      .head.getLong(0) == 100)
+    // the empty table keeps its schema and accepts new inserts
+    spark.sql(s"INSERT INTO $cat.t VALUES (7)")
+    assert(spark.sql(s"SELECT * FROM $cat.t").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("rename guard: a shallow-clone SOURCE refuses to rename") {
     val (cat, root) = catalogFor("ren")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id FROM range(0, 10, 1, 1)")
