@@ -1522,7 +1522,55 @@ object StoreQueries {
       .withColumn("n_versions", lit(nVersions.toLong))
   }
 
+  /** ANSI `ALTER TABLE ... ADD CONSTRAINT ... CHECK` as pure SQL (X257
+    * — `TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT` routing onto
+    * the store's validated CHECK markers): the constraint validates
+    * EXISTING rows at ADD time, then gates every subsequent commit —
+    * the journey proves all three acts: a violating INSERT throws (the
+    * store's commit gate, not best-effort), a conforming INSERT lands,
+    * and adding a constraint the CURRENT data violates is itself
+    * rejected. `gate_fired`/`retro_rejected` export the observed
+    * behavior for the oracle's TRUE literals. */
+  def catalogConstraintSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catck", dir)
+    rmTree(root)
+    val cat = s"graft_ck_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_ck_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_ck_src WHERE user_id < 50")
+    spark.sql(s"ALTER TABLE $cat.ev ADD CONSTRAINT nonneg CHECK (v_e2 >= 0)")
+    val path = new File(root, "ev").getAbsolutePath
+    // a violating INSERT must FAIL at the store's commit gate (the
+    // readout aggregate separately proves the row never landed)
+    val gateFired =
+      try { spark.sql(s"INSERT INTO $cat.ev VALUES (0, 0, 'bad', -1)"); false }
+      catch { case _: Throwable => true }
+    // conforming rows still land
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_ck_src WHERE user_id >= 50")
+    // retroactive violation: a constraint the current data breaks is
+    // rejected at ADD time (Delta's validate-first contract) — detected
+    // STRUCTURALLY: it threw AND no marker was recorded
+    val retroRejected =
+      (try { spark.sql(
+          s"ALTER TABLE $cat.ev ADD CONSTRAINT tiny CHECK (v_e2 < 10)"); false }
+        catch { case _: Throwable => true }) &&
+      !graft.store.Versioned.constraintsOf(path).exists(_._1 == "tiny")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("gate_fired", lit(gateFired))
+      .withColumn("retro_rejected", lit(retroRejected))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_constraint_sql" -> (catalogConstraintSql _),
     "v2_truncate_sql" -> (v2TruncateSql _),
     "catalog_knn_sql" -> (catalogKnnSql _),
     "catalog_ctas" -> (catalogCtas _),
@@ -1564,6 +1612,13 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both inserts' rows survive; the violating row never landed and the
+    // retroactive constraint never recorded — TRUE literals pin both
+    "catalog_constraint_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2,
+        |  TRUE AS gate_fired, TRUE AS retro_rejected
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // post-truncate content == the re-inserted slice alone; 5 commits
     "v2_truncate_sql" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -101,6 +101,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     existsAt(pathOf(ident))
 
+  /** Declares ANSI-constraint support so the analyzer routes
+    * `ALTER TABLE ... ADD/DROP CONSTRAINT` here ([[alterTable]]). */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -136,10 +143,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           cur.add(org.apache.spark.sql.types.StructField(
             name, add.dataType(), nullable = true))
         }): Unit
+      // ANSI SQL `ALTER TABLE ... ADD CONSTRAINT ck CHECK (expr)` (X257)
+      // onto the store's validated CHECK markers: existing rows are
+      // validated FIRST (a violated constraint is rejected, Delta's
+      // contract) and every subsequent write re-validates — the store's
+      // own commit gate, not a Spark-side best-effort
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Versioned.addConstraint(
+              org.apache.spark.sql.SparkSession.active, path,
+              ck.name(), ck.predicateSql()): Unit
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are enforced, got " +
+              s"${other.toDDL} — unique/pk/fk are informational-only " +
+              "concepts this store does not record")
+        }
+      case drop: TableChange.DropConstraint =>
+        Versioned.dropConstraint(path, drop.name()): Unit
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "top-level ADD COLUMN is supported (rename/constraints go " +
-          "through Versioned.renameColumn/addConstraint)")
+          "top-level ADD COLUMN and CHECK constraints are supported " +
+          "(rename goes through Versioned.renameColumn)")
     }
     loadTable(ident)
   }

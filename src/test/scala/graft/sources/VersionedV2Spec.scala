@@ -637,6 +637,31 @@ class VersionedV2Spec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.t").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("SQL CHECK constraints: validate-first, gate every commit, droppable") {
+    val (cat, root) = catalogFor("ck")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT pos CHECK (v > 0)")
+    assert(Versioned.constraintsOf(s"$root/t").map(_._1) == Seq("pos"))
+    // the gate fires through pure SQL writes
+    intercept[Exception](spark.sql(s"INSERT INTO $cat.t VALUES (3, -5)"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head.getLong(0) == 2)
+    // NULL passes (SQL CHECK: only FALSE rejects)
+    spark.sql(s"INSERT INTO $cat.t VALUES (4, NULL)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head.getLong(0) == 3)
+    // retroactive violation rejected at ADD time
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT low CHECK (v < 15)"))
+    assert(Versioned.constraintsOf(s"$root/t").map(_._1) == Seq("pos"))
+    // DROP CONSTRAINT releases the gate
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT pos")
+    spark.sql(s"INSERT INTO $cat.t VALUES (5, -1)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head.getLong(0) == 4)
+    // non-CHECK constraint shapes reject loudly
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT u UNIQUE (id)"))
+  }
+
   test("rename guard: a shallow-clone SOURCE refuses to rename") {
     val (cat, root) = catalogFor("ren")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id FROM range(0, 10, 1, 1)")
