@@ -1638,7 +1638,72 @@ object EventQueries {
       .orderBy(col("channel"))
   }
 
+  /** Association rules over per-user behavior baskets (X260) — classic
+    * market-basket mining (Agrawal & Srikant 1994's support/confidence
+    * plus lift) on the "which event types does a user exhibit" basket:
+    * for every DIRECTED type pair a→b, how often do a-users also do b,
+    * and is that more than independence predicts. All three metrics are
+    * EXACT integer ratios (counts of distinct users; e6 floor exports).
+    * Shape: one distinct (user, type) projection (user-keyed partial
+    * agg), one self-join on user whose output is bounded by
+    * |types|²·|users| pair instances collapsing immediately to the
+    * ≤20-row rule grid — at open type cardinality the same pipeline
+    * df-caps types first (the postings stop-list discipline). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables.events(spark, dir))
+
+  def assocRulesOf(ev: DataFrame): DataFrame = {
+    val u = ev.select(col("user_id"), col("event_type").as("t")).distinct()
+    val perType = u.groupBy(col("t")).agg(count(lit(1)).as("ut"))
+    val n = u.select(col("user_id")).distinct().agg(count(lit(1)).as("n"))
+    u.as("a").join(u.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") =!= col("b.t"))
+      .groupBy(col("a.t").as("ante"), col("b.t").as("conseq"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("t").as("ante"), col("ut").as("ua"))),
+        "ante")
+      .join(broadcast(perType.select(col("t").as("conseq"), col("ut").as("ub"))),
+        "conseq")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("conseq"), col("n_both"),
+        expr("(n_both * 1000000) div ua").as("confidence_e6"),
+        expr("(n * n_both * 1000000) div (ua * ub)").as("lift_e6"))
+      .orderBy(col("ante"), col("conseq"))
+  }
+
+  /** Empirical entropy rate of the per-user event-type Markov chain
+    * (X261) — how predictable is the NEXT action given the current one
+    * (Shannon 1948's source entropy on the [[eventTransitions]]
+    * transition counts): Σᵢⱼ (cᵢⱼ/T)·ln(rᵢ/cᵢⱼ), exported per cell so
+    * there is no cross-engine sum-order ambiguity. The ratio inside the
+    * one ln is EXACT (row count over cell count); weights quantize at
+    * e6. Transitions come from a lag window PARTITIONED on user_id (a
+    * key that grows with data), ordered (ts, event_id) for tie
+    * determinism; the cell grid is |types|²-bounded. */
+  def markovEntropyRate(spark: SparkSession, dir: String): DataFrame =
+    markovEntropyRateOf(Tables.events(spark, dir))
+
+  def markovEntropyRateOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cells = ev
+      .select(col("user_id"), col("event_type").as("nxt"),
+        lag(col("event_type"), 1).over(w).as("prv"))
+      .filter(col("prv").isNotNull)
+      .groupBy(col("prv"), col("nxt")).agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy(col("prv")).agg(sum(col("c")).as("r"))
+    val total = cells.agg(sum(col("c")).as("tt"))
+    cells.join(broadcast(rows), "prv").crossJoin(broadcast(total))
+      .select(col("prv"), col("nxt"), col("c"),
+        expr("""CAST(round(CAST(c AS DOUBLE) / tt
+          |* ln(CAST(r AS DOUBLE) / c) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("h_contrib_e6"))
+      .orderBy(col("prv"), col("nxt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules" -> (assocRules _),
+    "markov_entropy_rate" -> (markovEntropyRate _),
     "shapley_attribution" -> (shapleyAttribution _),
     "autocorr" -> (autocorr _),
     "seasonality_index" -> (seasonalityIndex _),
@@ -1876,6 +1941,41 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_credits,
         |  CAST(SUM(credit) AS BIGINT) AS attr_rev_e2
         |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distinct-user baskets; all three metrics exact integer ratios
+    "assoc_rules" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+        |pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ut FROM u GROUP BY t),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM u),
+        |pairs AS (
+        |  SELECT a.t AS ante, b.t AS conseq, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.t <> b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.ante, p.conseq, p.n_both,
+        |  CAST((p.n_both * 1000000) // ua.ut AS BIGINT) AS confidence_e6,
+        |  CAST((n.n * p.n_both * 1000000) // (ua.ut * ub.ut) AS BIGINT)
+        |    AS lift_e6
+        |FROM pairs p
+        |JOIN pt ua ON ua.t = p.ante
+        |JOIN pt ub ON ub.t = p.conseq
+        |CROSS JOIN n
+        |ORDER BY p.ante, p.conseq""".stripMargin,
+    // lag-window transitions, exact row/cell ratio inside the one ln
+    "markov_entropy_rate" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prv,
+        |    event_type AS nxt
+        |  FROM events),
+        |cells AS (SELECT prv, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tr WHERE prv IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prv, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY prv),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM cells)
+        |SELECT cells.prv, cells.nxt, cells.c,
+        |  CAST(round(CAST(cells.c AS DOUBLE) / t.tt
+        |    * ln(CAST(r.r AS DOUBLE) / cells.c) * 1000000) AS BIGINT)
+        |    AS h_contrib_e6
+        |FROM cells JOIN r ON r.prv = cells.prv CROSS JOIN t
+        |ORDER BY cells.prv, cells.nxt""".stripMargin,
     // exact sixths: with 3 channels every Shapley weight is k/6
     "shapley_attribution" ->
       """WITH p AS (

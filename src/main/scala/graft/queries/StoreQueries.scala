@@ -1569,7 +1569,38 @@ object StoreQueries {
       .withColumn("retro_rejected", lit(retroRejected))
   }
 
+  /** Column DEFAULT values as pure SQL (X259 —
+    * `SUPPORT_COLUMN_DEFAULT_VALUE`): `CREATE TABLE` records the default
+    * expressions in the schema-marker FIELD METADATA (the marker
+    * StructType serves verbatim through `loadTable`, so the analyzer
+    * fills omitted INSERT columns — no engine-side machinery). The
+    * journey inserts one slice OMITTING event_type/v_e2 (both default)
+    * and one full slice; the readout proves defaulted and explicit rows
+    * coexist. */
+  def catalogDefaultsSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catdflt", dir)
+    rmTree(root)
+    val cat = s"graft_df_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_df_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING DEFAULT 'unrecorded', v_e2 BIGINT DEFAULT 0)")
+    spark.sql(s"INSERT INTO $cat.ev (event_id, user_id) " +
+      "SELECT event_id, user_id FROM graft_df_src WHERE user_id < 40")
+    spark.sql(s"INSERT INTO $cat.ev " +
+      "SELECT * FROM graft_df_src WHERE user_id >= 40")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_defaults_sql" -> (catalogDefaultsSql _),
     "catalog_constraint_sql" -> (catalogConstraintSql _),
     "v2_truncate_sql" -> (v2TruncateSql _),
     "catalog_knn_sql" -> (catalogKnnSql _),
@@ -1612,6 +1643,17 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // slice 1's omitted columns read as their defaults; slice 2 explicit
+    "catalog_defaults_sql" ->
+      """WITH t AS (
+        |  SELECT 'unrecorded' AS event_type, CAST(0 AS BIGINT) AS v_e2
+        |  FROM events WHERE user_id < 40
+        |  UNION ALL
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+        |  FROM events WHERE user_id >= 40)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // both inserts' rows survive; the violating row never landed and the
     // retroactive constraint never recorded — TRUE literals pin both
     "catalog_constraint_sql" ->

@@ -339,6 +339,85 @@ object SurfaceQueries {
       .orderBy(col("day"))
   }
 
+  /** Stream-stream FULL OUTER interval join (X258) — completing the
+    * streaming join family (inner and left-outer exist): purchases ⟗
+    * signups within 24 h on both watermarked streams, so BOTH sides'
+    * unmatched rows emit as state evicts (a signup that never converted
+    * AND a purchase with no recent signup — the two halves a funnel
+    * audit needs in one pass; left-outer alone silently drops the
+    * never-converted signups). Same staging discipline as
+    * [[streamJoinOuter]]: per-side sentinel advancers push the GLOBAL
+    * watermark (min across streams) past every real row so eviction
+    * completes within the replay; `Trigger.AvailableNow`'s final flush
+    * batch drains the state store. The declared readout classifies
+    * matched / purchase-only / signup-only per day and must equal the
+    * batch full-outer oracle exactly — delivery completeness is the
+    * assertion. */
+  def streamJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sfj-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val sigDir = java.nio.file.Files.createDirectory(tmp.resolve("sig"))
+    val purDir = java.nio.file.Files.createDirectory(tmp.resolve("pur"))
+    val ev = Tables.events(spark, dir)
+    def head(t: String) = ev
+      .filter(col("event_type") === t && col("ts") < lit("2024-01-21").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def advancer(t: String, sentinel: Long) = head(t)
+      .agg(max(col("ts")).as("ts"))
+      .select(lit(sentinel).as("user_id"),
+        (col("ts") + expr("interval 20 days")).as("ts"),
+        lit(sentinel).as("event_id"))
+    def stage(dirP: java.nio.file.Path, name: String, df: DataFrame, ageSec: Long): Unit = {
+      val st = tmp.resolve(s"${dirP.getFileName}-$name-stage")
+      df.coalesce(1).write.parquet(st.toString)
+      val part = java.nio.file.Files.list(st)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dirP.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(sigDir, "head.parquet", head("signup"), 300)
+    stage(sigDir, "adv.parquet", advancer("signup", -1L), 200)
+    stage(purDir, "head.parquet", head("purchase"), 300)
+    stage(purDir, "adv.parquet", advancer("purchase", -2L), 200)
+    val schema = spark.read.parquet(sigDir.toString).schema
+    val s = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sigDir.toString)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    val p = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(purDir.toString)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val out = s"$tmp/joined"
+    withShufflePartitions(spark, 4) {
+      val q = p.join(s,
+          col("p_user") === col("s_user") && col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"), "full_outer")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      // either side's sentinel advancer may surface unmatched — drop both
+      .filter(coalesce(col("p_user"), lit(0L)) >= 0 &&
+        coalesce(col("s_user"), lit(0L)) >= 0)
+      .groupBy(to_date(coalesce(col("p_ts"), col("s_ts"))).as("day"))
+      .agg(sum(when(col("purchase_id").isNotNull && col("signup_id").isNotNull,
+          1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("signup_id").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_signup_only"))
+      .orderBy(col("day"))
+  }
+
   /** Streaming CDC-apply upsert under the oracle gate
     * ([[graft.streaming.Streams.upsertStream]]): the events stream lands
     * in a [[graft.store.Versioned]] table as "latest state per user",
@@ -685,6 +764,7 @@ object SurfaceQueries {
     "stream_late_audit" -> (streamLateAudit _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_join_full" -> (streamJoinFull _),
     "stream_upsert" -> (streamUpsert _),
     "salted_agg" -> (saltedAgg _)
   )
@@ -707,6 +787,29 @@ object SurfaceQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming full-outer must equal the batch full-outer over the
+    // same head slices: matched pairs, never-signed-up purchases AND
+    // never-converted signups all delivered exactly once
+    "stream_join_full" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-21'),
+        |p AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-21'),
+        |j AS (
+        |  SELECT p.ts AS pts, p.event_id AS pid, s.ts AS sts,
+        |    s.event_id AS sid
+        |  FROM p FULL OUTER JOIN s ON s.user_id = p.user_id
+        |    AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOURS)
+        |SELECT CAST(COALESCE(pts, sts) AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN pid IS NOT NULL AND sid IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN sid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_only,
+        |  CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_signup_only
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stateless per-batch enrichment must equal the all-at-once join
     "stream_static_enrich" ->
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,

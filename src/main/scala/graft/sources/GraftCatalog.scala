@@ -95,18 +95,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadVersion(ident: Identifier, version: Option[Int]): Table = {
     val path = pathOf(ident)
     if (!existsAt(path)) throw new NoSuchTableException(ident)
-    new VersionedTable(path, version, VersionedV2.footerSchema(path, version))
+    // hand the marker StructType down VERBATIM: column DEFAULT metadata
+    // (X259) lives in field metadata, which the MessageType round-trip
+    // inside footerSchema strips
+    new VersionedTable(path, version, VersionedV2.footerSchema(path, version),
+      Versioned.schemaOf(path, version))
   }
 
   override def tableExists(ident: Identifier): Boolean =
     existsAt(pathOf(ident))
 
-  /** Declares ANSI-constraint support so the analyzer routes
-    * `ALTER TABLE ... ADD/DROP CONSTRAINT` here ([[alterTable]]). */
+  /** Declares ANSI-constraint support (routes `ALTER TABLE ... ADD/DROP
+    * CONSTRAINT` to [[alterTable]], X257) and column DEFAULT support
+    * (X259 — `CREATE TABLE (c BIGINT DEFAULT 42)` records the default
+    * expression in the schema-marker field metadata; INSERTs omitting
+    * the column fill it analyzer-side from [[loadTable]]'s schema). */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

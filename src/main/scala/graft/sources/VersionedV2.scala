@@ -244,7 +244,9 @@ object VersionedV2 {
 }
 
 private[sources] class VersionedTable(path: String, version: Option[Int],
-    msg: MessageType) extends Table with SupportsRead with SupportsWrite
+    msg: MessageType,
+    recordedSchema: Option[StructType] = None)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -274,7 +276,12 @@ private[sources] class VersionedTable(path: String, version: Option[Int],
       override def comment(): String = "absolute path of the serving data file"
     })
   override def name(): String = s"graft_versioned(`$path`)"
-  override def schema(): StructType = schemaV
+  /** The RECORDED marker schema when the catalog hands one down —
+    * field METADATA (column DEFAULT expressions, X259) survives only
+    * there; the MessageType round-trip strips it. Scan/write internals
+    * keep using the metadata-free footer form (they only need names and
+    * types). */
+  override def schema(): StructType = recordedSchema.getOrElse(schemaV)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava

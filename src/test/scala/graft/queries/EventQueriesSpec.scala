@@ -464,6 +464,45 @@ class EventQueriesSpec extends SparkSpec {
     assert(fixpoint(pcnt, Some("click")) == pbase)
   }
 
+  test("assoc_rules: planted baskets give the exact textbook metrics") {
+    val hour = 3600000000L
+    val rows = Seq( // u1,u2: {click,view}; u3: {click}; u4: {view}
+      (1L, "click", 1L, 1L * hour), (1L, "view", 2L, 2L * hour),
+      (2L, "click", 3L, 1L * hour), (2L, "view", 4L, 2L * hour),
+      (3L, "click", 5L, 1L * hour), (4L, "view", 6L, 1L * hour))
+      .map { case (u, t, e, us) => (u, t, e, ts(us), 1.0) }
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val got = EventQueries.assocRulesOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // click→view: both=2, conf=2/3, lift=4·2/(3·3)=8/9 (floored e6)
+    assert(got.toSeq == Seq(
+      ("click", "view", 2L, 666666L, 888888L),
+      ("view", "click", 2L, 666666L, 888888L)), got.mkString(","))
+  }
+
+  test("markov_entropy_rate: deterministic chain → 0; fair coin → ln 2") {
+    val hour = 3600000000L
+    def mk(types: Seq[String]) = types.zipWithIndex
+      .map { case (t, i) => (1L, t, i.toLong, ts((i + 1) * hour), 1.0) }
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    // strict alternation: every row's next state is certain → 0 bits
+    val det = EventQueries.markovEntropyRateOf(
+      mk(Seq("a", "b", "a", "b", "a", "b"))).collect()
+    assert(det.forall(_.getLong(3) == 0L))
+    // from 'a', next is b or c with equal counts: Σ contributions = ln 2
+    // (weighted by the a-row mass; here every transition leaves a... use
+    // a→b, b→a, a→c, c→a, a→b, b→a, a→c, c→a pattern)
+    val coin = EventQueries.markovEntropyRateOf(
+      mk(Seq("a", "b", "a", "c", "a", "b", "a", "c", "a"))).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    // b→a and c→a are deterministic: 0; a→b and a→c each carry
+    // (2/8)·ln(4/2) = ln2/4 ≈ 173286
+    assert(coin(("b", "a")) == 0L && coin(("c", "a")) == 0L)
+    assert(math.abs(coin(("a", "b")) - 173286L) <= 1)
+    assert(math.abs(coin(("a", "c")) - 173286L) <= 1)
+  }
+
   test("shapley_attribution: conservation, symmetry and a local replay") {
     val hour = 3600000000L
     def mk(rows: Seq[(Long, String, Long, Long)]) =

@@ -662,6 +662,20 @@ class VersionedV2Spec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT u UNIQUE (id)"))
   }
 
+  test("column DEFAULTs: CREATE-time defaults fill omitted INSERT columns") {
+    val (cat, _) = catalogFor("dflt")
+    spark.sql(s"CREATE TABLE $cat.t " +
+      "(id BIGINT, tag STRING DEFAULT 'fresh', score BIGINT DEFAULT 100)")
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t (id, tag) VALUES (2, 'custom')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'full', 7)")
+    spark.sql(s"INSERT INTO $cat.t (id, score) VALUES (4, DEFAULT)")
+    val got = spark.sql(s"SELECT * FROM $cat.t ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "fresh", 100L), (2L, "custom", 100L),
+      (3L, "full", 7L), (4L, "fresh", 100L)), got)
+  }
+
   test("rename guard: a shallow-clone SOURCE refuses to rename") {
     val (cat, root) = catalogFor("ren")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id FROM range(0, 10, 1, 1)")
