@@ -1599,7 +1599,46 @@ object StoreQueries {
          |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** `CALL system.clone` + `CALL system.restore` (X262) — Delta's
+    * CLONE/RESTORE verbs completing the procedure surface: a zero-copy
+    * shallow clone freezes the pre-delete state by NAME, a file-pruned
+    * DELETE mutates the source, and a metadata-only RESTORE rolls the
+    * source back — the clone must be unaffected throughout (snapshot
+    * isolation across tables) and the restored source must equal it
+    * again. Version arithmetic pinned: CREATE 1, two INSERTs, delete 4,
+    * restore 5. */
+  def catalogCloneRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catclone", dir)
+    rmTree(root)
+    val cat = s"graft_cl_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_cl_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev2")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_cl_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_cl_src WHERE user_id >= 60")
+    spark.sql(s"CALL $cat.system.clone('ev', 'ev2')")
+    spark.sql(s"DELETE FROM $cat.ev WHERE user_id < 60")
+    val vRestored = spark.sql(s"CALL $cat.system.restore('ev', 3)")
+      .head.getLong(0)
+    spark.sql(
+      s"""SELECT 'ev' AS tbl, event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type
+         |UNION ALL
+         |SELECT 'ev2', event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev2 GROUP BY event_type
+         |ORDER BY tbl, event_type""".stripMargin)
+      .withColumn("v_restored", lit(vRestored))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_clone_restore" -> (catalogCloneRestore _),
     "catalog_defaults_sql" -> (catalogDefaultsSql _),
     "catalog_constraint_sql" -> (catalogConstraintSql _),
     "v2_truncate_sql" -> (v2TruncateSql _),
@@ -1643,6 +1682,18 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both tables read the FULL fixture aggregate: the clone froze the
+    // pre-delete state and the restore rolled the source back to it
+    "catalog_clone_restore" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |  FROM events GROUP BY event_type)
+        |SELECT t.tbl, agg.event_type, agg.n, agg.sv_e2,
+        |  CAST(5 AS BIGINT) AS v_restored
+        |FROM (SELECT 'ev' AS tbl UNION ALL SELECT 'ev2') t
+        |CROSS JOIN agg
+        |ORDER BY t.tbl, agg.event_type""".stripMargin,
     // slice 1's omitted columns read as their defaults; slice 2 explicit
     "catalog_defaults_sql" ->
       """WITH t AS (

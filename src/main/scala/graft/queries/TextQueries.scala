@@ -1089,7 +1089,38 @@ object TextQueries {
       .orderBy(col("pii_class"))
   }
 
+  /** Flesch reading-ease scoring (X263) — the classic readability gate
+    * (Flesch 1948; Kincaid's military-manual recalibration made it the
+    * standard document-quality filter, and LLM data pipelines use it to
+    * band corpora by difficulty): 206.835 − 1.015·(W/S) − 84.6·(Y/W),
+    * with syllables Y approximated by VOWEL-RUN counting (≥1 per word —
+    * the standard heuristic; both engines run the same `[aeiouy]+`
+    * regex, a class primitive with identical semantics). The fixture's
+    * documents carry no sentence punctuation, so S = 1 and the whole
+    * score is one exact integer chain at e3 (the only division
+    * truncates toward zero on both engines). First 50 docs, one row
+    * each — per-doc scoring is embarrassingly parallel at any corpus
+    * size. */
+  def fleschReadability(spark: SparkSession, dir: String): DataFrame =
+    fleschReadabilityOf(Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50))
+
+  def fleschReadabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), greatest(lit(1),
+        size(expr("regexp_extract_all(w, '[aeiouy]+', 0)"))).cast("long")
+        .as("syl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        (lit(206835L) - lit(1015L) * col("n_words") -
+          expr("(84600 * n_syllables) div n_words")).as("flesch_e3"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flesch_readability" -> (fleschReadability _),
     "pii_scan" -> (piiScan _),
     "source_overlap" -> (sourceOverlap _),
     "collocation_lift" -> (collocationLift _),
@@ -1264,6 +1295,23 @@ object TextQueries {
         |ORDER BY issue_class""".stripMargin,
     // same shingle slice; decile cumulative stacks then the identical
     // quantized-ln five-sums OLS
+    // same vowel-run syllable heuristic, same e3 integer chain
+    "flesch_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT doc_id,
+        |    greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS syl
+        |  FROM w WHERE w <> ''),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(syl) AS BIGINT) AS n_syllables
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_syllables,
+        |  CAST(206835 - 1015 * n_words
+        |    - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_e3
+        |FROM d ORDER BY doc_id""".stripMargin,
     "heaps_law" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

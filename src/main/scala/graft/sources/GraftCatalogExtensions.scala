@@ -221,7 +221,8 @@ private[sources] class StagedCreateWrite(table: String, schema: StructType,
 private[sources] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "compact_small", "analyze_stats", "analyze_bloom", "vacuum")
+    Seq("optimize", "compact_small", "analyze_stats", "analyze_bloom",
+      "vacuum", "restore", "clone")
 
   def load(name: String, resolve: String => String): Option[UnboundProcedure] =
     name match {
@@ -251,6 +252,20 @@ private[sources] object GraftProcedures {
         out = Seq("deleted_files" -> LongType),
         (spark, in) => Seq(Versioned.vacuum(resolve(str(in, 0)),
           in.getInt(1), in.getLong(2)).toLong)))
+      // Delta's RESTORE: republish an old version's manifest as the new
+      // head — pure metadata (works only while the target's files
+      // survive vacuum, the documented contract)
+      case "restore" => Some(proc(name,
+        Seq(p("table", StringType), p("to_version", IntegerType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.restore(resolve(str(in, 0)),
+          in.getInt(1)).toLong)))
+      // zero-copy shallow clone into a sibling table of the same catalog
+      case "clone" => Some(proc(name,
+        Seq(p("source", StringType), p("target", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.shallowClone(resolve(str(in, 0)),
+          resolve(str(in, 1))).toLong)))
       case _ => None
     }
 

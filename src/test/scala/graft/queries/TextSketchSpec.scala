@@ -186,4 +186,21 @@ class TextSketchSpec extends SparkSpec {
       assert(p95 >= p50)
     }
   }
+
+  test("flesch_readability: hand-counted syllables; harder text scores lower") {
+    // "table" -> a+e = 2 runs; "key" -> e+y?? 'ey' is ONE run; "a" -> 1;
+    // "query" -> ue+y = 2; "stream" -> ea = 1
+    val docs = Seq(
+      (0L, "a a a a"),                 // 4 words, 4 syllables
+      (1L, "table query table query")  // 4 words, 8 syllables
+    ).toDF("doc_id", "text")
+    val got = TextQueries.fleschReadabilityOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // flesch_e3 = 206835 - 1015*W - (84600*Y) div W
+    assert(got.toSeq == Seq(
+      (0L, 4L, 4L, 206835L - 1015 * 4 - 84600 * 4 / 4),
+      (1L, 4L, 8L, 206835L - 1015 * 4 - 84600 * 8 / 4)))
+    // more syllables per word = lower ease, as the formula demands
+    assert(got(1)._4 < got(0)._4)
+  }
 }

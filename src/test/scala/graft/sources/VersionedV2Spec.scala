@@ -676,6 +676,25 @@ class VersionedV2Spec extends SparkSpec {
       (3L, "full", 7L), (4L, "fresh", 100L)), got)
   }
 
+  test("procedures: clone freezes, restore rolls back, both pure metadata") {
+    val (cat, root) = catalogFor("clres")
+    spark.sql(s"CREATE TABLE $cat.s (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.s SELECT id FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $cat.s SELECT id FROM range(100, 150, 1, 1)")
+    assert(spark.sql(s"CALL $cat.system.clone('s', 's2')").head.getLong(0) == 1)
+    val dataBytes = Versioned.files(s"$root/s").map(f =>
+      new java.io.File(f).length()).sum
+    // zero-copy: the clone dir holds NO data bytes of its own
+    val cloneLocal = Option(new java.io.File(s"$root/s2").listFiles())
+      .getOrElse(Array.empty).filter(_.isFile)
+    assert(cloneLocal.isEmpty && dataBytes > 0)
+    spark.sql(s"DELETE FROM $cat.s WHERE id >= 100")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.s").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.s2").head.getLong(0) == 150)
+    assert(spark.sql(s"CALL $cat.system.restore('s', 3)").head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.s").head.getLong(0) == 150)
+  }
+
   test("rename guard: a shallow-clone SOURCE refuses to rename") {
     val (cat, root) = catalogFor("ren")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id FROM range(0, 10, 1, 1)")
