@@ -1525,7 +1525,85 @@ object StatQueries {
       .orderBy(col("bin"))
   }
 
+  /** Odds ratio / relative risk with Wald CI (X264) — the 2×2
+    * case-control readout (exposure = high-value event, outcome =
+    * purchase) every epidemiology-style product analysis starts from:
+    * OR = ad/bc as an EXACT e6 integer ratio, RR likewise, and the
+    * 95% CI on ln OR via Wald's ±1.96·√(1/a+1/b+1/c+1/d) as ONE
+    * mirrored double chain over the four exact cell counts. One
+    * partial-aggregated scan builds the cells. */
+  def oddsRatio(spark: SparkSession, dir: String): DataFrame =
+    oddsRatioOf(Tables.events(spark, dir))
+
+  def oddsRatioOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    events
+      .select((col("value") > 250).cast("int").as("hi"),
+        (col("event_type") === "purchase").cast("int").as("y"))
+      .agg(sum(expr("hi * y")).as("a"), sum(expr("hi * (1 - y)")).as("b"),
+        sum(expr("(1 - hi) * y")).as("c"),
+        sum(expr("(1 - hi) * (1 - y)")).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr(s"CAST(CAST(a AS $d38) * d * 1000000 div (CAST(b AS $d38) * c)" +
+          " AS BIGINT)").as("or_e6"),
+        expr(s"CAST(CAST(a AS $d38) * (c + d) * 1000000" +
+          s" div (CAST(c AS $d38) * (a + b)) AS BIGINT)").as("rr_e6"),
+        expr("""CAST(round((
+          |  ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+          |  - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000)
+          |AS BIGINT)""".stripMargin.replace("\n", " ")).as("ln_or_ci_lo_e6"),
+        expr("""CAST(round((
+          |  ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+          |  + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000)
+          |AS BIGINT)""".stripMargin.replace("\n", " ")).as("ln_or_ci_hi_e6"))
+  }
+
+  /** ABC / Pareto classification (X265) — the 80/15/5 revenue-band
+    * segmentation (A while cumulative share ≤ 80%, B to 95%, C the
+    * tail): the inventory-analysis classic, all INTEGER threshold
+    * compares (cum·100 vs T·80 — no share division ever happens).
+    * SCALE: the descending cumulative revenue is the gini_concentration
+    * recipe inverted — band-partitioned local cumsums + broadcast
+    * band-offset sums, never a global-sort window; (x desc, user_id)
+    * tie order is pinned on both engines. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame =
+    abcClassificationOf(Tables.events(spark, dir))
+
+  def abcClassificationOf(events: DataFrame): DataFrame = {
+    val u = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("x"))
+      .withColumn("band", expr("x div 10000"))
+    val bandSums = u.groupBy(col("band")).agg(sum(col("x")).as("bx"))
+      .localCheckpoint()
+    // revenue landing in STRICTLY HIGHER bands precedes every row of
+    // this band in the descending order
+    val offsets = bandSums.as("a")
+      .join(bandSums.as("b"), col("b.band") > col("a.band"), "left")
+      .groupBy(col("a.band").as("band"))
+      .agg(coalesce(sum(col("b.bx")), lit(0L)).as("off"))
+    val cum = u
+      .withColumn("lc", sum(col("x")).over(Window.partitionBy(col("band"))
+        .orderBy(col("x").desc, col("user_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "band")
+      .select(col("x"), (col("off") + col("lc")).as("cum"))
+    cum
+      .crossJoin(broadcast(cum.agg(max(col("cum")).as("t"))))
+      .select(col("x"),
+        when(col("cum") * 100 <= col("t") * 80, "A")
+          .when(col("cum") * 100 <= col("t") * 95, "B")
+          .otherwise("C").as("cls"), col("t"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("rev_e2"),
+        expr("(SUM(x) * 1000000) div MAX(t)").as("share_e6"))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "odds_ratio" -> (oddsRatio _),
+    "abc_classification" -> (abcClassification _),
     "croston_demand" -> (crostonDemand _),
     "spearman_daily" -> (spearmanDaily _),
     "obf_sequential" -> (obfSequential _),
@@ -1558,6 +1636,46 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // four exact cells; the one double chain mirrors term-for-term
+    "odds_ratio" ->
+      """WITH cells AS (SELECT
+        |  CAST(SUM(CASE WHEN value > 250 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN value > 250 AND event_type <> 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN value <= 250 AND event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN value <= 250 AND event_type <> 'purchase'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |FROM events)
+        |SELECT a, b, c, d,
+        |  CAST(CAST(a AS HUGEINT) * d * 1000000
+        |    // (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_e6,
+        |  CAST(CAST(a AS HUGEINT) * (c + d) * 1000000
+        |    // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT) AS rr_e6,
+        |  CAST(round((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |    - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000)
+        |    AS BIGINT) AS ln_or_ci_lo_e6,
+        |  CAST(round((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |    + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000)
+        |    AS BIGINT) AS ln_or_ci_hi_e6
+        |FROM cells""".stripMargin,
+    // global desc cumsum oracle-side; the engine banded it
+    "abc_classification" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (SELECT x, CAST(SUM(x) OVER (ORDER BY x DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM u),
+        |t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM u)
+        |SELECT CASE WHEN cum * 100 <= t.t * 80 THEN 'A'
+        |    WHEN cum * 100 <= t.t * 95 THEN 'B' ELSE 'C' END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS rev_e2,
+        |  CAST((SUM(x) * 1000000) // MAX(t.t) AS BIGINT) AS share_e6
+        |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // a plain global rank is fine ORACLE-side; the engine banded it
     "gini_concentration" ->
       """WITH u AS (

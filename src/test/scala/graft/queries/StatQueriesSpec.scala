@@ -105,6 +105,49 @@ class StatQueriesSpec extends SparkSpec {
     assert(fix.zip(fix.tail).forall { case (a, b) => a <= b }, fix.mkString(","))
   }
 
+  test("odds_ratio: hand-built 2x2 gives the textbook OR/RR and CI") {
+    // hi: 40 purchase + 60 other; lo: 20 purchase + 80 other
+    val rows = (0 until 200).map { i =>
+      val hi = i < 100
+      val purch = if (hi) i % 100 < 40 else i % 100 < 20
+      (i.toLong, i.toLong, if (purch) "purchase" else "view",
+        if (hi) 300.0 else 100.0, "2024-01-05 00:00:00")
+    }
+    val r = StatQueries.oddsRatioOf(mkEvents(rows)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((40L, 60L, 20L, 80L)))
+    // OR = 40·80/(60·20) = 8/3; RR = (40/100)/(20/100) = 2
+    assert(r.getLong(4) == 40L * 80 * 1000000 / (60 * 20))
+    assert(r.getLong(5) == 2000000L)
+    val lnOr = math.log(40.0 * 80 / (60.0 * 20))
+    val half = 1.959964 * math.sqrt(1.0 / 40 + 1.0 / 60 + 1.0 / 20 + 1.0 / 80)
+    assert(r.getLong(6) == math.round((lnOr - half) * 1e6))
+    assert(r.getLong(7) == math.round((lnOr + half) * 1e6))
+  }
+
+  test("abc_classification: banded cumsum equals the global-sort replay") {
+    val got = StatQueries.abcClassification(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local replay with a plain global sort
+    val xs = graft.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase").groupBy($"user_id")
+      .agg(sum(expr("CAST(round(value*100) AS BIGINT)")).as("x"))
+      .as[(Long, Long)].collect().sortBy { case (u, x) => (-x, u) }
+    val t = xs.map(_._2).sum
+    var cum = 0L
+    val classed = xs.map { case (_, x) =>
+      cum += x
+      (if (cum * 100 <= t * 80) "A" else if (cum * 100 <= t * 95) "B"
+       else "C") -> x
+    }
+    val expect = classed.groupBy(_._1).map { case (k, vs) =>
+      (k, vs.length.toLong, vs.map(_._2).sum, vs.map(_._2).sum * 1000000L / t)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect, s"$expect vs ${got.toSeq}")
+    // the classes partition all users and shares sum to ~100%
+    assert(got.map(_._4).sum >= 999998L && got.map(_._4).sum <= 1000000L)
+  }
+
   // -------------------------------------- croston / spearman / obf / rfm
 
   test("croston_demand: planted intermittent series folds exactly") {
