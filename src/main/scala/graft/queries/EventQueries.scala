@@ -1701,7 +1701,69 @@ object EventQueries {
       .orderBy(col("prv"), col("nxt"))
   }
 
+  /** DAU / WAU / MAU + stickiness (X266) — the canonical
+    * product-analytics active-user scorecard: per day, distinct users
+    * that day, in the trailing 7, and in the trailing 30, plus
+    * DAU/MAU stickiness as an exact e6 ratio. Shape: ONE distinct
+    * (day, user) projection (user-keyed partial agg), then the ≤31-row
+    * calendar broadcasts against it — the trailing-window multiplicity
+    * is calendar-bounded (≤30×) however large the corpus, and each
+    * day's three distinct counts fold in one aggregation. */
+  def dauWauMau(spark: SparkSession, dir: String): DataFrame =
+    dauWauMauOf(Tables.events(spark, dir))
+
+  def dauWauMauOf(events: DataFrame): DataFrame = {
+    val ud = events.select(to_date(col("ts")).as("uday"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("uday").as("day")).distinct()
+    days.join(ud,
+        col("uday") <= col("day") && col("uday") > date_sub(col("day"), 30))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("uday") === col("day"), col("user_id")))
+          .as("dau"),
+        countDistinct(when(col("uday") > date_sub(col("day"), 7),
+          col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 1000000) div mau").as("stickiness_e6"))
+      .orderBy(col("day"))
+  }
+
+  /** Time-weighted average value per day (X267 — the TWAP of finance
+    * telemetry, the honest "average level" when observations arrive
+    * irregularly: each event's value weighs by the micros until the
+    * NEXT event that day, so a burst of cheap events can't drown a
+    * long-lived expensive level). Weights and the weighted sum are
+    * exact integers (DECIMAL(38,0) accumulation — value·gap products
+    * overflow BIGINT at day scale); the export is one exact integer
+    * division. Window partitions on day (grows with data), (ts,
+    * event_id) tie order; each day's last event carries no weight on
+    * both engines. */
+  def twapDaily(spark: SparkSession, dir: String): DataFrame =
+    twapDailyOf(Tables.events(spark, dir))
+
+  def twapDailyOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    events
+      .select(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .withColumn("nxt", lead(col("tsu"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("day"))
+      .agg(expr(s"SUM(CAST(v AS $d38) * (nxt - tsu))").as("num"),
+        sum(col("nxt") - col("tsu")).as("den"))
+      .select(col("day"), expr("CAST(num div den AS BIGINT)").as("twap_e2"),
+        col("den").as("span_us"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dau_wau_mau" -> (dauWauMau _),
+    "twap_daily" -> (twapDaily _),
     "assoc_rules" -> (assocRules _),
     "markov_entropy_rate" -> (markovEntropyRate _),
     "shapley_attribution" -> (shapleyAttribution _),
@@ -1941,6 +2003,37 @@ object EventQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_credits,
         |  CAST(SUM(credit) AS BIGINT) AS attr_rev_e2
         |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+    // trailing windows by calendar join; three distincts in one pass
+    "dau_wau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),
+        |days AS (SELECT DISTINCT uday AS day FROM ud),
+        |agg AS (
+        |  SELECT d.day,
+        |    CAST(COUNT(DISTINCT CASE WHEN u.uday = d.day
+        |      THEN u.user_id END) AS BIGINT) AS dau,
+        |    CAST(COUNT(DISTINCT CASE WHEN u.uday > d.day - 7
+        |      THEN u.user_id END) AS BIGINT) AS wau,
+        |    CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM days d JOIN ud u
+        |    ON u.uday <= d.day AND u.uday > d.day - 30
+        |  GROUP BY d.day)
+        |SELECT day, dau, wau, mau,
+        |  CAST((dau * 1000000) // mau AS BIGINT) AS stickiness_e6
+        |FROM agg ORDER BY day""".stripMargin,
+    // same lead-weighted integer chain; last event of a day weightless
+    "twap_daily" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS tsu,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events)
+        |SELECT day,
+        |  CAST(SUM(CAST(v AS HUGEINT) * (nxt - tsu)) // SUM(nxt - tsu)
+        |    AS BIGINT) AS twap_e2,
+        |  CAST(SUM(nxt - tsu) AS BIGINT) AS span_us
+        |FROM e WHERE nxt IS NOT NULL GROUP BY day ORDER BY day""".stripMargin,
     // distinct-user baskets; all three metrics exact integer ratios
     "assoc_rules" ->
       """WITH u AS (SELECT DISTINCT user_id, event_type AS t FROM events),

@@ -464,6 +464,40 @@ class EventQueriesSpec extends SparkSpec {
     assert(fixpoint(pcnt, Some("click")) == pbase)
   }
 
+  test("dau_wau_mau: planted calendar gives the exact rolling distincts") {
+    val day = 86400000000L
+    // u1 active days 1 and 10; u2 active day 10 only
+    val rows = Seq((1L, 1L), (1L, 10L), (2L, 10L)).zipWithIndex.map {
+      case ((u, d), i) => (u, "view", i.toLong, ts(d * day + 1), 1.0)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val got = EventQueries.dauWauMauOf(rows).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // day 1: dau=wau=mau=1; day 10: dau 2, wau 2 (day 1 is 9 days back,
+    // outside the trailing 7), mau 2 (u1 counted once), stickiness 1.0
+    assert(got.toSeq == Seq(
+      ("1970-01-02", 1L, 1L, 1L, 1000000L),
+      ("1970-01-11", 2L, 2L, 2L, 1000000L)), got.mkString(","))
+  }
+
+  test("twap_daily: long-lived levels dominate bursts; exact division") {
+    val hour = 3600000000L
+    // one day: value 100 held 10 h, then a 1-h burst at 900, tail dropped
+    val rows = Seq(
+      (1L, "view", 1L, 1L * hour, 100.0),
+      (1L, "view", 2L, 11L * hour, 900.0),
+      (1L, "view", 3L, 12L * hour, 500.0)) // last event: weightless
+      .map { case (u, t, e, us, v) => (u, t, e, ts(us), v) }
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val got = EventQueries.twapDailyOf(rows).head()
+    // twap = (10000*10h + 90000*1h) div 11h = 190000/11 h-weighted
+    assert(got.getLong(2) == 11L * hour)
+    assert(got.getLong(1) ==
+      (BigInt(10000) * 10 * hour + BigInt(90000) * hour).toLong / (11 * hour))
+    // the plain mean (500) would be far higher than the TWAP (~172.72)
+    assert(got.getLong(1) < 20000L)
+  }
+
   test("assoc_rules: planted baskets give the exact textbook metrics") {
     val hour = 3600000000L
     val rows = Seq( // u1,u2: {click,view}; u3: {click}; u4: {view}
