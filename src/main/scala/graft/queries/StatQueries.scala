@@ -1601,7 +1601,78 @@ object StatQueries {
       .orderBy(col("cls"))
   }
 
+  /** Hurst exponent via rescaled-range analysis (X268 — Hurst 1951 /
+    * Mandelbrot-Wallis R/S): the long-memory diagnostic of the daily
+    * revenue series (H ≈ ½ random walk, > ½ trending, < ½ mean-
+    * reverting). Block ranks come from `posexplode` of the ONE collected
+    * calendar-bounded series (the holt discipline — no unpartitioned
+    * window); every block statistic then runs under (size, block)-
+    * partitioned windows. EXACTNESS: the range of cumulative deviations
+    * clears its rational denominator — m_t = n·cum_t − t·Σx is an exact
+    * INTEGER, so R/S = (max m − min m)/√(n·Σx² − (Σx)²) has exact
+    * integers inside its one sqrt; each full block contributes a
+    * (ln n, ln R/S) point quantized e6, and H is the heaps_law-style
+    * integer five-sum OLS slope. Degenerate (constant) blocks drop on
+    * both engines. */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame =
+    hurstExponentOf(Tables.events(spark, dir))
+
+  def hurstExponentOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val series = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+      .agg(sort_array(collect_list(struct(col("day"), col("rev")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "r")))
+      .select(col("pos"), col("r.rev").as("x"))
+    val blocks = series
+      .crossJoin(broadcast(
+        spark_sizes(events.sparkSession)))
+      .select(col("n"), expr("pos div n").as("b"),
+        (expr("pos % n") + 1).as("t"), col("x"))
+    val wOrd = Window.partitionBy(col("n"), col("b"))
+      .orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("n"), col("b"))
+    val pts = blocks
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .withColumn("tot", sum(col("x")).over(wAll))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("m", col("n") * col("cum") - col("t") * col("tot"))
+      .groupBy(col("n"), col("b"))
+      .agg((max(col("m")) - min(col("m"))).as("rn"),
+        max(col("tot")).as("sx"), max(col("cnt")).as("k"),
+        expr(s"SUM(CAST(x AS $d38) * x)").as("sxx"))
+      // n·Σx² − (Σx)² in DECIMAL(38,0): the raw BIGINT form would wrap
+      // once per-day revenue grows past ~1e9 e2 (the >64-bit discipline)
+      .withColumn("varn",
+        expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))
+      .filter(col("k") === col("n") && col("varn") > 0)
+      .select(
+        expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)").as("px"),
+        expr("""CAST(round(ln(CAST(rn AS DOUBLE)
+          |/ sqrt(CAST(varn AS DOUBLE))) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("py"))
+    pts.agg(count(lit(1)).as("n_points"), sum(col("px")).as("sx"),
+        sum(col("py")).as("sy"), sum(col("px") * col("py")).as("sxy"),
+        sum(col("px") * col("px")).as("sxx"))
+      .select(col("n_points"),
+        expr(s"""CAST((CAST(n_points AS $d38) * sxy
+          |- CAST(sx AS $d38) * sy) * 1000000
+          |div (CAST(n_points AS $d38) * sxx - CAST(sx AS $d38) * sx)
+          |AS BIGINT)""".stripMargin.replace("\n", " ")).as("hurst_e6"))
+  }
+
+  /** The R/S block sizes as a one-column frame (5/10/15/30-day blocks —
+    * spans the fixture month; larger corpora would extend the ladder). */
+  private def spark_sizes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(5L, 10L, 15L, 30L).toDF("n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hurst_exponent" -> (hurstExponent _),
     "odds_ratio" -> (oddsRatio _),
     "abc_classification" -> (abcClassification _),
     "croston_demand" -> (crostonDemand _),
@@ -1636,6 +1707,46 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical block arithmetic under plain windows; m_t integer-exact
+    "hurst_exponent" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY day) - 1 AS pos FROM d),
+        |sz AS (SELECT unnest([5, 10, 15, 30]) AS n),
+        |bl AS (SELECT sz.n, r.pos // sz.n AS b, r.pos % sz.n + 1 AS t, r.x
+        |  FROM r CROSS JOIN sz),
+        |w AS (SELECT n, b, t, x,
+        |  SUM(x) OVER (PARTITION BY n, b ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(x) OVER (PARTITION BY n, b) AS tot,
+        |  COUNT(*) OVER (PARTITION BY n, b) AS k
+        |  FROM bl),
+        |g AS (SELECT n, b,
+        |  CAST(MAX(n * cum - t * tot) - MIN(n * cum - t * tot) AS BIGINT) AS rn,
+        |  CAST(MAX(tot) AS BIGINT) AS sx, CAST(MAX(k) AS BIGINT) AS k,
+        |  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM w GROUP BY 1, 2),
+        |p AS (SELECT
+        |  CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS px,
+        |  CAST(round(ln(CAST(rn AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx AS DOUBLE))) * 1000000)
+        |    AS BIGINT) AS py
+        |  FROM g
+        |  WHERE k = n AND CAST(n AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(px) AS BIGINT) AS sx, CAST(SUM(py) AS BIGINT) AS sy,
+        |  SUM(CAST(px AS HUGEINT) * py) AS sxy,
+        |  SUM(CAST(px AS HUGEINT) * px) AS sxx FROM p)
+        |SELECT n_points,
+        |  CAST((CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |    * 1000000
+        |    // (CAST(n_points AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |    AS BIGINT) AS hurst_e6
+        |FROM s""".stripMargin,
     // four exact cells; the one double chain mirrors term-for-term
     "odds_ratio" ->
       """WITH cells AS (SELECT

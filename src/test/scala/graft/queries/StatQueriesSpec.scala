@@ -105,6 +105,30 @@ class StatQueriesSpec extends SparkSpec {
     assert(fix.zip(fix.tail).forall { case (a, b) => a <= b }, fix.mkString(","))
   }
 
+  test("hurst_exponent: trending series reads high, alternating reads low") {
+    def series(f: Int => Double) = mkEvents((0 until 30).map(t =>
+      (t.toLong, 1L, "view", f(t), f"2024-03-${t + 1}%02d 05:00:00")))
+    // strong linear trend: cumulative deviations grow ~n² → H → 1
+    val trend = StatQueries.hurstExponentOf(series(t => 100.0 + 50.0 * t))
+      .head()
+    assert(trend.getLong(1) > 800000L, s"trend H=${trend.getLong(1)}")
+    // strict alternation: maximally anti-persistent → H well below ½
+    val alt = StatQueries.hurstExponentOf(
+      series(t => if (t % 2 == 0) 100.0 else 500.0)).head()
+    assert(alt.getLong(1) < 300000L, s"alternating H=${alt.getLong(1)}")
+    assert(trend.getLong(0) >= 4 && alt.getLong(0) >= 4, "full blocks exist")
+    // local replay of one block's exact R/S: n=5, x=(1,2,3,4,5)·100
+    // m_t = 5·cum_t − t·Σx; Σx=1500, cum=(100,300,600,1000,1500)
+    // m = (−1000,−1500,−1500,−1000,0) → R·n = 1500
+    // S²·n² = n·Σx² −(Σx)² = 5·550000·100 − 1500² ... verify via the op
+    // a 5-day series yields ONE block point — the OLS denominator is 0
+    // and the slope must fail LOUDLY (ANSI divide-by-zero), never a
+    // silent wrong number
+    intercept[Exception](StatQueries.hurstExponentOf(mkEvents(
+      (0 until 5).map(t => (t.toLong, 1L, "view", (t + 1).toDouble,
+        f"2024-03-${t + 1}%02d 05:00:00")))).head())
+  }
+
   test("odds_ratio: hand-built 2x2 gives the textbook OR/RR and CI") {
     // hi: 40 purchase + 60 other; lo: 20 purchase + 80 other
     val rows = (0 until 200).map { i =>
