@@ -812,6 +812,58 @@ object RelationalQueries {
       .orderBy(col("kind"), col("score_e6").desc, col("node"))
   }
 
+  /** k-truss decomposition (X269 — Cohen 2008's trussness, the
+    * edge-analog of k-core): iteratively delete edges in fewer than
+    * k−2 triangles until fixpoint — the standard cohesive-subgraph
+    * extractor that survives the hub-chain artifacts k-core keeps (an
+    * edge needs closed TRIANGLES, not just well-connected endpoints).
+    * k = 3 over the customer co-order graph: the surviving edges each
+    * close ≥1 triangle within the surviving set. Driver loop = the
+    * k_core idiom (cache+count lineage cut per round, fixpoint on edge
+    * count); per round ONE wedge join over the doubled edge list —
+    * edge-keyed shuffles, support collapses via semi-join. The oracle
+    * unrolls three materialized rounds (convergence ≤ 1 on the fixture
+    * at every SF, probed; extra rounds are no-ops so the unroll equals
+    * the fixpoint). Output: per-node truss degree. */
+  def ktrussEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 60)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("dt")).distinct()
+    val edges = o.as("a")
+      .join(o.as("b"), col("a.dt") === col("b.dt") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("u"), col("b.c").as("v")).distinct()
+    ktrussCore(edges, k = 3)
+  }
+
+  /** [[ktrussEdges]] over an explicit canonical (u < v) edge frame —
+    * the seam the planted-structure spec drives, at any k. */
+  def ktrussCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var converged = false
+    while (!converged) {
+      val dbl = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      // keep edges with ≥ k−2 common neighbors INSIDE the survivors
+      val kept = e.as("e")
+        .join(dbl.as("p"), col("p.x") === col("e.u"))
+        .join(dbl.as("q"),
+          col("q.x") === col("e.v") && col("q.y") === col("p.y"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = kept.count()
+      converged = n2 == n
+      e = kept
+      n = n2
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
+      .orderBy(col("node"))
+  }
+
   /** Skyline / Pareto front (X246 — Börzsönyi et al. 2001's SKYLINE OF
     * operator): the suppliers no other supplier dominates on BOTH
     * revenue and breadth (≥ on both, > on one) — the multi-objective
@@ -1221,6 +1273,7 @@ object RelationalQueries {
     "hits_scores" -> (hitsScores _),
     "bipartite_check" -> (bipartiteCheck _),
     "pareto_front" -> (paretoFront _),
+    "ktruss_edges" -> (ktrussEdges _),
     "degree_assortativity" -> (degreeAssortativity _),
     "winsorized_mean" -> (winsorizedMean _),
     "ri_audit" -> (riAudit _),
@@ -1508,6 +1561,32 @@ object RelationalQueries {
     "ppr_seeded" -> pprSql,
     // `//` floors in DuckDB, `div` truncates in Spark — equal on the
     // non-negative operands here
+    // three unrolled prune rounds == the fixpoint (convergence ≤ 1 on
+    // the fixture, probed at every SF; extra rounds are no-ops)
+    "ktruss_edges" ->
+      """WITH o AS (
+        |  SELECT DISTINCT o_custkey AS c, o_orderdate AS dt FROM orders
+        |  WHERE o_custkey < 60),
+        |e0 AS (SELECT DISTINCT a.c AS u, b.c AS v
+        |  FROM o a JOIN o b ON a.dt = b.dt AND a.c < b.c),
+        |d0 AS (SELECT u AS x, v AS y FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |e1 AS (SELECT e.u, e.v FROM e0 e WHERE EXISTS (
+        |  SELECT 1 FROM d0 p JOIN d0 q ON p.y = q.y
+        |  WHERE p.x = e.u AND q.x = e.v)),
+        |d1 AS (SELECT u AS x, v AS y FROM e1
+        |  UNION ALL SELECT v, u FROM e1),
+        |e2 AS (SELECT e.u, e.v FROM e1 e WHERE EXISTS (
+        |  SELECT 1 FROM d1 p JOIN d1 q ON p.y = q.y
+        |  WHERE p.x = e.u AND q.x = e.v)),
+        |d2 AS (SELECT u AS x, v AS y FROM e2
+        |  UNION ALL SELECT v, u FROM e2),
+        |e3 AS (SELECT e.u, e.v FROM e2 e WHERE EXISTS (
+        |  SELECT 1 FROM d2 p JOIN d2 q ON p.y = q.y
+        |  WHERE p.x = e.u AND q.x = e.v)),
+        |n AS (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_degree
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
     // NOT EXISTS dominance over the supplier rollup
     "pareto_front" ->
       """WITH su AS (

@@ -1671,7 +1671,40 @@ object StatQueries {
     Seq(5L, 10L, 15L, 30L).toDF("n")
   }
 
+  /** Shewhart control chart (X270 — the SPC classic, Shewhart 1931):
+    * the daily-revenue monitor every ops dashboard runs — control
+    * limits mean±3σ from the FIRST-half baseline (days ≤ 15, exact
+    * integer moments → one mirrored double chain), then every
+    * second-half day reads in-control or out. Exported per monitored
+    * day with its z-score at e6, so the oracle compares the whole
+    * decision series, not just a count. One partial-aggregated rollup;
+    * the baseline is a broadcast one-row frame. */
+  def controlChart(spark: SparkSession, dir: String): DataFrame =
+    controlChartOf(Tables.events(spark, dir))
+
+  def controlChartOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+    val base = daily.filter(col("day") < lit("2024-01-16").cast("date"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+        expr(s"SUM(CAST(rev AS $d38) * rev)").as("q"))
+    daily.filter(col("day") >= lit("2024-01-16").cast("date"))
+      .crossJoin(broadcast(base))
+      .select(col("day"), col("rev"),
+        expr("""CAST(round((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          |/ sqrt(CAST(q AS DOUBLE) / n - pow(CAST(s AS DOUBLE) / n, 2))
+          |* 1000000) AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("z_e6"))
+      .withColumn("out_of_control",
+        (col("z_e6") > 3000000L) || (col("z_e6") < -3000000L))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "control_chart" -> (controlChart _),
     "hurst_exponent" -> (hurstExponent _),
     "odds_ratio" -> (oddsRatio _),
     "abc_classification" -> (abcClassification _),
@@ -1707,6 +1740,27 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // first-half baseline moments, mirrored z chain, ±3σ decisions
+    "control_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s,
+        |    SUM(CAST(rev AS HUGEINT) * rev) AS q
+        |  FROM daily WHERE day < DATE '2024-01-16'),
+        |z AS (
+        |  SELECT d.day, d.rev,
+        |    CAST(round((CAST(d.rev AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n)
+        |      / sqrt(CAST(b.q AS DOUBLE) / b.n
+        |             - pow(CAST(b.s AS DOUBLE) / b.n, 2))
+        |      * 1000000) AS BIGINT) AS z_e6
+        |  FROM daily d CROSS JOIN base b
+        |  WHERE d.day >= DATE '2024-01-16')
+        |SELECT day, rev, z_e6,
+        |  (z_e6 > 3000000 OR z_e6 < -3000000) AS out_of_control
+        |FROM z ORDER BY day""".stripMargin,
     // identical block arithmetic under plain windows; m_t integer-exact
     "hurst_exponent" ->
       """WITH d AS (

@@ -105,6 +105,23 @@ class StatQueriesSpec extends SparkSpec {
     assert(fix.zip(fix.tail).forall { case (a, b) => a <= b }, fix.mkString(","))
   }
 
+  test("control_chart: a planted spike flags; steady days stay in control") {
+    // baseline days 1-15 at 100/day; monitored days: 16-19 steady, day 20
+    // a 10x spike — must be the ONLY out-of-control day
+    val rows = (0 until 20).flatMap { d =>
+      val v = if (d == 19) 1000.0 else 100.0 + (d % 3) // tiny baseline var
+      Seq((d.toLong, 1L, "view", v, f"2024-01-${d + 1}%02d 05:00:00"))
+    }
+    val got = StatQueries.controlChartOf(mkEvents(rows)).collect()
+      .map(r => (r.getDate(0).toString, r.getBoolean(3)))
+    assert(got.length == 5)
+    assert(got.count(_._2) == 1 && got.find(_._2).get._1 == "2024-01-20",
+      got.mkString(","))
+    // fixture: the iid generator should keep most days in control
+    val fix = StatQueries.controlChart(spark, sfDir).collect()
+    assert(fix.nonEmpty && fix.count(_.getBoolean(3)) <= fix.length / 2)
+  }
+
   test("hurst_exponent: trending series reads high, alternating reads low") {
     def series(f: Int => Double) = mkEvents((0 until 30).map(t =>
       (t.toLong, 1L, "view", f(t), f"2024-03-${t + 1}%02d 05:00:00")))
