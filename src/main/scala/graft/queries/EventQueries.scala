@@ -1666,8 +1666,13 @@ object EventQueries {
         "conseq")
       .crossJoin(broadcast(n))
       .select(col("ante"), col("conseq"), col("n_both"),
-        expr("(n_both * 1000000) div ua").as("confidence_e6"),
-        expr("(n * n_both * 1000000) div (ua * ub)").as("lift_e6"))
+        // user counts widen before the e6 scale-up: n · n_both · 10^6
+        // wraps BIGINT past ~3e6 users (ADVICE r12); quotients are ≤ 10^6
+        // (confidence) / bounded lift, so BIGINT exports stay exact
+        expr("CAST((CAST(n_both AS decimal(38,0)) * 1000000) div ua" +
+          " AS BIGINT)").as("confidence_e6"),
+        expr("CAST((CAST(n AS decimal(38,0)) * n_both * 1000000)" +
+          " div (CAST(ua AS decimal(38,0)) * ub) AS BIGINT)").as("lift_e6"))
       .orderBy(col("ante"), col("conseq"))
   }
 
@@ -2044,9 +2049,10 @@ object EventQueries {
         |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.t <> b.t
         |  GROUP BY 1, 2)
         |SELECT p.ante, p.conseq, p.n_both,
-        |  CAST((p.n_both * 1000000) // ua.ut AS BIGINT) AS confidence_e6,
-        |  CAST((n.n * p.n_both * 1000000) // (ua.ut * ub.ut) AS BIGINT)
-        |    AS lift_e6
+        |  CAST((CAST(p.n_both AS HUGEINT) * 1000000) // ua.ut AS BIGINT)
+        |    AS confidence_e6,
+        |  CAST((CAST(n.n AS HUGEINT) * p.n_both * 1000000)
+        |    // (CAST(ua.ut AS HUGEINT) * ub.ut) AS BIGINT) AS lift_e6
         |FROM pairs p
         |JOIN pt ua ON ua.t = p.ante
         |JOIN pt ub ON ub.t = p.conseq

@@ -820,8 +820,9 @@ object RelationalQueries {
     * k = 3 over the customer co-order graph: the surviving edges each
     * close ≥1 triangle within the surviving set. Driver loop = the
     * k_core idiom (cache+count lineage cut per round, fixpoint on edge
-    * count); per round ONE wedge join over the doubled edge list —
-    * edge-keyed shuffles, support collapses via semi-join. The oracle
+    * count); per round ONE oriented-wedge join ([[orientedTriangles]] —
+    * each triangle enumerated once, support projected back to its three
+    * edges; hub-safe, VERDICT r12 #2). The oracle
     * unrolls three materialized rounds (convergence ≤ 1 on the fixture
     * at every SF, probed; extra rounds are no-ops so the unroll equals
     * the fixpoint). Output: per-node truss degree. */
@@ -835,21 +836,33 @@ object RelationalQueries {
   }
 
   /** [[ktrussEdges]] over an explicit canonical (u < v) edge frame —
-    * the seam the planted-structure spec drives, at any k. */
+    * the seam the planted-structure spec drives, at any k.
+    *
+    * SCALE SHAPE (VERDICT r12 #2): support counting enumerates each
+    * triangle exactly ONCE over the (degree, id)-ORIENTED edge list —
+    * triangle_count's (X52) key — then projects the support back to all
+    * three member edges via a 3-way union + groupBy. The earlier
+    * unoriented `dbl ⋈ dbl` wedge join generated O(d²) candidate rows
+    * per degree-d HUB per round; orienting every edge from its lower-
+    * (deg, id) endpoint caps wedge candidates at Σᵥ outdeg(v)² with
+    * outdeg(v) ≤ O(√m) on any graph (Schank-Wagner 2005), so a
+    * million-follower hub contributes ~0 wedges instead of 10¹². The
+    * fixpoint loop and the oracle row are unchanged. */
   def ktrussCore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var e = edges.localCheckpoint()
     var n = e.count()
     var converged = false
     while (!converged) {
-      val dbl = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-      // keep edges with ≥ k−2 common neighbors INSIDE the survivors
-      val kept = e.as("e")
-        .join(dbl.as("p"), col("p.x") === col("e.u"))
-        .join(dbl.as("q"),
-          col("q.x") === col("e.v") && col("q.y") === col("p.y"))
-        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      val tri = orientedTriangles(e)
+      // each triangle supports all three of its canonical (u < v) edges
+      val kept = tri.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .unionByName(tri.select(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")))
+        .unionByName(tri.select(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2)
         .select(col("u"), col("v"))
@@ -862,6 +875,40 @@ object RelationalQueries {
     e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
       .orderBy(col("node"))
+  }
+
+  /** Every triangle of the canonical (u < v) edge frame, enumerated
+    * exactly once as (a, b, c) with rank(a) < rank(b) < rank(c) under
+    * the (degree, id) total order. Wedges form only at each triangle's
+    * LOWEST-rank vertex over [[orientEdges]]'s out-edges, so candidate
+    * rows are Σ outdeg² — bounded even on hub-star graphs (the spec's
+    * planted-hub pin). */
+  private[graft] def orientedTriangles(e: DataFrame): DataFrame = {
+    val o = orientEdges(e)
+    o.as("p").join(o.as("q"),
+        col("p.s") === col("q.s") &&
+          (col("p.dt") < col("q.dt") ||
+            (col("p.dt") === col("q.dt") && col("p.t") < col("q.t"))))
+      .select(col("p.s").as("a"), col("p.t").as("b"), col("q.t").as("c"),
+        col("q.dt").as("dc"))
+      .join(o.as("r"), col("r.s") === col("b") && col("r.t") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Orient each canonical edge from its lower-(degree, id) endpoint:
+    * (s, t, dt) with dt = deg(t), the wedge-leg sort key. Out-degrees
+    * under this orientation are ≤ O(√m) regardless of raw degree — the
+    * bound the planted-hub spec asserts directly. */
+  private[graft] def orientEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("u"), col("v"))).as("nn"))
+      .groupBy(col("nn")).agg(count(lit(1)).as("d"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.select(col("nn").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("nn").as("v"), col("d").as("dv")), "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("s"),
+        when(uLower, col("v")).otherwise(col("u")).as("t"),
+        when(uLower, col("dv")).otherwise(col("du")).as("dt"))
   }
 
   /** Skyline / Pareto front (X246 — Börzsönyi et al. 2001's SKYLINE OF

@@ -1379,23 +1379,24 @@ object StatQueries {
     * G·n·Σx = 2·Σᵢ i·xᵢ − (n+1)·Σx over ascending ranks; ties are
     * rank-order-invariant (equal x contribute the same Σ regardless of
     * permutation), so the readout is deterministic. SCALE SHAPE: the
-    * global rank is NEVER a global sort — users band by a fixed revenue
-    * width, local ranks come from a window PARTITIONED on the band, and
-    * band offsets join back from the broadcast band histogram (the
-    * two-level order-statistics recipe; an unpartitioned window over the
-    * user rollup would serialize on one reducer — PlanSpec's guard).
+    * global rank is NEVER a global sort — users band by EQUAL-FREQUENCY
+    * revenue boundaries ([[withEqualFreqBand]] — sketch-derived, so a
+    * heavy tail cannot collapse the banding; VERDICT r12 #3), local
+    * ranks come from a window PARTITIONED on the band, and band offsets
+    * join back from the broadcast band histogram (the two-level
+    * order-statistics recipe; an unpartitioned window over the user
+    * rollup would serialize on one reducer — PlanSpec's guard).
     * Also exports the top-decile revenue share. */
   def giniConcentration(spark: SparkSession, dir: String): DataFrame =
     giniConcentrationOf(Tables.events(spark, dir))
 
   def giniConcentrationOf(events: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val u = events
+    val u = withEqualFreqBand(events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
-        .as("x"))
-      .withColumn("band", expr("x div 10000"))
+        .as("x")), "x", 32)
     val bandHist = u.groupBy(col("band")).agg(count(lit(1)).as("m"))
       .localCheckpoint()
     val offsets = bandHist.as("a")
@@ -1416,7 +1417,34 @@ object StatQueries {
       .select(col("n").as("n_users"), col("t").as("total_rev_e2"),
         expr(s"CAST((2 * r - (CAST(n AS $d38) + 1) * t) * 1000000" +
           s" div (CAST(n AS $d38) * t) AS BIGINT)").as("gini_e6"),
-        expr("(top * 1000000) div t").as("top_decile_share_e6"))
+        // top is an e2 revenue sum — widen before the e6 scale-up or the
+        // BIGINT product wraps past ~9.2e12 total (ADVICE r12)
+        expr(s"CAST((CAST(top AS $d38) * 1000000) div t AS BIGINT)")
+          .as("top_decile_share_e6"))
+  }
+
+  /** Equal-frequency band assignment for the banded two-level order-
+    * statistics recipe (VERDICT r12 #3): band boundaries come from ONE
+    * partial-aggregated [[graft.core.NtileBoundaries]] sketch pass (X38 —
+    * exact ntile semantics below its cap, KLL-envelope estimates above),
+    * broadcast as a ≤(buckets−1)-element array; each row's band is the
+    * count of boundaries strictly below its key. Assignment is monotone
+    * in the key and tie-stable (equal keys share a band), so
+    * offset + local-rank still composes the EXACT global rank whatever
+    * the boundary placement. The previous fixed-width `x div c` bands
+    * degenerate on heavy-tailed revenue — most users land in the bottom
+    * band and the per-band rank window re-becomes a single-reducer
+    * sort; equal-frequency bands keep every window ≈ n/buckets rows by
+    * construction (the heavy-tail spec's pin). */
+  private[graft] def withEqualFreqBand(u: DataFrame, keyCol: String,
+      buckets: Int): DataFrame = {
+    val bounds = udaf(new graft.core.NtileBoundaries(buckets, 8192),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bs = u.agg(bounds(col(keyCol)).as("bs"))
+    u.crossJoin(broadcast(bs))
+      .withColumn("band",
+        size(filter(col("bs"), b => b < col(keyCol))).cast("long"))
+      .drop("bs")
   }
 
   /** Jensen-Shannon divergence (X253) between the event-type mix of the
@@ -1512,7 +1540,12 @@ object StatQueries {
       .filter(col("l.bin") <= col("m.bin") && col("m.bin") <= col("r.bin"))
       .groupBy(col("l.bin").as("i"), col("r.bin").as("j"))
       .agg(sum(col("m.pb")).as("p"), sum(col("m.nb")).as("nn"))
-      .withColumn("key", expr("(p * 1000000000000) div nn"))
+      // p is a corpus-wide purchase count — widen before the 10^12
+      // scale-up or the BIGINT product wraps past ~9.2e6 rows (ADVICE
+      // r12); the integral quotient itself is ≤ 10^12, back to BIGINT
+      .withColumn("key",
+        expr("CAST((CAST(p AS decimal(38,0)) * 1000000000000) div nn" +
+          " AS BIGINT)"))
     // g_d = max over i ≤ d of (min over j ≥ d of key(i, j))
     val inner = bins.select(col("bin").as("d"))
       .join(broadcast(seg), col("i") <= col("d") && col("j") >= col("d"))
@@ -1563,18 +1596,19 @@ object StatQueries {
     * tail): the inventory-analysis classic, all INTEGER threshold
     * compares (cum·100 vs T·80 — no share division ever happens).
     * SCALE: the descending cumulative revenue is the gini_concentration
-    * recipe inverted — band-partitioned local cumsums + broadcast
-    * band-offset sums, never a global-sort window; (x desc, user_id)
-    * tie order is pinned on both engines. */
+    * recipe inverted — equal-frequency-band-partitioned local cumsums
+    * ([[withEqualFreqBand]], VERDICT r12 #3) + broadcast band-offset
+    * sums, never a global-sort window; (x desc, user_id) tie order is
+    * pinned on both engines. */
   def abcClassification(spark: SparkSession, dir: String): DataFrame =
     abcClassificationOf(Tables.events(spark, dir))
 
   def abcClassificationOf(events: DataFrame): DataFrame = {
-    val u = events.filter(col("event_type") === "purchase")
+    val d38 = "decimal(38,0)"
+    val u = withEqualFreqBand(events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
-        .as("x"))
-      .withColumn("band", expr("x div 10000"))
+        .as("x")), "x", 32)
     val bandSums = u.groupBy(col("band")).agg(sum(col("x")).as("bx"))
       .localCheckpoint()
     // revenue landing in STRICTLY HIGHER bands precedes every row of
@@ -1597,7 +1631,10 @@ object StatQueries {
           .otherwise("C").as("cls"), col("t"))
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("rev_e2"),
-        expr("(SUM(x) * 1000000) div MAX(t)").as("share_e6"))
+        // class revenue is an e2 sum — widen before the e6 scale-up or
+        // the BIGINT product wraps past ~9.2e12 total (ADVICE r12)
+        expr(s"CAST((CAST(SUM(x) AS $d38) * 1000000) div MAX(t) AS BIGINT)")
+          .as("share_e6"))
       .orderBy(col("cls"))
   }
 
@@ -1839,7 +1876,8 @@ object StatQueries {
         |    WHEN cum * 100 <= t.t * 95 THEN 'B' ELSE 'C' END AS cls,
         |  CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(x) AS BIGINT) AS rev_e2,
-        |  CAST((SUM(x) * 1000000) // MAX(t.t) AS BIGINT) AS share_e6
+        |  CAST((CAST(SUM(x) AS HUGEINT) * 1000000) // MAX(t.t) AS BIGINT)
+        |    AS share_e6
         |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // a plain global rank is fine ORACLE-side; the engine banded it
     "gini_concentration" ->
@@ -1855,7 +1893,8 @@ object StatQueries {
         |SELECT s.n AS n_users, s.t AS total_rev_e2,
         |  CAST((2 * s.rr - (CAST(s.n AS HUGEINT) + 1) * s.t) * 1000000
         |    // (CAST(s.n AS HUGEINT) * s.t) AS BIGINT) AS gini_e6,
-        |  CAST((tp.top * 1000000) // s.t AS BIGINT) AS top_decile_share_e6
+        |  CAST((CAST(tp.top AS HUGEINT) * 1000000) // s.t AS BIGINT)
+        |    AS top_decile_share_e6
         |FROM s, tp""".stripMargin,
     // per-type contributions: exact integer ratios before the one ln
     "js_divergence" ->
@@ -1910,7 +1949,9 @@ object StatQueries {
         |    CAST(SUM(m.nb) AS BIGINT) AS nn
         |  FROM bins l, bins m, bins r
         |  WHERE l.bin <= m.bin AND m.bin <= r.bin GROUP BY 1, 2),
-        |keyed AS (SELECT i, j, (p * 1000000000000) // nn AS key FROM seg),
+        |keyed AS (SELECT i, j,
+        |  CAST((CAST(p AS HUGEINT) * 1000000000000) // nn AS BIGINT) AS key
+        |  FROM seg),
         |im AS (
         |  SELECT b.bin AS d, k.i, MIN(k.key) AS mn
         |  FROM bins b JOIN keyed k ON k.i <= b.bin AND k.j >= b.bin

@@ -72,7 +72,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireFlat(namespace)
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && new File(d, "_manifests").isDirectory)
+      .filter(d => d.isDirectory && new File(d, "_manifests").isDirectory &&
+        // hidden dirs are CTAS staging areas (`.ctas-*`), never tables —
+        // pathOf rejects leading '.' so they are unaddressable anyway
+        !d.getName.startsWith("."))
       .map(d => Identifier.of(Array.empty, d.getName))
       .sortBy(_.name)
   }
@@ -142,6 +145,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         val name = add.fieldNames().head
+        // any `DEFAULT <expr>` on the added column must land in the
+        // field METADATA the analyzer reads back (the same
+        // CURRENT_DEFAULT/EXISTS_DEFAULT keys CREATE TABLE records) —
+        // dropping it silently fills NULL on later INSERTs while the
+        // ALTER reported success (ADVICE r12). Spark's own V2-column
+        // conversion builds the metadata, so round-trip through it.
+        val field = org.apache.spark.sql.graftbridge.ColumnBridge
+          .v2ColumnToStructField(
+            org.apache.spark.sql.connector.catalog.Column.create(
+              name, add.dataType(), true, add.comment(),
+              add.defaultValue(), null))
         // the widen function re-runs inside the retry loop against each
         // attempt's CURRENT marker, so a concurrently added column is
         // carried into the new marker instead of silently dropped
@@ -150,8 +164,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             VersionedV2.sparkSchema(VersionedV2.footerSchema(path, None)))
           require(!cur.fieldNames.contains(name),
             s"column $name already exists in ${ident.name}")
-          cur.add(org.apache.spark.sql.types.StructField(
-            name, add.dataType(), nullable = true))
+          cur.add(field)
         }): Unit
       // ANSI SQL `ALTER TABLE ... ADD CONSTRAINT ck CHECK (expr)` (X257)
       // onto the store's validated CHECK markers: existing rows are

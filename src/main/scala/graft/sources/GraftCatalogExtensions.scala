@@ -133,6 +133,18 @@ private[sources] object CatalogVecFunctions {
 private[sources] class GraftStagedTable(ident: Identifier, path: String,
     tableSchema: StructType) extends StagedTable with SupportsWrite {
 
+  /** Each CTAS stages into its OWN hidden sibling directory
+    * (`.ctas-<name>-<uuid>` — table names may not start with '.', so no
+    * collision with a real table, and the catalog's listing skips
+    * hidden dirs). Two concurrent CTAS to the same name therefore never
+    * share a staging area: the loser's abort removes only ITS dir, and
+    * publication is one atomic directory rename — the winner's
+    * just-published manifest can no longer be destroyed by a racing
+    * abort (ADVICE r12). Manifests reference data files by RELATIVE
+    * path, so the rename moves the fully-formed table wholesale. */
+  private val staging = new File(new File(path).getParentFile,
+    s".ctas-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
+
   @volatile private var stagedRel: Seq[String] = Seq.empty
 
   override def name(): String = s"graft.${ident.name}"
@@ -143,27 +155,40 @@ private[sources] class GraftStagedTable(ident: Identifier, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new StagedCreateWrite(path, info.schema(), rel => stagedRel = rel)
+        new StagedCreateWrite(staging.getAbsolutePath, info.schema(),
+          rel => stagedRel = rel)
     }
 
+  /** Publish = commit the version-1 manifest INSIDE the staging dir (the
+    * table is fully formed but invisible — its name is not a legal table
+    * name), then ONE atomic rename into place. A concurrent CTAS that
+    * won the race leaves the target existing and the rename fails — this
+    * loser cleans up its own staging dir and reports the conflict; the
+    * winner's table is untouched. */
   override def commitStagedChanges(): Unit = {
-    if (stagedRel.isEmpty) Versioned.initTable(path, tableSchema)
-    else Versioned.initTableWithFiles(path, tableSchema, stagedRel)
-  }: Unit
+    val stagingPath = staging.getAbsolutePath
+    if (stagedRel.isEmpty) Versioned.initTable(stagingPath, tableSchema)
+    else Versioned.initTableWithFiles(stagingPath, tableSchema, stagedRel)
+    if (!staging.renameTo(new File(path))) {
+      abortStagedChanges()
+      throw new IllegalStateException(
+        s"CTAS commit conflict: ${ident.name} was created concurrently — " +
+          "this write's staged data has been discarded")
+    }
+  }
 
-  /** Abort = the table was NEVER published (no manifest commit ever ran:
-    * stageCreate verified the name was free, and commitStagedChanges is
-    * the only publisher), so the whole directory is this CTAS's private
-    * staging area — remove it recursively. Deleting only the job-abort
-    * message list is NOT enough: tasks that finished before the failing
-    * one leave committed staged files the job-level abort may never see
-    * (plus .crc sidecars). */
+  /** Abort = remove THIS write's private staging directory, nothing
+    * else. Deleting only the job-abort message list is NOT enough:
+    * tasks that finished before the failing one leave committed staged
+    * files the job-level abort may never see (plus .crc sidecars) — but
+    * the blast radius stays confined to our own uuid-suffixed dir, so a
+    * concurrently-published winner at the REAL path is never touched. */
   override def abortStagedChanges(): Unit = {
     def rm(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
-    rm(new File(path))
+    rm(staging)
   }
 }
 

@@ -533,7 +533,17 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
           case ArrayType(FloatType, _) =>
             val arr = row.getArray(i)
             var j = 0
-            while (j < arr.numElements()) { g.add(name, arr.getFloat(j)); j += 1 }
+            while (j < arr.numElements()) {
+              // a NULL element would silently land as 0.0f (getFloat on a
+              // null slot) — corrupt data, not the loud error the store
+              // uses everywhere else (ADVICE r12). The repeated-FLOAT
+              // parquet shape cannot represent element nulls at all.
+              require(!arr.isNullAt(j),
+                s"column $name: NULL array elements are not storable " +
+                  "(repeated-FLOAT has no element-level nulls) — filter " +
+                  "or coalesce them before writing")
+              g.add(name, arr.getFloat(j)); j += 1
+            }
           case other => sys.error(s"unsupported type $other")
         }
       }
@@ -1058,8 +1068,22 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
       v.setUtf8String(metaValue)
       v: ColumnVector
     } else if (!fileFields(f.name)) {
+      // evolution constant: the column's EXISTS_DEFAULT if declared
+      // (ALTER ADD COLUMN ... DEFAULT — ANSI: old rows read the
+      // default), NULL otherwise — mirrors the row reader exactly
       val v = new ConstantColumnVector(Cap, f.dataType)
-      v.setNull()
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .getExistenceDefaultValue(f) match {
+        case null => v.setNull()
+        case x: java.lang.Long => v.setLong(x)
+        case x: java.lang.Integer => v.setInt(x)
+        case x: java.lang.Double => v.setDouble(x)
+        case x: java.lang.Float => v.setFloat(x)
+        case x: java.lang.Boolean => v.setBoolean(x)
+        case x: UTF8String => v.setUtf8String(x)
+        case other => sys.error(
+          s"unsupported EXISTS_DEFAULT ${other.getClass} for ${f.name}")
+      }
       v: ColumnVector
     } else new OnHeapColumnVector(Cap, f.dataType): ColumnVector
   }
@@ -1221,6 +1245,13 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
       else if (!fileFields(f.name)) -2
       else readMsg.getFieldIndex(f.name))
   private val types: Array[DataType] = p.required.fields.map(_.dataType)
+  // a column added via `ALTER TABLE ... ADD COLUMN c T DEFAULT v` reads
+  // as v (not NULL) from rows predating it — ANSI/Postgres semantics,
+  // carried in the field's EXISTS_DEFAULT metadata (null when the column
+  // has no default, which keeps the plain-evolution NULL contract)
+  private val missingValue: Array[Any] = p.required.fields.map(f =>
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .getExistenceDefaultValue(f))
   private val fileValue = UTF8String.fromString(p.file)
   private var cur: Group = _
 
@@ -1235,7 +1266,9 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
         val fi = fieldIdx(i)
         vals(i) =
           if (fi == -1) fileValue
-          else if (fi == -2) null // column added after this file was written
+          // column added after this file was written: its EXISTS_DEFAULT
+          // if declared, NULL otherwise
+          else if (fi == -2) missingValue(i)
           else types(i) match {
             // repeated field: ALL occurrences are the vector (count 0 =
             // empty array, never null — 2-level lists can't tell apart)

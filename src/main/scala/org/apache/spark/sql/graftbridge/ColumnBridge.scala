@@ -34,6 +34,17 @@ object ColumnBridge {
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** V2 `Column` (carrying a `ColumnDefaultValue`) → `StructField` with
+    * the CURRENT_DEFAULT/EXISTS_DEFAULT metadata the analyzer reads —
+    * the exact conversion Spark's own `CREATE TABLE` path runs
+    * (`private[sql]` CatalogV2Util), so an `ALTER TABLE ... ADD COLUMN
+    * ... DEFAULT` records its default identically. */
+  def v2ColumnToStructField(
+      c: org.apache.spark.sql.connector.catalog.Column)
+      : org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(Array(c)).fields.head
+
   /** The session's stable unique id (`private[sql]` on the classic
     * implementation) — a collision-free memo key where
     * `System.identityHashCode` isn't (hash reuse after GC) and a weak

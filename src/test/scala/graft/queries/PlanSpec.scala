@@ -288,6 +288,7 @@ class PlanSpec extends SparkSpec {
     // volume is k·tasks, not table/d (stratified_sample's shape).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow, WindowGroupLimit}
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.functions.max
     spark.catalog.clearCache()
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan
@@ -297,14 +298,23 @@ class PlanSpec extends SparkSpec {
               !w.child.exists(_.isInstanceOf[WindowGroupLimit]) =>
           val child = ColumnBridge.ofRows(spark, w.child)
           val keys = w.partitionSpec.map(ColumnBridge.column)
-          val row = child.select(
-            countDistinct(keys.head, keys.tail: _*).as("d"),
-            count(lit(1)).as("n")).head()
-          (name, w, row.getLong(0), row.getLong(1))
+          val m = org.apache.spark.sql.functions.col("m")
+          val row = child.groupBy(keys: _*).agg(count(lit(1)).as("m"))
+            .agg(count(lit(1)).as("d"),
+              org.apache.spark.sql.functions.sum(m).as("n"),
+              max(m).as("mx")).head()
+          (name, w, row.getLong(0), row.getLong(1), row.getLong(2))
       }.collect {
-        case (n, w, d, rows) if d <= 8 && rows >= 20 * d =>
+        case (n, w, d, rows, _) if d <= 8 && rows >= 20 * d =>
           s"$n: window partitioned on an enum key ($d partitions over $rows rows: " +
             s"${w.partitionSpec.map(_.sql).mkString(", ")})"
+        // VERDICT r12 #3: a key that is technically data-derived can still
+        // degenerate — fixed-width value bands on a heavy-tailed domain put
+        // most rows in ONE partition. Flag any unbounded-input window whose
+        // largest partition holds over half the rows.
+        case (n, w, d, rows, mx) if rows >= 100 && 2 * mx >= rows && d >= 2 =>
+          s"$n: window partition skew — largest of $d partitions holds " +
+            s"$mx of $rows rows (${w.partitionSpec.map(_.sql).mkString(", ")})"
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

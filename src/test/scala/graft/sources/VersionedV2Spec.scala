@@ -392,6 +392,37 @@ class VersionedV2Spec extends SparkSpec {
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.t DROP COLUMN v"))
   }
 
+  test("ALTER ADD COLUMN ... DEFAULT: old rows read the default, inserts fill it") {
+    val (cat, _) = catalogFor("evodflt")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 4, 1, 1)")
+    // the ALTER's DEFAULT must survive into the marker metadata (ADVICE
+    // r12: it was silently dropped) AND apply to pre-existing rows (the
+    // ANSI/Postgres contract — EXISTS_DEFAULT, not NULL)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score BIGINT DEFAULT 42")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING DEFAULT 'old'")
+    val pre = spark.sql(s"SELECT score, tag FROM $cat.t")
+      .as[(Long, String)].collect().toSeq
+    assert(pre == Seq.fill(4)((42L, "old")), pre)
+    // the columnar path serves the same constants (flat BIGINT
+    // projection is vectorized; the old file lacks the column)
+    val p = spark.sql(s"SELECT id, score FROM $cat.t")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"), p)
+    // an INSERT omitting the column fills the default analyzer-side;
+    // explicit values and explicit NULL still win
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (10)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (11, 7, 'new')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (12, NULL, NULL)")
+    val got = spark.sql(
+      s"SELECT id, score, tag FROM $cat.t WHERE id >= 10 ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "NULL" else r.getString(2))).toSeq
+    assert(got == Seq((10L, 42L, "old"), (11L, 7L, "new"),
+      (12L, -1L, "NULL")), got)
+  }
+
   test("UPDATE rewrites only the affected groups; MERGE INTO upserts") {
     val (cat, root) = catalogFor("rlo")
     spark.sql(s"CREATE TABLE $cat.u (id BIGINT, grp BIGINT, v BIGINT)")
@@ -529,6 +560,15 @@ class VersionedV2Spec extends SparkSpec {
       .selectExpr("id", "emb").orderBy($"id")
       .as[(Long, Seq[Float])].collect().toSeq
     assert(native == viaV2)
+    // NULL array ELEMENTS are unrepresentable in the repeated-FLOAT
+    // shape — the writer must reject them loudly, never land 0.0f
+    // (ADVICE r12: silent corruption)
+    val before = spark.sql(s"SELECT COUNT(*) FROM $cat.e").head.getLong(0)
+    val ex = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.e VALUES (9, array(CAST(1 AS FLOAT), " +
+        "CAST(NULL AS FLOAT)))"))
+    assert(ex.getMessage != null || ex.getCause != null)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.e").head.getLong(0) == before)
   }
 
   test("FunctionCatalog: k-NN is pure SQL and stays in codegen") {
@@ -587,6 +627,48 @@ class VersionedV2Spec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.src AS SELECT 1L AS id"))
     assert(Versioned.currentVersion(s"$root/src") == 1)
+    // no staging debris after the journey: every .ctas-* dir swept
+    val debris = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".ctas-"))
+    assert(debris.isEmpty, debris.mkString(","))
+  }
+
+  test("CTAS race: the loser's abort never destroys the winner's table") {
+    // ADVICE r12: two concurrent CTAS to one name both passed
+    // stageCreate's existence check and staged into the SAME directory —
+    // the loser's abort rm-rf'd the winner's just-published manifest.
+    // Each staged write now owns a private .ctas-<uuid> dir and publishes
+    // by atomic rename, so the loser fails loudly and cleans only itself.
+    val (cat, root) = catalogFor("ctasrace")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "contested")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val path = s"$root/contested"
+    // both writers pass the existence check before either publishes
+    val a = new GraftStagedTable(ident, path, schema)
+    val b = new GraftStagedTable(ident, path, schema)
+    a.commitStagedChanges() // winner publishes
+    assert(Versioned.currentVersion(path) == 1)
+    // loser's commit conflicts loudly...
+    val ex = intercept[IllegalStateException](b.commitStagedChanges())
+    assert(ex.getMessage.contains("conflict"), ex.getMessage)
+    // ...and the WINNER is fully intact (manifest + readability)
+    assert(Versioned.currentVersion(path) == 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.contested").head.getLong(0) == 0)
+    // a bare abort (job failure before commit) also touches only itself
+    val c = new GraftStagedTable(ident, path, schema)
+    c.abortStagedChanges()
+    assert(Versioned.currentVersion(path) == 1)
+    // zero staging debris left anywhere
+    val debris = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".ctas-"))
+    assert(debris.isEmpty, debris.mkString(","))
+    // hidden staging dirs never surface as tables mid-flight
+    val d = new GraftStagedTable(ident, path, schema)
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).exists(_.startsWith(".")))
+    d.abortStagedChanges()
   }
 
   test("procedures: optimize/analyze/vacuum are one CALL away") {
