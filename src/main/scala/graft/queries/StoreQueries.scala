@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.store.Clustered
+import graft.store.{Clustered, Versioned}
 
 /** Declared queries for the clustered store layouts (SURVEY.md §2.3 store
   * ops): a Z-ordered write of the events table followed by a 2-D box scan.
@@ -1637,7 +1637,44 @@ object StoreQueries {
       .withColumn("v_restored", lit(vRestored))
   }
 
+  /** Merge-on-read DELETE via deletion vectors (X271): the same predicate
+    * as [[v2DeleteSql]], but [[graft.store.Versioned.deleteWhereMor]]
+    * records the matching POSITIONS in per-file sidecars and rewrites
+    * NOTHING — the commit is markers only (`zero_rewrites` pins the file
+    * set unchanged), read paths subtract in-stream (the V2 columnar/row/
+    * count readers all serve the complement), and the pre-delete version
+    * still serves every row (`n_before`). The CDC-heavy 100 TB shape:
+    * delete cost O(deleted rows), not O(files touched); compaction folds
+    * the vectors back in (VersionedSpec pins folding + the resurrection
+    * race). Reference tie: delete-by-source is the reference's only
+    * mutation (multiple_document_upload.py:178-200). Oracle: DuckDB's
+    * complement filter over the raw fixture. */
+  def v2DeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("mordel", dir)
+    rmTree(root)
+    val t = s"$root/ev"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    ev.filter(col("user_id") < 60).coalesce(1)
+      .write.format("graft-versioned").option("path", t).mode("append").save()
+    ev.filter(col("user_id") >= 60).coalesce(1)
+      .write.format("graft-versioned").option("path", t).mode("append").save()
+    val filesBefore = Versioned.files(t).toSet
+    Versioned.deleteWhereMor(spark, t,
+      col("user_id") < 30 && (col("event_type") === "error" || col("v_e2") < 5000))
+    val untouched = Versioned.files(t).toSet == filesBefore
+    val nBefore = spark.read.format("graft-versioned").option("path", t)
+      .option("versionAsOf", "2").load().count()
+    spark.read.format("graft-versioned").option("path", t).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_e2").as("sv_e2"))
+      .withColumn("zero_rewrites", lit(untouched))
+      .withColumn("n_before", lit(nBefore))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_delete_mor" -> (v2DeleteMor _),
     "catalog_clone_restore" -> (catalogCloneRestore _),
     "catalog_defaults_sql" -> (catalogDefaultsSql _),
     "catalog_constraint_sql" -> (catalogConstraintSql _),
@@ -1682,6 +1719,18 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merge-on-read delete serves exactly the complement filter; the
+    // TRUE literal pins zero file rewrites, n_before the intact snapshot
+    "v2_delete_mor" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2,
+        |  TRUE AS zero_rewrites,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before
+        |FROM t
+        |WHERE NOT (user_id < 30 AND (event_type = 'error' OR v_e2 < 5000))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // both tables read the FULL fixture aggregate: the clone froze the
     // pre-delete state and the restore rolled the source back to it
     "catalog_clone_restore" ->

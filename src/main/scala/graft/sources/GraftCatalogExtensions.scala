@@ -188,7 +188,16 @@ private[sources] class GraftStagedTable(ident: Identifier, path: String,
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
+    // the failing job KILLS its sibling tasks asynchronously — a task
+    // interrupted mid-write can recreate the staging dir (the lazy
+    // writer's mkdirs + a .crc sidecar) AFTER a single sweep. Re-sweep
+    // until the dir stays gone; bounded so a wedged executor can't hang
+    // the abort (leftovers are invisible-by-name and vacuumable).
     rm(staging)
+    var tries = 0
+    while (staging.exists() && tries < 50) {
+      Thread.sleep(100); rm(staging); tries += 1
+    }
   }
 }
 
@@ -221,7 +230,12 @@ private[sources] class StagedCreateWrite(table: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case VersionedCommitMessage(fs) =>
-        fs.foreach(r => new File(table, r).delete(): Unit)
+        fs.foreach { r =>
+          val f = new File(table, r)
+          f.delete(): Unit
+          new File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+          f.getParentFile.delete(): Unit // batch dir, only when emptied
+        }
       case _ => ()
     }
 }

@@ -373,7 +373,9 @@ private[sources] class VersionedRowLevelOperation(path: String,
         new VersionedReplaceDataWrite(path, info.schema(),
           () => groupScan.fold(sys.error(
             "row-level write committed before its scan planned"): Seq[String])(
-            _.currentFileList))
+            _.currentFileList),
+          () => groupScan.fold(
+            Map.empty[String, Seq[String]])(_.dvSnapshot))
     }
 }
 
@@ -381,7 +383,8 @@ private[sources] class VersionedRowLevelOperation(path: String,
   * (unique names, invisible until commit), but publishes them as a
   * REWRITE of the files its operation's scan read. */
 private[sources] class VersionedReplaceDataWrite(table: String,
-    schema: StructType, scanned: () => Seq[String])
+    schema: StructType, scanned: () => Seq[String],
+    scannedDv: () => Map[String, Seq[String]] = () => Map.empty)
     extends VersionedWriteImpl(table, schema) {
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -389,8 +392,10 @@ private[sources] class VersionedReplaceDataWrite(table: String,
       case VersionedCommitMessage(fs) => fs
       case other => sys.error(s"unexpected commit message $other")
     }
+    // the scan's deletion-vector snapshot rides along so the commit can
+    // reject MoR deletes that landed on scanned files AFTER planning
     Versioned.commitExternalRewrite(SparkSession.active, table, rel.toSeq,
-      scanned()): Unit
+      scanned(), knownDvAbs = scannedDv()): Unit
   }
 }
 
@@ -464,7 +469,12 @@ private[sources] class VersionedWriteImpl(table: String, schema: StructType)
   private def sweep(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case VersionedCommitMessage(fs) =>
-        fs.foreach(r => new java.io.File(table, r).delete(): Unit)
+        fs.foreach { r =>
+          val f = new java.io.File(table, r)
+          f.delete(): Unit
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+          f.getParentFile.delete(): Unit // batch dir, only when emptied
+        }
       case _ => ()
     }
 }
@@ -559,7 +569,13 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
 
   override def abort(): Unit = {
     if (rows > 0) writer.close()
-    new java.io.File(tableAbs, rel).delete(): Unit
+    val f = new java.io.File(tableAbs, rel)
+    f.delete(): Unit
+    // the local-FS .crc sidecar and, when this was the last straggler,
+    // the emptied batch dir — so an aborted job leaves zero debris even
+    // when task aborts land AFTER the job-level sweep (kills are async)
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
+    f.getParentFile.delete(): Unit // succeeds only when empty
   }
 
   override def close(): Unit = ()
@@ -602,6 +618,10 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
         case _ => false
       }
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    // outstanding deletion vectors invalidate footer metadata: counts
+    // overstate and a deleted row may hold the min/max — fall back to
+    // the (DV-subtracting) scan until compaction folds the vectors
+    if (Versioned.deletesOf(path, version).nonEmpty) return false
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(VersionedCountStar)
       case m: AggMin => colOf(m.column).filter(integral).map(VersionedMinOf)
@@ -710,9 +730,16 @@ private[sources] class VersionedScanBuilder(path: String, version: Option[Int],
       case Some(s) => (s.stats.keysIterator.map(_._1) ++
         s.blooms.keysIterator.map(_._1)).toSeq.distinct
     }
+    // deletion vectors of the SERVED version: each partition carries its
+    // file's sidecars and the readers subtract the positions in-stream
+    val dvByFile: Map[String, Seq[String]] =
+      Versioned.deletesOf(path, Some(version.getOrElse(snapVer))).map {
+        case (line, vs) => Versioned.resolveLine(path, line) ->
+          vs.map { case (rel, _) => Versioned.resolveLine(path, rel) }
+      }
     val scan = new VersionedScan(all.size, survivors, required,
       VersionedV2.project(msg, readCols).toString,
-      required.fields.isEmpty, path, runtimeCols, snap)
+      required.fields.isEmpty, path, runtimeCols, snap, dvByFile)
     onScan(scan)
     scan
   }
@@ -789,7 +816,8 @@ private[sources] class VersionedAggReader(p: VersionedAggPartition)
 private[sources] class VersionedScan(total: Int, files0: Seq[String],
     required: StructType, projectedMsg: String, emitEmptyRows: Boolean,
     tablePath: String, runtimeCols: Seq[String] = Seq.empty,
-    snap: Option[Versioned.SkipSnapshot] = None)
+    snap: Option[Versioned.SkipSnapshot] = None,
+    dvByFile: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -803,6 +831,11 @@ private[sources] class VersionedScan(total: Int, files0: Seq[String],
   /** The surviving file list itself — the row-level-operation write
     * replaces exactly these groups. */
   private[sources] def currentFileList: Seq[String] = files
+
+  /** The deletion vectors this scan's readers fold in (absolute paths) —
+    * the row-level commit compares against them to catch MoR deletes
+    * landing after planning. */
+  private[sources] def dvSnapshot: Map[String, Seq[String]] = dvByFile
 
   /** Runtime filters are accepted on every column the current manifest
     * carries stats/bloom markers for — the join-key pruning surface. */
@@ -887,13 +920,14 @@ private[sources] class VersionedScan(total: Int, files0: Seq[String],
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => VersionedFilePartition(f, projectedMsg, required,
-      emitEmptyRows): InputPartition).toArray
+      emitEmptyRows, dvByFile.getOrElse(f, Seq.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new VersionedReaderFactory
 }
 
 private[sources] case class VersionedFilePartition(file: String,
-    projectedMsg: String, required: StructType, emitEmptyRows: Boolean)
+    projectedMsg: String, required: StructType, emitEmptyRows: Boolean,
+    dvFiles: Seq[String] = Seq.empty)
     extends InputPartition
 
 private[sources] case class VersionedStreamOffset(v: Int)
@@ -954,6 +988,19 @@ private[sources] class VersionedMicroBatchStream(path: String,
       s"graft-versioned streaming source: versions ($s, $e] of $path remove " +
         s"${removed.size} file(s) (rewrite/delete/compaction) — the source " +
         "is append-only; use Versioned.changes for CDC over mutating tables")
+    // merge-on-read deletes mutate rows without touching file lines —
+    // the same append-only violation in disguise: already-replayed rows
+    // would silently diverge from the table. Fail as loudly as removals.
+    def dvSet(v: Int): Set[(String, String)] =
+      if (v == 0) Set.empty
+      else Versioned.deletesOf(path, Some(v)).toSeq.flatMap { case (line, vs) =>
+        vs.map { case (rel, _) => (line, rel) } }.toSet
+    val newDvs = dvSet(e) -- dvSet(s)
+    if (newDvs.nonEmpty) throw new IllegalStateException(
+      s"graft-versioned streaming source: versions ($s, $e] of $path add " +
+        s"${newDvs.size} deletion vector(s) (merge-on-read delete) — the " +
+        "source is append-only; use Versioned.changes for CDC over " +
+        "mutating tables")
     after.filterNot(before)
       .map(f => VersionedFilePartition(f, projectedMsg, required,
         emitEmptyRows): InputPartition).toArray
@@ -970,18 +1017,24 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[VersionedFilePartition]
     // empty projection (COUNT(*) after column pruning, no residual filter
     // possible without columns): row multiplicity comes from footer
-    // metadata alone — ZERO data pages opened at any table size
-    if (p.emitEmptyRows) new VersionedCountReader(p.file)
+    // metadata alone — ZERO data pages opened at any table size (a file
+    // with deletion vectors additionally reads its sidecars, still no
+    // data pages)
+    if (p.emitEmptyRows) new VersionedCountReader(p.file, p.dvFiles)
     else new VersionedPartitionReader(p)
   }
 
-  /** Columnar decode for flat-primitive projections — the 100 TB scan
-    * path ([[VersionedColumnarReader]]): column readers fill Spark
-    * `OnHeapColumnVector`s directly, no per-row Group materialization,
-    * and downstream operators consume the batch inside whole-stage
-    * codegen. Array columns and empty projections keep the row/count
-    * readers (per-partition decision is schema-only, so every partition
-    * of a scan agrees — Spark requires uniformity). */
+  /** Columnar decode for the connector's full projection surface — the
+    * 100 TB scan path ([[VersionedColumnarReader]]): column readers fill
+    * Spark `OnHeapColumnVector`s directly, no per-row Group
+    * materialization, and downstream operators consume the batch inside
+    * whole-stage codegen. This includes `array<float>` embedding columns
+    * (the defining scan of a vector store — k-NN, ANN builds, re-embeds
+    * all project the vector payload): the repeated-FLOAT values decode
+    * in one repetition-level loop into the array vector's child. Only
+    * empty projections keep the count reader (per-partition decision is
+    * schema-only, so every partition of a scan agrees — Spark requires
+    * uniformity). */
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[VersionedFilePartition]
     // -Dgraft.v2.columnar=off forces the row reader — the A/B lever the
@@ -991,6 +1044,7 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
       f.name == VersionedV2.FileMetaCol || (f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
              BooleanType | StringType => true
+        case ArrayType(FloatType, _) => true
         case _ => false
       }))
   }
@@ -1005,13 +1059,18 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
   * (rewrites replace whole files) and an empty projection admits no
   * residual row filter (filters force their columns into the read
   * schema). */
-private[sources] class VersionedCountReader(file: String)
+private[sources] class VersionedCountReader(file: String,
+    dvFiles: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private var remaining: Long = {
     val footer = ParquetFileReader.readFooter(new Configuration(),
       new Path(file),
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    footer.getBlocks.asScala.map(_.getRowCount).sum
+    // deletion vectors subtract exactly (positions are distinct and
+    // in-range by construction; readDvPositions unions overlaps)
+    footer.getBlocks.asScala.map(_.getRowCount).sum -
+      (if (dvFiles.isEmpty) 0L
+       else Versioned.readDvPositions(dvFiles).length.toLong)
   }
   private val row = new GenericInternalRow(0)
   override def next(): Boolean =
@@ -1022,18 +1081,23 @@ private[sources] class VersionedCountReader(file: String)
 
 /** Vectorized parquet decode — the scan path a 100 TB table rides.
   *
-  * The row reader ([[VersionedPartitionReader]], kept for array columns)
-  * materializes one example-API `Group` PER ROW: an object graph, a
-  * field-by-name lookup and a boxed value per cell — allocation-bound at
-  * scan rates. This reader walks each row group's column pages directly
-  * (`ColumnReadStoreImpl`, the same page machinery under parquet-mr's
-  * own readers) and fills `OnHeapColumnVector`s in tight per-column
-  * loops; Spark consumes the resulting `ColumnarBatch` without any
-  * row-at-a-time shim. Per-file schema handling is IDENTICAL to the row
-  * reader (the evolution contract): requested columns this file lacks
-  * serve a constant-null vector, `_graft_file` a constant-string vector,
-  * present columns decode under the FILE's own column descriptors.
-  * Vectors are reused across batches (reset, not realloc). */
+  * The row reader ([[VersionedPartitionReader]], kept as the
+  * `-Dgraft.v2.columnar=off` fallback) materializes one example-API
+  * `Group` PER ROW: an object graph, a field-by-name lookup and a boxed
+  * value per cell — allocation-bound at scan rates. This reader walks
+  * each row group's column pages directly (`ColumnReadStoreImpl`, the
+  * same page machinery under parquet-mr's own readers) and fills
+  * `OnHeapColumnVector`s in tight per-column loops; Spark consumes the
+  * resulting `ColumnarBatch` without any row-at-a-time shim.
+  * `array<float>` embedding columns decode on this path too — the
+  * repeated-FLOAT values stream into the array vector's child in one
+  * repetition-level loop (the vector-payload scan behind every k-NN /
+  * ANN-build / re-embed read). Per-file schema handling is IDENTICAL to
+  * the row reader (the evolution contract): requested columns this file
+  * lacks serve a constant-null vector, `_graft_file` a constant-string
+  * vector, present columns decode under the FILE's own column
+  * descriptors. Vectors are reused across batches (reset, not
+  * realloc). */
 private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.parquet.column.ColumnReader
@@ -1106,15 +1170,29 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
     override def end(): Unit = ()
   }
 
+  // deletion vectors: sorted distinct positions to skip (file-level row
+  // indexes); decode consumes every physical row but only KEPT rows land
+  // in the vectors, under one per-batch mask shared by all columns
+  private val deleted: Array[Long] =
+    if (p.dvFiles.isEmpty) Array.emptyLongArray
+    else Versioned.readDvPositions(p.dvFiles)
+  private var dvPtr = 0
+  private var filePos = 0L
+
   // every requested column postdates this file: nothing to decode — rows
-  // are constant-vector-only, multiplicity from footer metadata (no pages)
+  // are constant-vector-only, multiplicity from footer metadata (no pages;
+  // deletion vectors subtract exactly, same as the count reader)
   private val constOnly = decoded.isEmpty
   private var constOnlyRemaining: Long =
-    if (constOnly) reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    if (constOnly)
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum - deleted.length
     else 0L
 
   private var groupRemaining = 0L
   private var colReaders: Array[ColumnReader] = _
+  // repeated (array) columns carry MORE values than records; per-column
+  // remaining-value counts guard the repetition-level peek at row-group end
+  private var valuesLeft: Array[Long] = _
 
   private def advanceRowGroup(): Boolean = {
     if (constOnly) {
@@ -1127,67 +1205,150 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
     groupRemaining = pages.getRowCount
     val crs = new ColumnReadStoreImpl(pages, Noop, readMsg, createdBy)
     colReaders = decoded.map { case (_, d) => crs.getColumnReader(d) }
+    valuesLeft = colReaders.map(_.getTotalValueCount)
     true
   }
 
   override def next(): Boolean = {
-    while (groupRemaining == 0L) if (!advanceRowGroup()) return false
-    val n = math.min(Cap.toLong, groupRemaining).toInt
-    groupRemaining -= n
-    var k = 0
-    while (k < decoded.length) {
-      val (vi, desc) = decoded(k)
-      val vec = vectors(vi).asInstanceOf[OnHeapColumnVector]
-      vec.reset()
-      val cr = colReaders(k)
-      val maxDef = desc.getMaxDefinitionLevel
-      val dt = p.required.fields(vi).dataType
-      var r = 0
-      dt match {
-        case LongType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(r, cr.getLong)
-            else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case IntegerType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(r, cr.getInteger)
-            else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case DoubleType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) vec.putDouble(r, cr.getDouble)
-            else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case FloatType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) vec.putFloat(r, cr.getFloat)
-            else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case BooleanType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) vec.putBoolean(r, cr.getBoolean)
-            else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case StringType =>
-          while (r < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef) {
-              val b = cr.getBinary.getBytes
-              vec.putByteArray(r, b, 0, b.length): Unit
-            } else vec.putNull(r)
-            cr.consume(); r += 1
-          }
-        case other => sys.error(s"columnar: unsupported type $other")
+    while (true) {
+      while (groupRemaining == 0L) if (!advanceRowGroup()) return false
+      val n = math.min(Cap.toLong, groupRemaining).toInt
+      groupRemaining -= n
+      // deletion vectors: ONE keep mask per batch (rows [filePos,
+      // filePos+n)), applied identically by every column so the filled
+      // vectors stay row-aligned; null mask = keep everything. Values of
+      // skipped rows MUST cr.skip() — the page value stream materializes
+      // lazily, and an unread value would serve stale data to the next
+      // getX (consume() advances levels only)
+      var kept = n
+      var keep: Array[Boolean] = null
+      if (deleted.length > 0) {
+        keep = new Array[Boolean](n)
+        kept = 0
+        var i = 0
+        while (i < n) {
+          val pos = filePos + i
+          while (dvPtr < deleted.length && deleted(dvPtr) < pos) dvPtr += 1
+          keep(i) = !(dvPtr < deleted.length && deleted(dvPtr) == pos)
+          if (keep(i)) kept += 1
+          i += 1
+        }
       }
-      k += 1
+      filePos += n
+      var k = 0
+      while (k < decoded.length) {
+        val (vi, desc) = decoded(k)
+        val vec = vectors(vi).asInstanceOf[OnHeapColumnVector]
+        vec.reset()
+        val cr = colReaders(k)
+        val maxDef = desc.getMaxDefinitionLevel
+        val dt = p.required.fields(vi).dataType
+        var r = 0
+        var dr = 0
+        dt match {
+          case LongType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(dr, cr.getLong)
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case IntegerType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(dr, cr.getInteger)
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case DoubleType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) vec.putDouble(dr, cr.getDouble)
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case FloatType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) vec.putFloat(dr, cr.getFloat)
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case BooleanType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) vec.putBoolean(dr, cr.getBoolean)
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case StringType =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) {
+                  val b = cr.getBinary.getBytes
+                  vec.putByteArray(dr, b, 0, b.length): Unit
+                } else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case ArrayType(FloatType, _) =>
+            // repeated FLOAT (maxRep = maxDef = 1): one entry per VALUE,
+            // plus one def-0 placeholder per empty record. Record
+            // boundaries are repetition level 0; records never span row
+            // groups and batches align to records, so the inner loop can
+            // peek the NEXT value's repetition level safely under the
+            // remaining-value guard. Matches the row reader: def-0 decodes
+            // as the EMPTY array (2-level lists cannot represent null).
+            // Deleted records consume their values without emitting.
+            val child = vec.arrayData()
+            var left = valuesLeft(k)
+            var off = 0
+            while (r < n) {
+              val keepR = (keep eq null) || keep(r)
+              if (cr.getCurrentDefinitionLevel == maxDef) {
+                val start = off
+                if (keepR) {
+                  child.reserve(off + 1)
+                  child.putFloat(off, cr.getFloat); off += 1
+                } else cr.skip()
+                cr.consume(); left -= 1
+                while (left > 0 && cr.getCurrentRepetitionLevel == 1) {
+                  if (keepR) {
+                    child.reserve(off + 1)
+                    child.putFloat(off, cr.getFloat); off += 1
+                  } else cr.skip()
+                  cr.consume(); left -= 1
+                }
+                if (keepR) { vec.putArray(dr, start, off - start): Unit; dr += 1 }
+              } else {
+                if (keepR) { vec.putArray(dr, off, 0): Unit; dr += 1 }
+                cr.consume(); left -= 1
+              }
+              r += 1
+            }
+            valuesLeft(k) = left
+          case other => sys.error(s"columnar: unsupported type $other")
+        }
+        k += 1
+      }
+      if (kept > 0) {
+        batch.setNumRows(kept)
+        return true
+      }
+      // a fully-deleted batch was consumed; take the next one
     }
-    batch.setNumRows(n)
-    true
+    false // unreachable
   }
 
   override def get(): ColumnarBatch = batch
@@ -1254,8 +1415,24 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
       .getExistenceDefaultValue(f))
   private val fileValue = UTF8String.fromString(p.file)
   private var cur: Group = _
+  // deletion vectors: sorted distinct positions to skip; reads are
+  // sequential so one monotone pointer replaces per-row binary search
+  private val deleted: Array[Long] =
+    if (p.dvFiles.isEmpty) Array.emptyLongArray
+    else Versioned.readDvPositions(p.dvFiles)
+  private var dvPtr = 0
+  private var pos = -1L
 
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  override def next(): Boolean = {
+    while (true) {
+      cur = reader.read()
+      if (cur == null) return false
+      pos += 1
+      while (dvPtr < deleted.length && deleted(dvPtr) < pos) dvPtr += 1
+      if (!(dvPtr < deleted.length && deleted(dvPtr) == pos)) return true
+    }
+    false // unreachable
+  }
 
   override def get(): InternalRow =
     if (p.emitEmptyRows) new GenericInternalRow(0)

@@ -142,6 +142,15 @@ object Versioned {
     val carried = markers.filterNot(_.startsWith("#stream:")).map { l =>
       if (l.startsWith(StatsPrefix)) rewriteMarker(l, StatsPrefix, 2)
       else if (l.startsWith(BloomPrefix)) rewriteMarker(l, BloomPrefix, 3)
+      else if (l.startsWith(DeletesPrefix)) {
+        // both the data-file line AND the sidecar live under the SOURCE
+        // root — absolutize each or the clone reads resurrected rows
+        val tail = l.stripPrefix(DeletesPrefix)
+        val j2 = tail.lastIndexOf(':')
+        val j1 = tail.lastIndexOf(':', j2 - 1)
+        DeletesPrefix + absolutize(tail.take(j1)) + ":" +
+          absolutize(tail.substring(j1 + 1, j2)) + tail.drop(j2)
+      }
       else l
     }
     val external = data.map(absolutize)
@@ -164,7 +173,8 @@ object Versioned {
         StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
         .filter(_.nonEmpty)
       val dead = lines.filter(l => !l.startsWith("#") ||
-        l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix))
+        l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix) ||
+        l.startsWith(DeletesPrefix))
       try return commit(table, cur, Seq.empty, dead.toSet)
       catch {
         case e: IllegalStateException
@@ -242,8 +252,11 @@ object Versioned {
       .filter(f => !have((column, manifestLineOf(table, f))))
     if (missing.isEmpty) return cur
     val c = org.apache.spark.sql.functions.col(column).cast("long")
-    val rows = readUnder(spark, table, cur, missing)
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"), c.as("x"))
+    // readTagged, not input_file_name(): provenance must survive the
+    // DV anti-join (stats over LIVE rows stay conservative bounds for
+    // the original file either way)
+    val rows = readTagged(spark, table, cur, missing)
+      .select(org.apache.spark.sql.functions.col("__graft_path").as("f"), c.as("x"))
       .groupBy("f")
       .agg(org.apache.spark.sql.functions.min("x").as("mn"),
         org.apache.spark.sql.functions.max("x").as("mx"))
@@ -360,8 +373,8 @@ object Versioned {
     import spark.implicits._
     val m = bits
     val kk = k
-    val perFile = readUnder(spark, table, cur, missing)
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+    val perFile = readTagged(spark, table, cur, missing)
+      .select(org.apache.spark.sql.functions.col("__graft_path").as("f"),
         org.apache.spark.sql.functions.col(column).cast("string").as("x"))
       .where(org.apache.spark.sql.functions.col("x").isNotNull)
       .as[(String, String)]
@@ -436,6 +449,205 @@ object Versioned {
       }
     }
 
+  private val DeletesPrefix = "#deletes:"
+
+  /** Position-delete sidecars ("deletion vectors") recorded in
+    * `version`'s manifest, keyed by manifest data-file line → the
+    * sidecar entries `(dvRel, count)` holding that file's DELETED ROW
+    * POSITIONS. A merge-on-read DELETE ([[deleteWhereMor]]) publishes
+    * one marker per affected file and rewrites NOTHING — the
+    * Delta/Iceberg deletion-vector design point: delete cost is
+    * O(deleted rows), not O(files touched). Multiple markers may
+    * accumulate per file (each delete batch adds one; concurrent MoR
+    * deletes of one file BOTH land — positions are sets, so readers
+    * union them and overlap is harmless). Readers subtract the
+    * positions; compaction/rewrites fold them (a rewritten file's
+    * markers retire with its line — [[commit]]). */
+  def deletesOf(table: String, version: Option[Int] = None)
+      : Map[String, Seq[(String, Long)]] = {
+    val v = version.getOrElse(currentVersion(table))
+    val mf = manifestFile(table, v)
+    if (v == 0 || !mf.exists) Map.empty
+    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith(DeletesPrefix))
+      .map { l =>
+        // layout: #deletes:<fileLine>:<dvRel>:<count> — parse from the
+        // RIGHT (file lines may contain ':'; dv names are house-made and
+        // colon-free)
+        val tail = l.stripPrefix(DeletesPrefix)
+        val j2 = tail.lastIndexOf(':')
+        val j1 = tail.lastIndexOf(':', j2 - 1)
+        (tail.take(j1), (tail.substring(j1 + 1, j2), tail.substring(j2 + 1).toLong))
+      }
+      .groupBy(_._1).map { case (line, xs) => line -> xs.map(_._2) }
+  }
+
+  /** Resolve a manifest line (data file or DV sidecar) to an absolute
+    * path under `table` — relative lines live under the table root,
+    * absolute lines (shallow-clone references) resolve as themselves. */
+  private[graft] def resolveLine(table: String, line: String): String =
+    if (new File(line).isAbsolute) line else new File(table, line).getAbsolutePath
+
+  /** The SORTED, DISTINCT deleted positions of one data file — the union
+    * of its DV sidecars (dedup makes concurrent-delete overlap
+    * harmless). Sidecar format: one big-endian int N, then N longs. */
+  private[graft] def readDvPositions(dvPaths: Seq[String]): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    dvPaths.foreach { p =>
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(p)))
+      try {
+        val n = in.readInt()
+        var i = 0
+        while (i < n) { set.add(in.readLong()); i += 1 }
+      } finally in.close()
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Raw parquet read of `paths` tagged with normalized provenance
+    * (`__graft_path`) and, when `version` carries deletion vectors for
+    * any of them, the DV anti-join applied — rows surface LIVE-only,
+    * with the tag preserved (join-safe, unlike `input_file_name()`
+    * which goes blank past a shuffle join). Positions decode on the
+    * EXECUTORS (a `flatMap` over the bounded (file, sidecars) list);
+    * the anti-join keys on (file, row position) and the DV side is
+    * small by maintenance contract (compaction folds vectors in). */
+  private def readTagged(spark: SparkSession, table: String, version: Int,
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    require(paths.nonEmpty, s"table $table has nothing to read at v$version")
+    val raw = schemaOf(table, Some(version)) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val tagged = raw.withColumn("__graft_path",
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    val dvs = deletesOf(table, Some(version))
+    if (dvs.isEmpty) return tagged
+    val wanted = paths.map(p => manifestLineOf(table,
+      new File(p).getAbsolutePath)).toSet
+    val relevant = dvs.filter { case (line, _) => wanted(line) }
+    if (relevant.isEmpty) return tagged
+    import spark.implicits._
+    val meta: Seq[(String, Seq[String])] = relevant.toSeq.map { case (line, vs) =>
+      (resolveLine(table, line), vs.map { case (rel, _) => resolveLine(table, rel) })
+    }
+    val dv = spark.createDataset(meta)
+      .flatMap { case (f, sidecars) => readDvPositions(sidecars).map(p => (f, p)) }
+      .toDF("__dv_f", "__dv_p")
+    val pos = tagged.withColumn("__graft_pos", col("_metadata.row_index"))
+    pos.join(dv, pos("__graft_path") === dv("__dv_f") &&
+        pos("__graft_pos") === dv("__dv_p"), "left_anti")
+      .drop("__graft_pos")
+  }
+
+  /** Merge-on-read DELETE: record the matching rows' POSITIONS in
+    * per-file deletion-vector sidecars and publish the `#deletes:`
+    * markers as one metadata commit — NO data file is rewritten at any
+    * table size (contrast [[deleteWhere]], the copy-on-write form that
+    * rewrites whole affected files). This is the CDC-heavy 100 TB shape:
+    * a hot table absorbing frequent small deletes pays O(deleted rows)
+    * per batch, and the read debt is bounded because every rewrite
+    * (compact / compactSmall / optimize / CoW delete / merge) reads
+    * DV-applied and retires the folded markers with the replaced lines.
+    *
+    * Contracts: candidate discovery pushes `cond` into the scan exactly
+    * like deleteWhere; already-deleted positions never re-record (the
+    * match runs over the LIVE view); sidecars are written by the
+    * EXECUTORS (one per affected file), the driver collects only
+    * (file, sidecar, count) — bounded by file count. Concurrency: the
+    * commit retries while every target file line still exists (losing
+    * to appends or other MoR deletes is harmless — position sets union);
+    * losing a target to a concurrent REWRITE throws, because the
+    * positions describe a file that no longer serves rows. The streaming
+    * source rejects version ranges that add DV markers (append-only
+    * contract), and [[changes]] keeps its rows-ADDED contract — MoR
+    * deletes are invisible to it, as documented there.
+    *
+    * Cites the reference's only mutation — delete-by-source
+    * (multiple_document_upload.py:178-200) — re-expressed as
+    * O(deleted rows) instead of O(files touched). */
+  def deleteWhereMor(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
+    import org.apache.spark.sql.functions.col
+    requireNoRenames(table, "deleteWhereMor")
+    val base = currentVersion(table)
+    val fs = files(table, Some(base))
+    require(fs.nonEmpty, s"table $table has no committed data at $base")
+    val dvBatch = f"mor-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tableAbs = new File(table).getAbsolutePath
+    new File(tableAbs, dvBatch).mkdirs()
+    import spark.implicits._
+    // live rows only (readTagged applies existing DVs), keyed by
+    // (file, position); co-locate and sort per file so each sidecar
+    // writes positions ascending in one pass
+    val written = readTagged(spark, table, base, fs)
+      .filter(cond)
+      .select(col("__graft_path").as("f"),
+        col("_metadata.row_index").as("p"))
+      .as[(String, Long)]
+      .repartition(col("f")).sortWithinPartitions("f", "p")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var seq = 0
+        var curF: String = null
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        def flush(): Unit = if (curF != null) {
+          val positions = buf.result()
+          val rel = s"$dvBatch/part-$pid-$seq.dv"
+          seq += 1
+          new File(tableAbs, dvBatch).mkdirs() // executor-side on a cluster
+          val o = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(new File(tableAbs, rel))))
+          try {
+            o.writeInt(positions.length)
+            positions.foreach(o.writeLong)
+          } finally o.close()
+          out += ((curF, rel, positions.length.toLong))
+        }
+        it.foreach { case (f, p) =>
+          if (f != curF) { flush(); curF = f; buf.clear() }
+          buf += p
+        }
+        flush()
+        out.iterator
+      }.collect()
+    if (written.isEmpty) { new File(tableAbs, dvBatch).delete(); return base }
+    val targets = written.map(w => manifestLineOf(table, w._1)).toSet
+    val markers = written.map { case (fAbs, rel, cnt) =>
+      s"$DeletesPrefix${manifestLineOf(table, fAbs)}:$rel:$cnt"
+    }.toSeq
+    // retry while every target line survives (appends / other MoR
+    // deletes are benign); a concurrent REWRITE of a target invalidates
+    // the recorded positions — surface it, caller re-runs
+    var b = base
+    var attempt = 0
+    while (true) {
+      try return commit(table, b, markers)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val cur = currentVersion(table)
+          val lines = Files.readAllLines(manifestFile(table, cur).toPath,
+            StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+          if (!targets.subsetOf(lines))
+            throw new IllegalStateException(
+              s"merge-on-read delete on $table derived from v$base lost a target " +
+                "file to a concurrent rewrite; re-run against the current version", e)
+          b = cur
+      }
+    }
+    -1 // unreachable
+  }
+
   private val RenamePrefix = "#rename:"
 
   /** Column renames recorded in `version`'s manifest, oldest first
@@ -476,6 +688,11 @@ object Versioned {
     while (true) {
       val cur = currentVersion(table)
       require(cur > 0, s"cannot rename on empty table $table")
+      // the rename read path (applyRenames) reads raw files — it cannot
+      // compose with outstanding deletion vectors; fold them first
+      require(deletesOf(table, Some(cur)).isEmpty,
+        s"renameColumn on $table with outstanding deletion vectors: " +
+          "fold them first (Versioned.compact / compactSmall)")
       val schema = readSchemaOf(spark, table, cur)
       require(schema.fieldNames.contains(oldName),
         s"rename: no column $oldName in ${schema.fieldNames.mkString(",")}")
@@ -762,11 +979,23 @@ object Versioned {
     * pre-evolution files surface the evolved width — the mergeSchema
     * semantics without the per-file footer merge. */
   private def readUnder(spark: SparkSession, table: String, version: Int,
-      paths: Seq[String]): DataFrame =
-    schemaOf(table, Some(version)) match {
+      paths: Seq[String]): DataFrame = {
+    val raw = schemaOf(table, Some(version)) match {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+    // deletion vectors: subtract recorded positions (merge-on-read).
+    // The common no-DV case stays the bare scan — one manifest read
+    // decides, no plan change
+    val dvs = deletesOf(table, Some(version))
+    if (dvs.isEmpty) raw
+    else {
+      val wanted = paths.map(p => manifestLineOf(table,
+        new File(p).getAbsolutePath)).toSet
+      if (!dvs.keysIterator.exists(wanted)) raw
+      else readTagged(spark, table, version, paths).drop("__graft_path")
+    }
+  }
 
   /** Read a version (default latest) as a DataFrame. The empty version
     * needs a caller-supplied schema-bearing frame to stay total, so it is
@@ -823,6 +1052,12 @@ object Versioned {
       // between any filter and the scan, so the skipping rule cannot
       // fire; stats keyed on legacy names would be stale anyway)
       return applyRenames(spark, table, v, fs, renames)
+    // outstanding deletion vectors force the DV-applied read (the
+    // anti-join sits between filter and scan, so StatsSkip cannot fire
+    // until compaction folds the vectors — read-debt, not wrong answers;
+    // stats pruning would stay CONSERVATIVE either way)
+    if (deletesOf(table, Some(v)).nonEmpty)
+      return readUnder(spark, table, v, fs)
     val r = spark.read
       .option("graft.table", Paths.get(table).toAbsolutePath.toString)
       .option("graft.version", v.toString)
@@ -915,11 +1150,22 @@ object Versioned {
     def retired(l: String): Boolean =
       (l.startsWith(StatsPrefix) && removed(markerFileOf(l, StatsPrefix, 2))) ||
         (l.startsWith(BloomPrefix) && removed(markerFileOf(l, BloomPrefix, 3)))
+    // deletion-vector markers have NO leading column name — the file
+    // line starts right after the prefix, with 2 trailing fields
+    // (dvRel : count); a rewritten/removed file's vectors fold into the
+    // replacement data, so its markers retire here
+    def retiredDv(l: String): Boolean = {
+      if (!l.startsWith(DeletesPrefix)) return false
+      val tail = l.stripPrefix(DeletesPrefix)
+      val j2 = tail.lastIndexOf(':')
+      val j1 = tail.lastIndexOf(':', j2 - 1)
+      removed(tail.take(j1))
+    }
     val kept =
       if (base == 0) Seq.empty
       else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
         .toArray(Array.empty[String]).toSeq
-        .filter(f => f.nonEmpty && !removed(f) && !retired(f))
+        .filter(f => f.nonEmpty && !removed(f) && !retired(f) && !retiredDv(f))
     manifestDir(table).mkdirs()
     val tmp = File.createTempFile(s"v$next-", ".tmp", manifestDir(table))
     Files.write(tmp.toPath,
@@ -1170,13 +1416,22 @@ object Versioned {
     * contract) rather than silently re-removing vanished lines. */
   def commitExternalRewrite(spark: SparkSession, table: String,
       addedRel: Seq[String], removedAbs: Seq[String],
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5,
+      knownDvAbs: Map[String, Seq[String]] = Map.empty): Int = {
     if (addedRel.nonEmpty) {
       val staged = spark.read.parquet(
         addedRel.map(r => new File(table, r).getPath): _*)
       requireConstraints(constraintsOf(table, Some(currentVersion(table))), staged)
     }
     val removedRel = removedAbs.map(abs => manifestLineOf(table, abs)).toSet
+    // the deletion vectors the planning-time scan ALREADY folded into its
+    // rows, in manifest form — a `#deletes:` marker on a scanned file that
+    // is NOT in this set landed after planning; committing would retire it
+    // while the staged data still carries its rows (resurrection)
+    val knownDv: Set[(String, String)] = knownDvAbs.toSeq.flatMap {
+      case (fAbs, dvs) => dvs.map(dvAbs =>
+        (manifestLineOf(table, fAbs), manifestLineOf(table, dvAbs)))
+    }.toSet
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
@@ -1187,6 +1442,16 @@ object Versioned {
         s"row-level rewrite conflict on $table: ${gone.size} scanned file(s) " +
           "were rewritten concurrently — re-run the statement against the " +
           "current version")
+      val dvNow = lines.filter(_.startsWith(DeletesPrefix)).map { l =>
+        val tail = l.stripPrefix(DeletesPrefix)
+        val j2 = tail.lastIndexOf(':')
+        val j1 = tail.lastIndexOf(':', j2 - 1)
+        (tail.take(j1), tail.substring(j1 + 1, j2))
+      }.filter { case (line, _) => removedRel(line) }
+      if ((dvNow -- knownDv).nonEmpty) throw new IllegalStateException(
+        s"row-level rewrite conflict on $table: a merge-on-read delete landed " +
+          "on a scanned file after planning — re-run the statement against " +
+          "the current version (committing would resurrect the deleted rows)")
       try return commit(table, cur, addedRel, removedRel)
       catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
@@ -1299,9 +1564,11 @@ object Versioned {
       cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
     requireNoRenames(table, "deleteWhere")
     val base = currentVersion(table)
-    val cur = read(spark, table, Some(base))
-    val affected = cur.filter(cond)
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+    // readTagged: provenance survives the DV anti-join on tables with
+    // outstanding deletion vectors (input_file_name goes blank there)
+    val affected = readTagged(spark, table, base, files(table, Some(base)))
+      .filter(cond)
+      .select(org.apache.spark.sql.functions.col("__graft_path").as("f"))
       .distinct().collect().map(r => toLocalPath(r.getString(0)))
     if (affected.isEmpty) return base
     // keep rows where cond IS NOT TRUE: three-valued logic makes a plain
@@ -1361,14 +1628,15 @@ object Versioned {
       updates.write.parquet(new File(table, batch).getPath)
       return (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"), Set.empty)
     }
-    val cur = read(spark, table, Some(base))
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
     val updKeys = updates.select(keyCols: _*).distinct()
-    val affected = cur
-      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+    // readTagged: provenance survives the DV anti-join (see deleteWhere)
+    val affected = readTagged(spark, table, base, files(table, Some(base)))
+      .withColumnRenamed("__graft_path", "__f")
       .join(updKeys, keys, "left_semi")
       .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
-    val ordered = updates.select(cur.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val ordered = updates.select(readSchemaOf(spark, table, base).fieldNames
+      .map(org.apache.spark.sql.functions.col).toSeq: _*)
     val newData =
       if (affected.isEmpty) ordered // pure insert: no file rewrites
       else readUnder(spark, table, base, affected.toIndexedSeq)
@@ -1567,10 +1835,13 @@ object Versioned {
     val keepFrom = math.max(1, cur - keepVersions + 1)
     (1 until keepFrom).foreach(v => manifestFile(table, v).delete())
     // tolerate holes: an earlier, stricter vacuum may already have
-    // dropped manifests inside this horizon
-    val live = (keepFrom to cur)
-      .filter(v => manifestFile(table, v).exists)
-      .flatMap(v => files(table, Some(v))).toSet
+    // dropped manifests inside this horizon. Deletion-vector sidecars
+    // referenced by retained manifests are LIVE exactly like data files
+    // — reclaiming one would silently resurrect its deleted rows
+    val retained = (keepFrom to cur).filter(v => manifestFile(table, v).exists)
+    val live = retained.flatMap(v => files(table, Some(v))).toSet ++
+      retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
+        .map { case (rel, _) => resolveLine(table, rel) })
     val now = System.currentTimeMillis()
     val batchDirs = Option(new File(table).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_manifests")
@@ -1578,7 +1849,8 @@ object Versioned {
     batchDirs.foreach { d =>
       val children = Option(d.listFiles()).getOrElse(Array.empty)
       val (data, sidecars) =
-        children.partition(f => f.isFile && f.getName.endsWith(".parquet"))
+        children.partition(f => f.isFile &&
+          (f.getName.endsWith(".parquet") || f.getName.endsWith(".dv")))
       data.foreach { f =>
         if (!live(f.getAbsolutePath) && now - f.lastModified >= minAgeMs) {
           if (f.delete()) deleted += 1
@@ -1625,6 +1897,23 @@ object Versioned {
     * grace window. */
   private def commitRewrite(table: String, base: Int, added: Seq[String],
       removed: Set[String], maxRetries: Int): Int = {
+    // the `#deletes:` markers the rewrite's READ already folded in — a
+    // marker on an input file that appears AFTER the read is a lost
+    // update in waiting: committing would retire it while the rewritten
+    // data still carries the rows it deletes (resurrection)
+    def dvOnInputs(v: Int): Set[String] =
+      if (v == 0) Set.empty
+      else Files.readAllLines(manifestFile(table, v).toPath, StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSet
+        .filter { l =>
+          l.startsWith(DeletesPrefix) && {
+            val tail = l.stripPrefix(DeletesPrefix)
+            val j2 = tail.lastIndexOf(':')
+            val j1 = tail.lastIndexOf(':', j2 - 1)
+            removed(tail.take(j1))
+          }
+        }
+    val foldedDv = dvOnInputs(base)
     var b = base
     var attempt = 0
     while (true) {
@@ -1640,6 +1929,11 @@ object Versioned {
             throw new IllegalStateException(
               s"rewrite of $table derived from v$base lost its input files to a " +
                 "concurrent rewrite; re-derive against the current version", e)
+          if ((dvOnInputs(cur) -- foldedDv).nonEmpty)
+            throw new IllegalStateException(
+              s"rewrite of $table derived from v$base raced a merge-on-read " +
+                "delete on its input files; re-derive against the current " +
+                "version (committing would resurrect the deleted rows)", e)
           b = cur
       }
     }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.{SparkSpec, Tables}
 import graft.store.Versioned
@@ -830,15 +831,17 @@ class VersionedV2Spec extends SparkSpec {
     assert(withFile.map(_._2).distinct.length == 2, "two serving files")
   }
 
-  test("columnar scan: array projections keep the row path; counts go zero-IO") {
+  test("columnar scan: array<float> projections vectorize; counts go zero-IO") {
     val (cat, root) = catalogFor("colarr")
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
     spark.sql(s"INSERT INTO $cat.e VALUES (1, array(CAST(1 AS FLOAT))), " +
       "(2, array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
-    val arr = spark.sql(s"SELECT id, emb FROM $cat.e ORDER BY id")
-    assert(!arr.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-      "array projection must fall back to the row reader")
-    assert(arr.as[(Long, Seq[Float])].collect().toSeq ==
+    // the embedding projection — the vector store's defining scan — now
+    // rides the vectorized path too (round-12 verdict ask #1)
+    val arr = spark.sql(s"SELECT id, emb FROM $cat.e")
+    assert(arr.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      arr.queryExecution.executedPlan.toString)
+    assert(arr.as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq ==
       Seq((1L, Seq(1f)), (2L, Seq(2f, 3f))))
     // scalar-only projection over the SAME table vectorizes
     val flat = spark.sql(s"SELECT id FROM $cat.e")
@@ -850,6 +853,119 @@ class VersionedV2Spec extends SparkSpec {
     Versioned.append(Tables.events(spark, sfDir)
       .select($"event_id", $"user_id").coalesce(1), big)
     assert(v2(big).count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("columnar scan: embedding decode equals the row reader batch-for-batch") {
+    val path = freshTable("colemb")
+    // > one ColumnarBatch (Cap = 4096) across 2 files, ragged lengths
+    // INCLUDING empty vectors (id % 7 == 0) — the repetition-level decode
+    // must re-align on every record boundary and batch seam
+    spark.range(0, 10000, 1, 2)
+      .select($"id", expr("transform(array_repeat(id, CAST(id % 7 AS INT)), " +
+        "(x, i) -> CAST(x + i * 0.25 AS FLOAT))").as("emb"))
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    val proj = v2(path).select("id", "emb")
+    assert(proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      proj.queryExecution.executedPlan.toString)
+    val viaColumnar = proj.as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val viaRow =
+      try {
+        System.setProperty("graft.v2.columnar", "off")
+        v2(path).select("id", "emb").as[(Long, Seq[Float])]
+          .collect().sortBy(_._1).toSeq
+      } finally System.clearProperty("graft.v2.columnar")
+    assert(viaColumnar.size == 10000 && viaColumnar == viaRow)
+    // spot-check content, not just reader agreement
+    assert(viaColumnar(9L.toInt)._2 == Seq(9f, 9.25f),
+      viaColumnar(9).toString)
+    assert(viaColumnar.count(_._2.isEmpty) == 10000 / 7 + 1)
+    // expression over the vector stays on the vectorized scan
+    val dot = v2(path)
+      .select($"id", expr("aggregate(emb, CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + x * x)").as("nrm"))
+    assert(dot.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(dot.filter($"id" === 9).head.getDouble(1) == (81.0 + 9.25 * 9.25))
+  }
+
+  test("merge-on-read deletes served by row, columnar, count and agg paths") {
+    val path = freshTable("mor")
+    // two slices incl. an embedding column — the DV skip must hold on
+    // scalar AND repeated decode, across both reader families
+    spark.range(0, 6000, 1, 1)
+      .selectExpr("id", "CAST(id % 5 AS STRING) AS s",
+        "transform(array_repeat(id, 2), (x, i) -> CAST(x + i AS FLOAT)) AS emb")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    spark.range(6000, 9000, 1, 1)
+      .selectExpr("id", "CAST(id % 5 AS STRING) AS s",
+        "transform(array_repeat(id, 2), (x, i) -> CAST(x + i AS FLOAT)) AS emb")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    val filesBefore = Versioned.files(path).toSet
+    Versioned.deleteWhereMor(spark, path, col("id") % 3 === 0 || col("id") === 8999)
+    assert(Versioned.files(path).toSet == filesBefore, "no data file rewrites")
+    val expectIds = (0L until 9000L).filterNot(i => i % 3 == 0 || i == 8999)
+    // columnar path (default ON) serves the subtracted view
+    val viaCol = v2(path).select("id", "s", "emb")
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(viaCol.map(_._1) == expectIds)
+    assert(viaCol.forall { case (i, s, e) =>
+      s == (i % 5).toString && e == Seq(i.toFloat, (i + 1).toFloat) },
+      "surviving rows keep aligned values across scalar and array columns")
+    // row reader agrees batch-for-batch
+    val viaRow =
+      try {
+        System.setProperty("graft.v2.columnar", "off")
+        v2(path).select("id", "s", "emb")
+          .as[(Long, String, Seq[Float])].collect().sortBy(_._1).toSeq
+      } finally System.clearProperty("graft.v2.columnar")
+    assert(viaRow == viaCol)
+    // COUNT(*): the zero-data-page count reader subtracts sidecar counts
+    assert(v2(path).count() == expectIds.size)
+    // footer agg pushdown is DISABLED under DVs: the deleted max row
+    // (8999) must not leak from block statistics
+    val mm = v2(path).agg(min($"id"), max($"id")).head
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == 8998L, mm.toString)
+    // time travel: the pre-delete version still serves every row
+    assert(spark.read.format("graft-versioned").option("path", path)
+      .option("versionAsOf", "2").load().count() == 9000)
+  }
+
+  test("streaming source rejects a version range that adds deletion vectors") {
+    val path = freshTable("mordstream")
+    spark.range(0, 10, 1, 1).selectExpr("id")
+      .write.format("graft-versioned").option("path", path)
+      .mode("append").save()
+    Versioned.deleteWhereMor(spark, path, col("id") === 3)
+    val stream = new VersionedMicroBatchStream(path,
+      VersionedV2.messageType(new StructType().add("id", LongType)).toString,
+      new StructType().add("id", LongType), emitEmptyRows = false)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(VersionedStreamOffset(1), VersionedStreamOffset(2))
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // the pre-delete range still replays cleanly
+    assert(stream.planInputPartitions(VersionedStreamOffset(0),
+      VersionedStreamOffset(1)).nonEmpty)
+  }
+
+  test("columnar scan: evolution-null ARRAY column served as constant vector") {
+    val (cat, root) = catalogFor("colembnull")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 5, 1, 1)")
+    // evolve the vector column in AFTER slice 1; its rows must serve a
+    // constant-NULL array vector on the columnar path
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN emb ARRAY<FLOAT>")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, array(CAST(id AS FLOAT)) " +
+      "FROM range(5, 8, 1, 1)")
+    val q = spark.sql(s"SELECT id, emb FROM $cat.t")
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      q.queryExecution.executedPlan.toString)
+    val got = q.as[(Long, Option[Seq[Float]])].collect().sortBy(_._1).toSeq
+    assert(got.take(5).forall(_._2.isEmpty) &&
+      got.drop(5) == Seq((5L, Some(Seq(5f))), (6L, Some(Seq(6f))),
+        (7L, Some(Seq(7f)))), got.toString)
   }
 
   test("ALTER ADD COLUMN keeps a column added concurrently mid-retry") {

@@ -920,6 +920,104 @@ class VersionedSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("schema evolution cannot change column"))
   }
+
+  test("merge-on-read delete: zero data files rewritten, reads subtract, snapshots intact") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
+    Versioned.append(Seq((4L, "d"), (5L, "e")).toDF("id", "s"), t)
+    val filesBefore = Versioned.files(t).toSet
+    val v = Versioned.deleteWhereMor(spark, t, $"id" === 2L || $"id" === 5L)
+    assert(v == 3)
+    // the commit is markers + sidecars only: data lines untouched
+    assert(Versioned.files(t).toSet == filesBefore)
+    assert(Versioned.deletesOf(t).values.flatten.map(_._2).sum == 2L)
+    assert(rows(t) == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // snapshot isolation: the pre-delete version serves everything
+    assert(rows(t, Some(2)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // a second, OVERLAPPING MoR delete matches live rows only and the
+    // position sets union — nothing doubles, nothing resurrects
+    Versioned.deleteWhereMor(spark, t, $"id" >= 3L)
+    assert(rows(t) == Set((1L, "a")))
+    // matching nothing commits nothing
+    val cur = Versioned.currentVersion(t)
+    assert(Versioned.deleteWhereMor(spark, t, $"id" === 99L) == cur)
+  }
+
+  test("merge-on-read delete: compaction folds vectors; vacuum honors live sidecars") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), t)
+    Versioned.deleteWhereMor(spark, t, $"id".isin(2L, 3L))
+    val dvAbs = Versioned.deletesOf(t).values.flatten.map { case (rel, _) =>
+      new File(t, rel).getAbsolutePath }.toSeq
+    assert(dvAbs.nonEmpty && dvAbs.forall(new File(_).exists))
+    // sidecars referenced by the retained horizon survive vacuum —
+    // reclaiming one would resurrect its rows
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0)
+    assert(dvAbs.forall(new File(_).exists), "live sidecars survive vacuum")
+    assert(rows(t) == Set((1L, "a"), (4L, "d")))
+    // compaction reads DV-applied and retires the folded markers
+    Versioned.compact(spark, t)
+    assert(rows(t) == Set((1L, "a"), (4L, "d")))
+    assert(Versioned.deletesOf(t).isEmpty, "folded markers retire")
+    // now the sidecars are unreferenced weight; vacuum reclaims them
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0)
+    assert(dvAbs.forall(f => !new File(f).exists), "dead sidecars reclaimed")
+    assert(rows(t) == Set((1L, "a"), (4L, "d")))
+  }
+
+  test("merge-on-read and copy-on-write deletes agree; CoW folds outstanding vectors") {
+    val t1 = tmpDir("versioned").toString
+    val t2 = tmpDir("versioned").toString
+    Seq(t1, t2).foreach { t =>
+      // one file per slice so "which file rewrites" is deterministic
+      Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .coalesce(1), t)
+      Versioned.append(Seq((4L, "d"), (5L, "e")).toDF("id", "s").coalesce(1), t)
+    }
+    val f1 = Versioned.files(t1).toSet
+    val f2 = Versioned.files(t2).toSet
+    Versioned.deleteWhere(spark, t1, $"id".isin(2L, 4L))
+    Versioned.deleteWhereMor(spark, t2, $"id".isin(2L, 4L))
+    assert(rows(t1) == rows(t2))
+    assert(Versioned.files(t1).toSet != f1, "CoW rewrites affected files")
+    assert(Versioned.files(t2).toSet == f2, "MoR rewrites nothing")
+    // a CoW delete ON TOP of outstanding vectors reads DV-applied and
+    // retires the rewritten file's markers — never resurrects
+    Versioned.deleteWhere(spark, t2, $"id" === 1L)
+    assert(rows(t2) == Set((3L, "c"), (5L, "e")))
+    val remaining = Versioned.deletesOf(t2)
+    assert(remaining.size == 1, "rewritten file's marker retires; the other survives")
+    assert(remaining.keys.forall(line =>
+      Versioned.files(t2).exists(_.endsWith(line))),
+      "no marker survives without its data line")
+  }
+
+  test("rewrite racing a merge-on-read delete cannot resurrect deleted rows") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val base = Versioned.currentVersion(t)
+    val inputAbs = Versioned.files(t, Some(base))
+    // stage a compaction's data AGAINST `base` by hand (the read happens
+    // BEFORE the delete lands)...
+    val batch = "compact-race"
+    Versioned.read(spark, t, Some(base)).coalesce(1)
+      .write.parquet(new File(t, batch).getPath)
+    val added = Option(new File(t, batch).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"$batch/${f.getName}").toSeq
+    // ...then let a merge-on-read delete commit first
+    Versioned.deleteWhereMor(spark, t, $"id" === 1L)
+    assert(rows(t) == Set((2L, "b")))
+    // the staged rewrite must FAIL (its rows predate the delete) — a
+    // blind commit would retire the marker and resurrect id=1
+    val e = intercept[IllegalStateException] {
+      Versioned.commitExternalRewrite(spark, t, added, inputAbs)
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    assert(rows(t) == Set((2L, "b")), "the delete's outcome stands")
+  }
 }
 
 /** Deterministic interleaving hook for the constraint-race test: fires
