@@ -1673,7 +1673,86 @@ object StoreQueries {
       .orderBy("event_type")
   }
 
+  /** TIMESTAMP/DATE through the catalog's SQL surface (X272): a fresh
+    * SQL user's first `CREATE TABLE ... (ts TIMESTAMP, d DATE)` now
+    * works end to end — write, read, row-level DELETE with a typed
+    * timestamp literal — with no epoch-micros convention to know about.
+    * The connector maps TIMESTAMP to parquet INT64 timestamp-micros
+    * (UTC-adjusted) and DATE to INT32 date, Spark's own mapping, and
+    * both ride the vectorized decode (VersionedV2Spec round-trips
+    * pre-epoch and DST-boundary values). Exported as epoch micros/days
+    * so the DuckDB oracle compares integers, not formatter output. */
+  def catalogTimestampSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catts", dir)
+    rmTree(root)
+    val cat = s"graft_ts_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .createOrReplaceTempView("graft_ts_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, ts TIMESTAMP, d DATE, user_id BIGINT, event_type STRING)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT event_id, ts, CAST(ts AS DATE), " +
+      "user_id, event_type FROM graft_ts_src")
+    // typed row-level DELETE: the predicate translates through the V2
+    // Predicate bridge with a real TIMESTAMP literal
+    val cutoff = spark.sql("SELECT CAST(MAX(ts) AS STRING) FROM graft_ts_src")
+      .head.getString(0)
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts >= TIMESTAMP'$cutoff' " +
+      "AND event_type = 'view'")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(unix_micros(MIN(ts)) AS BIGINT) AS min_ts_us,
+         |  CAST(unix_micros(MAX(ts)) AS BIGINT) AS max_ts_us,
+         |  CAST(MIN(datediff(d, DATE'1970-01-01')) AS BIGINT) AS min_d_days,
+         |  CAST(SUM(datediff(d, DATE'1970-01-01')) AS BIGINT) AS sum_d_days
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Snapshot-versioned serving index (X273 — [[graft.store
+    * .VersionedIndex]]): the IVF index lives under the SAME manifest
+    * protocol as the store, so "search at index-v1" is exact time travel
+    * — this query rebuilds the index after the store grows and pins BOTH
+    * worlds against brute force. Index v1 is built from store v1
+    * (vec_id % 3 != 2) and pinned to it; the nightly rebuild publishes
+    * index v2 from store v2 (everything) as ONE atomic replace. Searches
+    * run with nprobe = nlist (exhaustive probing IS brute force, so the
+    * oracle is exact); each row carries the index version AND its pinned
+    * store version — a torn rebuild, a stale vector surviving the swap,
+    * or a broken pin each breaks a row. Oracle: DuckDB brute-force top-10
+    * over the matching fixture subsets. */
+  def indexTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("idxtt", dir)
+    rmTree(root)
+    val store = s"$root/store"
+    val idxT = s"$root/index"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Versioned.append(emb.filter(col("vec_id") % 3 =!= 2), store) // store v1
+    val i1 = graft.scale.Ivf.build(spark,
+      Versioned.read(spark, store, Some(1)), nlist = 8, maxIter = 1)
+    graft.store.VersionedIndex.commit(spark, idxT, i1, storeVersion = 1)
+    Versioned.append(emb.filter(col("vec_id") % 3 === 2), store) // store v2
+    val i2 = graft.scale.Ivf.build(spark,
+      Versioned.read(spark, store, Some(2)), nlist = 8, maxIter = 1)
+    graft.store.VersionedIndex.commit(spark, idxT, i2, storeVersion = 2)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    def rows(v: Int) = {
+      val s = graft.store.VersionedIndex.open(spark, idxT, Some(v))
+      graft.scale.Ivf.search(s.index, q, k = 10, nprobe = 8)
+        .select(lit(v.toLong).as("idx_version"),
+          lit(s.storeVersion.toLong).as("store_version"), col("vec_id"),
+          round(col("dist") * 10000).cast("long").as("dist_e4"))
+    }
+    rows(1).unionByName(rows(2))
+      .orderBy(col("idx_version"), col("dist_e4"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_time_travel" -> (indexTimeTravel _),
+    "catalog_timestamp_sql" -> (catalogTimestampSql _),
     "v2_delete_mor" -> (v2DeleteMor _),
     "catalog_clone_restore" -> (catalogCloneRestore _),
     "catalog_defaults_sql" -> (catalogDefaultsSql _),
@@ -1719,6 +1798,38 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // brute-force top-10 over each store snapshot's subset: index v1 was
+    // built from (and pinned to) store v1, index v2 from store v2
+    "index_time_travel" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |        list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d,
+        |        e.vec_id % 3 <> 2 AS in_v1
+        |      FROM embeddings e CROSS JOIN q),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS idx_version,
+        |         CAST(1 AS BIGINT) AS store_version, vec_id,
+        |         CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |       FROM d WHERE in_v1 ORDER BY d, vec_id LIMIT 10),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS idx_version,
+        |         CAST(2 AS BIGINT) AS store_version, vec_id,
+        |         CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |       FROM d ORDER BY d, vec_id LIMIT 10)
+        |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY idx_version, dist_e4, vec_id""".stripMargin,
+    // timestamp/date round-trip: the complement of the typed-literal
+    // delete, exported as epoch micros/days integers
+    "catalog_timestamp_sql" ->
+      """WITH t AS (SELECT event_type, ts, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT MAX(ts) AS cutoff FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us,
+        |  CAST(MIN(date_diff('day', DATE '1970-01-01', d)) AS BIGINT) AS min_d_days,
+        |  CAST(SUM(date_diff('day', DATE '1970-01-01', d)) AS BIGINT) AS sum_d_days
+        |FROM t, c
+        |WHERE NOT (ts >= cutoff AND event_type = 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the merge-on-read delete serves exactly the complement filter; the
     // TRUE literal pins zero file rewrites, n_before the intact snapshot
     "v2_delete_mor" ->

@@ -58,11 +58,15 @@ import graft.store.Versioned
   * file list through the manifest log (stats/bloom pruning applies on the
   * CURRENT version only — historical reads scan their full manifest).
   *
-  * Scoped contract (spec-pinned): primitive columns only (long/int/double/
-  * float/boolean/string), uniform footers, no outstanding renames — the
-  * fixture store tables. The row decode path is the parquet-hadoop example
-  * Group API: correctness-first simple; swapping in a vectorized reader
-  * changes [[VersionedPartitionReader]] alone. */
+  * Scoped contract (spec-pinned): flat columns of long/int/double/float/
+  * boolean/string/timestamp/date plus `array<float>` embedding vectors,
+  * uniform footers, no outstanding renames — the fixture store tables.
+  * TIMESTAMP maps to parquet INT64 timestamp-micros (UTC-adjusted) and
+  * DATE to INT32 date — Spark's own parquet mapping, so files
+  * interchange with native readers. The row decode path is the
+  * parquet-hadoop example Group API kept as the
+  * `-Dgraft.v2.columnar=off` fallback; the default scan is the
+  * vectorized [[VersionedColumnarReader]]. */
 class VersionedV2 extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
@@ -139,10 +143,25 @@ object VersionedV2 {
           s"(embedding vectors), got $p")
       val isString = p.getLogicalTypeAnnotation != null &&
         p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      // TIMESTAMP = INT64 timestamp-micros (Spark's own parquet mapping);
+      // DATE = INT32 date — both decode on the long/int fast paths
+      val isTsMicros = p.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+      val isDate = p.getLogicalTypeAnnotation != null &&
+        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
       val dt = if (repeated) ArrayType(FloatType, containsNull = false)
       else p.getPrimitiveTypeName match {
         case INT64 if p.getLogicalTypeAnnotation == null => LongType
+        case INT64 if isTsMicros => TimestampType
+        // Spark's DEFAULT parquet timestamp output is legacy INT96
+        // (nanos-of-day + julian day) — the store's own copy-on-write
+        // rewrites produce it, and so does half the parquet in the wild
+        case INT96 => TimestampType
         case INT32 if p.getLogicalTypeAnnotation == null => IntegerType
+        case INT32 if isDate => DateType
         case DOUBLE => DoubleType
         case FLOAT => FloatType
         case BOOLEAN => BooleanType
@@ -167,17 +186,34 @@ object VersionedV2 {
         case BooleanType => Types.optional(BOOLEAN)
         case StringType =>
           Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        // UTC-adjusted micros / epoch days — Spark's own parquet mapping,
+        // so files interchange with native readers and writers
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType => Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
         // embedding vectors: REPEATED FLOAT (2-level compat list — see
         // sparkSchema); absent-vs-empty is not distinguishable in this
         // shape, so null arrays round-trip as empty
         case ArrayType(FloatType, _) => Types.repeated(FLOAT)
         case other => sys.error(
           s"graft-versioned write: unsupported type $other for ${f.name} — " +
-            "scoped to long/int/double/float/boolean/string/array<float>")
+            "scoped to long/int/double/float/boolean/string/timestamp/date/" +
+            "array<float>")
       }
       b.addField(prim.named(f.name))
     }
     b.named("graft")
+  }
+
+  /** Legacy INT96 parquet timestamp → epoch micros: 12 little-endian
+    * bytes, nanos-of-day (long) then julian day (int); 2440588 is the
+    * julian day of 1970-01-01. The format Spark itself writes by
+    * default (spark.sql.parquet.outputTimestampType=INT96). */
+  private[sources] def int96ToMicros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanos = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588).toLong * 86400000000L + nanos / 1000L
   }
 
   /** `msg` restricted to `names`, preserving file field order. */
@@ -198,9 +234,16 @@ object VersionedV2 {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
     import org.apache.spark.sql.connector.expressions.filter.Predicate
-    def litOf(l: V2Literal[_]): Column = l.value match {
-      case u: UTF8String => lit(u.toString)
-      case v => lit(v)
+    def litOf(l: V2Literal[_]): Column = (l.dataType, l.value) match {
+      case (_, u: UTF8String) => lit(u.toString)
+      // V2 literals carry timestamps as epoch MICROS and dates as epoch
+      // DAYS — rebuild typed literals or the comparison would be
+      // long-vs-timestamp and fail analysis
+      case (TimestampType, micros: java.lang.Long) =>
+        lit(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+      case (DateType, days: java.lang.Integer) =>
+        lit(java.time.LocalDate.ofEpochDay(days.longValue()))
+      case (_, v) => lit(v)
     }
     def bin(p: Predicate)(f: (Column, Column) => Column): Option[Column] =
       for {
@@ -534,8 +577,8 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
       if (!row.isNullAt(i)) {
         val name = schema.fields(i).name
         schema.fields(i).dataType match {
-          case LongType => g.add(name, row.getLong(i))
-          case IntegerType => g.add(name, row.getInt(i))
+          case LongType | TimestampType => g.add(name, row.getLong(i))
+          case IntegerType | DateType => g.add(name, row.getInt(i))
           case DoubleType => g.add(name, row.getDouble(i))
           case FloatType => g.add(name, row.getFloat(i))
           case BooleanType => g.add(name, row.getBoolean(i))
@@ -1043,7 +1086,7 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
     !p.emitEmptyRows && p.required.fields.forall(f =>
       f.name == VersionedV2.FileMetaCol || (f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
-             BooleanType | StringType => true
+             BooleanType | StringType | TimestampType | DateType => true
         case ArrayType(FloatType, _) => true
         case _ => false
       }))
@@ -1246,7 +1289,18 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
         var r = 0
         var dr = 0
         dt match {
-          case LongType =>
+          case TimestampType if desc.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef)
+                  vec.putLong(dr, VersionedV2.int96ToMicros(cr.getBinary.getBytes))
+                else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case LongType | TimestampType =>
             while (r < n) {
               if ((keep eq null) || keep(r)) {
                 if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(dr, cr.getLong)
@@ -1255,7 +1309,7 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
               } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
               cr.consume(); r += 1
             }
-          case IntegerType =>
+          case IntegerType | DateType =>
             while (r < n) {
               if ((keep eq null) || keep(r)) {
                 if (cr.getCurrentDefinitionLevel == maxDef) vec.putInt(dr, cr.getInteger)
@@ -1406,6 +1460,12 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
       else if (!fileFields(f.name)) -2
       else readMsg.getFieldIndex(f.name))
   private val types: Array[DataType] = p.required.fields.map(_.dataType)
+  // file fields carrying legacy INT96 timestamps (decode differs)
+  private val isInt96: Array[Boolean] = p.required.fields.map(f =>
+    fileFields(f.name) && {
+      val t = fileMsg.getType(fileMsg.getFieldIndex(f.name))
+      t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName == INT96
+    })
   // a column added via `ALTER TABLE ... ADD COLUMN c T DEFAULT v` reads
   // as v (not NULL) from rows predating it — ANSI/Postgres semantics,
   // carried in the field's EXISTS_DEFAULT metadata (null when the column
@@ -1456,8 +1516,10 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
               while (j < n) { a(j) = cur.getFloat(fi, j); j += 1 }
               new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
             case _ if cur.getFieldRepetitionCount(fi) == 0 => null
-            case LongType => cur.getLong(fi, 0)
-            case IntegerType => cur.getInteger(fi, 0)
+            case TimestampType if isInt96(i) =>
+              VersionedV2.int96ToMicros(cur.getInt96(fi, 0).getBytes)
+            case LongType | TimestampType => cur.getLong(fi, 0)
+            case IntegerType | DateType => cur.getInteger(fi, 0)
             case DoubleType => cur.getDouble(fi, 0)
             case FloatType => cur.getFloat(fi, 0)
             case BooleanType => cur.getBoolean(fi, 0)
