@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // automatic manifest-stats file skipping over Versioned.table reads
     // (fires only on relations tagged with the graft.table reader option)
     ext.injectOptimizerRule(session => graft.plans.StatsSkip.SkipRule(session))
+    // SQL CREATE/DROP VIEW + view reads for graft catalogs (X278) — a
+    // delegating parser, the Delta/Iceberg injection pattern (Spark's own
+    // analyzer routes view DDL to the session catalog only; see
+    // graft.plans.GraftViewParser). Claims ONLY <graft-catalog>.<name>
+    // statements; everything else passes through verbatim.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftViewParser(session, delegate))
   }
 }
 

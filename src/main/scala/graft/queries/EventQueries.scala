@@ -1766,7 +1766,59 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Lead-lag cross-correlation (X281 — the lagged form of Pearson's r,
+    * Box-Jenkins CCF): r(lag) between the daily CLICK count series and
+    * the PURCHASE count series shifted `lag` days forward, lag 0..7 —
+    * "do clicks lead purchases, and by how many days?", the
+    * cadence-discovery pass before any transfer-function/adstock model.
+    * The daily rollup is the only data-sized pass (one partial-agg
+    * shuffle); the lag alignment is a ≤31-row calendar frame self-joined
+    * under a broadcast 8-row lag grid, so the quadratic part is bounded
+    * by the CALENDAR, never the events. Per-lag component sums
+    * accumulate DECIMAL(38,0) (daily counts at 100 TB put x·y past
+    * BIGINT); r is the fixed-order double chain over those exact
+    * integers (the degree_assortativity recipe), e4-rounded once, NULL
+    * when either lagged window is constant. */
+  def xcorrLeadlag(spark: SparkSession, dir: String): DataFrame =
+    xcorrLeadlagOf(spark, Tables.events(spark, dir))
+
+  def xcorrLeadlagOf(spark: SparkSession, events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = spark.range(0, 8).toDF("lag")
+    daily.select(col("day"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("day2"), col("y")),
+        expr("day2 = date_add(day, CAST(lag AS INT))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(x AS $d38)")).as("sx"),
+        sum(expr(s"CAST(y AS $d38)")).as("sy"),
+        sum(expr(s"CAST(x AS $d38) * CAST(y AS $d38)")).as("sxy"),
+        sum(expr(s"CAST(x AS $d38) * CAST(x AS $d38)")).as("sxx"),
+        sum(expr(s"CAST(y AS $d38) * CAST(y AS $d38)")).as("syy"))
+      .select(col("lag"), col("n"),
+        expr(
+          """CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            |     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            |THEN CAST(round(
+            |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |  / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  * 10000) AS BIGINT) END""".stripMargin).as("r_e4"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xcorr_leadlag" -> (xcorrLeadlag _),
     "dau_wau_mau" -> (dauWauMau _),
     "twap_daily" -> (twapDaily _),
     "assoc_rules" -> (assocRules _),
@@ -1825,6 +1877,36 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily rollup + lag self-join + fixed-order r chain
+    "xcorr_leadlag" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT UNNEST(generate_series(0, 7)) AS lag),
+        |p AS (SELECT l.lag, a.x, b.y
+        |      FROM lags l, d a JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+        |c AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |      FROM p GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * 10000) AS BIGINT) END AS r_e4
+        |FROM c ORDER BY lag""".stripMargin,
     // generated from the same three stage texts the Spark side runs
     "markov_attribution" -> MarkovAttr.oracleSql("events"),
     // integer-scaled centered series: c_t = n*x_t - S; sign-safe e6 export

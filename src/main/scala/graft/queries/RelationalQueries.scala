@@ -308,6 +308,20 @@ object RelationalQueries {
     * that compiles to WindowGroupLimit; shuffles carry labels, never the
     * graph. Output: the surviving communities with sizes. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = lpaLabels(spark, dir)
+    // the final vector is materialized by the in-loop cut, so the
+    // partitioned edge cache can be released before the caller's action
+    edges.unpersist()
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
+      .select(col("lbl").as("community"), col("n_members"), col("first_node"))
+      .orderBy(col("community"))
+  }
+
+  /** The shared 5-round LPA: (doubled cached edge frame, materialized
+    * final label vector) — [[labelProp]] aggregates it, [[modularityScore]]
+    * scores it. The caller unpersists `edges` when done. */
+  private def lpaLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, dir).filter(col("o_custkey") < 60)
       .select(col("o_custkey").as("c"), col("o_orderdate").as("d")).distinct()
     val fwd = o.as("a")
@@ -335,13 +349,51 @@ object RelationalQueries {
       // |V|-row vector backing the returned plan.
       if (i % 5 == 0) { labels = labels.cache(); labels.count() }
     }
-    // the final vector is materialized by the cut above, so the
-    // partitioned edge cache can be released before the caller's action
-    edges.unpersist()
-    labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
-      .select(col("lbl").as("community"), col("n_members"), col("first_node"))
-      .orderBy(col("community"))
+    (edges, labels)
+  }
+
+  /** Newman modularity of the LPA communities (X284 — Newman-Girvan
+    * 2004's Q): Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected
+    * co-purchase graph, computed on the DOUBLED edge list as the single
+    * exact fraction Q = (Σe2_c · m2 − Σd_c²) / m2² (m2 = doubled edge
+    * count, e2_c = doubled intra-community edges, d_c = community degree
+    * sum) — the "did LPA find real structure?" gate before any
+    * community-level rollup ships. All components are exact integers
+    * (one labels⨝edges join for e2, one degree groupBy for d_c;
+    * DECIMAL(38,0) squares — d_c² passes BIGINT on any large community);
+    * the export divides ONCE in double, sign-safe (Q can go negative on
+    * anti-community labelings), e6-rounded. The label vector replays
+    * digit-exactly on both engines (labelProp's unrolled-CTE regime), so
+    * Q is deterministic end to end. */
+  def modularityScore(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = lpaLabels(spark, dir)
+    modularityOf(edges, labels.select(col("node"), col("lbl")))
+  }
+
+  /** [[modularityScore]]'s scoring half over an explicit DOUBLED edge
+    * frame and (node, lbl) labeling — the seam the planted-clique spec
+    * drives. */
+  private[graft] def modularityOf(edges: DataFrame, lab: DataFrame): DataFrame = {
+    val eIn = edges
+      .join(lab.select(col("node").as("src"), col("lbl").as("ls")), "src")
+      .join(lab.select(col("node").as("dst"), col("lbl").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .agg(count(lit(1)).as("e_in2"))
+    val d2 = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .join(lab, "node")
+      .groupBy(col("lbl")).agg(sum(col("d")).as("dsum"))
+      .agg(sum(expr("CAST(dsum AS decimal(38,0)) * CAST(dsum AS decimal(38,0))"))
+        .as("d2_sum"),
+        count(lit(1)).as("n_communities"))
+    val m = edges.agg(count(lit(1)).as("m2"))
+    eIn.crossJoin(broadcast(m)).crossJoin(broadcast(d2))
+      .select(col("m2"), col("e_in2"), col("n_communities"),
+        expr(
+          """CAST(round(
+            |  (CAST(CAST(e_in2 AS decimal(38,0)) * CAST(m2 AS decimal(38,0))
+            |        - d2_sum AS DOUBLE))
+            |  / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("q_e6"))
   }
 
   /** PageRank document/page prior over the part↔supplier fulfillment
@@ -1330,6 +1382,7 @@ object RelationalQueries {
     "pagerank_weighted" -> (pagerankWeighted _),
     "group_quantiles" -> (groupQuantiles _),
     "label_prop" -> (labelProp _),
+    "modularity_score" -> (modularityScore _),
     "triangle_count" -> (triangleCount _),
     "having_subquery" -> (havingSubquery _),
     "q1_agg" -> (q1Agg _),
@@ -1433,6 +1486,37 @@ object RelationalQueries {
        |SELECT lbl AS community, COUNT(*) AS n_members,
        |  MIN(node) AS first_node
        |FROM l5 GROUP BY lbl ORDER BY community""".stripMargin
+
+  /** [[labelPropSql]]'s unrolled replay extended with the exact-fraction
+    * modularity tail (X284). */
+  private val modularityScoreSql: String =
+    s"""WITH o AS (
+       |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
+       |  FROM orders WHERE o_custkey < 60),
+       |fwd AS (
+       |  SELECT DISTINCT a.c AS src, b.c AS dst
+       |  FROM o a JOIN o b ON a.d = b.d AND a.c < b.c),
+       |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${(1 to 5).map(i => lpStep(s"l${i - 1}", s"l$i")).mkString(",\n")},
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+       |ein AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS e_in2
+       |  FROM edges e
+       |  JOIN l5 a ON a.node = e.src
+       |  JOIN l5 b ON b.node = e.dst AND b.lbl = a.lbl),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM edges GROUP BY src),
+       |dc AS (SELECT a.lbl, CAST(SUM(d.d) AS HUGEINT) AS dsum
+       |       FROM l5 a JOIN deg d ON d.node = a.node GROUP BY a.lbl),
+       |d2 AS (SELECT CAST(SUM(dsum * dsum) AS HUGEINT) AS d2_sum,
+       |         CAST(COUNT(*) AS BIGINT) AS n_communities FROM dc)
+       |SELECT m.m2, ein.e_in2, d2.n_communities,
+       |  CAST(round(
+       |    CAST(CAST(ein.e_in2 AS HUGEINT) * m.m2 - d2.d2_sum AS DOUBLE)
+       |    / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS q_e6
+       |FROM m, ein, d2""".stripMargin
 
   /** One unrolled k-core peel round: degree count on the current edge
     * set, survivors with deg ≥ 3, induced subgraph. */
@@ -1869,6 +1953,7 @@ object RelationalQueries {
         |  CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q75_e2
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "label_prop" -> labelPropSql,
+    "modularity_score" -> modularityScoreSql,
     "k_core" -> kCoreSql,
     "triangle_count" ->
       """WITH o AS (

@@ -1740,7 +1740,73 @@ object StatQueries {
       .orderBy(col("day"))
   }
 
+  /** Multi-feature OLS by normal equations (X283 — the closed-form
+    * two-regressor linear model, Cramer's rule over X'X): daily purchase
+    * revenue regressed on daily click and error counts with an
+    * intercept — the capacity-planning / marketing-mix baseline one
+    * feature ([[trendRegression]]) cannot express. The data-sized work
+    * is ONE daily rollup; the normal-equation sums accumulate
+    * DECIMAL(38,0) in a single-row aggregate (triple products of
+    * day-scale sums pass BIGINT long before 100 TB), the four 3×3
+    * determinants expand in exact decimal arithmetic, and betas / R²
+    * are fixed-order double chains over those exact integers, rounded
+    * once (the cuped_experiment recipe — a DECIMAL(38,0)→DOUBLE cast
+    * rounds-to-nearest identically on both engines). */
+  def olsFeatures(spark: SparkSession, dir: String): DataFrame =
+    olsFeaturesOf(Tables.events(spark, dir))
+
+  def olsFeaturesOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x2"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+    def c(e: String) = expr(s"CAST($e AS $d38)")
+    val sums = daily.agg(
+      count(lit(1)).as("n"),
+      sum(c("x1")).as("s1"), sum(c("x2")).as("s2"), sum(c("y")).as("sy"),
+      sum(c("x1 * x1")).as("s11"), sum(c("x1 * x2")).as("s12"),
+      sum(c("x2 * x2")).as("s22"),
+      sum(c("x1 * y")).as("s1y"), sum(c("x2 * y")).as("s2y"),
+      sum(c("y") * c("y")).as("syy"))
+    // 3×3 Cramer in EXACT decimal; A = [(n,s1,s2),(s1,s11,s12),(s2,s12,s22)]
+    sums
+      .withColumn("det", expr(
+        """CAST(n AS decimal(38,0)) * (s11 * s22 - s12 * s12)
+          |- s1 * (s1 * s22 - s12 * s2)
+          |+ s2 * (s1 * s12 - s11 * s2)""".stripMargin))
+      .withColumn("det0", expr(
+        """sy * (s11 * s22 - s12 * s12)
+          |- s1 * (s1y * s22 - s12 * s2y)
+          |+ s2 * (s1y * s12 - s11 * s2y)""".stripMargin))
+      .withColumn("det1", expr(
+        """CAST(n AS decimal(38,0)) * (s1y * s22 - s12 * s2y)
+          |- sy * (s1 * s22 - s12 * s2)
+          |+ s2 * (s1 * s2y - s1y * s2)""".stripMargin))
+      .withColumn("det2", expr(
+        """CAST(n AS decimal(38,0)) * (s11 * s2y - s1y * s12)
+          |- s1 * (s1 * s2y - s1y * s2)
+          |+ sy * (s1 * s12 - s11 * s2)""".stripMargin))
+      .selectExpr("n",
+        "CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta0_e4",
+        "CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta1_e4",
+        "CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta2_e4",
+        // R2 = 1 - SSE/SST with SSE = syy - beta'X'y, SST = syy - sy^2/n
+        """CAST(round((1.0 -
+          |  (CAST(syy AS DOUBLE)
+          |   - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
+          |      + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s1y AS DOUBLE)
+          |      + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s2y AS DOUBLE)))
+          |  / (CAST(syy AS DOUBLE)
+          |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+          |  * 1000000) AS BIGINT) AS r2_e6""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ols_features" -> (olsFeatures _),
     "control_chart" -> (controlChart _),
     "hurst_exponent" -> (hurstExponent _),
     "odds_ratio" -> (oddsRatio _),
@@ -1777,6 +1843,48 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT mirrors the decimal Cramer expansion term for term; betas
+    // and R2 replay the same fixed-order double chain
+    "ols_features" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS x1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS HUGEINT) AS x2,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |        SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+        |        SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+        |      FROM d),
+        |dets AS (SELECT n, sy, s1y, s2y, syy,
+        |    n * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y)
+        |      - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta0_e4,
+        |  CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta1_e4,
+        |  CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta2_e4,
+        |  CAST(round((1.0 -
+        |    (CAST(syy AS DOUBLE)
+        |     - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |        + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s2y AS DOUBLE)))
+        |    / (CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS r2_e6
+        |FROM dets""".stripMargin,
     // first-half baseline moments, mirrored z chain, ±3σ decisions
     "control_chart" ->
       """WITH daily AS (

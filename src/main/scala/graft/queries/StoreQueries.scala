@@ -1652,25 +1652,29 @@ object StoreQueries {
   def v2DeleteMor(spark: SparkSession, dir: String): DataFrame = {
     val root = scratch("mordel", dir)
     rmTree(root)
+    val cat = s"graft_mor_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_mor_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_mor_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_mor_src WHERE user_id >= 60")
     val t = s"$root/ev"
-    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
-      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
-    ev.filter(col("user_id") < 60).coalesce(1)
-      .write.format("graft-versioned").option("path", t).mode("append").save()
-    ev.filter(col("user_id") >= 60).coalesce(1)
-      .write.format("graft-versioned").option("path", t).mode("append").save()
     val filesBefore = Versioned.files(t).toSet
-    Versioned.deleteWhereMor(spark, t,
-      col("user_id") < 30 && (col("event_type") === "error" || col("v_e2") < 5000))
+    // the SQL route: CALL, not DELETE FROM (which is copy-on-write)
+    spark.sql(s"CALL $cat.system.delete_mor('ev', " +
+      "'user_id < 30 AND (event_type = ''error'' OR v_e2 < 5000)')")
     val untouched = Versioned.files(t).toSet == filesBefore
-    val nBefore = spark.read.format("graft-versioned").option("path", t)
-      .option("versionAsOf", "2").load().count()
-    spark.read.format("graft-versioned").option("path", t).load()
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("v_e2").as("sv_e2"))
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2,
+         |  (SELECT COUNT(*) FROM $cat.ev VERSION AS OF 3) AS n_before
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
       .withColumn("zero_rewrites", lit(untouched))
-      .withColumn("n_before", lit(nBefore))
-      .orderBy("event_type")
   }
 
   /** TIMESTAMP/DATE through the catalog's SQL surface (X272): a fresh
@@ -1750,7 +1754,84 @@ object StoreQueries {
       .orderBy(col("idx_version"), col("dist_e4"), col("vec_id"))
   }
 
+  /** Persistent SQL views through the catalog (X278 — `ViewCatalog`):
+    * `CREATE VIEW` / `CREATE OR REPLACE VIEW` / view-over-view
+    * composition, with each definition one put-if-absent metadata file
+    * under the store root (visible to every session sharing the
+    * catalog). The journey pins replace semantics (the second definition
+    * narrows the filter — stale-definition reads would overcount) and
+    * composition (the rollup view reads THROUGH the replaced base view).
+    * Oracle: DuckDB recomputes the final definition chain from the raw
+    * fixture. */
+  def catalogViewSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catview", dir)
+    rmTree(root)
+    val cat = s"graft_vw_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_vw_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_vw_src")
+    spark.sql(s"CREATE VIEW $cat.typed AS " +
+      s"SELECT event_type, v_e2 FROM $cat.ev WHERE user_id < 50")
+    // REPLACE narrows the filter — a stale definition would overcount
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.typed AS " +
+      s"SELECT event_type, v_e2 FROM $cat.ev WHERE user_id < 40")
+    // view-over-view: the rollup composes through the replaced base
+    spark.sql(s"CREATE VIEW $cat.rollup2 AS " +
+      s"SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2 " +
+      s"FROM $cat.typed GROUP BY event_type")
+    spark.sql(s"SELECT * FROM $cat.rollup2 ORDER BY event_type")
+  }
+
+  /** `MERGE INTO` with a `WHEN MATCHED ... THEN DELETE` clause (X280) —
+    * the full three-action CDC-apply statement (delete / update /
+    * insert in ONE atomic rewrite commit) through the connector's
+    * group-based row-level machinery, completing [[v2MergeSql]]'s
+    * update+insert form. Matched error rows DELETE, other matched rows
+    * take a +100 adjustment, unmatched source rows INSERT as a
+    * synthetic 'merged' class. Oracle: DuckDB replays the three actions
+    * as set algebra over the raw fixture. */
+  def v2MergeDeleteSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catmd", dir)
+    rmTree(root)
+    val cat = s"graft_md_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .createOrReplaceTempView("graft_md_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_md_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_md_src WHERE user_id >= 60")
+    spark.sql(
+      s"""MERGE INTO $cat.ev t
+         |USING (SELECT event_id, user_id, event_type, v_e2
+         |       FROM graft_md_src WHERE user_id < 30
+         |       UNION ALL
+         |       SELECT event_id + 1000000, user_id, 'merged', v_e2
+         |       FROM graft_md_src WHERE user_id >= 90) s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.event_type = 'error' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v_e2 = t.v_e2 + 100
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, v_e2)
+         |  VALUES (s.event_id, s.user_id, s.event_type, s.v_e2)""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_merge_delete_sql" -> (v2MergeDeleteSql _),
+    "catalog_view_sql" -> (catalogViewSql _),
     "index_time_travel" -> (indexTimeTravel _),
     "catalog_timestamp_sql" -> (catalogTimestampSql _),
     "v2_delete_mor" -> (v2DeleteMor _),
@@ -1798,6 +1879,26 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // three-action MERGE as set algebra: matched errors drop, other
+    // matched rows (+100), the unmatched source slice inserts as 'merged'
+    "v2_merge_delete_sql" ->
+      """WITH t AS (SELECT event_id, user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+        |after AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id < 30 THEN v_e2 + 100 ELSE v_e2 END AS v_e2
+        |  FROM t WHERE NOT (user_id < 30 AND event_type = 'error')
+        |  UNION ALL
+        |  SELECT 'merged', v_e2 FROM t WHERE user_id >= 90)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2
+        |FROM after GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the REPLACED view definition (user_id < 40) through the rollup
+    "catalog_view_sql" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_e2
+        |FROM events WHERE user_id < 40
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // brute-force top-10 over each store snapshot's subset: index v1 was
     // built from (and pinned to) store v1, index v2 from store v2
     "index_time_travel" ->

@@ -1119,7 +1119,76 @@ object TextQueries {
           expr("(84600 * n_syllables) div n_words")).as("flesch_e3"))
       .orderBy(col("doc_id"))
 
+  /** Multinomial naive Bayes text classifier (X282 — the
+    * bag-of-words/Laplace form, McCallum-Nigam 1998): train on even
+    * doc_ids, predict each odd doc's SOURCE from its tokens, report
+    * per-source test counts and hits — the cheap strong baseline every
+    * text-labeling pipeline should beat before paying for a trained
+    * model (complements quality_classifier's logistic stumps and
+    * lm_doc_score's fluency LM). All likelihoods are e6-FLOORED log
+    * integers (`round(ln(p)·10⁶)` per distinct (token, class) — one IEEE
+    * call each, mirrored by the oracle), so per-doc scores are
+    * ORDER-FREE integer sums and the argmax is exact on both engines
+    * (ties break on class name). Scale shape: the only frames that
+    * grow with data are token rollups (partial-agg shuffles); the
+    * class-cross multiplier is bounded by LABEL CARDINALITY, the class
+    * stats ride broadcasts, and the per-doc argmax is a doc-partitioned
+    * rank window. */
+  def naiveBayesSource(spark: SparkSession, dir: String): DataFrame =
+    naiveBayesSourceOf(Tables.documents(spark, dir))
+
+  def naiveBayesSourceOf(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("source"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val test = toks.filter(col("doc_id") % 2 =!= 0)
+    val vocabN = train.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val classTotals = train.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("tot"))
+    val counts = train.groupBy(col("source").as("cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+    val prior = trainDocs.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("dc"))
+      .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("dt"))))
+      .select(col("cls"),
+        expr("CAST(round(ln(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)) " +
+          "* 1000000) AS BIGINT)").as("prior_e6"))
+    val docToks = test.groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    val classes = classTotals.crossJoin(broadcast(vocabN))
+    // unseen (token, class) pairs take the pure-smoothing likelihood via
+    // the LEFT join's coalesce — skipping them would silently favor
+    // classes with small vocabularies
+    val contrib = docToks
+      .crossJoin(broadcast(classes))
+      .join(counts, Seq("cls", "w"), "left")
+      .select(col("doc_id"), col("source"), col("cls"), col("m"),
+        expr("CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0) " +
+          "/ (CAST(tot AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) " +
+          "AS BIGINT)").as("l_e6"))
+    val scores = contrib
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("m") * col("l_e6")).as("tok_e6"))
+      .join(broadcast(prior), "cls")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("tok_e6") + col("prior_e6")).as("score_e6"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cls") === col("source"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "naive_bayes_source" -> (naiveBayesSource _),
     "flesch_readability" -> (fleschReadability _),
     "pii_scan" -> (piiScan _),
     "source_overlap" -> (sourceOverlap _),
@@ -1161,6 +1230,48 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // identical chain: train/test split, Laplace e6 log-likelihood per
+    // (token, class), order-free integer doc scores, rank-1 argmax
+    "naive_bayes_source" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, w FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM tk WHERE doc_id % 2 <> 0),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train),
+        |ct AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) AS tot
+        |       FROM train GROUP BY 1),
+        |cnts AS (SELECT source AS cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM train GROUP BY 1, 2),
+        |tdocs AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+        |prior AS (
+        |  SELECT source AS cls,
+        |    CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+        |      / CAST((SELECT COUNT(*) FROM tdocs) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS prior_e6
+        |  FROM tdocs GROUP BY 1),
+        |dt AS (SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM test GROUP BY 1, 2, 3),
+        |contrib AS (
+        |  SELECT d.doc_id, d.source, c.cls, d.m,
+        |    CAST(round(ln((CAST(COALESCE(x.cnt, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(c.tot AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1000000)
+        |      AS BIGINT) AS l_e6
+        |  FROM dt d CROSS JOIN ct c CROSS JOIN v
+        |  LEFT JOIN cnts x ON x.cls = c.cls AND x.w = d.w),
+        |scores AS (
+        |  SELECT s.doc_id, s.source, s.cls, s.tok + p.prior_e6 AS score
+        |  FROM (SELECT doc_id, source, cls, CAST(SUM(m * l_e6) AS BIGINT) AS tok
+        |        FROM contrib GROUP BY 1, 2, 3) s
+        |  JOIN prior p ON p.cls = s.cls),
+        |pred AS (
+        |  SELECT doc_id, source, cls,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM scores)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM pred WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
     // identical injection + detectors; redaction must zero every class
     "pii_scan" ->
       """WITH injected AS (

@@ -40,7 +40,8 @@ import graft.store.Versioned
   * (the store has no schema levels) — the empty namespace is the only
   * one, mirroring a Chroma server's flat collection list. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with StagingTableCatalog with ProcedureCatalog {
+    with FunctionCatalog with StagingTableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: File = _
@@ -285,6 +286,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftProcedures.load(ident.name,
         name => pathOf(Identifier.of(Array.empty, name)))
       .getOrElse(throw notFound())
+  }
+
+  // ------------------------------------------- ViewCatalog: CREATE VIEW
+
+  /** `CREATE [OR REPLACE] VIEW <cat>.v AS SELECT ...` / `DROP VIEW` /
+    * `SHOW VIEWS` (X278 — [[GraftViews]]): a view is one metadata file
+    * under the hidden `<root>/.views/` dir, published put-if-absent so
+    * racing CREATEs serialize with a loud loser. Views compose with the
+    * whole surface — time travel, the catalog's vector functions,
+    * other views. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    requireFlat(namespace.toArray)
+    GraftViews.list(root).map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    requireFlat(ident.namespace())
+    GraftViews.load(root, ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && GraftViews.exists(root, ident.name)
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    requireFlat(info.ident().namespace())
+    require(!info.ident().name.contains("/") &&
+      !info.ident().name.startsWith("."),
+      s"illegal view name ${info.ident().name}")
+    if (existsAt(pathOf(info.ident())))
+      throw new TableAlreadyExistsException(info.ident())
+    if (!GraftViews.create(root, info))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER VIEW property changes are not supported — " +
+        "use CREATE OR REPLACE VIEW")
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && GraftViews.drop(root, ident.name)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireFlat(oldIdent.namespace()); requireFlat(newIdent.namespace())
+    if (!GraftViews.exists(root, oldIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (!GraftViews.rename(root, oldIdent.name, newIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
   }
 
   // ------------------------------------------------ flat namespace surface

@@ -261,7 +261,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact_small", "analyze_stats", "analyze_bloom",
-      "vacuum", "restore", "clone")
+      "vacuum", "restore", "clone", "delete_mor")
 
   def load(name: String, resolve: String => String): Option[UnboundProcedure] =
     name match {
@@ -305,6 +305,13 @@ private[sources] object GraftProcedures {
         out = Seq("version" -> LongType),
         (spark, in) => Seq(Versioned.shallowClone(resolve(str(in, 0)),
           resolve(str(in, 1))).toLong)))
+      // merge-on-read DELETE (X271 as SQL): positions to sidecars, no
+      // file rewrites — contrast `DELETE FROM`, the copy-on-write route
+      case "delete_mor" => Some(proc(name,
+        Seq(p("table", StringType), p("predicate", StringType)),
+        out = Seq("version" -> LongType),
+        (spark, in) => Seq(Versioned.deleteWhereMor(spark, resolve(str(in, 0)),
+          org.apache.spark.sql.functions.expr(str(in, 1))).toLong)))
       case _ => None
     }
 
@@ -341,4 +348,116 @@ private[sources] object GraftProcedures {
           }
         }
     }
+}
+
+
+/** Cross-package accessor for the view-SQL parser rule
+  * ([[graft.plans.GraftViewParser]] — it lives with the other plan-level
+  * machinery, outside this package's private scope). */
+object GraftViewsBridge {
+  def queryText(root: File, view: String): Option[String] =
+    GraftViews.load(root, view).map(_.query())
+}
+
+/** SQL view persistence for the catalog (`ViewCatalog`, X278): a view is
+  * PURE METADATA — the defining SQL text plus the resolution context
+  * Spark needs to re-expand it (current catalog/namespace, the analyzed
+  * schema, column aliases/comments, properties). Each view is one
+  * `java.util.Properties` file under the hidden `<root>/.views/` dir
+  * (hidden names are unaddressable as tables, so no collision), and
+  * CREATE publishes via the same temp-file + `link(2)` put-if-absent the
+  * manifest commits use — two racing `CREATE VIEW v` serialize with the
+  * loser failing loudly, never a torn half-written definition.
+  *
+  * Reference tie: the reference hardcodes its retrieval SQL in app code
+  * (app.py:409); a catalog view is how a SQL user names that query once
+  * and reuses it (`CREATE VIEW hot_chunks AS SELECT ... ORDER BY
+  * vec_squared_l2(...)`). */
+private[sources] object GraftViews {
+
+  // array-element separator inside one value (unit separator — cannot
+  // appear in SQL text or identifiers); NUL marks a null array slot
+  private val Sep = '\u001f'
+  private val NullMark = "\u0000"
+
+  private def dir(root: File) = new File(root, ".views")
+  private def fileOf(root: File, name: String) =
+    new File(dir(root), s"$name.properties")
+
+  def list(root: File): Seq[String] =
+    Option(dir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".properties"))
+      .map(_.getName.stripSuffix(".properties")).toSeq.sorted
+
+  def exists(root: File, name: String): Boolean = fileOf(root, name).exists()
+
+  private def enc(a: Array[String]): String =
+    Option(a).getOrElse(Array.empty)
+      .map(v => if (v == null) NullMark else v).mkString(Sep.toString)
+  private def dec(s: String): Array[String] =
+    if (s == null || s.isEmpty) Array.empty
+    else s.split(Sep).map(v => if (v == NullMark) null else v)
+
+  /** Put-if-absent create: returns false when the name was taken (the
+    * concurrent-CREATE loser). */
+  def create(root: File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): Boolean = {
+    dir(root).mkdirs()
+    val p = new java.util.Properties()
+    p.setProperty("sql", info.sql())
+    p.setProperty("currentCatalog", info.currentCatalog())
+    p.setProperty("currentNamespace", enc(info.currentNamespace()))
+    p.setProperty("schema", info.schema().json)
+    p.setProperty("queryColumnNames", enc(info.queryColumnNames()))
+    p.setProperty("columnAliases", enc(info.columnAliases()))
+    p.setProperty("columnComments", enc(info.columnComments()))
+    Option(info.properties()).foreach(_.forEach((k, v) =>
+      p.setProperty(s"prop.$k", v)))
+    val tmp = File.createTempFile(s".${info.ident().name()}-", ".tmp", dir(root))
+    val out = new java.io.FileOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    try {
+      java.nio.file.Files.createLink(
+        fileOf(root, info.ident().name()).toPath, tmp.toPath)
+      tmp.delete()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => tmp.delete(); false
+    }
+  }
+
+  def drop(root: File, name: String): Boolean = fileOf(root, name).delete()
+
+  def rename(root: File, from: String, to: String): Boolean = {
+    if (exists(root, to)) return false
+    fileOf(root, from).renameTo(fileOf(root, to))
+  }
+
+  def load(root: File, viewName: String)
+      : Option[org.apache.spark.sql.connector.catalog.View] = {
+    val f = fileOf(root, viewName)
+    if (!f.exists()) return None
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(f)
+    try p.load(in) finally in.close()
+    val props = new util.HashMap[String, String]()
+    p.stringPropertyNames().asScala.filter(_.startsWith("prop."))
+      .foreach(k => props.put(k.stripPrefix("prop."), p.getProperty(k)))
+    Some(new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = viewName
+      override def query(): String = p.getProperty("sql")
+      override def currentCatalog(): String = p.getProperty("currentCatalog")
+      override def currentNamespace(): Array[String] =
+        dec(p.getProperty("currentNamespace"))
+      override def schema(): StructType =
+        DataType.fromJson(p.getProperty("schema")).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        dec(p.getProperty("queryColumnNames"))
+      override def columnAliases(): Array[String] =
+        dec(p.getProperty("columnAliases"))
+      override def columnComments(): Array[String] =
+        dec(p.getProperty("columnComments"))
+      override def properties(): util.Map[String, String] = props
+    })
+  }
 }

@@ -576,4 +576,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(EventQueries.shapleyAttributionOf(mk(stale)).collect()
       .forall(_.getLong(1) == 0L))
   }
+
+  test("xcorr_leadlag: a planted 3-day shift peaks exactly at lag 3") {
+    // clicks follow a noisy ramp; purchases COPY the click series
+    // shifted 3 days later — r(3) must be exactly 1.0 (e4 = 10000) and
+    // strictly the maximum across lags 0..7
+    val clickCounts = Seq(5, 9, 2, 14, 7, 11, 3, 16, 8, 12, 6, 15, 4, 10,
+      13, 1, 17, 9, 5, 11, 7, 14, 2, 12, 6, 16, 3, 13)
+    val rows = (1 to 28).flatMap { d =>
+      val date = f"2024-03-$d%02d"
+      val clicks = (1 to clickCounts(d - 1)).map(i =>
+        (d * 1000L + i, 1L, "click", 1.0, s"$date 05:00:00"))
+      val buys =
+        if (d > 3) (1 to clickCounts(d - 4)).map(i =>
+          (d * 2000L + i, 1L, "purchase", 1.0, s"$date 06:00:00"))
+        else Seq.empty
+      clicks ++ buys
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s")).withColumn("props", lit("{}"))
+      .drop("ts_s")
+    val got = EventQueries.xcorrLeadlagOf(spark, ev).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))
+      .toMap
+    assert(got(3L) == 10000L, s"r(3)=${got(3L)}")
+    assert((0L to 7L).filter(_ != 3L).forall(l => got(l) < 10000L),
+      got.toString)
+  }
 }

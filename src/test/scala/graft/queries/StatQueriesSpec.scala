@@ -1042,4 +1042,30 @@ class StatQueriesSpec extends SparkSpec {
       r.getDate(0).toLocalDate.toEpochDay, 7L) == 3L)
     assert(bumpRows.last.getLong(4) > 150L, s"seasonal=${bumpRows.last.getLong(4)}")
   }
+
+  test("ols_features: planted exact linear data recovers the coefficients") {
+    // y = 500 + 3*x1 + 7*x2 exactly (clicks x1, errors x2, purchase
+    // revenue y) — betas must come back to the plant at e4 and R2 = 1.
+    // Non-collinear plant: x1 ramps, x2 alternates.
+    val rows = (1 to 20).flatMap { d =>
+      val date = f"2024-03-$d%02d"
+      val x1 = d
+      val x2 = 2 + (d % 3)
+      val y = 500 + 3 * x1 + 7 * x2
+      val clicks = (1 to x1).map(i =>
+        (d * 10000L + i, 1L, "click", 1.0, s"$date 05:00:00"))
+      val errors = (1 to x2).map(i =>
+        (d * 20000L + i, 1L, "error", 1.0, s"$date 06:00:00"))
+      // one purchase carrying the whole day's revenue (value is e2-scaled
+      // by the query: y cents = y/100 value units)
+      val buy = Seq((d * 30000L, 1L, "purchase", y / 100.0, s"$date 07:00:00"))
+      clicks ++ errors ++ buy
+    }
+    val r = StatQueries.olsFeaturesOf(mkEvents(rows)).head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 500L * 10000, s"beta0=${r.getLong(1)}")
+    assert(r.getLong(2) == 3L * 10000, s"beta1=${r.getLong(2)}")
+    assert(r.getLong(3) == 7L * 10000, s"beta2=${r.getLong(3)}")
+    assert(r.getLong(4) == 1000000L, s"r2=${r.getLong(4)}")
+  }
 }

@@ -203,4 +203,29 @@ class TextSketchSpec extends SparkSpec {
     // more syllables per word = lower ease, as the formula demands
     assert(got(1)._4 < got(0)._4)
   }
+
+  test("naive_bayes_source: planted class vocabulary classifies test docs exactly") {
+    import spark.implicits._
+    // three classes with disjoint signature words over shared filler;
+    // even ids train, odd ids test — every test doc must come back right
+    val docs = (0 until 60).map { i =>
+      val cls = s"c${i % 3}"
+      val word = Seq("alpha", "beta", "gamma")(i % 3)
+      (i.toLong, cls, s"$word $word the quick filler")
+    }.toDF("doc_id", "source", "text")
+    val got = graft.queries.TextQueries.naiveBayesSourceOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 3 && got.map(_._2).sum == 30, got.mkString(","))
+    assert(got.forall(g => g._2 == g._3),
+      s"misclassified despite disjoint vocab: ${got.mkString(",")}")
+    // and a class-free (all identical text) corpus cannot beat the
+    // prior tie-break — every prediction collapses to ONE class
+    val flat = (0 until 30).map(i =>
+      (i.toLong, s"c${i % 3}", "same words every time"))
+      .toDF("doc_id", "source", "text")
+    val preds = graft.queries.TextQueries.naiveBayesSourceOf(flat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // only the tie-break winner class scores hits
+    assert(preds.map(_._3).count(_ > 0) <= 1, preds.mkString(","))
+  }
 }

@@ -128,4 +128,32 @@ class KCoreSpec extends SparkSpec {
     assert(r.toSeq == Seq((hub, 3L), (1L, 3L), (2L, 3L), (3L, 3L)),
       r.mkString(","))
   }
+
+  test("modularity: planted two-clique labeling scores the exact fraction") {
+    // two K5 cliques {0..4} and {10..14} joined by one bridge (4, 10);
+    // labels = clique membership. Q replays locally in exact rationals.
+    def k5(off: Long) = for {
+      a <- 0L until 5L; b <- 0L until 5L if a < b
+    } yield (off + a, off + b)
+    val fwd = (k5(0) ++ k5(10) :+ (4L, 10L)).toDF("u", "v")
+    val edges = fwd.select($"u".as("src"), $"v".as("dst"))
+      .unionByName(fwd.select($"v".as("src"), $"u".as("dst")))
+    val lab = (0L until 5L).map(n => (n, 0L))
+      .++((10L until 15L).map(n => (n, 1L))).toDF("node", "lbl")
+    val got = graft.queries.RelationalQueries.modularityOf(edges, lab).head()
+    val m2 = 2L * 21L // 21 undirected edges doubled
+    val eIn2 = 2L * 20L // the bridge is the only cross edge
+    // degree sums: bridge endpoints have deg 5, others 4 → 21 per clique
+    val d2Sum = 2L * 21L * 21L
+    assert(got.getLong(0) == m2 && got.getLong(1) == eIn2 &&
+      got.getLong(2) == 2L)
+    val expectQ = math.round(
+      (eIn2.toDouble * m2 - d2Sum) / (m2.toDouble * m2) * 1e6)
+    assert(got.getLong(3) == expectQ, s"q_e6=${got.getLong(3)} vs $expectQ")
+    assert(got.getLong(3) > 400000L, "two planted cliques must score high Q")
+    // degenerate labeling (everything one community) scores Q = 0
+    val one = lab.select($"node", lit(0L).as("lbl"))
+    assert(graft.queries.RelationalQueries.modularityOf(edges, one)
+      .head().getLong(3) == 0L)
+  }
 }

@@ -888,6 +888,44 @@ class VersionedV2Spec extends SparkSpec {
     assert(dot.filter($"id" === 9).head.getDouble(1) == (81.0 + 9.25 * 9.25))
   }
 
+  test("catalog views: persist, replace, compose, rename, race loudly") {
+    val (cat, root) = catalogFor("views")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(0, 100, 1, 2)")
+    spark.sql(s"CREATE VIEW $cat.small AS SELECT id, v FROM $cat.t WHERE id < 50")
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.small").head.getLong(0) ==
+      (0L until 50L).map(_ * 10).sum)
+    // definition is ON DISK: a brand-new session resolves it
+    val s2 = spark.newSession()
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+    assert(s2.sql(s"SELECT COUNT(*) FROM $cat.small").head.getLong(0) == 50)
+    // REPLACE narrows; view-over-view composes through the NEW definition
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.small AS " +
+      s"SELECT id, v FROM $cat.t WHERE id < 20")
+    spark.sql(s"CREATE VIEW $cat.agg AS SELECT SUM(v) AS sv FROM $cat.small")
+    assert(spark.sql(s"SELECT sv FROM $cat.agg").head.getLong(0) ==
+      (0L until 20L).map(_ * 10).sum)
+    // a view may not shadow a table, and racing CREATEs serialize
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.t AS SELECT 1 AS one"))
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.small AS SELECT 2 AS two"))
+    // catalog API surface: list + rename + drop
+    val gc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    assert(gc.listViews().map(_.name).toSeq == Seq("agg", "small"))
+    gc.renameView(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "agg"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "agg2"))
+    assert(spark.sql(s"SELECT sv FROM $cat.agg2").head.getLong(0) == 1900)
+    spark.sql(s"DROP VIEW $cat.agg2")
+    intercept[Exception](spark.sql(s"SELECT sv FROM $cat.agg2").collect())
+    // IF EXISTS is quiet; plain drop of a missing view is loud
+    spark.sql(s"DROP VIEW IF EXISTS $cat.agg2")
+    intercept[Exception](spark.sql(s"DROP VIEW $cat.agg2"))
+  }
+
   test("TIMESTAMP/DATE round-trip: pre-epoch and DST-boundary values, both readers") {
     val (cat, root) = catalogFor("tstype")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, ts TIMESTAMP, d DATE)")
