@@ -1829,7 +1829,72 @@ object StoreQueries {
          |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** DECIMAL money columns through the catalog (X279): `CREATE TABLE ...
+    * (amount DECIMAL(12,2))`, INSERT, typed-literal row-level DELETE,
+    * exact aggregation — the type every billing table needs, previously
+    * outside the connector's surface. Compact mapping only (p ≤ 18 rides
+    * INT64, and the readers also decode external INT32 decimals); the
+    * vectorized path serves precision-keyed vectors. Exported as exact
+    * integer cents. */
+  def catalogDecimalSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("catdec", dir)
+    rmTree(root)
+    val cat = s"graft_dec_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (expr("CAST(round(value * 100) AS BIGINT)").cast("decimal(12,2)")
+          / 100).cast("decimal(12,2)").as("amount"))
+      .createOrReplaceTempView("graft_dec_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, amount DECIMAL(12,2))")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_dec_src")
+    // typed DECIMAL literal through the row-level predicate bridge
+    spark.sql(s"DELETE FROM $cat.ev WHERE amount < 2.50 AND event_type = 'view'")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(amount) * 100 AS BIGINT) AS cents
+         |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Merge-on-read UPDATE (X280 — [[graft.store.Versioned
+    * .updateWhereMor]]): the same adjustment as [[v2UpdateSql]], but the
+    * matched rows' positions land in deletion vectors and their
+    * replacements land as new files — ONE atomic commit, ZERO existing
+    * files rewritten (`zero_rewrites` pins the original file set still
+    * present), and the pre-update snapshot stays intact (`n_before`).
+    * The hot-row CDC shape: cost O(updated rows), not O(file bytes
+    * touched). Oracle: DuckDB's CASE-adjusted rollup. */
+  def v2UpdateMor(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("morupd", dir)
+    rmTree(root)
+    val t = s"$root/ev"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    ev.filter(col("user_id") < 60).coalesce(1)
+      .write.format("graft-versioned").option("path", t).mode("append").save()
+    ev.filter(col("user_id") >= 60).coalesce(1)
+      .write.format("graft-versioned").option("path", t).mode("append").save()
+    val filesBefore = Versioned.files(t).toSet
+    Versioned.updateWhereMor(spark, t,
+      col("event_type") === "error" && col("user_id") < 30,
+      Map("v_e2" -> (col("v_e2") + 100)))
+    val untouched = filesBefore.subsetOf(Versioned.files(t).toSet)
+    val nBefore = spark.read.format("graft-versioned").option("path", t)
+      .option("versionAsOf", "2").load().count()
+    spark.read.format("graft-versioned").option("path", t).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_e2").as("sv_e2"))
+      .withColumn("zero_rewrites", lit(untouched))
+      .withColumn("n_before", lit(nBefore))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_update_mor" -> (v2UpdateMor _),
+    "catalog_decimal_sql" -> (catalogDecimalSql _),
     "v2_merge_delete_sql" -> (v2MergeDeleteSql _),
     "catalog_view_sql" -> (catalogViewSql _),
     "index_time_travel" -> (indexTimeTravel _),
@@ -1879,6 +1944,25 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merge-on-read update serves the CASE-adjusted rollup with the
+    // original files intact and the pre-update snapshot whole
+    "v2_update_mor" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_type = 'error' AND user_id < 30
+        |    THEN v_e2 + 100 ELSE v_e2 END) AS BIGINT) AS sv_e2,
+        |  TRUE AS zero_rewrites,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact cents arithmetic: the typed-decimal delete's complement
+    "catalog_decimal_sql" ->
+      """WITH t AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t WHERE NOT (cents < 250 AND event_type = 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // three-action MERGE as set algebra: matched errors drop, other
     // matched rows (+100), the unmatched source slice inserts as 'merged'
     "v2_merge_delete_sql" ->

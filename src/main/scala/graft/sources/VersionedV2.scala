@@ -152,10 +152,19 @@ object VersionedV2 {
       }
       val isDate = p.getLogicalTypeAnnotation != null &&
         p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      // DECIMAL(p <= 18) rides INT32/INT64 with the decimal annotation —
+      // Spark's own compact mapping (FIXED_LEN_BYTE_ARRAY p > 18 stays
+      // out of scope, loudly)
+      val decOf = p.getLogicalTypeAnnotation match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(DecimalType(d.getPrecision, d.getScale))
+        case _ => None
+      }
       val dt = if (repeated) ArrayType(FloatType, containsNull = false)
       else p.getPrimitiveTypeName match {
         case INT64 if p.getLogicalTypeAnnotation == null => LongType
         case INT64 if isTsMicros => TimestampType
+        case INT64 | INT32 if decOf.isDefined => decOf.get
         // Spark's DEFAULT parquet timestamp output is legacy INT96
         // (nanos-of-day + julian day) — the store's own copy-on-write
         // rewrites produce it, and so does half the parquet in the wild
@@ -191,6 +200,10 @@ object VersionedV2 {
         case TimestampType => Types.optional(INT64).as(
           LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
         case DateType => Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        // compact decimals only: INT64 carries any p <= 18 exactly
+        case dt: DecimalType if dt.precision <= 18 =>
+          Types.optional(INT64).as(
+            LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
         // embedding vectors: REPEATED FLOAT (2-level compat list — see
         // sparkSchema); absent-vs-empty is not distinguishable in this
         // shape, so null arrays round-trip as empty
@@ -198,7 +211,7 @@ object VersionedV2 {
         case other => sys.error(
           s"graft-versioned write: unsupported type $other for ${f.name} — " +
             "scoped to long/int/double/float/boolean/string/timestamp/date/" +
-            "array<float>")
+            "decimal(<=18)/array<float>")
       }
       b.addField(prim.named(f.name))
     }
@@ -243,6 +256,8 @@ object VersionedV2 {
         lit(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
       case (DateType, days: java.lang.Integer) =>
         lit(java.time.LocalDate.ofEpochDay(days.longValue()))
+      case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+        lit(d.toJavaBigDecimal)
       case (_, v) => lit(v)
     }
     def bin(p: Predicate)(f: (Column, Column) => Column): Option[Column] =
@@ -579,6 +594,8 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
         schema.fields(i).dataType match {
           case LongType | TimestampType => g.add(name, row.getLong(i))
           case IntegerType | DateType => g.add(name, row.getInt(i))
+          case dt: DecimalType =>
+            g.add(name, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
           case DoubleType => g.add(name, row.getDouble(i))
           case FloatType => g.add(name, row.getFloat(i))
           case BooleanType => g.add(name, row.getBoolean(i))
@@ -619,6 +636,11 @@ private[sources] class VersionedDataWriter(tableAbs: String, batchDir: String,
     // when task aborts land AFTER the job-level sweep (kills are async)
     new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(): Unit
     f.getParentFile.delete(): Unit // succeeds only when empty
+    // CTAS stages under a hidden .ctas-<uuid> root: the LAST aborting
+    // task removes the emptied root too (real tables never match —
+    // their names may not start with '.')
+    val tableDir = new java.io.File(tableAbs)
+    if (tableDir.getName.startsWith(".ctas-")) tableDir.delete(): Unit
   }
 
   override def close(): Unit = ()
@@ -1087,6 +1109,7 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
       f.name == VersionedV2.FileMetaCol || (f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType |
              BooleanType | StringType | TimestampType | DateType => true
+        case dt: DecimalType if dt.precision <= 18 => true
         case ArrayType(FloatType, _) => true
         case _ => false
       }))
@@ -1188,6 +1211,8 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
         case x: java.lang.Float => v.setFloat(x)
         case x: java.lang.Boolean => v.setBoolean(x)
         case x: UTF8String => v.setUtf8String(x)
+        case x: org.apache.spark.sql.types.Decimal =>
+          v.setDecimal(x, f.dataType.asInstanceOf[DecimalType].precision)
         case other => sys.error(
           s"unsupported EXISTS_DEFAULT ${other.getClass} for ${f.name}")
       }
@@ -1305,6 +1330,23 @@ private[sources] class VersionedColumnarReader(p: VersionedFilePartition)
               if ((keep eq null) || keep(r)) {
                 if (cr.getCurrentDefinitionLevel == maxDef) vec.putLong(dr, cr.getLong)
                 else vec.putNull(dr)
+                dr += 1
+              } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
+              cr.consume(); r += 1
+            }
+          case dt: DecimalType =>
+            // vector storage is precision-keyed (ints through p=9, longs
+            // through p=18); the FILE width is the descriptor's primitive
+            val fromInt32 = desc.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+            val toInt = dt.precision <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS
+            while (r < n) {
+              if ((keep eq null) || keep(r)) {
+                if (cr.getCurrentDefinitionLevel == maxDef) {
+                  val unscaled = if (fromInt32) cr.getInteger.toLong else cr.getLong
+                  if (toInt) vec.putInt(dr, unscaled.toInt)
+                  else vec.putLong(dr, unscaled)
+                } else vec.putNull(dr)
                 dr += 1
               } else if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
               cr.consume(); r += 1
@@ -1466,6 +1508,12 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
       val t = fileMsg.getType(fileMsg.getFieldIndex(f.name))
       t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName == INT96
     })
+  // compact decimals may ride INT32 (external writers, p <= 9) or INT64
+  private val isInt32: Array[Boolean] = p.required.fields.map(f =>
+    fileFields(f.name) && {
+      val t = fileMsg.getType(fileMsg.getFieldIndex(f.name))
+      t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName == INT32
+    })
   // a column added via `ALTER TABLE ... ADD COLUMN c T DEFAULT v` reads
   // as v (not NULL) from rows predating it — ANSI/Postgres semantics,
   // carried in the field's EXISTS_DEFAULT metadata (null when the column
@@ -1519,6 +1567,11 @@ private[sources] class VersionedPartitionReader(p: VersionedFilePartition)
             case TimestampType if isInt96(i) =>
               VersionedV2.int96ToMicros(cur.getInt96(fi, 0).getBytes)
             case LongType | TimestampType => cur.getLong(fi, 0)
+            case dt: DecimalType =>
+              val unscaled =
+                if (isInt32(i)) cur.getInteger(fi, 0).toLong
+                else cur.getLong(fi, 0)
+              org.apache.spark.sql.types.Decimal(unscaled, dt.precision, dt.scale)
             case IntegerType | DateType => cur.getInteger(fi, 0)
             case DoubleType => cur.getDouble(fi, 0)
             case FloatType => cur.getFloat(fi, 0)

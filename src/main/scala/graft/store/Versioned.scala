@@ -574,9 +574,40 @@ object Versioned {
     * (multiple_document_upload.py:178-200) — re-expressed as
     * O(deleted rows) instead of O(files touched). */
   def deleteWhereMor(spark: SparkSession, table: String,
-      cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
+      cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int =
+    morMutate(spark, table, cond, None, "merge-on-read delete", maxRetries)
+
+  /** Merge-on-read UPDATE (X280): the matched rows' positions land in
+    * deletion-vector sidecars AND their replacements (with `set`
+    * applied) land as new data files — published together in ONE atomic
+    * commit, so readers see the update all-or-nothing and NO existing
+    * file rewrites. Cost is O(updated rows) against [[deleteWhere]]-
+    * style copy-on-write's O(bytes of files touched) — the hot-row CDC
+    * shape. Same concurrency/maintenance story as [[deleteWhereMor]]
+    * (the shared [[morMutate]] core): losing a target file to a
+    * concurrent rewrite fails loudly, rewrites fold the vectors, CHECK
+    * constraints validate the replacement rows before publication, and
+    * a SET that changes a column's TYPE is rejected (this is an update,
+    * not an evolution). */
+  def updateWhereMor(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 5): Int = {
+    require(set.nonEmpty, "updateWhereMor needs at least one SET column")
+    morMutate(spark, table, cond,
+      Some(df => set.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, v) }),
+      "merge-on-read update", maxRetries)
+  }
+
+  /** Shared merge-on-read core: record matched positions as deletion
+    * vectors and (for update) stage replacement rows, then publish
+    * markers + data lines in one guarded commit. */
+  private def morMutate(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      mkReplacement: Option[DataFrame => DataFrame],
+      op: String, maxRetries: Int): Int = {
     import org.apache.spark.sql.functions.col
-    requireNoRenames(table, "deleteWhereMor")
+    requireNoRenames(table, op)
     val base = currentVersion(table)
     val fs = files(table, Some(base))
     require(fs.nonEmpty, s"table $table has no committed data at $base")
@@ -587,8 +618,8 @@ object Versioned {
     // live rows only (readTagged applies existing DVs), keyed by
     // (file, position); co-locate and sort per file so each sidecar
     // writes positions ascending in one pass
-    val written = readTagged(spark, table, base, fs)
-      .filter(cond)
+    val matches = readTagged(spark, table, base, fs).filter(cond)
+    val written = matches
       .select(col("__graft_path").as("f"),
         col("_metadata.row_index").as("p"))
       .as[(String, Long)]
@@ -620,6 +651,23 @@ object Versioned {
         out.iterator
       }.collect()
     if (written.isEmpty) { new File(tableAbs, dvBatch).delete(); return base }
+    // update: stage the replacement rows as NEW data files in the same
+    // batch-staging discipline as append — invisible until the commit
+    val addedData: Seq[String] = mkReplacement match {
+      case None => Seq.empty
+      case Some(fn) =>
+        val orig = matches.drop("__graft_path")
+        val repl = fn(orig).select(orig.columns.map(col).toSeq: _*)
+        orig.schema.fields.zip(repl.schema.fields).foreach { case (a, b) =>
+          require(a.dataType == b.dataType,
+            s"$op: SET changes column ${a.name} from ${a.dataType.sql} to " +
+              s"${b.dataType.sql} — updates may not change types")
+        }
+        requireConstraints(constraintsOf(table, Some(base)), repl)
+        val dataBatch = f"morupd-${java.util.UUID.randomUUID().toString.take(8)}"
+        repl.write.parquet(new File(table, dataBatch).getPath)
+        listParquet(new File(table, dataBatch)).map(f => s"$dataBatch/${f.getName}")
+    }
     val targets = written.map(w => manifestLineOf(table, w._1)).toSet
     val markers = written.map { case (fAbs, rel, cnt) =>
       s"$DeletesPrefix${manifestLineOf(table, fAbs)}:$rel:$cnt"
@@ -630,7 +678,7 @@ object Versioned {
     var b = base
     var attempt = 0
     while (true) {
-      try return commit(table, b, markers)
+      try return commit(table, b, markers ++ addedData)
       catch {
         case e: IllegalStateException =>
           attempt += 1
@@ -640,7 +688,7 @@ object Versioned {
             StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
           if (!targets.subsetOf(lines))
             throw new IllegalStateException(
-              s"merge-on-read delete on $table derived from v$base lost a target " +
+              s"$op on $table derived from v$base lost a target " +
                 "file to a concurrent rewrite; re-run against the current version", e)
           b = cur
       }

@@ -994,6 +994,35 @@ class VersionedSpec extends SparkSpec {
       "no marker survives without its data line")
   }
 
+  test("merge-on-read update: one atomic commit, zero rewrites, type-safe SET") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+    Versioned.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s").coalesce(1), t)
+    val filesBefore = Versioned.files(t).toSet
+    val v = Versioned.updateWhereMor(spark, t, $"id" % 2 === 0L,
+      Map("s" -> org.apache.spark.sql.functions.concat($"s", org.apache.spark.sql.functions.lit("!"))))
+    assert(v == 3, "markers + replacement files land as ONE commit")
+    assert(filesBefore.subsetOf(Versioned.files(t).toSet),
+      "no existing file rewrites")
+    assert(rows(t) == Set((1L, "a"), (2L, "b!"), (3L, "c"), (4L, "d!")))
+    // pre-update snapshot intact; updated rows never doubled
+    assert(rows(t, Some(2)) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(Versioned.read(spark, t).count() == 4)
+    // an update on top of outstanding vectors composes (live view only)
+    Versioned.updateWhereMor(spark, t, $"s" === "b!",
+      Map("s" -> org.apache.spark.sql.functions.lit("bb")))
+    assert(rows(t) == Set((1L, "a"), (2L, "bb"), (3L, "c"), (4L, "d!")))
+    // a SET that changes the column's TYPE is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhereMor(spark, t, $"id" === 1L, Map("s" -> org.apache.spark.sql.functions.lit(7L)))
+    }
+    assert(e.getMessage.contains("may not change types"), e.getMessage)
+    // compaction folds vectors AND the replacement files into one clean file
+    Versioned.compact(spark, t)
+    assert(Versioned.deletesOf(t).isEmpty)
+    assert(rows(t) == Set((1L, "a"), (2L, "bb"), (3L, "c"), (4L, "d!")))
+  }
+
   test("rewrite racing a merge-on-read delete cannot resurrect deleted rows") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
