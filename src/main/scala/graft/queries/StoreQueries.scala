@@ -1892,7 +1892,83 @@ object StoreQueries {
       .orderBy("event_type")
   }
 
+  /** `CALL system.fsck` (X285): the store integrity audit over a table
+    * with a PLANTED orphan (a stray parquet dropped into a batch dir —
+    * the debris a crashed writer leaves) and live deletion vectors. The
+    * report must read exactly: 2 data files across 4 retained versions,
+    * nothing missing, ONE orphan, zero dangling markers — and the table
+    * content itself stays the MoR-delete complement (the audit is
+    * read-only). A wrong count in any column means the walker missed a
+    * corruption class. */
+  def storeFsck(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("fsck", dir)
+    rmTree(root)
+    val cat = s"graft_fsck_${dirDigest(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .coalesce(1)
+      .createOrReplaceTempView("graft_fsck_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING, v_e2 BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_fsck_src WHERE user_id < 60")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM graft_fsck_src WHERE user_id >= 60")
+    spark.sql(s"CALL $cat.system.delete_mor('ev', 'event_type = ''error''')")
+    // plant the orphan: a stray data-shaped file no manifest references
+    val t = s"$root/ev"
+    val aData = new File(Versioned.files(t).head)
+    val stray = new File(t, "stray-batch/stray.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.copy(aData.toPath, stray.toPath)
+    val report = spark.sql(s"CALL $cat.system.fsck('ev')")
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n, SUM(v_e2) AS sv_e2
+         |FROM $cat.ev GROUP BY event_type""".stripMargin)
+      .crossJoin(broadcast(report))
+      .orderBy(col("event_type")) // ordered AFTER the join: a cross join
+                                  // does not preserve the left's sort
+  }
+
+  /** Cohort LTV curves (X286 — the cumulative-revenue companion to
+    * cohort_retention): users cohort by the week of their FIRST event;
+    * each cohort's purchase revenue accrues by week-age into the
+    * cumulative "lifetime value to date" curve finance actually plots
+    * (per-user e2 cents, exact). One pass finds first-touch (min over a
+    * user-keyed groupBy), one pass buckets purchases by (cohort, age),
+    * and the cumsum window partitions BY COHORT (grows with data; ages
+    * per cohort are calendar-bounded). Oracle replays the chain in SQL. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .select(col("user_id"),
+        expr("date_sub(first_day, CAST((datediff(first_day, DATE'1970-01-05')) % 7 AS INT))")
+          .as("cohort_week"))
+    val sized = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(to_date(ts), cohort_week) div 7 AS BIGINT)")
+          .as("age_week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(sum(col("cents")).as("week_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("age_week"))
+    rev.withColumn("cum_cents", sum(col("week_cents")).over(w))
+      .join(broadcast(sized), "cohort_week")
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("age_week"), col("n_users"), col("week_cents"), col("cum_cents"),
+        expr("cum_cents div n_users").as("ltv_per_user_e2"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_fsck" -> (storeFsck _),
+    "cohort_ltv" -> (cohortLtv _),
     "v2_update_mor" -> (v2UpdateMor _),
     "catalog_decimal_sql" -> (catalogDecimalSql _),
     "v2_merge_delete_sql" -> (v2MergeDeleteSql _),
@@ -1944,6 +2020,46 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // read-only audit literals pinned by construction: 4 versions, 2
+    // files, one planted orphan; the rollup is the MoR-delete complement
+    "store_fsck" ->
+      """WITH t AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v_e2) AS BIGINT) AS sv_e2,
+        |  CAST(4 AS BIGINT) AS checked_versions,
+        |  CAST(2 AS BIGINT) AS checked_files,
+        |  CAST(0 AS BIGINT) AS missing_files,
+        |  CAST(0 AS BIGINT) AS missing_sidecars,
+        |  CAST(1 AS BIGINT) AS orphan_files,
+        |  CAST(0 AS BIGINT) AS dangling_markers
+        |FROM t WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // first-touch cohorts, week ages, cohort-partitioned cumsum
+    "cohort_ltv" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT user_id, first_day - CAST(
+        |        date_diff('day', DATE '1970-01-05', first_day) % 7 AS INTEGER)
+        |        AS cohort_week FROM f),
+        |sized AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        |          FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort_week,
+        |        CAST(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7
+        |          AS BIGINT) AS age_week,
+        |        CAST(round(e.value * 100) AS BIGINT) AS cents
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase'),
+        |wk AS (SELECT cohort_week, age_week, CAST(SUM(cents) AS BIGINT)
+        |         AS week_cents FROM r GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, week_cents,
+        |          CAST(SUM(week_cents) OVER (PARTITION BY cohort_week
+        |            ORDER BY age_week) AS BIGINT) AS cum_cents FROM wk)
+        |SELECT CAST(cum.cohort_week AS VARCHAR) AS cohort_week, age_week,
+        |  s.n_users, week_cents, cum_cents,
+        |  CAST(cum_cents // s.n_users AS BIGINT) AS ltv_per_user_e2
+        |FROM cum JOIN sized s ON s.cohort_week = cum.cohort_week
+        |ORDER BY cohort_week, age_week""".stripMargin,
     // the merge-on-read update serves the CASE-adjusted rollup with the
     // original files intact and the pre-update snapshot whole
     "v2_update_mor" ->

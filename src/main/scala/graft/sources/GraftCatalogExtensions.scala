@@ -261,7 +261,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact_small", "analyze_stats", "analyze_bloom",
-      "vacuum", "restore", "clone", "delete_mor")
+      "vacuum", "restore", "clone", "delete_mor", "fsck")
 
   def load(name: String, resolve: String => String): Option[UnboundProcedure] =
     name match {
@@ -312,6 +312,18 @@ private[sources] object GraftProcedures {
         out = Seq("version" -> LongType),
         (spark, in) => Seq(Versioned.deleteWhereMor(spark, resolve(str(in, 0)),
           org.apache.spark.sql.functions.expr(str(in, 1))).toLong)))
+      // store integrity audit (X285): metadata + listing only, no data IO
+      case "fsck" => Some(proc(name,
+        Seq(p("table", StringType)),
+        out = Seq("checked_versions" -> LongType,
+          "checked_files" -> LongType, "missing_files" -> LongType,
+          "missing_sidecars" -> LongType, "orphan_files" -> LongType,
+          "dangling_markers" -> LongType),
+        (spark, in) => {
+          val r = Versioned.fsck(resolve(str(in, 0)))
+          Seq(r.checkedVersions.toLong, r.checkedFiles, r.missingFiles,
+            r.missingSidecars, r.orphanFiles, r.danglingMarkers)
+        }))
       case _ => None
     }
 

@@ -696,6 +696,57 @@ object Versioned {
     -1 // unreachable
   }
 
+  /** [[fsck]]'s findings. */
+  case class FsckReport(checkedVersions: Int, checkedFiles: Long,
+    missingFiles: Long, missingSidecars: Long, orphanFiles: Long,
+    danglingMarkers: Long)
+
+  /** Store integrity audit (X285 — the `fsck` every production table
+    * format ships as a procedure): walks the RETAINED manifest horizon
+    * and the table directory, reporting
+    *  - data lines whose file is GONE from disk (a vacuum bug, manual
+    *    deletion, or storage loss — reads of that version will fail),
+    *  - deletion-vector sidecars gone (worse: reads would silently
+    *    RESURRECT the deleted rows if the reader ignored the error),
+    *  - on-disk data/sidecar files referenced by NO retained manifest
+    *    (vacuum debt from crashed writers and lost commit races), and
+    *  - markers in the CURRENT manifest keyed to retired data lines
+    *    (documented-harmless dead weight — the rebase race in
+    *    [[analyzeStats]]'s note — surfaced so operators can see it).
+    * Pure metadata + directory listing: no data file is opened, so the
+    * audit is O(manifest + file count) at any table size. */
+  def fsck(table: String): FsckReport = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"cannot fsck nonexistent table $table")
+    val versions = (1 to cur).filter(v => manifestFile(table, v).exists)
+    val allData = versions.flatMap(v => files(table, Some(v))).distinct
+    val missing = allData.count(f => !new File(f).exists())
+    val allDv = versions.flatMap(v => deletesOf(table, Some(v)).values.flatten
+      .map { case (rel, _) => resolveLine(table, rel) }).distinct
+    val missingDv = allDv.count(f => !new File(f).exists())
+    // orphans: data-shaped files on disk under batch dirs that NO
+    // retained manifest references (crashed writers, lost races)
+    val referenced = allData.toSet ++ allDv.toSet
+    val orphans = Option(new File(table).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != "_manifests" &&
+        !d.getName.startsWith("."))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(f => f.isFile &&
+        (f.getName.endsWith(".parquet") || f.getName.endsWith(".dv")) &&
+        !referenced(f.getAbsolutePath))
+    // dangling markers: stats/bloom/deletes in the CURRENT manifest
+    // keyed to data lines the current version no longer carries
+    val curLines = Files.readAllLines(manifestFile(table, cur).toPath,
+        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    val dangling =
+      statsOf(table, Some(cur)).keysIterator.count { case (_, line) => !curLines(line) } +
+      bloomOf(table, Some(cur)).keysIterator.count { case (_, line) => !curLines(line) } +
+      deletesOf(table, Some(cur)).keysIterator.count(line => !curLines(line))
+    FsckReport(versions.size, allData.size.toLong, missing.toLong,
+      missingDv.toLong, orphans.toLong, dangling.toLong)
+  }
+
   private val RenamePrefix = "#rename:"
 
   /** Column renames recorded in `version`'s manifest, oldest first

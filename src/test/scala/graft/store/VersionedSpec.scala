@@ -1023,6 +1023,35 @@ class VersionedSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "bb"), (3L, "c"), (4L, "d!")))
   }
 
+  test("fsck: flags missing files, missing sidecars, orphans and dangling markers") {
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+    Versioned.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s").coalesce(1), t)
+    Versioned.deleteWhereMor(spark, t, $"id" === 2L)
+    val clean = Versioned.fsck(t)
+    assert(clean == Versioned.FsckReport(3, 2, 0, 0, 0, 0), clean.toString)
+    // orphan: a stray data-shaped file no manifest references
+    val stray = new File(t, "stray/impostor.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.copy(new File(Versioned.files(t).head).toPath, stray.toPath)
+    assert(Versioned.fsck(t).orphanFiles == 1)
+    // dangling marker: a stats line keyed to a data line that never was
+    Versioned.commit(t, Versioned.currentVersion(t),
+      Seq("#stats:id:never-was.parquet:1:9"))
+    assert(Versioned.fsck(t).danglingMarkers == 1)
+    // missing sidecar: deleting a dv file would RESURRECT rows on a
+    // naive reader — fsck must call it out
+    val dv = Versioned.deletesOf(t).values.flatten.map { case (rel, _) =>
+      new File(t, rel) }.head
+    assert(dv.delete())
+    assert(Versioned.fsck(t).missingSidecars == 1)
+    // missing data file: reads of every retained version referencing it fail
+    assert(new File(Versioned.files(t).head).delete())
+    val broken = Versioned.fsck(t)
+    assert(broken.missingFiles == 1 && broken.missingSidecars == 1 &&
+      broken.orphanFiles == 1 && broken.danglingMarkers == 1, broken.toString)
+  }
+
   test("rewrite racing a merge-on-read delete cannot resurrect deleted rows") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
