@@ -1805,7 +1805,85 @@ object StatQueries {
           |  * 1000000) AS BIGINT) AS r2_e6""".stripMargin)
   }
 
+  /** Simpson's paradox audit (X287 — Simpson 1951, the aggregation trap
+    * every experiment rollup must check): the exposure→outcome
+    * association (user parity → purchase) is scored PER STRATUM
+    * (first/second half of month) and OVERALL, each as the exact integer
+    * cross-product sign sgn(n11·n00 − n10·n01) — no rates, no floats, so
+    * both engines agree digit-for-digit. The paradox flag fires when
+    * every stratum's association points AGAINST the pooled one (the
+    * direction-reversal that makes pooled dashboards lie). One
+    * partial-aggregated pass builds all cells; DECIMAL(38,0) products
+    * (cell counts at 100 TB put n11·n00 past BIGINT). */
+  def simpsonParadox(spark: SparkSession, dir: String): DataFrame =
+    simpsonParadoxOf(Tables.events(spark, dir))
+
+  def simpsonParadoxOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cells = events
+      .select(
+        when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2").as("stratum"),
+        (col("user_id") % 2 === 0).cast("int").as("exposed"),
+        (col("event_type") === "purchase").cast("int").as("success"))
+    def rollup(df: DataFrame, label: String) = df
+      .agg(
+        sum(expr("CAST(exposed * success AS BIGINT)")).as("n11"),
+        sum(expr("CAST(exposed * (1 - success) AS BIGINT)")).as("n10"),
+        sum(expr("CAST((1 - exposed) * success AS BIGINT)")).as("n01"),
+        sum(expr("CAST((1 - exposed) * (1 - success) AS BIGINT)")).as("n00"))
+      .select(lit(label).as("scope"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        expr(s"CAST(sign(CAST(n11 AS $d38) * CAST(n00 AS $d38) " +
+          s"- CAST(n10 AS $d38) * CAST(n01 AS $d38)) AS BIGINT)").as("assoc_sign"))
+    val h1 = rollup(cells.filter(col("stratum") === "h1"), "h1")
+    val h2 = rollup(cells.filter(col("stratum") === "h2"), "h2")
+    val all = rollup(cells, "overall")
+    val strata = h1.unionByName(h2)
+    val flag = strata
+      .crossJoin(broadcast(all.select(col("assoc_sign").as("o_sign"))))
+      .agg((count(lit(1)) ===
+        sum(when(col("assoc_sign") === -col("o_sign") && col("o_sign") =!= 0, 1L)
+          .otherwise(0L))).cast("long").as("paradox"))
+    strata.unionByName(all)
+      .crossJoin(broadcast(flag))
+      .orderBy(col("scope"))
+  }
+
+  /** Herfindahl-Hirschman market concentration (X288 — the HHI every
+    * antitrust/market-share rollup reports, the square-sum companion to
+    * gini_concentration's Lorenz view): supplier revenue shares squared
+    * and summed, as ONE exact integer quotient HHI_e6 = (Σx²·10⁶) div
+    * (Σx)² over DECIMAL(38,0) sums (revenue squares pass BIGINT at
+    * fraction of 100 TB), plus the equivalent-competitor count 1/HHI
+    * and the top share — all positive-operand exact divisions. One
+    * partial-aggregated rollup; the squares fold in a single-row
+    * aggregate. */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame =
+    hhiOf(Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s"))
+      .agg(expr("CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev")))
+
+  /** [[hhiConcentration]] over an explicit (s, rev) rollup — the seam
+    * the closed-form spec drives. */
+  private[graft] def hhiOf(su: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    su.agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(expr(s"CAST(rev AS $d38)")).as("tot"),
+        sum(expr(s"CAST(rev AS $d38) * CAST(rev AS $d38)")).as("sq"),
+        max(col("rev")).as("top_rev"))
+      .select(col("n_suppliers"),
+        expr("CAST(sq * 1000000 div (tot * tot) AS BIGINT)").as("hhi_e6"),
+        expr("CAST((tot * tot) * 1000 div sq AS BIGINT)")
+          .as("equiv_competitors_e3"),
+        expr(s"CAST(CAST(top_rev AS $d38) * 1000000 div tot AS BIGINT)")
+          .as("top_share_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simpson_paradox" -> (simpsonParadox _),
+    "hhi_concentration" -> (hhiConcentration _),
     "ols_features" -> (olsFeatures _),
     "control_chart" -> (controlChart _),
     "hurst_exponent" -> (hurstExponent _),
@@ -1843,6 +1921,54 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact cross-product signs per stratum + pooled, one paradox flag
+    "simpson_paradox" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'h1' ELSE 'h2' END AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success
+        |  FROM events),
+        |r AS (
+        |  SELECT stratum AS scope,
+        |    CAST(SUM(exposed * success) AS BIGINT) AS n11,
+        |    CAST(SUM(exposed * (1 - success)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - exposed) * success) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - exposed) * (1 - success)) AS BIGINT) AS n00
+        |  FROM c GROUP BY stratum
+        |  UNION ALL
+        |  SELECT 'overall',
+        |    CAST(SUM(exposed * success) AS BIGINT),
+        |    CAST(SUM(exposed * (1 - success)) AS BIGINT),
+        |    CAST(SUM((1 - exposed) * success) AS BIGINT),
+        |    CAST(SUM((1 - exposed) * (1 - success)) AS BIGINT)
+        |  FROM c),
+        |sg AS (SELECT scope, n11, n10, n01, n00,
+        |    CAST(sign(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01)
+        |      AS BIGINT) AS assoc_sign FROM r),
+        |o AS (SELECT assoc_sign AS o_sign FROM sg WHERE scope = 'overall'),
+        |fl AS (
+        |  SELECT CAST(CASE WHEN COUNT(*) =
+        |    SUM(CASE WHEN sg.assoc_sign = -o.o_sign AND o.o_sign <> 0
+        |        THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT) AS paradox
+        |  FROM sg, o WHERE sg.scope <> 'overall')
+        |SELECT sg.scope, sg.n11, sg.n10, sg.n01, sg.n00, sg.assoc_sign,
+        |  fl.paradox
+        |FROM sg, fl ORDER BY sg.scope""".stripMargin,
+    // exact integer HHI over HUGEINT square sums
+    "hhi_concentration" ->
+      """WITH su AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |        SUM(rev) AS tot, SUM(rev * rev) AS sq,
+        |        MAX(rev) AS top_rev FROM su)
+        |SELECT n_suppliers,
+        |  CAST(sq * 1000000 // (tot * tot) AS BIGINT) AS hhi_e6,
+        |  CAST((tot * tot) * 1000 // sq AS BIGINT)
+        |    AS equiv_competitors_e3,
+        |  CAST(top_rev * 1000000 // tot AS BIGINT) AS top_share_e6
+        |FROM s""".stripMargin,
     // HUGEINT mirrors the decimal Cramer expansion term for term; betas
     // and R2 replay the same fixed-order double chain
     "ols_features" ->

@@ -1043,6 +1043,48 @@ class StatQueriesSpec extends SparkSpec {
     assert(bumpRows.last.getLong(4) > 150L, s"seasonal=${bumpRows.last.getLong(4)}")
   }
 
+  test("simpson_paradox: the textbook reversal flags; a consistent table does not") {
+    // classic treatment-paradox cell counts: both strata favor the
+    // exposed arm, the pooled table favors the unexposed one
+    def plant(h1: (Int, Int, Int, Int), h2: (Int, Int, Int, Int)) = {
+      var id = 0L
+      def rows(c: (Int, Int, Int, Int), day: String) = {
+        val (n11, n10, n01, n00) = c
+        def mk(k: Int, even: Boolean, purchase: Boolean) = (1 to k).map { _ =>
+          id += 1
+          (id, if (even) id * 2 else id * 2 + 1,
+            if (purchase) "purchase" else "view", 1.0, s"$day 08:00:00")
+        }
+        mk(n11, even = true, purchase = true) ++
+          mk(n10, even = true, purchase = false) ++
+          mk(n01, even = false, purchase = true) ++
+          mk(n00, even = false, purchase = false)
+      }
+      mkEvents(rows(h1, "2024-01-05") ++ rows(h2, "2024-01-20"))
+    }
+    val p = StatQueries.simpsonParadoxOf(
+      plant((81, 6, 234, 36), (192, 71, 55, 25))).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(6))).toSeq
+    assert(p == Seq(("h1", 1L, 1L), ("h2", 1L, 1L), ("overall", -1L, 1L)), p)
+    // consistent direction everywhere: no flag
+    val q = StatQueries.simpsonParadoxOf(
+      plant((90, 10, 50, 50), (80, 20, 40, 60))).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(6))).toSeq
+    assert(q.forall(_._2 == 1L) && q.forall(_._3 == 0L), q)
+  }
+
+  test("hhi_concentration: monopoly and uniform closed forms are exact") {
+    import spark.implicits._
+    val mono = StatQueries.hhiOf(
+      Seq((1L, 1000L)).toDF("s", "rev")).head()
+    assert(mono.getLong(1) == 1000000L && mono.getLong(3) == 1000000L)
+    assert(mono.getLong(2) == 1000L, s"equiv=${mono.getLong(2)}")
+    val uni = StatQueries.hhiOf(
+      (1L to 8L).map(i => (i, 500L)).toDF("s", "rev")).head()
+    assert(uni.getLong(0) == 8L && uni.getLong(1) == 125000L)
+    assert(uni.getLong(2) == 8000L && uni.getLong(3) == 125000L)
+  }
+
   test("ols_features: planted exact linear data recovers the coefficients") {
     // y = 500 + 3*x1 + 7*x2 exactly (clicks x1, errors x2, purchase
     // revenue y) — betas must come back to the plant at e4 and R2 = 1.
