@@ -35,6 +35,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
+  // recursion guard: a self/mutually-referential stored definition would
+  // otherwise expand forever (Spark's session catalog rejects recursive
+  // views; this parser must fail as loudly, not StackOverflow)
+  private val expandDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private val MaxViewDepth = 16
+
   private def graftCatalog(name: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$name")
       .contains("graft.sources.GraftCatalog")
@@ -65,8 +73,16 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
       val Seq(cat, v) = u.multipartIdentifier
       viewText(cat, v) match {
         // recursive: the stored text re-parses through THIS parser, so a
-        // view over a view expands all the way down
-        case Some(sql) => SubqueryAlias(v, parsePlan(sql))
+        // view over a view expands all the way down — bounded, so a
+        // cyclic definition errors instead of overflowing the stack
+        case Some(sql) =>
+          val d = expandDepth.get().intValue()
+          require(d < MaxViewDepth,
+            s"view expansion exceeded depth $MaxViewDepth at $cat.$v — " +
+              "recursive view definition?")
+          expandDepth.set(d + 1)
+          try SubqueryAlias(v, parsePlan(sql))
+          finally expandDepth.set(d)
         case None => u
       }
   }
@@ -109,6 +125,25 @@ case class GraftCreateViewCommand(catalogName: String, viewName: String,
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
     val ident = Identifier.of(Array.empty, viewName)
+    // a persistent definition re-parses in the READER's session, so an
+    // unqualified (single-part) table reference would silently resolve
+    // against whatever catalog/database/temp-view the reader has current
+    // — wrong rows, no error. Reject at CREATE (the SQL-standard "views
+    // bind at definition" contract, enforced the loud way); CTE aliases
+    // defined inside the query itself stay legal.
+    val cteNames = query.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1)
+    }.flatten.toSet
+    val unqualified = query.collect {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          !cteNames(u.multipartIdentifier.head) =>
+        u.multipartIdentifier.head
+    }.distinct
+    require(unqualified.isEmpty,
+      s"CREATE VIEW $catalogName.$viewName: unqualified table reference(s) " +
+        s"${unqualified.mkString(", ")} — persistent view definitions must " +
+        "catalog-qualify every table (they re-resolve in each reader's session)")
     if (cat.viewExists(ident)) {
       if (allowExisting) return Seq.empty
       if (replace) cat.dropView(ident)

@@ -367,7 +367,15 @@ object RelationalQueries {
     * Q is deterministic end to end. */
   def modularityScore(spark: SparkSession, dir: String): DataFrame = {
     val (edges, labels) = lpaLabels(spark, dir)
-    modularityOf(edges, labels.select(col("node"), col("lbl")))
+    // materialize the ONE-row result eagerly so the persisted edge frame
+    // can be released here — returning the lazy plan would pin another
+    // edge cache per invocation (bench runs every query twice)
+    val out = modularityOf(edges, labels.select(col("node"), col("lbl")))
+    val schema = out.schema
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** [[modularityScore]]'s scoring half over an explicit DOUBLED edge

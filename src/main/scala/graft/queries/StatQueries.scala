@@ -1790,19 +1790,23 @@ object StatQueries {
         """CAST(n AS decimal(38,0)) * (s11 * s2y - s1y * s12)
           |- s1 * (s1 * s2y - s1y * s2)
           |+ sy * (s1 * s12 - s11 * s2)""".stripMargin))
+      // degenerate inputs guard: collinear/underdetermined regressors
+      // make det = 0 and a constant y makes SST = 0 — NULL, never a
+      // NaN/Infinity cast that silently lands as garbage (xcorr's rule)
       .selectExpr("n",
-        "CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta0_e4",
-        "CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta1_e4",
-        "CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta2_e4",
+        "CASE WHEN det <> 0 THEN CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta0_e4",
+        "CASE WHEN det <> 0 THEN CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta1_e4",
+        "CASE WHEN det <> 0 THEN CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta2_e4",
         // R2 = 1 - SSE/SST with SSE = syy - beta'X'y, SST = syy - sy^2/n
-        """CAST(round((1.0 -
+        """CASE WHEN det <> 0 AND CAST(n AS decimal(38,0)) * syy <> sy * sy
+          |THEN CAST(round((1.0 -
           |  (CAST(syy AS DOUBLE)
           |   - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
           |      + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s1y AS DOUBLE)
           |      + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s2y AS DOUBLE)))
           |  / (CAST(syy AS DOUBLE)
           |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-          |  * 1000000) AS BIGINT) AS r2_e6""".stripMargin)
+          |  * 1000000) AS BIGINT) END AS r2_e6""".stripMargin)
   }
 
   /** Simpson's paradox audit (X287 — Simpson 1951, the aggregation trap
@@ -1999,17 +2003,18 @@ object StatQueries {
         |      + sy * (s1 * s12 - s11 * s2) AS det2
         |  FROM s)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta0_e4,
-        |  CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta1_e4,
-        |  CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) AS beta2_e4,
-        |  CAST(round((1.0 -
+        |  CASE WHEN det <> 0 THEN CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta0_e4,
+        |  CASE WHEN det <> 0 THEN CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta1_e4,
+        |  CASE WHEN det <> 0 THEN CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 10000) AS BIGINT) END AS beta2_e4,
+        |  CASE WHEN det <> 0 AND n * syy <> sy * sy
+        |  THEN CAST(round((1.0 -
         |    (CAST(syy AS DOUBLE)
         |     - (CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(sy AS DOUBLE)
         |        + CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s1y AS DOUBLE)
         |        + CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * CAST(s2y AS DOUBLE)))
         |    / (CAST(syy AS DOUBLE)
         |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    * 1000000) AS BIGINT) AS r2_e6
+        |    * 1000000) AS BIGINT) END AS r2_e6
         |FROM dets""".stripMargin,
     // first-half baseline moments, mirrored z chain, ±3σ decisions
     "control_chart" ->

@@ -127,6 +127,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
     if (existsAt(path)) throw new TableAlreadyExistsException(ident)
+    // the name space is shared with VIEWS (the parser expands a matching
+    // view BEFORE analysis): a table created under a view's name would be
+    // silently shadowed and unreachable
+    require(!GraftViews.exists(root, ident.name),
+      s"a view named ${ident.name} exists — drop it first")
     require(partitions.isEmpty,
       "graft catalog: partition transforms are not supported — the store " +
         "skips by manifest stats/bloom markers, not directory layout")
@@ -264,6 +269,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): StagedTable = {
     val path = pathOf(ident)
     if (existsAt(path)) throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.exists(root, ident.name),
+      s"a view named ${ident.name} exists — drop it first")
     require(partitions.isEmpty,
       "graft catalog: partition transforms are not supported — the store " +
         "skips by manifest stats/bloom markers, not directory layout")

@@ -145,11 +145,8 @@ object Versioned {
       else if (l.startsWith(DeletesPrefix)) {
         // both the data-file line AND the sidecar live under the SOURCE
         // root — absolutize each or the clone reads resurrected rows
-        val tail = l.stripPrefix(DeletesPrefix)
-        val j2 = tail.lastIndexOf(':')
-        val j1 = tail.lastIndexOf(':', j2 - 1)
-        DeletesPrefix + absolutize(tail.take(j1)) + ":" +
-          absolutize(tail.substring(j1 + 1, j2)) + tail.drop(j2)
+        val (fileLine, dvRel, cnt) = parseDeletesMarker(l)
+        s"$DeletesPrefix${absolutize(fileLine)}:${absolutize(dvRel)}:$cnt"
       }
       else l
     }
@@ -472,15 +469,21 @@ object Versioned {
       .toArray(Array.empty[String]).toSeq
       .filter(_.startsWith(DeletesPrefix))
       .map { l =>
-        // layout: #deletes:<fileLine>:<dvRel>:<count> — parse from the
-        // RIGHT (file lines may contain ':'; dv names are house-made and
-        // colon-free)
-        val tail = l.stripPrefix(DeletesPrefix)
-        val j2 = tail.lastIndexOf(':')
-        val j1 = tail.lastIndexOf(':', j2 - 1)
-        (tail.take(j1), (tail.substring(j1 + 1, j2), tail.substring(j2 + 1).toLong))
+        val (fileLine, dvRel, cnt) = parseDeletesMarker(l)
+        (fileLine, (dvRel, cnt.toLong))
       }
       .groupBy(_._1).map { case (line, xs) => line -> xs.map(_._2) }
+  }
+
+  /** Parse a `#deletes:<fileLine>:<dvRel>:<count>` marker from the RIGHT
+    * (file lines may contain ':'; dv names are house-made and colon-free)
+    * → (fileLine, dvRel, count-text). ONE parser for every consumer —
+    * the resurrection guards must never drift from the writer. */
+  private def parseDeletesMarker(l: String): (String, String, String) = {
+    val tail = l.stripPrefix(DeletesPrefix)
+    val j2 = tail.lastIndexOf(':')
+    val j1 = tail.lastIndexOf(':', j2 - 1)
+    (tail.take(j1), tail.substring(j1 + 1, j2), tail.substring(j2 + 1))
   }
 
   /** Resolve a manifest line (data file or DV sidecar) to an absolute
@@ -1253,13 +1256,8 @@ object Versioned {
     // line starts right after the prefix, with 2 trailing fields
     // (dvRel : count); a rewritten/removed file's vectors fold into the
     // replacement data, so its markers retire here
-    def retiredDv(l: String): Boolean = {
-      if (!l.startsWith(DeletesPrefix)) return false
-      val tail = l.stripPrefix(DeletesPrefix)
-      val j2 = tail.lastIndexOf(':')
-      val j1 = tail.lastIndexOf(':', j2 - 1)
-      removed(tail.take(j1))
-    }
+    def retiredDv(l: String): Boolean =
+      l.startsWith(DeletesPrefix) && removed(parseDeletesMarker(l)._1)
     val kept =
       if (base == 0) Seq.empty
       else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
@@ -1542,10 +1540,8 @@ object Versioned {
           "were rewritten concurrently — re-run the statement against the " +
           "current version")
       val dvNow = lines.filter(_.startsWith(DeletesPrefix)).map { l =>
-        val tail = l.stripPrefix(DeletesPrefix)
-        val j2 = tail.lastIndexOf(':')
-        val j1 = tail.lastIndexOf(':', j2 - 1)
-        (tail.take(j1), tail.substring(j1 + 1, j2))
+        val (fileLine, dvRel, _) = parseDeletesMarker(l)
+        (fileLine, dvRel)
       }.filter { case (line, _) => removedRel(line) }
       if ((dvNow -- knownDv).nonEmpty) throw new IllegalStateException(
         s"row-level rewrite conflict on $table: a merge-on-read delete landed " +
@@ -2004,14 +2000,8 @@ object Versioned {
       if (v == 0) Set.empty
       else Files.readAllLines(manifestFile(table, v).toPath, StandardCharsets.UTF_8)
         .toArray(Array.empty[String]).toSet
-        .filter { l =>
-          l.startsWith(DeletesPrefix) && {
-            val tail = l.stripPrefix(DeletesPrefix)
-            val j2 = tail.lastIndexOf(':')
-            val j1 = tail.lastIndexOf(':', j2 - 1)
-            removed(tail.take(j1))
-          }
-        }
+        .filter(l => l.startsWith(DeletesPrefix) &&
+          removed(parseDeletesMarker(l)._1))
     val foldedDv = dvOnInputs(base)
     var b = base
     var attempt = 0

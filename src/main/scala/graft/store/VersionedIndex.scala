@@ -82,7 +82,12 @@ object VersionedIndex {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => s"$batch/${f.getName}").toSeq.sorted
     if (Versioned.currentVersion(table) == 0)
-      Versioned.commitExternalFiles(spark, table, added)
+      // FIRST publish: a direct put-if-absent commit at v1 — two racing
+      // bootstraps must not merge (commitExternalFiles' blind conflict
+      // retry would APPEND the loser's files to the winner's index: two
+      // meta rows, mixed vector sets). The loser's EEXIST surfaces as
+      // the same loud conflict the rebuild path reports.
+      Versioned.commit(table, 0, added)
     else
       // atomic full replace: the loser of a rebuild race fails loudly
       Versioned.commitExternalRewrite(spark, table, added,
