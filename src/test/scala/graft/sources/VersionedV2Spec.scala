@@ -932,6 +932,34 @@ class VersionedV2Spec extends SparkSpec {
     intercept[Exception](spark.sql(s"DROP VIEW $cat.agg2"))
   }
 
+  test("catalog views: cycle, unqualified-name and table-shadow guards are loud") {
+    val (cat, _) = catalogFor("viewguards")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    // a replace that references ITSELF captures the old definition at
+    // create time but persists the self-referential text — reads must
+    // error on the depth guard, never StackOverflow
+    spark.sql(s"CREATE VIEW $cat.v AS SELECT id FROM $cat.t")
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.v AS SELECT id FROM $cat.v WHERE id > 0")
+    val cyc = intercept[Exception](spark.sql(s"SELECT * FROM $cat.v").collect())
+    assert(cyc.getMessage.contains("recursive view"), cyc.getMessage)
+    // unqualified references are rejected at CREATE (they would resolve
+    // in the READER's context); CTE aliases stay legal
+    val unq = intercept[Exception](
+      spark.sql(s"CREATE VIEW $cat.bad AS SELECT * FROM sometable"))
+    assert(unq.getMessage.contains("catalog-qualify"), unq.getMessage)
+    spark.sql(s"CREATE VIEW $cat.cteok AS " +
+      s"WITH a AS (SELECT id FROM $cat.t) SELECT COUNT(*) AS n FROM a")
+    assert(spark.sql(s"SELECT n FROM $cat.cteok").head.getLong(0) == 2)
+    // a table may not silently shadow a view (either creation order)
+    val shadow = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.cteok (x BIGINT)"))
+    assert(shadow.getMessage.contains("view named"), shadow.getMessage)
+    val shadowCtas = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.cteok AS SELECT 1L AS x"))
+    assert(shadowCtas.getMessage.contains("view named"), shadowCtas.getMessage)
+  }
+
   test("TIMESTAMP/DATE round-trip: pre-epoch and DST-boundary values, both readers") {
     val (cat, root) = catalogFor("tstype")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, ts TIMESTAMP, d DATE)")
