@@ -1885,7 +1885,52 @@ object StatQueries {
           .as("top_share_e6"))
   }
 
+  /** Index of dispersion / burstiness per event type (X289 — the
+    * Cox-Lewis variance-to-mean ratio, the standard "is this arrival
+    * process Poisson?" screen): D = s²/x̄ over the daily count series,
+    * with the coefficient of variation alongside. D ≈ 1 means
+    * Poisson-like arrivals (autoscaling can assume memorylessness);
+    * D ≫ 1 means bursty days (provision for spikes); D ≪ 1 means
+    * quota-regular traffic. One daily rollup is the only data-sized
+    * pass; per-type moments accumulate DECIMAL(38,0) in a single-row
+    * aggregate per type and the two ratios are fixed-order double
+    * chains over the exact integers (sample variance, n−1), e4-rounded,
+    * NULL on degenerate series. */
+  def dispersionIndex(spark: SparkSession, dir: String): DataFrame =
+    dispersionIndexOf(Tables.events(spark, dir))
+
+  def dispersionIndexOf(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr(s"CAST(c AS $d38)")).as("sc"),
+        sum(expr(s"CAST(c AS $d38) * CAST(c AS $d38)")).as("scc"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(sc div n_days AS BIGINT)").as("mean_per_day"),
+        expr(
+          """CASE WHEN n_days > 1 AND CAST(sc AS DOUBLE) > 0
+            |THEN CAST(round(
+            |  (CAST(scc AS DOUBLE)
+            |   - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+            |  / CAST(n_days - 1 AS DOUBLE)
+            |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+            |  * 10000) AS BIGINT) END""".stripMargin).as("dispersion_e4"),
+        expr(
+          """CASE WHEN n_days > 1 AND CAST(sc AS DOUBLE) > 0
+            |THEN CAST(round(
+            |  sqrt((CAST(scc AS DOUBLE)
+            |        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+            |       / CAST(n_days - 1 AS DOUBLE))
+            |  / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+            |  * 10000) AS BIGINT) END""".stripMargin).as("cv_e4"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dispersion_index" -> (dispersionIndex _),
     "simpson_paradox" -> (simpsonParadox _),
     "hhi_concentration" -> (hhiConcentration _),
     "ols_features" -> (olsFeatures _),
@@ -1925,6 +1970,32 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily rollup, HUGEINT moments, fixed-order ratio chains
+    "dispersion_index" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        SUM(c) AS sc, SUM(c * c) AS scc
+        |      FROM d GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(sc // n_days AS BIGINT) AS mean_per_day,
+        |  CASE WHEN n_days > 1 AND CAST(sc AS DOUBLE) > 0
+        |  THEN CAST(round(
+        |    (CAST(scc AS DOUBLE)
+        |     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / CAST(n_days - 1 AS DOUBLE)
+        |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    * 10000) AS BIGINT) END AS dispersion_e4,
+        |  CASE WHEN n_days > 1 AND CAST(sc AS DOUBLE) > 0
+        |  THEN CAST(round(
+        |    sqrt((CAST(scc AS DOUBLE)
+        |          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |         / CAST(n_days - 1 AS DOUBLE))
+        |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    * 10000) AS BIGINT) END AS cv_e4
+        |FROM m ORDER BY event_type""".stripMargin,
     // exact cross-product signs per stratum + pooled, one paradox flag
     "simpson_paradox" ->
       """WITH c AS (

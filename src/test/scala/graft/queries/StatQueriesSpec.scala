@@ -1085,6 +1085,21 @@ class StatQueriesSpec extends SparkSpec {
     assert(uni.getLong(2) == 8000L && uni.getLong(3) == 125000L)
   }
 
+  test("dispersion_index: constant series scores 0; a planted spike the closed form") {
+    def plant(counts: Seq[Int]) = mkEvents(counts.zipWithIndex.flatMap {
+      case (c, d) => (1 to c).map(i =>
+        ((d * 1000 + i).toLong, 1L, "view", 1.0, f"2024-03-${d + 1}%02d 08:00:00"))
+    })
+    val flat = StatQueries.dispersionIndexOf(plant(Seq(10, 10, 10, 10))).head()
+    assert(flat.getLong(1) == 4L && flat.getLong(2) == 10L &&
+      flat.getLong(3) == 0L && flat.getLong(4) == 0L)
+    // counts (10,10,10,30): mean 15, sample var 100 -> D = 100/15, cv = 10/15
+    val burst = StatQueries.dispersionIndexOf(plant(Seq(10, 10, 10, 30))).head()
+    assert(burst.getLong(2) == 15L)
+    assert(burst.getLong(3) == 66667L, s"D=${burst.getLong(3)}")
+    assert(burst.getLong(4) == 6667L, s"cv=${burst.getLong(4)}")
+  }
+
   test("ols_features: planted exact linear data recovers the coefficients") {
     // y = 500 + 3*x1 + 7*x2 exactly (clicks x1, errors x2, purchase
     // revenue y) — betas must come back to the plant at e4 and R2 = 1.
