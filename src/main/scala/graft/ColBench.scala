@@ -9,7 +9,14 @@ import org.apache.spark.sql.functions._
   * columnar 0.23 s - 1.85x on a decode-bound scan. Round-13 adds the
   * EMBEDDING scan (600k x 64-dim array<float>, 38.4M values): row
   * 0.44-0.45 s, columnar 0.26-0.30 s - 1.6x on the vector-payload
-  * projection every k-NN / ANN build / re-embed rides. Not part of the
+  * projection every k-NN / ANN build / re-embed rides. Round-14 adds
+  * the VERSIONED-INDEX probe-pruning measurement (1.2M x 64-dim,
+  * nlist=16): nprobe=3 opens 5 of 17 files from the manifest's
+  * #stats:cell markers alone (3 vector files + centroid/meta tail);
+  * search 0.092 s pruned vs 0.085 s full-scan - parity at local scale,
+  * where Spark's footer pushdown already row-group-skips 17 tiny
+  * files; the manifest path eliminates the per-query footer opens and
+  * listing that dominate at 1e5-file scale. Not part of the
   * declared query surface; run with `sbt "runMain graft.ColBench"`. */
 object ColBench {
   def main(args: Array[String]): Unit = {
@@ -87,6 +94,40 @@ object ColBench {
     etime("emb row-base2")
     System.setProperty("graft.v2.columnar", "on")
     etime("emb columnar2")
+
+    // versioned-index probe pruning (round-13 verdict ask #1): the
+    // manifest's #stats:cell markers turn the nprobe filter into file
+    // skips. Measures files-opened and search wall time, pruned
+    // (VersionedIndex.search) vs full-scan (Ivf.search over the same
+    // snapshot's frame).
+    val ipath = "/tmp/colbench_idx"
+    rm(new java.io.File(ipath))
+    // x20 replication (~1.2M x 64-dim): big enough that decode, not
+    // per-query planning, dominates — the regime file skipping serves
+    val emb = Tables.embeddings(spark, dir)
+      .crossJoin(spark.range(0, 20).toDF("rep"))
+      .select((col("vec_id") * 20 + col("rep")).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * 0.01 AS FLOAT))")
+          .as("embedding"))
+    val idx = graft.scale.Ivf.build(spark, emb, nlist = 16, maxIter = 2)
+    graft.store.VersionedIndex.commit(spark, ipath, idx, storeVersion = 1)
+    val snap = graft.store.VersionedIndex.open(spark, ipath)
+    val qv = emb.filter(col("vec_id") === 7).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val total = graft.store.Versioned.files(ipath).size
+    val opened = graft.store.VersionedIndex.probeFiles(snap, qv, nprobe = 3).size
+    println(s"idx files: opened=$opened of $total at nprobe=3/nlist=16")
+    def itime(label: String, run: () => Unit): Unit = {
+      run() // warm
+      val trials = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: best=${trials.min}%.3f s trials=${trials.map(t => f"$t%.3f").mkString(",")}")
+    }
+    itime("idx search pruned  ", () => { graft.store.VersionedIndex
+      .search(spark, snap, qv, k = 13, nprobe = 3).collect(): Unit })
+    itime("idx search fullscan", () => { graft.scale.Ivf
+      .search(snap.index, qv, k = 13, nprobe = 3).collect(): Unit })
     spark.stop()
   }
 }

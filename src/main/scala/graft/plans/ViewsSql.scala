@@ -121,6 +121,37 @@ case class GraftCreateViewCommand(catalogName: String, viewName: String,
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(query)
 
+  /** Unqualified (single-part) relation names in `plan` NOT covered by a
+    * CTE alias that is actually IN SCOPE at the reference — a scope-stack
+    * walk, not a global collect: a CTE defined inside an unrelated
+    * subquery must not whitelist an OUTER reference sharing its name
+    * (VERDICT r13 — that reference re-resolves in each reader's session,
+    * the silent-wrong-rows case the guard exists to prevent). Scope
+    * rules mirror the analyzer: each CTE definition sees the aliases
+    * declared before it (plus its own name, for the recursive form), the
+    * WITH body sees them all; subquery EXPRESSIONS (IN/EXISTS/scalar)
+    * are walked under the scope of the node holding them. */
+  private def unscopedUnqualified(plan: LogicalPlan,
+      scope: Set[String]): Seq[String] = plan match {
+    case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+      val (defRefs, bodyScope) =
+        w.cteRelations.foldLeft((Seq.empty[String], scope)) {
+          case ((acc, sc), rel) =>
+            val (name, sub) = (rel._1, rel._2)
+            (acc ++ unscopedUnqualified(sub, sc + name), sc + name)
+        }
+      defRefs ++ unscopedUnqualified(w.child, bodyScope)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
+      if (scope(u.multipartIdentifier.head)) Seq.empty
+      else Seq(u.multipartIdentifier.head)
+    case other =>
+      val exprSubs = other.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.plan
+      })
+      (other.children ++ exprSubs).flatMap(c => unscopedUnqualified(c, scope))
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[graft.sources.GraftCatalog]
@@ -130,32 +161,24 @@ case class GraftCreateViewCommand(catalogName: String, viewName: String,
     // against whatever catalog/database/temp-view the reader has current
     // — wrong rows, no error. Reject at CREATE (the SQL-standard "views
     // bind at definition" contract, enforced the loud way); CTE aliases
-    // defined inside the query itself stay legal.
-    val cteNames = query.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1)
-    }.flatten.toSet
-    val unqualified = query.collect {
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
-          !cteNames(u.multipartIdentifier.head) =>
-        u.multipartIdentifier.head
-    }.distinct
+    // IN SCOPE at the reference stay legal.
+    val unqualified = unscopedUnqualified(query, Set.empty).distinct
     require(unqualified.isEmpty,
       s"CREATE VIEW $catalogName.$viewName: unqualified table reference(s) " +
         s"${unqualified.mkString(", ")} — persistent view definitions must " +
         "catalog-qualify every table (they re-resolve in each reader's session)")
-    if (cat.viewExists(ident)) {
-      if (allowExisting) return Seq.empty
-      if (replace) cat.dropView(ident)
-      else throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(ident)
-    }
+    if (allowExisting && cat.viewExists(ident)) return Seq.empty
     val schema = session.sessionState.executePlan(query).analyzed.schema
     val cm = session.sessionState.catalogManager
-    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name(),
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
       cm.currentNamespace, schema, schema.fieldNames,
       Array.empty[String], Array.empty[String],
-      java.util.Collections.emptyMap[String, String]()))
+      java.util.Collections.emptyMap[String, String]())
+    // REPLACE is one atomic swap (stage + rename — readers never observe
+    // a missing view, a crash leaves the old definition); plain CREATE
+    // stays put-if-absent with a loud loser
+    if (replace) cat.replaceView(info)
+    else cat.createView(info)
     Seq.empty
   }
 }

@@ -1869,7 +1869,16 @@ object StatQueries {
         .as("rev")))
 
   /** [[hhiConcentration]] over an explicit (s, rev) rollup — the seam
-    * the closed-form spec drives. */
+    * the closed-form spec drives.
+    *
+    * Magnitude bound (the d38 contract, ADVICE r13): with positive
+    * revenues, sq = Σx² ≤ (Σx)² = tot², so every product below fits
+    * DECIMAL(38,0) while tot < 10¹⁶ (tot² ≤ 10³², sq·10⁶ ≤ 10³⁸) —
+    * total revenue up to 10¹⁴ currency units in e2 cents, comfortably
+    * past a 100 TB lineitem. Beyond that, Spark's non-ANSI DECIMAL
+    * silently nulls where DuckDB's HUGEINT keeps going: switch to
+    * per-supplier `share_e6 = rev·10⁶ div tot` sums (coarser rounding)
+    * before raising the bound. */
   private[graft] def hhiOf(su: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
     su.agg(

@@ -570,7 +570,70 @@ object StoreQueries {
       .join(updD.select(col("user_id")), Seq("user_id"), "left_semi")
       .withColumn("segment", lit("vip"))
     graft.store.Versioned.merge(spark, viewPath, viewTouched, Seq("user_id")): Unit
+    // 4) RETRACTION (VERDICT r13 #2): refunds land as a merge-on-read
+    //    DELETE on the fact table; the consumer reads the ROW-LEVEL
+    //    change feed — delete rows carry the pre-image — and the
+    //    aggregate monoid SUBTRACTS. A compaction in the same interval
+    //    must contribute nothing (layout-only). Groups retracted to
+    //    zero leave the view, so the final state equals the recompute.
+    val cp2 = graft.store.Versioned.currentVersion(factPath)
+    graft.store.Versioned.deleteWhereMor(spark, factPath,
+      col("event_id") % 11 === 0): Unit
+    graft.store.Versioned.compact(spark, factPath): Unit // feed-silent
+    val cf = graft.store.Versioned.changeFeed(spark, factPath, cp2)
+    val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
+    val dRet = cf.groupBy(col("user_id"))
+      .agg(sum(sign).as("dn"), sum(sign * col("v")).as("dv"))
+    val resident2 = graft.store.Versioned.read(spark, viewPath)
+      .join(dRet.select(col("user_id")), Seq("user_id"), "left_semi")
+    val dimNow = graft.store.Versioned.read(spark, dimPath)
+      .withColumnRenamed("segment", "d_segment")
+    val retracted = dRet
+      .join(resident2, Seq("user_id"), "left")
+      .join(dimNow, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("n_purch"), lit(0L)) + col("dn")).as("n_purch"),
+        (coalesce(col("rev_e2"), lit(0L)) + col("dv")).as("rev_e2"),
+        coalesce(col("segment"), col("d_segment")).as("segment"))
+    graft.store.Versioned.merge(spark, viewPath, retracted, Seq("user_id")): Unit
+    graft.store.Versioned.deleteWhere(spark, viewPath,
+      col("n_purch") === 0L): Unit
     graft.store.Versioned.read(spark, viewPath).orderBy(col("user_id"))
+  }
+
+  /** Row-level CDC change feed over one store (X290 —
+    * [[graft.store.Versioned.changeFeed]], the Delta CDF / Iceberg
+    * changelog surface the append-only `changes()` cannot give): a
+    * journey of two appends, a merge-on-read DELETE, a compaction, and
+    * a merge-on-read UPDATE, consumed as `_change_type` ∈ {insert,
+    * delete} rows. The declared rollup groups the feed by (change,
+    * commit version): the MoR delete must materialize its pre-image
+    * rows as deletes, the UPDATE must emit its pre-image deletes AND
+    * replacement inserts from ONE commit, and the compaction must emit
+    * NOTHING (versions 1/2/3/5 appear, 4 must not). Oracle: DuckDB
+    * replays the whole journey from the fixture. */
+  def cdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cdcfeed", dir)
+    rmTree(root)
+    val base = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    graft.store.Versioned.append(
+      base.filter(col("event_id") % 3 === 0), root): Unit // v1
+    graft.store.Versioned.append(
+      base.filter(col("event_id") % 3 === 1), root): Unit // v2
+    graft.store.Versioned.deleteWhereMor(spark, root,
+      col("user_id") % 5 === 0): Unit // v3
+    graft.store.Versioned.compact(spark, root): Unit // v4: feed-silent
+    graft.store.Versioned.updateWhereMor(spark, root,
+      col("user_id") % 7 === 0, Map("v" -> (col("v") + 1L))): Unit // v5
+    graft.store.Versioned.changeFeed(spark, root, 0)
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("user_id")).as("su"))
+      .orderBy(col("commit_version"), col("change_type"))
   }
 
   /** SHALLOW CLONE + RESTORE over one store ([[graft.store.Versioned
@@ -1745,7 +1808,50 @@ object StoreQueries {
       .head.getSeq[Float](0).toArray
     def rows(v: Int) = {
       val s = graft.store.VersionedIndex.open(spark, idxT, Some(v))
-      graft.scale.Ivf.search(s.index, q, k = 10, nprobe = 8)
+      // the PRUNED serving path (file-level probe skipping via the
+      // manifest's #stats:cell markers); at nprobe = nlist every file is
+      // probed, so this IS brute force and the oracle stays exact
+      graft.store.VersionedIndex.search(spark, s, q, k = 10, nprobe = 8)
+        .select(lit(v.toLong).as("idx_version"),
+          lit(s.storeVersion.toLong).as("store_version"), col("vec_id"),
+          round(col("dist") * 10000).cast("long").as("dist_e4"))
+    }
+    rows(1).unionByName(rows(2))
+      .orderBy(col("idx_version"), col("dist_e4"), col("vec_id"))
+  }
+
+  /** Snapshot-versioned NSW graph index (X291 — [[graft.store
+    * .VersionedNsw]], VERDICT r13 #6: the graph-index sibling of
+    * X273's versioned IVF): the sharded NSW adjacency lives under the
+    * store's manifest protocol, so a nightly rebuild is ONE atomic
+    * replace and "search at index v1" is exact time travel pinned to
+    * store v1. Index v1 is built from store v1 (vec_id % 3 != 2), the
+    * rebuild publishes v2 from the grown store; searches run with an
+    * unbounded beam (exhaustive beam over a connected NSW graph IS
+    * brute force, so the oracle is exact), each row carrying the index
+    * version AND its pinned store version. A torn rebuild, a stale
+    * graph row surviving the swap, or a broken pin each breaks a row.
+    * Oracle: DuckDB brute-force top-10 over the matching fixture
+    * subsets — the same SQL as `index_time_travel`. */
+  def nswIndexTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("nswtt", dir)
+    rmTree(root)
+    val store = s"$root/store"
+    val idxT = s"$root/index"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Versioned.append(emb.filter(col("vec_id") % 3 =!= 2), store) // store v1
+    val g1 = graft.scale.Nsw.build(
+      Versioned.read(spark, store, Some(1)), numShards = 4)
+    graft.store.VersionedNsw.commit(spark, idxT, g1, storeVersion = 1)
+    Versioned.append(emb.filter(col("vec_id") % 3 === 2), store) // store v2
+    val g2 = graft.scale.Nsw.build(
+      Versioned.read(spark, store, Some(2)), numShards = 4)
+    graft.store.VersionedNsw.commit(spark, idxT, g2, storeVersion = 2)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    def rows(v: Int) = {
+      val s = graft.store.VersionedNsw.open(spark, idxT, Some(v))
+      graft.scale.Nsw.search(s.graph, q, k = 10, ef = Int.MaxValue)
         .select(lit(v.toLong).as("idx_version"),
           lit(s.storeVersion.toLong).as("store_version"), col("vec_id"),
           round(col("dist") * 10000).cast("long").as("dist_e4"))
@@ -1974,6 +2080,7 @@ object StoreQueries {
     "v2_merge_delete_sql" -> (v2MergeDeleteSql _),
     "catalog_view_sql" -> (catalogViewSql _),
     "index_time_travel" -> (indexTimeTravel _),
+    "nsw_index_time_travel" -> (nswIndexTimeTravel _),
     "catalog_timestamp_sql" -> (catalogTimestampSql _),
     "v2_delete_mor" -> (v2DeleteMor _),
     "catalog_clone_restore" -> (catalogCloneRestore _),
@@ -2016,7 +2123,8 @@ object StoreQueries {
     "schema_evolution" -> (schemaEvolution _),
     "constraint_gate" -> (constraintGate _),
     "retractable_agg" -> (retractableAgg _),
-    "nightly_crawl" -> (nightlyCrawl _)
+    "nightly_crawl" -> (nightlyCrawl _),
+    "cdc_feed" -> (cdcFeed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2102,6 +2210,26 @@ object StoreQueries {
     // brute-force top-10 over each store snapshot's subset: index v1 was
     // built from (and pinned to) store v1, index v2 from store v2
     "index_time_travel" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |        list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d,
+        |        e.vec_id % 3 <> 2 AS in_v1
+        |      FROM embeddings e CROSS JOIN q),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS idx_version,
+        |         CAST(1 AS BIGINT) AS store_version, vec_id,
+        |         CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |       FROM d WHERE in_v1 ORDER BY d, vec_id LIMIT 10),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS idx_version,
+        |         CAST(2 AS BIGINT) AS store_version, vec_id,
+        |         CAST(round(d * 10000) AS BIGINT) AS dist_e4
+        |       FROM d ORDER BY d, vec_id LIMIT 10)
+        |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY idx_version, dist_e4, vec_id""".stripMargin,
+    // IDENTICAL brute force: an exhaustive beam over a connected NSW
+    // graph visits every node, so the graph journey must reproduce the
+    // same top-10 per pinned store subset as the IVF one
+    "nsw_index_time_travel" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,
         |        list_sum(list_transform(list_zip(e.embedding, q.qe),
@@ -2433,12 +2561,14 @@ object StoreQueries {
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept),
         |    (SELECT CAST(SUM(v) AS BIGINT) FROM kept))
         |SELECT stage, n_rows, sum_e2 FROM stages ORDER BY stage""".stripMargin,
-    // full recompute of the join view under the FINAL dim state — the
-    // nightly job the incremental maintenance must equal exactly
+    // full recompute of the join view under the FINAL dim AND fact
+    // state (refunds retracted) — the nightly job the incremental
+    // maintenance must equal exactly
     "ivm_join_view" ->
       """WITH f AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 11 <> 0),
         |d0 AS (SELECT user_id, min(event_type) AS seg FROM events GROUP BY 1),
         |d AS (SELECT user_id,
         |        CASE WHEN user_id % 7 = 0 THEN 'vip' ELSE seg END AS segment
@@ -2448,6 +2578,30 @@ object StoreQueries {
         |      FROM f GROUP BY 1)
         |SELECT a.user_id, a.n_purch, a.rev_e2, d.segment
         |FROM a JOIN d USING (user_id) ORDER BY a.user_id""".stripMargin,
+    // replay of the whole feed journey: batch membership by event_id
+    // mod, MoR delete pre-images, update pre-image+replacement pairs,
+    // the compaction version (4) absent by construction
+    "cdc_feed" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |b1 AS (SELECT * FROM base WHERE event_id % 3 = 0),
+        |b2 AS (SELECT * FROM base WHERE event_id % 3 = 1),
+        |live12 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |d3 AS (SELECT * FROM live12 WHERE user_id % 5 = 0),
+        |u5 AS (SELECT * FROM live12
+        |       WHERE user_id % 5 <> 0 AND user_id % 7 = 0),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, 1 AS cv, user_id, v FROM b1
+        |  UNION ALL SELECT 'insert', 2, user_id, v FROM b2
+        |  UNION ALL SELECT 'delete', 3, user_id, v FROM d3
+        |  UNION ALL SELECT 'delete', 5, user_id, v FROM u5
+        |  UNION ALL SELECT 'insert', 5, user_id, v + 1 FROM u5)
+        |SELECT change_type, CAST(cv AS BIGINT) AS commit_version,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+        |  CAST(SUM(user_id) AS BIGINT) AS su
+        |FROM feed GROUP BY 1, 2
+        |ORDER BY commit_version, change_type""".stripMargin,
     // same deterministic v2 derivation; FULL OUTER + md5 compare
     "table_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -58,7 +58,7 @@ object Ivf {
     * assignment/probe routine (search and append must agree). Requires
     * matching dimensions: silent prefix-truncation would mis-assign a
     * wrong-dimension batch (e.g. after an embedding-model change). */
-  private[scale] def nearestCells(centroids: Array[Array[Float]], q: Array[Float],
+  private[graft] def nearestCells(centroids: Array[Array[Float]], q: Array[Float],
       nprobe: Int): Seq[Int] = {
     require(q != null && centroids.forall(_.length == q.length),
       s"dimension mismatch: index is ${centroids.head.length}-dim, vector is " +
@@ -121,14 +121,23 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusFilter: Column = lit(true)): DataFrame = {
     val cells = nearestCells(index.centroids, q, nprobe)
-    index.assigned
+    searchCells(index.assigned, cells, q, k, idCol, vecCol, corpusFilter)
+  }
+
+  /** [[search]]'s probe-and-rerank half over PRECOMPUTED probe cells —
+    * shared with [[graft.store.VersionedIndex.search]], whose `assigned`
+    * frame comes from a manifest-stats-pruned file list (the probed
+    * cells select FILES there, not just rows). */
+  private[graft] def searchCells(assigned: DataFrame, cells: Seq[Int],
+      q: Array[Float], k: Int, idCol: String, vecCol: String,
+      corpusFilter: Column): DataFrame =
+    assigned
       .filter(col("cell").isInCollection(cells)) // partition pruning at scale
       .filter(corpusFilter)
       .withColumn("dist", VectorOps.squaredL2(col(vecCol), lit(q)))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cell"), col("dist"))
-  }
 
   /** Incremental maintenance: assign NEW vectors to the existing
     * centroids and extend the index — no KMeans refit, no touch of the

@@ -34,48 +34,52 @@ object Sssp {
 
   /** Minimum total weight from any seed within `rounds` edges.
     * `edges`: (`src`, `dst`, `w`: long); `seeds`: (`node`).
-    * Unreachable nodes are absent. Output: (`node`, `dist`). */
+    * Unreachable nodes are absent. Output: (`node`, `dist`).
+    *
+    * ONE action per round (VERDICT r13 #3 — the runPersonalized
+    * combined-stats shape): the previous two-action form paid an
+    * `improved.count()` job AND a `merged.count()` job, plus a third
+    * shuffle (improvement left-join, then a separate union+groupBy
+    * fold). Here one FULL-OUTER join folds distance table and
+    * candidates into the new table with a per-row `imp` flag, and one
+    * aggregate action both materializes the round's cache and returns
+    * the improvement count the fixpoint test needs. */
   def run(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src")).cache()
-    var dist = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("dist")).cache()
+    var cached = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"), lit(true).as("imp")).cache()
+    var dist = cached.select(col("node"), col("dist"))
     var frontier = dist
     var round = 0
     var done = false
     while (round < rounds && !done) {
       round += 1
       // candidate distances through the frontier, pre-aggregated so the
-      // improvement join sees one row per touched node
+      // fold join sees one row per touched node
       val cand = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("cnode"), (col("dist") + col("w")).as("cdist"))
         .groupBy(col("cnode")).agg(min(col("cdist")).as("cdist"))
-      // keep only true improvements (new node, or strictly smaller)
-      val improved = cand
-        .join(dist.select(col("node").as("dnode"), col("dist").as("dold")),
-          col("cnode") === col("dnode"), "left")
-        .where(col("dnode").isNull || col("cdist") < col("dold"))
-        .select(col("cnode").as("node"), col("cdist").as("dist"))
+      val better = col("cnode").isNotNull &&
+        (col("dold").isNull || col("cdist") < col("dold"))
+      val folded = dist.select(col("node").as("dnode"), col("dist").as("dold"))
+        .join(cand, col("dnode") === col("cnode"), "full_outer")
+        .select(coalesce(col("dnode"), col("cnode")).as("node"),
+          when(better, col("cdist")).otherwise(col("dold")).as("dist"),
+          better.as("imp"))
         .cache()
-      val improvedCount = improved.count()
-      // improved is materialized, so the previous frontier's cache (the
-      // prior round's improved set; round 1's aliases dist) can drop
-      if (frontier ne dist) frontier.unpersist(): Unit
-      if (improvedCount == 0) {
-        improved.unpersist()
-        done = true
-      } else {
-        val merged = dist.unionByName(improved)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .cache()
-        merged.count(): Unit // materialize, then drop the inputs' caches
-        dist.unpersist()
-        dist = merged
-        frontier = improved
-      }
+      // the ONE driver action: materializes the cache AND answers the
+      // fixpoint probe (count() of a filter would be a second job)
+      val improvedCount = folded.agg(count(when(col("imp"), 1)).as("c"))
+        .head.getLong(0)
+      cached.unpersist() // folded is materialized; the old cache can drop
+      cached = folded
+      dist = folded.select(col("node"), col("dist"))
+      if (improvedCount == 0) done = true
+      else frontier = folded.filter(col("imp")).select(col("node"), col("dist"))
     }
     e.unpersist()
-    dist
+    dist // backed by the final round's cache, the caller's to release
   }
 }

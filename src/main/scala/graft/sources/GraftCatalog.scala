@@ -333,6 +333,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadView(info.ident())
   }
 
+  /** Atomic CREATE OR REPLACE VIEW ([[GraftViews.replace]]): the new
+    * definition stages fully-written, then ONE atomic rename swaps it in
+    * — concurrent readers see old or new, never NoSuchView, and a crash
+    * before the swap leaves the old definition intact (the previous
+    * drop-then-create had both holes). Not part of the `ViewCatalog`
+    * interface (Spark routes view DDL to the session catalog — see
+    * [[graft.plans.GraftViewParser]]); called by the injected command. */
+  def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    requireFlat(info.ident().namespace())
+    require(!info.ident().name.contains("/") &&
+      !info.ident().name.startsWith("."),
+      s"illegal view name ${info.ident().name}")
+    if (existsAt(pathOf(info.ident())))
+      throw new TableAlreadyExistsException(info.ident())
+    GraftViews.replace(root, info)
+    loadView(info.ident())
+  }
+
   override def alterView(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.ViewChange*)
       : org.apache.spark.sql.connector.catalog.View =

@@ -371,6 +371,71 @@ object GraftViewsBridge {
     GraftViews.load(root, view).map(_.query())
 }
 
+/** Connector-shaped staging for the STORE's own rewrite/append paths
+  * (ADVICE r13): `array<float>` columns must land as the connector's
+  * 2-level repeated-FLOAT parquet shape — Spark's native writer emits
+  * 3-level LIST groups, which the V2 readers reject loudly, so a
+  * compact / CoW delete / merge / MoR update staged natively on an
+  * embedding-bearing catalog table would break every later V2 read of
+  * the rewritten files. [[graft.store.Versioned]]'s staging helper
+  * routes array-bearing frames here; scalar-only frames keep the native
+  * vectorized writer (faster, and both readers accept its output).
+  *
+  * Null-array caveat, inherited from the shape itself: repeated-FLOAT
+  * cannot distinguish absent from empty, so a NULL array staged through
+  * this path reads back as the EMPTY array — the connector's documented
+  * round-trip contract ([[VersionedV2.messageType]]). */
+private[graft] object V2Shape {
+
+  /** Does `schema` NEED connector-shaped staging (has a float-array
+    * column) and CAN this writer carry it (every field in the
+    * connector's scoped type set)? Frames with arrays but out-of-scope
+    * siblings fall back to native staging — they were never V2-readable
+    * to begin with. */
+  def needsV2Staging(schema: StructType): Boolean =
+    schema.fields.exists(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) && schema.fields.forall(_.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | TimestampType | DateType => true
+      case dt: DecimalType => dt.precision <= 18
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+
+  /** Write `df` as connector-shaped parquet under `tableAbs/batchDir`,
+    * one file per non-empty partition, and return the staged files'
+    * table-relative paths. Task-attempt-unique names keep speculative /
+    * retried attempts from colliding; losers' files are unreferenced
+    * orphans exactly like an aborted append's (vacuum's problem, never
+    * a manifest's). */
+  def stage(df: org.apache.spark.sql.DataFrame, tableAbs: String,
+      batchDir: String): Seq[String] = {
+    val schema = df.schema
+    val msgString = VersionedV2.messageType(schema).toString
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(pid.toLong)
+        val w = new VersionedDataWriter(tableAbs, batchDir, pid, attempt,
+          schema, msgString)
+        var ok = false
+        try {
+          while (it.hasNext) w.write(it.next())
+          val rel = w.commit() match {
+            case VersionedCommitMessage(fs) => fs
+            case other => sys.error(s"unexpected commit message $other")
+          }
+          ok = true
+          rel.iterator
+        } finally if (!ok) w.abort()
+      }
+    }.collect().toSeq
+  }
+}
+
 /** SQL view persistence for the catalog (`ViewCatalog`, X278): a view is
   * PURE METADATA — the defining SQL text plus the resolution context
   * Spark needs to re-expand it (current catalog/namespace, the analyzed
@@ -410,10 +475,10 @@ private[sources] object GraftViews {
     if (s == null || s.isEmpty) Array.empty
     else s.split(Sep).map(v => if (v == NullMark) null else v)
 
-  /** Put-if-absent create: returns false when the name was taken (the
-    * concurrent-CREATE loser). */
-  def create(root: File,
-      info: org.apache.spark.sql.connector.catalog.ViewInfo): Boolean = {
+  /** Stage `info`'s definition as a fully-written temp file in the views
+    * dir — the shared first half of [[create]] and [[replace]]. */
+  private def stageDefinition(root: File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): File = {
     dir(root).mkdirs()
     val p = new java.util.Properties()
     p.setProperty("sql", info.sql())
@@ -428,6 +493,14 @@ private[sources] object GraftViews {
     val tmp = File.createTempFile(s".${info.ident().name()}-", ".tmp", dir(root))
     val out = new java.io.FileOutputStream(tmp)
     try p.store(out, null) finally out.close()
+    tmp
+  }
+
+  /** Put-if-absent create: returns false when the name was taken (the
+    * concurrent-CREATE loser). */
+  def create(root: File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): Boolean = {
+    val tmp = stageDefinition(root, info)
     try {
       java.nio.file.Files.createLink(
         fileOf(root, info.ident().name()).toPath, tmp.toPath)
@@ -438,11 +511,37 @@ private[sources] object GraftViews {
     }
   }
 
+  /** Atomic create-or-replace: stage the new definition and swap it into
+    * place with ONE atomic rename — a concurrent reader sees the old
+    * definition or the new one, never a missing view, and a crash before
+    * the swap leaves the old definition fully readable (the drop-then-
+    * create form had both holes — VERDICT r13). Last-writer-wins between
+    * racing REPLACEs, by design. */
+  def replace(root: File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): Unit = {
+    val tmp = stageDefinition(root, info)
+    java.nio.file.Files.move(tmp.toPath,
+      fileOf(root, info.ident().name()).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def drop(root: File, name: String): Boolean = fileOf(root, name).delete()
 
+  /** RENAME with create's put-if-absent discipline: link(2) the source
+    * under the target name (fails loudly with EEXIST if taken — the old
+    * check-then-act + renameTo could silently clobber a concurrently
+    * created target, ADVICE r13), then unlink the source. */
   def rename(root: File, from: String, to: String): Boolean = {
-    if (exists(root, to)) return false
-    fileOf(root, from).renameTo(fileOf(root, to))
+    val src = fileOf(root, from)
+    if (!src.exists()) return false
+    try {
+      java.nio.file.Files.createLink(fileOf(root, to).toPath, src.toPath)
+      src.delete()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   def load(root: File, viewName: String)

@@ -1121,10 +1121,12 @@ private[sources] class VersionedReaderFactory extends PartitionReaderFactory {
 }
 
 /** Zero-IO COUNT(*) partition: emits exactly the footer's rowCount empty
-  * rows. Exact because the store has no row-level deletes inside files
-  * (rewrites replace whole files) and an empty projection admits no
-  * residual row filter (filters force their columns into the read
-  * schema). */
+  * rows, MINUS the file's recorded deletion-vector positions (X271
+  * introduced row-level merge-on-read deletes inside files; the sidecar
+  * subtraction below is load-bearing, not an optimization). Exact
+  * because DV positions are distinct and in-range by construction and an
+  * empty projection admits no residual row filter (filters force their
+  * columns into the read schema). */
 private[sources] class VersionedCountReader(file: String,
     dvFiles: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {

@@ -49,17 +49,22 @@ object Clustered {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
 
-  /** Write `df` Z-ordered on two integer dimensions. The interleave
-    * column exists only inside the write plan (projected away before the
-    * files are written — the projection preserves the sort). */
-  def writeZOrdered(df: DataFrame, path: String, numFiles: Int, x: Column, y: Column): Unit = {
+  /** `df` arranged for a Z-ordered layout on two integer dimensions: the
+    * interleave column exists only inside the plan (projected away
+    * before writing — the projection preserves the sort). Callers pick
+    * the writer: [[writeZOrdered]] (native) or the store's staging seam
+    * (which must keep array-bearing tables connector-shaped). */
+  def zOrdered(df: DataFrame, numFiles: Int, x: Column, y: Column): DataFrame = {
     val cols = df.columns.map(col).toSeq
     df.withColumn("__z", zorder2(x, y))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(cols: _*)
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` Z-ordered on two integer dimensions. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int, x: Column, y: Column): Unit =
+    zOrdered(df, numFiles, x, y).write.mode("overwrite").parquet(path)
 
   /** Per-file min/max envelopes for `cols` — the same statistics the
     * parquet footer exposes to the scan planner, observable from SQL via

@@ -305,6 +305,43 @@ object Versioned {
     }
   }
 
+  /** POINT-SET file pruning at a pinned version: the files of `version`
+    * whose recorded [min, max] stats for `column` can contain ANY of
+    * `values` (files without a marker are conservatively kept). This is
+    * the IN-list complement of [[prunedFiles]]'s single range — the
+    * shape an IVF probe produces (`cell IN (c₁…c_p)`), where the probed
+    * cells are scattered, not contiguous. One manifest read, no file
+    * I/O. Correct in the presence of deletion vectors: stats are
+    * conservative bounds over the ORIGINAL file, and DV subtraction
+    * only removes rows, so a file whose bounds miss every value holds
+    * no live match either. */
+  def prunedFilesIn(table: String, version: Int, column: String,
+      values: Seq[Long]): Seq[String] = {
+    val stats = statsOf(table, Some(version))
+    files(table, Some(version)).filter { abs =>
+      stats.get((column, manifestLineOf(table, abs))) match {
+        case Some((mn, mx)) => values.exists(v => v >= mn && v <= mx)
+        case None => true
+      }
+    }
+  }
+
+  /** Read exactly `absFiles` of `version` (deletion vectors applied) —
+    * for callers that pruned the file list externally, e.g. the
+    * versioned serving index's probe-pruned search. */
+  private[graft] def readFilesOf(spark: SparkSession, table: String,
+      version: Int, absFiles: Seq[String]): DataFrame =
+    readUnder(spark, table, version, absFiles)
+
+  /** One `#stats:` marker line for a file already known to span
+    * [mn, mx] on `column` — lets a writer that KNOWS its layout (e.g.
+    * [[VersionedIndex.commit]]'s cell-clustered vector files) publish
+    * skipping stats atomically WITH the data commit, instead of a
+    * second [[analyzeStats]] pass + version. */
+  private[graft] def statsMarkerLine(table: String, relFile: String,
+      column: String, mn: Long, mx: Long): String =
+    s"$StatsPrefix$column:$relFile:$mn:$mx"
+
   private val BloomPrefix = "#bloom:"
 
   /** The k bit positions of `v` in an m-bit Bloom filter — double
@@ -638,12 +675,26 @@ object Versioned {
           val rel = s"$dvBatch/part-$pid-$seq.dv"
           seq += 1
           new File(tableAbs, dvBatch).mkdirs() // executor-side on a cluster
+          // attempt-unique temp + atomic rename: under task retry or
+          // speculation a ZOMBIE attempt can still be writing after
+          // collect() returns — a plain FileOutputStream at the final
+          // name could publish a momentarily torn sidecar (ADVICE r13).
+          // Attempts produce identical bytes (the sort above is
+          // deterministic), so whichever rename lands last is the same
+          // content; the temp name keeps the write itself private.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new File(tableAbs, s"$rel.a$attempt.tmp")
           val o = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new File(tableAbs, rel))))
+            new java.io.FileOutputStream(tmp)))
           try {
             o.writeInt(positions.length)
             positions.foreach(o.writeLong)
           } finally o.close()
+          java.nio.file.Files.move(tmp.toPath,
+            new File(tableAbs, rel).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           out += ((curF, rel, positions.length.toLong))
         }
         it.foreach { case (f, p) =>
@@ -661,15 +712,24 @@ object Versioned {
       case Some(fn) =>
         val orig = matches.drop("__graft_path")
         val repl = fn(orig).select(orig.columns.map(col).toSeq: _*)
+        // nullability-normalized comparison: a SET expression's
+        // containsNull may legitimately differ from the stored shape (the
+        // writer rejects actual null elements loudly either way) — only a
+        // TYPE change is an error here
+        def norm(dt: org.apache.spark.sql.types.DataType)
+            : org.apache.spark.sql.types.DataType = dt match {
+          case org.apache.spark.sql.types.ArrayType(e, _) =>
+            org.apache.spark.sql.types.ArrayType(norm(e), containsNull = true)
+          case other => other
+        }
         orig.schema.fields.zip(repl.schema.fields).foreach { case (a, b) =>
-          require(a.dataType == b.dataType,
+          require(norm(a.dataType) == norm(b.dataType),
             s"$op: SET changes column ${a.name} from ${a.dataType.sql} to " +
               s"${b.dataType.sql} — updates may not change types")
         }
         requireConstraints(constraintsOf(table, Some(base)), repl)
         val dataBatch = f"morupd-${java.util.UUID.randomUUID().toString.take(8)}"
-        repl.write.parquet(new File(table, dataBatch).getPath)
-        listParquet(new File(table, dataBatch)).map(f => s"$dataBatch/${f.getName}")
+        stageFiles(repl, table, dataBatch)
     }
     val targets = written.map(w => manifestLineOf(table, w._1)).toSet
     val markers = written.map { case (fAbs, rel, cnt) =>
@@ -871,9 +931,8 @@ object Versioned {
     if (renames.isEmpty) return cur
     val fs = files(table, Some(cur))
     val batch = f"normalize-${java.util.UUID.randomUUID().toString.take(8)}"
-    applyRenames(spark, table, cur, fs, renames)
-      .write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(applyRenames(spark, table, cur, fs, renames),
+      table, batch)
     val removedLines = fs.map(manifestLineOf(table, _)).toSet ++
       Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
         .toArray(Array.empty[String]).toSet.filter(_.startsWith(RenamePrefix))
@@ -1231,6 +1290,137 @@ object Versioned {
     }
   }
 
+  /** Row-level CDC change feed (VERDICT r13 #2 — what Delta CDF /
+    * Iceberg changelogs provide, where [[changes]] is file-add-only):
+    * every row change in versions (`fromVersion`, `toVersion`], tagged
+    * `_change_type` ∈ {insert, delete} and `_commit_version`. Walks the
+    * interval VERSION BY VERSION so a delete whose marker a later
+    * compaction folded away is still emitted:
+    *
+    *  - data files ADDED by an append/CTAS/stream/MERGE-insert/MoR-update
+    *    commit → their rows as `insert` (read RAW — deletion vectors
+    *    that land in LATER versions are later deletes, not retroactive
+    *    edits of this insert);
+    *  - NEW `#deletes:` sidecars → the deleted rows materialized from
+    *    the pinned PRE-IMAGE (the data file is untouched by MoR, so its
+    *    content at the recorded positions IS the deleted row) as
+    *    `delete`; a merge-on-read UPDATE therefore emits its pre-image
+    *    deletes and replacement inserts from ONE commit;
+    *  - LAYOUT-ONLY rewrites (compact / compactSmall / optimize /
+    *    normalize — recognizable by their staged batch prefix, the house
+    *    naming contract) emit NOTHING: they move rows between files
+    *    without changing the row multiset;
+    *  - a CONTENT rewrite without row-level markers (copy-on-write
+    *    deleteWhere / SQL DELETE / MERGE / retention / restore) throws
+    *    the same "full resync required" class of error as a vacuumed
+    *    delta: the removed rows are not reconstructible from the log
+    *    alone. CDC-heavy tables use the MoR mutations — that is their
+    *    contract.
+    *
+    * Cost: O(Δ) — only files added in the interval and the DV-affected
+    * pre-image files are read; manifest walking is metadata-only.
+    * Downstream: a consumer maintains any monoid aggregate by ADDING
+    * insert rows and SUBTRACTING delete rows ([[graft.queries
+    * .StoreQueries.ivmJoinView]]'s retraction step drives exactly
+    * that). */
+  def changeFeed(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val to = toVersion.getOrElse(currentVersion(table))
+    require(fromVersion <= to, s"fromVersion $fromVersion is after $to")
+    require(renamesOf(table, Some(to)).isEmpty,
+      s"changeFeed over $table: outstanding #rename markers — run " +
+        "Versioned.normalize first (the feed serves canonical names)")
+    val schema = schemaOf(table, Some(to)).getOrElse {
+      val fs = files(table, Some(to))
+      require(fs.nonEmpty, s"table $table has no committed data at $to")
+      spark.read.option("mergeSchema", "true").parquet(fs: _*).schema
+    }
+    def lines(v: Int): Seq[String] =
+      if (v == 0) Seq.empty
+      else {
+        val mf = manifestFile(table, v)
+        if (!mf.exists) throw new IllegalStateException(
+          s"changeFeed from v$fromVersion of $table is unavailable " +
+            s"(manifest v$v vacuumed): full resync required")
+        Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      }
+    def dataLines(ls: Seq[String]): Set[String] =
+      ls.filter(l => !l.startsWith("#")).toSet
+    def dvMarkers(ls: Seq[String]): Set[(String, String)] =
+      ls.filter(_.startsWith(DeletesPrefix)).map { l =>
+        val (f, dv, _) = parseDeletesMarker(l); (f, dv)
+      }.toSet
+    val LayoutPrefixes = Seq("compact-", "optimize-", "normalize-")
+    def rawRead(absFiles: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(absFiles: _*)
+    def tag(df: DataFrame, change: String, v: Int): DataFrame =
+      df.select(schema.fieldNames.map(col).toSeq :+
+        lit(change).as("_change_type") :+
+        lit(v.toLong).as("_commit_version"): _*)
+    var prev = lines(fromVersion)
+    val parts = (fromVersion + 1 to to).flatMap { v =>
+      val curL = lines(v)
+      val added = dataLines(curL) -- dataLines(prev)
+      val removed = dataLines(prev) -- dataLines(curL)
+      val newDvs = dvMarkers(curL) -- dvMarkers(prev)
+      val oldDvs = dvMarkers(prev)
+      prev = curL
+      if (removed.nonEmpty) {
+        // a layout-only rewrite stages under its op's batch prefix (the
+        // house naming contract) and records no new deletion vectors;
+        // drop-only commits (retention drops, restore) change content
+        val layoutOnly = newDvs.isEmpty && added.nonEmpty &&
+          added.forall(a => LayoutPrefixes.exists(a.startsWith))
+        if (!layoutOnly) throw new IllegalStateException(
+          s"changeFeed over $table: version $v is a content rewrite " +
+            "without row-level markers (copy-on-write delete/merge/" +
+            "retention/restore) — the removed rows are not " +
+            "reconstructible from the log; full resync required, or use " +
+            "the merge-on-read mutations for CDC-consumed tables")
+        Seq.empty
+      } else {
+        val ins =
+          if (added.isEmpty) Seq.empty
+          else Seq(tag(rawRead(added.toSeq.sorted.map(resolveLine(table, _))),
+            "insert", v))
+        val dels =
+          if (newDvs.isEmpty) Seq.empty
+          else {
+            import spark.implicits._
+            // per affected file: NEW sidecars' positions minus positions
+            // already recorded before this version (concurrent-delete
+            // overlap dedup — a position deletes once)
+            val meta: Seq[(String, Seq[String], Seq[String])] =
+              newDvs.groupBy(_._1).toSeq.map { case (fileLine, nw) =>
+                (resolveLine(table, fileLine),
+                  nw.toSeq.map(x => resolveLine(table, x._2)).sorted,
+                  oldDvs.filter(_._1 == fileLine).toSeq
+                    .map(x => resolveLine(table, x._2)).sorted)
+              }
+            val pos = spark.createDataset(meta).flatMap {
+              case (f, nw, old) =>
+                val before = readDvPositions(old).toSet
+                readDvPositions(nw).iterator
+                  .filterNot(before).map(p => (f, p))
+            }.toDF("__cf_f", "__cf_p")
+            val pre = rawRead(meta.map(_._1))
+              .withColumn("__cf_file",
+                org.apache.spark.sql.functions.regexp_replace(
+                  col("_metadata.file_path"), "^file:/+", "/"))
+              .withColumn("__cf_pos", col("_metadata.row_index"))
+            Seq(tag(pre.join(pos, pre("__cf_file") === pos("__cf_f") &&
+              pre("__cf_pos") === pos("__cf_p")), "delete", v))
+          }
+        ins ++ dels
+      }
+    }
+    if (parts.isEmpty)
+      tag(rawRead(files(table, Some(to))), "none", to).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Publish `newFiles` (relative to the table root) as the next version,
     * carrying forward `base`'s files minus `removed`. Returns the new
     * version. Fails if another writer committed the next version first —
@@ -1343,8 +1533,7 @@ object Versioned {
     var validatedCons = constraintsOf(table, Some(currentVersion(table)))
     requireConstraints(validatedCons, df)
     val batch = f"stream-$batchId%06d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(df, table, batch)
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
@@ -1480,8 +1669,7 @@ object Versioned {
     var validatedCons = constraintsOf(table, Some(currentVersion(table)))
     requireConstraints(validatedCons, df)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(df, table, batch)
     publishStaged(df.sparkSession, df, table, added, validatedCons, maxRetries)
   }
 
@@ -1514,7 +1702,8 @@ object Versioned {
   def commitExternalRewrite(spark: SparkSession, table: String,
       addedRel: Seq[String], removedAbs: Seq[String],
       maxRetries: Int = 5,
-      knownDvAbs: Map[String, Seq[String]] = Map.empty): Int = {
+      knownDvAbs: Map[String, Seq[String]] = Map.empty,
+      extraMarkers: Seq[String] = Seq.empty): Int = {
     if (addedRel.nonEmpty) {
       val staged = spark.read.parquet(
         addedRel.map(r => new File(table, r).getPath): _*)
@@ -1547,7 +1736,9 @@ object Versioned {
         s"row-level rewrite conflict on $table: a merge-on-read delete landed " +
           "on a scanned file after planning — re-run the statement against " +
           "the current version (committing would resurrect the deleted rows)")
-      try return commit(table, cur, addedRel, removedRel)
+      // extraMarkers (e.g. stats lines the writer derived for its own
+      // staged files) ride the SAME atomic commit as the data lines
+      try return commit(table, cur, addedRel ++ extraMarkers, removedRel)
       catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
           attempt += 1
@@ -1636,9 +1827,8 @@ object Versioned {
     val base = currentVersion(table)
     val inputRel = files(table, Some(base)).map(abs => manifestLineOf(table, abs))
     val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    read(spark, table, Some(base)).coalesce(1)
-      .write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(read(spark, table, Some(base)).coalesce(1),
+      table, batch)
     commitRewrite(table, base, added, inputRel.toSet, maxRetries)
   }
 
@@ -1673,8 +1863,7 @@ object Versioned {
       .filter(!org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false)))
     val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
-    keep.write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(keep, table, batch)
     val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
     commitRewrite(table, base, added, removedRel, maxRetries)
   }
@@ -1719,10 +1908,8 @@ object Versioned {
   private def mergeAttemptFiles(spark: SparkSession, table: String,
       updates: DataFrame, keys: Seq[String], base: Int): (Seq[String], Set[String]) = {
     val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
-    if (base == 0) { // empty table: a merge is a plain insert
-      updates.write.parquet(new File(table, batch).getPath)
-      return (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"), Set.empty)
-    }
+    if (base == 0) // empty table: a merge is a plain insert
+      return (stageFiles(updates, table, batch), Set.empty)
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
     val updKeys = updates.select(keyCols: _*).distinct()
     // readTagged: provenance survives the DV anti-join (see deleteWhere)
@@ -1737,8 +1924,7 @@ object Versioned {
       else readUnder(spark, table, base, affected.toIndexedSeq)
         .join(updKeys, keys, "left_anti") // drop the rows being replaced
         .unionByName(ordered)
-    newData.write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(newData, table, batch)
     val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
     (added, removedRel)
   }
@@ -1849,9 +2035,7 @@ object Versioned {
             org.apache.spark.sql.functions.col(column) >= cutoff,
             org.apache.spark.sql.functions.lit(true)))
         val batch = f"retention-${java.util.UUID.randomUUID().toString.take(8)}"
-        keep.write.parquet(new File(table, batch).getPath)
-        (listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}"),
-          rewrite.size)
+        (stageFiles(keep, table, batch), rewrite.size)
       }
     val removedRel = (drop ++ rewrite).map(abs => manifestLineOf(table, abs)).toSet
     val v = commitRewrite(table, base, added, removedRel, maxRetries)
@@ -1875,10 +2059,9 @@ object Versioned {
     val base = currentVersion(table)
     val inputRel = files(table, Some(base)).map(abs => manifestLineOf(table, abs))
     val batch = f"optimize-${java.util.UUID.randomUUID().toString.take(8)}"
-    Clustered.writeZOrdered(read(spark, table, Some(base)),
-      new File(table, batch).getPath, numFiles,
-      org.apache.spark.sql.functions.col(x), org.apache.spark.sql.functions.col(y))
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(Clustered.zOrdered(read(spark, table, Some(base)),
+      numFiles, org.apache.spark.sql.functions.col(x),
+      org.apache.spark.sql.functions.col(y)), table, batch)
     commitRewrite(table, base, added, inputRel.toSet, maxRetries)
   }
 
@@ -1904,9 +2087,8 @@ object Versioned {
     val totalSmall = small.map(new File(_).length()).sum
     val bins = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val batch = f"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    readUnder(spark, table, base, small).repartition(bins)
-      .write.parquet(new File(table, batch).getPath)
-    val added = listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    val added = stageFiles(readUnder(spark, table, base, small)
+      .repartition(bins), table, batch)
     val removedRel = small.map(abs => manifestLineOf(table, abs)).toSet
     commitRewrite(table, base, added, removedRel, maxRetries)
   }
@@ -2046,4 +2228,20 @@ object Versioned {
   private def listParquet(dir: File): Seq[File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+
+  /** Stage `df` under `table`/`batch` and return the staged files'
+    * table-relative paths — the ONE staging seam every append/rewrite
+    * path shares. Scalar frames ride Spark's native vectorized writer;
+    * `array<float>`-bearing frames route through the connector's
+    * 2-level writer ([[graft.sources.V2Shape]]) so a compact / delete /
+    * merge / MoR update of an embedding-bearing catalog table stays
+    * readable by the V2 scan paths (the native writer's 3-level LIST
+    * shape is rejected there — ADVICE r13). */
+  private def stageFiles(df: DataFrame, table: String, batch: String): Seq[String] =
+    if (graft.sources.V2Shape.needsV2Staging(df.schema))
+      graft.sources.V2Shape.stage(df, new File(table).getAbsolutePath, batch)
+    else {
+      df.write.parquet(new File(table, batch).getPath)
+      listParquet(new File(table, batch)).map(f => s"$batch/${f.getName}")
+    }
 }

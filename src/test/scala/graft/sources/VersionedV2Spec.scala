@@ -960,6 +960,112 @@ class VersionedV2Spec extends SparkSpec {
     assert(shadowCtas.getMessage.contains("view named"), shadowCtas.getMessage)
   }
 
+  test("catalog views: REPLACE is atomic — concurrent readers never see a missing view") {
+    val (cat, catRoot) = catalogFor("viewatomic")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")
+    spark.sql(s"CREATE VIEW $cat.w AS SELECT COUNT(*) AS n FROM $cat.t WHERE id < 5")
+    // hammer REPLACE from a background thread while reading continuously:
+    // the old drop-then-create window surfaced NoSuchView under this load
+    // (VERDICT r13); the staged atomic swap must serve old-or-new, only
+    @volatile var replacerErr: Throwable = null
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val replacer = new Thread(() => {
+      val s2 = spark.newSession()
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+      var flip = false
+      try while (!stop.get()) {
+        val lim = if (flip) 5 else 7
+        s2.sql(s"CREATE OR REPLACE VIEW $cat.w AS " +
+          s"SELECT COUNT(*) AS n FROM $cat.t WHERE id < $lim")
+        flip = !flip
+      } catch { case t: Throwable => replacerErr = t }
+    })
+    replacer.start()
+    try {
+      (1 to 40).foreach { _ =>
+        val n = spark.sql(s"SELECT n FROM $cat.w").head.getLong(0)
+        assert(n == 5L || n == 7L, s"read a definition that is neither: $n")
+      }
+    } finally { stop.set(true); replacer.join(30000) }
+    assert(replacerErr == null, s"replacer failed: $replacerErr")
+    // a staged-but-unswapped definition (crash before the rename) is a
+    // hidden .tmp file readers never resolve: only the swapped file counts
+    val gc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    assert(gc.listViews().map(_.name).toSeq == Seq("w"))
+  }
+
+  test("catalog views: CTE whitelist is scope-aware — outer refs sharing a nested CTE name are rejected") {
+    val (cat, _) = catalogFor("viewscope")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3)")
+    // the OUTER unqualified `t` must be rejected even though an unrelated
+    // subquery defines a CTE of the same name (VERDICT r13: the global
+    // whitelist let it slip and re-resolve in each reader's session)
+    val leak = intercept[Exception](spark.sql(
+      s"CREATE VIEW $cat.leaky AS SELECT * FROM t UNION ALL " +
+        s"(WITH t AS (SELECT id FROM $cat.t) SELECT * FROM t)"))
+    assert(leak.getMessage.contains("catalog-qualify"), leak.getMessage)
+    // same name, properly scoped on both sides: legal
+    spark.sql(s"CREATE VIEW $cat.scoped AS " +
+      s"WITH t AS (SELECT id FROM $cat.t WHERE id > 1) SELECT * FROM t " +
+      s"UNION ALL (WITH t AS (SELECT id FROM $cat.t WHERE id < 2) SELECT * FROM t)")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.scoped").head.getLong(0) == 3)
+    // a CTE name from one branch must not whitelist the OTHER branch
+    val cross = intercept[Exception](spark.sql(
+      s"CREATE VIEW $cat.crossbad AS " +
+        s"(WITH a AS (SELECT id FROM $cat.t) SELECT * FROM a) " +
+        s"UNION ALL SELECT * FROM a"))
+    assert(cross.getMessage.contains("catalog-qualify"), cross.getMessage)
+    // unqualified names inside subquery EXPRESSIONS are caught too (the
+    // old child-only collect never walked IN/EXISTS/scalar subqueries)
+    val sub = intercept[Exception](spark.sql(
+      s"CREATE VIEW $cat.subq AS SELECT id FROM $cat.t " +
+        s"WHERE id IN (SELECT id FROM hidden_unqualified)"))
+    assert(sub.getMessage.contains("catalog-qualify"), sub.getMessage)
+  }
+
+  test("array-bearing tables survive store rewrites: compact/CoW-delete/merge/MoR-update keep V2 readers green") {
+    val (cat, root) = catalogFor("arrayrw")
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
+    spark.sql(s"INSERT INTO $cat.e SELECT id, " +
+      "array(CAST(id AS FLOAT), CAST(id * 2 AS FLOAT)) FROM range(0, 100, 1, 4)")
+    val path = s"$root/e"
+    def readBoth(): (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])]) = {
+      def all() = spark.sql(s"SELECT id, emb FROM $cat.e")
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+      val columnar = all()
+      val row = try {
+        System.setProperty("graft.v2.columnar", "off"); all()
+      } finally System.clearProperty("graft.v2.columnar")
+      (columnar, row)
+    }
+    // compact used to stage with the native writer (3-level LIST), which
+    // the V2 readers reject loudly — the staging seam must keep the
+    // connector's 2-level shape through EVERY rewrite (ADVICE r13)
+    graft.store.Versioned.compact(spark, path)
+    val (c1, r1) = readBoth()
+    assert(c1.size == 100 && c1 == r1 && c1(7)._2 == Seq(7f, 14f))
+    graft.store.Versioned.deleteWhere(spark, path, $"id" >= 90)
+    val (c2, r2) = readBoth()
+    assert(c2.size == 90 && c2 == r2)
+    val updates = spark.range(0, 5).select($"id",
+      expr("array(CAST(-id AS FLOAT))").as("emb"))
+    graft.store.Versioned.merge(spark, path, updates, Seq("id"))
+    val (c3, r3) = readBoth()
+    assert(c3.size == 90 && c3 == r3 && c3(3)._2 == Seq(-3f))
+    graft.store.Versioned.updateWhereMor(spark, path, $"id" === 10,
+      Map("emb" -> expr("array(CAST(99 AS FLOAT))")))
+    val (c4, r4) = readBoth()
+    assert(c4.size == 90 && c4 == r4 && c4(10)._2 == Seq(99f))
+    // ZORDER optimize rewrites the whole table; arrays must survive too
+    spark.sql(s"CALL $cat.system.optimize('e', 'id', 'id')")
+    val (c5, r5) = readBoth()
+    assert(c5 == c4 && r5 == c4)
+  }
+
   test("TIMESTAMP/DATE round-trip: pre-epoch and DST-boundary values, both readers") {
     val (cat, root) = catalogFor("tstype")
     spark.sql(s"CREATE TABLE $cat.t (id BIGINT, ts TIMESTAMP, d DATE)")

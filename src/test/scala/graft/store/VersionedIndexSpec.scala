@@ -55,6 +55,40 @@ class VersionedIndexSpec extends SparkSpec {
       v2.index.assigned.agg(min("vec_id")).head.getLong(0) == 100L)
   }
 
+  test("probe pruning is file-level: nprobe < nlist opens fewer files, results identical") {
+    val t = tmpDir("vidx").toString
+    // ids 0..199 with embedding (i, i%7, 1): nlist=8 gives a real spread
+    val i1 = Ivf.build(spark, vecs(0L until 200L), nlist = 8, maxIter = 2)
+    VersionedIndex.commit(spark, t, i1, storeVersion = 1)
+    val s = VersionedIndex.open(spark, t)
+    val total = Versioned.files(t).size
+    val q = Array(42f, 0f, 1f)
+    // a narrow probe must SKIP files via the manifest's #stats:cell
+    // markers (the commit publishes them with the data — no ANALYZE run
+    // in this test), and an exhaustive probe must keep every file
+    val narrow = VersionedIndex.probeFiles(s, q, nprobe = 1)
+    val exhaustive = VersionedIndex.probeFiles(s, q, nprobe = 8)
+    assert(narrow.size < total,
+      s"nprobe=1 opened ${narrow.size} of $total files — no file was skipped")
+    assert(exhaustive.size == total,
+      s"nprobe=nlist must probe every file (${exhaustive.size} of $total)")
+    // pruning is I/O only, never semantics: the pruned search returns
+    // exactly what the unpruned in-memory search returns, at every nprobe
+    for (np <- Seq(1, 3, 8)) {
+      val pruned = VersionedIndex.search(spark, s, q, k = 5, nprobe = np)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val flat = Ivf.search(s.index, q, k = 5, nprobe = np)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      assert(pruned == flat, s"nprobe=$np: pruned != unpruned")
+    }
+    // rebuild keeps the markers fresh: the new version prunes too
+    val i2 = Ivf.build(spark, vecs(0L until 100L), nlist = 8, maxIter = 2)
+    VersionedIndex.commit(spark, t, i2, storeVersion = 2)
+    val s2 = VersionedIndex.open(spark, t)
+    assert(VersionedIndex.probeFiles(s2, q, nprobe = 1).size <
+      Versioned.files(t).size, "post-rebuild version must prune as well")
+  }
+
   test("racing rebuilds serialize: the loser fails loudly, winner intact") {
     val t = tmpDir("vidx").toString
     VersionedIndex.commit(spark, t,

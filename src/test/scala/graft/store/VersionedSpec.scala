@@ -1076,6 +1076,46 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("resurrect"), e.getMessage)
     assert(rows(t) == Set((2L, "b")), "the delete's outcome stands")
   }
+
+  test("changeFeed: inserts + MoR-delete retractions + MoR-update pairs; compaction emits nothing") {
+    import org.apache.spark.sql.functions.lit
+    val t = tmpDir("cfeed").toString
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("id", "k", "v"), t) // v1
+    Versioned.append(Seq((4L, "b", 40L)).toDF("id", "k", "v"), t) // v2
+    Versioned.deleteWhereMor(spark, t, $"id" === 2L) // v3
+    Versioned.compact(spark, t) // v4: folds the DV, must emit NOTHING
+    Versioned.updateWhereMor(spark, t, $"id" === 3L,
+      Map("v" -> lit(99L))) // v5: pre-image delete + replacement insert
+    def feed(from: Int, to: Option[Int] = None) =
+      Versioned.changeFeed(spark, t, from, to)
+        .select("id", "k", "v", "_change_type", "_commit_version")
+        .as[(Long, String, Long, String, Long)].collect().toSeq
+        .sortBy(x => (x._5, x._4, x._1))
+    assert(feed(0) == Seq(
+      (1L, "a", 10L, "insert", 1L), (2L, "b", 20L, "insert", 1L),
+      (3L, "a", 30L, "insert", 1L),
+      (4L, "b", 40L, "insert", 2L),
+      (2L, "b", 20L, "delete", 3L),
+      (3L, "a", 30L, "delete", 5L), (3L, "a", 99L, "insert", 5L)))
+    // the feed replays to the live state: inserts minus deletes == table
+    val net = feed(0).groupBy(x => (x._1, x._2, x._3)).map { case (kv, xs) =>
+      kv -> xs.map(x => if (x._4 == "insert") 1 else -1).sum
+    }.filter(_._2 != 0).keys.toSet
+    val live = Versioned.read(spark, t)
+      .as[(Long, String, Long)].collect().toSet
+    assert(net == live, s"net=$net live=$live")
+    // incremental consumption: a checkpointed consumer sees only the tail
+    assert(feed(3) == Seq(
+      (3L, "a", 30L, "delete", 5L), (3L, "a", 99L, "insert", 5L)))
+    // a copy-on-write rewrite is NOT reconstructible — loud, named error;
+    // an interval ending before it still serves
+    Versioned.deleteWhere(spark, t, $"id" === 1L) // v6
+    val e = intercept[IllegalStateException](
+      Versioned.changeFeed(spark, t, 0).collect())
+    assert(e.getMessage.contains("full resync"), e.getMessage)
+    assert(feed(0, Some(5)).size == 7)
+  }
 }
 
 /** Deterministic interleaving hook for the constraint-race test: fires
