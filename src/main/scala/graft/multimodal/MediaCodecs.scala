@@ -572,6 +572,107 @@ object MediaCodecs {
       }
     } catch { case e: Exception => Left(s"ahash: ${e.getMessage}") }
 
+  /** 64-bit difference-hash (dHash) over a DECODED raster — the
+    * gradient sibling of [[aHash64]]: the image is partitioned into an
+    * 8-row × 9-column grid of box cells (pixel (x,y) → cell
+    * (x·9 div w, y·8 div h)), and bit (row·8 + c), c ∈ 0..7, is set
+    * iff cell (row, c+1)'s mean strictly exceeds cell (row, c)'s —
+    * compared as the exact integer cross-product
+    * `sumR · nL > sumL · nR`, so no floating division anywhere and the
+    * hash is recomputable by an external engine from closed-form
+    * pixels. dHash tracks local GRADIENTS where aHash tracks global
+    * contrast: a smooth brightness ramp flips aHash bits but leaves
+    * dHash stable, the property that makes it the standard re-encode /
+    * resize dedup hash. 4×16-bit chunks, low first. */
+  def dHash64(bytes: Array[Byte]): Either[String, Array[Int]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("not a JDK-decodable image")
+      else {
+        val r = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = r.getNumBands
+        if (w < 9 || h < 8) Left(s"dHash needs >= 9x8, got ${w}x$h")
+        else {
+          val cellSum = Array.ofDim[Long](8, 9)
+          val cellN = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 9 / w
+              var s = 0L
+              var b = 0
+              while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+              cellSum(cy)(cx) += s
+              cellN(cy)(cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val chunks = new Array[Int](4)
+          var bit = 0
+          while (bit < 64) {
+            val cy = bit / 8
+            val cx = bit % 8
+            // exact rational mean comparison (see doc comment)
+            if (cellSum(cy)(cx + 1) * cellN(cy)(cx) >
+                cellSum(cy)(cx) * cellN(cy)(cx + 1))
+              chunks(bit / 16) |= 1 << (bit % 16)
+            bit += 1
+          }
+          Right(chunks)
+        }
+      }
+    } catch { case e: Exception => Left(s"dhash: ${e.getMessage}") }
+
+  /** Silence profile over DECODED 16-bit PCM: fixed `frameLen`-sample
+    * frames (trailing remainder dropped), per-frame energy E = Σ|s|
+    * (exact integer), a frame is SILENT iff E ≤ threshold. Returns
+    * (frames, silent frames, LEADING silent frames) — the
+    * trim-the-dead-air statistics an audio-ingest pipeline gates on.
+    * No floating point anywhere; an external engine recomputes every
+    * count from closed-form samples. */
+  def silenceProfile(bytes: Array[Byte], frameLen: Int = 32,
+      threshold: Long = 1000L): Either[String, (Long, Long, Long)] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) Left("silence profile needs 16-bit PCM")
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val frames = n / frameLen
+          var silent = 0L
+          var leading = 0L
+          var leadingRun = true
+          var fi = 0
+          while (fi < frames) {
+            var e = 0L
+            var i = fi * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo)
+                .toShort.toInt
+              e += math.abs(s)
+              i += 1
+            }
+            if (e <= threshold) {
+              silent += 1
+              if (leadingRun) leading += 1
+            } else leadingRun = false
+            fi += 1
+          }
+          Right((frames.toLong, silent, leading))
+        }
+      } finally in.close()
+    } catch { case e: Exception => Left(s"silence profile: ${e.getMessage}") }
+
   // ------------------------------------------------------------- mkv/webm
 
   /** Matroska/WebM STRUCTURAL metadata walk — the EBML sibling of

@@ -446,6 +446,42 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Edit-distance near-dup screen (X298 — the Levenshtein member of
+    * the dedup family: catches single-character typos and OCR noise
+    * that word-level Jaccard/MinHash shrug off and SimHash dilutes).
+    * Keys are 24-char document prefixes; candidate pairs come from a
+    * BLOCK join (first-8-chars prefix — the standard blocking key of
+    * record-linkage practice), never an all-pairs cross, and blocks
+    * larger than [[EDIT_BLOCK_CAP]] are stop-listed before the
+    * self-join, exactly like [[graft.queries.RelationalQueries
+    * .linkPredict]]'s hub cap (a degenerate block of identical
+    * prefixes would otherwise go quadratic; the fixture never trips
+    * it). The declared rollup is the per-distance pair histogram at
+    * d ≤ 6 — both engines' levenshtein is the classic unweighted
+    * Wagner-Fischer, so counts are exact integers. Blocking is a
+    * SCREEN by design: a pair differing inside its first 8 chars falls
+    * outside the block (the recall/cost dial every blocking scheme
+    * turns); the oracle replays the identical screen. */
+  def editDistanceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      .withColumn("blk", substring(col("t"), 1, 8))
+    val big = t.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > EDIT_BLOCK_CAP).select(col("blk"))
+    val kept = t.join(broadcast(big), Seq("blk"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(levenshtein(col("a.t"), col("b.t")).as("d"))
+      .filter(col("d") <= 6)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("d"))
+  }
+
+  /** Block-size stop-list bound for [[editDistanceDedup]] — the knob
+    * that keeps a degenerate shared-prefix block from going quadratic
+    * at scale. */
+  val EDIT_BLOCK_CAP = 256
+
   /** Exact set-similarity self-join with prefix filtering (AllPairs /
     * PPJoin — the 100%-recall dedup screen; [[graft.scale.PrefixJoin]]
     * has the plan + completeness argument). Elements are word-5-grams —
@@ -520,6 +556,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "containment_join" -> (containmentJoin _),
+    "edit_distance_dedup" -> (editDistanceDedup _),
     "cdc_chunks" -> (cdcChunks _),
     "prefix_filter_join" -> (prefixFilterJoin _),
     "substring_dedup" -> (substringDedup _),
@@ -613,6 +650,18 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "leakage_split" -> leakageSplitSql,
+    // identical 8-char blocking screen + classic levenshtein histogram
+    // (the fixture never trips the block cap, so the oracle omits it)
+    "edit_distance_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS t,
+        |    substring(text, 1, 8) AS blk
+        |  FROM documents),
+        |p AS (
+        |  SELECT levenshtein(a.t, b.t) AS d
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT CAST(d AS INTEGER) AS d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p WHERE d <= 6 GROUP BY d ORDER BY d""".stripMargin,
     // ordered pairs sharing a 5-gram, containment vs the PROBE size na;
     // threshold and e4 export in integer arithmetic
     "containment_join" ->

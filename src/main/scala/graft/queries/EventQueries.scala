@@ -1817,7 +1817,42 @@ object EventQueries {
       .orderBy(col("lag"))
   }
 
+  /** Mann-Kendall trend test (X294 — Mann 1945 / Kendall 1975, the
+    * standard nonparametric "is this series trending?" screen, the
+    * hypothesis-test companion of theil_sen's slope): S = Σ_{i<j}
+    * sign(rev_j − rev_i) over the daily revenue series, variance from
+    * the closed form n(n−1)(2n+5)/18 with the exact tie correction,
+    * and the continuity-corrected Z. S and the two variance components
+    * are pure integers over the calendar-bounded daily frame (≤ one
+    * row per day — the O(days²) pair join is constant work after one
+    * partial-aggregated rollup, the theil_sen shape); Z is one
+    * fixed-order double chain, e4-rounded. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("rev"))
+    val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.rev") - col("a.rev")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        count(lit(1)).as("n_vals"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s"),
+        expr("n * (n - 1) * (2 * n + 5) - coalesce(tie18, 0)").as("var18"),
+        expr(
+          """CASE WHEN s = 0 OR n < 2 THEN 0
+            |ELSE CAST(round(
+            |  (CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))
+            |  / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+            |              - coalesce(tie18, 0) AS DOUBLE) / 18.0)
+            |  * 10000) AS BIGINT) END""".stripMargin).as("z_e4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mann_kendall" -> (mannKendall _),
     "xcorr_leadlag" -> (xcorrLeadlag _),
     "dau_wau_mau" -> (dauWauMau _),
     "twap_daily" -> (twapDaily _),
@@ -1877,6 +1912,28 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact pair signs + tie-corrected variance, Z replayed in order
+    "mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (
+        |  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+        |SELECT n AS n_days, s,
+        |  CAST(n * (n - 1) * (2 * n + 5) - COALESCE(tie18, 0) AS BIGINT) AS var18,
+        |  CASE WHEN s = 0 OR n < 2 THEN 0
+        |  ELSE CAST(round(
+        |    (CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))
+        |    / sqrt(CAST(n * (n - 1) * (2 * n + 5)
+        |                - COALESCE(tie18, 0) AS DOUBLE) / 18.0)
+        |    * 10000) AS BIGINT) END AS z_e4
+        |FROM s, t, n""".stripMargin,
     // same daily rollup + lag self-join + fixed-order r chain
     "xcorr_leadlag" ->
       """WITH d AS (

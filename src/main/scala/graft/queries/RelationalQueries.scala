@@ -707,10 +707,20 @@ object RelationalQueries {
     graft.scale.ShingleStore.docSketches(spark, dir).count(): Unit
   }
 
-  private def partSupplierEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.ShingleStore.stored(spark, dir, "ps-edges") {
+  /** The distinct (part, supplier) incidence pairs, materialized ONCE
+    * per session — the shared input of [[hitsScores]], [[linkPredict]]
+    * and (doubled, string-keyed) [[partSupplierEdges]]. hits used to
+    * recompute the 6M-row lineitem distinct per invocation; the stored
+    * frame turns that into a 120k-row parquet read (VERDICT r13 #3). */
+  private def partSupplierPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-pairs") {
       Tables.lineitem(spark, dir)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    }
+
+  private def partSupplierEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-edges") {
+      partSupplierPairs(spark, dir)
         .select(explode(array(
           struct(concat(lit("p"), col("p")).as("src"), concat(lit("s"), col("s")).as("dst")),
           struct(concat(lit("s"), col("s")).as("src"), concat(lit("p"), col("p")).as("dst")))).as("e"))
@@ -792,6 +802,66 @@ object RelationalQueries {
     * keeps the deg² pair cost bounded per part. */
   val LINK_HUB_CAP = 256
 
+  /** Adamic-Adar link prediction (X295 — Adamic & Adar 2003, the
+    * hub-discounted sibling of [[linkPredict]]'s common-neighbor
+    * count): a shared rare part says far more about two suppliers than
+    * a shared commodity one, so each common neighbor z contributes
+    * 1/ln(deg z) instead of 1. Pair generation is the SAME bounded
+    * shared-neighbor join (hub stop-list before the self-join — never
+    * a supplier×supplier cross); the weight rides the ln-points recipe
+    * (one e9 integer per DISTINCT part degree, so the pair scores are
+    * ORDER-FREE integer sums both engines replay digit-exactly;
+    * degree-1 parts form no pairs, so ln(1)=0 never divides).
+    * Deterministic top-25 by (score desc, s1, s2). */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    adamicAdarCore(partSupplierPairs(spark, dir), LINK_HUB_CAP)
+
+  private[graft] def adamicAdarCore(e: DataFrame, hubCap: Int): DataFrame = {
+    val hubs = e.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+      .filter(col("pd") > hubCap).select(col("p"))
+    val kept = e.join(broadcast(hubs), Seq("p"), "left_anti")
+    // per-part hub discount: an e9 integer per DISTINCT degree value
+    val pw = kept.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+      .filter(col("pd") >= 2)
+      .select(col("p"),
+        expr("CAST(round(1000000000 / ln(CAST(pd AS DOUBLE))) AS BIGINT)")
+          .as("w"))
+    kept.as("a").join(kept.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"), col("a.p").as("p"))
+      .join(broadcast(pw), "p")
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_e9"))
+      .orderBy(col("aa_e9").desc, col("s1"), col("s2"))
+      .limit(25)
+  }
+
+  /** Power-law degree-distribution fit (X296 — the Clauset-Shalizi-
+    * Newman continuous MLE at x_min = 1: α = 1 + n / Σ ln d, the
+    * "is this graph scale-free?" screen a partitioner/sampler wants
+    * before assuming hub behavior): part degrees over the incidence
+    * pairs, Σ ln d as an ORDER-FREE integer sum of one e6 ln-point per
+    * DISTINCT degree (the freq_spectrum recipe — never a float sum
+    * across rows), α one fixed-order double chain. Degree histogram is
+    * degree-cardinality-bounded after one rollup. */
+  def powerlawDegreeFit(spark: SparkSession, dir: String): DataFrame = {
+    val deg = partSupplierPairs(spark, dir)
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("nd"))
+      .select(col("d"), col("nd"),
+        expr("CAST(round(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lnd_e6"))
+    hist.agg(sum(col("nd")).as("n_nodes"),
+        max(col("d")).as("max_degree"),
+        sum(col("nd") * col("lnd_e6")).as("sum_ln_e6"))
+      .select(col("n_nodes"), col("max_degree"), col("sum_ln_e6"),
+        expr(
+          """CASE WHEN sum_ln_e6 > 0 THEN CAST(round(
+            |  (1.0 + CAST(n_nodes AS DOUBLE) * 1000000.0
+            |         / CAST(sum_ln_e6 AS DOUBLE)) * 10000) AS BIGINT)
+            |END""".stripMargin).as("alpha_e4"))
+  }
+
   /** Link prediction by portfolio overlap — common-neighbor count and
     * exact Jaccard over supplier part-sets (who supplies like whom: the
     * recommendation/substitution signal, and the common-neighbors score
@@ -811,10 +881,7 @@ object RelationalQueries {
     * quotient (both engines floor on positive operands). Deterministic
     * top-25: the (jac desc, s1, s2) sort key is unique per pair. */
   def linkPredict(spark: SparkSession, dir: String): DataFrame =
-    linkPredictCore(
-      Tables.lineitem(spark, dir)
-        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct(),
-      LINK_HUB_CAP)
+    linkPredictCore(partSupplierPairs(spark, dir), LINK_HUB_CAP)
 
   /** [[linkPredict]] over an explicit (s, p) edge frame — the seam the
     * synthetic-hub spec drives to prove the cap bounds pair counts. */
@@ -853,20 +920,30 @@ object RelationalQueries {
     * lineage (the k_core lesson). Output: top-10 per side, determinisic
     * (score desc, node) order. */
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .localCheckpoint()
+    val e = partSupplierPairs(spark, dir).localCheckpoint()
     var h = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
     var a: DataFrame = null
     for (_ <- 1 to 2) {
-      val aRaw = e.join(h, "s").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      // checkpoint the RAW half-step, normalize lazily over the
+      // checkpointed frame: the earlier form checkpointed the NORMALIZED
+      // frame, so its broadcast-max subplan and its main projection each
+      // recomputed the join+groupBy — every half-step paid the edge join
+      // twice (VERDICT r13 #3). The max subplan now folds over the
+      // checkpointed rows (one cheap stage inside the next action).
+      // score vectors are dimension-sized (|suppliers| / |parts|), the
+      // edge list fact-sized: broadcast the scores so each half-step is
+      // one map-side join + one partial-aggregated shuffle, never a
+      // shuffle of the edges
+      val aRaw = e.join(broadcast(h), "s")
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
       a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("p"), expr("(ar * 1000000) div am").as("a"))
+      val hRaw = e.join(broadcast(a), "p")
+        .groupBy(col("s")).agg(sum(col("a")).as("hr"))
         .localCheckpoint()
-      val hRaw = e.join(a, "p").groupBy(col("s")).agg(sum(col("a")).as("hr"))
       h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
         .select(col("s"), expr("(hr * 1000000) div hm").as("h"))
-        .localCheckpoint()
     }
     val hubs = h.orderBy(col("h").desc, col("s")).limit(10)
       .select(lit("hub").as("kind"), col("s").as("node"),
@@ -1027,7 +1104,10 @@ object RelationalQueries {
     * the planted-odd-cycle spec drives. */
   def bipartiteCheckCore(spark: SparkSession, edges: DataFrame,
       roots: DataFrame, rounds: Int): DataFrame = {
-    val colors = graft.scale.Bfs.run(edges, roots, rounds)
+    // the frontier alternates bipartition sides of a catalog graph —
+    // dimension-bounded, so the broadcast-frontier rounds apply
+    val colors = graft.scale.Bfs.run(edges, roots, rounds,
+        broadcastFrontier = true)
       .select(col("node"), (col("hop") % 2).as("c"))
     // ONE aggregation answers node count, coverage and conflicts
     // together (VERDICT r13 #3, the runPersonalized combined-stats
@@ -1391,6 +1471,8 @@ object RelationalQueries {
     "pagerank" -> (pagerank _),
     "ppr_seeded" -> (pprSeeded _),
     "link_predict" -> (linkPredict _),
+    "adamic_adar" -> (adamicAdar _),
+    "powerlaw_degree_fit" -> (powerlawDegreeFit _),
     "hits_scores" -> (hitsScores _),
     "bipartite_check" -> (bipartiteCheck _),
     "pareto_front" -> (paretoFront _),
@@ -1826,6 +1908,37 @@ object RelationalQueries {
         |  CAST(common * 1000000 // (d1.d + d2.d - common) AS BIGINT) AS jac_e6
         |FROM pr JOIN deg d1 ON pr.s1 = d1.s JOIN deg d2 ON pr.s2 = d2.s
         |ORDER BY jac_e6 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // same shared-neighbor pairs; hub discount = one e9 ln-point per
+    // distinct part degree, pair scores order-free integer sums
+    "adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pw AS (
+        |  SELECT p, CAST(round(1000000000 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM e GROUP BY p HAVING COUNT(*) >= 2)
+        |SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS common,
+        |  CAST(SUM(w) AS BIGINT) AS aa_e9
+        |FROM e a JOIN e b ON a.p = b.p AND a.s < b.s JOIN pw ON pw.p = a.p
+        |GROUP BY 1, 2
+        |ORDER BY aa_e9 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // one e6 ln-point per distinct degree; alpha replayed in order
+    "powerlaw_degree_fit" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |deg AS (SELECT p, COUNT(*) AS d FROM e GROUP BY p),
+        |hist AS (
+        |  SELECT d, COUNT(*) AS nd,
+        |    CAST(round(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT) AS lnd_e6
+        |  FROM deg GROUP BY d),
+        |agg AS (
+        |  SELECT CAST(SUM(nd) AS BIGINT) AS n_nodes,
+        |    CAST(MAX(d) AS BIGINT) AS max_degree,
+        |    CAST(SUM(nd * lnd_e6) AS BIGINT) AS sum_ln_e6
+        |  FROM hist)
+        |SELECT n_nodes, max_degree, sum_ln_e6,
+        |  CASE WHEN sum_ln_e6 > 0 THEN CAST(round(
+        |    (1.0 + CAST(n_nodes AS DOUBLE) * 1000000.0
+        |           / CAST(sum_ln_e6 AS DOUBLE)) * 10000) AS BIGINT)
+        |  END AS alpha_e4
+        |FROM agg""".stripMargin,
     // the documented provenance contract of q3_join_topk: 5 data edges,
     // and every output column carries the 7 row-deciding filter/join
     // sources (row provenance is plan-global through inner joins)

@@ -566,6 +566,65 @@ object ScaleQueries {
     * recall@10 against exact top-10, reciprocal rank of the true
     * nearest neighbor (0 when missed). */
   def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val (cand, approx, exact) = lshEvalFrames(spark, dir)
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val hits = exact.select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
+      .join(approx.select(col("q_id"), col("n_id"), col("rank").as("a_rank")),
+        Seq("q_id", "n_id"), "left")
+    hits.groupBy(col("q_id"))
+      .agg(
+        // K=10 ⇒ recall_e4 = matches * 1000, an exact integer
+        (count(col("a_rank")) * 1000).as("recall_e4"),
+        // reciprocal rank of the TRUE nearest neighbor in the approx
+        // list; 10000/r never lands on .5 for r ≤ 10, so HALF_UP vs
+        // HALF_EVEN can't diverge
+        coalesce(max(when(col("e_rank") === 1,
+            round(lit(10000.0) / col("a_rank")).cast("long"))), lit(0L))
+          .as("rr_e4"))
+      // LEFT join: a query whose buckets hold no neighbor at all still
+      // reports (n_cand=0, recall=0) instead of vanishing from the eval
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("recall_e4"), col("rr_e4"))
+      .orderBy(col("q_id"))
+  }
+
+  /** NDCG@10 of the same LSH retrieval (X299 — the GRADED-relevance
+    * eval metric recall/MRR can't express: finding the true #1 at
+    * approx rank 1 must score more than finding the true #10 there).
+    * Relevance of exact-rank r is 11−r; position discounts are e6
+    * integers round(10⁶/log2(i+1)) computed by each engine's own log2
+    * (never a cross-row float sum); DCG/IDCG are exact integer sums
+    * and NDCG the exact e6 integer quotient. Same bounded harness as
+    * [[retrievalEval]] — the |Q|-row exact side is the only brute
+    * force, candidates come from the bucket join. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val (_, approx, exact) = lshEvalFrames(spark, dir)
+    val w = spark.range(1, 11).select(col("id").as("r"),
+      expr("CAST(round(1000000 / log2(CAST(id AS DOUBLE) + 1)) AS BIGINT)")
+        .as("wt"))
+    val idcg = w.agg(sum((lit(11L) - col("r")) * col("wt")).as("idcg"))
+    val hits = exact.select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
+      .join(approx.select(col("q_id"), col("n_id"), col("rank").as("a_rank")),
+        Seq("q_id", "n_id"))
+    val dcg = hits.join(broadcast(w), col("a_rank") === col("r"))
+      .groupBy(col("q_id"))
+      .agg(sum((lit(11L) - col("e_rank")) * col("wt")).as("dcg"))
+    exact.select(col("q_id")).distinct()
+      .join(dcg, Seq("q_id"), "left")
+      .crossJoin(broadcast(idcg))
+      .select(col("q_id"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_e6"),
+        col("idcg").as("idcg_e6"),
+        expr("(coalesce(dcg, 0) * 1000000) div idcg").as("ndcg_e6"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The shared sign-LSH eval harness: (candidates, approx top-10,
+    * exact top-10), each ranked per query — integer arithmetic end to
+    * end so DuckDB replays every frame (see [[retrievalEval]]). */
+  private def lshEvalFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val nTables = 4; val nBits = 6; val dim = 64; val k = 10; val nQ = 30
     def sign(t: Int, b: Int, i: Int): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -611,26 +670,7 @@ object ScaleQueries {
     val exact = qv.crossJoin(nv).filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), intDist.as("d"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-    val hits = exact.select(col("q_id"), col("n_id"), col("rank").as("e_rank"))
-      .join(approx.select(col("q_id"), col("n_id"), col("rank").as("a_rank")),
-        Seq("q_id", "n_id"), "left")
-    hits.groupBy(col("q_id"))
-      .agg(
-        // K=10 ⇒ recall_e4 = matches * 1000, an exact integer
-        (count(col("a_rank")) * 1000).as("recall_e4"),
-        // reciprocal rank of the TRUE nearest neighbor in the approx
-        // list; 10000/r never lands on .5 for r ≤ 10, so HALF_UP vs
-        // HALF_EVEN can't diverge
-        coalesce(max(when(col("e_rank") === 1,
-            round(lit(10000.0) / col("a_rank")).cast("long"))), lit(0L))
-          .as("rr_e4"))
-      // LEFT join: a query whose buckets hold no neighbor at all still
-      // reports (n_cand=0, recall=0) instead of vanishing from the eval
-      .join(nCand, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        col("recall_e4"), col("rr_e4"))
-      .orderBy(col("q_id"))
+    (cand, approx, exact)
   }
 
   /** Matryoshka (prefix-dimension) retrieval eval — Kusupati et al. 2022
@@ -908,6 +948,85 @@ object ScaleQueries {
   def imageAhashDedup(spark: SparkSession, dir: String): DataFrame =
     chunkedHammingPairs(imageAhash(spark, dir), maxHamming = 3)
 
+  /** Difference-hashes over the SAME generated rasters as
+    * [[imageAhash]], hashed with [[MediaCodecs.dHash64]] (X300 — the
+    * gradient perceptual hash): 8×9 box cells, bit = right cell mean >
+    * left cell mean as exact integer cross-products. The x+y brightness
+    * ramp that shifts every aHash cell uniformly is DIFFERENCED away
+    * here, which is why production near-dup stacks run dHash next to
+    * aHash. PNG gray8 is lossless, so the oracle recomputes every bit
+    * of the encode → JDK-decode → hash chain from the closed forms. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4
+        // width floor is 9 (the dHash grid needs a 9th column); same
+        // md5 pattern and brightness ramp as the aHash fixture otherwise
+        val w = 9 + (g % 25).toInt
+        val h = 8 + ((g * 7) % 25).toInt
+        val step = (id % 4).toInt
+        def patBit(cx: Int, cy: Int): Boolean = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"ah:$g:$cx:$cy".getBytes("UTF-8"))
+          (d(0) & 0x80) != 0 // first hex digit in 8..f
+        }
+        val png = MediaCodecs.encodeGray(w, h, (x, y) => {
+          val cx = x * 8 / w
+          val cy = y * 8 / h
+          val flipped = patBit(cx, cy) ^ (cy * 8 + cx < step)
+          60 + (if (flipped) 120 else 0) + x + y
+        })
+        val c = MediaCodecs.dHash64(png).fold(e => sys.error(e), identity)
+        AHashRow(id, c(0), c(1), c(2), c(3))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** The dHash near-dup pair screen — same pigeonhole-complete 4-chunk
+    * banding as [[imageAhashDedup]]; the step-flips perturb only a few
+    * pattern cells, so within-group pairs stay under the Hamming bar
+    * while cross-group hashes are unrelated. Oracle: all-pairs from the
+    * closed-form hashes. */
+  def imageDhashDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkedHammingPairs(imageDhash(spark, dir), maxHamming = 3)
+
+  final case class SilenceRow(doc_id: Long, n_frames: Long, n_silent: Long,
+      lead_silent: Long)
+
+  /** Silence profiling over DECODED PCM (X301 — the dead-air gate an
+    * audio-ingest pipeline runs before paying for transcription): the
+    * same generated WAVs as [[audioFingerprintQ]] (step·40 leading zero
+    * samples planted per id) decode through javax.sound and
+    * [[MediaCodecs.silenceProfile]] counts exact integer frame
+    * energies against the threshold — total / silent / LEADING silent
+    * frames per document. The oracle replays every energy from the
+    * closed-form samples (PCM16 is lossless). */
+  def audioSilence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 240)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4
+        val k = 3 + 2 * g.toInt
+        val step = (id % 4).toInt
+        val samples = Array.tabulate(65 * 32) { t =>
+          if (t < step * 40) 0.toShort
+          else (((t * k) % 2000) - 1000).toShort
+        }
+        val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+        val (nf, ns, lead) = MediaCodecs.silenceProfile(wav, frameLen = 32,
+          threshold = 1000L).fold(e => sys.error(e), identity)
+        SilenceRow(id, nf, ns, lead)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
   /** Acoustic fingerprints over DECODED 16-bit PCM: groups of 4 ids
     * share a sawtooth waveform (period parameter k from the group id);
     * the id-within-group `step` silences the first step·40 samples,
@@ -1078,6 +1197,9 @@ object ScaleQueries {
     "neural_embed" -> (neuralEmbed _),
     "image_ahash" -> (imageAhash _),
     "image_ahash_dedup" -> (imageAhashDedup _),
+    "image_dhash" -> (imageDhash _),
+    "image_dhash_dedup" -> (imageDhashDedup _),
+    "audio_silence" -> (audioSilence _),
     "audio_fingerprint" -> (audioFingerprintQ _),
     "audio_fp_dedup" -> (audioFpDedup _),
     "pq_precision" -> (pqPrecision _),
@@ -1090,6 +1212,7 @@ object ScaleQueries {
     "ivf_precision" -> (ivfPrecision _),
     "ivf_filtered_precision" -> (ivfFilteredPrecision _),
     "retrieval_eval" -> (retrievalEval _),
+    "ndcg_eval" -> (ndcgEval _),
     "mrl_recall" -> (mrlRecall _),
     "minhash_precision" -> (minhashPrecision _),
     "lsh_precision" -> (lshPrecision _),
@@ -1126,6 +1249,42 @@ object ScaleQueries {
       |  SELECT c.doc_id, cy * 8 + cx AS b,
       |    CASE WHEN c.cs * c.wh > t.tv * c.cn THEN 1 ELSE 0 END AS bit
       |  FROM cells c JOIN tot t USING (doc_id)),
+      |hh AS (
+      |  SELECT doc_id, b // 16 AS ci,
+      |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
+      |  FROM bits GROUP BY doc_id, b // 16)""".stripMargin
+
+  /** Shared CTE chain for the DIFFERENCE hash: the same closed-form
+    * pixel field as [[aHashSigSql]], box-celled on the 8×9 dHash grid,
+    * exact rational ADJACENT-cell comparisons → 4×16-bit chunks,
+    * mirroring [[graft.multimodal.MediaCodecs.dHash64]]. */
+  private val dHashSigSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    9 + (doc_id // 4) % 25 AS w, 8 + ((doc_id // 4) * 7) % 25 AS h,
+      |    doc_id // 4 AS g, doc_id % 4 AS step
+      |  FROM documents WHERE doc_id < 240),
+      |pxx AS (SELECT doc_id, w, h, g, step,
+      |          unnest(generate_series(0, w - 1)) AS x FROM p),
+      |pxy AS (SELECT doc_id, w, h, g, step, x,
+      |          unnest(generate_series(0, h - 1)) AS y FROM pxx),
+      |pxv AS (SELECT doc_id, w, h, x, y,
+      |          60 + 120 * (CASE WHEN
+      |              (substr(md5('ah:' || g || ':' || ((x*8)//w) || ':' || ((y*8)//h)), 1, 1)
+      |                 IN ('8','9','a','b','c','d','e','f'))
+      |              <> (((y*8)//h) * 8 + ((x*8)//w) < step)
+      |            THEN 1 ELSE 0 END) + x + y AS v
+      |        FROM pxy),
+      |cells AS (
+      |  SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+      |    SUM(v) AS cs, COUNT(*) AS cn
+      |  FROM pxv GROUP BY doc_id, (y * 8) // h, (x * 9) // w),
+      |bits AS (
+      |  SELECT l.doc_id, l.cy * 8 + l.cx AS b,
+      |    CASE WHEN r.cs * l.cn > l.cs * r.cn THEN 1 ELSE 0 END AS bit
+      |  FROM cells l JOIN cells r
+      |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+      |  WHERE l.cx < 8),
       |hh AS (
       |  SELECT doc_id, b // 16 AS ci,
       |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
@@ -1281,6 +1440,60 @@ object ScaleQueries {
         |SELECT m.q_id, COALESCE(nc.n_cand, 0) AS n_cand,
         |  CAST(m.recall_e4 AS BIGINT) AS recall_e4, CAST(m.rr_e4 AS BIGINT) AS rr_e4
         |FROM m LEFT JOIN nc ON nc.q_id = m.q_id ORDER BY m.q_id""".stripMargin,
+    // same LSH chain as retrieval_eval; graded relevance 11−e_rank,
+    // e6 log2 position discounts, exact integer DCG/IDCG quotient
+    "ndcg_eval" ->
+      """WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |tb AS (SELECT tt.t, bb.b
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS t) tt
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) bb),
+        |s AS (SELECT tb.t, tb.b, idx.i,
+        |        CASE WHEN substr(md5('re:' || tb.t || ':' || tb.b || ':' || idx.i), 1, 1)
+        |               IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sgn
+        |      FROM tb CROSS JOIN idx),
+        |x AS (SELECT vec_id, idx.i,
+        |        CAST(round(CAST(embedding[idx.i + 1] AS DOUBLE) * 10000) AS BIGINT) AS xe4
+        |      FROM embeddings CROSS JOIN idx),
+        |bits AS (SELECT x.vec_id, s.t, s.b,
+        |           CASE WHEN SUM(x.xe4 * s.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |         FROM x JOIN s ON s.i = x.i GROUP BY x.vec_id, s.t, s.b),
+        |bkt AS (SELECT vec_id, t, CAST(SUM(bit * (1 << b)) AS BIGINT) AS bkt
+        |        FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |         FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+        |         WHERE q.vec_id < 30 AND c.vec_id <> q.vec_id),
+        |ints AS (SELECT vec_id,
+        |           list_transform(embedding,
+        |             v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xe4
+        |         FROM embeddings),
+        |ad AS (SELECT c.q_id, c.n_id,
+        |         list_sum(list_transform(list_zip(q.xe4, n.xe4),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        |       FROM cand c
+        |       JOIN ints q ON q.vec_id = c.q_id JOIN ints n ON n.vec_id = c.n_id),
+        |ar AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS a_rank
+        |       FROM ad QUALIFY a_rank <= 10),
+        |ed AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |         list_sum(list_transform(list_zip(q.xe4, n.xe4),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        |       FROM ints q CROSS JOIN ints n
+        |       WHERE q.vec_id < 30 AND n.vec_id <> q.vec_id),
+        |er AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS e_rank
+        |       FROM ed QUALIFY e_rank <= 10),
+        |w AS (SELECT r, CAST(round(1000000 / log2(CAST(r AS DOUBLE) + 1)) AS BIGINT) AS wt
+        |      FROM (SELECT unnest(generate_series(1, 10)) AS r)),
+        |idcg AS (SELECT SUM((11 - r) * wt) AS idcg FROM w),
+        |hits AS (SELECT er.q_id, er.e_rank, ar.a_rank
+        |         FROM er JOIN ar ON ar.q_id = er.q_id AND ar.n_id = er.n_id),
+        |d AS (SELECT q_id, SUM((11 - e_rank) * w.wt) AS dcg
+        |      FROM hits JOIN w ON w.r = hits.a_rank GROUP BY q_id),
+        |qs AS (SELECT DISTINCT q_id FROM er)
+        |SELECT qs.q_id, CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg_e6,
+        |  CAST(idcg AS BIGINT) AS idcg_e6,
+        |  CAST(COALESCE(d.dcg, 0) * 1000000 // idcg AS BIGINT) AS ndcg_e6
+        |FROM qs LEFT JOIN d USING (q_id), idcg ORDER BY qs.q_id""".stripMargin,
     // identical ground truth to ivf_precision: lossless PQ + all cells +
     // shortlist=k must collapse to brute-force top-13
     "pq_precision" ->
@@ -1454,6 +1667,49 @@ object ScaleQueries {
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
         |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
         |ORDER BY a_id, b_id""".stripMargin),
+    // every dHash bit recomputed from the closed-form pixels on the
+    // 8×9 gradient grid
+    "image_dhash" -> (dHashSigSql +
+      """
+        |SELECT doc_id,
+        |  MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |  MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |  MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |  MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "image_dhash_dedup" -> (dHashSigSql +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN ci = 0 THEN cv END) AS h0,
+        |    MAX(CASE WHEN ci = 1 THEN cv END) AS h1,
+        |    MAX(CASE WHEN ci = 2 THEN cv END) AS h2,
+        |    MAX(CASE WHEN ci = 3 THEN cv END) AS h3
+        |  FROM hh GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |     + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin),
+    // every frame energy recomputed from the closed-form PCM samples
+    "audio_silence" ->
+      """WITH p AS (
+        |  SELECT doc_id, 3 + 2 * (doc_id // 4) AS k, doc_id % 4 AS step
+        |  FROM documents WHERE doc_id < 240),
+        |ts AS (SELECT doc_id, k, step,
+        |         unnest(generate_series(0, 65 * 32 - 1)) AS t FROM p),
+        |sv AS (SELECT doc_id, t // 32 AS f,
+        |         CASE WHEN t < step * 40 THEN 0
+        |              ELSE abs(((t * k) % 2000) - 1000) END AS av
+        |       FROM ts),
+        |en AS (SELECT doc_id, f, SUM(av) AS e FROM sv GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(65 AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN e <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |  CAST(COALESCE(MIN(CASE WHEN e > 1000 THEN f END), 65) AS BIGINT)
+        |    AS lead_silent
+        |FROM en GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // every fingerprint bit recomputed from the closed-form PCM (PCM16
     // round-trips losslessly through the WAV container)
     "audio_fingerprint" -> (audioFpSigSql +

@@ -1019,6 +1019,91 @@ object StatQueries {
       .orderBy(col("level"))
   }
 
+  /** Kruskal-Wallis H (X292 — the rank one-way ANOVA, Kruskal & Wallis
+    * 1952): does `value` differ in DISTRIBUTION across event types,
+    * without mann_whitney's two-group limit or any normality
+    * assumption? Ranks are exact integers in DOUBLED form (2·avg-rank =
+    * 2·count_below + count_eq + 1 — ties need no fractions), computed
+    * per DISTINCT e2 value (value-cardinality-bounded window, never a
+    * row-wise global sort) and broadcast back onto the rows; per-group
+    * rank sums accumulate DECIMAL(38,0). The statistic folds the
+    * doubled form: H = 3·T/(N(N+1)) − 3(N+1) with T = Σ_c R2_c² div
+    * n_c (exact integer quotients — 12/(N(N+1))·Σ(R2/2)²/n = 3·Σ
+    * R2²/n/(N(N+1))), and the tie-corrected H divides by 1 − Σ(t³−t)/
+    * (N³−N) from exact tie counts. Magnitude bound (the d38 contract):
+    * R2_c² div n_c ≤ 4N³ must fit BIGINT — exact while N < 1.3e6 rows
+    * per audited slice; shard the audit beyond that. One data-sized
+    * rollup (value histogram); everything after is bounded. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisOf(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v")))
+
+  private[graft] def kruskalWallisOf(ev: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val byVal = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // doubled average rank per distinct value: 2·below + eq + 1
+    val ranked = byVal
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("v"), (lit(2L) * col("below") + col("cnt") + 1L).as("r2"),
+        col("cnt"))
+    val grp = ev.join(broadcast(ranked.select(col("v"), col("r2"))), "v")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_c"),
+        sum(expr(s"CAST(r2 AS $d38)")).as("rs2"))
+    val ties = ranked.agg(sum(expr(
+      s"CAST(cnt AS $d38) * CAST(cnt AS $d38) * CAST(cnt AS $d38) " +
+        s"- CAST(cnt AS $d38)")).as("ts"))
+    grp.agg(sum(col("n_c")).as("n"), count(lit(1)).as("n_groups"),
+        sum(expr("(rs2 * rs2) div n_c")).as("t"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"),
+        expr(
+          """CAST(round(
+            |  (3.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+            |   - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin)
+          .as("h_e6"),
+        expr(
+          """CAST(round(
+            |  (3.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+            |   - 3.0 * CAST(n + 1 AS DOUBLE))
+            |  / (1.0 - CAST(ts AS DOUBLE)
+            |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            |        - CAST(n AS DOUBLE)))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("h_tie_e6"))
+  }
+
+  /** L-diversity audit (X293 — Machanavajjhala et al. 2006, the
+    * k-anonymity companion): k-anonymity bounds group SIZE, but a group
+    * of 50 rows that all share one sensitive value still discloses it —
+    * l-diversity requires every QI group to carry ≥ l DISTINCT
+    * sensitive values. Same two generalization levels as
+    * [[kAnonymity]] (sensitive attribute: nation), reporting the
+    * minimum l, the groups below the conventional l ≥ 3 bar, and the
+    * row mass at risk. Pure integer counting, QI-cardinality-bounded
+    * after one partial-aggregated rollup per level. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.customer(spark, dir))
+
+  def lDiversityOf(customer: DataFrame): DataFrame = {
+    def audit(level: String, keys: Seq[org.apache.spark.sql.Column]) =
+      customer.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_nationkey")).as("l"))
+        .agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_groups_below3"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(lit(level).as("level"), col("n_groups"), col("min_l"),
+          col("n_groups_below3"), col("n_rows_at_risk"))
+    def band(width: Long) = expr(
+      s"(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div $width")
+    audit("fine", Seq(col("c_mktsegment"), band(10000L).as("band")))
+      .unionByName(audit("coarse", Seq(band(100000L).as("band"))))
+      .orderBy(col("level"))
+  }
+
   /** The t-ranked daily revenue series collected to ONE sorted array —
     * the shared bounded frame the pairwise estimators (Theil-Sen,
     * Kendall) fold over: at any corpus size the array is ≤ one element
@@ -1965,6 +2050,8 @@ object StatQueries {
     "srm_check" -> (srmCheck _),
     "diff_in_diff" -> (diffInDiff _),
     "k_anonymity" -> (kAnonymity _),
+    "kruskal_wallis" -> (kruskalWallis _),
+    "l_diversity" -> (lDiversity _),
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
@@ -2777,6 +2864,66 @@ object StatQueries {
         |    CAST(SUM(CASE WHEN day(ts) <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS a,
         |    CAST(SUM(CASE WHEN day(ts) > 14 THEN 1 ELSE 0 END) AS BIGINT) AS b
         |  FROM events GROUP BY 1""".stripMargin, "//"),
+    // doubled integer ranks (2·below + eq + 1), HUGEINT quotients per
+    // group, the H chain replayed in the same operand order
+    "kruskal_wallis" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |byval AS (SELECT v, COUNT(*) AS cnt FROM ev GROUP BY v),
+        |ranked AS (
+        |  SELECT v,
+        |    2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2,
+        |    cnt
+        |  FROM byval),
+        |grp AS (
+        |  SELECT event_type, COUNT(*) AS n_c,
+        |    SUM(CAST(r2 AS HUGEINT)) AS rs2
+        |  FROM ev JOIN ranked USING (v) GROUP BY 1),
+        |ties AS (
+        |  SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ts
+        |  FROM ranked),
+        |top AS (
+        |  SELECT SUM(n_c) AS n, COUNT(*) AS n_groups,
+        |    SUM((rs2 * rs2) // n_c) AS t
+        |  FROM grp)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(round(
+        |    (3.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |     - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS h_e6,
+        |  CAST(round(
+        |    (3.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |     - 3.0 * CAST(n + 1 AS DOUBLE))
+        |    / (1.0 - CAST(ts AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS h_tie_e6
+        |FROM top, ties""".stripMargin,
+    // same QI bands as k_anonymity; sensitive attribute = nation
+    "l_diversity" ->
+      """WITH fine AS (
+        |  SELECT c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS band,
+        |    COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |coarse AS (
+        |  SELECT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS band,
+        |    COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS l
+        |  FROM customer GROUP BY 1),
+        |a AS (
+        |  SELECT 'fine' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(MIN(l) AS BIGINT) AS min_l,
+        |    CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below3,
+        |    CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM fine
+        |  UNION ALL
+        |  SELECT 'coarse', CAST(COUNT(*) AS BIGINT), CAST(MIN(l) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        |  FROM coarse)
+        |SELECT * FROM a ORDER BY level""".stripMargin,
     // shifted-positive div floors identically on negative balances
     "k_anonymity" ->
       """WITH fine AS (

@@ -843,6 +843,55 @@ object TextQueries {
     * The fixture's iid 31-word generator puts PMI ≈ 0 everywhere — the
     * honest no-collocation readout (the spec plants a real collocation
     * and watches it surface). Top-15 by (pmi desc, pair). */
+  /** Zipf rank-frequency fit (X297 — the log-log slope of the word
+    * frequency distribution, heaps_law's sibling: natural text slopes
+    * ≈ −1, so a corpus slice that doesn't is machine-generated,
+    * boilerplate-heavy, or mis-parsed — a corpus-quality screen before
+    * training). Top-500 (freq desc, word) ranks; each point's ln(rank)
+    * / ln(freq) is ONE e6 integer (the ln-points recipe — never a
+    * float sum across rows), the OLS slope/intercept fold
+    * DECIMAL(38,0)-exact sums, and the two closed forms are
+    * fixed-order double chains. The word histogram is the only
+    * data-sized pass; the regression frame is 500 rows at any corpus
+    * size. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(500)
+    val d38 = "decimal(38,0)"
+    val pts = freq
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("f").desc, col("w"))))
+      .select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(x AS $d38)")).as("sx"),
+        sum(expr(s"CAST(y AS $d38)")).as("sy"),
+        sum(expr(s"CAST(x AS $d38) * CAST(y AS $d38)")).as("sxy"),
+        sum(expr(s"CAST(x AS $d38) * CAST(x AS $d38)")).as("sxx"))
+      .select(col("n"),
+        expr(
+          """CAST(round(
+            |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("slope_e6"),
+        expr(
+          """CAST(round(
+            |  (CAST(sy AS DOUBLE)
+            |   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |     * CAST(sx AS DOUBLE))
+            |  / CAST(n AS DOUBLE) / 1000000.0 * 10000) AS BIGINT)""".stripMargin)
+          .as("intercept_ln_e4"))
+  }
+
   def wordPmi(spark: SparkSession, dir: String): DataFrame =
     wordPmiOf(Tables.documents(spark, dir)
       .filter(col("doc_id") < 1000))
@@ -1205,6 +1254,7 @@ object TextQueries {
     "html_strip" -> (htmlStrip _),
     "domain_stats" -> (domainStats _),
     "top_bigrams" -> (topBigrams _),
+    "zipf_slope" -> (zipfSlope _),
     "lm_doc_score" -> (lmDocScore _),
     "perplexity_buckets" -> (perplexityBuckets _),
     "char_entropy" -> (charEntropy _),
@@ -1230,6 +1280,41 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // same top-500 rank points, e6 ln integers, exact OLS sums, ordered
+    // double chains
+    "zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT w, COUNT(*) AS f
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w
+        |  ORDER BY f DESC, w LIMIT 500),
+        |pts AS (
+        |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY f DESC, w)
+        |           AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM freq),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pts)
+        |SELECT n,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS slope_e6,
+        |  CAST(round(
+        |    (CAST(sy AS DOUBLE)
+        |     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0 * 10000) AS BIGINT) AS intercept_ln_e4
+        |FROM a""".stripMargin,
     // identical chain: train/test split, Laplace e6 log-likelihood per
     // (token, class), order-free integer doc scores, rank-1 argmax
     "naive_bayes_source" ->

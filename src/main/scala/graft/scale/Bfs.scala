@@ -28,8 +28,17 @@ object Bfs {
 
   /** Minimum hops from any seed, up to `maxHops`. `edges`: (`src`,
     * `dst`) directed; `seeds`: (`node`). Unreachable nodes are absent.
-    * Output: (`node`, `hop`). */
-  def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    * Output: (`node`, `hop`).
+    *
+    * `broadcastFrontier`: when the caller KNOWS the frontier stays
+    * driver-small (a bounded community, one bipartition side), each
+    * round's frontier⨝edges join broadcasts the frontier — map-side
+    * over the cached edge partitions, no frontier shuffle and no edge
+    * exchange at all. Default OFF: on a web-scale graph the wavefront
+    * can be O(|V|) and a forced broadcast would OOM the driver — the
+    * shuffling plan is the scale-safe default. */
+  def run(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastFrontier: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
@@ -44,7 +53,8 @@ object Bfs {
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val next = frontier.join(e, col("node") === col("src"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val next = f.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(hop).as("hop"))
       val merged = visited.unionByName(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))

@@ -186,6 +186,61 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.aHash64(MediaCodecs.encodeGray(4, 4, (_, _) => 1)).isLeft) // < 8x8
   }
 
+  test("dHash: hand-computed gradient bits; ramp invariance aHash lacks") {
+    // 9x8 image, each dHash cell IS one pixel: bit (row*8+c) set iff
+    // pixel (c+1) > pixel (c) in that row. Pixels ascend with x on even
+    // rows, descend on odd -> even rows all-ones, odd rows all-zeros
+    val png = MediaCodecs.encodeGray(9, 8,
+      (x, y) => if (y % 2 == 0) 10 + x else 100 - x)
+    val c = MediaCodecs.dHash64(png).fold(e => fail(e), identity)
+    for (bit <- 0 until 64) {
+      val want = (bit / 8) % 2 == 0
+      val got = ((c(bit / 16) >> (bit % 16)) & 1) == 1
+      assert(got == want, s"bit $bit: got $got want $want")
+    }
+    // brightness invariance: +50 everywhere leaves every comparison
+    val brighter = MediaCodecs.encodeGray(9, 8,
+      (x, y) => (if (y % 2 == 0) 10 + x else 100 - x) + 50)
+    assert(MediaCodecs.dHash64(brighter).toOption.get.toSeq == c.toSeq)
+    // THE dHash property: a smooth x-ramp added to a flat image leaves
+    // dHash at a constant all-ones (every right cell beats its left) no
+    // matter the ramp's base — while aHash flips with global contrast.
+    // A flat image has NO gradient: all-zero dHash.
+    val flat = MediaCodecs.encodeGray(18, 16, (_, _) => 77)
+    assert(MediaCodecs.dHash64(flat).toOption.get.toSeq == Seq(0, 0, 0, 0))
+    val ramp = MediaCodecs.encodeGray(18, 16, (x, _) => 40 + x * 5)
+    val rc = MediaCodecs.dHash64(ramp).toOption.get
+    assert((0 until 64).forall(b => ((rc(b / 16) >> (b % 16)) & 1) == 1),
+      "a monotone x-ramp must set every gradient bit")
+    // totality
+    assert(MediaCodecs.dHash64("junk".getBytes("US-ASCII")).isLeft)
+    assert(MediaCodecs.dHash64(MediaCodecs.encodeGray(8, 8, (_, _) => 1)).isLeft) // < 9 wide
+  }
+
+  test("silence profile: planted leading zeros count exactly; thresholds bite") {
+    // 10 frames of 32 samples: first 3 frames zero, rest amplitude 100
+    val samples = Array.tabulate(10 * 32)(t => (if (t < 96) 0 else 100).toShort)
+    val (nf, ns, lead) = MediaCodecs
+      .silenceProfile(MediaCodecs.encodeWavPcm16(8000, samples),
+        frameLen = 32, threshold = 1000L)
+      .fold(e => fail(e), identity)
+    assert(nf == 10 && ns == 3 && lead == 3, s"($nf, $ns, $lead)")
+    // an interior silent frame counts as silent but not leading
+    val gap = Array.tabulate(10 * 32)(t =>
+      (if (t >= 5 * 32 && t < 6 * 32) 0 else 100).toShort)
+    val (_, ns2, lead2) = MediaCodecs
+      .silenceProfile(MediaCodecs.encodeWavPcm16(8000, gap),
+        frameLen = 32, threshold = 1000L).fold(e => fail(e), identity)
+    assert(ns2 == 1 && lead2 == 0, s"($ns2, $lead2)")
+    // all-silent: leading == total; threshold 32*100=3200 <= t flips all
+    val loudBar = MediaCodecs
+      .silenceProfile(MediaCodecs.encodeWavPcm16(8000, gap),
+        frameLen = 32, threshold = 3200L).fold(e => fail(e), identity)
+    assert(loudBar._2 == 10 && loudBar._3 == 10)
+    // totality
+    assert(MediaCodecs.silenceProfile("junk".getBytes("US-ASCII")).isLeft)
+  }
+
   test("audio fingerprint: hand-computed energy-delta bits; gain-scaling invariance") {
     // 65 frames of 32 samples: frame f is constant amplitude 100·(f % 2)
     // -> energies alternate 0, 3200, 0, ... so bit f = (f even): E_{f+1} > E_f
