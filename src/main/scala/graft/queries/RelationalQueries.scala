@@ -296,6 +296,37 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Global clustering coefficient / transitivity (X305 — Watts-
+    * Strogatz transitivity C = 3·triangles / wedges, the one-number
+    * "is this graph clique-y or tree-y?" screen next to
+    * [[triangleCount]]'s per-node view): triangles from the same
+    * forward-oriented enumeration (each counted once), wedges
+    * Σ d(d−1)/2 from the degree rollup — both exact integers, C the
+    * exact e6 quotient. Dimension-bounded after the edge build. */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") < 40)
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("d")).distinct()
+    val edges = o.as("a")
+      .join(o.as("b"), col("a.d") === col("b.d") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("u"), col("b.c").as("v")).distinct()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        expr("CASE WHEN n_wedges > 0 THEN " +
+          "(3 * n_triangles * 1000000) div n_wedges END").as("global_c_e6"))
+  }
+
   /** Synchronous label propagation (5 iterations) over the customer
     * co-order graph (customers < 60 sharing an order date — a clique-rich
     * graph, unlike the bipartite PageRank one where sync LPA would
@@ -993,11 +1024,18 @@ object RelationalQueries {
     * fixpoint loop and the oracle row are unchanged. */
   def ktrussCore(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var e = edges.localCheckpoint()
-    var n = e.count()
+    // FIXED orientation from the ORIGINAL degrees (VERDICT r13 #3): any
+    // consistent total order enumerates each triangle exactly once, so
+    // correctness never needed the per-round re-orientation — it re-paid
+    // a degree groupBy + two joins every iteration for a slightly
+    // tighter wedge bound (stale degrees only shrink as edges peel, so
+    // Σ outdeg² under the ORIGINAL orientation stays the upper bound).
+    // Survivor rounds re-filter the oriented frame by one semi-join.
+    var o = orientEdges(edges).localCheckpoint()
+    var n = o.count()
     var converged = false
     while (!converged) {
-      val tri = orientedTriangles(e)
+      val tri = trianglesOf(o)
       // each triangle supports all three of its canonical (u < v) edges
       val kept = tri.select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
@@ -1009,13 +1047,16 @@ object RelationalQueries {
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2)
         .select(col("u"), col("v"))
+      val o2 = o.join(kept,
+          least(col("s"), col("t")) === col("u") &&
+            greatest(col("s"), col("t")) === col("v"), "left_semi")
         .localCheckpoint()
-      val n2 = kept.count()
+      val n2 = o2.count()
       converged = n2 == n
-      e = kept
+      o = o2
       n = n2
     }
-    e.select(explode(array(col("u"), col("v"))).as("node"))
+    o.select(explode(array(col("s"), col("t"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("truss_degree"))
       .orderBy(col("node"))
   }
@@ -1026,8 +1067,13 @@ object RelationalQueries {
     * LOWEST-rank vertex over [[orientEdges]]'s out-edges, so candidate
     * rows are Σ outdeg² — bounded even on hub-star graphs (the spec's
     * planted-hub pin). */
-  private[graft] def orientedTriangles(e: DataFrame): DataFrame = {
-    val o = orientEdges(e)
+  private[graft] def orientedTriangles(e: DataFrame): DataFrame =
+    trianglesOf(orientEdges(e))
+
+  /** [[orientedTriangles]] over an ALREADY-oriented (s, t, dt) frame —
+    * the seam [[ktrussCore]] reuses across rounds without re-deriving
+    * the orientation. */
+  private def trianglesOf(o: DataFrame): DataFrame =
     o.as("p").join(o.as("q"),
         col("p.s") === col("q.s") &&
           (col("p.dt") < col("q.dt") ||
@@ -1036,7 +1082,6 @@ object RelationalQueries {
         col("q.dt").as("dc"))
       .join(o.as("r"), col("r.s") === col("b") && col("r.t") === col("c"))
       .select(col("a"), col("b"), col("c"))
-  }
 
   /** Orient each canonical edge from its lower-(degree, id) endpoint:
     * (s, t, dt) with dt = deg(t), the wedge-leg sort key. Out-degrees
@@ -1473,6 +1518,7 @@ object RelationalQueries {
     "link_predict" -> (linkPredict _),
     "adamic_adar" -> (adamicAdar _),
     "powerlaw_degree_fit" -> (powerlawDegreeFit _),
+    "clustering_coefficient" -> (clusteringCoefficient _),
     "hits_scores" -> (hitsScores _),
     "bipartite_check" -> (bipartiteCheck _),
     "pareto_front" -> (paretoFront _),
@@ -1920,6 +1966,31 @@ object RelationalQueries {
         |FROM e a JOIN e b ON a.p = b.p AND a.s < b.s JOIN pw ON pw.p = a.p
         |GROUP BY 1, 2
         |ORDER BY aa_e9 DESC, s1, s2 LIMIT 25""".stripMargin,
+    // same forward triangle enumeration + degree wedges, exact quotient
+    "clustering_coefficient" ->
+      """WITH o AS (
+        |  SELECT DISTINCT o_custkey AS c, o_orderdate AS d
+        |  FROM orders WHERE o_custkey < 40),
+        |e AS (
+        |  SELECT DISTINCT a.c AS u, b.c AS v
+        |  FROM o a JOIN o b ON a.d = b.d AND a.c < b.c),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |w AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+        |  END AS global_c_e6
+        |FROM w, ne, tri""".stripMargin,
     // one e6 ln-point per distinct degree; alpha replayed in order
     "powerlaw_degree_fit" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

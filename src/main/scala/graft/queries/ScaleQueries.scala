@@ -869,6 +869,76 @@ object ScaleQueries {
   def semanticDecontamPrecision(spark: SparkSession, dir: String): DataFrame =
     semanticDecontam(spark, dir, nprobe = 16)
 
+  /** Grid-DBSCAN density clustering (X304 — the grid-cell DBSCAN
+    * approximation every at-scale implementation uses, GriT-DBSCAN /
+    * the NG-DBSCAN family's first stage): points land in τ-cells by
+    * shifted-positive integer division, CORE cells carry ≥ minPts
+    * points, and clusters are the connected components of core cells
+    * under 8-neighborhood adjacency. ONE data-sized pass (the cell
+    * histogram); the core-cell frame is bounded by (value-range/τ)² —
+    * a property of the DOMAIN, not the row count — so the component
+    * labeling runs driver-side union-find (deterministic: a
+    * component's label is its lexicographically smallest cell) at any
+    * corpus size. The oracle replays the labeling as 24 unrolled
+    * min-label rounds — equal to the union-find fixpoint because 24
+    * exceeds any component diameter at both tested SFs (probed: 6 core
+    * cells at sf0.01, 22 at sf0.1). Border/noise points are reported
+    * in aggregate (points outside core cells), the standard grid-first
+    * accounting. */
+  def gridDbscan(spark: SparkSession, dir: String): DataFrame =
+    gridDbscanOf(spark, Tables.embeddings(spark, dir), minPts = 25)
+
+  private[graft] def gridDbscanOf(spark: SparkSession, emb: DataFrame,
+      minPts: Long): DataFrame = {
+    import spark.implicits._
+    val cells = emb.select(
+        expr("(CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 10000) " +
+          "AS BIGINT) + 100000) div 1000").as("cx"),
+        expr("(CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 10000) " +
+          "AS BIGINT) + 100000) div 1000").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val core = cells.filter(col("n") >= minPts)
+      .select(col("cx"), col("cy"), col("n"))
+      .as[(Long, Long, Long)].collect().sortBy(c => (c._1, c._2))
+    val noise = cells.filter(col("n") < minPts)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("pts"),
+        count(lit(1)).as("cells"))
+      .head()
+    // union-find over the bounded core grid; final label = the
+    // component's lexicographically smallest (cx, cy)
+    val idx = core.zipWithIndex.map { case (c, i) => (c._1, c._2) -> i }.toMap
+    val parent = Array.tabulate(core.length)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var j = i
+      while (parent(j) != r) { val nx = parent(j); parent(j) = r; j = nx }
+      r
+    }
+    for (((cx, cy, _), i) <- core.zipWithIndex; dx <- -1L to 1L; dy <- -1L to 1L)
+      idx.get((cx + dx, cy + dy)).foreach { j =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val label = new Array[(Long, Long)](core.length)
+    for (i <- core.indices) {
+      val r = find(i)
+      val c = (core(i)._1, core(i)._2)
+      if (label(r) == null || Ordering[(Long, Long)].lt(c, label(r)))
+        label(r) = c
+    }
+    val rows = core.zipWithIndex.map { case ((cx, cy, n), i) =>
+      val l = label(find(i))
+      (l._1, l._2, cx, cy, n)
+    }.toSeq
+    val labeled = rows.toDF("label_cx", "label_cy", "cx", "cy", "n")
+    labeled.groupBy(col("label_cx"), col("label_cy"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+      .crossJoin(broadcast(Seq((noise.getLong(0), noise.getLong(1)))
+        .toDF("noise_points", "noise_cells")))
+      .orderBy(col("n_points").desc, col("label_cx"), col("label_cy"))
+  }
+
   final case class AHashRow(doc_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
 
   /** Perceptual image hashes over DECODED rasters: groups of 4
@@ -1200,6 +1270,7 @@ object ScaleQueries {
     "image_dhash" -> (imageDhash _),
     "image_dhash_dedup" -> (imageDhashDedup _),
     "audio_silence" -> (audioSilence _),
+    "grid_dbscan" -> (gridDbscan _),
     "audio_fingerprint" -> (audioFingerprintQ _),
     "audio_fp_dedup" -> (audioFpDedup _),
     "pq_precision" -> (pqPrecision _),
@@ -1253,6 +1324,45 @@ object ScaleQueries {
       |  SELECT doc_id, b // 16 AS ci,
       |    CAST(SUM(bit * (1 << (b % 16))) AS INT) AS cv
       |  FROM bits GROUP BY doc_id, b // 16)""".stripMargin
+
+  /** [[gridDbscan]]'s oracle: the same cell histogram, then the
+    * union-find fixpoint replayed as [[GridDbscanRounds]] unrolled
+    * min-label rounds over the 8-neighborhood (the kcore_peel /
+    * label_prop unroll regime) — equal because the round count exceeds
+    * any component diameter at the tested SFs. */
+  private val GridDbscanRounds = 24
+
+  private def gridDbscanSql: String = {
+    // MATERIALIZED is load-bearing: inlined, the 24-step chain becomes
+    // ONE join tree and DuckDB's join-order enumeration explodes
+    // combinatorially (observed: minutes of planning for 6 rows)
+    val steps = (1 to GridDbscanRounds).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT c.cx, c.cy, MIN(r.l) AS l
+         |  FROM core c JOIN r${t - 1} r
+         |    ON abs(r.cx - c.cx) <= 1 AND abs(r.cy - c.cy) <= 1
+         |  GROUP BY c.cx, c.cy)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT (CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) + 100000) // 1000 AS cx,
+       |    (CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) + 100000) // 1000 AS cy
+       |  FROM embeddings),
+       |c0 AS (SELECT cx, cy, COUNT(*) AS n FROM p GROUP BY 1, 2),
+       |core AS MATERIALIZED (SELECT cx, cy, n FROM c0 WHERE n >= 25),
+       |noise AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS noise_points,
+       |  CAST(COUNT(*) AS BIGINT) AS noise_cells FROM c0 WHERE n < 25),
+       |r0 AS (SELECT cx, cy, cx * 1000 + cy AS l FROM core),
+       |$steps
+       |SELECT CAST(l // 1000 AS BIGINT) AS label_cx,
+       |  CAST(l % 1000 AS BIGINT) AS label_cy,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(core.n) AS BIGINT) AS n_points,
+       |  noise_points, noise_cells
+       |FROM r$GridDbscanRounds r
+       |JOIN core ON core.cx = r.cx AND core.cy = r.cy, noise
+       |GROUP BY l, noise_points, noise_cells
+       |ORDER BY n_points DESC, label_cx, label_cy""".stripMargin
+  }
 
   /** Shared CTE chain for the DIFFERENCE hash: the same closed-form
     * pixel field as [[aHashSigSql]], box-celled on the 8×9 dHash grid,
@@ -1667,6 +1777,7 @@ object ScaleQueries {
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
         |    + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
         |ORDER BY a_id, b_id""".stripMargin),
+    "grid_dbscan" -> gridDbscanSql,
     // every dHash bit recomputed from the closed-form pixels on the
     // 8×9 gradient grid
     "image_dhash" -> (dHashSigSql +

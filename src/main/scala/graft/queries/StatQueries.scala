@@ -1041,14 +1041,27 @@ object StatQueries {
 
   private[graft] def kruskalWallisOf(ev: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val byVal = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // doubled average rank per distinct value: 2·below + eq + 1
+    val byVal = ev.filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    // doubled average rank per distinct value (2·below + eq + 1) via the
+    // mann_whitney recipe: the e2-value histogram is VALUE-DOMAIN-
+    // bounded (one row per distinct cent amount, never per event), so it
+    // collects to ONE sorted array and a single `aggregate` fold carries
+    // the cumulative count — no unpartitioned window over unbounded
+    // input (PlanSpec's scale guards), no single-reducer sort.
     val ranked = byVal
-      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .select(col("v"), (lit(2L) * col("below") + col("cnt") + 1L).as("r2"),
-        col("cnt"))
+      .agg(sort_array(collect_list(struct(col("v"), col("cnt")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('cum', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS array<struct<v: bigint, r2: bigint,
+          |                                        cnt: bigint>>)),
+          |  (a, x) -> named_struct(
+          |    'cum', a.cum + x.cnt,
+          |    'out', array_append(a.out, named_struct(
+          |      'v', x.v, 'r2', 2 * a.cum + x.cnt + 1, 'cnt', x.cnt))),
+          |  a -> a.out)""".stripMargin)).as("p"))
+      .select(col("p.v").as("v"), col("p.r2").as("r2"), col("p.cnt").as("cnt"))
     val grp = ev.join(broadcast(ranked.select(col("v"), col("r2"))), "v")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_c"),
@@ -1103,6 +1116,96 @@ object StatQueries {
       .unionByName(audit("coarse", Seq(band(100000L).as("band"))))
       .orderBy(col("level"))
   }
+
+  /** T-closeness audit (X306 — Li, Li & Venkatasubramanian 2007,
+    * completing the privacy triple with [[kAnonymity]] and
+    * [[lDiversity]]): l-diversity counts distinct sensitive values but
+    * a group can still SKEW toward one (50 rows, 49 of one nation) —
+    * t-closeness bounds the DISTANCE between each QI group's sensitive
+    * distribution and the global one. For the categorical attribute the
+    * distance is total variation ½Σ|p_g − p| computed as the exact
+    * rational Σ|c_gn·n − c_n·n_g| / (2·n_g·n): per-group numerators are
+    * integer sums over the group's PRESENT nations plus the closed-form
+    * absent-nation mass (n − Σ_present c_n)·n_g — never a dense
+    * group×nation cross. Per level: worst/best t (e6 quotients), the
+    * groups above the conventional t > 0.5 bar, and the row mass at
+    * risk. DECIMAL(38,0) products carry any table size. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.customer(spark, dir))
+
+  def tClosenessOf(customer: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val globalDist = customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("c_n"))
+    val n = customer.count()
+    def band(width: Long) = expr(
+      s"(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div $width")
+    def audit(level: String, qi: org.apache.spark.sql.Column): DataFrame = {
+      val cells = customer.select(qi.as("qi"), col("c_nationkey"))
+        .groupBy(col("qi"), col("c_nationkey"))
+        .agg(count(lit(1)).as("c_gn"))
+      val sizes = cells.groupBy(col("qi")).agg(sum(col("c_gn")).as("n_g"))
+      val ts = cells
+        .join(broadcast(globalDist), "c_nationkey")
+        .join(broadcast(sizes), "qi")
+        .groupBy(col("qi"))
+        .agg(max(col("n_g")).as("n_g"),
+          sum(expr(s"abs(CAST(c_gn AS $d38) * $n " +
+            s"- CAST(c_n AS $d38) * n_g)")).as("present_num"),
+          sum(col("c_n")).as("present_cn"))
+        .select(col("n_g"),
+          expr(s"CAST(((present_num + CAST($n - present_cn AS $d38) * n_g) " +
+            s"* 1000000) div (2 * CAST(n_g AS $d38) * $n) AS BIGINT)")
+            .as("t_e6"))
+      ts.agg(count(lit(1)).as("n_groups"),
+          max(col("t_e6")).as("max_t_e6"), min(col("t_e6")).as("min_t_e6"),
+          sum(when(col("t_e6") > 500000L, 1L).otherwise(0L))
+            .as("n_groups_above"),
+          sum(when(col("t_e6") > 500000L, col("n_g")).otherwise(0L))
+            .as("n_rows_at_risk"))
+        .select(lit(level).as("level"), col("n_groups"), col("max_t_e6"),
+          col("min_t_e6"), col("n_groups_above"), col("n_rows_at_risk"))
+    }
+    audit("fine", concat(col("c_mktsegment"), lit("#"),
+        band(10000L).cast("string")))
+      .unionByName(audit("coarse", band(100000L).cast("string")))
+      .orderBy(col("level"))
+  }
+
+  /** Cohen's kappa inter-rater agreement (X302 — Cohen 1960, the
+    * chance-corrected agreement every labeling pipeline reports before
+    * trusting a heuristic labeler against a reference): rater A is the
+    * plain high-value rule (v ≥ 250e2), rater B the same rule over a
+    * user-perturbed score — a realistic noisy second labeler. The four
+    * confusion counts and both marginals are exact integers from ONE
+    * partial-aggregated pass; κ = (p_o − p_e)/(1 − p_e) is a single
+    * fixed-order double chain, e6-rounded (NULL when chance agreement
+    * is total — κ undefined). */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        (expr("CAST(round(value * 100) AS BIGINT)") >= 25000L).as("a"),
+        (expr("CAST(round(value * 100) AS BIGINT)") +
+          lit(1000L) * (col("user_id") % 5) >= 25000L).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a_hi"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_hi"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      .select(col("n"), col("a_hi"), col("b_hi"), col("agree"),
+        expr(
+          """CASE WHEN
+            |  1.0 - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+            |         + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+            |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 0.0
+            |THEN CAST(round(
+            |  (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+            |   - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+            |      + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+            |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            |  / (1.0 - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+            |            + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+            |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            |  * 1000000) AS BIGINT) END""".stripMargin).as("kappa_e6"))
 
   /** The t-ranked daily revenue series collected to ONE sorted array —
     * the shared bounded frame the pairwise estimators (Theil-Sen,
@@ -2052,6 +2155,8 @@ object StatQueries {
     "k_anonymity" -> (kAnonymity _),
     "kruskal_wallis" -> (kruskalWallis _),
     "l_diversity" -> (lDiversity _),
+    "cohens_kappa" -> (cohensKappa _),
+    "t_closeness" -> (tCloseness _),
     "ab_experiment" -> (abExperiment _),
     "cuped_experiment" -> (cupedExperiment _),
     "survival_km" -> (survivalKm _),
@@ -2864,6 +2969,87 @@ object StatQueries {
         |    CAST(SUM(CASE WHEN day(ts) <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS a,
         |    CAST(SUM(CASE WHEN day(ts) > 14 THEN 1 ELSE 0 END) AS BIGINT) AS b
         |  FROM events GROUP BY 1""".stripMargin, "//"),
+    // exact variational-distance rationals per QI group; absent-nation
+    // mass via the closed form, never a dense group×nation cross
+    "t_closeness" ->
+      """WITH g AS (SELECT c_nationkey, COUNT(*) AS c_n FROM customer GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+        |fine AS (
+        |  SELECT c_mktsegment || '#' || CAST(
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000
+        |    AS VARCHAR) AS qi, c_nationkey FROM customer),
+        |coarse AS (
+        |  SELECT CAST(
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |    AS VARCHAR) AS qi, c_nationkey FROM customer),
+        |fc AS (SELECT qi, c_nationkey, COUNT(*) AS c_gn FROM fine GROUP BY 1, 2),
+        |cc AS (SELECT qi, c_nationkey, COUNT(*) AS c_gn FROM coarse GROUP BY 1, 2),
+        |fs AS (SELECT qi, SUM(c_gn) AS n_g FROM fc GROUP BY 1),
+        |cs AS (SELECT qi, SUM(c_gn) AS n_g FROM cc GROUP BY 1),
+        |ft AS (
+        |  SELECT fc.qi, MAX(n_g) AS n_g,
+        |    SUM(abs(CAST(c_gn AS HUGEINT) * n - CAST(c_n AS HUGEINT) * n_g)) AS pn,
+        |    SUM(c_n) AS pc
+        |  FROM fc JOIN g USING (c_nationkey) JOIN fs USING (qi), tot
+        |  GROUP BY fc.qi),
+        |ct AS (
+        |  SELECT cc.qi, MAX(n_g) AS n_g,
+        |    SUM(abs(CAST(c_gn AS HUGEINT) * n - CAST(c_n AS HUGEINT) * n_g)) AS pn,
+        |    SUM(c_n) AS pc
+        |  FROM cc JOIN g USING (c_nationkey) JOIN cs USING (qi), tot
+        |  GROUP BY cc.qi),
+        |fx AS (
+        |  SELECT n_g, ((pn + CAST(n - pc AS HUGEINT) * n_g) * 1000000)
+        |    // (2 * CAST(n_g AS HUGEINT) * n) AS t_e6
+        |  FROM ft, tot),
+        |cx AS (
+        |  SELECT n_g, ((pn + CAST(n - pc AS HUGEINT) * n_g) * 1000000)
+        |    // (2 * CAST(n_g AS HUGEINT) * n) AS t_e6
+        |  FROM ct, tot),
+        |a AS (
+        |  SELECT 'fine' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(MAX(t_e6) AS BIGINT) AS max_t_e6,
+        |    CAST(MIN(t_e6) AS BIGINT) AS min_t_e6,
+        |    CAST(SUM(CASE WHEN t_e6 > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_groups_above,
+        |    CAST(SUM(CASE WHEN t_e6 > 500000 THEN n_g ELSE 0 END) AS BIGINT)
+        |      AS n_rows_at_risk
+        |  FROM fx
+        |  UNION ALL
+        |  SELECT 'coarse', CAST(COUNT(*) AS BIGINT),
+        |    CAST(MAX(t_e6) AS BIGINT), CAST(MIN(t_e6) AS BIGINT),
+        |    CAST(SUM(CASE WHEN t_e6 > 500000 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN t_e6 > 500000 THEN n_g ELSE 0 END) AS BIGINT)
+        |  FROM cx)
+        |SELECT * FROM a ORDER BY level""".stripMargin,
+    // exact confusion counts; the kappa chain replayed operand-for-operand
+    "cohens_kappa" ->
+      """WITH r AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) >= 25000 AS a,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      + 1000 * (user_id % 5) >= 25000 AS b
+        |  FROM events),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_hi,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_hi,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM r)
+        |SELECT n, a_hi, b_hi, agree,
+        |  CASE WHEN
+        |    1.0 - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+        |           + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 0.0
+        |  THEN CAST(round(
+        |    (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+        |        + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0 - (CAST(a_hi AS DOUBLE) * CAST(b_hi AS DOUBLE)
+        |              + CAST(n - a_hi AS DOUBLE) * CAST(n - b_hi AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    * 1000000) AS BIGINT) END AS kappa_e6
+        |FROM c""".stripMargin,
     // doubled integer ranks (2·below + eq + 1), HUGEINT quotients per
     // group, the H chain replayed in the same operand order
     "kruskal_wallis" ->

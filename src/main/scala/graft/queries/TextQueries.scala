@@ -892,6 +892,32 @@ object TextQueries {
           .as("intercept_ln_e4"))
   }
 
+  /** Yule's K lexical-richness constant + hapax profile (X303 — Yule
+    * 1944; the vocabulary-concentration measure that, unlike raw
+    * type-token ratio, is length-invariant — the repetitiveness screen
+    * for generated/boilerplate text next to [[zipfSlope]]'s slope):
+    * K = 10⁴·(S₂ − S₁)/S₁² with S₁ = token count, S₂ = Σ f² over the
+    * word-frequency histogram — ALL exact integers, exported as the
+    * exact e2 quotient 10⁶(S₂−S₁) div S₁² (positive operands, both
+    * engines floor). Hapax count and the e6 TTR ride along. One
+    * data-sized histogram pass; everything after is a single-row
+    * aggregate. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("s1"),
+        count(lit(1)).as("vocab"),
+        sum(expr(s"CAST(f AS $d38) * CAST(f AS $d38)")).as("s2"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("s1").as("n_tokens"), col("vocab"), col("hapax"),
+        expr("CAST((vocab * 1000000) div s1 AS BIGINT)").as("ttr_e6"),
+        expr(s"CAST((CAST(s2 - s1 AS $d38) * 1000000) div " +
+          s"(CAST(s1 AS $d38) * CAST(s1 AS $d38)) AS BIGINT)").as("yule_k_e2"))
+  }
+
   def wordPmi(spark: SparkSession, dir: String): DataFrame =
     wordPmiOf(Tables.documents(spark, dir)
       .filter(col("doc_id") < 1000))
@@ -1255,6 +1281,7 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "top_bigrams" -> (topBigrams _),
     "zipf_slope" -> (zipfSlope _),
+    "yule_k" -> (yuleK _),
     "lm_doc_score" -> (lmDocScore _),
     "perplexity_buckets" -> (perplexityBuckets _),
     "char_entropy" -> (charEntropy _),
@@ -1280,6 +1307,22 @@ object TextQueries {
     s"CAST(len(list_filter(ws, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    // exact S1/S2 integers; K and TTR as exact positive quotients
+    "yule_k" ->
+      """WITH f AS (
+        |  SELECT w, COUNT(*) AS f
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |a AS (
+        |  SELECT CAST(SUM(f) AS HUGEINT) AS s1,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    SUM(CAST(f AS HUGEINT) * f) AS s2,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM f)
+        |SELECT CAST(s1 AS BIGINT) AS n_tokens, vocab, hapax,
+        |  CAST((vocab * 1000000) // s1 AS BIGINT) AS ttr_e6,
+        |  CAST(((s2 - s1) * 1000000) // (s1 * s1) AS BIGINT) AS yule_k_e2
+        |FROM a""".stripMargin,
     // same top-500 rank points, e6 ln integers, exact OLS sums, ordered
     // double chains
     "zipf_slope" ->

@@ -1328,9 +1328,14 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     val to = toVersion.getOrElse(currentVersion(table))
     require(fromVersion <= to, s"fromVersion $fromVersion is after $to")
+    // outstanding renames at `to` reject here with the actionable
+    // message; renames ANYWHERE in the walked interval (including ones
+    // normalize later resolved) reject per-version below — pre-rename
+    // files are not servable under the current schema from the log alone
     require(renamesOf(table, Some(to)).isEmpty,
       s"changeFeed over $table: outstanding #rename markers — run " +
-        "Versioned.normalize first (the feed serves canonical names)")
+        "Versioned.normalize first, then resync (the feed serves " +
+        "canonical names)")
     val schema = schemaOf(table, Some(to)).getOrElse {
       val fs = files(table, Some(to))
       require(fs.nonEmpty, s"table $table has no committed data at $to")
@@ -1343,8 +1348,20 @@ object Versioned {
         if (!mf.exists) throw new IllegalStateException(
           s"changeFeed from v$fromVersion of $table is unavailable " +
             s"(manifest v$v vacuumed): full resync required")
-        Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+        val ls = Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
           .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+        // a rename ANYWHERE in the interval breaks the feed's raw reads:
+        // files added before it carry legacy column names, and reading
+        // them under the `to` schema would serve silent NULLs for the
+        // renamed columns (the outstanding-renames check at `to` alone
+        // misses histories normalize already resolved) — full resync,
+        // same class as a vacuumed delta
+        if (ls.exists(_.startsWith(RenamePrefix)))
+          throw new IllegalStateException(
+            s"changeFeed over $table: version $v carries #rename markers — " +
+              "rows before the rename are not servable under the current " +
+              "schema from the log alone; full resync required")
+        ls
       }
     def dataLines(ls: Seq[String]): Set[String] =
       ls.filter(l => !l.startsWith("#")).toSet

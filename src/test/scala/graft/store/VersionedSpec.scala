@@ -1116,6 +1116,26 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("full resync"), e.getMessage)
     assert(feed(0, Some(5)).size == 7)
   }
+
+  test("changeFeed: a rename in the interval is loud — even after normalize resolves it") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("cfeedrn").toString
+    Versioned.append(Seq((1L, 10L)).toDF("id", "v"), t) // v1
+    Versioned.renameColumn(spark, t, "v", "val") // v2 (metadata-only)
+    Versioned.normalize(spark, t) // v3: rewrites under canonical names
+    // the to-version has NO outstanding renames, but the v1 files the
+    // feed would emit carry the legacy name — raw reads under the new
+    // schema would serve silent NULLs; the guard must fire on the
+    // interval, not just the endpoint
+    val e = intercept[IllegalStateException](
+      Versioned.changeFeed(spark, t, 0).collect())
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    // a post-normalize interval serves normally
+    Versioned.append(Seq((2L, 20L)).toDF("id", "val"), t) // v4
+    val tail = Versioned.changeFeed(spark, t, 3)
+      .select(col("id"), col("val"), col("_change_type")).collect()
+    assert(tail.length == 1 && tail.head.getString(2) == "insert")
+  }
 }
 
 /** Deterministic interleaving hook for the constraint-race test: fires
