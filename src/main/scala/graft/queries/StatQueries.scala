@@ -1040,28 +1040,36 @@ object StatQueries {
         expr("CAST(round(value * 100) AS BIGINT)").as("v")))
 
   private[graft] def kruskalWallisOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
     val d38 = "decimal(38,0)"
     val byVal = ev.filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    // doubled average rank per distinct value (2·below + eq + 1) via the
-    // mann_whitney recipe: the e2-value histogram is VALUE-DOMAIN-
-    // bounded (one row per distinct cent amount, never per event), so it
-    // collects to ONE sorted array and a single `aggregate` fold carries
-    // the cumulative count — no unpartitioned window over unbounded
-    // input (PlanSpec's scale guards), no single-reducer sort.
-    val ranked = byVal
-      .agg(sort_array(collect_list(struct(col("v"), col("cnt")))).as("xs"))
-      .select(explode(expr(
-        """aggregate(xs,
-          |  named_struct('cum', CAST(0 AS BIGINT),
-          |    'out', CAST(array() AS array<struct<v: bigint, r2: bigint,
-          |                                        cnt: bigint>>)),
-          |  (a, x) -> named_struct(
-          |    'cum', a.cum + x.cnt,
-          |    'out', array_append(a.out, named_struct(
-          |      'v', x.v, 'r2', 2 * a.cum + x.cnt + 1, 'cnt', x.cnt))),
-          |  a -> a.out)""".stripMargin)).as("p"))
-      .select(col("p.v").as("v"), col("p.r2").as("r2"), col("p.cnt").as("cnt"))
+    // doubled average rank per distinct value (2·below + eq + 1) by
+    // BAND-partitioned prefix sums: band = v div 100 is a pure function
+    // of the value, so each window partition holds ≤ 100 histogram rows
+    // BY CONSTRUCTION (never an enum key, never a single-reducer global
+    // sort — PlanSpec's scale guards), cross-band offsets come from one
+    // bounded driver fold over the band totals (band count ≤ domain/100
+    // — a property of the VALUE RANGE, not the row count), and an
+    // array-building HOF fold (the first cut, O(values²) interpreted)
+    // is avoided entirely.
+    val banded = byVal.withColumn("band", expr("v div 100"))
+    val bandTotals = banded.groupBy(col("band")).agg(sum(col("cnt")).as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = bandTotals.map { case (b, bt) =>
+      val o = (b, acc); acc += bt; o
+    }.toSeq.toDF("band", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = banded
+      .withColumn("lb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(broadcast(offsets), "band")
+      .select(col("v"),
+        (lit(2L) * (col("lb") + col("off")) + col("cnt") + 1L).as("r2"),
+        col("cnt"))
     val grp = ev.join(broadcast(ranked.select(col("v"), col("r2"))), "v")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_c"),
