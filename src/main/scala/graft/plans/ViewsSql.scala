@@ -138,7 +138,14 @@ case class GraftCreateViewCommand(catalogName: String, viewName: String,
         w.cteRelations.foldLeft((Seq.empty[String], scope)) {
           case ((acc, sc), rel) =>
             val (name, sub) = (rel._1, rel._2)
-            (acc ++ unscopedUnqualified(sub, sc + name), sc + name)
+            // a definition sees its OWN name only under WITH RECURSIVE —
+            // in the plain form `WITH t AS (SELECT * FROM t)` the inner t
+            // is an OUTER reference that would re-resolve in each
+            // reader's session (ADVICE r14: whitelisting it
+            // unconditionally let exactly that silent-wrong-rows case
+            // through the guard)
+            val defScope = if (w.allowRecursion) sc + name else sc
+            (acc ++ unscopedUnqualified(sub, defScope), sc + name)
         }
       defRefs ++ unscopedUnqualified(w.child, bodyScope)
     case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>

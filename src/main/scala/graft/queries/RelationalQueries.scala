@@ -1956,8 +1956,14 @@ object RelationalQueries {
         |ORDER BY jac_e6 DESC, s1, s2 LIMIT 25""".stripMargin,
     // same shared-neighbor pairs; hub discount = one e9 ln-point per
     // distinct part degree, pair scores order-free integer sums
+    // the hub stop-list (degree > LINK_HUB_CAP dropped BEFORE pairing)
+    // replays on the oracle side too, so both engines score the identical
+    // capped graph at every scale factor — fixture part degrees top out
+    // at 52, but the cap must not be a Spark-only semantic (ADVICE r14)
     "adamic_adar" ->
-      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |hubs AS (SELECT p FROM e0 GROUP BY p HAVING COUNT(*) > ${LINK_HUB_CAP}),
+        |e AS (SELECT s, p FROM e0 WHERE p NOT IN (SELECT p FROM hubs)),
         |pw AS (
         |  SELECT p, CAST(round(1000000000 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
         |  FROM e GROUP BY p HAVING COUNT(*) >= 2)

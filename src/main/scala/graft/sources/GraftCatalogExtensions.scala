@@ -414,6 +414,17 @@ private[graft] object V2Shape {
       batchDir: String): Seq[String] = {
     val schema = df.schema
     val msgString = VersionedV2.messageType(schema).toString
+    // whole-NULL arrays cannot ride this shape: repeated-FLOAT reads an
+    // absent field back as the EMPTY array, so staging a NULL through
+    // here would silently mutate it to [] — a data change from rewrite
+    // operations (compact/optimize/merge) contracted to preserve the row
+    // multiset. The DIRECT connector write path documents []-for-NULL as
+    // its round-trip contract; the staging seam rejects instead, loudly,
+    // mirroring the writer's null-ELEMENT check (ADVICE r14 medium).
+    val arrayIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] => (f.name, i)
+    }
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -423,7 +434,16 @@ private[graft] object V2Shape {
           schema, msgString)
         var ok = false
         try {
-          while (it.hasNext) w.write(it.next())
+          while (it.hasNext) {
+            val r = it.next()
+            arrayIdx.foreach { case (name, i) =>
+              require(!r.isNullAt(i),
+                s"column $name: NULL arrays are not stageable through the " +
+                  "connector shape (repeated-FLOAT reads NULL back as []) " +
+                  "— coalesce or filter NULL arrays before a store rewrite")
+            }
+            w.write(r)
+          }
           val rel = w.commit() match {
             case VersionedCommitMessage(fs) => fs
             case other => sys.error(s"unexpected commit message $other")
@@ -541,6 +561,10 @@ private[sources] object GraftViews {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      // source vanished between exists() and link(2) (concurrent DROP):
+      // the view is gone, which is rename's boolean not-found outcome —
+      // the renameTo-era contract — not an exception (ADVICE r14)
+      case _: java.nio.file.NoSuchFileException => false
     }
   }
 

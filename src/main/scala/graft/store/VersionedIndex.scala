@@ -50,14 +50,18 @@ object VersionedIndex {
     * re-resolve the pinned manifest for file-level probe pruning. */
   case class Snapshot(index: Ivf.Index, version: Int, storeVersion: Int,
       table: String) {
-    /** Resolved pruned-scan frames, keyed by probed file set: a serving
-      * index answers many queries over few distinct probe sets, and
-      * rebuilding the file-scan relation per query costs more at LOCAL
-      * scale than the whole search (the files are pinned by the
-      * snapshot, so reuse is always sound). Bounded: nlist cells bound
-      * the useful key space; cleared wholesale if it ever overgrows. */
+    /** Resolved pruned-scan frames, keyed by (SESSION, probed file set):
+      * a serving index answers many queries over few distinct probe
+      * sets, and rebuilding the file-scan relation per query costs more
+      * at LOCAL scale than the whole search (the files are pinned by the
+      * snapshot, so reuse is always sound). The session uuid is part of
+      * the key because a DataFrame is bound to the session that built it
+      * — a snapshot shared across sessions must not serve one session a
+      * frame from another (possibly stopped) one (ADVICE r14). Bounded:
+      * nlist cells bound the useful key space per session; overgrowth
+      * evicts single entries, never a wholesale clear racing readers. */
     private[VersionedIndex] val frames =
-      scala.collection.concurrent.TrieMap.empty[Seq[String], org.apache.spark.sql.DataFrame]
+      scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), org.apache.spark.sql.DataFrame]
   }
 
   /** Publish `index` as the next version of `table` in ONE atomic
@@ -180,8 +184,11 @@ object VersionedIndex {
     val cells = Ivf.nearestCells(snap.index.centroids, q, nprobe)
     val keep = Versioned.prunedFilesIn(snap.table, snap.version, "cell",
       cells.map(_.toLong))
-    if (snap.frames.size > 64) snap.frames.clear()
-    val vectors = snap.frames.getOrElseUpdate(keep.sorted,
+    while (snap.frames.size > 64)
+      snap.frames.headOption.foreach { case (k, _) => snap.frames.remove(k) }
+    val vectors = snap.frames.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUuid(spark),
+        keep.sorted),
       Versioned.readFilesOf(spark, snap.table, snap.version, keep)
         .filter(col("kind") === "v")
         .select(col("vec_id"), col("embedding"), col("cell")))

@@ -1027,6 +1027,50 @@ class VersionedV2Spec extends SparkSpec {
     assert(sub.getMessage.contains("catalog-qualify"), sub.getMessage)
   }
 
+  test("catalog views: a non-recursive CTE may not reference its own name") {
+    val (cat, _) = catalogFor("viewselfref")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    // plain WITH: the inner `t` is an OUTER reference (the analyzer would
+    // resolve it against the reader's session, not the CTE being defined)
+    // — the unconditional own-name whitelist used to let it through
+    // (ADVICE r14)
+    val selfRef = intercept[Exception](spark.sql(
+      s"CREATE VIEW $cat.selfbad AS WITH t AS (SELECT * FROM t) SELECT * FROM t"))
+    assert(selfRef.getMessage.contains("catalog-qualify"), selfRef.getMessage)
+    // WITH RECURSIVE: the self-reference is the point — still legal
+    spark.sql(s"CREATE VIEW $cat.recok AS WITH RECURSIVE r AS (" +
+      s"SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 3) SELECT n FROM r")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM $cat.recok").head.getLong(0) == 3)
+  }
+
+  test("store rewrites reject whole-NULL arrays loudly instead of mutating them to []") {
+    val (_, root) = catalogFor("nullarr")
+    val path = s"$root/nt"
+    // table created through the store API with one NULL embedding row —
+    // the connector shape reads NULL back as [], so a layout-only compact
+    // routed through it would silently change the row multiset; the
+    // staging seam must fail loudly instead (ADVICE r14 medium)
+    val df = spark.range(0, 10).select($"id",
+      when($"id" === 3, lit(null))
+        .otherwise(expr("array(CAST(id AS FLOAT))")).cast("array<float>").as("emb"))
+    // land the NULL through the NATIVE writer (which preserves it) so the
+    // table genuinely holds a NULL array before the rewrite attempt
+    df.write.parquet(s"$path/seed")
+    val rel = new java.io.File(s"$path/seed").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(f => s"seed/${f.getName}").toSeq
+    graft.store.Versioned.initTableWithFiles(path, df.schema, rel)
+    val e = intercept[Exception](graft.store.Versioned.compact(spark, path))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("NULL arrays are not stageable"), rootMsg(e))
+    // the original version is untouched — NULL still reads back as NULL
+    val back = graft.store.Versioned.read(spark, path)
+      .where($"id" === 3).select($"emb").collect()
+    assert(back.length == 1 && back(0).isNullAt(0), back.mkString(","))
+  }
+
   test("array-bearing tables survive store rewrites: compact/CoW-delete/merge/MoR-update keep V2 readers green") {
     val (cat, root) = catalogFor("arrayrw")
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT, emb ARRAY<FLOAT>)")
