@@ -518,25 +518,44 @@ object StoreQueries {
     * that. At 100 TB the full recompute is the nightly job this
     * operator retires: every maintenance step above is bounded by the
     * DELTA, never the accumulated table. */
-  def ivmJoinView(spark: SparkSession, dir: String): DataFrame = {
+  def ivmJoinView(spark: SparkSession, dir: String): DataFrame =
+    ivmJoinViewImpl(spark, dir, _ => ())
+
+  /** [[ivmJoinView]] with a per-leg tick callback — profiling seam. */
+  def ivmJoinViewProfiled(spark: SparkSession, dir: String,
+      tick: String => Unit): Long = {
+    val out = ivmJoinViewImpl(spark, dir, tick).count()
+    tick("final-read"); out
+  }
+
+  private def ivmJoinViewImpl(spark: SparkSession, dir: String,
+      tick: String => Unit): DataFrame = {
     val factPath = scratch("ivmfact", dir)
     val dimPath = scratch("ivmdim", dir)
     val viewPath = scratch("ivmview", dir)
     Seq(factPath, dimPath, viewPath).foreach(rmTree)
     val ev = Tables.events(spark, dir)
+    // ONE events scan feeds both fact batches (the journey's two appends
+    // used to each rescan the fact source — the delta discipline the
+    // operator preaches applies to its own setup too, VERDICT r14 #4)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        to_date(col("ts")).as("day"))
+      .cache()
     def factSlice(cond: org.apache.spark.sql.Column) =
-      ev.filter(col("event_type") === "purchase" && cond)
-        .select(col("user_id"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      purch.filter(cond).drop("day")
     val splitDay = lit("2024-01-21").cast("date")
     // 1) initial loads + the ONE full materialization this operator
     //    thereafter retires
     graft.store.Versioned.append(
-      factSlice(to_date(col("ts")) < splitDay), factPath): Unit // F v1
+      factSlice(col("day") < splitDay), factPath): Unit // F v1
+    tick("fact-v1-append")
     val checkpointed = graft.store.Versioned.currentVersion(factPath)
     graft.store.Versioned.append(
       ev.groupBy(col("user_id")).agg(min(col("event_type")).as("segment")),
       dimPath): Unit // D v1
+    tick("dim-v1-append")
     val dimDf = graft.store.Versioned.read(spark, dimPath)
     val v0 = graft.store.Versioned.read(spark, factPath)
       .groupBy(col("user_id"))
@@ -544,13 +563,16 @@ object StoreQueries {
       .join(dimDf, "user_id")
       .select(col("user_id"), col("n_purch"), col("rev_e2"), col("segment"))
     graft.store.Versioned.append(v0, viewPath): Unit
+    tick("view-materialize")
     // 2) fact batch 2 appends; the consumer reads ONLY the delta and
     //    monoid-adds into the view's resident rows for the delta's keys
     graft.store.Versioned.append(
-      factSlice(to_date(col("ts")) >= splitDay), factPath): Unit // F v2
+      factSlice(col("day") >= splitDay), factPath): Unit // F v2
+    tick("fact-v2-append")
     val dF = graft.store.Versioned.changes(spark, factPath, checkpointed)
     val dAgg = dF.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"), sum(col("v")).as("dv"))
+      .localCheckpoint() // backs the resident semi-join AND the upsert build
     val resident = graft.store.Versioned.read(spark, viewPath)
       .join(dAgg.select(col("user_id")), Seq("user_id"), "left_semi")
     val upserts = dAgg
@@ -561,15 +583,23 @@ object StoreQueries {
         (coalesce(col("rev_e2"), lit(0L)) + col("dv")).as("rev_e2"),
         coalesce(col("segment"), col("d_segment")).as("segment"))
     graft.store.Versioned.merge(spark, viewPath, upserts, Seq("user_id")): Unit
-    // 3) dim-side delta: a segment reclassification — only the view rows
-    //    carrying those keys rewrite; the fact table is never rescanned
+    tick("fact-delta-merge")
+    // 3) dim-side delta: a segment reclassification merges into D. The
+    //    view's reflection of it FOLDS into leg 4's maintenance merge
+    //    below (one view rewrite serves both deltas — VERDICT r14 #4:
+    //    two consecutive O(Δ) merges re-resolved the resident view
+    //    twice for no semantic gain; a real consumer batches deltas
+    //    that arrive inside one maintenance interval).
     val updD = dimDf.filter(col("user_id") % 7 === 0)
       .withColumn("segment", lit("vip"))
-    graft.store.Versioned.merge(spark, dimPath, updD, Seq("user_id")): Unit
-    val viewTouched = graft.store.Versioned.read(spark, viewPath)
-      .join(updD.select(col("user_id")), Seq("user_id"), "left_semi")
-      .withColumn("segment", lit("vip"))
-    graft.store.Versioned.merge(spark, viewPath, viewTouched, Seq("user_id")): Unit
+    // merge-on-read UPDATE: the reclassification touches a key SLICE of
+    // the dim, so a DV + replacement-rows commit beats rewriting every
+    // file the slice straddles (the CoW merge form is exercised by the
+    // view maintenance merges below; at 100 TB a dim reclassification
+    // is exactly the high-frequency small-delta op MoR exists for)
+    graft.store.Versioned.updateWhereMor(spark, dimPath,
+      col("user_id") % 7 === 0, Map("segment" -> lit("vip"))): Unit
+    tick("dim-merge")
     // 4) RETRACTION (VERDICT r13 #2): refunds land as a merge-on-read
     //    DELETE on the fact table; the consumer reads the ROW-LEVEL
     //    change feed — delete rows carry the pre-image — and the
@@ -579,25 +609,43 @@ object StoreQueries {
     val cp2 = graft.store.Versioned.currentVersion(factPath)
     graft.store.Versioned.deleteWhereMor(spark, factPath,
       col("event_id") % 11 === 0): Unit
+    tick("mor-delete")
     graft.store.Versioned.compact(spark, factPath): Unit // feed-silent
+    tick("compact")
     val cf = graft.store.Versioned.changeFeed(spark, factPath, cp2)
     val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
+    // materialized once: the feed read (manifest walk + DV decode) backs
+    // BOTH the touched-key union and the merge source below
     val dRet = cf.groupBy(col("user_id"))
       .agg(sum(sign).as("dn"), sum(sign * col("v")).as("dv"))
+      .localCheckpoint()
+    // ONE maintenance merge covers both outstanding deltas: keys =
+    // retraction keys ∪ reclassified keys; counts monoid-add the
+    // retraction delta (zero for segment-only rows), segment resolves
+    // from the CURRENT dim (authoritative after the leg-3 merge).
+    val touched = dRet.select(col("user_id"))
+      .unionByName(updD.select(col("user_id"))).distinct()
     val resident2 = graft.store.Versioned.read(spark, viewPath)
-      .join(dRet.select(col("user_id")), Seq("user_id"), "left_semi")
+      .join(touched, Seq("user_id"), "left_semi")
     val dimNow = graft.store.Versioned.read(spark, dimPath)
       .withColumnRenamed("segment", "d_segment")
-    val retracted = dRet
+    val retracted = touched
+      .join(dRet, Seq("user_id"), "left")
       .join(resident2, Seq("user_id"), "left")
       .join(dimNow, Seq("user_id"), "left")
+      // reclassified dim users with NO view row (never purchased) are
+      // not view maintenance work — without this screen the merge would
+      // insert zero-count rows just for the final purge to delete
+      .filter(col("n_purch").isNotNull || col("dn").isNotNull)
       .select(col("user_id"),
-        (coalesce(col("n_purch"), lit(0L)) + col("dn")).as("n_purch"),
-        (coalesce(col("rev_e2"), lit(0L)) + col("dv")).as("rev_e2"),
-        coalesce(col("segment"), col("d_segment")).as("segment"))
+        (coalesce(col("n_purch"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_purch"),
+        (coalesce(col("rev_e2"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("rev_e2"),
+        coalesce(col("d_segment"), col("segment")).as("segment"))
     graft.store.Versioned.merge(spark, viewPath, retracted, Seq("user_id")): Unit
+    tick("retraction-merge")
     graft.store.Versioned.deleteWhere(spark, viewPath,
       col("n_purch") === 0L): Unit
+    tick("zero-purge-delete")
     graft.store.Versioned.read(spark, viewPath).orderBy(col("user_id"))
   }
 

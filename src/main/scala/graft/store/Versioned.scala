@@ -1951,12 +1951,22 @@ object Versioned {
       extraAdd: Seq[String], extraRemove: Int => Set[String]): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
     requireNoRenames(table, "merge")
+    // evaluate the SOURCE once: a merge reads `updates` several times
+    // (constraint probe, key distinct for file selection, the staged
+    // rewrite), so a lazily-recomputed source pays its whole upstream
+    // plan per pass — a change-feed-derived delta re-ran its manifest
+    // walk and DV decode three times per merge (VERDICT r14 #4) — and a
+    // nondeterministic source could even select files and stage rows
+    // from DIFFERENT evaluations. Delta materializes the MERGE source
+    // for the same two reasons. Deltas are O(Δ) by contract, so the
+    // materialization is batch-sized, never table-sized.
+    val upd = updates.localCheckpoint()
     var attempt = 0
     while (true) {
       val base = currentVersion(table)
       try {
-        requireConstraints(constraintsOf(table, Some(base)), updates)
-        val (added, removedRel) = mergeAttemptFiles(spark, table, updates, keys, base)
+        requireConstraints(constraintsOf(table, Some(base)), upd)
+        val (added, removedRel) = mergeAttemptFiles(spark, table, upd, keys, base)
         return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
       } catch {
         case e: IllegalStateException =>
