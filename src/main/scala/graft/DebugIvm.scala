@@ -2,6 +2,40 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+// Manifest-log commit-cost probe at 10^4 files (SCALE.md evidence for
+// checkpoint+delta logging; not part of the suite). Driver-side only —
+// no Spark session needed: commit() is pure manifest I/O.
+object DebugManifestBench {
+  def main(args: Array[String]): Unit = {
+    import graft.store.Versioned
+    val t = java.nio.file.Files.createTempDirectory("mbench").toString
+    // v1: a 10^4-line full listing (files needn't exist for commit())
+    val base = (0 until 10000).map(i => f"batch-0/part-$i%05d.parquet")
+    Versioned.commit(t, 0, base)
+    val n = 200
+    val t0 = System.nanoTime()
+    (1 to n).foreach { i =>
+      Versioned.commit(t, i, Seq(f"batch-$i/part-0.parquet"))
+    }
+    val perCommit = (System.nanoTime() - t0) / 1e6 / n
+    val dir = new java.io.File(t, "_manifests")
+    val bytes = dir.listFiles().map(_.length()).sum
+    val fullBytes = (n + 1).toLong * base.map(_.length + 1L).sum
+    println(f"[mbench] $n single-file commits over a 10k-file table: " +
+      f"$perCommit%.3f ms/commit, log=${bytes / 1024} KiB " +
+      f"(all-full-listings would be ~${fullBytes / 1024} KiB)")
+    // the old format's write cost per commit, measured the same way:
+    // write the complete 10k-line listing per version
+    val t1 = System.nanoTime()
+    (1 to n).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(t, f"full-$i%04d.tmp"),
+        base.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    println(f"[mbench] full-listing write cost: ${(System.nanoTime() - t1) / 1e6 / n}%.3f ms/commit")
+  }
+}
+
 // Throwaway per-leg profiler for ivm_join_view (not part of the suite).
 object DebugIvm {
   def main(args: Array[String]): Unit = {

@@ -98,6 +98,45 @@ object StoreQueries {
     at(1).unionByName(at(2)).unionByName(at(3)).orderBy(col("version"))
   }
 
+  /** Manifest-log checkpointing under the oracle gate (X307 — VERDICT
+    * r14 #2): a manifest used to be a complete file listing per version
+    * (O(F·C) log growth — the metadata store's own scale-killer at 10⁵
+    * files × 10⁴ commits); commits over wide tables now log as DELTAS
+    * with a full checkpoint every [[graft.store.Versioned
+    * .ManifestCheckpointEvery]] versions (Delta's checkpoint+JSON-delta
+    * layout). The journey: a 70-file base (v1, full listing), eighteen
+    * delta appends crossing the v16 checkpoint boundary, then reads at
+    * BOTH a pre-checkpoint delta version and the head. The declared row
+    * carries the two aggregates plus the manifest-format probes — a
+    * wrong replay (lost line, double-applied delta, mis-anchored
+    * checkpoint) changes row counts or revenue and breaks the hash. */
+  def manifestCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("mlogck", dir)
+    rmTree(path)
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    // v1: 70 manifest lines — wide enough that the delta policy engages
+    graft.store.Versioned.append(
+      ev.filter(col("user_id") < 10).repartition(70), path): Unit
+    (2 to 19).foreach { k =>
+      val lo = 10 + 5 * (k - 2)
+      graft.store.Versioned.append(
+        ev.filter(col("user_id") >= lo && col("user_id") < lo + 5), path): Unit
+    }
+    val ce = graft.store.Versioned.ManifestCheckpointEvery
+    def at(v: Option[Int]) = graft.store.Versioned.read(spark, path, v)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("rev")).head()
+    val fin = at(None)
+    val pre = at(Some(10)) // a delta version strictly before the checkpoint
+    Seq((fin.getLong(0), fin.getLong(1), pre.getLong(0), pre.getLong(1),
+      (if (!graft.store.Versioned.isCheckpointManifest(path, 10)) 1L else 0L),
+      (if (graft.store.Versioned.isCheckpointManifest(path, ce)) 1L else 0L),
+      graft.store.Versioned.currentVersion(path).toLong))
+      .toDF("n_final", "rev_final_e2", "n_pre", "rev_pre_e2",
+        "pre_is_delta", "ck_is_full", "n_versions")
+  }
+
   /** MERGE INTO under the oracle gate: commit docs < 200 (v1), then merge
     * a CDC batch covering docs 100–299 with shifted n_chars — rows
     * 100–199 must be REPLACED (not duplicated), 200–299 INSERTED, and
@@ -2172,10 +2211,27 @@ object StoreQueries {
     "constraint_gate" -> (constraintGate _),
     "retractable_agg" -> (retractableAgg _),
     "nightly_crawl" -> (nightlyCrawl _),
-    "cdc_feed" -> (cdcFeed _)
+    "cdc_feed" -> (cdcFeed _),
+    "manifest_checkpoint" -> (manifestCheckpoint _)
   )
 
   val oracles: Map[String, String] = Map(
+    // final state = v1 slice (< 10) plus bands [10, 100); the
+    // pre-checkpoint read at v10 covers < 55; the format probes and
+    // version count are pinned by construction (19 commits, checkpoint
+    // cadence 16)
+    "manifest_checkpoint" ->
+      """SELECT
+        |  CAST(COUNT(CASE WHEN user_id < 100 THEN 1 END) AS BIGINT) AS n_final,
+        |  CAST(SUM(CASE WHEN user_id < 100
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS rev_final_e2,
+        |  CAST(COUNT(CASE WHEN user_id < 55 THEN 1 END) AS BIGINT) AS n_pre,
+        |  CAST(SUM(CASE WHEN user_id < 55
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS rev_pre_e2,
+        |  CAST(1 AS BIGINT) AS pre_is_delta,
+        |  CAST(1 AS BIGINT) AS ck_is_full,
+        |  CAST(19 AS BIGINT) AS n_versions
+        |FROM events""".stripMargin,
     // read-only audit literals pinned by construction: 4 versions, 2
     // files, one planted orphan; the rollup is the MoR-delete complement
     "store_fsck" ->

@@ -40,6 +40,116 @@ object Versioned {
   private def manifestFile(table: String, v: Int) =
     new File(manifestDir(table), f"v$v%08d.list")
 
+  // ── manifest log compaction (checkpoint + delta commits) ──────────
+  //
+  // A manifest used to be a COMPLETE file listing per version: O(F)
+  // lines written per commit, O(F·C) log growth — at 10⁵ files × 10⁴
+  // commits the metadata store becomes its own scale-killer (VERDICT
+  // r14 #2; Delta solves this with checkpoints + JSON deltas). A commit
+  // now writes either
+  //   · a FULL listing (a checkpoint — the historical format, first
+  //     line is ordinary content), or
+  //   · a DELTA: first line `#delta:<baseVersion>`, then `-<line>` for
+  //     every base line this commit retires and `+<line>` for every
+  //     line it adds.
+  // Both live under the SAME `v%08d.list` name, so the put-if-absent
+  // link(2) publish — the whole concurrency story — is untouched: the
+  // format is content-internal, decided by whichever racer wins.
+  // Resolution ([[linesOf]]) walks back to the nearest full listing and
+  // replays deltas forward; `kept.filter ++ new` and `base.filter(not
+  // removed) ++ added` produce byte-identical line sequences, so every
+  // reader (markers, renames — whose ORDER is semantic — ledger, stats)
+  // sees exactly what a full write would have produced.
+  //
+  // Policy: a checkpoint lands every [[ManifestCheckpointEvery]]
+  // versions (bounds every replay chain), whenever the base listing is
+  // small (< [[ManifestDeltaMinLines]] lines — rewriting a tiny
+  // manifest is cheaper than a replay chain), and whenever the delta
+  // would not be materially smaller than the listing (a truncate or
+  // restore replaces everything; logging it as ±2F lines helps nobody).
+  private[graft] val ManifestCheckpointEvery = 16
+  private[graft] val ManifestDeltaMinLines = 64
+  private val DeltaHeader = "#delta:"
+
+  /** Raw lines of one manifest file — possibly a delta, never resolved. */
+  private def rawManifestLines(table: String, v: Int): Seq[String] = {
+    val mf = manifestFile(table, v)
+    require(mf.exists,
+      s"version $v of $table does not exist (vacuumed or never committed)")
+    Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+  }
+
+  /** Is version `v`'s manifest a full listing (a checkpoint)? */
+  private[graft] def isCheckpointManifest(table: String, v: Int): Boolean =
+    !rawManifestLines(table, v).headOption.exists(_.startsWith(DeltaHeader))
+
+  // resolved-listing memo: manifests are IMMUTABLE once linked, so a
+  // resolved (table, version) → lines entry can never go stale in
+  // content — a hit only re-checks the manifest file still EXISTS, so a
+  // vacuumed version stays a loud error, never a ghost served from
+  // memory. Bounded: single-entry eviction past the cap (the access
+  // pattern is overwhelmingly "current version of a handful of tables").
+  // This is what keeps delta resolution O(1) amortized on the commit
+  // path: each commit resolves its base from the previous resolution
+  // plus ONE delta application instead of replaying the whole chain.
+  // value = (manifest mtime, manifest length, resolved lines): the
+  // fingerprint guards against a table DIRECTORY being deleted and
+  // rebuilt at the same path with the same version numbers (scratch
+  // journeys do exactly this) — same (path, version), different content
+  private val resolvedMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long, Seq[String])]
+  private val ResolvedMemoCap = 64
+
+  private def memoGet(table: String, v: Int): Option[Seq[String]] = {
+    val mf = manifestFile(table, v)
+    resolvedMemo.get((new File(table).getAbsolutePath, v)) match {
+      case Some((m, l, lines))
+        if mf.exists && mf.lastModified == m && mf.length == l => Some(lines)
+      case Some(_) =>
+        resolvedMemo.remove((new File(table).getAbsolutePath, v)); None
+      case None => None
+    }
+  }
+
+  private def memoPut(table: String, v: Int, lines: Seq[String]): Unit = {
+    val mf = manifestFile(table, v)
+    if (mf.exists) {
+      while (resolvedMemo.size >= ResolvedMemoCap)
+        resolvedMemo.headOption.foreach { case (k, _) => resolvedMemo.remove(k) }
+      resolvedMemo.put((new File(table).getAbsolutePath, v),
+        (mf.lastModified, mf.length, lines)): Unit
+    }
+  }
+
+  /** COMPLETE resolved manifest lines of version `v`: full listings
+    * return as written; a delta replays forward from the nearest full
+    * listing (or the nearest memoized ancestor). Every manifest reader
+    * goes through here. */
+  private[graft] def linesOf(table: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    memoGet(table, v).foreach(hit => return hit)
+    var raw = rawManifestLines(table, v)
+    var deltas = List.empty[Seq[String]] // oldest-first after the loop
+    var resolvedBase: Option[Seq[String]] = None
+    while (resolvedBase.isEmpty &&
+        raw.headOption.exists(_.startsWith(DeltaHeader))) {
+      deltas ::= raw
+      val base = raw.head.stripPrefix(DeltaHeader).toIntOption.getOrElse(
+        sys.error(s"corrupt delta header in $table v$v: '${raw.head}'"))
+      resolvedBase = memoGet(table, base)
+      if (resolvedBase.isEmpty) raw = rawManifestLines(table, base)
+    }
+    var lines = resolvedBase.getOrElse(raw.filter(_.nonEmpty))
+    deltas.foreach { d =>
+      val removed = d.tail.collect { case l if l.startsWith("-") => l.drop(1) }.toSet
+      val added = d.tail.collect { case l if l.startsWith("+") => l.drop(1) }
+      lines = lines.filterNot(removed) ++ added
+    }
+    memoPut(table, v, lines)
+    lines
+  }
+
   /** Latest committed version, 0 if the table is empty/uninitialized. */
   def currentVersion(table: String): Int = {
     val files = Option(manifestDir(table).list()).getOrElse(Array.empty)
@@ -56,10 +166,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     if (v == 0) Seq.empty
     else {
-      val mf = manifestFile(table, v)
-      require(mf.exists, s"version $v of $table does not exist (vacuumed or never committed)")
-      Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSeq
+      linesOf(table, v)
         // '#'-lines are metadata markers (e.g. the streaming-batch
         // ledger), not data files; commit() carries them forward
         .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -83,16 +190,13 @@ object Versioned {
     * batches on replay — restart streaming checkpoints alongside a
     * restore, exactly as Delta documents. */
   def restore(table: String, toVersion: Int, maxRetries: Int = 5): Int = {
-    val mf = manifestFile(table, toVersion)
-    require(toVersion > 0 && mf.exists,
+    require(toVersion > 0 && manifestFile(table, toVersion).exists,
       s"version $toVersion of $table is unavailable (vacuumed or never committed)")
-    val restored = Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    val restored = linesOf(table, toVersion).filter(_.nonEmpty)
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
-      val curLines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet
+      val curLines = linesOf(table, cur).toSet
       try return commit(table, cur, restored, curLines)
       catch {
         case e: IllegalStateException =>
@@ -121,8 +225,7 @@ object Versioned {
     require(currentVersion(target) == 0, s"clone target $target already exists")
     val cur = currentVersion(table)
     require(cur > 0, s"cannot clone empty table $table")
-    val lines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    val lines = linesOf(table, cur).filter(_.nonEmpty)
     val (markers, data) = lines.partition(_.startsWith("#"))
     // stats/bloom markers key on the manifest's FILE LINES — the clone's
     // data lines are the absolute external forms, so carried markers must
@@ -166,9 +269,7 @@ object Versioned {
     while (true) {
       val cur = currentVersion(table)
       require(cur > 0, s"cannot truncate nonexistent table $table")
-      val lines = Files.readAllLines(manifestFile(table, cur).toPath,
-        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
-        .filter(_.nonEmpty)
+      val lines = linesOf(table, cur).filter(_.nonEmpty)
       val dead = lines.filter(l => !l.startsWith("#") ||
         l.startsWith(StatsPrefix) || l.startsWith(BloomPrefix) ||
         l.startsWith(DeletesPrefix))
@@ -192,8 +293,7 @@ object Versioned {
     val root = Paths.get(prefix).toAbsolutePath
     (1 to currentVersion(table)).exists { v =>
       val mf = manifestFile(table, v)
-      mf.exists && Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSeq
+      mf.exists && linesOf(table, v)
         .exists(l => !l.startsWith("#") && l.nonEmpty &&
           new File(l).isAbsolute && Paths.get(l).startsWith(root))
     }
@@ -214,8 +314,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) Map.empty
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .filter(_.startsWith(StatsPrefix))
       .map { l =>
         val rest = l.stripPrefix(StatsPrefix)
@@ -372,8 +471,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) Map.empty
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .filter(_.startsWith(BloomPrefix))
       .map { l =>
         val rest = l.stripPrefix(BloomPrefix)
@@ -502,8 +600,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) Map.empty
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .filter(_.startsWith(DeletesPrefix))
       .map { l =>
         val (fileLine, dvRel, cnt) = parseDeletesMarker(l)
@@ -747,8 +844,7 @@ object Versioned {
           attempt += 1
           if (attempt > maxRetries) throw e
           val cur = currentVersion(table)
-          val lines = Files.readAllLines(manifestFile(table, cur).toPath,
-            StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+          val lines = linesOf(table, cur).toSet
           if (!targets.subsetOf(lines))
             throw new IllegalStateException(
               s"$op on $table derived from v$base lost a target " +
@@ -799,8 +895,7 @@ object Versioned {
         !referenced(f.getAbsolutePath))
     // dangling markers: stats/bloom/deletes in the CURRENT manifest
     // keyed to data lines the current version no longer carries
-    val curLines = Files.readAllLines(manifestFile(table, cur).toPath,
-        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSeq
+    val curLines = linesOf(table, cur)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
     val dangling =
       statsOf(table, Some(cur)).keysIterator.count { case (_, line) => !curLines(line) } +
@@ -819,8 +914,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) Seq.empty
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .filter(_.startsWith(RenamePrefix))
       .map { l =>
         val rest = l.stripPrefix(RenamePrefix)
@@ -862,9 +956,7 @@ object Versioned {
         s"rename: column $newName already exists")
       val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
-      val stale = Files.readAllLines(manifestFile(table, cur).toPath,
-          StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet.filter(_.startsWith(SchemaPrefix))
+      val stale = linesOf(table, cur).toSet.filter(_.startsWith(SchemaPrefix))
       try {
         return commit(table, cur,
           Seq(s"$RenamePrefix$oldName:$newName", SchemaPrefix + renamed.json),
@@ -934,8 +1026,7 @@ object Versioned {
     val added = stageFiles(applyRenames(spark, table, cur, fs, renames),
       table, batch)
     val removedLines = fs.map(manifestLineOf(table, _)).toSet ++
-      Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet.filter(_.startsWith(RenamePrefix))
+      linesOf(table, cur).toSet.filter(_.startsWith(RenamePrefix))
     retryCommit(table, added, removedLines, maxRetries)
   }
 
@@ -949,8 +1040,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) Seq.empty
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .filter(_.startsWith(CheckPrefix))
       .map { l =>
         val rest = l.stripPrefix(CheckPrefix)
@@ -1041,8 +1131,7 @@ object Versioned {
     val v = version.getOrElse(currentVersion(table))
     val mf = manifestFile(table, v)
     if (v == 0 || !mf.exists) None
-    else Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-      .toArray(Array.empty[String]).toSeq
+    else linesOf(table, v)
       .find(_.startsWith(SchemaPrefix))
       .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1121,8 +1210,7 @@ object Versioned {
       // r11), which a pre-computed schema would silently drop
       val base = schemaOf(table, Some(cur))
       val schema = widen(base)
-      val stale = Files.readAllLines(manifestFile(table, cur).toPath,
-          StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+      val stale = linesOf(table, cur).toSet
         .filter(_.startsWith(SchemaPrefix))
       try return commit(table, cur, Seq(SchemaPrefix + schema.json), stale)
       catch {
@@ -1348,8 +1436,7 @@ object Versioned {
         if (!mf.exists) throw new IllegalStateException(
           s"changeFeed from v$fromVersion of $table is unavailable " +
             s"(manifest v$v vacuumed): full resync required")
-        val ls = Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
-          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+        val ls = linesOf(table, v).filter(_.nonEmpty)
         // a rename ANYWHERE in the interval breaks the feed's raw reads:
         // files added before it carry legacy column names, and reading
         // them under the `to` schema would serve silent NULLs for the
@@ -1465,15 +1552,30 @@ object Versioned {
     // replacement data, so its markers retire here
     def retiredDv(l: String): Boolean =
       l.startsWith(DeletesPrefix) && removed(parseDeletesMarker(l)._1)
-    val kept =
-      if (base == 0) Seq.empty
-      else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSeq
-        .filter(f => f.nonEmpty && !removed(f) && !retired(f) && !retiredDv(f))
+    val baseLines = if (base == 0) Seq.empty else linesOf(table, base)
+    val kept = baseLines
+      .filter(f => f.nonEmpty && !removed(f) && !retired(f) && !retiredDv(f))
+    // format selection (policy in the section comment above): the delta
+    // records the retired base lines explicitly so replay is a pure
+    // line-set operation — `base.filterNot(removed) ++ added` replays
+    // to the byte-identical sequence `kept ++ newFiles` a full write
+    // would produce (order preserved: filter keeps base order, adds
+    // append — renames and other order-bearing markers are safe)
+    val keptSet = kept.toSet
+    val removedLines = baseLines.filter(l => l.nonEmpty && !keptSet(l))
+    val deltaLen = 1 + removedLines.length + newFiles.length
+    val fullLen = kept.length + newFiles.length
+    val asDelta = base > 0 && next % ManifestCheckpointEvery != 0 &&
+      baseLines.length >= ManifestDeltaMinLines && deltaLen * 2 < fullLen
+    val body =
+      if (asDelta)
+        (DeltaHeader + base) +:
+          (removedLines.map("-" + _) ++ newFiles.map("+" + _))
+      else kept ++ newFiles
     manifestDir(table).mkdirs()
     val tmp = File.createTempFile(s"v$next-", ".tmp", manifestDir(table))
     Files.write(tmp.toPath,
-      (kept ++ newFiles).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      body.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = manifestFile(table, next)
     // publish via hard link: link(2) fails with EEXIST atomically if the
     // target exists — a true put-if-absent (rename(2) would silently
@@ -1520,8 +1622,7 @@ object Versioned {
     * remove only data-file lines. */
   def processedBatch(table: String, id: Long): Boolean = {
     val cur = currentVersion(table)
-    cur > 0 && Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-      .contains(streamMarker(id))
+    cur > 0 && linesOf(table, cur).contains(streamMarker(id))
   }
 
   /** Append a micro-batch exactly once: no-op (returning the current
@@ -1561,8 +1662,7 @@ object Versioned {
       }
       val stale: Set[String] =
         if (cur == 0) Set.empty
-        else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-          .toArray(Array.empty[String]).toSet
+        else linesOf(table, cur).toSet
           .filter(l => l.startsWith("#stream:") &&
             l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
       try return commit(table, cur, added :+ streamMarker(batchId), stale)
@@ -1608,8 +1708,7 @@ object Versioned {
       }
       val stale: Set[String] =
         if (cur == 0) Set.empty
-        else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-          .toArray(Array.empty[String]).toSet
+        else linesOf(table, cur).toSet
           .filter(l => l.startsWith("#stream:") &&
             l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
       try return commit(table, cur, relFiles :+ streamMarker(batchId), stale)
@@ -1738,8 +1837,7 @@ object Versioned {
     var attempt = 0
     while (true) {
       val cur = currentVersion(table)
-      val lines = Files.readAllLines(manifestFile(table, cur).toPath,
-        StandardCharsets.UTF_8).toArray(Array.empty[String]).toSet
+      val lines = linesOf(table, cur).toSet
       val gone = removedRel.filterNot(lines)
       if (gone.nonEmpty) throw new IllegalStateException(
         s"row-level rewrite conflict on $table: ${gone.size} scanned file(s) " +
@@ -1822,8 +1920,7 @@ object Versioned {
           // (regenerating the line could miss a formatting difference)
           val stale: Set[String] =
             if (cur == 0) Set.empty
-            else Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-              .toArray(Array.empty[String]).toSet.filter(_.startsWith(SchemaPrefix))
+            else linesOf(table, cur).toSet.filter(_.startsWith(SchemaPrefix))
           (Seq(SchemaPrefix + union.json), stale)
         }
       try return commit(table, cur, added ++ markerAdd, markerRemove)
@@ -1996,8 +2093,7 @@ object Versioned {
     if (processedBatch(table, batchId)) return currentVersion(table)
     def stale(base: Int): Set[String] =
       if (base == 0) Set.empty
-      else Files.readAllLines(manifestFile(table, base).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet
+      else linesOf(table, base).toSet
         .filter(l => l.startsWith("#stream:") &&
           l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
     mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
@@ -2137,12 +2233,22 @@ object Versioned {
         "would delete the current table state")
     val cur = currentVersion(table)
     val keepFrom = math.max(1, cur - keepVersions + 1)
-    (1 until keepFrom).foreach(v => manifestFile(table, v).delete())
+    // delta-commit interplay: a delta manifest resolves through its
+    // base chain, so deleting strictly up to keepFrom could orphan the
+    // horizon's own resolution. Anchor the deletion at the nearest FULL
+    // listing ≤ keepFrom — at most [[ManifestCheckpointEvery]]−1 extra
+    // manifests survive one sweep (their files stay live below for the
+    // same reason), and the next sweep after a checkpoint passes the
+    // horizon reclaims them.
+    val anchor = (keepFrom to 1 by -1)
+      .find(v => manifestFile(table, v).exists && isCheckpointManifest(table, v))
+      .getOrElse(1)
+    (1 until anchor).foreach(v => manifestFile(table, v).delete())
     // tolerate holes: an earlier, stricter vacuum may already have
     // dropped manifests inside this horizon. Deletion-vector sidecars
     // referenced by retained manifests are LIVE exactly like data files
     // — reclaiming one would silently resurrect its deleted rows
-    val retained = (keepFrom to cur).filter(v => manifestFile(table, v).exists)
+    val retained = (anchor to cur).filter(v => manifestFile(table, v).exists)
     val live = retained.flatMap(v => files(table, Some(v))).toSet ++
       retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
         .map { case (rel, _) => resolveLine(table, rel) })
@@ -2207,8 +2313,7 @@ object Versioned {
     // data still carries the rows it deletes (resurrection)
     def dvOnInputs(v: Int): Set[String] =
       if (v == 0) Set.empty
-      else Files.readAllLines(manifestFile(table, v).toPath, StandardCharsets.UTF_8)
-        .toArray(Array.empty[String]).toSet
+      else linesOf(table, v).toSet
         .filter(l => l.startsWith(DeletesPrefix) &&
           removed(parseDeletesMarker(l)._1))
     val foldedDv = dvOnInputs(base)
@@ -2221,8 +2326,7 @@ object Versioned {
           attempt += 1
           if (attempt > maxRetries) throw e
           val cur = currentVersion(table)
-          val lines = Files.readAllLines(manifestFile(table, cur).toPath, StandardCharsets.UTF_8)
-            .toArray(Array.empty[String]).toSet
+          val lines = linesOf(table, cur).toSet
           if (!removed.subsetOf(lines))
             throw new IllegalStateException(
               s"rewrite of $table derived from v$base lost its input files to a " +

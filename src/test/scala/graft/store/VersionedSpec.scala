@@ -140,6 +140,78 @@ class VersionedSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("manifest log: delta commits replay to the exact listings full writes would produce") {
+    val t = tmpDir("mlog").toString
+    // v1: an 80-file base — wide enough that later commits log as deltas
+    Versioned.append(
+      spark.range(0, 800).selectExpr("id", "'x' AS s").repartition(80), t)
+    assert(Versioned.isCheckpointManifest(t, 1), "first commit is a full listing")
+    // v2..v20: one-row appends — O(1)-line deltas, except the forced
+    // checkpoint at the cadence boundary
+    (2 to 20).foreach { v =>
+      Versioned.append(Seq((1000L + v, "d")).toDF("id", "s"), t): Unit
+    }
+    assert(!Versioned.isCheckpointManifest(t, 2), "small append logs as a delta")
+    assert(Versioned.isCheckpointManifest(t, Versioned.ManifestCheckpointEvery),
+      "cadence boundary forces a full listing")
+    assert(!Versioned.isCheckpointManifest(t, Versioned.ManifestCheckpointEvery + 1))
+    // resolution equivalence: every version's resolved file set telescopes
+    // exactly as the full-listing format would
+    (2 to 20).foreach { v =>
+      val prev = Versioned.files(t, Some(v - 1)).toSet
+      val cur = Versioned.files(t, Some(v)).toSet
+      assert(cur.size == 80 + (v - 1), s"v$v resolves ${cur.size} files")
+      assert(prev.subsetOf(cur), s"v$v must contain v${v - 1}'s files")
+    }
+    // rows time-travel identically through delta and checkpoint versions
+    assert(Versioned.read(spark, t, Some(5)).count() == 804)
+    assert(Versioned.read(spark, t, Some(16)).count() == 815)
+    assert(Versioned.read(spark, t, Some(20)).count() == 819)
+    // a whole-table rewrite retires more lines than it keeps — the
+    // policy writes it as a full listing, never a ±2F delta
+    val vc = Versioned.compact(spark, t)
+    assert(Versioned.isCheckpointManifest(t, vc))
+    assert(Versioned.read(spark, t).count() == 819)
+    // restore ACROSS delta versions republishes the resolved content
+    val vr = Versioned.restore(t, 3)
+    assert(Versioned.read(spark, t, Some(vr)).count() == 802)
+    assert(Versioned.read(spark, t, Some(vr)).as[(Long, String)].collect().toSet ==
+      Versioned.read(spark, t, Some(3)).as[(Long, String)].collect().toSet)
+  }
+
+  test("manifest log: vacuum anchors at the nearest checkpoint so the horizon stays resolvable") {
+    val t = tmpDir("mlogvac").toString
+    Versioned.append(
+      spark.range(0, 700).selectExpr("id", "'x' AS s").repartition(70), t)
+    (2 to 20).foreach { v =>
+      Versioned.append(Seq((1000L + v, "d")).toDF("id", "s"), t): Unit
+    }
+    val ce = Versioned.ManifestCheckpointEvery // 16
+    // horizon [19..20]: both are deltas over the v16 checkpoint — vacuum
+    // must keep the whole resolution chain [16..20], not cut at 19
+    Versioned.vacuum(t, keepVersions = 2, minAgeMs = 0): Unit
+    def mf(v: Int) = new File(t, f"_manifests/v$v%08d.list")
+    assert(!mf(1).exists && !mf(ce - 1).exists, "pre-anchor manifests reclaimed")
+    assert(mf(ce).exists, "the anchoring checkpoint survives")
+    assert((ce to 20).forall(v => mf(v).exists))
+    // every retained version still RESOLVES (files + rows)
+    (ce to 20).foreach { v =>
+      assert(Versioned.files(t, Some(v)).size == 70 + (v - 1))
+      assert(Versioned.read(spark, t, Some(v)).count() == 700 + (v - 1))
+    }
+    // pre-anchor time travel is over, loudly
+    intercept[IllegalArgumentException] { Versioned.files(t, Some(2)) }
+    // once a checkpoint passes the horizon, the next sweep reclaims the
+    // previously over-retained chain
+    (21 to 33).foreach { v =>
+      Versioned.append(Seq((2000L + v, "e")).toDF("id", "s"), t): Unit
+    }
+    Versioned.vacuum(t, keepVersions = 1, minAgeMs = 0): Unit
+    assert(!mf(ce).exists && !mf(20).exists, "old chain reclaimed after the next checkpoint")
+    assert(mf(2 * ce).exists, "new anchor checkpoint survives")
+    assert(Versioned.read(spark, t).count() == 700 + 32)
+  }
+
   test("change feed returns exactly the rows added between two versions") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a")).toDF("id", "s"), t) // v1
