@@ -58,6 +58,19 @@ object TinyTransformer {
       vocab * dModel + maxLen * dModel + nLayers * layerFloats + 2 * dModel
   }
 
+  /** The reference's embedding GEOMETRY (all-MiniLM-L6-v2 — reference
+    * app.py:46-48): 6 layers × 384 dims × 12 heads with the 4·d
+    * feed-forward. This is the shape whose serving arithmetic the
+    * fixture-width config never exercises — 32-wide head splits,
+    * LayerNorm/GELU/attention accumulation at d = 384 take different
+    * numeric paths than d = 64 — so parity runs push a checkpoint of
+    * THIS shape through the same seam (VERDICT r14 #3). Vocab and
+    * maxLen are the hash-tokenizer's fixture-affordable sizes, not
+    * MiniLM's 30522-token WordPiece: they size the embedding TABLE,
+    * not the per-token serving math. */
+  val MiniLmShape = Config(vocab = 1024, dModel = 384, nHeads = 12,
+    nLayers = 6, dFf = 1536, maxLen = 64)
+
   val Magic = 0x47544E54 // "GTNT"
 
   /** The serialized format: magic, 6 config ints, then `totalFloats`

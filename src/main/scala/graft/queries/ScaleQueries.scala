@@ -365,6 +365,46 @@ object ScaleQueries {
       .orderBy(col("vec_id"))
   }
 
+  // deterministic random MiniLM-shape checkpoint, written once per JVM
+  // (seeded generator ⇒ identical bytes on every write; the parent dir
+  // cleans up at exit like the served-checkpoint scratch)
+  private lazy val miniLm384Path: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-minilm384-")
+      .resolve("w.bin")
+    StoreQueries.cleanupAtExit(p.getParent.toString)
+    graft.functions.TinyTransformer.writeRandomWeights(
+      p.toString, graft.functions.TinyTransformer.MiniLmShape)
+    p.toString
+  }
+
+  /** Serving parity at the reference's embedding WIDTH (X308 — VERDICT
+    * r14 #3): an all-MiniLM-L6-v2-shaped checkpoint (6 layers × 384
+    * dims × 12 heads, [[graft.functions.TinyTransformer.MiniLmShape]])
+    * through the SAME partition-loaded seam `neural_embed` exercises at
+    * fixture width. The weights are a deterministic random checkpoint —
+    * the real model isn't available offline; what this pins is that the
+    * serving path's arithmetic (head split, attention, LN, GELU) runs
+    * and stays finite at the reference's true geometry, plus the
+    * throughput row the bench records at that width. The declared row
+    * reduces to oracle-checkable invariants: every doc embedded, every
+    * vector exactly 384 wide, zero non-finite coordinates. */
+  def neuralEmbed384(spark: SparkSession, dir: String): DataFrame = {
+    // one doc per task: a 384-wide encode is ~0.7 GMAC of per-doc CPU,
+    // so the batch must spread over every core — the parquet scan's 1-2
+    // input splits would otherwise serialize 32 encodes onto 2 threads
+    // (this is the 100 TB shape too: embedding work repartitions to the
+    // cluster's full width, model loads amortize per partition)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 32)
+      .select(col("doc_id"), col("text")).repartition(32)
+    graft.functions.Embedder.embedFrame(docs, dim = 384,
+        loader = new graft.functions.TinyTransformer.Loader(miniLm384Path))
+      .agg(count(lit(1)).as("n_docs"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        count(when(expr("exists(embedding, v -> isnan(v) OR abs(v) > 1e9d)"),
+          1)).as("n_nonfinite"))
+  }
+
   /** MinHash LSH near-dups over the planted near-identical docs, from
     * the stored shingle frame (ShingleStore). */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame =
@@ -1265,6 +1305,7 @@ object ScaleQueries {
     "knn_join_blocked_precision" -> (knnJoinBlockedPrecision _),
     "simhash_precision" -> (simhashPrecision _),
     "neural_embed" -> (neuralEmbed _),
+    "neural_embed_384" -> (neuralEmbed384 _),
     "image_ahash" -> (imageAhash _),
     "image_ahash_dedup" -> (imageAhashDedup _),
     "image_dhash" -> (imageDhash _),
@@ -1437,6 +1478,13 @@ object ScaleQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // width/coverage/finiteness invariants of the MiniLM-shape serving
+    // run: count from the fixture, the rest pinned by construction
+    "neural_embed_384" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(384 AS BIGINT) AS dim_min, CAST(384 AS BIGINT) AS dim_max,
+        |  CAST(0 AS BIGINT) AS n_nonfinite
+        |FROM documents WHERE doc_id < 32""".stripMargin,
     // the oracle replays the full algorithm — sign pack, Hamming
     // shortlist-50, exact rerank — with the same total tie-breaks
     "bq_topk" ->

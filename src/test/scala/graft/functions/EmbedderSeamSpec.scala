@@ -74,6 +74,40 @@ class EmbedderSeamSpec extends SparkSpec {
     }
   }
 
+  test("MiniLM-shape checkpoint (6 layers x 384 dims x 12 heads) serves through the seam") {
+    val cfg = TinyTransformer.MiniLmShape
+    // the geometry claim this spec pins: the reference's actual width
+    // (app.py:46-48 — all-MiniLM-L6-v2), not the fixture's 64
+    assert(cfg.dModel == 384 && cfg.nLayers == 6 && cfg.nHeads == 12 &&
+      cfg.dFf == 4 * 384)
+    val path = tmpDir("minilm384").resolve("w.bin").toString
+    TinyTransformer.writeRandomWeights(path, cfg)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 24).select(col("doc_id"), col("text"))
+    def run(parts: Int): Map[Long, Array[Float]] =
+      Embedder.embedFrame(docs.repartition(parts), dim = 384,
+          loader = new TransformerSpec.CountingLoader(path))
+        .as[(Long, Array[Float])].collect().toMap
+    TransformerSpec.loads.set(0)
+    val a = run(3)
+    assert(TransformerSpec.loads.get() == 3,
+      s"expected one 384-dim session load per partition (3), saw ${TransformerSpec.loads.get()}")
+    val b = run(7)
+    assert(a.keySet == b.keySet && a.size == 24)
+    // bit-determinism across partitionings at the real width
+    a.foreach { case (id, v) =>
+      assert(v.length == 384, s"doc $id: width ${v.length}")
+      assert(v.forall(f => !f.isNaN && !f.isInfinite), s"doc $id: non-finite output")
+      assert(v.toSeq == b(id).toSeq, s"doc $id drifted across partitionings")
+    }
+    // and against a driver-side session, bit for bit
+    val (c2, w2) = TinyTransformer.readWeights(path)
+    val local = new TinyTransformer.Session(c2, w2)
+    docs.as[(Long, String)].collect().take(3).foreach { case (id, t) =>
+      assert(a(id).toSeq == local.encode(t).toSeq, s"doc $id != driver session")
+    }
+  }
+
   test("the default stand-in through embedFrame matches direct embed calls") {
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 20)
