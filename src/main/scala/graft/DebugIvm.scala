@@ -36,6 +36,43 @@ object DebugManifestBench {
   }
 }
 
+// Streaming-replay fixed-cost probe (SCALE.md evidence for VERDICT r14
+// #5): runs the stream_* replays with a progress listener and prints
+// each micro-batch's duration breakdown plus the query wall time, so
+// the floor decomposes into staging / batch execution / start-stop.
+object DebugStream {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", graft.core.GraftExtensions.Name)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000L).selectExpr("sum(id)").collect()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        println(s"[stream-debug]   started ${e.id} at ${System.currentTimeMillis()}")
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[stream-debug]   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}")
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        println(s"[stream-debug]   terminated at ${System.currentTimeMillis()}")
+    })
+    val names = Seq("stream_join_outer", "stream_upsert", "stream_inactivity")
+    for (r <- 1 to 2; n <- names) {
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(n)(spark, dir).count()
+      println(f"[stream-debug] run$r $n rows=$c wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
+
 // Throwaway per-leg profiler for ivm_join_view (not part of the suite).
 object DebugIvm {
   def main(args: Array[String]): Unit = {

@@ -2053,28 +2053,32 @@ object Versioned {
     // rewrite), so a lazily-recomputed source pays its whole upstream
     // plan per pass — a change-feed-derived delta re-ran its manifest
     // walk and DV decode three times per merge (VERDICT r14 #4) — and a
-    // nondeterministic source could even select files and stage rows
-    // from DIFFERENT evaluations. Delta materializes the MERGE source
-    // for the same two reasons. Deltas are O(Δ) by contract, so the
-    // materialization is batch-sized, never table-sized.
-    val upd = updates.localCheckpoint()
-    var attempt = 0
-    while (true) {
-      val base = currentVersion(table)
-      try {
-        requireConstraints(constraintsOf(table, Some(base)), upd)
-        val (added, removedRel) = mergeAttemptFiles(spark, table, upd, keys, base)
-        return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-        // loop: re-read currentVersion and re-derive everything; the
-        // failed attempt's batch files sit unreferenced by any manifest
-        // and fall to vacuum like any orphan
+    // nondeterministic source could select files and stage rows from
+    // DIFFERENT evaluations. Delta materializes the MERGE source for
+    // the same two reasons. cache() (not an eager localCheckpoint —
+    // that added a whole extra job to every micro-batch upsert): the
+    // first pass populates it, later passes read it back, and the
+    // batch-sized blocks release right after the commit.
+    val upd = updates.cache()
+    try {
+      var attempt = 0
+      while (true) {
+        val base = currentVersion(table)
+        try {
+          requireConstraints(constraintsOf(table, Some(base)), upd)
+          val (added, removedRel) = mergeAttemptFiles(spark, table, upd, keys, base)
+          return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
+        } catch {
+          case e: IllegalStateException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+          // loop: re-read currentVersion and re-derive everything; the
+          // failed attempt's batch files sit unreferenced by any manifest
+          // and fall to vacuum like any orphan
+        }
       }
-    }
-    -1 // unreachable
+      -1 // unreachable
+    } finally upd.unpersist()
   }
 
   /** MERGE a streaming micro-batch exactly once — [[merge]] with
