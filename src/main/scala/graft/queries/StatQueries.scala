@@ -2134,7 +2134,275 @@ object StatQueries {
       .orderBy(col("event_type"))
   }
 
+  /** One-way ANOVA F (X309 — Fisher's between/within variance ratio,
+    * the k-group location test every A/B/n readout starts from; the
+    * rank-free sibling of `kruskal_wallis`): quantity by return flag.
+    * ONE partial-aggregated pass collects per-group integer moments
+    * (the group set {A,N,R} is fixed by the schema, so groups pivot to
+    * columns — no second shuffle); SSB/SSW/F run as a single fixed-
+    * order double chain over the exact DECIMAL sums, mirrored
+    * op-for-op in the oracle (the cuped closed-form regime). */
+  def anovaOneway(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("x"))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("nn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("g") === "A", col("x")).otherwise(0L).cast(d38)).as("sa"),
+        sum(when(col("g") === "N", col("x")).otherwise(0L).cast(d38)).as("sn"),
+        sum(when(col("g") === "R", col("x")).otherwise(0L).cast(d38)).as("sr"),
+        sum((col("x") * col("x")).cast(d38)).as("q"))
+      .select(col("n"), col("na"), col("nn"), col("nr"),
+        expr(AnovaSsb).as("ssb_e4"), expr(AnovaSsw).as("ssw_e4"),
+        expr(AnovaF).as("f_e4"))
+  }
+
+  // shared double-chain fragments — the Spark projection and the DuckDB
+  // oracle splice the IDENTICAL text, so operand order (the only IEEE
+  // determinism lever) cannot drift between the two engines
+  private val AnovaSb =
+    """(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+      | + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+      | + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))""".stripMargin
+  private val AnovaS = "(CAST(sa AS DOUBLE) + CAST(sn AS DOUBLE) + CAST(sr AS DOUBLE))"
+  private val AnovaSsb =
+    s"CAST(round(($AnovaSb - $AnovaS * $AnovaS / CAST(n AS DOUBLE)) * 10000) AS BIGINT)"
+  private val AnovaSsw =
+    s"CAST(round((CAST(q AS DOUBLE) - $AnovaSb) * 10000) AS BIGINT)"
+  private val AnovaF =
+    s"""CAST(round(
+       |  (($AnovaSb - $AnovaS * $AnovaS / CAST(n AS DOUBLE)) / CAST(2 AS DOUBLE))
+       |  / ((CAST(q AS DOUBLE) - $AnovaSb) / CAST(n - 3 AS DOUBLE))
+       |  * 10000) AS BIGINT)""".stripMargin
+
+  /** Brown-Forsythe test (X310 — Levene's variance-homogeneity screen
+    * with the MEDIAN center, the robust form): are quantity spreads
+    * equal across return flags? z = |x − median_g| per row, then the
+    * one-way F machinery over z. Group medians are EXACT (50 distinct
+    * integer values — the group_quantiles pin) and .5-granular, so
+    * z2 = |2x − 2·median| is a pure integer and the F statistic on z2
+    * equals the F on z (scale cancels). One broadcast of a 3-row
+    * median frame + one aggregate pass. */
+  def leveneBrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("x"))
+    val med = li.groupBy(col("g"))
+      .agg(expr("CAST(round(percentile(x, 0.5D) * 2) AS BIGINT)").as("m2"))
+    li.join(broadcast(med), "g")
+      .select(col("g"), abs(col("x") * 2 - col("m2")).as("z"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("nn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("g") === "A", col("z")).otherwise(0L).cast(d38)).as("sa"),
+        sum(when(col("g") === "N", col("z")).otherwise(0L).cast(d38)).as("sn"),
+        sum(when(col("g") === "R", col("z")).otherwise(0L).cast(d38)).as("sr"),
+        sum((col("z") * col("z")).cast(d38)).as("q"))
+      .select(col("n"), col("na"), col("nn"), col("nr"),
+        expr(AnovaF).as("w_e4"))
+  }
+
+  /** Durbin-Watson statistic (X311 — serial correlation of regression
+    * residuals, the "is the trend model missing structure?" audit):
+    * daily revenue regressed on the day index; DW = Σ(e_t − e_{t−1})² /
+    * Σe_t². Residuals use the den-SCALED integer form (the
+    * series_decompose recipe: R_t = y_t·den − num_a − num_b·t is a pure
+    * long, and the common scale cancels in the ratio), so both sums are
+    * exact DECIMAL integers and dw_e6 is one positive integer floor
+    * division. Consecutive-day pairs come from a calendar join
+    * (contiguous fixture series, the recursive_cte assumption). */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val base = daily
+      .crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
+      .select(col("day"), col("y"),
+        datediff(col("day"), col("d0")).cast("long").as("t"))
+    val m = base.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y").cast(d38)).as("sy"), sum(col("t") * col("t")).as("stt"),
+        sum((col("t") * col("y")).cast(d38)).as("sty"))
+      .select(col("n"),
+        (col("n") * col("stt") - col("st") * col("st")).cast(d38).as("den"),
+        (col("n") * col("sty") - col("st") * col("sy")).cast(d38).as("numb"),
+        (col("sy") * col("stt") - col("st") * col("sty")).cast(d38).as("numa"))
+    val resid = base.crossJoin(broadcast(m))
+      .select(col("day"),
+        (col("y").cast(d38) * col("den") - col("numa") - col("numb") * col("t"))
+          .cast(d38).as("r"))
+    val prev = resid.select(date_add(col("day"), 1).as("day"), col("r").as("rp"))
+    val num = resid.join(prev, "day")
+      .agg(sum(((col("r") - col("rp")) * (col("r") - col("rp"))).cast(d38)).as("nm"))
+    val den2 = resid.agg(sum((col("r") * col("r")).cast(d38)).as("dn"),
+      count(lit(1)).as("n_days"))
+    num.crossJoin(broadcast(den2))
+      .select(col("n_days"),
+        expr("CAST((nm * 1000000) div dn AS BIGINT)").as("dw_e6"))
+  }
+
+  /** Grubbs outlier statistic (X312 — the max studentized deviation,
+    * the single-outlier screen on a daily KPI): G = max|y − ȳ| / s over
+    * daily revenue, with the peak day reported (deterministic min-day
+    * tie-break). The deviation max runs on the n-SCALED integer
+    * |y·n − Σy| (exact DECIMAL compare — no float enters the argmax);
+    * G itself is one fixed-order double chain over exact moments. */
+  def grubbsTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("y") * col("y")).cast(d38)).as("q"))
+    daily.crossJoin(broadcast(st))
+      .select(col("day"), col("n"), col("sy"), col("q"),
+        abs(col("y").cast(d38) * col("n") - col("sy")).as("dev"))
+      .orderBy(col("dev").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("peak_day"), col("n"),
+        expr(
+          """CAST(round(
+            |  (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+            |  / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+            |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+            |  * 10000) AS BIGINT)""".stripMargin).as("g_e4"))
+  }
+
+  /** Wald-Wolfowitz runs test (X313 — randomness of a daily KPI around
+    * its median: too FEW runs means trending/sticky days, too many
+    * means oscillation; the model-free "is this series i.i.d.?" gate
+    * before forecasting): days above/below the exact median (ties
+    * dropped, standard), runs counted against each kept day's
+    * PREDECESSOR from a calendar-bounded max-join (≤ days² pairs — a
+    * property of the calendar, not the data; no global-sort window),
+    * then the normal approximation as one fixed-order double chain. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val med = daily.agg(
+      expr("CAST(round(percentile(y, 0.5D) * 2) AS BIGINT)").as("m2"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("y") * 2 =!= col("m2"))
+      .select(col("day"), (col("y") * 2 > col("m2")).cast("long").as("s"))
+    val prevDay = signed.as("a")
+      .join(signed.as("b"), col("b.day") < col("a.day"))
+      .groupBy(col("a.day").as("day")).agg(max(col("b.day")).as("pday"))
+    val pairs = signed
+      .join(prevDay, Seq("day"), "left")
+      .join(signed.select(col("day").as("pday"), col("s").as("sp")),
+        Seq("pday"), "left")
+    pairs.agg(
+        sum(col("s")).as("n_pos"),
+        sum(lit(1L) - col("s")).as("n_neg"),
+        (lit(1L) + sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+          .otherwise(0L))).as("n_runs"))
+      .select(col("n_pos"), col("n_neg"), col("n_runs"),
+        expr(
+          """CAST(round(
+            |  (CAST(n_runs AS DOUBLE)
+            |   - (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+            |      / CAST(n_pos + n_neg AS DOUBLE) + CAST(1 AS DOUBLE)))
+            |  / sqrt(CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+            |         * (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+            |            - CAST(n_pos + n_neg AS DOUBLE))
+            |         / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+            |            * CAST(n_pos + n_neg - 1 AS DOUBLE)))
+            |  * 10000) AS BIGINT)""".stripMargin).as("z_e4"))
+  }
+
+  /** Partial autocorrelation (X314 — PACF at lags 1-3 via the
+    * Durbin-Levinson recursion, the AR-order probe of Box-Jenkins
+    * model selection that raw ACF cannot answer): daily event counts,
+    * centered as the exact integers c_t = n·x_t − Σx (the autocorr
+    * recipe), lag products joined on the calendar; r₁..r₃ become
+    * doubles only in the final closed-form chain, mirrored op-for-op
+    * in the oracle. */
+  def pacfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val c = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("x") - col("s")).as("c"))
+    val den = c.agg(sum((col("c") * col("c")).cast(d38)).as("den"))
+    def lagNum(k: Int) = c
+      .join(c.select(date_sub(col("day"), k).as("day"), col("c").as("ck")), "day")
+      .agg(sum((col("c") * col("ck")).cast(d38)).as(s"num$k"))
+    lagNum(1).crossJoin(broadcast(lagNum(2))).crossJoin(broadcast(lagNum(3)))
+      .crossJoin(broadcast(den))
+      .select(
+        expr(s"CAST(round($R1 * 1000000) AS BIGINT)").as("pacf1_e6"),
+        expr(s"CAST(round($Phi22 * 1000000) AS BIGINT)").as("pacf2_e6"),
+        expr(
+          s"""CAST(round(
+             |  (($R3) - ($R1 * (CAST(1 AS DOUBLE) - $Phi22)) * ($R2) - ($Phi22) * ($R1))
+             |  / (CAST(1 AS DOUBLE) - ($R1 * (CAST(1 AS DOUBLE) - $Phi22)) * ($R1)
+             |     - ($Phi22) * ($R2))
+             |  * 1000000) AS BIGINT)""".stripMargin).as("pacf3_e6"))
+  }
+
+  private val R1 = "(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))"
+  private val R2 = "(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))"
+  private val R3 = "(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))"
+  private val Phi22 =
+    s"(($R2 - $R1 * $R1) / (CAST(1 AS DOUBLE) - $R1 * $R1))"
+
+  /** 2-D PCA by exact eigendecomposition (X315 — the
+    * variance-structure probe of the (quantity, price) plane: how much
+    * variance one axis explains and which way it points, the sanity
+    * check before any learned projection): scaled covariance entries
+    * a = n·Σx² − (Σx)², b = n·Σxy − ΣxΣy, c = n·Σy² − (Σy)² are EXACT
+    * DECIMAL integers from one aggregate pass; the eigenvalue uses
+    * only correctly-rounded IEEE ops (+,−,×,÷,sqrt — no trig, whose
+    * cross-engine bit-identity is NOT guaranteed), so the explained-
+    * variance ratio and principal-axis slope replay digit-exactly. */
+  def pca2d(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+    li.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(d38).as("a"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(d38).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(d38).as("c"))
+      .select(col("n"),
+        expr(
+          s"""CAST(round(
+             |  ($Pca2dLam1) / (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+             |  * 1000000) AS BIGINT)""".stripMargin).as("evr_e6"),
+        expr(
+          s"""CAST(round(
+             |  (($Pca2dLam1) - CAST(a AS DOUBLE)) / CAST(b AS DOUBLE)
+             |  * 1000000) AS BIGINT)""".stripMargin).as("slope_e6"))
+  }
+
+  private val Pca2dLam1 =
+    """((CAST(a AS DOUBLE) + CAST(c AS DOUBLE)
+      |  + sqrt((CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+      |         * (CAST(a AS DOUBLE) - CAST(c AS DOUBLE))
+      |         + CAST(4 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
+      | / CAST(2 AS DOUBLE))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anova_oneway" -> (anovaOneway _),
+    "levene_bf" -> (leveneBrownForsythe _),
+    "durbin_watson" -> (durbinWatson _),
+    "grubbs_test" -> (grubbsTest _),
+    "runs_test" -> (runsTest _),
+    "pacf_daily" -> (pacfDaily _),
+    "pca_2d" -> (pca2d _),
     "dispersion_index" -> (dispersionIndex _),
     "simpson_paradox" -> (simpsonParadox _),
     "hhi_concentration" -> (hhiConcentration _),
@@ -2179,6 +2447,146 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one pass of per-group integer moments, then the SPLICED double
+    // chain (the Scala constants guarantee identical operand order)
+    "anova_oneway" ->
+      s"""WITH li AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+         |            FROM lineitem),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |  CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         |  CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         |  CAST(SUM(CASE WHEN g = 'A' THEN x ELSE 0 END) AS HUGEINT) AS sa,
+         |  CAST(SUM(CASE WHEN g = 'N' THEN x ELSE 0 END) AS HUGEINT) AS sn,
+         |  CAST(SUM(CASE WHEN g = 'R' THEN x ELSE 0 END) AS HUGEINT) AS sr,
+         |  CAST(SUM(x * x) AS HUGEINT) AS q FROM li)
+         |SELECT n, na, nn, nr, $AnovaSsb AS ssb_e4, $AnovaSsw AS ssw_e4,
+         |  $AnovaF AS f_e4
+         |FROM m""".stripMargin,
+    "levene_bf" ->
+      s"""WITH li AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+         |            FROM lineitem),
+         |med AS (SELECT g, CAST(round(quantile_cont(x, 0.5) * 2) AS BIGINT) AS m2
+         |        FROM li GROUP BY g),
+         |z AS (SELECT li.g, ABS(x * 2 - m2) AS z FROM li JOIN med ON med.g = li.g),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |  CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         |  CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         |  CAST(SUM(CASE WHEN g = 'A' THEN z ELSE 0 END) AS HUGEINT) AS sa,
+         |  CAST(SUM(CASE WHEN g = 'N' THEN z ELSE 0 END) AS HUGEINT) AS sn,
+         |  CAST(SUM(CASE WHEN g = 'R' THEN z ELSE 0 END) AS HUGEINT) AS sr,
+         |  CAST(SUM(z * z) AS HUGEINT) AS q FROM z)
+         |SELECT n, na, nn, nr, $AnovaF AS w_e4
+         |FROM m""".stripMargin,
+    "durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT day, y,
+        |  CAST(day - (SELECT MIN(day) FROM daily) AS BIGINT) AS t FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS st,
+        |  CAST(SUM(y) AS HUGEINT) AS sy, SUM(t * t) AS stt,
+        |  CAST(SUM(t * y) AS HUGEINT) AS sty FROM base),
+        |mm AS (SELECT CAST(n * stt - st * st AS HUGEINT) AS den,
+        |  CAST(n * sty - st * sy AS HUGEINT) AS numb,
+        |  CAST(sy * stt - st * sty AS HUGEINT) AS numa FROM m),
+        |resid AS (SELECT day, CAST(y AS HUGEINT) * den - numa - numb * t AS r
+        |          FROM base, mm),
+        |prev AS (SELECT day + 1 AS day, r AS rp FROM resid),
+        |num AS (SELECT CAST(SUM((r - rp) * (r - rp)) AS HUGEINT) AS nm
+        |        FROM resid JOIN prev USING (day)),
+        |den2 AS (SELECT CAST(SUM(r * r) AS HUGEINT) AS dn,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days FROM resid)
+        |SELECT n_days, CAST((nm * 1000000) // dn AS BIGINT) AS dw_e6
+        |FROM num, den2""".stripMargin,
+    "grubbs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy,
+        |  CAST(SUM(y * y) AS HUGEINT) AS q FROM daily),
+        |dev AS (SELECT day, n, sy, q, ABS(CAST(y AS HUGEINT) * n - sy) AS dev
+        |        FROM daily, st)
+        |SELECT day AS peak_day, n,
+        |  CAST(round(
+        |    (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |    * 10000) AS BIGINT) AS g_e4
+        |FROM dev ORDER BY dev DESC, day LIMIT 1""".stripMargin,
+    "runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT CAST(round(quantile_cont(y, 0.5) * 2) AS BIGINT) AS m2
+        |        FROM daily),
+        |signed AS (SELECT day,
+        |    CASE WHEN y * 2 > (SELECT m2 FROM med) THEN 1 ELSE 0 END AS s
+        |  FROM daily WHERE y * 2 <> (SELECT m2 FROM med)),
+        |prevday AS (SELECT a.day AS day, MAX(b.day) AS pday
+        |  FROM signed a JOIN signed b ON b.day < a.day GROUP BY a.day),
+        |pairs AS (SELECT s.day, s.s, p2.s AS sp
+        |  FROM signed s LEFT JOIN prevday p ON p.day = s.day
+        |  LEFT JOIN signed p2 ON p2.day = p.pday),
+        |agg AS (SELECT CAST(SUM(s) AS BIGINT) AS n_pos,
+        |  CAST(SUM(1 - s) AS BIGINT) AS n_neg,
+        |  CAST(1 + SUM(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_runs FROM pairs)
+        |SELECT n_pos, n_neg, n_runs,
+        |  CAST(round(
+        |    (CAST(n_runs AS DOUBLE)
+        |     - (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |        / CAST(n_pos + n_neg AS DOUBLE) + CAST(1 AS DOUBLE)))
+        |    / sqrt(CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |           * (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |              - CAST(n_pos + n_neg AS DOUBLE))
+        |           / (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+        |              * CAST(n_pos + n_neg - 1 AS DOUBLE)))
+        |    * 10000) AS BIGINT) AS z_e4
+        |FROM agg""".stripMargin,
+    "pacf_daily" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s FROM daily),
+         |c AS (SELECT day, n * x - s AS c FROM daily, stats),
+         |dent AS (SELECT CAST(SUM(c * c) AS HUGEINT) AS den FROM c),
+         |n1 AS (SELECT CAST(SUM(a.c * b.c) AS HUGEINT) AS num1
+         |       FROM c a JOIN c b ON b.day = a.day + 1),
+         |n2 AS (SELECT CAST(SUM(a.c * b.c) AS HUGEINT) AS num2
+         |       FROM c a JOIN c b ON b.day = a.day + 2),
+         |n3 AS (SELECT CAST(SUM(a.c * b.c) AS HUGEINT) AS num3
+         |       FROM c a JOIN c b ON b.day = a.day + 3)
+         |SELECT CAST(round($R1 * 1000000) AS BIGINT) AS pacf1_e6,
+         |  CAST(round($Phi22 * 1000000) AS BIGINT) AS pacf2_e6,
+         |  CAST(round(
+         |    (($R3) - ($R1 * (CAST(1 AS DOUBLE) - $Phi22)) * ($R2) - ($Phi22) * ($R1))
+         |    / (CAST(1 AS DOUBLE) - ($R1 * (CAST(1 AS DOUBLE) - $Phi22)) * ($R1)
+         |       - ($Phi22) * ($R2))
+         |    * 1000000) AS BIGINT) AS pacf3_e6
+         |FROM n1, n2, n3, dent""".stripMargin,
+    "pca_2d" ->
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |  CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+         |  CAST(SUM(x * y) AS HUGEINT) AS sxy FROM li),
+         |cm AS (SELECT n, n * sxx - sx * sx AS a, n * sxy - sx * sy AS b,
+         |  n * syy - sy * sy AS c FROM m)
+         |SELECT n,
+         |  CAST(round(
+         |    ($Pca2dLam1) / (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS evr_e6,
+         |  CAST(round(
+         |    (($Pca2dLam1) - CAST(a AS DOUBLE)) / CAST(b AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS slope_e6
+         |FROM cm""".stripMargin,
     // same daily rollup, HUGEINT moments, fixed-order ratio chains
     "dispersion_index" ->
       """WITH d AS (
