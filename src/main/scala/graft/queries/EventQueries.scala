@@ -1851,8 +1851,38 @@ object EventQueries {
             |  * 10000) AS BIGINT) END""".stripMargin).as("z_e4"))
   }
 
+  /** Score-calibration table (X318 — the reliability diagram behind
+    * every "is this score a probability?" audit, and the model-free
+    * complement of `classifier_auc`'s rank view: AUC says the ORDER is
+    * right, calibration says the LEVELS are): users scored by first-
+    * half activity (event count through Jan 15 — the features a churn/
+    * conversion model would see), outcome = any second-half purchase.
+    * Buckets are score div 5 — a pure function of the score, so the
+    * bucketing is a bounded-key groupBy, never a global-sort ntile —
+    * and per-bucket observed rate vs mean score export as exact
+    * integer quotients. A well-calibrated score shows monotone
+    * pos_rate across buckets; the declared rows ARE the curve. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-15").cast("date")
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) <= split, 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase" && to_date(col("ts")) > split,
+          1L).otherwise(0L)).as("y"))
+    perUser
+      .groupBy(expr("score div 5").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_pos"),
+        sum(col("score")).as("sum_score"))
+      .select(col("bucket"), col("n_users"), col("n_pos"),
+        expr("(sum_score * 10000) div n_users").as("mean_score_e4"),
+        expr("(n_pos * 1000000) div n_users").as("pos_rate_e6"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mann_kendall" -> (mannKendall _),
+    "score_calibration" -> (scoreCalibration _),
     "xcorr_leadlag" -> (xcorrLeadlag _),
     "dau_wau_mau" -> (dauWauMau _),
     "twap_daily" -> (twapDaily _),
@@ -1912,6 +1942,20 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "score_calibration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(score // 5 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST((SUM(score) * 10000) // COUNT(*) AS BIGINT) AS mean_score_e4,
+        |  CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_e6
+        |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin,
     // exact pair signs + tie-corrected variance, Z replayed in order
     "mann_kendall" ->
       """WITH daily AS (

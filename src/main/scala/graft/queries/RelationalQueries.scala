@@ -804,6 +804,44 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** Harmonic centrality from a seed set (X319 — Boldi & Vigna 2014's
+    * recommended closeness variant: H(v) = Σ_u 1/d(v,u), which handles
+    * disconnected graphs where classic closeness degenerates — the
+    * "how reachable is the rest of the graph from here" score a crawl
+    * scheduler reads per hub): per-seed 3-round BFS over the shared
+    * stored part↔supplier graph, then Σ 1e6 div hop — hop ∈ {1,2,3},
+    * so every contribution is an exact integer on both engines and the
+    * sum is order-free. Truncated-horizon form (the standard bounded
+    * approximation at graph scale); the oracle replays it as a
+    * recursive CTE per seed with min-hop aggregation. */
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE labeled BFS for all seeds (a per-seed Bfs.run would cache and
+    // traverse the edge list once per seed): the frontier carries
+    // (seed, node) and each round is one equi-join + distinct + anti-
+    // join, checkpointed per round (the house iteration idiom)
+    val e = partSupplierEdges(spark, dir)
+    var visited = PprSeeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to 3) {
+      val next = frontier.select(col("seed"), col("node").as("src"))
+        .join(e, "src")
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    visited.filter(col("hop") >= 1)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hop")).as("h_e6"))
+      .orderBy(col("seed"))
+  }
+
   /** K-core peel schedule ([[graft.scale.KCore]]) over the REPEAT-BUSINESS
     * part↔supplier graph — edges are (part, supplier) pairs with ≥ 3
     * lineitems (the raw bipartite fixture graph is too dense to peel:
@@ -1528,6 +1566,7 @@ object RelationalQueries {
     "table_stats" -> (tableStats _),
     "table_stats_sketch" -> (tableStatsSketch _),
     "bfs_hops" -> (bfsHops _),
+    "harmonic_centrality" -> (harmonicCentrality _),
     "k_core" -> (kCore _),
     "sssp_weighted" -> (ssspWeighted _),
     "jw_name_pairs" -> (jwNamePairs _),
@@ -1769,6 +1808,22 @@ object RelationalQueries {
     // path enumeration bounded by hop < 3, min-hop aggregated after —
     // identical semantics to the frontier rounds (a revisited node keeps
     // its smaller hop)
+    "harmonic_centrality" ->
+      """WITH RECURSIVE fwd AS (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |bfs(seed, node, hop) AS (
+        |  SELECT * FROM (VALUES ('p1', 'p1', 0), ('p2', 'p2', 0),
+        |                        ('s3', 's3', 0)) v(seed, node, hop)
+        |  UNION ALL
+        |  SELECT b.seed, e.dst, b.hop + 1
+        |  FROM bfs b JOIN e ON e.src = b.node WHERE b.hop < 3),
+        |mh AS (SELECT seed, node, MIN(hop) AS hop FROM bfs GROUP BY 1, 2)
+        |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(1000000 // hop) AS BIGINT) AS h_e6
+        |FROM mh WHERE hop >= 1 GROUP BY seed ORDER BY seed""".stripMargin,
     "bfs_hops" ->
       """WITH RECURSIVE fwd AS (
         |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,

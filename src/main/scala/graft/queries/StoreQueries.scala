@@ -122,7 +122,8 @@ object StoreQueries {
     (2 to 19).foreach { k =>
       val lo = 10 + 5 * (k - 2)
       graft.store.Versioned.append(
-        ev.filter(col("user_id") >= lo && col("user_id") < lo + 5), path): Unit
+        ev.filter(col("user_id") >= lo && col("user_id") < lo + 5).coalesce(1),
+        path): Unit
     }
     val ce = graft.store.Versioned.ManifestCheckpointEvery
     def at(v: Option[Int]) = graft.store.Versioned.read(spark, path, v)
@@ -135,6 +136,43 @@ object StoreQueries {
       graft.store.Versioned.currentVersion(path).toLong))
       .toDF("n_final", "rev_final_e2", "n_pre", "rev_pre_e2",
         "pre_is_delta", "ck_is_full", "n_versions")
+  }
+
+  /** VACUUM dry-run audit (X320 — Delta's `VACUUM ... DRY RUN`: what an
+    * irreversible storage sweep WOULD reclaim, read before running it):
+    * three single-file appends, one compaction (retiring all three
+    * inputs), then [[graft.store.Versioned.vacuumAudit]] at
+    * keepVersions = 1 — the audit must report exactly the three retired
+    * files reclaimable and the compacted file live, the REAL sweep must
+    * delete exactly what the audit promised, and the surviving table
+    * must still serve the full fixture content. All five claims land in
+    * one declared row the oracle pins by construction + fixture
+    * aggregate. */
+  def vacuumAuditQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = scratch("vacaudit", dir)
+    rmTree(path)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") < 100).coalesce(1), path): Unit
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).coalesce(1), path): Unit
+    graft.store.Versioned.append(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 300).coalesce(1), path): Unit
+    graft.store.Versioned.compact(spark, path): Unit // v4: 3 inputs retire
+    val (reclaimable, live) =
+      graft.store.Versioned.vacuumAudit(path, keepVersions = 1, minAgeMs = 0)
+    val deleted = graft.store.Versioned.vacuum(path, keepVersions = 1, minAgeMs = 0)
+    val after = graft.store.Versioned.read(spark, path)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("cs"))
+      .head()
+    Seq((reclaimable, live,
+        (if (deleted.toLong == reclaimable) 1L else 0L),
+        graft.store.Versioned.files(path).size.toLong,
+        after.getLong(0), after.getLong(1)))
+      .toDF("n_reclaimable", "n_live", "audit_matches_sweep",
+        "n_files_after", "n_docs", "chars_sum")
   }
 
   /** MERGE INTO under the oracle gate: commit docs < 200 (v1), then merge
@@ -2212,10 +2250,21 @@ object StoreQueries {
     "retractable_agg" -> (retractableAgg _),
     "nightly_crawl" -> (nightlyCrawl _),
     "cdc_feed" -> (cdcFeed _),
-    "manifest_checkpoint" -> (manifestCheckpoint _)
+    "manifest_checkpoint" -> (manifestCheckpoint _),
+    "vacuum_audit" -> (vacuumAuditQuery _)
   )
 
   val oracles: Map[String, String] = Map(
+    // journey pinned by construction: 3 retired single-file appends
+    // reclaimable, 1 compacted file live, sweep == audit, content = the
+    // fixture slice
+    "vacuum_audit" ->
+      """SELECT CAST(3 AS BIGINT) AS n_reclaimable, CAST(1 AS BIGINT) AS n_live,
+        |  CAST(1 AS BIGINT) AS audit_matches_sweep,
+        |  CAST(1 AS BIGINT) AS n_files_after,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     // final state = v1 slice (< 10) plus bands [10, 100); the
     // pre-checkpoint read at v10 covers < 55; the format probes and
     // version count are pinned by construction (19 commits, checkpoint

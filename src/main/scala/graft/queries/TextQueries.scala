@@ -1194,6 +1194,56 @@ object TextQueries {
           expr("(84600 * n_syllables) div n_words")).as("flesch_e3"))
       .orderBy(col("doc_id"))
 
+  /** Gunning fog index (X316 — Gunning 1952, the complex-word
+    * readability gate that bands corpora by the fraction of 3+-syllable
+    * words, the standard sibling of [[fleschReadability]] with a
+    * DIFFERENT signal: fog punishes long words specifically, Flesch
+    * punishes syllable density overall): 0.4·(W/S + 100·C/W) with S = 1
+    * (fixture documents carry no sentence punctuation — the flesch pin)
+    * and C = words with ≥ 3 vowel runs. Everything is one exact integer
+    * chain at e3: fog_e3 = 400·W + (40000·C) div W (positive operands —
+    * Spark `div` == DuckDB `//`). */
+  def fogIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        (size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")) >= 3)
+          .cast("long").as("cx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("cx")).as("n_complex"))
+      .select(col("doc_id"), col("n_words"), col("n_complex"),
+        (lit(400L) * col("n_words") +
+          expr("(40000 * n_complex) div n_words")).as("fog_e3"))
+      .orderBy(col("doc_id"))
+
+  /** Lexical-richness profile (X317 — the vocabulary-structure trio a
+    * corpus-quality pipeline reads alongside Yule's K: type-token ratio
+    * (generation diversity), Sichel's S = V₂/V (dis-legomena share —
+    * stable in N where raw TTR is not, Sichel 1975), and Honoré's
+    * R = 100·ln N / (1 − V₁/V) (hapax-weighted richness, Honoré 1979)):
+    * ONE token pass → word histogram (Heaps-bounded), then frequency-
+    * spectrum counts V, V₁, V₂. TTR/Sichel export as exact integer
+    * quotients; Honoré is one fixed-order double chain over exact
+    * counts (ln of an integer — correctly rounded on both engines). */
+  def lexicalRichness(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    hist.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+      .select(col("n_tokens"), col("v"), col("v1"), col("v2"),
+        expr("(v * 1000000) div n_tokens").as("ttr_e6"),
+        expr("(v2 * 1000000) div v").as("sichel_e6"),
+        expr(
+          """CAST(round(
+            |  CAST(100 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))
+            |  / (CAST(1 AS DOUBLE) - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE))
+            |  * 1000) AS BIGINT)""".stripMargin).as("honore_e3"))
+  }
+
   /** Multinomial naive Bayes text classifier (X282 — the
     * bag-of-words/Laplace form, McCallum-Nigam 1998): train on even
     * doc_ids, predict each odd doc's SOURCE from its tokens, report
@@ -1265,6 +1315,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "naive_bayes_source" -> (naiveBayesSource _),
     "flesch_readability" -> (fleschReadability _),
+    "fog_index" -> (fogIndex _),
+    "lexical_richness" -> (lexicalRichness _),
     "pii_scan" -> (piiScan _),
     "source_overlap" -> (sourceOverlap _),
     "collocation_lift" -> (collocationLift _),
@@ -1535,6 +1587,40 @@ object TextQueries {
     // same shingle slice; decile cumulative stacks then the identical
     // quantized-ln five-sums OLS
     // same vowel-run syllable heuristic, same e3 integer chain
+    "fog_index" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) >= 3
+        |      THEN 1 ELSE 0 END AS cx
+        |  FROM w WHERE w <> ''),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(cx) AS BIGINT) AS n_complex
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_complex,
+        |  CAST(400 * n_words + (40000 * n_complex) // n_words AS BIGINT) AS fog_e3
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "lexical_richness" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (SELECT w, COUNT(*) AS c FROM w WHERE w <> '' GROUP BY w),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS v,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM h)
+        |SELECT n_tokens, v, v1, v2,
+        |  CAST((v * 1000000) // n_tokens AS BIGINT) AS ttr_e6,
+        |  CAST((v2 * 1000000) // v AS BIGINT) AS sichel_e6,
+        |  CAST(round(
+        |    CAST(100 AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))
+        |    / (CAST(1 AS DOUBLE) - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE))
+        |    * 1000) AS BIGINT) AS honore_e3
+        |FROM m""".stripMargin,
     "flesch_readability" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

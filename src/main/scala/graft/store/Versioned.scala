@@ -2231,6 +2231,41 @@ object Versioned {
     * writer's subsequent commit publish dangling references. Pass 0 only
     * when no writer can be concurrent (tests, single-driver maintenance
     * windows). */
+  /** What [[vacuum]] would reclaim, with ZERO mutation — the dry-run a
+    * storage owner reads before an irreversible sweep (Delta's
+    * `VACUUM ... DRY RUN`): (reclaimable data files, live data files)
+    * under the same horizon, checkpoint-anchor, and grace-window rules
+    * as the real sweep. Metadata-only: manifests resolve, no data file
+    * opens. */
+  def vacuumAudit(table: String, keepVersions: Int = 2,
+      minAgeMs: Long = 600000L): (Long, Long) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
+    val cur = currentVersion(table)
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    val anchor = (keepFrom to 1 by -1)
+      .find(v => manifestFile(table, v).exists && isCheckpointManifest(table, v))
+      .getOrElse(1)
+    val retained = (anchor to cur).filter(v => manifestFile(table, v).exists)
+    val live = retained.flatMap(v => files(table, Some(v))).toSet ++
+      retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
+        .map { case (rel, _) => resolveLine(table, rel) })
+    val now = System.currentTimeMillis()
+    var reclaimable = 0L
+    var liveN = 0L
+    Option(new File(table).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != "_manifests")
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.isFile &&
+              (f.getName.endsWith(".parquet") || f.getName.endsWith(".dv"))) {
+            if (live(f.getAbsolutePath)) liveN += 1
+            else if (now - f.lastModified >= minAgeMs) reclaimable += 1
+          }
+        }
+      }
+    (reclaimable, liveN)
+  }
+
   def vacuum(table: String, keepVersions: Int = 2, minAgeMs: Long = 600000L): Int = {
     require(keepVersions >= 1,
       s"keepVersions must be >= 1 (got $keepVersions) — retaining zero versions " +
