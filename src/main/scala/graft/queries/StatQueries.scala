@@ -2395,7 +2395,129 @@ object StatQueries {
       |         + CAST(4 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))
       | / CAST(2 AS DOUBLE))""".stripMargin
 
+  /** McNemar's paired test (X321 — the within-subject 2×2: did the SAME
+    * users' purchasing switch on or off between the two half-months?
+    * The paired design removes between-user variance that a two-sample
+    * test would drown in): per user, purchase presence in each half;
+    * the discordant counts b (first-half only) and c (second-half only)
+    * carry all the information, and χ² = (b−c)²/(b+c) — with the
+    * continuity-corrected (|b−c|−1)² form alongside — is EXACT integer
+    * arithmetic to the e4 export (positive operands, div == //). */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-15").cast("date")
+    // BIG-TICKET purchases (value > 90): plain purchase presence is
+    // saturated (every fixture user buys in both halves — b = c = 0,
+    // a vacuous and division-by-zero test); the rare behavior gives
+    // genuine discordant pairs at every SF (probed: 1/1 at sf0.001,
+    // 36/35 at sf0.01, 339/342 at sf0.1)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 90)
+      .groupBy(col("user_id"))
+      .agg(max(when(to_date(col("ts")) <= split, 1L).otherwise(0L)).as("a1"),
+        max(when(to_date(col("ts")) > split, 1L).otherwise(0L)).as("a2"))
+    perUser.agg(
+        sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L)).as("n_both"))
+      .select(col("b"), col("c"), col("n_both"),
+        expr("((b - c) * (b - c) * 10000) div (b + c)").as("chi2_e4"),
+        expr("((abs(b - c) - 1) * (abs(b - c) - 1) * 10000) div (b + c)")
+          .as("chi2_cc_e4"))
+  }
+
+  /** Cochran-Armitage trend test (X322 — is return probability MONOTONE
+    * in order size? The dose-response screen for an ordered exposure,
+    * strictly sharper than the unordered χ² when the alternative is a
+    * trend): quantity bands s = quantity div 10 as ordered scores,
+    * outcome = returnflag 'R'. The trend numerator exports as the EXACT
+    * integer T' = Σ sᵢ(rᵢ·n − nᵢ·r) (DECIMAL — n·rᵢ products brush
+    * 2⁶³); z = T'/√(r(n−r)(nΣs²nᵢ − (Σsnᵢ)²)/n) is one fixed-order
+    * double chain over exact moments (binomial-variance form). */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(spark, dir).select(
+      expr("CAST(l_quantity AS BIGINT) div 10").as("s"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val bands = li.groupBy(col("s"))
+      .agg(count(lit(1)).as("ni"), sum(col("y")).as("ri"))
+    bands.agg(
+        sum(col("ni")).as("n"), sum(col("ri")).as("r"),
+        sum((col("s") * col("ni")).cast(d38)).as("sn"),
+        sum((col("s") * col("s") * col("ni")).cast(d38)).as("ssn"),
+        sum((col("s") * col("ri")).cast(d38)).as("sr"))
+      .select(col("n"), col("r"),
+        (col("sr") * col("n") - col("sn") * col("r")).cast(d38).as("t_num"),
+        col("sn"), col("ssn"))
+      .select(col("n"), col("r"), expr("CAST(t_num AS BIGINT)").as("t_num"),
+        expr(
+          """CAST(round(
+            |  CAST(t_num AS DOUBLE)
+            |  / sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+            |         * (CAST(n AS DOUBLE) * CAST(ssn AS DOUBLE)
+            |            - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+            |         / CAST(n AS DOUBLE))
+            |  * 10000) AS BIGINT)""".stripMargin).as("z_e4"))
+  }
+
+  /** Cohen's d effect size (X323 — the standardized mean difference an
+    * experiment readout reports NEXT TO its p-value: how big is the
+    * effect in pooled-SD units, the number meta-analyses consume):
+    * quantity of returned ('R') vs accepted ('A') lines. Exact integer
+    * moments per arm in one pass; d = (m₁−m₂)/s_pooled as one
+    * fixed-order double chain. */
+  def cohensD(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("x"))
+      .agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "A", col("x")).otherwise(0L).cast(d38)).as("s1"),
+        sum(when(col("g") === "R", col("x")).otherwise(0L).cast(d38)).as("s2"),
+        sum(when(col("g") === "A", col("x") * col("x")).otherwise(0L).cast(d38)).as("q1"),
+        sum(when(col("g") === "R", col("x") * col("x")).otherwise(0L).cast(d38)).as("q2"))
+      .select(col("n1"), col("n2"),
+        expr(
+          """CAST(round(
+            |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            |  / sqrt(((CAST(q1 AS DOUBLE)
+            |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |          + (CAST(q2 AS DOUBLE)
+            |             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+            |         / CAST(n1 + n2 - 2 AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("d_e6"))
+  }
+
+  /** Join-key skew audit (X324 — the pre-join screen a distributed
+    * planner wants per key column: one hot key turns a shuffle join
+    * into a straggler, and salting/AQE-skew handling should be decided
+    * from MEASURED concentration, not after the stage hangs): per
+    * candidate key, row count, distinct keys, the hottest key's
+    * frequency and share, and the median frequency (exact — dyadic
+    * quantile over integer counts, doubled to stay integral). Each key
+    * is one partial-aggregated histogram pass; the frequency rollup is
+    * key-cardinality-bounded. */
+  def joinSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def one(c: String): DataFrame =
+      li.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_freq"),
+          expr("CAST(round(percentile(f, 0.5D) * 2) AS BIGINT)").as("med_freq_x2"))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_freq"), col("med_freq_x2"),
+          expr("(max_freq * 1000000) div n_rows").as("top1_share_e6"))
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .reduce(_.unionByName(_)).orderBy(col("key_col"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mcnemar_test" -> (mcnemarTest _),
+    "cochran_armitage" -> (cochranArmitage _),
+    "cohens_d" -> (cohensD _),
+    "join_skew_audit" -> (joinSkewAudit _),
     "anova_oneway" -> (anovaOneway _),
     "levene_bf" -> (leveneBrownForsythe _),
     "durbin_watson" -> (durbinWatson _),
@@ -2447,6 +2569,76 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mcnemar_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS a1,
+        |    MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS a2
+        |  FROM events WHERE event_type = 'purchase' AND value > 90
+        |  GROUP BY user_id),
+        |m AS (SELECT
+        |  CAST(SUM(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM u)
+        |SELECT b, c, n_both,
+        |  CAST(((b - c) * (b - c) * 10000) // (b + c) AS BIGINT) AS chi2_e4,
+        |  CAST(((ABS(b - c) - 1) * (ABS(b - c) - 1) * 10000) // (b + c)
+        |    AS BIGINT) AS chi2_cc_e4
+        |FROM m""".stripMargin,
+    "cochran_armitage" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS s,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+        |bands AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ni,
+        |  CAST(SUM(y) AS BIGINT) AS ri FROM li GROUP BY s),
+        |m AS (SELECT CAST(SUM(ni) AS BIGINT) AS n, CAST(SUM(ri) AS BIGINT) AS r,
+        |  CAST(SUM(s * ni) AS HUGEINT) AS sn,
+        |  CAST(SUM(s * s * ni) AS HUGEINT) AS ssn,
+        |  CAST(SUM(s * ri) AS HUGEINT) AS sr FROM bands),
+        |t AS (SELECT n, r, sr * n - sn * r AS t_num, sn, ssn FROM m)
+        |SELECT n, r, CAST(t_num AS BIGINT) AS t_num,
+        |  CAST(round(
+        |    CAST(t_num AS DOUBLE)
+        |    / sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+        |           * (CAST(n AS DOUBLE) * CAST(ssn AS DOUBLE)
+        |              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |           / CAST(n AS DOUBLE))
+        |    * 10000) AS BIGINT) AS z_e4
+        |FROM t""".stripMargin,
+    "cohens_d" ->
+      """WITH li AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |m AS (SELECT
+        |  CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN g = 'A' THEN x ELSE 0 END) AS HUGEINT) AS s1,
+        |  CAST(SUM(CASE WHEN g = 'R' THEN x ELSE 0 END) AS HUGEINT) AS s2,
+        |  CAST(SUM(CASE WHEN g = 'A' THEN x * x ELSE 0 END) AS HUGEINT) AS q1,
+        |  CAST(SUM(CASE WHEN g = 'R' THEN x * x ELSE 0 END) AS HUGEINT) AS q2
+        |  FROM li)
+        |SELECT n1, n2,
+        |  CAST(round(
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(q1 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |            + (CAST(q2 AS DOUBLE)
+        |               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |           / CAST(n1 + n2 - 2 AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS d_e6
+        |FROM m""".stripMargin,
+    "join_skew_audit" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""SELECT '$c' AS key_col, CAST(SUM(f) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(MAX(f) AS BIGINT) AS max_freq,
+           |  CAST(round(quantile_cont(f, 0.5) * 2) AS BIGINT) AS med_freq_x2,
+           |  CAST((MAX(f) * 1000000) // SUM(f) AS BIGINT) AS top1_share_e6
+           |FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS f
+           |      FROM lineitem GROUP BY $c)""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY key_col"),
     // one pass of per-group integer moments, then the SPLICED double
     // chain (the Scala constants guarantee identical operand order)
     "anova_oneway" ->
@@ -2794,7 +2986,8 @@ object StatQueries {
       """WITH u AS (
         |  SELECT user_id,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |  FROM events WHERE event_type = 'purchase' AND value > 90
+        |  GROUP BY user_id),
         |c AS (SELECT x, CAST(SUM(x) OVER (ORDER BY x DESC, user_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum FROM u),
@@ -2811,7 +3004,8 @@ object StatQueries {
       """WITH u AS (
         |  SELECT user_id,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |  FROM events WHERE event_type = 'purchase' AND value > 90
+        |  GROUP BY user_id),
         |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t,
         |  SUM(CAST(i AS HUGEINT) * x) AS rr FROM r),
