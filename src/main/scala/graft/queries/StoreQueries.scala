@@ -138,6 +138,121 @@ object StoreQueries {
         "pre_is_delta", "ck_is_full", "n_versions")
   }
 
+  /** Incremental maintenance of a COUNT(DISTINCT) view (X325 — the
+    * non-monoid IVM case `ivm_join_view`'s sum/count algebra cannot
+    * touch: distinct counts don't subtract, so the textbook fix is a
+    * SUPPORT table of per-(group, key) multiplicities — the view
+    * updates from support-count ZERO CROSSINGS, never a rescan.
+    * Gupta-Mumick's duplicate-count view maintenance, the machinery
+    * behind every incremental `COUNT(DISTINCT user)` dashboard):
+    *
+    *  1. purchases before Jan 21 land (fact v1); support S = per
+    *     (segment, user) event count and view V = per segment
+    *     (n_events, n_users) materialize once.
+    *  2. the later batch appends; the consumer reads ONLY the delta,
+    *     merges per-key counts into S (resident rows via semi-join),
+    *     and bumps V by the delta's events and by the count of keys
+    *     whose support went 0 → positive.
+    *  3. RETRACTION: a merge-on-read delete (event_id % 7 = 0) feeds
+    *     through the row-level change feed; support counts decrement,
+    *     keys crossing positive → 0 decrement V's distinct count — the
+    *     case where a naive distinct-IVM silently over-counts forever.
+    *     (Zero-support rows stay resident in S — one fewer commit per
+    *     interval; a periodic compaction would purge them, and the
+    *     insert path treats 0 as absent.)
+    *
+    * The declared rows are the final view, which must equal the full
+    * recompute under the final fact state — the oracle replays exactly
+    * that. Every maintenance step is O(delta). */
+  def ivmDistinctView(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = scratch("ivmdfact", dir)
+    val suppPath = scratch("ivmdsupp", dir)
+    val viewPath = scratch("ivmdview", dir)
+    Seq(factPath, suppPath, viewPath).foreach(rmTree)
+    val purch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"))
+      .localCheckpoint()
+    val seg = (col("user_id") % 5).as("seg")
+    val splitDay = lit("2024-01-21").cast("date")
+    // 1) initial load + one-time materialization of support and view
+    graft.store.Versioned.append(
+      purch.filter(col("day") < splitDay).drop("day"), factPath): Unit
+    val cp1 = graft.store.Versioned.currentVersion(factPath)
+    val s0 = graft.store.Versioned.read(spark, factPath)
+      .groupBy(seg, col("user_id")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the support append AND the view build
+    graft.store.Versioned.append(s0, suppPath): Unit
+    graft.store.Versioned.append(
+      s0.groupBy(col("seg")).agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_users")), viewPath): Unit
+    // 2) insert-only delta: counts merge into S; V bumps by the delta's
+    //    events and the 0→positive key count
+    graft.store.Versioned.append(
+      purch.filter(col("day") >= splitDay).drop("day"), factPath): Unit
+    val d1 = graft.store.Versioned.changes(spark, factPath, cp1)
+      .groupBy(seg, col("user_id")).agg(count(lit(1)).as("dn"))
+      .localCheckpoint()
+    val sRes1 = graft.store.Versioned.read(spark, suppPath)
+      .join(d1.select(col("seg"), col("user_id")), Seq("seg", "user_id"), "left_semi")
+    val sUp1 = d1.join(sRes1.withColumnRenamed("cnt", "cnt0"),
+        Seq("seg", "user_id"), "left")
+      .select(col("seg"), col("user_id"),
+        (coalesce(col("cnt0"), lit(0L)) + col("dn")).as("cnt"),
+        // zero-support rows stay resident (cheaper than a purge commit
+        // per interval), so "new" means crossing FROM zero, not just
+        // absent
+        (col("cnt0").isNull || col("cnt0") === 0L).as("is_new"), col("dn"))
+      .localCheckpoint()
+    graft.store.Versioned.merge(spark, suppPath,
+      sUp1.select(col("seg"), col("user_id"), col("cnt")),
+      Seq("seg", "user_id")): Unit
+    val dV1 = sUp1.groupBy(col("seg"))
+      .agg(sum(col("dn")).as("de"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("du"))
+    val vRes1 = graft.store.Versioned.read(spark, viewPath)
+      .join(dV1.select(col("seg")), Seq("seg"), "left_semi")
+    graft.store.Versioned.merge(spark, viewPath,
+      dV1.join(vRes1, Seq("seg"), "left")
+        .select(col("seg"),
+          (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
+          (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
+      Seq("seg")): Unit
+    // 3) retraction: MoR delete → change feed → support decrements;
+    //    positive→0 crossings leave S and decrement the distinct count
+    val cp2 = graft.store.Versioned.currentVersion(factPath)
+    graft.store.Versioned.deleteWhereMor(spark, factPath,
+      col("event_id") % 7 === 0): Unit
+    val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
+    val d2 = graft.store.Versioned.changeFeed(spark, factPath, cp2)
+      .groupBy(seg, col("user_id")).agg(sum(sign).as("dn"))
+      .localCheckpoint()
+    val sRes2 = graft.store.Versioned.read(spark, suppPath)
+      .join(d2.select(col("seg"), col("user_id")), Seq("seg", "user_id"), "left_semi")
+    val sUp2 = d2.join(sRes2.withColumnRenamed("cnt", "cnt0"),
+        Seq("seg", "user_id"), "left")
+      .select(col("seg"), col("user_id"),
+        (coalesce(col("cnt0"), lit(0L)) + col("dn")).as("cnt"), col("dn"))
+      .localCheckpoint()
+    graft.store.Versioned.merge(spark, suppPath,
+      sUp2.select(col("seg"), col("user_id"), col("cnt")),
+      Seq("seg", "user_id")): Unit
+    val dV2 = sUp2.groupBy(col("seg"))
+      .agg(sum(col("dn")).as("de"),
+        sum(when(col("cnt") === 0L, -1L).otherwise(0L)).as("du"))
+    val vRes2 = graft.store.Versioned.read(spark, viewPath)
+      .join(dV2.select(col("seg")), Seq("seg"), "left_semi")
+    graft.store.Versioned.merge(spark, viewPath,
+      dV2.join(vRes2, Seq("seg"), "left")
+        .select(col("seg"),
+          (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
+          (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
+      Seq("seg")): Unit
+    graft.store.Versioned.read(spark, viewPath)
+      .filter(col("n_users") > 0)
+      .orderBy(col("seg"))
+  }
+
   /** VACUUM dry-run audit (X320 — Delta's `VACUUM ... DRY RUN`: what an
     * irreversible storage sweep WOULD reclaim, read before running it):
     * three single-file appends, one compaction (retiring all three
@@ -2251,13 +2366,23 @@ object StoreQueries {
     "nightly_crawl" -> (nightlyCrawl _),
     "cdc_feed" -> (cdcFeed _),
     "manifest_checkpoint" -> (manifestCheckpoint _),
-    "vacuum_audit" -> (vacuumAuditQuery _)
+    "vacuum_audit" -> (vacuumAuditQuery _),
+    "ivm_distinct_view" -> (ivmDistinctView _)
   )
 
   val oracles: Map[String, String] = Map(
     // journey pinned by construction: 3 retired single-file appends
     // reclaimable, 1 compacted file live, sweep == audit, content = the
     // fixture slice
+    // the final view must equal the full recompute over the surviving
+    // fact rows (later batch included, the %7 refunds removed)
+    "ivm_distinct_view" ->
+      """SELECT CAST(user_id % 5 AS BIGINT) AS seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE event_type = 'purchase' AND event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "vacuum_audit" ->
       """SELECT CAST(3 AS BIGINT) AS n_reclaimable, CAST(1 AS BIGINT) AS n_live,
         |  CAST(1 AS BIGINT) AS audit_matches_sweep,

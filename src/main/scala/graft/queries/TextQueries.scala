@@ -1244,6 +1244,48 @@ object TextQueries {
             |  * 1000) AS BIGINT)""".stripMargin).as("honore_e3"))
   }
 
+  /** RAKE keyword extraction (X326 — Rose et al. 2010's Rapid Automatic
+    * Keyword Extraction, the unsupervised phrase-keyword baseline
+    * TextRank is usually benchmarked against: candidate phrases are the
+    * maximal stopword-free word runs, a word's score is its phrase-
+    * cooccurrence degree over its frequency, a phrase's score the sum
+    * of its words'): stopwords are the fixture's five most frequent
+    * words (a real RAKE ships a language stoplist; the mechanics are
+    * identical). Phrase segmentation is a running stopword count per
+    * document (a doc_id-partitioned window — high-cardinality key, no
+    * global sort); degree/freq are one bounded join + rollup; scores
+    * export as ORDER-FREE integer sums of per-word e6 points, so the
+    * top-10 (score desc, phrase) is deterministic on both engines. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("join", "hash", "row", "batch", "scan")
+    val w = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "w")
+      .filter(col("w") =!= "")
+      .withColumn("st", col("w").isInCollection(stop).cast("long"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pw = w.withColumn("pid", sum(col("st")).over(win))
+      .filter(col("st") === 0L)
+      .select(col("doc_id"), col("pid"), col("i"), col("w"))
+      .localCheckpoint() // three consumers below (plen, degree, phrases)
+    val plen = pw.groupBy(col("doc_id"), col("pid")).agg(count(lit(1)).as("plen"))
+    val ws = pw.join(plen, Seq("doc_id", "pid"))
+      .groupBy(col("w")).agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("ws"))
+    val ph = pw.join(ws, "w")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, w))), x -> x.w), ' ')")
+          .as("phrase"),
+        sum(col("ws")).as("score"), count(lit(1)).as("nw"))
+    ph.groupBy(col("phrase"))
+      .agg(max(col("nw")).as("n_words"), count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(10)
+  }
+
   /** Multinomial naive Bayes text classifier (X282 — the
     * bag-of-words/Laplace form, McCallum-Nigam 1998): train on even
     * doc_ids, predict each odd doc's SOURCE from its tokens, report
@@ -1316,6 +1358,7 @@ object TextQueries {
     "naive_bayes_source" -> (naiveBayesSource _),
     "flesch_readability" -> (fleschReadability _),
     "fog_index" -> (fogIndex _),
+    "rake_keywords" -> (rakeKeywords _),
     "lexical_richness" -> (lexicalRichness _),
     "pii_scan" -> (piiScan _),
     "source_overlap" -> (sourceOverlap _),
@@ -1587,6 +1630,34 @@ object TextQueries {
     // same shingle slice; decile cumulative stacks then the identical
     // quantized-ln five-sums OLS
     // same vowel-run syllable heuristic, same e3 integer chain
+    "rake_keywords" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents WHERE doc_id < 200),
+        |w0 AS (
+        |  SELECT doc_id, i, arr[i] AS w
+        |  FROM docs, UNNEST(generate_series(1, len(arr))) AS t(i)
+        |  WHERE arr[i] <> ''),
+        |g AS (SELECT doc_id, i, w,
+        |  CASE WHEN w IN ('join', 'hash', 'row', 'batch', 'scan')
+        |    THEN 1 ELSE 0 END AS st FROM w0),
+        |p AS (SELECT doc_id, i, w, st,
+        |  SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid FROM g),
+        |pw AS (SELECT doc_id, pid, i, w FROM p WHERE st = 0),
+        |plen AS (SELECT doc_id, pid, COUNT(*) AS plen FROM pw GROUP BY 1, 2),
+        |wd AS (SELECT w, CAST(SUM(plen) AS BIGINT) AS deg,
+        |  CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM pw JOIN plen USING (doc_id, pid) GROUP BY w),
+        |ws AS (SELECT w, (deg * 1000000) // freq AS ws FROM wd),
+        |ph AS (SELECT doc_id, pid,
+        |  string_agg(w, ' ' ORDER BY i) AS phrase,
+        |  CAST(SUM(ws) AS BIGINT) AS score, COUNT(*) AS nw
+        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, CAST(MAX(nw) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(MAX(score) AS BIGINT) AS score_e6
+        |FROM ph GROUP BY phrase
+        |ORDER BY score_e6 DESC, phrase LIMIT 10""".stripMargin,
     "fog_index" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
