@@ -2986,8 +2986,7 @@ object StatQueries {
       """WITH u AS (
         |  SELECT user_id,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events WHERE event_type = 'purchase' AND value > 90
-        |  GROUP BY user_id),
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |c AS (SELECT x, CAST(SUM(x) OVER (ORDER BY x DESC, user_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum FROM u),
@@ -3004,8 +3003,7 @@ object StatQueries {
       """WITH u AS (
         |  SELECT user_id,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events WHERE event_type = 'purchase' AND value > 90
-        |  GROUP BY user_id),
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t,
         |  SUM(CAST(i AS HUGEINT) * x) AS rr FROM r),
