@@ -2513,7 +2513,128 @@ object StatQueries {
       .reduce(_.unionByName(_)).orderBy(col("key_col"))
   }
 
+  /** Process-capability indexes Cp/Cpk (X327 — the SPC complement of
+    * `control_chart`: the chart asks "is the process stable?", Cp/Cpk
+    * ask "does a stable process FIT the spec?" — Cp the spread ratio,
+    * Cpk the centering-penalized one every manufacturing/data-SLA
+    * scorecard quotes): quantity against spec limits [5, 45]. One pass
+    * of exact moments; both indexes are fixed-order double chains. */
+  def cpkCapability(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.lineitem(spark, dir).select(col("l_quantity").cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("s"),
+        sum((col("x") * col("x")).cast(d38)).as("q"))
+      .select(col("n"),
+        expr("CAST((s * 10000) div n AS BIGINT)").as("mean_e4"),
+        expr(s"CAST(round((CAST(45 AS DOUBLE) - CAST(5 AS DOUBLE)) / (CAST(6 AS DOUBLE) * $CpkSd) * 10000) AS BIGINT)")
+          .as("cp_e4"),
+        expr(
+          s"""CAST(round(
+             |  least(CAST(45 AS DOUBLE) - $CpkMean, $CpkMean - CAST(5 AS DOUBLE))
+             |  / (CAST(3 AS DOUBLE) * $CpkSd) * 10000) AS BIGINT)""".stripMargin)
+          .as("cpk_e4"))
+  }
+
+  private val CpkMean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val CpkSd =
+    """sqrt((CAST(q AS DOUBLE)
+      |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      | / CAST(n - 1 AS DOUBLE))""".stripMargin
+
+  /** Friedman test on midranks (X328 — the repeated-measures sibling of
+    * [[kruskalWallis]]: blocks are DAYS, treatments the five event
+    * types, so between-day traffic level cancels and the question is
+    * purely "do the types keep a consistent volume ORDER day after
+    * day?"): per-day event-type counts rank within each day by the
+    * bounded pair-compare (k = 5 ⇒ 25 pairs/day — never a sort), ties
+    * as doubled midranks (exact integers); the statistic is the
+    * standard midrank plug-in χ² = 12/(nk(k+1))·ΣR_j² − 3n(k+1), one
+    * double chain over exact DECIMAL rank sums. A missing (day, type)
+    * cell counts zero via the explicit grid — k is fixed by schema. */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val grid = ev.select(col("day")).distinct()
+      .crossJoin(broadcast(
+        ev.sparkSession.createDataFrame(types.map(Tuple1(_))).toDF("event_type")))
+      .join(ev, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    // doubled midrank: 2·#less + #eq(incl self) + 1, from the per-day
+    // 5×5 pair compare
+    val r2 = grid.as("a").join(grid.as("b"), col("a.day") === col("b.day"))
+      .groupBy(col("a.day").as("day"), col("a.event_type").as("event_type"))
+      .agg((sum(when(col("b.c") < col("a.c"), 2L).otherwise(0L)) +
+        sum(when(col("b.c") === col("a.c"), 1L).otherwise(0L)) + lit(1L)).as("r2"))
+    val sums = r2.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("rj2"), count(lit(1)).as("n"))
+    sums.agg(max(col("n")).as("n_days"),
+        sum((col("rj2") * col("rj2")).cast(d38)).as("srr"))
+      .select(col("n_days"), expr(FriedmanChi2).as("chi2_e4"))
+  }
+
+  private val FriedmanChi2 =
+    """CAST(round(
+      |  (CAST(12 AS DOUBLE) * (CAST(srr AS DOUBLE) / CAST(4 AS DOUBLE))
+      |   / (CAST(n_days AS DOUBLE) * CAST(5 AS DOUBLE) * CAST(6 AS DOUBLE))
+      |   - CAST(3 AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(6 AS DOUBLE))
+      |  * 10000) AS BIGINT)""".stripMargin
+
+  /** Page-Hinkley drift detector (X329 — Page 1954 / Hinkley 1971, the
+    * SEQUENTIAL mean-shift monitor streaming pipelines run where
+    * [[graft.queries.EventQueries.changepointCusum]] is the offline
+    * argmax: PH_t = cum_t − min_{i≤t} cum_i with cum the running sum of
+    * deviations from the RUNNING mean): daily revenue, everything on
+    * the e6 integer grid — the running mean quantizes per prefix as
+    * (S_t·10⁶) div t, so cumulative deviations and the PH envelope are
+    * ORDER-FREE integer sums both engines replay digit-exactly. Prefix
+    * sums ride calendar-bounded self-joins (days², a property of the
+    * month, not the row count). Alarm bar λ = 3× the global mean daily
+    * revenue (data-defined, SF-stable). */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .localCheckpoint() // feeds three bounded self-joins below
+    // running mean per prefix, e6-quantized
+    val pre = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"), col("a.x").as("x"))
+      .agg(count(lit(1)).as("t"), sum(col("b.x").cast(d38)).as("st"))
+      .select(col("day"), col("x"),
+        expr("CAST((st * 1000000) div t AS BIGINT)").as("m_e6"))
+    val dev = pre.select(col("day"),
+      (col("x") * lit(1000000L) - col("m_e6")).as("dev_e6"))
+    val cum = dev.as("a").join(dev.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(sum(col("b.dev_e6").cast(d38)).as("cum_e6"))
+    val ph = cum.as("a").join(cum.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"), col("a.cum_e6").as("cum_e6"))
+      .agg(min(col("b.cum_e6")).as("mn"))
+      .select(col("day"), expr("CAST(cum_e6 - mn AS BIGINT)").as("ph_e6"))
+    // λ = mean daily revenue / 4 (probed: alarms fire at sf0.001/0.01,
+    // not at sf0.1 — CLT shrinks the stationary envelope relative to
+    // the mean as samples grow; both alarm branches are exercised
+    // across the tested SFs and the oracle replays each exactly)
+    val lambda = daily.agg(
+      expr("CAST((CAST(SUM(x) AS DECIMAL(38,0)) * 250000) div COUNT(*) AS BIGINT)")
+        .as("lambda_e6"))
+    val mx = ph.agg(max(col("ph_e6")).as("mx"))
+    ph.crossJoin(broadcast(lambda)).crossJoin(broadcast(mx))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("ph_e6")).as("max_ph_e6"),
+        min(when(col("ph_e6") === col("mx"), col("day"))).as("peak_day"),
+        sum(when(col("ph_e6") > col("lambda_e6"), 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when(col("ph_e6") > col("lambda_e6"), col("day"))),
+          lit("1970-01-01").cast("date")).as("first_alarm_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cpk_capability" -> (cpkCapability _),
+    "friedman_test" -> (friedmanTest _),
+    "page_hinkley" -> (pageHinkley _),
     "mcnemar_test" -> (mcnemarTest _),
     "cochran_armitage" -> (cochranArmitage _),
     "cohens_d" -> (cohensD _),
@@ -2569,6 +2690,64 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cpk_capability" ->
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+         |    AS HUGEINT) AS q
+         |  FROM lineitem)
+         |SELECT n, CAST((s * 10000) // n AS BIGINT) AS mean_e4,
+         |  CAST(round((CAST(45 AS DOUBLE) - CAST(5 AS DOUBLE)) / (CAST(6 AS DOUBLE) * $CpkSd) * 10000) AS BIGINT) AS cp_e4,
+         |  CAST(round(
+         |    least(CAST(45 AS DOUBLE) - $CpkMean, $CpkMean - CAST(5 AS DOUBLE))
+         |    / (CAST(3 AS DOUBLE) * $CpkSd) * 10000) AS BIGINT) AS cpk_e4
+         |FROM m""".stripMargin,
+    "friedman_test" ->
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT d.day, t.event_type, COALESCE(ev.c, 0) AS c
+         |  FROM (SELECT DISTINCT day FROM ev) d
+         |  CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+         |    ('view')) t(event_type)
+         |  LEFT JOIN ev ON ev.day = d.day AND ev.event_type = t.event_type),
+         |r2 AS (
+         |  SELECT a.day, a.event_type,
+         |    SUM(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
+         |      + SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 1 AS r2
+         |  FROM grid a JOIN grid b ON b.day = a.day
+         |  GROUP BY a.day, a.event_type, a.c),
+         |sums AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rj2,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM r2 GROUP BY event_type),
+         |m AS (SELECT MAX(n) AS n_days,
+         |  CAST(SUM(rj2 * rj2) AS HUGEINT) AS srr FROM sums)
+         |SELECT CAST(n_days AS BIGINT) AS n_days, $FriedmanChi2 AS chi2_e4
+         |FROM m""".stripMargin,
+    "page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |pre AS (SELECT a.day AS day, a.x AS x, COUNT(*) AS t,
+        |  CAST(SUM(b.x) AS HUGEINT) AS st
+        |  FROM daily a JOIN daily b ON b.day <= a.day GROUP BY a.day, a.x),
+        |dev AS (SELECT day,
+        |  x * 1000000 - CAST((st * 1000000) // t AS BIGINT) AS dev_e6 FROM pre),
+        |cum AS (SELECT a.day AS day, CAST(SUM(b.dev_e6) AS HUGEINT) AS cum_e6
+        |  FROM dev a JOIN dev b ON b.day <= a.day GROUP BY a.day),
+        |ph AS (SELECT a.day AS day, CAST(a.cum_e6 - MIN(b.cum_e6) AS BIGINT) AS ph_e6
+        |  FROM cum a JOIN cum b ON b.day <= a.day GROUP BY a.day, a.cum_e6),
+        |lam AS (SELECT CAST((CAST(SUM(x) AS HUGEINT) * 250000) // COUNT(*)
+        |  AS BIGINT) AS lambda_e6 FROM daily),
+        |mx AS (SELECT MAX(ph_e6) AS mx FROM ph)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(ph_e6) AS BIGINT) AS max_ph_e6,
+        |  MIN(CASE WHEN ph_e6 = mx THEN day END) AS peak_day,
+        |  CAST(SUM(CASE WHEN ph_e6 > lambda_e6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  COALESCE(MIN(CASE WHEN ph_e6 > lambda_e6 THEN day END),
+        |    DATE '1970-01-01') AS first_alarm_day
+        |FROM ph, lam, mx""".stripMargin,
     "mcnemar_test" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -2239,16 +2239,7 @@ object Versioned {
     * opens. */
   def vacuumAudit(table: String, keepVersions: Int = 2,
       minAgeMs: Long = 600000L): (Long, Long) = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
-    val cur = currentVersion(table)
-    val keepFrom = math.max(1, cur - keepVersions + 1)
-    val anchor = (keepFrom to 1 by -1)
-      .find(v => manifestFile(table, v).exists && isCheckpointManifest(table, v))
-      .getOrElse(1)
-    val retained = (anchor to cur).filter(v => manifestFile(table, v).exists)
-    val live = retained.flatMap(v => files(table, Some(v))).toSet ++
-      retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
-        .map { case (rel, _) => resolveLine(table, rel) })
+    val (_, live) = reclaimHorizon(table, keepVersions)
     val now = System.currentTimeMillis()
     var reclaimable = 0L
     var liveN = 0L
@@ -2266,31 +2257,35 @@ object Versioned {
     (reclaimable, liveN)
   }
 
-  def vacuum(table: String, keepVersions: Int = 2, minAgeMs: Long = 600000L): Int = {
+  /** The sweep horizon [[vacuum]] and [[vacuumAudit]] share: the anchor
+    * (nearest full-listing manifest at or below the keep boundary — a
+    * delta manifest resolves through its base chain, so deleting
+    * strictly up to the boundary could orphan the horizon's own
+    * resolution; at most [[ManifestCheckpointEvery]]−1 extra manifests
+    * survive one sweep) and the LIVE file set of every retained
+    * version, deletion-vector sidecars included (reclaiming one would
+    * silently resurrect its deleted rows). Tolerates manifest holes
+    * left by an earlier, stricter vacuum. */
+  private def reclaimHorizon(table: String,
+      keepVersions: Int): (Int, Set[String]) = {
     require(keepVersions >= 1,
       s"keepVersions must be >= 1 (got $keepVersions) — retaining zero versions " +
         "would delete the current table state")
     val cur = currentVersion(table)
     val keepFrom = math.max(1, cur - keepVersions + 1)
-    // delta-commit interplay: a delta manifest resolves through its
-    // base chain, so deleting strictly up to keepFrom could orphan the
-    // horizon's own resolution. Anchor the deletion at the nearest FULL
-    // listing ≤ keepFrom — at most [[ManifestCheckpointEvery]]−1 extra
-    // manifests survive one sweep (their files stay live below for the
-    // same reason), and the next sweep after a checkpoint passes the
-    // horizon reclaims them.
     val anchor = (keepFrom to 1 by -1)
       .find(v => manifestFile(table, v).exists && isCheckpointManifest(table, v))
       .getOrElse(1)
-    (1 until anchor).foreach(v => manifestFile(table, v).delete())
-    // tolerate holes: an earlier, stricter vacuum may already have
-    // dropped manifests inside this horizon. Deletion-vector sidecars
-    // referenced by retained manifests are LIVE exactly like data files
-    // — reclaiming one would silently resurrect its deleted rows
     val retained = (anchor to cur).filter(v => manifestFile(table, v).exists)
     val live = retained.flatMap(v => files(table, Some(v))).toSet ++
       retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
         .map { case (rel, _) => resolveLine(table, rel) })
+    (anchor, live)
+  }
+
+  def vacuum(table: String, keepVersions: Int = 2, minAgeMs: Long = 600000L): Int = {
+    val (anchor, live) = reclaimHorizon(table, keepVersions)
+    (1 until anchor).foreach(v => manifestFile(table, v).delete())
     val now = System.currentTimeMillis()
     val batchDirs = Option(new File(table).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_manifests")
