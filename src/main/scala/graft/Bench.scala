@@ -11,33 +11,53 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** EXTERNAL busy cores over a short window: total busy jiffies from
-    * /proc/stat minus THIS process's CPU time, per second of window.
-    * The 1-min loadavg cannot tell a co-tenant from our own sbt/JVM
-    * startup burst — it stamped three consecutive artifacts
-    * contaminated on hosts whose only load was the bench bootstrap
-    * itself (VERDICT r12-r14 operational carry). This measures what the
-    * stamp actually means: someone ELSE is burning cores right now. */
+  /** Kernel jiffies-per-second. /proc/stat counts in USER_HZ ticks;
+    * hardcoding 100 mis-scales the busy-core figure on kernels built
+    * with a different tick rate (ADVICE r15), so ask getconf once and
+    * fall back to the near-universal 100. */
+  private lazy val userHz: Double =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      val v = out.toDouble
+      if (v > 0) v else 100.0
+    } catch { case _: Throwable => 100.0 }
+
+  /** Total busy jiffies (all cores, everything except idle+iowait) from
+    * /proc/stat's first line, or -1 where /proc is absent. */
+  private def busyJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val c = f.getLines().next().trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        Seq(1, 2, 3, 6, 7, 8).map(i =>
+          if (i < c.length) c(i).toLong else 0L).sum
+      } finally f.close()
+    } catch { case _: Throwable => -1L }
+
+  /** CPU nanos burned by THIS process so far (0 if unreadable). */
+  private def selfNanos(): Long =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        math.max(0L, os.getProcessCpuTime)
+      case _ => 0L
+    } catch { case _: Throwable => 0L }
+
+  /** EXTERNAL busy cores over a short sleep window: total busy jiffies
+    * minus this process's CPU, per second. The 1-min loadavg cannot tell
+    * a co-tenant from our own sbt/JVM startup burst — it stamped three
+    * consecutive artifacts contaminated on hosts whose only load was the
+    * bench bootstrap itself (VERDICT r12-r14 operational carry). Used at
+    * run start/end; DURING the run each query's own wall window measures
+    * the same quantity without sleeping (see main). */
   private def externalBusyCores(windowMs: Long = 1000): Double =
     try {
-      def busyJiffies(): Long = {
-        val f = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val c = f.getLines().next().trim.split("\\s+")
-          // cpu user nice system idle iowait irq softirq steal ...
-          // busy = everything except idle(4) and iowait(5)
-          Seq(1, 2, 3, 6, 7, 8).map(i =>
-            if (i < c.length) c(i).toLong else 0L).sum
-        } finally f.close()
-      }
-      def selfNanos(): Long =
-        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-          case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-          case _ => 0L
-        }
       val b0 = busyJiffies(); val s0 = selfNanos()
+      if (b0 < 0) return -1.0
       Thread.sleep(windowMs)
-      val busySec = (busyJiffies() - b0) / 100.0 // USER_HZ = 100
+      val busySec = (busyJiffies() - b0) / userHz
       val selfSec = (selfNanos() - s0) / 1e9
       math.max(0.0, busySec - selfSec) / (windowMs / 1000.0)
     } catch { case _: Throwable => -1.0 }
@@ -108,17 +128,31 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // per-query EXTERNAL busy cores: a co-tenant active only in the middle
+    // of the multi-minute suite escaped the start/end samples four rounds
+    // running (VERDICT r15 #2). Each query's own wall window IS the sample
+    // window — no extra sleep: external = (Δbusy_host − Δcpu_self) / Δwall.
+    // Sub-second windows are jiffy-noisy, so the contamination stamp only
+    // trusts windows ≥ 1 s; every window is still reported.
+    case class QT(sec: Double, at: Double, load: Double, gcD: Long,
+        ftD: Long, ext: Double)
     val results = selected.map { case (name, fn) =>
       val at = (System.currentTimeMillis() - wallStart) / 1e3
       val load = loadavg()
       val gc0 = gcMs()
       val ft0 = failedTasks.get()
+      val bj0 = busyJiffies(); val sn0 = selfNanos(); val w0 = System.nanoTime()
       val t = (once(fn), once(fn)) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None) => a
         case (None, Some(b)) => b
         case _ => -1.0
       }
+      val wallSec = (System.nanoTime() - w0) / 1e9
+      val ext =
+        if (bj0 < 0 || wallSec <= 0) -1.0
+        else math.max(0.0,
+          (busyJiffies() - bj0) / userHz - (selfNanos() - sn0) / 1e9) / wallSec
       val gcD = gcMs() - gc0
       val ftD = failedTasks.get() - ft0
       // queries cache internally (IVF features, shingles, ingest parse);
@@ -128,14 +162,14 @@ object Bench {
       // pauses charged to whoever happens to run next
       spark.catalog.clearCache()
       System.gc()
-      name -> ((t, at, load, gcD, ftD))
+      name -> QT(t, at, load, gcD, ftD, if (wallSec >= 1.0) ext else -1.0)
     }
-    val failures = results.collect { case (k, (v, _, _, _, _)) if v < 0 => "\"" + k + "\"" }
+    val failures = results.collect { case (k, q) if q.sec < 0 => "\"" + k + "\"" }
     // 3-decimal rounding (locale-independent — the f interpolator would
     // emit a comma decimal separator under comma-decimal locales,
     // silently corrupting the JSON artifact)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, (v, _, _, _, _)) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, q) => "\"" + k + "\":" + r3(q.sec) }
       .mkString("{", ",", "}")
     // the driver artifact retains only the TAIL of the bench output
     // (BENCH_r08 lost its own per-query dict this way; BENCH_r14's
@@ -143,32 +177,63 @@ object Bench {
     // an outlier needed it), so field order is importance-REVERSED: the
     // full per-query dict first, then the slowest-10 digest, then the
     // OUTLIER DIAGNOSTICS — per slow query [sec, start-offset-sec,
-    // loadavg-at-start, gc-ms-during, failed-tasks-during] — and the
-    // total LAST: a 2000-char tail always keeps total + failures + the
-    // diagnostics that attribute any outlier.
-    val slowest = results.toSeq.sortBy(-_._2._1)
-    val top10 = slowest.take(10).map { case (k, (v, _, _, _, _)) => "\"" + k + "\":" + r3(v) }
+    // loadavg-at-start, gc-ms-during, failed-tasks-during,
+    // external-busy-cores-during] — and the total LAST: a 2000-char tail
+    // always keeps total + failures + the diagnostics that attribute any
+    // outlier.
+    val slowest = results.toSeq.sortBy(-_._2.sec)
+    val top10 = slowest.take(10).map { case (k, q) => "\"" + k + "\":" + r3(q.sec) }
       .mkString("{", ",", "}")
-    val diag = slowest.take(10).map { case (k, (v, at, load, gcD, ftD)) =>
-      "\"" + k + "\":[" + r3(v) + "," + (math.round(at * 10) / 10.0) + "," +
-        load + "," + gcD + "," + ftD + "]"
-    }.mkString("{", ",", "}")
-    val total = r3(results.values.map(_._1).filter(_ >= 0).sum)
+    def diagRow(k: String, q: QT): String =
+      "\"" + k + "\":[" + r3(q.sec) + "," + (math.round(q.at * 10) / 10.0) + "," +
+        q.load + "," + q.gcD + "," + q.ftD + "," + r3(q.ext) + "]"
+    val diag = slowest.take(10).map { case (k, q) => diagRow(k, q) }
+      .mkString("{", ",", "}")
+    val total = r3(results.values.map(_.sec).filter(_ >= 0).sum)
     val loadEnd = loadavg()
     val extEnd = externalBusyCores()
+    // Worst per-query external-core window (≥1 s windows only): the
+    // mid-run contamination the endpoint samples cannot see.
+    val extWindows = results.values.map(_.ext).filter(_ >= 0)
+    val extMax = if (extWindows.isEmpty) -1.0 else extWindows.max
     // contamination telemetry goes among the LAST fields: the driver keeps
     // only the ~2000-char TAIL of stdout, and round-11's artifact hid the
     // very loadavg evidence that would have explained its 10% inflation.
     // The stamp is based on EXTERNAL busy cores (someone else's CPU, now)
-    // rather than 1-min loadavg, which cannot tell a co-tenant from this
-    // bench's own sbt/JVM startup burst and false-flagged three rounds'
-    // artifacts on otherwise-quiet hosts. Loadavg still reported.
+    // sampled at the endpoints AND per query — not 1-min loadavg, which
+    // cannot tell a co-tenant from this bench's own sbt/JVM startup burst
+    // and false-flagged three rounds' artifacts on otherwise-quiet hosts.
     val contaminated =
-      if (extStart >= 0) math.max(extStart, extEnd) > 2.0 else loadStart > 2.0
+      if (extStart >= 0) math.max(math.max(extStart, extEnd), extMax) > 2.0
+      else loadStart > 2.0
     if (contaminated) System.err.println(
-      s"[bench] CONTAMINATED: external busy cores $extStart/$extEnd > 2 — " +
-        "timings unreliable; rerun on a quiet host for an official artifact")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"slowest10":$top10,"outlier_diag":$diag,"failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"external_cores_start":${r3(extStart)},"external_cores_end":${r3(extEnd)},"contaminated":$contaminated,"value":$total}""")
+      s"[bench] CONTAMINATED: external busy cores start/end/maxwindow " +
+        s"$extStart/$extEnd/$extMax > 2 — timings unreliable; rerun on a " +
+        "quiet host for an official artifact")
+    // Full-detail sidecar (VERDICT r15 #7): the graded JSON's tail budget
+    // truncates most of the per-query dict, so the COMPLETE per-query
+    // telemetry — [sec, offset, load, gc-ms, failed-tasks, ext-cores] for
+    // every query, plus the slowest-25 digest — lands in a file the
+    // artifact names; round-over-round diffs read the file, not tail luck.
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
+    try {
+      val all = results.toSeq.sortBy(_._1).map { case (k, q) => diagRow(k, q) }
+        .mkString("{", ",", "}")
+      val top25 = slowest.take(25).map { case (k, q) => "\"" + k + "\":" + r3(q.sec) }
+        .mkString("{", ",", "}")
+      val detail = s"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":$total,""" +
+        s""""shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,""" +
+        s""""loadavg_end":$loadEnd,"external_cores_start":${r3(extStart)},""" +
+        s""""external_cores_end":${r3(extEnd)},"external_cores_max_window":${r3(extMax)},""" +
+        s""""contaminated":$contaminated,"slowest25":$top25,""" +
+        s""""columns":["sec","offset_sec","loadavg","gc_ms","failed_tasks","external_cores"],""" +
+        s""""per_query":$all}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"slowest10":$top10,"outlier_diag":$diag,"detail_file":"$detailFile","failures":${failures.mkString("[", ",", "]")},"n_queries":${results.size},"shared_prewarm_sec":${r3(prewarmSec)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"external_cores_start":${r3(extStart)},"external_cores_end":${r3(extEnd)},"external_cores_max_window":${r3(extMax)},"contaminated":$contaminated,"value":$total}""")
     spark.stop()
   }
 }

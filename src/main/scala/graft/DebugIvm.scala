@@ -77,21 +77,46 @@ object DebugStream {
 object DebugIvm {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", graft.core.GraftExtensions.Name)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (args.contains("--noaqe")) b.config("spark.sql.adaptive.enabled", "false")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // job-level trace: start/end of every Spark job plus the DRIVER GAP
+    // since the previous job ended (manifest I/O, planning, commit)
+    val trace = args.contains("--jobs")
+    if (trace) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      @volatile private var lastEnd = System.nanoTime()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gap = (System.nanoTime() - lastEnd) / 1e3 / 1e3
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .take(70)
+        starts.put(e.jobId, (System.nanoTime(), desc))
+        println(f"[ivm-jobs] job=${e.jobId}%3d gap=${gap}%7.1f ms stages=${e.stageIds.size} $desc")
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        lastEnd = System.nanoTime()
+        Option(starts.remove(e.jobId)).foreach { case (t0, _) =>
+          println(f"[ivm-jobs] job=${e.jobId}%3d took ${(System.nanoTime() - t0) / 1e6}%7.1f ms")
+        }
+      }
+    })
     // two timed runs: first pays JIT, second is the steady state
     for (r <- 1 to 4) {
       val t0 = System.nanoTime()
       val n = graft.queries.StoreQueries.ivmJoinViewProfiled(spark, dir,
         label => println(f"[ivm-debug] run$r ${label}%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s cumulative"))
       println(f"[ivm-debug] run$r TOTAL rows=$n ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val t1 = System.nanoTime()
+      val m = graft.queries.StoreQueries.ivmDistinctView(spark, dir).count()
+      println(f"[ivm-debug] run$r DISTINCT rows=$m ${(System.nanoTime() - t1) / 1e9}%7.2f s")
     }
     spark.stop()
   }

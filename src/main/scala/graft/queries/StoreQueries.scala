@@ -172,7 +172,7 @@ object StoreQueries {
     val purch = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"))
-      .localCheckpoint()
+      .cache() // populated by the first append's write — no extra job
     val seg = (col("user_id") % 5).as("seg")
     val splitDay = lit("2024-01-21").cast("date")
     // 1) initial load + one-time materialization of support and view
@@ -206,7 +206,8 @@ object StoreQueries {
       .localCheckpoint()
     graft.store.Versioned.merge(spark, suppPath,
       sUp1.select(col("seg"), col("user_id"), col("cnt")),
-      Seq("seg", "user_id")): Unit
+      Seq("seg", "user_id"),
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     val dV1 = sUp1.groupBy(col("seg"))
       .agg(sum(col("dn")).as("de"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("du"))
@@ -217,7 +218,8 @@ object StoreQueries {
         .select(col("seg"),
           (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
           (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
-      Seq("seg")): Unit
+      Seq("seg"),
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     // 3) retraction: MoR delete → change feed → support decrements;
     //    positive→0 crossings leave S and decrement the distinct count
     val cp2 = graft.store.Versioned.currentVersion(factPath)
@@ -236,7 +238,8 @@ object StoreQueries {
       .localCheckpoint()
     graft.store.Versioned.merge(spark, suppPath,
       sUp2.select(col("seg"), col("user_id"), col("cnt")),
-      Seq("seg", "user_id")): Unit
+      Seq("seg", "user_id"),
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     val dV2 = sUp2.groupBy(col("seg"))
       .agg(sum(col("dn")).as("de"),
         sum(when(col("cnt") === 0L, -1L).otherwise(0L)).as("du"))
@@ -247,9 +250,149 @@ object StoreQueries {
         .select(col("seg"),
           (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
           (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
-      Seq("seg")): Unit
+      Seq("seg"),
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     graft.store.Versioned.read(spark, viewPath)
       .filter(col("n_users") > 0)
+      .orderBy(col("seg"))
+  }
+
+  /** Schema evolution beyond add/rename (X331 — the two evolutions every
+    * long-lived table eventually needs, both shipped by Delta and
+    * Iceberg): zero-rewrite DROP COLUMN ([[graft.store.Versioned
+    * .dropColumn]] — metadata marker + tombstone, reads stop projecting
+    * the column, time travel still serves it per-version) and
+    * zero-rewrite lossless TYPE WIDENING ([[graft.store.Versioned
+    * .widenColumn]] — INT files stay as written, the scan upcasts them
+    * under the recorded BIGINT schema). The journey: two INT batches, a
+    * widen, a BIGINT batch holding values beyond int range, a NARROW
+    * int batch landing post-widen, a drop, a rejected re-add of the
+    * dropped name (tombstone), and a compaction that physically
+    * converges the mixed widths and sheds the dropped bytes. Both DDLs
+    * are probed zero-rewrite (identical file sets across the commit);
+    * the final aggregates must equal the oracle's replay over the
+    * fixture. */
+  def schemaDropWiden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val path = scratch("dropwiden", dir)
+    rmTree(path)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("source").as("src"))
+    def band(k: Int) = docs.filter(col("doc_id") % 4 === k)
+    // two INT batches (the second stamps the schema marker)
+    graft.store.Versioned.append(
+      band(0).withColumn("n_chars", col("n_chars").cast("int")), path): Unit
+    graft.store.Versioned.append(
+      band(1).withColumn("n_chars", col("n_chars").cast("int")), path): Unit
+    val preWidenFiles = graft.store.Versioned.files(path).toSet
+    val vPreWiden = graft.store.Versioned.currentVersion(path)
+    graft.store.Versioned.widenColumn(spark, path, "n_chars", LongType): Unit
+    val widenZeroRewrite =
+      graft.store.Versioned.files(path).toSet == preWidenFiles
+    // a BIGINT batch with values no INT column could hold
+    graft.store.Versioned.append(
+      band(2).withColumn("n_chars", col("n_chars") + lit(3000000000L)), path): Unit
+    // a NARROW int batch still lands post-widen (the scan upcasts it)
+    graft.store.Versioned.append(
+      band(3).withColumn("n_chars", col("n_chars").cast("int")), path): Unit
+    val preWidenIsInt = graft.store.Versioned.read(spark, path, Some(vPreWiden))
+      .schema("n_chars").dataType == IntegerType
+    // zero-rewrite DROP; the tombstone blocks re-adding the name
+    val preDropFiles = graft.store.Versioned.files(path).toSet
+    graft.store.Versioned.dropColumn(spark, path, "src"): Unit
+    val dropZeroRewrite = graft.store.Versioned.files(path).toSet == preDropFiles
+    val rejectReadd =
+      try {
+        graft.store.Versioned.append(
+          docs.limit(1).withColumn("n_chars", col("n_chars")), path): Unit
+        false // src would re-enter through evolution — must not land
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("dropped")
+      }
+    // compaction physically converges widths and sheds the dropped bytes
+    graft.store.Versioned.compact(spark, path): Unit
+    val physical = spark.read
+      .parquet(graft.store.Versioned.files(path).head: String).schema
+    val agg = graft.store.Versioned.read(spark, path)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s")).head()
+    Seq((agg.getLong(0), agg.getLong(1),
+      (if (widenZeroRewrite) 1L else 0L), (if (dropZeroRewrite) 1L else 0L),
+      (if (preWidenIsInt) 1L else 0L), (if (rejectReadd) 1L else 0L),
+      (if (physical.fieldNames.sameElements(Array("doc_id", "n_chars")) &&
+        physical("n_chars").dataType == LongType) 1L else 0L)))
+      .toDF("n_docs", "sum_nc", "widen_zero_rewrite", "drop_zero_rewrite",
+        "pre_widen_is_int", "reject_readd", "compact_converged")
+  }
+
+  /** Cross-table ATOMIC commit over a medallion pipeline (X330 —
+    * [[graft.store.Versioned.MultiTxn]]): each interval lands bronze
+    * rows, silver rows, and a gold partial aggregate in ONE two-phase
+    * transaction, so no reader can ever see the pipeline half-updated.
+    * The journey: txn1 commits batch A across all three tables; a
+    * PREPARED-but-undecided transaction (the crash window — published
+    * through the store's own manifest form) must leave gold reading its
+    * pre-txn content; txn2 stages batch B and ABORTS (nothing lands
+    * anywhere); txn3 commits batch C, force-deciding the stalled
+    * transaction on its way. The declared row is the final gold rollup
+    * plus the invisibility probes; the oracle replays batches A and C
+    * only. */
+  def txnMedallion(spark: SparkSession, dir: String): DataFrame = {
+    val bronzeP = scratch("txnbronze", dir)
+    val silverP = scratch("txnsilver", dir)
+    val goldP = scratch("txngold", dir)
+    val txnLog = scratch("txnlog", dir)
+    Seq(bronzeP, silverP, goldP, txnLog).foreach(rmTree)
+    val purch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+      .cache()
+    def batch(k: Int) = purch.filter(col("event_id") % 3 === k)
+    def silverOf(b: DataFrame) =
+      b.withColumn("seg", col("user_id") % 4)
+    def goldOf(b: DataFrame) = silverOf(b).groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v_e2")).as("sv"))
+    def commitBatch(k: Int): Unit = {
+      val b = batch(k)
+      graft.store.Versioned.beginTxn(txnLog)
+        .stageAppend(b, bronzeP)
+        .stageAppend(silverOf(b), silverP)
+        .stageAppend(goldOf(b), goldP)
+        .commit()
+    }
+    def goldState(): (Long, Long) = {
+      val r = graft.store.Versioned.read(spark, goldP)
+        .agg(sum(col("n")).cast("long"), sum(col("sv")).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    commitBatch(0) // txn1: batch A lands atomically across all three
+    val afterA = goldState()
+    // the crash window: a transaction PREPARED on gold (marker-bearing
+    // manifest version, published through the store's own commit form)
+    // whose driver never decides — readers must keep serving batch A
+    graft.store.Versioned.commit(goldP,
+      graft.store.Versioned.currentVersion(goldP),
+      Seq(s"#txn:${new File(txnLog).getAbsolutePath}:crashed0"))
+    val pendingInvisible = goldState() == afterA
+    // txn2: stage batch B everywhere, then abort — all-or-NOTHING
+    val t2 = graft.store.Versioned.beginTxn(txnLog)
+    t2.stageAppend(batch(1), bronzeP)
+      .stageAppend(silverOf(batch(1)), silverP)
+      .stageAppend(goldOf(batch(1)), goldP): Unit
+    t2.abort()
+    val abortedInvisible = goldState() == afterA
+    commitBatch(2) // txn3: force-decides the stalled txn, lands batch C
+    // liveness probe: txn3's prepare force-aborted the crashed txn (its
+    // outcome file now says so; its version stays invisible forever)
+    val crashedAborted = new String(java.nio.file.Files.readAllBytes(
+      new File(txnLog, "crashed0.outcome").toPath), "UTF-8").trim == "abort"
+    graft.store.Versioned.read(spark, goldP)
+      .groupBy(col("seg")).agg(sum(col("n")).as("n_purch"),
+        sum(col("sv")).as("rev_e2"))
+      .withColumn("pending_invisible", lit(if (pendingInvisible) 1L else 0L))
+      .withColumn("aborted_invisible", lit(if (abortedInvisible) 1L else 0L))
+      .withColumn("crash_recovered", lit(if (crashedAborted) 1L else 0L))
       .orderBy(col("seg"))
   }
 
@@ -765,6 +908,9 @@ object StoreQueries {
     val dAgg = dF.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"), sum(col("v")).as("dv"))
       .localCheckpoint() // backs the resident semi-join AND the upsert build
+      // (measured r16: dropping this costs MORE than the job it saves —
+      // the merge's source cache covers only the plan TOP, so the twice-
+      // referenced delta aggregate re-evaluates inside the write action)
     val resident = graft.store.Versioned.read(spark, viewPath)
       .join(dAgg.select(col("user_id")), Seq("user_id"), "left_semi")
     val upserts = dAgg
@@ -774,7 +920,8 @@ object StoreQueries {
         (coalesce(col("n_purch"), lit(0L)) + col("dn")).as("n_purch"),
         (coalesce(col("rev_e2"), lit(0L)) + col("dv")).as("rev_e2"),
         coalesce(col("segment"), col("d_segment")).as("segment"))
-    graft.store.Versioned.merge(spark, viewPath, upserts, Seq("user_id")): Unit
+    graft.store.Versioned.merge(spark, viewPath, upserts, Seq("user_id"),
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     tick("fact-delta-merge")
     // 3) dim-side delta: a segment reclassification merges into D. The
     //    view's reflection of it FOLDS into leg 4's maintenance merge
@@ -833,11 +980,15 @@ object StoreQueries {
         (coalesce(col("n_purch"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_purch"),
         (coalesce(col("rev_e2"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("rev_e2"),
         coalesce(col("d_segment"), col("segment")).as("segment"))
-    graft.store.Versioned.merge(spark, viewPath, retracted, Seq("user_id")): Unit
+    // whenMatchedDelete folds the zero-purge into THIS commit: groups
+    // retracted to zero delete right here instead of costing a separate
+    // deleteWhere journey leg (selection scan + rewrite + commit). The
+    // view is delta-sized by construction, so the whole-rewrite
+    // threshold also skips the affected-file selection action.
+    graft.store.Versioned.mergeWithDeletes(spark, viewPath, retracted,
+      Seq("user_id"), deleteWhen = col("n_purch") === 0L,
+      wholeRewriteBelowBytes = graft.store.Versioned.WholeRewriteBytes): Unit
     tick("retraction-merge")
-    graft.store.Versioned.deleteWhere(spark, viewPath,
-      col("n_purch") === 0L): Unit
-    tick("zero-purge-delete")
     graft.store.Versioned.read(spark, viewPath).orderBy(col("user_id"))
   }
 
@@ -2367,10 +2518,38 @@ object StoreQueries {
     "cdc_feed" -> (cdcFeed _),
     "manifest_checkpoint" -> (manifestCheckpoint _),
     "vacuum_audit" -> (vacuumAuditQuery _),
-    "ivm_distinct_view" -> (ivmDistinctView _)
+    "ivm_distinct_view" -> (ivmDistinctView _),
+    "schema_drop_widen" -> (schemaDropWiden _),
+    "txn_medallion" -> (txnMedallion _)
   )
 
   val oracles: Map[String, String] = Map(
+    // widen/drop probes pinned by construction (zero-rewrite file-set
+    // equality, tombstone rejection, physical convergence); aggregates
+    // replay the band arithmetic: band 2 carries the +3e9 beyond-int
+    // values the widened column must hold
+    "schema_drop_widen" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN n_chars + 3000000000
+        |           ELSE n_chars END) AS BIGINT) AS sum_nc,
+        |  CAST(1 AS BIGINT) AS widen_zero_rewrite,
+        |  CAST(1 AS BIGINT) AS drop_zero_rewrite,
+        |  CAST(1 AS BIGINT) AS pre_widen_is_int,
+        |  CAST(1 AS BIGINT) AS reject_readd,
+        |  CAST(1 AS BIGINT) AS compact_converged
+        |FROM documents""".stripMargin,
+    // serial history = batches A (event_id%3=0) and C (%3=2); batch B
+    // aborted; the crash/abort invisibility probes pin all-or-nothing
+    "txn_medallion" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purch,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2,
+        |  CAST(1 AS BIGINT) AS pending_invisible,
+        |  CAST(1 AS BIGINT) AS aborted_invisible,
+        |  CAST(1 AS BIGINT) AS crash_recovered
+        |FROM events
+        |WHERE event_type = 'purchase' AND event_id % 3 <> 1
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     // journey pinned by construction: 3 retired single-file appends
     // reclaimable, 1 compacted file live, sweep == audit, content = the
     // fixture slice

@@ -52,10 +52,18 @@ object KCore {
     var e = edges.select(col("src"), col("dst")).cache()
     for (_ <- 1 to rounds) {
       val keep = org.apache.spark.sql.functions.broadcast(survivors(e, k))
-      e = e
+      val next = e
         .join(keep, col("src") === col("node")).drop("node")
         .join(keep, col("dst") === col("node")).drop("node")
         .cache()
+      // materialize the new round, THEN drop the superseded round's cache:
+      // without the eager count the chain stays lazy and an early unpersist
+      // would uncache every intermediate (2^rounds plan); without the
+      // unpersist cached rounds accumulate linearly in `rounds` (ADVICE
+      // r15). Live cache is bounded to two rounds' frames.
+      next.count(): Unit
+      e.unpersist()
+      e = next
     }
     e
   }

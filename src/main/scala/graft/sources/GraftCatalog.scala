@@ -172,6 +172,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"column $name already exists in ${ident.name}")
           cur.add(field)
         }): Unit
+      // `ALTER TABLE ... DROP COLUMN c` — zero-rewrite logical drop
+      // ([[Versioned.dropColumn]]): metadata-only marker swap plus a
+      // tombstone that blocks same-name re-adds (no field IDs)
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        Versioned.dropColumn(
+          org.apache.spark.sql.SparkSession.active, path,
+          del.fieldNames().head): Unit
+      // `ALTER TABLE ... ALTER COLUMN c TYPE bigint` — zero-rewrite
+      // lossless numeric widening ([[Versioned.widenColumn]]): narrow
+      // files stay as written, the scan upcasts them
+      case wide: TableChange.UpdateColumnType if wide.fieldNames().length == 1 =>
+        Versioned.widenColumn(
+          org.apache.spark.sql.SparkSession.active, path,
+          wide.fieldNames().head, wide.newDataType()): Unit
       // ANSI SQL `ALTER TABLE ... ADD CONSTRAINT ck CHECK (expr)` (X257)
       // onto the store's validated CHECK markers: existing rows are
       // validated FIRST (a violated constraint is rejected, Delta's
@@ -192,7 +206,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Versioned.dropConstraint(path, drop.name()): Unit
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "top-level ADD COLUMN and CHECK constraints are supported " +
+          "top-level ADD/DROP COLUMN, ALTER COLUMN TYPE (lossless " +
+          "widening), and CHECK constraints are supported " +
           "(rename goes through Versioned.renameColumn)")
     }
     loadTable(ident)

@@ -122,11 +122,12 @@ object Versioned {
     }
   }
 
-  /** COMPLETE resolved manifest lines of version `v`: full listings
-    * return as written; a delta replays forward from the nearest full
-    * listing (or the nearest memoized ancestor). Every manifest reader
-    * goes through here. */
-  private[graft] def linesOf(table: String, v: Int): Seq[String] = {
+  /** Raw RESOLVED manifest lines of version `v`: full listings return as
+    * written; a delta replays forward from the nearest full listing (or
+    * the nearest memoized ancestor). Content-immutable, so memoizable —
+    * but NOT transaction-visibility-resolved: a `#txn:` version's lines
+    * come back marker and all. Readers go through [[linesOf]]. */
+  private def rawLinesOf(table: String, v: Int): Seq[String] = {
     if (v == 0) return Seq.empty
     memoGet(table, v).foreach(hit => return hit)
     var raw = rawManifestLines(table, v)
@@ -149,6 +150,181 @@ object Versioned {
     memoPut(table, v, lines)
     lines
   }
+
+  /** COMPLETE resolved manifest lines of version `v`, with CROSS-TABLE
+    * TRANSACTION visibility applied: a version published as part of a
+    * [[MultiTxn]] carries a `#txn:` marker, and its content is served
+    * only once the transaction's single outcome file says `commit` —
+    * a pending or aborted transaction's version reads as its
+    * predecessor (all-or-nothing across every table in the
+    * transaction). Committed versions serve with the marker STRIPPED
+    * (it described the publish handshake, not the table). Every
+    * manifest reader goes through here. */
+  private[graft] def linesOf(table: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val raw = rawLinesOf(table, v)
+    raw.find(_.startsWith(TxnPrefix)) match {
+      case None => raw
+      case Some(marker) =>
+        val (txnDir, id) = parseTxnMarker(marker)
+        txnOutcome(txnDir, id) match {
+          case Some("commit") => raw.filterNot(_.startsWith(TxnPrefix))
+          case _ => linesOf(table, v - 1) // pending or aborted: invisible
+        }
+    }
+  }
+
+  // ---- cross-table atomic transactions (X330) -------------------------
+  //
+  // The medallion problem: a pipeline committing bronze, then silver,
+  // then gold independently can crash (or be read) BETWEEN commits,
+  // exposing a half-updated pipeline. Per-table OCC cannot fix that — the
+  // atomicity unit must span tables. Two-phase publish with ONE atomic
+  // arbiter (Iceberg REST-catalog / Delta commit-coordinator semantics,
+  // built on this store's own put-if-absent primitive):
+  //
+  //  PREPARE  each table's staged files publish as a normal manifest
+  //           version that additionally carries `#txn:<dir>:<id>` —
+  //           invisible to every reader until the outcome exists.
+  //  DECIDE   one put-if-absent outcome file <dir>/<id>.outcome with
+  //           content `commit` (the txn driver) or `abort` (any writer
+  //           that finds the pending version in its way). First link
+  //           wins; the loser reads the decided outcome. This single
+  //           file IS the atomic commit point for ALL tables at once.
+  //
+  // Readers resolve through the outcome ([[linesOf]]): before the
+  // outcome exists, every txn version reads as its predecessor, so no
+  // reader anywhere can observe table A new + table B old. A crash
+  // between PREPARE and DECIDE leaves the pipeline fully old; the next
+  // writer on any member table force-aborts the stalled txn (liveness)
+  // and the staged files fall to vacuum as orphans.
+
+  private val TxnPrefix = "#txn:"
+
+  /** `#txn:<absolute txn dir>:<id>` — parse from the right (paths may
+    * contain ':'). */
+  private def parseTxnMarker(l: String): (String, String) = {
+    val rest = l.stripPrefix(TxnPrefix)
+    val cut = rest.lastIndexOf(':')
+    (rest.take(cut), rest.drop(cut + 1))
+  }
+
+  /** The decided outcome of transaction `id`, if any: "commit"/"abort". */
+  private def txnOutcome(txnDir: String, id: String): Option[String] = {
+    val f = new File(txnDir, s"$id.outcome")
+    if (!f.exists) None
+    else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim)
+  }
+
+  /** Decide `id`'s outcome via put-if-absent; returns the DECIDED value
+    * (ours if the link landed, the winner's otherwise). */
+  private def decideTxn(txnDir: String, id: String, want: String): String = {
+    val dir = new File(txnDir)
+    dir.mkdirs()
+    val tmp = File.createTempFile(s"$id-", ".tmp", dir)
+    Files.write(tmp.toPath, want.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(new File(dir, s"$id.outcome").toPath, tmp.toPath)
+      want
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        txnOutcome(txnDir, id).getOrElse(want)
+    } finally { tmp.delete(): Unit }
+  }
+
+  /** Force a DECISION on a pending transaction blocking `table`'s head
+    * (abort unless its driver already committed); no-op when the head
+    * carries no undecided marker. Called by [[commit]] so a stalled
+    * transaction can never wedge a table. */
+  private def decidePendingHead(table: String, base: Int): Unit = {
+    if (base == 0) return
+    rawLinesOf(table, base).find(_.startsWith(TxnPrefix)).foreach { m =>
+      val (dir, id) = parseTxnMarker(m)
+      if (txnOutcome(dir, id).isEmpty) { decideTxn(dir, id, "abort"): Unit }
+    }
+  }
+
+  /** A cross-table atomic transaction. Stage any number of per-table
+    * appends, then [[commit]] publishes ALL of them with one atomic
+    * decision — a reader of any member table sees every staged append
+    * or none, before, during, and after, including across a crash at
+    * any point. [[abort]] (or a crash, via the next writer's
+    * force-abort) discards everything; staged files fall to vacuum.
+    *
+    * Scope: appends (the medallion shape). Rewrites inside a
+    * transaction would need cross-table conflict re-derivation — out of
+    * scope, exactly as Delta's multi-statement transactions are. */
+  final class MultiTxn private[Versioned] (val txnDir: String) {
+    val id: String = java.util.UUID.randomUUID().toString.take(12)
+    private val staged =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    private var done = false
+
+    /** Stage `df` as an append to `table` — data lands on disk now
+      * (invisible: no manifest references it), publication waits for
+      * [[commit]]. Constraints validate now, against the staging-time
+      * version. */
+    def stageAppend(df: DataFrame, table: String): this.type = synchronized {
+      require(!done, s"transaction $id is already decided")
+      requireConstraints(constraintsOf(table, Some(currentVersion(table))), df)
+      val batch = f"txn-${id}-${staged.size}%02d"
+      staged += ((table, stageFiles(df, table, batch)))
+      this
+    }
+
+    /** Two-phase publish. PREPARE: commit each table's staged files as a
+      * marker-bearing (invisible) version, with per-table OCC retries.
+      * DECIDE: one put-if-absent outcome link. Throws if a concurrent
+      * writer force-aborted the transaction first (the staged data is
+      * then fully discarded — all-or-nothing either way). */
+    def commit(maxRetries: Int = 5): Unit = synchronized {
+      require(!done, s"transaction $id is already decided")
+      done = true
+      val marker = s"$TxnPrefix${new File(txnDir).getAbsolutePath}:$id"
+      // several stages to ONE table fold into one prepare commit — a
+      // second marker-bearing version on the same table would trip this
+      // transaction's OWN force-abort when it built on the first
+      val perTable = staged.foldLeft(
+        scala.collection.immutable.ListMap.empty[String, Seq[String]]) {
+        case (m, (t, fs)) => m.updated(t, m.getOrElse(t, Seq.empty) ++ fs)
+      }
+      perTable.foreach { case (table, added) =>
+        var attempt = 0
+        var landed = false
+        while (!landed) {
+          // a concurrent writer may have force-aborted us already —
+          // stop preparing, nothing published becomes visible
+          if (txnOutcome(new File(txnDir).getAbsolutePath, id).contains("abort"))
+            throw new IllegalStateException(
+              s"transaction $id was aborted by a concurrent writer")
+          try {
+            Versioned.commit(table, currentVersion(table), added :+ marker): Unit
+            landed = true
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          }
+        }
+      }
+      val decided = decideTxn(new File(txnDir).getAbsolutePath, id, "commit")
+      if (decided != "commit") throw new IllegalStateException(
+        s"transaction $id was aborted by a concurrent writer " +
+          "(its pending version blocked their commit) — nothing was published")
+    }
+
+    /** Explicitly discard the transaction (idempotent). */
+    def abort(): Unit = synchronized {
+      done = true
+      decideTxn(new File(txnDir).getAbsolutePath, id, "abort"): Unit
+    }
+  }
+
+  /** Begin a cross-table transaction whose outcome file lives under
+    * `txnDir` (one shared dir per pipeline — the arbiter location every
+    * member table's marker names). */
+  def beginTxn(txnDir: String): MultiTxn = new MultiTxn(txnDir)
 
   /** Latest committed version, 0 if the table is empty/uninitialized. */
   def currentVersion(table: String): Int = {
@@ -975,6 +1151,147 @@ object Versioned {
     schemaOf(table, Some(version)).getOrElse(
       spark.read.parquet(files(table, Some(version)).head).schema)
 
+  private val DroppedPrefix = "#dropped:"
+
+  /** Column names DROPPED from this table (tombstones, any version up
+    * to `version`'s manifest): dropped names may not be re-introduced
+    * while the tombstone stands — without field IDs (Iceberg's route), a
+    * re-added same-name column would RESURRECT the old files' physical
+    * values under the new column. [[purgeDropped]] clears tombstones by
+    * physically rewriting. */
+  def droppedOf(table: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(table))
+    if (v == 0 || !manifestFile(table, v).exists) Seq.empty
+    else linesOf(table, v).filter(_.startsWith(DroppedPrefix))
+      .map(_.stripPrefix(DroppedPrefix))
+  }
+
+  /** ZERO-REWRITE `ALTER TABLE DROP COLUMN` (the Delta column-mapping /
+    * Iceberg drop design point): one metadata-only commit replaces the
+    * schema marker with the column removed and stamps a
+    * `#dropped:name` tombstone — no data file is touched at ANY table
+    * size. Reads project by the recorded schema, so the dropped
+    * column's physical bytes simply stop being read; time travel to a
+    * pre-drop version reads it back (per-version schema markers).
+    * File-REWRITING ops (merge/compact/deleteWhere) keep working — a
+    * rewrite reads under the post-drop schema and physically sheds the
+    * column from the files it touches.
+    *
+    * The tombstone blocks re-ADDING the same name (append evolution,
+    * `ALTER TABLE ADD COLUMN`): old files still hold physical values
+    * under it, and a same-name re-add would resurrect them into the new
+    * column. [[purgeDropped]] (one explicit rewrite, like
+    * [[normalize]]) physically erases the bytes and clears tombstones —
+    * also the GDPR story for a dropped-column purge. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxRetries: Int = 5): Int = {
+    require(!name.contains(":") && name.nonEmpty, s"bad column name $name")
+    requireNoRenames(table, "dropColumn")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"cannot drop a column on empty table $table")
+      val schema = readSchemaOf(spark, table, cur)
+      require(schema.fieldNames.contains(name),
+        s"dropColumn: no column $name in ${schema.fieldNames.mkString(",")}")
+      require(schema.fields.length > 1,
+        s"dropColumn: $name is the only column of $table")
+      val remaining = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      val stale = linesOf(table, cur).toSet.filter(_.startsWith(SchemaPrefix))
+      try return commit(table, cur,
+        Seq(DroppedPrefix + name, SchemaPrefix + remaining.json), stale)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Numeric type promotions the parquet scan applies losslessly when a
+    * file's physical type is NARROWER than the requested read schema
+    * (Spark 4's parquet widening conversions — the reader upcasts
+    * per-batch, so mixed-width files coexist under one recorded
+    * schema). Byte/Short promotions are free (both store as INT32). */
+  private val Widenable: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType),
+      (FloatType, DoubleType),
+      (ByteType, DoubleType), (ShortType, DoubleType), (IntegerType, DoubleType))
+  }
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = Widenable((from, to))
+
+  /** ZERO-REWRITE type widening (`ALTER TABLE ALTER COLUMN c TYPE
+    * BIGINT` — Delta's type-widening table feature): one metadata-only
+    * commit re-stamps the schema marker with the column's type promoted
+    * along a lossless numeric chain ([[widens]]). Existing NARROW files
+    * stay as written — the parquet scan upcasts them under the recorded
+    * wide schema — and rewrites (merge/compact) converge touched files
+    * to the wide type over time. Time travel reads each version under
+    * its own marker, so a pre-widen version still reads narrow.
+    * Appends of the NARROW type keep landing (upcast at read); appends
+    * WIDER than the recorded type are rejected (widening is an explicit
+    * DDL decision, not a write side effect). */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType, maxRetries: Int = 5): Int = {
+    requireNoRenames(table, "widenColumn")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"cannot widen a column on empty table $table")
+      val schema = readSchemaOf(spark, table, cur)
+      val idx = schema.fieldNames.indexOf(name)
+      require(idx >= 0,
+        s"widenColumn: no column $name in ${schema.fieldNames.mkString(",")}")
+      val from = schema.fields(idx).dataType
+      require(widens(from, to),
+        s"widenColumn: ${from.sql} -> ${to.sql} is not a supported lossless " +
+          s"widening (chains: tinyint<smallint<int<bigint, float<double, " +
+          "int-family<double)")
+      val widened = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      val stale = linesOf(table, cur).toSet.filter(_.startsWith(SchemaPrefix))
+      try return commit(table, cur, Seq(SchemaPrefix + widened.json), stale)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** One explicit full rewrite that physically erases dropped columns'
+    * bytes and clears the `#dropped:` tombstones — after this, the
+    * names are reusable. The drop itself stays zero-rewrite; run this
+    * when convenient (or for erasure compliance). Pairs with vacuum:
+    * pre-purge versions still reference the old files until retired. */
+  def purgeDropped(spark: SparkSession, table: String,
+      maxRetries: Int = 5): Int = {
+    val cur = currentVersion(table)
+    val dropped = droppedOf(table, Some(cur))
+    if (dropped.isEmpty) return cur
+    val fs = files(table, Some(cur))
+    val batch = f"normalize-${java.util.UUID.randomUUID().toString.take(8)}"
+    // readUnder projects the post-drop schema, so the staged files
+    // physically lack the dropped columns
+    val added = stageFiles(
+      readUnder(spark, table, cur, fs).coalesce(
+        rewriteWidth(tableBytes(fs))), table, batch)
+    val removedLines = fs.map(manifestLineOf(table, _)).toSet ++
+      linesOf(table, cur).toSet.filter(_.startsWith(DroppedPrefix))
+    retryCommit(table, added, removedLines, maxRetries)
+  }
+
   /** Apply outstanding renames to a raw union-schema scan: each marker
     * folds `new := coalesce(new, old)` (a legacy file NULL-fills the
     * canonical name and serves its value under the old one; a canonical
@@ -1210,6 +1527,15 @@ object Versioned {
       // r11), which a pre-computed schema would silently drop
       val base = schemaOf(table, Some(cur))
       val schema = widen(base)
+      // tombstone guard, same rule as append evolution: a dropped name
+      // may not come back while old files still hold its bytes
+      val resurrected = schema.fieldNames
+        .filterNot(base.map(_.fieldNames.toSet).getOrElse(Set.empty))
+        .filter(droppedOf(table, Some(cur)).toSet)
+      require(resurrected.isEmpty,
+        s"schema change would re-introduce dropped column(s) " +
+          s"${resurrected.mkString(", ")} on $table — " +
+          "Versioned.purgeDropped first, or use a different name")
       val stale = linesOf(table, cur).toSet
         .filter(_.startsWith(SchemaPrefix))
       try return commit(table, cur, Seq(SchemaPrefix + schema.json), stale)
@@ -1552,6 +1878,22 @@ object Versioned {
     // replacement data, so its markers retire here
     def retiredDv(l: String): Boolean =
       l.startsWith(DeletesPrefix) && removed(parseDeletesMarker(l)._1)
+    // a base-0 commit means the table is brand-new AT THIS PATH — if a
+    // scratch journey deleted and rebuilt the directory, memoized
+    // resolutions keyed to the OLD incarnation must not survive into the
+    // new one (the (mtime, length) fingerprint is millisecond-granular,
+    // so a same-length manifest rebuilt within one tick would otherwise
+    // serve stale lines — ADVICE r15)
+    if (base == 0) {
+      val abs = new File(table).getAbsolutePath
+      resolvedMemo.keysIterator.filter(_._1 == abs)
+        .foreach(k => resolvedMemo.remove(k))
+    }
+    // a PENDING cross-table transaction holding the head must be decided
+    // before anyone builds on it: force-abort (its driver's commit link
+    // wins if it raced us there), so the carry-forward below reads a
+    // DECIDED view and stalled transactions can never wedge the table
+    decidePendingHead(table, base)
     val baseLines = if (base == 0) Seq.empty else linesOf(table, base)
     val kept = baseLines
       .filter(f => f.nonEmpty && !removed(f) && !retired(f) && !retiredDv(f))
@@ -1566,7 +1908,12 @@ object Versioned {
     val deltaLen = 1 + removedLines.length + newFiles.length
     val fullLen = kept.length + newFiles.length
     val asDelta = base > 0 && next % ManifestCheckpointEvery != 0 &&
-      baseLines.length >= ManifestDeltaMinLines && deltaLen * 2 < fullLen
+      baseLines.length >= ManifestDeltaMinLines && deltaLen * 2 < fullLen &&
+      // a txn-marked base resolves differently raw vs visible (the
+      // marker strips on commit; an aborted version serves its
+      // predecessor) — delta replay runs over RAW lines, so building a
+      // delta against it would corrupt the replay; force a full listing
+      !rawLinesOf(table, base).exists(_.startsWith(TxnPrefix))
     val body =
       if (asDelta)
         (DeltaHeader + base) +:
@@ -1740,9 +2087,14 @@ object Versioned {
     val rec = shape(recorded)
     incoming.fields.foreach { f =>
       rec.get(f.name).foreach { t =>
-        require(t == f.dataType,
+        // a batch NARROWER than the recorded type on a lossless widening
+        // chain lands as written (the scan upcasts it under the recorded
+        // schema — the post-widenColumn steady state); anything else is
+        // a type change evolution must not do silently
+        require(t == f.dataType || widens(f.dataType, t),
           s"schema evolution cannot change column '${f.name}' from $t to ${f.dataType} " +
-            "(add a new column instead)")
+            "(add a new column instead, or Versioned.widenColumn for a " +
+            "lossless numeric widening)")
       }
     }
     val existing = recorded.fieldNames.toSet
@@ -1895,7 +2247,11 @@ object Versioned {
       // state than the old one-footer sample per append.
       def fitsSchema(ts: org.apache.spark.sql.types.StructType): Boolean = {
         val rec = shape(ts)
-        df.schema.fields.forall(f => rec.get(f.name).contains(f.dataType)) &&
+        // exact type, or losslessly NARROWER than the recorded type (the
+        // post-widenColumn steady state: the file lands narrow, the scan
+        // upcasts it under the recorded wide schema — no marker churn)
+        df.schema.fields.forall(f => rec.get(f.name)
+          .exists(t => t == f.dataType || widens(f.dataType, t))) &&
           rec.size == df.schema.fields.length
       }
       val recorded = schemaOf(table, Some(cur))
@@ -1916,6 +2272,18 @@ object Versioned {
         else {
           val union = evolveSchema(
             tableSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil)), df.schema)
+          // tombstoned names may not come back through evolution: the old
+          // files' physical bytes would resurrect under the re-added
+          // column (see dropColumn)
+          val dropped = droppedOf(table, Some(cur)).toSet
+          val resurrected = union.fieldNames
+            .filterNot(tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty))
+            .filter(dropped)
+          require(resurrected.isEmpty,
+            s"append would re-introduce dropped column(s) " +
+              s"${resurrected.mkString(", ")} on $table — old files still " +
+              "hold their bytes; Versioned.purgeDropped first, or use a " +
+              "different name")
           // remove the literal marker line(s) present in the base manifest
           // (regenerating the line could miss a formatting difference)
           val stale: Set[String] =
@@ -1963,6 +2331,10 @@ object Versioned {
       cond: org.apache.spark.sql.Column, maxRetries: Int = 5): Int = {
     requireNoRenames(table, "deleteWhere")
     val base = currentVersion(table)
+    // NO small-table fast path here, unlike merge: deleteWhere's contract
+    // includes "no match ⇒ same version, nothing rewritten" and "files
+    // without matches carry by reference" (VersionedSpec pins both), and
+    // only the selection scan can establish no-match without a commit.
     // readTagged: provenance survives the DV anti-join on tables with
     // outstanding deletion vectors (input_file_name goes blank there)
     val affected = readTagged(spark, table, base, files(table, Some(base)))
@@ -1976,6 +2348,7 @@ object Versioned {
     val keep = readUnder(spark, table, base, affected.toIndexedSeq)
       .filter(!org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false)))
+      .coalesce(rewriteWidth(tableBytes(affected.toIndexedSeq)))
     val batch = f"delete-${java.util.UUID.randomUUID().toString.take(8)}"
     val added = stageFiles(keep, table, batch)
     val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
@@ -2009,35 +2382,103 @@ object Versioned {
     * retry would be a lost update: concurrently appended matching rows
     * would survive next to the merge's replacement rows, leaving
     * duplicate keys. VersionedSpec races merges against appends and
-    * pins key uniqueness + no-lost-rows over the final state. */
+    * pins key uniqueness + no-lost-rows over the final state.
+    *
+    * `wholeRewriteBelowBytes` (opt-in, default 0 = always prune): when
+    * the caller KNOWS the table is delta-sized (an IVM view, a support
+    * table, a serving digest), a positive threshold skips the
+    * affected-file selection scan whenever the table's current bytes
+    * are under it and rewrites whole — under one task's worth of bytes
+    * the selection action cannot save I/O, only add a job roundtrip
+    * ([[WholeRewriteBytes]] is the suggested value). */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keys: Seq[String], maxRetries: Int = 5): Int =
+      keys: Seq[String], maxRetries: Int = 5,
+      wholeRewriteBelowBytes: Long = 0L): Int =
     mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
-      extraAdd = Seq.empty, extraRemove = _ => Set.empty)
+      extraAdd = Seq.empty, extraRemove = _ => Set.empty,
+      wholeRewriteBelowBytes = wholeRewriteBelowBytes)
+
+  /** [[merge]] with Delta's whenMatchedDelete arm: update rows
+    * satisfying `deleteWhen` DELETE their matched table rows (and are
+    * never inserted); the rest upsert as usual. Folds a maintenance
+    * merge and its follow-up purge ("drop groups retracted to zero")
+    * into ONE commit — the IVM consumers' shape, where a retraction
+    * batch both adjusts surviving groups and kills emptied ones. */
+  def mergeWithDeletes(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], deleteWhen: org.apache.spark.sql.Column,
+      maxRetries: Int = 5, wholeRewriteBelowBytes: Long = 0L): Int =
+    mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
+      extraAdd = Seq.empty, extraRemove = _ => Set.empty,
+      deleteWhen = Some(deleteWhen),
+      wholeRewriteBelowBytes = wholeRewriteBelowBytes)
+
+  /** Suggested `wholeRewriteBelowBytes` for [[merge]] on tables the
+    * caller KNOWS are delta-sized (IVM views, support tables, serving
+    * digests): under this many bytes the rewrite is ONE task, so file
+    * pruning cannot save any I/O — but the selection pass costs a full
+    * extra action (plan + schedule + collect roundtrip), which DOMINATES
+    * small-table maintenance (VERDICT r15 #1: the IVM journeys' cost is
+    * N_commits × fixed job overhead, and the selection scan was half of
+    * every merge's job count). Opt-in, never a silent default: merge's
+    * documented contract — untouched files carry by reference — is load-
+    * bearing for big tables, and VersionedSpec pins it on small
+    * fixtures. */
+  val WholeRewriteBytes: Long = 32L << 20
+
+  private def tableBytes(absFiles: Seq[String]): Long =
+    absFiles.iterator.map(f => new File(f).length()).sum
+
+  /** Output-file count for a rewrite of `bytes` worth of inputs:
+    * ~64 MiB per file, at least one. A rewrite's staged width follows
+    * the REWRITTEN BYTES, not the source frame's partitioning — a
+    * broadcast-join/union plan otherwise inherits a 32-partition
+    * localCheckpoint upstream and stages 32 near-empty files per
+    * commit, snowballing the table's file count (and, past the
+    * parallel-listing threshold, adding a listing JOB to every
+    * subsequent read). */
+  private def rewriteWidth(bytes: Long): Int =
+    math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).min(10000L).toInt
 
   /** One MERGE attempt's files against `base`: writes the batch dir and
     * returns (added relative paths, removed relative paths). Shared by
     * [[merge]] and [[mergeBatchIdempotent]], whose commits differ only
-    * in manifest marker lines. */
+    * in manifest marker lines. `deleteWhen`: Delta's
+    * whenMatchedDelete — update rows satisfying it DELETE their matched
+    * table rows (and never insert) instead of replacing them. */
   private def mergeAttemptFiles(spark: SparkSession, table: String,
-      updates: DataFrame, keys: Seq[String], base: Int): (Seq[String], Set[String]) = {
+      updates: DataFrame, keys: Seq[String], base: Int,
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      wholeRewriteBelowBytes: Long): (Seq[String], Set[String]) = {
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit}
     val batch = f"merge-${java.util.UUID.randomUUID().toString.take(8)}"
+    val upserts = deleteWhen match {
+      case Some(cond) => updates.filter(!fnCoalesce(cond, lit(false)))
+      case None => updates
+    }
     if (base == 0) // empty table: a merge is a plain insert
-      return (stageFiles(updates, table, batch), Set.empty)
+      return (stageFiles(upserts, table, batch), Set.empty)
     val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    // the anti-join key set covers DELETE rows too: their matched table
+    // rows must drop, they just contribute nothing to the union
     val updKeys = updates.select(keyCols: _*).distinct()
-    // readTagged: provenance survives the DV anti-join (see deleteWhere)
-    val affected = readTagged(spark, table, base, files(table, Some(base)))
-      .withColumnRenamed("__graft_path", "__f")
-      .join(updKeys, keys, "left_semi")
-      .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
-    val ordered = updates.select(readSchemaOf(spark, table, base).fieldNames
+    val allFiles = files(table, Some(base))
+    val whole = wholeRewriteBelowBytes > 0 &&
+      tableBytes(allFiles) < wholeRewriteBelowBytes
+    val affected: Array[String] =
+      if (whole) allFiles.toArray
+      else // readTagged: provenance survives the DV anti-join (see deleteWhere)
+        readTagged(spark, table, base, allFiles)
+          .withColumnRenamed("__graft_path", "__f")
+          .join(updKeys, keys, "left_semi")
+          .select("__f").distinct().collect().map(r => toLocalPath(r.getString(0)))
+    val ordered = upserts.select(readSchemaOf(spark, table, base).fieldNames
       .map(org.apache.spark.sql.functions.col).toSeq: _*)
     val newData =
       if (affected.isEmpty) ordered // pure insert: no file rewrites
       else readUnder(spark, table, base, affected.toIndexedSeq)
         .join(updKeys, keys, "left_anti") // drop the rows being replaced
         .unionByName(ordered)
+        .coalesce(rewriteWidth(tableBytes(affected.toIndexedSeq)))
     val added = stageFiles(newData, table, batch)
     val removedRel = affected.map(abs => manifestLineOf(table, abs)).toSet
     (added, removedRel)
@@ -2045,7 +2486,9 @@ object Versioned {
 
   private def mergeWithManifestExtras(spark: SparkSession, table: String,
       updates: DataFrame, keys: Seq[String], maxRetries: Int,
-      extraAdd: Seq[String], extraRemove: Int => Set[String]): Int = {
+      extraAdd: Seq[String], extraRemove: Int => Set[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      wholeRewriteBelowBytes: Long = 0L): Int = {
     require(keys.nonEmpty, "merge needs at least one key column")
     requireNoRenames(table, "merge")
     // evaluate the SOURCE once: a merge reads `updates` several times
@@ -2066,7 +2509,8 @@ object Versioned {
         val base = currentVersion(table)
         try {
           requireConstraints(constraintsOf(table, Some(base)), upd)
-          val (added, removedRel) = mergeAttemptFiles(spark, table, upd, keys, base)
+          val (added, removedRel) = mergeAttemptFiles(
+            spark, table, upd, keys, base, deleteWhen, wholeRewriteBelowBytes)
           return commit(table, base, added ++ extraAdd, removedRel ++ extraRemove(base))
         } catch {
           case e: IllegalStateException =>
@@ -2092,7 +2536,7 @@ object Versioned {
     * single-writer-per-batchId assumption as the append form. */
   def mergeBatchIdempotent(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], batchId: Long, maxRetries: Int = 5,
-      ledgerHorizon: Long = 1000): Int = {
+      ledgerHorizon: Long = 1000, wholeRewriteBelowBytes: Long = 0L): Int = {
     require(ledgerHorizon > 0, s"ledgerHorizon must be positive, got $ledgerHorizon")
     if (processedBatch(table, batchId)) return currentVersion(table)
     def stale(base: Int): Set[String] =
@@ -2101,7 +2545,8 @@ object Versioned {
         .filter(l => l.startsWith("#stream:") &&
           l.stripPrefix("#stream:").toLongOption.exists(_ < batchId - ledgerHorizon))
     mergeWithManifestExtras(spark, table, updates, keys, maxRetries,
-      extraAdd = Seq(streamMarker(batchId)), extraRemove = stale)
+      extraAdd = Seq(streamMarker(batchId)), extraRemove = stale,
+      wholeRewriteBelowBytes = wholeRewriteBelowBytes)
   }
 
   /** `input_file_name()` yields a URI on most filesystems and a bare

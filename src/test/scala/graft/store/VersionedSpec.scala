@@ -993,6 +993,172 @@ class VersionedSpec extends SparkSpec {
     assert(err.getMessage.contains("schema evolution cannot change column"))
   }
 
+  test("dropColumn: zero-rewrite, per-version schema on time travel, tombstone blocks re-add, purge clears it") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "q"), t)
+    Versioned.append(Seq((3L, "c", 30L)).toDF("id", "s", "q"), t)
+    val preFiles = Versioned.files(t).toSet
+    val vDrop = Versioned.dropColumn(spark, t, "q")
+    // metadata-only: the exact same data files back the new version
+    assert(Versioned.files(t, Some(vDrop)).toSet == preFiles)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "s"))
+    // time travel reads the PRE-drop version under its own schema
+    assert(Versioned.read(spark, t, Some(2)).columns.toSeq == Seq("id", "s", "q"))
+    assert(Versioned.read(spark, t, Some(2)).where("id = 2")
+      .select("q").as[Long].collect().toSeq == Seq(20L))
+    // re-introducing the dropped name is blocked (old bytes would resurrect)
+    val err = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((4L, "d", 99L)).toDF("id", "s", "q"), t)
+    }
+    assert(err.getMessage.contains("dropped"))
+    // rewriting ops still work and physically shed the column
+    Versioned.merge(spark, t, Seq((2L, "B!")).toDF("id", "s"), Seq("id"))
+    assert(rows(t) == Set((1L, "a"), (2L, "B!"), (3L, "c")))
+    // purge: one explicit rewrite erases the bytes and frees the name
+    val vPurge = Versioned.purgeDropped(spark, t)
+    assert(Versioned.droppedOf(t, Some(vPurge)).isEmpty)
+    Versioned.append(Seq((5L, "e", 50L)).toDF("id", "s", "q"), t)
+    val q5 = Versioned.read(spark, t).where("id = 5")
+      .select("q").as[Option[Long]].collect().toSeq
+    assert(q5 == Seq(Some(50L)))
+    // pre-purge rows carry NULL in the re-added column, never old bytes
+    assert(Versioned.read(spark, t).where("id = 1")
+      .select("q").as[Option[Long]].collect().toSeq == Seq(None))
+  }
+
+  test("widenColumn: zero-rewrite int->bigint, mixed-width reads upcast, narrow appends keep landing") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1, "a"), (2, "b")).toDF("v", "s"), t)
+    // the first append is marker-free; stamp a marker via a second batch
+    Versioned.append(Seq((3, "c")).toDF("v", "s"), t)
+    val preFiles = Versioned.files(t).toSet
+    val vWide = Versioned.widenColumn(spark, t, "v", LongType)
+    assert(Versioned.files(t, Some(vWide)).toSet == preFiles, "widen must not rewrite")
+    assert(Versioned.read(spark, t).schema("v").dataType == LongType)
+    // existing INT32 files upcast under the wide schema
+    assert(Versioned.read(spark, t).selectExpr("sum(v)").as[Long].head() == 6L)
+    // a LONG batch with a value beyond int range lands post-widen
+    Versioned.append(Seq((3000000000L, "wide")).toDF("v", "s"), t)
+    // a NARROW int batch still lands (scan upcasts it), without marker churn
+    val marker = Versioned.schemaOf(t)
+    Versioned.append(Seq((4, "d")).toDF("v", "s"), t)
+    assert(Versioned.schemaOf(t) == marker)
+    assert(Versioned.read(spark, t).selectExpr("sum(v)").as[Long].head() ==
+      3000000010L)
+    // time travel: the pre-widen version still reads its narrow schema
+    assert(Versioned.read(spark, t, Some(2)).schema("v").dataType == IntegerType)
+    // a rewrite converges touched files to the wide physical type
+    Versioned.compact(spark, t)
+    assert(spark.read.parquet(Versioned.files(t).head).schema("v").dataType == LongType)
+    assert(Versioned.read(spark, t).selectExpr("sum(v)").as[Long].head() ==
+      3000000010L)
+    // narrowing is rejected; so is widening a non-numeric column
+    intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, t, "v", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.widenColumn(spark, t, "s", LongType)
+    }
+  }
+
+  test("schema evolution races an append: both commits land, no lost update") {
+    import org.apache.spark.sql.types.LongType
+    val t = tmpDir("versioned").toString
+    Versioned.append(Seq((1, "a")).toDF("v", "s"), t)
+    Versioned.append(Seq((2, "b")).toDF("v", "s"), t) // stamps the marker
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val widen = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Versioned.widenColumn(spark, t, "v", LongType, maxRetries = 50)
+      })
+      val append = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Versioned.append(Seq((3, "c")).toDF("v", "s"), t, maxRetries = 50)
+      })
+      widen.get(); append.get(): Unit
+    } finally pool.shutdown()
+    // whichever order the OCC race serialized them in: the final schema is
+    // wide, and all three rows survive (upcast where the file is narrow)
+    assert(Versioned.read(spark, t).schema("v").dataType == LongType)
+    assert(Versioned.read(spark, t).selectExpr("sum(v)").as[Long].head() == 6L)
+    assert(Versioned.currentVersion(t) == 4)
+  }
+
+  test("cross-table txn: all-or-nothing visibility, crash leaves nothing, commit flips every table at once") {
+    val txnDir = tmpDir("txnlog").toString
+    val a = tmpDir("versioned").toString
+    val b = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a0")).toDF("id", "s"), a)
+    Versioned.append(Seq((1L, "b0")).toDF("id", "s"), b)
+    // CRASH between prepare and decide: stage + prepare both tables by
+    // reaching into commit()'s own pieces — simulate by a txn whose
+    // driver never decides (we just don't call commit's decide): use a
+    // real txn but kill it after prepare via a subclass seam — instead,
+    // drive the REAL protocol and simulate the crash with abort-less
+    // pending state: prepare happens inside commit(), so emulate the
+    // crash by preparing manually through a second txn object whose
+    // decide step we never reach — here: stage, then write the
+    // marker-bearing versions via the public API by racing an abort.
+    // Simplest faithful simulation: stage + commit in a thread we
+    // interrupt AFTER prepare would be flaky; instead verify the
+    // PENDING window directly: a txn that staged but never called
+    // commit leaves both tables untouched (manifest-invisible).
+    val crashed = Versioned.beginTxn(txnDir)
+    crashed.stageAppend(Seq((2L, "a1")).toDF("id", "s"), a)
+    crashed.stageAppend(Seq((2L, "b1")).toDF("id", "s"), b)
+    // staged-only (pre-prepare crash): no manifest references the files
+    assert(rows(a) == Set((1L, "a0")) && rows(b) == Set((1L, "b0")))
+    // now the post-prepare pre-decide crash: prepare runs inside
+    // commit(), so emulate it by committing marker-bearing versions the
+    // way prepare does, without an outcome file
+    val marker = s"#txn:${new File(txnDir).getAbsolutePath}:deadbeef"
+    Versioned.commit(a, Versioned.currentVersion(a), Seq(marker))
+    Versioned.commit(b, Versioned.currentVersion(b), Seq(marker))
+    // pending: BOTH tables still read their old content, version numbers
+    // advanced but invisible (all-or-nothing during the window)
+    assert(rows(a) == Set((1L, "a0")) && rows(b) == Set((1L, "b0")))
+    // a writer arriving at table a force-aborts the stalled txn…
+    Versioned.append(Seq((3L, "a2")).toDF("id", "s"), a)
+    assert(rows(a) == Set((1L, "a0"), (3L, "a2")))
+    // …which keeps table b's pending version invisible FOREVER
+    assert(rows(b) == Set((1L, "b0")))
+    assert(Files.readAllLines(
+      new File(txnDir, "deadbeef.outcome").toPath).get(0) == "abort")
+    // happy path: a full commit flips both tables atomically
+    val txn = Versioned.beginTxn(txnDir)
+    txn.stageAppend(Seq((4L, "a3")).toDF("id", "s"), a)
+    txn.stageAppend(Seq((4L, "b3")).toDF("id", "s"), b)
+    assert(rows(a) == Set((1L, "a0"), (3L, "a2")) && rows(b) == Set((1L, "b0")))
+    txn.commit()
+    assert(rows(a) == Set((1L, "a0"), (3L, "a2"), (4L, "a3")))
+    assert(rows(b) == Set((1L, "b0"), (4L, "b3")))
+    // post-commit housekeeping: later appends build on the committed
+    // content and strip the handshake marker from the next version
+    Versioned.append(Seq((5L, "b4")).toDF("id", "s"), b)
+    assert(rows(b) == Set((1L, "b0"), (4L, "b3"), (5L, "b4")))
+    // the crashed txn's earlier staged-only files are orphans — fsck
+    // counts them, vacuum's orphan story applies; reads never see them
+    val fsck = Versioned.fsck(b)
+    assert(fsck.missingFiles == 0)
+  }
+
+  test("cross-table txn: a writer force-abort makes the txn driver's commit fail loudly") {
+    val txnDir = tmpDir("txnlog").toString
+    val a = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a0")).toDF("id", "s"), a)
+    val txn = Versioned.beginTxn(txnDir)
+    txn.stageAppend(Seq((2L, "a1")).toDF("id", "s"), a)
+    // a concurrent writer's force-abort normally races the driver's
+    // decide; land it first deterministically by writing the outcome
+    // file the way decideTxn would
+    Files.write(new File(txnDir, s"${txn.id}.outcome").toPath,
+      "abort".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalStateException] { txn.commit() }
+    assert(rows(a) == Set((1L, "a0")))
+    assert(Versioned.currentVersion(a) == 1, "an aborted txn publishes nothing")
+  }
+
   test("merge-on-read delete: zero data files rewritten, reads subtract, snapshots intact") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
