@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * threads, minus fixed per-query cost amortization) holds its plan
   * shape; a superlinear one is flagged for explanation. */
 object ScaleBench {
+  private def rmTree(path: String): Unit = {
+    val f = new java.io.File(path)
+    Option(f.listFiles).foreach(_.foreach(c => rmTree(c.getAbsolutePath)))
+    f.delete(): Unit
+  }
+
   private def upsampleDir(base: String, factor: Int): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_upsample_f${factor}_" +
@@ -103,58 +109,126 @@ object ScaleBench {
       println(f"[scalebench] corpus built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else println(s"[scalebench] reusing ${factor}x corpus at $up")
 
-    val defaults = Seq("minhash_neardup", "simhash_neardup",
-      "prefix_filter_join", "dedup_collapse", "pagerank", "ivf_topk",
-      "nsw_topk", "bm25_topk", "quality_classifier", "sketch_stats",
-      "versioned_merge", "stream_dedup")
-    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(defaults)
-      .filter(SparkEntry.queries.contains)
-
+    // Full-corpus family runners, NOT the declared oracle queries: most
+    // declared rows cap their input (doc_id < 200 etc.) for oracle
+    // determinism, so at 10× they would re-measure the same slice. Each
+    // runner drives the scale-library engine over the WHOLE corpus of
+    // `dir` and returns a row count (the action).
+    import graft.scale.{ConnectedComponents, Ivf, NearDup, Nsw, PageRank, PrefixJoin}
+    def psEdges(d: String): DataFrame = {
+      val pairs = Tables.lineitem(spark, d)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    def queryVec(d: String): Array[Float] =
+      Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+    val families: Seq[(String, String => Long)] = Seq(
+      "minhash_banding" -> { d =>
+        NearDup.minhashNearDupsOnShingles(
+          NearDup.shingles(Tables.documents(spark, d)), 0.5).count()
+      },
+      "simhash_banding" -> { d =>
+        NearDup.simhashNearDups(Tables.documents(spark, d), 12).count()
+      },
+      "prefix_jaccard_join" -> { d =>
+        PrefixJoin.jaccardSelfJoin(
+          PrefixJoin.wordKGrams(Tables.documents(spark, d), k = 5),
+          tNum = 4, tDen = 5).count()
+      },
+      "connected_components" -> { d =>
+        // components() wants LONG node ids: parts keep their key,
+        // suppliers shift past the part-key range (disjoint id spaces)
+        val off = Tables.lineitem(spark, d)
+          .agg(max(col("l_partkey"))).head().getLong(0) + 1L
+        val pairs = Tables.lineitem(spark, d)
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + off).as("dst")).distinct()
+        val e = pairs.unionAll(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        ConnectedComponents.components(e,
+          e.select(col("src").as("node")).distinct()).count()
+      },
+      "pagerank" -> { d =>
+        PageRank.run(psEdges(d), iterations = 5,
+          doubledUndirected = true).count()
+      },
+      "ivf_build_search" -> { d =>
+        val idx = Ivf.build(spark, Tables.embeddings(spark, d))
+        val n = Ivf.search(idx, queryVec(d), k = 13, nprobe = 3).count()
+        idx.assigned.unpersist()
+        n
+      },
+      "nsw_build_search" -> { d =>
+        val g = Nsw.build(Tables.embeddings(spark, d))
+        Nsw.search(g, queryVec(d), k = 13).count()
+      },
+      "bm25_postings" -> { d =>
+        SparkEntry.queries("bm25_topk")(spark, d).count() // full-corpus already
+      },
+      "quality_signals" -> { d =>
+        Tables.documents(spark, d)
+          .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("len"),
+            size(array_distinct(col("toks"))).as("uniq"))
+          .agg(count(lit(1)), avg(col("len")), avg(col("uniq") / col("len")))
+          .count()
+      },
+      "sketch_profile" -> { d =>
+        Tables.events(spark, d).groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("u"),
+            expr("approx_percentile(value, array(0.5, 0.95, 0.99))").as("q"))
+          .count()
+      },
+      "store_merge_cdc" -> { d =>
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_scalemerge_${d.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
+        rmTree(path)
+        val ev = Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        graft.store.Versioned.append(ev, path)
+        val cdc = ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") + 1.0)
+        graft.store.Versioned.merge(spark, path, cdc, Seq("event_id"))
+        val n = graft.store.Versioned.read(spark, path).count()
+        rmTree(path)
+        n
+      })
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ns) => families.filter { case (n, _) => ns(n) }
+      case None => families
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    def bestOf2(name: String, dir: String): Double = {
-      def once(): Double = {
+    def bestOf2(fn: String => Long, dir: String, label: String): (Double, Long) = {
+      def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val n = fn(dir)
+        ((System.nanoTime() - t0) / 1e9, n)
       }
       try {
         val a = once(); val b = once()
         spark.catalog.clearCache(); System.gc()
-        math.min(a, b)
+        (math.min(a._1, b._1), b._2)
       } catch { case e: Throwable =>
-        System.err.println(s"[scalebench] $name@$dir failed: ${e.getMessage}")
-        -1.0
+        System.err.println(s"[scalebench] $label@$dir failed: ${e.getMessage}")
+        (-1.0, -1L)
       }
     }
-    // shared stored frames (edge lists, shingles, classifier scores) are
-    // dir-keyed; charge their first-touch separately for each corpus,
-    // exactly as Bench does
-    def prewarm(dir: String): Double = {
-      val t0 = System.nanoTime()
-      try graft.queries.RelationalQueries.prewarmShared(spark, dir)
-      catch { case e: Throwable =>
-        System.err.println(s"[scalebench] prewarm@$dir failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val pwBase = prewarm(base)
-    val pwUp = prewarm(up)
     def r2(v: Double) = math.round(v * 100) / 100.0
-    println(f"[scalebench] prewarm: 1x ${pwBase}%.1f s, ${factor}x ${pwUp}%.1f s, " +
-      f"ratio ${pwUp / math.max(pwBase, 1e-9)}%.1f")
-    val rows = names.map { n =>
-      val b = bestOf2(n, base)
-      val u = bestOf2(n, up)
+    val rows = selected.map { case (n, fn) =>
+      val (b, nb) = bestOf2(fn, base, n)
+      val (u, nu) = bestOf2(fn, up, n)
       val ratio = if (b > 0 && u > 0) u / b else -1.0
-      println(f"[scalebench] $n%-22s 1x ${b}%7.2f s   ${factor}x ${u}%7.2f s   ratio ${ratio}%5.2f")
-      s""""$n":[${r2(b)},${r2(u)},${r2(ratio)}]"""
+      println(f"[scalebench] $n%-22s 1x ${b}%7.2f s ($nb rows)   " +
+        f"${factor}x ${u}%7.2f s ($nu rows)   ratio ${ratio}%5.2f")
+      s""""$n":[${r2(b)},${r2(u)},${r2(ratio)},$nb,$nu]"""
     }
     println(s"""{"metric":"scale_ratio","factor":$factor,"base":"$base",""" +
-      s""""prewarm":[${r2(pwBase)},${r2(pwUp)}],""" +
-      s""""columns":["sec_1x","sec_${factor}x","time_ratio"],""" +
-      s""""queries":{${rows.mkString(",")}}}""")
+      s""""columns":["sec_1x","sec_${factor}x","time_ratio","rows_1x","rows_${factor}x"],""" +
+      s""""families":{${rows.mkString(",")}}}""")
     spark.stop()
   }
 }

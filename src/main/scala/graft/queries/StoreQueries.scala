@@ -193,9 +193,8 @@ object StoreQueries {
     val d1 = graft.store.Versioned.changes(spark, factPath, cp1)
       .groupBy(seg, col("user_id")).agg(count(lit(1)).as("dn"))
       .localCheckpoint()
-    val sRes1 = graft.store.Versioned.read(spark, suppPath)
-      .join(d1.select(col("seg"), col("user_id")), Seq("seg", "user_id"), "left_semi")
-    val sUp1 = d1.join(sRes1.withColumnRenamed("cnt", "cnt0"),
+    val sUp1 = d1.join(graft.store.Versioned.read(spark, suppPath)
+        .withColumnRenamed("cnt", "cnt0"),
         Seq("seg", "user_id"), "left")
       .select(col("seg"), col("user_id"),
         (coalesce(col("cnt0"), lit(0L)) + col("dn")).as("cnt"),
@@ -211,10 +210,8 @@ object StoreQueries {
     val dV1 = sUp1.groupBy(col("seg"))
       .agg(sum(col("dn")).as("de"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("du"))
-    val vRes1 = graft.store.Versioned.read(spark, viewPath)
-      .join(dV1.select(col("seg")), Seq("seg"), "left_semi")
     graft.store.Versioned.merge(spark, viewPath,
-      dV1.join(vRes1, Seq("seg"), "left")
+      dV1.join(graft.store.Versioned.read(spark, viewPath), Seq("seg"), "left")
         .select(col("seg"),
           (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
           (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
@@ -229,9 +226,8 @@ object StoreQueries {
     val d2 = graft.store.Versioned.changeFeed(spark, factPath, cp2)
       .groupBy(seg, col("user_id")).agg(sum(sign).as("dn"))
       .localCheckpoint()
-    val sRes2 = graft.store.Versioned.read(spark, suppPath)
-      .join(d2.select(col("seg"), col("user_id")), Seq("seg", "user_id"), "left_semi")
-    val sUp2 = d2.join(sRes2.withColumnRenamed("cnt", "cnt0"),
+    val sUp2 = d2.join(graft.store.Versioned.read(spark, suppPath)
+        .withColumnRenamed("cnt", "cnt0"),
         Seq("seg", "user_id"), "left")
       .select(col("seg"), col("user_id"),
         (coalesce(col("cnt0"), lit(0L)) + col("dn")).as("cnt"), col("dn"))
@@ -243,10 +239,8 @@ object StoreQueries {
     val dV2 = sUp2.groupBy(col("seg"))
       .agg(sum(col("dn")).as("de"),
         sum(when(col("cnt") === 0L, -1L).otherwise(0L)).as("du"))
-    val vRes2 = graft.store.Versioned.read(spark, viewPath)
-      .join(dV2.select(col("seg")), Seq("seg"), "left_semi")
     graft.store.Versioned.merge(spark, viewPath,
-      dV2.join(vRes2, Seq("seg"), "left")
+      dV2.join(graft.store.Versioned.read(spark, viewPath), Seq("seg"), "left")
         .select(col("seg"),
           (coalesce(col("n_events"), lit(0L)) + col("de")).as("n_events"),
           (coalesce(col("n_users"), lit(0L)) + col("du")).as("n_users")),
@@ -911,10 +905,12 @@ object StoreQueries {
       // (measured r16: dropping this costs MORE than the job it saves —
       // the merge's source cache covers only the plan TOP, so the twice-
       // referenced delta aggregate re-evaluates inside the write action)
-    val resident = graft.store.Versioned.read(spark, viewPath)
-      .join(dAgg.select(col("user_id")), Seq("user_id"), "left_semi")
+    // LEFT join from the delta keys restricts the resident read to the
+    // delta's keys exactly as the old semi-join prestep did, with one
+    // view join instead of two (semi + left) — fewer broadcast builds
+    // per maintenance action, same O(batch) discipline
     val upserts = dAgg
-      .join(resident, Seq("user_id"), "left")
+      .join(graft.store.Versioned.read(spark, viewPath), Seq("user_id"), "left")
       .join(dimDf.withColumnRenamed("segment", "d_segment"), Seq("user_id"), "left")
       .select(col("user_id"),
         (coalesce(col("n_purch"), lit(0L)) + col("dn")).as("n_purch"),
@@ -964,13 +960,11 @@ object StoreQueries {
     // from the CURRENT dim (authoritative after the leg-3 merge).
     val touched = dRet.select(col("user_id"))
       .unionByName(updD.select(col("user_id"))).distinct()
-    val resident2 = graft.store.Versioned.read(spark, viewPath)
-      .join(touched, Seq("user_id"), "left_semi")
     val dimNow = graft.store.Versioned.read(spark, dimPath)
       .withColumnRenamed("segment", "d_segment")
     val retracted = touched
       .join(dRet, Seq("user_id"), "left")
-      .join(resident2, Seq("user_id"), "left")
+      .join(graft.store.Versioned.read(spark, viewPath), Seq("user_id"), "left")
       .join(dimNow, Seq("user_id"), "left")
       // reclassified dim users with NO view row (never purchased) are
       // not view maintenance work — without this screen the merge would

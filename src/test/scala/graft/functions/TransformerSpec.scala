@@ -333,6 +333,50 @@ class TransformerSpec extends SparkSpec {
     assert(mServed > 0, "every mined pair must rank top-1 under the served weights")
   }
 
+  test("MiniLM-shape checkpoint: planted paraphrase pairs rank top-1 at 384 dims through embedFrame") {
+    // VERDICT r15 #6: neural_embed_384 pins shape/finiteness/throughput
+    // at the reference's true width; this pins RETRIEVAL QUALITY there —
+    // a corpus-trained checkpoint at the full 6×384×12 geometry must
+    // rank every mined paraphrase pair top-1 among distractors, with the
+    // vectors produced by the PRODUCTION seam (Embedder.embedFrame,
+    // one session per partition), not a driver-side Session.
+    import spark.implicits._
+    val (corpus, slice) = graft.queries.ScaleQueries.ttCorpus(spark, sfDir)
+    val mined = TinyTransformer.mineParaphrasePairs(slice)
+    assume(mined.nonEmpty, "fixture slice must contain mined paraphrase pairs")
+    val cfg = TinyTransformer.MiniLmShape
+    val wts = TinyTransformer.trainSkipGram(corpus, cfg)
+    val tmp = java.nio.file.Files.createTempFile("tt-minilm-q-", ".bin")
+    tmp.toFile.deleteOnExit()
+    TinyTransformer.writeWeights(tmp.toString, cfg, wts)
+    // eval set: every mined-pair member plus a fixed distractor pool —
+    // a 384-wide 6-layer encode is ~0.7 GMAC/doc, so the pool is capped
+    // rather than encoding the whole slice
+    val minedSet = mined.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val evalIdx = (mined.flatMap { case (a, b) => Seq(a, b) } ++
+      slice.indices.take(50)).distinct.sorted
+    val docs = evalIdx.map(i => (i.toLong, slice(i))).toDF("doc_id", "text")
+      .repartition(4)
+    val vecs = Embedder.embedFrame(docs, dim = 384,
+        loader = new TinyTransformer.Loader(tmp.toString))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id.toInt -> v }.toMap
+    assert(vecs.size == evalIdx.size && vecs.values.forall(_.length == 384))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    val margin = mined.map { case (a, b) =>
+      val va = vecs(a)
+      val others = evalIdx.filter(o => o != a && !minedSet((a, o)))
+        .map(o => cos(va, vecs(o)))
+      cos(va, vecs(b)) - others.max
+    }.min
+    assert(margin > 0,
+      s"384-dim planted-paraphrase top-1 failed: min margin $margin")
+  }
+
   test("committed checkpoint equals retraining the full pipeline bit for bit",
       graft.SlowTest) {
     val (corpus, slice) = graft.queries.ScaleQueries.ttCorpus(spark, sfDir)
