@@ -554,7 +554,46 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Paragraph-level exact dedup with document reassembly — the
+    * cleaning pass Dolma/RefinedWeb run INSIDE documents where
+    * whole-doc dedup keeps both copies: repeated paragraphs (boilerplate
+    * headers, quoted chunks, licence blocks) are dropped from every doc
+    * except the FIRST occurrence in corpus order, and each document is
+    * reassembled from its surviving paragraphs. The fixture corpus has
+    * no newline structure, so a "paragraph" is a fixed 16-token block
+    * (the same granularity trade every paragraph-dedup makes when
+    * segmentation is absent); first occurrence = smallest (doc_id,
+    * block index), a total order both engines replay. Output per doc:
+    * block count, blocks dropped as later duplicates, and the retained
+    * fraction (e4) — the per-doc cleaning action a pipeline applies.
+    *
+    * 100 TB shape: one explode (corpus tokens / 16 rows), one window
+    * partitioned BY BLOCK TEXT — key cardinality grows with the corpus
+    * (never an enum), so the rank sort is per-block-group and the
+    * shuffle is the unavoidable global-dedup exchange; at extreme
+    * scale the block text would hash to a 128-bit key first (same
+    * plan, narrower shuffle rows). No driver state. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val B = 16
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= B)
+    val blocks = toks.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, CAST(size(l) / $B AS INT) - 1), " +
+        s"i -> concat_ws(' ', slice(l, i * $B + 1, $B)))")).as(Seq("idx", "block")))
+    val firstW = Window.partitionBy(col("block")).orderBy(col("doc_id"), col("idx"))
+    blocks.withColumn("rn", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dropped"),
+        expr("CAST(round(10000.0 * (n_blocks - n_dropped) / n_blocks) AS BIGINT)")
+          .as("retained_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "paragraph_dedup" -> (paragraphDedup _),
     "containment_join" -> (containmentJoin _),
     "edit_distance_dedup" -> (editDistanceDedup _),
     "cdc_chunks" -> (cdcChunks _),
@@ -649,6 +688,27 @@ object DedupQueries {
        |ORDER BY g.protocol, g.split""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same fixed 16-token blocks, same (doc_id, idx) first-occurrence
+    // total order; // is DuckDB floor division (l/16 would be double)
+    "paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(l[i*16+1 : (i+1)*16], ' ') AS block
+        |  FROM (
+        |    SELECT doc_id, l,
+        |      unnest(range(0, CAST(len(l) // 16 AS BIGINT))) AS i
+        |    FROM t WHERE len(l) >= 16)),
+        |r AS (
+        |  SELECT doc_id, idx, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+        |  FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(round(10000.0 * (COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+        |    / COUNT(*)) AS BIGINT) AS retained_e4
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "leakage_split" -> leakageSplitSql,
     // identical 8-char blocking screen + classic levenshtein histogram
     // (the fixture never trips the block cap, so the oracle omits it)

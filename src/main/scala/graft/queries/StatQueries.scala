@@ -2631,7 +2631,288 @@ object StatQueries {
           lit("1970-01-01").cast("date")).as("first_alarm_day"))
   }
 
+  /** Sequential probability ratio test monitor (Wald's SPRT — the
+    * always-valid sequential decision rule experiment platforms run so
+    * a metric can be called WITHOUT a fixed horizon): for each metric,
+    * the running log-likelihood ratio of H1 (p = p1) against H0
+    * (p = p0) over Bernoulli outcomes, read at each day close against
+    * the Wald bounds U = ln((1−β)/α), L = ln(β/(1−α)) (α = .05,
+    * β = .2). Day-end state ∈ {accept_h1, continue, accept_h0}; the
+    * stopped variant is the first non-continue day. Two monitors run
+    * side by side — purchase rate against (.15, .25), whose true ~.20
+    * rate drifts the LLR UP, and error rate against (.25, .35), whose
+    * same ~.20 drifts DOWN — so both decision branches are exercised by
+    * the data (the fixture's daily volume decides how fast each bound
+    * is reached across SFs).
+    *
+    * Determinism: the two per-event increments ln(p1/p0) and
+    * ln((1−p1)/(1−p0)) are CONSTANTS — each computed once in double
+    * from exact literals and e6-quantized on both engines (the house
+    * ln-point recipe) — so the running LLR is pure integer arithmetic:
+    * day_llr = h·a + (n−h)·b, cum via the calendar-bounded prefix join
+    * (≤ 31 rows per metric, never a global window). O(one events
+    * aggregation) at any scale. */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    def daily(metric: String, hit: String, p0: String, p1: String) = {
+      val a = s"CAST(round(ln($p1 / $p0) * 1000000) AS BIGINT)"
+      val b = s"CAST(round(ln((1 - $p1) / (1 - $p0)) * 1000000) AS BIGINT)"
+      ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === hit, 1L).otherwise(0L)).as("h"))
+        .select(lit(metric).as("metric"), col("day"), col("n"),
+          expr(s"h * ($a) + (n - h) * ($b)").as("day_llr_e6"))
+    }
+    val d = daily("purchase_lift", "purchase", "0.15", "0.25")
+      .unionByName(daily("error_rate", "error", "0.25", "0.35"))
+      .localCheckpoint() // feeds both sides of the prefix join
+    val cum = d.as("a").join(d.as("b"),
+        col("b.metric") === col("a.metric") && col("b.day") <= col("a.day"))
+      .groupBy(col("a.metric").as("metric"), col("a.day").as("day"),
+        col("a.n").as("n"), col("a.day_llr_e6").as("day_llr_e6"))
+      .agg(sum(col("b.day_llr_e6").cast(d38)).as("c"))
+      .select(col("metric"), col("day"), col("n"), col("day_llr_e6"),
+        expr("CAST(c AS BIGINT)").as("cum_llr_e6"))
+    val U = "CAST(round(ln((1 - 0.2) / 0.05) * 1000000) AS BIGINT)"
+    val L = "CAST(round(ln(0.2 / (1 - 0.05)) * 1000000) AS BIGINT)"
+    cum.select(col("metric"), col("day"), col("n"), col("day_llr_e6"),
+      col("cum_llr_e6"),
+      expr(s"CASE WHEN cum_llr_e6 >= ($U) THEN 'accept_h1' " +
+        s"WHEN cum_llr_e6 <= ($L) THEN 'accept_h0' " +
+        "ELSE 'continue' END").as("state"))
+      .orderBy(col("metric"), col("day"))
+  }
+
+  /** TOST equivalence test (two one-sided tests, Schuirmann 1987 — the
+    * test an experiment platform runs to claim two variants are the
+    * SAME, which a non-significant t-test cannot: absence of evidence
+    * isn't evidence of absence): the per-user revenue difference
+    * between parity arms is declared equivalent iff BOTH one-sided
+    * tests reject — (d+δ)/se ≥ z and (d−δ)/se ≤ −z at one-sided 5%
+    * (z = 1.644854, e6 integer literal on the gate) — with margin
+    * δ = 5% of the pooled per-user mean, the relative-margin convention.
+    *
+    * Exactness: per-user y from ONE user-keyed shuffle; per-arm n, Σy,
+    * Σy² accumulate as DECIMAL(38,0) in ONE single-row aggregate; d,
+    * se (Welch), δ, and both t statistics are a fixed-order double
+    * chain over those exact integers, each rounded once at e6/e4.
+    * Degenerate arms (n ≤ 1 or zero variance) yield NULL t's and
+    * equivalent = 0 by the same CASE on both engines. Whether the
+    * fixture lands equivalent is data-decided (iid parity arms: yes at
+    * large SF where se beats δ; small SF may stay inconclusive) — the
+    * oracle replays the exact readout either way. */
+  def tostEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).cast("long").as("arm"), col("y"))
+    val chain =
+      """CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        | + CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)""".stripMargin.replace("\n", "")
+    perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L).cast(d38)).as("s0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L).cast(d38)).as("s1"),
+        sum(when(col("arm") === 0, col("y") * col("y")).otherwise(0L).cast(d38)).as("q0"),
+        sum(when(col("arm") === 1, col("y") * col("y")).otherwise(0L).cast(d38)).as("q1"))
+      .select(col("n0"), col("n1"),
+        expr("CAST(round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) " +
+          "- CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 100) AS BIGINT)").as("d_e2"),
+        expr("CAST(round(0.25 * (CAST(s0 + s1 AS DOUBLE) " +
+          "/ CAST(n0 + n1 AS DOUBLE)) * 100) AS BIGINT)").as("delta_e2"),
+        expr(s"""CASE WHEN n0 > 1 AND n1 > 1
+          |  AND ($chain) > 0 THEN
+          |  CAST(round(
+          |    ((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |      - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |     + 0.25 * (CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+          |    / sqrt(
+          |        (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+          |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+          |        + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+          |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+          |    * 1000000) AS BIGINT)
+          |ELSE NULL END""".stripMargin).as("t_lower_e6"),
+        expr(s"""CASE WHEN n0 > 1 AND n1 > 1
+          |  AND ($chain) > 0 THEN
+          |  CAST(round(
+          |    ((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |      - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |     - 0.25 * (CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+          |    / sqrt(
+          |        (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+          |          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+          |        + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+          |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+          |    * 1000000) AS BIGINT)
+          |ELSE NULL END""".stripMargin).as("t_upper_e6"))
+      .withColumn("equivalent",
+        when(col("t_lower_e6").isNull || col("t_upper_e6").isNull, lit(0L))
+          .otherwise((col("t_lower_e6") >= 1644854L &&
+            col("t_upper_e6") <= -1644854L).cast("long")))
+  }
+
+  /** Fleiss' kappa (X337) — chance-corrected agreement among m > 2
+    * raters, the multi-annotator generalization of the 2-rater
+    * [[cohensKappa]] an LLM labeling pipeline needs when several
+    * heuristic or model judges score the same documents. Raters here
+    * are three REAL quality heuristics over each document (length,
+    * lexical diversity, stopword presence — each binary good/bad), so
+    * the statistic measures how much the pipeline's screens actually
+    * agree beyond chance. n = 3 raters, k = 2 categories: per doc the
+    * good-vote count g gives Σⱼ nᵢⱼ² = g² + (3−g)², so
+    * P̄ = (S − 3N)/(6N) with S = Σ(g² + (3−g)²) an EXACT integer, and
+    * P̄ₑ = p² + (1−p)² with p = B/3N from exact vote totals. κ is one
+    * fixed-order double chain over (N, B, S), rounded at e6. One doc
+    * pass + one single-row aggregate at any scale. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("l"))
+      .select(
+        when(col("n_chars") > 200, 1L).otherwise(0L).as("r1"),
+        when(size(array_distinct(col("l"))) * 2 > size(col("l")), 1L)
+          .otherwise(0L).as("r2"),
+        when(array_contains(col("l"), "the"), 1L).otherwise(0L).as("r3"))
+      .select((col("r1") + col("r2") + col("r3")).as("g"))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("g")).as("good_votes"),
+        sum(col("g") * col("g") + (lit(3L) - col("g")) * (lit(3L) - col("g")))
+          .as("s_sq"))
+      .select(col("n_docs"), col("good_votes"), col("s_sq"),
+        expr("""CAST(round(
+          |  ((CAST(s_sq AS DOUBLE) - 3.0 * CAST(n_docs AS DOUBLE))
+          |     / (6.0 * CAST(n_docs AS DOUBLE))
+          |   - ((CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |        * (CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |      + (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |        * (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))))
+          |  / (1.0
+          |   - ((CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |        * (CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |      + (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+          |        * (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("kappa_e6"))
+  }
+
+  /** Holm–Bonferroni step-down correction (X338) — the multiple-testing
+    * control an experiment platform applies when one readout fires m
+    * hypotheses at once (here: is each language's corpus share equal to
+    * the uniform 1/5?). Per-language one-sample proportion z from exact
+    * counts; families are ranked by |z| (ties broken by language) with
+    * a bounded 5×5 pair join — never a global window — and Holm rejects
+    * rank i iff EVERY rank j ≤ i clears its own stepped bound
+    * z(α/(m−j+1)), enforced by a second bounded prefix join (the
+    * monotonicity step naive per-rank thresholding gets wrong). The
+    * five two-sided critical values are e6 integer literals (no
+    * quantile function on the gate); plain Bonferroni rides along for
+    * contrast. The fixture's English-heavy mix rejects the top ranks
+    * and clears the tail at sf0.001 (both branches), and everything at
+    * larger SFs. */
+  def holmBonferroni(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("nt"))
+    val z = per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr("""CAST(round(
+          |  (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) - 0.2)
+          |  / sqrt(0.2 * 0.8 / CAST(nt AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("z_e6"))
+      .localCheckpoint() // 5 rows: feeds both bounded pair joins
+    val ranked = z.as("a").join(z.as("b"),
+        abs(col("b.z_e6")) > abs(col("a.z_e6")) ||
+          (abs(col("b.z_e6")) === abs(col("a.z_e6")) &&
+            col("b.lang") < col("a.lang")), "left")
+      .groupBy(col("a.lang").as("lang"), col("a.n").as("n"),
+        col("a.z_e6").as("z_e6"))
+      .agg((count(col("b.lang")) + 1L).as("rnk"))
+      .withColumn("crit_e6",
+        expr("""CASE rnk WHEN 1 THEN 2575829 WHEN 2 THEN 2497705
+          | WHEN 3 THEN 2393980 WHEN 4 THEN 2241403
+          | ELSE 1959964 END""".stripMargin))
+    ranked.as("a").join(ranked.as("b"), col("b.rnk") <= col("a.rnk"))
+      .groupBy(col("a.lang").as("lang"), col("a.n").as("n"),
+        col("a.z_e6").as("z_e6"), col("a.rnk").as("rnk"),
+        col("a.crit_e6").as("crit_e6"))
+      .agg(min(abs(col("b.z_e6")) - col("b.crit_e6")).as("worst"))
+      .select(col("lang"), col("n"), col("z_e6"), col("rnk"), col("crit_e6"),
+        (col("worst") >= 0L).cast("long").as("reject_holm"),
+        (abs(col("z_e6")) >= 2575829L).cast("long").as("reject_bonferroni"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Decile-style uplift readout with a Qini accumulation (X339 — the
+    * heterogeneous-treatment-effect table an experimentation platform
+    * prints before shipping a targeted rollout: not "did the treatment
+    * work on average" ([[abExperiment]]) but "on WHICH users"): users
+    * bucket by pre-period activity (events in days ≤ 15, div-6 capped
+    * at 9 — the stand-in for a model's uplift score), arms by user
+    * parity, conversion = any high-value purchase. Per kept bucket
+    * (both arms non-empty): exact per-arm counts, EXACT integer uplift
+    * (c·10⁶ div n, positive operands), then buckets rank by observed
+    * uplift (bounded ≤10-row pair join) and the Qini statistic
+    * cₜ − c_c·nₜ/n_c accumulates in rank order through a second bounded
+    * prefix join — e4, one double chain per bucket. Shape: one
+    * user-keyed shuffle + one bucket aggregate; the pair joins touch
+    * ≤ 10 rows at ANY corpus size. */
+  def upliftQini(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("np"),
+        max(when(col("event_type") === "purchase" && col("value") > 250, 1L)
+          .otherwise(0L)).as("conv"))
+      .select(least(expr("np div 6"), lit(9L)).as("bucket"),
+        (col("user_id") % 2).cast("long").as("arm"), col("conv"))
+    val per = perUser.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c_t"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("bucket"), col("n_t"), col("c_t"), col("n_c"), col("c_c"),
+        (expr("(c_t * 1000000) div n_t") - expr("(c_c * 1000000) div n_c"))
+          .as("uplift_e6"),
+        expr("""CAST(round(
+          |  (CAST(c_t AS DOUBLE)
+          |   - CAST(c_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE))
+          |  * 10000) AS BIGINT)""".stripMargin).as("qini_inc_e4"))
+      .localCheckpoint() // ≤ 10 rows: feeds both bounded pair joins
+    val ranked = per.as("a").join(per.as("b"),
+        col("b.uplift_e6") > col("a.uplift_e6") ||
+          (col("b.uplift_e6") === col("a.uplift_e6") &&
+            col("b.bucket") < col("a.bucket")), "left")
+      .groupBy(col("a.bucket").as("bucket"), col("a.n_t").as("n_t"),
+        col("a.c_t").as("c_t"), col("a.n_c").as("n_c"), col("a.c_c").as("c_c"),
+        col("a.uplift_e6").as("uplift_e6"), col("a.qini_inc_e4").as("qini_inc_e4"))
+      .agg((count(col("b.bucket")) + 1L).as("rnk"))
+    ranked.as("a").join(ranked.as("b"), col("b.rnk") <= col("a.rnk"))
+      .groupBy(col("a.bucket").as("bucket"), col("a.rnk").as("rnk"),
+        col("a.n_t").as("n_t"), col("a.c_t").as("c_t"),
+        col("a.n_c").as("n_c"), col("a.c_c").as("c_c"),
+        col("a.uplift_e6").as("uplift_e6"))
+      .agg(sum(col("b.qini_inc_e4")).as("cum_qini_e4"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "uplift_qini" -> (upliftQini _),
+    "holm_bonferroni" -> (holmBonferroni _),
+    "fleiss_kappa" -> (fleissKappa _),
+    "tost_equivalence" -> (tostEquivalence _),
+    "sprt_monitor" -> (sprtMonitor _),
     "cpk_capability" -> (cpkCapability _),
     "friedman_test" -> (friedmanTest _),
     "page_hinkley" -> (pageHinkley _),
@@ -2690,6 +2971,179 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same buckets, same exact integer uplift, same rank + prefix joins
+    "uplift_qini" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    least(CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) // 6,
+        |      9) AS bucket,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 250
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |per AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_c
+        |  FROM u GROUP BY bucket
+        |  HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+        |q AS (
+        |  SELECT bucket, n_t, c_t, n_c, c_c,
+        |    (c_t * 1000000) // n_t - (c_c * 1000000) // n_c AS uplift_e6,
+        |    CAST(round(
+        |      (CAST(c_t AS DOUBLE)
+        |       - CAST(c_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      * 10000) AS BIGINT) AS qini_inc_e4
+        |  FROM per),
+        |rk AS (
+        |  SELECT a.bucket, a.n_t, a.c_t, a.n_c, a.c_c, a.uplift_e6,
+        |    a.qini_inc_e4, CAST(1 + COUNT(b.bucket) AS BIGINT) AS rnk
+        |  FROM q a LEFT JOIN q b
+        |    ON b.uplift_e6 > a.uplift_e6
+        |    OR (b.uplift_e6 = a.uplift_e6 AND b.bucket < a.bucket)
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        |SELECT a.bucket, a.rnk, a.n_t, a.c_t, a.n_c, a.c_c, a.uplift_e6,
+        |  CAST(SUM(b.qini_inc_e4) AS BIGINT) AS cum_qini_e4
+        |FROM rk a JOIN rk b ON b.rnk <= a.rnk
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7
+        |ORDER BY a.rnk""".stripMargin,
+    // same z chain, same pair-join rank, same stepped e6 literals
+    "holm_bonferroni" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per),
+        |z AS (
+        |  SELECT lang, n,
+        |    CAST(round(
+        |      (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) - 0.2)
+        |      / sqrt(0.2 * 0.8 / CAST(nt AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS z_e6
+        |  FROM per CROSS JOIN tot),
+        |rk AS (
+        |  SELECT a.lang, a.n, a.z_e6,
+        |    CAST(1 + COUNT(b.lang) AS BIGINT) AS rnk
+        |  FROM z a LEFT JOIN z b
+        |    ON abs(b.z_e6) > abs(a.z_e6)
+        |    OR (abs(b.z_e6) = abs(a.z_e6) AND b.lang < a.lang)
+        |  GROUP BY 1, 2, 3),
+        |cr AS (
+        |  SELECT *, CASE rnk WHEN 1 THEN 2575829 WHEN 2 THEN 2497705
+        |    WHEN 3 THEN 2393980 WHEN 4 THEN 2241403
+        |    ELSE 1959964 END AS crit_e6
+        |  FROM rk)
+        |SELECT a.lang, a.n, a.z_e6, a.rnk, a.crit_e6,
+        |  CAST(CASE WHEN MIN(abs(b.z_e6) - b.crit_e6) >= 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_holm,
+        |  CAST(CASE WHEN abs(a.z_e6) >= 2575829 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_bonferroni
+        |FROM cr a JOIN cr b ON b.rnk <= a.rnk
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY a.rnk""".stripMargin,
+    // same three heuristic raters, same exact (N, B, S), same chain
+    "fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN n_chars > 200 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+        |        > len(string_split(text, ' ')) THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(string_split(text, ' '), 'the')
+        |        THEN 1 ELSE 0 END AS g
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(g) AS BIGINT) AS good_votes,
+        |    CAST(SUM(g * g + (3 - g) * (3 - g)) AS BIGINT) AS s_sq
+        |  FROM r)
+        |SELECT n_docs, good_votes, s_sq,
+        |  CAST(round(
+        |    ((CAST(s_sq AS DOUBLE) - 3.0 * CAST(n_docs AS DOUBLE))
+        |       / (6.0 * CAST(n_docs AS DOUBLE))
+        |     - ((CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |          * (CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |        + (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |          * (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))))
+        |    / (1.0
+        |     - ((CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |          * (CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |        + (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+        |          * (1.0 - CAST(good_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))))
+        |    * 1000000) AS BIGINT) AS kappa_e6
+        |FROM m""".stripMargin,
+    // identical exact moments (HUGEINT = the DECIMAL(38,0) twin),
+    // identical fixed-order double chains, same z literal
+    "tost_equivalence" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS s0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS s1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS HUGEINT) AS q0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS HUGEINT) AS q1
+        |  FROM u),
+        |t AS (
+        |  SELECT n0, n1, s0, s1, q0, q1,
+        |    CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |      + CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS vsum,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS d,
+        |    0.25 * (CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) AS del,
+        |    sqrt(
+        |      (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+        |      + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))) AS se
+        |  FROM m)
+        |SELECT n0, n1,
+        |  CAST(round(d * 100) AS BIGINT) AS d_e2,
+        |  CAST(round(del * 100) AS BIGINT) AS delta_e2,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND vsum > 0
+        |    THEN CAST(round((d + del) / se * 1000000) AS BIGINT)
+        |    ELSE NULL END AS t_lower_e6,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND vsum > 0
+        |    THEN CAST(round((d - del) / se * 1000000) AS BIGINT)
+        |    ELSE NULL END AS t_upper_e6,
+        |  CASE WHEN n0 <= 1 OR n1 <= 1 OR vsum <= 0 THEN 0
+        |    WHEN round((d + del) / se * 1000000) >= 1644854
+        |      AND round((d - del) / se * 1000000) <= -1644854 THEN 1
+        |    ELSE 0 END AS equivalent
+        |FROM t""".stripMargin,
+    // identical e6 ln-point constants, identical calendar prefix sums
+    "sprt_monitor" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |d AS (
+        |  SELECT 'purchase_lift' AS metric, day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS h,
+        |    CAST(round(ln(0.25 / 0.15) * 1000000) AS BIGINT) AS a,
+        |    CAST(round(ln((1 - 0.25) / (1 - 0.15)) * 1000000) AS BIGINT) AS b
+        |  FROM ev GROUP BY day
+        |  UNION ALL
+        |  SELECT 'error_rate', day, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(round(ln(0.35 / 0.25) * 1000000) AS BIGINT),
+        |    CAST(round(ln((1 - 0.35) / (1 - 0.25)) * 1000000) AS BIGINT)
+        |  FROM ev GROUP BY day),
+        |ll AS (
+        |  SELECT metric, day, n, h * a + (n - h) * b AS day_llr_e6 FROM d),
+        |c AS (
+        |  SELECT x.metric, x.day, x.n, x.day_llr_e6,
+        |    CAST(SUM(y.day_llr_e6) AS BIGINT) AS cum_llr_e6
+        |  FROM ll x JOIN ll y ON y.metric = x.metric AND y.day <= x.day
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT metric, day, n, day_llr_e6, cum_llr_e6,
+        |  CASE WHEN cum_llr_e6 >= CAST(round(ln((1 - 0.2) / 0.05) * 1000000) AS BIGINT)
+        |      THEN 'accept_h1'
+        |    WHEN cum_llr_e6 <= CAST(round(ln(0.2 / (1 - 0.05)) * 1000000) AS BIGINT)
+        |      THEN 'accept_h0'
+        |    ELSE 'continue' END AS state
+        |FROM c ORDER BY metric, day""".stripMargin,
     "cpk_capability" ->
       s"""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,

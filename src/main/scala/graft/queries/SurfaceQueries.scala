@@ -793,7 +793,111 @@ object SurfaceQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Exactly-once ATOMIC MULTI-TABLE streaming sink (X333 — the
+    * composition [[graft.store.Versioned.MultiTxn]] exists for): each
+    * micro-batch publishes a per-user rollup AND a per-type rollup to
+    * two different Versioned tables in ONE cross-table transaction, so
+    * no reader — mid-stream, post-stream, or across a crash — can ever
+    * see one table's batch without the other's. Exactly-once rides the
+    * same `#stream:` batch ledger as the single-table idempotent sink,
+    * staged INSIDE the transaction (`stageAppend(extraMarkers)`): the
+    * replay guard reads it through transaction visibility, so a
+    * committed batch skips, while a batch whose transaction crashed
+    * pending replays (and the replay's commit force-aborts the stall).
+    * VersionedSpec drives that crash/replay seam directly; here the
+    * stream runs clean and the declared row is the final rollup of BOTH
+    * tables (side-tagged union), which must equal the direct batch
+    * aggregation of the source — any lost, doubled, or torn batch on
+    * either table breaks the hash. Ledger markers carry forward
+    * unbounded here (3 batches); a production loop trims with the same
+    * horizon rule as appendBatchIdempotent.
+    *
+    * 100 TB shape: per-batch cost is two O(batch) aggregations + two
+    * staged writes + one put-if-absent — state never grows with stream
+    * length, and the transaction adds one filesystem primitive per
+    * batch over the non-atomic form. */
+  def streamTxnSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stxn-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = stagedInputs(spark, dir, "stxn") { root =>
+      val landingD = java.nio.file.Files.createDirectory(root.resolve("landing"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      (0 to 2).foreach { m =>
+        ev.filter(col("event_id") % 3 === m).coalesce(1)
+          .write.mode("append").parquet(landingD.toString)
+      }
+    }.resolve("landing")
+    val usersT = tmp.resolve("by_user").toString
+    val typesT = tmp.resolve("by_type").toString
+    val txnDir = tmp.resolve("txn").toString
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // ledger guard: marker visibility == transaction visibility
+          if (!graft.store.Versioned.processedBatch(usersT, id)) {
+            val marker = Seq(graft.store.Versioned.batchMarker(id))
+            graft.store.Versioned.beginTxn(txnDir)
+              .stageAppend(batch.groupBy(col("user_id"))
+                .agg(count(lit(1)).as("n"), sum(col("v")).as("rev_e2")),
+                usersT, marker)
+              .stageAppend(batch.groupBy(col("event_type"))
+                .agg(count(lit(1)).as("n"), sum(col("v")).as("rev_e2")),
+                typesT, marker)
+              .commit()
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // final rollup of BOTH sink tables: sums of per-batch partials must
+    // equal the direct source aggregation, side by side
+    val u = graft.store.Versioned.read(spark, usersT)
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(sum(col("n")).as("n"), sum(col("rev_e2")).as("rev_e2"))
+      .select(lit("user").as("side"), col("k"), col("n"), col("rev_e2"))
+    val t = graft.store.Versioned.read(spark, typesT)
+      .groupBy(col("event_type").as("k"))
+      .agg(sum(col("n")).as("n"), sum(col("rev_e2")).as("rev_e2"))
+      .select(lit("type").as("side"), col("k"), col("n"), col("rev_e2"))
+    u.unionByName(t).orderBy(col("side"), col("k"))
+  }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT (X335 —
+    * the SQL surface for "top-k per driving row" that window functions
+    * only approximate when the inner query is richer than a rank): for
+    * each customer in the probe slice, its two highest-value orders.
+    * Catalyst decorrelates the inner limit (DecorrelateInnerQuery
+    * rewrites it to a partitioned rank over the joined side), so the
+    * physical plan is a join + per-key limit, never a per-row re-scan —
+    * the plan a 100 TB lateral needs. DuckDB runs the identical LATERAL
+    * text, so the oracle pins both the semantics and the dialect. */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.price_e2
+        |FROM customer_v c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+        |  FROM orders_v WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lateral_topk" -> (lateralTopk _),
+    "stream_txn_sink" -> (streamTxnSink _),
     "stream_inactivity" -> (streamInactivity _),
     "typed_agg" -> (typedAgg _),
     "knn_sql" -> (knnSql _),
@@ -812,6 +916,33 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical LATERAL text — both engines decorrelate it
+    "lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_e2
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+    // sums of per-batch partials across BOTH transactionally-published
+    // tables must equal the direct source aggregation
+    "stream_txn_sink" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT side, k, n, rev_e2 FROM (
+        |  SELECT 'user' AS side, CAST(user_id AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS rev_e2
+        |  FROM ev GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'type', event_type,
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS BIGINT)
+        |  FROM ev GROUP BY 2)
+        |ORDER BY side, k""".stripMargin,
     // batch-1's days 1-4 are beyond the watermark horizon set by batch 0
     // and must be input-dropped; day 25 is within it and must assemble
     "stream_late_audit" ->

@@ -263,12 +263,22 @@ object Versioned {
     /** Stage `df` as an append to `table` — data lands on disk now
       * (invisible: no manifest references it), publication waits for
       * [[commit]]. Constraints validate now, against the staging-time
-      * version. */
-    def stageAppend(df: DataFrame, table: String): this.type = synchronized {
+      * version. `extraMarkers` (`#`-prefixed lines, e.g. the streaming
+      * batch ledger marker) ride in this table's prepare commit and
+      * become visible exactly when the transaction does — which is what
+      * makes an exactly-once MULTI-TABLE streaming sink composable: the
+      * replay guard reads the marker through [[linesOf]]'s transaction
+      * resolution, so a crashed (pending) transaction's marker is
+      * invisible and the batch replays, while a committed one is
+      * visible and the batch skips. */
+    def stageAppend(df: DataFrame, table: String,
+        extraMarkers: Seq[String] = Seq.empty): this.type = synchronized {
       require(!done, s"transaction $id is already decided")
+      require(extraMarkers.forall(_.startsWith("#")),
+        s"extraMarkers must be #-prefixed manifest markers: $extraMarkers")
       requireConstraints(constraintsOf(table, Some(currentVersion(table))), df)
       val batch = f"txn-${id}-${staged.size}%02d"
-      staged += ((table, stageFiles(df, table, batch)))
+      staged += ((table, stageFiles(df, table, batch) ++ extraMarkers))
       this
     }
 
@@ -1960,6 +1970,12 @@ object Versioned {
       .start()
 
   private def streamMarker(id: Long) = s"#stream:$id"
+
+  /** The streaming batch-ledger marker line for `id` — exposed so a
+    * [[MultiTxn]]-based multi-table streaming sink can carry the same
+    * exactly-once ledger [[appendBatchIdempotent]] uses, checked with
+    * [[processedBatch]]. */
+  private[graft] def batchMarker(id: Long): String = streamMarker(id)
 
   /** Has streaming batch `id` already been committed? The ledger is the
     * CURRENT manifest's marker lines — atomic with the data publish (a

@@ -1159,6 +1159,49 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.currentVersion(a) == 1, "an aborted txn publishes nothing")
   }
 
+  test("txn stream ledger: committed batch skips replay, crashed-pending batch replays exactly once") {
+    val txnDir = tmpDir("txnlog").toString
+    val u = tmpDir("versioned").toString
+    val t = tmpDir("versioned").toString
+    // the stream_txn_sink foreachBatch body, isolated: ledger guard +
+    // two-table transactional publish carrying the batch marker
+    def land(id: Long, row: (Long, String)): Boolean =
+      if (Versioned.processedBatch(u, id)) false
+      else {
+        val m = Seq(Versioned.batchMarker(id))
+        Versioned.beginTxn(txnDir)
+          .stageAppend(Seq(row).toDF("id", "s"), u, m)
+          .stageAppend(Seq(row).toDF("id", "s"), t, m)
+          .commit()
+        true
+      }
+    assert(land(0, (1L, "b0")))
+    // a COMMITTED batch's marker is visible through txn resolution: the
+    // checkpoint-replay of batch 0 must skip
+    assert(!land(0, (1L, "b0-replayed")))
+    assert(rows(u) == Set((1L, "b0")) && rows(t) == Set((1L, "b0")))
+    // crash between prepare and decide for batch 1: marker-bearing
+    // versions land on both tables, no outcome file ever appears
+    val stall = s"#txn:${new File(txnDir).getAbsolutePath}:feedf00d"
+    Versioned.commit(u, Versioned.currentVersion(u),
+      Seq(Versioned.batchMarker(1L), stall))
+    Versioned.commit(t, Versioned.currentVersion(t),
+      Seq(Versioned.batchMarker(1L), stall))
+    // the PENDING marker is invisible — the guard re-runs batch 1, and
+    // the replay's own commit force-aborts the stalled transaction
+    assert(!Versioned.processedBatch(u, 1L),
+      "a pending transaction's ledger marker must not satisfy the guard")
+    assert(land(1, (2L, "b1")))
+    assert(rows(u) == Set((1L, "b0"), (2L, "b1")))
+    assert(rows(t) == Set((1L, "b0"), (2L, "b1")))
+    assert(Versioned.processedBatch(u, 1L) && Versioned.processedBatch(t, 1L))
+    assert(Files.readAllLines(
+      new File(txnDir, "feedf00d.outcome").toPath).get(0) == "abort")
+    // a third batch still lands normally after the recovery
+    assert(land(2, (3L, "b2")))
+    assert(rows(u) == Set((1L, "b0"), (2L, "b1"), (3L, "b2")))
+  }
+
   test("merge-on-read delete: zero data files rewritten, reads subtract, snapshots intact") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
