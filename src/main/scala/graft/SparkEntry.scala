@@ -9,7 +9,7 @@ import graft.queries._
   * `queries` is the full declared operator surface (one entry per
   * implemented operator from SURVEY.md §2); `oracleSql` carries the DuckDB
   * equivalent for every SQL-expressible query so the driver can hash-compare
-  * results at sf0.01 (384 oracle-checked as of round 16). The 15
+  * results at sf0.01 (385 oracle-checked as of round 16). The 15
   * non-SQL-expressible operators (ANN headliners, MinHash/SimHash
   * signatures, learned tokenizer/embedder outputs) are declared without
   * an oracle and pinned by oracle-checked precision twins

@@ -895,7 +895,71 @@ object SurfaceQueries {
         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
   }
 
+  /** MID-STREAM SINK SCHEMA EVOLUTION (X340 — the CDC reality plain
+    * streaming sinks can't absorb: the upstream producer widens a
+    * column and starts emitting a new one WHILE the stream runs): batch
+    * 0 lands narrow rows (`v` INT, no `note`); before batch 1 the sink
+    * table takes the zero-rewrite `widenColumn` DDL (INT → BIGINT, the
+    * X331 machinery) and the wide batch appends with the extra column,
+    * which append's union-schema stamping absorbs. The final read
+    * serves batch-0 files UPCAST under the recorded wide schema with
+    * NULL `note` — no rewrite of landed data, the stream never stopped.
+    * The declared row is the per-user rollup over the evolved table
+    * (value sums across both widths, note counts only from wide rows),
+    * which the oracle replays from the source with the same
+    * batch-parity rule — a dropped batch, a failed upcast, or
+    * NULL-backfill drift all break the hash. */
+  def streamSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdrift-")
+    StoreQueries.cleanupAtExit(tmp.toString)
+    val landing = stagedInputs(spark, dir, "sdrift") { root =>
+      val landingD = java.nio.file.Files.createDirectory(root.resolve("landing"))
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      // batch 0 = even event_ids (narrow era), batch 1 = odd (wide era)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(landingD.toString)
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(landingD.toString)
+    }.resolve("landing")
+    val table = tmp.resolve("evo").toString
+    withShufflePartitions(spark, 4) {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0L)
+            graft.store.Versioned.append(
+              batch.select(col("user_id"), col("v").cast("int").as("v")),
+              table): Unit
+          else {
+            // the producer widened v and added note: evolve the SINK
+            // first (zero-rewrite DDL), then land the wide batch
+            graft.store.Versioned.widenColumn(spark, table, "v",
+              org.apache.spark.sql.types.LongType): Unit
+            graft.store.Versioned.append(
+              batch.select(col("user_id"), col("v"),
+                col("event_type").as("note")), table): Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.store.Versioned.read(spark, table)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v_e2"),
+        sum(when(col("note").isNotNull, 1L).otherwise(0L)).as("n_wide"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_schema_drift" -> (streamSchemaDrift _),
     "lateral_topk" -> (lateralTopk _),
     "stream_txn_sink" -> (streamTxnSink _),
     "stream_inactivity" -> (streamInactivity _),
@@ -916,6 +980,13 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch parity IS the era rule: even event_ids landed narrow (no
+    // note), odd landed wide — the rollup is width-independent on v
+    "stream_schema_drift" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_e2,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the identical LATERAL text — both engines decorrelate it
     "lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, o.price_e2

@@ -388,9 +388,12 @@ class VersionedV2Spec extends SparkSpec {
     val r2 = spark.sql(
       s"SELECT COUNT(*), COUNT(tag) FROM $cat.t").head
     assert(r2.getLong(0) == 6 && r2.getLong(1) == 1)
-    // duplicate column rejected; other ALTER shapes rejected loudly
+    // duplicate column rejected; dropping a column that does not exist
+    // rejected loudly (DROP COLUMN itself is a supported zero-rewrite
+    // evolution since X331 — its positive paths live in VersionedSpec
+    // and the schema_drop_widen journey)
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t DROP COLUMN v"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.t DROP COLUMN no_such_col"))
   }
 
   test("ALTER ADD COLUMN ... DEFAULT: old rows read the default, inserts fill it") {
