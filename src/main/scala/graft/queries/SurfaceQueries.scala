@@ -934,18 +934,30 @@ object SurfaceQueries {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0L)
-            graft.store.Versioned.append(
-              batch.select(col("user_id"), col("v").cast("int").as("v")),
-              table): Unit
-          else {
+          // REPLAY-IDEMPOTENT by state inspection, not a ledger: a
+          // checkpoint replay may re-enter either batch after a crash
+          // at any point, and a blind re-run would re-widen an
+          // already-wide column (widenColumn rejects BIGINT→BIGINT) or
+          // double-append. Each step keys off the table state it
+          // produces: batch 0 lands only on an empty table; the widen
+          // fires only while v is still narrow; the wide batch lands
+          // only while `note` is absent.
+          if (id == 0L) {
+            if (graft.store.Versioned.currentVersion(table) == 0)
+              graft.store.Versioned.append(
+                batch.select(col("user_id"), col("v").cast("int").as("v")),
+                table): Unit
+          } else {
             // the producer widened v and added note: evolve the SINK
             // first (zero-rewrite DDL), then land the wide batch
-            graft.store.Versioned.widenColumn(spark, table, "v",
-              org.apache.spark.sql.types.LongType): Unit
-            graft.store.Versioned.append(
-              batch.select(col("user_id"), col("v"),
-                col("event_type").as("note")), table): Unit
+            val sch = graft.store.Versioned.read(spark, table).schema
+            if (sch("v").dataType != org.apache.spark.sql.types.LongType)
+              graft.store.Versioned.widenColumn(spark, table, "v",
+                org.apache.spark.sql.types.LongType): Unit
+            if (!sch.fieldNames.contains("note"))
+              graft.store.Versioned.append(
+                batch.select(col("user_id"), col("v"),
+                  col("event_type").as("note")), table): Unit
           }
         }
         .start()

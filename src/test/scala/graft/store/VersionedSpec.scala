@@ -1202,6 +1202,39 @@ class VersionedSpec extends SparkSpec {
     assert(rows(u) == Set((1L, "b0"), (2L, "b1"), (3L, "b2")))
   }
 
+  test("schema-drift replay guards: widen-if-narrow + append-if-absent re-run safely at every crash point") {
+    // the stream_schema_drift foreachBatch discipline, isolated: each
+    // step keys off the state it produces, so a checkpoint replay that
+    // re-enters a batch after ANY crash point is a no-op for the steps
+    // that already landed — never a double-append, never a
+    // BIGINT→BIGINT widen rejection wedging the stream
+    import org.apache.spark.sql.types.LongType
+    val t = tmpDir("versioned").toString
+    def narrowBatch(): Unit =
+      if (Versioned.currentVersion(t) == 0)
+        Versioned.append(Seq((1L, 10), (2L, 20)).toDF("id", "v"), t): Unit
+    def wideBatch(): Unit = {
+      val sch = Versioned.read(spark, t).schema
+      if (sch("v").dataType != LongType)
+        Versioned.widenColumn(spark, t, "v", LongType): Unit
+      if (!sch.fieldNames.contains("note"))
+        Versioned.append(
+          Seq((3L, 30L, "x")).toDF("id", "v", "note"), t): Unit
+    }
+    narrowBatch(); narrowBatch() // replay of batch 0: second is a no-op
+    assert(Versioned.currentVersion(t) == 1)
+    // crash between widen and append: the widen landed, append did not
+    Versioned.widenColumn(spark, t, "v", LongType)
+    wideBatch() // replay: skips the (rejected) re-widen, lands the append
+    assert(Versioned.read(spark, t).schema("v").dataType == LongType)
+    assert(Versioned.read(spark, t).count() == 3)
+    wideBatch() // full replay of batch 1: both steps no-op
+    assert(Versioned.read(spark, t).count() == 3)
+    assert(Versioned.read(spark, t).selectExpr("sum(v)").as[Long].head() == 60L)
+    // old narrow rows serve upcast with NULL note; the wide row carries it
+    assert(Versioned.read(spark, t).filter($"note".isNull).count() == 2)
+  }
+
   test("merge-on-read delete: zero data files rewritten, reads subtract, snapshots intact") {
     val t = tmpDir("versioned").toString
     Versioned.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
