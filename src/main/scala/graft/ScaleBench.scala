@@ -51,6 +51,13 @@ object ScaleBench {
       k -> (src.agg(max(col(k))).head().getLong(0) + 1L)
     }
     val alphabet = "etaoinshrd"
+    // the letter rotation has period |alphabet|: replica 10 would be
+    // byte-identical text to replica 0, re-creating the synthetic-twin
+    // blowup the permutation exists to prevent (every dedup family
+    // would then measure a quadratic exact-dup artifact, not scale)
+    require(textCols.isEmpty || factor <= alphabet.length,
+      s"upsample factor $factor exceeds the ${alphabet.length}-period " +
+        "text permutation — extend the alphabet before scaling further")
     def rotated(r: Int) = alphabet.drop(r % alphabet.length) +
       alphabet.take(r % alphabet.length)
     var df = src.crossJoin(
@@ -167,19 +174,24 @@ object ScaleBench {
       "bm25_postings" -> { d =>
         SparkEntry.queries("bm25_topk")(spark, d).count() // full-corpus already
       },
+      // collect() the aggregate ROWS, not count() over the Aggregate —
+      // count() references no output column, so column pruning drops
+      // the agg expressions AND the tokenize/sketch work below them,
+      // timing a zero-column footer read (caught round 16: both
+      // families' "ratios" were measuring nothing)
       "quality_signals" -> { d =>
         Tables.documents(spark, d)
           .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
           .select(col("doc_id"), size(col("toks")).as("len"),
             size(array_distinct(col("toks"))).as("uniq"))
           .agg(count(lit(1)), avg(col("len")), avg(col("uniq") / col("len")))
-          .count()
+          .collect().length.toLong
       },
       "sketch_profile" -> { d =>
         Tables.events(spark, d).groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id")).as("u"),
             expr("approx_percentile(value, array(0.5, 0.95, 0.99))").as("q"))
-          .count()
+          .collect().length.toLong
       },
       "store_merge_cdc" -> { d =>
         val path = new java.io.File(sys.props("java.io.tmpdir"),

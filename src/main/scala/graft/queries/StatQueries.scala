@@ -2657,8 +2657,12 @@ object StatQueries {
     val ev = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("event_type"))
     def daily(metric: String, hit: String, p0: String, p1: String) = {
-      val a = s"CAST(round(ln($p1 / $p0) * 1000000) AS BIGINT)"
-      val b = s"CAST(round(ln((1 - $p1) / (1 - $p0)) * 1000000) AS BIGINT)"
+      // explicit DOUBLE casts: bare decimal literals divide under the
+      // engine's decimal rules (Spark rounds the quotient to a fixed
+      // scale BEFORE ln under some configs) — forcing double on both
+      // sides makes the ln-point constants configuration-independent
+      val a = s"CAST(round(ln(CAST($p1 AS DOUBLE) / CAST($p0 AS DOUBLE)) * 1000000) AS BIGINT)"
+      val b = s"CAST(round(ln((1.0 - CAST($p1 AS DOUBLE)) / (1.0 - CAST($p0 AS DOUBLE))) * 1000000) AS BIGINT)"
       ev.groupBy(col("day"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("event_type") === hit, 1L).otherwise(0L)).as("h"))
@@ -2675,8 +2679,8 @@ object StatQueries {
       .agg(sum(col("b.day_llr_e6").cast(d38)).as("c"))
       .select(col("metric"), col("day"), col("n"), col("day_llr_e6"),
         expr("CAST(c AS BIGINT)").as("cum_llr_e6"))
-    val U = "CAST(round(ln((1 - 0.2) / 0.05) * 1000000) AS BIGINT)"
-    val L = "CAST(round(ln(0.2 / (1 - 0.05)) * 1000000) AS BIGINT)"
+    val U = "CAST(round(ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) * 1000000) AS BIGINT)"
+    val L = "CAST(round(ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) * 1000000) AS BIGINT)"
     cum.select(col("metric"), col("day"), col("n"), col("day_llr_e6"),
       col("cum_llr_e6"),
       expr(s"CASE WHEN cum_llr_e6 >= ($U) THEN 'accept_h1' " +
@@ -3121,14 +3125,14 @@ object StatQueries {
         |  SELECT 'purchase_lift' AS metric, day,
         |    CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS h,
-        |    CAST(round(ln(0.25 / 0.15) * 1000000) AS BIGINT) AS a,
-        |    CAST(round(ln((1 - 0.25) / (1 - 0.15)) * 1000000) AS BIGINT) AS b
+        |    CAST(round(ln(CAST(0.25 AS DOUBLE) / CAST(0.15 AS DOUBLE)) * 1000000) AS BIGINT) AS a,
+        |    CAST(round(ln((1.0 - CAST(0.25 AS DOUBLE)) / (1.0 - CAST(0.15 AS DOUBLE))) * 1000000) AS BIGINT) AS b
         |  FROM ev GROUP BY day
         |  UNION ALL
         |  SELECT 'error_rate', day, CAST(COUNT(*) AS BIGINT),
         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(round(ln(0.35 / 0.25) * 1000000) AS BIGINT),
-        |    CAST(round(ln((1 - 0.35) / (1 - 0.25)) * 1000000) AS BIGINT)
+        |    CAST(round(ln(CAST(0.35 AS DOUBLE) / CAST(0.25 AS DOUBLE)) * 1000000) AS BIGINT),
+        |    CAST(round(ln((1.0 - CAST(0.35 AS DOUBLE)) / (1.0 - CAST(0.25 AS DOUBLE))) * 1000000) AS BIGINT)
         |  FROM ev GROUP BY day),
         |ll AS (
         |  SELECT metric, day, n, h * a + (n - h) * b AS day_llr_e6 FROM d),
@@ -3138,9 +3142,9 @@ object StatQueries {
         |  FROM ll x JOIN ll y ON y.metric = x.metric AND y.day <= x.day
         |  GROUP BY 1, 2, 3, 4)
         |SELECT metric, day, n, day_llr_e6, cum_llr_e6,
-        |  CASE WHEN cum_llr_e6 >= CAST(round(ln((1 - 0.2) / 0.05) * 1000000) AS BIGINT)
+        |  CASE WHEN cum_llr_e6 >= CAST(round(ln((1.0 - CAST(0.2 AS DOUBLE)) / CAST(0.05 AS DOUBLE)) * 1000000) AS BIGINT)
         |      THEN 'accept_h1'
-        |    WHEN cum_llr_e6 <= CAST(round(ln(0.2 / (1 - 0.05)) * 1000000) AS BIGINT)
+        |    WHEN cum_llr_e6 <= CAST(round(ln(CAST(0.2 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE))) * 1000000) AS BIGINT)
         |      THEN 'accept_h0'
         |    ELSE 'continue' END AS state
         |FROM c ORDER BY metric, day""".stripMargin,

@@ -258,6 +258,13 @@ object Versioned {
     val id: String = java.util.UUID.randomUUID().toString.take(12)
     private val staged =
       scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    // per-table CHECK-constraint set the staged rows were validated
+    // against, plus the session to re-read staged files if a retry's
+    // base carries a different set (same re-validate-on-rebase
+    // discipline as append/merge — ADVICE round 9)
+    private val validatedCons =
+      scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+    private var session: Option[SparkSession] = None
     private var done = false
 
     /** Stage `df` as an append to `table` — data lands on disk now
@@ -276,7 +283,10 @@ object Versioned {
       require(!done, s"transaction $id is already decided")
       require(extraMarkers.forall(_.startsWith("#")),
         s"extraMarkers must be #-prefixed manifest markers: $extraMarkers")
-      requireConstraints(constraintsOf(table, Some(currentVersion(table))), df)
+      val cons = constraintsOf(table, Some(currentVersion(table)))
+      requireConstraints(cons, df)
+      validatedCons(table) = cons
+      session = Some(df.sparkSession)
       val batch = f"txn-${id}-${staged.size}%02d"
       staged += ((table, stageFiles(df, table, batch) ++ extraMarkers))
       this
@@ -307,8 +317,22 @@ object Versioned {
           if (txnOutcome(new File(txnDir).getAbsolutePath, id).contains("abort"))
             throw new IllegalStateException(
               s"transaction $id was aborted by a concurrent writer")
+          val base = currentVersion(table)
+          // re-validate on rebase: a constraint committed between this
+          // table's staging and its prepare must gate the transaction —
+          // staged rows re-read from their files against the new set
+          // (append/merge re-check their in-memory frames; the txn's
+          // frames are gone, but the staged parquet IS the same rows)
+          val cons = constraintsOf(table, Some(base))
+          if (cons != validatedCons.getOrElse(table, Seq.empty)) {
+            val dataAbs = added.filter(l => !l.startsWith("#"))
+              .map(r => new File(table, r).getPath)
+            session.filter(_ => dataAbs.nonEmpty).foreach(s =>
+              requireConstraints(cons, s.read.parquet(dataAbs: _*)))
+            validatedCons(table) = cons
+          }
           try {
-            Versioned.commit(table, currentVersion(table), added :+ marker): Unit
+            Versioned.commit(table, base, added :+ marker): Unit
             landed = true
           } catch {
             case e: IllegalStateException
@@ -1287,6 +1311,11 @@ object Versioned {
     * pre-purge versions still reference the old files until retired. */
   def purgeDropped(spark: SparkSession, table: String,
       maxRetries: Int = 5): Int = {
+    // same hazard as every file-rewriting op: rewriting under the
+    // canonical schema would NULL-fill legacy files' renamed columns
+    // (their bytes live under the pre-rename name), silently erasing
+    // the values the read-time coalesce fold still recovers
+    requireNoRenames(table, "purgeDropped")
     val cur = currentVersion(table)
     val dropped = droppedOf(table, Some(cur))
     if (dropped.isEmpty) return cur
@@ -2741,7 +2770,29 @@ object Versioned {
     val live = retained.flatMap(v => files(table, Some(v))).toSet ++
       retained.flatMap(v => deletesOf(table, Some(v)).values.flatten
         .map { case (rel, _) => resolveLine(table, rel) })
-    (anchor, live)
+    // a PENDING cross-table transaction's prepared files are invisible
+    // to linesOf (the undecided version reads as its predecessor) but
+    // NOT dead: the txn driver may still decide commit, at which point
+    // the head version becomes visible and must reference files that
+    // exist. Only the head can be undecided (every commit force-decides
+    // its base first), so count its raw data + DV lines as live; if the
+    // txn later aborts, the next commit decides it and the next vacuum
+    // reclaims. Deleting them here would let a later commit publish
+    // dangling references — silent data loss.
+    val pendingLive =
+      if (cur == 0) Set.empty[String]
+      else rawLinesOf(table, cur).find(_.startsWith(TxnPrefix)) match {
+        case Some(m) =>
+          val (dir, id) = parseTxnMarker(m)
+          if (txnOutcome(dir, id).isEmpty)
+            rawLinesOf(table, cur).filter(l => !l.startsWith("#"))
+              .map(resolveLine(table, _)).toSet ++
+              rawLinesOf(table, cur).filter(_.startsWith(DeletesPrefix))
+                .map(l => resolveLine(table, parseDeletesMarker(l)._2))
+          else Set.empty[String]
+        case None => Set.empty[String]
+      }
+    (anchor, live ++ pendingLive)
   }
 
   def vacuum(table: String, keepVersions: Int = 2, minAgeMs: Long = 600000L): Int = {

@@ -1202,6 +1202,39 @@ class VersionedSpec extends SparkSpec {
     assert(rows(u) == Set((1L, "b0"), (2L, "b1"), (3L, "b2")))
   }
 
+  test("vacuum counts a pending txn's prepared files as live; the txn still commits after the sweep") {
+    // the data-loss scenario: a txn prepares (marker-bearing versions
+    // committed, outcome not yet decided), stalls past the vacuum grace
+    // window, and an operator vacuums a member table. The prepared
+    // files are invisible to linesOf, but deleting them would let the
+    // driver's later decide publish dangling references.
+    val txnDir = tmpDir("txnlog").toString
+    val a = tmpDir("versioned").toString
+    Versioned.append(Seq((1L, "a0")).toDF("id", "s"), a)
+    Versioned.append(Seq((2L, "a1")).toDF("id", "s"), a) // 2 retained versions
+    // prepare manually (commit() would also decide): stage + marker-bearing
+    // version with no outcome, exactly commit()'s crash window
+    val txn = Versioned.beginTxn(txnDir)
+    txn.stageAppend(Seq((3L, "a2")).toDF("id", "s"), a)
+    val stagedFiles = Option(new File(a).listFiles()).get
+      .filter(d => d.isDirectory && d.getName.startsWith("txn-"))
+      .flatMap(d => Option(d.listFiles()).get.filter(_.getName.endsWith(".parquet")))
+    assert(stagedFiles.nonEmpty)
+    val marker = s"#txn:${new File(txnDir).getAbsolutePath}:${txn.id}"
+    val tableAbs = new File(a).getAbsolutePath
+    Versioned.commit(a, Versioned.currentVersion(a),
+      stagedFiles.map(_.getAbsolutePath.stripPrefix(tableAbs + "/")).toSeq :+ marker)
+    // age everything past the grace window, then vacuum with zero grace
+    val n = Versioned.vacuum(a, keepVersions = 2, minAgeMs = 0L)
+    assert(stagedFiles.forall(_.exists),
+      s"vacuum deleted $n file(s) including a pending txn's prepared data")
+    // the driver resumes and decides commit: the version becomes visible
+    // and every referenced file is present
+    Files.write(new File(txnDir, s"${txn.id}.outcome").toPath,
+      "commit".getBytes(StandardCharsets.UTF_8))
+    assert(rows(a) == Set((1L, "a0"), (2L, "a1"), (3L, "a2")))
+  }
+
   test("schema-drift replay guards: widen-if-narrow + append-if-absent re-run safely at every crash point") {
     // the stream_schema_drift foreachBatch discipline, isolated: each
     // step keys off the state it produces, so a checkpoint replay that
