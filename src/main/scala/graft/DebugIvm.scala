@@ -73,6 +73,56 @@ object DebugStream {
   }
 }
 
+// Generic per-query job tracer (dev-only, not part of the suite): runs the
+// named declared queries with a job listener that prints every Spark job's
+// duration plus the DRIVER GAP since the previous job ended (planning,
+// manifest I/O, commit) — the r16 optimization round's measure-first tool
+// for journey-class rows whose physical plans hide eager work.
+object DebugQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", graft.core.GraftExtensions.Name)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      @volatile private var lastEnd = System.nanoTime()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        val gap = (System.nanoTime() - lastEnd) / 1e6
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .take(70)
+        starts.put(e.jobId, System.nanoTime())
+        println(f"[q-jobs] job=${e.jobId}%3d gap=${gap}%7.1f ms stages=${e.stageIds.size} $desc")
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        lastEnd = System.nanoTime()
+        Option(starts.remove(e.jobId)).foreach { t0 =>
+          println(f"[q-jobs] job=${e.jobId}%3d took ${(System.nanoTime() - t0) / 1e6}%7.1f ms")
+        }
+      }
+    })
+    for (r <- 1 to 2; n <- names) {
+      val j0 = jobCount.get()
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(n)(spark, dir).count()
+      println(f"[q-debug] run$r $n rows=$c wall=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        s"jobs=${jobCount.get() - j0}")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
 // Throwaway per-leg profiler for ivm_join_view (not part of the suite).
 object DebugIvm {
   def main(args: Array[String]): Unit = {

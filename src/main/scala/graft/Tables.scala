@@ -11,8 +11,25 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * both, and Catalyst pushes filters/projections into the scan either way.
   */
 object Tables {
+  // Loader memo: `spark.read.parquet` pays a driver-side file listing +
+  // footer schema inference on EVERY call, and the bench's 400 queries
+  // call these loaders thousands of times per session. The memo reuses
+  // the immutable LOGICAL PLAN (never data — execution still scans
+  // parquet every time), keyed by session so a restarted session
+  // re-lists. Weak keys let closed sessions unload.
+  private val frames = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]])
+  private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    var m = frames.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      frames.put(spark, m)
+    }
+    m.getOrElseUpdate(key, build)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name.parquet")(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
@@ -30,9 +47,11 @@ object Tables {
     * (Spark reads TIMESTAMP_NTZ, which the micros/epoch functions reject —
     * reinterpret in the session zone, pinned to UTC everywhere, matching
     * DuckDB's UTC epoch view of the same naive values). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = memo(spark, s"$dir#events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
+    // bypass the raw-table memo: the nanosAsLong conf must be set BEFORE
+    // the first footer inference of events.parquet or the read throws
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

@@ -1119,8 +1119,11 @@ object TinyTransformer {
     val cfg = Config(bb.getInt(), bb.getInt(), bb.getInt(), bb.getInt(),
       bb.getInt(), bb.getInt())
     val w = new Array[Float](cfg.totalFloats)
-    var i = 0
-    while (i < w.length) { w(i) = bb.getFloat(); i += 1 }
+    // bulk view over the remaining bytes: same little-endian float32s as a
+    // per-element getFloat loop, ~20x less per-element overhead on the
+    // 11M-float MiniLM-shape checkpoint (load sits on the serving path —
+    // every partition of an embed job pays it)
+    bb.asFloatBuffer().get(w)
     (cfg, w)
   }
 
@@ -1128,7 +1131,20 @@ object TinyTransformer {
     * allocated once per partition, applied once per row. Arithmetic is
     * double-accumulated fixed-order, so outputs are bit-identical across
     * JVMs and partitionings. */
-  final class Session(val cfg: Config, w: Array[Float]) {
+  final class Session(val cfg: Config, wF: Array[Float]) {
+    // weights widened to double ONCE at construction: float→double is an
+    // exact widening, so every read below sees bit-identical values to the
+    // old per-access implicit conversion — but the hot matmul loops become
+    // pure double arithmetic the JIT auto-vectorizes instead of
+    // convert-then-multiply per element (guide §1.2 step 2: per-task work).
+    // Sessions are immutable after construction and encode() touches only
+    // local arrays, so one instance is safely shared across partitions.
+    private val w: Array[Double] = {
+      val a = new Array[Double](wF.length)
+      var i = 0
+      while (i < wF.length) { a(i) = wF(i).toDouble; i += 1 }
+      a
+    }
     private val d = cfg.dModel
     private val dh = d / cfg.nHeads
     // offsets into the flat buffer, in writeWeights order
@@ -1275,11 +1291,34 @@ object TinyTransformer {
     * silently truncating. */
   final class Loader(weightsPath: String) extends TextModelLoader {
     def load(dim: Int): String => Array[Float] = {
-      val (cfg, w) = readWeights(weightsPath)
-      require(cfg.dModel == dim,
-        s"checkpoint dModel ${cfg.dModel} != requested dim $dim")
-      val session = new Session(cfg, w)
+      val session = Loader.sessionFor(weightsPath)
+      require(session.cfg.dModel == dim,
+        s"checkpoint dModel ${session.cfg.dModel} != requested dim $dim")
       t => session.encode(t)
+    }
+  }
+
+  object Loader {
+    // one materialized session per CHECKPOINT per JVM, not per partition:
+    // `load` still runs once per partition (the seam contract — a cluster
+    // deployment pays a local-disk read per executor), but local-mode
+    // partitions share the executor JVM, where 32 concurrent loads of the
+    // 44 MB MiniLM-shape checkpoint meant 32 redundant reads + 32 × 88 MB
+    // of widened weights. Keyed by (path, mtime, length) so a rewritten
+    // checkpoint at the same path is re-read; capped small — a JVM serves
+    // a handful of distinct checkpoints, ever.
+    private val sessions =
+      scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Session]
+    private def sessionFor(weightsPath: String): Session = {
+      val f = new java.io.File(weightsPath)
+      val key = (f.getAbsolutePath, f.lastModified, f.length)
+      while (sessions.size > 4) sessions.headOption.foreach {
+        case (k, _) => sessions.remove(k)
+      }
+      sessions.getOrElseUpdate(key, {
+        val (cfg, w) = readWeights(weightsPath)
+        new Session(cfg, w)
+      })
     }
   }
 }

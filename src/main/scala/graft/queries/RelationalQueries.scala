@@ -818,24 +818,30 @@ object RelationalQueries {
     import spark.implicits._
     // ONE labeled BFS for all seeds (a per-seed Bfs.run would cache and
     // traverse the edge list once per seed): the frontier carries
-    // (seed, node) and each round is one equi-join + distinct + anti-
-    // join, checkpointed per round (the house iteration idiom)
+    // (seed, node) and each round is one equi-join + distinct. The horizon
+    // is a FIXED 3 hops, so min-hop layering needs no per-round visited
+    // anti-join or eager localCheckpoint (r16 optimization — those cost 3
+    // extra shuffles + 3 blocking materialization jobs): each level stays
+    // the distinct h-step neighborhood (bounded by |seeds|·|V| — the
+    // per-level distinct still prevents any path-count blowup), levels
+    // union lazily, and ONE final (seed, node) min-hop aggregate recovers
+    // exactly the BFS layering — a node reached at hops 1 and 3 scores
+    // min hop 1, a seed reached from another seed scores at its hop, and
+    // hop-0 self rows filter out below. Identical output, one Spark job,
+    // shared per-level subplans dedupe via ReusedExchange.
     val e = partSupplierEdges(spark, dir)
-    var visited = PprSeeds.toDF("seed")
+    var frontier = PprSeeds.toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
-      .localCheckpoint()
-    var frontier = visited
+    var levels = frontier
     for (h <- 1 to 3) {
-      val next = frontier.select(col("seed"), col("node").as("src"))
+      frontier = frontier.select(col("seed"), col("node").as("src"))
         .join(e, "src")
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h).as("hop"))
-        .localCheckpoint()
-      visited = visited.unionByName(next)
-      frontier = next
+      levels = levels.unionByName(frontier)
     }
-    visited.filter(col("hop") >= 1)
+    levels.groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
+      .filter(col("hop") >= 1)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div hop")).as("h_e6"))

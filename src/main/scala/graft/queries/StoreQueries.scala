@@ -119,12 +119,18 @@ object StoreQueries {
     // v1: 70 manifest lines — wide enough that the delta policy engages
     graft.store.Versioned.append(
       ev.filter(col("user_id") < 10).repartition(70), path): Unit
+    // the 18 delta batches all slice user_id ∈ [10, 100): stage that slice
+    // in memory ONCE (r16 optimization — each append used to re-scan the
+    // whole events parquet through its coalesce(1) single task, 18 serial
+    // full-table scans; dropped at journey end like every in-query cache)
+    val deltas = ev.filter(col("user_id") >= 10 && col("user_id") < 100).cache()
     (2 to 19).foreach { k =>
       val lo = 10 + 5 * (k - 2)
       graft.store.Versioned.append(
-        ev.filter(col("user_id") >= lo && col("user_id") < lo + 5).coalesce(1),
+        deltas.filter(col("user_id") >= lo && col("user_id") < lo + 5).coalesce(1),
         path): Unit
     }
+    deltas.unpersist(): Unit
     val ce = graft.store.Versioned.ManifestCheckpointEvery
     def at(v: Option[Int]) = graft.store.Versioned.read(spark, path, v)
       .agg(count(lit(1)).as("n"), sum(col("v")).as("rev")).head()
