@@ -536,27 +536,52 @@ object RelationalQueries {
     * rollup left inside the CTE chain rescans events once per day of
     * calendar (measured 13.8 s at sf0.1 → ~0.3 s materialized). */
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    // r17: BLOCKED recursion. Spark's UnionLoop pays one full job per
+    // recursion step, and stepping per DAY cost ~150 driver-bound jobs
+    // at sf0.1 (3.9 s of almost pure per-job fixed cost — 159 jobs,
+    // 159 tasks, 0.8 s of task time). The recurrence is inherently
+    // sequential ACROSS days, but nothing forces one job per day: the
+    // step now advances one 32-day BLOCK, folding the block's days with
+    // an `aggregate` lambda seeded by the previous block's closing
+    // balance — the same floor-division chain in the same order, so the
+    // emitted (day, rev, bal) rows are bit-identical (the DuckDB oracle
+    // still steps per day and agrees). Depth drops days/32× at ANY
+    // scale; the vectorized-inner-loop / sequential-outer-loop shape is
+    // the production form of every bounded recurrence.
     Tables.events(spark, dir).createOrReplaceTempView("graft_events_rec")
     spark.sql(
       """WITH daily AS (
         |  SELECT to_date(ts) AS day,
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
-        |  FROM graft_events_rec GROUP BY 1)
-        |SELECT day, rev,
-        |  datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t
-        |FROM daily""".stripMargin)
+        |  FROM graft_events_rec GROUP BY 1),
+        |idx AS (
+        |  SELECT day, rev,
+        |    datediff(day, (SELECT MIN(day) FROM daily)) + 1 AS t
+        |  FROM daily)
+        |SELECT (t - 1) div 32 AS blk,
+        |  sort_array(collect_list(named_struct('t', t, 'day', day, 'rev', rev))) AS xs
+        |FROM idx GROUP BY (t - 1) div 32""".stripMargin)
       .coalesce(1)
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_rec_idx")
+      .localCheckpoint() // UnionLoop re-executes the step subplan per
+      .createOrReplaceTempView("graft_rec_blocks") // iteration (see doc)
+    def fold(arr: String, seed: String): String =
+      s"""aggregate($arr,
+         |  named_struct('bal', CAST($seed AS BIGINT),
+         |    'out', CAST(array() AS ARRAY<BIGINT>)),
+         |  (s, x) -> named_struct('bal', (s.bal * 9) div 10 + x.rev,
+         |    'out', array_append(s.out, (s.bal * 9) div 10 + x.rev)),
+         |  s -> s.out)""".stripMargin
     spark.sql(
-      """WITH RECURSIVE
-        |acc AS (
-        |  SELECT t, day, rev, rev AS bal FROM graft_rec_idx WHERE t = 1
-        |  UNION ALL
-        |  SELECT i.t, i.day, i.rev, (a.bal * 9) div 10 + i.rev AS bal
-        |  FROM acc a JOIN graft_rec_idx i ON i.t = a.t + 1)
-        |SELECT day, rev AS rev_e2, bal AS decay_e2
-        |FROM acc ORDER BY day""".stripMargin)
+      s"""WITH RECURSIVE
+         |acc AS (
+         |  SELECT blk, xs, ${fold("xs", "0")} AS bals
+         |  FROM graft_rec_blocks WHERE blk = 0
+         |  UNION ALL
+         |  SELECT b.blk, b.xs, ${fold("b.xs", "element_at(a.bals, -1)")} AS bals
+         |  FROM acc a JOIN graft_rec_blocks b ON b.blk = a.blk + 1)
+         |SELECT z.xs.day AS day, z.xs.rev AS rev_e2, z.bals AS decay_e2
+         |FROM acc LATERAL VIEW explode(arrays_zip(xs, bals)) AS z
+         |ORDER BY day""".stripMargin)
   }
 
   /** Column-level lineage of [[q3JoinTopk]] extracted from its ANALYZED
@@ -727,9 +752,10 @@ object RelationalQueries {
     * The bench calls this once, timed as its own telemetry row. */
   def prewarmShared(spark: SparkSession, dir: String): Unit = {
     partSupplierEdges(spark, dir).count()
+    partSupplierIntEdges(spark, dir).count()
+    weightedIntEdges(spark, dir).count()
     preparedEdges(spark, dir).count()
     preparedCountWeightedEdges(spark, dir).count()
-    weightedEdges(spark, dir).count()
     graft.scale.ShingleStore.docShingles(spark, dir).count()
     graft.scale.ShingleStore.docSketches(spark, dir).count(): Unit
   }
@@ -790,6 +816,52 @@ object RelationalQueries {
         .select(col("e.src"), col("e.dst"))
     }
 
+  /** INTEGER-keyed doubled edge list — the narrow-type twin of
+    * [[partSupplierEdges]] (r17, guide §2.3 "narrower types"): node ids
+    * are longs (part k → 2k, supplier k → 2k+1, trivially reversible),
+    * so the BFS-family per-level distincts and joins hash/compare 8-byte
+    * keys instead of variable-length strings — measured 3-5× less CPU
+    * per level over the ~1.2M-row sf0.1 edge list, and at 100 TB the
+    * same factor off every frontier shuffle's bytes. Decoded back to the
+    * public string ids at the output boundary ([[decodeNodeSql]]). */
+  private def partSupplierIntEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-iedges") {
+      partSupplierPairs(spark, dir)
+        .select((col("p").cast("long") * 2).as("pk"),
+          (col("s").cast("long") * 2 + 1).as("sk"))
+        .select(explode(array(
+          struct(col("pk").as("src"), col("sk").as("dst")),
+          struct(col("sk").as("src"), col("pk").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+    }
+
+  /** The WEIGHTED integer-keyed twin of [[weightedEdges]] (r17, same
+    * rationale as [[partSupplierIntEdges]]). */
+  private def weightedIntEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.scale.ShingleStore.stored(spark, dir, "ps-iwedges") {
+      val pairs = Tables.lineitem(spark, dir)
+        .groupBy((col("l_partkey").cast("long") * 2).as("p"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      pairs.select(explode(array(
+          struct(col("p").as("src"), col("s").as("dst"), col("w")),
+          struct(col("s").as("src"), col("p").as("dst"), col("w")))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+    }
+
+  /** Decode a long node id back to the public "p<k>"/"s<k>" string —
+    * the inverse of the [[partSupplierIntEdges]] encoding, applied once
+    * at the output boundary. */
+  private def decodeNodeSql(c: String): String =
+    s"CASE WHEN $c % 2 = 0 THEN concat('p', CAST($c div 2 AS STRING)) " +
+      s"ELSE concat('s', CAST($c div 2 AS STRING)) END"
+
+  /** Encode a public "p<k>"/"s<k>" node id to its long key. */
+  private def encodeNode(s: String): Long = {
+    val k = s.drop(1).toLong
+    if (s.startsWith("p")) 2 * k else 2 * k + 1
+  }
+
   /** Multi-source BFS (min hop) over the part↔supplier bipartite graph —
     * link-distance from a seed list, the crawl-frontier / contamination-
     * spread primitive ([[graft.scale.Bfs]] has the frontier-only plan
@@ -798,9 +870,15 @@ object RelationalQueries {
     * engine-exact. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val seeds = Seq("p1", "s7").toDF("node")
-    graft.scale.Bfs.run(partSupplierEdges(spark, dir), seeds, maxHops = 3)
-      .select(col("node"), col("hop").cast("long").as("hop"))
+    // r17: long-keyed traversal (guide §2.3) + broadcast frontier (the
+    // part↔supplier node set is catalog-dimension-bounded — the
+    // documented precondition, which bipartite_check's rounds already
+    // used); decode to the public string ids only at the boundary
+    val seeds = Seq("p1", "s7").map(encodeNode).toDF("node")
+    graft.scale.Bfs.run(partSupplierIntEdges(spark, dir), seeds, maxHops = 3,
+        broadcastFrontier = true)
+      .select(expr(decodeNodeSql("node")).as("node"),
+        col("hop").cast("long").as("hop"))
       .orderBy(col("node"))
   }
 
@@ -829,8 +907,11 @@ object RelationalQueries {
     // min hop 1, a seed reached from another seed scores at its hop, and
     // hop-0 self rows filter out below. Identical output, one Spark job,
     // shared per-level subplans dedupe via ReusedExchange.
-    val e = partSupplierEdges(spark, dir)
-    var frontier = PprSeeds.toDF("seed")
+    // r17: long node keys (guide §2.3 — the (seed, node) per-level
+    // distincts hash two longs instead of two strings); seeds decode
+    // back to their public ids at the output boundary
+    val e = partSupplierIntEdges(spark, dir)
+    var frontier = PprSeeds.map(encodeNode).toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
     var levels = frontier
     for (h <- 1 to 3) {
@@ -845,6 +926,8 @@ object RelationalQueries {
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div hop")).as("h_e6"))
+      .select(expr(decodeNodeSql("seed")).as("seed"),
+        col("n_reached"), col("h_e6"))
       .orderBy(col("seed"))
   }
 
@@ -1295,26 +1378,15 @@ object RelationalQueries {
     * which SsspSpec pins structurally. */
   def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.scale.Sssp.run(weightedEdges(spark, dir), Seq("p1").toDF("node"),
-        rounds = 3)
-      .select(col("node"), col("dist").cast("long").as("dist"))
+    // r17: long node keys + broadcast frontier (catalog-bounded node
+    // set), decoded at the output boundary — the bfsHops rationale
+    graft.scale.Sssp.run(weightedIntEdges(spark, dir),
+        Seq(encodeNode("p1")).toDF("node"),
+        rounds = 3, broadcastFrontier = true)
+      .select(expr(decodeNodeSql("node")).as("node"),
+        col("dist").cast("long").as("dist"))
       .orderBy(col("node"))
   }
-
-  /** The WEIGHTED part↔supplier edge list, stored once per (session,
-    * dir) like `ps-edges` — the same extract-once production layout; the
-    * bench prewarm pays the first touch as its own telemetry row. */
-  private def weightedEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.scale.ShingleStore.stored(spark, dir, "ps-wedges") {
-      val pairs = Tables.lineitem(spark, dir)
-        .groupBy(concat(lit("p"), col("l_partkey")).as("p"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
-        .agg(min(col("l_quantity").cast("long")).as("w"))
-      pairs.select(explode(array(
-          struct(col("p").as("src"), col("s").as("dst"), col("w")),
-          struct(col("s").as("src"), col("p").as("dst"), col("w")))).as("e"))
-        .select(col("e.src"), col("e.dst"), col("e.w"))
-    }
 
   /** Jaro–Winkler name-pair screen over the part catalog — drives the
     * [[graft.core.JaroWinkler]] codegen expression (the record-linkage

@@ -380,12 +380,35 @@ object StatQueries {
     poissonBootstrapOf(Tables.events(spark, dir))
 
   def poissonBootstrapOf(events: DataFrame): DataFrame = {
-    events
-      .select(col("event_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val spark = events.sparkSession
+    // r17 parallelism guard (guide §2.5 input skew): the 32-md5-per-row
+    // weight pass is the query's real CPU, but a small parquet fixture
+    // arrives as 1-2 splits and would serialize it on one core. Raise
+    // tiny scans to core count — never LOWER existing parallelism (at
+    // warehouse scale the scan already has more splits than cores and
+    // this is a no-op); the shuffled frame is (event_id, v), ~16 bytes
+    // a row, so the exchange is noise next to the hash work it spreads.
+    val src = events.select(col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val minParts = spark.sparkContext.defaultParallelism
+    (if (src.rdd.getNumPartitions < minParts) src.repartition(minParts)
+     else src)
       .createOrReplaceTempView("graft_boot_src")
-    events.sparkSession.sql(bootSql(
-      "SELECT event_id, v FROM graft_boot_src", "div"))
+    // r17: the one-query form re-inlined the 130-column corpus aggregate
+    // `m` into each of 34 references (32 replicate branches + 2 scalar
+    // subqueries) — execution deduped them via exchange reuse (2 jobs,
+    // 26 ms of tasks) but Catalyst paid ~1.5-2 s PLANNING 34 copies of
+    // the md5/CASE tree. Staging the ONE-ROW `m` as a checkpointed view
+    // leaves every reference a LocalTableScan; same stage texts on both
+    // engines (the DuckDB oracle chains them as CTEs of one query),
+    // bit-identical rows out. NOTE the staging also makes the BENCH
+    // measurement honest: under the old one-query form the bench's
+    // count() action let Catalyst prune every w-column — the md5 pass
+    // was never executed in the timed run (guide §1.4's count() trap);
+    // the eager checkpoint computes what the query declares.
+    spark.sql(bootMSql("SELECT event_id, v FROM graft_boot_src"))
+      .coalesce(1).localCheckpoint().createOrReplaceTempView("graft_boot_m")
+    spark.sql(bootRepsSql("div"))
   }
 
   /** ⌊P(Pois(1) ≤ k)·2⁵²⌋ for k = 0..5 as 13-char hex (weight 6 beyond
@@ -396,11 +419,19 @@ object StatQueries {
 
   private val BootReplicates = 32
 
-  /** The engine-shared Poisson-bootstrap body over `source(event_id, v)`
-    * — generated once for Spark (`div`) and DuckDB (`//`). */
-  def bootSql(source: String, idiv: String): String = {
+  /** The corpus-scan half of the bootstrap: ONE partial-aggregated pass
+    * producing the single row (n, sv, c0, s0, …, c31, s31). Shared text
+    * — Spark stages it as a checkpointed view, DuckDB chains it as the
+    * `graft_boot_m` CTE ([[bootSql]]). */
+  def bootMSql(source: String): String = {
+    // r17: no per-replicate substring — comparing the FULL 32-char md5
+    // hex lexicographically against a 13-char threshold is equivalent to
+    // comparing its 13-char prefix (prefix < t ⇒ full < t; prefix = t ⇒
+    // full ≥ t since it is strictly longer; prefix > t ⇒ full > t), so
+    // the drawn weights are bit-identical on both engines while 32
+    // substring allocations per row disappear from the hot scan.
     val hCols = (0 until BootReplicates).map { b =>
-      s"substring(md5(concat('boot:$b:', CAST(event_id AS STRING))), 1, 13) AS h$b"
+      s"md5(concat('boot:$b:', CAST(event_id AS STRING))) AS h$b"
     }.mkString(",\n    ")
     val wCase = PoisThresholdsHex.zipWithIndex
       .map { case (t, k) => s"WHEN h%d < '$t' THEN $k" }.mkString(" ")
@@ -410,9 +441,6 @@ object StatQueries {
     val sums = (0 until BootReplicates).map { b =>
       s"CAST(SUM(w$b) AS BIGINT) AS c$b, CAST(SUM(w$b * v) AS BIGINT) AS s$b"
     }.mkString(",\n    ")
-    val reps = (0 until BootReplicates).map { b =>
-      s"SELECT (s$b * 10000) $idiv c$b AS mv FROM m"
-    }.mkString("\n  UNION ALL ")
     s"""WITH src AS ($source),
        |h AS (
        |  SELECT v,
@@ -421,21 +449,45 @@ object StatQueries {
        |w AS (
        |  SELECT v,
        |    $wCols
-       |  FROM h),
-       |m AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+       |  FROM h)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
        |    $sums
-       |  FROM w),
-       |reps AS (
-       |  $reps),
-       |o AS (SELECT mv, ROW_NUMBER() OVER (ORDER BY mv) AS rk FROM reps)
-       |SELECT (SELECT n FROM m) AS n,
-       |  (SELECT (sv * 10000) $idiv n FROM m) AS mean_e6,
-       |  CAST(MAX(CASE WHEN rk = 2 THEN mv END) AS BIGINT) AS boot_lo_e6,
-       |  CAST(MAX(CASE WHEN rk = 31 THEN mv END) AS BIGINT) AS boot_hi_e6,
-       |  CAST($BootReplicates AS BIGINT) AS n_replicates
-       |FROM o""".stripMargin
+       |  FROM w""".stripMargin
   }
+
+  /** The replicate-ordering half over the staged `graft_boot_m` row —
+    * shared logic, parameterized on the idiv token (Spark `div`, DuckDB
+    * `//`; the token also selects each dialect's array sort/index
+    * spelling). r17: the 32 replicate means sort as ONE in-row array —
+    * the former 32-branch UNION + ROW_NUMBER window read `m` 32 times
+    * and ran an unpartitioned window (bounded here, but the exact shape
+    * PlanSpec bans because a refactor can silently unbound it); the
+    * sorted-array 2nd/31st elements are the same order statistics. */
+  def bootRepsSql(idiv: String): String = {
+    val mvs = (0 until BootReplicates).map { b =>
+      s"(s$b * 10000) $idiv c$b"
+    }.mkString(",\n      ")
+    val (sorted, lo, hi) =
+      if (idiv == "div") // Spark spelling
+        (s"sort_array(array(\n      $mvs))", "element_at(a, 2)",
+          s"element_at(a, ${BootReplicates - 1})")
+      else // DuckDB spelling
+        (s"list_sort([\n      $mvs])", "a[2]", s"a[${BootReplicates - 1}]")
+    s"""SELECT (SELECT n FROM graft_boot_m) AS n,
+       |  (SELECT (sv * 10000) $idiv n FROM graft_boot_m) AS mean_e6,
+       |  CAST($lo AS BIGINT) AS boot_lo_e6,
+       |  CAST($hi AS BIGINT) AS boot_hi_e6,
+       |  CAST($BootReplicates AS BIGINT) AS n_replicates
+       |FROM (SELECT $sorted AS a FROM graft_boot_m) o""".stripMargin
+  }
+
+  /** The engine-shared Poisson-bootstrap body over `source(event_id, v)`
+    * — generated once for Spark (`div`) and DuckDB (`//`), assembled
+    * from the SAME two stage texts the Spark runner stages. */
+  def bootSql(source: String, idiv: String): String =
+    s"""WITH graft_boot_m AS (
+       |${bootMSql(source)})
+       |${bootRepsSql(idiv)}""".stripMargin
 
   /** Mutual information between two columns (event type × coarse value
     * bucket) — the model-free dependence screen feature selection runs
@@ -901,89 +953,135 @@ object StatQueries {
     adaboostStumpsOf(Tables.events(spark, dir))
 
   def adaboostStumpsOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     events
       .select((floor(col("value").cast("double") / 10) * 10).cast("long").as("bucket"),
         when(col("event_type") === "purchase", 1L).otherwise(-1L).as("yy"))
       .groupBy(col("bucket"), col("yy")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_ada_h")
-    events.sparkSession.sql(adaboostSql("SELECT bucket, yy, c FROM graft_ada_h"))
+    // r17 (guide §1.2 "per-task work" applied to the DRIVER): the body's
+    // ~24 scalar-subquery references each re-inline their CTE's whole
+    // subplan, and Catalyst paid ~3.3 s PLANNING the one-query form
+    // (DebugProbe: 14 jobs, 0.3 s of tasks, 3.4 s driver gap). The
+    // MULTIPLY-REFERENCED bounded frames (tot, h1, cls, h2) are staged
+    // as checkpointed temp views so every scalar-subquery reference
+    // resolves to a 1-row/≤100-row LocalTableScan; the once-used chains
+    // (thr/pre/cand1, cand2, vote/corr2) stay CTEs of their consumer.
+    // Identical stage texts on both engines (the DuckDB oracle chains
+    // ALL of them as CTEs of one query), same rows out, ~3× less driver
+    // time; each staged frame is histogram-bounded, so the extra jobs
+    // are sub-ms of task work.
+    val texts = AdaStages.toMap
+    def withCtes(target: String, ctes: Seq[String]): String =
+      if (ctes.isEmpty) texts(target)
+      else "WITH " + ctes.map(n => s"$n AS (${texts(n)})").mkString(",\n") +
+        "\n" + texts(target)
+    val groups = Seq(
+      "graft_ada_tot" -> Nil,
+      "graft_ada_h1" -> Seq("graft_ada_thr", "graft_ada_pre", "graft_ada_cand1"),
+      "graft_ada_cls" -> Nil,
+      "graft_ada_h2" -> Seq("graft_ada_thr", "graft_ada_cand2"))
+    for ((target, ctes) <- groups)
+      spark.sql(withCtes(target, ctes))
+        .coalesce(1).localCheckpoint().createOrReplaceTempView(target)
+    spark.sql("WITH " +
+      Seq("graft_ada_vote", "graft_ada_corr2")
+        .map(n => s"$n AS (${texts(n)})").mkString(",\n") + "\n" + AdaFinal)
   }
 
+  /** The engine-shared AdaBoost stages — each references only the
+    * histogram view `graft_ada_h` and earlier stage names, so Spark can
+    * run them as checkpointed temp views while the DuckDB oracle chains
+    * the SAME texts as CTEs of one query ([[adaboostSql]]). */
+  private[queries] val AdaStages: Seq[(String, String)] = Seq(
+    "graft_ada_tot" ->
+      """SELECT CAST(SUM(CASE WHEN yy = 1 THEN c ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN yy = -1 THEN c ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM graft_ada_h""".stripMargin,
+    "graft_ada_thr" ->
+      """SELECT bucket AS t FROM graft_ada_h GROUP BY bucket
+        |  HAVING bucket > (SELECT MIN(bucket) FROM graft_ada_h)""".stripMargin,
+    "graft_ada_pre" ->
+      """SELECT thr.t,
+        |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = 1 THEN h.c ELSE 0 END) AS BIGINT) AS lpos,
+        |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = -1 THEN h.c ELSE 0 END) AS BIGINT) AS lneg
+        |  FROM graft_ada_thr thr CROSS JOIN graft_ada_h h GROUP BY thr.t""".stripMargin,
+    "graft_ada_cand1" ->
+      """SELECT t, CAST(1 AS BIGINT) AS pol,
+        |    lneg + (SELECT np FROM graft_ada_tot) - lpos AS wrong
+        |  FROM graft_ada_pre
+        |  UNION ALL
+        |  SELECT t, CAST(-1 AS BIGINT),
+        |    lpos + (SELECT nn FROM graft_ada_tot) - lneg
+        |  FROM graft_ada_pre""".stripMargin,
+    "graft_ada_h1" ->
+      """SELECT t, pol, wrong AS e FROM graft_ada_cand1
+        |  ORDER BY wrong, t, pol DESC LIMIT 1""".stripMargin,
+    "graft_ada_cls" ->
+      """SELECT h.bucket, h.yy, CAST(h.c AS BIGINT) AS c,
+        |    CASE WHEN (CASE WHEN h.bucket < (SELECT t FROM graft_ada_h1)
+        |        THEN (SELECT pol FROM graft_ada_h1) ELSE -(SELECT pol FROM graft_ada_h1) END) = h.yy
+        |      THEN 1 ELSE 0 END AS ok1
+        |  FROM graft_ada_h h""".stripMargin,
+    "graft_ada_cand2" ->
+      """SELECT thr.t, p.pol,
+        |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
+        |      AND cls.ok1 = 1 THEN cls.c ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
+        |      AND cls.ok1 = 0 THEN cls.c ELSE 0 END) AS BIGINT) AS b
+        |  FROM graft_ada_thr thr CROSS JOIN (SELECT CAST(1 AS BIGINT) AS pol
+        |    UNION ALL SELECT CAST(-1 AS BIGINT)) p CROSS JOIN graft_ada_cls cls
+        |  GROUP BY thr.t, p.pol""".stripMargin,
+    "graft_ada_h2" ->
+      """SELECT t, pol,
+        |    a * (SELECT e FROM graft_ada_h1)
+        |      + b * ((SELECT n FROM graft_ada_tot) - (SELECT e FROM graft_ada_h1)) AS num,
+        |    2 * (SELECT e FROM graft_ada_h1)
+        |      * ((SELECT n FROM graft_ada_tot) - (SELECT e FROM graft_ada_h1)) AS den
+        |  FROM graft_ada_cand2
+        |  ORDER BY a * (SELECT e FROM graft_ada_h1)
+        |    + b * ((SELECT n FROM graft_ada_tot) - (SELECT e FROM graft_ada_h1)), t, pol DESC
+        |  LIMIT 1""".stripMargin,
+    "graft_ada_vote" ->
+      """SELECT cls.yy, cls.c,
+        |    CASE WHEN cls.bucket < (SELECT t FROM graft_ada_h1)
+        |      THEN (SELECT pol FROM graft_ada_h1) ELSE -(SELECT pol FROM graft_ada_h1) END AS p1,
+        |    CASE WHEN cls.bucket < (SELECT t FROM graft_ada_h2)
+        |      THEN (SELECT pol FROM graft_ada_h2) ELSE -(SELECT pol FROM graft_ada_h2) END AS p2
+        |  FROM graft_ada_cls cls""".stripMargin,
+    "graft_ada_corr2" ->
+      """SELECT CAST(SUM(CASE WHEN (CASE WHEN p1 = p2 THEN p1
+        |      WHEN (SELECT e FROM graft_ada_h1) * (SELECT den FROM graft_ada_h2)
+        |        < (SELECT num FROM graft_ada_h2) * (SELECT n FROM graft_ada_tot) THEN p1
+        |      ELSE p2 END) = yy THEN c ELSE 0 END) AS BIGINT) AS nc
+        |  FROM graft_ada_vote""".stripMargin)
+
+  private[queries] val AdaFinal: String =
+    """SELECT CAST(1 AS BIGINT) AS round, t AS thr, pol AS polarity,
+      |  e AS err_num, (SELECT n FROM graft_ada_tot) AS err_den,
+      |  CAST(round(500000 * ln(
+      |    CAST((SELECT n FROM graft_ada_tot) - e AS DOUBLE) / CAST(e AS DOUBLE)))
+      |    AS BIGINT) AS alpha_e6,
+      |  (SELECT n FROM graft_ada_tot) - e AS n_correct
+      |FROM graft_ada_h1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), t, pol, num, den,
+      |  CAST(round(500000 * ln(
+      |    CAST(den - num AS DOUBLE) / CAST(num AS DOUBLE))) AS BIGINT),
+      |  (SELECT nc FROM graft_ada_corr2)
+      |FROM graft_ada_h2
+      |ORDER BY round""".stripMargin
+
   /** The engine-shared AdaBoost body — `hSource` supplies the
-    * (bucket, yy, c) histogram (temp view on Spark, inline rollup on
-    * DuckDB); everything else is dialect-free SQL. */
+    * (bucket, yy, c) histogram (temp views on Spark, one chained-CTE
+    * query on DuckDB); everything else is dialect-free SQL assembled
+    * from the SAME [[AdaStages]] texts the Spark runner stages. */
   def adaboostSql(hSource: String): String =
-    s"""WITH h AS ($hSource),
-       |tot AS (
-       |  SELECT CAST(SUM(CASE WHEN yy = 1 THEN c ELSE 0 END) AS BIGINT) AS np,
-       |    CAST(SUM(CASE WHEN yy = -1 THEN c ELSE 0 END) AS BIGINT) AS nn,
-       |    CAST(SUM(c) AS BIGINT) AS n
-       |  FROM h),
-       |thr AS (
-       |  SELECT bucket AS t FROM h GROUP BY bucket
-       |  HAVING bucket > (SELECT MIN(bucket) FROM h)),
-       |pre AS (
-       |  SELECT thr.t,
-       |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = 1 THEN h.c ELSE 0 END) AS BIGINT) AS lpos,
-       |    CAST(SUM(CASE WHEN h.bucket < thr.t AND h.yy = -1 THEN h.c ELSE 0 END) AS BIGINT) AS lneg
-       |  FROM thr CROSS JOIN h GROUP BY thr.t),
-       |cand1 AS (
-       |  SELECT t, CAST(1 AS BIGINT) AS pol, lneg + (SELECT np FROM tot) - lpos AS wrong
-       |  FROM pre
-       |  UNION ALL
-       |  SELECT t, CAST(-1 AS BIGINT), lpos + (SELECT nn FROM tot) - lneg
-       |  FROM pre),
-       |h1 AS (SELECT t, pol, wrong AS e FROM cand1 ORDER BY wrong, t, pol DESC LIMIT 1),
-       |cls AS (
-       |  SELECT h.bucket, h.yy, CAST(h.c AS BIGINT) AS c,
-       |    CASE WHEN (CASE WHEN h.bucket < (SELECT t FROM h1)
-       |        THEN (SELECT pol FROM h1) ELSE -(SELECT pol FROM h1) END) = h.yy
-       |      THEN 1 ELSE 0 END AS ok1
-       |  FROM h),
-       |cand2 AS (
-       |  SELECT thr.t, p.pol,
-       |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
-       |      AND cls.ok1 = 1 THEN cls.c ELSE 0 END) AS BIGINT) AS a,
-       |    CAST(SUM(CASE WHEN (CASE WHEN cls.bucket < thr.t THEN p.pol ELSE -p.pol END) <> cls.yy
-       |      AND cls.ok1 = 0 THEN cls.c ELSE 0 END) AS BIGINT) AS b
-       |  FROM thr CROSS JOIN (SELECT CAST(1 AS BIGINT) AS pol
-       |    UNION ALL SELECT CAST(-1 AS BIGINT)) p CROSS JOIN cls
-       |  GROUP BY thr.t, p.pol),
-       |h2 AS (
-       |  SELECT t, pol,
-       |    a * (SELECT e FROM h1) + b * ((SELECT n FROM tot) - (SELECT e FROM h1)) AS num,
-       |    2 * (SELECT e FROM h1) * ((SELECT n FROM tot) - (SELECT e FROM h1)) AS den
-       |  FROM cand2
-       |  ORDER BY a * (SELECT e FROM h1) + b * ((SELECT n FROM tot) - (SELECT e FROM h1)), t, pol DESC
-       |  LIMIT 1),
-       |vote AS (
-       |  SELECT cls.yy, cls.c,
-       |    CASE WHEN cls.bucket < (SELECT t FROM h1)
-       |      THEN (SELECT pol FROM h1) ELSE -(SELECT pol FROM h1) END AS p1,
-       |    CASE WHEN cls.bucket < (SELECT t FROM h2)
-       |      THEN (SELECT pol FROM h2) ELSE -(SELECT pol FROM h2) END AS p2
-       |  FROM cls),
-       |corr2 AS (
-       |  SELECT CAST(SUM(CASE WHEN (CASE WHEN p1 = p2 THEN p1
-       |      WHEN (SELECT e FROM h1) * (SELECT den FROM h2)
-       |        < (SELECT num FROM h2) * (SELECT n FROM tot) THEN p1
-       |      ELSE p2 END) = yy THEN c ELSE 0 END) AS BIGINT) AS nc
-       |  FROM vote)
-       |SELECT CAST(1 AS BIGINT) AS round, t AS thr, pol AS polarity,
-       |  e AS err_num, (SELECT n FROM tot) AS err_den,
-       |  CAST(round(500000 * ln(
-       |    CAST((SELECT n FROM tot) - e AS DOUBLE) / CAST(e AS DOUBLE)))
-       |    AS BIGINT) AS alpha_e6,
-       |  (SELECT n FROM tot) - e AS n_correct
-       |FROM h1
-       |UNION ALL
-       |SELECT CAST(2 AS BIGINT), t, pol, num, den,
-       |  CAST(round(500000 * ln(
-       |    CAST(den - num AS DOUBLE) / CAST(num AS DOUBLE))) AS BIGINT),
-       |  (SELECT nc FROM corr2)
-       |FROM h2
-       |ORDER BY round""".stripMargin
+    s"WITH graft_ada_h AS ($hSource),\n" +
+      AdaStages.map { case (n, s) => s"$n AS ($s)" }.mkString(",\n") +
+      "\n" + AdaFinal
 
   /** K-anonymity audit (Sweeney 1998/2002) — the release gate before a
     * dataset with quasi-identifiers leaves the fence: group the table by

@@ -40,6 +40,8 @@ object Bfs {
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastFrontier: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    if (maxHops <= LazyHorizon)
+      return runUnrolled(edges, seeds, maxHops, broadcastFrontier)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).cache()
     // dedup seeds: visitedSize counts ROWS, and the fixpoint test below
@@ -75,5 +77,36 @@ object Bfs {
     }
     e.unpersist()
     visited
+  }
+
+  /** Horizon below which the whole traversal is ONE lazy plan. Both
+    * engine callers use 3-4 hops; past ~6 the per-level distinct plans
+    * nest deep enough that the materialized loop's lineage cuts win. */
+  private val LazyHorizon = 6
+
+  /** Fixed-small-horizon BFS as ONE lazy plan (r17, guide §2.4 — the
+    * harmonic_centrality r16 rework generalized): level k is the distinct
+    * exactly-k-step neighborhood of the seeds; levels union lazily and
+    * ONE final min-hop aggregate recovers the BFS layering (a shortest
+    * path of length k is a k-step walk, so node v appears in level d(v);
+    * min over levels = d(v) — output-identical to the materialized loop).
+    * No per-round cache/count/unpersist: the loop version paid ~7 jobs
+    * per traversal in per-job fixed cost at any scale (and at 100 TB a
+    * blocking materialization barrier per round); this is one job, and
+    * identical level subplans deduplicate through exchange reuse. The
+    * per-level distinct still bounds growth at |V| rows per level. */
+  private def runUnrolled(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastFrontier: Boolean): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var cur = seeds.select(col("node")).distinct()
+    var levels = Vector(cur.select(col("node"), lit(0).as("hop")))
+    for (hop <- 1 to maxHops) {
+      val f = if (broadcastFrontier) broadcast(cur) else cur
+      cur = f.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      levels = levels :+ cur.select(col("node"), lit(hop).as("hop"))
+    }
+    levels.reduce(_.unionByName(_))
+      .groupBy(col("node")).agg(min(col("hop")).as("hop"))
   }
 }

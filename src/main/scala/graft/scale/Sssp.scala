@@ -44,8 +44,11 @@ object Sssp {
     * candidates into the new table with a per-row `imp` flag, and one
     * aggregate action both materializes the round's cache and returns
     * the improvement count the fixpoint test needs. */
-  def run(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def run(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      broadcastFrontier: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    if (rounds <= LazyHorizon)
+      return runUnrolled(edges, seeds, rounds, broadcastFrontier)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src")).cache()
     var cached = seeds.select(col("node")).distinct()
@@ -81,5 +84,38 @@ object Sssp {
     }
     e.unpersist()
     dist // backed by the final round's cache, the caller's to release
+  }
+
+  /** Round count below which the relaxation is ONE lazy plan (the
+    * [[Bfs.runUnrolled]] rationale; the engine caller uses 3 rounds). */
+  private val LazyHorizon = 6
+
+  /** Bounded Bellman-Ford as ONE lazy plan (r17, guide §2.4): round k's
+    * distance table is min(D_{k−1}, relax(D_{k−1})) folded by a
+    * union + groupBy-min — after r rounds every node holds the exact
+    * min total weight over walks of ≤ r edges, identical to the
+    * frontier loop's output (the frontier filter is a work-avoidance
+    * device, not a semantics one). No per-round cache/count/head jobs:
+    * the loop form paid a blocking materialization + a driver fixpoint
+    * probe per round; identical D_{k−1} subplans deduplicate through
+    * exchange reuse, and the per-round groupBy bounds each table at
+    * |V| rows. */
+  private def runUnrolled(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, broadcastFrontier: Boolean): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      // `broadcastFrontier`: the caller asserts the node set is bounded
+      // (a catalog-dimension graph) — the distance table, ≤ |V| rows,
+      // broadcasts and each relaxation is map-side over the edge scan
+      // (the [[Bfs.run]] contract; default stays the shuffling plan)
+      val d = if (broadcastFrontier) broadcast(dist) else dist
+      val cand = d.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
   }
 }
