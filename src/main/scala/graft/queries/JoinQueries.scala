@@ -189,6 +189,13 @@ object JoinQueries {
         === substring(col("c_name"), -4, 4))
       .select(col("d_id"), col("c_custkey").as("m_id"))
     k1.unionByName(k2).distinct()
+      // r17: explicit partition count for the scoring stage — AQE sizes
+      // the post-distinct stage by its ~MB of int pairs and ran the
+      // Levenshtein pass (2 edit distances × ~300k candidate pairs at
+      // sf0.1) in ONE task (measured 1.2 s of a 1.75 s query). The key
+      // is d_id, which the best-match window below partitions by, so
+      // this exchange REPLACES the window's — no extra shuffle.
+      .repartition(spark.sparkContext.defaultParallelism, col("d_id"))
       .join(dirty.select(col("d_id"), col("dirty_name")), "d_id")
       .join(cust.select(col("c_custkey").as("m_id"), col("c_name")), "m_id")
       .select(col("d_id"), col("m_id"),
@@ -246,6 +253,8 @@ object JoinQueries {
     // comparison vectors; reused by the model aggregate AND the apply
     // pass — cache so the blocked join runs once
     val pairs = k1.unionByName(k2).distinct()
+      // r17: same scoring-stage parallelism guard as entityBestLinks
+      .repartition(spark.sparkContext.defaultParallelism, col("d_id"))
       .join(dirty, "d_id").join(master, "m_id")
       .select(col("d_id"), col("m_id"),
         (levenshtein(translate(col("dn"), "OIB", "018"), col("c_name")) === 0)

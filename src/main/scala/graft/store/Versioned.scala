@@ -1459,20 +1459,30 @@ object Versioned {
     * passes, SQL CHECK semantics), so a table carrying dozens of
     * constraints validates an incoming batch with one scan, not one
     * scan per constraint. */
+  /** One violation-count aggregate column per constraint — shared by the
+    * standalone probe ([[requireConstraints]]) and the observe-folded
+    * append path, so both count violations identically. */
+  private def violationCols(cons: Seq[(String, String)]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    cons.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(s"c$i")
+    }
+  }
+
+  /** Raise the [[requireConstraints]] error for the first violated
+    * constraint given the per-constraint bad-row counts. */
+  private def raiseViolations(cons: Seq[(String, String)], bad: Seq[Long]): Unit =
+    cons.zip(bad).foreach { case ((name, sqlExpr), b) =>
+      require(b == 0,
+        s"constraint '$name' ($sqlExpr) is violated by $b incoming row(s)")
+    }
+
   private[store] def requireConstraints(cons: Seq[(String, String)], df: DataFrame): Unit = {
     if (cons.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    def violations(sqlExpr: String) =
-      sum(when(!coalesce(expr(sqlExpr), lit(true)), 1L).otherwise(0L))
-    val row = df.agg(
-      violations(cons.head._2).as("c0"),
-      cons.tail.zipWithIndex.map { case ((_, e), i) =>
-        violations(e).as(s"c${i + 1}") }: _*).head()
-    cons.zipWithIndex.foreach { case ((name, sqlExpr), i) =>
-      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // null ⇐ empty batch
-      require(bad == 0,
-        s"constraint '$name' ($sqlExpr) is violated by $bad incoming row(s)")
-    }
+    val cols = violationCols(cons)
+    val row = df.agg(cols.head, cols.tail: _*).head()
+    raiseViolations(cons, cons.indices.map(i =>
+      if (row.isNullAt(i)) 0L else row.getLong(i))) // null ⇐ empty batch
   }
 
   /** The schema recorded in `version`'s manifest (default: latest), if the
@@ -2172,17 +2182,47 @@ object Versioned {
     * Streaming appends ([[appendBatchIdempotent]]) are schema-stable by
     * contract and skip all of this. */
   def append(df: DataFrame, table: String, maxRetries: Int = 5): Int = {
-    // validate against the ENTRY version before any data lands (a
-    // violating batch writes no files); the retry loop re-validates
+    // validate against the ENTRY version; the retry loop re-validates
     // whenever its base carries a DIFFERENT constraint set — an
     // addConstraint that commits between this validation and a retried
     // commit must gate the append (ADVICE round 9: the blind retry let
     // such appends land rows violating the new constraint; merge always
-    // re-validated, append did not)
-    var validatedCons = constraintsOf(table, Some(currentVersion(table)))
-    requireConstraints(validatedCons, df)
+    // re-validated, append did not).
+    //
+    // r17 (VERDICT r16 #2, guide §1.2): on the native staging path the
+    // probe FOLDS INTO the staged write via `observe` — the violation
+    // counts collect while the batch writes, so a constrained append
+    // runs ONE pass over the source instead of two. A violating batch's
+    // staged dir is deleted before the error surfaces, preserving the
+    // no-files-on-reject contract (the commit never referenced them
+    // either way). The V2 staging path keeps the standalone probe: its
+    // writer drives a raw RDD action, which never completes an SQL
+    // execution, so an Observation there would block forever.
+    val validatedCons = constraintsOf(table, Some(currentVersion(table)))
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(8)}"
-    val added = stageFiles(df, table, batch)
+    val added =
+      if (validatedCons.isEmpty || graft.sources.V2Shape.needsV2Staging(df.schema)) {
+        requireConstraints(validatedCons, df)
+        stageFiles(df, table, batch)
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        val cols = violationCols(validatedCons)
+        val staged = stageFiles(df.observe(obs, cols.head, cols.tail: _*),
+          table, batch)
+        val row = obs.get
+        val bad = validatedCons.indices.map(i =>
+          row.getOrElse(s"c$i", null) match {
+            case l: java.lang.Long => l.longValue()
+            case _ => 0L // null ⇐ empty batch
+          })
+        if (bad.exists(_ != 0)) {
+          val d = new File(table, batch)
+          Option(d.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+          d.delete()
+          raiseViolations(validatedCons, bad)
+        }
+        staged
+      }
     publishStaged(df.sparkSession, df, table, added, validatedCons, maxRetries)
   }
 
