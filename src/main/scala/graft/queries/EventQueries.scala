@@ -1447,17 +1447,21 @@ object EventQueries {
     * recursion self-terminates when a step changes nothing (no iteration
     * constant to tune; ~25-35 steps at the fixture's ~3-hop journeys).
     * All five scenarios (base + 4 removals) iterate side by side as
-    * rows of one recursion. Spark runs the journey/matrix stage once
-    * into a materialized view (the survivalKm lesson), the recursion
-    * over it, then the share arithmetic over the materialized fixpoint;
-    * DuckDB runs the identical generated text inline. */
+    * rows of one recursion. Spark runs the journey/matrix stage once and
+    * collects its 5 scenario rows; the fixpoint iterates that bounded
+    * state on the driver (identical arithmetic — see
+    * [[MarkovAttr.fixpointLocal]]); the share arithmetic runs over the
+    * local fixpoint rows. DuckDB runs the identical generated text
+    * inline, recursion included. */
   def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir).createOrReplaceTempView("graft_mka_events")
-    val m = spark.sql(MarkovAttr.matrixSql("graft_mka_events"))
-      .coalesce(1).localCheckpoint()
-    m.createOrReplaceTempView("graft_mka_m")
-    val fin = spark.sql(MarkovAttr.fixpointSql("graft_mka_m", "div"))
-      .coalesce(1).localCheckpoint()
+    // stage 1 (the only data-sized pass) runs in Spark and collects its 5
+    // scenario rows; stage 2's fixpoint iterates those 30 bounded integer
+    // columns on the DRIVER ([[MarkovAttr.fixpointLocal]] — bit-identical
+    // to the recursive SQL the oracle runs, without UnionLoop's one
+    // driver-bound job per step); stage 3 is the same shared share text.
+    val fin = MarkovAttr.fixpointLocal(spark,
+      spark.sql(MarkovAttr.matrixSql("graft_mka_events")).collect())
     fin.createOrReplaceTempView("graft_mka_fin")
     spark.sql(MarkovAttr.shareSql("graft_mka_fin", "div"))
   }
@@ -1611,7 +1615,7 @@ object EventQueries {
         |+ 4 * max(CASE WHEN ch = 'signup' THEN 1 ELSE 0 END)"""
         .stripMargin.replace("\n", " ")).as("mask"))
     val hist = masks.groupBy(col("mask"))
-      .agg(count(lit(1)).as("c")).localCheckpoint() // ≤ 7 rows
+      .agg(count(lit(1)).as("c")).localCheckpoint(false) // ≤ 7 rows
     val coalitions = spark.range(0, 8).toDF("s")
       .join(broadcast(hist), expr("(mask & s) = mask"), "left")
       .groupBy(col("s")).agg(coalesce(sum(col("c")), lit(0L)).as("v"))

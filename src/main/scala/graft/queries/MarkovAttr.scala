@@ -106,6 +106,38 @@ object MarkovAttr {
        |FROM rec r JOIN last l ON l.scenario = r.scenario AND l.li = r.iter""".stripMargin
   }
 
+  /** Driver-local twin of [[fixpointSql]] over the COLLECTED matrix rows
+    * (r17, guide §1.2): the fixpoint's whole state is 5 scenario rows ×
+    * 30 bounded integer columns — scenario count is fixed by the event
+    * vocabulary, independent of data size — while Spark's `WITH
+    * RECURSIVE` (UnionLoop) pays one driver-bound job per step (~30
+    * steps ≈ 2 s of pure scheduling at any scale). Same arithmetic,
+    * same order, same `div`/termination semantics as the SQL text, so
+    * the emitted (scenario, p_start, n_iter) rows are bit-identical —
+    * the DuckDB oracle still runs the recursion as SQL and agrees. */
+  def fixpointLocal(spark: org.apache.spark.sql.SparkSession,
+      matrix: Array[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val pTags = trans.map(_._2) // ck, er, sg, vw — the iterating p columns
+    val fin = matrix.toSeq.map { r =>
+      def c(st: String, dt: String) = r.getLong(r.fieldIndex(s"c_${st}_$dt"))
+      def o(st: String) = r.getLong(r.fieldIndex(s"out_$st"))
+      def step(st: String, p: Seq[Long]): Long =
+        if (o(st) == 0L) 0L
+        else (pTags.zip(p).map { case (dt, pd) => c(st, dt) * pd }.sum +
+          c(st, "conv") * 1000000000L) / o(st)
+      var p = pTags.map(_ => 0L)
+      var iter = 0
+      var changed = true
+      while (changed) {
+        val np = pTags.map(step(_, p))
+        changed = np != p
+        if (changed) { p = np; iter += 1 }
+      }
+      (r.getString(r.fieldIndex("scenario")), step("st", p), iter)
+    }
+    spark.createDataFrame(fin).toDF("scenario", "p_start", "n_iter")
+  }
+
   /** Stage 3 — removal effects and normalized shares over the converged
     * fixpoint rows. */
   def shareSql(finView: String, idiv: String): String =

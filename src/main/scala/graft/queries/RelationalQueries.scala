@@ -562,7 +562,7 @@ object RelationalQueries {
         |  sort_array(collect_list(named_struct('t', t, 'day', day, 'rev', rev))) AS xs
         |FROM idx GROUP BY (t - 1) div 32""".stripMargin)
       .coalesce(1)
-      .localCheckpoint() // UnionLoop re-executes the step subplan per
+      .localCheckpoint(false) // UnionLoop re-executes the step subplan per
       .createOrReplaceTempView("graft_rec_blocks") // iteration (see doc)
     def fold(arr: String, seed: String): String =
       s"""aggregate($arr,
@@ -1122,7 +1122,12 @@ object RelationalQueries {
     * lineage (the k_core lesson). Output: top-10 per side, determinisic
     * (score desc, node) order. */
   def hitsScores(spark: SparkSession, dir: String): DataFrame = {
-    val e = partSupplierPairs(spark, dir).localCheckpoint()
+    // r17: LAZY checkpoints — each half-step still plans against a
+    // LogicalRDD leaf (no doubling lineage, same plan segmentation), but
+    // nothing materializes until the ONE final action computes the
+    // rounds in order; the eager form paid a blocking driver round-trip
+    // per half-step (5 jobs of pure scheduling at any scale).
+    val e = partSupplierPairs(spark, dir).localCheckpoint(false)
     var h = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
     var a: DataFrame = null
     for (_ <- 1 to 2) {
@@ -1138,12 +1143,12 @@ object RelationalQueries {
       // shuffle of the edges
       val aRaw = e.join(broadcast(h), "s")
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("p"), expr("(ar * 1000000) div am").as("a"))
       val hRaw = e.join(broadcast(a), "p")
         .groupBy(col("s")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
         .select(col("s"), expr("(hr * 1000000) div hm").as("h"))
     }
@@ -1202,7 +1207,9 @@ object RelationalQueries {
     // tighter wedge bound (stale degrees only shrink as edges peel, so
     // Σ outdeg² under the ORIGINAL orientation stays the upper bound).
     // Survivor rounds re-filter the oriented frame by one semi-join.
-    var o = orientEdges(edges).localCheckpoint()
+    // r17: lazy checkpoints — the fixpoint count right after each is the
+    // materializing action (one pass per round, not two)
+    var o = orientEdges(edges).localCheckpoint(false)
     var n = o.count()
     var converged = false
     while (!converged) {
@@ -1221,7 +1228,7 @@ object RelationalQueries {
       val o2 = o.join(kept,
           least(col("s"), col("t")) === col("u") &&
             greatest(col("s"), col("t")) === col("v"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n2 = o2.count()
       converged = n2 == n
       o = o2

@@ -515,8 +515,9 @@ object StatQueries {
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
       // materialize the bounded frame ONCE: a temp view is a plan, and
       // every scalar-subquery reference in the body would otherwise
-      // re-run the corpus rollup (measured 4-38 s/query at sf0.1)
-      .localCheckpoint()
+      // re-run the corpus rollup (measured 4-38 s/query at sf0.1);
+      // lazy — the first subquery execution fills the blocks (r17)
+      .localCheckpoint(false)
       .createOrReplaceTempView("graft_mi_cells")
     events.sparkSession.sql(miSql("SELECT x, y, c FROM graft_mi_cells", "div"))
   }
@@ -580,7 +581,7 @@ object StatQueries {
       .groupBy(col("bucket"))
       .agg(sum(col("is_ref")).as("a"),
         sum(lit(1L) - col("is_ref")).as("b"))
-      .localCheckpoint() // bounded frame, materialized once (see miSql note)
+      .localCheckpoint(false) // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_psi_cells")
     events.sparkSession.sql(psiSql("SELECT bucket, a, b FROM graft_psi_cells", "div"))
   }
@@ -638,7 +639,7 @@ object StatQueries {
     events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
-      .localCheckpoint() // bounded frame, materialized once (see miSql note)
+      .localCheckpoint(false) // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_conf_daily")
     events.sparkSession.sql(conformalSql(
       """idx AS (
@@ -958,7 +959,7 @@ object StatQueries {
       .select((floor(col("value").cast("double") / 10) * 10).cast("long").as("bucket"),
         when(col("event_type") === "purchase", 1L).otherwise(-1L).as("yy"))
       .groupBy(col("bucket"), col("yy")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // bounded frame, materialized once (see miSql note)
+      .localCheckpoint(false) // bounded frame, materialized once (see miSql note)
       .createOrReplaceTempView("graft_ada_h")
     // r17 (guide §1.2 "per-task work" applied to the DRIVER): the body's
     // ~24 scalar-subquery references each re-inline their CTE's whole
@@ -984,7 +985,7 @@ object StatQueries {
       "graft_ada_h2" -> Seq("graft_ada_thr", "graft_ada_cand2"))
     for ((target, ctes) <- groups)
       spark.sql(withCtes(target, ctes))
-        .coalesce(1).localCheckpoint().createOrReplaceTempView(target)
+        .coalesce(1).localCheckpoint(false).createOrReplaceTempView(target)
     spark.sql("WITH " +
       Seq("graft_ada_vote", "graft_ada_corr2")
         .map(n => s"$n AS (${texts(n)})").mkString(",\n") + "\n" + AdaFinal)
@@ -1692,7 +1693,7 @@ object StatQueries {
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
         .as("x")), "x", 32)
     val bandHist = u.groupBy(col("band")).agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     val offsets = bandHist.as("a")
       .join(bandHist.as("b"), col("b.band") < col("a.band"), "left")
       .groupBy(col("a.band").as("band"))
@@ -1828,7 +1829,7 @@ object StatQueries {
         (col("event_type") === "purchase").cast("long").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
-      .localCheckpoint() // ≤ 10 rows
+      .localCheckpoint(false) // ≤ 10 rows
     // segment sums P_ij / N_ij for every i ≤ j (≤ 55 rows)
     val seg = bins.as("l").crossJoin(bins.as("m")).crossJoin(bins.as("r"))
       .filter(col("l.bin") <= col("m.bin") && col("m.bin") <= col("r.bin"))
@@ -1904,7 +1905,7 @@ object StatQueries {
       .agg(expr("CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
         .as("x")), "x", 32)
     val bandSums = u.groupBy(col("band")).agg(sum(col("x")).as("bx"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     // revenue landing in STRICTLY HIGHER bands precedes every row of
     // this band in the descending order
     val offsets = bandSums.as("a")
@@ -2696,7 +2697,7 @@ object StatQueries {
     val daily = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
-      .localCheckpoint() // feeds three bounded self-joins below
+      .localCheckpoint(false) // feeds three bounded self-joins below
     // running mean per prefix, e6-quantized
     val pre = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
       .groupBy(col("a.day").as("day"), col("a.x").as("x"))
@@ -2769,7 +2770,7 @@ object StatQueries {
     }
     val d = daily("purchase_lift", "purchase", "0.15", "0.25")
       .unionByName(daily("error_rate", "error", "0.25", "0.35"))
-      .localCheckpoint() // feeds both sides of the prefix join
+      .localCheckpoint(false) // feeds both sides of the prefix join
     val cum = d.as("a").join(d.as("b"),
         col("b.metric") === col("a.metric") && col("b.day") <= col("a.day"))
       .groupBy(col("a.metric").as("metric"), col("a.day").as("day"),
@@ -2931,7 +2932,7 @@ object StatQueries {
           |  (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) - 0.2)
           |  / sqrt(0.2 * 0.8 / CAST(nt AS DOUBLE))
           |  * 1000000) AS BIGINT)""".stripMargin).as("z_e6"))
-      .localCheckpoint() // 5 rows: feeds both bounded pair joins
+      .localCheckpoint(false) // 5 rows: feeds both bounded pair joins
     val ranked = z.as("a").join(z.as("b"),
         abs(col("b.z_e6")) > abs(col("a.z_e6")) ||
           (abs(col("b.z_e6")) === abs(col("a.z_e6")) &&
@@ -2991,7 +2992,7 @@ object StatQueries {
           |  (CAST(c_t AS DOUBLE)
           |   - CAST(c_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE))
           |  * 10000) AS BIGINT)""".stripMargin).as("qini_inc_e4"))
-      .localCheckpoint() // ≤ 10 rows: feeds both bounded pair joins
+      .localCheckpoint(false) // ≤ 10 rows: feeds both bounded pair joins
     val ranked = per.as("a").join(per.as("b"),
         col("b.uplift_e6") > col("a.uplift_e6") ||
           (col("b.uplift_e6") === col("a.uplift_e6") &&

@@ -187,7 +187,8 @@ object StoreQueries {
     val cp1 = graft.store.Versioned.currentVersion(factPath)
     val s0 = graft.store.Versioned.read(spark, factPath)
       .groupBy(seg, col("user_id")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds the support append AND the view build
+      // lazy: the support append (first consumer) materializes it
+      .localCheckpoint(false) // feeds the support append AND the view build
     graft.store.Versioned.append(s0, suppPath): Unit
     graft.store.Versioned.append(
       s0.groupBy(col("seg")).agg(sum(col("cnt")).as("n_events"),
@@ -198,7 +199,7 @@ object StoreQueries {
       purch.filter(col("day") >= splitDay).drop("day"), factPath): Unit
     val d1 = graft.store.Versioned.changes(spark, factPath, cp1)
       .groupBy(seg, col("user_id")).agg(count(lit(1)).as("dn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     val sUp1 = d1.join(graft.store.Versioned.read(spark, suppPath)
         .withColumnRenamed("cnt", "cnt0"),
         Seq("seg", "user_id"), "left")
@@ -208,7 +209,7 @@ object StoreQueries {
         // per interval), so "new" means crossing FROM zero, not just
         // absent
         (col("cnt0").isNull || col("cnt0") === 0L).as("is_new"), col("dn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     graft.store.Versioned.merge(spark, suppPath,
       sUp1.select(col("seg"), col("user_id"), col("cnt")),
       Seq("seg", "user_id"),
@@ -231,13 +232,13 @@ object StoreQueries {
     val sign = when(col("_change_type") === "delete", -1L).otherwise(1L)
     val d2 = graft.store.Versioned.changeFeed(spark, factPath, cp2)
       .groupBy(seg, col("user_id")).agg(sum(sign).as("dn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     val sUp2 = d2.join(graft.store.Versioned.read(spark, suppPath)
         .withColumnRenamed("cnt", "cnt0"),
         Seq("seg", "user_id"), "left")
       .select(col("seg"), col("user_id"),
         (coalesce(col("cnt0"), lit(0L)) + col("dn")).as("cnt"), col("dn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     graft.store.Versioned.merge(spark, suppPath,
       sUp2.select(col("seg"), col("user_id"), col("cnt")),
       Seq("seg", "user_id"),
@@ -907,7 +908,7 @@ object StoreQueries {
     val dF = graft.store.Versioned.changes(spark, factPath, checkpointed)
     val dAgg = dF.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"), sum(col("v")).as("dv"))
-      .localCheckpoint() // backs the resident semi-join AND the upsert build
+      .localCheckpoint(false) // lazy (r17); backs the resident semi-join AND the upsert build
       // (measured r16: dropping this costs MORE than the job it saves —
       // the merge's source cache covers only the plan TOP, so the twice-
       // referenced delta aggregate re-evaluates inside the write action)
@@ -959,7 +960,7 @@ object StoreQueries {
     // BOTH the touched-key union and the merge source below
     val dRet = cf.groupBy(col("user_id"))
       .agg(sum(sign).as("dn"), sum(sign * col("v")).as("dv"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: first consumer materializes (r17)
     // ONE maintenance merge covers both outstanding deltas: keys =
     // retraction keys ∪ reclassified keys; counts monoid-add the
     // retraction delta (zero for segment-only rows), segment resolves

@@ -972,7 +972,7 @@ object TextQueries {
     val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("wt"))
       .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"),
         col("wt")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the final action materializes (r17)
     val strength = edges.groupBy(col("src")).agg(sum(col("wt")).as("ws"))
     var r = strength.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 2) {
@@ -982,7 +982,7 @@ object TextQueries {
         .select(col("dst").as("node"), expr("(wt * r) div ws").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       r = contrib.select(col("node"),
-        expr("150000 + (17 * s) div 20").as("r")).localCheckpoint()
+        expr("150000 + (17 * s) div 20").as("r")).localCheckpoint(false)
     }
     r.orderBy(col("r").desc, col("node")).limit(10)
       .select(col("node").as("keyword"), col("r").as("rank_e6"))
@@ -1269,7 +1269,7 @@ object TextQueries {
     val pw = w.withColumn("pid", sum(col("st")).over(win))
       .filter(col("st") === 0L)
       .select(col("doc_id"), col("pid"), col("i"), col("w"))
-      .localCheckpoint() // three consumers below (plen, degree, phrases)
+      .localCheckpoint(false) // three consumers below (plen, degree, phrases)
     val plen = pw.groupBy(col("doc_id"), col("pid")).agg(count(lit(1)).as("plen"))
     val ws = pw.join(plen, Seq("doc_id", "pid"))
       .groupBy(col("w")).agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))

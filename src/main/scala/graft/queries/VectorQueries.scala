@@ -175,12 +175,14 @@ object VectorQueries {
     * drops (both engines re-derive centroids from non-empty groups
     * only). Init = the first k vectors.
     *
-    * Plan shape at 100 TB: per iteration one map-side broadcast-join
-    * scan (k·dim longs) + one (k × dim)-bounded partial aggregation —
-    * centroids cross the driver as k·dim longs, never data; iterations
-    * are jobs, not lineage (the quantized frame persists once). Output
-    * is the final assignment's per-cluster roll-up plus centroid
-    * fingerprints (first dim + L1 norm). */
+    * Plan shape at 100 TB: per iteration one MAP-SIDE argmin scan (the
+    * k·dim centroid longs ride the plan as an array literal, folded to
+    * a (dist, cluster) struct-min per row — no exchange) + one
+    * (k × dim)-bounded partial aggregation — centroids cross the driver
+    * as k·dim longs, never data; iterations are jobs, not lineage (the
+    * quantized frame persists once). Output is the final assignment's
+    * per-cluster roll-up plus centroid fingerprints (first dim + L1
+    * norm). */
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 8; val iters = 3; val dims = 64
@@ -194,12 +196,22 @@ object VectorQueries {
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     var lastAssign: DataFrame = null
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF("cl", "c")
-      lastAssign = emb.crossJoin(broadcast(cdf))
-        .withColumn("dist",
-          expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"))
-        .groupBy(col("vec_id"), col("q"))
-        .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      // r17 (guide §2.4 remove shuffles outright): assignment used to be
+      // crossJoin(broadcast(centroids)) + groupBy(vec_id, q) + min(struct)
+      // — a full shuffle KEYED ON THE 64-LONG ARRAY every iteration, just
+      // to argmin k=8 rows back down. The centroids are k·dim bounded
+      // driver state, so the argmin is a pure map: fold the same
+      // (dist, cl) struct-min over a centroid array LITERAL per row —
+      // bit-identical tie-break (lexicographic struct min), zero
+      // exchanges per assignment at any scale.
+      val centsCol = typedLit(cents.map { case (cl, c) => (cl, c) })
+      lastAssign = emb
+        .withColumn("m", array_min(transform(centsCol, cc =>
+          struct(
+            aggregate(zip_with(col("q"), cc.getField("_2"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (s, x) => s + x)
+              .as("dist"),
+            cc.getField("_1").as("cl")))))
         .select(col("vec_id"), col("q"), col("m.cl").as("cl"))
       val sums = lastAssign
         .select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))

@@ -52,18 +52,20 @@ object KCore {
     var e = edges.select(col("src"), col("dst")).cache()
     for (_ <- 1 to rounds) {
       val keep = org.apache.spark.sql.functions.broadcast(survivors(e, k))
-      val next = e
+      // each round's frame is referenced twice (degree count + induced
+      // join), so it must be a cache node — downstream plans then point
+      // at ONE InMemoryRelation leaf per round and the plan stays linear
+      // in `rounds` (uncached it triples per round). r17: the caches stay
+      // LAZY — the consumer's single action materializes every round in
+      // order, instead of one blocking count job per round (the eager
+      // count existed only to make a mid-chain unpersist safe; with a
+      // FIXED round count the live cache is bounded at `rounds` copies of
+      // the shrinking alive-edge frame, released by the session's
+      // end-of-query clearCache like every other in-query cache).
+      e = e
         .join(keep, col("src") === col("node")).drop("node")
         .join(keep, col("dst") === col("node")).drop("node")
         .cache()
-      // materialize the new round, THEN drop the superseded round's cache:
-      // without the eager count the chain stays lazy and an early unpersist
-      // would uncache every intermediate (2^rounds plan); without the
-      // unpersist cached rounds accumulate linearly in `rounds` (ADVICE
-      // r15). Live cache is bounded to two rounds' frames.
-      next.count(): Unit
-      e.unpersist()
-      e = next
     }
     e
   }
@@ -74,7 +76,12 @@ object KCore {
   def peel(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
-    var alive = e.select(col("src").as("node")).distinct().localCheckpoint()
+    // r17: LAZY checkpoints throughout — the count right after each
+    // checkpoint is the materializing action (one pass, not two; the
+    // ConnectedComponents idiom), and the per-round peel frame needs no
+    // checkpoint at all: both its inputs are already-materialized
+    // checkpointed frames, so its lineage is two RDD scans forever.
+    var alive = e.select(col("src").as("node")).distinct().localCheckpoint(false)
     var aliveSize = alive.count()
     var peels = List.empty[DataFrame]
     var round = 0
@@ -85,7 +92,7 @@ object KCore {
       val induced = e
         .join(alive.select(col("node").as("src")), "src")
         .join(alive.select(col("node").as("dst")), "dst")
-      val surv = survivors(induced, k).localCheckpoint()
+      val surv = survivors(induced, k).localCheckpoint(false)
       val survSize = surv.count()
       if (survSize == aliveSize) {
         // fixpoint — nobody peeled this round; the alive set IS the core
@@ -95,7 +102,6 @@ object KCore {
         peels ::= alive.join(surv, Seq("node"), "left_anti")
           .select(col("node"), lit(round.toLong).as("peel_round"),
             lit(0L).as("in_core"))
-          .localCheckpoint()
         alive = surv
         aliveSize = survSize
         done = aliveSize == 0L
