@@ -16,7 +16,12 @@ object Tables {
   // call these loaders thousands of times per session. The memo reuses
   // the immutable LOGICAL PLAN (never data — execution still scans
   // parquet every time), keyed by session so a restarted session
-  // re-lists. Weak keys let closed sessions unload.
+  // re-lists. NOTE (ADVICE r16): the weak keys do NOT let closed
+  // sessions unload — the cached Dataset values strongly reference
+  // their session, so the memo pins each session's plans for the JVM
+  // lifetime. Every driver entry point here is one session per JVM, so
+  // that is a documented bound, not a leak; a long-lived multi-session
+  // host would need value-side WeakReferences instead.
   private val frames = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]])
   private def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {

@@ -1306,7 +1306,11 @@ object TinyTransformer {
     // 44 MB MiniLM-shape checkpoint meant 32 redundant reads + 32 × 88 MB
     // of widened weights. Keyed by (path, mtime, length) so a rewritten
     // checkpoint at the same path is re-read; capped small — a JVM serves
-    // a handful of distinct checkpoints, ever.
+    // a handful of distinct checkpoints, ever. Known limitation (ADVICE
+    // r16): mtime granularity can be 1 s on some filesystems, so an
+    // in-place rewrite within the same second with identical length
+    // would serve stale weights — a dev-only footgun; the bench/verify
+    // checkpoints are written once and never rewritten in place.
     private val sessions =
       scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Session]
     private def sessionFor(weightsPath: String): Session = {

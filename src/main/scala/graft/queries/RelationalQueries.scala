@@ -373,12 +373,14 @@ object RelationalQueries {
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("lbl"))
       // cut lineage every 5 rounds so a deep-iteration run never blows up
-      // plan analysis; materialize through cache + count (a normal AQE
-      // action — eager localCheckpoint executes via toRdd WITHOUT
-      // adaptive execution and re-sorts the cached edge side per
-      // iteration, the PageRank lesson). The retained cache is one
-      // |V|-row vector backing the returned plan.
-      if (i % 5 == 0) { labels = labels.cache(); labels.count() }
+      // plan analysis: the cache node bounds downstream plans at one
+      // InMemoryRelation leaf (an eager localCheckpoint would execute
+      // via toRdd WITHOUT adaptive execution and re-sort the cached edge
+      // side per iteration, the PageRank lesson). r17: the cache stays
+      // LAZY — the consumer's first action materializes it; the old
+      // count() was one blocking job of pure scheduling. The retained
+      // cache is one |V|-row vector backing the returned plan.
+      if (i % 5 == 0) labels = labels.cache()
     }
     (edges, labels)
   }

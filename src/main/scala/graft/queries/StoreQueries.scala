@@ -124,13 +124,12 @@ object StoreQueries {
     // whole events parquet through its coalesce(1) single task, 18 serial
     // full-table scans; dropped at journey end like every in-query cache)
     val deltas = ev.filter(col("user_id") >= 10 && col("user_id") < 100).cache()
-    (2 to 19).foreach { k =>
+    try (2 to 19).foreach { k =>
       val lo = 10 + 5 * (k - 2)
       graft.store.Versioned.append(
         deltas.filter(col("user_id") >= lo && col("user_id") < lo + 5).coalesce(1),
         path): Unit
-    }
-    deltas.unpersist(): Unit
+    } finally deltas.unpersist(): Unit // ADVICE r16: no leak on a mid-loop throw
     val ce = graft.store.Versioned.ManifestCheckpointEvery
     def at(v: Option[Int]) = graft.store.Versioned.read(spark, path, v)
       .agg(count(lit(1)).as("n"), sum(col("v")).as("rev")).head()
